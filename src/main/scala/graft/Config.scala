@@ -1,0 +1,50 @@
+package graft
+
+/** Shared constants used by BOTH the Spark operators and the generated
+  * DuckDB oracle SQL, so the two can never drift apart.
+  */
+object Config {
+  /** MinHash universe: Mersenne prime 2^31-1. h31 values and the a/b
+    * coefficients are all < 2^31, so a*x+b < 2^62 — no 64-bit overflow
+    * in either engine. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** 16 fixed (a, b) permutation coefficients (odd a, deterministic). */
+  val MinhashSeeds: Seq[(Long, Long)] =
+    (0 until 16).map(k => (2L * (k * 104729L + 7919L) + 1L, (k * 65537L + 31L) % MinhashPrime))
+
+  /** LSH banding: 4 bands x 4 rows over the 16-slot signature. */
+  val MinhashBands = 4
+  val MinhashRows  = 4
+
+  /** SimHash width in bits (fits portable BIGINT ops in both engines). */
+  val SimhashBits = 32
+
+  /** Candidate bands for simhash near-dup search: 4 bytes of the 32-bit
+    * fingerprint. */
+  val SimhashBands = 4
+
+  /** Max hamming distance for a simhash near-dup pair. */
+  val SimhashMaxHamming = 6
+
+  /** Hyperplane-LSH for ANN: nPlanes deterministic integer-coefficient
+    * planes over the 64-dim embedding space; coefficient in [-6, 6]. */
+  val AnnPlanes = 8
+  val AnnDim    = 64
+  def planeCoeff(k: Int, i: Int): Int = ((k * 37 + i * 101) % 13) - 6
+
+  /** Stopword lists for the n-gram language-ID heuristic (alphabetical
+    * language order is the argmax tiebreak). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Shingle width for n-gram / MinHash dedup. */
+  val ShingleK = 3
+
+  /** Jaccard threshold for reporting an n-gram near-dup pair. */
+  val JaccardThreshold = 0.01
+}

@@ -1,13 +1,89 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{CensusQueries => C, LlmQueries => L, Tpch => T}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every key has a DuckDB oracle in [[oracleSql]] built from the same
+  * Config constants as the Spark plan.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    T.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // census-engine core
+    "q_horizontal_agg" -> (C.qHorizontalAgg _),
+    "q_vertical_agg" -> (C.qVerticalAgg _),
+    "q_cv" -> (C.qCv _),
+    "q_pct_base" -> (C.qPctBase _),
+    "q_pct_moe" -> (C.qPctMoe _),
+    "q_ratio_stat" -> (C.qRatioStat _),
+    "q_vacancy_rate" -> (C.qVacancyRate _),
+    "q_crosswalk_apportion" -> (C.qCrosswalkApportion _),
+    "q_geo_rollup" -> (C.qGeoRollup _),
+    "q_cleaning" -> (C.qCleaning _),
+    "q_rounding" -> (C.qRounding _),
+    "q_outlier_clean" -> (C.qOutlierClean _),
+    "q_labs_geoid" -> (C.qLabsGeoid _),
+    "q_support_geoids" -> (C.qSupportGeoids _),
+    // query-engine basics
+    "q1_pricing_summary" -> (T.q1PricingSummary _),
+    "q3_top_orders" -> (T.q3TopOrders _),
+    "q_window_running" -> (T.qWindowRunning _),
+    "q_asof_join" -> (L.qAsofJoin _),
+    "q_events_json" -> (T.qEventsJson _),
+    "q_stream_window" -> (T.qStreamWindow _),
+    // LLM-data-pipeline operators
+    "q_dedup_exact" -> (L.qDedupExact _),
+    "q_dedup_ngram" -> (L.qDedupNgram _),
+    "q_dedup_minhash" -> (L.qDedupMinhash _),
+    "q_dedup_simhash" -> (L.qDedupSimhash _),
+    "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
+    "q_ann_lsh" -> (L.qAnnLsh _),
+    "q_dedup_embed" -> (L.qDedupEmbed _),
+    "q_lang_id" -> (L.qLangId _),
+    "q_text_quality" -> (L.qTextQuality _),
+    "q_token_count" -> (L.qTokenCount _),
+    "q_doc_fingerprint" -> (L.qDocFingerprint _),
+    "q_multimodal_meta" -> (L.qMultimodalMeta _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q_horizontal_agg" -> C.qHorizontalAggSql,
+    "q_vertical_agg" -> C.qVerticalAggSql,
+    "q_cv" -> C.qCvSql,
+    "q_pct_base" -> C.qPctBaseSql,
+    "q_pct_moe" -> C.qPctMoeSql,
+    "q_ratio_stat" -> C.qRatioStatSql,
+    "q_vacancy_rate" -> C.qVacancyRateSql,
+    "q_crosswalk_apportion" -> C.qCrosswalkApportionSql,
+    "q_geo_rollup" -> C.qGeoRollupSql,
+    "q_cleaning" -> C.qCleaningSql,
+    "q_rounding" -> C.qRoundingSql,
+    "q_outlier_clean" -> C.qOutlierCleanSql,
+    "q_labs_geoid" -> C.qLabsGeoidSql,
+    "q_support_geoids" -> C.qSupportGeoidsSql,
+    "q1_pricing_summary" -> T.q1Sql,
+    "q3_top_orders" -> T.q3Sql,
+    "q_window_running" -> T.qWindowRunningSql,
+    "q_asof_join" -> L.qAsofJoinSql,
+    "q_events_json" -> T.qEventsJsonSql,
+    "q_stream_window" -> T.qStreamWindowSql,
+    "q_dedup_exact" -> L.qDedupExactSql,
+    "q_dedup_ngram" -> L.qDedupNgramSql,
+    "q_dedup_minhash" -> L.qDedupMinhashSql,
+    "q_dedup_simhash" -> L.qDedupSimhashSql,
+    "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
+    "q_ann_lsh" -> L.qAnnLshSql,
+    "q_dedup_embed" -> L.qDedupEmbedSql,
+    "q_lang_id" -> L.qLangIdSql,
+    "q_text_quality" -> L.qTextQualitySql,
+    "q_token_count" -> L.qTokenCountSql,
+    "q_doc_fingerprint" -> L.qDocFingerprintSql,
+    "q_multimodal_meta" -> L.qMultimodalMetaSql,
+  )
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Census statistics formulas (c, e, m, p, z) as pure Column
+  * compositions — whole-stage-codegen friendly, no UDFs.
+  *
+  * Semantics from the reference implementation:
+  *  - factfinder/utils.py:24-47 (get_c / get_p / get_z)
+  *  - factfinder/geography/2010_to_2020.py:53-110 (agg_moe, convert_moe)
+  *  - factfinder/special.py (ratio-statistic MOE propagation)
+  *
+  * All MOEs are 90%-level (1.645 z-score), matching ACS publication
+  * standards.
+  */
+object Census {
+
+  /** MOE of a sum over rows: sqrt(sum(m^2)).
+    * Aggregate — use inside .agg(). Map-side partial aggregation applies
+    * (sum of squares is associative), so this scales without a second
+    * shuffle. Ref: 2010_to_2020.py:69-71 (agg_moe).
+    */
+  def moeOfSum(m: Column): Column = sqrt(sum(m * m))
+
+  /** Horizontal MOE across several component columns of one row:
+    * sqrt(m1^2 + ... + mk^2). Ref: calculate.py:100-104. */
+  def moeAcross(ms: Column*): Column =
+    sqrt(ms.map(c => c * c).reduce(_ + _))
+
+  /** Coefficient of variation: m/1.645/e*100, NULL when e==0.
+    * Ref: utils.py:24-28 (get_c). */
+  def cv(e: Column, m: Column): Column =
+    when(e === 0, lit(null)).otherwise(m / lit(1.645) / e * lit(100))
+
+  /** Percent of base: e/agg_e*100, NULL when agg_e==0.
+    * Ref: utils.py:31-35 (get_p). */
+  def pctOfBase(e: Column, aggE: Column): Column =
+    when(aggE === 0, lit(null)).otherwise(e / aggE * lit(100))
+
+  /** Percent MOE with the ACS sign-flip rule: when m^2 - (e*agg_m/agg_e)^2
+    * is negative, the subtraction becomes an addition. NULL when p is 0,
+    * 100, or agg_e==0. Ref: utils.py:38-47 (get_z). */
+  def pctMoe(e: Column, m: Column, p: Column, aggE: Column, aggM: Column): Column = {
+    val ratio = e * aggM / aggE
+    val inner = m * m - ratio * ratio
+    when(p === 0 || p === 100 || aggE === 0, lit(null))
+      .otherwise(
+        when(inner < 0, sqrt(m * m + ratio * ratio))
+          .otherwise(sqrt(inner)) / aggE * lit(100))
+  }
+
+  /** MOE of a ratio num/den: sqrt(m_num^2 + (num*m_den/den)^2)/den.
+    * Ref: special.py:41-49 (percapinc) and siblings. */
+  def ratioMoe(num: Column, mNum: Column, den: Column, mDen: Column): Column = {
+    val t = num * mDen / den
+    sqrt(mNum * mNum + t * t) / den
+  }
+
+  /** MOE of a 100*num/den rate with zero-guards and sign-flip, as used by
+    * the vacancy-rate specials. Ref: special.py:23-38 (hovacrtm). */
+  def rateMoe(den: Column, num: Column, mNum: Column, mDen: Column): Column = {
+    val t = num * mDen / den
+    val inner = mNum * mNum - t * t
+    when(den === 0, lit(0.0))
+      .when(num === 0, lit(0.0))
+      .otherwise(
+        when(inner < 0, sqrt(mNum * mNum + t * t))
+          .otherwise(sqrt(inner)) / den * lit(100))
+  }
+
+  /** Empirical MOE-conversion curve for ratio-apportioned geography
+    * translation (ct2010→ct2020): keep m when ratio==1; NULL when the
+    * apportioned estimate is 0; damp by 7.96309*(ratio*100)^0.56901 %
+    * otherwise, capped at 100%. Ref: 2010_to_2020.py:73-82 (convert_moe). */
+  def moeConvertCurve(m2010: Column, e2020: Column, ratio: Column): Column = {
+    val curve = pow(ratio * lit(100), lit(0.56901)) * lit(7.96309)
+    when(ratio === 1, m2010)
+      .when(e2020 === 0, lit(null))
+      .when(curve >= 100, m2010)
+      .otherwise(curve / lit(100) * m2010)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Hashing / tokenization primitives that are bit-identical between
+  * Spark and DuckDB (the correctness oracle), so every operator built on
+  * them is cross-checkable. Engine-native `hash()` functions are never
+  * used: they differ across engines and across versions.
+  *
+  * Each helper documents its DuckDB-SQL equivalent; `graft.oracle.Sql`
+  * generates those strings from the same constants.
+  */
+object Portable {
+
+  /** 60-bit integer derived from md5 (first 15 hex chars). Stable across
+    * engines: DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** 31-bit variant for modular arithmetic that must not overflow a
+    * signed 64-bit product: h31 < 2^31, so a*h31+b with a,b < 2^31 stays
+    * below 2^62. DuckDB: `(('0x'||substr(md5(x),1,7))::BIGINT % 2147483647)`. */
+  def h31(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast(LongType) % lit(2147483647L)
+
+  /** Whitespace tokenization of trimmed text.
+    * DuckDB: `string_split_regex(trim(x), '\s+')`. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word k-shingles: ["a","b","c","d"],k=3 → ["a b c","b c d"]; empty
+    * when there are fewer than k words. 1-based indexing matches DuckDB
+    * list semantics.
+    * DuckDB: `CASE WHEN len(ws) < k THEN [] ELSE
+    *   list_transform(generate_series(1, len(ws)-k+1),
+    *                  i -> ws[i]||' '||...||ws[i+k-1]) END`. */
+  def shingles(ws: Column, k: Int): Column =
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - lit(k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + lit(j))): _*)))
+
+  /** Portable decimal rounding: floor(x*10^d + 0.5)/10^d computed in
+    * IEEE double space, bit-identical across engines. Spark's `round`
+    * rounds the SHORTEST decimal representation (Java BigDecimal) while
+    * DuckDB rounds the binary value, so they disagree on boundary values
+    * like 73.54475; this formula is the same arithmetic in both.
+    * Convention: half-toward-+inf. Use for every terminal float column
+    * that the DuckDB oracle will compare. */
+  def roundp(c: Column, digits: Int): Column = {
+    val p = lit(math.pow(10, digits))
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** The DuckDB-SQL twin of [[roundp]] — inject into oracle SQL. */
+  def roundpSql(e: String, digits: Int): String = {
+    val p = s"1e$digits"
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
+  /** BPE-ish token split: letter runs, digit runs, single punctuation.
+    * Same pattern compiles identically under Java regex and RE2.
+    * DuckDB: `regexp_extract_all(x, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')`. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+}

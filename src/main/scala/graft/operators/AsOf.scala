@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (nearest-preceding) join, an operator Spark SQL lacks natively.
+  *
+  * Implemented by composition (preference (a) from the build rules): tag
+  * both sides, union, and take `last(right_value) ignoreNulls` over a
+  * per-key window ordered by (time, side) — right rows at the same
+  * timestamp sort before left rows, giving `left.ts >= right.ts`
+  * semantics. One shuffle on the key + an in-partition sort; no custom
+  * physical operator needed, and it scales like any window aggregate.
+  */
+object AsOf {
+
+  /** For each left row, attach `valCol` of the latest right row with
+    * right.ts <= left.ts and equal key. Inner semantics: left rows with
+    * no preceding right row are dropped.
+    *
+    * Both inputs must carry `key` and `ts` columns; right must carry
+    * `valCol`; left keeps all its columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1)).withColumn(valCol, lit(null).cast(right.schema(valCol).dataType))
+    val r = right.select(col(key), col(ts), col(valCol)).withColumn("__side", lit(0))
+    val unioned = l.select((leftCols.map(col) :+ col(valCol) :+ col("__side")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // Tiebreak on valCol: among right rows at the same (key, ts) the
+    // greatest value wins, deterministically, in both this and the oracle.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc, col(valCol).asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col(valCol), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__asof").isNotNull)
+      .select(leftCols.map(col) :+ col("__asof").as(s"asof_$valCol"): _*)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Census
+
+/** Core census-ETL operators re-expressed as declarative DataFrame
+  * transforms. Each is a `DataFrame → DataFrame` so Catalyst sees one
+  * logical plan end-to-end (pushdown, pruning, and AQE all apply).
+  */
+object CensusOps {
+
+  /** Vertical (geographic) aggregation: one shuffle on the target geo
+    * key, summing estimates and root-sum-of-squaring MOEs. Partial
+    * (map-side) aggregation applies to both. At 100 TB this is the only
+    * shuffle of the fact table; crosswalks join in broadcast before it.
+    * Ref: 2010_to_2020.py:53-71 (create_output + agg_moe). */
+  def verticalAgg(df: DataFrame, geo: Column, e: Column, m: Column,
+                  geoName: String = "census_geoid"): DataFrame =
+    df.groupBy(geo.as(geoName))
+      .agg(sum(e).as("e"), Census.moeOfSum(m).as("m"))
+
+  /** Ratio apportionment across a geography crosswalk (ct2010→ct2020
+    * pattern): broadcast-join the (src, dst, ratio) crosswalk, scale the
+    * estimate by ratio, convert the MOE with the empirical damping
+    * curve, then re-aggregate on dst. The crosswalk is always tiny
+    * relative to facts → broadcast, so the only shuffle is the final
+    * re-aggregation. Ref: 2010_to_2020.py:84-110 (ct2010_to_ct2020). */
+  def apportion(fact: DataFrame, crosswalk: DataFrame,
+                srcCol: String, dstCol: String, ratioCol: String): DataFrame = {
+    val joined = fact.join(broadcast(crosswalk), fact("census_geoid") === crosswalk(srcCol))
+    val e2020 = fact("e") * crosswalk(ratioCol)
+    joined
+      .select(
+        col(dstCol).as("dst_geoid"),
+        e2020.as("e"),
+        Census.moeConvertCurve(fact("m"), e2020, crosswalk(ratioCol)).as("m"))
+      .groupBy(col("dst_geoid").as("census_geoid"))
+      .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
+  }
+
+  /** Final cleaning pass, mirroring the reference's sequential rules
+    * (calculate.py:289-345). Single projection — no shuffle:
+    *   1. negative c/e/m/p/z → NULL
+    *   2. p > 100 → NULL
+    *   3. p NULL → z NULL; p == 100 → z = 0
+    *   4. e == 0 or NULL → c, m, p, z NULL
+    */
+  def cleaning(df: DataFrame): DataFrame = {
+    def nneg(c: Column): Column = when(c < 0, lit(null)).otherwise(c)
+    val e1 = nneg(col("e"))
+    val c1 = nneg(col("c"))
+    val m1 = nneg(col("m"))
+    val p2 = {
+      val p1 = nneg(col("p"))
+      when(p1 > 100, lit(null)).otherwise(p1)
+    }
+    val z2 = {
+      val z1 = nneg(col("z"))
+      when(p2.isNull, lit(null)).when(p2 === 100, lit(0.0)).otherwise(z1)
+    }
+    val dead = e1.isNull || e1 === 0
+    df.withColumns(Map(
+      "e" -> e1,
+      "c" -> when(dead, lit(null)).otherwise(c1),
+      "m" -> when(dead, lit(null)).otherwise(m1),
+      "p" -> when(dead, lit(null)).otherwise(p2),
+      "z" -> when(dead, lit(null)).otherwise(z2)))
+  }
+
+  /** Per-variable rounding: c/p/z to 1 digit, e/m to the variable's
+    * metadata digits. Ref: utils.py:50-59. (The reference rounds with
+    * pandas' banker's rounding; we standardize on round-half-away which
+    * both Spark and DuckDB implement.) */
+  def rounding(df: DataFrame, digits: Int): DataFrame =
+    df.withColumns(Map(
+      "c" -> graft.functions.Portable.roundp(col("c"), 1),
+      "e" -> graft.functions.Portable.roundp(col("e"), digits),
+      "m" -> graft.functions.Portable.roundp(col("m"), digits),
+      "p" -> graft.functions.Portable.roundp(col("p"), 1),
+      "z" -> graft.functions.Portable.roundp(col("z"), 1)))
+
+  /** Census sentinel codes that mean "no estimate available".
+    * Ref: utils.py:8-21. */
+  val outliers: Seq[Long] = Seq(
+    999999999L, 333333333L, 222222222L, 666666666L, 888888888L, 555555555L,
+    -999999999L, -333333333L, -222222222L, -666666666L, -888888888L, -555555555L)
+
+  /** Sentinel scrub on a downloaded (e, m) pair: sentinel e → NULL e/m;
+    * e == 0 → m = 0; controlled-value MOE (±555555555) → 0 for
+    * city/borough-class geographies. Ref: download.py:61-88. */
+  def outlierClean(df: DataFrame, controlled: Boolean): DataFrame = {
+    val sentinel = col("e").isin(outliers: _*)
+    val mCtl = if (controlled)
+      when(col("m").isin(-555555555L, 555555555L), lit(0.0)).otherwise(col("m"))
+    else col("m")
+    df.withColumns(Map(
+      "m" -> when(sentinel, lit(null))
+        .when(col("e") === 0, lit(0.0))
+        .otherwise(when(mCtl.isin(outliers: _*), lit(null)).otherwise(mCtl)),
+      "e" -> when(sentinel, lit(null)).otherwise(col("e"))))
+  }
+
+  /** Borough FIPS county → labs borough code. Ref: 2010_to_2020.py:227. */
+  val fipsToBoro: Map[String, String] =
+    Map("05" -> "2", "47" -> "3", "61" -> "1", "81" -> "4", "85" -> "5")
+
+  /** Census geoid → Planning-Labs geoid (tract: boro + last 6 digits;
+    * borough: FIPS map; city 3651000 → 0; NTA/CDTA pass through).
+    * Ref: 2010_to_2020.py:225-243 (format_geoid). */
+  def labsGeoid(geoid: Column): Column = {
+    val fips = fipsToBoro.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(substring(geoid, -2, 2) === k, lit(v)).otherwise(acc)
+    }
+    val tractFips = fipsToBoro.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) =>
+        when(substring(geoid, -8, 2) === k, lit(v)).otherwise(acc)
+    }
+    when(substring(geoid, 1, 2).isin("MN", "QN", "BX", "BK", "SI"), geoid)
+      .when(length(geoid) === 11, concat(tractFips, substring(geoid, -6, 6)))
+      .when(length(geoid) === 5, fips)
+      .when(geoid === "3651000", lit("0"))
+  }
+
+  /** Geotype → labs geotype label. Ref: 2010_to_2020.py:245-262. */
+  def labsGeotype(geotype: Column): Column = {
+    val m = Map("NTA" -> "NTA", "CDTA" -> "CDTA", "CT20" -> "CT",
+      "borough" -> "Boro", "city" -> "City", "block" -> "CB",
+      "block group" -> "CBG")
+    m.foldLeft(when(geotype === "tract", lit("CT2010"))) {
+      case (acc, (k, v)) => acc.when(geotype === k, lit(v + "2020"))
+    }.otherwise(geotype)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Config
+import graft.functions.Portable
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * `bruteForceTopK` is the exactness baseline (cross product — only for
+  * bounded query sets). `lshTopK` is the 100 TB path: hyperplane-LSH
+  * buckets bound the candidate set, so the join is key-partitioned
+  * instead of O(n²).
+  *
+  * Float math is done in double, folding in index order, so results are
+  * bit-identical to the DuckDB oracle's list_dot_product.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float arrays in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact top-k neighbors for each query vector (queries must be a
+    * small/bounded set — it is broadcast). Rank on rounded cosine with
+    * id tiebreak for cross-engine determinism. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", Portable.roundp(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+  }
+
+  /** Deterministic integer-coefficient hyperplane for LSH bucket bit k. */
+  private def planeDot(emb: Column, k: Int): Column = {
+    val coeffs = (0 until Config.AnnDim).map(i => Config.planeCoeff(k, i).toDouble)
+    aggregate(zip_with(emb, lit(coeffs.toArray), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Bucket id: sign bits of the nPlanes hyperplane projections.
+    * The sign test is on the 6-digit-rounded projection so the bucket
+    * assignment is stable across engines. */
+  def lshBucket(emb: Column): Column =
+    (0 until Config.AnnPlanes).map { k =>
+      when(Portable.roundp(planeDot(emb, k), 6) > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: queries and candidates meet only within their LSH
+    * bucket — a key-partitioned equi-join that scales horizontally.
+    * Recall is tuned by nPlanes (fewer planes = bigger buckets). */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding")).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      lshBucket(col("embedding")).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", Portable.roundp(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("rank"), col("cand_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a label/bucket column:
+    * pairs within the same block with cosine >= threshold. */
+  def embeddingNearDupPairs(vectors: DataFrame, block: String, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col(block).as("block"), col("embedding").as("emb_a"))
+    val b = vectors.select(col("vec_id").as("id_b"), col(block).as("block"), col("embedding").as("emb_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Portable.roundp(cosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Config
+import graft.functions.Portable
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * compositions — single narrow projection per doc (no shuffle except
+  * the fingerprint's per-doc aggregate).
+  */
+object TextAnalysis {
+
+  /** Stopword-count score for one language (long, to match the oracle's
+    * BIGINT list len). */
+  private def langScore(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stops.map(lit): _*))).cast("long")
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties
+    * broken by alphabetical language code (the Config order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = Portable.words(col("text"))
+    val withScores = docs.select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        Config.Stopwords.map { case (code, stops) => langScore(ws, stops).as(s"score_$code") }: _*)
+    // first max in alphabetical order wins
+    val codes = Config.Stopwords.map(_._1)
+    val pred = codes.foldLeft(when(lit(false), lit(""))) { (acc, code) =>
+      acc.when(codes.map(o => col(s"score_$code") >= col(s"score_$o")).reduce(_ && _), lit(code))
+    }
+    withScores.withColumn("pred_lang", pred)
+  }
+
+  /** Quality metrics: word/char counts, punctuation ratio, stopword
+    * ratio, and a bounded linear quality score (no libm functions — the
+    * score must be bit-stable across engines). */
+  def quality(docs: DataFrame): DataFrame = {
+    val ws = Portable.words(col("text"))
+    val nChars = length(col("text"))
+    val nWords = size(ws)
+    val nPunct = nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    val nStop = langScore(ws, Config.Stopwords.toMap.apply("en"))
+    docs.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      Portable.roundp(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      Portable.roundp(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+      Portable.roundp(least(nWords.cast("double") / 100, lit(1.0)) *
+        (lit(1.0) - nPunct.cast("double") / nChars), 6).as("quality"))
+  }
+
+  /** Token counts: whitespace words vs BPE-ish regex tokens. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Portable.words(col("text"))).cast("long").as("ws_tokens"),
+      size(Portable.bpeTokens(col("text"))).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Position-sensitive document fingerprint: XOR of 60-bit hashes of
+    * (word, position mod 16). Order-independent aggregation (XOR is
+    * commutative) of order-dependent terms — a rolling-hash analog that
+    * parallelizes with map-side partials. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(Portable.words(col("text"))).as(Seq("pos", "w")))
+      .withColumn("h", Portable.h60(concat_ws(":", col("w"), col("pos") % 16)))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(h)").as("fingerprint"))
+}

@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Census, Portable}
+import graft.operators.CensusOps
+import graft.sources.Tables
+
+/** Census-engine core queries (SURVEY §2 #1-5, 8-16), instantiated over
+  * the TPC-H-ish testdata: lineitem rows play the role of downloaded
+  * census variables, `l_orderkey % 500` the tract geoid, `tract % 10`
+  * the borough. The semantics under test are the reference's —
+  * horizontal/vertical MOE aggregation, c/p/z derivation, ratio
+  * specials, apportionment, cleaning — on synthetic geographies.
+  *
+  * Every query has a DuckDB oracle built from the same shared CTE
+  * strings so the two engines can never drift.
+  */
+object CensusQueries {
+
+  // ---- shared census-fact mapping (Spark side) ----
+
+  /** tract/boro/e/m fact rows derived from lineitem. */
+  def facts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.select(
+      (col("l_orderkey") % 500).as("tract"),
+      ((col("l_orderkey") % 500) % 10).as("boro"),
+      col("l_quantity").as("e"),
+      (col("l_discount") * 10 + 0.5).as("m"))
+
+  /** Tract-level vertical aggregation of the facts. */
+  def tractAgg(spark: SparkSession, dir: String): DataFrame =
+    facts(spark, dir).groupBy(col("tract"), col("boro"))
+      .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
+
+  /** Borough-level base aggregation. */
+  def boroAgg(spark: SparkSession, dir: String): DataFrame =
+    facts(spark, dir).groupBy(col("boro"))
+      .agg(sum(col("e")).as("agg_e"), Census.moeOfSum(col("m")).as("agg_m"))
+
+  // ---- shared CTE strings (oracle side) ----
+
+  val factsCte: String =
+    "f AS (SELECT l_orderkey % 500 AS tract, (l_orderkey % 500) % 10 AS boro, " +
+      "l_quantity AS e, l_discount*10 + 0.5 AS m FROM lineitem)"
+  val tractCte: String =
+    "v AS (SELECT tract, boro, SUM(e) AS e, sqrt(SUM(m*m)) AS m FROM f GROUP BY tract, boro)"
+  val boroCte: String =
+    "b AS (SELECT boro, SUM(e) AS agg_e, sqrt(SUM(m*m)) AS agg_m FROM f GROUP BY boro)"
+
+  // ---- #1 horizontal aggregation ----
+
+  def qHorizontalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    l.select(col("l_orderkey"), col("l_linenumber"),
+      Portable.roundp(col("l_quantity") + col("l_extendedprice") / 100 + col("l_tax") * 10, 4).as("e"),
+      Portable.roundp(Census.moeAcross(col("l_discount") * 10, col("l_tax") * 5 + 1, lit(2.5)), 4).as("m"))
+  }
+
+  val qHorizontalAggSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor((l_quantity + l_extendedprice/100 + l_tax*10) * 1e4 + 0.5) / 1e4 AS e,
+      |  floor((sqrt((l_discount*10)*(l_discount*10) + (l_tax*5+1)*(l_tax*5+1) + 2.5*2.5)) * 1e4 + 0.5) / 1e4 AS m
+      |FROM lineitem""".stripMargin
+
+  // ---- #2 vertical (geographic) aggregation ----
+
+  def qVerticalAgg(spark: SparkSession, dir: String): DataFrame =
+    tractAgg(spark, dir).select(col("tract"),
+      Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("m"), 4).as("m"))
+
+  val qVerticalAggSql: String =
+    s"""WITH $factsCte, $tractCte
+       |SELECT tract, floor((e) * 1e4 + 0.5) / 1e4 AS e, floor((m) * 1e4 + 0.5) / 1e4 AS m FROM v""".stripMargin
+
+  // ---- #3 coefficient of variation ----
+
+  def qCv(spark: SparkSession, dir: String): DataFrame =
+    tractAgg(spark, dir).select(col("tract"),
+      Portable.roundp(Census.cv(col("e"), col("m")), 4).as("c"))
+
+  val qCvSql: String =
+    s"""WITH $factsCte, $tractCte
+       |SELECT tract, floor((CASE WHEN e = 0 THEN NULL ELSE m/1.645/e*100 END) * 1e4 + 0.5) / 1e4 AS c FROM v""".stripMargin
+
+  // ---- #4 percent of base (tract share of borough) ----
+
+  def qPctBase(spark: SparkSession, dir: String): DataFrame =
+    tractAgg(spark, dir).join(broadcast(boroAgg(spark, dir)), Seq("boro"))
+      .select(col("tract"), col("boro"),
+        Portable.roundp(Census.pctOfBase(col("e"), col("agg_e")), 4).as("p"))
+
+  val qPctBaseSql: String =
+    s"""WITH $factsCte, $tractCte, $boroCte
+       |SELECT tract, v.boro AS boro,
+       |  floor((CASE WHEN agg_e = 0 THEN NULL ELSE e/agg_e*100 END) * 1e4 + 0.5) / 1e4 AS p
+       |FROM v JOIN b ON v.boro = b.boro""".stripMargin
+
+  // ---- #5 percent MOE with sign-flip ----
+
+  def qPctMoe(spark: SparkSession, dir: String): DataFrame = {
+    val p = Census.pctOfBase(col("e"), col("agg_e"))
+    tractAgg(spark, dir).join(broadcast(boroAgg(spark, dir)), Seq("boro"))
+      .select(col("tract"), col("boro"),
+        Portable.roundp(Census.pctMoe(col("e"), col("m"), p, col("agg_e"), col("agg_m")), 4).as("z"))
+  }
+
+  val qPctMoeSql: String =
+    s"""WITH $factsCte, $tractCte, $boroCte,
+       |j AS (SELECT tract, v.boro AS boro, e, m, agg_e, agg_m,
+       |        CASE WHEN agg_e = 0 THEN NULL ELSE e/agg_e*100 END AS p
+       |      FROM v JOIN b ON v.boro = b.boro)
+       |SELECT tract, boro,
+       |  floor((CASE WHEN p = 0 OR p = 100 OR agg_e = 0 THEN NULL
+       |    ELSE (CASE WHEN m*m - (e*agg_m/agg_e)*(e*agg_m/agg_e) < 0
+       |          THEN sqrt(m*m + (e*agg_m/agg_e)*(e*agg_m/agg_e))
+       |          ELSE sqrt(m*m - (e*agg_m/agg_e)*(e*agg_m/agg_e)) END) / agg_e * 100
+       |    END) * 1e4 + 0.5) / 1e4 AS z
+       |FROM j""".stripMargin
+
+  // ---- #8 ratio statistic (per-capita-income analog) ----
+
+  def qRatioStat(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    val g = l.groupBy((col("l_orderkey") % 500).as("tract"))
+      .agg(
+        (sum(Tpch.cents(col("l_extendedprice"))) / 100.0).as("num"),
+        sum(col("l_quantity")).as("den"),
+        Census.moeOfSum(col("l_discount") * 100).as("m_num"),
+        Census.moeOfSum(col("l_tax") * 10).as("m_den"))
+    g.select(col("tract"),
+      Portable.roundp(col("num") / col("den"), 4).as("e"),
+      Portable.roundp(Census.ratioMoe(col("num"), col("m_num"), col("den"), col("m_den")), 4).as("m"))
+  }
+
+  val qRatioStatSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey % 500 AS tract,
+      |    SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 AS num,
+      |    SUM(l_quantity) AS den,
+      |    sqrt(SUM((l_discount*100)*(l_discount*100))) AS m_num,
+      |    sqrt(SUM((l_tax*10)*(l_tax*10))) AS m_den
+      |  FROM lineitem GROUP BY 1)
+      |SELECT tract, floor((num/den) * 1e4 + 0.5) / 1e4 AS e,
+      |  floor((sqrt(m_num*m_num + (num*m_den/den)*(num*m_den/den)) / den) * 1e4 + 0.5) / 1e4 AS m
+      |FROM g""".stripMargin
+
+  // ---- #9 vacancy-rate special with zero-guards ----
+
+  def qVacancyRate(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    val isR = col("l_returnflag") === "R"
+    val g = l.groupBy((col("l_orderkey") % 500).as("tract"))
+      .agg(
+        coalesce(sum(when(isR, col("l_quantity"))), lit(0.0)).as("num"),
+        sum(col("l_quantity")).as("den"),
+        coalesce(sqrt(sum(when(isR, col("l_discount") * 10 * (col("l_discount") * 10)))), lit(0.0)).as("m_num"),
+        Census.moeOfSum(col("l_discount") * 10).as("m_den"))
+    g.select(col("tract"),
+      Portable.roundp(when(col("den") === 0, 0.0).otherwise(col("num") / col("den") * 100), 4).as("e"),
+      Portable.roundp(Census.rateMoe(col("den"), col("num"), col("m_num"), col("m_den")), 4).as("m"))
+  }
+
+  val qVacancyRateSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey % 500 AS tract,
+      |    COALESCE(SUM(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0.0) AS num,
+      |    SUM(l_quantity) AS den,
+      |    COALESCE(sqrt(SUM((l_discount*10)*(l_discount*10)) FILTER (WHERE l_returnflag = 'R')), 0.0) AS m_num,
+      |    sqrt(SUM((l_discount*10)*(l_discount*10))) AS m_den
+      |  FROM lineitem GROUP BY 1)
+      |SELECT tract,
+      |  floor((CASE WHEN den = 0 THEN 0.0 ELSE num/den*100 END) * 1e4 + 0.5) / 1e4 AS e,
+      |  floor((CASE WHEN den = 0 THEN 0.0 WHEN num = 0 THEN 0.0
+      |    ELSE (CASE WHEN m_num*m_num - (num*m_den/den)*(num*m_den/den) < 0
+      |          THEN sqrt(m_num*m_num + (num*m_den/den)*(num*m_den/den))
+      |          ELSE sqrt(m_num*m_num - (num*m_den/den)*(num*m_den/den)) END) / den * 100
+      |    END) * 1e4 + 0.5) / 1e4 AS m
+      |FROM g""".stripMargin
+
+  // ---- #10 crosswalk apportionment (ct2010→ct2020 analog) ----
+
+  def qCrosswalkApportion(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fact = t.customer.groupBy(col("c_nationkey").cast("long").as("census_geoid"))
+      .agg((sum(Tpch.cents(col("c_acctbal"))) / 100.0).as("e"),
+        Census.moeOfSum(col("c_acctbal") / 100.0).as("m"))
+    val n = t.nation.select(col("n_nationkey").cast("long").as("src"))
+    val crosswalk =
+      n.select(col("src"), col("src").as("dst"), lit(0.6).as("ratio"))
+        .unionAll(n.select(col("src"), ((col("src") + 1) % 25).as("dst"), lit(0.4).as("ratio")))
+    CensusOps.apportion(fact, crosswalk, "src", "dst", "ratio")
+      .select(col("census_geoid").as("dst"),
+        Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("m"), 4).as("m"))
+  }
+
+  val qCrosswalkApportionSql: String =
+    """WITH fact AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS census_geoid,
+      |    SUM(CAST(floor((c_acctbal*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 AS e,
+      |    sqrt(SUM((c_acctbal/100.0)*(c_acctbal/100.0))) AS m
+      |  FROM customer GROUP BY 1),
+      |cw AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS src, CAST(n_nationkey AS BIGINT) AS dst, 0.6 AS ratio FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey AS BIGINT), (CAST(n_nationkey AS BIGINT) + 1) % 25, 0.4 FROM nation),
+      |ap AS (
+      |  SELECT cw.dst, fact.e * cw.ratio AS e,
+      |    CASE WHEN cw.ratio = 1 THEN fact.m
+      |         WHEN fact.e * cw.ratio = 0 THEN NULL
+      |         WHEN pow(cw.ratio*100, 0.56901)*7.96309 >= 100 THEN fact.m
+      |         ELSE pow(cw.ratio*100, 0.56901)*7.96309/100 * fact.m END AS m
+      |  FROM fact JOIN cw ON fact.census_geoid = cw.src)
+      |SELECT dst, floor((SUM(e)) * 1e4 + 0.5) / 1e4 AS e, floor((sqrt(SUM(m*m))) * 1e4 + 0.5) / 1e4 AS m
+      |FROM ap GROUP BY dst""".stripMargin
+
+  // ---- #11 multi-level geo rollup in one pass ----
+
+  /** tract→boro→city in a single shuffle via ROLLUP — the Spark-first
+    * replacement for the reference's per-level loop (calculate.py:62-84). */
+  def qGeoRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(
+      ((col("o_custkey") % 100) % 10).as("boro"),
+      (col("o_custkey") % 100).as("tract"),
+      Tpch.cents(col("o_totalprice")).as("p"))
+    o.rollup(col("boro"), col("tract"))
+      .agg((sum(col("p")) / 100.0).as("e"), count(lit(1)).as("n"))
+      .select(
+        when(col("tract").isNotNull, "tract")
+          .when(col("boro").isNotNull, "boro").otherwise("city").as("geotype"),
+        coalesce(col("tract"), col("boro"), lit(-1L)).as("geoid"),
+        col("e"), col("n"))
+  }
+
+  val qGeoRollupSql: String =
+    """WITH o AS (SELECT (o_custkey % 100) % 10 AS boro, o_custkey % 100 AS tract,
+      |  CAST(floor((o_totalprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS p FROM orders)
+      |SELECT CASE WHEN tract IS NOT NULL THEN 'tract'
+      |            WHEN boro IS NOT NULL THEN 'boro' ELSE 'city' END AS geotype,
+      |  COALESCE(tract, boro, -1) AS geoid,
+      |  SUM(p) / 100.0 AS e, COUNT(*) AS n
+      |FROM o GROUP BY ROLLUP(boro, tract)""".stripMargin
+
+  // ---- #12 cleaning rules ----
+
+  def qCleaning(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 17 === 0, lit(null))
+        .when(col("l_orderkey") % 13 === 0, lit(0.0))
+        .otherwise(col("l_quantity") - 25).as("e"),
+      (col("l_tax") * 100 - 5).as("c"),
+      (col("l_discount") * 100 - 3).as("m"),
+      when(col("l_orderkey") % 11 === 0, lit(100.0))
+        .otherwise(col("l_extendedprice") / 600).as("p"),
+      (col("l_tax") * 50 - 1).as("z"))
+    graft.operators.CensusOps.cleaning(l)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("c"), 4).as("c"),
+        Portable.roundp(col("m"), 4).as("m"), Portable.roundp(col("p"), 4).as("p"),
+        Portable.roundp(col("z"), 4).as("z"))
+  }
+
+  val qCleaningSql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 17 = 0 THEN NULL
+      |         WHEN l_orderkey % 13 = 0 THEN 0.0
+      |         ELSE l_quantity - 25 END AS e,
+      |    l_tax*100 - 5 AS c,
+      |    l_discount*100 - 3 AS m,
+      |    CASE WHEN l_orderkey % 11 = 0 THEN 100.0 ELSE l_extendedprice/600 END AS p,
+      |    l_tax*50 - 1 AS z
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN e < 0 THEN NULL ELSE e END AS e1,
+      |    CASE WHEN c < 0 THEN NULL ELSE c END AS c1,
+      |    CASE WHEN m < 0 THEN NULL ELSE m END AS m1,
+      |    CASE WHEN p < 0 THEN NULL WHEN p > 100 THEN NULL ELSE p END AS p2,
+      |    z
+      |  FROM d),
+      |s2 AS (
+      |  SELECT l_orderkey, l_linenumber, e1, c1, m1, p2,
+      |    CASE WHEN p2 IS NULL THEN NULL WHEN p2 = 100 THEN 0.0
+      |         ELSE CASE WHEN z < 0 THEN NULL ELSE z END END AS z2,
+      |    (e1 IS NULL OR e1 = 0) AS dead
+      |  FROM s)
+      |SELECT l_orderkey, l_linenumber,
+      |  floor((e1) * 1e4 + 0.5) / 1e4 AS e,
+      |  floor((CASE WHEN dead THEN NULL ELSE c1 END) * 1e4 + 0.5) / 1e4 AS c,
+      |  floor((CASE WHEN dead THEN NULL ELSE m1 END) * 1e4 + 0.5) / 1e4 AS m,
+      |  floor((CASE WHEN dead THEN NULL ELSE p2 END) * 1e4 + 0.5) / 1e4 AS p,
+      |  floor((CASE WHEN dead THEN NULL ELSE z2 END) * 1e4 + 0.5) / 1e4 AS z
+      |FROM s2""".stripMargin
+
+  // ---- #13 per-variable rounding ----
+
+  def qRounding(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") / 7).as("e"),
+      (col("l_tax") * 33.33).as("c"),
+      (col("l_discount") * 77.7).as("m"),
+      (col("l_quantity") * 1.937).as("p"),
+      (col("l_tax") * 11.1).as("z"))
+    CensusOps.rounding(l, 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("e"), col("c"), col("m"), col("p"), col("z"))
+  }
+
+  val qRoundingSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor((l_extendedprice/7) * 1e0 + 0.5) / 1e0 AS e,
+      |  floor((l_tax*33.33) * 1e1 + 0.5) / 1e1 AS c,
+      |  floor((l_discount*77.7) * 1e0 + 0.5) / 1e0 AS m,
+      |  floor((l_quantity*1.937) * 1e1 + 0.5) / 1e1 AS p,
+      |  floor((l_tax*11.1) * 1e1 + 0.5) / 1e1 AS z
+      |FROM lineitem""".stripMargin
+
+  // ---- #14 outlier sentinel cleaning ----
+
+  def qOutlierClean(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 97 === 0, lit(999999999.0))
+        .when(col("l_orderkey") % 89 === 0, lit(-555555555.0))
+        .when(col("l_orderkey") % 13 === 0, lit(0.0))
+        .otherwise(col("l_quantity")).as("e"),
+      when(col("l_orderkey") % 83 === 0, lit(555555555.0))
+        .when(col("l_orderkey") % 79 === 0, lit(888888888.0))
+        .otherwise(col("l_discount") * 10).as("m"))
+    CensusOps.outlierClean(l, controlled = true)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("m"), 4).as("m"))
+  }
+
+  val qOutlierCleanSql: String = {
+    val sentinels = CensusOps.outliers.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CASE WHEN l_orderkey % 97 = 0 THEN 999999999.0
+       |         WHEN l_orderkey % 89 = 0 THEN -555555555.0
+       |         WHEN l_orderkey % 13 = 0 THEN 0.0
+       |         ELSE l_quantity END AS e,
+       |    CASE WHEN l_orderkey % 83 = 0 THEN 555555555.0
+       |         WHEN l_orderkey % 79 = 0 THEN 888888888.0
+       |         ELSE l_discount*10 END AS m
+       |  FROM lineitem),
+       |ctl AS (
+       |  SELECT l_orderkey, l_linenumber, e,
+       |    CASE WHEN m IN (-555555555, 555555555) THEN 0.0 ELSE m END AS m_ctl
+       |  FROM d)
+       |SELECT l_orderkey, l_linenumber,
+       |  floor((CASE WHEN e IN ($sentinels) THEN NULL ELSE e END) * 1e4 + 0.5) / 1e4 AS e,
+       |  floor((CASE WHEN e IN ($sentinels) THEN NULL
+       |        WHEN e = 0 THEN 0.0
+       |        WHEN m_ctl IN ($sentinels) THEN NULL
+       |        ELSE m_ctl END) * 1e4 + 0.5) / 1e4 AS m
+       |FROM ctl""".stripMargin
+  }
+
+  // ---- #15 labs geoid/geotype formatting ----
+
+  /** Synthetic census geoids of each class, from customer keys. */
+  private def geoInput(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val fips3 = element_at(
+      array(lit("005"), lit("047"), lit("061"), lit("081"), lit("085")),
+      (col("c_custkey") % 5 + 1).cast("int"))
+    c.select(col("c_custkey"),
+      when(col("c_custkey") % 4 === 0,
+          concat(lit("36"), fips3, lpad((col("c_custkey") % 1000000).cast("string"), 6, "0")))
+        .when(col("c_custkey") % 4 === 1, concat(lit("36"), fips3))
+        .when(col("c_custkey") % 4 === 2, lit("3651000"))
+        .otherwise(concat(lit("MN"), lpad((col("c_custkey") % 99).cast("string"), 2, "0")))
+        .as("geoid"),
+      when(col("c_custkey") % 4 === 0, "tract")
+        .when(col("c_custkey") % 4 === 1, "borough")
+        .when(col("c_custkey") % 4 === 2, "city")
+        .otherwise("NTA").as("geotype"))
+  }
+
+  /** Shared oracle CTE matching [[geoInput]]. */
+  private val geoInputCte: String =
+    """g AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 4 = 0 THEN '36' || (['005','047','061','081','085'])[CAST(c_custkey % 5 + 1 AS INT)] || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0')
+      |         WHEN c_custkey % 4 = 1 THEN '36' || (['005','047','061','081','085'])[CAST(c_custkey % 5 + 1 AS INT)]
+      |         WHEN c_custkey % 4 = 2 THEN '3651000'
+      |         ELSE 'MN' || lpad(CAST(c_custkey % 99 AS VARCHAR), 2, '0') END AS geoid,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'tract'
+      |         WHEN c_custkey % 4 = 1 THEN 'borough'
+      |         WHEN c_custkey % 4 = 2 THEN 'city'
+      |         ELSE 'NTA' END AS geotype
+      |  FROM customer)""".stripMargin
+
+  /** CASE expression mapping the last-2-chars county FIPS to boro code. */
+  private def fipsCase(sub: String): String =
+    s"""CASE $sub WHEN '05' THEN '2' WHEN '47' THEN '3' WHEN '61' THEN '1'
+       |  WHEN '81' THEN '4' WHEN '85' THEN '5' END""".stripMargin
+
+  private val labsSelect: String =
+    s"""CASE WHEN substr(geoid, 1, 2) IN ('MN','QN','BX','BK','SI') THEN geoid
+       |    WHEN length(geoid) = 11 THEN ${fipsCase("substr(right(geoid, 8), 1, 2)")} || right(geoid, 6)
+       |    WHEN length(geoid) = 5 THEN ${fipsCase("right(geoid, 2)")}
+       |    WHEN geoid = '3651000' THEN '0' END AS labs_geoid,
+       |CASE WHEN geotype = 'tract' THEN 'CT2010'
+       |     WHEN geotype = 'NTA' THEN 'NTA2020'
+       |     WHEN geotype = 'CDTA' THEN 'CDTA2020'
+       |     WHEN geotype = 'CT20' THEN 'CT2020'
+       |     WHEN geotype = 'borough' THEN 'Boro2020'
+       |     WHEN geotype = 'city' THEN 'City2020'
+       |     WHEN geotype = 'block' THEN 'CB2020'
+       |     WHEN geotype = 'block group' THEN 'CBG2020'
+       |     ELSE geotype END AS labs_geotype""".stripMargin
+
+  def qLabsGeoid(spark: SparkSession, dir: String): DataFrame =
+    geoInput(spark, dir).select(col("c_custkey"),
+      CensusOps.labsGeoid(col("geoid")).as("labs_geoid"),
+      CensusOps.labsGeotype(col("geotype")).as("labs_geotype"))
+
+  val qLabsGeoidSql: String =
+    s"""WITH $geoInputCte
+       |SELECT c_custkey, $labsSelect
+       |FROM g""".stripMargin
+
+  // ---- #16 support geoids ----
+
+  def qSupportGeoids(spark: SparkSession, dir: String): DataFrame =
+    qLabsGeoid(spark, dir).select(
+      col("labs_geotype").as("geotype"), col("labs_geoid").as("geoid")).distinct()
+
+  val qSupportGeoidsSql: String =
+    s"""WITH $geoInputCte
+       |SELECT DISTINCT labs_geotype AS geotype, labs_geoid AS geoid
+       |FROM (SELECT c_custkey, $labsSelect FROM g)""".stripMargin
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Config
+import graft.functions.Portable
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
+  * `documents` / `embeddings` / `events` tables.
+  *
+  * Oracle SQL is *generated* from the same [[graft.Config]] constants the
+  * Spark operators use (minhash seeds, LSH planes, stopword lists), so
+  * the two sides cannot drift.
+  */
+object LlmQueries {
+
+  // ---- shared oracle fragments ----
+
+  /** DuckDB: whitespace word list of a text column. */
+  private def wordsSql(c: String) = s"string_split_regex(trim($c), '\\s+')"
+
+  /** DuckDB: distinct k-shingle list from a word-list column `w`. */
+  private val shinglesSql: String = {
+    val k = Config.ShingleK
+    val joined = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(CASE WHEN len(w) < $k THEN [] ELSE " +
+      s"list_transform(generate_series(1, len(w)-${k - 1}), i -> $joined) END)"
+  }
+
+  /** DuckDB: 31-bit md5-derived int of an expression. */
+  private def h31Sql(c: String) =
+    s"(('0x' || substr(md5($c), 1, 7))::BIGINT % ${Config.MinhashPrime})"
+
+  /** DuckDB: 60-bit md5-derived int of an expression. */
+  private def h60Sql(c: String) =
+    s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
+
+  // ---- #20 as-of join: error events to the latest preceding click ----
+
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    val errors = ev.where(col("event_type") === "error")
+      .select("event_id", "user_id", "sec")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("sec"), col("event_id").as("click_id"))
+    AsOf.asofJoin(errors, clicks, "user_id", "sec", "click_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |    CAST(epoch(date_trunc('second', ts::TIMESTAMP)) AS BIGINT) AS sec, event_type
+      |  FROM events),
+      |er AS (SELECT event_id, user_id, sec FROM ev WHERE event_type = 'error'),
+      |cl AS (SELECT event_id AS click_id, user_id, sec FROM ev WHERE event_type = 'click'),
+      |j AS (SELECT er.event_id, er.user_id, er.sec, cl.sec AS csec, cl.click_id
+      |      FROM er JOIN cl ON er.user_id = cl.user_id AND cl.sec <= er.sec),
+      |r AS (SELECT event_id, user_id, sec, click_id,
+      |        row_number() OVER (PARTITION BY event_id ORDER BY csec DESC, click_id DESC) AS rn
+      |      FROM j)
+      |SELECT event_id, user_id, sec, click_id AS asof_click_id FROM r WHERE rn = 1""".stripMargin
+
+  // ---- #23 exact dedup (on a first-2-words content key so the synthetic
+  //          corpus actually has collisions to merge) ----
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"),
+      concat_ws(" ", slice(graft.functions.Portable.words(col("text")), 1, 2)).as("text"))
+    Dedup.exact(d)
+  }
+
+  val qDedupExactSql: String =
+    s"""SELECT md5(array_to_string((${wordsSql("text")})[1:2], ' ')) AS content_hash,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- #24 n-gram Jaccard near-dup pairs ----
+
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold)
+
+  val qDedupNgramSql: String =
+    s"""WITH ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM ws),
+       |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM common JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+       |WHERE floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 >= ${Config.JaccardThreshold}""".stripMargin
+
+  // ---- #25 MinHash + LSH banding near-dup ----
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir).documents)
+
+  val qDedupMinhashSql: String = {
+    val p = Config.MinhashPrime
+    val sigCols = Config.MinhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"min((x * $a + $b) % $p) AS sig_$k"
+    }.mkString(",\n    ")
+    val bandRows = (0 until Config.MinhashBands).map { bIdx =>
+      val concatArgs = (0 until Config.MinhashRows)
+        .map(r => s"sig_${bIdx * Config.MinhashRows + r}")
+        .mkString(", ',', ")
+      s"SELECT doc_id, $bIdx AS band_idx, md5(concat($concatArgs)) AS band_val FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |shl AS (SELECT doc_id, $shinglesSql AS shingles FROM ws),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+       |shx AS (SELECT doc_id, shingle, ${h31Sql("shingle")} AS x FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (SELECT cand.id_a, cand.id_b, count(*) AS n_common
+       |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+       |    AND a.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT cand.id_a, cand.id_b,
+       |  floor((COALESCE(n_common, 0) / (na.n + nb.n - COALESCE(n_common, 0))) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM cand
+       |LEFT JOIN common ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+       |JOIN cnt na ON cand.id_a = na.doc_id JOIN cnt nb ON cand.id_b = nb.doc_id""".stripMargin
+  }
+
+  // ---- #26 SimHash near-dup ----
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir).documents)
+
+  val qDedupSimhashSql: String = {
+    val votes = (0 until Config.SimhashBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j")
+      .mkString(",\n    ")
+    val fp = (0 until Config.SimhashBits)
+      .map(j => s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandRows = (0 until Config.SimhashBands)
+      .map(i => s"SELECT doc_id, $i AS band_idx, (simhash >> ${8 * i}) % 256 AS band_val FROM fp")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),
+       |hx AS (SELECT doc_id, ${h60Sql("w")} AS h FROM toks),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM hx GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM v),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+       |FROM cand JOIN fp fa ON id_a = fa.doc_id JOIN fp fb ON id_b = fb.doc_id
+       |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= ${Config.SimhashMaxHamming}""".stripMargin
+  }
+
+  // ---- #27 brute-force cosine top-k ----
+
+  val TopK = 5
+
+  def qEmbedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, TopK)
+  }
+
+  val qEmbedCosineTopkSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+       |s AS (SELECT query_id, vec_id AS cand_id,
+       |    floor((list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM q, v WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, cand_id, cos FROM r WHERE rank <= $TopK""".stripMargin
+
+  // ---- #28 hyperplane-LSH bucketed ANN ----
+
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, TopK)
+  }
+
+  val qAnnLshSql: String = {
+    val planeList = (0 until Config.AnnPlanes).map { k =>
+      val coeffs = (0 until Config.AnnDim).map(i => s"${Config.planeCoeff(k, i)}.0").mkString(", ")
+      s"(CASE WHEN floor(list_dot_product(e, [$coeffs]::DOUBLE[]) * 1e6 + 0.5) / 1e6 > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |vb AS (SELECT vec_id, e,
+       |    $planeList AS bucket
+       |  FROM v),
+       |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id < 50),
+       |s AS (SELECT query_id, q.bucket, vec_id AS cand_id,
+       |    floor((list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.query_id),
+       |r AS (SELECT query_id, bucket, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, bucket, rank, cand_id, cos FROM r WHERE rank <= $TopK""".stripMargin
+  }
+
+  // ---- #29 embedding-cosine near-dup pairs ----
+
+  val EmbDupThreshold = 0.3
+
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables(spark, dir).embeddings, "label", EmbDupThreshold)
+
+  val qDedupEmbedSql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  floor((list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e))) * 1e6 + 0.5) / 1e6 AS cos
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE floor((list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e))) * 1e6 + 0.5) / 1e6 >= $EmbDupThreshold""".stripMargin
+
+  // ---- #30 language ID ----
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables(spark, dir).documents)
+
+  val qLangIdSql: String = {
+    val codes = Config.Stopwords.map(_._1)
+    val scoreCols = Config.Stopwords.map { case (code, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(w, x -> list_contains([$lst], x))) AS score_$code"
+    }.mkString(",\n    ")
+    val pred = codes.map { code =>
+      val conds = codes.map(o => s"score_$code >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$code'"
+    }.mkString("\n    ")
+    s"""WITH ws AS (SELECT doc_id, lang, ${wordsSql("text")} AS w FROM documents),
+       |sc AS (SELECT doc_id, lang AS actual_lang,
+       |    $scoreCols
+       |  FROM ws)
+       |SELECT doc_id, actual_lang, ${codes.map(c => s"score_$c").mkString(", ")},
+       |  CASE $pred END AS pred_lang
+       |FROM sc""".stripMargin
+  }
+
+  // ---- #31 text quality ----
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables(spark, dir).documents)
+
+  val qTextQualitySql: String = {
+    val en = Config.Stopwords.toMap.apply("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, text, ${wordsSql("text")} AS w,
+       |    length(text) AS nc,
+       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(nc AS BIGINT) AS n_chars,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  floor((CAST(np AS DOUBLE) / nc) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+       |  floor((CAST(len(list_filter(w, x -> list_contains([$en], x))) AS DOUBLE) / len(w)) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       |  floor((least(CAST(len(w) AS DOUBLE) / 100, 1.0) * (1.0 - CAST(np AS DOUBLE) / nc)) * 1e6 + 0.5) / 1e6 AS quality
+       |FROM b""".stripMargin
+  }
+
+  // ---- #32 token counts ----
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables(spark, dir).documents)
+
+  val qTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${wordsSql("text")}) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${graft.functions.Portable.bpePattern}')) AS BIGINT) AS bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents""".stripMargin
+
+  // ---- #33 positional rolling-hash fingerprint ----
+
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables(spark, dir).documents)
+
+  val qDocFingerprintSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws),
+       |hx AS (SELECT doc_id,
+       |    ${h60Sql("w[i] || ':' || CAST((i-1) % 16 AS VARCHAR)")} AS h
+       |  FROM ix)
+       |SELECT doc_id, bit_xor(h) AS fingerprint FROM hx GROUP BY doc_id""".stripMargin
+
+  // ---- #34 multimodal binary-column plumbing ----
+
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(Tables(spark, dir).documents)
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS sha,
+      |  ('0x' || substr(sha256(text), 1, 4))::BIGINT % 1024 AS width,
+      |  ('0x' || substr(sha256(text), 5, 4))::BIGINT % 1024 AS height,
+      |  ('0x' || substr(sha256(text), 9, 4))::BIGINT % 31 + 1 AS n_frames
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Query-engine basics over the TPC-H-ish star schema (SURVEY §2 #17-22).
+  *
+  * Cross-engine determinism: money sums use an exact integer-cents idiom
+  * (`round(x*100)` cast to long, summed in long space) so Spark and the
+  * DuckDB oracle agree bit-for-bit regardless of float summation order.
+  */
+object Tpch {
+
+  /** Exact cents: round(x*100) as a long. Both engines round half-away
+    * for doubles, and 2-decimal inputs are within 1e-12 of the true
+    * cent value, so this is exact. */
+  def cents(c: Column): Column = Portable.roundp(c * 100, 0).cast("long")
+
+  /** TPC-H Q1 flavor: pricing summary with integer-exact money sums. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax")))) / 1000000.0).as("sum_charge"),
+        Portable.roundp(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        Portable.roundp(sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1)), 6).as("avg_price"),
+        Portable.roundp(sum(cents(col("l_discount"))) / 100.0 / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 AS sum_base_price,
+      |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) * (100 - CAST(floor((l_discount*100) * 1e0 + 0.5) / 1e0 AS BIGINT))) / 10000.0 AS sum_disc_price,
+      |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) * (100 - CAST(floor((l_discount*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) * (100 + CAST(floor((l_tax*100) * 1e0 + 0.5) / 1e0 AS BIGINT))) / 1000000.0 AS sum_charge,
+      |  floor((SUM(l_quantity) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+      |  floor((SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_price,
+      |  floor((SUM(CAST(floor((l_discount*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 flavor: 3-way join + agg + deterministic top-10.
+    * customer (filtered to one segment) is broadcast-sized at any scale
+    * relative to lineitem; revenue is integer-exact so DESC ordering is
+    * unambiguous, with orderkey as final tiebreak. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    val c = t.customer.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t.orders.where(col("o_orderdate") < cut)
+    val l = t.lineitem.where(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) * (100 - CAST(floor((l_discount*100) * 1e0 + 0.5) / 1e0 AS BIGINT))) / 10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Window: per-customer order rank + running total, integer-exact. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir).orders
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).cast("long").as("order_rank"),
+      (sum(cents(col("o_totalprice"))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+        .as("running_total"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_rank,
+      |  SUM(CAST(floor((o_totalprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  /** JSON field extraction + agg over the events props column. */
+  def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  val qEventsJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Tumbling-window aggregation on events — the batch-parity twin of the
+    * Structured Streaming path (graft.streaming). Window start is emitted
+    * as epoch seconds so ns-vs-us parquet timestamp precision can't skew
+    * the comparison. */
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  val qStreamWindowSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts::TIMESTAMP)) AS BIGINT) AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  SUM(CAST(floor((value*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet loaders for the star schema described in TESTDATA.md.
+  *
+  * Reads are plain `spark.read.parquet` so Catalyst keeps full pushdown
+  * freedom (column pruning + predicate pushdown reach the scan). At
+  * cluster scale the same loaders work on directory-partitioned layouts
+  * because Spark globs `<dir>/<name>.parquet` whether it is a file or a
+  * directory of part-files.
+  */
+case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects. Read it as a long (legacy conf) and convert to a
+    * microsecond TIMESTAMP — the engine-wide timestamp resolution. */
+  private def withNanoTs(name: String, tsCol: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(name).withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+  }
+
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  def events: DataFrame    = withNanoTs("events", "ts")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

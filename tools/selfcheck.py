@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json:
+  - run the oracle SQL in DuckDB with views over <sfDir>/*.parquet
+  - read the Spark result parquet from <verifyOutDir>/<name>/
+  - sort columns by name, sort rows, compare values
+Reports per-query row-count / schema / value match, with the first few
+diffs on mismatch.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                elif v == int(v) and abs(v) < 2**53:
+                    v = round(v, 9)
+                else:
+                    v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        try:
+            cur = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [d[0] for d in cur.description]
+            srows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        oc, orr = canon(orows, ocols)
+        sc, srr = canon(srows, scols)
+        if oc != sc:
+            print(f"FAIL {name}: schema oracle={oc} spark={sc}")
+            n_fail += 1
+            continue
+        if len(orr) != len(srr):
+            print(f"FAIL {name}: rows oracle={len(orr)} spark={len(srr)}")
+            only_o = [r for r in orr if r not in set(srr)][:3]
+            only_s = [r for r in srr if r not in set(orr)][:3]
+            print(f"  cols={oc}\n  only-oracle: {only_o}\n  only-spark: {only_s}")
+            n_fail += 1
+            continue
+        if orr != srr:
+            diffs = [(a, b) for a, b in zip(orr, srr) if a != b]
+            print(f"FAIL {name}: {len(diffs)} row diffs of {len(orr)} (cols={oc})")
+            for a, b in diffs[:3]:
+                print(f"  oracle: {a}\n  spark : {b}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(orr)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
