@@ -19,6 +19,8 @@ object SparkEntry {
     "q_cv" -> (C.qCv _),
     "q_pct_base" -> (C.qPctBase _),
     "q_pct_moe" -> (C.qPctMoe _),
+    "q_binned_median" -> (C.qBinnedMedian _),
+    "q_median_moe" -> (C.qMedianMoe _),
     "q_ratio_stat" -> (C.qRatioStat _),
     "q_vacancy_rate" -> (C.qVacancyRate _),
     "q_crosswalk_apportion" -> (C.qCrosswalkApportion _),
@@ -58,6 +60,8 @@ object SparkEntry {
     "q_cv" -> C.qCvSql,
     "q_pct_base" -> C.qPctBaseSql,
     "q_pct_moe" -> C.qPctMoeSql,
+    "q_binned_median" -> C.qBinnedMedianSql,
+    "q_median_moe" -> C.qMedianMoeSql,
     "q_ratio_stat" -> C.qRatioStatSql,
     "q_vacancy_rate" -> C.qVacancyRateSql,
     "q_crosswalk_apportion" -> C.qCrosswalkApportionSql,

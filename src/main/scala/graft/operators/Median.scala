@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Binned-distribution median with an ACS design-factor MOE.
+  *
+  * Semantics follow the reference implementation (median.py:41-90 for
+  * the interpolated median with top/bottom coding; median.py:96-197 for
+  * the se_50 / design-factor bounds), re-expressed as ONE declarative
+  * aggregation: a single groupBy(geoid) produces fixed-width per-bin
+  * counts (map-side partial aggregation, one shuffle), and the median /
+  * bounds are pure scalar CASE expressions over those counts — fully
+  * whole-stage-codegen, no per-row Python-object walk, no driver
+  * collect. At 100 TB this is shuffle-minimal: the fact table is
+  * aggregated once, and everything after is a projection.
+  *
+  * The reference's upper-bound path indexes `cumm_dist[-1]` when the
+  * upper bin is bin 0 (a Python wrap-around) and has a precedence bug in
+  * its `==`/`&` chain (median.py:155); we implement the intended clean
+  * semantics: C1 = 0 for bin 0, and the first-non-zero override applies
+  * when upper_bin == lower_bin == first_non_zero_bin.
+  */
+object Median {
+
+  /** Bin configuration: ordered, contiguous [lo, hi) ranges. */
+  case class Config(
+      bins: Seq[(Double, Double)],
+      designFactor: Double = 1.1,
+      topCoding: Boolean = true,
+      bottomCoding: Boolean = true)
+
+  /** Per-geoid fixed-width bin counts c_0..c_{n-1} in one shuffle. */
+  def binCounts(df: DataFrame, geoid: Column, binIdx: Column, nBins: Int): DataFrame = {
+    val aggs = (0 until nBins).map(i =>
+      coalesce(sum(when(binIdx === i, 1L)), lit(0L)).as(s"c_$i"))
+    df.groupBy(geoid.as("geoid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scalar median/MOE expressions over a bin-count row. Returns the
+    * input plus `median`, `se_50`, `moe` columns. */
+  def withMedianMoe(agged: DataFrame, cfg: Config): DataFrame = {
+    val n = cfg.bins.size
+    val c = (0 until n).map(i => col(s"c_$i"))
+    val cum = (0 until n).map(i => c.take(i + 1).reduce(_ + _))
+    val bigN = cum(n - 1)
+    val half = bigN.cast("double") / 2
+    val lo = (i: Int) => lit(cfg.bins(i)._1)
+    val hi = (i: Int) => lit(cfg.bins(i)._2)
+
+    // median bin: first i with cum_i >= N/2 (the while loop of median.py:46-50)
+    val medianBin = (0 until n).reverse.foldLeft(lit(null).cast("int")) {
+      (acc, i) => when(cum(i) >= half && (if (i == 0) lit(true) else cum(i - 1) < half), i).otherwise(acc)
+    }
+
+    val interpolated = (0 until n).foldLeft(lit(null).cast("double")) { (acc, i) =>
+      val cBelow = if (i == 0) lit(0L) else cum(i - 1)
+      when(medianBin === i,
+        lo(i) + (half - cBelow.cast("double")) * (hi(i) - lo(i)) / c(i).cast("double"))
+        .otherwise(acc)
+    }
+    val median =
+      when(bigN === 0, lit(null).cast("double"))
+        .when(if (cfg.bottomCoding) medianBin === 0 else lit(false), hi(0))
+        .when(if (cfg.topCoding) medianBin === (n - 1) else lit(false), lo(n - 1))
+        .otherwise(interpolated)
+
+    // design-factor MOE (median.py:96-197)
+    val se50 = lit(cfg.designFactor) * sqrt(lit(93.0) / (lit(7.0) * bigN.cast("double")) * lit(2500.0))
+    val pl = lit(50.0) - se50
+    val pu = lit(50.0) + se50
+    val cd = (0 until n).map(i => cum(i).cast("double") / bigN.cast("double") * 100)
+    def firstIdx(pred: Int => Column): Column =
+      (0 until n).reverse.foldLeft(lit(null).cast("int")) { (acc, i) =>
+        when(pred(i), i).otherwise(acc)
+      }
+    val lowerBin = firstIdx(i => cd(i) > pl)
+    val upperBin = firstIdx(i => cd(i) > pu)
+    val firstNonZero = firstIdx(i => c(i) =!= 0)
+
+    def bound(p: Column, a1: Column, a2: Column, c1: Column, c2: Column): Column =
+      when((c2 - c1) + a1 === 0, lit(null).cast("double"))
+        .otherwise((p - c1) * (a2 - a1) / (c2 - c1) + a1)
+
+    val lowerBound = (0 until n).foldLeft(lit(null).cast("double")) { (acc, i) =>
+      val c1 = if (i == 0) lit(0.0) else cd(i - 1)
+      val a1Base = lo(i)
+      val a2Base = if (i + 1 <= n - 1) lo(i + 1) else lit(null).cast("double")
+      val isFnz = firstNonZero === i
+      val a1 = when(isFnz, lit(0.0)).otherwise(a1Base)
+      val a2 = when(isFnz, lo(1)).otherwise(a2Base)
+      when(lowerBin === i, bound(pl, a1, a2, c1, cd(i))).otherwise(acc)
+    }
+    val upperBound = (0 until n).foldLeft(lit(null).cast("double")) { (acc, i) =>
+      val c1 = if (i == 0) lit(0.0) else cd(i - 1)
+      val topA = lo(i)
+      val a1Base = topA
+      val a2Base = if (i + 1 <= n - 1) lo(i + 1) else topA
+      val isBoth = (upperBin === lowerBin) && (upperBin === firstNonZero)
+      val a1 = when(isBoth, lit(0.0)).otherwise(a1Base)
+      val a2 = when(isBoth, lo(1)).otherwise(a2Base)
+      when(upperBin === i, bound(pu, a1, a2, c1, cd(i))).otherwise(acc)
+    }
+
+    val moe =
+      when(median >= lo(n - 1), lit(null).cast("double"))
+        .when(bigN === 0, lit(null).cast("double"))
+        .when(se50 >= 50, lit(null).cast("double"))
+        .when(lowerBin >= n - 1, lit(null).cast("double"))
+        .otherwise((upperBound - lowerBound) * 1.645 / 2)
+
+    agged.withColumns(Map(
+      "median" -> median, "se_50" -> se50, "moe" -> moe))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB-SQL twin, generated from the same Config so the oracle cannot
+  // drift from the Spark plan.
+  // ---------------------------------------------------------------------
+
+  /** SQL select-expressions (median, se_50, moe) over a row with columns
+    * c_0..c_{n-1}. Mirrors [[withMedianMoe]] term by term. */
+  def medianMoeSql(cfg: Config): (String, String, String) = {
+    val n = cfg.bins.size
+    def cum(i: Int) = (0 to i).map(j => s"c_$j").mkString("(", " + ", ")")
+    val bigN = cum(n - 1)
+    val half = s"(CAST($bigN AS DOUBLE) / 2)"
+    def lo(i: Int) = cfg.bins(i)._1.toString
+    def hi(i: Int) = cfg.bins(i)._2.toString
+    def cd(i: Int) = s"(CAST(${cum(i)} AS DOUBLE) / CAST($bigN AS DOUBLE) * 100)"
+
+    val medianBin = (0 until n).map { i =>
+      val prev = if (i == 0) "TRUE" else s"${cum(i - 1)} < $half"
+      s"WHEN ${cum(i)} >= $half AND $prev THEN $i"
+    }.mkString("(CASE ", " ", " ELSE NULL END)")
+
+    val interp = (0 until n).map { i =>
+      val cBelow = if (i == 0) "0" else cum(i - 1)
+      s"WHEN $medianBin = $i THEN ${lo(i)} + ($half - CAST($cBelow AS DOUBLE)) * (${hi(i)} - ${lo(i)}) / CAST(c_$i AS DOUBLE)"
+    }.mkString("(CASE ", " ", " ELSE NULL END)")
+
+    val bottomArm = if (cfg.bottomCoding) s"WHEN $medianBin = 0 THEN ${hi(0)}" else ""
+    val topArm = if (cfg.topCoding) s"WHEN $medianBin = ${n - 1} THEN ${lo(n - 1)}" else ""
+    val median =
+      s"(CASE WHEN $bigN = 0 THEN NULL $bottomArm $topArm ELSE $interp END)"
+
+    val se50 = s"(${cfg.designFactor} * sqrt(93.0 / (7.0 * CAST($bigN AS DOUBLE)) * 2500.0))"
+    val pl = s"(50.0 - $se50)"
+    val pu = s"(50.0 + $se50)"
+    def firstIdx(pred: Int => String) =
+      (0 until n).map(i => s"WHEN ${pred(i)} THEN $i").mkString("(CASE ", " ", " ELSE NULL END)")
+    val lowerBin = firstIdx(i => s"${cd(i)} > $pl")
+    val upperBin = firstIdx(i => s"${cd(i)} > $pu")
+    val firstNonZero = firstIdx(i => s"c_$i <> 0")
+
+    def bound(p: String, a1: String, a2: String, c1: String, c2: String) =
+      s"(CASE WHEN ($c2 - $c1) + $a1 = 0 THEN NULL ELSE ($p - $c1) * ($a2 - $a1) / ($c2 - $c1) + $a1 END)"
+
+    val lowerBound = (0 until n).map { i =>
+      val c1 = if (i == 0) "0.0" else cd(i - 1)
+      val a2Base = if (i + 1 <= n - 1) lo(i + 1) else "NULL"
+      val a1 = s"(CASE WHEN $firstNonZero = $i THEN 0.0 ELSE ${lo(i)} END)"
+      val a2 = s"(CASE WHEN $firstNonZero = $i THEN ${lo(1)} ELSE $a2Base END)"
+      s"WHEN $lowerBin = $i THEN ${bound(pl, a1, a2, c1, cd(i))}"
+    }.mkString("(CASE ", " ", " ELSE NULL END)")
+
+    val upperBound = (0 until n).map { i =>
+      val c1 = if (i == 0) "0.0" else cd(i - 1)
+      val a2Base = if (i + 1 <= n - 1) lo(i + 1) else lo(i)
+      val isBoth = s"($upperBin = $lowerBin AND $upperBin = $firstNonZero)"
+      val a1 = s"(CASE WHEN $isBoth THEN 0.0 ELSE ${lo(i)} END)"
+      val a2 = s"(CASE WHEN $isBoth THEN ${lo(1)} ELSE $a2Base END)"
+      s"WHEN $upperBin = $i THEN ${bound(pu, a1, a2, c1, cd(i))}"
+    }.mkString("(CASE ", " ", " ELSE NULL END)")
+
+    val moe =
+      s"""(CASE WHEN $median >= ${lo(n - 1)} THEN NULL
+         | WHEN $bigN = 0 THEN NULL
+         | WHEN $se50 >= 50 THEN NULL
+         | WHEN $lowerBin >= ${n - 1} THEN NULL
+         | ELSE ($upperBound - $lowerBound) * 1.645 / 2 END)""".stripMargin.replace("\n", "")
+
+    (median, se50, moe)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Census, Portable}
-import graft.operators.CensusOps
+import graft.operators.{CensusOps, Median}
 import graft.sources.Tables
 
 /** Census-engine core queries (SURVEY §2 #1-5, 8-16), instantiated over
@@ -117,6 +117,57 @@ object CensusQueries {
        |          ELSE sqrt(m*m - (e*agg_m/agg_e)*(e*agg_m/agg_e)) END) / agg_e * 100
        |    END) * 1e4 + 0.5) / 1e4 AS z
        |FROM j""".stripMargin
+
+  // ---- #6/#7 binned median + design-factor MOE ----
+
+  /** l_quantity ∈ 1..50 binned into 10 ranges [1+5i, 6+5i). */
+  val medianCfg: Median.Config = Median.Config(
+    bins = (0 until 10).map(i => (1.0 + 5 * i, 6.0 + 5 * i)))
+
+  private def medianAgged(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    val binIdx = floor((col("l_quantity") - 1) / 5).cast("int")
+    Median.withMedianMoe(
+      Median.binCounts(l, col("l_orderkey") % 500, binIdx, medianCfg.bins.size),
+      medianCfg)
+  }
+
+  /** Shared oracle CTE producing geoid + c_0..c_9 bin counts. */
+  private val medianCountsCte: String = {
+    val counts = (0 until 10)
+      .map(i => s"COALESCE(SUM(CASE WHEN CAST(floor((l_quantity - 1) / 5) AS INT) = $i THEN 1 END), 0) AS c_$i")
+      .mkString(",\n    ")
+    s"""mc AS (
+       |  SELECT l_orderkey % 500 AS geoid,
+       |    $counts
+       |  FROM lineitem GROUP BY 1)""".stripMargin
+  }
+
+  def qBinnedMedian(spark: SparkSession, dir: String): DataFrame =
+    medianAgged(spark, dir).select(col("geoid"),
+      Portable.roundp(col("median"), 4).as("median"))
+
+  val qBinnedMedianSql: String = {
+    val (medianSql, _, _) = Median.medianMoeSql(medianCfg)
+    s"""WITH $medianCountsCte
+       |SELECT geoid, floor(($medianSql) * 1e4 + 0.5) / 1e4 AS median FROM mc""".stripMargin
+  }
+
+  def qMedianMoe(spark: SparkSession, dir: String): DataFrame =
+    medianAgged(spark, dir).select(col("geoid"),
+      Portable.roundp(col("median"), 4).as("median"),
+      Portable.roundp(col("se_50"), 4).as("se_50"),
+      Portable.roundp(col("moe"), 4).as("moe"))
+
+  val qMedianMoeSql: String = {
+    val (medianSql, se50Sql, moeSql) = Median.medianMoeSql(medianCfg)
+    s"""WITH $medianCountsCte
+       |SELECT geoid,
+       |  floor(($medianSql) * 1e4 + 0.5) / 1e4 AS median,
+       |  floor(($se50Sql) * 1e4 + 0.5) / 1e4 AS se_50,
+       |  floor(($moeSql) * 1e4 + 0.5) / 1e4 AS moe
+       |FROM mc""".stripMargin
+  }
 
   // ---- #8 ratio statistic (per-capita-income analog) ----
 
