@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("asof join picks latest right row at or before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("event_id", "key", "ts")
+    val right = Seq((10L, 90L, 7L), (10L, 100L, 8L), (10L, 200L, 9L), (20L, 60L, 1L))
+      .toDF("key", "ts", "val")
+    val out = AsOf.asofJoin(left, right, "key", "ts", "val")
+      .orderBy("event_id").collect()
+    // event 1: ts=100 -> right@100 (equal ts included) = 8
+    // event 2: ts=205 -> right@200 = 9
+    // event 3: key 20 ts=50, only right@60 > 50 -> dropped (inner)
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 8L), (2L, 9L)))
+  }
+
+  test("ties on ts resolve to greatest value deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "key", "ts")
+    val right = Seq((10L, 100L, 3L), (10L, 100L, 7L), (10L, 100L, 5L)).toDF("key", "ts", "val")
+    val out = AsOf.asofJoin(left, right, "key", "ts", "val").collect()
+    assert(out(0).getLong(3) === 7L)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Census
+
+/** Formula-level checks against hand-computed reference values
+  * (factfinder/utils.py get_c/get_p/get_z, special.py, 2010_to_2020.py). */
+class CensusFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def eval1(c: org.apache.spark.sql.Column): Option[Double] = {
+    val r = spark.range(1).select(c.as("v")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("cv: m/1.645/e*100, NULL at e=0") {
+    assert(eval1(Census.cv(lit(200.0), lit(32.9))).get === 32.9 / 1.645 / 200 * 100)
+    assert(eval1(Census.cv(lit(0.0), lit(5.0))).isEmpty)
+  }
+
+  test("pctOfBase and pctMoe incl. sign-flip") {
+    assert(eval1(Census.pctOfBase(lit(25.0), lit(100.0))).get === 25.0)
+    assert(eval1(Census.pctOfBase(lit(25.0), lit(0.0))).isEmpty)
+    // no flip: m^2 > (e*aggM/aggE)^2
+    val z = eval1(Census.pctMoe(lit(10.0), lit(5.0), lit(10.0), lit(100.0), lit(8.0))).get
+    val expect = math.sqrt(5.0 * 5.0 - math.pow(10.0 * 8.0 / 100.0, 2)) / 100.0 * 100
+    assert(math.abs(z - expect) < 1e-12)
+    // flip: subtraction would be negative -> addition
+    val zf = eval1(Census.pctMoe(lit(10.0), lit(0.5), lit(10.0), lit(100.0), lit(8.0))).get
+    val expectF = math.sqrt(0.5 * 0.5 + math.pow(0.8, 2)) / 100.0 * 100
+    assert(math.abs(zf - expectF) < 1e-12)
+    // NULL at p = 0 / 100
+    assert(eval1(Census.pctMoe(lit(10.0), lit(1.0), lit(100.0), lit(100.0), lit(8.0))).isEmpty)
+  }
+
+  test("moeOfSum aggregates sqrt of sum of squares") {
+    val df = spark.createDataFrame(Seq((1, 3.0), (1, 4.0))).toDF("g", "m")
+    val out = df.groupBy(col("g")).agg(Census.moeOfSum(col("m")).as("m")).collect()(0)
+    assert(out.getDouble(1) === 5.0)
+  }
+
+  test("moeConvertCurve: keep at ratio 1, NULL at e=0, damped otherwise") {
+    assert(eval1(Census.moeConvertCurve(lit(10.0), lit(5.0), lit(1.0))).get === 10.0)
+    assert(eval1(Census.moeConvertCurve(lit(10.0), lit(0.0), lit(0.5))).isEmpty)
+    val damped = eval1(Census.moeConvertCurve(lit(10.0), lit(5.0), lit(0.5))).get
+    val curve = 7.96309 * math.pow(50.0, 0.56901) / 100.0
+    assert(math.abs(damped - curve * 10.0) < 1e-9)
+  }
+
+  test("ratioMoe matches special.py propagation") {
+    val m = eval1(Census.ratioMoe(lit(1000.0), lit(50.0), lit(40.0), lit(4.0))).get
+    val expect = math.sqrt(50.0 * 50.0 + math.pow(1000.0 * 4.0 / 40.0, 2)) / 40.0
+    assert(math.abs(m - expect) < 1e-12)
+  }
+}

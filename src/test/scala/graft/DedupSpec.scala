@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z"))
+      .orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 2L)
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 1L)
+  }
+
+  test("identical docs share minhash signatures; disjoint docs do not") {
+    val sig = Dedup.minhashSignatures(docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "entirely different words compose this sentence here now"))
+      .orderBy("doc_id").collect()
+    val s1 = (1 to 16).map(sig(0).getLong)
+    val s2 = (1 to 16).map(sig(1).getLong)
+    val s3 = (1 to 16).map(sig(2).getLong)
+    assert(s1 === s2)
+    assert(s1 !== s3)
+  }
+
+  test("minhash LSH surfaces identical pair with jaccard 1") {
+    val out = Dedup.minhashLshPairs(docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "entirely different words compose this sentence here now"))
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.contains((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val out = Dedup.simhashPairs(docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("ngram jaccard: half-overlapping docs score between 0 and 1") {
+    val out = Dedup.ngramJaccardPairs(docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d x y"), "source", 0.0).collect()
+    assert(out.length === 1)
+    val j = out(0).getDouble(2)
+    // shingles doc1: {abc,bcd,cde,def}, doc2: {abc,bcd,cdx,dxy} -> 2/6
+    assert(math.abs(j - 2.0 / 6.0) < 1e-6)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Median
+
+/** Edge-path coverage for the binned median the testdata never hits:
+  * bottom coding, top coding, zero counts, se_50 >= 50 -> NULL moe. */
+class MedianSpec extends SparkSpec {
+
+  private val cfg = Median.Config(bins = Seq((0.0, 10.0), (10.0, 20.0), (20.0, 30.0)))
+
+  private def run(counts: Seq[Long]): (Option[Double], Option[Double]) = {
+    val row = counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c.toInt)(i) }
+    import spark.implicits._
+    val df = row.toDF("bin").withColumn("g", lit(1))
+    val agged = Median.binCounts(df, col("g"), col("bin"), cfg.bins.size)
+    val base = if (row.isEmpty)
+      spark.sql("SELECT 1 AS geoid, CAST(0 AS BIGINT) c_0, CAST(0 AS BIGINT) c_1, CAST(0 AS BIGINT) c_2")
+    else agged
+    val out = Median.withMedianMoe(base, cfg).select("median", "moe").collect()(0)
+    (if (out.isNullAt(0)) None else Some(out.getDouble(0)),
+     if (out.isNullAt(1)) None else Some(out.getDouble(1)))
+  }
+
+  test("bottom coding: median mass in bin 0 -> hi of bin 0") {
+    assert(run(Seq(90, 5, 5))._1.get === 10.0)
+  }
+
+  test("top coding: median mass in last bin -> lo of last bin") {
+    val (m, moe) = run(Seq(5, 5, 90))
+    assert(m.get === 20.0)
+    assert(moe.isEmpty, "top-coded median must NULL the moe")
+  }
+
+  test("interpolation in middle bin") {
+    // N=40, half=20, cum(0)=10 -> median bin 1: 10 + (20-10)*10/20 = 15
+    assert(run(Seq(10, 20, 10))._1.get === 15.0)
+  }
+
+  test("zero counts -> NULL median and moe") {
+    val (m, moe) = run(Seq(0, 0, 0))
+    assert(m.isEmpty && moe.isEmpty)
+  }
+
+  test("tiny N: se_50 >= 50 -> NULL moe") {
+    // B=3: se_50 = 1.1*sqrt(93/21*2500) ~ 115 -> moe NULL
+    val (m, moe) = run(Seq(1, 1, 1))
+    assert(m.isDefined && moe.isEmpty)
+  }
+
+  test("healthy N yields a finite moe") {
+    val (m, moe) = run(Seq(100, 300, 100))
+    assert(m.isDefined && moe.isDefined && moe.get > 0)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("mediaMeta derives deterministic stub dimensions from content") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Multimodal.mediaMeta(docs).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 11L) // n_bytes
+    // identical payloads -> identical stub decode
+    assert(out(0).getString(2) === out(1).getString(2))
+    assert(out(0).getLong(3) === out(1).getLong(3))
+    assert(out(0).getString(2) !== out(2).getString(2))
+    assert((0 until 3).forall(i => out(i).getLong(3) >= 0 && out(i).getLong(3) < 1024))
+    assert((0 until 3).forall(i => out(i).getLong(5) >= 1 && out(i).getLong(5) <= 31))
+  }
+
+  test("decodePartitioned runs the partition-local decoder deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "abc"), (3L, "long payload with more bytes"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodePartitioned(docs).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) === 3)
+    assert(out(0).getInt(2) === out(1).getInt(2) && out(0).getInt(3) === out(1).getInt(3))
+    assert(out(2).getInt(1) === 28)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** End-to-end drive of the streaming surface against the real events
+  * parquet via the file stream source (not MemoryStream): readStream →
+  * windowedAgg → memory sink, then compares against the same transform
+  * run in batch mode. Exit 0 iff they agree. */
+object StreamDrive {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val batchEvents = graft.sources.Tables(spark, dir).events
+    // the file stream source needs a directory; stage a symlink dir
+    val stage = java.nio.file.Files.createTempDirectory("stream_in")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamEvents = spark.readStream.schema(schema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val q = Streams.windowedAgg(streamEvents)
+      .writeStream.format("memory").queryName("stream_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_out")
+    val batch = Streams.windowedAgg(batchEvents)
+    val nStream = streamed.count()
+    val nBatch = batch.count()
+    val diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    println(s"[stream-drive] stream_rows=$nStream batch_rows=$nBatch diff=$diff")
+    spark.stop()
+    if (nStream == 0 || diff != 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+
+/** Structured Streaming parity: the windowed agg and the stateful
+  * sessionizer, driven through real micro-batches via MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("windowedAgg over a memory stream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0),
+      Event(3, ts(12), 11, "view", 5.0),
+      Event(4, ts(13), 11, "click", 3.0))
+    val q = Streams.windowedAgg(input.toDF(), "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, "click", 2L, 3.0), (10L, "click", 1L, 3.0), (10L, "view", 1L, 5.0)))
+  }
+
+  test("sessionize closes sessions after the gap (event-time timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 10_000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user 10: events at 1s,5s then nothing -> session closes once
+    // watermark passes 15s (watermark delay 1h -> push far ahead)
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark well past end+gap: 1h delay means event at t so
+    // watermark = max(ts) - 1h; push an event 2h later
+    input.addData(Event(3, ts(7500), 99, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(7600), 99, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out").as[Session].collect()
+    val u10 = sessions.filter(_.user_id == 10L)
+    assert(u10.length === 1)
+    assert(u10(0).session_start === ts(1) && u10(0).session_end === ts(5) && u10(0).n_events === 2L)
+  }
+
+  test("sessionize splits on gap within one batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 10_000)
+      .writeStream.format("memory").queryName("sess_out2")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 20, "click", 1.0),
+      Event(2, ts(4), 20, "click", 1.0),
+      Event(3, ts(100), 20, "click", 1.0)) // > 10s gap -> first closes
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out2").as[Session].collect()
+    assert(sessions.length === 1)
+    assert(sessions(0).session_start === ts(1) && sessions(0).session_end === ts(4)
+      && sessions(0).n_events === 2L)
+  }
+}
