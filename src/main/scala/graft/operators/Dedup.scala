@@ -13,6 +13,12 @@ import graft.functions.Portable
   * join — never a global cross join. Shuffles are on high-cardinality
   * uniform keys (md5-derived), so no skew salting is needed; AQE handles
   * stragglers.
+  *
+  * Plan-shape notes: band rows are produced by exploding a literal
+  * array of (band_idx, band_val) structs — NOT a union of per-band
+  * selects, which would recompute the signature aggregation once per
+  * band. Per-doc shingle counts ride along the exploded rows
+  * (`size(shingles)`), so no extra count aggregation or join exists.
   */
 object Dedup {
 
@@ -22,26 +28,31 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc distinct word-k-shingles, exploded: (id, bucket, shingle). */
-  private def shingleSets(docs: DataFrame, bucket: String): DataFrame =
-    docs.select(col("doc_id"), col(bucket).as("bucket"),
-        explode(array_distinct(Portable.shingles(Portable.words(col("text")), Config.ShingleK))).as("shingle"))
+  /** (doc_id, <extras>, shingles array<string>) with distinct shingles.
+    * Uses the native WordShingles expression: the composed HOF form
+    * costs ~1.7ms/doc interpreted and dominated every dedup operator. */
+  private def withShingles(docs: DataFrame, extra: Seq[String]): DataFrame =
+    docs.select((col("doc_id") +: extra.map(col)) :+
+      graft.functions.WordShingles.of(col("text"), Config.ShingleK).as("shingles"): _*)
 
   /** N-gram Jaccard near-dup pairs, blocked by a bucket column (e.g.
     * source) so candidate pairs stay bounded. jaccard = |A∩B|/|A∪B| over
-    * distinct shingles. Two shuffles: shingle-join + pair-aggregate. */
+    * distinct shingles. Exactly two shuffles: the shingle equi-join and
+    * the per-pair aggregate; counts ride along the exploded rows. */
   def ngramJaccardPairs(docs: DataFrame, bucket: String, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, bucket)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
-    val common = a.join(b, Seq("bucket", "shingle"))
+    // n is computed BELOW the generate: putting size() in the same
+    // projection as explode() would carry the whole array through every
+    // exploded row (quadratic copying).
+    val ex = withShingles(docs, Seq(bucket))
+      .withColumn("n", size(col("shingles")).cast("long"))
+      .select(col("doc_id"), col(bucket).as("bucket"), col("n"),
+        explode(col("shingles")).as("shingle"))
+    val a = ex.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("bucket"), col("shingle"))
+    val b = ex.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("bucket"), col("shingle"))
+    a.join(b, Seq("bucket", "shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(counts).withColumnsRenamed(Map("doc_id" -> "id_a", "n_shingles" -> "n_a")), Seq("id_a"))
-      .join(broadcast(counts).withColumnsRenamed(Map("doc_id" -> "id_b", "n_shingles" -> "n_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .withColumn("jaccard", Portable.roundp(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -52,8 +63,8 @@ object Dedup {
     * pass with map-side partials. Docs with no shingle are dropped
     * (can't minhash an empty set). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(Portable.shingles(Portable.words(col("text")), Config.ShingleK))).as("shingle"))
+    val sh = withShingles(docs, Seq.empty)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("x", Portable.h31(col("shingle")))
     val aggs = Config.MinhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       min((col("x") * lit(a) + lit(b)) % lit(Config.MinhashPrime)).as(s"sig_$k")
@@ -61,37 +72,38 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One row per (doc, band): band_val = md5 of the band's signature
+    * slots. Single pass over the signatures via a struct-array explode. */
+  private def bandRows(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Config.MinhashBands).map { bIdx =>
+      val cols = (0 until Config.MinhashRows).map(r => col(s"sig_${bIdx * Config.MinhashRows + r}"))
+      struct(lit(bIdx).as("band_idx"), md5(concat_ws(",", cols: _*)).as("band_val"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+  }
+
   /** MinHash + LSH banding near-dup: docs sharing any band of the
     * signature become candidate pairs; candidates are verified with the
-    * true shingle Jaccard. Shuffles: signature agg, band self-join
-    * (keyed on band hash — uniform), verify join. */
+    * true shingle Jaccard via array_intersect on the per-doc shingle
+    * arrays (no second explode+aggregate pass). */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val bands = (0 until Config.MinhashBands).map { bIdx =>
-      val cols = (0 until Config.MinhashRows).map(r => col(s"sig_${bIdx * Config.MinhashRows + r}"))
-      sig.select(col("doc_id"), lit(bIdx).as("band_idx"),
-        md5(concat_ws(",", cols: _*)).as("band_val"))
-    }.reduce(_ unionAll _)
+    val bands = bandRows(minhashSignatures(docs))
     val l = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_val"))
     val r = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_val"))
     val cand = l.join(r, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // verify candidates with exact shingle jaccard
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(Portable.shingles(Portable.words(col("text")), Config.ShingleK))).as("shingle"))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val common = cand.join(sh.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "shingle" -> "shingle_b")), Seq("id_b"))
-      .where(col("shingle") === col("shingle_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    cand.join(common, Seq("id_a", "id_b"), "left")
-      .join(broadcast(counts).withColumnsRenamed(Map("doc_id" -> "id_a", "n_shingles" -> "n_a")), Seq("id_a"))
-      .join(broadcast(counts).withColumnsRenamed(Map("doc_id" -> "id_b", "n_shingles" -> "n_b")), Seq("id_b"))
+    val shArr = withShingles(docs, Seq.empty)
+    cand
+      .join(shArr.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shArr.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"), size(col("sh_b")).cast("long").as("n_b"))
       .withColumn("jaccard",
-        Portable.roundp(coalesce(col("n_common"), lit(0L)) / (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6))
+        Portable.roundp(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -112,26 +124,27 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band on the 4 bytes of the fingerprint
-    * (a pair within hamming distance <= 6 of 32 bits shares at least one
-    * exact byte by pigeonhole when distance < 4... banding here is the
-    * standard recall/cost trade), then verify hamming <= maxHamming. */
+  /** SimHash near-dup pairs: band on the 4 bytes of the fingerprint,
+    * then verify hamming <= maxHamming. The fingerprint rides through
+    * the band explode, so the hamming check happens inside the band
+    * join itself — the fingerprint pipeline runs once per join side and
+    * no verify join exists. Multi-band matches collapse in the final
+    * per-pair aggregate. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = Config.SimhashMaxHamming): DataFrame = {
     val fp = simhash(docs)
-    val bands = (0 until Config.SimhashBands).map { i =>
-      fp.select(col("doc_id"), lit(i).as("band_idx"),
-        (shiftright(col("simhash"), 8 * i) % 256).as("band_val"))
-    }.reduce(_ unionAll _)
-    val l = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_val"))
-    val r = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_val"))
-    val cand = l.join(r, Seq("band_idx", "band_val"))
+    val bandStructs = (0 until Config.SimhashBands).map { i =>
+      struct(lit(i).as("band_idx"), (shiftright(col("simhash"), 8 * i) % 256).as("band_val"))
+    }
+    val bands = fp.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val l = bands.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("band_idx"), col("band_val"))
+    val r = bands.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"), col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(fp.withColumnsRenamed(Map("doc_id" -> "id_a", "simhash" -> "sh_a")), Seq("id_a"))
-      .join(fp.withColumnsRenamed(Map("doc_id" -> "id_b", "simhash" -> "sh_b")), Seq("id_b"))
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast(LongType).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("hamming")).as("hamming"))
   }
 }

@@ -43,7 +43,13 @@ object Median {
   def withMedianMoe(agged: DataFrame, cfg: Config): DataFrame = {
     val n = cfg.bins.size
     val c = (0 until n).map(i => col(s"c_$i"))
-    val cum = (0 until n).map(i => c.take(i + 1).reduce(_ + _))
+    // Stage cumulative sums as real projection columns: the CASE chains
+    // below reference each cum_i many times, and inlining the sum
+    // everywhere explodes the expression tree (and the generated code)
+    // quadratically in the bin count.
+    val staged = agged.withColumns(
+      (0 until n).map(i => s"cum_$i" -> c.take(i + 1).reduce(_ + _)).toMap)
+    val cum = (0 until n).map(i => col(s"cum_$i"))
     val bigN = cum(n - 1)
     val half = bigN.cast("double") / 2
     val lo = (i: Int) => lit(cfg.bins(i)._1)
@@ -66,18 +72,30 @@ object Median {
         .when(if (cfg.topCoding) medianBin === (n - 1) else lit(false), lo(n - 1))
         .otherwise(interpolated)
 
-    // design-factor MOE (median.py:96-197)
-    val se50 = lit(cfg.designFactor) * sqrt(lit(93.0) / (lit(7.0) * bigN.cast("double")) * lit(2500.0))
-    val pl = lit(50.0) - se50
-    val pu = lit(50.0) + se50
-    val cd = (0 until n).map(i => cum(i).cast("double") / bigN.cast("double") * 100)
+    // design-factor MOE (median.py:96-197). The bin-index selectors are
+    // staged as columns too: they are referenced from every branch of the
+    // bound CASE chains, and Spark's CollapseProject keeps non-cheap
+    // multi-referenced aliases staged rather than re-inlining them.
+    val se50Expr = lit(cfg.designFactor) * sqrt(lit(93.0) / (lit(7.0) * bigN.cast("double")) * lit(2500.0))
+    val cdExpr = (0 until n).map(i => cum(i).cast("double") / bigN.cast("double") * 100)
     def firstIdx(pred: Int => Column): Column =
       (0 until n).reverse.foldLeft(lit(null).cast("int")) { (acc, i) =>
         when(pred(i), i).otherwise(acc)
       }
-    val lowerBin = firstIdx(i => cd(i) > pl)
-    val upperBin = firstIdx(i => cd(i) > pu)
-    val firstNonZero = firstIdx(i => c(i) =!= 0)
+    val staged2 = staged
+      .withColumns(Map("se_50" -> se50Expr) ++
+        (0 until n).map(i => s"cd_$i" -> cdExpr(i)).toMap)
+      .withColumns(Map(
+        "lower_bin" -> firstIdx(i => col(s"cd_$i") > lit(50.0) - col("se_50")),
+        "upper_bin" -> firstIdx(i => col(s"cd_$i") > lit(50.0) + col("se_50")),
+        "fnz_bin" -> firstIdx(i => c(i) =!= 0)))
+    val se50 = col("se_50")
+    val pl = lit(50.0) - se50
+    val pu = lit(50.0) + se50
+    val cd = (0 until n).map(i => col(s"cd_$i"))
+    val lowerBin = col("lower_bin")
+    val upperBin = col("upper_bin")
+    val firstNonZero = col("fnz_bin")
 
     def bound(p: Column, a1: Column, a2: Column, c1: Column, c2: Column): Column =
       when((c2 - c1) + a1 === 0, lit(null).cast("double"))
@@ -110,8 +128,10 @@ object Median {
         .when(lowerBin >= n - 1, lit(null).cast("double"))
         .otherwise((upperBound - lowerBound) * 1.645 / 2)
 
-    agged.withColumns(Map(
-      "median" -> median, "se_50" -> se50, "moe" -> moe))
+    staged2.withColumns(Map(
+      "median" -> median, "moe" -> moe))
+      .drop(((0 until n).map(i => s"cum_$i") ++ (0 until n).map(i => s"cd_$i")
+        ++ Seq("lower_bin", "upper_bin", "fnz_bin")): _*)
   }
 
   // ---------------------------------------------------------------------

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Config
-import graft.functions.Portable
+import graft.functions.{Portable, VectorOps}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -37,7 +37,7 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", Portable.roundp(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -45,11 +45,9 @@ object Similarity {
   }
 
   /** Deterministic integer-coefficient hyperplane for LSH bucket bit k. */
-  private def planeDot(emb: Column, k: Int): Column = {
-    val coeffs = (0 until Config.AnnDim).map(i => Config.planeCoeff(k, i).toDouble)
-    aggregate(zip_with(emb, lit(coeffs.toArray), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, v) => acc + v)
-  }
+  private def planeDot(emb: Column, k: Int): Column =
+    VectorOps.floatDotConst(emb,
+      (0 until Config.AnnDim).map(i => Config.planeCoeff(k, i).toDouble).toArray)
 
   /** Bucket id: sign bits of the nPlanes hyperplane projections.
     * The sign test is on the 6-digit-rounded projection so the bucket
@@ -69,7 +67,7 @@ object Similarity {
       lshBucket(col("embedding")).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", Portable.roundp(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -83,7 +81,7 @@ object Similarity {
     val b = vectors.select(col("vec_id").as("id_b"), col(block).as("block"), col("embedding").as("emb_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", Portable.roundp(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("emb_a"), col("emb_b")), 6))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
