@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Census, Portable}
+import graft.meta.{MedianSpec, Special, VariableRegistry}
+import graft.operators.{CensusOps, Median}
+
+/** The user-facing pipeline facade — the Spark-native equivalent of the
+  * reference's `Calculate` class (calculate.py:16-388).
+  *
+  * Input is a "download" DataFrame in census long format, one row per
+  * (census_geoid, census_variable):
+  *   census_geoid: string, geotype: string, census_variable: string,
+  *   e: double, m: double [, p: double, z: double for profile vars]
+  *
+  * Architectural divergence from the reference (deliberate, Spark-first):
+  * the reference loops per variable with multiprocessing and a pickle
+  * cache; here every stage is one declarative plan over ALL variables —
+  * horizontal aggregation is a single broadcast join + one shuffle
+  * regardless of variable count, and per-geotype routing belongs to the
+  * ingestion layer that built the download frame.
+  */
+class Calculate(registry: VariableRegistry) {
+
+  /** census_variable -> pff_variable mapping rows (exploded). */
+  private def mapping(df: DataFrame): DataFrame = {
+    val rows = registry.variables.flatMap(v =>
+      v.censusVariables.map(cv => (cv, v.pffVariable)))
+    df.sparkSession.createDataFrame(rows).toDF("census_variable", "pff_variable")
+  }
+
+  /** Horizontal aggregation for EVERY registered variable in one plan:
+    * e = sum of component estimates, m = root-sum-of-squares of MOEs
+    * (calculate.py:91-106). The mapping is tiny -> broadcast; the one
+    * shuffle is the groupBy on (geoid, geotype, pff_variable). */
+  def em(download: DataFrame): DataFrame =
+    download
+      .join(broadcast(mapping(download)), Seq("census_variable"))
+      .groupBy(col("census_geoid"), col("geotype"), col("pff_variable"))
+      .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
+
+  /** em for one variable (parity with calculate_e_m). */
+  def emFor(download: DataFrame, pffVariable: String): DataFrame = {
+    val v = registry.byName(pffVariable)
+    em(download.where(col("census_variable").isin(v.censusVariables: _*)))
+      .where(col("pff_variable") === pffVariable)
+  }
+
+  /** Pivot em() of the given pff variables into one wide row per geoid
+    * with "<var>e"/"<var>m" columns (special.py:7-19), via conditional
+    * aggregation — a single shuffle, no pivot-to-driver. */
+  private def emWide(download: DataFrame, vars: Seq[String]): DataFrame = {
+    val narrowed = em(download).where(col("pff_variable").isin(vars: _*))
+    val aggs = vars.flatMap { v =>
+      Seq(max(when(col("pff_variable") === v, col("e"))).as(s"${v}e"),
+        max(when(col("pff_variable") === v, col("m"))).as(s"${v}m"))
+    }
+    narrowed.groupBy(col("census_geoid"), col("geotype")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Special-variable e/m via its registered formulas
+    * (calculate_e_m_special + special.py). */
+  def emSpecial(download: DataFrame, pffVariable: String): DataFrame = {
+    val sp = registry.specialByName(pffVariable)
+    val wide = emWide(download, sp.baseVariables)
+    val v: String => Column = name => col(name)
+    val e0 = sp.eFormula(v)
+    val e = if (sp.eZeroToNull) when(e0 === 0, lit(null)).otherwise(e0) else e0
+    wide.select(col("census_geoid"), lit(pffVariable).as("pff_variable"),
+      col("geotype"), e.as("e"), sp.mFormula(v).as("m"))
+  }
+
+  /** Median-variable e/m from its bin-count inputs
+    * (calculate_e_m_median + median.py). */
+  def emMedian(download: DataFrame, pffVariable: String): DataFrame = {
+    val md = registry.medianByName(pffVariable)
+    val wide = emWide(download, md.inputVariables)
+    val renamed = md.inputVariables.zipWithIndex.foldLeft(wide) {
+      case (df, (v, i)) => df.withColumnRenamed(s"${v}e", s"c_$i")
+    }
+      // a geoid with no rows for some bin has a NULL pivot cell; the
+      // reference's pandas sum treats missing bins as 0 (skipna)
+      .na.fill(0.0, (0 until md.inputs.size).map(i => s"c_$i"))
+    Median.withMedianMoe(renamed,
+        Median.Config(md.bins, md.designFactor, md.topCoding, md.bottomCoding))
+      .select(col("census_geoid"), lit(pffVariable).as("pff_variable"),
+        col("geotype"), col("median").as("e"), col("moe").as("m"))
+  }
+
+  /** Full c/e/m/p/z for one variable (calculate_c_e_m_p_z), routing to
+    * the median / special / plain paths and joining the percent base. */
+  def cempz(download: DataFrame, pffVariable: String): DataFrame = {
+    val v = registry.byName(pffVariable)
+    val isMedian = registry.medianVariables.contains(pffVariable)
+    val isSpecial = registry.specialVariables.contains(pffVariable)
+    val isBase = registry.baseVariables.contains(pffVariable)
+
+    val base: DataFrame =
+      if (isMedian) emMedian(download, pffVariable)
+      else if (isSpecial) emSpecial(download, pffVariable)
+      else emFor(download, pffVariable)
+
+    val withPz: DataFrame =
+      if (isMedian)
+        base.withColumn("p",
+            when(col("geotype").isin("city", "borough"), lit(100.0)).otherwise(lit(null)))
+          .withColumn("z", lit(null).cast("double"))
+      else if (isBase)
+        base.withColumn("p", lit(100.0)).withColumn("z", lit(null).cast("double"))
+      else v.baseVariable match {
+        case Some(bv) =>
+          val agg = (if (registry.specialVariables.contains(bv)) emSpecial(download, bv)
+                     else if (registry.medianVariables.contains(bv)) emMedian(download, bv)
+                     else emFor(download, bv))
+            .select(col("census_geoid"), col("e").as("agg_e"), col("m").as("agg_m"))
+          val j = base.join(agg, Seq("census_geoid"), "left")
+          j.withColumn("p", Census.pctOfBase(col("e"), col("agg_e")))
+            .withColumn("z",
+              Census.pctMoe(col("e"), col("m"),
+                Census.pctOfBase(col("e"), col("agg_e")), col("agg_e"), col("agg_m")))
+            .drop("agg_e", "agg_m")
+        case None =>
+          base.withColumn("p", lit(null).cast("double"))
+            .withColumn("z", lit(null).cast("double"))
+      }
+
+    withPz
+      .withColumn("c", Census.cv(col("e"), col("m")))
+      .select("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
+  }
+
+  /** The reference's full cleaning pass (calculate.py:289-351): the
+    * generic value rules plus the registry-dependent fixups. */
+  def cleaning(df: DataFrame): DataFrame = {
+    def setOf(s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else col("pff_variable").isin(s.toSeq: _*)
+    val isBase = setOf(registry.baseVariables)
+    val isMedian = setOf(registry.medianVariables)
+    val isMedianInput = setOf(registry.medianInputs)
+    val isSpecial = setOf(registry.specialVariables)
+    val boroCity = col("geotype").isin("borough", "city")
+
+    def nneg(c: Column): Column = when(c < 0, lit(null)).otherwise(c)
+    val step1 = df
+      .withColumn("c", nneg(col("c"))).withColumn("e", nneg(col("e")))
+      .withColumn("m", nneg(col("m"))).withColumn("z", nneg(col("z")))
+      .withColumn("p", {
+        val p1 = nneg(col("p")); when(p1 > 100, lit(null)).otherwise(p1)
+      })
+    val step2 = step1
+      .withColumn("z", when(col("p").isNull, lit(null))
+        .when(col("p") === 100, lit(0.0)).otherwise(col("z")))
+      // borough/city base variables report a 0 (not null) c and m
+      .withColumn("c", when(boroCity && isBase && col("c").isNull, lit(0.0)).otherwise(col("c")))
+      .withColumn("m", when(boroCity && isBase && col("m").isNull, lit(0.0)).otherwise(col("m")))
+      // base variables (except medians) are their own 100% base
+      .withColumn("p", when(isBase && !isMedian, lit(100.0)).otherwise(col("p")))
+      .withColumn("z", when(isBase && !isMedian, lit(0.0)).otherwise(col("z")))
+    val step3 = step2
+      // median bin inputs (except rooms) only publish e
+      .withColumn("c", when(isMedianInput && !col("pff_variable").contains("rms"), lit(null)).otherwise(col("c")))
+      .withColumn("m", when(isMedianInput && !col("pff_variable").contains("rms"), lit(null)).otherwise(col("m")))
+      .withColumn("p", when(isMedianInput && !col("pff_variable").contains("rms"), lit(null)).otherwise(col("p")))
+      .withColumn("z", when(isMedianInput && !col("pff_variable").contains("rms"), lit(null)).otherwise(col("z")))
+      // special ratio variables have no percent representation
+      .withColumn("p", when(isSpecial, lit(null)).otherwise(col("p")))
+      .withColumn("z", when(isSpecial, lit(null)).otherwise(col("z")))
+    val dead = col("e").isNull || col("e") === 0
+    step3
+      .withColumn("c", when(dead, lit(null)).otherwise(col("c")))
+      .withColumn("m", when(dead, lit(null)).otherwise(col("m")))
+      .withColumn("p", when(dead, lit(null)).otherwise(col("p")))
+      .withColumn("z", when(dead, lit(null)).otherwise(col("z")))
+  }
+
+  /** Rounding per the variable's metadata digits (utils.py:50-59), with
+    * the portable half-up convention. */
+  def rounding(df: DataFrame): DataFrame = {
+    val digitsMap = registry.variables.map(v => v.pffVariable -> v.rounding).toMap
+    val digitsCol = digitsMap.foldLeft(lit(0)) { case (acc, (name, d)) =>
+      when(col("pff_variable") === name, lit(d)).otherwise(acc)
+    }
+    // e/m round to the variable's digits (0 or 1 in practice); c/p/z to 1
+    def roundBy(c: Column): Column =
+      when(digitsCol === 1, Portable.roundp(c, 1)).otherwise(Portable.roundp(c, 0))
+    df.withColumn("e", roundBy(col("e"))).withColumn("m", roundBy(col("m")))
+      .withColumn("c", Portable.roundp(col("c"), 1))
+      .withColumn("p", Portable.roundp(col("p"), 1))
+      .withColumn("z", Portable.roundp(col("z"), 1))
+  }
+
+  /** Labs geoid/geotype formatting (calculate.py:354-374). */
+  def labsGeoid(df: DataFrame): DataFrame =
+    df.select(col("census_geoid"),
+      CensusOps.labsGeoid(col("census_geoid")).as("labs_geoid"),
+      col("geotype"), CensusOps.labsGeotype(col("geotype")).as("labs_geotype"),
+      col("pff_variable"), col("c"), col("e"), col("m"), col("p"), col("z"))
+
+  /** The full per-variable pipeline: c/e/m/p/z -> rounding -> cleaning ->
+    * labs formatting (Calculate.__call__, calculate.py:376-388). */
+  def apply(download: DataFrame, pffVariable: String): DataFrame =
+    labsGeoid(cleaning(rounding(cempz(download, pffVariable))))
+}

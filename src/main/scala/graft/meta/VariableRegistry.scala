@@ -1,0 +1,182 @@
+package graft.meta
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A pff variable: which census variables sum into it, its percent base,
+  * and rounding digits. Mirrors metadata.json rows (metadata.py:6-41). */
+case class Variable(
+    pffVariable: String,
+    censusVariables: Seq[String],
+    baseVariable: Option[String],
+    domain: String = "",
+    category: String = "",
+    rounding: Int = 0)
+
+/** A binned median variable: ordered (input pff variable -> [lo, hi])
+  * ranges plus the ACS design factor and coding flags. Mirrors
+  * median.json entries (metadata.py:68-75, median.py). */
+case class MedianSpec(
+    pffVariable: String,
+    inputs: Seq[(String, (Double, Double))],
+    designFactor: Double = 1.1,
+    topCoding: Boolean = true,
+    bottomCoding: Boolean = true) {
+  def bins: Seq[(Double, Double)] = inputs.map(_._2)
+  def inputVariables: Seq[String] = inputs.map(_._1)
+}
+
+/** A special (ratio-form) variable: its input pff variables and the e/m
+  * formulas over the pivoted wide row. `v` resolves "<input><e|m>"
+  * columns, exactly like the pivoted frame in special.py:7-19.
+  * Mirrors special.json + the formula functions in special.py. */
+case class Special(
+    pffVariable: String,
+    baseVariables: Seq[String],
+    eFormula: (String => Column) => Column,
+    mFormula: (String => Column) => Column,
+    eZeroToNull: Boolean = false)
+
+/** The variable registry: a Scala-native mirror of the reference's
+  * metadata.json / median.json / special.json registry surface
+  * (metadata.py), with the full special-variable formula set
+  * (special.py:41-142) and a representative metadata sample.
+  * Construct with your own sets to model a different vintage.
+  */
+case class VariableRegistry(
+    variables: Seq[Variable],
+    medians: Seq[MedianSpec],
+    specials: Seq[Special],
+    profileOnlyVariables: Set[String] = Set.empty) {
+
+  lazy val byName: Map[String, Variable] = variables.map(v => v.pffVariable -> v).toMap
+  lazy val medianByName: Map[String, MedianSpec] = medians.map(m => m.pffVariable -> m).toMap
+  lazy val specialByName: Map[String, Special] = specials.map(s => s.pffVariable -> s).toMap
+
+  /** pff variables that serve as a percent base for some variable
+    * (metadata.py base_variables). */
+  lazy val baseVariables: Set[String] =
+    variables.flatMap(_.baseVariable).toSet
+
+  lazy val medianVariables: Set[String] = medians.map(_.pffVariable).toSet
+
+  /** every bin-count input of every median (metadata.py median_inputs). */
+  lazy val medianInputs: Set[String] = medians.flatMap(_.inputVariables).toSet
+
+  lazy val specialVariables: Set[String] = specials.map(_.pffVariable).toSet
+}
+
+object VariableRegistry {
+
+  /** sqrt(mNum^2 + (eNum*mDen/eDen)^2) / mDiv — the shared MOE shape of
+    * the ratio specials; reference formulas differ only in which
+    * variable supplies each slot. */
+  private def ratioM(v: String => Column, num: String, den: String, mDen: String, mDiv: String): Column =
+    sqrt(v(s"${num}m") * v(s"${num}m") +
+      (v(s"${num}e") * v(s"${mDen}m") / v(s"${mDen}e")) * (v(s"${num}e") * v(s"${mDen}m") / v(s"${mDen}e"))) / v(s"${mDiv}e")
+
+  /** hovacrtm with zero-guards and sign-flip (special.py:22-38). */
+  private def vacancyM(v: String => Column, u: String, sale: String): Column = {
+    val t = v(s"${sale}e") * v(s"${u}m") / v(s"${u}e")
+    val inner = v(s"${sale}m") * v(s"${sale}m") - t * t
+    when(v(s"${u}e") === 0, 0.0)
+      .when(v(s"${sale}e") === 0, 0.0)
+      .otherwise(
+        when(inner < 0, sqrt(v(s"${sale}m") * v(s"${sale}m") + t * t))
+          .otherwise(sqrt(inner)) / v(s"${u}e") * 100)
+  }
+
+  /** The complete special-variable set of the reference (special.py). */
+  val referenceSpecials: Seq[Special] = Seq(
+    // per-capita income: agip15pl / pop_6 (special.py:41-49)
+    Special("percapinc", Seq("agip15pl", "pop_6"),
+      v => v("agip15ple") / v("pop_6e"),
+      v => ratioM(v, "agip15pl", "pop_6", "pop_6", "pop_6")),
+    // mean travel time: agttm / (wrkr16pl - cw_wrkdhm), MOE over wrkrnothm
+    // (special.py:52-63)
+    Special("mntrvtm", Seq("agttm", "wrkr16pl", "cw_wrkdhm", "wrkrnothm"),
+      v => v("agttme") / (v("wrkr16ple") - v("cw_wrkdhme")),
+      v => ratioM(v, "agttm", "wrkrnothm", "wrkrnothm", "wrkrnothm")),
+    // mean household income: aghhinc / hh2, MOE over hh5 (special.py:66-74)
+    Special("mnhhinc", Seq("aghhinc", "hh2", "hh5"),
+      v => v("aghhince") / v("hh2e"),
+      v => ratioM(v, "aghhinc", "hh2", "hh5", "hh5")),
+    // average household size of owner-occupied units (special.py:77-83)
+    Special("avghhsooc", Seq("popoochu", "oochu1", "oochu4"),
+      v => v("popoochue") / v("oochu1e"),
+      v => ratioM(v, "popoochu", "oochu1", "oochu4", "oochu4")),
+    // average household size of renter-occupied units (special.py:86-92)
+    Special("avghhsroc", Seq("poprtochu", "rochu1", "rochu2"),
+      v => v("poprtochue") / v("rochu1e"),
+      v => ratioM(v, "poprtochu", "rochu1", "rochu2", "rochu2")),
+    // average household size (special.py:95-101)
+    Special("avghhsz", Seq("hhpop1", "hh1", "hh4"),
+      v => v("hhpop1e") / v("hh1e"),
+      v => sqrt(v("hhpop1m") * v("hhpop1m") +
+        (v("hh4m") * v("hhpop1e") / v("hh4e")) * (v("hh4m") * v("hhpop1e") / v("hh4e"))) / v("hh4e")),
+    // average family size (special.py:104-110)
+    Special("avgfmsz", Seq("popinfms", "fam1", "fam3"),
+      v => v("popinfmse") / v("fam1e"),
+      v => sqrt(v("popinfmsm") * v("popinfmsm") +
+        (v("fam3m") * v("popinfmse") / v("fam3e")) * (v("fam3m") * v("popinfmse") / v("fam3e"))) / v("fam3e")),
+    // owner vacancy rate (special.py:113-122)
+    Special("hovacrt", Seq("hovacu", "vacsale"),
+      v => lit(100) * v("vacsalee") / v("hovacue"),
+      v => vacancyM(v, "hovacu", "vacsale"),
+      eZeroToNull = true),
+    // renter vacancy rate (special.py:125-134)
+    Special("rntvacrt", Seq("rntvacu", "vacrnt"),
+      v => lit(100) * v("vacrnte") / v("rntvacue"),
+      v => vacancyM(v, "rntvacu", "vacrnt"),
+      eZeroToNull = true),
+    // workers not working at home (special.py:137-142)
+    Special("wrkrnothm", Seq("wrkr16pl", "cw_wrkdhm"),
+      v => v("wrkr16ple") - v("cw_wrkdhme"),
+      v => sqrt(v("wrkr16plm") * v("wrkr16plm") + v("cw_wrkdhmm") * v("cw_wrkdhmm"))))
+
+  /** The mdage median spec with the real 23-bin age ranges
+    * (data/acs/2019/median.json). */
+  val mdage: MedianSpec = MedianSpec("mdage", Seq(
+    "mdpop0t4" -> (0.0, 4.9999), "mdpop5t9" -> (5.0, 9.9999),
+    "mdpop10t14" -> (10.0, 14.9999), "mdpop15t17" -> (15.0, 17.9999),
+    "mdpop18t19" -> (18.0, 19.9999), "mdpop20" -> (20.0, 20.9999),
+    "mdpop21" -> (21.0, 21.9999), "mdpop22t24" -> (22.0, 24.9999),
+    "mdpop25t29" -> (25.0, 29.9999), "mdpop30t34" -> (30.0, 34.9999),
+    "mdpop35t39" -> (35.0, 39.9999), "mdpop40t44" -> (40.0, 44.9999),
+    "mdpop45t49" -> (45.0, 49.9999), "mdpop50t54" -> (50.0, 54.9999),
+    "mdpop55t59" -> (55.0, 59.9999), "mdpop60t61" -> (60.0, 61.9999),
+    "mdpop62t64" -> (62.0, 64.9999), "mdpop65t66" -> (65.0, 66.9999),
+    "mdpop67t69" -> (67.0, 69.9999), "mdpop70t74" -> (70.0, 74.9999),
+    "mdpop75t79" -> (75.0, 79.9999), "mdpop80t84" -> (80.0, 84.9999),
+    "mdpop85pl" -> (85.0, 115.0)))
+
+  /** Representative registry mirroring real metadata.json entries plus
+    * the mdage bin inputs and the full special set. */
+  val reference: VariableRegistry = {
+    val medianInputVars = mdage.inputs.zipWithIndex.map { case ((name, _), i) =>
+      Variable(name, Seq(f"B01001_$i%03d"), baseVariable = None,
+        domain = "demographic", category = "Sex and Age")
+    }
+    val specialInputVars = referenceSpecials.flatMap(_.baseVariables).distinct.map { name =>
+      Variable(name, Seq(s"SP_$name"), baseVariable = None, domain = "economic")
+    }
+    VariableRegistry(
+      variables = Seq(
+        Variable("pop_1", Seq("DP05_0001"), Some("pop_1"), "demographic", "Sex and Age"),
+        Variable("mdage", Seq("DP05_0018"), None, "demographic", "Sex and Age", rounding = 1),
+        Variable("lgoenlep1",
+          Seq("C16001_005", "C16001_008", "C16001_011", "C16001_014", "C16001_017",
+            "C16001_020", "C16001_023", "C16001_026", "C16001_029", "C16001_032",
+            "C16001_035", "C16001_038"),
+          Some("pop5pl1"), "social", "Language Spoken at Home"),
+        Variable("pop5pl1", Seq("B16001_001"), Some("pop5pl1"), "social"),
+        Variable("mdhhinc", Seq("DP03_0062"), None, "economic", "Income and Benefits"),
+        Variable("percapinc", Seq("DP03_0088"), None, "economic", "Income and Benefits"),
+        Variable("ownerocc", Seq("B25003_002"), Some("occbaseunits"), "community_profiles"),
+        Variable("occbaseunits", Seq("B25003_001"), Some("occbaseunits"), "community_profiles"),
+      ) ++ medianInputVars ++ specialInputVars,
+      medians = Seq(mdage),
+      specials = referenceSpecials,
+      profileOnlyVariables = Set("mdhhinc"))
+  }
+}

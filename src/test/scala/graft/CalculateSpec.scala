@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.meta.VariableRegistry
+
+/** End-to-end pipeline facade checks against hand-computed values. */
+class CalculateSpec extends SparkSpec {
+  private val calc = new Calculate(VariableRegistry.reference)
+
+  private def dl(rows: (String, String, Double, Double)*) = {
+    import spark.implicits._
+    rows.map { case (g, cv, e, m) => (g, "tract", cv, e, m) }
+      .toDF("census_geoid", "geotype", "census_variable", "e", "m")
+  }
+
+  test("horizontal aggregation: e = sum, m = RSS, all variables one plan") {
+    val d = dl(
+      ("g1", "B25003_002", 30.0, 3.0),
+      ("g1", "B25003_001", 100.0, 4.0),
+      ("g2", "B25003_002", 50.0, 12.0))
+    val out = calc.em(d).orderBy("census_geoid", "pff_variable").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2), r.getDouble(3), r.getDouble(4))).toSeq ===
+      Seq(("g1", "occbaseunits", 100.0, 4.0), ("g1", "ownerocc", 30.0, 3.0),
+        ("g2", "ownerocc", 50.0, 12.0)))
+  }
+
+  test("cempz joins the percent base and computes p/z/c") {
+    val d = dl(
+      ("g1", "B25003_002", 30.0, 3.0),
+      ("g1", "B25003_001", 100.0, 4.0))
+    val r = calc.cempz(d, "ownerocc").collect()(0)
+    val p = 30.0 / 100.0 * 100
+    val z = math.sqrt(3.0 * 3.0 - math.pow(30.0 * 4.0 / 100.0, 2)) / 100.0 * 100
+    val c = 3.0 / 1.645 / 30.0 * 100
+    assert(r.getString(1) === "ownerocc")
+    assert(math.abs(r.getDouble(3) - c) < 1e-12)
+    assert(r.getDouble(4) === 30.0)
+    assert(math.abs(r.getDouble(6) - p) < 1e-12)
+    assert(math.abs(r.getDouble(7) - z) < 1e-12)
+  }
+
+  test("special variable percapinc: ratio e and propagated m") {
+    val d = dl(
+      ("g1", "SP_agip15pl", 50000.0, 2000.0),
+      ("g1", "SP_pop_6", 100.0, 5.0))
+    val r = calc.emSpecial(d, "percapinc").collect()(0)
+    val e = 50000.0 / 100.0
+    val m = math.sqrt(2000.0 * 2000.0 + math.pow(50000.0 * 5.0 / 100.0, 2)) / 100.0
+    assert(math.abs(r.getDouble(3) - e) < 1e-9)
+    assert(math.abs(r.getDouble(4) - m) < 1e-9)
+  }
+
+  test("special wrkrnothm: difference with RSS moe") {
+    val d = dl(
+      ("g1", "SP_wrkr16pl", 1000.0, 30.0),
+      ("g1", "SP_cw_wrkdhm", 100.0, 40.0))
+    val r = calc.emSpecial(d, "wrkrnothm").collect()(0)
+    assert(r.getDouble(3) === 900.0)
+    assert(r.getDouble(4) === 50.0)
+  }
+
+  test("vacancy rate hovacrt: zero-guards and e==0 -> null") {
+    val d = dl(
+      ("g1", "SP_hovacu", 200.0, 10.0), ("g1", "SP_vacsale", 20.0, 4.0),
+      ("g2", "SP_hovacu", 100.0, 10.0), ("g2", "SP_vacsale", 0.0, 4.0))
+    val out = calc.emSpecial(d, "hovacrt").orderBy("census_geoid").collect()
+    assert(math.abs(out(0).getDouble(3) - 10.0) < 1e-12)
+    assert(out(1).isNullAt(3), "e==0 becomes null")
+    assert(out(1).getDouble(4) === 0.0, "m zero-guard")
+  }
+
+  test("median mdage end-to-end from bin-count download") {
+    // all mass in 25-29 bin -> interpolated median in [25, 29.9999)
+    val bins = VariableRegistry.mdage.inputs.map(_._1)
+    val rows = bins.zipWithIndex.flatMap { case (name, i) =>
+      val cv = f"B01001_$i%03d"
+      Seq(("g1", cv, if (name == "mdpop25t29") 100.0 else if (name == "mdpop30t34") 100.0 else 0.0, 1.0))
+    }
+    val r = calc.cempz(dl(rows: _*), "mdage").collect()(0)
+    // N=200, half=100, cum(25t29)=100 >= 100 -> median bin = 25t29
+    // median = 25 + (100-0)*4.9999/100 = 29.9999
+    assert(math.abs(r.getDouble(4) - 29.9999) < 1e-9)
+    assert(!r.isNullAt(6) === false || r.isNullAt(6)) // p null for tract median
+  }
+
+  test("cleaning: base p=100/z=0, median inputs nulled, dead rows nulled") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "ownerocc", "tract", 5.0, 10.0, 2.0, 120.0, 1.0),   // p>100 -> null -> z null
+      ("g1", "occbaseunits", "tract", 5.0, 10.0, 2.0, 50.0, 1.0), // base -> p=100 z=0
+      ("g1", "mdpop25t29", "tract", 5.0, 10.0, 2.0, 50.0, 1.0),   // median input -> c/m/p/z null
+      ("g1", "ownerocc", "tract", 5.0, 0.0, 2.0, 50.0, 1.0))      // e==0 -> all null
+      .toDF("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
+    val out = calc.cleaning(df).collect()
+    assert(out(0).isNullAt(6) && out(0).isNullAt(7))
+    assert(out(1).getDouble(6) === 100.0 && out(1).getDouble(7) === 0.0)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(5) && out(2).isNullAt(6) && out(2).isNullAt(7))
+    assert(out(3).isNullAt(3) && out(3).isNullAt(5) && out(3).isNullAt(6) && out(3).isNullAt(7))
+    assert(out(3).getDouble(4) === 0.0)
+  }
+
+  test("full pipeline apply() produces labs-formatted rounded output") {
+    val d = dl(
+      ("36061001500", "B25003_002", 30.4, 3.06),
+      ("36061001500", "B25003_001", 100.0, 4.0))
+    val r = calc(d, "ownerocc").collect()(0)
+    assert(r.getString(1) === "1001500") // labs geoid: boro 1 + tract suffix
+    assert(r.getString(3) === "CT2010")
+    assert(r.getDouble(6) === 30.0)     // e rounded to 0 digits
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.meta.VariableRegistry
+
+/** End-to-end drive of the Calculate facade at its library surface:
+  * build a census-long download frame from the real customer parquet,
+  * run the full pipeline for a plain, a special, and a median variable. */
+object PipelineDrive {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    // geoid: real tract-shaped; variables fabricated from customer columns
+    val geo = concat(lit("36061"), lpad((col("c_custkey") % 50).cast("string"), 6, "0"))
+    def row(cv: String, e: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      c.select(geo.as("census_geoid"), lit("tract").as("geotype"),
+        lit(cv).as("census_variable"), e.cast("double").as("e"), m.cast("double").as("m"))
+    val download =
+      row("B25003_002", col("c_acctbal") / 100 + 20, lit(2.0))
+        .unionAll(row("B25003_001", col("c_acctbal") / 50 + 100, lit(3.0)))
+        .unionAll(row("SP_agip15pl", col("c_acctbal") * 10 + 50000, lit(900.0)))
+        .unionAll(row("SP_pop_6", col("c_acctbal") / 100 + 30, lit(2.0)))
+        .unionAll(row("B01001_008", (col("c_custkey") % 7) + 1, lit(1.0)))   // mdpop25t29 bin
+        .unionAll(row("B01001_010", (col("c_custkey") % 5) + 1, lit(1.0)))   // mdpop30t34? index check
+    val calc = new Calculate(VariableRegistry.reference)
+    for (v <- Seq("ownerocc", "percapinc", "mdage")) {
+      val out = calc(download, v)
+      val n = out.count()
+      val sample = out.orderBy("census_geoid").limit(2).collect().toSeq
+      println(s"[pipeline-drive] $v rows=$n sample=${sample.mkString(" | ")}")
+    }
+    spark.stop()
+  }
+}
