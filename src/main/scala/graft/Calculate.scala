@@ -21,7 +21,13 @@ import graft.operators.{CensusOps, Median}
   * regardless of variable count, and per-geotype routing belongs to the
   * ingestion layer that built the download frame.
   */
-class Calculate(registry: VariableRegistry) {
+class Calculate(registry: VariableRegistry, source: String = "acs") {
+
+  /** Ingestion scrub for a raw download: census sentinel codes -> NULL,
+    * controlled-value MOEs -> 0 for controlled geographies
+    * (download.py:61-88). Apply before any aggregation. */
+  def ingest(raw: DataFrame, controlled: Boolean = false): DataFrame =
+    CensusOps.outlierClean(raw, controlled)
 
   /** census_variable -> pff_variable mapping rows (exploded). */
   private def mapping(df: DataFrame): DataFrame = {
@@ -34,11 +40,15 @@ class Calculate(registry: VariableRegistry) {
     * e = sum of component estimates, m = root-sum-of-squares of MOEs
     * (calculate.py:91-106). The mapping is tiny -> broadcast; the one
     * shuffle is the groupBy on (geoid, geotype, pff_variable). */
-  def em(download: DataFrame): DataFrame =
+  def em(download: DataFrame): DataFrame = {
+    // decennial counts publish no margin of error (calculate.py:100-104)
+    val m = if (source == "decennial") lit(null).cast("double")
+            else Census.moeOfSum(col("m"))
     download
       .join(broadcast(mapping(download)), Seq("census_variable"))
       .groupBy(col("census_geoid"), col("geotype"), col("pff_variable"))
-      .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
+      .agg(sum(col("e")).as("e"), m.as("m"))
+  }
 
   /** em for one variable (parity with calculate_e_m). */
   def emFor(download: DataFrame, pffVariable: String): DataFrame = {

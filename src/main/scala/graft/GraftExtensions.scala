@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{FloatCosine, FloatDotConst, WordShingles}
+
+/** Session-extension hook registering graft's native expressions as SQL
+  * functions, so they are first-class from `spark.sql(...)`:
+  *
+  *   spark.sql("SELECT float_cosine(a.embedding, b.embedding) ...")
+  *   spark.sql("SELECT word_shingles(text, 3) ...")
+  *
+  * Enable with
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_cosine"),
+      info("float_cosine", "float_cosine(a, b) - fused cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, _) => WordShingles(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles k must be an integer literal, got $other")
+      }))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Census
+
+/** Geographic aggregation paths — the Spark-native equivalent of the
+  * reference's AggregatedGeography (geography/2010_to_2020.py).
+  *
+  * Construct with the two small reference tables (both ≤ a few hundred
+  * thousand rows at national scale — always broadcast against facts):
+  *
+  *  - `lookupGeo`: one row per 2020 census block with columns
+  *    geoid, nta2020, ntaname, cdta2020, cdtaname, borocode, boroname,
+  *    fp_500, fp_100, park_access (the flags as "0"/"1" strings)
+  *  - `ratio`: ct2010->ct2020 apportionment with columns
+  *    geoid_ct2010, geoid_ct2020, ratio
+  *
+  * Facts flow through in the long census shape
+  * (census_geoid, pff_variable, geotype, e, m); every path is a
+  * broadcast join + one shuffle on the destination geography.
+  *
+  * Divergence note: the reference's agg_moe (2010_to_2020.py:71-73)
+  * accidentally includes NaNs in the root-sum-of-squares; we use
+  * null-skipping Spark sum semantics (the intended behavior).
+  */
+case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
+
+  /** lookup_geo with the derived tract/block-group/flood-plain columns
+    * (2010_to_2020.py:17-35). */
+  lazy val lookup: DataFrame = lookupGeo
+    .withColumn("geoid_tract", substring(col("geoid"), 1, 11))
+    .withColumn("geoid_block_group", substring(col("geoid"), 1, 12))
+    .withColumn("cdta_fp_500", when(col("fp_500").cast("int") =!= 0, col("cdta2020")))
+    .withColumn("cdta_fp_100", when(col("fp_100").cast("int") =!= 0, col("cdta2020")))
+    .withColumn("cdta_park_access", when(col("park_access").cast("int") =!= 0, col("cdta2020")))
+
+  /** Aggregated e/sqrt-sum-sq m over a destination column, keyed per
+    * variable (create_output, 2010_to_2020.py:53-66 — generalized to
+    * many variables in one pass). */
+  private def createOutput(df: DataFrame, dst: String, geotype: String): DataFrame =
+    df.groupBy(col(dst).as("census_geoid"), col("pff_variable"))
+      .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
+      .withColumn("geotype", lit(geotype))
+      .select("census_geoid", "pff_variable", "geotype", "e", "m")
+
+  /** ct2010 -> ct2020 ratio apportionment with the empirical MOE damping
+    * curve, preserving the reference's right-join (crosswalk rows with
+    * no data survive as nulls). 2010_to_2020.py:84-110. */
+  def ct2010ToCt2020(df: DataFrame): DataFrame = {
+    val r = broadcast(ratio.select(col("geoid_ct2010"), col("geoid_ct2020"),
+      col("ratio").cast("double").as("ratio")))
+    val joined = df.join(r, df("census_geoid") === r("geoid_ct2010"), "right")
+    val e2020 = col("e") * col("ratio")
+    createOutput(
+      joined.select(col("geoid_ct2020"), col("pff_variable"),
+        e2020.as("e"),
+        Census.moeConvertCurve(col("m"), e2020, col("ratio")).as("m")),
+      "geoid_ct2020", "CT20")
+  }
+
+  private def tractTo(df: DataFrame, dstCol: String, geotype: String): DataFrame = {
+    val ct2020 = ct2010ToCt2020(df)
+    val lk = broadcast(lookup.select(col("geoid_tract"), col(dstCol)).distinct())
+    createOutput(
+      ct2020.join(lk, ct2020("census_geoid") === lk("geoid_tract"), "left")
+        .select(col(dstCol), col("pff_variable"), col("e"), col("m")),
+      dstCol, geotype)
+  }
+
+  /** 2010 tract data -> NTA2020 (2010_to_2020.py:112-126). */
+  def tractToNta(df: DataFrame): DataFrame = tractTo(df, "nta2020", "NTA")
+
+  /** 2010 tract data -> CDTA2020 (2010_to_2020.py:128-143). */
+  def tractToCdta(df: DataFrame): DataFrame = tractTo(df, "cdta2020", "CDTA")
+
+  private def blockGroupTo(df: DataFrame, dstCol: String): DataFrame = {
+    val lk = broadcast(lookup.where(col(dstCol).isNotNull)
+      .select(col("geoid_block_group"), col(dstCol)).distinct())
+    createOutput(
+      df.join(lk, df("census_geoid") === lk("geoid_block_group"), "right")
+        .select(col(dstCol), col("pff_variable"), col("e"), col("m")),
+      dstCol, dstCol)
+  }
+
+  /** 500-yr flood plain zones (2010_to_2020.py:145-162). */
+  def blockGroupToCdtaFp500(df: DataFrame): DataFrame = blockGroupTo(df, "cdta_fp_500")
+
+  /** 100-yr flood plain zones (2010_to_2020.py:164-181). */
+  def blockGroupToCdtaFp100(df: DataFrame): DataFrame = blockGroupTo(df, "cdta_fp_100")
+
+  /** walk-to-park access zones (2010_to_2020.py:183-200). */
+  def blockGroupToCdtaParkAccess(df: DataFrame): DataFrame = blockGroupTo(df, "cdta_park_access")
+
+  /** The translator registry (options, 2010_to_2020.py:202-222). */
+  lazy val options: Map[String, Map[String, Map[String, DataFrame => DataFrame]]] = Map(
+    "acs" -> Map(
+      "tract" -> Map(
+        "NTA" -> tractToNta _, "CDTA" -> tractToCdta _, "CT20" -> ct2010ToCt2020 _),
+      "block group" -> Map(
+        "cdta_fp_500" -> blockGroupToCdtaFp500 _,
+        "cdta_fp_100" -> blockGroupToCdtaFp100 _,
+        "cdta_park_access" -> blockGroupToCdtaParkAccess _)))
+
+  /** Every derived geography level (aggregated_geography). */
+  lazy val aggregatedGeography: Set[String] =
+    options.values.flatMap(_.values.flatMap(_.keys)).toSet
+
+  /** The support-geoid reference table: every NTA/CDTA/borough/city with
+    * its display name (support_geoids, 2010_to_2020.py:264-290). */
+  def supportGeoids: DataFrame = {
+    def level(geoidCol: String, nameCol: String, geotype: String) =
+      lookup.select(col(geoidCol).as("geoid"), col(nameCol).as("geogname"))
+        .distinct().withColumn("geotype", lit(geotype))
+    val city = lookup.sparkSession.sql(
+      "SELECT '0' AS geoid, 'New York City' AS geogname, 'City2020' AS geotype")
+    level("nta2020", "ntaname", "NTA2020")
+      .unionAll(level("cdta2020", "cdtaname", "CDTA2020"))
+      .unionAll(level("borocode", "boroname", "Boro2020"))
+      .unionAll(city)
+      .select("geoid", "geotype", "geogname")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Geography
+
+class GeographySpec extends SparkSpec {
+
+  private def geo = {
+    import spark.implicits._
+    // two blocks in tract A (-> NTA MN01), one in tract B (-> MN02)
+    val lookup = Seq(
+      ("360610001001000", "MN01", "Nta One", "MN81", "Cdta One", "1", "Manhattan", "1", "0", "1"),
+      ("360610001001001", "MN01", "Nta One", "MN81", "Cdta One", "1", "Manhattan", "0", "0", "0"),
+      ("360610002001000", "MN02", "Nta Two", "MN82", "Cdta Two", "1", "Manhattan", "1", "1", "0"))
+      .toDF("geoid", "nta2020", "ntaname", "cdta2020", "cdtaname",
+        "borocode", "boroname", "fp_500", "fp_100", "park_access")
+    // one 2010 tract splits 60/40 into the two 2020 tracts
+    val ratio = Seq(
+      ("36061000100", "36061000100", "0.6"),
+      ("36061000100", "36061000200", "0.4"))
+      .toDF("geoid_ct2010", "geoid_ct2020", "ratio")
+    Geography(lookup, ratio)
+  }
+
+  private def facts = {
+    import spark.implicits._
+    Seq(("36061000100", "pop_1", "tract", 100.0, 10.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+  }
+
+  test("ct2010 -> ct2020 apportions e and damps m with the curve") {
+    val out = geo.ct2010ToCt2020(facts).orderBy("census_geoid").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("36061000100", "36061000200"))
+    assert(math.abs(out(0).getDouble(3) - 60.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(3) - 40.0) < 1e-9)
+    val damp60 = 7.96309 * math.pow(60.0, 0.56901) / 100.0
+    assert(math.abs(out(0).getDouble(4) - damp60 * 10.0) < 1e-9)
+    assert(out(0).getString(2) === "CT20")
+  }
+
+  test("tract -> NTA rolls the ct2020 results up with RSS moe") {
+    val out = geo.tractToNta(facts).orderBy("census_geoid").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(3))).toSeq ===
+      Seq(("MN01", 60.0), ("MN02", 40.0)))
+    assert(out.forall(_.getString(2) == "NTA"))
+  }
+
+  test("block group flood-plain path keeps only flagged zones") {
+    import spark.implicits._
+    val bgFacts = Seq(
+      ("360610001001", "pop_1", "block group", 50.0, 5.0),
+      ("360610002001", "pop_1", "block group", 30.0, 3.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+    val out = geo.blockGroupToCdtaFp500(bgFacts).orderBy("census_geoid").collect()
+    // both tracts have an fp_500 block -> both CDTAs appear
+    assert(out.map(r => (r.getString(0), r.getDouble(3))).toSeq ===
+      Seq(("MN81", 50.0), ("MN82", 30.0)))
+  }
+
+  test("supportGeoids unions every level with names") {
+    val out = geo.supportGeoids.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("MN01", "NTA2020"), ("MN02", "NTA2020"),
+      ("MN81", "CDTA2020"), ("MN82", "CDTA2020"),
+      ("1", "Boro2020"), ("0", "City2020")))
+  }
+
+  test("registry surface: options + aggregatedGeography") {
+    assert(geo.aggregatedGeography === Set("NTA", "CDTA", "CT20",
+      "cdta_fp_500", "cdta_fp_100", "cdta_park_access"))
+  }
+}

@@ -34,6 +34,22 @@ object PipelineDrive {
       val sample = out.orderBy("census_geoid").limit(2).collect().toSeq
       println(s"[pipeline-drive] $v rows=$n sample=${sample.mkString(" | ")}")
     }
+    // Geography drive: tract facts from the em() output, lookup/ratio
+    // tables fabricated from nation (small dims), through tract->NTA.
+    val n2 = spark.read.parquet(s"$dir/nation.parquet")
+    val tracts = (0 until 50).map(i => f"36061${i}%06d")
+    import spark.implicits._
+    val lookup = tracts.zipWithIndex.map { case (t, i) =>
+      (t + "1000", s"MN${i % 7}", s"Nta ${i % 7}", s"MN8${i % 3}", s"Cdta ${i % 3}",
+        "1", "Manhattan", (i % 2).toString, "0", "1")
+    }.toDF("geoid", "nta2020", "ntaname", "cdta2020", "cdtaname",
+      "borocode", "boroname", "fp_500", "fp_100", "park_access")
+    val ratioDf = tracts.map(t => (t, t, "1.0")).toDF("geoid_ct2010", "geoid_ct2020", "ratio")
+    val geoAgg = graft.operators.Geography(lookup, ratioDf)
+    val facts = calc.em(download).where(col("pff_variable") === "ownerocc")
+    val nta = geoAgg.tractToNta(facts)
+    println(s"[pipeline-drive] tractToNta rows=${nta.count()} sample=${nta.orderBy("census_geoid").limit(2).collect().toSeq.mkString(" | ")}")
+    println(s"[pipeline-drive] supportGeoids rows=${geoAgg.supportGeoids.count()}")
     spark.stop()
   }
 }
