@@ -211,4 +211,58 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     * labs formatting (Calculate.__call__, calculate.py:376-388). */
   def apply(download: DataFrame, pffVariable: String): DataFrame =
     labsGeoid(cleaning(rounding(cempz(download, pffVariable))))
+
+  /** EVERY registered variable in a handful of plans — the Spark-native
+    * replacement for the reference's per-(variable, geotype) process
+    * pool (pipelines/acs.py): plain variables aggregate in ONE pass,
+    * each special/median adds its pivot, and p/z resolve through a
+    * single self-join on (geoid, base variable). Returns the same
+    * labs-formatted schema as [[apply]] plus the variable's domain. */
+  def calculateAll(download: DataFrame): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val spark = download.sparkSession
+    val plain = em(download)
+    val specials = registry.specials.map(sp => emSpecial(download, sp.pffVariable))
+    val medians = registry.medians.map(md => emMedian(download, md.pffVariable))
+    // unionByName: the per-path selects don't share column order
+    val all = (plain +: (specials ++ medians)).reduce(_ unionByName _)
+
+    def inSet(s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else col("pff_variable").isin(s.toSeq: _*)
+    val isMedian = inSet(registry.medianVariables)
+    val isBase = inSet(registry.baseVariables)
+
+    // broadcast pff -> base mapping; self-join pulls each base's e/m
+    val baseMap = broadcast(spark.createDataFrame(
+      registry.variables.collect {
+        case v if v.baseVariable.isDefined => (v.pffVariable, v.baseVariable.get)
+      }).toDF("pff_variable", "base_pff"))
+    val baseRows = all.select(col("census_geoid"), col("geotype"),
+      col("pff_variable").as("base_pff"),
+      col("e").as("agg_e"), col("m").as("agg_m"))
+    val joined = all
+      .join(baseMap, Seq("pff_variable"), "left")
+      .join(baseRows, Seq("census_geoid", "geotype", "base_pff"), "left")
+
+    val p = when(isMedian,
+        when(col("geotype").isin("city", "borough"), lit(100.0)).otherwise(lit(null)))
+      .when(isBase, lit(100.0))
+      .otherwise(Census.pctOfBase(col("e"), col("agg_e")))
+    val z = when(isMedian || isBase, lit(null))
+      .otherwise(Census.pctMoe(col("e"), col("m"),
+        Census.pctOfBase(col("e"), col("agg_e")), col("agg_e"), col("agg_m")))
+    val domainCol = registry.variables.foldLeft(lit("")) { (acc, v) =>
+      when(col("pff_variable") === v.pffVariable, lit(v.domain)).otherwise(acc)
+    }
+    val cempzAll = joined
+      .withColumn("p", p).withColumn("z", z)
+      .withColumn("c", Census.cv(col("e"), col("m")))
+      .select("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
+    labsGeoid(cleaning(rounding(cempzAll))).withColumn("domain", domainCol)
+  }
+
+  /** Partitioned export of [[calculateAll]] output (the pipeline's
+    * `.output/acs/year=… tree`, parquet instead of one giant CSV). */
+  def export(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("domain", "geotype").parquet(path)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import graft.meta.VariableRegistry
 
 /** End-to-end pipeline facade checks against hand-computed values. */
@@ -107,5 +108,22 @@ class CalculateSpec extends SparkSpec {
     assert(r.getString(1) === "1001500") // labs geoid: boro 1 + tract suffix
     assert(r.getString(3) === "CT2010")
     assert(r.getDouble(6) === 30.0)     // e rounded to 0 digits
+  }
+
+  test("calculateAll matches the per-variable pipeline") {
+    val d = dl(
+      ("36061001500", "B25003_002", 30.0, 3.0),
+      ("36061001500", "B25003_001", 100.0, 4.0),
+      ("36061001500", "SP_agip15pl", 50000.0, 2000.0),
+      ("36061001500", "SP_pop_6", 100.0, 5.0))
+    val allOut = calc.calculateAll(d)
+      .where(col("pff_variable").isin("ownerocc", "occbaseunits", "percapinc"))
+      .orderBy("pff_variable")
+      .drop("domain")
+      .collect()
+    val perVar = Seq("occbaseunits", "ownerocc", "percapinc")
+      .map(v => calc(d, v).collect()(0))
+    assert(allOut.length === 3)
+    allOut.zip(perVar).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
   }
 }

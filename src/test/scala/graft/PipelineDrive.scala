@@ -50,6 +50,12 @@ object PipelineDrive {
     val nta = geoAgg.tractToNta(facts)
     println(s"[pipeline-drive] tractToNta rows=${nta.count()} sample=${nta.orderBy("census_geoid").limit(2).collect().toSeq.mkString(" | ")}")
     println(s"[pipeline-drive] supportGeoids rows=${geoAgg.supportGeoids.count()}")
+    // calculateAll + partitioned export drive
+    val allOut = calc.calculateAll(download)
+    val exportPath = java.nio.file.Files.createTempDirectory("graft_export").toString
+    calc.export(allOut, exportPath)
+    val readBack = spark.read.parquet(exportPath)
+    println(s"[pipeline-drive] calculateAll rows=${allOut.count()} vars=${allOut.select("pff_variable").distinct().count()} exportRows=${readBack.count()} partitions=${readBack.select("domain","geotype").distinct().count()}")
     spark.stop()
   }
 }
