@@ -44,6 +44,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (L.qDedupSimhash _),
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
+    "q_ann_ivf" -> (L.qAnnIvf _),
+    "q_text_repetition" -> (L.qTextRepetition _),
     "q_dedup_embed" -> (L.qDedupEmbed _),
     "q_lang_id" -> (L.qLangId _),
     "q_text_quality" -> (L.qTextQuality _),
@@ -83,6 +85,8 @@ object SparkEntry {
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,
+    "q_ann_ivf" -> L.qAnnIvfSql,
+    "q_text_repetition" -> L.qTextRepetitionSql,
     "q_dedup_embed" -> L.qDedupEmbedSql,
     "q_lang_id" -> L.qLangIdSql,
     "q_text_quality" -> L.qTextQualitySql,

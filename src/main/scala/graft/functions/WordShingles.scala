@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * document interpreted; this is a single tight loop. CodegenFallback
   * keeps the surrounding operators inside whole-stage codegen.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -30,7 +30,8 @@ case class WordShingles(child: Expression, k: Int)
     val words = t.asInstanceOf[UTF8String].toString.trim.split("\\s+")
     if (words.length < k) new GenericArrayData(Array.empty[Any])
     else {
-      val seen = mutable.LinkedHashSet.empty[String]
+      val out = if (distinct) mutable.LinkedHashSet.empty[String]
+                else mutable.ArrayBuffer.empty[String]
       var i = 0
       val last = words.length - k
       val sb = new java.lang.StringBuilder
@@ -42,10 +43,10 @@ case class WordShingles(child: Expression, k: Int)
           sb.append(words(i + j))
           j += 1
         }
-        seen += sb.toString
+        out += sb.toString
         i += 1
       }
-      new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+      new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
     }
   }
 
@@ -54,7 +55,8 @@ case class WordShingles(child: Expression, k: Int)
 }
 
 object WordShingles {
-  /** Column API: distinct word k-shingles straight from a text column. */
-  def of(text: Column, k: Int): Column =
-    GraftShim.column(WordShingles(GraftShim.expression(text), k))
+  /** Column API: word k-shingles straight from a text column
+    * (first-occurrence-distinct by default). */
+  def of(text: Column, k: Int, distinct: Boolean = true): Column =
+    GraftShim.column(WordShingles(GraftShim.expression(text), k, distinct))
 }

@@ -139,68 +139,72 @@ object Median {
   // drift from the Spark plan.
   // ---------------------------------------------------------------------
 
-  /** SQL select-expressions (median, se_50, moe) over a row with columns
-    * c_0..c_{n-1}. Mirrors [[withMedianMoe]] term by term. */
-  def medianMoeSql(cfg: Config): (String, String, String) = {
+  /** A staged SQL pipeline over a relation `src` with columns
+    * geoid, c_0..c_{n-1}, producing (geoid, median, se_50, moe).
+    * Mirrors [[withMedianMoe]] stage for stage: every intermediate
+    * (cum sums, cumulative %, bin selectors, median) is a named column
+    * of a nested subquery, so the SQL text stays LINEAR in the bin
+    * count instead of exploding combinatorially. */
+  def medianSqlFrom(cfg: Config, src: String): String = {
     val n = cfg.bins.size
-    def cum(i: Int) = (0 to i).map(j => s"c_$j").mkString("(", " + ", ")")
-    val bigN = cum(n - 1)
-    val half = s"(CAST($bigN AS DOUBLE) / 2)"
     def lo(i: Int) = cfg.bins(i)._1.toString
     def hi(i: Int) = cfg.bins(i)._2.toString
-    def cd(i: Int) = s"(CAST(${cum(i)} AS DOUBLE) / CAST($bigN AS DOUBLE) * 100)"
+    val bigN = s"cum_${n - 1}"
+    val half = s"(CAST($bigN AS DOUBLE) / 2)"
 
-    val medianBin = (0 until n).map { i =>
-      val prev = if (i == 0) "TRUE" else s"${cum(i - 1)} < $half"
-      s"WHEN ${cum(i)} >= $half AND $prev THEN $i"
-    }.mkString("(CASE ", " ", " ELSE NULL END)")
-
-    val interp = (0 until n).map { i =>
-      val cBelow = if (i == 0) "0" else cum(i - 1)
-      s"WHEN $medianBin = $i THEN ${lo(i)} + ($half - CAST($cBelow AS DOUBLE)) * (${hi(i)} - ${lo(i)}) / CAST(c_$i AS DOUBLE)"
-    }.mkString("(CASE ", " ", " ELSE NULL END)")
-
-    val bottomArm = if (cfg.bottomCoding) s"WHEN $medianBin = 0 THEN ${hi(0)}" else ""
-    val topArm = if (cfg.topCoding) s"WHEN $medianBin = ${n - 1} THEN ${lo(n - 1)}" else ""
-    val median =
-      s"(CASE WHEN $bigN = 0 THEN NULL $bottomArm $topArm ELSE $interp END)"
+    val cums = (0 until n).map(i =>
+      (0 to i).map(j => s"c_$j").mkString("(", " + ", ")") + s" AS cum_$i").mkString(", ")
+    val s1 = s"SELECT *, $cums FROM $src"
 
     val se50 = s"(${cfg.designFactor} * sqrt(93.0 / (7.0 * CAST($bigN AS DOUBLE)) * 2500.0))"
-    val pl = s"(50.0 - $se50)"
-    val pu = s"(50.0 + $se50)"
+    val cds = (0 until n).map(i =>
+      s"(CAST(cum_$i AS DOUBLE) / CAST($bigN AS DOUBLE) * 100) AS cd_$i").mkString(", ")
+    val s2 = s"SELECT *, $se50 AS se_50, $cds FROM ($s1)"
+
     def firstIdx(pred: Int => String) =
       (0 until n).map(i => s"WHEN ${pred(i)} THEN $i").mkString("(CASE ", " ", " ELSE NULL END)")
-    val lowerBin = firstIdx(i => s"${cd(i)} > $pl")
-    val upperBin = firstIdx(i => s"${cd(i)} > $pu")
-    val firstNonZero = firstIdx(i => s"c_$i <> 0")
+    val medianBin = (0 until n).map { i =>
+      val prev = if (i == 0) "TRUE" else s"cum_${i - 1} < $half"
+      s"WHEN cum_$i >= $half AND $prev THEN $i"
+    }.mkString("(CASE ", " ", " ELSE NULL END)")
+    val s3 = s"SELECT *, " +
+      s"${firstIdx(i => s"cd_$i > (50.0 - se_50)")} AS lower_bin, " +
+      s"${firstIdx(i => s"cd_$i > (50.0 + se_50)")} AS upper_bin, " +
+      s"${firstIdx(i => s"c_$i <> 0")} AS fnz_bin, " +
+      s"$medianBin AS median_bin FROM ($s2)"
+
+    val interp = (0 until n).map { i =>
+      val cBelow = if (i == 0) "0" else s"cum_${i - 1}"
+      s"WHEN median_bin = $i THEN ${lo(i)} + ($half - CAST($cBelow AS DOUBLE)) * (${hi(i)} - ${lo(i)}) / CAST(c_$i AS DOUBLE)"
+    }.mkString("(CASE ", " ", " ELSE NULL END)")
+    val bottomArm = if (cfg.bottomCoding) s"WHEN median_bin = 0 THEN ${hi(0)}" else ""
+    val topArm = if (cfg.topCoding) s"WHEN median_bin = ${n - 1} THEN ${lo(n - 1)}" else ""
+    val median = s"(CASE WHEN $bigN = 0 THEN NULL $bottomArm $topArm ELSE $interp END)"
+    val s4 = s"SELECT *, $median AS median FROM ($s3)"
 
     def bound(p: String, a1: String, a2: String, c1: String, c2: String) =
       s"(CASE WHEN ($c2 - $c1) + $a1 = 0 THEN NULL ELSE ($p - $c1) * ($a2 - $a1) / ($c2 - $c1) + $a1 END)"
-
     val lowerBound = (0 until n).map { i =>
-      val c1 = if (i == 0) "0.0" else cd(i - 1)
+      val c1 = if (i == 0) "0.0" else s"cd_${i - 1}"
       val a2Base = if (i + 1 <= n - 1) lo(i + 1) else "NULL"
-      val a1 = s"(CASE WHEN $firstNonZero = $i THEN 0.0 ELSE ${lo(i)} END)"
-      val a2 = s"(CASE WHEN $firstNonZero = $i THEN ${lo(1)} ELSE $a2Base END)"
-      s"WHEN $lowerBin = $i THEN ${bound(pl, a1, a2, c1, cd(i))}"
+      val a1 = s"(CASE WHEN fnz_bin = $i THEN 0.0 ELSE ${lo(i)} END)"
+      val a2 = s"(CASE WHEN fnz_bin = $i THEN ${lo(1)} ELSE $a2Base END)"
+      s"WHEN lower_bin = $i THEN ${bound("(50.0 - se_50)", a1, a2, c1, s"cd_$i")}"
     }.mkString("(CASE ", " ", " ELSE NULL END)")
-
     val upperBound = (0 until n).map { i =>
-      val c1 = if (i == 0) "0.0" else cd(i - 1)
+      val c1 = if (i == 0) "0.0" else s"cd_${i - 1}"
       val a2Base = if (i + 1 <= n - 1) lo(i + 1) else lo(i)
-      val isBoth = s"($upperBin = $lowerBin AND $upperBin = $firstNonZero)"
+      val isBoth = "(upper_bin = lower_bin AND upper_bin = fnz_bin)"
       val a1 = s"(CASE WHEN $isBoth THEN 0.0 ELSE ${lo(i)} END)"
       val a2 = s"(CASE WHEN $isBoth THEN ${lo(1)} ELSE $a2Base END)"
-      s"WHEN $upperBin = $i THEN ${bound(pu, a1, a2, c1, cd(i))}"
+      s"WHEN upper_bin = $i THEN ${bound("(50.0 + se_50)", a1, a2, c1, s"cd_$i")}"
     }.mkString("(CASE ", " ", " ELSE NULL END)")
-
     val moe =
-      s"""(CASE WHEN $median >= ${lo(n - 1)} THEN NULL
-         | WHEN $bigN = 0 THEN NULL
-         | WHEN $se50 >= 50 THEN NULL
-         | WHEN $lowerBin >= ${n - 1} THEN NULL
-         | ELSE ($upperBound - $lowerBound) * 1.645 / 2 END)""".stripMargin.replace("\n", "")
-
-    (median, se50, moe)
+      s"(CASE WHEN median >= ${lo(n - 1)} THEN NULL" +
+      s" WHEN $bigN = 0 THEN NULL" +
+      s" WHEN se_50 >= 50 THEN NULL" +
+      s" WHEN lower_bin >= ${n - 1} THEN NULL" +
+      s" ELSE ($upperBound - $lowerBound) * 1.645 / 2 END)"
+    s"SELECT geoid, median, se_50, $moe AS moe FROM ($s4)"
   }
 }

@@ -37,7 +37,8 @@ object Similarity {
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6))
+      .select(col("query_id"), col("cand_id"),
+        Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -67,7 +68,57 @@ object Similarity {
       lshBucket(col("embedding")).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6))
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("rank"), col("cand_id"), col("cos"))
+  }
+
+  /** IVF-style coarse assignment: argmax-cosine centroid index, computed
+    * as k scalar expressions over constant centroid vectors — NO shuffle
+    * and no row inflation (the centroid set is tiny and rides into
+    * codegen as literals). The per-centroid cosines are staged as real
+    * columns so the k^2 argmax comparisons reference attributes instead
+    * of re-expanding the dot products. Ties break to the lowest centroid
+    * id on the 6-digit-rounded cosine, matching the oracle's
+    * ORDER BY cos DESC, cid ASC. */
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Array[Float]]): DataFrame = {
+    val emb = col(embCol)
+    // fused FloatCosine against a float-literal centroid: one codegen
+    // loop per centroid; the HOF norm2 form is interpreted and gets
+    // re-evaluated per argmax comparison if it leaks into the CASE chain
+    val cosCols = centroids.zipWithIndex.map { case (c, i) =>
+      s"__ivf_cos_$i" -> Portable.roundp(
+        VectorOps.floatCosine(emb, lit(c)), 6)
+    }
+    // argmax as array_position(arr, array_max(arr)): first occurrence
+    // wins ties (lowest centroid id), and the expression stays tiny —
+    // a k^2 CASE-comparison chain here balloons the generated code and
+    // janino compilation dominates the query.
+    df.withColumns(cosCols.toMap)
+      .withColumn("__ivf_arr", array(cosCols.map(c => col(c._1)): _*))
+      .withColumn("bucket",
+        (array_position(col("__ivf_arr"), array_max(col("__ivf_arr"))) - 1).cast("int"))
+      .drop(cosCols.map(_._1) :+ "__ivf_arr": _*)
+  }
+
+  /** IVF ANN top-k (nProbe=1): queries meet candidates only inside their
+    * coarse centroid bucket. The complement of [[lshTopK]] — data-adaptive
+    * buckets instead of random hyperplanes. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              centroids: Seq[Array[Float]], k: Int): DataFrame = {
+    val q = ivfAssign(queries, "embedding", centroids)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = ivfAssign(candidates, "embedding", centroids)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
+    // drop the embedding payloads BEFORE ranking: the window exchange
+    // should shuffle (query, cand, cos), not two 64-float arrays per row
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("bucket").cast("long").as("bucket"), col("cand_id"),
+        Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -59,6 +59,30 @@ object TextAnalysis {
       size(Portable.bpeTokens(col("text"))).cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** Gopher-style repetition metrics: fraction of duplicate words and
+    * the share of the most frequent word bigram. Per-doc word stats ride
+    * below the bigram explode; the only shuffles are the two partial-agg
+    * groupBys on (doc, gram) and (doc). Docs with fewer than 2 words are
+    * excluded (no bigrams exist). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ws = Portable.words(col("text"))
+    val bg = docs.select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        graft.functions.WordShingles.of(col("text"), 2, distinct = false).as("grams"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        explode(col("grams")).as("gram"))
+    bg.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"), max(col("n_words")).as("n_words"),
+        max(col("n_distinct")).as("n_distinct"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_words")).as("n_words"),
+        Portable.roundp(lit(1.0) - max(col("n_distinct")) / max(col("n_words")).cast("double"), 6)
+          .as("dup_word_frac"),
+        Portable.roundp(max(col("c")) / sum(col("c")).cast("double"), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Position-sensitive document fingerprint: XOR of 60-bit hashes of
     * (word, position mod 16). Order-independent aggregation (XOR is
     * commutative) of order-dependent terms — a rolling-hash analog that

@@ -147,11 +147,10 @@ object CensusQueries {
     medianAgged(spark, dir).select(col("geoid"),
       Portable.roundp(col("median"), 4).as("median"))
 
-  val qBinnedMedianSql: String = {
-    val (medianSql, _, _) = Median.medianMoeSql(medianCfg)
+  val qBinnedMedianSql: String =
     s"""WITH $medianCountsCte
-       |SELECT geoid, floor(($medianSql) * 1e4 + 0.5) / 1e4 AS median FROM mc""".stripMargin
-  }
+       |SELECT geoid, floor((median) * 1e4 + 0.5) / 1e4 AS median
+       |FROM (${Median.medianSqlFrom(medianCfg, "mc")})""".stripMargin
 
   def qMedianMoe(spark: SparkSession, dir: String): DataFrame =
     medianAgged(spark, dir).select(col("geoid"),
@@ -159,15 +158,13 @@ object CensusQueries {
       Portable.roundp(col("se_50"), 4).as("se_50"),
       Portable.roundp(col("moe"), 4).as("moe"))
 
-  val qMedianMoeSql: String = {
-    val (medianSql, se50Sql, moeSql) = Median.medianMoeSql(medianCfg)
+  val qMedianMoeSql: String =
     s"""WITH $medianCountsCte
        |SELECT geoid,
-       |  floor(($medianSql) * 1e4 + 0.5) / 1e4 AS median,
-       |  floor(($se50Sql) * 1e4 + 0.5) / 1e4 AS se_50,
-       |  floor(($moeSql) * 1e4 + 0.5) / 1e4 AS moe
-       |FROM mc""".stripMargin
-  }
+       |  floor((median) * 1e4 + 0.5) / 1e4 AS median,
+       |  floor((se_50) * 1e4 + 0.5) / 1e4 AS se_50,
+       |  floor((moe) * 1e4 + 0.5) / 1e4 AS moe
+       |FROM (${Median.medianSqlFrom(medianCfg, "mc")})""".stripMargin
 
   // ---- #8 ratio statistic (per-capita-income analog) ----
 

@@ -212,6 +212,60 @@ object LlmQueries {
        |SELECT query_id, bucket, rank, cand_id, cos FROM r WHERE rank <= $TopK""".stripMargin
   }
 
+  // ---- #28b IVF-bucketed ANN (data-adaptive complement of the LSH path) ----
+
+  val IvfCentroids = 8
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    // the coarse codebook: first k vectors (deterministic); tiny -> rides
+    // into the plan as literals, like a broadcast of a trained codebook
+    val centroids = emb.where(col("vec_id") < IvfCentroids)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 30), emb, centroids.toSeq, TopK)
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $IvfCentroids),
+       |scored AS (SELECT vec_id, cid,
+       |    floor((list_dot_product(e, ce) / sqrt(list_dot_product(e, e) * list_dot_product(ce, ce))) * 1e6 + 0.5) / 1e6 AS ccos
+       |  FROM v, cent),
+       |assign AS (SELECT vec_id, cid AS bucket,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM scored),
+       |vb AS (SELECT v.vec_id, v.e, assign.bucket FROM v JOIN assign
+       |       ON v.vec_id = assign.vec_id AND assign.rn = 1),
+       |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id < 30),
+       |s AS (SELECT query_id, q.bucket, vb.vec_id AS cand_id,
+       |    floor((list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe) * list_dot_product(e, e))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.query_id),
+       |r AS (SELECT query_id, bucket, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, rank, cand_id, cos
+       |FROM r WHERE rank <= $TopK""".stripMargin
+
+  // ---- #31b Gopher-style repetition metrics ----
+
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables(spark, dir).documents)
+
+  val qTextRepetitionSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |bg AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    w[i] || ' ' || w[i+1] AS gram
+       |  FROM ws, unnest(generate_series(1, len(w)-1)) AS t(i)),
+       |gc AS (SELECT doc_id, gram, count(*) AS c,
+       |    max(n_words) AS n_words, max(n_distinct) AS n_distinct
+       |  FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, max(n_words) AS n_words,
+       |  floor((1.0 - max(n_distinct) / CAST(max(n_words) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+       |  floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
+       |FROM gc GROUP BY doc_id""".stripMargin
+
   // ---- #29 embedding-cosine near-dup pairs ----
 
   val EmbDupThreshold = 0.3
