@@ -88,7 +88,11 @@ object Dedup {
     * true shingle Jaccard via array_intersect on the per-doc shingle
     * arrays (no second explode+aggregate pass). */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val bands = bandRows(minhashSignatures(docs))
+    // one row per doc and tiny — persist so the band self-join's two
+    // sides don't each recompute the shingle->hash->16-min pipeline
+    val sig = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandRows(sig)
     val l = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_val"))
     val r = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_val"))
     val cand = l.join(r, Seq("band_idx", "band_val"))
@@ -131,7 +135,10 @@ object Dedup {
     * no verify join exists. Multi-band matches collapse in the final
     * per-pair aggregate. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = Config.SimhashMaxHamming): DataFrame = {
+    // per-doc fingerprints are 16 bytes each — persist so both band
+    // join sides share one token-hash-vote aggregation
     val fp = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until Config.SimhashBands).map { i =>
       struct(lit(i).as("band_idx"), (shiftright(col("simhash"), 8 * i) % 256).as("band_val"))
     }
