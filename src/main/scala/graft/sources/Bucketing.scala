@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table helpers for co-located joins.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the shuffle.
+  * Writing both sides bucketed on the join key by the same bucket count
+  * lets Spark plan a SortMergeJoin with NO Exchange on either side —
+  * the co-location is recorded in the catalog and reused by every
+  * downstream join on that key. This is the standing-layout complement
+  * to broadcast (small dims) and AQE skew handling (residual skew).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table on `keys`. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True iff the physical plan of `df` contains a shuffle Exchange
+    * (hash repartitioning) — broadcast exchanges don't count. */
+  def hasExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

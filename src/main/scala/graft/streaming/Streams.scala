@@ -28,6 +28,13 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup: drop events whose id was already seen, with
+    * state bounded by the watermark (late duplicates beyond the horizon
+    * are dropped by the watermark itself). Works on batch frames too. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

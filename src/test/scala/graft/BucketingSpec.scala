@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketing
+
+/** Co-located joins through bucketed tables: the fact-fact join must
+  * plan with NO shuffle Exchange once both sides are bucketed on the
+  * join key with the same bucket count. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+
+    // the unbucketed merge join shuffles both sides
+    val plainJoin = li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_totalprice"))
+    assert(Bucketing.hasExchange(plainJoin), "plain merge join should shuffle")
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Bucketing.writeBucketed(li, "li_b", 4, "l_orderkey")
+    Bucketing.writeBucketed(o, "o_b", 4, "o_orderkey")
+    val lb = spark.table("li_b")
+    val ob = spark.table("o_b")
+    val joined = lb.hint("merge").join(ob, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_totalprice"))
+    assert(!Bucketing.hasExchange(joined),
+      s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+    // and it returns the same rows as the plain join
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === plain)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+}

@@ -77,4 +77,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).session_start === ts(1) && sessions(0).session_end === ts(4)
       && sessions(0).n_events === 2L)
   }
+
+  test("dedupStream drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(1, ts(1), 10, "click", 1.0),   // duplicate in-batch
+      Event(2, ts(2), 10, "view", 2.0))
+    val q = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    // a later batch re-sends event 1 -> still deduped (state retained)
+    input.addData(Event(1, ts(1), 10, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
 }
