@@ -10,9 +10,15 @@ import org.apache.spark.sql.types._
   * hash — the Spark-side plumbing (schema, batching, partition-parallel
   * decode) is real.
   *
+  * In a Python deployment these per-partition transforms would be
+  * `mapInPandas` Pandas-UDF batches; this library is Scala-native, so
+  * the equivalent partition-local batch path is `mapPartitions` over
+  * the binary column — identical shuffle-free execution shape, JVM
+  * codecs instead of Arrow-bridged Python ones.
+  *
   * At scale: binary payloads stay columnar in parquet; metadata-only
-  * queries never read the payload column (column pruning), and decode
-  * runs per-partition with no shuffle.
+  * queries never read the payload column (column pruning), and every
+  * transform here runs per-partition with no shuffle.
   */
 object Multimodal {
 
@@ -60,6 +66,46 @@ object Multimodal {
       StructField("n_bytes", IntegerType),
       StructField("width", IntegerType),
       StructField("height", IntegerType))))
+  }
+
+  /** Resize plumbing: per-partition batch transform emitting the target
+    * dimensions plus a deterministic stub of the resized payload digest.
+    * Swap `fakeResize` for a codec binding in production. */
+  def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), width, height, fakeResize(payload, width, height))
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("resized_sig", LongType))))
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: emit one row per
+    * sampled frame index (stubbed frame count from the digest), with a
+    * deterministic per-frame signature. Pure Column ops + explode — no
+    * shuffle, prunes to the payload column only. */
+  def frameSample(media: DataFrame, everyN: Int): DataFrame = {
+    val sha = sha2(encode(col("text"), "UTF-8"), 256)
+    val nFrames = conv(substring(sha, 9, 4), 16, 10).cast(LongType) % 31 + 1
+    media.select(col("doc_id"), nFrames.as("n_frames"),
+        explode(sequence(lit(0L), floor((nFrames - 1) / everyN).cast(LongType))).as("sample_idx"))
+      .select(col("doc_id"), col("n_frames"),
+        (col("sample_idx") * everyN).as("frame_idx"))
+  }
+
+  /** Stand-in for a resize; deterministic in (payload, target dims). */
+  private def fakeResize(payload: Array[Byte], w: Int, h: Int): Long = {
+    var acc = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { acc = acc * 31 + payload(i); i += 1 }
+    acc * 31 + w * 7919 + h
   }
 
   /** Stand-in for a real image decode; deterministic in the payload. */

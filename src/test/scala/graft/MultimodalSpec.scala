@@ -26,4 +26,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getInt(2) === out(1).getInt(2) && out(0).getInt(3) === out(1).getInt(3))
     assert(out(2).getInt(1) === 28)
   }
+
+  test("resizeStub emits target dims with deterministic signature") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "abc")).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.resizeStub(docs, 224, 224).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) === 224 && out(0).getInt(2) === 224)
+    assert(out(0).getLong(3) === out(1).getLong(3))
+  }
+
+  test("frameSample explodes every Nth frame index") {
+    import spark.implicits._
+    val docs = Seq((1L, "some video payload")).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.frameSample(docs, 4).collect()
+    val n = out(0).getLong(1)
+    assert(out.length === ((n - 1) / 4 + 1).toInt)
+    assert(out.map(_.getLong(2)).toSeq === (0L until n by 4).toSeq)
+  }
 }
