@@ -61,7 +61,13 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     * with "<var>e"/"<var>m" columns (special.py:7-19), via conditional
     * aggregation — a single shuffle, no pivot-to-driver. */
   private def emWide(download: DataFrame, vars: Seq[String]): DataFrame = {
-    val narrowed = em(download).where(col("pff_variable").isin(vars: _*))
+    // an input that is itself a special (mntrvtm's wrkrnothm) must be
+    // derived through its special path, exactly like the reference's
+    // calculate_e_m_multiprocessing routes it (calculate.py:33-42)
+    val (specialVars, plainVars) = vars.partition(registry.specialVariables.contains)
+    val plain = em(download).where(col("pff_variable").isin(plainVars: _*))
+    val narrowed = specialVars.map(sv => emSpecial(download, sv))
+      .foldLeft(plain)(_ unionByName _)
     val aggs = vars.flatMap { v =>
       Seq(max(when(col("pff_variable") === v, col("e"))).as(s"${v}e"),
         max(when(col("pff_variable") === v, col("m"))).as(s"${v}m"))
@@ -101,7 +107,8 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
   /** Full c/e/m/p/z for one variable (calculate_c_e_m_p_z), routing to
     * the median / special / plain paths and joining the percent base. */
   def cempz(download: DataFrame, pffVariable: String): DataFrame = {
-    val v = registry.byName(pffVariable)
+    // specials/medians may have no plain metadata row of their own
+    val baseVariable = registry.byName.get(pffVariable).flatMap(_.baseVariable)
     val isMedian = registry.medianVariables.contains(pffVariable)
     val isSpecial = registry.specialVariables.contains(pffVariable)
     val isBase = registry.baseVariables.contains(pffVariable)
@@ -118,7 +125,7 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
           .withColumn("z", lit(null).cast("double"))
       else if (isBase)
         base.withColumn("p", lit(100.0)).withColumn("z", lit(null).cast("double"))
-      else v.baseVariable match {
+      else baseVariable match {
         case Some(bv) =>
           val agg = (if (registry.specialVariables.contains(bv)) emSpecial(download, bv)
                      else if (registry.medianVariables.contains(bv)) emMedian(download, bv)
@@ -191,9 +198,12 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     val digitsCol = digitsMap.foldLeft(lit(0)) { case (acc, (name, d)) =>
       when(col("pff_variable") === name, lit(d)).otherwise(acc)
     }
-    // e/m round to the variable's digits (0 or 1 in practice); c/p/z to 1
+    // e/m round to the variable's digits; c/p/z to 1
+    val digitValues = (registry.variables.map(_.rounding).toSet + 0).toSeq.sorted
     def roundBy(c: Column): Column =
-      when(digitsCol === 1, Portable.roundp(c, 1)).otherwise(Portable.roundp(c, 0))
+      digitValues.tail.foldLeft(Portable.roundp(c, digitValues.head)) { (acc, d) =>
+        when(digitsCol === d, Portable.roundp(c, d)).otherwise(acc)
+      }
     df.withColumn("e", roundBy(col("e"))).withColumn("m", roundBy(col("m")))
       .withColumn("c", Portable.roundp(col("c"), 1))
       .withColumn("p", Portable.roundp(col("p"), 1))
@@ -221,7 +231,12 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
   def calculateAll(download: DataFrame): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val spark = download.sparkSession
-    val plain = em(download)
+    // special/median variables come EXCLUSIVELY from their dedicated
+    // paths; a registered census_variable mapping for them (e.g. the
+    // published DP05_0018 -> mdage) would otherwise emit a second,
+    // conflicting plain row per geoid
+    val dedicated = (registry.specialVariables ++ registry.medianVariables).toSeq
+    val plain = em(download).where(!col("pff_variable").isin(dedicated: _*))
     val specials = registry.specials.map(sp => emSpecial(download, sp.pffVariable))
     val medians = registry.medians.map(md => emMedian(download, md.pffVariable))
     // unionByName: the per-path selects don't share column order

@@ -24,6 +24,8 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valCol: String): DataFrame = {
+    require(!left.columns.contains(valCol),
+      s"left side already has a column named '$valCol'; rename one side")
     val leftCols = left.columns
     val l = left.withColumn("__side", lit(1)).withColumn(valCol, lit(null).cast(right.schema(valCol).dataType))
     val r = right.select(col(key), col(ts), col(valCol)).withColumn("__side", lit(0))

@@ -89,7 +89,10 @@ object Dedup {
     * arrays (no second explode+aggregate pass). */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     // one row per doc and tiny — persist so the band self-join's two
-    // sides don't each recompute the shingle->hash->16-min pipeline
+    // sides don't each recompute the shingle->hash->16-min pipeline.
+    // NOTE: intentionally not unpersisted (the result is lazy); in a
+    // long-lived session the caller owns cache lifecycle via
+    // spark.catalog.clearCache() or by materializing + unpersisting
     val sig = minhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandRows(sig)

@@ -39,7 +39,12 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
     * variable (create_output, 2010_to_2020.py:53-66 — generalized to
     * many variables in one pass). */
   private def createOutput(df: DataFrame, dst: String, geotype: String): DataFrame =
-    df.groupBy(col(dst).as("census_geoid"), col("pff_variable"))
+    // pandas groupby drops NaN keys (unmatched destinations); rows with a
+    // NULL pff_variable are crosswalk rows that matched no fact data —
+    // the reference keeps them per single-variable frame, but in this
+    // multi-variable generalization they carry no values and are dropped
+    df.where(col(dst).isNotNull && col("pff_variable").isNotNull)
+      .groupBy(col(dst).as("census_geoid"), col("pff_variable"))
       .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
       .withColumn("geotype", lit(geotype))
       .select("census_geoid", "pff_variable", "geotype", "e", "m")
@@ -115,9 +120,9 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
     val city = lookup.sparkSession.sql(
       "SELECT '0' AS geoid, 'New York City' AS geogname, 'City2020' AS geotype")
     level("nta2020", "ntaname", "NTA2020")
-      .unionAll(level("cdta2020", "cdtaname", "CDTA2020"))
-      .unionAll(level("borocode", "boroname", "Boro2020"))
-      .unionAll(city)
+      .unionByName(level("cdta2020", "cdtaname", "CDTA2020"))
+      .unionByName(level("borocode", "boroname", "Boro2020"))
+      .unionByName(city)
       .select("geoid", "geotype", "geogname")
   }
 }

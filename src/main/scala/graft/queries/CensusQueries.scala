@@ -236,7 +236,7 @@ object CensusQueries {
     val n = t.nation.select(col("n_nationkey").cast("long").as("src"))
     val crosswalk =
       n.select(col("src"), col("src").as("dst"), lit(0.6).as("ratio"))
-        .unionAll(n.select(col("src"), ((col("src") + 1) % 25).as("dst"), lit(0.4).as("ratio")))
+        .unionByName(n.select(col("src"), ((col("src") + 1) % 25).as("dst"), lit(0.4).as("ratio")))
     CensusOps.apportion(fact, crosswalk, "src", "dst", "ratio")
       .select(col("census_geoid").as("dst"),
         Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("m"), 4).as("m"))

@@ -28,12 +28,14 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Streaming exact-dedup: drop events whose id was already seen, with
-    * state bounded by the watermark (late duplicates beyond the horizon
-    * are dropped by the watermark itself). Works on batch frames too. */
+  /** Streaming exact-dedup on the id alone: duplicates within the
+    * watermark horizon are dropped even when re-stamped with a different
+    * event time, and state is evicted once the watermark passes
+    * (dropDuplicatesWithinWatermark). Streaming-only: batch frames have
+    * no watermark and should use dropDuplicates. */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
                   watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)

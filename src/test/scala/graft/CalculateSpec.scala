@@ -126,4 +126,39 @@ class CalculateSpec extends SparkSpec {
     assert(allOut.length === 3)
     allOut.zip(perVar).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
   }
+
+  test("cempz works for specials without a plain metadata entry") {
+    val d = dl(
+      ("g1", "SP_aghhinc", 900000.0, 20000.0),
+      ("g1", "SP_hh2", 300.0, 9.0),
+      ("g1", "SP_hh5", 310.0, 10.0))
+    val r = calc.cempz(d, "mnhhinc").collect()(0)
+    assert(math.abs(r.getDouble(4) - 900000.0 / 300.0) < 1e-9)
+    // specials have no base variable -> p/z null
+    assert(r.isNullAt(6) && r.isNullAt(7))
+  }
+
+  test("mntrvtm derives its wrkrnothm MOE input through the special path") {
+    val d = dl(
+      ("g1", "SP_agttm", 30000.0, 800.0),
+      ("g1", "SP_wrkr16pl", 1000.0, 30.0),
+      ("g1", "SP_cw_wrkdhm", 100.0, 40.0))
+    val r = calc.emSpecial(d, "mntrvtm").collect()(0)
+    val e = 30000.0 / (1000.0 - 100.0)
+    // wrkrnothm derived: e = 900, m = sqrt(30^2 + 40^2) = 50
+    val m = math.sqrt(800.0 * 800.0 + math.pow(30000.0 * 50.0 / 900.0, 2)) / 900.0
+    assert(math.abs(r.getDouble(3) - e) < 1e-9)
+    assert(math.abs(r.getDouble(4) - m) < 1e-9)
+  }
+
+  test("calculateAll emits exactly one row per special/median variable") {
+    // mdage has a registered census variable (DP05_0018); it must NOT
+    // produce a second plain row next to the bins-path row
+    val bins = VariableRegistry.mdage.inputs.map(_._1)
+    val rows = bins.zipWithIndex.map { case (_, i) => ("g1", f"B01001_$i%03d", 10.0, 1.0) } :+
+      (("g1", "DP05_0018", 37.2, 0.4))
+    val out = calc.calculateAll(dl(rows: _*))
+      .where(col("pff_variable") === "mdage").collect()
+    assert(out.length === 1, out.mkString("; "))
+  }
 }
