@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run so the compare
+        // reports the failure instead of silently passing old data
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          dir.listFiles.foreach(_.delete())
+          dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

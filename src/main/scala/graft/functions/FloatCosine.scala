@@ -40,7 +40,8 @@ case class FloatCosine(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    // zero-norm vectors: the oracle's x/0 is NULL, not NaN
+    if (na * nb == 0.0) null else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,7 +61,8 @@ case class FloatCosine(left: Expression, right: Expression)
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |if ($na * $nb == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
        """.stripMargin
     })
 

@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.LongType
   * them is cross-checkable. Engine-native `hash()` functions are never
   * used: they differ across engines and across versions.
   *
-  * Each helper documents its DuckDB-SQL equivalent; `graft.oracle.Sql`
-  * generates those strings from the same constants.
+  * Each helper documents its DuckDB-SQL equivalent; the query files in
+  * graft.queries inline those forms next to the Spark plans.
   */
 object Portable {
 
@@ -50,12 +50,6 @@ object Portable {
   def roundp(c: Column, digits: Int): Column = {
     val p = lit(math.pow(10, digits))
     floor(c * p + lit(0.5)) / p
-  }
-
-  /** The DuckDB-SQL twin of [[roundp]] — inject into oracle SQL. */
-  def roundpSql(e: String, digits: Int): String = {
-    val p = s"1e$digits"
-    s"floor(($e) * $p + 0.5) / $p"
   }
 
   /** BPE-ish token split: letter runs, digit runs, single punctuation.

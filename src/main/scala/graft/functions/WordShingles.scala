@@ -27,7 +27,7 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
   override def prettyName: String = "word_shingles"
 
   override protected def nullSafeEval(t: Any): Any = {
-    val words = t.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val words = WordShingles.Whitespace.split(t.asInstanceOf[UTF8String].toString.trim)
     if (words.length < k) new GenericArrayData(Array.empty[Any])
     else {
       val out = if (distinct) mutable.LinkedHashSet.empty[String]
@@ -55,6 +55,9 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
 }
 
 object WordShingles {
+  /** compiled once — String.split would re-compile \s+ per row */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** Column API: word k-shingles straight from a text column
     * (first-occurrence-distinct by default). */
   def of(text: Column, k: Int, distinct: Boolean = true): Column =

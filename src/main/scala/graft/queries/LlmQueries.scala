@@ -220,9 +220,11 @@ object LlmQueries {
     val emb = Tables(spark, dir).embeddings
     // the coarse codebook: first k vectors (deterministic); tiny -> rides
     // into the plan as literals, like a broadcast of a trained codebook
-    val centroids = emb.where(col("vec_id") < IvfCentroids)
+    val centroidRows = emb.where(col("vec_id") < IvfCentroids)
       .orderBy("vec_id").collect()
-      .map(_.getSeq[Float](1).toArray)
+    require(centroidRows.length == IvfCentroids,
+      s"expected $IvfCentroids centroid vectors, got ${centroidRows.length}")
+    val centroids = centroidRows.map(_.getAs[Seq[Float]]("embedding").toArray)
     Similarity.ivfTopK(emb.where(col("vec_id") < 30), emb, centroids.toSeq, TopK)
   }
 

@@ -24,7 +24,7 @@ object Tpch {
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        Portable.roundp(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
         (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
         (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
           .as("sum_disc_price"),
@@ -38,7 +38,7 @@ object Tpch {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(floor((SUM(l_quantity)) * 1e0 + 0.5) / 1e0 AS BIGINT) AS sum_qty,
       |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 AS sum_base_price,
       |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) * (100 - CAST(floor((l_discount*100) * 1e0 + 0.5) / 1e0 AS BIGINT))) / 10000.0 AS sum_disc_price,
       |  SUM(CAST(floor((l_extendedprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) * (100 - CAST(floor((l_discount*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) * (100 + CAST(floor((l_tax*100) * 1e0 + 0.5) / 1e0 AS BIGINT))) / 1000000.0 AS sum_charge,

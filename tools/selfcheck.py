@@ -26,8 +26,8 @@ def canon(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                elif v == int(v) and abs(v) < 2**53:
-                    v = round(v, 9)
+                elif math.isinf(v):
+                    v = "Inf" if v > 0 else "-Inf"
                 else:
                     v = round(v, 9)
             vals.append(repr(v))
@@ -69,8 +69,9 @@ def main():
             continue
         if len(orr) != len(srr):
             print(f"FAIL {name}: rows oracle={len(orr)} spark={len(srr)}")
-            only_o = [r for r in orr if r not in set(srr)][:3]
-            only_s = [r for r in srr if r not in set(orr)][:3]
+            sset, oset = set(srr), set(orr)
+            only_o = [r for r in orr if r not in sset][:3]
+            only_s = [r for r in srr if r not in oset][:3]
             print(f"  cols={oc}\n  only-oracle: {only_o}\n  only-spark: {only_s}")
             n_fail += 1
             continue
