@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Functional sanity on the real documents/embeddings tables: these are
+  * accuracy floors, not oracle checks — they catch an operator that is
+  * cross-engine-consistent but semantically broken. */
+class QualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("langId beats random guessing comfortably on labeled docs") {
+    val out = TextAnalysis.langId(docs)
+      .select(col("actual_lang"), col("pred_lang")).collect()
+    val acc = out.count(r => r.getString(0) == r.getString(1)).toDouble / out.length
+    // 5 languages -> random = 0.2. The synthetic corpus is mostly
+    // shared tech vocabulary with only a sprinkle of per-language
+    // stopwords, so the heuristic lands ~0.37 - well above chance but
+    // far from real-corpus accuracy; this floor catches breakage, not
+    // excellence
+    assert(acc > 0.3, s"language-ID accuracy $acc")
+  }
+
+  test("LSH top-k recalls most of the brute-force top-k in its bucket") {
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    // LSH trades recall for scale: 8 planes = 256 buckets over 500
+    // near-random vectors, so absolute recall is small. The meaningful
+    // property is that hyperplane buckets CORRELATE with cosine:
+    // recall must beat the chance rate (candidate fraction) clearly.
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    val buckets = Similarity.lshBucket(col("embedding"))
+    val sizes = emb.select(buckets.as("b")).groupBy("b").count()
+      .agg(sum(col("count") * (col("count") - 1))).collect()(0).getLong(0)
+    val n = emb.count()
+    val chance = sizes.toDouble / (n * (n - 1))
+    assert(recall > 3 * chance, s"LSH recall $recall vs chance $chance")
+  }
+
+  test("minhash jaccard estimates track exact ngram jaccard") {
+    // pairs surfaced by LSH must report the TRUE jaccard (they are
+    // verified with array_intersect) - check against the exact operator
+    val exact = Dedup.ngramJaccardPairs(docs, "source", 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.minhashLshPairs(docs).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { j =>
+        assert(math.abs(j - r.getDouble(2)) < 1e-9,
+          s"pair $key verified jaccard ${r.getDouble(2)} != exact $j")
+      }
+    }
+  }
+}
