@@ -34,6 +34,9 @@ object SparkEntry {
     "q1_pricing_summary" -> (T.q1PricingSummary _),
     "q3_top_orders" -> (T.q3TopOrders _),
     "q_window_running" -> (T.qWindowRunning _),
+    "q_window_lag" -> (T.qWindowLag _),
+    "q_percentile" -> (T.qPercentile _),
+    "q_anti_join" -> (T.qAntiJoin _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_events_json" -> (T.qEventsJson _),
     "q_stream_window" -> (T.qStreamWindow _),
@@ -76,6 +79,9 @@ object SparkEntry {
     "q1_pricing_summary" -> T.q1Sql,
     "q3_top_orders" -> T.q3Sql,
     "q_window_running" -> T.qWindowRunningSql,
+    "q_window_lag" -> T.qWindowLagSql,
+    "q_percentile" -> T.qPercentileSql,
+    "q_anti_join" -> T.qAntiJoinSql,
     "q_asof_join" -> L.qAsofJoinSql,
     "q_events_json" -> T.qEventsJsonSql,
     "q_stream_window" -> T.qStreamWindowSql,

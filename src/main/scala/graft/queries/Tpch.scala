@@ -98,6 +98,62 @@ object Tpch {
       |  SUM(CAST(floor((o_totalprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
       |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
 
+  /** lag window: per-user inter-event gap statistics. */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec").asc, col("event_id").asc)
+    e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("gap")).as("max_gap"),
+        Portable.roundp(avg(col("gap")), 4).as("avg_gap"))
+  }
+
+  val qWindowLagSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch(date_trunc('second', ts::TIMESTAMP)) AS BIGINT) AS sec
+      |  FROM events),
+      |g AS (SELECT user_id,
+      |    sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) AS gap
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_events, MAX(gap) AS max_gap,
+      |  floor((AVG(gap)) * 1e4 + 0.5) / 1e4 AS avg_gap
+      |FROM g GROUP BY user_id""".stripMargin
+
+  /** Exact interpolated percentiles per group (percentile/quantile_cont
+    * agree on linear interpolation over the sorted values). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        Portable.roundp(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        Portable.roundp(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        Portable.roundp(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+  }
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+      |  floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+      |  floor((quantile_cont(l_quantity, 0.25)) * 1e4 + 0.5) / 1e4 AS q25
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Anti join: orders that never shipped a line item. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (cents(col("o_totalprice")) / lit(100.0)).as("o_totalprice"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(floor((o_totalprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) / 100.0 AS o_totalprice
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+
   /** JSON field extraction + agg over the events props column. */
   def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
