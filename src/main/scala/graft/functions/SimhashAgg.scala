@@ -1,0 +1,92 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** SimHash fingerprint as ONE custom aggregate.
+  *
+  * The composed form needs 32 `SUM(CASE WHEN (h >> j) % 2 ...)` agg
+  * columns plus a 32-arm reassembly projection; this aggregate keeps a
+  * single 32-int vote buffer per group, updated in one pass per token
+  * hash, with map-side partial aggregation (merge = vector add). The
+  * resulting fingerprint is bit-identical to the composed form, so the
+  * DuckDB oracle (which mirrors the composed form) is unchanged.
+  *
+  * Bits: fingerprint bit j is set iff the sum over tokens of
+  * (±1 by hash bit j) is positive — SimHash over `bits` bit positions
+  * of the input hash column.
+  */
+case class SimhashAgg(
+    child: Expression,
+    bits: Int = 32,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_agg"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < bits) {
+        buffer(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < bits) { buffer(j) += other(j); j += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Int]): Any = {
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (buffer(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * bits)
+    buffer.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bits)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimhashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimhashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object SimhashAgg {
+  /** Column API: aggregate a long-hash column into a SimHash fingerprint. */
+  def of(hash: Column, bits: Int = 32): Column =
+    GraftShim.column(SimhashAgg(GraftShim.expression(hash), bits)
+      .toAggregateExpression())
+}

@@ -116,19 +116,16 @@ object Dedup {
 
   /** 32-bit SimHash per doc: every token occurrence votes ±1 on each bit
     * of its 60-bit hash; fingerprint bit j is 1 iff the vote sum is
-    * positive. One explode + one aggregation (32 sums, map-side partial). */
+    * positive. One explode + ONE custom aggregate (graft.functions
+    * .SimhashAgg keeps the whole 32-int vote vector in a single buffer
+    * with map-side partials — the composed form needed 32 SUM(CASE)
+    * columns). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(Portable.words(col("text"))).as("w"))
       .withColumn("h", Portable.h60(col("w")))
-    val votes = (0 until Config.SimhashBits).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"v_$j")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until Config.SimhashBits).map { j =>
-      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
+    toks.groupBy(col("doc_id"))
+      .agg(graft.functions.SimhashAgg.of(col("h"), Config.SimhashBits).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band on the 4 bytes of the fingerprint,
