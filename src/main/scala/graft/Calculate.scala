@@ -57,16 +57,18 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
       .where(col("pff_variable") === pffVariable)
   }
 
-  /** Pivot em() of the given pff variables into one wide row per geoid
+  /** Pivot a plain-em frame's pff variables into one wide row per geoid
     * with "<var>e"/"<var>m" columns (special.py:7-19), via conditional
-    * aggregation — a single shuffle, no pivot-to-driver. */
-  private def emWide(download: DataFrame, vars: Seq[String]): DataFrame = {
+    * aggregation — a single shuffle, no pivot-to-driver. The caller
+    * passes the shared em() aggregate so many specials/medians reuse ONE
+    * aggregation of the download instead of re-scanning it per variable. */
+  private def emWide(emFrame: DataFrame, vars: Seq[String]): DataFrame = {
     // an input that is itself a special (mntrvtm's wrkrnothm) must be
     // derived through its special path, exactly like the reference's
     // calculate_e_m_multiprocessing routes it (calculate.py:33-42)
     val (specialVars, plainVars) = vars.partition(registry.specialVariables.contains)
-    val plain = em(download).where(col("pff_variable").isin(plainVars: _*))
-    val narrowed = specialVars.map(sv => emSpecial(download, sv))
+    val plain = emFrame.where(col("pff_variable").isin(plainVars: _*))
+    val narrowed = specialVars.map(sv => emSpecialFrom(emFrame, sv))
       .foldLeft(plain)(_ unionByName _)
     val aggs = vars.flatMap { v =>
       Seq(max(when(col("pff_variable") === v, col("e"))).as(s"${v}e"),
@@ -77,9 +79,13 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
 
   /** Special-variable e/m via its registered formulas
     * (calculate_e_m_special + special.py). */
-  def emSpecial(download: DataFrame, pffVariable: String): DataFrame = {
+  def emSpecial(download: DataFrame, pffVariable: String): DataFrame =
+    emSpecialFrom(em(download), pffVariable)
+
+  /** As [[emSpecial]] over an already-computed plain em() frame. */
+  def emSpecialFrom(emFrame: DataFrame, pffVariable: String): DataFrame = {
     val sp = registry.specialByName(pffVariable)
-    val wide = emWide(download, sp.baseVariables)
+    val wide = emWide(emFrame, sp.baseVariables)
     val v: String => Column = name => col(name)
     val e0 = sp.eFormula(v)
     val e = if (sp.eZeroToNull) when(e0 === 0, lit(null)).otherwise(e0) else e0
@@ -89,9 +95,13 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
 
   /** Median-variable e/m from its bin-count inputs
     * (calculate_e_m_median + median.py). */
-  def emMedian(download: DataFrame, pffVariable: String): DataFrame = {
+  def emMedian(download: DataFrame, pffVariable: String): DataFrame =
+    emMedianFrom(em(download), pffVariable)
+
+  /** As [[emMedian]] over an already-computed plain em() frame. */
+  def emMedianFrom(emFrame: DataFrame, pffVariable: String): DataFrame = {
     val md = registry.medianByName(pffVariable)
-    val wide = emWide(download, md.inputVariables)
+    val wide = emWide(emFrame, md.inputVariables)
     val renamed = md.inputVariables.zipWithIndex.foldLeft(wide) {
       case (df, (v, i)) => df.withColumnRenamed(s"${v}e", s"c_$i")
     }
@@ -112,6 +122,25 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     val isMedian = registry.medianVariables.contains(pffVariable)
     val isSpecial = registry.specialVariables.contains(pffVariable)
     val isBase = registry.baseVariables.contains(pffVariable)
+
+    // profile-only variables take e/m/p/z straight from the published
+    // profile row (calculate_e_m_p_z, calculate.py:108-127); the
+    // download may carry p/z columns for them
+    if (registry.profileOnlyVariables.contains(pffVariable)) {
+      val v = registry.byName(pffVariable)
+      val hasPz = download.columns.contains("p") && download.columns.contains("z")
+      val rows = download
+        .where(col("census_variable") === v.censusVariables.head)
+      val withPzCols =
+        if (hasPz) rows
+        else rows.withColumn("p", lit(null).cast("double"))
+          .withColumn("z", lit(null).cast("double"))
+      return withPzCols
+        .select(col("census_geoid"), lit(pffVariable).as("pff_variable"),
+          col("geotype"),
+          Census.cv(col("e"), col("m")).as("c"),
+          col("e"), col("m"), col("p"), col("z"))
+    }
 
     val base: DataFrame =
       if (isMedian) emMedian(download, pffVariable)
@@ -194,20 +223,23 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
   /** Rounding per the variable's metadata digits (utils.py:50-59), with
     * the portable half-up convention. */
   def rounding(df: DataFrame): DataFrame = {
-    val digitsMap = registry.variables.map(v => v.pffVariable -> v.rounding).toMap
-    val digitsCol = digitsMap.foldLeft(lit(0)) { case (acc, (name, d)) =>
-      when(col("pff_variable") === name, lit(d)).otherwise(acc)
-    }
-    // e/m round to the variable's digits; c/p/z to 1
+    // digits come from a broadcast metadata join, not a per-variable CASE
+    // chain (which balloons generated code at real registry sizes)
+    val meta = broadcast(df.sparkSession.createDataFrame(
+      registry.variables.map(v => (v.pffVariable, v.rounding)))
+      .toDF("pff_variable", "__digits"))
+    val joined = df.join(meta, Seq("pff_variable"), "left")
+      .na.fill(0, Seq("__digits"))
     val digitValues = (registry.variables.map(_.rounding).toSet + 0).toSeq.sorted
     def roundBy(c: Column): Column =
       digitValues.tail.foldLeft(Portable.roundp(c, digitValues.head)) { (acc, d) =>
-        when(digitsCol === d, Portable.roundp(c, d)).otherwise(acc)
+        when(col("__digits") === d, Portable.roundp(c, d)).otherwise(acc)
       }
-    df.withColumn("e", roundBy(col("e"))).withColumn("m", roundBy(col("m")))
+    joined.withColumn("e", roundBy(col("e"))).withColumn("m", roundBy(col("m")))
       .withColumn("c", Portable.roundp(col("c"), 1))
       .withColumn("p", Portable.roundp(col("p"), 1))
       .withColumn("z", Portable.roundp(col("z"), 1))
+      .drop("__digits")
   }
 
   /** Labs geoid/geotype formatting (calculate.py:354-374). */
@@ -236,9 +268,11 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     // published DP05_0018 -> mdage) would otherwise emit a second,
     // conflicting plain row per geoid
     val dedicated = (registry.specialVariables ++ registry.medianVariables).toSeq
-    val plain = em(download).where(!col("pff_variable").isin(dedicated: _*))
-    val specials = registry.specials.map(sp => emSpecial(download, sp.pffVariable))
-    val medians = registry.medians.map(md => emMedian(download, md.pffVariable))
+    // ONE aggregation of the download feeds every path
+    val emAll = em(download)
+    val plain = emAll.where(!col("pff_variable").isin(dedicated: _*))
+    val specials = registry.specials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
+    val medians = registry.medians.map(md => emMedianFrom(emAll, md.pffVariable))
     // unionByName: the per-path selects don't share column order
     val all = (plain +: (specials ++ medians)).reduce(_ unionByName _)
 
@@ -266,14 +300,18 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     val z = when(isMedian || isBase, lit(null))
       .otherwise(Census.pctMoe(col("e"), col("m"),
         Census.pctOfBase(col("e"), col("agg_e")), col("agg_e"), col("agg_m")))
-    val domainCol = registry.variables.foldLeft(lit("")) { (acc, v) =>
-      when(col("pff_variable") === v.pffVariable, lit(v.domain)).otherwise(acc)
-    }
+    val domains = broadcast(spark.createDataFrame(
+      registry.variables.map(v => (v.pffVariable, v.domain)))
+      .toDF("pff_variable", "domain"))
     val cempzAll = joined
       .withColumn("p", p).withColumn("z", z)
       .withColumn("c", Census.cv(col("e"), col("m")))
       .select("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
-    labsGeoid(cleaning(rounding(cempzAll))).withColumn("domain", domainCol)
+    labsGeoid(cleaning(rounding(cempzAll)))
+      .join(domains, Seq("pff_variable"), "left")
+      .na.fill("", Seq("domain"))
+      .select("census_geoid", "labs_geoid", "geotype", "labs_geotype",
+        "pff_variable", "c", "e", "m", "p", "z", "domain")
   }
 
   /** Partitioned export of [[calculateAll]] output (the pipeline's

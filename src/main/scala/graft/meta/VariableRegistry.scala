@@ -2,6 +2,7 @@ package graft.meta
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.Census
 
 /** A pff variable: which census variables sum into it, its percent base,
   * and rounding digits. Mirrors metadata.json rows (metadata.py:6-41). */
@@ -68,65 +69,64 @@ case class VariableRegistry(
 
 object VariableRegistry {
 
-  /** sqrt(mNum^2 + (eNum*mDen/eDen)^2) / mDiv — the shared MOE shape of
-    * the ratio specials; reference formulas differ only in which
-    * variable supplies each slot. */
-  private def ratioM(v: String => Column, num: String, den: String, mDen: String, mDiv: String): Column =
-    sqrt(v(s"${num}m") * v(s"${num}m") +
-      (v(s"${num}e") * v(s"${mDen}m") / v(s"${mDen}e")) * (v(s"${num}e") * v(s"${mDen}m") / v(s"${mDen}e"))) / v(s"${mDiv}e")
+  /** NULL-guarded division: the reference's pandas yields inf on a zero
+    * denominator (junk that survives into output); we standardize on
+    * NULL, which is also what the DuckDB oracle's x/0 produces. */
+  private def safeDiv(a: Column, b: Column): Column =
+    when(b === 0, lit(null)).otherwise(a / b)
 
-  /** hovacrtm with zero-guards and sign-flip (special.py:22-38). */
-  private def vacancyM(v: String => Column, u: String, sale: String): Column = {
-    val t = v(s"${sale}e") * v(s"${u}m") / v(s"${u}e")
-    val inner = v(s"${sale}m") * v(s"${sale}m") - t * t
-    when(v(s"${u}e") === 0, 0.0)
-      .when(v(s"${sale}e") === 0, 0.0)
-      .otherwise(
-        when(inner < 0, sqrt(v(s"${sale}m") * v(s"${sale}m") + t * t))
-          .otherwise(sqrt(inner)) / v(s"${u}e") * 100)
-  }
+  /** Ratio-special MOE, delegating to the single shared implementation
+    * in [[graft.functions.Census.ratioMoe]]: every special.py formula is
+    * sqrt(mNum^2 + (eNum*mDiv_m/mDiv_e)^2) / mDiv_e with the same
+    * variable in both MOE-denominator slots. NULL on a zero divisor. */
+  private def ratioM(v: String => Column, num: String, mDiv: String): Column =
+    when(v(s"${mDiv}e") === 0, lit(null)).otherwise(
+      Census.ratioMoe(v(s"${num}e"), v(s"${num}m"), v(s"${mDiv}e"), v(s"${mDiv}m")))
+
+  /** hovacrtm — delegates to [[graft.functions.Census.rateMoe]]
+    * (zero-guards + sign-flip, special.py:22-38). */
+  private def vacancyM(v: String => Column, u: String, sale: String): Column =
+    Census.rateMoe(v(s"${u}e"), v(s"${sale}e"), v(s"${sale}m"), v(s"${u}m"))
 
   /** The complete special-variable set of the reference (special.py). */
   val referenceSpecials: Seq[Special] = Seq(
     // per-capita income: agip15pl / pop_6 (special.py:41-49)
     Special("percapinc", Seq("agip15pl", "pop_6"),
-      v => v("agip15ple") / v("pop_6e"),
-      v => ratioM(v, "agip15pl", "pop_6", "pop_6", "pop_6")),
+      v => safeDiv(v("agip15ple"), v("pop_6e")),
+      v => ratioM(v, "agip15pl", "pop_6")),
     // mean travel time: agttm / (wrkr16pl - cw_wrkdhm), MOE over wrkrnothm
     // (special.py:52-63)
     Special("mntrvtm", Seq("agttm", "wrkr16pl", "cw_wrkdhm", "wrkrnothm"),
-      v => v("agttme") / (v("wrkr16ple") - v("cw_wrkdhme")),
-      v => ratioM(v, "agttm", "wrkrnothm", "wrkrnothm", "wrkrnothm")),
+      v => safeDiv(v("agttme"), v("wrkr16ple") - v("cw_wrkdhme")),
+      v => ratioM(v, "agttm", "wrkrnothm")),
     // mean household income: aghhinc / hh2, MOE over hh5 (special.py:66-74)
     Special("mnhhinc", Seq("aghhinc", "hh2", "hh5"),
-      v => v("aghhince") / v("hh2e"),
-      v => ratioM(v, "aghhinc", "hh2", "hh5", "hh5")),
+      v => safeDiv(v("aghhince"), v("hh2e")),
+      v => ratioM(v, "aghhinc", "hh5")),
     // average household size of owner-occupied units (special.py:77-83)
     Special("avghhsooc", Seq("popoochu", "oochu1", "oochu4"),
-      v => v("popoochue") / v("oochu1e"),
-      v => ratioM(v, "popoochu", "oochu1", "oochu4", "oochu4")),
+      v => safeDiv(v("popoochue"), v("oochu1e")),
+      v => ratioM(v, "popoochu", "oochu4")),
     // average household size of renter-occupied units (special.py:86-92)
     Special("avghhsroc", Seq("poprtochu", "rochu1", "rochu2"),
-      v => v("poprtochue") / v("rochu1e"),
-      v => ratioM(v, "poprtochu", "rochu1", "rochu2", "rochu2")),
+      v => safeDiv(v("poprtochue"), v("rochu1e")),
+      v => ratioM(v, "poprtochu", "rochu2")),
     // average household size (special.py:95-101)
     Special("avghhsz", Seq("hhpop1", "hh1", "hh4"),
-      v => v("hhpop1e") / v("hh1e"),
-      v => sqrt(v("hhpop1m") * v("hhpop1m") +
-        (v("hh4m") * v("hhpop1e") / v("hh4e")) * (v("hh4m") * v("hhpop1e") / v("hh4e"))) / v("hh4e")),
+      v => safeDiv(v("hhpop1e"), v("hh1e")),
+      v => ratioM(v, "hhpop1", "hh4")),
     // average family size (special.py:104-110)
     Special("avgfmsz", Seq("popinfms", "fam1", "fam3"),
-      v => v("popinfmse") / v("fam1e"),
-      v => sqrt(v("popinfmsm") * v("popinfmsm") +
-        (v("fam3m") * v("popinfmse") / v("fam3e")) * (v("fam3m") * v("popinfmse") / v("fam3e"))) / v("fam3e")),
+      v => safeDiv(v("popinfmse"), v("fam1e")),
+      v => ratioM(v, "popinfms", "fam3")),
     // owner vacancy rate (special.py:113-122)
     Special("hovacrt", Seq("hovacu", "vacsale"),
-      v => lit(100) * v("vacsalee") / v("hovacue"),
+      v => safeDiv(lit(100) * v("vacsalee"), v("hovacue")),
       v => vacancyM(v, "hovacu", "vacsale"),
       eZeroToNull = true),
     // renter vacancy rate (special.py:125-134)
     Special("rntvacrt", Seq("rntvacu", "vacrnt"),
-      v => lit(100) * v("vacrnte") / v("rntvacue"),
+      v => safeDiv(lit(100) * v("vacrnte"), v("rntvacue")),
       v => vacancyM(v, "rntvacu", "vacrnt"),
       eZeroToNull = true),
     // workers not working at home (special.py:137-142)

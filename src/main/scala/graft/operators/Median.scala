@@ -24,12 +24,16 @@ import graft.functions.Portable
   */
 object Median {
 
-  /** Bin configuration: ordered, contiguous [lo, hi) ranges. */
+  /** Bin configuration: ordered, contiguous [lo, hi) ranges.
+    * `bottomA1` is the lower-bound A1 override when the lower bin is the
+    * first non-zero bin — 0 for every variable except the rooms median
+    * (mdrms), which uses 0.5 (median.py:124-127). */
   case class Config(
       bins: Seq[(Double, Double)],
       designFactor: Double = 1.1,
       topCoding: Boolean = true,
-      bottomCoding: Boolean = true)
+      bottomCoding: Boolean = true,
+      bottomA1: Double = 0.0)
 
   /** Per-geoid fixed-width bin counts c_0..c_{n-1} in one shuffle. */
   def binCounts(df: DataFrame, geoid: Column, binIdx: Column, nBins: Int): DataFrame = {
@@ -76,7 +80,10 @@ object Median {
     // staged as columns too: they are referenced from every branch of the
     // bound CASE chains, and Spark's CollapseProject keeps non-cheap
     // multi-referenced aliases staged rather than re-inlining them.
-    val se50Expr = lit(cfg.designFactor) * sqrt(lit(93.0) / (lit(7.0) * bigN.cast("double")) * lit(2500.0))
+    // NULL se_50 for an empty distribution (reference: np.nan at B==0;
+    // the DuckDB twin's x/0 is NULL while Spark's double / 0 is Inf)
+    val se50Expr = when(bigN === 0, lit(null)).otherwise(
+      lit(cfg.designFactor) * sqrt(lit(93.0) / (lit(7.0) * bigN.cast("double")) * lit(2500.0)))
     val cdExpr = (0 until n).map(i => cum(i).cast("double") / bigN.cast("double") * 100)
     def firstIdx(pred: Int => Column): Column =
       (0 until n).reverse.foldLeft(lit(null).cast("int")) { (acc, i) =>
@@ -106,7 +113,7 @@ object Median {
       val a1Base = lo(i)
       val a2Base = if (i + 1 <= n - 1) lo(i + 1) else lit(null).cast("double")
       val isFnz = firstNonZero === i
-      val a1 = when(isFnz, lit(0.0)).otherwise(a1Base)
+      val a1 = when(isFnz, lit(cfg.bottomA1)).otherwise(a1Base)
       val a2 = when(isFnz, lo(1)).otherwise(a2Base)
       when(lowerBin === i, bound(pl, a1, a2, c1, cd(i))).otherwise(acc)
     }
@@ -156,7 +163,7 @@ object Median {
       (0 to i).map(j => s"c_$j").mkString("(", " + ", ")") + s" AS cum_$i").mkString(", ")
     val s1 = s"SELECT *, $cums FROM $src"
 
-    val se50 = s"(${cfg.designFactor} * sqrt(93.0 / (7.0 * CAST($bigN AS DOUBLE)) * 2500.0))"
+    val se50 = s"(CASE WHEN $bigN = 0 THEN NULL ELSE ${cfg.designFactor} * sqrt(93.0 / (7.0 * CAST($bigN AS DOUBLE)) * 2500.0) END)"
     val cds = (0 until n).map(i =>
       s"(CAST(cum_$i AS DOUBLE) / CAST($bigN AS DOUBLE) * 100) AS cd_$i").mkString(", ")
     val s2 = s"SELECT *, $se50 AS se_50, $cds FROM ($s1)"
@@ -187,7 +194,7 @@ object Median {
     val lowerBound = (0 until n).map { i =>
       val c1 = if (i == 0) "0.0" else s"cd_${i - 1}"
       val a2Base = if (i + 1 <= n - 1) lo(i + 1) else "NULL"
-      val a1 = s"(CASE WHEN fnz_bin = $i THEN 0.0 ELSE ${lo(i)} END)"
+      val a1 = s"(CASE WHEN fnz_bin = $i THEN ${cfg.bottomA1} ELSE ${lo(i)} END)"
       val a2 = s"(CASE WHEN fnz_bin = $i THEN ${lo(1)} ELSE $a2Base END)"
       s"WHEN lower_bin = $i THEN ${bound("(50.0 - se_50)", a1, a2, c1, s"cd_$i")}"
     }.mkString("(CASE ", " ", " ELSE NULL END)")

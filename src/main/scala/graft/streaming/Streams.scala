@@ -47,6 +47,9 @@ object Streams {
     * inactivity (event-time, driven by the watermark in streaming mode).
     * Emits one row per closed session. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    require(events.isStreaming,
+      "sessionize is streaming-only: in batch execution flatMapGroupsWithState " +
+        "never fires timeouts, so every user's final open session would be dropped")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 hour")
@@ -66,7 +69,10 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), nEvents = s.nEvents + 1))
+                  // a late-but-above-watermark event may predate the
+                  // session start; extend both edges
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), nEvents = s.nEvents + 1))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents)
                   cur = Some(SessionState(t, t, 1))

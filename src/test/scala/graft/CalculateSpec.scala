@@ -161,4 +161,13 @@ class CalculateSpec extends SparkSpec {
       .where(col("pff_variable") === "mdage").collect()
     assert(out.length === 1, out.mkString("; "))
   }
+
+  test("profile-only variable takes published e/m/p/z directly") {
+    import spark.implicits._
+    val d = Seq(("36061001500", "tract", "DP03_0062", 72000.0, 3500.0, 72.1, 3.3))
+      .toDF("census_geoid", "geotype", "census_variable", "e", "m", "p", "z")
+    val r = calc.cempz(d, "mdhhinc").collect()(0)
+    assert(r.getDouble(4) === 72000.0 && r.getDouble(5) === 3500.0)
+    assert(r.getDouble(6) === 72.1 && r.getDouble(7) === 3.3)
+  }
 }

@@ -52,4 +52,14 @@ class MedianSpec extends SparkSpec {
     val (m, moe) = run(Seq(100, 300, 100))
     assert(m.isDefined && moe.isDefined && moe.get > 0)
   }
+
+  test("mdrms-style bottomA1=0.5 shifts the lower bound") {
+    import org.apache.spark.sql.functions._
+    // lower_bin == first non-zero bin triggers the A1 override
+    val mk = (a1: Double) => Median.Config(cfg.bins, bottomA1 = a1)
+    val df = spark.sql("SELECT 1 AS geoid, CAST(0 AS BIGINT) c_0, CAST(200 AS BIGINT) c_1, CAST(100 AS BIGINT) c_2")
+    val m0 = Median.withMedianMoe(df, mk(0.0)).select("moe").collect()(0).getDouble(0)
+    val mHalf = Median.withMedianMoe(df, mk(0.5)).select("moe").collect()(0).getDouble(0)
+    assert(m0 !== mHalf, s"bottomA1 must affect the moe: $m0 vs $mHalf")
+  }
 }
