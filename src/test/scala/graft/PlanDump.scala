@@ -1,0 +1,30 @@
+package graft
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates docs/PLANS.md: formatted physical plans of the headline
+  * queries, for plan review without running Spark. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val names = Seq("q1_pricing_summary", "q3_top_orders", "q_vertical_agg",
+      "q_binned_median", "q_dedup_minhash", "q_ann_ivf", "q_asof_join")
+    val sb = new StringBuilder
+    sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
+    sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
+    for (n <- names) {
+      sb.append(s"\n## $n\n\n```\n")
+      val df = SparkEntry.queries(n)(spark, dir)
+      sb.append(df.queryExecution.executedPlan.treeString.take(4000))
+      sb.append("\n```\n")
+    }
+    Files.createDirectories(Paths.get("docs"))
+    Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
+    println("[plandump] wrote docs/PLANS.md")
+    spark.stop()
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-consistency guard: every declared query has an oracle and
+  * vice versa — a missing pairing silently weakens the correctness gate. */
+class SparkEntrySpec extends AnyFunSuite {
+  test("queries and oracleSql cover exactly the same keys") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+  test("oracle SQL strings are non-trivial") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.toUpperCase.startsWith("SELECT") || sql.trim.toUpperCase.startsWith("WITH"),
+        s"$k oracle must be a SELECT/WITH statement")
+      assert(sql.length > 30, s"$k oracle suspiciously short")
+    }
+  }
+}
