@@ -44,6 +44,7 @@ object SparkEntry {
     "q_dedup_exact" -> (L.qDedupExact _),
     "q_dedup_ngram" -> (L.qDedupNgram _),
     "q_dedup_minhash" -> (L.qDedupMinhash _),
+    "q_dedup_clusters" -> (L.qDedupClusters _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_dedup_exact" -> L.qDedupExactSql,
     "q_dedup_ngram" -> L.qDedupNgramSql,
     "q_dedup_minhash" -> L.qDedupMinhashSql,
+    "q_dedup_clusters" -> L.qDedupClustersSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,

@@ -114,6 +114,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Transitive dedup clusters: connected components over a near-dup
+    * pair list, labeling every member with the smallest doc id of its
+    * component (the canonical keeper). Min-label propagation converges
+    * in O(graph diameter) joins — near-dup graphs are unions of small
+    * cliques, so a handful of iterations; the iteration cap only guards
+    * pathological chains. At extreme scale swap in large-star/small-star
+    * (Kiveris et al.) — same DataFrame-join shape per round.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next.localCheckpoint(eager = true) // truncate the lineage per round
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash per doc: every token occurrence votes ±1 on each bit
     * of its 60-bit hash; fingerprint bit j is 1 iff the vote sum is
     * positive. One explode + ONE custom aggregate (graft.functions

@@ -135,6 +135,31 @@ object LlmQueries {
        |JOIN cnt na ON cand.id_a = na.doc_id JOIN cnt nb ON cand.id_b = nb.doc_id""".stripMargin
   }
 
+  // ---- #25b transitive dedup clusters over the near-dup pair graph ----
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold))
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM ws),
+       |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |  FROM common JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+       |  WHERE floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 >= ${Config.JaccardThreshold}),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src, src AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   // ---- #26 SimHash near-dup ----
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =

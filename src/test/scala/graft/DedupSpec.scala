@@ -58,4 +58,13 @@ class DedupSpec extends SparkSpec {
     // shingles doc1: {abc,bcd,cde,def}, doc2: {abc,bcd,cdx,dxy} -> 2/6
     assert(math.abs(j - 2.0 / 6.0) < 1e-6)
   }
+
+  test("clusters labels transitive components with the min doc id") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
 }
