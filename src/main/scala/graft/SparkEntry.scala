@@ -45,6 +45,8 @@ object SparkEntry {
     "q_dedup_ngram" -> (L.qDedupNgram _),
     "q_dedup_minhash" -> (L.qDedupMinhash _),
     "q_dedup_clusters" -> (L.qDedupClusters _),
+    "q_dedup_keep" -> (L.qDedupKeep _),
+    "q_sample_split" -> (L.qSampleSplit _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
@@ -90,6 +92,8 @@ object SparkEntry {
     "q_dedup_ngram" -> L.qDedupNgramSql,
     "q_dedup_minhash" -> L.qDedupMinhashSql,
     "q_dedup_clusters" -> L.qDedupClustersSql,
+    "q_dedup_keep" -> L.qDedupKeepSql,
+    "q_sample_split" -> L.qSampleSplitSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,

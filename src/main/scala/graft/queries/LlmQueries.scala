@@ -141,8 +141,10 @@ object LlmQueries {
     Dedup.clusters(
       Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold))
 
-  val qDedupClustersSql: String =
-    s"""WITH RECURSIVE ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
+  /** Shared CTE chain: documents -> ngram pairs -> undirected edges ->
+    * transitive reachability. */
+  private val dedupGraphCtes: String =
+    s"""ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM ws),
        |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
        |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
@@ -157,8 +159,43 @@ object LlmQueries {
        |reach AS (
        |  SELECT DISTINCT src, src AS dst FROM edges
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $dedupGraphCtes
        |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
+  // ---- #25c the deduplicated corpus: drop non-canonical cluster members ----
+
+  def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val clusters = Dedup.clusters(
+      Dedup.ngramJaccardPairs(docs, "source", Config.JaccardThreshold))
+    val losers = clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val qDedupKeepSql: String =
+    s"""WITH RECURSIVE $dedupGraphCtes,
+       |clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
+
+  // ---- #23b deterministic hash split (train/val assignment) ----
+
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bucket = Portable.h60(concat_ws(":", lit("split"), col("doc_id"))) % 100
+    docs.select(col("doc_id"),
+      when(bucket < 90, "train").otherwise("val").as("split"))
+  }
+
+  val qSampleSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN (('0x' || substr(md5('split' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 90
+      |       THEN 'train' ELSE 'val' END AS split
+      |FROM documents""".stripMargin
 
   // ---- #26 SimHash near-dup ----
 
