@@ -123,23 +123,30 @@ object Dedup {
     * (Kiveris et al.) — same DataFrame-join shape per round.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline ONCE — every
+    // iteration joins against these edges
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // checkpoint BEFORE the convergence count so each round's plan
+      // executes exactly once
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
       val next = labels.unionByName(neighborLabels)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(eager = true)
       val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next.localCheckpoint(eager = true) // truncate the lineage per round
+      labels = next
       converged = changed == 0
       i += 1
     }
