@@ -62,9 +62,12 @@ object Dedup {
     * of (a_k * h31(shingle) + b_k) mod p. All 16 mins aggregate in one
     * pass with map-side partials. Docs with no shingle are dropped
     * (can't minhash an empty set). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = withShingles(docs, Seq.empty)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(withShingles(docs, Seq.empty))
+
+  /** Signatures from a (doc_id, shingles) frame (reusable post-persist). */
+  private def signaturesFromShingles(shArr: DataFrame): DataFrame = {
+    val sh = shArr.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("x", Portable.h31(col("shingle")))
     val aggs = Config.MinhashSeeds.zipWithIndex.map { case ((a, b), k) =>
       min((col("x") * lit(a) + lit(b)) % lit(Config.MinhashPrime)).as(s"sig_$k")
@@ -88,12 +91,15 @@ object Dedup {
     * true shingle Jaccard via array_intersect on the per-doc shingle
     * arrays (no second explode+aggregate pass). */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    // one row per doc and tiny — persist so the band self-join's two
-    // sides don't each recompute the shingle->hash->16-min pipeline.
+    // persist the per-doc shingle arrays ONCE: the signature pipeline and
+    // both verification join sides all derive from it (three document
+    // scans + shingle computations otherwise).
     // NOTE: intentionally not unpersisted (the result is lazy); in a
     // long-lived session the caller owns cache lifecycle via
     // spark.catalog.clearCache() or by materializing + unpersisting
-    val sig = minhashSignatures(docs)
+    val shArr = withShingles(docs, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesFromShingles(shArr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandRows(sig)
     val l = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_val"))
@@ -102,7 +108,6 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val shArr = withShingles(docs, Seq.empty)
     cand
       .join(shArr.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shArr.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
@@ -150,11 +155,15 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"cluster label propagation did not converge in $maxIters iterations " +
+          "(graph diameter exceeds the cap); raise maxIters")
     labels
   }
 
   /** 32-bit SimHash per doc: every token occurrence votes ±1 on each bit
-    * of its 60-bit hash; fingerprint bit j is 1 iff the vote sum is
+    * of the low Config.SimhashBits bits of its 60-bit hash; fingerprint bit j is 1 iff the vote sum is
     * positive. One explode + ONE custom aggregate (graft.functions
     * .SimhashAgg keeps the whole 32-int vote vector in a single buffer
     * with map-side partials — the composed form needed 32 SUM(CASE)

@@ -18,17 +18,6 @@ import graft.functions.{Portable, VectorOps}
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float arrays in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
-
   /** Exact top-k neighbors for each query vector (queries must be a
     * small/bounded set — it is broadcast). Rank on rounded cosine with
     * id tiebreak for cross-engine determinism. */
@@ -100,7 +89,11 @@ object Similarity {
     df.withColumns(cosCols.toMap)
       .withColumn("__ivf_arr", array(cosCols.map(c => col(c._1)): _*))
       .withColumn("bucket",
-        (array_position(col("__ivf_arr"), array_max(col("__ivf_arr"))) - 1).cast("int"))
+        // zero-norm vectors have all-NULL cosines; the oracle's rank
+        // tiebreak assigns them bucket 0 — mirror with coalesce
+        coalesce(
+          (array_position(col("__ivf_arr"), array_max(col("__ivf_arr"))) - 1).cast("int"),
+          lit(0)))
       .drop(cosCols.map(_._1) :+ "__ivf_arr": _*)
   }
 

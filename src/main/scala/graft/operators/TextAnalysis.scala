@@ -41,14 +41,17 @@ object TextAnalysis {
     val nWords = size(ws)
     val nPunct = nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
     val nStop = langScore(ws, Config.Stopwords.toMap.apply("en"))
+    // zero-denominator guards: Spark doubles yield NaN/Inf on /0 where
+    // the DuckDB oracle yields NULL
+    def safe(a: Column, b: Column): Column = when(b === 0, lit(null)).otherwise(a / b)
     docs.select(
       col("doc_id"),
       nChars.cast("long").as("n_chars"),
       nWords.cast("long").as("n_words"),
-      Portable.roundp(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
-      Portable.roundp(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+      Portable.roundp(safe(nPunct.cast("double"), nChars), 6).as("punct_ratio"),
+      Portable.roundp(safe(nStop.cast("double"), nWords), 6).as("stopword_ratio"),
       Portable.roundp(least(nWords.cast("double") / 100, lit(1.0)) *
-        (lit(1.0) - nPunct.cast("double") / nChars), 6).as("quality"))
+        (lit(1.0) - safe(nPunct.cast("double"), nChars)), 6).as("quality"))
   }
 
   /** Token counts: whitespace words vs BPE-ish regex tokens. */

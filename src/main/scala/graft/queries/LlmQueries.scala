@@ -67,8 +67,11 @@ object LlmQueries {
   //          corpus actually has collisions to merge) ----
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    // concat_ws never returns NULL but the oracle's array_to_string over
+    // a NULL word list does — keep NULL texts NULL on both sides
     val d = Tables(spark, dir).documents.select(col("doc_id"),
-      concat_ws(" ", slice(graft.functions.Portable.words(col("text")), 1, 2)).as("text"))
+      when(col("text").isNull, lit(null)).otherwise(
+        concat_ws(" ", slice(graft.functions.Portable.words(col("text")), 1, 2))).as("text"))
     Dedup.exact(d)
   }
 
@@ -262,7 +265,7 @@ object LlmQueries {
     }.mkString("\n      + ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |vb AS (SELECT vec_id, e,
-       |    $planeList AS bucket
+       |    CAST($planeList AS BIGINT) AS bucket
        |  FROM v),
        |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id < 50),
        |s AS (SELECT query_id, q.bucket, vec_id AS cand_id,

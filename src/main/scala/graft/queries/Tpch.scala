@@ -22,13 +22,19 @@ object Tpch {
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir).lineitem
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // group sums go through decimal(38,0): per-row charge terms are
+    // ~1e11, so a long sum wraps past ~9e7 rows per group while the
+    // oracle's SUM(BIGINT) promotes to HUGEINT — decimal matches that
+    // exactness, then converts to double identically on both engines
+    def bigSum(term: Column): Column =
+      sum(term.cast("decimal(38,0)")).cast("double")
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Portable.roundp(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
-        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
-        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        (bigSum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (bigSum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
           .as("sum_disc_price"),
-        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+        (bigSum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
           * (lit(100L) + cents(col("l_tax")))) / 1000000.0).as("sum_charge"),
         Portable.roundp(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
         Portable.roundp(sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1)), 6).as("avg_price"),
