@@ -15,15 +15,19 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: computes every column of every row (count() would let
-      // Spark skip projection work entirely on narrow queries)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      // min of two timed runs: steady-state timing, halves machine noise
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: computes every column of every row (count() would
+        // let Spark skip projection work entirely on narrow queries)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
