@@ -13,21 +13,26 @@ object Bench {
     // Warm the JVM + codegen + parquet footers so the first timed query
     // doesn't absorb session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two timed runs: steady-state timing, halves machine noise
-      val times = (1 to 2).map { _ =>
+      // min of two timed runs: steady-state timing, halves machine noise.
+      // A failed run is not timed and short-circuits the second run.
+      var times = List.empty[Double]
+      var i = 0
+      while (i < 2 && !failed.contains(name)) {
         val t0 = System.nanoTime()
         // noop sink: computes every column of every row (count() would
         // let Spark skip projection work entirely on narrow queries)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times ::= (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      name -> times.min
+      name -> (if (times.isEmpty) 0.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,6 +26,9 @@ case class FloatCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // zero-norm inputs yield NULL even when both children are non-nullable
+  override def nullable: Boolean = true
+
   override def prettyName: String = "float_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
