@@ -21,7 +21,12 @@ import graft.operators.{CensusOps, Median}
   * regardless of variable count, and per-geotype routing belongs to the
   * ingestion layer that built the download frame.
   */
-class Calculate(registry: VariableRegistry, source: String = "acs") {
+class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
+
+  /** "acs" or "decennial" — taken from the registry vintage unless
+    * explicitly overridden. */
+  private val source: String =
+    if (sourceOverride.nonEmpty) sourceOverride else registry.source
 
   /** Ingestion scrub for a raw download: census sentinel codes -> NULL,
     * controlled-value MOEs -> 0 for controlled geographies
@@ -109,7 +114,7 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
       // reference's pandas sum treats missing bins as 0 (skipna)
       .na.fill(0.0, (0 until md.inputs.size).map(i => s"c_$i"))
     Median.withMedianMoe(renamed,
-        Median.Config(md.bins, md.designFactor, md.topCoding, md.bottomCoding))
+        Median.Config(md.bins, md.designFactor, md.topCoding, md.bottomCoding, md.bottomA1))
       .select(col("census_geoid"), lit(pffVariable).as("pff_variable"),
         col("geotype"), col("median").as("e"), col("moe").as("m"))
   }
@@ -154,6 +159,16 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
           .withColumn("z", lit(null).cast("double"))
       else if (isBase)
         base.withColumn("p", lit(100.0)).withColumn("z", lit(null).cast("double"))
+      // below-poverty counts: p/z are the companion `{var}_pct`
+      // variable's e/m, not a base-join derivation
+      // (calculate_poverty_p_z, calculate.py:171-186, routed at 244-249)
+      else if (VariableRegistry.povertyVariables.contains(pffVariable) &&
+               registry.byName.contains(s"${pffVariable}_pct")) {
+        val pz = emFor(download, s"${pffVariable}_pct")
+          .select(col("census_geoid"), col("geotype"),
+            col("e").as("p"), col("m").as("z"))
+        base.join(pz, Seq("census_geoid", "geotype"))
+      }
       else baseVariable match {
         case Some(bv) =>
           val agg = (if (registry.specialVariables.contains(bv)) emSpecial(download, bv)
@@ -268,13 +283,25 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
     // published DP05_0018 -> mdage) would otherwise emit a second,
     // conflicting plain row per geoid
     val dedicated = (registry.specialVariables ++ registry.medianVariables).toSeq
+    // profile-only variables take published e/m/p/z straight from the
+    // download (calculate_e_m_p_z, calculate.py:108-127), like apply()
+    val profileOnly = registry.profileOnlyVariables
     // ONE aggregation of the download feeds every path
     val emAll = em(download)
-    val plain = emAll.where(!col("pff_variable").isin(dedicated: _*))
+    val notProfile =
+      if (profileOnly.isEmpty) lit(true)
+      else !col("pff_variable").isin(profileOnly.toSeq: _*)
+    val plainAll = emAll.where(!col("pff_variable").isin(dedicated: _*))
+    val plain = plainAll.where(notProfile)
     val specials = registry.specials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
     val medians = registry.medians.map(md => emMedianFrom(emAll, md.pffVariable))
     // unionByName: the per-path selects don't share column order
     val all = (plain +: (specials ++ medians)).reduce(_ unionByName _)
+    // base-variable (and poverty-pct) lookups resolve against the PLAIN
+    // horizontal aggregate even when the base is itself profile-only:
+    // the reference's df_base always comes from calculate_e_m
+    // (calculate.py:250-262), never from the published-profile path
+    val lookupAll = (plainAll +: (specials ++ medians)).reduce(_ unionByName _)
 
     def inSet(s: Set[String]): Column =
       if (s.isEmpty) lit(false) else col("pff_variable").isin(s.toSeq: _*)
@@ -286,27 +313,73 @@ class Calculate(registry: VariableRegistry, source: String = "acs") {
       registry.variables.collect {
         case v if v.baseVariable.isDefined => (v.pffVariable, v.baseVariable.get)
       }).toDF("pff_variable", "base_pff"))
-    val baseRows = all.select(col("census_geoid"), col("geotype"),
+    val baseRows = lookupAll.select(col("census_geoid"), col("geotype"),
       col("pff_variable").as("base_pff"),
       col("e").as("agg_e"), col("m").as("agg_m"))
-    val joined = all
+    // below-poverty counts pull p/z from their `{var}_pct` companion's
+    // e/m (calculate.py:244-249) via the same kind of broadcast-mapped
+    // self-join as the base variables
+    val povertyPct = VariableRegistry.povertyVariables.toSeq.sorted.collect {
+      case v if registry.byName.contains(s"${v}_pct") => (v, s"${v}_pct")
+    }
+    val isPoverty =
+      if (povertyPct.isEmpty) lit(false)
+      else col("pff_variable").isin(povertyPct.map(_._1): _*)
+    val joined0 = all
       .join(baseMap, Seq("pff_variable"), "left")
       .join(baseRows, Seq("census_geoid", "geotype", "base_pff"), "left")
+    val joined =
+      if (povertyPct.isEmpty)
+        joined0.withColumn("__pct_p", lit(null).cast("double"))
+          .withColumn("__pct_z", lit(null).cast("double"))
+      else {
+        val pctMap = broadcast(spark.createDataFrame(povertyPct)
+          .toDF("pff_variable", "__pct_var"))
+        val pctRows = lookupAll.select(col("census_geoid"), col("geotype"),
+          col("pff_variable").as("__pct_var"),
+          col("e").as("__pct_p"), col("m").as("__pct_z"))
+        joined0.join(pctMap, Seq("pff_variable"), "left")
+          .join(pctRows, Seq("census_geoid", "geotype", "__pct_var"), "left")
+      }
 
     val p = when(isMedian,
         when(col("geotype").isin("city", "borough"), lit(100.0)).otherwise(lit(null)))
       .when(isBase, lit(100.0))
+      .when(isPoverty, col("__pct_p"))
       .otherwise(Census.pctOfBase(col("e"), col("agg_e")))
     val z = when(isMedian || isBase, lit(null))
+      .when(isPoverty, col("__pct_z"))
       .otherwise(Census.pctMoe(col("e"), col("m"),
         Census.pctOfBase(col("e"), col("agg_e")), col("agg_e"), col("agg_m")))
     val domains = broadcast(spark.createDataFrame(
       registry.variables.map(v => (v.pffVariable, v.domain)))
       .toDF("pff_variable", "domain"))
-    val cempzAll = joined
+    val derived = joined
       .withColumn("p", p).withColumn("z", z)
       .withColumn("c", Census.cv(col("e"), col("m")))
       .select("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
+    // published-profile rows: straight from the download, no aggregation
+    val poMapRows = registry.variables.collect {
+      case v if profileOnly.contains(v.pffVariable) =>
+        (v.censusVariables.head, v.pffVariable)
+    }
+    val cempzAll =
+      if (poMapRows.isEmpty) derived
+      else {
+        val poMap = broadcast(spark.createDataFrame(poMapRows)
+          .toDF("census_variable", "pff_variable"))
+        val rows = download.join(poMap, Seq("census_variable"))
+        val hasPz = download.columns.contains("p") && download.columns.contains("z")
+        val withPzCols =
+          if (hasPz) rows
+          else rows.withColumn("p", lit(null).cast("double"))
+            .withColumn("z", lit(null).cast("double"))
+        val profileRows = withPzCols.select(col("census_geoid"),
+          col("pff_variable"), col("geotype"),
+          Census.cv(col("e"), col("m")).as("c"),
+          col("e"), col("m"), col("p").cast("double"), col("z").cast("double"))
+        derived.unionByName(profileRows)
+      }
     labsGeoid(cleaning(rounding(cempzAll)))
       .join(domains, Seq("pff_variable"), "left")
       .na.fill("", Seq("domain"))

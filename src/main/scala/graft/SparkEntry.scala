@@ -30,6 +30,8 @@ object SparkEntry {
     "q_outlier_clean" -> (C.qOutlierClean _),
     "q_labs_geoid" -> (C.qLabsGeoid _),
     "q_support_geoids" -> (C.qSupportGeoids _),
+    "q_median_rooms" -> (C.qMedianRooms _),
+    "q_poverty_pz" -> (C.qPovertyPz _),
     // query-engine basics
     "q1_pricing_summary" -> (T.q1PricingSummary _),
     "q3_top_orders" -> (T.q3TopOrders _),
@@ -79,6 +81,8 @@ object SparkEntry {
     "q_outlier_clean" -> C.qOutlierCleanSql,
     "q_labs_geoid" -> C.qLabsGeoidSql,
     "q_support_geoids" -> C.qSupportGeoidsSql,
+    "q_median_rooms" -> C.qMedianRoomsSql,
+    "q_poverty_pz" -> C.qPovertyPzSql,
     "q1_pricing_summary" -> T.q1Sql,
     "q3_top_orders" -> T.q3Sql,
     "q_window_running" -> T.qWindowRunningSql,

@@ -1,0 +1,142 @@
+package graft.meta
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Loads a full [[VariableRegistry]] vintage from the bundled registry
+  * data (src/main/resources/graft/data — verbatim public data from the
+  * reference's factfinder/data tree; see the README there).
+  *
+  * Mirrors the reference's `Metadata` class (metadata.py:44-80): per
+  * (source, year) the three JSON files metadata.json / median.json /
+  * special.json become Variable / MedianSpec / Special rows. Special
+  * formulas are code, not data, in both engines — they resolve by
+  * pff_variable name against [[VariableRegistry.referenceSpecials]]
+  * exactly like special.py resolves `globals()[pff_variable]`
+  * (calculate.py:196).
+  *
+  * Parsing uses json4s (shipped with Spark): a JObject's field list is
+  * built in document order by the streaming parser, and document order
+  * IS the bin order the median math relies on (metadata.py:118-130
+  * iterates dict insertion order).
+  */
+object RegistryLoader {
+
+  /** Vintages bundled in resources, as (source, year). acs/2021 ships
+    * only an (incomplete, census-variable-less) metadata.json upstream;
+    * its median/special load as empty. */
+  val vintages: Seq[(String, Int)] = Seq(
+    "acs" -> 2010, "acs" -> 2018, "acs" -> 2019, "acs" -> 2021,
+    "decennial" -> 2010, "decennial" -> 2020)
+
+  private def readResource(path: String): Option[String] = {
+    val in = getClass.getResourceAsStream(path)
+    if (in == null) None
+    else try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  private def asDouble(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case other => throw new IllegalArgumentException(s"not a number: $other")
+  }
+
+  /** metadata.json rows -> Variable. A literal "nan" base_variable means
+    * no percent base (calculate.py:258 checks `!= "nan"`). acs/2021
+    * metadata ships upstream without census_variable / rounding /
+    * category fields — their absence is tolerated. */
+  private def parseVariables(json: String): Seq[Variable] = {
+    val JArray(rows) = JsonMethods.parse(json): @unchecked
+    rows.map { row =>
+      val o = row.asInstanceOf[JObject].obj.toMap
+      def str(k: String): Option[String] = o.get(k).collect { case JString(s) => s }
+      Variable(
+        pffVariable = str("pff_variable").get,
+        censusVariables = o.get("census_variable").collect {
+          case JArray(a) => a.collect { case JString(s) => s }
+        }.getOrElse(Seq.empty),
+        baseVariable = str("base_variable").filterNot(b => b == "nan" || b.isEmpty),
+        domain = str("domain").getOrElse(""),
+        category = str("category").getOrElse(""),
+        rounding = o.get("rounding").map(asDouble(_).toInt).getOrElse(0))
+    }
+  }
+
+  /** median.json -> MedianSpec, bins in document order. The rooms
+    * median's lower-bound A1 override (0.5 instead of 0) is keyed by
+    * name in the reference (median.py:124-127); it lives here so the
+    * Median operator itself stays name-agnostic. */
+  private def parseMedians(json: String): Seq[MedianSpec] = {
+    val JObject(medians) = JsonMethods.parse(json): @unchecked
+    medians.map { case (name, specVal) =>
+      val spec = specVal.asInstanceOf[JObject].obj.toMap
+      val JObject(ranges) = spec("ranges"): @unchecked
+      val inputs = ranges.map { case (bin, arr) =>
+        val JArray(bounds) = arr: @unchecked
+        bin -> (asDouble(bounds(0)), asDouble(bounds(1)))
+      }
+      MedianSpec(name, inputs,
+        designFactor = asDouble(spec("design_factor")),
+        topCoding = spec("top_coding") == JBool(true),
+        bottomCoding = spec("bottom_coding") == JBool(true),
+        bottomA1 = if (name == "mdrms") 0.5 else 0.0)
+    }
+  }
+
+  /** special.json -> Special, resolving each entry's formulas by name. */
+  private def parseSpecials(json: String): Seq[Special] = {
+    val byName = VariableRegistry.referenceSpecials.map(s => s.pffVariable -> s).toMap
+    val JArray(rows) = JsonMethods.parse(json): @unchecked
+    rows.map { row =>
+      val o = row.asInstanceOf[JObject].obj.toMap
+      val JString(name) = o("pff_variable"): @unchecked
+      val bases = o.get("base_variables").collect {
+        case JArray(a) => a.collect { case JString(s) => s }
+      }.getOrElse(Seq.empty)
+      val formulas = byName.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"special.json entry '$name' has no registered formula " +
+            "(special.py defines one function per special variable)"))
+      formulas.copy(baseVariables = bases)
+    }
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Int), VariableRegistry]()
+
+  /** The full registry for a vintage, e.g. load("acs", 2019) = 1047
+    * variables, 10 medians, 10 specials. Cached per vintage. */
+  def load(source: String, year: Int): VariableRegistry =
+    cache.computeIfAbsent((source, year), { _ =>
+      val dir = s"/graft/data/$source/$year"
+      val meta = readResource(s"$dir/metadata.json").getOrElse(
+        throw new IllegalArgumentException(s"no bundled registry for $source/$year"))
+      val variables = parseVariables(meta)
+      val medians = readResource(s"$dir/median.json").map(parseMedians).getOrElse(Seq.empty)
+      val specials = readResource(s"$dir/special.json").map(parseSpecials).getOrElse(Seq.empty)
+      VariableRegistry(
+        variables = variables,
+        medians = medians,
+        specials = specials,
+        profileOnlyVariables = profileOnly(variables),
+        source = source)
+    })
+
+  /** Variables whose numerator comes from a DP profile dataset but whose
+    * pff percent base differs from the census's — routed through the
+    * plain path instead of the published-PE/PM path (metadata.py:50-61). */
+  val profileOnlyExceptions: Set[String] = Set(
+    "abroad", "cvlfuem2", "dfhsdfcnt", "dfhssmcnt", "dfhsus",
+    "hh5", "oochu4", "p65plbwpv", "pbwpv", "pu18bwpv")
+
+  /** profile_only_variables (metadata.py:85-95): single-census-variable
+    * DP-sourced variables, minus the exceptions. */
+  private def profileOnly(variables: Seq[Variable]): Set[String] =
+    variables.collect {
+      case v if v.censusVariables.length == 1 &&
+        v.censusVariables.head.startsWith("DP") &&
+        !profileOnlyExceptions.contains(v.pffVariable) => v.pffVariable
+    }.toSet
+}

@@ -12,7 +12,26 @@ case class Variable(
     baseVariable: Option[String],
     domain: String = "",
     category: String = "",
-    rounding: Int = 0)
+    rounding: Int = 0) {
+
+  /** The census API column names this variable reads, derived from the
+    * raw census_variable list exactly as Variable.census_variables
+    * (metadata.py:16-31): `_E/_M/_PE/_PM` suffixes for ACS variables;
+    * decennial variables (leading 'P') publish no suffixed columns, so
+    * an all-decennial list falls back to the raw names for E and leaves
+    * M/PE/PM empty. */
+  def eVariables: Seq[String] = {
+    val e = censusVariables.filterNot(_.startsWith("P")).map(_ + "E")
+    if (e.isEmpty) censusVariables else e
+  }
+  def mVariables: Seq[String] = censusVariables.filterNot(_.startsWith("P")).map(_ + "M")
+  def peVariables: Seq[String] = censusVariables.filterNot(_.startsWith("P")).map(_ + "PE")
+  def pmVariables: Seq[String] = censusVariables.filterNot(_.startsWith("P")).map(_ + "PM")
+
+  /** (E, M, PE, PM) census API name lists (metadata.py:16-31). */
+  def censusApiVariables: (Seq[String], Seq[String], Seq[String], Seq[String]) =
+    (eVariables, mVariables, peVariables, pmVariables)
+}
 
 /** A binned median variable: ordered (input pff variable -> [lo, hi])
   * ranges plus the ACS design factor and coding flags. Mirrors
@@ -22,7 +41,11 @@ case class MedianSpec(
     inputs: Seq[(String, (Double, Double))],
     designFactor: Double = 1.1,
     topCoding: Boolean = true,
-    bottomCoding: Boolean = true) {
+    bottomCoding: Boolean = true,
+    // lower-bound A1 override when the lower bin is the first non-zero
+    // bin: 0 for every median except rooms (mdrms), which uses 0.5
+    // (median.py:124-127)
+    bottomA1: Double = 0.0) {
   def bins: Seq[(Double, Double)] = inputs.map(_._2)
   def inputVariables: Seq[String] = inputs.map(_._1)
 }
@@ -48,7 +71,8 @@ case class VariableRegistry(
     variables: Seq[Variable],
     medians: Seq[MedianSpec],
     specials: Seq[Special],
-    profileOnlyVariables: Set[String] = Set.empty) {
+    profileOnlyVariables: Set[String] = Set.empty,
+    source: String = "acs") {
 
   lazy val byName: Map[String, Variable] = variables.map(v => v.pffVariable -> v).toMap
   lazy val medianByName: Map[String, MedianSpec] = medians.map(m => m.pffVariable -> m).toMap
@@ -68,6 +92,18 @@ case class VariableRegistry(
 }
 
 object VariableRegistry {
+
+  /** Below-poverty count variables whose p/z come from a companion
+    * `{var}_pct` variable's e/m instead of the base join
+    * (calculate.py:244-249). */
+  val povertyVariables: Set[String] = Set("pbwpv", "pu18bwpv", "p65plbwpv")
+
+  /** Full registry vintages parsed from the bundled reference data
+    * (metadata.py:63-80). acs2019: 1047 variables / 10 medians /
+    * 10 specials. */
+  def acs(year: Int): VariableRegistry = RegistryLoader.load("acs", year)
+  def decennial(year: Int): VariableRegistry = RegistryLoader.load("decennial", year)
+  lazy val acs2019: VariableRegistry = acs(2019)
 
   /** NULL-guarded division: the reference's pandas yields inf on a zero
     * denominator (junk that survives into output); we standardize on

@@ -154,8 +154,13 @@ object Median {
     * count instead of exploding combinatorially. */
   def medianSqlFrom(cfg: Config, src: String): String = {
     val n = cfg.bins.size
-    def lo(i: Int) = cfg.bins(i)._1.toString
-    def hi(i: Int) = cfg.bins(i)._2.toString
+    // bin bounds MUST be double literals: DuckDB parses bare decimal
+    // literals as DECIMAL, so e.g. (5.499 - 4.5) is exact there while
+    // Spark computes it in binary double — a last-ulp divergence that
+    // flips rounding boundaries
+    def lo(i: Int) = s"CAST(${cfg.bins(i)._1} AS DOUBLE)"
+    def hi(i: Int) = s"CAST(${cfg.bins(i)._2} AS DOUBLE)"
+    val bottomA1Sql = s"CAST(${cfg.bottomA1} AS DOUBLE)"
     val bigN = s"cum_${n - 1}"
     val half = s"(CAST($bigN AS DOUBLE) / 2)"
 
@@ -194,7 +199,7 @@ object Median {
     val lowerBound = (0 until n).map { i =>
       val c1 = if (i == 0) "0.0" else s"cd_${i - 1}"
       val a2Base = if (i + 1 <= n - 1) lo(i + 1) else "NULL"
-      val a1 = s"(CASE WHEN fnz_bin = $i THEN ${cfg.bottomA1} ELSE ${lo(i)} END)"
+      val a1 = s"(CASE WHEN fnz_bin = $i THEN $bottomA1Sql ELSE ${lo(i)} END)"
       val a2 = s"(CASE WHEN fnz_bin = $i THEN ${lo(1)} ELSE $a2Base END)"
       s"WHEN lower_bin = $i THEN ${bound("(50.0 - se_50)", a1, a2, c1, s"cd_$i")}"
     }.mkString("(CASE ", " ", " ELSE NULL END)")

@@ -483,4 +483,87 @@ object CensusQueries {
     s"""WITH $geoInputCte
        |SELECT DISTINCT labs_geotype AS geotype, labs_geoid AS geoid
        |FROM (SELECT c_custkey, $labsSelect FROM g)""".stripMargin
+
+  // ---- #35 mdrms rooms median through Calculate + the FULL acs2019
+  //      registry (bins, DF=1.5, no top/bottom coding, bottomA1=0.5) ----
+
+  import graft.meta.VariableRegistry
+
+  /** The mdrms config as loaded from the bundled reference registry —
+    * the oracle SQL is generated from this same object. */
+  private lazy val mdrms = VariableRegistry.acs2019.medianByName("mdrms")
+  private lazy val mdrmsCfg = Median.Config(
+    mdrms.bins, mdrms.designFactor, mdrms.topCoding, mdrms.bottomCoding, mdrms.bottomA1)
+
+  /** lineitem rows -> a census-shaped download of the mdrms bin-count
+    * variables (each row counts 1 into one of the 9 rms bins — unit
+    * counts, like the reference's downloads, so the cross-engine sums
+    * are order-independent), run end-to-end through Calculate.emMedian
+    * with the acs2019 registry. */
+  def qMedianRooms(spark: SparkSession, dir: String): DataFrame = {
+    val reg = VariableRegistry.acs2019
+    val cvs = mdrms.inputVariables.map(v => reg.byName(v).censusVariables.head)
+    val l = Tables(spark, dir).lineitem
+    val bin = ((col("l_orderkey") * 7 + col("l_linenumber")) % 9).cast("int")
+    val download = l.select(
+      (col("l_orderkey") % 500).cast("string").as("census_geoid"),
+      lit("tract").as("geotype"),
+      element_at(array(cvs.map(lit): _*), bin + 1).as("census_variable"),
+      lit(1.0).as("e"),
+      lit(1.0).as("m"))
+    new graft.Calculate(reg).emMedian(download, "mdrms")
+      .select(col("census_geoid"),
+        Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("m"), 4).as("m"))
+  }
+
+  lazy val qMedianRoomsSql: String = {
+    val counts = (0 until mdrmsCfg.bins.size)
+      .map(i => s"CAST(COUNT(*) FILTER (WHERE (l_orderkey*7 + l_linenumber) % 9 = $i) AS DOUBLE) AS c_$i")
+      .mkString(",\n    ")
+    s"""WITH mc AS (
+       |  SELECT CAST(l_orderkey % 500 AS VARCHAR) AS geoid,
+       |    $counts
+       |  FROM lineitem GROUP BY 1)
+       |SELECT geoid AS census_geoid,
+       |  floor((median) * 1e4 + 0.5) / 1e4 AS e,
+       |  floor((moe) * 1e4 + 0.5) / 1e4 AS m
+       |FROM (${Median.medianSqlFrom(mdrmsCfg, "mc")})""".stripMargin
+  }
+
+  // ---- #36 below-poverty p/z from the _pct companion variable ----
+
+  /** Even line numbers feed the pbwpv count variable, odd ones its
+    * `pbwpv_pct` companion; cempz routes p/z from the companion's e/m
+    * (calculate.py:171-186, 244-249). */
+  def qPovertyPz(spark: SparkSession, dir: String): DataFrame = {
+    val reg = VariableRegistry.acs2019
+    val l = Tables(spark, dir).lineitem
+    val download = l.select(
+      (col("l_orderkey") % 500).cast("string").as("census_geoid"),
+      lit("tract").as("geotype"),
+      when(col("l_linenumber") % 2 === 0, "S1701_C02_001")
+        .otherwise("S1701_C03_001").as("census_variable"),
+      col("l_quantity").as("e"),
+      (col("l_discount") * 10).as("m"))
+    new graft.Calculate(reg).cempz(download, "pbwpv")
+      .select(col("census_geoid"),
+        Portable.roundp(col("c"), 4).as("c"), Portable.roundp(col("e"), 4).as("e"),
+        Portable.roundp(col("m"), 4).as("m"), Portable.roundp(col("p"), 4).as("p"),
+        Portable.roundp(col("z"), 4).as("z"))
+  }
+
+  val qPovertyPzSql: String =
+    """WITH d AS (
+      |  SELECT CAST(l_orderkey % 500 AS VARCHAR) AS g,
+      |    l_linenumber % 2 = 0 AS is_cnt, l_quantity AS e, l_discount*10 AS m
+      |  FROM lineitem),
+      |cnt AS (SELECT g, SUM(e) AS e, sqrt(SUM(m*m)) AS m FROM d WHERE is_cnt GROUP BY 1),
+      |pct AS (SELECT g, SUM(e) AS p, sqrt(SUM(m*m)) AS z FROM d WHERE NOT is_cnt GROUP BY 1)
+      |SELECT cnt.g AS census_geoid,
+      |  floor((CASE WHEN cnt.e = 0 THEN NULL ELSE cnt.m/1.645/cnt.e*100 END) * 1e4 + 0.5) / 1e4 AS c,
+      |  floor((cnt.e) * 1e4 + 0.5) / 1e4 AS e,
+      |  floor((cnt.m) * 1e4 + 0.5) / 1e4 AS m,
+      |  floor((pct.p) * 1e4 + 0.5) / 1e4 AS p,
+      |  floor((pct.z) * 1e4 + 0.5) / 1e4 AS z
+      |FROM cnt JOIN pct ON cnt.g = pct.g""".stripMargin
 }

@@ -162,6 +162,62 @@ class CalculateSpec extends SparkSpec {
     assert(out.length === 1, out.mkString("; "))
   }
 
+  test("poverty variable pbwpv takes p/z from its _pct companion (acs2019)") {
+    val calc19 = new Calculate(VariableRegistry.acs2019)
+    val d = dl(
+      ("g1", "S1701_C02_001", 1200.0, 150.0),  // pbwpv count
+      ("g1", "S1701_C03_001", 18.5, 2.1))      // pbwpv_pct
+    val r = calc19.cempz(d, "pbwpv").collect()(0)
+    assert(r.getDouble(4) === 1200.0 && r.getDouble(5) === 150.0)
+    // p/z are the pct companion's e/m, NOT a base-join derivation
+    // (calculate.py:171-186, 244-249)
+    assert(r.getDouble(6) === 18.5)
+    assert(r.getDouble(7) === 2.1)
+  }
+
+  test("mdrms median uses the 0.5 lower-bound A1 override (acs2019)") {
+    val reg = VariableRegistry.acs2019
+    val calc19 = new Calculate(reg)
+    val md = reg.medianByName("mdrms")
+    // bottom two bins empty; mass 100/100 in rms3/rms4 -> the MOE's
+    // lower bin IS the first non-zero bin (and != bin 0), triggering
+    // the mdrms A1 = 0.5 override (median.py:124-127)
+    val rows = md.inputVariables.zipWithIndex.map { case (v, i) =>
+      val cv = reg.byName(v).censusVariables.head
+      ("g1", cv, if (i == 2 || i == 3) 100.0 else 0.0, 1.0)
+    }
+    val r = calc19.emMedian(dl(rows: _*), "mdrms").collect()(0)
+    // N=200: se_50 = 1.5*sqrt(93/(7*200)*2500); p_lo = 50-se_50
+    val se50 = 1.5 * math.sqrt(93.0 / (7 * 200) * 2500)
+    val pLo = 50 - se50
+    val pUp = 50 + se50
+    // lower bin = rms3 (cum% 50), fnz -> A1=0.5, A2=min(ranges[1])=1.5
+    val lb = (pLo - 0) * (1.5 - 0.5) / (50 - 0) + 0.5
+    // upper bin = rms4 (cum% 100): A1=lo(3)=3.5, A2=lo(4)=4.5
+    val ub = (pUp - 50) * (4.5 - 3.5) / (100 - 50) + 3.5
+    // median (no bottom coding): bin rms3, = 2.5 + 100*(3.499-2.5)/100
+    assert(math.abs(r.getDouble(3) - 3.499) < 1e-9)
+    assert(math.abs(r.getDouble(4) - (ub - lb) * 1.645 / 2) < 1e-9)
+  }
+
+  test("calculateAll routes profile-only and poverty variables like apply() (acs2019)") {
+    import spark.implicits._
+    val calc19 = new Calculate(VariableRegistry.acs2019)
+    val d = Seq(
+      // mdhhinc: profile-only -> published e/m/p/z pass through
+      ("36061001500", "tract", "DP03_0062", 72000.0, 3500.0, Some(72.1), Some(3.3)),
+      // pbwpv count + its _pct companion
+      ("36061001500", "tract", "S1701_C02_001", 1200.0, 150.0, None, None),
+      ("36061001500", "tract", "S1701_C03_001", 18.5, 2.1, None, None))
+      .toDF("census_geoid", "geotype", "census_variable", "e", "m", "p", "z")
+    val out = calc19.calculateAll(d)
+      .where(col("pff_variable").isin("mdhhinc", "pbwpv"))
+      .orderBy("pff_variable").drop("domain").collect()
+    val perVar = Seq("mdhhinc", "pbwpv").map(v => calc19(d, v).collect()(0))
+    assert(out.length === 2, out.mkString("; "))
+    out.zip(perVar).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
+  }
+
   test("profile-only variable takes published e/m/p/z directly") {
     import spark.implicits._
     val d = Seq(("36061001500", "tract", "DP03_0062", 72000.0, 3500.0, 72.1, 3.3))

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.meta.{RegistryLoader, Variable, VariableRegistry}
+
+/** Full-vintage registry parity with the reference's Metadata class
+  * (metadata.py) over the bundled data/{acs,decennial}/<year> JSON. */
+class RegistryLoaderSpec extends AnyFunSuite {
+
+  private lazy val r2019 = VariableRegistry.acs2019
+
+  test("acs2019 loads the complete registry: 1047 variables, 10 medians, 10 specials") {
+    assert(r2019.variables.size === 1047)
+    assert(r2019.medians.map(_.pffVariable) === Seq(
+      "mdage", "mdhhinc", "mdfaminc", "mdnfinc", "mdewrk", "mdemftwrk",
+      "mdefftwrk", "mdrms", "mdvl", "mdgr"))
+    assert(r2019.specials.map(_.pffVariable) === Seq(
+      "percapinc", "mntrvtm", "mnhhinc", "avghhsooc", "avghhsroc",
+      "avghhsz", "avgfmsz", "rntvacrt", "hovacrt", "wrkrnothm"))
+    assert(r2019.source === "acs")
+  }
+
+  test("every bundled vintage loads") {
+    RegistryLoader.vintages.foreach { case (s, y) =>
+      val r = RegistryLoader.load(s, y)
+      assert(r.variables.nonEmpty, s"$s/$y")
+    }
+    assert(VariableRegistry.decennial(2010).variables.size === 25)
+    assert(VariableRegistry.decennial(2010).medians.isEmpty)
+    assert(VariableRegistry.acs(2021).medians.isEmpty, "2021 ships metadata only")
+  }
+
+  test("metadata rows parse with bases, domains, rounding; 'nan' base -> None") {
+    val lg = r2019.byName("lgoenlep1")
+    assert(lg.censusVariables.size === 12 && lg.censusVariables.head === "C16001_005")
+    assert(lg.baseVariable === Some("pop5pl1"))
+    assert(lg.domain === "social" && lg.category === "Language Spoken at Home")
+    // pbwpv_pct has base_variable "nan" in metadata.json
+    assert(r2019.byName("pbwpv_pct").baseVariable === None)
+    assert(r2019.variables.map(_.rounding).toSet === Set(0, 1, 2))
+  }
+
+  test("mdrms median spec: DF 1.5, no coding, 9 ordered bins, bottomA1 0.5") {
+    val md = r2019.medianByName("mdrms")
+    assert(md.designFactor === 1.5)
+    assert(!md.topCoding && !md.bottomCoding)
+    assert(md.bottomA1 === 0.5, "rooms-median lower-bound override (median.py:124-127)")
+    assert(md.inputVariables === Seq(
+      "rms1", "rms2", "rms3", "rms4", "rms5", "rms6", "rms7", "rms8", "rms9pl"))
+    assert(md.bins.head === (0.0, 1.499) && md.bins.last === (8.5, 9.0))
+    // every other median keeps the default A1 = 0
+    assert(r2019.medians.filter(_.pffVariable != "mdrms").forall(_.bottomA1 === 0.0))
+  }
+
+  test("loaded mdage bins match the hand-written sample spec") {
+    val loaded = r2019.medianByName("mdage")
+    assert(loaded.inputs === VariableRegistry.mdage.inputs)
+    assert(loaded.designFactor === 1.1 && loaded.topCoding && loaded.bottomCoding)
+  }
+
+  test("profile_only_variables derivation matches metadata.py:85-95") {
+    val po = r2019.profileOnlyVariables
+    assert(po.size === 307)
+    // DP-sourced single-variable rows are profile-only...
+    assert(po.contains("mdhhinc") && po.contains("percapinc") && po.contains("mdefftwrk"))
+    // ...unless excepted (metadata.py:50-61)
+    RegistryLoader.profileOnlyExceptions.foreach(v => assert(!po.contains(v), v))
+    // multi-variable or non-DP rows never qualify
+    assert(!po.contains("lgoenlep1") && !po.contains("pbwpv"))
+  }
+
+  test("census API E/M/PE/PM suffix derivation (metadata.py:16-31)") {
+    val v = Variable("x", Seq("B01001_044"), None)
+    assert(v.censusApiVariables === (
+      Seq("B01001_044E"), Seq("B01001_044M"), Seq("B01001_044PE"), Seq("B01001_044PM")))
+    // decennial raw-name fallback: all-'P' lists publish no suffixes
+    val d = Variable("decennial_pop", Seq("P001001"), None)
+    assert(d.censusApiVariables === (Seq("P001001"), Seq.empty, Seq.empty, Seq.empty))
+    // per-item filter: 'P'-prefixed members are skipped, not the whole list
+    val mixed = Variable("y", Seq("B01001_044", "P001001"), None)
+    assert(mixed.eVariables === Seq("B01001_044E"))
+    assert(mixed.mVariables === Seq("B01001_044M"))
+  }
+
+  test("specials resolve formulas by name and take base variables from special.json") {
+    val pci = r2019.specialByName("percapinc")
+    assert(pci.baseVariables === Seq("agip15pl", "pop_6"))
+    val hv = r2019.specialByName("hovacrt")
+    assert(hv.eZeroToNull, "vacancy-rate zero guard carried from the formula set")
+  }
+
+  test("poverty variables have _pct companions in acs2019") {
+    VariableRegistry.povertyVariables.foreach { v =>
+      assert(r2019.byName.contains(s"${v}_pct"), v)
+    }
+  }
+}
