@@ -59,21 +59,41 @@ object Median {
     val lo = (i: Int) => lit(cfg.bins(i)._1)
     val hi = (i: Int) => lit(cfg.bins(i)._2)
 
+    // Codegen-size note: the bin-indexed arithmetic below (median
+    // interpolation, MOE bounds) is expressed as 0-based `get()` lookups
+    // into staged arrays of the per-bin attributes rather than n-branch
+    // CASE chains. A branch-per-bin chain of interpolation formulas
+    // overflows janino's 64 KB method limit around 20 bins (mdage has
+    // 23, mdvl 26), silently dropping the whole final-aggregation stage
+    // out of whole-stage codegen; array indexing keeps the generated
+    // code linear in n with tiny constant terms. `get()` (not
+    // element_at) so a NULL/out-of-range bin index yields NULL under
+    // ANSI mode instead of erroring.
+    val loArr = array(cfg.bins.map(b => lit(b._1)): _*)
+    val hiArr = array(cfg.bins.map(b => lit(b._2)): _*)
+
     // median bin: first i with cum_i >= N/2 (the while loop of median.py:46-50)
     val medianBin = (0 until n).reverse.foldLeft(lit(null).cast("int")) {
       (acc, i) => when(cum(i) >= half && (if (i == 0) lit(true) else cum(i - 1) < half), i).otherwise(acc)
     }
 
-    val interpolated = (0 until n).foldLeft(lit(null).cast("double")) { (acc, i) =>
-      val cBelow = if (i == 0) lit(0L) else cum(i - 1)
-      when(medianBin === i,
-        lo(i) + (half - cBelow.cast("double")) * (hi(i) - lo(i)) / c(i).cast("double"))
-        .otherwise(acc)
+    val staged1 = staged.withColumns(Map(
+      "median_bin" -> medianBin,
+      "c_arr" -> array(c.map(_.cast("double")): _*),
+      "cum_arr" -> array(cum.map(_.cast("double")): _*)))
+    val mBin = col("median_bin")
+    val cAt = (idx: Column) => get(col("c_arr"), idx)
+    val cumAt = (idx: Column) => get(col("cum_arr"), idx)
+
+    val interpolated = {
+      val cBelow = when(mBin === 0, lit(0.0)).otherwise(cumAt(mBin - 1))
+      get(loArr, mBin) +
+        (half - cBelow) * (get(hiArr, mBin) - get(loArr, mBin)) / cAt(mBin)
     }
     val median =
       when(bigN === 0, lit(null).cast("double"))
-        .when(if (cfg.bottomCoding) medianBin === 0 else lit(false), hi(0))
-        .when(if (cfg.topCoding) medianBin === (n - 1) else lit(false), lo(n - 1))
+        .when(if (cfg.bottomCoding) mBin === 0 else lit(false), hi(0))
+        .when(if (cfg.topCoding) mBin === (n - 1) else lit(false), lo(n - 1))
         .otherwise(interpolated)
 
     // design-factor MOE (median.py:96-197). The bin-index selectors are
@@ -84,22 +104,27 @@ object Median {
     // the DuckDB twin's x/0 is NULL while Spark's double / 0 is Inf)
     val se50Expr = when(bigN === 0, lit(null)).otherwise(
       lit(cfg.designFactor) * sqrt(lit(93.0) / (lit(7.0) * bigN.cast("double")) * lit(2500.0)))
-    val cdExpr = (0 until n).map(i => cum(i).cast("double") / bigN.cast("double") * 100)
+    // zero-N guard: DuckDB's x/0 is NULL, and Spark's INTERPRETED eval
+    // of Divide (constant folding, codegen fallback) errors under ANSI
+    // even for doubles — guard every computed-denominator division
+    val cdExpr = (0 until n).map(i => when(bigN === 0, lit(null))
+      .otherwise(cum(i).cast("double") / bigN.cast("double") * 100))
     def firstIdx(pred: Int => Column): Column =
       (0 until n).reverse.foldLeft(lit(null).cast("int")) { (acc, i) =>
         when(pred(i), i).otherwise(acc)
       }
-    val staged2 = staged
+    val staged2 = staged1
       .withColumns(Map("se_50" -> se50Expr) ++
         (0 until n).map(i => s"cd_$i" -> cdExpr(i)).toMap)
       .withColumns(Map(
         "lower_bin" -> firstIdx(i => col(s"cd_$i") > lit(50.0) - col("se_50")),
         "upper_bin" -> firstIdx(i => col(s"cd_$i") > lit(50.0) + col("se_50")),
         "fnz_bin" -> firstIdx(i => c(i) =!= 0)))
+      .withColumn("cd_arr", array((0 until n).map(i => col(s"cd_$i")): _*))
     val se50 = col("se_50")
     val pl = lit(50.0) - se50
     val pu = lit(50.0) + se50
-    val cd = (0 until n).map(i => col(s"cd_$i"))
+    val cdAt = (idx: Column) => get(col("cd_arr"), idx)
     val lowerBin = col("lower_bin")
     val upperBin = col("upper_bin")
     val firstNonZero = col("fnz_bin")
@@ -108,24 +133,24 @@ object Median {
       when((c2 - c1) + a1 === 0, lit(null).cast("double"))
         .otherwise((p - c1) * (a2 - a1) / (c2 - c1) + a1)
 
-    val lowerBound = (0 until n).foldLeft(lit(null).cast("double")) { (acc, i) =>
-      val c1 = if (i == 0) lit(0.0) else cd(i - 1)
-      val a1Base = lo(i)
-      val a2Base = if (i + 1 <= n - 1) lo(i + 1) else lit(null).cast("double")
-      val isFnz = firstNonZero === i
-      val a1 = when(isFnz, lit(cfg.bottomA1)).otherwise(a1Base)
-      val a2 = when(isFnz, lo(1)).otherwise(a2Base)
-      when(lowerBin === i, bound(pl, a1, a2, c1, cd(i))).otherwise(acc)
+    // lower/upper interpolation bounds (median.py:110-166), bin-indexed
+    // via get() — a NULL bin index propagates NULL exactly like the old
+    // no-branch-matched CASE chain did
+    val lowerBound = {
+      val c1 = when(lowerBin === 0, lit(0.0)).otherwise(cdAt(lowerBin - 1))
+      val isFnz = lowerBin === firstNonZero
+      val a1 = when(isFnz, lit(cfg.bottomA1)).otherwise(get(loArr, lowerBin))
+      val a2 = when(isFnz, lo(1)).otherwise(
+        when(lowerBin + 1 <= n - 1, get(loArr, lowerBin + 1)).otherwise(lit(null).cast("double")))
+      bound(pl, a1, a2, c1, cdAt(lowerBin))
     }
-    val upperBound = (0 until n).foldLeft(lit(null).cast("double")) { (acc, i) =>
-      val c1 = if (i == 0) lit(0.0) else cd(i - 1)
-      val topA = lo(i)
-      val a1Base = topA
-      val a2Base = if (i + 1 <= n - 1) lo(i + 1) else topA
+    val upperBound = {
+      val c1 = when(upperBin === 0, lit(0.0)).otherwise(cdAt(upperBin - 1))
       val isBoth = (upperBin === lowerBin) && (upperBin === firstNonZero)
-      val a1 = when(isBoth, lit(0.0)).otherwise(a1Base)
-      val a2 = when(isBoth, lo(1)).otherwise(a2Base)
-      when(upperBin === i, bound(pu, a1, a2, c1, cd(i))).otherwise(acc)
+      val a1 = when(isBoth, lit(0.0)).otherwise(get(loArr, upperBin))
+      val a2 = when(isBoth, lo(1)).otherwise(
+        when(upperBin + 1 <= n - 1, get(loArr, upperBin + 1)).otherwise(get(loArr, upperBin)))
+      bound(pu, a1, a2, c1, cdAt(upperBin))
     }
 
     val moe =
@@ -138,7 +163,8 @@ object Median {
     staged2.withColumns(Map(
       "median" -> median, "moe" -> moe))
       .drop(((0 until n).map(i => s"cum_$i") ++ (0 until n).map(i => s"cd_$i")
-        ++ Seq("lower_bin", "upper_bin", "fnz_bin")): _*)
+        ++ Seq("lower_bin", "upper_bin", "fnz_bin",
+          "median_bin", "c_arr", "cum_arr", "cd_arr")): _*)
   }
 
   // ---------------------------------------------------------------------
