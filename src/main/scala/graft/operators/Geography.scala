@@ -126,3 +126,117 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
       .select("geoid", "geotype", "geogname")
   }
 }
+
+/** The 2010-vintage geographic aggregation paths — the Spark-native
+  * equivalent of geography/2010.py's AggregatedGeography. Unlike the
+  * 2020 vintage there is no ct2010->ct2020 apportionment step: tracts
+  * roll straight up to NTA / community district (cd), and the
+  * flood-plain / park-access zones aggregate to the community DISTRICT
+  * (cd_fp_500 etc.), not the CDTA.
+  *
+  * `lookupGeo` mirrors the reference's data/lookup_geo/2010/
+  * lookup_geo.csv (2010.py:16-38), one row per 2010 census block:
+  * county_fips (5 chars), ctcb2010 (tract+block), ct2010, cd, nta,
+  * fp_500, fp_100, park_access ("0"/"1" strings). The derived geoids
+  * (geoid_block = county_fips||ctcb2010, block group = first 12 chars,
+  * geoid_tract = county_fips||ct2010) are computed here exactly as
+  * 2010.py:21-30. The lookup is small — always broadcast against facts.
+  */
+case class Geography2010(lookupGeo: DataFrame) {
+
+  /** lookup_geo with derived geoid/zone columns (2010.py:16-38). */
+  lazy val lookup: DataFrame = lookupGeo
+    .withColumn("geoid_block", concat(col("county_fips"), col("ctcb2010")))
+    .withColumn("geoid_block_group", substring(concat(col("county_fips"), col("ctcb2010")), 1, 12))
+    .withColumn("geoid_tract", concat(col("county_fips"), col("ct2010")))
+    .withColumn("cd_fp_500", when(col("fp_500").cast("int") =!= 0, col("cd")))
+    .withColumn("cd_fp_100", when(col("fp_100").cast("int") =!= 0, col("cd")))
+    .withColumn("cd_park_access", when(col("park_access").cast("int") =!= 0, col("cd")))
+
+  /** Aggregated e / RSS m over a destination column (create_output,
+    * 2010.py:40-54 — generalized to many variables in one pass). */
+  private def createOutput(df: DataFrame, dst: String, geotype: String): DataFrame =
+    df.where(col(dst).isNotNull && col("pff_variable").isNotNull)
+      .groupBy(col(dst).as("census_geoid"), col("pff_variable"))
+      .agg(sum(col("e")).as("e"), Census.moeOfSum(col("m")).as("m"))
+      .withColumn("geotype", lit(geotype))
+      .select("census_geoid", "pff_variable", "geotype", "e", "m")
+
+  /** Left-joined rollup from a source geoid column (tract paths). */
+  private def rollup(df: DataFrame, srcCol: String, dstCol: String, geotype: String): DataFrame = {
+    val lk = broadcast(lookup.select(col(srcCol), col(dstCol)).distinct())
+    createOutput(
+      df.join(lk, df("census_geoid") === lk(srcCol), "left")
+        .select(col(dstCol), col("pff_variable"), col("e"), col("m")),
+      dstCol, geotype)
+  }
+
+  /** Right-joined zone rollup (reference keeps unmatched zone rows;
+    * flagged-zone columns are pre-filtered non-null, 2010.py:66-160). */
+  private def zone(df: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val lk = broadcast(lookup.where(col(dstCol).isNotNull)
+      .select(col(srcCol), col(dstCol)).distinct())
+    createOutput(
+      df.join(lk, df("census_geoid") === lk(srcCol), "right")
+        .select(col(dstCol), col("pff_variable"), col("e"), col("m")),
+      dstCol, dstCol)
+  }
+
+  /** 2010 tract -> NTA (2010.py:56-66). */
+  def tractToNta(df: DataFrame): DataFrame = rollup(df, "geoid_tract", "nta", "NTA")
+
+  /** 2010 tract -> community district (2010.py:162-176). */
+  def tractToCd(df: DataFrame): DataFrame = rollup(df, "geoid_tract", "cd", "cd")
+
+  /** ACS block-group zone paths (2010.py:68-120). */
+  def blockGroupToCdFp500(df: DataFrame): DataFrame = zone(df, "geoid_block_group", "cd_fp_500")
+  def blockGroupToCdFp100(df: DataFrame): DataFrame = zone(df, "geoid_block_group", "cd_fp_100")
+  def blockGroupToCdParkAccess(df: DataFrame): DataFrame = zone(df, "geoid_block_group", "cd_park_access")
+
+  /** Decennial block zone paths (2010.py:122-160). */
+  def blockToCdFp500(df: DataFrame): DataFrame = zone(df, "geoid_block", "cd_fp_500")
+  def blockToCdFp100(df: DataFrame): DataFrame = zone(df, "geoid_block", "cd_fp_100")
+  def blockToCdParkAccess(df: DataFrame): DataFrame = zone(df, "geoid_block", "cd_park_access")
+
+  /** The translator registry (options, 2010.py:178-197): the decennial
+    * source aggregates zones from BLOCKS, acs from BLOCK GROUPS. */
+  lazy val options: Map[String, Map[String, Map[String, DataFrame => DataFrame]]] = Map(
+    "decennial" -> Map(
+      "tract" -> Map("NTA" -> tractToNta _, "cd" -> tractToCd _),
+      "block" -> Map(
+        "cd_fp_500" -> blockToCdFp500 _,
+        "cd_fp_100" -> blockToCdFp100 _,
+        "cd_park_access" -> blockToCdParkAccess _)),
+    "acs" -> Map(
+      "tract" -> Map("NTA" -> tractToNta _, "cd" -> tractToCd _),
+      "block group" -> Map(
+        "cd_fp_500" -> blockGroupToCdFp500 _,
+        "cd_fp_100" -> blockGroupToCdFp100 _,
+        "cd_park_access" -> blockGroupToCdParkAccess _)))
+
+  /** Every derived geography level (aggregated_geography, 2010.py:199-203). */
+  lazy val aggregatedGeography: Set[String] =
+    options.values.flatMap(_.values.flatMap(_.keys)).toSet
+}
+
+/** 2010-vintage labs formatting (2010.py:205-243) — vintage-scoped
+  * companions to [[CensusOps.labsGeoid]]/[[CensusOps.labsGeotype]]. */
+object Geography2010 {
+
+  /** Census geoid -> labs geoid: the shared FIPS rules plus the PUMA
+    * (community-district) rule, '79xxxxx' -> last 4 (2010.py:205-220). */
+  def formatGeoid(geoid: Column): Column =
+    when(substring(geoid, 1, 2) === "79", substring(geoid, -4, 4))
+      .otherwise(CensusOps.labsGeoid(geoid))
+
+  /** Geotype -> labs label; every label carries the "2010" suffix
+    * (2010.py:222-243). */
+  def formatGeotype(geotype: Column): Column = {
+    val m = Seq("NTA" -> "NTA", "PUMA" -> "PUMA", "tract" -> "CT",
+      "borough" -> "Boro", "city" -> "City", "block" -> "CB",
+      "block group" -> "CBG")
+    m.tail.foldLeft(when(geotype === m.head._1, lit(m.head._2 + "2010"))) {
+      case (acc, (k, v)) => acc.when(geotype === k, lit(v + "2010"))
+    }.otherwise(geotype)
+  }
+}

@@ -68,4 +68,95 @@ class GeographySpec extends SparkSpec {
     assert(geo.aggregatedGeography === Set("NTA", "CDTA", "CT20",
       "cdta_fp_500", "cdta_fp_100", "cdta_park_access"))
   }
+
+  // ---- 2010 vintage (geography/2010.py) ----
+
+  private def geo2010 = {
+    import spark.implicits._
+    // blocks: two in tract 000100 (cd 101), one in tract 000200 (cd 102)
+    val lookup = Seq(
+      ("36061", "0001001000", "000100", "101", "MN01", "1", "0", "1"),
+      ("36061", "0001001001", "000100", "101", "MN01", "0", "0", "0"),
+      ("36061", "0002001000", "000200", "102", "MN02", "1", "1", "0"))
+      .toDF("county_fips", "ctcb2010", "ct2010", "cd", "nta",
+        "fp_500", "fp_100", "park_access")
+    graft.operators.Geography2010(lookup)
+  }
+
+  private def tractFacts2010 = {
+    import spark.implicits._
+    Seq(
+      ("36061000100", "pop_1", "tract", 100.0, 30.0),
+      ("36061000200", "pop_1", "tract", 50.0, 40.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+  }
+
+  test("2010: tract -> NTA sums e with RSS moe, no apportionment step") {
+    val out = geo2010.tractToNta(tractFacts2010).orderBy("census_geoid").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toSeq ===
+      Seq(("MN01", 100.0, 30.0), ("MN02", 50.0, 40.0)))
+    assert(out.forall(_.getString(2) == "NTA"))
+  }
+
+  test("2010: tract -> community district") {
+    val out = geo2010.tractToCd(tractFacts2010).orderBy("census_geoid").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(3))).toSeq ===
+      Seq(("101", 100.0), ("102", 50.0)))
+    assert(out.forall(_.getString(2) == "cd"))
+  }
+
+  test("2010: block-group flood plain rolls to the cd of flagged blocks only") {
+    import spark.implicits._
+    val bg = Seq(
+      ("360610001001", "pop_1", "block group", 70.0, 3.0),
+      ("360610002001", "pop_1", "block group", 30.0, 4.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+    val fp500 = geo2010.blockGroupToCdFp500(bg).orderBy("census_geoid").collect()
+    assert(fp500.map(r => (r.getString(0), r.getDouble(3))).toSeq ===
+      Seq(("101", 70.0), ("102", 30.0)))
+    // only tract 000200's block carries the fp_100 flag
+    val fp100 = geo2010.blockGroupToCdFp100(bg).collect()
+    assert(fp100.map(r => (r.getString(0), r.getDouble(3))).toSeq === Seq(("102", 30.0)))
+  }
+
+  test("2010: decennial block path aggregates from geoid_block") {
+    import spark.implicits._
+    val blocks = Seq(
+      ("360610001001000", "pop_1", "block", 10.0, 0.0),
+      ("360610001001001", "pop_1", "block", 20.0, 0.0),
+      ("360610002001000", "pop_1", "block", 5.0, 0.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+    val out = geo2010.blockToCdParkAccess(blocks).collect()
+    // only block ...0001001000 (park_access=1, cd 101) qualifies
+    assert(out.map(r => (r.getString(0), r.getDouble(3))).toSeq === Seq(("101", 10.0)))
+  }
+
+  test("2010: options registry routes acs from block groups, decennial from blocks") {
+    val g = geo2010
+    assert(g.options("acs")("block group").keySet ===
+      Set("cd_fp_500", "cd_fp_100", "cd_park_access"))
+    assert(g.options("decennial")("block").keySet ===
+      Set("cd_fp_500", "cd_fp_100", "cd_park_access"))
+    assert(g.options("acs")("tract").keySet === Set("NTA", "cd"))
+    assert(g.aggregatedGeography ===
+      Set("NTA", "cd", "cd_fp_500", "cd_fp_100", "cd_park_access"))
+  }
+
+  test("2010: labs geoid adds the PUMA rule; geotypes carry the 2010 suffix") {
+    import spark.implicits._
+    val df = Seq(
+      ("7904103", "PUMA"),     // community district PUMA -> last 4
+      ("36061000100", "tract"),
+      ("36047", "borough"),
+      ("3651000", "city"),
+      ("MN01", "NTA"))
+      .toDF("geoid", "geotype")
+      .select(
+        graft.operators.Geography2010.formatGeoid(col("geoid")).as("g"),
+        graft.operators.Geography2010.formatGeotype(col("geotype")).as("t"))
+    val out = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out === Seq(
+      ("4103", "PUMA2010"), ("1000100", "CT2010"), ("3", "Boro2010"),
+      ("0", "City2010"), ("MN01", "NTA2010")))
+  }
 }
