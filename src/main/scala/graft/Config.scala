@@ -17,12 +17,22 @@ object Config {
   val MinhashBands = 4
   val MinhashRows  = 4
 
-  /** SimHash width in bits (fits portable BIGINT ops in both engines). */
-  val SimhashBits = 32
+  /** SimHash width in bits. 48 = the widest multiple of the band width
+    * that fits the 60 usable bits of the md5-derived token hash (h60),
+    * portable as BIGINT ops in both engines. */
+  val SimhashBits = 48
 
-  /** Candidate bands for simhash near-dup search: 4 bytes of the 32-bit
-    * fingerprint. */
-  val SimhashBands = 4
+  /** Band width in bits for simhash candidate generation. 16-bit band
+    * values give 65536 buckets per band; 8-bit bands cap at 256 buckets
+    * FOREVER, which makes candidate pairs grow O(n²/256) with corpus
+    * size — a scale killer. At 16 bits, expected candidates per band
+    * are n²/65536 within each band's bucket space, and the band count
+    * (SimhashBits / SimhashBandBits = 3) sets the hamming-recall
+    * tradeoff against SimhashMaxHamming. */
+  val SimhashBandBits = 16
+
+  /** Candidate bands: contiguous 16-bit slices of the fingerprint. */
+  val SimhashBands: Int = SimhashBits / SimhashBandBits
 
   /** Max hamming distance for a simhash near-dup pair. */
   val SimhashMaxHamming = 6
@@ -47,4 +57,13 @@ object Config {
 
   /** Jaccard threshold for reporting an n-gram near-dup pair. */
   val JaccardThreshold = 0.01
+
+  /** Max document frequency for a shingle to participate in the n-gram
+    * Jaccard self-join. A shingle occurring in d documents of a bucket
+    * emits O(d²) candidate rows — boilerplate shingles ("terms of
+    * service apply") would dominate the join at corpus scale. Shingles
+    * with df > cap are dropped from BOTH the join and the per-doc
+    * counts (jaccard is over the capped shingle universe), mirrored in
+    * the generated oracle SQL. */
+  val ShingleDfCap = 64
 }

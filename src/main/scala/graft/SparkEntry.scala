@@ -38,6 +38,9 @@ object SparkEntry {
     "q_window_running" -> (T.qWindowRunning _),
     "q_window_lag" -> (T.qWindowLag _),
     "q_percentile" -> (T.qPercentile _),
+    // scale path; no oracle (sketches differ across engines) -> the
+    // driver records a rows-only check; PercentileSpec bounds the error
+    "q_percentile_approx" -> (T.qPercentileApprox _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_events_json" -> (T.qEventsJson _),

@@ -36,23 +36,35 @@ object Dedup {
       graft.functions.WordShingles.of(col("text"), Config.ShingleK).as("shingles"): _*)
 
   /** N-gram Jaccard near-dup pairs, blocked by a bucket column (e.g.
-    * source) so candidate pairs stay bounded. jaccard = |A∩B|/|A∪B| over
-    * distinct shingles. Exactly two shuffles: the shingle equi-join and
-    * the per-pair aggregate; counts ride along the exploded rows. */
-  def ngramJaccardPairs(docs: DataFrame, bucket: String, threshold: Double): DataFrame = {
-    // n is computed BELOW the generate: putting size() in the same
-    // projection as explode() would carry the whole array through every
-    // exploded row (quadratic copying).
+    * source) so candidate pairs stay bounded, with a document-frequency
+    * cap on shingles: a shingle in d docs emits O(d²) join rows, so
+    * shingles with df > dfCap (boilerplate at corpus scale) are dropped
+    * from the join AND the per-doc counts — jaccard = |A∩B|/|A∪B| over
+    * the capped distinct-shingle universe. Shuffles: the df aggregate,
+    * its semi-join back, the self-join, the per-pair aggregate, and two
+    * broadcast-ineligible count joins — the df-cap costs two extra
+    * shuffles at test scale and removes the d² blowup at 100 TB.
+    * NOTE on persist lifecycle: see [[minhashLshPairs]]. */
+  def ngramJaccardPairs(docs: DataFrame, bucket: String, threshold: Double,
+                        dfCap: Int = graft.Config.ShingleDfCap): DataFrame = {
     val ex = withShingles(docs, Seq(bucket))
-      .withColumn("n", size(col("shingles")).cast("long"))
-      .select(col("doc_id"), col(bucket).as("bucket"), col("n"),
-        explode(col("shingles")).as("shingle"))
-    val a = ex.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("bucket"), col("shingle"))
-    val b = ex.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("bucket"), col("shingle"))
+      .select(col("doc_id"), col(bucket).as("bucket"), explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingles are distinct per doc, so count(*) per (bucket, shingle)
+    // IS the document frequency
+    val rare = ex.groupBy(col("bucket"), col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+      .select("bucket", "shingle")
+    val kept = ex.join(rare, Seq("bucket", "shingle"))
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
+    val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
     a.join(b, Seq("bucket", "shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", Portable.roundp(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -176,19 +188,23 @@ object Dedup {
       .agg(graft.functions.SimhashAgg.of(col("h"), Config.SimhashBits).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band on the 4 bytes of the fingerprint,
-    * then verify hamming <= maxHamming. The fingerprint rides through
-    * the band explode, so the hamming check happens inside the band
-    * join itself — the fingerprint pipeline runs once per join side and
-    * no verify join exists. Multi-band matches collapse in the final
-    * per-pair aggregate. */
+  /** SimHash near-dup pairs: band on contiguous SimhashBandBits-bit
+    * slices of the fingerprint, then verify hamming <= maxHamming. The
+    * fingerprint rides through the band explode, so the hamming check
+    * happens inside the band join itself — the fingerprint pipeline
+    * runs once per join side and no verify join exists. Multi-band
+    * matches collapse in the final per-pair aggregate. Band values are
+    * 16-bit (Config.SimhashBandBits): 8-bit bands cap at 256 buckets
+    * regardless of corpus size, making candidates O(n²/256) at scale. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = Config.SimhashMaxHamming): DataFrame = {
     // per-doc fingerprints are 16 bytes each — persist so both band
     // join sides share one token-hash-vote aggregation
     val fp = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until Config.SimhashBands).map { i =>
-      struct(lit(i).as("band_idx"), (shiftright(col("simhash"), 8 * i) % 256).as("band_val"))
+      struct(lit(i).as("band_idx"),
+        (shiftright(col("simhash"), Config.SimhashBandBits * i)
+          % (1L << Config.SimhashBandBits)).as("band_val"))
     }
     val bands = fp.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))

@@ -41,20 +41,28 @@ object Similarity {
 
   /** Bucket id: sign bits of the nPlanes hyperplane projections.
     * The sign test is on the 6-digit-rounded projection so the bucket
-    * assignment is stable across engines. */
-  def lshBucket(emb: Column): Column =
-    (0 until Config.AnnPlanes).map { k =>
+    * assignment is stable across engines.
+    *
+    * `nPlanes` is the per-deployment scale knob. Expected bucket
+    * occupancy is ~n/2^nPlanes for near-random vectors, so size it to
+    * the corpus: nPlanes ≈ log2(n / targetBucketSize). The default 8
+    * (256 buckets) fits the test tables; at 10⁹ vectors with ~1k-row
+    * target buckets you want ~20 planes. The oracle pins nPlanes=8 via
+    * the generated SQL; other settings are covered by recall specs. */
+  def lshBucket(emb: Column, nPlanes: Int = Config.AnnPlanes): Column =
+    (0 until nPlanes).map { k =>
       when(Portable.roundp(planeDot(emb, k), 6) > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k: queries and candidates meet only within their LSH
     * bucket — a key-partitioned equi-join that scales horizontally.
     * Recall is tuned by nPlanes (fewer planes = bigger buckets). */
-  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nPlanes: Int = Config.AnnPlanes): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding")).as("bucket"))
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-      lshBucket(col("embedding")).as("bucket"))
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("bucket"), col("cand_id"),

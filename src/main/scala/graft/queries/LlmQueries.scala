@@ -85,13 +85,22 @@ object LlmQueries {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold)
 
-  val qDedupNgramSql: String =
-    s"""WITH ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
+  /** Shared CTE chain: exploded shingles -> df-capped kept set -> per-doc
+    * counts (mirrors the dfCap semantics of Dedup.ngramJaccardPairs). */
+  private val ngramKeptCtes: String =
+    s"""ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
        |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM ws),
        |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |rare AS (SELECT source, shingle FROM ex GROUP BY source, shingle
+       |  HAVING count(*) <= ${Config.ShingleDfCap}),
+       |kept AS (SELECT ex.doc_id, ex.source, ex.shingle
+       |  FROM ex JOIN rare ON ex.source = rare.source AND ex.shingle = rare.shingle),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1)""".stripMargin
+
+  val qDedupNgramSql: String =
+    s"""WITH $ngramKeptCtes,
        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-       |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
@@ -144,15 +153,12 @@ object LlmQueries {
     Dedup.clusters(
       Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold))
 
-  /** Shared CTE chain: documents -> ngram pairs -> undirected edges ->
-    * transitive reachability. */
+  /** Shared CTE chain: documents -> df-capped ngram pairs -> undirected
+    * edges -> transitive reachability. */
   private val dedupGraphCtes: String =
-    s"""ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
-       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM ws),
-       |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+    s"""$ngramKeptCtes,
        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-       |  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pairs AS (SELECT id_a, id_b
        |  FROM common JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
@@ -213,7 +219,8 @@ object LlmQueries {
       .map(j => s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     val bandRows = (0 until Config.SimhashBands)
-      .map(i => s"SELECT doc_id, $i AS band_idx, (simhash >> ${8 * i}) % 256 AS band_val FROM fp")
+      .map(i => s"SELECT doc_id, $i AS band_idx, " +
+        s"(simhash >> ${Config.SimhashBandBits * i}) % ${1L << Config.SimhashBandBits} AS band_val FROM fp")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH toks AS (SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),
        |hx AS (SELECT doc_id, ${h60Sql("w")} AS h FROM toks),

@@ -146,6 +146,22 @@ object Tpch {
       |  floor((quantile_cont(l_quantity, 0.25)) * 1e4 + 0.5) / 1e4 AS q25
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** The percentile SCALE path: approx_percentile keeps a bounded
+    * quantile sketch per group instead of buffering every value like
+    * exact `percentile` (whose aggregation buffer is O(rows/group) — a
+    * memory bomb at 100×). Same interface/columns as [[qPercentile]].
+    * No DuckDB oracle: sketch algorithms differ across engines, so the
+    * driver records a rows-only check and PercentileSpec bounds the
+    * error against the exact result instead. */
+  def qPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        Portable.roundp(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+        Portable.roundp(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"),
+        Portable.roundp(expr("approx_percentile(l_quantity, 0.25, 10000)"), 4).as("q25"))
+  }
+
   /** Anti join: orders that never shipped a line item. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

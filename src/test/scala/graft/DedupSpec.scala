@@ -67,4 +67,29 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
   }
+
+  test("simhash band values span more than 8 bits of bucket space") {
+    import spark.implicits._
+    // 600 distinct docs: with 16-bit bands the first band alone must
+    // take more than 256 distinct values (impossible with 8-bit bands,
+    // whose candidate pairs grow O(n^2/256) at corpus scale)
+    val d = (1L to 600L)
+      .map(i => (i, s"w$i t${i * 7 % 91} a${i % 13} b${i % 17} c${i % 23} d${i % 29}"))
+      .toDF("doc_id", "text")
+    assert(graft.Config.SimhashBandBits >= 16)
+    val band0 = Dedup.simhash(d)
+      .select((col("simhash") % (1L << graft.Config.SimhashBandBits)).as("b"))
+      .distinct().count()
+    assert(band0 > 256, s"observed only $band0 distinct band values")
+  }
+
+  test("ngram df-cap drops boilerplate shingles from the candidate join") {
+    // the shingle "x y z" occurs in 4 docs: with dfCap=3 it is dropped
+    // and no pairs survive; with dfCap=4 all 6 pairs appear at jaccard 1
+    val d = docs(1L -> "x y z", 2L -> "x y z", 3L -> "x y z", 4L -> "x y z")
+    assert(Dedup.ngramJaccardPairs(d, "source", 0.0, dfCap = 3).count() === 0)
+    val uncapped = Dedup.ngramJaccardPairs(d, "source", 0.0, dfCap = 4).collect()
+    assert(uncapped.length === 6)
+    assert(uncapped.forall(_.getDouble(2) === 1.0))
+  }
 }

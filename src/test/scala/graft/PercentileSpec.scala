@@ -1,0 +1,24 @@
+package graft
+
+import graft.queries.Tpch
+
+/** The approx percentile scale path has no cross-engine oracle (sketch
+  * algorithms differ); this bounds its error against the exact result,
+  * which IS oracle-checked. */
+class PercentileSpec extends SparkSpec {
+  test("approx_percentile tracks exact percentiles within 2% at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def byFlag(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag(Tpch.qPercentile(spark, dir).collect())
+    val approx = byFlag(Tpch.qPercentileApprox(spark, dir).collect())
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (flag, (p50, p90, q25)) =>
+      val (a50, a90, a25) = approx(flag)
+      def relErr(e: Double, a: Double) = math.abs(e - a) / math.max(math.abs(e), 1e-9)
+      assert(relErr(p50, a50) < 0.02, s"$flag p50 $p50 vs $a50")
+      assert(relErr(p90, a90) < 0.02, s"$flag p90 $p90 vs $a90")
+      assert(relErr(q25, a25) < 0.02, s"$flag q25 $q25 vs $a25")
+    }
+  }
+}

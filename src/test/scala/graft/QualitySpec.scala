@@ -42,6 +42,26 @@ class QualitySpec extends SparkSpec {
     assert(recall > 3 * chance, s"LSH recall $recall vs chance $chance")
   }
 
+  test("AnnPlanes knob: more planes -> finer buckets, monotone recall tradeoff") {
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(p: Int) = {
+      val got = Similarity.lshTopK(queries, emb, 5, nPlanes = p).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    def bucketsAt(p: Int) =
+      emb.select(Similarity.lshBucket(col("embedding"), p).as("b")).distinct().count()
+    // finer partitioning with more planes...
+    assert(bucketsAt(16) > bucketsAt(8))
+    // ...and recall degrades monotonically as buckets shrink: the knob
+    // trades candidate volume for recall exactly as documented
+    val r4 = recallAt(4); val r8 = recallAt(8); val r16 = recallAt(16)
+    assert(r4 >= r8 && r8 >= r16, s"recall not monotone: $r4 / $r8 / $r16")
+    assert(r4 > 0.0, "coarse buckets must recover some true neighbors")
+  }
+
   test("minhash jaccard estimates track exact ngram jaccard") {
     // pairs surfaced by LSH must report the TRUE jaccard (they are
     // verified with array_intersect) - check against the exact operator
