@@ -391,4 +391,25 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     * `.output/acs/year=… tree`, parquet instead of one giant CSV). */
   def export(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").partitionBy("domain", "geotype").parquet(path)
+
+  /** The community-profiles wide export
+    * (pipelines/acs_community_profiles.py): one named column per
+    * mapped (pff_variable, geotype, stat), one row per census_geoid.
+    * The reference computes 75 variables sequentially and folds 75
+    * outer merges; here the caller passes ONE long results frame (from
+    * [[calculateAll]] or [[apply]] unions over the needed geotypes) and
+    * the wide shape is a single conditional aggregation — one shuffle
+    * on census_geoid, no join chain. */
+  def communityProfiles(
+      results: DataFrame,
+      mapping: Seq[graft.meta.CommunityProfiles.Entry] =
+        graft.meta.CommunityProfiles.entries): DataFrame = {
+    val aggs = mapping.flatMap { m =>
+      m.columnMapping.map { case (stat, outName) =>
+        max(when(col("pff_variable") === m.pffVariable &&
+          col("geotype") === m.geotype, col(stat))).as(outName)
+      }
+    }
+    results.groupBy(col("census_geoid")).agg(aggs.head, aggs.tail: _*)
+  }
 }

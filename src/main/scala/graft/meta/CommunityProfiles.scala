@@ -1,0 +1,33 @@
+package graft.meta
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The Community Profiles export mapping
+  * (pipelines/acs_community_profiles_variable_mapping.json, verbatim
+  * public data): which (pff_variable, geotype) stat columns feed each
+  * named column of the community-profiles wide export
+  * (pipelines/acs_community_profiles.py:38-53). */
+object CommunityProfiles {
+
+  /** One export entry: the variable/geotype to compute and the stat ->
+    * output-column renames (e.g. p -> pct_white_nh). */
+  case class Entry(pffVariable: String, geotype: String, columnMapping: Seq[(String, String)])
+
+  lazy val entries: Seq[Entry] = {
+    val in = getClass.getResourceAsStream(
+      "/graft/pipelines/acs_community_profiles_variable_mapping.json")
+    require(in != null, "bundled community-profiles mapping missing")
+    val json = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    val JArray(rows) = JsonMethods.parse(json): @unchecked
+    rows.map { row =>
+      val o = row.asInstanceOf[JObject].obj.toMap
+      val JString(v) = o("pff_variable"): @unchecked
+      val JString(g) = o("geotype"): @unchecked
+      val JObject(m) = o("column_mapping"): @unchecked
+      Entry(v, g, m.map { case (stat, JString(out)) => stat -> out
+                          case (stat, other) => throw new IllegalArgumentException(s"$stat: $other") })
+    }
+  }
+}

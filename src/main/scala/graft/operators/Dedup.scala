@@ -139,16 +139,24 @@ object Dedup {
     * pathological chains. At extreme scale swap in large-star/small-star
     * (Kiveris et al.) — same DataFrame-join shape per round.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 20,
+               reliable: Boolean = false): DataFrame = {
+    // localCheckpoint state lives in executor block storage and dies
+    // with an executor — fine single-node, fatal for an hours-long
+    // cluster job. reliable=true swaps in HDFS-backed checkpoint()
+    // (requires spark.sparkContext.setCheckpointDir) so every round's
+    // lineage cut survives executor loss.
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // materialize the (possibly expensive) pair pipeline ONCE — every
     // iteration joins against these edges
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(eager = true)
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -158,9 +166,9 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(eager = true)
+      val next = materialize(
+        labels.unionByName(neighborLabels)
+          .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id")))
       val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
       labels = next

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.meta.{Variable, VariableRegistry}
+import graft.operators.CensusOps
+
+/** The ingestion layer — the Spark-native analog of the reference's
+  * `Download` class (download.py), minus the network client (offline by
+  * design; the census API is a droppable I/O detail). What it keeps:
+  *
+  *  - the geography-query construction per geotype over NYC's five
+  *    county FIPS (download.py:29-48) — so a thin HTTP fetcher can be
+  *    bolted on without re-deriving any routing logic;
+  *  - the source-letter -> census dataset dispatch (download.py:22-27);
+  *  - census_geoid derivation per geotype (download.py:141-155);
+  *  - the wide->long melt of an API-shaped response frame (one column
+  *    per `<censusVar>E`/`M`) into the long download shape Calculate
+  *    consumes, with the reference's scrub rules (E==0 -> M=0, outlier
+  *    sentinel -> NULL, controlled-value MOE -> 0 for city/borough).
+  *
+  * A user replaces the reference's `Download.__call__` with: fetch (or
+  * read) a wide frame per geoquery, union them, then [[meltWide]] /
+  * [[meltProfile]] into `Calculate`.
+  */
+object Ingest {
+
+  /** NYS FIPS + the five borough county codes (download.py:18-20). */
+  val State = "36"
+  val Counties: Seq[String] = Seq("005", "081", "085", "047", "061")
+
+  /** One census API geography query (the `for`/`in` params). */
+  case class GeoQuery(forClause: String, inClause: String)
+
+  /** The per-geotype API query set (geoqueries, download.py:29-48):
+    * tract/block/block-group queries fan out per county; borough is one
+    * query per county; city is the single NYC place. */
+  def geoqueries(geotype: String): Seq[GeoQuery] = geotype match {
+    case "tract" =>
+      Counties.map(c => GeoQuery("tract:*", s"state:$State county:$c"))
+    case "borough" =>
+      Counties.map(c => GeoQuery(s"county:$c", s"state:$State"))
+    case "city" =>
+      Seq(GeoQuery("place:51000", s"state:$State"))
+    case "block" =>
+      Counties.map(c => GeoQuery("block:*", s"state:$State county:$c"))
+    case "block group" =>
+      Counties.map(c => GeoQuery("block group:*", s"state:$State county:$c"))
+    case other =>
+      throw new IllegalArgumentException(s"no geoquery for geotype '$other'")
+  }
+
+  /** Census dataset for a census variable, by its leading letter
+    * (client_options, download.py:22-27): D = ACS 5-year data profile,
+    * S = subject tables, P = decennial SF1, anything else = ACS 5-year
+    * detailed tables. */
+  def datasetFor(censusVariable: String): String = censusVariable.head match {
+    case 'D' => "acs5dp"
+    case 'S' => "acs5st"
+    case 'P' => "sf1"
+    case _   => "acs5"
+  }
+
+  /** The distinct datasets a variable needs — one API call per dataset,
+    * merged on geography (download_e_m, download.py:93-121). */
+  def datasetsFor(v: Variable): Seq[String] =
+    v.censusVariables.map(datasetFor).distinct
+
+  /** census_geoid from the API's geography columns, per geotype
+    * (create_census_geoid, download.py:141-155). */
+  def censusGeoid(geotype: String): Column = geotype match {
+    case "tract"       => concat(col("state"), col("county"), col("tract"))
+    case "borough"     => concat(col("state"), col("county"))
+    case "city"        => concat(col("state"), col("place"))
+    case "block"       => concat(col("state"), col("county"), col("tract"), col("block"))
+    case "block group" => concat(col("state"), col("county"), col("tract"), col("block group"))
+    case other =>
+      throw new IllegalArgumentException(s"no census_geoid rule for geotype '$other'")
+  }
+
+  private def isControlled(geotype: String): Boolean =
+    geotype == "city" || geotype == "borough"
+
+  /** Melt an API-shaped wide frame (columns `<cv>E`/`<cv>M` per census
+    * variable; raw names for decennial 'P' variables, which publish no
+    * MOE) into the long download shape
+    * (census_geoid, geotype, census_variable, e, m), then apply the
+    * reference's scrub rules via [[CensusOps.outlierClean]]:
+    * sentinel -> NULL, E==0 -> M=0, controlled-value MOE -> 0 for
+    * city/borough (download.py:122-139). */
+  def meltWide(wide: DataFrame, v: Variable, geotype: String): DataFrame = {
+    val pairs = v.censusVariables.map { cv =>
+      val (e, m) =
+        if (cv.startsWith("P")) (col(cv), lit(null).cast("double"))
+        else (col(cv + "E"), col(cv + "M").cast("double"))
+      struct(lit(cv).as("census_variable"),
+        e.cast("double").as("e"), m.as("m"))
+    }
+    val long = wide
+      .withColumn("census_geoid", censusGeoid(geotype))
+      .select(col("census_geoid"), explode(array(pairs: _*)).as("x"))
+      .select(col("census_geoid"), lit(geotype).as("geotype"),
+        col("x.census_variable").as("census_variable"),
+        col("x.e").as("e"), col("x.m").as("m"))
+    CensusOps.outlierClean(long, controlled = isControlled(geotype))
+  }
+
+  /** Melt a profile-only response (download_e_m_p_z, download.py:58-91):
+    * one census variable, published E/M/PE/PM -> e/m/p/z. */
+  def meltProfile(wide: DataFrame, v: Variable, geotype: String): DataFrame = {
+    val cv = v.censusVariables.head
+    val long = wide
+      .withColumn("census_geoid", censusGeoid(geotype))
+      .select(col("census_geoid"), lit(geotype).as("geotype"),
+        lit(cv).as("census_variable"),
+        col(cv + "E").cast("double").as("e"),
+        col(cv + "M").cast("double").as("m"),
+        col(cv + "PE").cast("double").as("p"),
+        col(cv + "PM").cast("double").as("z"))
+    val scrubbed = CensusOps.outlierClean(long, controlled = isControlled(geotype))
+    // the controlled-value rule also applies to the percent MOE
+    // (download.py:83-85); outliers in p/z -> NULL like e/m
+    val pz = if (isControlled(geotype))
+      when(col("z").isin(-555555555.0, 555555555.0), 0.0).otherwise(col("z"))
+    else col("z")
+    scrubbed
+      .withColumn("z", pz)
+      .withColumn("p", when(col("p").isin(CensusOps.outliers.map(_.toDouble): _*), lit(null)).otherwise(col("p")))
+      .withColumn("z", when(col("z").isin(CensusOps.outliers.map(_.toDouble): _*), lit(null)).otherwise(col("z")))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.meta.{Variable, VariableRegistry}
+import graft.sources.Ingest
+
+/** Ingestion-layer parity with the reference's Download class
+  * (download.py): geoquery construction, dataset dispatch, geoid
+  * derivation, and the wide->long melt with scrub rules. */
+class IngestSpec extends SparkSpec {
+
+  test("geoqueries match download.py:29-48 per geotype") {
+    assert(Ingest.geoqueries("tract") ===
+      Seq("005", "081", "085", "047", "061").map(c =>
+        Ingest.GeoQuery("tract:*", s"state:36 county:$c")))
+    assert(Ingest.geoqueries("borough") ===
+      Seq("005", "081", "085", "047", "061").map(c =>
+        Ingest.GeoQuery(s"county:$c", "state:36")))
+    assert(Ingest.geoqueries("city") === Seq(Ingest.GeoQuery("place:51000", "state:36")))
+    assert(Ingest.geoqueries("block group").head ===
+      Ingest.GeoQuery("block group:*", "state:36 county:005"))
+    intercept[IllegalArgumentException](Ingest.geoqueries("NTA"))
+  }
+
+  test("dataset dispatch by source letter (download.py:22-27)") {
+    assert(Ingest.datasetFor("DP03_0062") === "acs5dp")
+    assert(Ingest.datasetFor("S1701_C02_001") === "acs5st")
+    assert(Ingest.datasetFor("P001001") === "sf1")
+    assert(Ingest.datasetFor("B25003_002") === "acs5")
+    assert(Ingest.datasetFor("C16001_005") === "acs5")
+    // a mixed-source variable needs one call per distinct dataset
+    val mixed = Variable("x", Seq("B01001_001", "B01001_002", "DP05_0001"), None)
+    assert(Ingest.datasetsFor(mixed) === Seq("acs5", "acs5dp"))
+  }
+
+  test("census_geoid derivation per geotype (download.py:141-155)") {
+    import spark.implicits._
+    val df = Seq(("36", "061", "001500", "2000", "1"))
+      .toDF("state", "county", "tract", "block", "block group")
+    def gid(geotype: String) =
+      df.select(Ingest.censusGeoid(geotype).as("g")).collect()(0).getString(0)
+    assert(gid("tract") === "36061001500")
+    assert(gid("borough") === "36061")
+    assert(gid("block") === "360610015002000")
+    assert(gid("block group") === "360610015001")
+  }
+
+  test("meltWide produces the long download shape with scrub rules") {
+    import spark.implicits._
+    // API-shaped wide response: two ACS variables; one geoid has a
+    // sentinel estimate, another a zero estimate
+    val wide = Seq(
+      ("36", "061", "000100", 30.0, 3.0, 100.0, 4.0),
+      ("36", "061", "000200", 999999999.0, 3.0, 0.0, 4.0))
+      .toDF("state", "county", "tract",
+        "B25003_002E", "B25003_002M", "B25003_001E", "B25003_001M")
+    val v = Variable("ownerocc2", Seq("B25003_002", "B25003_001"), None)
+    val out = Ingest.meltWide(wide, v, "tract")
+      .orderBy("census_geoid", "census_variable").collect()
+    assert(out.map(_.getString(0)).distinct.toSeq === Seq("36061000100", "36061000200"))
+    assert(out.forall(_.getString(1) === "tract"))
+    // sentinel e -> NULL e and m
+    val sentinelRow = out.find(r => r.getString(0) == "36061000200" && r.getString(2) == "B25003_002").get
+    assert(sentinelRow.isNullAt(3) && sentinelRow.isNullAt(4))
+    // zero e -> m forced to 0
+    val zeroRow = out.find(r => r.getString(0) == "36061000200" && r.getString(2) == "B25003_001").get
+    assert(zeroRow.getDouble(3) === 0.0 && zeroRow.getDouble(4) === 0.0)
+    // and the long frame feeds Calculate.em directly
+    val em = new Calculate(VariableRegistry.reference)
+      .em(Ingest.meltWide(wide, v, "tract"))
+    assert(em.count() > 0)
+  }
+
+  test("meltWide: decennial P-variables carry raw names and NULL moe") {
+    import spark.implicits._
+    val wide = Seq(("36", "061", "000100", 8008278.0))
+      .toDF("state", "county", "tract", "P001001")
+    val v = Variable("decennial_pop", Seq("P001001"), None)
+    val r = Ingest.meltWide(wide, v, "tract").collect()(0)
+    assert(r.getString(2) === "P001001")
+    assert(r.getDouble(3) === 8008278.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("meltProfile keeps published p/z and applies the controlled rule") {
+    import spark.implicits._
+    val wide = Seq(
+      ("36", "061", 72000.0, 3500.0, 72.1, 3.3),
+      ("36", "047", 68000.0, 555555555.0, 70.0, 555555555.0))
+      .toDF("state", "county", "DP03_0062E", "DP03_0062M", "DP03_0062PE", "DP03_0062PM")
+    val v = Variable("mdhhinc", Seq("DP03_0062"), None)
+    val out = Ingest.meltProfile(wide, v, "borough")
+      .orderBy("census_geoid").collect()
+    assert(out(0).getString(0) === "36047")
+    // controlled geography: ±555555555 MOEs -> 0 for m AND z
+    assert(out(0).getDouble(4) === 0.0 && out(0).getDouble(6) === 0.0)
+    assert(out(1).getDouble(3) === 72000.0 && out(1).getDouble(5) === 72.1)
+  }
+
+  test("community-profiles mapping loads and drives the wide export") {
+    import graft.meta.CommunityProfiles
+    assert(CommunityProfiles.entries.length === 75)
+    val e = CommunityProfiles.entries.head
+    assert(e.pffVariable === "wtnh" && e.geotype === "CDTA" &&
+      e.columnMapping === Seq("p" -> "pct_white_nh"))
+    import spark.implicits._
+    val results = Seq(
+      ("MN0102", "wtnh", "CDTA", 1.0, 10.0, 2.0, 41.5, 1.2),
+      ("MN0102", "asnnh", "CDTA", 1.0, 20.0, 2.0, 12.5, 1.2),
+      ("BK0304", "wtnh", "CDTA", 1.0, 30.0, 2.0, 33.0, 1.2))
+      .toDF("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
+    val wide = new Calculate(graft.meta.VariableRegistry.reference)
+      .communityProfiles(results)
+      .orderBy("census_geoid").collect()
+    val cols = new Calculate(graft.meta.VariableRegistry.reference)
+      .communityProfiles(results).columns
+    assert(cols.contains("pct_white_nh") && cols.contains("pct_asian_nh"))
+    val bk = wide(0); val mn = wide(1)
+    assert(mn.getDouble(cols.indexOf("pct_white_nh")) === 41.5)
+    assert(mn.getDouble(cols.indexOf("pct_asian_nh")) === 12.5)
+    assert(bk.getDouble(cols.indexOf("pct_white_nh")) === 33.0)
+    assert(bk.isNullAt(cols.indexOf("pct_asian_nh")))
+  }
+}
