@@ -55,7 +55,9 @@ object Dedup {
     val rare = ex.groupBy(col("bucket"), col("shingle"))
       .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
       .select("bucket", "shingle")
+    // persisted: the per-doc counts and BOTH self-join sides scan it
     val kept = ex.join(rare, Seq("bucket", "shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
     val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
@@ -179,6 +181,71 @@ object Dedup {
       throw new IllegalStateException(
         s"cluster label propagation did not converge in $maxIters iterations " +
           "(graph diameter exceeds the cap); raise maxIters")
+    labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path for [[clusters]]: label propagation
+    * needs O(diameter) rounds, star contraction O(log n) regardless of
+    * diameter (long near-dup chains from transitive overlaps). Each
+    * round is two groupBy+join passes over the shrinking edge set.
+    * Same output contract as [[clusters]]: (doc_id, cluster_id) with
+    * cluster_id = the component's smallest doc id, one row per node
+    * that appears in `pairs`. */
+  def clustersStar(pairs: DataFrame, maxIters: Int = 25,
+                   reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    def bidir(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b"))
+        .select(col("a"), col("b")))
+    // large-star: every node u connects its strictly-larger neighbors
+    // to m(u) = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val d = bidir(e).select(col("a").as("src"), col("b").as("dst"))
+      val mins = d.groupBy("src").agg(min(least(col("dst"), col("src"))).as("m"))
+      d.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    // small-star: orient edges large→small; every node connects its
+    // smaller neighbors (and itself) to the smallest of them
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("src"),
+          least(col("a"), col("b")).as("dst")).distinct()
+      val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
+      or.join(mins, "src")
+        .select(col("dst").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("src").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    def labelsOf(e: DataFrame): DataFrame =
+      bidir(e).groupBy(col("a").as("doc_id"))
+        .agg(min(least(col("b"), col("a"))).as("cluster_id"))
+
+    var edges = materialize(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .where(col("a") =!= col("b")).distinct())
+    var labels = materialize(labelsOf(edges))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      edges = materialize(smallStar(largeStar(edges)))
+      val next = materialize(labelsOf(edges))
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"), "full")
+        .where(col("n.cluster_id").isNull || col("o.cluster_id").isNull ||
+          col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIters rounds")
     labels
   }
 

@@ -83,6 +83,24 @@ class DedupSpec extends SparkSpec {
     assert(band0 > 256, s"observed only $band0 distinct band values")
   }
 
+  test("clustersStar (large-star/small-star) matches label propagation") {
+    import spark.implicits._
+    def pairsDf(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
+    // a 10-node chain (diameter stress: label propagation needs ~9
+    // rounds, star contraction O(log n)), two components, and a
+    // deterministic pseudo-random graph
+    val chain = pairsDf((1L to 9L).map(i => (i, i + 1)))
+    val twoComp = pairsDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L)))
+    val rnd = pairsDf((1 to 60)
+      .map(i => ((i * 37 % 41).toLong, ((i * 53 + 11) % 41).toLong))
+      .filter { case (a, b) => a != b })
+    for ((p, name) <- Seq(chain -> "chain", twoComp -> "twoComp", rnd -> "random")) {
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(run(Dedup.clustersStar(p)) === run(Dedup.clusters(p, maxIters = 40)), name)
+    }
+  }
+
   test("ngram df-cap drops boilerplate shingles from the candidate join") {
     // the shingle "x y z" occurs in 4 docs: with dfCap=3 it is dropped
     // and no pairs survive; with dfCap=4 all 6 pairs appear at jaccard 1
