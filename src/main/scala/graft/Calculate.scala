@@ -64,22 +64,40 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
 
   /** Pivot a plain-em frame's pff variables into one wide row per geoid
     * with "<var>e"/"<var>m" columns (special.py:7-19), via conditional
-    * aggregation — a single shuffle, no pivot-to-driver. The caller
-    * passes the shared em() aggregate so many specials/medians reuse ONE
-    * aggregation of the download instead of re-scanning it per variable. */
+    * aggregation — a single shuffle, no pivot-to-driver. An input that
+    * is itself a special (mntrvtm's wrkrnothm) becomes a DERIVED column
+    * computed from its formula over the same wide row, in dependency
+    * order — the same values the reference's recursive
+    * calculate_e_m_multiprocessing routing produces (calculate.py:33-42)
+    * without a per-special union + re-aggregation. */
   private def emWide(emFrame: DataFrame, vars: Seq[String]): DataFrame = {
-    // an input that is itself a special (mntrvtm's wrkrnothm) must be
-    // derived through its special path, exactly like the reference's
-    // calculate_e_m_multiprocessing routes it (calculate.py:33-42)
-    val (specialVars, plainVars) = vars.partition(registry.specialVariables.contains)
-    val plain = emFrame.where(col("pff_variable").isin(plainVars: _*))
-    val narrowed = specialVars.map(sv => emSpecialFrom(emFrame, sv))
-      .foldLeft(plain)(_ unionByName _)
-    val aggs = vars.flatMap { v =>
+    val (specialVars, plainVars) = vars.distinct.partition(registry.specialVariables.contains)
+    val aggs = plainVars.flatMap { v =>
       Seq(max(when(col("pff_variable") === v, col("e"))).as(s"${v}e"),
         max(when(col("pff_variable") === v, col("m"))).as(s"${v}m"))
     }
-    narrowed.groupBy(col("census_geoid"), col("geotype")).agg(aggs.head, aggs.tail: _*)
+    val wide0 = emFrame.where(col("pff_variable").isin(plainVars: _*))
+      .groupBy(col("census_geoid"), col("geotype")).agg(aggs.head, aggs.tail: _*)
+    // dependency-order the derived specials (wrkrnothm before mntrvtm)
+    val ordered = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var remaining = specialVars
+      while (remaining.nonEmpty) {
+        val (ready, notReady) = remaining.partition(sv =>
+          registry.specialByName(sv).baseVariables
+            .forall(b => !specialVars.contains(b) || out.contains(b)))
+        require(ready.nonEmpty, s"cyclic special dependencies in $remaining")
+        out ++= ready; remaining = notReady
+      }
+      out.toList
+    }
+    ordered.foldLeft(wide0) { (df, sv) =>
+      val sp = registry.specialByName(sv)
+      val v: String => Column = name => col(name)
+      val e0 = sp.eFormula(v)
+      val e = if (sp.eZeroToNull) when(e0 === 0, lit(null)).otherwise(e0) else e0
+      df.withColumn(s"${sv}e", e).withColumn(s"${sv}m", sp.mFormula(v))
+    }
   }
 
   /** Special-variable e/m via its registered formulas
@@ -90,12 +108,21 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
   /** As [[emSpecial]] over an already-computed plain em() frame. */
   def emSpecialFrom(emFrame: DataFrame, pffVariable: String): DataFrame = {
     val sp = registry.specialByName(pffVariable)
-    val wide = emWide(emFrame, sp.baseVariables)
+    emSpecialFromWide(emWide(emFrame, sp.baseVariables), sp)
+  }
+
+  /** A special's output rows from a wide frame already carrying its
+    * inputs' "<var>e/m" columns (shared across specs in calculateAll).
+    * The presence filter preserves per-spec-pivot semantics: a geoid
+    * with no rows for ANY of this spec's inputs emits no row. */
+  private def emSpecialFromWide(wide: DataFrame, sp: graft.meta.Special): DataFrame = {
     val v: String => Column = name => col(name)
     val e0 = sp.eFormula(v)
     val e = if (sp.eZeroToNull) when(e0 === 0, lit(null)).otherwise(e0) else e0
-    wide.select(col("census_geoid"), lit(pffVariable).as("pff_variable"),
-      col("geotype"), e.as("e"), sp.mFormula(v).as("m"))
+    wide
+      .where(sp.baseVariables.map(b => col(s"${b}e").isNotNull).reduce(_ || _))
+      .select(col("census_geoid"), lit(sp.pffVariable).as("pff_variable"),
+        col("geotype"), e.as("e"), sp.mFormula(v).as("m"))
   }
 
   /** Median-variable e/m from its bin-count inputs
@@ -106,16 +133,21 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
   /** As [[emMedian]] over an already-computed plain em() frame. */
   def emMedianFrom(emFrame: DataFrame, pffVariable: String): DataFrame = {
     val md = registry.medianByName(pffVariable)
-    val wide = emWide(emFrame, md.inputVariables)
-    val renamed = md.inputVariables.zipWithIndex.foldLeft(wide) {
-      case (df, (v, i)) => df.withColumnRenamed(s"${v}e", s"c_$i")
+    emMedianFromWide(emWide(emFrame, md.inputVariables), md)
+  }
+
+  /** A median's output rows from a wide frame already carrying its bin
+    * inputs' "<var>e" columns. */
+  private def emMedianFromWide(wide: DataFrame, md: MedianSpec): DataFrame = {
+    val present = md.inputVariables.map(b => col(s"${b}e").isNotNull).reduce(_ || _)
+    // a geoid with no rows for SOME bin has a NULL pivot cell; the
+    // reference's pandas sum treats missing bins as 0 (skipna)
+    val binned = md.inputVariables.zipWithIndex.foldLeft(wide.where(present)) {
+      case (df, (v, i)) => df.withColumn(s"c_$i", coalesce(col(s"${v}e"), lit(0.0)))
     }
-      // a geoid with no rows for some bin has a NULL pivot cell; the
-      // reference's pandas sum treats missing bins as 0 (skipna)
-      .na.fill(0.0, (0 until md.inputs.size).map(i => s"c_$i"))
-    Median.withMedianMoe(renamed,
+    Median.withMedianMoe(binned,
         Median.Config(md.bins, md.designFactor, md.topCoding, md.bottomCoding, md.bottomA1))
-      .select(col("census_geoid"), lit(pffVariable).as("pff_variable"),
+      .select(col("census_geoid"), lit(md.pffVariable).as("pff_variable"),
         col("geotype"), col("median").as("e"), col("moe").as("m"))
   }
 
@@ -286,13 +318,22 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // profile-only variables take published e/m/p/z straight from the
     // download (calculate_e_m_p_z, calculate.py:108-127), like apply()
     val profileOnly = registry.profileOnlyVariables
-    // ONE aggregation of the download feeds every path
+    // ONE aggregation of the download feeds every path — persisted,
+    // because every median/special pivot plus the plain, base and pct
+    // branches scan it (~24 scans for the full acs2019 registry; at
+    // 100 TB the first-stage aggregate is always materialized)
     val emAll = em(download)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val notProfile =
       if (profileOnly.isEmpty) lit(true)
       else !col("pff_variable").isin(profileOnly.toSeq: _*)
     val plainAll = emAll.where(!col("pff_variable").isin(dedicated: _*))
     val plain = plainAll.where(notProfile)
+    // per-spec narrow pivots over the PERSISTED emAll: one shuffle per
+    // median/special, but each pivot aggregate stays ~20-50 columns.
+    // (A single shared pivot of every input was measured 3× SLOWER at
+    // the full registry: a 300+-column conditional aggregate is its own
+    // codegen bomb, and every spec's projection drags the wide row.)
     val specials = registry.specials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
     val medians = registry.medians.map(md => emMedianFrom(emAll, md.pffVariable))
     // unionByName: the per-path selects don't share column order

@@ -56,6 +56,28 @@ object PipelineDrive {
     calc.export(allOut, exportPath)
     val readBack = spark.read.parquet(exportPath)
     println(s"[pipeline-drive] calculateAll rows=${allOut.count()} vars=${allOut.select("pff_variable").distinct().count()} exportRows=${readBack.count()} partitions=${readBack.select("domain","geotype").distinct().count()}")
+
+    // FULL acs2019 registry drive: synthetic rows for every census
+    // variable of all 1047 registered variables x 100 geoids, computed
+    // as ONE calculateAll pass (plain aggregate + 10 median pivots +
+    // 10 special pivots + profile rows + base/pct self-joins).
+    val reg19 = VariableRegistry.acs2019
+    val cvs = reg19.variables.flatMap(_.censusVariables).distinct
+    val cvDf = cvs.zipWithIndex.toDF("census_variable", "cv_idx")
+    val geoids = spark.range(100).select(
+      concat(lit("36061"), lpad(col("id").cast("string"), 6, "0")).as("census_geoid"))
+    val dl19 = geoids.crossJoin(cvDf)
+      .select(col("census_geoid"), lit("tract").as("geotype"), col("census_variable"),
+        ((col("cv_idx") % 97) + 1).cast("double").as("e"),
+        ((col("cv_idx") % 13) + 1).cast("double").as("m"))
+    val t0 = System.nanoTime()
+    val out19 = new Calculate(reg19).calculateAll(dl19)
+    out19.queryExecution.executedPlan
+    val tPlan = (System.nanoTime - t0) / 1e9
+    val rows19 = out19.count()
+    val tCount = (System.nanoTime - t0) / 1e9 - tPlan
+    val vars19 = out19.select("pff_variable").distinct().count()
+    println(f"[pipeline-drive] acs2019 FULL registry: censusVars=${cvs.size} rows=$rows19 vars=$vars19 plan=${tPlan}%.1fs exec=${tCount}%.1fs")
     spark.stop()
   }
 }
