@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (L.qDedupNgram _),
     "q_dedup_minhash" -> (L.qDedupMinhash _),
     "q_dedup_clusters" -> (L.qDedupClusters _),
+    "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
     "q_dedup_keep" -> (L.qDedupKeep _),
     "q_sample_split" -> (L.qSampleSplit _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_dedup_ngram" -> L.qDedupNgramSql,
     "q_dedup_minhash" -> L.qDedupMinhashSql,
     "q_dedup_clusters" -> L.qDedupClustersSql,
+    "q_dedup_clusters_star" -> L.qDedupClustersStarSql,
     "q_dedup_keep" -> L.qDedupKeepSql,
     "q_sample_split" -> L.qSampleSplitSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,

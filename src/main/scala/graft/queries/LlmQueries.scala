@@ -174,6 +174,16 @@ object LlmQueries {
     s"""WITH RECURSIVE $dedupGraphCtes
        |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
 
+  // ---- #25b-star: the same clusters via large-star/small-star
+  //      contraction — the O(log n)-round scale path; its oracle IS the
+  //      label-propagation oracle (identical output contract) ----
+
+  def qDedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersStar(
+      Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold))
+
+  val qDedupClustersStarSql: String = qDedupClustersSql
+
   // ---- #25c the deduplicated corpus: drop non-canonical cluster members ----
 
   def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {

@@ -218,6 +218,21 @@ class CalculateSpec extends SparkSpec {
     out.zip(perVar).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
   }
 
+  test("decennial source: horizontal aggregation publishes NULL moe") {
+    // decennial counts have no margin of error (calculate.py:100-104);
+    // the registry vintage carries source="decennial" so Calculate
+    // routes it without an explicit override
+    val calcDec = new Calculate(VariableRegistry.decennial(2010))
+    val d = dl(("36061000100", "P001001", 8000.0, 99.0))
+    val r = calcDec.em(d).collect()(0)
+    assert(r.getString(2) === "decennial_pop")
+    assert(r.getDouble(3) === 8000.0)
+    assert(r.isNullAt(4), "decennial m must be NULL")
+    // decennial_pop is its own base -> p=100, z null through cempz
+    val full = calcDec.cempz(d, "decennial_pop").collect()(0)
+    assert(full.getDouble(6) === 100.0 && full.isNullAt(7))
+  }
+
   test("profile-only variable takes published e/m/p/z directly") {
     import spark.implicits._
     val d = Seq(("36061001500", "tract", "DP03_0062", 72000.0, 3500.0, 72.1, 3.3))
