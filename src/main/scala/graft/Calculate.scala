@@ -112,17 +112,17 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
   }
 
   /** A special's output rows from a wide frame already carrying its
-    * inputs' "<var>e/m" columns (shared across specs in calculateAll).
-    * The presence filter preserves per-spec-pivot semantics: a geoid
-    * with no rows for ANY of this spec's inputs emits no row. */
+    * inputs' "<var>e/m" columns. The per-spec pivot in [[emWide]]
+    * already bounds the geoid set to those with at least one input ROW
+    * (a sentinel-scrubbed NULL-e row still counts as present, exactly
+    * like the reference's pandas pivot keeps NaN rows) — no e-based
+    * presence filter here, which would drop scrubbed geoids. */
   private def emSpecialFromWide(wide: DataFrame, sp: graft.meta.Special): DataFrame = {
     val v: String => Column = name => col(name)
     val e0 = sp.eFormula(v)
     val e = if (sp.eZeroToNull) when(e0 === 0, lit(null)).otherwise(e0) else e0
-    wide
-      .where(sp.baseVariables.map(b => col(s"${b}e").isNotNull).reduce(_ || _))
-      .select(col("census_geoid"), lit(sp.pffVariable).as("pff_variable"),
-        col("geotype"), e.as("e"), sp.mFormula(v).as("m"))
+    wide.select(col("census_geoid"), lit(sp.pffVariable).as("pff_variable"),
+      col("geotype"), e.as("e"), sp.mFormula(v).as("m"))
   }
 
   /** Median-variable e/m from its bin-count inputs
@@ -137,12 +137,12 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
   }
 
   /** A median's output rows from a wide frame already carrying its bin
-    * inputs' "<var>e" columns. */
+    * inputs' "<var>e" columns (geoid-set bounding: see
+    * [[emSpecialFromWide]]). */
   private def emMedianFromWide(wide: DataFrame, md: MedianSpec): DataFrame = {
-    val present = md.inputVariables.map(b => col(s"${b}e").isNotNull).reduce(_ || _)
     // a geoid with no rows for SOME bin has a NULL pivot cell; the
     // reference's pandas sum treats missing bins as 0 (skipna)
-    val binned = md.inputVariables.zipWithIndex.foldLeft(wide.where(present)) {
+    val binned = md.inputVariables.zipWithIndex.foldLeft(wide) {
       case (df, (v, i)) => df.withColumn(s"c_$i", coalesce(col(s"${v}e"), lit(0.0)))
     }
     Median.withMedianMoe(binned,
@@ -373,14 +373,19 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       if (povertyPct.isEmpty)
         joined0.withColumn("__pct_p", lit(null).cast("double"))
           .withColumn("__pct_z", lit(null).cast("double"))
+          .withColumn("__pct_hit", lit(false))
       else {
         val pctMap = broadcast(spark.createDataFrame(povertyPct)
           .toDF("pff_variable", "__pct_var"))
         val pctRows = lookupAll.select(col("census_geoid"), col("geotype"),
           col("pff_variable").as("__pct_var"),
-          col("e").as("__pct_p"), col("m").as("__pct_z"))
+          col("e").as("__pct_p"), col("m").as("__pct_z"), lit(true).as("__pct_hit"))
         joined0.join(pctMap, Seq("pff_variable"), "left")
           .join(pctRows, Seq("census_geoid", "geotype", "__pct_var"), "left")
+          // inner-join parity with cempz/the reference (calculate.py:247,
+          // a default inner merge): a poverty count row with NO companion
+          // row is dropped, not kept with NULL p/z
+          .where(!isPoverty || coalesce(col("__pct_hit"), lit(false)))
       }
 
     val p = when(isMedian,
@@ -419,7 +424,17 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
           col("pff_variable"), col("geotype"),
           Census.cv(col("e"), col("m")).as("c"),
           col("e"), col("m"), col("p").cast("double"), col("z").cast("double"))
-        derived.unionByName(profileRows)
+        // profile-only wins per (geoid, geotype, variable) wherever a
+        // published DP row exists — in acs2019 every median and most
+        // specials are ALSO profile-only, and without this anti-join a
+        // download carrying both the DP row and the bin inputs would
+        // emit two conflicting rows (apply() routes profile-only vars
+        // exclusively through the published path)
+        val profileKeys = profileRows
+          .select("census_geoid", "geotype", "pff_variable").distinct()
+        derived.join(profileKeys,
+            Seq("census_geoid", "geotype", "pff_variable"), "left_anti")
+          .unionByName(profileRows)
       }
     labsGeoid(cleaning(rounding(cempzAll)))
       .join(domains, Seq("pff_variable"), "left")

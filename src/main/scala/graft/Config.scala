@@ -38,10 +38,21 @@ object Config {
   val SimhashMaxHamming = 6
 
   /** Hyperplane-LSH for ANN: nPlanes deterministic integer-coefficient
-    * planes over the 64-dim embedding space; coefficient in [-6, 6]. */
+    * planes over the 64-dim embedding space; coefficient in [-6, 6].
+    * The (k, i) mix is a bit-scrambled hash, NOT a linear form mod 13 —
+    * any polynomial in k mod 13 has period 13 in k, which would make
+    * plane 13 a copy of plane 0 and silently cap the bucket space at
+    * 2^13 however many planes a deployment asks for. Coefficient
+    * literals are inlined into the generated oracle SQL, so both
+    * engines read the same planes by construction. */
   val AnnPlanes = 8
   val AnnDim    = 64
-  def planeCoeff(k: Int, i: Int): Int = ((k * 37 + i * 101) % 13) - 6
+  def planeCoeff(k: Int, i: Int): Int = {
+    val h0 = k * 1103515245 + i * 12345 + 7919
+    val h1 = (h0 ^ (h0 >>> 13)) * 1103515245
+    val h2 = h1 ^ (h1 >>> 16)
+    math.floorMod(h2, 13) - 6
+  }
 
   /** Stopword lists for the n-gram language-ID heuristic (alphabetical
     * language order is the argmax tiebreak). */

@@ -50,12 +50,16 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
       .select("census_geoid", "pff_variable", "geotype", "e", "m")
 
   /** ct2010 -> ct2020 ratio apportionment with the empirical MOE damping
-    * curve, preserving the reference's right-join (crosswalk rows with
-    * no data survive as nulls). 2010_to_2020.py:84-110. */
+    * curve. 2010_to_2020.py:84-110. The reference right-joins so
+    * crosswalk rows with no data survive as NaN rows per single-variable
+    * frame; createOutput's pff_variable filter drops exactly those rows
+    * again, so an INNER join is output-identical — and unlike a
+    * RightOuter it lets the broadcast of the crosswalk actually engage
+    * (the build side of a right-outer must be the streamed left). */
   def ct2010ToCt2020(df: DataFrame): DataFrame = {
     val r = broadcast(ratio.select(col("geoid_ct2010"), col("geoid_ct2020"),
       col("ratio").cast("double").as("ratio")))
-    val joined = df.join(r, df("census_geoid") === r("geoid_ct2010"), "right")
+    val joined = df.join(r, df("census_geoid") === r("geoid_ct2010"), "inner")
     val e2020 = col("e") * col("ratio")
     createOutput(
       joined.select(col("geoid_ct2020"), col("pff_variable"),
@@ -80,10 +84,11 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
   def tractToCdta(df: DataFrame): DataFrame = tractTo(df, "cdta2020", "CDTA")
 
   private def blockGroupTo(df: DataFrame, dstCol: String): DataFrame = {
+    // inner, not the reference's right join: see ct2010ToCt2020
     val lk = broadcast(lookup.where(col(dstCol).isNotNull)
       .select(col("geoid_block_group"), col(dstCol)).distinct())
     createOutput(
-      df.join(lk, df("census_geoid") === lk("geoid_block_group"), "right")
+      df.join(lk, df("census_geoid") === lk("geoid_block_group"), "inner")
         .select(col(dstCol), col("pff_variable"), col("e"), col("m")),
       dstCol, dstCol)
   }
@@ -171,13 +176,15 @@ case class Geography2010(lookupGeo: DataFrame) {
       dstCol, geotype)
   }
 
-  /** Right-joined zone rollup (reference keeps unmatched zone rows;
-    * flagged-zone columns are pre-filtered non-null, 2010.py:66-160). */
+  /** Zone rollup over flagged blocks (2010.py:66-160). Inner join, not
+    * the reference's right join: createOutput's pff_variable filter
+    * drops the preserved-but-unmatched rows anyway, and inner lets the
+    * lookup broadcast engage (right-outer must build the left side). */
   private def zone(df: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val lk = broadcast(lookup.where(col(dstCol).isNotNull)
       .select(col(srcCol), col(dstCol)).distinct())
     createOutput(
-      df.join(lk, df("census_geoid") === lk(srcCol), "right")
+      df.join(lk, df("census_geoid") === lk(srcCol), "inner")
         .select(col(dstCol), col("pff_variable"), col("e"), col("m")),
       dstCol, dstCol)
   }

@@ -218,6 +218,42 @@ class CalculateSpec extends SparkSpec {
     out.zip(perVar).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
   }
 
+  test("poverty p/z: rows without a _pct companion drop in BOTH paths") {
+    // the reference's merge is inner (calculate.py:247): a count row
+    // whose geoid has no companion row is dropped, in cempz AND in
+    // calculateAll
+    val calc19 = new Calculate(VariableRegistry.acs2019)
+    val d = dl(
+      ("g1", "S1701_C02_001", 1200.0, 150.0),
+      ("g1", "S1701_C03_001", 18.5, 2.1),
+      ("g2", "S1701_C02_001", 900.0, 120.0)) // no companion for g2
+    val perVar = calc19.cempz(d, "pbwpv").collect()
+    assert(perVar.map(_.getString(0)).toSeq === Seq("g1"))
+    val all = calc19.calculateAll(d)
+      .where(col("pff_variable") === "pbwpv").collect()
+    assert(all.map(_.getString(0)).toSeq === Seq("g1"))
+  }
+
+  test("calculateAll: profile-only row wins over the derived pivot row") {
+    // mdage is profile-only in acs2019 (single DP05_0018 source); a
+    // download carrying BOTH the published DP row and the bin inputs
+    // must produce ONE mdage row — the published one, like apply()
+    import spark.implicits._
+    val reg = VariableRegistry.acs2019
+    val calc19 = new Calculate(reg)
+    assert(reg.profileOnlyVariables.contains("mdage"))
+    val binRows = reg.medianByName("mdage").inputVariables.map { v =>
+      ("g1", "tract", reg.byName(v).censusVariables.head, 10.0, 1.0,
+        None: Option[Double], None: Option[Double])
+    }
+    val d = (binRows :+ (("g1", "tract", "DP05_0018", 35.0, 0.4, Some(100.0), Some(0.1))))
+      .toDF("census_geoid", "geotype", "census_variable", "e", "m", "p", "z")
+    val out = calc19.calculateAll(d)
+      .where(col("pff_variable") === "mdage").collect()
+    assert(out.length === 1, out.mkString("; "))
+    assert(out(0).getDouble(6) === 35.0, "published estimate, not the binned median")
+  }
+
   test("decennial source: horizontal aggregation publishes NULL moe") {
     // decennial counts have no margin of error (calculate.py:100-104);
     // the registry vintage carries source="decennial" so Calculate

@@ -62,6 +62,14 @@ class QualitySpec extends SparkSpec {
     assert(r4 > 0.0, "coarse buckets must recover some true neighbors")
   }
 
+  test("hyperplane coefficients stay distinct well past 13 planes") {
+    // a linear form mod 13 has period 13 in k — plane 13 would copy
+    // plane 0 and cap the bucket space at 2^13 forever
+    val planes = (0 until 32).map(k =>
+      (0 until graft.Config.AnnDim).map(i => graft.Config.planeCoeff(k, i)))
+    assert(planes.distinct.size === 32, "duplicate hyperplanes")
+  }
+
   test("minhash jaccard estimates track exact ngram jaccard") {
     // pairs surfaced by LSH must report the TRUE jaccard (they are
     // verified with array_intersect) - check against the exact operator
