@@ -15,11 +15,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two timed runs: steady-state timing, halves machine noise.
-      // A failed run is not timed and short-circuits the second run.
+      // isolate queries: the dedup family persists intermediate frames
+      // (shingles, signatures) that would otherwise accumulate across
+      // the suite and evict/GC-pressure later queries' runs
+      spark.catalog.clearCache()
+      // min of three timed runs: steady-state timing, dampens machine
+      // noise. A failed run is not timed and short-circuits the rest.
       var times = List.empty[Double]
       var i = 0
-      while (i < 2 && !failed.contains(name)) {
+      while (i < 3 && !failed.contains(name)) {
         val t0 = System.nanoTime()
         // noop sink: computes every column of every row (count() would
         // let Spark skip projection work entirely on narrow queries)
