@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large-large joins and heavy-payload aggregations.
+  *
+  * Spark's own defenses cover most cases at 100 TB: map-side partial
+  * aggregation makes groupBy skew-immune for decomposable aggregates,
+  * and AQE's skew-join splits oversized sort-merge partitions at
+  * runtime (spark.sql.adaptive.skewJoin, on by default). Salting is the
+  * explicit fallback for what those miss:
+  *
+  *  - a skewed equi-join where one side is too big to broadcast and the
+  *    hot key's rows exceed even a split partition (or AQE is off);
+  *  - per-key state that grows with key frequency (collect-style
+  *    payloads, exact distinct counts over hot keys).
+  *
+  * The salt is DETERMINISTIC (md5-derived from caller-chosen columns),
+  * so plans stay replayable and cross-engine comparable — never
+  * rand()-based, which breaks retries of a lost task (a recomputed
+  * partition would re-salt differently).
+  */
+object Skew {
+
+  /** A salt in [0, buckets) derived from `from` columns — pick columns
+    * that vary WITHIN a hot key (a row id, a payload column), never the
+    * join key itself. */
+  def salt(buckets: Int, from: Column*): Column =
+    pmod(conv(substring(md5(concat_ws("", from: _*)), 1, 7), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  /** Salted inner equi-join of a skewed `facts` side against a `dim`
+    * side that is too large to broadcast but small enough to replicate
+    * `buckets` times: facts spread each hot key across `buckets`
+    * sub-keys via [[salt]] over `saltFrom`, and dim is exploded once per
+    * bucket, so the shuffle key (key, salt) splits every hot key's rows
+    * across `buckets` reducers. Result equals `facts.join(dim, key)`. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int, saltFrom: Seq[String]): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val saltedFacts = facts.withColumn("__salt",
+      salt(buckets, saltFrom.map(facts(_)): _*))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedFacts.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase exact distinct count per key, skew-safe: phase 1 drops
+    * duplicate (key, value) pairs on the salted sub-key (bounded state
+    * per reducer), phase 2 merges per-salt counts. Equals
+    * `df.groupBy(key).agg(countDistinct(value))` — which must hold ALL
+    * of a hot key's distinct values in one reducer — for non-null
+    * values. */
+  def saltedDistinctCount(df: DataFrame, key: String, value: String,
+                          buckets: Int): DataFrame = {
+    val salted = df.where(col(value).isNotNull)
+      .withColumn("__salt", salt(buckets, col(value)))
+    salted.groupBy(col(key), col("__salt"))
+      .agg(countDistinct(col(value)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n_distinct"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+
+  private def skewed = {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    (1 to 1000).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong, s"v${i % 83}"))
+      .toDF("key", "row_id", "payload")
+  }
+
+  private def dim = {
+    import spark.implicits._
+    (Seq("hot") ++ (0 until 7).map(i => s"k$i")).zipWithIndex
+      .toDF("key", "dim_val")
+  }
+
+  test("salt is deterministic and lands in [0, buckets)") {
+    val s = skewed.select(Skew.salt(16, col("row_id")).as("s"))
+    val vals = s.collect().map(_.getInt(0))
+    assert(vals.forall(v => v >= 0 && v < 16))
+    assert(vals.distinct.length > 8, "salt should spread across buckets")
+    val again = skewed.select(Skew.salt(16, col("row_id")).as("s"))
+      .collect().map(_.getInt(0))
+    assert(vals.toSeq === again.toSeq, "salt must be deterministic")
+  }
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "row_id", "payload", "dim_val")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2))
+    val plain = canon(skewed.join(dim, Seq("key")))
+    val salted = canon(Skew.saltedJoin(skewed, dim, "key", 8, Seq("row_id")))
+    assert(salted.length === plain.length)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("saltedDistinctCount equals countDistinct per key") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val plain = canon(skewed.groupBy("key")
+      .agg(countDistinct(col("payload")).as("n_distinct")))
+    val salted = canon(Skew.saltedDistinctCount(skewed, "key", "payload", 8))
+    assert(salted.toSeq === plain.toSeq)
+  }
+}
