@@ -45,9 +45,12 @@ object RegistryLoader {
   }
 
   /** metadata.json rows -> Variable. A literal "nan" base_variable means
-    * no percent base (calculate.py:258 checks `!= "nan"`). acs/2021
-    * metadata ships upstream without census_variable / rounding /
-    * category fields — their absence is tolerated. */
+    * no percent base (calculate.py:258 checks `!= "nan"`), and the
+    * vacancy-rate specials carry the sentinel "rate" — a base that
+    * resolves to no variable anywhere (their p/z are nulled by cleaning
+    * regardless), so it maps to no-base too. acs/2021 metadata ships
+    * upstream without census_variable / rounding / category fields —
+    * their absence is tolerated. */
   private def parseVariables(json: String): Seq[Variable] = {
     val JArray(rows) = JsonMethods.parse(json): @unchecked
     rows.map { row =>
@@ -58,7 +61,8 @@ object RegistryLoader {
         censusVariables = o.get("census_variable").collect {
           case JArray(a) => a.collect { case JString(s) => s }
         }.getOrElse(Seq.empty),
-        baseVariable = str("base_variable").filterNot(b => b == "nan" || b.isEmpty),
+        baseVariable = str("base_variable")
+          .filterNot(b => b == "nan" || b == "rate" || b.isEmpty),
         domain = str("domain").getOrElse(""),
         category = str("category").getOrElse(""),
         rounding = o.get("rounding").map(asDouble(_).toInt).getOrElse(0))

@@ -126,6 +126,50 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("rank"), col("cand_id"), col("cos"))
   }
 
+  /** Multi-probe IVF query assignment: one row per (query, probed
+    * bucket) for the nProbe nearest centroids — the IVF recall knob
+    * (candidates stay single-bucket; probing more centroids trades
+    * candidate volume for recall, like nPlanes does for LSH). Top-n
+    * centroid selection is a sort of the tiny (cos, -idx) struct array,
+    * descending: cos desc, then lowest centroid id on ties — the same
+    * tiebreak as [[ivfAssign]]. */
+  def ivfProbes(df: DataFrame, embCol: String, centroids: Seq[Array[Float]],
+                nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "1 <= nProbe <= centroids")
+    val emb = col(embCol)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        // zero-norm vectors have NULL cosines; -2 sorts them below any
+        // real cosine so probing order stays total
+        coalesce(Portable.roundp(VectorOps.floatCosine(emb, lit(c)), 6), lit(-2.0)).as("cos"),
+        lit(-i).as("nid"))
+    }
+    df.withColumn("__probe",
+        explode(slice(sort_array(array(scored: _*), asc = false), 1, nProbe)))
+      .withColumn("bucket", (-col("__probe.nid")).cast("int"))
+      .drop("__probe")
+  }
+
+  /** IVF ANN top-k with multi-probe queries: each query meets the
+    * candidates of its nProbe nearest centroid buckets. nProbe=1
+    * reduces exactly to [[ivfTopK]]. A candidate lives in one bucket
+    * and probed buckets are distinct, so no pair dedup is needed. */
+  def ivfTopKProbed(queries: DataFrame, candidates: DataFrame,
+                    centroids: Seq[Array[Float]], k: Int, nProbe: Int): DataFrame = {
+    val q = ivfProbes(queries, "embedding", centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = ivfAssign(candidates, "embedding", centroids)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("bucket").cast("long").as("bucket"), col("cand_id"),
+        Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("rank"), col("cand_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a label/bucket column:
     * pairs within the same block with cosine >= threshold. */
   def embeddingNearDupPairs(vectors: DataFrame, block: String, threshold: Double): DataFrame = {

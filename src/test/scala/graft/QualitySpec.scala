@@ -62,6 +62,27 @@ class QualitySpec extends SparkSpec {
     assert(r4 > 0.0, "coarse buckets must recover some true neighbors")
   }
 
+  test("multi-probe IVF: nProbe=1 equals ivfTopK; more probes lift recall") {
+    val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id").collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray).toSeq
+    val queries = emb.where(col("vec_id") < 20)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val single = canon(Similarity.ivfTopK(queries, emb, centroids, 5))
+    val probed1 = canon(Similarity.ivfTopKProbed(queries, emb, centroids, 5, nProbe = 1))
+    assert(probed1 === single)
+    val brute = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r1 = recall(Similarity.ivfTopKProbed(queries, emb, centroids, 5, nProbe = 1))
+    val r3 = recall(Similarity.ivfTopKProbed(queries, emb, centroids, 5, nProbe = 3))
+    assert(r3 >= r1, s"recall must not drop with more probes: $r1 -> $r3")
+    assert(r3 > r1, s"3 probes should find strictly more true neighbors here: $r1 -> $r3")
+  }
+
   test("hyperplane coefficients stay distinct well past 13 planes") {
     // a linear form mod 13 has period 13 in k — plane 13 would copy
     // plane 0 and cap the bucket space at 2^13 forever

@@ -89,6 +89,20 @@ class RegistryLoaderSpec extends AnyFunSuite {
     assert(hv.eZeroToNull, "vacancy-rate zero guard carried from the formula set")
   }
 
+  test("acs2019 cross-references resolve: median inputs, special bases, percent bases") {
+    r2019.medians.flatMap(_.inputVariables).foreach { v =>
+      assert(r2019.byName.contains(v), s"median input $v has no metadata row")
+    }
+    r2019.specials.flatMap(_.baseVariables).foreach { v =>
+      assert(r2019.byName.contains(v) || r2019.specialByName.contains(v),
+        s"special base $v resolves to neither metadata nor a special")
+    }
+    val known = r2019.byName.keySet ++ r2019.specialVariables ++ r2019.medianVariables
+    r2019.variables.flatMap(_.baseVariable).foreach { b =>
+      assert(known.contains(b), s"percent base $b unresolvable")
+    }
+  }
+
   test("poverty variables have _pct companions in acs2019") {
     VariableRegistry.povertyVariables.foreach { v =>
       assert(r2019.byName.contains(s"${v}_pct"), v)
