@@ -152,8 +152,17 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
   }
 
   /** Full c/e/m/p/z for one variable (calculate_c_e_m_p_z), routing to
-    * the median / special / plain paths and joining the percent base. */
-  def cempz(download: DataFrame, pffVariable: String): DataFrame = {
+    * the median / special / plain paths and joining the percent base.
+    *
+    * `vertical` is the geography-translation hook (aggregate_vertical,
+    * calculate.py:62-86): the reference applies it inside EVERY
+    * calculate_e_m — base variables, median bin inputs and special
+    * inputs included — so here it wraps every em-producing branch. Pass
+    * a translator from [[graft.operators.Geography]] /
+    * [[graft.operators.Geography2010]].options, e.g.
+    * `calc.cempz(dl, "ownerocc", geo.tractToNta)`. */
+  def cempz(download: DataFrame, pffVariable: String,
+            vertical: DataFrame => DataFrame = identity): DataFrame = {
     // specials/medians may have no plain metadata row of their own
     val baseVariable = registry.byName.get(pffVariable).flatMap(_.baseVariable)
     val isMedian = registry.medianVariables.contains(pffVariable)
@@ -179,10 +188,16 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
           col("e"), col("m"), col("p"), col("z"))
     }
 
+    // every e/m flows through the geography translation FIRST — the
+    // median pivot / special formulas then operate on the aggregated
+    // geography, exactly like the reference's per-input routing
+    def vEmFor(v: String) = vertical(emFor(download, v))
+    lazy val vEmAll = vertical(em(download))
+
     val base: DataFrame =
-      if (isMedian) emMedian(download, pffVariable)
-      else if (isSpecial) emSpecial(download, pffVariable)
-      else emFor(download, pffVariable)
+      if (isMedian) emMedianFrom(vEmAll, pffVariable)
+      else if (isSpecial) emSpecialFrom(vEmAll, pffVariable)
+      else vEmFor(pffVariable)
 
     val withPz: DataFrame =
       if (isMedian)
@@ -196,16 +211,16 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       // (calculate_poverty_p_z, calculate.py:171-186, routed at 244-249)
       else if (VariableRegistry.povertyVariables.contains(pffVariable) &&
                registry.byName.contains(s"${pffVariable}_pct")) {
-        val pz = emFor(download, s"${pffVariable}_pct")
+        val pz = vEmFor(s"${pffVariable}_pct")
           .select(col("census_geoid"), col("geotype"),
             col("e").as("p"), col("m").as("z"))
         base.join(pz, Seq("census_geoid", "geotype"))
       }
       else baseVariable match {
         case Some(bv) =>
-          val agg = (if (registry.specialVariables.contains(bv)) emSpecial(download, bv)
-                     else if (registry.medianVariables.contains(bv)) emMedian(download, bv)
-                     else emFor(download, bv))
+          val agg = (if (registry.specialVariables.contains(bv)) emSpecialFrom(vEmAll, bv)
+                     else if (registry.medianVariables.contains(bv)) emMedianFrom(vEmAll, bv)
+                     else vEmFor(bv))
             .select(col("census_geoid"), col("e").as("agg_e"), col("m").as("agg_m"))
           val j = base.join(agg, Seq("census_geoid"), "left")
           j.withColumn("p", Census.pctOfBase(col("e"), col("agg_e")))
@@ -297,9 +312,11 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       col("pff_variable"), col("c"), col("e"), col("m"), col("p"), col("z"))
 
   /** The full per-variable pipeline: c/e/m/p/z -> rounding -> cleaning ->
-    * labs formatting (Calculate.__call__, calculate.py:376-388). */
-  def apply(download: DataFrame, pffVariable: String): DataFrame =
-    labsGeoid(cleaning(rounding(cempz(download, pffVariable))))
+    * labs formatting (Calculate.__call__, calculate.py:376-388).
+    * `vertical`: see [[cempz]]. */
+  def apply(download: DataFrame, pffVariable: String,
+            vertical: DataFrame => DataFrame = identity): DataFrame =
+    labsGeoid(cleaning(rounding(cempz(download, pffVariable, vertical))))
 
   /** EVERY registered variable in a handful of plans — the Spark-native
     * replacement for the reference's per-(variable, geotype) process
@@ -307,7 +324,8 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     * each special/median adds its pivot, and p/z resolve through a
     * single self-join on (geoid, base variable). Returns the same
     * labs-formatted schema as [[apply]] plus the variable's domain. */
-  def calculateAll(download: DataFrame): DataFrame = {
+  def calculateAll(download: DataFrame,
+                   vertical: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val spark = download.sparkSession
     // special/median variables come EXCLUSIVELY from their dedicated
@@ -318,11 +336,15 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // profile-only variables take published e/m/p/z straight from the
     // download (calculate_e_m_p_z, calculate.py:108-127), like apply()
     val profileOnly = registry.profileOnlyVariables
-    // ONE aggregation of the download feeds every path — persisted,
+    // ONE aggregation of the download — run through the geography
+    // translation when given (see cempz) — feeds every path; persisted,
     // because every median/special pivot plus the plain, base and pct
     // branches scan it (~24 scans for the full acs2019 registry; at
-    // 100 TB the first-stage aggregate is always materialized)
-    val emAll = em(download)
+    // 100 TB the first-stage aggregate is always materialized).
+    // NOTE published-profile rows come from the raw download and only
+    // exist for non-aggregated geographies, matching the reference's
+    // routing (profile path requires geotype not aggregated).
+    val emAll = vertical(em(download))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val notProfile =
       if (profileOnly.isEmpty) lit(true)

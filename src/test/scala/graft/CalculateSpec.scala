@@ -254,6 +254,28 @@ class CalculateSpec extends SparkSpec {
     assert(out(0).getDouble(6) === 35.0, "published estimate, not the binned median")
   }
 
+  test("vertical hook: tract download rolls to NTA before p/z (calculate.py:62-86)") {
+    import org.apache.spark.sql.DataFrame
+    // a toy translator: tracts sharing the 2-char prefix form one NTA
+    val toNta: DataFrame => DataFrame = df => df
+      .groupBy(substring(col("census_geoid"), 1, 2).as("census_geoid"), col("pff_variable"))
+      .agg(sum(col("e")).as("e"),
+        sqrt(sum(col("m") * col("m"))).as("m"))
+      .withColumn("geotype", lit("NTA"))
+      .select("census_geoid", "pff_variable", "geotype", "e", "m")
+    val d = dl(
+      ("AB001", "B25003_002", 30.0, 3.0), ("AB002", "B25003_002", 10.0, 4.0),
+      ("AB001", "B25003_001", 100.0, 4.0), ("AB002", "B25003_001", 100.0, 3.0))
+    val r = calc.cempz(d, "ownerocc", toNta).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getString(0) === "AB" && row.getString(2) === "NTA")
+    assert(row.getDouble(4) === 40.0, "e summed across the NTA's tracts")
+    assert(math.abs(row.getDouble(5) - 5.0) < 1e-12, "m = RSS(3,4)")
+    // p computed against the NTA-level base (200), not per tract
+    assert(math.abs(row.getDouble(6) - 20.0) < 1e-12)
+  }
+
   test("decennial source: horizontal aggregation publishes NULL moe") {
     // decennial counts have no margin of error (calculate.py:100-104);
     // the registry vintage carries source="decennial" so Calculate
