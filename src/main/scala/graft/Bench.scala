@@ -36,7 +36,9 @@ object Bench {
         }
         i += 1
       }
-      name -> (if (times.isEmpty) 0.0 else times.min)
+      // a flaky query (ok on run 1, failed later) reports as FAILED with
+      // no time — never both a time and a failure flag
+      name -> (if (times.isEmpty || failed.contains(name)) 0.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -160,9 +160,14 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     * inputs included — so here it wraps every em-producing branch. Pass
     * a translator from [[graft.operators.Geography]] /
     * [[graft.operators.Geography2010]].options, e.g.
-    * `calc.cempz(dl, "ownerocc", geo.tractToNta)`. */
+    * `calc.cempz(dl, "ownerocc", Some(geo.tractToNta))`. It is an
+    * Option because the ROUTING depends on it: the published-profile
+    * path only applies to non-aggregated geographies
+    * (calculate.py:218-221), so a profile-only variable computed WITH a
+    * translator goes through its derived (median/special/plain) path,
+    * exactly like the reference at an aggregated geotype. */
   def cempz(download: DataFrame, pffVariable: String,
-            vertical: DataFrame => DataFrame = identity): DataFrame = {
+            vertical: Option[DataFrame => DataFrame] = None): DataFrame = {
     // specials/medians may have no plain metadata row of their own
     val baseVariable = registry.byName.get(pffVariable).flatMap(_.baseVariable)
     val isMedian = registry.medianVariables.contains(pffVariable)
@@ -170,9 +175,10 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     val isBase = registry.baseVariables.contains(pffVariable)
 
     // profile-only variables take e/m/p/z straight from the published
-    // profile row (calculate_e_m_p_z, calculate.py:108-127); the
+    // profile row (calculate_e_m_p_z, calculate.py:108-127) — but ONLY
+    // at non-aggregated geographies (no vertical translator); the
     // download may carry p/z columns for them
-    if (registry.profileOnlyVariables.contains(pffVariable)) {
+    if (vertical.isEmpty && registry.profileOnlyVariables.contains(pffVariable)) {
       val v = registry.byName(pffVariable)
       val hasPz = download.columns.contains("p") && download.columns.contains("z")
       val rows = download
@@ -191,8 +197,9 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // every e/m flows through the geography translation FIRST — the
     // median pivot / special formulas then operate on the aggregated
     // geography, exactly like the reference's per-input routing
-    def vEmFor(v: String) = vertical(emFor(download, v))
-    lazy val vEmAll = vertical(em(download))
+    val vfn: DataFrame => DataFrame = vertical.getOrElse(df => df)
+    def vEmFor(v: String) = vfn(emFor(download, v))
+    lazy val vEmAll = vfn(em(download))
 
     val base: DataFrame =
       if (isMedian) emMedianFrom(vEmAll, pffVariable)
@@ -315,7 +322,7 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     * labs formatting (Calculate.__call__, calculate.py:376-388).
     * `vertical`: see [[cempz]]. */
   def apply(download: DataFrame, pffVariable: String,
-            vertical: DataFrame => DataFrame = identity): DataFrame =
+            vertical: Option[DataFrame => DataFrame] = None): DataFrame =
     labsGeoid(cleaning(rounding(cempz(download, pffVariable, vertical))))
 
   /** EVERY registered variable in a handful of plans — the Spark-native
@@ -325,7 +332,7 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     * single self-join on (geoid, base variable). Returns the same
     * labs-formatted schema as [[apply]] plus the variable's domain. */
   def calculateAll(download: DataFrame,
-                   vertical: DataFrame => DataFrame = identity): DataFrame = {
+                   vertical: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val spark = download.sparkSession
     // special/median variables come EXCLUSIVELY from their dedicated
@@ -342,12 +349,16 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // branches scan it (~24 scans for the full acs2019 registry; at
     // 100 TB the first-stage aggregate is always materialized).
     // NOTE published-profile rows come from the raw download and only
-    // exist for non-aggregated geographies, matching the reference's
-    // routing (profile path requires geotype not aggregated).
-    val emAll = vertical(em(download))
+    // apply at non-aggregated geographies, matching the reference's
+    // routing (profile path requires geotype not aggregated) — with a
+    // translator given they are suppressed below.
+    val emAll = vertical.getOrElse(identity[DataFrame] _)(em(download))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // at an aggregated geography (vertical defined) the profile path
+    // does not exist — profile-only variables flow through the derived
+    // paths like any other (calculate.py:218-221)
     val notProfile =
-      if (profileOnly.isEmpty) lit(true)
+      if (profileOnly.isEmpty || vertical.isDefined) lit(true)
       else !col("pff_variable").isin(profileOnly.toSeq: _*)
     val plainAll = emAll.where(!col("pff_variable").isin(dedicated: _*))
     val plain = plainAll.where(notProfile)
@@ -432,7 +443,7 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
         (v.censusVariables.head, v.pffVariable)
     }
     val cempzAll =
-      if (poMapRows.isEmpty) derived
+      if (poMapRows.isEmpty || vertical.isDefined) derived
       else {
         val poMap = broadcast(spark.createDataFrame(poMapRows)
           .toDF("census_variable", "pff_variable"))

@@ -23,13 +23,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any stale output from a previous run so the compare
-        // reports the failure instead of silently passing old data
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists) {
-          dir.listFiles.foreach(_.delete())
-          dir.delete()
+        // remove any stale/partial output (recursively — a failed write
+        // leaves nested _temporary dirs) so the compare reports the
+        // failure instead of reading old or partial data
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete()
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -107,24 +107,12 @@ object Similarity {
 
   /** IVF ANN top-k (nProbe=1): queries meet candidates only inside their
     * coarse centroid bucket. The complement of [[lshTopK]] — data-adaptive
-    * buckets instead of random hyperplanes. */
+    * buckets instead of random hyperplanes. Delegates to
+    * [[ivfTopKProbed]] with one probe (ivfProbes at nProbe=1 IS
+    * ivfAssign — same tiebreak, same NULL handling). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
-              centroids: Seq[Array[Float]], k: Int): DataFrame = {
-    val q = ivfAssign(queries, "embedding", centroids)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val c = ivfAssign(candidates, "embedding", centroids)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
-    // drop the embedding payloads BEFORE ranking: the window exchange
-    // should shuffle (query, cand, cos), not two 64-float arrays per row
-    val scored = q.join(c, Seq("bucket"))
-      .where(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("bucket").cast("long").as("bucket"), col("cand_id"),
-        Portable.roundp(VectorOps.floatCosine(col("q_emb"), col("c_emb")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("bucket"), col("rank"), col("cand_id"), col("cos"))
-  }
+              centroids: Seq[Array[Float]], k: Int): DataFrame =
+    ivfTopKProbed(queries, candidates, centroids, k, nProbe = 1)
 
   /** Multi-probe IVF query assignment: one row per (query, probed
     * bucket) for the nProbe nearest centroids — the IVF recall knob

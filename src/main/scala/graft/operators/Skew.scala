@@ -27,7 +27,7 @@ object Skew {
     * that vary WITHIN a hot key (a row id, a payload column), never the
     * join key itself. */
   def salt(buckets: Int, from: Column*): Column =
-    pmod(conv(substring(md5(concat_ws("", from: _*)), 1, 7), 16, 10).cast("long"),
+    pmod(graft.functions.Portable.h31(concat_ws("", from: _*)),
       lit(buckets.toLong)).cast("int")
 
   /** Salted inner equi-join of a skewed `facts` side against a `dim`
@@ -47,16 +47,17 @@ object Skew {
   }
 
   /** Two-phase exact distinct count per key, skew-safe: phase 1 drops
-    * duplicate (key, value) pairs on the salted sub-key (bounded state
-    * per reducer), phase 2 merges per-salt counts. Equals
-    * `df.groupBy(key).agg(countDistinct(value))` — which must hold ALL
-    * of a hot key's distinct values in one reducer — for non-null
-    * values. */
+    * duplicate (key, value) pairs on the salted sub-key (a value always
+    * lands in the same salt bucket, so per-bucket distinct sets are
+    * disjoint; bounded state per reducer), phase 2 sums per-salt
+    * counts. Equals `df.groupBy(key).agg(countDistinct(value))`,
+    * including keys whose values are all NULL (count 0 — countDistinct
+    * ignores NULLs and concat_ws hashes them stably, so such rows keep
+    * their key alive without contributing). */
   def saltedDistinctCount(df: DataFrame, key: String, value: String,
                           buckets: Int): DataFrame = {
-    val salted = df.where(col(value).isNotNull)
-      .withColumn("__salt", salt(buckets, col(value)))
-    salted.groupBy(col(key), col("__salt"))
+    df.withColumn("__salt", salt(buckets, col(value)))
+      .groupBy(col(key), col("__salt"))
       .agg(countDistinct(col(value)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n_distinct"))

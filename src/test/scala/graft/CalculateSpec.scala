@@ -266,7 +266,7 @@ class CalculateSpec extends SparkSpec {
     val d = dl(
       ("AB001", "B25003_002", 30.0, 3.0), ("AB002", "B25003_002", 10.0, 4.0),
       ("AB001", "B25003_001", 100.0, 4.0), ("AB002", "B25003_001", 100.0, 3.0))
-    val r = calc.cempz(d, "ownerocc", toNta).collect()
+    val r = calc.cempz(d, "ownerocc", Some(toNta)).collect()
     assert(r.length === 1)
     val row = r(0)
     assert(row.getString(0) === "AB" && row.getString(2) === "NTA")
@@ -274,6 +274,33 @@ class CalculateSpec extends SparkSpec {
     assert(math.abs(row.getDouble(5) - 5.0) < 1e-12, "m = RSS(3,4)")
     // p computed against the NTA-level base (200), not per tract
     assert(math.abs(row.getDouble(6) - 20.0) < 1e-12)
+  }
+
+  test("vertical hook overrides profile-only routing (calculate.py:218-221)") {
+    import org.apache.spark.sql.DataFrame
+    // at an aggregated geography the profile path does not exist:
+    // profile-only mdage must compute from its bins, translated first
+    val reg = VariableRegistry.acs2019
+    val calc19 = new Calculate(reg)
+    assert(reg.profileOnlyVariables.contains("mdage"))
+    val toNta: DataFrame => DataFrame = df => df
+      .groupBy(substring(col("census_geoid"), 1, 2).as("census_geoid"), col("pff_variable"))
+      .agg(sum(col("e")).as("e"), sqrt(sum(col("m") * col("m"))).as("m"))
+      .withColumn("geotype", lit("NTA"))
+      .select("census_geoid", "pff_variable", "geotype", "e", "m")
+    val rows = reg.medianByName("mdage").inputVariables.zipWithIndex.flatMap {
+      case (v, i) =>
+        val cv = reg.byName(v).censusVariables.head
+        Seq(("AB001", cv, if (i == 8) 60.0 else 0.0, 1.0),
+            ("AB002", cv, if (i == 9) 60.0 else 0.0, 1.0))
+    }
+    val d = dl(rows: _*)
+    val out = calc19.cempz(d, "mdage", Some(toNta)).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "AB" && out(0).getString(2) === "NTA")
+    // mass 60/60 in bins 8 (25-29.9999) and 9 (30-34.9999): N=120,
+    // half=60 -> median bin 8 -> 25 + 60*4.9999/60 = 29.9999
+    assert(math.abs(out(0).getDouble(4) - 29.9999) < 1e-9)
   }
 
   test("decennial source: horizontal aggregation publishes NULL moe") {

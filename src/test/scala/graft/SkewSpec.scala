@@ -48,4 +48,13 @@ class SkewSpec extends SparkSpec {
     val salted = canon(Skew.saltedDistinctCount(skewed, "key", "payload", 8))
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("saltedDistinctCount keeps keys whose values are all NULL (count 0)") {
+    import spark.implicits._
+    val d = Seq(("a", None: Option[String]), ("b", Some("x")), ("b", None))
+      .toDF("key", "payload")
+    val out = Skew.saltedDistinctCount(d, "key", "payload", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 0L), ("b", 1L)))
+  }
 }
