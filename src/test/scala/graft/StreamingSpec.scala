@@ -33,6 +33,32 @@ class StreamingSpec extends SparkSpec {
       (0L, "click", 2L, 3.0), (10L, "click", 1L, 3.0), (10L, "view", 1L, 5.0)))
   }
 
+  test("batch text-quality operator runs unchanged on a document stream") {
+    // the training-data quality filter is a stateless projection, so
+    // the SAME operator code drives a streaming corpus filter — the
+    // declarative-plan payoff of DataFrame-everywhere
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "!!! ??? ### $$$"),
+      (3L, "a solid paragraph of plain text with enough words to score"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = graft.operators.TextAnalysis.quality(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("quality_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextAnalysis.quality(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    // and the junk doc scores distinctly worse than the clean ones
+    val quality = streamed.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(quality(2L) < quality(1L) && quality(2L) < quality(3L))
+  }
+
   test("sessionize closes sessions after the gap (event-time timeout)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
