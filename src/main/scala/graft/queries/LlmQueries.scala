@@ -188,7 +188,9 @@ object LlmQueries {
 
   def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val clusters = Dedup.clusters(
+    // the star-contraction scale path is the production default for the
+    // canonical-corpus filter (identical labels; O(log n) rounds)
+    val clusters = Dedup.clustersStar(
       Dedup.ngramJaccardPairs(docs, "source", Config.JaccardThreshold))
     val losers = clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")

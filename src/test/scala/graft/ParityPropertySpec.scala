@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.meta.VariableRegistry
+
+/** Property-style parity: for randomized (seeded, reproducible) small
+  * downloads over a mixed variable set, calculateAll agrees row-for-row
+  * with the per-variable apply() path — the batch pipeline can never
+  * drift from the reference-shaped single-variable pipeline. */
+class ParityPropertySpec extends SparkSpec {
+
+  private val reg = VariableRegistry.reference
+  private val calc = new Calculate(reg)
+
+  /** Deterministic pseudo-random double in [lo, hi) from ints. */
+  private def prd(seed: Int, lo: Double, hi: Double): Double = {
+    val x = (seed * 2654435761L + 104729L) >>> 16
+    lo + (x % 100000) / 100000.0 * (hi - lo)
+  }
+
+  test("calculateAll == apply for every variable on 20 random downloads") {
+    // variables under test: a plain var + its base, a special's inputs,
+    // and the mdage median bins — the three routing families
+    val plainCvs = Seq("B25003_002", "B25003_001")
+    val specialCvs = Seq("SP_agip15pl", "SP_pop_6")
+    val medianCvs = VariableRegistry.mdage.inputs.indices.map(i => f"B01001_$i%03d")
+    val allCvs = plainCvs ++ specialCvs ++ medianCvs
+    val vars = Seq("ownerocc", "occbaseunits", "percapinc", "mdage")
+
+    for (trial <- 1 to 20) {
+      import spark.implicits._
+      val nGeo = 1 + trial % 3
+      val rows = for {
+        g <- 0 until nGeo
+        (cv, i) <- allCvs.zipWithIndex
+        // ~15% of cells missing entirely; some zeros; some negatives
+        if prd(trial * 7919 + g * 131 + i, 0, 1) > 0.15
+      } yield {
+        val e = prd(trial * 31 + g * 17 + i, -5, 200)
+        val m = prd(trial * 53 + g * 29 + i * 3, 0, 20)
+        (f"3606100$g%04d", "tract", cv,
+          if (prd(trial + g + i, 0, 1) < 0.1) 0.0 else math.round(e * 10) / 10.0,
+          math.round(m * 10) / 10.0)
+      }
+      if (rows.nonEmpty) {
+        val d = rows.toDF("census_geoid", "geotype", "census_variable", "e", "m")
+        val all = calc.calculateAll(d)
+          .where(col("pff_variable").isin(vars: _*)).drop("domain")
+          .collect().map(r => r.toSeq).toSet
+        val perVar = vars.flatMap(v => calc(d, v).collect().map(_.toSeq)).toSet
+        assert(all === perVar,
+          s"trial $trial: calculateAll diverged from apply\n" +
+            s"only-all: ${(all -- perVar).take(3)}\nonly-apply: ${(perVar -- all).take(3)}")
+      }
+    }
+  }
+}

@@ -49,6 +49,10 @@ object PipelineDrive {
     val facts = calc.em(download).where(col("pff_variable") === "ownerocc")
     val nta = geoAgg.tractToNta(facts)
     println(s"[pipeline-drive] tractToNta rows=${nta.count()} sample=${nta.orderBy("census_geoid").limit(2).collect().toSeq.mkString(" | ")}")
+    // the vertical hook composes with the real Geography translators:
+    // full pipeline at the NTA level, p/z against the NTA-level base
+    val ntaPipeline = calc(download, "ownerocc", Some(geoAgg.tractToNta))
+    println(s"[pipeline-drive] apply@NTA rows=${ntaPipeline.count()} sample=${ntaPipeline.orderBy("census_geoid").limit(2).collect().toSeq.mkString(" | ")}")
     println(s"[pipeline-drive] supportGeoids rows=${geoAgg.supportGeoids.count()}")
     // calculateAll + partitioned export drive
     val allOut = calc.calculateAll(download)
