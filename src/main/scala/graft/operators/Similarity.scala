@@ -159,10 +159,35 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a label/bucket column:
-    * pairs within the same block with cosine >= threshold. */
+    * pairs within the same block with cosine >= threshold.
+    *
+    * SCALE CONTRACT: block cardinality bounds the join — a block of b
+    * rows emits O(b²) candidate pairs, so the caller must guarantee
+    * bounded blocks (a source/shard/topic column, or a pre-computed
+    * coarse cluster). For a corpus with NO natural blocking column use
+    * [[embeddingNearDupPairsLsh]], which manufactures the blocks. */
   def embeddingNearDupPairs(vectors: DataFrame, block: String, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("id_a"), col(block).as("block"), col("embedding").as("emb_a"))
     val b = vectors.select(col("vec_id").as("id_b"), col(block).as("block"), col("embedding").as("emb_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding near-dup for UNBLOCKED corpora: hyperplane-LSH buckets
+    * play the block role. Near-duplicate vectors (cosine near 1) agree
+    * on almost every hyperplane sign, so they land in the same bucket
+    * with high probability; recall/bucket-size trade via nPlanes like
+    * [[lshTopK]]. A candidate pair is verified with the exact cosine —
+    * output ⊆ the all-pairs result at the same threshold. */
+  def embeddingNearDupPairsLsh(vectors: DataFrame, threshold: Double,
+                               nPlanes: Int = Config.AnnPlanes): DataFrame = {
+    val withBucket = vectors.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes).as("block"))
+    val a = withBucket.select(col("vec_id").as("id_a"), col("block"), col("embedding").as("emb_a"))
+    val b = withBucket.select(col("vec_id").as("id_b"), col("block"), col("embedding").as("emb_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("emb_a"), col("emb_b")), 6))

@@ -83,6 +83,32 @@ class QualitySpec extends SparkSpec {
     assert(r3 > r1, s"3 probes should find strictly more true neighbors here: $r1 -> $r3")
   }
 
+  test("LSH-blocked embedding near-dup: exact subset, finds the closest pairs") {
+    val threshold = 0.3
+    val all = Similarity.embeddingNearDupPairs(
+        emb.withColumn("one_block", lit(1)), "one_block", threshold)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, threshold)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every LSH-surfaced pair is a true pair with the exact cosine
+    lsh.foreach { case (k, cos) =>
+      assert(all.contains(k) && all(k) === cos, s"false positive $k")
+    }
+    assert(lsh.nonEmpty, "LSH blocking must surface some near-dups")
+    // TRUE near-dups (cosine 1: exact clones) share every hyperplane
+    // sign, so the LSH blocking finds them ALL — the synthetic corpus's
+    // organic pairs top out near cosine 0.4, below the near-dup regime
+    // this operator targets
+    val clones = emb.where(col("vec_id") < 25)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val withClones = emb.unionByName(clones)
+    val found = Similarity.embeddingNearDupPairsLsh(withClones, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 25L).foreach { i =>
+      assert(found.contains((i, i + 10000)), s"clone pair $i missed")
+    }
+  }
+
   test("hyperplane coefficients stay distinct well past 13 planes") {
     // a linear form mod 13 has period 13 in k — plane 13 would copy
     // plane 0 and cap the bucket space at 2^13 forever
