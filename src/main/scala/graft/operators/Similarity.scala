@@ -184,14 +184,12 @@ object Similarity {
     * output ⊆ the all-pairs result at the same threshold. */
   def embeddingNearDupPairsLsh(vectors: DataFrame, threshold: Double,
                                nPlanes: Int = Config.AnnPlanes): DataFrame = {
+    // persist: both self-join sides read the bucket projection, and the
+    // nPlanes hyperplane dot products per vector should run once (the
+    // caller owns cache lifecycle, like the Dedup persists)
     val withBucket = vectors.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes).as("block"))
-    val a = withBucket.select(col("vec_id").as("id_a"), col("block"), col("embedding").as("emb_a"))
-    val b = withBucket.select(col("vec_id").as("id_b"), col("block"), col("embedding").as("emb_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("emb_a"), col("emb_b")), 6))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+        lshBucket(col("embedding"), nPlanes).as("__lsh_block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embeddingNearDupPairs(withBucket, "__lsh_block", threshold)
   }
 }

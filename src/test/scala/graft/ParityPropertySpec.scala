@@ -44,13 +44,17 @@ class ParityPropertySpec extends SparkSpec {
       }
       if (rows.nonEmpty) {
         val d = rows.toDF("census_geoid", "geotype", "census_variable", "e", "m")
-        val all = calc.calculateAll(d)
-          .where(col("pff_variable").isin(vars: _*)).drop("domain")
-          .collect().map(r => r.toSeq).toSet
-        val perVar = vars.flatMap(v => calc(d, v).collect().map(_.toSeq)).toSet
+        // sorted-Seq (multiset) compare: a Set would hide duplicate-row
+        // regressions like a DP row plus an equal-valued derived row
+        def canon(rows: Seq[org.apache.spark.sql.Row]) =
+          rows.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val all = canon(calc.calculateAll(d)
+          .where(col("pff_variable").isin(vars: _*)).drop("domain").collect().toSeq)
+        val perVar = canon(vars.flatMap(v => calc(d, v).collect()))
         assert(all === perVar,
           s"trial $trial: calculateAll diverged from apply\n" +
-            s"only-all: ${(all -- perVar).take(3)}\nonly-apply: ${(perVar -- all).take(3)}")
+            s"only-all: ${(all.toSet -- perVar.toSet).take(3)}\n" +
+            s"only-apply: ${(perVar.toSet -- all.toSet).take(3)}")
       }
     }
   }
