@@ -18,6 +18,43 @@ class ParityPropertySpec extends SparkSpec {
     lo + (x % 100000) / 100000.0 * (hi - lo)
   }
 
+  test("calculateAll == apply incl. poverty + profile-only routes (acs2019)") {
+    val reg19 = VariableRegistry.acs2019
+    val calc19 = new Calculate(reg19)
+    // pbwpv (poverty: p/z from the _pct companion), mdhhinc
+    // (profile-only: published e/m/p/z), lgoenlep1 + pop5pl1 (plain
+    // variable against its base)
+    val vars = Seq("pbwpv", "mdhhinc", "lgoenlep1", "pop5pl1")
+    val cvs = Seq("S1701_C02_001", "S1701_C03_001", "DP03_0062", "B16001_001") ++
+      reg19.byName("lgoenlep1").censusVariables.take(3)
+    for (trial <- 1 to 10) {
+      import spark.implicits._
+      val rows = for {
+        g <- 0 until (1 + trial % 3)
+        (cv, i) <- cvs.zipWithIndex
+        if prd(trial * 523 + g * 97 + i, 0, 1) > 0.2
+      } yield {
+        val e = math.round(prd(trial * 41 + g * 13 + i, 0, 5000) * 10) / 10.0
+        val m = math.round(prd(trial * 59 + g * 23 + i * 5, 0, 100) * 10) / 10.0
+        // the DP profile row carries published p/z
+        val (p, z) =
+          if (cv == "DP03_0062")
+            (Some(math.round(prd(trial + g, 0, 100) * 10) / 10.0), Some(1.5))
+          else (None: Option[Double], None: Option[Double])
+        (f"3604700$g%04d", "tract", cv, e, m, p, z)
+      }
+      if (rows.nonEmpty) {
+        val d = rows.toDF("census_geoid", "geotype", "census_variable", "e", "m", "p", "z")
+        def canon(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val all = canon(calc19.calculateAll(d)
+          .where(col("pff_variable").isin(vars: _*)).drop("domain").collect().toSeq)
+        val perVar = canon(vars.flatMap(v => calc19(d, v).collect()))
+        assert(all === perVar, s"trial $trial diverged")
+      }
+    }
+  }
+
   test("calculateAll == apply for every variable on 20 random downloads") {
     // variables under test: a plain var + its base, a special's inputs,
     // and the mdage median bins — the three routing families
