@@ -132,6 +132,27 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
   }
 }
 
+object Geography {
+
+  /** The REAL ct2010->ct2020 apportionment table, bundled verbatim from
+    * the reference (data/lookup_geo/2010_to_2020/ratio.csv, 2416 rows),
+    * parsed with the reference's geoid derivation
+    * (2010_to_2020.py:38-51): geoid = "360" + boroct left-padded to 8.
+    * Ready to construct [[Geography]] against production data. */
+  def referenceRatio(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/data/lookup_geo/2010_to_2020/ratio.csv")
+    require(in != null, "bundled ratio.csv missing")
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    finally in.close()
+    import spark.implicits._
+    spark.read.option("header", "true").csv(spark.createDataset(lines))
+      .select(
+        concat(lit("360"), lpad(col("boroct2010"), 8, "0")).as("geoid_ct2010"),
+        concat(lit("360"), lpad(col("boroct2020"), 8, "0")).as("geoid_ct2020"),
+        col("ratio").cast("double").as("ratio"))
+  }
+}
+
 /** The 2010-vintage geographic aggregation paths — the Spark-native
   * equivalent of geography/2010.py's AggregatedGeography. Unlike the
   * 2020 vintage there is no ct2010->ct2020 apportionment step: tracts

@@ -69,6 +69,33 @@ class GeographySpec extends SparkSpec {
       "cdta_fp_500", "cdta_fp_100", "cdta_park_access"))
   }
 
+  test("bundled REAL crosswalk: 2416 rows, valid geoids, ratios sum to 1 per source tract") {
+    val r = Geography.referenceRatio(spark)
+    assert(r.count() === 2416)
+    val bad = r.where(length(col("geoid_ct2010")) =!= 11 ||
+      length(col("geoid_ct2020")) =!= 11 ||
+      !col("geoid_ct2010").startsWith("360")).count()
+    assert(bad === 0)
+    // apportionment invariant: each 2010 tract's ratios distribute ALL
+    // of it (sum 1) across its 2020 tracts
+    val offenders = r.groupBy("geoid_ct2010")
+      .agg(sum(col("ratio")).as("s"))
+      .where(abs(col("s") - 1.0) > 1e-9).count()
+    assert(offenders === 0, "every ct2010 must fully apportion")
+    // and the real table drives the apportionment operator end-to-end
+    import spark.implicits._
+    val someSplit = r.groupBy("geoid_ct2010").count().where(col("count") > 1)
+      .select("geoid_ct2010").limit(1).collect()(0).getString(0)
+    val facts = Seq((someSplit, "pop_1", "tract", 100.0, 10.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+    val lookupStub = Seq.empty[(String, String, String, String, String, String, String, String, String, String)]
+      .toDF("geoid", "nta2020", "ntaname", "cdta2020", "cdtaname",
+        "borocode", "boroname", "fp_500", "fp_100", "park_access")
+    val out = Geography(lookupStub, r).ct2010ToCt2020(facts)
+      .agg(sum(col("e"))).collect()(0).getDouble(0)
+    assert(math.abs(out - 100.0) < 1e-9, "apportioned estimates must sum back to the input")
+  }
+
   // ---- 2010 vintage (geography/2010.py) ----
 
   private def geo2010 = {
