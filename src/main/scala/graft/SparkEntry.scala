@@ -32,6 +32,7 @@ object SparkEntry {
     "q_support_geoids" -> (C.qSupportGeoids _),
     "q_median_rooms" -> (C.qMedianRooms _),
     "q_poverty_pz" -> (C.qPovertyPz _),
+    "q_community_profiles" -> (C.qCommunityProfiles _),
     // query-engine basics
     "q1_pricing_summary" -> (T.q1PricingSummary _),
     "q3_top_orders" -> (T.q3TopOrders _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_support_geoids" -> C.qSupportGeoidsSql,
     "q_median_rooms" -> C.qMedianRoomsSql,
     "q_poverty_pz" -> C.qPovertyPzSql,
+    "q_community_profiles" -> C.qCommunityProfilesSql,
     "q1_pricing_summary" -> T.q1Sql,
     "q3_top_orders" -> T.q3Sql,
     "q_window_running" -> T.qWindowRunningSql,

@@ -552,6 +552,59 @@ object CensusQueries {
         Portable.roundp(col("z"), 4).as("z"))
   }
 
+  // ---- #39 community-profiles wide export pivot ----
+
+  /** A synthetic long results frame (every lineitem row lands on one of
+    * the REAL 75 mapping entries) pushed through
+    * Calculate.communityProfiles — the 105-column wide export as one
+    * conditional aggregation, oracle-generated from the same bundled
+    * mapping (pipelines/acs_community_profiles.py:38-53). */
+  def qCommunityProfiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meta.CommunityProfiles
+    val entries = CommunityProfiles.entries
+    val n = entries.size
+    val l = Tables(spark, dir).lineitem
+    val idx = ((col("l_orderkey") + col("l_linenumber")) % n).cast("int")
+    val varArr = array(entries.map(e => lit(e.pffVariable)): _*)
+    val geoArr = array(entries.map(e => lit(e.geotype)): _*)
+    val results = l.select(
+      (col("l_orderkey") % 200).cast("string").as("census_geoid"),
+      element_at(varArr, idx + 1).as("pff_variable"),
+      element_at(geoArr, idx + 1).as("geotype"),
+      Portable.roundp(col("l_tax") * 100, 4).as("c"),
+      Portable.roundp(col("l_quantity"), 4).as("e"),
+      Portable.roundp(col("l_discount") * 10, 4).as("m"),
+      Portable.roundp(col("l_extendedprice") / 1000, 4).as("p"),
+      Portable.roundp(col("l_tax") * 50, 4).as("z"))
+    new graft.Calculate(VariableRegistry.acs2019).communityProfiles(results)
+  }
+
+  lazy val qCommunityProfilesSql: String = {
+    import graft.meta.CommunityProfiles
+    val entries = CommunityProfiles.entries
+    val n = entries.size
+    val varList = entries.map(e => s"'${e.pffVariable}'").mkString(", ")
+    val geoList = entries.map(e => s"'${e.geotype}'").mkString(", ")
+    val aggs = entries.flatMap { e =>
+      e.columnMapping.map { case (stat, out) =>
+        s"MAX(CASE WHEN v = '${e.pffVariable}' AND gt = '${e.geotype}' THEN $stat END) AS $out"
+      }
+    }.mkString(",\n  ")
+    s"""WITH r AS (
+       |  SELECT CAST(l_orderkey % 200 AS VARCHAR) AS g,
+       |    ([$varList])[CAST((l_orderkey + l_linenumber) % $n AS INT) + 1] AS v,
+       |    ([$geoList])[CAST((l_orderkey + l_linenumber) % $n AS INT) + 1] AS gt,
+       |    floor((l_tax*100) * 1e4 + 0.5) / 1e4 AS c,
+       |    floor((l_quantity) * 1e4 + 0.5) / 1e4 AS e,
+       |    floor((l_discount*10) * 1e4 + 0.5) / 1e4 AS m,
+       |    floor((l_extendedprice/1000) * 1e4 + 0.5) / 1e4 AS p,
+       |    floor((l_tax*50) * 1e4 + 0.5) / 1e4 AS z
+       |  FROM lineitem)
+       |SELECT g AS census_geoid,
+       |  $aggs
+       |FROM r GROUP BY g""".stripMargin
+  }
+
   val qPovertyPzSql: String =
     """WITH d AS (
       |  SELECT CAST(l_orderkey % 500 AS VARCHAR) AS g,
