@@ -54,6 +54,7 @@ object SparkEntry {
     "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
     "q_dedup_keep" -> (L.qDedupKeep _),
     "q_sample_split" -> (L.qSampleSplit _),
+    "q_decontaminate" -> (L.qDecontaminate _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_dedup_clusters_star" -> L.qDedupClustersStarSql,
     "q_dedup_keep" -> L.qDedupKeepSql,
     "q_sample_split" -> L.qSampleSplitSql,
+    "q_decontaminate" -> L.qDecontaminateSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,

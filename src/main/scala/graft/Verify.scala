@@ -17,7 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // the dedup family persists intermediate frames; clear per query
-      // so cache never accumulates across the 47-query dump
+      // so cache never accumulates across the 48-query dump
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -249,6 +249,27 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minCommon` distinct shingles with ANY benchmark document —
+    * the train/eval-overlap scrub every LLM data pipeline runs before
+    * training. Asymmetric by design: the benchmark corpus is tiny
+    * relative to 100 TB of training data, so its exploded shingle set
+    * is BROADCAST and the training side never shuffles for the probe —
+    * the only shuffle is the per-(train, benchmark) match count.
+    * Returns (doc_id, bench_id, n_common) for flagged pairs; anti-join
+    * the corpus on doc_id to decontaminate. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    minCommon: Int = 1): DataFrame = {
+    val trainSh = withShingles(train, Seq.empty)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val benchSh = withShingles(benchmark, Seq.empty)
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("shingle"))
+    trainSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+  }
+
   /** 32-bit SimHash per doc: every token occurrence votes ±1 on each bit
     * of the low Config.SimhashBits bits of its 60-bit hash; fingerprint bit j is 1 iff the vote sum is
     * positive. One explode + ONE custom aggregate (graft.functions

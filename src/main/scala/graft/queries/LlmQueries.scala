@@ -203,7 +203,30 @@ object LlmQueries {
        |SELECT doc_id, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
 
-  // ---- #23b deterministic hash split (train/val assignment) ----
+  // ---- #23c benchmark decontamination ----
+
+  val DecontaminateMinCommon = 3
+
+  /** docs with id < 15 play the benchmark; the rest is the training
+    * corpus to scrub. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.decontaminate(
+      docs.where(col("doc_id") >= 15),
+      docs.where(col("doc_id") < 15),
+      DecontaminateMinCommon)
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM ws),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |tr AS (SELECT doc_id, shingle FROM ex WHERE doc_id >= 15),
+       |be AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id < 15)
+       |SELECT tr.doc_id, be.bench_id, count(*) AS n_common
+       |FROM tr JOIN be ON tr.shingle = be.shingle
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $DecontaminateMinCommon""".stripMargin
 
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents

@@ -101,6 +101,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags train docs overlapping a benchmark doc") {
+    import spark.implicits._
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon"),   // contains bench shingles
+      (101L, "one two three four five six"))      // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    // 2 common shingles: "alpha beta gamma", "beta gamma delta"
+    val hits = Dedup.decontaminate(train, bench, minCommon = 2).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((100L, 1L, 2L)))
+    assert(Dedup.decontaminate(train, bench, minCommon = 3).count() === 0)
+  }
+
   test("ngram df-cap drops boilerplate shingles from the candidate join") {
     // the shingle "x y z" occurs in 4 docs: with dfCap=3 it is dropped
     // and no pairs survive; with dfCap=4 all 6 pairs appear at jaccard 1
