@@ -215,8 +215,15 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
         base.withColumn("p", lit(100.0)).withColumn("z", lit(null).cast("double"))
       // below-poverty counts: p/z are the companion `{var}_pct`
       // variable's e/m, not a base-join derivation
-      // (calculate_poverty_p_z, calculate.py:171-186, routed at 244-249)
-      else if (VariableRegistry.povertyVariables.contains(pffVariable) &&
+      // (calculate_poverty_p_z, calculate.py:171-186, routed at 244-249).
+      // The reference takes this route ONLY at non-aggregated geographies
+      // (`geotype not in aggregated_geography`) — with a vertical
+      // translator the poverty count falls through to the ordinary
+      // base-variable p/z below. (Its `year != 2010` guard is subsumed
+      // by the `{var}_pct` registry-containment check: the 2010 vintage
+      // registers no _pct companions.)
+      else if (vertical.isEmpty &&
+               VariableRegistry.povertyVariables.contains(pffVariable) &&
                registry.byName.contains(s"${pffVariable}_pct")) {
         val pz = vEmFor(s"${pffVariable}_pct")
           .select(col("census_geoid"), col("geotype"),
@@ -225,16 +232,28 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       }
       else baseVariable match {
         case Some(bv) =>
+          // DIVERGENCE NOTE (intentional, like the Geography agg_moe
+          // one): the reference's if / if-else chain
+          // (calculate.py:250-262) computes df_base = special for a
+          // special aggregated base and then UNCONDITIONALLY overwrites
+          // it with plain calculate_e_m in the second branch's else —
+          // the special-base assignment is dead code there. We route a
+          // special (non-median) base through its special formula, which
+          // is what the first branch plainly intends; no bundled vintage
+          // registers a special as another variable's base, so the two
+          // behaviors are indistinguishable on real registries.
           val agg = (if (registry.specialVariables.contains(bv)) emSpecialFrom(vEmAll, bv)
                      else if (registry.medianVariables.contains(bv)) emMedianFrom(vEmAll, bv)
                      else vEmFor(bv))
             .select(col("census_geoid"), col("e").as("agg_e"), col("m").as("agg_m"))
           val j = base.join(agg, Seq("census_geoid"), "left")
+          // stage p and the ratio before pctMoe (see Census.pctMoeStaged)
           j.withColumn("p", Census.pctOfBase(col("e"), col("agg_e")))
+            .withColumn("__ratio",
+              Census.pctMoeRatio(col("e"), col("agg_e"), col("agg_m")))
             .withColumn("z",
-              Census.pctMoe(col("e"), col("m"),
-                Census.pctOfBase(col("e"), col("agg_e")), col("agg_e"), col("agg_m")))
-            .drop("agg_e", "agg_m")
+              Census.pctMoeStaged(col("m"), col("p"), col("__ratio"), col("agg_e")))
+            .drop("agg_e", "agg_m", "__ratio")
         case None =>
           base.withColumn("p", lit(null).cast("double"))
             .withColumn("z", lit(null).cast("double"))
@@ -393,9 +412,15 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // below-poverty counts pull p/z from their `{var}_pct` companion's
     // e/m (calculate.py:244-249) via the same kind of broadcast-mapped
     // self-join as the base variables
-    val povertyPct = VariableRegistry.povertyVariables.toSeq.sorted.collect {
-      case v if registry.byName.contains(s"${v}_pct") => (v, s"${v}_pct")
-    }
+    // the companion-_pct route only exists at non-aggregated geographies
+    // (calculate.py:244-249 gates on `geotype not in aggregated_geography`);
+    // with a vertical translator poverty counts take the ordinary
+    // base-variable p/z path like every other count
+    val povertyPct =
+      if (vertical.isDefined) Seq.empty[(String, String)]
+      else VariableRegistry.povertyVariables.toSeq.sorted.collect {
+        case v if registry.byName.contains(s"${v}_pct") => (v, s"${v}_pct")
+      }
     val isPoverty =
       if (povertyPct.isEmpty) lit(false)
       else col("pff_variable").isin(povertyPct.map(_._1): _*)
@@ -426,15 +451,20 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       .when(isBase, lit(100.0))
       .when(isPoverty, col("__pct_p"))
       .otherwise(Census.pctOfBase(col("e"), col("agg_e")))
-    val z = when(isMedian || isBase, lit(null))
-      .when(isPoverty, col("__pct_z"))
-      .otherwise(Census.pctMoe(col("e"), col("m"),
-        Census.pctOfBase(col("e"), col("agg_e")), col("agg_e"), col("agg_m")))
     val domains = broadcast(spark.createDataFrame(
       registry.variables.map(v => (v.pffVariable, v.domain)))
       .toDF("pff_variable", "domain"))
+    // z references p and the e*agg_m/agg_e ratio in several branches —
+    // stage both as columns first or the tree re-expands per reference
+    // (the q_pct_moe lesson); in z's fall-through branch col("p") IS
+    // pctOfBase, the value pctMoe wants
     val derived = joined
-      .withColumn("p", p).withColumn("z", z)
+      .withColumn("p", p)
+      .withColumn("__ratio", Census.pctMoeRatio(col("e"), col("agg_e"), col("agg_m")))
+      .withColumn("z",
+        when(isMedian || isBase, lit(null))
+          .when(isPoverty, col("__pct_z"))
+          .otherwise(Census.pctMoeStaged(col("m"), col("p"), col("__ratio"), col("agg_e"))))
       .withColumn("c", Census.cv(col("e"), col("m")))
       .select("census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z")
     // published-profile rows: straight from the download, no aggregation

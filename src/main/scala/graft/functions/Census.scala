@@ -50,6 +50,27 @@ object Census {
           .otherwise(sqrt(inner)) / aggE * lit(100))
   }
 
+  /** [[pctMoe]] over PRE-STAGED `p` and `ratio = e*agg_m/agg_e` columns.
+    * `pctMoe` inlines both sub-expressions, and each is referenced in
+    * several branches — the tree re-expands per reference and the plan
+    * balloons (the measured 3.8x q_pct_moe regression). Callers stage
+    * `p` and `ratio` with `withColumn` (zero-guarding the ratio's
+    * division — interpreted Divide errors on x/0 under ANSI) and pass
+    * the column refs; CollapseProject keeps multi-referenced non-cheap
+    * aliases staged. Same semantics as [[pctMoe]]. */
+  def pctMoeStaged(m: Column, p: Column, ratio: Column, aggE: Column): Column = {
+    val inner = m * m - ratio * ratio
+    when(p === 0 || p === 100 || aggE === 0, lit(null))
+      .otherwise(
+        when(inner < 0, sqrt(m * m + ratio * ratio))
+          .otherwise(sqrt(inner)) / aggE * lit(100))
+  }
+
+  /** The zero-guarded `e*agg_m/agg_e` ratio for [[pctMoeStaged]], safe to
+    * stage as an eagerly-projected column. */
+  def pctMoeRatio(e: Column, aggE: Column, aggM: Column): Column =
+    when(aggE === 0, lit(null)).otherwise(e * aggM / aggE)
+
   /** MOE of a ratio num/den: sqrt(m_num^2 + (num*m_den/den)^2)/den.
     * Ref: special.py:41-49 (percapinc) and siblings. */
   def ratioMoe(num: Column, mNum: Column, den: Column, mDen: Column): Column = {

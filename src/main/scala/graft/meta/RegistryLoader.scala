@@ -24,9 +24,11 @@ object RegistryLoader {
 
   /** Vintages bundled in resources, as (source, year). acs/2021 ships
     * only an (incomplete, census-variable-less) metadata.json upstream;
-    * its median/special load as empty. */
+    * its median/special load as empty. acs/2020 ships full variable
+    * metadata but no median.json/special.json (the manual-update years
+    * 2010/2020/2021, acs_manual_update.py:29-35). */
   val vintages: Seq[(String, Int)] = Seq(
-    "acs" -> 2010, "acs" -> 2018, "acs" -> 2019, "acs" -> 2021,
+    "acs" -> 2010, "acs" -> 2018, "acs" -> 2019, "acs" -> 2020, "acs" -> 2021,
     "decennial" -> 2010, "decennial" -> 2020)
 
   private def readResource(path: String): Option[String] = {

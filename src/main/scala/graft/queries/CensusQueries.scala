@@ -98,12 +98,14 @@ object CensusQueries {
 
   // ---- #5 percent MOE with sign-flip ----
 
-  def qPctMoe(spark: SparkSession, dir: String): DataFrame = {
-    val p = Census.pctOfBase(col("e"), col("agg_e"))
+  def qPctMoe(spark: SparkSession, dir: String): DataFrame =
     tractAgg(spark, dir).join(broadcast(boroAgg(spark, dir)), Seq("boro"))
+      // stage p and the e*agg_m/agg_e ratio as real columns: inlined,
+      // pctMoe re-expands them per branch reference (3.8x bench hit)
+      .withColumn("p", Census.pctOfBase(col("e"), col("agg_e")))
+      .withColumn("ratio", Census.pctMoeRatio(col("e"), col("agg_e"), col("agg_m")))
       .select(col("tract"), col("boro"),
-        Portable.roundp(Census.pctMoe(col("e"), col("m"), p, col("agg_e"), col("agg_m")), 4).as("z"))
-  }
+        Portable.roundp(Census.pctMoeStaged(col("m"), col("p"), col("ratio"), col("agg_e")), 4).as("z"))
 
   val qPctMoeSql: String =
     s"""WITH $factsCte, $tractCte, $boroCte,

@@ -218,6 +218,41 @@ class CalculateSpec extends SparkSpec {
     out.zip(perVar).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
   }
 
+  test("poverty p/z at an aggregated geography takes the base route, not the _pct companion") {
+    // the reference's companion-_pct route is gated on `geotype not in
+    // aggregated_geography` (calculate.py:244-249); with a vertical
+    // translator pbwpv's p/z derive from its base poppvu1 like any count
+    val calc19 = new Calculate(VariableRegistry.acs2019)
+    val d = dl(
+      ("g1", "S1701_C02_001", 1200.0, 150.0),  // pbwpv count
+      ("g1", "S1701_C03_001", 18.5, 2.1),      // pbwpv_pct (must be ignored)
+      ("g1", "S1701_C01_001", 5000.0, 300.0),  // poppvu1 base
+      ("g2", "S1701_C02_001", 800.0, 100.0),
+      ("g2", "S1701_C03_001", 22.0, 2.5),
+      ("g2", "S1701_C01_001", 3000.0, 200.0))
+    // toy translator: every tract rolls up to one NTA (sum e, RSS m)
+    val vertical: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      em => em.groupBy(lit("nta1").as("census_geoid"), lit("NTA").as("geotype"),
+          col("pff_variable"))
+        .agg(sum(col("e")).as("e"), functions.Census.moeOfSum(col("m")).as("m"))
+    val e = 2000.0
+    val aggE = 8000.0
+    val m = math.sqrt(150.0 * 150.0 + 100.0 * 100.0)
+    val aggM = math.sqrt(300.0 * 300.0 + 200.0 * 200.0)
+    val p = e / aggE * 100
+    val z = math.sqrt(m * m - math.pow(e * aggM / aggE, 2)) / aggE * 100
+    val r = calc19.cempz(d, "pbwpv", Some(vertical)).collect()(0)
+    assert(r.getDouble(4) === e && math.abs(r.getDouble(5) - m) < 1e-9)
+    assert(math.abs(r.getDouble(6) - p) < 1e-9, "p must NOT be the companion's 18.5/22.0")
+    assert(math.abs(r.getDouble(7) - z) < 1e-9)
+    // calculateAll with the same translator agrees (pct self-join suppressed)
+    val all = calc19.calculateAll(d, Some(vertical))
+      .where(col("pff_variable") === "pbwpv").collect()
+    assert(all.length === 1)
+    assert(math.abs(all(0).getAs[Double]("p") - math.floor(p * 10 + 0.5) / 10) < 1e-9)
+    assert(all(0).getAs[Double]("e") === e)
+  }
+
   test("poverty p/z: rows without a _pct companion drop in BOTH paths") {
     // the reference's merge is inner (calculate.py:247): a count row
     // whose geoid has no companion row is dropped, in cempz AND in

@@ -30,6 +30,17 @@ class RegistryLoaderSpec extends AnyFunSuite {
     assert(VariableRegistry.acs(2021).medians.isEmpty, "2021 ships metadata only")
   }
 
+  test("acs2020 loads full variable metadata, no medians/specials (manual-update year)") {
+    val r = VariableRegistry.acs(2020)
+    assert(r.variables.size === 1046)
+    assert(r.medians.isEmpty && r.specials.isEmpty,
+      "upstream data/acs/2020 ships metadata.json only")
+    // fields are complete, unlike 2021's census-variable-less rows
+    val lg = r.byName("lgoenlep1")
+    assert(lg.censusVariables.size === 12 && lg.baseVariable === Some("pop5pl1"))
+    assert(r.profileOnlyVariables.nonEmpty)
+  }
+
   test("metadata rows parse with bases, domains, rounding; 'nan' base -> None") {
     val lg = r2019.byName("lgoenlep1")
     assert(lg.censusVariables.size === 12 && lg.censusVariables.head === "C16001_005")
