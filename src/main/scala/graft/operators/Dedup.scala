@@ -230,23 +230,31 @@ object Dedup {
     var edges = materialize(
       pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         .where(col("a") =!= col("b")).distinct())
-    var labels = materialize(labelsOf(edges))
-    var converged = false
+    var nEdges = edges.count()
+    // empty edge set (fully deduplicated / decontaminated corpus):
+    // nothing to contract, don't pay a round
+    var converged = nEdges == 0
     var i = 0
     while (!converged && i < maxIters) {
-      edges = materialize(smallStar(largeStar(edges)))
-      val next = materialize(labelsOf(edges))
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"), "full")
-        .where(col("n.cluster_id").isNull || col("o.cluster_id").isNull ||
-          col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
-      converged = changed == 0
+      val next = materialize(smallStar(largeStar(edges)))
+      val nNext = next.count()
+      // fixpoint on the EDGE set, not per-round labels: both sides are
+      // distinct sets, so equal counts + an empty anti-join ⇔ identical.
+      // Counts are free on the materialized RDD, and the anti-join only
+      // runs when counts already match (in practice the final round) —
+      // this drops the old per-round labelsOf materialization + full-join
+      // label compare, 2 jobs per round
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges = next
+      nEdges = nNext
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxIters rounds")
-    labels
+    // labels materialize ONCE, from the contracted star edges
+    labelsOf(edges)
   }
 
   /** Benchmark decontamination: flag training documents that share at
