@@ -50,8 +50,16 @@ object Bench {
     // regardless of log decoration) AND the bare final stdout line
     // (build.sbt forces StdoutOutput so sbt adds no "[info] " prefix)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the stdout line must survive even if the file write can't (bad
+    // SPARK_GRAFT_BENCH_OUT path must not lose the finished run)
+    try {
+      val p = java.nio.file.Paths.get(out).toAbsolutePath
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     println(json)
     spark.stop()
   }

@@ -232,18 +232,21 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       }
       else baseVariable match {
         case Some(bv) =>
-          // DIVERGENCE NOTE (intentional, like the Geography agg_moe
-          // one): the reference's if / if-else chain
-          // (calculate.py:250-262) computes df_base = special for a
-          // special aggregated base and then UNCONDITIONALLY overwrites
-          // it with plain calculate_e_m in the second branch's else —
-          // the special-base assignment is dead code there. We route a
-          // special (non-median) base through its special formula, which
-          // is what the first branch plainly intends; no bundled vintage
-          // registers a special as another variable's base, so the two
-          // behaviors are indistinguishable on real registries.
-          val agg = (if (registry.specialVariables.contains(bv)) emSpecialFrom(vEmAll, bv)
-                     else if (registry.medianVariables.contains(bv)) emMedianFrom(vEmAll, bv)
+          // Base routing matches the reference's EFFECTIVE behavior
+          // (calculate.py:250-262): that chain is two separate `if`s
+          // where only the second carries an else, so the special-base
+          // assignment in the first `if` is dead code — the else
+          // UNCONDITIONALLY overwrites df_base with plain calculate_e_m
+          // unless the base is a median at an aggregated geography.
+          // This is observable on real registries: acs 2010/2018/2019
+          // register 18 variables with special bases (agip15pl/pop_6 ->
+          // percapinc, hh4/hhpop1 -> avghhsz, ...) whose p/z therefore
+          // derive from the base's PUBLISHED profile value (DP03_0088
+          // etc.), and 190 median-bin inputs whose base is their median
+          // (mdpop* -> mdage), published at non-aggregated geographies.
+          // CalculateSpec pins both routes.
+          val agg = (if (registry.medianVariables.contains(bv) && vertical.isDefined)
+                       emMedianFrom(vEmAll, bv)
                      else vEmFor(bv))
             .select(col("census_geoid"), col("e").as("agg_e"), col("m").as("agg_m"))
           val j = base.join(agg, Seq("census_geoid"), "left")
@@ -391,10 +394,21 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // unionByName: the per-path selects don't share column order
     val all = (plain +: (specials ++ medians)).reduce(_ unionByName _)
     // base-variable (and poverty-pct) lookups resolve against the PLAIN
-    // horizontal aggregate even when the base is itself profile-only:
-    // the reference's df_base always comes from calculate_e_m
-    // (calculate.py:250-262), never from the published-profile path
-    val lookupAll = (plainAll +: (specials ++ medians)).reduce(_ unionByName _)
+    // horizontal aggregate — even for special/median bases and even
+    // when the base is itself profile-only: the reference's df_base
+    // always comes from calculate_e_m (calculate.py:250-262, the
+    // special-base branch there is dead code — see cempz), EXCEPT a
+    // median base at an aggregated geography, which uses the binned
+    // median. emAll carries the plain rows for specials/medians that
+    // have their own metadata entry (published profile values).
+    val lookupAll =
+      if (vertical.isDefined) {
+        val medSet = registry.medianVariables
+        val nonMed =
+          if (medSet.isEmpty) emAll
+          else emAll.where(!col("pff_variable").isin(medSet.toSeq: _*))
+        (nonMed +: medians).reduce(_ unionByName _)
+      } else emAll
 
     def inSet(s: Set[String]): Column =
       if (s.isEmpty) lit(false) else col("pff_variable").isin(s.toSeq: _*)

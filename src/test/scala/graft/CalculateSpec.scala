@@ -175,6 +175,50 @@ class CalculateSpec extends SparkSpec {
     assert(r.getDouble(7) === 2.1)
   }
 
+  test("special base resolves to its plain published row, not the ratio (acs2019)") {
+    // agip15pl's base is percapinc (a special). The reference's
+    // calculate.py:250-262 chain is two separate `if`s where only the
+    // second has an else, so the special-base assignment is dead code:
+    // df_base is unconditionally overwritten with plain calculate_e_m,
+    // i.e. p/z derive from percapinc's PUBLISHED row (DP03_0088), not
+    // the agip15pl/pop_6 ratio. 18 acs2010/2018/2019 variables take
+    // this route.
+    val calc19 = new Calculate(VariableRegistry.acs2019)
+    val d = dl(
+      ("g1", "B19313_001", 120.0, 10.0),  // agip15pl
+      ("g1", "B01001_001", 100.0, 5.0),   // pop_6 (ratio input; ignored here)
+      ("g1", "DP03_0088", 480.0, 12.0))   // percapinc published value
+    val r = calc19.cempz(d, "agip15pl").collect()(0)
+    // against the published 480, NOT the ratio 120000/100
+    val p = 120.0 / 480.0 * 100
+    val z = math.sqrt(10.0 * 10.0 - math.pow(120.0 * 12.0 / 480.0, 2)) / 480.0 * 100
+    assert(math.abs(r.getDouble(6) - p) < 1e-12, s"p=${r.get(6)} must use the published base")
+    assert(math.abs(r.getDouble(7) - z) < 1e-12)
+  }
+
+  test("median base: published at plain geographies, binned under a translator (acs2019)") {
+    // mdpop25t29's base is mdage (a median). The reference uses
+    // calculate_e_m_median for it ONLY at aggregated geographies
+    // (calculate.py:254-258); elsewhere the else overwrites df_base
+    // with the plain published value (DP05_0018).
+    val calc19 = new Calculate(VariableRegistry.acs2019)
+    val reg = VariableRegistry.acs2019
+    val md = reg.medianByName("mdage")
+    val binRows = md.inputVariables.map { v =>
+      (("g1", reg.byName(v).censusVariables.head,
+        if (v == "mdpop25t29") 200.0 else 0.0, 1.0))
+    }
+    val d = dl(binRows :+ (("g1", "DP05_0018", 35.0, 1.5)): _*)
+    val r = calc19.cempz(d, "mdpop25t29").collect()(0)
+    assert(math.abs(r.getDouble(6) - 200.0 / 35.0 * 100) < 1e-9,
+      s"p=${r.get(6)} must use the published median 35.0")
+    val binned = calc19.emMedian(d, "mdage").collect()(0).getDouble(3)
+    assert(binned !== 35.0)
+    val rv = calc19.cempz(d, "mdpop25t29", Some(df => df)).collect()(0)
+    assert(math.abs(rv.getDouble(6) - 200.0 / binned * 100) < 1e-9,
+      s"p=${rv.get(6)} must use the binned median $binned under a translator")
+  }
+
   test("mdrms median uses the 0.5 lower-bound A1 override (acs2019)") {
     val reg = VariableRegistry.acs2019
     val calc19 = new Calculate(reg)
