@@ -42,6 +42,8 @@ object SparkEntry {
     // scale path; no oracle (sketches differ across engines) -> the
     // driver records a rows-only check; PercentileSpec bounds the error
     "q_percentile_approx" -> (T.qPercentileApprox _),
+    // oracle-exact scale path: two-pass binned estimate
+    "q_percentile_binned" -> (T.qPercentileBinned _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_events_json" -> (T.qEventsJson _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "q_window_running" -> T.qWindowRunningSql,
     "q_window_lag" -> T.qWindowLagSql,
     "q_percentile" -> T.qPercentileSql,
+    "q_percentile_binned" -> T.qPercentileBinnedSql,
     "q_anti_join" -> T.qAntiJoinSql,
     "q_asof_join" -> L.qAsofJoinSql,
     "q_events_json" -> T.qEventsJsonSql,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic two-pass fixed-width binned percentile — the
+  * oracle-checkable SCALE path for quantiles.
+  *
+  * Exact `percentile` buffers every value per group (O(rows/group)
+  * memory — a bomb at 100×); `approx_percentile` is bounded but its
+  * sketch is engine-specific, so it can never hash-match a DuckDB
+  * oracle. This operator is BOTH bounded and cross-engine exact:
+  *
+  *   pass 1: per-group min/max/count (one shuffle of 3 numbers/group);
+  *   pass 2: fixed-width bin counts, bin = floor((x-mn)/w) clamped to
+  *           [0, B-1] (one shuffle, map-side partial agg reduces every
+  *           task to ≤ B rows/group);
+  *   then:   a windowed cumulative sum and linear interpolation inside
+  *           the bin whose cumulative count crosses t = p·N — the same
+  *           interpolation idiom as [[Median]] (the census median IS
+  *           this formula at p = 0.5 with variable-width bins).
+  *
+  * Every arithmetic step is identical IEEE double math in Spark and
+  * DuckDB ([[binnedSql]] is generated from the same constants), so the
+  * result hash-matches across engines while the estimate stays within
+  * one bin width (mx-mn)/B of the exact quantile (PercentileSpec bounds
+  * it against exact `percentile`).
+  *
+  * Scale notes: the pass-1 stats frame is one row per group —
+  * broadcast. The window + final agg run over ≤ G·B rows. The fact
+  * table is scanned twice (that is the "two-pass"); at 100 TB both
+  * scans prune to the two referenced columns.
+  */
+object Percentile {
+
+  /** Per-group binned percentile estimates.
+    *
+    * @param ps (output column, fraction) pairs, e.g. Seq("p50" -> 0.5)
+    * @return one row per group: (g, ps...)
+    */
+  def binned(df: DataFrame, group: Column, value: Column,
+             ps: Seq[(String, Double)], nBins: Int = 128): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
+    val base = df.select(group.as("g"), value.cast("double").as("x"))
+      .where(col("x").isNotNull)
+    val stats = base.groupBy("g").agg(
+      min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1L)).as("n"))
+    // w staged once; bin guarded for the all-equal group (w = 0), where
+    // every value lands in bin 0 (the x/0 interpreted-eval rule)
+    val binnedRows = base.join(broadcast(stats), "g")
+      .withColumn("w", (col("mx") - col("mn")) / lit(nBins.toDouble))
+      .withColumn("bin",
+        when(col("w") === 0, lit(0))
+          .otherwise(least(floor((col("x") - col("mn")) / col("w")).cast("int"),
+            lit(nBins - 1))))
+      // mn/w/n are constant per group: carrying them as grouping keys
+      // keeps the cardinality at (g, bin) and saves a re-join
+      .groupBy(col("g"), col("mn"), col("w"), col("n"), col("bin"))
+      .agg(count(lit(1L)).as("cnt"))
+    val cum = binnedRows
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
+      .withColumn("cum_below", col("cum") - col("cnt"))
+    val aggs = ps.map { case (name, p) =>
+      val t = lit(p) * col("n").cast("double")
+      // exactly one bin crosses t, so min() just extracts it
+      min(when(col("cum") >= t && col("cum_below") < t && col("cnt") > 0,
+        col("mn") + col("bin").cast("double") * col("w") +
+          (t - col("cum_below").cast("double")) / col("cnt").cast("double") * col("w")))
+        .as(name)
+    }
+    cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB SQL computing [[binned]] with bit-identical arithmetic.
+    * `groupExpr`/`valueExpr` are SQL expressions over `table`; `sfx`
+    * keeps CTE names unique when composing several pipelines in one
+    * statement. Returns the CTE list (no WITH) and the final select,
+    * which projects (g, ps...). Numeric literals are CAST to DOUBLE —
+    * DuckDB parses bare decimals as exact DECIMAL, Spark as double. */
+  def binnedSql(table: String, groupExpr: String, valueExpr: String,
+                ps: Seq[(String, Double)], nBins: Int = 128,
+                sfx: String = ""): (String, String) = {
+    val b = s"CAST($nBins AS DOUBLE)"
+    val estimates = ps.map { case (name, p) =>
+      val t = s"(CAST($p AS DOUBLE) * CAST(n AS DOUBLE))"
+      s"""MIN(CASE WHEN cum >= $t AND cum_below < $t AND cnt > 0
+         |      THEN mn + CAST(bin AS DOUBLE) * w +
+         |           (($t - CAST(cum_below AS DOUBLE)) / CAST(cnt AS DOUBLE)) * w
+         |      END) AS $name""".stripMargin
+    }.mkString(",\n    ")
+    val ctes =
+      s"""v$sfx AS (SELECT $groupExpr AS g, CAST($valueExpr AS DOUBLE) AS x
+         |  FROM $table WHERE $valueExpr IS NOT NULL),
+         |st$sfx AS (SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+         |  FROM v$sfx GROUP BY g),
+         |bn$sfx AS (SELECT v$sfx.g AS g, mn, (mx - mn) / $b AS w, n,
+         |    CASE WHEN (mx - mn) / $b = 0 THEN 0
+         |         ELSE LEAST(CAST(floor((x - mn) / ((mx - mn) / $b)) AS INT), ${nBins - 1})
+         |         END AS bin
+         |  FROM v$sfx JOIN st$sfx ON v$sfx.g = st$sfx.g),
+         |ct$sfx AS (SELECT g, mn, w, n, bin, COUNT(*) AS cnt
+         |  FROM bn$sfx GROUP BY g, mn, w, n, bin),
+         |cm$sfx AS (SELECT g, mn, w, n, bin, cnt,
+         |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_below
+         |  FROM ct$sfx)""".stripMargin
+    val sel =
+      s"""SELECT g,
+         |    $estimates
+         |  FROM cm$sfx GROUP BY g""".stripMargin
+    (ctes, sel)
+  }
+}

@@ -162,6 +162,43 @@ object Tpch {
         Portable.roundp(expr("approx_percentile(l_quantity, 0.25, 10000)"), 4).as("q25"))
   }
 
+  /** The ORACLE-EXACT percentile scale path: two-pass fixed-width
+    * binned estimate (operators/Percentile) — bounded memory like the
+    * sketch, deterministic cross-engine unlike it. Same groups/columns
+    * as [[qPercentile]]; PercentileSpec bounds the estimate against the
+    * exact result by one bin width. */
+  def qPercentileBinned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Percentile
+    val l = Tables(spark, dir).lineitem
+    val ep = Percentile.binned(l, col("l_returnflag"), col("l_extendedprice"),
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    val qt = Percentile.binned(l, col("l_returnflag"), col("l_quantity"),
+      Seq("q25" -> 0.25))
+    ep.join(qt, "g").select(col("g").as("l_returnflag"),
+      Portable.roundp(col("p50"), 4).as("p50"),
+      Portable.roundp(col("p90"), 4).as("p90"),
+      Portable.roundp(col("q25"), 4).as("q25"))
+  }
+
+  lazy val qPercentileBinnedSql: String = {
+    import graft.operators.Percentile
+    val (ctesEp, selEp) = Percentile.binnedSql(
+      "lineitem", "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9), sfx = "e")
+    val (ctesQt, selQt) = Percentile.binnedSql(
+      "lineitem", "l_returnflag", "l_quantity",
+      Seq("q25" -> 0.25), sfx = "q")
+    s"""WITH $ctesEp,
+       |$ctesQt,
+       |ep AS ($selEp),
+       |qt AS ($selQt)
+       |SELECT ep.g AS l_returnflag,
+       |  floor((p50) * 1e4 + 0.5) / 1e4 AS p50,
+       |  floor((p90) * 1e4 + 0.5) / 1e4 AS p90,
+       |  floor((q25) * 1e4 + 0.5) / 1e4 AS q25
+       |FROM ep JOIN qt ON ep.g = qt.g""".stripMargin
+  }
+
   /** Anti join: orders that never shipped a line item. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

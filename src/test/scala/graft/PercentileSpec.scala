@@ -6,6 +6,47 @@ import graft.queries.Tpch
   * algorithms differ); this bounds its error against the exact result,
   * which IS oracle-checked. */
 class PercentileSpec extends SparkSpec {
+  test("binned percentile: hand-computed interpolation and all-equal group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a: values 1..10, B=5 -> mn=1, w=9/5=1.8, bins [1,2.8) [2.8,4.6)...
+    // p50: t=5, bins hold {1,2}=2, {3,4}=2, {5,6}=2(cum 6)... crossing bin 2
+    // est = 1 + 2*1.8 + (5-4)/2*1.8 = 5.5
+    // group b: all values 7 -> w=0 -> est = mn = 7
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++ Seq.fill(4)(("b", 7.0)))
+      .toDF("g0", "x0")
+    val out = graft.operators.Percentile
+      .binned(df, col("g0"), col("x0"), Seq("p50" -> 0.5), nBins = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 5.5) < 1e-12, s"got ${out("a")}")
+    assert(out("b") === 7.0)
+  }
+
+  test("binned percentile tracks exact within one bin width at sf0.001") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dir = "/root/testdata/sf0.001"
+    val l = graft.sources.Tables(spark, dir).lineitem
+    val exact = Tpch.qPercentile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val binned = Tpch.qPercentileBinned(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val spans = l.groupBy(col("l_returnflag"))
+      .agg((max(col("l_extendedprice")) - min(col("l_extendedprice"))).as("sep"),
+        (max(col("l_quantity")) - min(col("l_quantity"))).as("sqt"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet === binned.keySet)
+    exact.foreach { case (flag, (p50, p90, q25)) =>
+      val (b50, b90, b25) = binned(flag)
+      val (sep, sqt) = spans(flag)
+      // estimate lands in the crossing bin; the exact quantile's rank
+      // differs by <1, so allow two bin widths
+      val (we, wq) = (2 * sep / 128, 2 * sqt / 128)
+      assert(math.abs(p50 - b50) <= we, s"$flag p50 $p50 vs $b50 (tol $we)")
+      assert(math.abs(p90 - b90) <= we, s"$flag p90 $p90 vs $b90 (tol $we)")
+      assert(math.abs(q25 - b25) <= wq, s"$flag q25 $q25 vs $b25 (tol $wq)")
+    }
+  }
+
   test("approx_percentile tracks exact percentiles within 2% at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     def byFlag(rows: Array[org.apache.spark.sql.Row]) =
