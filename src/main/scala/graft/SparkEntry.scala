@@ -25,6 +25,8 @@ object SparkEntry {
     "q_vacancy_rate" -> (C.qVacancyRate _),
     "q_crosswalk_apportion" -> (C.qCrosswalkApportion _),
     "q_geo_rollup" -> (C.qGeoRollup _),
+    // the real bundled ct2010->ct2020 crosswalk through tractToNta
+    "q_geo_nta" -> (C.qGeoNta _),
     "q_cleaning" -> (C.qCleaning _),
     "q_rounding" -> (C.qRounding _),
     "q_outlier_clean" -> (C.qOutlierClean _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q_vacancy_rate" -> C.qVacancyRateSql,
     "q_crosswalk_apportion" -> C.qCrosswalkApportionSql,
     "q_geo_rollup" -> C.qGeoRollupSql,
+    "q_geo_nta" -> C.qGeoNtaSql,
     "q_cleaning" -> C.qCleaningSql,
     "q_rounding" -> C.qRoundingSql,
     "q_outlier_clean" -> C.qOutlierCleanSql,

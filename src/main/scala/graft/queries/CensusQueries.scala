@@ -264,6 +264,79 @@ object CensusQueries {
       |SELECT dst, floor((SUM(e)) * 1e4 + 0.5) / 1e4 AS e, floor((sqrt(SUM(m*m))) * 1e4 + 0.5) / 1e4 AS m
       |FROM ap GROUP BY dst""".stripMargin
 
+  // ---- real-crosswalk geography translation (ct2010 -> ct2020 -> NTA) ----
+
+  /** Facts on REAL ct2010 geoids (the first 2000 of the bundled
+    * ratio.csv's sorted distinct sources) pushed through
+    * Geography.tractToNta: the ct2010->ct2020 ratio apportionment with
+    * the empirical MOE damping curve (2010_to_2020.py:84-110), then the
+    * tract->NTA rollup (:112-126) over a synthetic lookup_geo whose
+    * nta2020 is a deterministic function of the ct2020 geoid. The
+    * oracle embeds the same bundled crosswalk as a VALUES CTE, so the
+    * REAL translator path — curve, nested RSS, geoid derivation — is
+    * hash-checked cross-engine. */
+  def qGeoNta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Geography
+    import org.apache.spark.sql.expressions.Window
+    val ratio = Geography.referenceRatio(spark)
+    // deterministic idx over sorted distinct sources; 2167 rows, so the
+    // single-partition rank window is a bounded reference-data step
+    val ids = ratio.select(col("geoid_ct2010")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("geoid_ct2010")) - 1)
+      .where(col("idx") < 2000)
+    val l = Tables(spark, dir).lineitem
+    val facts = l.join(broadcast(ids), (col("l_orderkey") % 2000) === col("idx"))
+      .select(col("geoid_ct2010").as("census_geoid"),
+        lit("var1").as("pff_variable"), lit("tract").as("geotype"),
+        col("l_quantity").as("e"), (col("l_discount") * 10).as("m"))
+    // one synthetic block per ct2020: geoid = ct2020 || "0000" (so
+    // substring(1,11) recovers the tract), nta2020 from the geoid
+    val lookupGeo = ratio.select(col("geoid_ct2020")).distinct().select(
+      concat(col("geoid_ct2020"), lit("0000")).as("geoid"),
+      concat(lit("NT"), substring(col("geoid_ct2020"), 6, 3)).as("nta2020"),
+      concat(lit("NTA "), substring(col("geoid_ct2020"), 6, 3)).as("ntaname"),
+      lit("CD01").as("cdta2020"), lit("CD 1").as("cdtaname"),
+      lit("1").as("borocode"), lit("B").as("boroname"),
+      lit("0").as("fp_500"), lit("0").as("fp_100"), lit("0").as("park_access"))
+    Geography(lookupGeo, ratio).tractToNta(facts)
+      .select(col("census_geoid"), col("pff_variable"), col("geotype"),
+        Portable.roundp(col("e"), 4).as("e"), Portable.roundp(col("m"), 4).as("m"))
+  }
+
+  lazy val qGeoNtaSql: String = {
+    // the SAME bundled crosswalk, embedded as VALUES with the
+    // reference's geoid derivation ("360" + boroct lpad 8) pre-applied
+    val in = getClass.getResourceAsStream("/graft/data/lookup_geo/2010_to_2020/ratio.csv")
+    require(in != null, "bundled ratio.csv missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rows = try src.getLines().drop(1).map { line =>
+      val c = line.split(",").map(_.stripPrefix("\"").stripSuffix("\""))
+      def pad(s: String) = "360" + ("0" * (8 - s.length)) + s
+      (pad(c(0)), pad(c(1)), c(2))
+    }.toList finally src.close()
+    val values = rows.map { case (ct20, ct10, r) =>
+      s"('$ct20','$ct10',CAST('$r' AS DOUBLE))"
+    }.mkString(",\n    ")
+    s"""WITH cw(ct20, ct10, ratio) AS (VALUES
+       |    $values),
+       |ids AS (SELECT ct10, row_number() OVER (ORDER BY ct10) - 1 AS idx
+       |        FROM (SELECT DISTINCT ct10 FROM cw)),
+       |f AS (SELECT ids.ct10 AS g10, l_quantity AS e, l_discount*10 AS m
+       |      FROM lineitem JOIN ids ON ids.idx = l_orderkey % 2000),
+       |ap AS (SELECT cw.ct20 AS g20, f.e * cw.ratio AS e,
+       |         CASE WHEN cw.ratio = 1 THEN f.m
+       |              WHEN f.e * cw.ratio = 0 THEN NULL
+       |              WHEN pow(cw.ratio*100, 0.56901)*7.96309 >= 100 THEN f.m
+       |              ELSE pow(cw.ratio*100, 0.56901)*7.96309/100 * f.m END AS m
+       |       FROM f JOIN cw ON f.g10 = cw.ct10),
+       |ct AS (SELECT g20, SUM(e) AS e, sqrt(SUM(m*m)) AS m FROM ap GROUP BY g20)
+       |SELECT 'NT' || substr(g20, 6, 3) AS census_geoid,
+       |  'var1' AS pff_variable, 'NTA' AS geotype,
+       |  floor((SUM(e)) * 1e4 + 0.5) / 1e4 AS e,
+       |  floor((sqrt(SUM(m*m))) * 1e4 + 0.5) / 1e4 AS m
+       |FROM ct GROUP BY 1""".stripMargin
+  }
+
   // ---- #11 multi-level geo rollup in one pass ----
 
   /** tract→boro→city in a single shuffle via ROLLUP — the Spark-first
