@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.meta.VariableRegistry
+
+/** The DCP manual-update transform (pipelines/acs_manual_update.py:1-163):
+  * population-team workbooks arrive as WIDE sheets — GeoType, GeoID,
+  * then `{Field}{E|M|C|P|Z}` columns per variable — and leave as the
+  * 11-column OUTPUT_SCHEMA long rows that `Calculate.calculateAll`
+  * also emits.
+  *
+  * Spark-first divergence: the reference loops per field and concats
+  * per-field frames (acs_manual_update.py:91-103); here one `explode`
+  * of per-field stat structs melts the whole sheet in a single
+  * projection — no N-way union, one pass over the data.
+  *
+  * The Excel reader itself is out of scope (no such dependency in this
+  * container); each sheet is any wide DataFrame — `spark.read.csv` of
+  * a sheet export reproduces the reference input exactly, including
+  * the `Unnamed: N` columns pandas invents for blank headers.
+  */
+object ManualUpdate {
+
+  /** OUTPUT_SCHEMA_COLUMNS (acs_manual_update.py:9-21). */
+  val outputColumns: Seq[String] = Seq(
+    "census_geoid", "labs_geoid", "geotype", "labs_geotype",
+    "pff_variable", "c", "e", "m", "p", "z", "domain")
+
+  private val keyCols = Set("GeoType", "GeoID")
+  private val stats = Seq("E", "M", "C", "P", "Z")
+
+  /** Field names: every non-key, non-Unnamed column minus its 1-char
+    * stat suffix, deduplicated (extract_field_names + strip_unnamed,
+    * acs_manual_update.py:59-69). */
+  def fieldNames(columns: Seq[String]): Seq[String] =
+    columns.filterNot(c => keyCols(c) || c.startsWith("Unnamed"))
+      .map(_.dropRight(1)).distinct
+
+  /** One sheet -> long (geotype, geoid, pff_variable, c/e/m/p/z,
+    * domain) rows: the whole per-field pivot loop
+    * (transform_dataframe + pivot_field_name, :46-103) as one explode.
+    * A stat column a field doesn't carry becomes NULL, exactly like
+    * the reference's concat of misaligned frames. */
+  def transformSheet(sheet: DataFrame, domain: String): DataFrame = {
+    val present = sheet.columns.toSet
+    val fields = fieldNames(sheet.columns.toIndexedSeq)
+    require(fields.nonEmpty, s"sheet has no field columns: ${sheet.columns.mkString(",")}")
+    val structs = fields.map { f =>
+      val vals = stats.map { s =>
+        (if (present(s"$f$s")) col(s"$f$s").cast("double") else lit(null).cast("double"))
+          .as(s.toLowerCase)
+      }
+      struct(lit(f.toLowerCase).as("pff_variable") +: vals: _*)
+    }
+    sheet.select(col("GeoType").as("labs_geotype"), col("GeoID").as("labs_geoid"),
+        explode(array(structs: _*)).as("v"))
+      .select(col("labs_geotype"), col("labs_geoid"),
+        col("v.pff_variable"), col("v.c"), col("v.e"), col("v.m"),
+        col("v.p"), col("v.z"))
+      .withColumn("domain", lit(domain))
+  }
+
+  /** All sheets -> the final OUTPUT_SCHEMA frame: union, drop rows with
+    * no geotype, keep only registry variables (filter_by_metadata,
+    * :131-136 — the registry set is tiny, so an isin filter, not a
+    * join), project to the 11 columns (rename_columns, :139-141;
+    * census_geoid/geotype are the reindex-invented NULL columns). */
+  def transformAll(sheets: Seq[(DataFrame, String)],
+                   registry: VariableRegistry): DataFrame = {
+    require(sheets.nonEmpty)
+    val known = registry.variables.map(_.pffVariable)
+    sheets.map { case (df, domain) => transformSheet(df, domain) }
+      .reduce(_ unionByName _)
+      .where(col("labs_geotype").isNotNull)
+      .where(col("pff_variable").isin(known: _*))
+      .select(
+        lit(null).cast("string").as("census_geoid"),
+        col("labs_geoid").cast("string").as("labs_geoid"),
+        lit(null).cast("string").as("geotype"),
+        col("labs_geotype").cast("string").as("labs_geotype"),
+        col("pff_variable"),
+        col("c"), col("e"), col("m"), col("p"), col("z"),
+        col("domain"))
+  }
+
+  /** Year -> (domain, sheet name) list, incl. the inflation-suffix
+    * rules (sheet_names, acs_manual_update.py:72-94). */
+  def sheetNames(year: String): Seq[(String, String)] = {
+    val (sfx, inflated) = year match {
+      case "2010" => ("0610", "_Inflated")
+      case "2020" => ("1620", "")
+      case "2021" => ("1721", "")
+      case other => throw new IllegalArgumentException(
+        s"Unknown year '$other'. Unable to determine sheet name suffix")
+    }
+    Seq(
+      "demographic" -> s"Dem$sfx",
+      "social" -> s"Social$sfx",
+      "economic" -> s"Econ$sfx$inflated",
+      "housing" -> s"Housing$sfx$inflated")
+  }
+}

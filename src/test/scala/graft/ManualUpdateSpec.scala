@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.meta.VariableRegistry
+import graft.sources.ManualUpdate
+
+/** Parity with pipelines/acs_manual_update.py's transform on a fixture
+  * mirroring a DCP sheet: wide {Field}{E|M|C|P|Z} columns, an
+  * `Unnamed:` filler column, a field outside the registry, and a row
+  * with no geotype. */
+class ManualUpdateSpec extends SparkSpec {
+
+  private def sheet = {
+    import spark.implicits._
+    Seq(
+      (Option("NTA2020"), "BK0101", Option(100.0), Option(12.0), Option(37.2), Option(0.4), Option(1.1), Option(9.0), Option("x")),
+      (Option("NTA2020"), "BK0102", Option(250.0), None, Option(40.0), Option(0.8), Option(2.2), None, Option("y")),
+      (Option.empty[String], "ZZ9999", Option(1.0), Option(1.0), Option(1.0), Option(1.0), Option(1.0), Option(1.0), None))
+      .toDF("GeoType", "GeoID", "Pop_1E", "Pop_1M", "MdageE", "MdageM", "MdageC", "NopeQ", "Unnamed: 8")
+  }
+
+  test("field names: strip stat suffix, drop keys and Unnamed columns") {
+    assert(ManualUpdate.fieldNames(sheet.columns.toIndexedSeq) ===
+      Seq("Pop_1", "Mdage", "Nope"))
+  }
+
+  test("sheet melt matches the reference pivot, incl. absent stat columns") {
+    val out = ManualUpdate.transformSheet(sheet, "demographic")
+      .orderBy("labs_geoid", "pff_variable").collect()
+    // 3 rows x 3 fields
+    assert(out.length === 9)
+    val r = out.map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    val pop1 = r(("BK0101", "pop_1"))
+    assert(pop1.getString(0) === "NTA2020")
+    assert(pop1.getDouble(4) === 100.0 && pop1.getDouble(5) === 12.0)
+    assert(pop1.isNullAt(3) && pop1.isNullAt(6) && pop1.isNullAt(7), "no C/P/Z columns -> null")
+    val md = r(("BK0101", "mdage"))
+    assert(md.getDouble(4) === 37.2 && md.getDouble(5) === 0.4 && md.getDouble(3) === 1.1)
+    // Nope carries no E/M/C/P/Z columns at all -> all-null stats
+    val nope = r(("BK0101", "nope"))
+    assert((3 to 7).forall(nope.isNullAt), "field with no stat columns -> all stats null")
+    assert(out.forall(_.getString(8) === "demographic"))
+  }
+
+  test("transformAll: geotype dropna, registry filter, 11-column schema") {
+    val out = ManualUpdate.transformAll(
+      Seq(sheet -> "demographic"), VariableRegistry.reference)
+    assert(out.columns.toSeq === ManualUpdate.outputColumns)
+    val rows = out.orderBy("labs_geoid", "pff_variable").collect()
+    // ZZ9999 (null geotype) and nope (not in registry) are gone
+    assert(rows.map(r => (r.getString(1), r.getString(4))).toSeq ===
+      Seq(("BK0101", "mdage"), ("BK0101", "pop_1"),
+        ("BK0102", "mdage"), ("BK0102", "pop_1")))
+    // census_geoid/geotype are the reindex-invented NULL columns
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(2)))
+    assert(rows.forall(_.getString(10) === "demographic"))
+  }
+
+  test("sheet-name routing ports the year/inflation rules") {
+    assert(ManualUpdate.sheetNames("2010").map(_._2) ===
+      Seq("Dem0610", "Social0610", "Econ0610_Inflated", "Housing0610_Inflated"))
+    assert(ManualUpdate.sheetNames("2020").map(_._2) ===
+      Seq("Dem1620", "Social1620", "Econ1620", "Housing1620"))
+    assert(ManualUpdate.sheetNames("2021").map(_._2) ===
+      Seq("Dem1721", "Social1721", "Econ1721", "Housing1721"))
+    intercept[IllegalArgumentException](ManualUpdate.sheetNames("1999"))
+  }
+}
