@@ -53,7 +53,7 @@ object RegistryLoader {
     * regardless), so it maps to no-base too. acs/2021 metadata ships
     * upstream without census_variable / rounding / category fields —
     * their absence is tolerated. */
-  private def parseVariables(json: String): Seq[Variable] = {
+  private[graft] def parseVariables(json: String): Seq[Variable] = {
     val JArray(rows) = JsonMethods.parse(json): @unchecked
     rows.map { row =>
       val o = row.asInstanceOf[JObject].obj.toMap

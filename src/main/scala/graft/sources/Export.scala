@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import graft.meta.VariableRegistry
+
+/** The Postgres/app export surface (pipelines/create_acs.sql +
+  * pipelines/acs.py:58-65 + pipelines/convert_metadata.js): the
+  * reference concatenates every per-variable frame into one CSV,
+  * `\COPY`s it into a temp table and `SELECT INTO`s the target.
+  *
+  * Spark-native split: `Calculate.export` writes the scalable
+  * partitioned-parquet tree; this object produces the LOADER half —
+  * the DDL/psql incantation for the reference's Postgres target and a
+  * CSV writer for the same 11-column frame — plus the metadata.json
+  * round-trip the app pipeline consumes.
+  */
+object Export {
+
+  /** create_acs.sql, parameterized on the `:"TABLE_NAME"` psql var
+    * (pipelines/create_acs.sql:1-21 verbatim modulo the variable). */
+  def createAcsDdl(tableName: String): String = {
+    require(tableName.matches("[A-Za-z0-9_]+"), s"unsafe table name: $tableName")
+    s"""CREATE SCHEMA IF NOT EXISTS pff_acs;
+       |DROP TABLE IF EXISTS pff_acs."$tableName";
+       |
+       |CREATE TEMP TABLE tmp (
+       |    census_geoid text,
+       |    labs_geoid text,
+       |    geotype text,
+       |    labs_geotype text,
+       |    pff_variable text,
+       |    c double precision,
+       |    e double precision,
+       |    m double precision,
+       |    p double precision,
+       |    z double precision,
+       |    domain text
+       |);
+       |
+       |\\COPY tmp FROM PSTDIN WITH DELIMITER ',' CSV HEADER;
+       |
+       |SELECT * INTO pff_acs."$tableName" FROM tmp;""".stripMargin
+  }
+
+  /** The bash half of the reference load: stream the exported CSV
+    * through psql with the DDL above. */
+  def psqlLoadCommand(tableName: String, csvPath: String,
+                      ddlPath: String = "create_acs.sql"): String = {
+    require(tableName.matches("[A-Za-z0-9_]+"), s"unsafe table name: $tableName")
+    s"""cat $csvPath | psql $${BUILD_ENGINE} -f $ddlPath -v TABLE_NAME=$tableName"""
+  }
+
+  /** CSV export of an OUTPUT_SCHEMA frame — the reference's
+    * `df.to_csv(acs.csv, index=False)` (acs.py:61-65). Header on,
+    * NULLs as empty cells like pandas. Writes a directory of part
+    * files (at 100 TB a single CSV is the wrong shape); pass
+    * `singleFile = true` for small exports that must be one file. */
+  def exportCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "")
+      .csv(path)
+  }
+
+  /** The registry serialized back to the reference's metadata.json
+    * row shape (convert_metadata.js output / data/acs/<year>/
+    * metadata.json) — json4s for deterministic field order, the same
+    * keys the loader reads, `"nan"` for the explicit no-base sentinel
+    * like the upstream files. RegistryLoader.parse(metadataJson(r))
+    * round-trips. */
+  def metadataJson(registry: VariableRegistry): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val rows = registry.variables.map { v =>
+      ("pff_variable" -> v.pffVariable) ~
+        ("base_variable" -> v.baseVariable.getOrElse("nan")) ~
+        ("census_variable" -> v.censusVariables) ~
+        ("domain" -> v.domain) ~
+        ("rounding" -> v.rounding) ~
+        ("category" -> v.category)
+    }
+    JsonMethods.pretty(JsonMethods.render(rows))
+  }
+}

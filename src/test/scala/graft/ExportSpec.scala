@@ -1,0 +1,47 @@
+package graft
+
+import graft.meta.{RegistryLoader, VariableRegistry}
+import graft.sources.Export
+
+/** The Postgres/app export surface: DDL parity with
+  * pipelines/create_acs.sql, CSV shape parity with acs.py's to_csv,
+  * and the metadata.json round-trip. */
+class ExportSpec extends SparkSpec {
+
+  test("create_acs DDL matches the reference statements") {
+    val ddl = Export.createAcsDdl("acs_2019_2010_to_2020")
+    assert(ddl.contains("CREATE SCHEMA IF NOT EXISTS pff_acs;"))
+    assert(ddl.contains("""DROP TABLE IF EXISTS pff_acs."acs_2019_2010_to_2020";"""))
+    // the 11 OUTPUT_SCHEMA columns, text + double precision typed
+    Seq("census_geoid text", "labs_geoid text", "geotype text",
+      "labs_geotype text", "pff_variable text", "c double precision",
+      "e double precision", "m double precision", "p double precision",
+      "z double precision", "domain text").foreach(c => assert(ddl.contains(c), c))
+    assert(ddl.contains("\\COPY tmp FROM PSTDIN WITH DELIMITER ',' CSV HEADER;"))
+    assert(ddl.contains("""SELECT * INTO pff_acs."acs_2019_2010_to_2020" FROM tmp;"""))
+    intercept[IllegalArgumentException](Export.createAcsDdl("bad; DROP TABLE x"))
+  }
+
+  test("csv export: header, empty cells for NULL, single-file option") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("36061"), "1001500", "pop_1", Option(1.5), "demographic"),
+      (Option.empty[String], "1001600", "pop_1", Option.empty[Double], "demographic"))
+      .toDF("census_geoid", "labs_geoid", "pff_variable", "e", "domain")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString + "/csv"
+    Export.exportCsv(df, dir, singleFile = true)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1, "singleFile coalesces to one part")
+    val lines = scala.io.Source.fromFile(files.head).getLines().toList
+    assert(lines.head === "census_geoid,labs_geoid,pff_variable,e,domain")
+    assert(lines.tail.toSet === Set(
+      "36061,1001500,pop_1,1.5,demographic",
+      ",1001600,pop_1,,demographic"))
+  }
+
+  test("metadata.json round-trips through the registry loader") {
+    val reg = VariableRegistry.acs2019
+    val parsed = RegistryLoader.parseVariables(Export.metadataJson(reg))
+    assert(parsed === reg.variables)
+  }
+}
