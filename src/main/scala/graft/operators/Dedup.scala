@@ -164,16 +164,21 @@ object Dedup {
     while (!converged && i < maxIters) {
       // each node adopts the min label among itself and its neighbors;
       // checkpoint BEFORE the convergence count so each round's plan
-      // executes exactly once
+      // executes exactly once. The node's OWN (previous) label rides
+      // the same aggregation, so the convergence check is a filter
+      // over the materialized result — no per-round join job.
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
       val next = materialize(
-        labels.unionByName(neighborLabels)
-          .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id")))
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+        labels.withColumn("__own", lit(true))
+          .unionByName(neighborLabels.withColumn("__own", lit(false)))
+          .groupBy("doc_id").agg(
+            min(col("cluster_id")).as("cluster_id"),
+            // every node has exactly one own row, so this is its label
+            min(when(col("__own"), col("cluster_id"))).as("__old")))
+      val changed = next.where(col("cluster_id") =!= col("__old")).count()
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       i += 1
     }
