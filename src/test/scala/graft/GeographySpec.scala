@@ -96,6 +96,34 @@ class GeographySpec extends SparkSpec {
     assert(math.abs(out - 100.0) < 1e-9, "apportioned estimates must sum back to the input")
   }
 
+  test("reference fixture: test_geography.py's tracts through the real crosswalk") {
+    // the reference's own canonical example
+    // (tests/test_geography.py:31-46): 36005001600 passes through at
+    // ratio 1; 36005001900 splits 0.2457/0.7543 into 05001901/02 with
+    // the damping curve, and its two zero-ratio targets 05001903/04
+    // keep e = 0 rows with NULL m
+    import spark.implicits._
+    val facts = Seq(
+      ("36005001600", "test", "tract", 5825.0, 398.0),
+      ("36005001900", "test", "tract", 3141.0, 341.0))
+      .toDF("census_geoid", "pff_variable", "geotype", "e", "m")
+    val lookupStub = Seq.empty[(String, String, String, String, String, String, String, String, String, String)]
+      .toDF("geoid", "nta2020", "ntaname", "cdta2020", "cdtaname",
+        "borocode", "boroname", "fp_500", "fp_100", "park_access")
+    val out = Geography(lookupStub, Geography.referenceRatio(spark))
+      .ct2010ToCt2020(facts).orderBy("census_geoid").collect()
+    val got = out.map(r => (r.getString(0), r.getDouble(3),
+      if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Seq("36005001600", "36005001901",
+      "36005001902", "36005001903", "36005001904"))
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-4
+    assert(close(got(0)._2, 5825.0) && close(got(0)._3, 398.0))
+    assert(close(got(1)._2, 771.7324) && close(got(1)._3, 167.8753))
+    assert(close(got(2)._2, 2369.2676) && close(got(2)._3, 317.8180))
+    assert(got(3)._2 === 0.0 && got(3)._3.isNaN, "zero-ratio target: e=0, m NULL")
+    assert(got(4)._2 === 0.0 && got(4)._3.isNaN)
+  }
+
   // ---- 2010 vintage (geography/2010.py) ----
 
   private def geo2010 = {
