@@ -68,6 +68,8 @@ object SparkEntry {
     "q_lang_id" -> (L.qLangId _),
     "q_text_quality" -> (L.qTextQuality _),
     "q_token_count" -> (L.qTokenCount _),
+    "q_vocab_topk" -> (L.qVocabTopk _),
+    "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
   )
@@ -122,6 +124,8 @@ object SparkEntry {
     "q_lang_id" -> L.qLangIdSql,
     "q_text_quality" -> L.qTextQualitySql,
     "q_token_count" -> L.qTokenCountSql,
+    "q_vocab_topk" -> L.qVocabTopkSql,
+    "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
   )

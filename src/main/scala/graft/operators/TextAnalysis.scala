@@ -86,6 +86,39 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Corpus vocabulary: whitespace token -> count, top `k` by
+    * (count desc, token asc — a total order, so the cut is
+    * deterministic). The plan is the scale shape for frequency tables:
+    * map-side partial counts collapse each task to its distinct-token
+    * set before the one exchange, and the global top-k runs as
+    * TakeOrdered (per-partition heads, no full sort). */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(Portable.words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Deterministic streaming sequence packing: assign each document a
+    * (pack_id, pack_offset) inside its shard by cumulative token count
+    * against a fixed context budget — the planning half of training
+    * batch packing. Sharding is the md5 split idiom (retry-safe, not
+    * rand()), so packing parallelizes per shard; inside a shard the
+    * doc_id order makes the window reproducible. A document straddling
+    * a boundary starts at `pack_offset` and spills into the next pack —
+    * fixed-budget chunk assignment, not bin packing. */
+  def packSequences(docs: DataFrame, budget: Long = 1024, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      (Portable.h60(concat_ws(":", lit("pack"), col("doc_id"))) % shards).as("shard"),
+      size(Portable.words(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / lit(budget.toDouble)).cast("long").as("pack_id"),
+        (col("cum_before") % lit(budget)).as("pack_offset"))
+  }
+
   /** Position-sensitive document fingerprint: XOR of 60-bit hashes of
     * (word, position mod 16). Order-independent aggregation (XOR is
     * commutative) of order-dependent terms — a rolling-hash analog that

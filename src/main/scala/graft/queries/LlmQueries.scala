@@ -445,6 +445,40 @@ object LlmQueries {
        |  CAST(length(text) AS BIGINT) AS n_chars
        |FROM documents""".stripMargin
 
+  // ---- corpus vocabulary top-k ----
+
+  /** Frequency-table building: top 100 corpus tokens with counts,
+    * deterministic (count desc, token asc) cut. */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocab(Tables(spark, dir).documents, 100)
+
+  val qVocabTopkSql: String =
+    s"""WITH w AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents)
+       |SELECT token, COUNT(*) AS n FROM w GROUP BY token
+       |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
+  // ---- deterministic sequence packing ----
+
+  /** Fixed-budget training-sequence packing: per md5 shard, cumulative
+    * whitespace-token counts in doc_id order -> (pack_id, pack_offset)
+    * against a 1024-token budget. */
+  def qTokenPack(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(Tables(spark, dir).documents)
+
+  val qTokenPackSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ${h60Sql("'pack' || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(floor(cum_before / CAST(1024 AS DOUBLE)) AS BIGINT) AS pack_id,
+       |  cum_before % 1024 AS pack_offset
+       |FROM c""".stripMargin
+
   // ---- #33 positional rolling-hash fingerprint ----
 
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =

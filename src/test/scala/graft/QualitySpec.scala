@@ -117,6 +117,35 @@ class QualitySpec extends SparkSpec {
     assert(planes.distinct.size === 32, "duplicate hyperplanes")
   }
 
+  test("vocab: counts, deterministic tiebreak, top-k cut") {
+    import spark.implicits._
+    val d = Seq((1L, "b a b c"), (2L, "a c c b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocab(d, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // counts: a=2 b=3 c=3 -> top2 = b,c (tie broken token asc)
+    assert(out.toSeq === Seq(("b", 3L), ("c", 3L)))
+  }
+
+  test("packSequences: budget boundaries, shard-local cumulative order") {
+    import spark.implicits._
+    // single shard by construction impossible to force (md5), so check
+    // the invariants instead: offsets in [0, budget), pack_id =
+    // floor(cum_before/budget), cumulative order respected per shard
+    val d = (1L to 40L).map(i => (i, Seq.fill(7)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, budget = 10, shards = 4)
+      .orderBy("shard", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 40 && out.forall(_._3 === 7L))
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.foreach { case (id, _, n, packId, off) =>
+        assert(off === cum % 10, s"doc $id offset")
+        assert(packId === cum / 10, s"doc $id pack")
+        cum += n
+      }
+    }
+  }
+
   test("minhash jaccard estimates track exact ngram jaccard") {
     // pairs surfaced by LSH must report the TRUE jaccard (they are
     // verified with array_intersect) - check against the exact operator
