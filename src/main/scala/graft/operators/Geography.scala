@@ -134,22 +134,34 @@ case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
 
 object Geography {
 
-  /** The REAL ct2010->ct2020 apportionment table, bundled verbatim from
-    * the reference (data/lookup_geo/2010_to_2020/ratio.csv, 2416 rows),
-    * parsed with the reference's geoid derivation
-    * (2010_to_2020.py:38-51): geoid = "360" + boroct left-padded to 8.
-    * Ready to construct [[Geography]] against production data. */
-  def referenceRatio(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  /** Raw (geoid_ct2020, geoid_ct2010, ratio-string) rows of the
+    * bundled crosswalk (data/lookup_geo/2010_to_2020/ratio.csv, 2416
+    * rows) with the reference's geoid derivation pre-applied
+    * (2010_to_2020.py:38-51: geoid = "360" + boroct left-padded to 8).
+    * The SINGLE parse both [[referenceRatio]] and the generated oracle
+    * SQL (CensusQueries.qGeoNtaSql) build from — one source of truth,
+    * so the two engines cannot diverge on CSV edge semantics. */
+  def referenceRatioRows: Seq[(String, String, String)] = {
     val in = getClass.getResourceAsStream("/graft/data/lookup_geo/2010_to_2020/ratio.csv")
     require(in != null, "bundled ratio.csv missing")
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-    finally in.close()
-    import spark.implicits._
-    spark.read.option("header", "true").csv(spark.createDataset(lines))
-      .select(
-        concat(lit("360"), lpad(col("boroct2010"), 8, "0")).as("geoid_ct2010"),
-        concat(lit("360"), lpad(col("boroct2020"), 8, "0")).as("geoid_ct2020"),
-        col("ratio").cast("double").as("ratio"))
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().drop(1).map { line =>
+      val c = line.split(",").map(_.stripPrefix("\"").stripSuffix("\""))
+      require(c.length == 3 && c(0).length <= 8 && c(1).length <= 8 &&
+        c.forall(f => !f.contains("'")), s"bad ratio.csv row: $line")
+      def pad(s: String) = "360" + ("0" * (8 - s.length)) + s
+      (pad(c(0)), pad(c(1)), c(2))
+    }.toList
+    finally src.close()
+  }
+
+  /** The REAL ct2010->ct2020 apportionment table as a DataFrame, ready
+    * to construct [[Geography]] against production data. */
+  def referenceRatio(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    spark.createDataFrame(referenceRatioRows)
+      .toDF("geoid_ct2020", "geoid_ct2010", "ratio_s")
+      .select(col("geoid_ct2010"), col("geoid_ct2020"),
+        col("ratio_s").cast("double").as("ratio"))
   }
 }
 

@@ -42,8 +42,12 @@ object Percentile {
   def binned(df: DataFrame, group: Column, value: Column,
              ps: Seq[(String, Double)], nBins: Int = 128): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p < 1 })
+    // non-finite values are excluded from the distribution (a single
+    // NaN/Inf would poison mn/mx, make w NaN and blow up the ANSI int
+    // cast); binnedSql mirrors with isfinite()
     val base = df.select(group.as("g"), value.cast("double").as("x"))
-      .where(col("x").isNotNull)
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) =!= lit(Double.PositiveInfinity))
     val stats = base.groupBy("g").agg(
       min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1L)).as("n"))
     // w staged once; bin guarded for the all-equal group (w = 0), where
@@ -91,7 +95,8 @@ object Percentile {
     }.mkString(",\n    ")
     val ctes =
       s"""v$sfx AS (SELECT $groupExpr AS g, CAST($valueExpr AS DOUBLE) AS x
-         |  FROM $table WHERE $valueExpr IS NOT NULL),
+         |  FROM $table WHERE $valueExpr IS NOT NULL
+         |    AND isfinite(CAST($valueExpr AS DOUBLE))),
          |st$sfx AS (SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
          |  FROM v$sfx GROUP BY g),
          |bn$sfx AS (SELECT v$sfx.g AS g, mn, (mx - mn) / $b AS w, n,

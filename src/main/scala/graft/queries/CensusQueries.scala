@@ -304,19 +304,11 @@ object CensusQueries {
   }
 
   lazy val qGeoNtaSql: String = {
-    // the SAME bundled crosswalk, embedded as VALUES with the
-    // reference's geoid derivation ("360" + boroct lpad 8) pre-applied
-    val in = getClass.getResourceAsStream("/graft/data/lookup_geo/2010_to_2020/ratio.csv")
-    require(in != null, "bundled ratio.csv missing")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    val rows = try src.getLines().drop(1).map { line =>
-      val c = line.split(",").map(_.stripPrefix("\"").stripSuffix("\""))
-      def pad(s: String) = "360" + ("0" * (8 - s.length)) + s
-      (pad(c(0)), pad(c(1)), c(2))
-    }.toList finally src.close()
-    val values = rows.map { case (ct20, ct10, r) =>
-      s"('$ct20','$ct10',CAST('$r' AS DOUBLE))"
-    }.mkString(",\n    ")
+    // the SAME bundled crosswalk, embedded as VALUES from the one
+    // shared parse (Geography.referenceRatioRows) the Spark side uses
+    val values = graft.operators.Geography.referenceRatioRows
+      .map { case (ct20, ct10, r) => s"('$ct20','$ct10',CAST('$r' AS DOUBLE))" }
+      .mkString(",\n    ")
     s"""WITH cw(ct20, ct10, ratio) AS (VALUES
        |    $values),
        |ids AS (SELECT ct10, row_number() OVER (ORDER BY ct10) - 1 AS idx

@@ -42,12 +42,24 @@ object Export {
        |SELECT * INTO pff_acs."$tableName" FROM tmp;""".stripMargin
   }
 
+  private def safePath(p: String, what: String): String = {
+    require(p.nonEmpty && p.matches("[A-Za-z0-9_./=-]+") && !p.contains(".."),
+      s"unsafe $what: $p")
+    p
+  }
+
   /** The bash half of the reference load: stream the exported CSV
-    * through psql with the DDL above. */
-  def psqlLoadCommand(tableName: String, csvPath: String,
+    * through psql with the DDL above. `csvDir` is an [[exportCsv]]
+    * output DIRECTORY written with `singleFile = true` — the command
+    * globs the one Spark-named part file. (A multi-part export cannot
+    * feed `\COPY ... CSV HEADER`: every part carries its own header
+    * row and only the first line of the stream is skipped.) Paths are
+    * validated like the table name: this string is destined for a
+    * shell. */
+  def psqlLoadCommand(tableName: String, csvDir: String,
                       ddlPath: String = "create_acs.sql"): String = {
     require(tableName.matches("[A-Za-z0-9_]+"), s"unsafe table name: $tableName")
-    s"""cat $csvPath | psql $${BUILD_ENGINE} -f $ddlPath -v TABLE_NAME=$tableName"""
+    s"""cat ${safePath(csvDir, "csv dir")}/part-*.csv | psql $${BUILD_ENGINE} -f ${safePath(ddlPath, "ddl path")} -v TABLE_NAME=$tableName"""
   }
 
   /** CSV export of an OUTPUT_SCHEMA frame — the reference's

@@ -39,6 +39,18 @@ class ExportSpec extends SparkSpec {
       ",1001600,pop_1,,demographic"))
   }
 
+  test("psql load command: globbed part file, shell-safe inputs only") {
+    val cmd = Export.psqlLoadCommand("acs_2019", "/out/acs/year=2019")
+    assert(cmd ===
+      "cat /out/acs/year=2019/part-*.csv | psql ${BUILD_ENGINE} -f create_acs.sql -v TABLE_NAME=acs_2019")
+    intercept[IllegalArgumentException](
+      Export.psqlLoadCommand("acs_2019", "/tmp/x; rm -rf ~"))
+    intercept[IllegalArgumentException](
+      Export.psqlLoadCommand("acs_2019", "/tmp/ok", ddlPath = "a b.sql"))
+    intercept[IllegalArgumentException](
+      Export.psqlLoadCommand("acs_2019", "/tmp/../etc"))
+  }
+
   test("metadata.json round-trips through the registry loader") {
     val reg = VariableRegistry.acs2019
     val parsed = RegistryLoader.parseVariables(Export.metadataJson(reg))
