@@ -88,4 +88,43 @@ object Streams {
           }
       }
   }
+
+  case class Doc(doc_id: Long, text: String)
+  case class PackCursor(cum: Long)
+  case class PackAssignment(doc_id: Long, shard: Int, n_tokens: Long,
+                            pack_id: Long, pack_offset: Long)
+
+  /** Streaming twin of TextAnalysis.packSequences: a per-shard running
+    * token cursor via flatMapGroupsWithState. State is ONE long per
+    * shard — bounded forever, so no timeout/eviction is needed; this is
+    * the streaming shape of any running-allocation operator (pack ids,
+    * byte offsets, chunk assignment). Docs are assigned in doc_id order
+    * WITHIN each micro-batch and in arrival order across batches; when
+    * the stream delivers docs in doc_id order the assignments equal the
+    * batch operator's exactly (StreamingSpec pins this parity). The
+    * md5-shard and whitespace-token rules mirror Portable.h60/words. */
+  def packStream(docs: Dataset[Doc], budget: Long = 1024,
+                 shards: Int = 8): Dataset[PackAssignment] = {
+    require(budget > 0 && shards > 0)
+    import docs.sparkSession.implicits._
+    def shardOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pack:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % shards).toInt
+    }
+    docs.groupByKey(d => shardOf(d.doc_id))
+      .flatMapGroupsWithState[PackCursor, PackAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[Doc], state: GroupState[PackCursor]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val n = d.text.trim.split("\\s+").length.toLong
+            val a = PackAssignment(d.doc_id, shard, n, cum / budget, cum % budget)
+            cum += n
+            a
+          }
+          state.update(PackCursor(cum))
+          out.iterator
+      }
+  }
 }

@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSpec {
       && sessions(0).n_events === 2L)
   }
 
+  test("packStream matches the batch packer on in-order micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mkDoc = (i: Long) => Streams.Doc(i, Seq.fill(7)("w").mkString(" "))
+    val input = MemoryStream[Streams.Doc]
+    // two in-doc_id-order micro-batches; the running cursor must carry
+    // across the batch boundary
+    input.addData((1L to 20L).map(mkDoc): _*)
+    // default micro-batch trigger: AvailableNow would terminate after
+    // draining batch 1 and silently skip the second batch
+    val q = Streams.packStream(input.toDS(), budget = 10, shards = 4)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData((21L to 40L).map(mkDoc): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pack_out")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val batch = graft.operators.TextAnalysis.packSequences(
+        (1L to 40L).map(i => (i, Seq.fill(7)("w").mkString(" "))).toDF("doc_id", "text"),
+        budget = 10, shards = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("dedupStream drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -112,9 +140,11 @@ class StreamingSpec extends SparkSpec {
       Event(1, ts(1), 10, "click", 1.0),
       Event(1, ts(1), 10, "click", 1.0),   // duplicate in-batch
       Event(2, ts(2), 10, "view", 2.0))
+    // default trigger: AvailableNow stops after the first drain, which
+    // would make the cross-batch re-send below a no-op
     val q = Streams.dedupStream(input.toDF())
       .writeStream.format("memory").queryName("dedup_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
     q.processAllAvailable()
     // a later batch re-sends event 1 -> still deduped (state retained)
     input.addData(Event(1, ts(1), 10, "click", 1.0))
