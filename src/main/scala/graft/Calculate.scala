@@ -201,9 +201,21 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     def vEmFor(v: String) = vfn(emFor(download, v))
     lazy val vEmAll = vfn(em(download))
 
+    // The derived (median/special) formulas apply ONLY at aggregated
+    // geographies (vertical defined), with the reference's single
+    // exception of wrkrnothm (calculate.py:206-235): at a plain
+    // geography the published row via calculate_e_m wins — the ACS
+    // publishes medians/ratios directly at census geographies. A
+    // special/median with NO plain metadata row still derives (the
+    // reference would KeyError there; the fallback is the graceful
+    // superset and keeps registry-less usage working).
+    def hasPlainRow(v: String) = registry.byName.contains(v)
     val base: DataFrame =
-      if (isMedian) emMedianFrom(vEmAll, pffVariable)
-      else if (isSpecial) emSpecialFrom(vEmAll, pffVariable)
+      if (isMedian && (vertical.isDefined || !hasPlainRow(pffVariable)))
+        emMedianFrom(vEmAll, pffVariable)
+      else if (isSpecial && (vertical.isDefined || pffVariable == "wrkrnothm" ||
+               !hasPlainRow(pffVariable)))
+        emSpecialFrom(vEmAll, pffVariable)
       else vEmFor(pffVariable)
 
     val withPz: DataFrame =
@@ -357,11 +369,20 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
                    vertical: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val spark = download.sparkSession
-    // special/median variables come EXCLUSIVELY from their dedicated
-    // paths; a registered census_variable mapping for them (e.g. the
-    // published DP05_0018 -> mdage) would otherwise emit a second,
-    // conflicting plain row per geoid
-    val dedicated = (registry.specialVariables ++ registry.medianVariables).toSeq
+    // derived routing matches cempz/calculate.py:206-235: the
+    // special/median formulas apply at aggregated geographies (vertical
+    // defined), plus wrkrnothm always, plus any special/median WITHOUT
+    // a plain metadata row (the reference would KeyError; deriving is
+    // the graceful superset). Everything else takes its published
+    // plain row — and a variable must come from exactly ONE path, so
+    // derived names are excluded from the plain rows below.
+    val derivedSpecials = registry.specials.filter(sp =>
+      vertical.isDefined || sp.pffVariable == "wrkrnothm" ||
+        !registry.byName.contains(sp.pffVariable))
+    val derivedMedians = registry.medians.filter(md =>
+      vertical.isDefined || !registry.byName.contains(md.pffVariable))
+    val derivedNames =
+      (derivedSpecials.map(_.pffVariable) ++ derivedMedians.map(_.pffVariable))
     // profile-only variables take published e/m/p/z straight from the
     // download (calculate_e_m_p_z, calculate.py:108-127), like apply()
     val profileOnly = registry.profileOnlyVariables
@@ -382,15 +403,18 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     val notProfile =
       if (profileOnly.isEmpty || vertical.isDefined) lit(true)
       else !col("pff_variable").isin(profileOnly.toSeq: _*)
-    val plainAll = emAll.where(!col("pff_variable").isin(dedicated: _*))
+    val plainAll =
+      if (derivedNames.isEmpty) emAll
+      else emAll.where(!col("pff_variable").isin(derivedNames: _*))
     val plain = plainAll.where(notProfile)
     // per-spec narrow pivots over the PERSISTED emAll: one shuffle per
-    // median/special, but each pivot aggregate stays ~20-50 columns.
-    // (A single shared pivot of every input was measured 3× SLOWER at
-    // the full registry: a 300+-column conditional aggregate is its own
-    // codegen bomb, and every spec's projection drags the wide row.)
-    val specials = registry.specials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
-    val medians = registry.medians.map(md => emMedianFrom(emAll, md.pffVariable))
+    // derived median/special, but each pivot aggregate stays ~20-50
+    // columns. (A single shared pivot of every input was measured 3×
+    // SLOWER at the full registry: a 300+-column conditional aggregate
+    // is its own codegen bomb, and every spec's projection drags the
+    // wide row.)
+    val specials = derivedSpecials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
+    val medians = derivedMedians.map(md => emMedianFrom(emAll, md.pffVariable))
     // unionByName: the per-path selects don't share column order
     val all = (plain +: (specials ++ medians)).reduce(_ unionByName _)
     // base-variable (and poverty-pct) lookups resolve against the PLAIN

@@ -71,17 +71,44 @@ class CalculateSpec extends SparkSpec {
   }
 
   test("median mdage end-to-end from bin-count download") {
-    // all mass in 25-29 bin -> interpolated median in [25, 29.9999)
+    // all mass in 25-29 bin -> interpolated median in [25, 29.9999).
+    // The binned path applies at AGGREGATED geographies (vertical
+    // translator given); without one the published DP05_0018 row wins
+    // (calculate.py:214-219)
     val bins = VariableRegistry.mdage.inputs.map(_._1)
     val rows = bins.zipWithIndex.flatMap { case (name, i) =>
       val cv = f"B01001_$i%03d"
       Seq(("g1", cv, if (name == "mdpop25t29") 100.0 else if (name == "mdpop30t34") 100.0 else 0.0, 1.0))
-    }
-    val r = calc.cempz(dl(rows: _*), "mdage").collect()(0)
+    } :+ (("g1", "DP05_0018", 37.2, 0.4))
+    val r = calc.cempz(dl(rows: _*), "mdage", Some(df => df)).collect()(0)
     // N=200, half=100, cum(25t29)=100 >= 100 -> median bin = 25t29
     // median = 25 + (100-0)*4.9999/100 = 29.9999
     assert(math.abs(r.getDouble(4) - 29.9999) < 1e-9)
     assert(!r.isNullAt(6) === false || r.isNullAt(6)) // p null for tract median
+    // plain geography: the published value, not the binned median
+    val plain = calc.cempz(dl(rows: _*), "mdage").collect()(0)
+    assert(plain.getDouble(4) === 37.2)
+  }
+
+  test("specials resolve to published rows at plain geographies; wrkrnothm still derives") {
+    // calculate.py:206-235: calculate_e_m_special applies only at
+    // aggregated geographies, EXCEPT wrkrnothm (both). percapinc at a
+    // plain geography takes DP03_0088, ignoring the ratio inputs;
+    // wrkrnothm derives its difference even when a published row exists.
+    val d = dl(
+      ("g1", "SP_agip15pl", 50000.0, 2000.0),
+      ("g1", "SP_pop_6", 100.0, 5.0),
+      ("g1", "DP03_0088", 480.0, 12.0),
+      ("g1", "SP_wrkr16pl", 1000.0, 30.0),
+      ("g1", "SP_cw_wrkdhm", 100.0, 40.0),
+      ("g1", "SP_wrkrnothm", 123.0, 1.0))
+    val pci = calc.cempz(d, "percapinc").collect()(0)
+    assert(pci.getDouble(4) === 480.0, s"published, not the 500.0 ratio: ${pci.get(4)}")
+    val wnh = calc.cempz(d, "wrkrnothm").collect()(0)
+    assert(wnh.getDouble(4) === 900.0, s"derived difference, not published: ${wnh.get(4)}")
+    // under a translator the ratio path applies
+    val pciV = calc.cempz(d, "percapinc", Some(df => df)).collect()(0)
+    assert(pciV.getDouble(4) === 500.0)
   }
 
   test("cleaning: base p=100/z=0, median inputs nulled, dead rows nulled") {
@@ -115,7 +142,9 @@ class CalculateSpec extends SparkSpec {
       ("36061001500", "B25003_002", 30.0, 3.0),
       ("36061001500", "B25003_001", 100.0, 4.0),
       ("36061001500", "SP_agip15pl", 50000.0, 2000.0),
-      ("36061001500", "SP_pop_6", 100.0, 5.0))
+      ("36061001500", "SP_pop_6", 100.0, 5.0),
+      // plain geography: percapinc resolves to this published row
+      ("36061001500", "DP03_0088", 480.0, 12.0))
     val allOut = calc.calculateAll(d)
       .where(col("pff_variable").isin("ownerocc", "occbaseunits", "percapinc"))
       .orderBy("pff_variable")
@@ -152,8 +181,9 @@ class CalculateSpec extends SparkSpec {
   }
 
   test("calculateAll emits exactly one row per special/median variable") {
-    // mdage has a registered census variable (DP05_0018); it must NOT
-    // produce a second plain row next to the bins-path row
+    // mdage has a registered census variable (DP05_0018); at a plain
+    // geography the published row IS the output — the bins path must
+    // not add a second, conflicting row
     val bins = VariableRegistry.mdage.inputs.map(_._1)
     val rows = bins.zipWithIndex.map { case (_, i) => ("g1", f"B01001_$i%03d", 10.0, 1.0) } :+
       (("g1", "DP05_0018", 37.2, 0.4))

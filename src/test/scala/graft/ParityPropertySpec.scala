@@ -61,7 +61,11 @@ class ParityPropertySpec extends SparkSpec {
     val plainCvs = Seq("B25003_002", "B25003_001")
     val specialCvs = Seq("SP_agip15pl", "SP_pop_6")
     val medianCvs = VariableRegistry.mdage.inputs.indices.map(i => f"B01001_$i%03d")
-    val allCvs = plainCvs ++ specialCvs ++ medianCvs
+    // published rows: at plain geographies percapinc/mdage resolve to
+    // these (calculate.py:206-235) — without them both paths are empty
+    // for those variables and the parity check would be vacuous
+    val publishedCvs = Seq("DP03_0088", "DP05_0018")
+    val allCvs = plainCvs ++ specialCvs ++ medianCvs ++ publishedCvs
     val vars = Seq("ownerocc", "occbaseunits", "percapinc", "mdage")
 
     for (trial <- 1 to 20) {

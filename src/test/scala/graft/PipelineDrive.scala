@@ -27,6 +27,10 @@ object PipelineDrive {
         .unionAll(row("SP_pop_6", col("c_acctbal") / 100 + 30, lit(2.0)))
         .unionAll(row("B01001_008", (col("c_custkey") % 7) + 1, lit(1.0)))   // mdpop25t29 bin
         .unionAll(row("B01001_010", (col("c_custkey") % 5) + 1, lit(1.0)))   // mdpop30t34? index check
+        // published rows: at plain geographies specials/medians resolve
+        // to these (calculate.py:206-235), not their formulas
+        .unionAll(row("DP03_0088", col("c_acctbal") / 10 + 400, lit(12.0)))  // percapinc published
+        .unionAll(row("DP05_0018", lit(36.5), lit(0.4)))                     // mdage published
     val calc = new Calculate(VariableRegistry.reference)
     for (v <- Seq("ownerocc", "percapinc", "mdage")) {
       val out = calc(download, v)
