@@ -24,7 +24,30 @@ import graft.functions.Census
   * accidentally includes NaNs in the root-sum-of-squares; we use
   * null-skipping Spark sum semantics (the intended behavior).
   */
-case class Geography(lookupGeo: DataFrame, ratio: DataFrame) {
+/** The translator-dispatch half of the reference's aggregate_vertical
+  * (calculate.py:62-75), shared by both geography vintages. */
+trait GeoDispatch {
+  def options: Map[String, Map[String, Map[String, DataFrame => DataFrame]]]
+  def aggregatedGeography: Set[String]
+
+  /** Resolve (from_geotype, translator) for a target geotype: identity
+    * from the geotype itself when it is not aggregated (the reference's
+    * `aggregate_vertical = df => df` branch — returned as None to match
+    * Calculate.cempz's routing contract); otherwise the registered
+    * source → from → to path. */
+  def verticalFor(source: String, toGeotype: String): (String, Option[DataFrame => DataFrame]) =
+    if (!aggregatedGeography.contains(toGeotype)) (toGeotype, None)
+    else {
+      val paths = options.getOrElse(source, throw new IllegalArgumentException(
+        s"no geography options for source '$source' (have: ${options.keys.mkString(", ")})"))
+      val from = paths.collectFirst { case (k, m) if m.contains(toGeotype) => k }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no $source path to geotype '$toGeotype'"))
+      (from, Some(paths(from)(toGeotype)))
+    }
+}
+
+case class Geography(lookupGeo: DataFrame, ratio: DataFrame) extends GeoDispatch {
 
   /** lookup_geo with the derived tract/block-group/flood-plain columns
     * (2010_to_2020.py:17-35). */
@@ -180,7 +203,7 @@ object Geography {
   * geoid_tract = county_fips||ct2010) are computed here exactly as
   * 2010.py:21-30. The lookup is small — always broadcast against facts.
   */
-case class Geography2010(lookupGeo: DataFrame) {
+case class Geography2010(lookupGeo: DataFrame) extends GeoDispatch {
 
   /** lookup_geo with derived geoid/zone columns (2010.py:16-38). */
   lazy val lookup: DataFrame = lookupGeo

@@ -69,6 +69,21 @@ class GeographySpec extends SparkSpec {
       "cdta_fp_500", "cdta_fp_100", "cdta_park_access"))
   }
 
+  test("verticalFor dispatches like aggregate_vertical (calculate.py:62-75)") {
+    val g = geo
+    // aggregated target: registered from-geotype + the real translator
+    val (from, fn) = g.verticalFor("acs", "NTA")
+    assert(from === "tract" && fn.isDefined)
+    val viaDispatch = fn.get(facts).orderBy("census_geoid").collect().toSeq
+    val direct = g.tractToNta(facts).orderBy("census_geoid").collect().toSeq
+    assert(viaDispatch === direct)
+    assert(g.verticalFor("acs", "cdta_fp_500")._1 === "block group")
+    // non-aggregated target: identity — from itself, no translator
+    assert(g.verticalFor("acs", "tract") === ("tract", None))
+    assert(g.verticalFor("acs", "city") === ("city", None))
+    intercept[IllegalArgumentException](g.verticalFor("decennial", "NTA"))
+  }
+
   test("bundled REAL crosswalk: 2416 rows, valid geoids, ratios sum to 1 per source tract") {
     val r = Geography.referenceRatio(spark)
     assert(r.count() === 2416)
