@@ -151,6 +151,23 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
         col("geotype"), col("median").as("e"), col("moe").as("m"))
   }
 
+  /** The derived-vs-published routing (calculate.py:206-235), shared
+    * verbatim by [[cempz]] and [[calculateAll]] so the two paths can
+    * never desynchronize: the special/median formulas apply ONLY at
+    * aggregated geographies (vertical translator given), with the
+    * reference's single exception of wrkrnothm (always derived) — at a
+    * plain geography the published row via calculate_e_m wins, since
+    * the ACS publishes medians/ratios directly at census geographies.
+    * A special/median with NO plain metadata row still derives (the
+    * reference would KeyError there; the fallback is the graceful
+    * superset and keeps registry-less usage working). */
+  private def derivesSpecial(v: String, vertical: Option[_]): Boolean =
+    vertical.isDefined || v == "wrkrnothm" || !registry.byName.contains(v)
+
+  /** See [[derivesSpecial]]; medians carry no wrkrnothm-style exception. */
+  private def derivesMedian(v: String, vertical: Option[_]): Boolean =
+    vertical.isDefined || !registry.byName.contains(v)
+
   /** Full c/e/m/p/z for one variable (calculate_c_e_m_p_z), routing to
     * the median / special / plain paths and joining the percent base.
     *
@@ -201,20 +218,10 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     def vEmFor(v: String) = vfn(emFor(download, v))
     lazy val vEmAll = vfn(em(download))
 
-    // The derived (median/special) formulas apply ONLY at aggregated
-    // geographies (vertical defined), with the reference's single
-    // exception of wrkrnothm (calculate.py:206-235): at a plain
-    // geography the published row via calculate_e_m wins — the ACS
-    // publishes medians/ratios directly at census geographies. A
-    // special/median with NO plain metadata row still derives (the
-    // reference would KeyError there; the fallback is the graceful
-    // superset and keeps registry-less usage working).
-    def hasPlainRow(v: String) = registry.byName.contains(v)
     val base: DataFrame =
-      if (isMedian && (vertical.isDefined || !hasPlainRow(pffVariable)))
+      if (isMedian && derivesMedian(pffVariable, vertical))
         emMedianFrom(vEmAll, pffVariable)
-      else if (isSpecial && (vertical.isDefined || pffVariable == "wrkrnothm" ||
-               !hasPlainRow(pffVariable)))
+      else if (isSpecial && derivesSpecial(pffVariable, vertical))
         emSpecialFrom(vEmAll, pffVariable)
       else vEmFor(pffVariable)
 
@@ -256,9 +263,15 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
           // derive from the base's PUBLISHED profile value (DP03_0088
           // etc.), and 190 median-bin inputs whose base is their median
           // (mdpop* -> mdage), published at non-aggregated geographies.
-          // CalculateSpec pins both routes.
-          val agg = (if (registry.medianVariables.contains(bv) && vertical.isDefined)
+          // CalculateSpec pins both routes. A meta-row-less base takes
+          // the same derived fallback as the variable-level routing
+          // (vEmFor would throw; the reference would KeyError).
+          val agg = (if (registry.medianVariables.contains(bv) &&
+                         (vertical.isDefined || !registry.byName.contains(bv)))
                        emMedianFrom(vEmAll, bv)
+                     else if (registry.specialVariables.contains(bv) &&
+                              !registry.byName.contains(bv))
+                       emSpecialFrom(vEmAll, bv)
                      else vEmFor(bv))
             .select(col("census_geoid"), col("e").as("agg_e"), col("m").as("agg_m"))
           val j = base.join(agg, Seq("census_geoid"), "left")
@@ -369,18 +382,15 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
                    vertical: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val spark = download.sparkSession
-    // derived routing matches cempz/calculate.py:206-235: the
-    // special/median formulas apply at aggregated geographies (vertical
-    // defined), plus wrkrnothm always, plus any special/median WITHOUT
-    // a plain metadata row (the reference would KeyError; deriving is
-    // the graceful superset). Everything else takes its published
-    // plain row — and a variable must come from exactly ONE path, so
-    // derived names are excluded from the plain rows below.
-    val derivedSpecials = registry.specials.filter(sp =>
-      vertical.isDefined || sp.pffVariable == "wrkrnothm" ||
-        !registry.byName.contains(sp.pffVariable))
-    val derivedMedians = registry.medians.filter(md =>
-      vertical.isDefined || !registry.byName.contains(md.pffVariable))
+    // derived routing shared with cempz (see derivesSpecial/
+    // derivesMedian — calculate.py:206-235). Everything not derived
+    // takes its published plain row — and a variable must come from
+    // exactly ONE path, so derived names are excluded from the plain
+    // rows below.
+    val derivedSpecials =
+      registry.specials.filter(sp => derivesSpecial(sp.pffVariable, vertical))
+    val derivedMedians =
+      registry.medians.filter(md => derivesMedian(md.pffVariable, vertical))
     val derivedNames =
       (derivedSpecials.map(_.pffVariable) ++ derivedMedians.map(_.pffVariable))
     // profile-only variables take published e/m/p/z straight from the
@@ -424,15 +434,27 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // special-base branch there is dead code — see cempz), EXCEPT a
     // median base at an aggregated geography, which uses the binned
     // median. emAll carries the plain rows for specials/medians that
-    // have their own metadata entry (published profile values).
-    val lookupAll =
-      if (vertical.isDefined) {
-        val medSet = registry.medianVariables
-        val nonMed =
-          if (medSet.isEmpty) emAll
-          else emAll.where(!col("pff_variable").isin(medSet.toSeq: _*))
-        (nonMed +: medians).reduce(_ unionByName _)
-      } else emAll
+    // have their own metadata entry (published profile values); ones
+    // WITHOUT a metadata row contribute their derived pivot instead
+    // (cempz's base fallback — vEmFor/calculate_e_m would fail there).
+    val lookupAll = {
+      def metaless(v: String) = !registry.byName.contains(v)
+      val plainLk =
+        if (vertical.isDefined && registry.medianVariables.nonEmpty)
+          emAll.where(!col("pff_variable").isin(registry.medianVariables.toSeq: _*))
+        else emAll
+      val metalessSpecialPivots = derivedSpecials.zip(specials).collect {
+        case (sp, df) if metaless(sp.pffVariable) => df
+      }
+      // under a translator every median pivot joins (incl. metaless);
+      // at plain geographies only the metaless ones fall back
+      val medianLk =
+        if (vertical.isDefined) medians
+        else derivedMedians.zip(medians).collect {
+          case (md, df) if metaless(md.pffVariable) => df
+        }
+      (plainLk +: (medianLk ++ metalessSpecialPivots)).reduce(_ unionByName _)
+    }
 
     def inSet(s: Set[String]): Column =
       if (s.isEmpty) lit(false) else col("pff_variable").isin(s.toSeq: _*)

@@ -34,14 +34,17 @@ trait GeoDispatch {
     * from the geotype itself when it is not aggregated (the reference's
     * `aggregate_vertical = df => df` branch — returned as None to match
     * Calculate.cempz's routing contract); otherwise the registered
-    * source → from → to path. */
+    * source → from → to path. When two from-geotypes could reach the
+    * same target, the LAST registered one wins — the reference's
+    * dispatch is a no-break loop over an insertion-ordered dict
+    * (calculate.py:72-74); bundled registries have no such overlap. */
   def verticalFor(source: String, toGeotype: String): (String, Option[DataFrame => DataFrame]) =
     if (!aggregatedGeography.contains(toGeotype)) (toGeotype, None)
     else {
       val paths = options.getOrElse(source, throw new IllegalArgumentException(
         s"no geography options for source '$source' (have: ${options.keys.mkString(", ")})"))
-      val from = paths.collectFirst { case (k, m) if m.contains(toGeotype) => k }
-        .getOrElse(throw new IllegalArgumentException(
+      val from = paths.toSeq.collect { case (k, m) if m.contains(toGeotype) => k }
+        .lastOption.getOrElse(throw new IllegalArgumentException(
           s"no $source path to geotype '$toGeotype'"))
       (from, Some(paths(from)(toGeotype)))
     }

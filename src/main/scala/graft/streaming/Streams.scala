@@ -91,7 +91,8 @@ object Streams {
 
   case class Doc(doc_id: Long, text: String)
   case class PackCursor(cum: Long)
-  case class PackAssignment(doc_id: Long, shard: Int, n_tokens: Long,
+  case class PackIn(doc_id: Long, shard: Int, n_tokens: Option[Long])
+  case class PackAssignment(doc_id: Long, shard: Int, n_tokens: Option[Long],
                             pack_id: Long, pack_offset: Long)
 
   /** Streaming twin of TextAnalysis.packSequences: a per-shard running
@@ -101,26 +102,33 @@ object Streams {
     * byte offsets, chunk assignment). Docs are assigned in doc_id order
     * WITHIN each micro-batch and in arrival order across batches; when
     * the stream delivers docs in doc_id order the assignments equal the
-    * batch operator's exactly (StreamingSpec pins this parity). The
-    * md5-shard and whitespace-token rules mirror Portable.h60/words. */
+    * batch operator's exactly (StreamingSpec pins this parity).
+    *
+    * The shard and token count are computed as COLUMNS with the same
+    * Portable.h60/words expressions the batch operator uses — parity by
+    * construction, null texts propagate to a null n_tokens (cursor
+    * unmoved) instead of crashing the query, and only the narrow
+    * (doc_id, shard, n_tokens) rows ride the stateful shuffle. */
   def packStream(docs: Dataset[Doc], budget: Long = 1024,
                  shards: Int = 8): Dataset[PackAssignment] = {
     require(budget > 0 && shards > 0)
+    require(docs.isStreaming,
+      "packStream is streaming-only: use TextAnalysis.packSequences for batch frames")
     import docs.sparkSession.implicits._
-    def shardOf(id: Long): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"pack:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % shards).toInt
-    }
-    docs.groupByKey(d => shardOf(d.doc_id))
+    import graft.functions.Portable
+    docs.select(col("doc_id"),
+        (Portable.h60(concat_ws(":", lit("pack"), col("doc_id"))) % shards)
+          .cast("int").as("shard"),
+        size(Portable.words(col("text"))).cast("long").as("n_tokens"))
+      .as[PackIn]
+      .groupByKey(_.shard)
       .flatMapGroupsWithState[PackCursor, PackAssignment](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (shard: Int, rows: Iterator[Doc], state: GroupState[PackCursor]) =>
+        (shard: Int, rows: Iterator[PackIn], state: GroupState[PackCursor]) =>
           var cum = state.getOption.map(_.cum).getOrElse(0L)
           val out = rows.toSeq.sortBy(_.doc_id).map { d =>
-            val n = d.text.trim.split("\\s+").length.toLong
-            val a = PackAssignment(d.doc_id, shard, n, cum / budget, cum % budget)
-            cum += n
+            val a = PackAssignment(d.doc_id, shard, d.n_tokens, cum / budget, cum % budget)
+            cum += d.n_tokens.getOrElse(0L)
             a
           }
           state.update(PackCursor(cum))
