@@ -41,10 +41,10 @@ object SparkEntry {
     "q_window_running" -> (T.qWindowRunning _),
     "q_window_lag" -> (T.qWindowLag _),
     "q_percentile" -> (T.qPercentile _),
-    // scale path; no oracle (sketches differ across engines) -> the
-    // driver records a rows-only check; PercentileSpec bounds the error
-    "q_percentile_approx" -> (T.qPercentileApprox _),
-    // oracle-exact scale path: two-pass binned estimate
+    // The approx_percentile sketch (Tpch.qPercentileApprox) is covered by
+    // PercentileSpec's error bound only — sketches can't hash-match across
+    // engines, so it is not registered here; q_percentile_binned IS the
+    // oracle-exact bounded-memory scale path.
     "q_percentile_binned" -> (T.qPercentileBinned _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_asof_join" -> (L.qAsofJoin _),

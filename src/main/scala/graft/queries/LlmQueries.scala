@@ -476,7 +476,7 @@ object LlmQueries {
        |  FROM t)
        |SELECT doc_id, shard, n_tokens,
        |  CAST(floor(cum_before / CAST(1024 AS DOUBLE)) AS BIGINT) AS pack_id,
-       |  cum_before % 1024 AS pack_offset
+       |  CAST(cum_before % 1024 AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
 
   // ---- #33 positional rolling-hash fingerprint ----

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.sys.process._
+
+/** Pins the oracle-TYPE invariant: the driver's compare converts DuckDB
+  * results to pandas before hashing, so an oracle column whose type
+  * family differs from the Spark column (HUGEINT -> float64 "0.0" vs
+  * int64 "0") hash-mismatches even with equal values. This class of bug
+  * bit twice (r1 q_events_json, r4 q_token_pack) while value-level local
+  * checks stayed green — so the gate runs type-level, via DuckDB DESCRIBE
+  * against every SparkEntry oracle. Schema-only on both sides: no query
+  * executes, so the whole sweep takes seconds.
+  */
+class OracleTypeSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  test("every oracle's DuckDB output types align with the Spark schema") {
+    val duckdbOk = Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
+    assume(duckdbOk, "python3+duckdb not available; driver/selfcheck still gate this")
+
+    val entries = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (name, sql) =>
+      val schema = SparkEntry.queries(name)(spark, sfDir).schema
+      val types = schema.fields.map(f =>
+        s"${jsonStr(f.name)}: ${jsonStr(f.dataType.simpleString)}").mkString(", ")
+      s"${jsonStr(name)}: {${jsonStr("sql")}: ${jsonStr(sql)}, ${jsonStr("spark_types")}: {$types}}"
+    }
+    val spec = Files.createTempFile("oracle_types", ".json")
+    Files.write(spec, entries.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+
+    val out = new StringBuilder
+    val code = Process(
+      Seq("python3", "tools/oracle_typecheck.py", sfDir, spec.toString),
+      Paths.get(".").toFile
+    ).!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(code == 0, s"oracle type gate failed:\n$out")
+  }
+}

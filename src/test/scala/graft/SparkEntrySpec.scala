@@ -5,14 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Registry-consistency guard: every declared query has an oracle and
   * vice versa — a missing pairing silently weakens the correctness gate. */
 class SparkEntrySpec extends AnyFunSuite {
-  /** Queries with no SQL-expressible oracle (cross-engine sketch
-    * differences); the driver records a rows-only check for these and a
-    * dedicated spec bounds their error. Keep this list SHORT. */
-  private val rowsOnly = Set("q_percentile_approx")
-
   test("queries and oracleSql cover exactly the same keys") {
-    assert(SparkEntry.queries.keySet -- rowsOnly === SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
+    // Every registered query is oracle-checked; ops with no SQL-expressible
+    // oracle (the approx_percentile sketch) live in dedicated specs instead
+    // of carrying a permanently-gray rows-only row.
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
   }
   test("oracle SQL strings are non-trivial") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>

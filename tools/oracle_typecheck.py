@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Oracle output-TYPE gate.
+
+The driver's compare converts DuckDB results to pandas before hashing, so
+an oracle column whose DuckDB type differs in *family* from the Spark
+column renders differently even when values are equal (HUGEINT -> float64
+"0.0" vs Spark int64 "0"). This bit twice (r1 q_events_json, r4
+q_token_pack) while the fetchall-based selfcheck stayed green. This gate
+fails locally on the whole class:
+
+  - any oracle output column typed HUGEINT / UHUGEINT / DECIMAL(...)
+    (pandas canonicalizes these unlike the Spark side's int64/float64)
+  - any family mismatch (int vs float vs str vs ...) between the oracle
+    column and the Spark column of the same name
+
+Usage:
+  python3 tools/oracle_typecheck.py <sfDir> <spec.json>
+
+where spec.json is {name: {"sql": str, "spark_types": {col: sparkType}}}
+(sparkType = DataType.simpleString). OracleTypeSpec generates it from
+SparkEntry without executing any query (schema-only), so this runs in
+seconds. DESCRIBE never executes the oracle either.
+"""
+import json, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB types pandas renders differently than the Spark-side dtype even
+# when the value family matches. Always a bug in generated oracle SQL.
+DANGEROUS = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def duck_family(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "BLOB":
+        return "binary"
+    if t.endswith("[]") or t.startswith(("LIST", "STRUCT", "MAP")):
+        return "nested"
+    return t.lower()
+
+
+def spark_family(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("byte", "tinyint", "short", "smallint", "int", "integer",
+             "long", "bigint"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "binary":
+        return "binary"
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
+    return t
+
+
+def main():
+    sf_dir, spec_path = sys.argv[1], sys.argv[2]
+    spec = json.load(open(spec_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_fail = 0
+    for name, q in sorted(spec.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {q['sql']}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        duck_types = {r[0]: r[1] for r in desc}
+        spark_types = q["spark_types"]
+        bad = []
+        if set(duck_types) != set(spark_types):
+            bad.append(f"column sets differ: oracle={sorted(duck_types)} "
+                       f"spark={sorted(spark_types)}")
+        for col, dt in sorted(duck_types.items()):
+            if dt.upper().startswith(DANGEROUS):
+                bad.append(f"{col}: oracle type {dt} (pandas-unsafe; CAST it)")
+            st = spark_types.get(col)
+            if st is not None and duck_family(dt) != spark_family(st):
+                bad.append(f"{col}: family mismatch oracle {dt} "
+                           f"({duck_family(dt)}) vs spark {st} ({spark_family(st)})")
+        if bad:
+            print(f"FAIL {name}:")
+            for b in bad:
+                print(f"  {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}")
+    print(f"\n{len(spec) - n_fail} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,8 +10,11 @@ For each query in <verifyOutDir>/oracle_sql.json:
 Reports per-query row-count / schema / value match, with the first few
 diffs on mismatch.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_typecheck import duck_family, DANGEROUS
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -59,6 +62,21 @@ def main():
             srows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        # type gate (the driver hashes via pandas: a HUGEINT/DECIMAL or
+        # int-vs-float family mismatch diverges there even when the
+        # fetchall values below compare equal — r1 q_events_json, r4
+        # q_token_pack). DESCRIBE is schema-only, no re-execution.
+        otypes = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        stypes = dict(r[:2] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall())
+        tbad = [f"{c}: oracle {t} (pandas-unsafe)" for c, t in sorted(otypes.items())
+                if t.upper().startswith(DANGEROUS)]
+        tbad += [f"{c}: oracle {t} vs spark {stypes[c]}" for c, t in sorted(otypes.items())
+                 if c in stypes and duck_family(t) != duck_family(stypes[c])]
+        if tbad:
+            print(f"FAIL {name}: type gate: {'; '.join(tbad)}")
             n_fail += 1
             continue
         oc, orr = canon(orows, ocols)
