@@ -38,14 +38,21 @@ object Bench {
       }
       // a flaky query (ok on run 1, failed later) reports as FAILED with
       // no time — never both a time and a failure flag
-      name -> (if (times.isEmpty || failed.contains(name)) 0.0 else times.min)
+      val ok = !(times.isEmpty || failed.contains(name))
+      (name, if (ok) times.min else 0.0, if (ok) times.sorted else Nil)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query sorted run times: lets a judge separate host contention
+    // (wide min..max spread) from a real regression without re-running;
+    // `queries` stays min-of-3 so driver parsing is unchanged
+    val spread = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
     // machine-readable twice over: a file (driver- or human-greppable
     // regardless of log decoration) AND the bare final stdout line
     // (build.sbt forces StdoutOutput so sbt adds no "[info] " prefix)
