@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CensusQueries => C, LlmQueries => L, Tpch => T}
+import graft.queries.{CensusQueries => C, GeoBuild => G, LlmQueries => L, Tpch => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every key has a DuckDB oracle in [[oracleSql]] built from the same
@@ -35,6 +35,8 @@ object SparkEntry {
     "q_median_rooms" -> (C.qMedianRooms _),
     "q_poverty_pz" -> (C.qPovertyPz _),
     "q_community_profiles" -> (C.qCommunityProfiles _),
+    // the geolookup BUILDER (PostGIS build.sql as a point-in-polygon probe)
+    "q_geo_lookup_build" -> (G.qGeoLookupBuild _),
     // query-engine basics
     "q1_pricing_summary" -> (T.q1PricingSummary _),
     "q3_top_orders" -> (T.q3TopOrders _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_median_rooms" -> C.qMedianRoomsSql,
     "q_poverty_pz" -> C.qPovertyPzSql,
     "q_community_profiles" -> C.qCommunityProfilesSql,
+    "q_geo_lookup_build" -> G.qGeoLookupBuildSql,
     "q1_pricing_summary" -> T.q1Sql,
     "q3_top_orders" -> T.q3Sql,
     "q_window_running" -> T.qWindowRunningSql,

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+
+/** Point-in-polygon-set test as a native codegen Catalyst expression —
+  * the Spark replacement for the geolookup builder's PostGIS
+  * `ST_Intersects(centroid, zone_geometry)` probes
+  * (reference geolookup/2020/build.sql:77-86).
+  *
+  * The polygon set is a constant (the flood/park zone unions are tiny
+  * reference geometries — kilobytes), carried as a codegen reference
+  * object, so the probe is a scalar projection inside whole-stage
+  * codegen: no join, no shuffle, regardless of how many block rows
+  * stream past it. This is the plan a GIST-indexed spatial join
+  * degenerates to when one side is a small fixed union.
+  *
+  * Geometry model: `polygons(p)(r)` is ring `r` of polygon `p` as flat
+  * `[x0,y0, x1,y1, ...]` coordinates, implicitly closed. Containment is
+  * even-odd ray casting per polygon across all of its rings (so holes —
+  * interior rings — subtract naturally), true if ANY polygon contains
+  * the point. Points exactly on an edge fall on the half-open side the
+  * crossing rule dictates, the same convention PostGIS's point-in-ring
+  * fast path uses; both engines in the oracle pair evaluate the
+  * identical IEEE expression so the decision is bit-deterministic.
+  */
+case class PointInRings(left: Expression, right: Expression,
+                        polygons: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_rings"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val px = a.asInstanceOf[Double]
+    val py = b.asInstanceOf[Double]
+    var p = 0
+    while (p < polygons.length) {
+      val rings = polygons(p)
+      var inside = false
+      var r = 0
+      while (r < rings.length) {
+        val c = rings(r)
+        val n = c.length / 2
+        var i = 0
+        var j = n - 1
+        while (i < n) {
+          val xi = c(2 * i); val yi = c(2 * i + 1)
+          val xj = c(2 * j); val yj = c(2 * j + 1)
+          if (((yi > py) != (yj > py)) &&
+              px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+          j = i; i += 1
+        }
+        r += 1
+      }
+      if (inside) return true
+      p += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val polysRef = ctx.addReferenceObj("polygons", polygons, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("p")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val rings = ctx.freshName("rings")
+      val inside = ctx.freshName("inside")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val xj = ctx.freshName("xj"); val yj = ctx.freshName("yj")
+      s"""
+         |${ev.value} = false;
+         |for (int $p = 0; $p < $polysRef.length && !${ev.value}; $p++) {
+         |  double[][] $rings = $polysRef[$p];
+         |  boolean $inside = false;
+         |  for (int $r = 0; $r < $rings.length; $r++) {
+         |    double[] $c = $rings[$r];
+         |    int $n = $c.length / 2;
+         |    for (int $i = 0, $j = $n - 1; $i < $n; $j = $i++) {
+         |      double $xi = $c[2 * $i], $yi = $c[2 * $i + 1];
+         |      double $xj = $c[2 * $j], $yj = $c[2 * $j + 1];
+         |      if ((($yi > $b) != ($yj > $b)) &&
+         |          $a < ($xj - $xi) * ($b - $yi) / ($yj - $yi) + $xi) $inside = !$inside;
+         |    }
+         |  }
+         |  if ($inside) ${ev.value} = true;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One coordinate of the area-weighted polygon centroid (shoelace
+  * formula) — the Spark replacement for the geolookup builder's
+  * `ST_Centroid(wkb_geometry)` (reference geolookup/2020/build.sql:56).
+  *
+  * Child is a geometry column `array<array<double>>`: rings as flat
+  * `[x0,y0, x1,y1, ...]` coordinates, implicitly closed; interior rings
+  * wound opposite to the exterior contribute negative signed area, so
+  * holes subtract from the centroid exactly as PostGIS computes it.
+  * `axis` 0 → x, 1 → y (two cheap passes over a tiny ring array keep
+  * the codegen scalar — no struct construction in the hot projection).
+  *
+  * Degenerate (zero-signed-area) geometry falls back to the plain
+  * vertex average — an approximation of PostGIS's lower-dimension
+  * centroid, pinned by GeoLookupSpec and irrelevant to real block
+  * polygons, which always have area.
+  */
+case class PolygonCentroid(child: Expression, axis: Int)
+    extends UnaryExpression {
+
+  require(axis == 0 || axis == 1, s"axis must be 0 (x) or 1 (y), got $axis")
+
+  override def dataType: DataType = DoubleType
+  // empty geometry yields NULL even when the child is non-nullable
+  override def nullable: Boolean = true
+  override def prettyName: String = "polygon_centroid"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val rings = a.asInstanceOf[ArrayData]
+    var areaSum = 0.0   // 2 * signed area
+    var weighted = 0.0  // 3 * area-weighted coordinate sum (axis)
+    var vertSum = 0.0
+    var vertCount = 0L
+    var r = 0
+    val nr = rings.numElements()
+    while (r < nr) {
+      val c = rings.getArray(r)
+      val n = c.numElements() / 2
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val xi = c.getDouble(2 * i); val yi = c.getDouble(2 * i + 1)
+        val xj = c.getDouble(2 * j); val yj = c.getDouble(2 * j + 1)
+        val cross = xj * yi - xi * yj
+        areaSum += cross
+        weighted += (if (axis == 0) (xj + xi) else (yj + yi)) * cross
+        vertSum += (if (axis == 0) xi else yi)
+        vertCount += 1
+        j = i; i += 1
+      }
+      r += 1
+    }
+    if (vertCount == 0L) null
+    else if (areaSum == 0.0) vertSum / vertCount
+    else weighted / (3.0 * areaSum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val nr = ctx.freshName("nr")
+      val c = ctx.freshName("c")
+      val areaSum = ctx.freshName("areaSum")
+      val weighted = ctx.freshName("weighted")
+      val vertSum = ctx.freshName("vertSum")
+      val vertCount = ctx.freshName("vertCount")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val xj = ctx.freshName("xj"); val yj = ctx.freshName("yj")
+      val cross = ctx.freshName("cross")
+      val coordCur = if (axis == 0) xi else yi
+      val coordPair = if (axis == 0) s"$xj + $xi" else s"$yj + $yi"
+      s"""
+         |double $areaSum = 0.0, $weighted = 0.0, $vertSum = 0.0;
+         |long $vertCount = 0L;
+         |int $nr = $a.numElements();
+         |for (int $r = 0; $r < $nr; $r++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $a.getArray($r);
+         |  int $n = $c.numElements() / 2;
+         |  for (int $i = 0, $j = $n - 1; $i < $n; $j = $i++) {
+         |    double $xi = $c.getDouble(2 * $i), $yi = $c.getDouble(2 * $i + 1);
+         |    double $xj = $c.getDouble(2 * $j), $yj = $c.getDouble(2 * $j + 1);
+         |    double $cross = $xj * $yi - $xi * $yj;
+         |    $areaSum += $cross;
+         |    $weighted += ($coordPair) * $cross;
+         |    $vertSum += $coordCur;
+         |    $vertCount++;
+         |  }
+         |}
+         |if ($vertCount == 0L) { ${ev.isNull} = true; }
+         |else if ($areaSum == 0.0) { ${ev.value} = $vertSum / $vertCount; }
+         |else { ${ev.value} = $weighted / (3.0 * $areaSum); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column API for the geometry expressions. */
+object GeoOps {
+  /** True when (x, y) lies inside any polygon of the constant set
+    * (even-odd per polygon across its rings). */
+  def pointInRings(x: Column, y: Column, polygons: Array[Array[Array[Double]]]): Column =
+    GraftShim.column(PointInRings(
+      GraftShim.expression(x), GraftShim.expression(y), polygons))
+
+  /** Shoelace centroid x of a rings geometry column. */
+  def centroidX(geom: Column): Column =
+    GraftShim.column(PolygonCentroid(GraftShim.expression(geom), 0))
+
+  /** Shoelace centroid y of a rings geometry column. */
+  def centroidY(geom: Column): Column =
+    GraftShim.column(PolygonCentroid(GraftShim.expression(geom), 1))
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoOps
+
+/** The geolookup BUILDER — the Spark-native equivalent of the PostGIS
+  * pipeline that produces lookup_geo (reference geolookup/2020/
+  * build.sql:1-90, run.sh). The rest of the engine CONSUMES lookup_geo
+  * (operators/Geography.scala takes it as input); this operator lets a
+  * user stand up a new vintage from raw geometries.
+  *
+  * Inputs (geometry model is rings-as-doubles — see
+  * [[graft.functions.PointInRings]]; WKB/shapefile decode is the one
+  * step left external, see README §geolookup):
+  *
+  *  - `blocks`: one row per census block — geoid, bctcb2020, ct2020,
+  *    borocode, boroname, and either `geom array<array<double>>` or
+  *    precomputed centroid columns cx/cy
+  *  - `tracts`: one row per tract — boroct2020, nta2020, ntaname,
+  *    cdta2020, cdtaname
+  *  - zone polygon sets (flood 100y / flood 500y / park access): tiny
+  *    reference geometries, passed as in-memory arrays and broadcast
+  *    into a codegen point-in-polygon probe — no spatial join at all
+  *
+  * Scale shape: blocks is the only big table (national scale ~8M rows;
+  * still small by engine standards but treat it as the fact side). The
+  * tract dim broadcasts; the zone probes are scalar projections. The
+  * whole build is one narrow pass over blocks plus one distinct over a
+  * single short key column (for the right-join completion), so it holds
+  * at any blocks volume.
+  *
+  * Fidelity notes (effective reference behavior, matched on purpose):
+  *  - build.sql:77-80 emits `(zone.id IS NULL)::int` — the flag is 1
+  *    when the centroid does NOT intersect the zone. We reproduce that
+  *    inversion exactly; GeoLookupSpec pins it.
+  *  - build.sql:31 `ST_SubDivide` on the park union is a GIST-index
+  *    performance device; intersects-any semantics are unchanged, so
+  *    the probe form needs no equivalent.
+  *  - build.sql:75 `DISTINCT` collapses the duplicate matches the three
+  *    LEFT JOINs can produce (several subdivided park pieces hitting
+  *    one centroid); the probe form produces exactly one row per
+  *    block_tracts row, so no distinct is needed — same output set.
+  *  - Flags are emitted as "0"/"1" strings: the reference's CSV_export
+  *    (run.sh:20) stringifies them, and Geography consumes the bundled
+  *    lookup_geo with string flags.
+  */
+object GeoLookup {
+
+  /** One polygon: rings (exterior first, holes after), each flat
+    * [x0,y0, x1,y1, ...], implicitly closed. */
+  type Polygon = Array[Array[Double]]
+
+  /** build.sql:47-53's county CASE over the first 5 geoid digits. */
+  val countyByFips: Seq[(String, String)] = Seq(
+    "36061" -> "New York",
+    "36005" -> "Bronx",
+    "36047" -> "Kings",
+    "36081" -> "Queens",
+    "36085" -> "Richmond")
+
+  private def countyCase(fips: Column): Column =
+    countyByFips.foldLeft(lit(null).cast("string")) { case (acc, (code, name)) =>
+      when(fips === code, name).otherwise(acc)
+    }
+
+  /** Zone-union assembly (build.sql:1-31): keep geometries whose
+    * fld_zone is not excluded, across any number of source tables
+    * (FIRM + PFIRM), and collect to the driver — the SQL `UNION` into a
+    * single-id table is exactly "this little set of polygons", which is
+    * the broadcast constant the probe wants. The collect is bounded by
+    * the reference geometry size (kilobytes), not data scale.
+    *
+    * Source frames carry `fld_zone string` (absent → no filter, e.g.
+    * the park table) and `geom array<array<double>>`.
+    */
+  def zoneUnion(excludeZones: Seq[String], sources: DataFrame*): Array[Polygon] = {
+    val kept = sources.map { df =>
+      val filtered =
+        if (df.columns.contains("fld_zone") && excludeZones.nonEmpty)
+          df.filter(!col("fld_zone").isin(excludeZones: _*))
+        else df
+      filtered.select(col("geom"))
+    }.reduce(_ unionByName _)
+    kept.collect().map(_.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray)
+  }
+
+  /** build.sql:34-62's block_tracts: blocks RIGHT JOIN tracts on
+    * borocode||ct2020 = boroct2020, plus the derived tract/block-group/
+    * county columns and the block centroid.
+    *
+    * A plain right-outer join can't broadcast the small preserved side,
+    * so it is decomposed into the plan you'd want at scale: blocks
+    * INNER JOIN broadcast(tracts) (hash join, no shuffle of blocks)
+    * unioned with the handful of block-less tracts (found by anti-join
+    * against the distinct block join keys — one shuffle of a single
+    * short column). Same rows as the reference's RIGHT JOIN.
+    */
+  def blockTracts(blocks: DataFrame, tracts: DataFrame): DataFrame = {
+    val withCentroid =
+      if (blocks.columns.contains("cx")) blocks
+      else blocks
+        .withColumn("cx", GeoOps.centroidX(col("geom")))
+        .withColumn("cy", GeoOps.centroidY(col("geom")))
+        .drop("geom")
+    val keyed = withCentroid.withColumn("boroct_key", concat(col("borocode"), col("ct2020")))
+
+    val matched = keyed.join(broadcast(tracts), col("boroct_key") === col("boroct2020"), "inner")
+
+    val blockCols = Seq("geoid", "bctcb2020", "ct2020", "borocode", "boroname", "cx", "cy")
+    val unmatchedTracts = tracts.join(
+      keyed.select(col("boroct_key")).distinct(),
+      col("boroct2020") === col("boroct_key"), "left_anti")
+    val completed = blockCols.foldLeft(unmatchedTracts) { (df, c) =>
+      df.withColumn(c, lit(null).cast(if (c == "cx" || c == "cy") "double" else "string"))
+    }
+
+    matched.drop("boroct_key")
+      .unionByName(completed, allowMissingColumns = true)
+      .drop("boroct_key", "boroct2020")
+      .select(
+        col("geoid"),
+        col("bctcb2020"),
+        expr("right(bctcb2020, 10)").as("ctcb2020"),
+        substring(col("bctcb2020"), 2, 7).as("ctcbg2020"),
+        col("ct2020"),
+        col("nta2020"), col("ntaname"),
+        col("cdta2020"), col("cdtaname"),
+        col("borocode"), col("boroname"),
+        countyCase(substring(col("geoid"), 1, 5)).as("county"),
+        substring(col("geoid"), 1, 5).as("county_fips"),
+        col("cx"), col("cy"))
+  }
+
+  /** The reference's inverted intersects flag (build.sql:77-80):
+    * "1" when the centroid does NOT fall in the zone — including the
+    * NULL-centroid rows of block-less tracts, whose LEFT JOIN never
+    * matches so `id IS NULL` holds. */
+  private def zoneFlag(zone: Array[Polygon]): Column =
+    when(GeoOps.pointInRings(col("cx"), col("cy"), zone), "0").otherwise("1")
+
+  /** build.sql:74-90's final geolookup: block_tracts + the three zone
+    * flags, centroid dropped. */
+  def buildFromBlockTracts(bt: DataFrame, flood100: Array[Polygon],
+                           flood500: Array[Polygon], park: Array[Polygon]): DataFrame =
+    bt.withColumn("fp_100", zoneFlag(flood100))
+      .withColumn("fp_500", zoneFlag(flood500))
+      .withColumn("park_access", zoneFlag(park))
+      .drop("cx", "cy")
+
+  /** Whole pipeline: raw blocks/tracts/zones → lookup_geo. */
+  def build(blocks: DataFrame, tracts: DataFrame, flood100: Array[Polygon],
+            flood500: Array[Polygon], park: Array[Polygon]): DataFrame =
+    buildFromBlockTracts(blockTracts(blocks, tracts), flood100, flood500, park)
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.GeoLookup
+import graft.operators.GeoLookup.Polygon
+import graft.sources.Tables
+
+/** Oracle-checked exercise of the geolookup BUILDER (reference
+  * geolookup/2020/build.sql — see operators/GeoLookup.scala).
+  *
+  * The testdata star schema carries no geometry, so the fixture is
+  * derived deterministically from customer keys: `bk = c_custkey % 280`
+  * enumerates a synthetic city of blocks (borocode = bk%5+1, tract =
+  * bk%40, block = bk%7 — CRT-bijective over 0..279) with centroids on a
+  * rational grid in [-5,5)². Three zone geometries — a concave
+  * pentagon + detached triangle (flood 100y), a larger superset pair
+  * (flood 500y), and a square with a square HOLE (park access) — are
+  * compiled into [[graft.functions.PointInRings]] probes on the Spark
+  * side and replayed edge-by-edge in the oracle as a VALUES CTE with
+  * the identical IEEE ray-cast arithmetic
+  * (`(x1-x0)*(cy-y0)/(y1-y0)+x0`), so crossing decisions are
+  * bit-deterministic across engines. Two block-less tracts pin the
+  * reference's RIGHT JOIN completion and the NULL-centroid flag
+  * behavior (`id IS NULL` → "1").
+  */
+object GeoBuild {
+
+  // ---- zone geometries (shared by the Spark probe and the oracle) ----
+
+  /** Concave pentagon — exercises non-convex ray casting. */
+  private val pentagon100: Polygon =
+    Array(Array(-4.2, -3.1, 1.7, -4.4, 0.3, -0.6, 3.9, 1.8, -2.8, 2.9))
+
+  /** Detached triangle shared by both flood zones (multi-polygon union). */
+  private val triangle: Polygon =
+    Array(Array(2.6, -2.2, 4.7, -3.8, 4.4, 0.9))
+
+  /** Larger concave pentagon — the 500-year superset. */
+  private val pentagon500: Polygon =
+    Array(Array(-4.8, -4.6, 3.2, -4.9, 1.1, -0.2, 4.6, 2.4, -3.9, 4.1))
+
+  /** Square with a square hole — exercises interior-ring (even-odd)
+    * semantics and horizontal edges. */
+  private val parkHoled: Polygon = Array(
+    Array(-1.5, -1.5, 1.5, -1.5, 1.5, 1.5, -1.5, 1.5),
+    Array(-0.5, -0.5, 0.5, -0.5, 0.5, 0.5, -0.5, 0.5))
+
+  val flood100: Array[Polygon] = Array(pentagon100, triangle)
+  val flood500: Array[Polygon] = Array(pentagon500, triangle)
+  val park: Array[Polygon] = Array(parkHoled)
+
+  // ---- synthetic city fixture ----
+
+  private val fipsByBoro = Seq(
+    "1" -> "36061", "2" -> "36005", "3" -> "36047", "4" -> "36081", "5" -> "36085")
+  private val boronameByBoro = Seq(
+    "1" -> "Manhattan", "2" -> "Bronx", "3" -> "Brooklyn", "4" -> "Queens", "5" -> "Staten Island")
+
+  private def caseOver(c: Column, m: Seq[(String, String)]): Column =
+    m.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(c === k, v).otherwise(acc)
+    }
+
+  /** blocks0: bk plus the string/centroid building blocks, identically
+    * derived in [[qGeoLookupBuildSql]]'s blocks0 CTE. */
+  private def blocks0(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select((col("c_custkey") % 280).as("bk")).distinct()
+      .select(
+        col("bk"),
+        (col("bk") % 5 + 1).cast("string").as("borocode"),
+        lpad(((col("bk") % 40) * 100 + 100).cast("string"), 6, "0").as("tract6"),
+        lpad(((col("bk") % 7) * 1000 + 1000).cast("string"), 4, "0").as("block4"),
+        (((col("bk") * 13) % 97).cast("double") / lit(97.0) * lit(10.0) - lit(5.0)).as("cx"),
+        (((col("bk") * 37) % 89).cast("double") / lit(89.0) * lit(10.0) - lit(5.0)).as("cy"))
+
+  def qGeoLookupBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b0 = blocks0(spark, dir)
+    val blocks = b0.select(
+      concat(caseOver(col("borocode"), fipsByBoro), col("tract6"), col("block4")).as("geoid"),
+      concat(col("borocode"), col("tract6"), col("block4")).as("bctcb2020"),
+      col("tract6").as("ct2020"),
+      col("borocode"),
+      caseOver(col("borocode"), boronameByBoro).as("boroname"),
+      col("cx"), col("cy"))
+    val tractKeys = b0.select(concat(col("borocode"), col("tract6")).as("boroct2020"))
+      .distinct()
+      .unionByName(Seq("1999900", "2999800").toDF("boroct2020"))
+    val tracts = tractKeys.select(
+      col("boroct2020"),
+      concat(lit("NT"), col("boroct2020")).as("nta2020"),
+      concat(lit("NTA "), col("boroct2020")).as("ntaname"),
+      concat(lit("CD"), substring(col("boroct2020"), 1, 1)).as("cdta2020"),
+      concat(lit("CDTA "), substring(col("boroct2020"), 1, 1)).as("cdtaname"))
+    GeoLookup.build(blocks, tracts, flood100, flood500, park)
+  }
+
+  // ---- oracle ----
+
+  /** Each polygon edge as a VALUES row (x0,y0 = vertex i, x1,y1 = the
+    * preceding vertex) — the exact operand order of the Spark probe's
+    * ray cast, so both engines run the same IEEE expression. */
+  private def edgeValues(zones: Seq[(String, Array[Polygon])]): String = {
+    val rows = for {
+      (zname, polys) <- zones
+      (poly, p) <- polys.zipWithIndex.toSeq
+      ring <- poly.toSeq
+      n = ring.length / 2
+      i <- 0 until n
+    } yield {
+      val j = (i + n - 1) % n
+      s"('$zname', $p, CAST(${ring(2 * i)} AS DOUBLE), CAST(${ring(2 * i + 1)} AS DOUBLE), " +
+        s"CAST(${ring(2 * j)} AS DOUBLE), CAST(${ring(2 * j + 1)} AS DOUBLE))"
+    }
+    rows.mkString(",\n    ")
+  }
+
+  private def sqlCase(colExpr: String, m: Seq[(String, String)]): String =
+    s"CASE $colExpr " + m.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
+
+  val qGeoLookupBuildSql: String = {
+    val edges = edgeValues(Seq("f100" -> flood100, "f500" -> flood500, "park" -> park))
+    s"""WITH bks AS (SELECT DISTINCT c_custkey % 280 AS bk FROM customer),
+       |blocks0 AS (
+       |  SELECT bk,
+       |    CAST(bk % 5 + 1 AS VARCHAR) AS borocode,
+       |    LPAD(CAST((bk % 40) * 100 + 100 AS VARCHAR), 6, '0') AS tract6,
+       |    LPAD(CAST((bk % 7) * 1000 + 1000 AS VARCHAR), 4, '0') AS block4,
+       |    CAST((bk * 13) % 97 AS DOUBLE) / CAST(97 AS DOUBLE) * CAST(10 AS DOUBLE) - CAST(5 AS DOUBLE) AS cx,
+       |    CAST((bk * 37) % 89 AS DOUBLE) / CAST(89 AS DOUBLE) * CAST(10 AS DOUBLE) - CAST(5 AS DOUBLE) AS cy
+       |  FROM bks),
+       |blocks AS (
+       |  SELECT bk,
+       |    ${sqlCase("borocode", fipsByBoro)} || tract6 || block4 AS geoid,
+       |    borocode || tract6 || block4 AS bctcb2020,
+       |    tract6 AS ct2020,
+       |    borocode,
+       |    ${sqlCase("borocode", boronameByBoro)} AS boroname,
+       |    cx, cy
+       |  FROM blocks0),
+       |tracts AS (
+       |  SELECT boroct2020,
+       |    'NT' || boroct2020 AS nta2020,
+       |    'NTA ' || boroct2020 AS ntaname,
+       |    'CD' || SUBSTRING(boroct2020, 1, 1) AS cdta2020,
+       |    'CDTA ' || SUBSTRING(boroct2020, 1, 1) AS cdtaname
+       |  FROM (SELECT DISTINCT borocode || tract6 AS boroct2020 FROM blocks0
+       |        UNION SELECT '1999900' UNION SELECT '2999800')),
+       |edges(zone, poly, x0, y0, x1, y1) AS (VALUES
+       |    $edges),
+       |hits AS (
+       |  SELECT b.bk, e.zone, e.poly,
+       |         SUM(CASE WHEN (e.y0 > b.cy) <> (e.y1 > b.cy)
+       |                   AND b.cx < (e.x1 - e.x0) * (b.cy - e.y0) / (e.y1 - e.y0) + e.x0
+       |             THEN 1 ELSE 0 END) AS crossings
+       |  FROM blocks b CROSS JOIN edges e
+       |  GROUP BY b.bk, e.zone, e.poly),
+       |inz AS (SELECT bk, zone, MAX(crossings % 2) AS inside FROM hits GROUP BY bk, zone),
+       |flags AS (
+       |  SELECT bk,
+       |    MAX(CASE WHEN zone = 'f100' THEN inside ELSE 0 END) AS in100,
+       |    MAX(CASE WHEN zone = 'f500' THEN inside ELSE 0 END) AS in500,
+       |    MAX(CASE WHEN zone = 'park' THEN inside ELSE 0 END) AS inpark
+       |  FROM inz GROUP BY bk)
+       |SELECT b.geoid, b.bctcb2020,
+       |  RIGHT(b.bctcb2020, 10) AS ctcb2020,
+       |  SUBSTRING(b.bctcb2020, 2, 7) AS ctcbg2020,
+       |  b.ct2020,
+       |  t.nta2020, t.ntaname, t.cdta2020, t.cdtaname,
+       |  b.borocode, b.boroname,
+       |  ${sqlCase("SUBSTRING(b.geoid, 1, 5)", GeoLookup.countyByFips)} AS county,
+       |  SUBSTRING(b.geoid, 1, 5) AS county_fips,
+       |  CASE WHEN f.in100 = 1 THEN '0' ELSE '1' END AS fp_100,
+       |  CASE WHEN f.in500 = 1 THEN '0' ELSE '1' END AS fp_500,
+       |  CASE WHEN f.inpark = 1 THEN '0' ELSE '1' END AS park_access
+       |FROM blocks b
+       |  RIGHT JOIN tracts t ON b.borocode || b.ct2020 = t.boroct2020
+       |  LEFT JOIN flags f ON b.bk = f.bk""".stripMargin
+  }
+}

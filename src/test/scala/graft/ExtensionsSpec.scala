@@ -1,28 +1,18 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
-
 /** The SQL-function registration surface: graft expressions must be
-  * callable from spark.sql on a session built with GraftExtensions. */
-class ExtensionsSpec extends AnyFunSuite {
+  * callable from spark.sql on a session built with GraftExtensions —
+  * the shared test session is (TestSpark), mirroring a production
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
+class ExtensionsSpec extends SparkSpec {
 
   test("float_cosine and word_shingles register as SQL functions") {
-    val spark = SparkSession.builder()
-      .master("local[2]").appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      spark.sparkContext.setLogLevel("WARN")
-      val cos = spark.sql(
-        "SELECT float_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
-          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect()(0).getDouble(0)
-      assert(math.abs(cos - 1.0) < 1e-12)
-      val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
-        .collect()(0).getSeq[String](0)
-      assert(sh === Seq("a b c", "b c d"))
-    } finally spark.stop()
+    val cos = spark.sql(
+      "SELECT float_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
   }
 }

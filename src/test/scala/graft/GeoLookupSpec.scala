@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GeoOps
+import graft.operators.GeoLookup
+import graft.operators.GeoLookup.Polygon
+import graft.queries.GeoBuild
+
+/** The geolookup builder (reference geolookup/2020/build.sql) — ray-cast
+  * containment, shoelace centroids, the block_tracts right join, and
+  * build.sql:77-80's inverted `IS NULL::int` flag convention. */
+class GeoLookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val square: Polygon = Array(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0))
+  private val holed: Polygon = Array(
+    Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0),
+    Array(1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0))
+  private val concave: Polygon = // "U" shape opening upward
+    Array(Array(0.0, 0.0, 6.0, 0.0, 6.0, 5.0, 4.0, 5.0, 4.0, 2.0, 2.0, 2.0, 2.0, 5.0, 0.0, 5.0))
+
+  private def probe(px: Double, py: Double, polys: Array[Polygon]): Boolean =
+    Seq((px, py)).toDF("x", "y")
+      .select(GeoOps.pointInRings(col("x"), col("y"), polys).as("in"))
+      .head().getBoolean(0)
+
+  test("pointInRings: convex, concave, hole, multi-polygon") {
+    assert(probe(2.0, 2.0, Array(square)))
+    assert(!probe(5.0, 2.0, Array(square)))
+    assert(!probe(2.0, -0.5, Array(square)))
+    // hole subtracts: center is out, ring area is in
+    assert(!probe(2.0, 2.0, Array(holed)))
+    assert(probe(0.5, 2.0, Array(holed)))
+    assert(probe(3.5, 0.5, Array(holed)))
+    // concavity: the notch of the U is outside
+    assert(probe(1.0, 4.0, Array(concave)))
+    assert(probe(5.0, 4.0, Array(concave)))
+    assert(!probe(3.0, 4.0, Array(concave)))
+    assert(probe(3.0, 1.0, Array(concave)))
+    // union over polygons: either containing polygon wins
+    assert(probe(2.0, 2.0, Array(square, concave)))
+    assert(probe(3.0, 4.0, Array(holed, concave)) === false)
+    assert(probe(5.0, 4.0, Array(square, concave)))
+  }
+
+  test("pointInRings: null input yields null, codegen and eval agree") {
+    val rows = Seq[(java.lang.Double, java.lang.Double)](
+      (2.0, 2.0), (null, 2.0), (5.0, 2.0)).toDF("x", "y")
+      .select(GeoOps.pointInRings(col("x"), col("y"), Array(square)).as("in"))
+      .collect()
+    assert(rows(0).getBoolean(0) === true)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getBoolean(0) === false)
+
+    // interpreted path (filter on a local relation folds constants) must
+    // match the codegen projection above
+    val pts = for (ix <- 0 to 11; iy <- 0 to 10)
+      yield (-1.0 + ix * 0.7, -1.0 + iy * 0.7)
+    val viaDf = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        GeoOps.pointInRings(col("x"), col("y"), Array(concave, holed)).as("in"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    pts.foreach { case (x, y) =>
+      val expected = probeScala(x, y, Array(concave, holed))
+      assert(viaDf((x, y)) === expected, s"($x,$y)")
+    }
+  }
+
+  /** Independent Scala pnpoly (the textbook form) for cross-checking. */
+  private def probeScala(px: Double, py: Double, polys: Array[Polygon]): Boolean =
+    polys.exists { rings =>
+      var inside = false
+      rings.foreach { c =>
+        val n = c.length / 2
+        var i = 0; var j = n - 1
+        while (i < n) {
+          val (xi, yi) = (c(2 * i), c(2 * i + 1))
+          val (xj, yj) = (c(2 * j), c(2 * j + 1))
+          if (((yi > py) != (yj > py)) &&
+              px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+          j = i; i += 1
+        }
+      }
+      inside
+    }
+
+  test("polygonCentroid: squares, holes, degenerate fallback") {
+    def centroid(geom: Polygon): (Double, Double) = {
+      val row = Seq(Tuple1(geom.map(_.toSeq).toSeq)).toDF("geom")
+        .select(GeoOps.centroidX(col("geom")).as("cx"), GeoOps.centroidY(col("geom")).as("cy"))
+        .head()
+      (row.getDouble(0), row.getDouble(1))
+    }
+    assert(centroid(square) === ((2.0, 2.0)))
+    // symmetric hole leaves the centroid at the center
+    assert(centroid(holed) === ((2.0, 2.0)))
+    // off-center square
+    assert(centroid(Array(Array(1.0, 1.0, 3.0, 1.0, 3.0, 5.0, 1.0, 5.0))) === ((2.0, 3.0)))
+    // triangle centroid = vertex mean
+    val (tx, ty) = centroid(Array(Array(0.0, 0.0, 3.0, 0.0, 0.0, 3.0)))
+    assert(math.abs(tx - 1.0) < 1e-12 && math.abs(ty - 1.0) < 1e-12)
+    // zero-area degenerate: vertex-average fallback
+    assert(centroid(Array(Array(1.0, 2.0, 3.0, 2.0))) === ((2.0, 2.0)))
+    // empty geometry -> null
+    val empty = Seq(Tuple1(Seq.empty[Seq[Double]])).toDF("geom")
+      .select(GeoOps.centroidX(col("geom")).as("cx")).head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("blockTracts: right-join completion, derived columns, county case") {
+    val blocks = Seq(
+      ("360610001001000", "10001001000", "000100", "1", "Manhattan", 2.0, 2.0),
+      ("360050002002000", "20002002000", "000200", "2", "Bronx", 9.0, 9.0)
+    ).toDF("geoid", "bctcb2020", "ct2020", "borocode", "boroname", "cx", "cy")
+    val tracts = Seq(
+      ("1000100", "NT1", "NTA One", "CD1", "CDTA One"),
+      ("2000200", "NT2", "NTA Two", "CD2", "CDTA Two"),
+      ("3000300", "NT3", "NTA Three", "CD3", "CDTA Three") // no blocks
+    ).toDF("boroct2020", "nta2020", "ntaname", "cdta2020", "cdtaname")
+
+    val bt = GeoLookup.blockTracts(blocks, tracts)
+    assert(bt.count() === 3)
+    val m = bt.filter(col("geoid") === "360610001001000").head()
+    assert(m.getAs[String]("ctcb2020") === "0001001000")   // RIGHT(bctcb2020, 10)
+    assert(m.getAs[String]("ctcbg2020") === "0001001")     // SUBSTRING(bctcb2020, 2, 7)
+    assert(m.getAs[String]("county") === "New York")
+    assert(m.getAs[String]("county_fips") === "36061")
+    assert(m.getAs[String]("nta2020") === "NT1")
+    val unmatched = bt.filter(col("nta2020") === "NT3").head()
+    assert(unmatched.isNullAt(unmatched.fieldIndex("geoid")))
+    assert(unmatched.isNullAt(unmatched.fieldIndex("county")))
+    assert(unmatched.isNullAt(unmatched.fieldIndex("cx")))
+  }
+
+  test("build: the reference's inverted IS-NULL flag convention") {
+    val blocks = Seq(
+      ("360610001001000", "10001001000", "000100", "1", "Manhattan", 2.0, 2.0),  // inside square
+      ("360050002002000", "20002002000", "000200", "2", "Bronx", 9.0, 9.0)       // outside
+    ).toDF("geoid", "bctcb2020", "ct2020", "borocode", "boroname", "cx", "cy")
+    val tracts = Seq(
+      ("1000100", "NT1", "NTA One", "CD1", "CDTA One"),
+      ("2000200", "NT2", "NTA Two", "CD2", "CDTA Two"),
+      ("3000300", "NT3", "NTA Three", "CD3", "CDTA Three")
+    ).toDF("boroct2020", "nta2020", "ntaname", "cdta2020", "cdtaname")
+
+    val out = GeoLookup.build(blocks, tracts, Array(square), Array(square), Array(holed))
+    // inside the zone -> intersects -> id NOT null -> flag "0" (build.sql:77-80)
+    val in = out.filter(col("geoid") === "360610001001000").head()
+    assert(in.getAs[String]("fp_100") === "0")
+    assert(in.getAs[String]("fp_500") === "0")
+    assert(in.getAs[String]("park_access") === "1") // (2,2) is in the hole
+    val outRow = out.filter(col("geoid") === "360050002002000").head()
+    assert(outRow.getAs[String]("fp_100") === "1")
+    // block-less tract: NULL centroid never matches the LEFT JOIN -> "1"
+    val ghost = out.filter(col("nta2020") === "NT3").head()
+    assert(ghost.getAs[String]("fp_100") === "1")
+    assert(ghost.getAs[String]("park_access") === "1")
+    assert(!out.columns.contains("cx") && !out.columns.contains("cy"))
+  }
+
+  test("zoneUnion: fld_zone exclusion across FIRM + PFIRM sources") {
+    def geomDf(tag: Double, zones: Seq[String]) = zones.map { z =>
+      (z, Seq(Seq(tag, tag, tag + 1, tag, tag + 1, tag + 1)))
+    }.toDF("fld_zone", "geom")
+    val firm = geomDf(10.0, Seq("AE", "X"))
+    val pfirm = geomDf(20.0, Seq("VE", "0.2 PCT ANNUAL CHANCE FLOOD HAZARD"))
+    // flood_500 drops only X (build.sql:3-13)
+    assert(GeoLookup.zoneUnion(Seq("X"), firm, pfirm).length === 3)
+    // flood_100 drops X and the 0.2PCT band (build.sql:16-27)
+    val f100 = GeoLookup.zoneUnion(Seq("X", "0.2 PCT ANNUAL CHANCE FLOOD HAZARD"), firm, pfirm)
+    assert(f100.length === 2)
+    assert(f100.forall(_.head.length === 6))
+    // a no-fld_zone source (parks) passes through unfiltered
+    val park = Seq(Tuple1(Seq(Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0)))).toDF("geom")
+    assert(GeoLookup.zoneUnion(Nil, park).length === 1)
+  }
+
+  test("q_geo_lookup_build: fixture shape and flag sanity at sf0.001") {
+    val out = GeoBuild.qGeoLookupBuild(spark, "/root/testdata/sf0.001").cache()
+    val n = out.count()
+    assert(n > 100) // 150 customers -> >=150 blocks + 2 ghost tracts... blocks dedup to <=150
+    // the two block-less tracts ride the right join with all-"1" flags
+    val ghosts = out.filter(col("geoid").isNull)
+    assert(ghosts.count() === 2)
+    assert(ghosts.collect().forall(r => r.getAs[String]("fp_100") == "1"))
+    // both flag values occur (the zones are sized to split the grid)
+    assert(out.filter(col("fp_100") === "0").count() > 0)
+    assert(out.filter(col("fp_100") === "1").count() > 0)
+    assert(out.filter(col("park_access") === "0").count() > 0)
+    // schema is the full lookup_geo surface Geography consumes
+    val expected = Seq("geoid", "bctcb2020", "ctcb2020", "ctcbg2020", "ct2020",
+      "nta2020", "ntaname", "cdta2020", "cdtaname", "borocode", "boroname",
+      "county", "county_fips", "fp_100", "fp_500", "park_access")
+    assert(out.columns.toSeq === expected)
+    out.unpersist()
+  }
+}

@@ -3,7 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for all suites (one JVM-wide instance). */
+/** Shared local session for all suites (one JVM-wide instance).
+  *
+  * Built WITH GraftExtensions — suites run in parallel in one JVM, so
+  * no suite may build a differently-configured session via getOrCreate
+  * (it would silently receive this one) or stop() it (it would NPE
+  * every other running suite). ExtensionsSpec asserts the registration
+  * against this session.
+  */
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -12,6 +19,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
