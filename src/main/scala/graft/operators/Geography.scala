@@ -167,12 +167,42 @@ object Geography {
     * The SINGLE parse both [[referenceRatio]] and the generated oracle
     * SQL (CensusQueries.qGeoNtaSql) build from — one source of truth,
     * so the two engines cannot diverge on CSV edge semantics. */
+  /** RFC-4180 field split: quoted fields may contain commas and ""
+    * escapes. The bundled file today has neither, but a regenerated
+    * vintage with different quoting must parse, not trip the length
+    * require with a misleading message. */
+  private[graft] def splitCsvLine(line: String): Seq[String] = {
+    val fields = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQuotes) {
+        if (ch == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += ch
+      } else ch match {
+        case '"' => inQuotes = true
+        case ',' => fields += cur.result(); cur.clear()
+        case c   => cur += c
+      }
+      i += 1
+    }
+    require(!inQuotes, s"unterminated quote in CSV row: $line")
+    fields += cur.result()
+    fields.result()
+  }
+
   def referenceRatioRows: Seq[(String, String, String)] = {
     val in = getClass.getResourceAsStream("/graft/data/lookup_geo/2010_to_2020/ratio.csv")
     require(in != null, "bundled ratio.csv missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().drop(1).map { line =>
-      val c = line.split(",").map(_.stripPrefix("\"").stripSuffix("\""))
+      val c = splitCsvLine(line)
+      // the requires stay as the safety net: the apostrophe check guards
+      // the VALUES-CTE embedding (qGeoNtaSql), the lengths the geoid pad
       require(c.length == 3 && c(0).length <= 8 && c(1).length <= 8 &&
         c.forall(f => !f.contains("'")), s"bad ratio.csv row: $line")
       def pad(s: String) = "360" + ("0" * (8 - s.length)) + s

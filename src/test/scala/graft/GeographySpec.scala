@@ -229,4 +229,16 @@ class GeographySpec extends SparkSpec {
       ("4103", "PUMA2010"), ("1000100", "CT2010"), ("3", "Boro2010"),
       ("0", "City2010"), ("MN01", "NTA2010")))
   }
+
+  test("splitCsvLine: RFC-4180 quoting — embedded commas and escaped quotes") {
+    import graft.operators.Geography
+    assert(Geography.splitCsvLine("a,b,c") === Seq("a", "b", "c"))
+    assert(Geography.splitCsvLine("\"a,1\",b,\"c\"") === Seq("a,1", "b", "c"))
+    assert(Geography.splitCsvLine("\"say \"\"hi\"\"\",2") === Seq("say \"hi\"", "2"))
+    assert(Geography.splitCsvLine("a,,c") === Seq("a", "", "c"))
+    assert(Geography.splitCsvLine("") === Seq(""))
+    intercept[IllegalArgumentException](Geography.splitCsvLine("\"unterminated,x"))
+    // the bundled file still parses to exactly 2416 validated rows
+    assert(Geography.referenceRatioRows.length === 2416)
+  }
 }

@@ -146,6 +146,35 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("packSequences: shards is a pure parallelism knob (8 vs 64 parity, partition-invariant)") {
+    import spark.implicits._
+    // the contract users lean on when raising `shards` at scale: for ANY
+    // shard count N, a doc's assignment is exactly the doc_id-ordered
+    // fixed-budget cumsum WITHIN its md5 shard (h60 % N) — no hidden
+    // cross-shard coupling — and the result ignores input partitioning
+    val d = (1L to 120L).map(i => (i, Seq.fill((i % 11 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (n <- Seq(8, 64)) {
+      val out = TextAnalysis.packSequences(d, budget = 17, shards = n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(out.map(_._2).distinct.forall(s => s >= 0 && s < n))
+      // recompute every assignment independently from (shard, doc_id, n_tokens)
+      out.groupBy(_._2).foreach { case (shard, docs) =>
+        var cum = 0L
+        docs.sortBy(_._1).foreach { case (id, _, nt, packId, off) =>
+          assert(packId === cum / 17, s"shards=$n shard=$shard doc=$id pack")
+          assert(off === cum % 17, s"shards=$n shard=$shard doc=$id offset")
+          cum += nt
+        }
+      }
+      // repartitioned/reordered input -> identical assignments
+      val shuffled = TextAnalysis.packSequences(
+        d.repartition(7).sortWithinPartitions(col("text")), budget = 17, shards = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      assert(shuffled === out.map(t => (t._1, t._2, t._4, t._5)).toSet)
+    }
+  }
+
   test("minhash jaccard estimates track exact ngram jaccard") {
     // pairs surfaced by LSH must report the TRUE jaccard (they are
     // verified with array_intersect) - check against the exact operator
