@@ -65,6 +65,7 @@ object SparkEntry {
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
     "q_ann_ivf" -> (L.qAnnIvf _),
+    "q_kmeans_assign" -> (L.qKmeansAssign _),
     "q_text_repetition" -> (L.qTextRepetition _),
     "q_dedup_embed" -> (L.qDedupEmbed _),
     "q_lang_id" -> (L.qLangId _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,
     "q_ann_ivf" -> L.qAnnIvfSql,
+    "q_kmeans_assign" -> L.qKmeansAssignSql,
     "q_text_repetition" -> L.qTextRepetitionSql,
     "q_dedup_embed" -> L.qDedupEmbedSql,
     "q_lang_id" -> L.qLangIdSql,

@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Elementwise sum of a float-array column as ONE custom aggregate —
+  * the shuffle-frugal inner loop of distributed centroid updates
+  * (Lloyd's k-means in operators/Similarity.kmeansIterate).
+  *
+  * The composed alternative (posexplode → groupBy(bucket, pos) → avg →
+  * re-collect_list) shuffles dim×N scalar rows; this aggregate keeps a
+  * single double[dim] buffer per group with map-side partial
+  * aggregation (merge = vector add), so the exchange carries k×
+  * partitions buffers regardless of N. Accumulation is
+  * promote-to-double in index order — the same multiset of additions
+  * the DuckDB oracle's avg() consumes, so 6-digit-rounded means agree
+  * cross-engine (the established roundp tolerance for double sums).
+  *
+  * The buffer sizes itself to the first non-null input; shorter inputs
+  * add their prefix, longer inputs grow the buffer (embedding columns
+  * are fixed-width in practice). NULL rows are skipped; a group with no
+  * non-null input yields an empty array.
+  */
+case class FloatVecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "float_vec_sum"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  private def addInto(buffer: Array[Double], n: Int, get: Int => Double): Array[Double] = {
+    val out = if (n > buffer.length) java.util.Arrays.copyOf(buffer, n) else buffer
+    var i = 0
+    while (i < n) { out(i) += get(i); i += 1 }
+    out
+  }
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      addInto(buffer, arr.numElements(), i => arr.getFloat(i).toDouble)
+    }
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] =
+    addInto(buffer, other.length, other(_))
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buffer.length)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FloatVecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FloatVecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object FloatVecSumAgg {
+  /** Column API: elementwise double sum of a float-array column. */
+  def of(vec: Column): Column =
+    GraftShim.column(FloatVecSumAgg(GraftShim.expression(vec))
+      .toAggregateExpression())
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Config
-import graft.functions.{Portable, VectorOps}
+import graft.functions.{FloatVecSumAgg, Portable, VectorOps}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -192,4 +192,65 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     embeddingNearDupPairs(withBucket, "__lsh_block", threshold)
   }
+
+  // ---- k-means codebook training (the IVF centroids' missing half) ----
+
+  /** Portable 6-digit rounding in driver-side Scala — the same
+    * floor(x*1e6+0.5)/1e6 both engines run (functions/Portable.roundp). */
+  private def roundp6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Deterministic k-means seeds: the embeddings of the k vectors with
+    * the smallest (h60("km:"||vec_id), vec_id) — an md5 "random" sample
+    * that every engine and every retry reproduces (the rand()-free
+    * sampling idiom used by sampleSplit). TakeOrdered on the hash, then
+    * a bounded k-row collect (the codebook-fetch contract, like the IVF
+    * centroid literals). */
+  def kmeansInit(vectors: DataFrame, k: Int): Seq[Array[Float]] =
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        Portable.h60(concat_ws(":", lit("km"), col("vec_id"))).as("__seed"))
+      .orderBy(col("__seed"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+
+  /** Lloyd's iterations: assign every vector to its argmax-cosine
+    * centroid ([[ivfAssign]] — k codegen scalar probes, no row
+    * inflation), then recompute each centroid as the elementwise mean
+    * of its bucket via [[FloatVecSumAgg]] — ONE map-side-combinable
+    * shuffle of k×partitions double[dim] buffers per iteration, never
+    * a dim×N explode. The k-row collect per iteration is the bounded
+    * codebook fetch; empty buckets keep their previous centroid.
+    *
+    * Means are 6-digit-rounded then cast to float before becoming the
+    * next round's literals: roundp absorbs cross-engine double-sum
+    * ordering, and float centroids are what the IVF probes consume —
+    * so the whole trajectory (and therefore the final assignment) is
+    * reproducible in the DuckDB oracle (qKmeansAssignSql replays it
+    * with avg()/unnest and the identical cast chain). */
+  def kmeansIterate(vectors: DataFrame, centroids: Seq[Array[Float]],
+                    iters: Int): Seq[Array[Float]] = {
+    var cents = centroids
+    for (_ <- 1 to iters) {
+      val sums = ivfAssign(vectors, "embedding", cents)
+        .groupBy(col("bucket"))
+        .agg(FloatVecSumAgg.of(col("embedding")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        sums.get(i) match {
+          case Some((s, n)) if n > 0 && s.nonEmpty =>
+            s.map(x => roundp6(x / n).toFloat).toArray
+          case _ => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** Whole trainer: deterministic seeds + `iters` Lloyd's rounds →
+    * the coarse codebook for [[ivfTopK]]/[[ivfTopKProbed]]. */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int): Seq[Array[Float]] =
+    kmeansIterate(vectors, kmeansInit(vectors, k), iters)
 }

@@ -356,6 +356,59 @@ object LlmQueries {
        |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, rank, cand_id, cos
        |FROM r WHERE rank <= $TopK""".stripMargin
 
+  // ---- #46 k-means codebook training + assignment ----
+
+  private val KmeansK = 4
+  private val KmeansIters = 2
+
+  /** Train the coarse IVF codebook with distributed Lloyd's k-means
+    * (deterministic md5 seeds, 2 iterations) and emit every vector's
+    * final bucket. The oracle replays the whole trajectory — seeds,
+    * per-iteration argmax assignment, rounded-mean float centroids —
+    * so the assignment must match exactly, not just statistically. */
+  def qKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+    val cents = Similarity.kmeansFit(v, k = KmeansK, iters = KmeansIters)
+    Similarity.ivfAssign(v, "embedding", cents)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+  }
+
+  /** One Lloyd's round in DuckDB: assign under cent$i, then rebuild
+    * cent${i+1} as the 6-digit-rounded float means (empty buckets keep
+    * the old centroid via the LEFT JOIN coalesce). */
+  private def kmeansAssignCte(i: Int): String =
+    s"""s$i AS (SELECT a.vec_id, a.e, c.cid,
+       |    floor((list_dot_product(a.e, c.ce) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.ce, c.ce))) * 1e6 + 0.5) / 1e6 AS ccos
+       |  FROM v a, cent$i c),
+       |a$i AS (SELECT vec_id, e, cid AS bucket,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM s$i)""".stripMargin
+
+  private def kmeansUpdateCte(i: Int): String =
+    s"""u$i AS (SELECT bucket, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+       |  FROM a$i WHERE rn = 1),
+       |m$i AS (SELECT bucket, pos, avg(val) AS mv FROM u$i GROUP BY bucket, pos),
+       |l$i AS (SELECT bucket,
+       |    list(CAST(CAST(floor(mv * 1e6 + 0.5) / 1e6 AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+       |  FROM m$i GROUP BY bucket),
+       |cent${i + 1} AS (SELECT c.cid, COALESCE(l.ce, c.ce) AS ce
+       |  FROM cent$i c LEFT JOIN l$i l ON c.cid = l.bucket)""".stripMargin
+
+  val qKmeansAssignSql: String = {
+    val seed = "('0x' || substr(md5('km' || ':' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    val rounds = (0 until KmeansIters)
+      .map(i => s"${kmeansAssignCte(i)},\n${kmeansUpdateCte(i)}").mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seed, vec_id) - 1 AS INTEGER) AS cid, e AS ce
+       |  FROM v
+       |  QUALIFY row_number() OVER (ORDER BY $seed, vec_id) <= $KmeansK),
+       |$rounds,
+       |${kmeansAssignCte(KmeansIters)}
+       |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket
+       |FROM a$KmeansIters WHERE rn = 1""".stripMargin
+  }
+
   // ---- #31b Gopher-style repetition metrics ----
 
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame =

@@ -146,6 +146,58 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("FloatVecSumAgg: elementwise sums survive map-side partials, skip nulls") {
+    import spark.implicits._
+    import graft.functions.FloatVecSumAgg
+    val rows: Seq[(Int, Seq[Float])] = Seq(
+      (1, Seq(1.0f, 2.0f, 3.0f)), (1, Seq(0.5f, 0.5f, 0.5f)), (1, null),
+      (2, Seq(10.0f, 20.0f, 30.0f)))
+    val out = rows.toDF("g", "v").repartition(5) // force partial-merge paths
+      .groupBy("g").agg(FloatVecSumAgg.of(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1) === Seq(1.5, 2.5, 3.5))
+    assert(out(2) === Seq(10.0, 20.0, 30.0))
+    // all-null group -> empty array, not a crash
+    val empty = Seq((9, null: Seq[Float])).toDF("g", "v")
+      .groupBy("g").agg(FloatVecSumAgg.of(col("v")).as("s"))
+      .collect().head.getSeq[Double](1)
+    assert(empty === Seq.empty)
+  }
+
+  test("kmeans: recovers separated blobs, deterministic, converged") {
+    import spark.implicits._
+    // two tight cosine-separated blobs around (1,0,0) and (0,1,0)
+    val vecs = ((0L until 30L).map(i =>
+        (i, Seq(1.0f, (i % 5) * 0.01f, 0.0f))) ++
+      (30L until 60L).map(i =>
+        (i, Seq((i % 5) * 0.01f, 1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(vecs, k = 2, iters = 3)
+    val buckets = Similarity.ivfAssign(vecs, "embedding", cents)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blobA = (0L until 30L).map(buckets).toSet
+    val blobB = (30L until 60L).map(buckets).toSet
+    assert(blobA.size === 1 && blobB.size === 1 && blobA != blobB)
+    // partition-invariance: same codebook from a reshuffled input
+    val cents2 = Similarity.kmeansFit(vecs.repartition(7), k = 2, iters = 3)
+    assert(cents.map(_.toSeq) === cents2.map(_.toSeq))
+    // converged: a further iteration does not move the rounded codebook
+    val cents3 = Similarity.kmeansIterate(vecs, cents, 1)
+    assert(cents3.map(_.toSeq) === cents.map(_.toSeq))
+  }
+
+  test("kmeans: an empty bucket keeps its previous centroid") {
+    import spark.implicits._
+    // both seeds identical -> every vector ties -> argmax tiebreak sends
+    // all to bucket 0 -> bucket 1 stays empty and must keep its seed
+    val vecs = (0L until 10L).map(i => (i, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val seed = Array(1.0f, 1.0f)
+    val out = Similarity.kmeansIterate(vecs, Seq(seed, seed), 1)
+    assert(out(1).toSeq === seed.toSeq)
+    // bucket 0 got everyone; its centroid is the rounded mean of (1,1)
+    assert(out(0).toSeq === Seq(1.0f, 1.0f))
+  }
+
   test("packSequences: shards is a pure parallelism knob (8 vs 64 parity, partition-invariant)") {
     import spark.implicits._
     // the contract users lean on when raising `shards` at scale: for ANY
