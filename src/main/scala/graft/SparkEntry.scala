@@ -60,6 +60,8 @@ object SparkEntry {
     "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
     "q_dedup_keep" -> (L.qDedupKeep _),
     "q_sample_split" -> (L.qSampleSplit _),
+    "q_stratified_sample" -> (L.qStratifiedSample _),
+    "q_stratum_topn" -> (L.qStratumTopn _),
     "q_decontaminate" -> (L.qDecontaminate _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
@@ -118,6 +120,8 @@ object SparkEntry {
     "q_dedup_clusters_star" -> L.qDedupClustersStarSql,
     "q_dedup_keep" -> L.qDedupKeepSql,
     "q_sample_split" -> L.qSampleSplitSql,
+    "q_stratified_sample" -> L.qStratifiedSampleSql,
+    "q_stratum_topn" -> L.qStratumTopnSql,
     "q_decontaminate" -> L.qDecontaminateSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Deterministic corpus sampling / data-mixing operators.
+  *
+  * Training-data pipelines re-weight corpus strata constantly (languages,
+  * sources, quality buckets); both shapes here are rand()-free — the md5
+  * split idiom (retry-safe, engine-portable, re-runnable) that
+  * sampleSplit introduced — so a sample is a pure function of
+  * (salt, id) and two runs, two engines, or a recovered stage always
+  * select the SAME rows.
+  */
+object Sampling {
+
+  /** Per-million threshold of a sampling fraction, computed ONCE on the
+    * driver so Spark and any generated SQL share the same literal long
+    * (no cross-engine float→int edge: DuckDB CAST rounds, Spark
+    * truncates — so neither engine casts here). */
+  def perMillion(fraction: Double): Long = math.floor(fraction * 1e6).toLong
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff
+    * h60(salt:id) mod 1e6 falls under its stratum's per-million
+    * threshold. The thresholds ride a broadcast join (stratum
+    * cardinality is tiny); the filter itself is a narrow projection —
+    * NO shuffle of the corpus, which is what makes this the 100 TB
+    * shape (a window-rank "exact count" sampler would drag every row
+    * of a stratum onto one partition). Strata absent from `fractions`
+    * are dropped (rate 0). Proportions are binomial around the target
+    * fraction; for exact-n cuts use [[takePerStratum]].
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Seq[(String, Double)],
+                       salt: String = "strat"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = fractions.map { case (s, f) => (s, perMillion(f)) }
+      .toDF(stratumCol, "__thr")
+    df.join(broadcast(thresholds), Seq(stratumCol))
+      .where(Portable.h60(concat_ws(":", lit(salt), col(idCol))) % 1000000L < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Exact-n cut per stratum, in deterministic md5 order (h60 asc, id
+    * asc tiebreak) — the "take the best/first n of each bucket" shape.
+    *
+    * SCALE CONTRACT: the window partitions by stratum, so one stratum's
+    * rows meet on one partition — use when strata are bounded (a
+    * language/source taxonomy, not a power-law key). For proportional
+    * cuts of unbounded strata use [[stratifiedSample]].
+    */
+  def takePerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                     n: Int, salt: String = "strat"): DataFrame = {
+    val h = Portable.h60(concat_ws(":", lit(salt), col(idCol)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= n)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
@@ -240,6 +240,46 @@ object LlmQueries {
       |  CASE WHEN (('0x' || substr(md5('split' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 90
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents""".stripMargin
+
+  // ---- #47/#48 stratified data mixing ----
+
+  /** The per-language mixing rates of the stratified-sample query — the
+    * oracle VALUES rows and the Spark broadcast thresholds both derive
+    * from this one Seq. One language of the corpus is deliberately
+    * absent (rate 0 → dropped). */
+  private val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1)
+
+  /** Down/up-weight corpus languages with the deterministic per-stratum
+    * Bernoulli sampler — a broadcast threshold join + narrow md5
+    * filter, no corpus shuffle. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables(spark, dir).documents, "doc_id", "lang", MixRates)
+      .select(col("doc_id"), col("lang"))
+
+  val qStratifiedSampleSql: String = {
+    val rows = MixRates
+      .map { case (s, f) => s"('$s', ${Sampling.perMillion(f)})" }.mkString(", ")
+    s"""WITH f(lang, thr) AS (VALUES $rows)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN f ON d.lang = f.lang
+       |WHERE (('0x' || substr(md5('strat' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < f.thr""".stripMargin
+  }
+
+  /** Exact-n cut per source in deterministic md5 order — the bounded-
+    * strata "first n of each bucket" shape. */
+  def qStratumTopn(spark: SparkSession, dir: String): DataFrame =
+    Sampling.takePerStratum(
+        Tables(spark, dir).documents, "doc_id", "source", n = 25)
+      .select(col("source"), col("doc_id"), col("rk"))
+
+  val qStratumTopnSql: String =
+    """WITH r AS (SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5('strat' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC, doc_id ASC) AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT source, doc_id, rk FROM r WHERE rk <= 25""".stripMargin
 
   // ---- #26 SimHash near-dup ----
 

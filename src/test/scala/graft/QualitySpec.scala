@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Functional sanity on the real documents/embeddings tables: these are
   * accuracy floors, not oracle checks — they catch an operator that is
@@ -225,6 +225,47 @@ class QualitySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
       assert(shuffled === out.map(t => (t._1, t._2, t._4, t._5)).toSet)
     }
+  }
+
+  test("stratifiedSample: deterministic, proportional, drops unlisted strata, no shuffle of the corpus") {
+    import spark.implicits._
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val rates = Seq("a" -> 0.8, "b" -> 0.2) // stratum "c" absent -> dropped
+    val out = Sampling.stratifiedSample(
+      rows.unionByName(Seq((9999L, "c")).toDF("doc_id", "stratum")),
+      "doc_id", "stratum", rates)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byStratum.contains("c"))
+    // binomial tolerance: 2000 draws at 0.8 / 0.2
+    assert(math.abs(byStratum("a") - 1600.0) < 120, s"a=${byStratum("a")}")
+    assert(math.abs(byStratum("b") - 400.0) < 120, s"b=${byStratum("b")}")
+    // determinism + partition invariance: identical row set on a reshuffle
+    val again = Sampling.stratifiedSample(rows.repartition(13), "doc_id", "stratum", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.where(col("stratum") =!= "c")
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // scale shape: the plan must not exchange the corpus (broadcast join only)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "stratifiedSample must not shuffle the corpus")
+  }
+
+  test("takePerStratum: exact n, deterministic order, rank column") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    val out = Sampling.takePerStratum(rows, "doc_id", "stratum", n = 7)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet === Set(7L))
+    // the cut is a function of (salt, id): reshuffled input, same rows+ranks
+    val a = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Sampling.takePerStratum(rows.repartition(11), "doc_id", "stratum", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(out.collect().forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 7L))
   }
 
   test("minhash jaccard estimates track exact ngram jaccard") {
