@@ -77,6 +77,7 @@ object SparkEntry {
     "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
+    "q_multimodal_frames" -> (L.qMultimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +138,6 @@ object SparkEntry {
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
+    "q_multimodal_frames" -> L.qMultimodalFramesSql,
   )
 }

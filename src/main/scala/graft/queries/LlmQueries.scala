@@ -598,4 +598,22 @@ object LlmQueries {
       |  ('0x' || substr(sha256(text), 5, 4))::BIGINT % 1024 AS height,
       |  ('0x' || substr(sha256(text), 9, 4))::BIGINT % 31 + 1 AS n_frames
       |FROM documents""".stripMargin
+
+  // ---- #49 multimodal frame sampling ----
+
+  private val FrameEvery = 4
+
+  /** Video-style frame sampling plumbing: one row per every-Nth frame
+    * index of the (stub-decoded) frame count — explode over a narrow
+    * projection, no shuffle. */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Tables(spark, dir).documents, FrameEvery)
+
+  val qMultimodalFramesSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    ('0x' || substr(sha256(text), 9, 4))::BIGINT % 31 + 1 AS n_frames
+       |  FROM documents)
+       |SELECT doc_id, n_frames,
+       |  unnest(generate_series(0, CAST(floor((n_frames - 1) / $FrameEvery) AS BIGINT))) * $FrameEvery AS frame_idx
+       |FROM m""".stripMargin
 }
