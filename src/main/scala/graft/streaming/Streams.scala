@@ -37,6 +37,18 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming twin of operators/Sampling.stratifiedSample: the md5
+    * threshold filter is STATELESS (a pure function of (salt, id)), so
+    * the identical declarative plan runs on a stream — a restarted or
+    * replayed stream admits exactly the same rows, which is the whole
+    * point of the rand()-free idiom (rand() in a replayed micro-batch
+    * re-flips every coin). Works on batch frames too; batch parity with
+    * the operator is pinned in StreamingSpec. */
+  def stratifiedSampleStream(docs: DataFrame, idCol: String, stratumCol: String,
+                             fractions: Seq[(String, Double)],
+                             salt: String = "strat"): DataFrame =
+    graft.operators.Sampling.stratifiedSample(docs, idCol, stratumCol, fractions, salt)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

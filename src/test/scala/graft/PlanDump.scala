@@ -14,7 +14,8 @@ object PlanDump {
     val names = Seq("q1_pricing_summary", "q3_top_orders", "q_vertical_agg",
       "q_binned_median", "q_dedup_minhash", "q_ann_ivf", "q_asof_join",
       "q_median_rooms", "q_poverty_pz", "q_dedup_ngram", "q_dedup_simhash",
-      "q_percentile_binned", "q_geo_nta", "q_geo_lookup_build")
+      "q_percentile_binned", "q_geo_nta", "q_geo_lookup_build",
+      "q_kmeans_assign", "q_stratified_sample")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")

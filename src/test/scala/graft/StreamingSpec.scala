@@ -59,6 +59,39 @@ class StreamingSpec extends SparkSpec {
     assert(quality(2L) < quality(1L) && quality(2L) < quality(3L))
   }
 
+  test("stratifiedSampleStream admits exactly the batch sample, replay-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 300L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val rates = Seq("a" -> 0.7, "b" -> 0.3)
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = Streams.stratifiedSampleStream(
+        input.toDF().toDF("doc_id", "stratum"), "doc_id", "stratum", rates)
+      .writeStream.format("memory").queryName("strat_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("strat_out").collect()
+      .map(r => (r.getLong(1), r.getString(0))).toSet
+    val batch = graft.operators.Sampling
+      .stratifiedSample(docs.toDF("doc_id", "stratum"), "doc_id", "stratum", rates)
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(streamed === batch)
+    // replaying the same data through a fresh stream admits the same set
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData(docs: _*)
+    val q2 = Streams.stratifiedSampleStream(
+        input2.toDF().toDF("doc_id", "stratum"), "doc_id", "stratum", rates)
+      .writeStream.format("memory").queryName("strat_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val replayed = spark.table("strat_out2").collect()
+      .map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(replayed === streamed)
+  }
+
   test("sessionize closes sessions after the gap (event-time timeout)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
