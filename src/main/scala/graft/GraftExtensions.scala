@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatCosine, FloatDotConst, WordShingles}
+import graft.functions.{FloatCosine, FloatDotConst, FloatVecSumAgg, WordShingles}
 
 /** Session-extension hook registering graft's native expressions as SQL
   * functions, so they are first-class from `spark.sql(...)`:
@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_cosine"),
       info("float_cosine", "float_cosine(a, b) - fused cosine similarity of two float arrays"),
       (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_sum"),
+      info("float_vec_sum", "float_vec_sum(v) - elementwise double sum of a float-array column"),
+      // a raw AggregateFunction here is fine: the analyzer wraps it in
+      // an AggregateExpression when resolving the call site
+      (args: Seq[Expression]) => FloatVecSumAgg(args.head)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),

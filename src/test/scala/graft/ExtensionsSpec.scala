@@ -14,5 +14,11 @@ class ExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
       .collect()(0).getSeq[String](0)
     assert(sh === Seq("a b c", "b c d"))
+    val vs = spark.sql(
+      "SELECT float_vec_sum(v) AS s FROM VALUES " +
+        "(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "(array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT))) AS t(v)")
+      .collect()(0).getSeq[Double](0)
+    assert(vs === Seq(1.5, 2.25))
   }
 }

@@ -175,6 +175,38 @@ class GeoLookupSpec extends SparkSpec {
     assert(GeoLookup.zoneUnion(Nil, park).length === 1)
   }
 
+  test("pointInRings property: random polygons — codegen agrees with the reference pnpoly") {
+    // seeded pseudo-random geometry: vertex counts 3..8, coords in
+    // [-10,10); 40 polygon sets x 100 grid points through the DF
+    // (codegen) path vs the independent Scala pnpoly
+    def prd(seed: Int, lo: Double, hi: Double): Double = {
+      val x = (seed * 2654435761L + 104729L) >>> 16
+      lo + (x % 100000) / 100000.0 * (hi - lo)
+    }
+    for (trial <- 1 to 40) {
+      val nPolys = 1 + trial % 3
+      val polys: Array[Polygon] = Array.tabulate(nPolys) { p =>
+        val nRings = 1 + (trial + p) % 2
+        Array.tabulate(nRings) { r =>
+          val n = 3 + (trial * 7 + p * 3 + r) % 6
+          (0 until n).flatMap(i => Seq(
+            prd(trial * 1009 + p * 131 + r * 17 + i * 2, -10, 10),
+            prd(trial * 1013 + p * 137 + r * 19 + i * 2 + 1, -10, 10))).toArray
+        }
+      }
+      val pts = for (ix <- 0 until 10; iy <- 0 until 10)
+        yield (-9.5 + ix * 2.0, -9.5 + iy * 2.0)
+      import spark.implicits._
+      val viaDf = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          GeoOps.pointInRings(col("x"), col("y"), polys).as("in"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+      pts.foreach { case (x, y) =>
+        assert(viaDf((x, y)) === probeScala(x, y, polys), s"trial $trial point ($x,$y)")
+      }
+    }
+  }
+
   test("q_geo_lookup_build: fixture shape and flag sanity at sf0.001") {
     val out = GeoBuild.qGeoLookupBuild(spark, "/root/testdata/sf0.001").cache()
     val n = out.count()
