@@ -72,6 +72,7 @@ object SparkEntry {
     "q_dedup_embed" -> (L.qDedupEmbed _),
     "q_lang_id" -> (L.qLangId _),
     "q_text_quality" -> (L.qTextQuality _),
+    "q_quality_filter" -> (L.qQualityFilter _),
     "q_token_count" -> (L.qTokenCount _),
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_token_pack" -> (L.qTokenPack _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_dedup_embed" -> L.qDedupEmbedSql,
     "q_lang_id" -> L.qLangIdSql,
     "q_text_quality" -> L.qTextQualitySql,
+    "q_quality_filter" -> L.qQualityFilterSql,
     "q_token_count" -> L.qTokenCountSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_token_pack" -> L.qTokenPackSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
@@ -598,6 +598,52 @@ object LlmQueries {
       |  ('0x' || substr(sha256(text), 5, 4))::BIGINT % 1024 AS height,
       |  ('0x' || substr(sha256(text), 9, 4))::BIGINT % 31 + 1 AS n_frames
       |FROM documents""".stripMargin
+
+  // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----
+
+  /** One keep/drop verdict per document from the composed filter
+    * pipeline — length band, punctuation ceiling, stopword floor,
+    * repetition ceilings (Gopher-style), language gate — with each
+    * rule's flag emitted so a corpus report can attribute drops.
+    * Rules compare only 6-digit-rounded columns, so the verdict is as
+    * cross-engine-stable as its inputs. Documents too short to have
+    * bigrams miss the repetition frame (left join): their NULL
+    * repetition flags read as failed, matching the length rule that
+    * already drops them. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    TextAnalysis.quality(docs)
+      .join(TextAnalysis.repetition(docs)
+        .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        flag(col("n_words") >= 10 && col("n_words") <= 100000).as("len_ok"),
+        flag(col("punct_ratio") <= 0.3).as("punct_ok"),
+        flag(col("stopword_ratio") >= 0.03).as("stop_ok"),
+        flag(col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.2).as("rep_ok"),
+        flag(col("pred_lang") === "en").as("lang_ok"))
+      .withColumn("keep",
+        col("len_ok") * col("punct_ok") * col("stop_ok") * col("rep_ok") * col("lang_ok"))
+  }
+
+  val qQualityFilterSql: String =
+    s"""SELECT q.doc_id, q.n_words,
+       |  CAST(CASE WHEN q.n_words >= 10 AND q.n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+       |  CAST(CASE WHEN q.punct_ratio <= CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS punct_ok,
+       |  CAST(CASE WHEN q.stopword_ratio >= CAST(0.03 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+       |  CAST(CASE WHEN r.dup_word_frac <= CAST(0.5 AS DOUBLE) AND r.top_bigram_frac <= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS rep_ok,
+       |  CAST(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS lang_ok,
+       |  CAST(CASE WHEN q.n_words >= 10 AND q.n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN q.punct_ratio <= CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN q.stopword_ratio >= CAST(0.03 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN r.dup_word_frac <= CAST(0.5 AS DOUBLE) AND r.top_bigram_frac <= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM ($qTextQualitySql) q
+       |LEFT JOIN ($qTextRepetitionSql) r ON q.doc_id = r.doc_id
+       |JOIN ($qLangIdSql) l ON q.doc_id = l.doc_id""".stripMargin
 
   // ---- #49 multimodal frame sampling ----
 

@@ -227,6 +227,19 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("qQualityFilter: keep is the AND of its attribution flags; both verdicts occur") {
+    val out = graft.queries.LlmQueries.qQualityFilter(spark, dir).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val flags = Seq("len_ok", "punct_ok", "stop_ok", "rep_ok", "lang_ok")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      assert(flags.forall(f => f == 0L || f == 1L))
+      assert(r.getLong(r.fieldIndex("keep")) === flags.product)
+    }
+    val keeps = out.count(_.getLong(out.head.fieldIndex("keep")) == 1L)
+    assert(keeps > 0 && keeps < out.length, s"keeps=$keeps of ${out.length}")
+  }
+
   test("stratifiedSample: deterministic, proportional, drops unlisted strata, no shuffle of the corpus") {
     import spark.implicits._
     val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
