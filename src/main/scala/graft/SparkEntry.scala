@@ -49,6 +49,8 @@ object SparkEntry {
     // oracle-exact bounded-memory scale path.
     "q_percentile_binned" -> (T.qPercentileBinned _),
     "q_anti_join" -> (T.qAntiJoin _),
+    "q_salted_agg" -> (T.qSaltedAgg _),
+    "q_corpus_stats" -> (L.qCorpusStats _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_events_json" -> (T.qEventsJson _),
     "q_stream_window" -> (T.qStreamWindow _),
@@ -112,6 +114,8 @@ object SparkEntry {
     "q_percentile" -> T.qPercentileSql,
     "q_percentile_binned" -> T.qPercentileBinnedSql,
     "q_anti_join" -> T.qAntiJoinSql,
+    "q_salted_agg" -> T.qSaltedAggSql,
+    "q_corpus_stats" -> L.qCorpusStatsSql,
     "q_asof_join" -> L.qAsofJoinSql,
     "q_events_json" -> T.qEventsJsonSql,
     "q_stream_window" -> T.qStreamWindowSql,

@@ -645,6 +645,33 @@ object LlmQueries {
        |LEFT JOIN ($qTextRepetitionSql) r ON q.doc_id = r.doc_id
        |JOIN ($qLangIdSql) l ON q.doc_id = l.doc_id""".stripMargin
 
+  // ---- #51 corpus stats rollup (CUBE) ----
+
+  /** Corpus reporting: docs and whitespace-token totals by source, by
+    * lang, by (source, lang), and grand total in ONE pass — CUBE keeps
+    * it a single map-side-combinable aggregation instead of four
+    * queries over 100 TB. grouping() flags disambiguate subtotal rows
+    * from real NULL group values. */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), col("lang"),
+        size(Portable.words(col("text"))).cast("long").as("toks"))
+      .cube(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"))
+
+  val qCorpusStatsSql: String =
+    s"""SELECT source, lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS n_tokens,
+       |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+       |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
+       |FROM documents
+       |GROUP BY CUBE (source, lang)""".stripMargin
+
   // ---- #49 multimodal frame sampling ----
 
   private val FrameEvery = 4

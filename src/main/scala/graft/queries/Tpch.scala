@@ -213,6 +213,21 @@ object Tpch {
       |FROM orders o
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
 
+  // ---- #52 skew-safe two-phase distinct count ----
+
+  /** Exact distinct suppliers per part through the SALTED two-phase
+    * aggregation (operators/Skew.saltedDistinctCount) — the oracle is
+    * the plain COUNT(DISTINCT), proving the skew-safe plan computes
+    * the identical result. The salt is md5-deterministic, so the
+    * rewrite is replayable and cross-engine checkable. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedDistinctCount(
+      Tables(spark, dir).lineitem, "l_partkey", "l_suppkey", buckets = 8)
+
+  val qSaltedAggSql: String =
+    """SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+      |FROM lineitem GROUP BY l_partkey""".stripMargin
+
   /** JSON field extraction + agg over the events props column. */
   def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
