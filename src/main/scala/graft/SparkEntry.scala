@@ -52,6 +52,7 @@ object SparkEntry {
     "q_salted_agg" -> (T.qSaltedAgg _),
     "q_corpus_stats" -> (L.qCorpusStats _),
     "q_asof_join" -> (L.qAsofJoin _),
+    "q_range_join" -> (T.qRangeJoin _),
     "q_events_json" -> (T.qEventsJson _),
     "q_stream_window" -> (T.qStreamWindow _),
     // LLM-data-pipeline operators
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_salted_agg" -> T.qSaltedAggSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,
     "q_asof_join" -> L.qAsofJoinSql,
+    "q_range_join" -> T.qRangeJoinSql,
     "q_events_json" -> T.qEventsJsonSql,
     "q_stream_window" -> T.qStreamWindowSql,
     "q_dedup_exact" -> L.qDedupExactSql,

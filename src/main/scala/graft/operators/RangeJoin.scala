@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join — match point rows to [start, end) interval
+  * rows, an operator Spark SQL has no native algorithm for: a raw
+  * range predicate plans as BroadcastNestedLoopJoin (O(points ×
+  * intervals)) or, with an extra equi-key, as a sort-merge join whose
+  * range residual still scans every same-key pair.
+  *
+  * Scale path: fixed-width time buckets. Each interval explodes to the
+  * buckets it covers (bounded by interval_length / bucketWidth rows —
+  * pick bucketWidth near the typical interval length), each point maps
+  * to exactly ONE bucket, so the match becomes a shuffle-partitioned
+  * equi-join on (keys..., bucket) and every true (point, interval)
+  * pair meets exactly once — no post-join dedup. The residual
+  * `start <= pt < end` filter runs inside the joined projection.
+  *
+  * Columns `ptCol`/`startCol`/`endCol` are numeric (epoch seconds in
+  * the query usage); empty intervals (end <= start) match nothing and
+  * are dropped before the explode (Spark's `sequence` would otherwise
+  * generate a DESCENDING range for them, not an empty one).
+  */
+object RangeJoin {
+
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   ptCol: String, startCol: String, endCol: String,
+                   bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.where(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    val pt = points.withColumn("__bucket",
+      floor(col(ptCol) / bucketWidth).cast("long"))
+    pt.join(iv, keys :+ "__bucket")
+      .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -228,6 +228,39 @@ object Tpch {
     """SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
       |FROM lineitem GROUP BY l_partkey""".stripMargin
 
+  // ---- #53 bucketed interval (range) join ----
+
+  /** Every event matched to the deterministic 30-minute maintenance
+    * windows opened by each 97th event of its type, through the
+    * BUCKETED interval join (operators/RangeJoin) — the oracle is the
+    * naive theta join, so the bucketing rewrite must reproduce the
+    * exact pair set (including start-inclusive / end-exclusive
+    * boundaries). Timestamps compare at second granularity (epoch
+    * seconds, the engine-wide ns-vs-us rule); the oracle floors
+    * epoch() before casting because DuckDB CAST rounds. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val pts = e.select(col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    val iv = e.where(col("event_id") % 97 === 0)
+      .select(col("event_id").as("window_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("e", col("s") + 1800L)
+    graft.operators.RangeJoin.intervalJoin(
+        pts, iv, "sec", "s", "e", bucketWidth = 600L, keys = Seq("event_type"))
+      .select(col("event_id"), col("window_id"), col("event_type"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH pts AS (SELECT event_id, event_type,
+      |    CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS sec FROM events),
+      |iv AS (SELECT event_id AS window_id, event_type,
+      |    CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS s
+      |  FROM events WHERE event_id % 97 = 0)
+      |SELECT p.event_id, i.window_id, p.event_type
+      |FROM pts p JOIN iv i
+      |  ON p.event_type = i.event_type AND p.sec >= i.s AND p.sec < i.s + 1800""".stripMargin
+
   /** JSON field extraction + agg over the events props column. */
   def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events

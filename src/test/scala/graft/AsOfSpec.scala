@@ -26,4 +26,35 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.asofJoin(left, right, "key", "ts", "val").collect()
     assert(out(0).getLong(3) === 7L)
   }
+
+  test("intervalJoin equals the naive theta join, once per pair, half-open bounds") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // intervals spanning multiple buckets, nested, empty, and key-disjoint
+    val iv = Seq(
+      (100L, "a", 0L, 2500L),    // spans 3 buckets at width 1000
+      (101L, "a", 900L, 1100L),  // straddles a bucket edge
+      (102L, "a", 500L, 500L),   // empty: matches nothing
+      (103L, "b", 0L, 10000L)    // other key
+    ).toDF("window_id", "k", "s", "e")
+    val pts = Seq(
+      (1L, "a", 0L),     // start-inclusive
+      (2L, "a", 999L), (3L, "a", 1000L), (4L, "a", 1099L),
+      (5L, "a", 2499L), // last point of window 100
+      (6L, "a", 2500L), // end-exclusive: out of 100
+      (7L, "a", 500L),  // NOT in the empty interval
+      (8L, "b", 3000L)
+    ).toDF("event_id", "k", "t")
+    val got = RangeJoin.intervalJoin(pts, iv, "t", "s", "e", 1000L, Seq("k"))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = pts.join(iv, Seq("k"))
+      .where(col("t") >= col("s") && col("t") < col("e"))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq === naive.sorted.toSeq) // seq compare: no silent dedup
+    assert(got.toSet === Set(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L),
+      (2L, 101L), (3L, 101L), (4L, 101L), (7L, 100L), (8L, 103L)))
+  }
 }
