@@ -15,7 +15,8 @@ object PlanDump {
       "q_binned_median", "q_dedup_minhash", "q_ann_ivf", "q_asof_join",
       "q_median_rooms", "q_poverty_pz", "q_dedup_ngram", "q_dedup_simhash",
       "q_percentile_binned", "q_geo_nta", "q_geo_lookup_build",
-      "q_kmeans_assign", "q_stratified_sample")
+      "q_kmeans_assign", "q_stratified_sample", "q_range_join",
+      "q_salted_agg", "q_quality_filter")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
