@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table helpers for co-located joins.
   *
@@ -20,6 +21,36 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Sized parquet corpus sink — the 100 TB write shape. Naive
+    * `df.write.partitionBy(...)` emits one file per (task × partition
+    * value): a 2000-task corpus over 30 languages is 60k files, and
+    * the NEXT job pays for every one of them (task-per-file floor,
+    * listing, row-group overhead). This sink repartitions on the
+    * partition columns plus a bounded deterministic md5 salt, so each
+    * output directory receives exactly `filesPerPartition` write
+    * tasks, and caps rows per file as the spill guard. Deterministic:
+    * the salt derives from `saltFrom` (a stable id column), never
+    * rand(), so a retried/replayed write lands rows in the same files.
+    *
+    * Sizing rule of thumb: filesPerPartition ≈ partition volume /
+    * target file size (parquet sweet spot 128 MB-1 GB).
+    */
+  def writeSizedCorpus(df: DataFrame, path: String, partitionCols: Seq[String],
+                       saltFrom: String, filesPerPartition: Int,
+                       maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val salted = df.withColumn("__file",
+      graft.operators.Skew.salt(filesPerPartition, col(saltFrom)))
+    salted
+      .repartition((partitionCols :+ "__file").map(col): _*)
+      .drop("__file")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   /** True iff the physical plan of `df` contains a shuffle Exchange
     * (hash repartitioning) — broadcast exchanges don't count. */

@@ -34,4 +34,29 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
+
+  test("writeSizedCorpus: bounded files per partition dir, exact round-trip") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Files.createTempDirectory("graft_sized_corpus").toString
+    try {
+      Bucketing.writeSizedCorpus(docs, out, Seq("lang"), "doc_id",
+        filesPerPartition = 3)
+      val root = new java.io.File(out)
+      val langDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      assert(langDirs.nonEmpty)
+      langDirs.foreach { d =>
+        val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(parts >= 1 && parts <= 3, s"${d.getName}: $parts files")
+      }
+      // exact round-trip (partition column comes back from the dir key)
+      val back = spark.read.parquet(out)
+      assert(back.count() === docs.count())
+      val a = docs.select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val b = back.select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
