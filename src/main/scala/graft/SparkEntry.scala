@@ -27,6 +27,7 @@ object SparkEntry {
     "q_geo_rollup" -> (C.qGeoRollup _),
     // the real bundled ct2010->ct2020 crosswalk through tractToNta
     "q_geo_nta" -> (C.qGeoNta _),
+    "q_geo_zone_2010" -> (C.qGeoZone2010 _),
     "q_cleaning" -> (C.qCleaning _),
     "q_rounding" -> (C.qRounding _),
     "q_outlier_clean" -> (C.qOutlierClean _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_crosswalk_apportion" -> C.qCrosswalkApportionSql,
     "q_geo_rollup" -> C.qGeoRollupSql,
     "q_geo_nta" -> C.qGeoNtaSql,
+    "q_geo_zone_2010" -> C.qGeoZone2010Sql,
     "q_cleaning" -> C.qCleaningSql,
     "q_rounding" -> C.qRoundingSql,
     "q_outlier_clean" -> C.qOutlierCleanSql,

@@ -686,4 +686,77 @@ object CensusQueries {
       |  floor((pct.p) * 1e4 + 0.5) / 1e4 AS p,
       |  floor((pct.z) * 1e4 + 0.5) / 1e4 AS z
       |FROM cnt JOIN pct ON cnt.g = pct.g""".stripMargin
+
+  // ---- #54 the 2010-vintage flood-zone rollup (Geography2010) ----
+
+  private val fips2010 = Seq(
+    "0" -> "36061", "1" -> "36005", "2" -> "36047", "3" -> "36081", "4" -> "36085")
+
+  private def fipsCase2010(c: org.apache.spark.sql.Column) =
+    fips2010.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(c === k, v).otherwise(acc)
+    }
+
+  /** The 2010 vintage's acs block-group → cd_fp_500 zone path
+    * (geography/2010.py:68-120) on a deterministic synthetic
+    * lookup_geo: blocks enumerate bk = c_custkey % 200 with flags and
+    * community districts derived modularly, facts carry integer-valued
+    * doubles per customer so the RSS MOE is exact cross-engine. One
+    * block group deliberately maps to several districts (bk vs bk+100
+    * share a bg, differ in cd), pinning the distinct-pair fan-out
+    * semantics of the reference's lookup join. */
+  def qGeoZone2010(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val lk0 = c.select((col("c_custkey") % 200).as("bk")).distinct()
+      .select(col("bk"),
+        fipsCase2010((col("bk") % 5).cast("string")).as("county_fips"),
+        concat(
+          lpad(((col("bk") % 25) * 100 + 100).cast("string"), 6, "0"),
+          lpad(((col("bk") % 4) * 1000 + 1000).cast("string"), 4, "0")).as("ctcb2010"),
+        lpad(((col("bk") % 25) * 100 + 100).cast("string"), 6, "0").as("ct2010"),
+        (col("bk") % 12 + 1).cast("string").as("cd"),
+        concat(lit("NT"), (col("bk") % 12 + 1).cast("string")).as("nta"),
+        when(col("bk") % 3 === 0, "1").otherwise("0").as("fp_500"),
+        when(col("bk") % 6 === 0, "1").otherwise("0").as("fp_100"),
+        when(col("bk") % 2 === 0, "1").otherwise("0").as("park_access"))
+    val geo = graft.operators.Geography2010(lk0.drop("bk"))
+    val facts = c.select(
+      substring(concat(
+        fipsCase2010((col("c_custkey") % 200 % 5).cast("string")),
+        lpad(((col("c_custkey") % 200 % 25) * 100 + 100).cast("string"), 6, "0"),
+        lpad(((col("c_custkey") % 200 % 4) * 1000 + 1000).cast("string"), 4, "0")),
+        1, 12).as("census_geoid"),
+      concat(lit("pop_"), (col("c_custkey") % 3).cast("string")).as("pff_variable"),
+      (col("c_custkey") % 50).cast("double").as("e"),
+      (col("c_custkey") % 20).cast("double").as("m"))
+    geo.blockGroupToCdFp500(facts)
+  }
+
+  val qGeoZone2010Sql: String = {
+    val fipsSql = "CASE CAST(bk % 5 AS VARCHAR) " +
+      fips2010.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
+    val fipsFactSql = "CASE CAST(c_custkey % 200 % 5 AS VARCHAR) " +
+      fips2010.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
+    s"""WITH bks AS (SELECT DISTINCT c_custkey % 200 AS bk FROM customer),
+       |lk0 AS (SELECT bk, $fipsSql AS county_fips,
+       |    LPAD(CAST((bk % 25) * 100 + 100 AS VARCHAR), 6, '0')
+       |      || LPAD(CAST((bk % 4) * 1000 + 1000 AS VARCHAR), 4, '0') AS ctcb2010,
+       |    CAST(bk % 12 + 1 AS VARCHAR) AS cd,
+       |    CASE WHEN bk % 3 = 0 THEN '1' ELSE '0' END AS fp_500
+       |  FROM bks),
+       |lk AS (SELECT DISTINCT SUBSTRING(county_fips || ctcb2010, 1, 12) AS bg, cd
+       |  FROM lk0 WHERE CAST(fp_500 AS INTEGER) <> 0),
+       |f AS (SELECT
+       |    SUBSTRING($fipsFactSql
+       |      || LPAD(CAST((c_custkey % 200 % 25) * 100 + 100 AS VARCHAR), 6, '0')
+       |      || LPAD(CAST((c_custkey % 200 % 4) * 1000 + 1000 AS VARCHAR), 4, '0'), 1, 12) AS census_geoid,
+       |    'pop_' || CAST(c_custkey % 3 AS VARCHAR) AS pff_variable,
+       |    CAST(c_custkey % 50 AS DOUBLE) AS e,
+       |    CAST(c_custkey % 20 AS DOUBLE) AS m
+       |  FROM customer)
+       |SELECT lk.cd AS census_geoid, f.pff_variable, 'cd_fp_500' AS geotype,
+       |  SUM(f.e) AS e, sqrt(SUM(f.m * f.m)) AS m
+       |FROM f JOIN lk ON f.census_geoid = lk.bg
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
