@@ -57,4 +57,28 @@ class AsOfSpec extends SparkSpec {
       (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L),
       (2L, 101L), (3L, 101L), (4L, 101L), (7L, 100L), (8L, 103L)))
   }
+
+  test("intervalJoin property: random intervals/points/widths match the naive join") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    def prd(seed: Int, mod: Long): Long = ((seed * 2654435761L + 104729L) >>> 16) % mod
+    for (trial <- 1 to 5) {
+      val iv = (0 until 60).map { i =>
+        val s = prd(trial * 7919 + i * 31, 5000)
+        (i.toLong, s"k${i % 3}", s, s + prd(trial * 131 + i * 17, 900) - 20) // ~2% empty
+      }.toDF("window_id", "k", "s", "e")
+      val pts = (0 until 300).map { i =>
+        (i.toLong, s"k${prd(trial + i, 3)}", prd(trial * 523 + i * 13, 5200))
+      }.toDF("event_id", "k", "t")
+      val width = Seq(50L, 170L, 1000L)(trial % 3)
+      val got = RangeJoin.intervalJoin(pts, iv, "t", "s", "e", width, Seq("k"))
+        .select("event_id", "window_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = pts.join(iv, Seq("k"))
+        .where(col("t") >= col("s") && col("t") < col("e"))
+        .select("event_id", "window_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive, s"trial $trial width $width")
+    }
+  }
 }
