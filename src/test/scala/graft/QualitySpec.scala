@@ -146,6 +146,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("trained k-means codebook drives IVF ANN: recall grows with nProbe") {
+    // the end-to-end path a user runs: kmeansFit -> ivfTopKProbed.
+    // Trained buckets must correlate with cosine (beat the candidate-
+    // fraction chance rate), and probing more centroids must not lose
+    // pairs (monotone recall in nProbe).
+    val codebook = Similarity.kmeansFit(emb, k = 8, iters = 2)
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val hits = Similarity.ivfTopKProbed(queries, emb, codebook, 5, nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      (brute intersect hits).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r1 > 1.0 / 8 * 1.5, s"IVF@1 recall $r1 not above chance")
+    assert(r4 >= r1 && r8 >= r4, s"recall not monotone: $r1 / $r4 / $r8")
+    // probing ALL buckets is exhaustive -> exact top-k
+    assert(r8 === 1.0, s"nProbe=k must recover brute force, got $r8")
+  }
+
   test("FloatVecSumAgg: elementwise sums survive map-side partials, skip nulls") {
     import spark.implicits._
     import graft.functions.FloatVecSumAgg
