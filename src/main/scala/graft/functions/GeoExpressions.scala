@@ -35,6 +35,22 @@ case class PointInRings(left: Expression, right: Expression,
   override def dataType: DataType = BooleanType
   override def prettyName: String = "point_in_rings"
 
+  // Case-class equality on an Array field is reference equality, which
+  // would make two probes over the same geometry (e.g. the shared
+  // flood-zone polygon, or re-planned copies of one zone) never compare
+  // equal — semanticEquals / subexpression elimination would silently
+  // miss. Compare the polygon set structurally instead.
+  override def equals(other: Any): Boolean = other match {
+    case PointInRings(l, r, p) =>
+      left == l && right == r &&
+        java.util.Arrays.deepEquals(
+          polygons.asInstanceOf[Array[AnyRef]], p.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(polygons.asInstanceOf[Array[AnyRef]])
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val px = a.asInstanceOf[Double]
     val py = b.asInstanceOf[Double]

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * The buffer sizes itself to the first non-null input; shorter inputs
   * add their prefix, longer inputs grow the buffer (embedding columns
-  * are fixed-width in practice). NULL rows are skipped; a group with no
-  * non-null input yields an empty array.
+  * are fixed-width in practice). NULL rows are skipped, and so are NULL
+  * array ELEMENTS (a null slot contributes nothing at its index —
+  * reading it through getFloat would otherwise inject an unspecified
+  * value); a group with no non-null input yields an empty array.
   */
 case class FloatVecSumAgg(
     child: Expression,
@@ -53,7 +55,14 @@ case class FloatVecSumAgg(
     if (v == null) buffer
     else {
       val arr = v.asInstanceOf[ArrayData]
-      addInto(buffer, arr.numElements(), i => arr.getFloat(i).toDouble)
+      val n = arr.numElements()
+      val out = if (n > buffer.length) java.util.Arrays.copyOf(buffer, n) else buffer
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) out(i) += arr.getFloat(i).toDouble
+        i += 1
+      }
+      out
     }
   }
 

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   * pair meets exactly once — no post-join dedup. The residual
   * `start <= pt < end` filter runs inside the joined projection.
   *
-  * Columns `ptCol`/`startCol`/`endCol` are numeric (epoch seconds in
-  * the query usage); empty intervals (end <= start) match nothing and
-  * are dropped before the explode (Spark's `sequence` would otherwise
-  * generate a DESCENDING range for them, not an empty one).
+  * Columns `ptCol`/`startCol`/`endCol` are numeric — integral OR
+  * fractional (epoch seconds in the query usage). The last exploded
+  * bucket is `floor(end / bucketWidth)`: for fractional bounds a point
+  * can land in the bucket containing `end` itself (end=10.5, width=10
+  * → point 10.2 hashes to bucket 1), so that bucket must exist; when
+  * `end` sits exactly on a bucket boundary this emits one extra bucket
+  * row whose probes the end-exclusive residual filter then drops —
+  * one spare row per interval, never a missed match. Empty intervals
+  * (end <= start) match nothing and are dropped before the explode
+  * (Spark's `sequence` would otherwise generate a DESCENDING range
+  * for them, not an empty one).
   */
 object RangeJoin {
 
@@ -31,7 +38,7 @@ object RangeJoin {
     val iv = intervals.where(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
         floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+        floor(col(endCol) / bucketWidth).cast("long"))))
     val pt = points.withColumn("__bucket",
       floor(col(ptCol) / bucketWidth).cast("long"))
     pt.join(iv, keys :+ "__bucket")

@@ -58,6 +58,24 @@ class AsOfSpec extends SparkSpec {
       (2L, 101L), (3L, 101L), (4L, 101L), (7L, 100L), (8L, 103L)))
   }
 
+  test("intervalJoin fractional bounds: point in end's bucket is not dropped") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // end=10.5 at width 10: the interval must explode into bucket 1 or
+    // point 10.2 silently misses (the pre-fix floor((end-1)/w) bug).
+    val iv = Seq((100L, 0.5, 10.5), (101L, 3.0, 3.75)).toDF("window_id", "s", "e")
+    val pts = Seq(
+      (1L, 10.2),  // in [0.5, 10.5) via end's own bucket
+      (2L, 10.5),  // end-exclusive: out
+      (3L, 0.25),  // before start, same bucket: out
+      (4L, 3.5)    // inside the sub-bucket interval
+    ).toDF("event_id", "t")
+    val got = RangeJoin.intervalJoin(pts, iv, "t", "s", "e", 10L)
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (4L, 100L), (4L, 101L)))
+  }
+
   test("intervalJoin property: random intervals/points/widths match the naive join") {
     import graft.operators.RangeJoin
     import spark.implicits._

@@ -43,6 +43,22 @@ class GeoLookupSpec extends SparkSpec {
     assert(probe(5.0, 4.0, Array(square, concave)))
   }
 
+  test("pointInRings: structural equality over identical geometry (semanticEquals fuel)") {
+    import org.apache.spark.sql.GraftShim
+    import graft.functions.PointInRings
+    // two probes built from DISTINCT but equal arrays must compare equal,
+    // or subexpression elimination / canonicalization silently miss
+    def deepCopy(p: Array[Array[Array[Double]]]) = p.map(_.map(_.clone()))
+    val x = GraftShim.expression(col("x")); val y = GraftShim.expression(col("y"))
+    val a = PointInRings(x, y, Array(square))
+    val b = PointInRings(x, y, deepCopy(Array(square)))
+    val c = PointInRings(x, y, Array(concave))
+    assert(a === b)
+    assert(a.hashCode === b.hashCode)
+    assert(a !== c)
+    assert(a.semanticEquals(b))
+  }
+
   test("pointInRings: null input yields null, codegen and eval agree") {
     val rows = Seq[(java.lang.Double, java.lang.Double)](
       (2.0, 2.0), (null, 2.0), (5.0, 2.0)).toDF("x", "y")

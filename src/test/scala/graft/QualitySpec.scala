@@ -183,6 +183,14 @@ class QualitySpec extends SparkSpec {
       .groupBy("g").agg(FloatVecSumAgg.of(col("v")).as("s"))
       .collect().head.getSeq[Double](1)
     assert(empty === Seq.empty)
+    // null ELEMENTS are skipped (contribute nothing), not read as garbage
+    val withNullElems = Seq(
+      (7, Seq[java.lang.Float](1.0f, null, 3.0f)),
+      (7, Seq[java.lang.Float](null, 2.0f, 4.0f)))
+      .toDF("g", "v").repartition(3)
+      .groupBy("g").agg(FloatVecSumAgg.of(col("v")).as("s"))
+      .collect().head.getSeq[Double](1)
+    assert(withNullElems === Seq(1.0, 2.0, 7.0))
   }
 
   test("kmeans: recovers separated blobs, deterministic, converged") {
