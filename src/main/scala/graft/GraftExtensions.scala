@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatCosine, FloatDotConst, FloatVecSumAgg, WordShingles}
+import graft.functions.{FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, WordShingles}
 
 /** Session-extension hook registering graft's native expressions as SQL
   * functions, so they are first-class from `spark.sql(...)`:
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // a raw AggregateFunction here is fine: the analyzer wraps it in
       // an AggregateExpression when resolving the call site
       (args: Seq[Expression]) => FloatVecSumAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_qsum"),
+      info("float_vec_qsum",
+        "float_vec_qsum(v) - order-exact elementwise fixed-point (2^24) long sum of a float-array column"),
+      (args: Seq[Expression]) => FloatVecQuantSumAgg(args.head, FloatVecQuantSumAgg.Scale)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Elementwise sum of a float-array column as ONE custom aggregate —
   * the shuffle-frugal inner loop of distributed centroid updates
@@ -94,5 +94,97 @@ object FloatVecSumAgg {
   /** Column API: elementwise double sum of a float-array column. */
   def of(vec: Column): Column =
     GraftShim.column(FloatVecSumAgg(GraftShim.expression(vec))
+      .toAggregateExpression())
+}
+
+/** Order-canonical elementwise sum: each float element is quantized to
+  * a fixed-point long `floor(x * scale + 0.5)` and the LONGS are
+  * summed — integer addition is exact and commutative, so the result
+  * is bit-identical regardless of partition count, merge order, or
+  * input layout. This is the integer-cents idiom (Tpch.cents)
+  * generalized to vectors: it exists so statistics derived from the
+  * sum (k-means centroid means) can be replayed EXACTLY by another
+  * engine — DuckDB computes the identical per-element
+  * `floor(x * scale + 0.5)` (float→double promotion and the
+  * power-of-two product are both deterministic IEEE ops) and an exact
+  * integer sum, where a double `avg()` would disagree in the last ulp
+  * depending on each engine's summation order.
+  *
+  * Overflow headroom: unit-norm embedding elements quantized at
+  * scale 2^24 are |q| ≤ ~2^25, so a single group can absorb ~2^38
+  * (~2.7e11) rows before a long sum could overflow — beyond any
+  * per-centroid bucket at the 100 TB design point.
+  *
+  * NULL rows and NULL elements are skipped, as in [[FloatVecSumAgg]].
+  */
+case class FloatVecQuantSumAgg(
+    child: Expression,
+    scale: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "float_vec_qsum"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = if (n > buffer.length) java.util.Arrays.copyOf(buffer, n) else buffer
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          out(i) += math.floor(arr.getFloat(i).toDouble * scale + 0.5).toLong
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    val out = if (other.length > buffer.length)
+      java.util.Arrays.copyOf(buffer, other.length) else buffer
+    var i = 0
+    while (i < other.length) { out(i) += other(i); i += 1 }
+    out
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buffer.length)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FloatVecQuantSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FloatVecQuantSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object FloatVecQuantSumAgg {
+  /** The standing quantization scale: 2^24 — an exponent-only shift
+    * for every float mantissa, so `x * Scale` is an exact double. */
+  val Scale: Double = 16777216.0
+
+  /** Column API: order-exact elementwise fixed-point sum at [[Scale]]. */
+  def of(vec: Column): Column =
+    GraftShim.column(FloatVecQuantSumAgg(GraftShim.expression(vec), Scale)
       .toAggregateExpression())
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Config
-import graft.functions.{FloatVecSumAgg, Portable, VectorOps}
+import graft.functions.{FloatVecQuantSumAgg, Portable, VectorOps}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -217,31 +217,36 @@ object Similarity {
   /** Lloyd's iterations: assign every vector to its argmax-cosine
     * centroid ([[ivfAssign]] — k codegen scalar probes, no row
     * inflation), then recompute each centroid as the elementwise mean
-    * of its bucket via [[FloatVecSumAgg]] — ONE map-side-combinable
-    * shuffle of k×partitions double[dim] buffers per iteration, never
-    * a dim×N explode. The k-row collect per iteration is the bounded
-    * codebook fetch; empty buckets keep their previous centroid.
+    * of its bucket via [[FloatVecQuantSumAgg]] — ONE map-side-
+    * combinable shuffle of k×partitions long[dim] buffers per
+    * iteration, never a dim×N explode. The k-row collect per iteration
+    * is the bounded codebook fetch; empty buckets keep their previous
+    * centroid.
     *
-    * Means are 6-digit-rounded then cast to float before becoming the
-    * next round's literals: roundp absorbs cross-engine double-sum
-    * ordering, and float centroids are what the IVF probes consume —
-    * so the whole trajectory (and therefore the final assignment) is
-    * reproducible in the DuckDB oracle (qKmeansAssignSql replays it
-    * with avg()/unnest and the identical cast chain). */
+    * Centroid means are BIT-deterministic, not tolerance-based: each
+    * element is quantized to fixed-point (`floor(x * 2^24 + 0.5)` — an
+    * exact double product for every float) and summed as longs, so the
+    * sum is independent of partition count and merge order; the mean
+    * is one double division chain `(sumQ / n) / 2^24`, 6-digit-rounded,
+    * cast to float. The DuckDB oracle replays the identical integer
+    * sum and division (qKmeansAssignSql), so the whole trajectory —
+    * and therefore the final assignment — matches exactly on any
+    * engine, layout, or thread count. */
   def kmeansIterate(vectors: DataFrame, centroids: Seq[Array[Float]],
                     iters: Int): Seq[Array[Float]] = {
     var cents = centroids
     for (_ <- 1 to iters) {
       val sums = ivfAssign(vectors, "embedding", cents)
         .groupBy(col("bucket"))
-        .agg(FloatVecSumAgg.of(col("embedding")).as("s"), count(lit(1)).as("n"))
+        .agg(FloatVecQuantSumAgg.of(col("embedding")).as("s"), count(lit(1)).as("n"))
         .collect()
-        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
+        .map(r => r.getInt(0) -> ((r.getSeq[Long](1), r.getLong(2))))
         .toMap
       cents = cents.zipWithIndex.map { case (old, i) =>
         sums.get(i) match {
           case Some((s, n)) if n > 0 && s.nonEmpty =>
-            s.map(x => roundp6(x / n).toFloat).toArray
+            s.map(q => roundp6(q.toDouble / n.toDouble / FloatVecQuantSumAgg.Scale)
+              .toFloat).toArray
           case _ => old
         }
       }

@@ -424,10 +424,19 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
        |  FROM s$i)""".stripMargin
 
+  /** Centroid update replayed bit-exactly: elements quantize to
+    * fixed-point BIGINTs (floor(x*2^24+0.5) — DuckDB's rounding CAST
+    * is safe after floor) and sum EXACTLY, the same multiset of
+    * integer additions FloatVecQuantSumAgg performs on the Spark side,
+    * so the mean `(sumQ / n) / 2^24` is identical IEEE arithmetic in
+    * both engines — no summation-order tolerance anywhere. */
   private def kmeansUpdateCte(i: Int): String =
     s"""u$i AS (SELECT bucket, unnest(e) AS val, generate_subscripts(e, 1) AS pos
        |  FROM a$i WHERE rn = 1),
-       |m$i AS (SELECT bucket, pos, avg(val) AS mv FROM u$i GROUP BY bucket, pos),
+       |m$i AS (SELECT bucket, pos,
+       |    CAST(sum(CAST(floor(val * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) / 16777216.0 AS mv
+       |  FROM u$i GROUP BY bucket, pos),
        |l$i AS (SELECT bucket,
        |    list(CAST(CAST(floor(mv * 1e6 + 0.5) / 1e6 AS REAL) AS DOUBLE) ORDER BY pos) AS ce
        |  FROM m$i GROUP BY bucket),

@@ -193,6 +193,27 @@ class QualitySpec extends SparkSpec {
     assert(withNullElems === Seq(1.0, 2.0, 7.0))
   }
 
+  test("FloatVecQuantSumAgg: bit-identical across partition layouts, exact fixed-point") {
+    import spark.implicits._
+    import graft.functions.FloatVecQuantSumAgg
+    // values chosen so DOUBLE summation order matters (1e8 vs 1e-3
+    // magnitudes): the quantized long sum must not care
+    def prf(i: Int): Float =
+      (if (i % 3 == 0) 0.9999e0f else 1.37e-3f) * (if (i % 7 == 0) -1 else 1)
+    val rows = (0 until 4000).map(i => (i % 2, Seq(prf(i), prf(i + 1), prf(i * 31))))
+    def sums(parts: Int): Map[Int, Seq[Long]] =
+      rows.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(FloatVecQuantSumAgg.of(col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val a = sums(1); val b = sums(32); val c = sums(7)
+    assert(a === b)
+    assert(a === c)
+    // exactness: matches a driver-side integer reference sum
+    val expect = rows.filter(_._1 === 0).map(_._2).transpose
+      .map(_.map(x => math.floor(x.toDouble * FloatVecQuantSumAgg.Scale + 0.5).toLong).sum)
+    assert(a(0) === expect)
+  }
+
   test("kmeans: recovers separated blobs, deterministic, converged") {
     import spark.implicits._
     // two tight cosine-separated blobs around (1,0,0) and (0,1,0)
