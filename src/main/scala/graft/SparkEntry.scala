@@ -83,6 +83,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
+    // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
+    "q_image_decode" -> (L.qImageDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +151,6 @@ object SparkEntry {
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
+    "q_image_decode" -> L.qImageDecodeSql,
   )
 }

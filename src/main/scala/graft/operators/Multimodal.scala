@@ -1,14 +1,17 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: media travel as opaque `binary` columns
-  * with typed metadata. The decode step is STUBBED (no image/audio libs
-  * in this container) with a deterministic fake keyed off the content
-  * hash — the Spark-side plumbing (schema, batching, partition-parallel
-  * decode) is real.
+/** Multimodal-column operators: media travel as opaque `binary` columns
+  * with typed metadata, and the decode / resize kernels are REAL JVM
+  * codecs (`javax.imageio` — PNG/JPEG/GIF/BMP, no external deps), run
+  * partition-local with no shuffle.
   *
   * In a Python deployment these per-partition transforms would be
   * `mapInPandas` Pandas-UDF batches; this library is Scala-native, so
@@ -18,7 +21,20 @@ import org.apache.spark.sql.types._
   *
   * At scale: binary payloads stay columnar in parquet; metadata-only
   * queries never read the payload column (column pruning), and every
-  * transform here runs per-partition with no shuffle.
+  * transform here runs per-partition with no shuffle. Decode failures
+  * (corrupt/unknown payloads) yield NULL columns, never a task failure
+  * — at 100 TB some payloads WILL be corrupt.
+  *
+  * The synthetic-metadata paths ([[mediaMeta]], [[frameSample]]) remain
+  * digest-derived: the test corpus has no real media column, so their
+  * width/height/frame-count columns are deterministic functions of the
+  * payload digest — the cross-engine-replayable stand-in that exercises
+  * the same plan shape (narrow projection, explode below the payload
+  * prune). The REAL codec path is proven end-to-end by
+  * [[encodePng]] → [[decodeImages]]: Spark synthesizes genuine PNG
+  * bytes with known dimensions/pixels and must recover them through an
+  * actual ImageIO decode (queries/LlmQueries.qImageDecode pins this
+  * against a DuckDB replay of the closed-form pixel sums).
   */
 object Multimodal {
 
@@ -30,9 +46,22 @@ object Multimodal {
     StructField("height", LongType),
     StructField("n_frames", LongType)))
 
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("channels", LongType),
+    StructField("px_sum", LongType)))
+
+  private val imageSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
   /** Declarative metadata extraction over a binary payload column:
-    * byte length, sha256, and the stubbed "decoded" dimensions derived
-    * deterministically from the digest. Pure Column ops → codegen. */
+    * byte length, sha256, and digest-derived synthetic dimensions (see
+    * object doc — the testdata has no media column). Pure Column ops →
+    * codegen, no payload decode. */
   def mediaMeta(docs: DataFrame): DataFrame = {
     val bin = encode(col("text"), "UTF-8")
     val sha = sha2(bin, 256)
@@ -40,57 +69,141 @@ object Multimodal {
       col("doc_id"),
       octet_length(bin).cast("long").as("n_bytes"),
       sha.as("sha"),
-      // stubbed decode: dimensions faked from the content digest
       (conv(substring(sha, 1, 4), 16, 10).cast(LongType) % 1024).as("width"),
       (conv(substring(sha, 5, 4), 16, 10).cast(LongType) % 1024).as("height"),
       (conv(substring(sha, 9, 4), 16, 10).cast(LongType) % 31 + 1).as("n_frames"))
   }
 
-  /** Imperative per-partition decode path (the shape a real codec
-    * integration uses): batches rows through a partition-local "decoder".
-    * The decoder here is a deterministic fake over the payload bytes —
-    * swap `fakeDecode` for an actual codec binding in production. */
-  def decodePartitioned(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val out = media.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  /** The deterministic test pattern: pixel (x, y, band) of an image
+    * seeded with `seed` is `(seed + 7x + 13y + 101c) mod 256` — simple
+    * integer arithmetic any engine can replay, so a decode of the
+    * encoded PNG is verifiable from first principles. */
+  @inline def patternValue(seed: Int, x: Int, y: Int, band: Int): Int =
+    (seed + 7 * x + 13 * y + 101 * band) % 256
+
+  /** Synthesize REAL PNG payloads partition-locally: input rows
+    * `(doc_id, w, h, seed)` → `(doc_id, payload)` where payload is a
+    * genuine RGB PNG of the deterministic test pattern. PNG is
+    * lossless, so [[decodeImages]] must recover the exact pixel sums. */
+  def encodePng(specs: DataFrame): DataFrame = {
+    val spark = specs.sparkSession
+    val out = specs.select(col("doc_id"), col("w").cast("int"),
+        col("h").cast("int"), col("seed").cast("int"))
       .rdd.mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { r =>
+          val (id, w, h, seed) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                raster.setSample(x, y, c, patternValue(seed, x, y, c))
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", baos)
+          Row(id, baos.toByteArray)
+        }
+      }
+    spark.createDataFrame(out, imageSchema)
+  }
+
+  /** Real image decode, partition-local: `(idCol, payloadCol)` →
+    * `(doc_id, format, width, height, channels, px_sum)` where px_sum
+    * is the exact sum of every raster sample (all bands — band order
+    * is irrelevant to a sum, which sidesteps BGR/RGB layout variance
+    * across ImageIO readers). Undecodable payloads → NULL columns. */
+  def decodeImages(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col(idCol), col(payloadCol))
+      .rdd.mapPartitions { rows =>
+        ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h) = fakeDecode(payload)
-          Row(id, payload.length, w, h)
+          decodeOne(payload) match {
+            case Some((fmt, img)) =>
+              val raster = img.getRaster
+              val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < nb) { sum += raster.getSample(x, y, b); b += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, fmt, w.toLong, h.toLong, nb.toLong, sum)
+            case None => Row(id, null, null, null, null, null)
+          }
         }
       }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("n_bytes", IntegerType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType))))
+    spark.createDataFrame(out, decodeSchema)
   }
 
-  /** Resize plumbing: per-partition batch transform emitting the target
-    * dimensions plus a deterministic stub of the resized payload digest.
-    * Swap `fakeResize` for a codec binding in production. */
-  def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame = {
+  /** Real resize, partition-local: decode, nearest-neighbor resample to
+    * `(targetW, targetH)` with pure integer source mapping
+    * (`srcX = x * w / targetW` — bit-deterministic, no AWT rendering
+    * pipeline), re-encode as PNG. Output rows are `(doc_id, payload)`
+    * feedable straight back into [[decodeImages]]; undecodable inputs
+    * are dropped (they carry no pixels to resize). */
+  def resizeImages(media: DataFrame, idCol: String, payloadCol: String,
+                   targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
     val spark = media.sparkSession
-    val out = media.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = media.select(col(idCol), col(payloadCol))
       .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]](1)
-          Row(r.getLong(0), width, height, fakeResize(payload, width, height))
+        ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeOne(r.getAs[Array[Byte]](1)).map { case (_, img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val src = img.getRaster
+            val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_3BYTE_BGR)
+            val dstRaster = dst.getRaster
+            val nb = math.min(src.getNumBands, 3)
+            var y = 0
+            while (y < targetH) {
+              val sy = y * h / targetH
+              var x = 0
+              while (x < targetW) {
+                val sx = x * w / targetW
+                var b = 0
+                while (b < nb) {
+                  val v = src.getSample(sx, sy, b)
+                  dstRaster.setSample(x, y, b, v)
+                  // grayscale source: replicate band 0 across RGB
+                  if (nb == 1) { dstRaster.setSample(x, y, 1, v); dstRaster.setSample(x, y, 2, v) }
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(dst, "png", baos)
+            Row(id, baos.toByteArray)
+          }
         }
       }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("resized_sig", LongType))))
+    spark.createDataFrame(out, imageSchema)
   }
 
-  /** Frame-sampling plumbing for video-like payloads: emit one row per
-    * sampled frame index (stubbed frame count from the digest), with a
-    * deterministic per-frame signature. Pure Column ops + explode — no
-    * shuffle, prunes to the payload column only. */
+  /** Frame-sampling plumbing for video-like payloads: one row per
+    * sampled frame index (digest-derived frame count — see object doc),
+    * with pure Column ops + explode: no shuffle, prunes to the payload
+    * column only. */
   def frameSample(media: DataFrame, everyN: Int): DataFrame = {
     val sha = sha2(encode(col("text"), "UTF-8"), 256)
     val nFrames = conv(substring(sha, 9, 4), 16, 10).cast(LongType) % 31 + 1
@@ -100,19 +213,25 @@ object Multimodal {
         (col("sample_idx") * everyN).as("frame_idx"))
   }
 
-  /** Stand-in for a resize; deterministic in (payload, target dims). */
-  private def fakeResize(payload: Array[Byte], w: Int, h: Int): Long = {
-    var acc = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { acc = acc * 31 + payload(i); i += 1 }
-    acc * 31 + w * 7919 + h
-  }
-
-  /** Stand-in for a real image decode; deterministic in the payload. */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int) = {
-    var acc = 17
-    var i = 0
-    while (i < payload.length) { acc = acc * 31 + payload(i); i += 1 }
-    (math.abs(acc % 1024), math.abs((acc / 1024) % 1024))
+  /** One payload through ImageIO: format name + decoded image, or None
+    * for null/corrupt/unrecognized bytes. */
+  private def decodeOne(payload: Array[Byte]): Option[(String, BufferedImage)] = {
+    if (payload == null) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            if (img == null) None else Some((fmt, img))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
   }
 }

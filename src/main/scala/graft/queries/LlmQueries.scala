@@ -608,6 +608,41 @@ object LlmQueries {
       |  ('0x' || substr(sha256(text), 9, 4))::BIGINT % 31 + 1 AS n_frames
       |FROM documents""".stripMargin
 
+  // ---- #34b real image codec round-trip ----
+
+  /** REAL image decode, oracle-gated end-to-end: synthesize a genuine
+    * RGB PNG per document (dims and pixel pattern are simple integer
+    * functions of doc_id), decode it back through javax.imageio, and
+    * emit the recovered format/dims/channels plus the exact sum of
+    * every decoded raster sample. PNG is lossless, so the decode must
+    * reproduce the closed-form pixel sums the DuckDB oracle computes
+    * from first principles — if either the encoder or the decoder
+    * bends a single sample, the hash gate fails. The testdata carries
+    * no media column, so the payloads are synthesized in-flight; the
+    * decode kernel itself is the production path for stored payloads. */
+  def qImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (col("doc_id") % 13 + 1).as("w"),
+      (col("doc_id") % 11 + 1).as("h"),
+      (col("doc_id") % 251).as("seed"))
+    Multimodal.decodeImages(Multimodal.encodePng(specs), "doc_id", "payload")
+  }
+
+  val qImageDecodeSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h,
+      |    doc_id % 251 AS seed FROM documents),
+      |px AS (SELECT doc_id, (seed + 7 * x.i + 13 * y.j + 101 * c.k) % 256 AS v
+      |  FROM d,
+      |    unnest(generate_series(0, w - 1)) AS x(i),
+      |    unnest(generate_series(0, h - 1)) AS y(j),
+      |    unnest(generate_series(0, 2)) AS c(k))
+      |SELECT d.doc_id, 'png' AS format,
+      |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels, s.px_sum
+      |FROM d JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
+      |             FROM px GROUP BY doc_id) s ON d.doc_id = s.doc_id""".stripMargin
+
   // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----
 
   /** One keep/drop verdict per document from the composed filter

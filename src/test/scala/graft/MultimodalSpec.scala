@@ -1,5 +1,9 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
 import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
@@ -17,22 +21,69 @@ class MultimodalSpec extends SparkSpec {
     assert((0 until 3).forall(i => out(i).getLong(5) >= 1 && out(i).getLong(5) <= 31))
   }
 
-  test("decodePartitioned runs the partition-local decoder deterministically") {
+  test("encodePng -> decodeImages: real PNG round-trip recovers dims, channels, exact pixel sums") {
     import spark.implicits._
-    val docs = Seq((1L, "abc"), (2L, "abc"), (3L, "long payload with more bytes"))
-      .toDF("doc_id", "text")
-    val out = Multimodal.decodePartitioned(docs).orderBy("doc_id").collect()
-    assert(out(0).getInt(1) === 3)
-    assert(out(0).getInt(2) === out(1).getInt(2) && out(0).getInt(3) === out(1).getInt(3))
-    assert(out(2).getInt(1) === 28)
+    val specs = Seq((1L, 4, 3, 10), (2L, 1, 1, 250), (3L, 16, 11, 0))
+      .toDF("doc_id", "w", "h", "seed")
+    val png = Multimodal.encodePng(specs)
+    // the payloads are genuine PNGs (magic bytes)
+    val firstBytes = png.orderBy("doc_id").collect()(0).getAs[Array[Byte]](1)
+    assert(firstBytes.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val out = Multimodal.decodeImages(png, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    def expectSum(w: Int, h: Int, seed: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h; c <- 0 until 3)
+        yield Multimodal.patternValue(seed, x, y, c).toLong).sum
+    for ((r, (_, w, h, seed)) <- out.zip(Seq((1L, 4, 3, 10), (2L, 1, 1, 250), (3L, 16, 11, 0)))) {
+      assert(r.getString(1) === "png")
+      assert(r.getLong(2) === w.toLong && r.getLong(3) === h.toLong)
+      assert(r.getLong(4) === 3L)
+      assert(r.getLong(5) === expectSum(w, h, seed), s"pixel sum for w=$w h=$h seed=$seed")
+    }
   }
 
-  test("resizeStub emits target dims with deterministic signature") {
+  test("decodeImages: JPEG decodes with true dims; corrupt payloads yield NULLs, not failures") {
     import spark.implicits._
-    val docs = Seq((1L, "abc"), (2L, "abc")).toDF("doc_id", "text")
-    val out = graft.operators.Multimodal.resizeStub(docs, 224, 224).orderBy("doc_id").collect()
-    assert(out(0).getInt(1) === 224 && out(0).getInt(2) === 224)
-    assert(out(0).getLong(3) === out(1).getLong(3))
+    // a real JPEG written by ImageIO (lossy: check dims/channels, not sums)
+    val img = new BufferedImage(7, 5, BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 7; y <- 0 until 5; c <- 0 until 3)
+      img.getRaster.setSample(x, y, c, (x * 40 + y * 9 + c * 3) % 256)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    val rows = Seq(
+      (1L, baos.toByteArray),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, Array.empty[Byte]),
+      (4L, null: Array[Byte])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(rows, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1).startsWith("jp")) // "jpeg"/"jpg" per reader
+    assert(out(0).getLong(2) === 7L && out(0).getLong(3) === 5L && out(0).getLong(4) === 3L)
+    for (i <- 1 to 3; j <- 1 to 5) assert(out(i).isNullAt(j), s"row $i col $j should be NULL")
+  }
+
+  test("resizeImages: nearest-neighbor target dims, deterministic, re-decodable as PNG") {
+    import spark.implicits._
+    val specs = Seq((1L, 8, 6, 42), (2L, 3, 3, 7)).toDF("doc_id", "w", "h", "seed")
+    val png = Multimodal.encodePng(specs)
+    val resized = Multimodal.resizeImages(png, "doc_id", "payload", 4, 3)
+    val out = Multimodal.decodeImages(resized, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    // nearest-neighbor reference: dst(x,y,c) = src(x*w/4, y*h/3, c)
+    def expectSum(w: Int, h: Int, seed: Int): Long =
+      (for (x <- 0 until 4; y <- 0 until 3; c <- 0 until 3)
+        yield Multimodal.patternValue(seed, x * w / 4, y * h / 3, c).toLong).sum
+    for ((r, (_, w, h, seed)) <- out.zip(Seq((1L, 8, 6, 42), (2L, 3, 3, 7)))) {
+      assert(r.getString(1) === "png")
+      assert(r.getLong(2) === 4L && r.getLong(3) === 3L && r.getLong(4) === 3L)
+      assert(r.getLong(5) === expectSum(w, h, seed))
+    }
+    // resize is deterministic: run twice, identical payload bytes
+    val a = resized.orderBy("doc_id").collect().map(_.getAs[Array[Byte]](1).toSeq)
+    val b = Multimodal.resizeImages(png, "doc_id", "payload", 4, 3)
+      .orderBy("doc_id").collect().map(_.getAs[Array[Byte]](1).toSeq)
+    assert(a.toSeq === b.toSeq)
   }
 
   test("frameSample explodes every Nth frame index") {
