@@ -277,13 +277,14 @@ object CensusQueries {
     * hash-checked cross-engine. */
   def qGeoNta(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Geography
-    import org.apache.spark.sql.expressions.Window
     val ratio = Geography.referenceRatio(spark)
-    // deterministic idx over sorted distinct sources; 2167 rows, so the
-    // single-partition rank window is a bounded reference-data step
-    val ids = ratio.select(col("geoid_ct2010")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy("geoid_ct2010")) - 1)
-      .where(col("idx") < 2000)
+    // deterministic idx over sorted distinct sources, zipped DRIVER-side:
+    // the crosswalk is a bundled driver Seq (~2.2k rows), so indexing it
+    // in Scala avoids a single-partition global rank window in the plan
+    val ids = spark.createDataFrame(
+        Geography.referenceRatioRows.map(_._2).distinct.sorted.zipWithIndex
+          .collect { case (ct10, idx) if idx < 2000 => (ct10, idx) })
+      .toDF("geoid_ct2010", "idx")
     val l = Tables(spark, dir).lineitem
     val facts = l.join(broadcast(ids), (col("l_orderkey") % 2000) === col("idx"))
       .select(col("geoid_ct2010").as("census_geoid"),
