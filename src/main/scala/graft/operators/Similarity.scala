@@ -255,7 +255,23 @@ object Similarity {
   }
 
   /** Whole trainer: deterministic seeds + `iters` Lloyd's rounds →
-    * the coarse codebook for [[ivfTopK]]/[[ivfTopKProbed]]. */
-  def kmeansFit(vectors: DataFrame, k: Int, iters: Int): Seq[Array[Float]] =
-    kmeansIterate(vectors, kmeansInit(vectors, k), iters)
+    * the coarse codebook for [[ivfTopK]]/[[ivfTopKProbed]].
+    *
+    * `cacheInput = true` persists the narrow (vec_id, embedding)
+    * projection (MEMORY_AND_DISK) for the seeds scan + every Lloyd's
+    * round, then unpersists — the iterative-loop idiom Dedup's cluster
+    * loops use. Default OFF: at the 100 TB design point the corpus
+    * usually exceeds cluster storage and re-reading the pruned parquet
+    * column is the cheaper, spill-proof plan; turn it on when the
+    * embedding column fits memory/disk. Results are identical either
+    * way (the fixed-point sums make the trajectory layout-independent). */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int,
+                cacheInput: Boolean = false): Seq[Array[Float]] = {
+    val input =
+      if (!cacheInput) vectors
+      else vectors.select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansIterate(input, kmeansInit(input, k), iters)
+    finally if (cacheInput) input.unpersist(blocking = false)
+  }
 }

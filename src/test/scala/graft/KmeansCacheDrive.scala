@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** One-off measurement driver for the kmeansFit cacheInput knob:
+  * trains the same codebook with and without the persisted input and
+  * prints wall times (min of 3). Run with
+  *   sbt "Test/runMain graft.KmeansCacheDrive /root/testdata/sf0.1"
+  */
+object KmeansCacheDrive {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("kmeans-cache-drive").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      val v = Tables(spark, dir).embeddings
+      def time(cache: Boolean): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.kmeansFit(v, k = 8, iters = 4, cacheInput = cache)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val cold = time(cache = false)
+      val warm = time(cache = true)
+      // determinism cross-check while we're here
+      val a = Similarity.kmeansFit(v, 8, 4, cacheInput = false)
+      val b = Similarity.kmeansFit(v, 8, 4, cacheInput = true)
+      require(a.map(_.toSeq) == b.map(_.toSeq), "cacheInput changed the codebook!")
+      println(f"[kmeans-cache] no-cache=${cold}%.2fs cache=${warm}%.2fs (k=8 iters=4, min of 3; codebooks identical)")
+    } finally spark.stop()
+  }
+}
