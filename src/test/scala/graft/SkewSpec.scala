@@ -49,6 +49,48 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("power-law 100:1 hot key: salting splits the hot key across bounded buckets") {
+    import spark.implicits._
+    // 100:1 skew — one key carries 5000 rows, 50 cold keys carry 50 each
+    val hotN = 5000; val buckets = 16
+    val facts = ((1 to hotN).map(i => ("hot", i.toLong, s"p$i")) ++
+      (1 to 2500).map(i => (s"cold${i % 50}", (hotN + i).toLong, s"p$i")))
+      .toDF("key", "row_id", "payload")
+    val sizes = facts.withColumn("__salt", Skew.salt(buckets, col("row_id")))
+      .groupBy("key", "__salt").count()
+    val hotSizes = sizes.where(col("key") === "hot").collect().map(_.getLong(2))
+    // every bucket participates, and no reducer sees more than 2x the
+    // uniform share of the hot key (md5 spread) — the bound that keeps a
+    // 100 TB hot key from pinning one reducer
+    assert(hotSizes.length === buckets, "hot key must spread across ALL salt buckets")
+    val share = hotN.toDouble / buckets
+    assert(hotSizes.max <= 2 * share,
+      s"max per-bucket ${hotSizes.max} exceeds 2x uniform share $share")
+    assert(hotSizes.sum === hotN)
+    // and the salted join still equals the plain join under this skew
+    val d = (Seq("hot") ++ (0 until 50).map(i => s"cold$i")).zipWithIndex.toDF("key", "dim_val")
+    val plain = facts.join(d, Seq("key")).count()
+    assert(Skew.saltedJoin(facts, d, "key", buckets, Seq("row_id")).count() === plain)
+  }
+
+  test("dedup df-cap: a 100x-hot boilerplate shingle cannot manufacture pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 100 documents share ONE boilerplate sentence (their only overlap);
+    // two extra docs are genuine near-dups through rare shingles
+    val boiler = "all rights reserved contact us for licensing terms today"
+    val docs = ((0 until 100).map(i =>
+      (i.toLong, s"$boiler unique body $i content ${i * 31} filler ${i * 7} tail ${i * 13}")) ++
+      Seq((200L, "rare alpha beta gamma delta epsilon zeta eta theta"),
+          (201L, "rare alpha beta gamma delta epsilon zeta eta theta iota")))
+      .toDF("doc_id", "text").withColumn("bucket", lit("b"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "bucket", threshold = 0.3, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // without the cap the boilerplate shingles alone emit 100*99/2 join
+    // rows; with it, only the true near-dup pair survives
+    assert(pairs.toSeq === Seq((200L, 201L)))
+  }
+
   test("saltedDistinctCount keeps keys whose values are all NULL (count 0)") {
     import spark.implicits._
     val d = Seq(("a", None: Option[String]), ("b", Some("x")), ("b", None))
