@@ -435,4 +435,106 @@ class CalculateSpec extends SparkSpec {
     assert(r.getDouble(4) === 72000.0 && r.getDouble(5) === 3500.0)
     assert(r.getDouble(6) === 72.1 && r.getDouble(7) === 3.3)
   }
+
+  // ---- reference tests/test_calculate.py, pinned as routing fixtures ----
+  // The reference file is network-bound smoke (`assert True`); what it
+  // actually exercises is the variable x geotype DISPATCH matrix of
+  // calculate(), which these tests pin with synthetic downloads. A
+  // geotype in aggregated_geography (NTA/CDTA/CT20, 2010_to_2020.py:222)
+  // means a vertical translator is present — modeled here by a marker
+  // translator that doubles e, so "the translator wrapped this path" is
+  // observable in the output.
+
+  private lazy val reg19 = VariableRegistry.acs2019
+  private lazy val calcRef = new Calculate(reg19)
+  private val doubleE: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.withColumn("e", col("e") * 2)
+
+  test("test_calculate: mdage routes published at city, binned median at NTA") {
+    val md = reg19.medianByName("mdage")
+    val binRows = md.inputVariables.map(v =>
+      (("g1", reg19.byName(v).censusVariables.head, if (v == "mdpop25t29") 200.0 else 0.0, 1.0)))
+    val d = dl(binRows :+ (("g1", "DP05_0018", 35.0, 1.5)): _*)
+    // city (non-aggregated): the published DP05_0018 profile row
+    assert(calcRef.cempz(d, "mdage").collect()(0).getDouble(4) === 35.0)
+    // NTA (translator present): the binned interpolated median
+    val binned = calcRef.emMedian(d, "mdage").collect()(0).getDouble(3)
+    assert(binned !== 35.0)
+    assert(calcRef.cempz(d, "mdage", Some(df => df)).collect()(0).getDouble(4) === binned)
+  }
+
+  test("test_calculate: pop_1 at city is a profile-only published passthrough") {
+    val d = dl(("g1", "DP05_0001", 8000.0, 100.0))
+    val r = calcRef.cempz(d, "pop_1").collect()(0)
+    assert(r.getDouble(4) === 8000.0 && r.getDouble(5) === 100.0)
+    assert(math.abs(r.getDouble(3) - 100.0 / 1.645 / 8000.0 * 100) < 1e-12) // c
+    assert(r.isNullAt(6) && r.isNullAt(7)) // no published p/z in the download
+  }
+
+  test("test_calculate: mnhhinc routes published at city, special ratio at NTA") {
+    val inputs = reg19.specialByName("mnhhinc").baseVariables
+    val d = dl(inputs.zipWithIndex.map { case (v, i) =>
+      (("g1", reg19.byName(v).censusVariables.head, 1000.0 * (i + 1), 10.0)) } :+
+      (("g1", "DP03_0063", 91000.0, 800.0)): _*)
+    // city: the published DP03_0063 row, NOT the derived ratio
+    assert(calcRef.cempz(d, "mnhhinc").collect()(0).getDouble(4) === 91000.0)
+    // NTA: the special ratio path (same value emSpecial derives)
+    val special = calcRef.emSpecial(d, "mnhhinc").collect()(0).getDouble(3)
+    assert(special !== 91000.0)
+    assert(calcRef.cempz(d, "mnhhinc", Some(df => df)).collect()(0).getDouble(4) === special)
+  }
+
+  test("test_calculate: asn1rc tract/borough plain; CT20/CDTA wrapped by the translator") {
+    val d = dl(("g1", "B02015_001", 500.0, 25.0))
+    assert(calcRef.cempz(d, "asn1rc").collect()(0).getDouble(4) === 500.0)
+    val translated = calcRef.cempz(d, "asn1rc", Some(doubleE)).collect()(0)
+    assert(translated.getDouble(4) === 1000.0, "CT20 path must flow through the translator")
+  }
+
+  test("test_calculate_e_m_p_z: f16pl passes published p/z through at tract and city") {
+    import spark.implicits._
+    val d = Seq(("g1", "tract", "DP03_0010", 2500.0, 80.0, 61.2, 1.9))
+      .toDF("census_geoid", "geotype", "census_variable", "e", "m", "p", "z")
+    val r = calcRef.cempz(d, "f16pl").collect()(0)
+    assert(r.getDouble(4) === 2500.0 && r.getDouble(5) === 80.0)
+    assert(r.getDouble(6) === 61.2 && r.getDouble(7) === 1.9)
+  }
+
+  test("test_calculate: mdemftwrk routes published at borough, binned median at CT20") {
+    val md = reg19.medianByName("mdemftwrk")
+    val binRows = md.inputVariables.map(v =>
+      (("g1", reg19.byName(v).censusVariables.head, 100.0, 2.0)))
+    val d = dl(binRows :+ (("g1", "DP03_0093", 61234.0, 900.0)): _*)
+    assert(calcRef.cempz(d, "mdemftwrk").collect()(0).getDouble(4) === 61234.0)
+    val binned = calcRef.emMedian(d, "mdemftwrk").collect()(0).getDouble(3)
+    assert(calcRef.cempz(d, "mdemftwrk", Some(df => df)).collect()(0).getDouble(4) === binned)
+    assert(binned !== 61234.0)
+  }
+
+  test("test_calculate: wrkr16pl and prdtrnsmm at CT20 bypass profile-only routing") {
+    // both are single-DP (profile-only) variables; under a translator the
+    // published shortcut is gated off (calculate.py:218-221) and the plain
+    // path runs, including prdtrnsmm's p/z against its cvem16pl2 base
+    val d = dl(
+      ("g1", "DP03_0018", 3000.0, 60.0),  // wrkr16pl
+      ("g1", "DP03_0031", 450.0, 20.0),   // prdtrnsmm
+      ("g1", "DP03_0026", 2900.0, 55.0))  // cvem16pl2 (prdtrnsmm's base)
+    val w = calcRef.cempz(d, "wrkr16pl", Some(doubleE)).collect()(0)
+    assert(w.getDouble(4) === 6000.0, "translator must wrap wrkr16pl's plain path")
+    val p = calcRef.cempz(d, "prdtrnsmm", Some(doubleE)).collect()(0)
+    assert(p.getDouble(4) === 900.0)
+    // p is ratio of two doubled sides = undoubled ratio
+    assert(math.abs(p.getDouble(6) - 450.0 / 2900.0 * 100) < 1e-12)
+  }
+
+  test("test_calculate_e_m_multiprocessing: mdpop10t14 at borough is a plain two-variable sum") {
+    val d = dl(
+      ("g1", "B01001_005", 120.0, 9.0),
+      ("g1", "B01001_029", 130.0, 12.0),
+      ("g1", "DP05_0018", 35.0, 1.5)) // mdage, its percent base
+    val r = calcRef.cempz(d, "mdpop10t14").collect()(0)
+    assert(r.getDouble(4) === 250.0)
+    assert(math.abs(r.getDouble(5) - math.sqrt(9.0 * 9.0 + 12.0 * 12.0)) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 250.0 / 35.0 * 100) < 1e-9) // p vs published mdage
+  }
 }

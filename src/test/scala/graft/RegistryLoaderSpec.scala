@@ -119,4 +119,37 @@ class RegistryLoaderSpec extends AnyFunSuite {
       assert(r2019.byName.contains(s"${v}_pct"), v)
     }
   }
+
+  // ---- reference tests/test_metadata.py, pinned as loader fixtures ----
+
+  test("test_metadata: the four classification lists cover the test_calculate variables") {
+    // membership the reference's smoke tests print; pinned here so a
+    // loader regression that silently reclassifies a variable fails loud
+    assert(Seq("f16pl", "wrkr16pl", "prdtrnsmm", "pop_1", "mnhhinc", "mdage")
+      .forall(r2019.profileOnlyVariables.contains), "single-DP variables are profile-only")
+    // the hardcoded exceptions (metadata.py:50-61) are NOT profile-only
+    assert(Seq("pbwpv", "pu18bwpv", "p65plbwpv", "hh5", "abroad")
+      .forall(v => !r2019.profileOnlyVariables.contains(v)))
+    assert(Seq("mdage", "asn1rc", "f16pl", "cvem16pl2")
+      .forall(r2019.baseVariables.contains))
+    assert(r2019.medianVariables.contains("mdemftwrk"))
+    assert(r2019.specialVariables.contains("mnhhinc"))
+    assert(!r2019.medianVariables.contains("mnhhinc"))
+  }
+
+  test("test_create_variable / test_create_census_variables: pop_1 and E/M pairing") {
+    val v = r2019.byName("pop_1")
+    assert(v.pffVariable === "pop_1")
+    assert(v.censusVariables === Seq("DP05_0001"))
+    // len(E) == len(M) == len(census_variable), with the E/M suffix rule
+    Seq("pop_1", "mdpop10t14", "asn1rc").foreach { name =>
+      val x = r2019.byName(name)
+      assert(x.eVariables.length === x.censusVariables.length, name)
+      assert(x.eVariables.length === x.mVariables.length, name)
+      assert(x.eVariables.forall(_.endsWith("E")), name)
+      assert(x.mVariables.forall(_.endsWith("M")), name)
+    }
+    assert(r2019.byName("mdpop10t14").eVariables === Seq("B01001_005E", "B01001_029E"))
+    assert(r2019.byName("mdpop10t14").baseVariable === Some("mdage"))
+  }
 }
