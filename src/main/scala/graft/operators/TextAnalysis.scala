@@ -128,4 +128,33 @@ object TextAnalysis {
       .withColumn("h", Portable.h60(concat_ws(":", col("w"), col("pos") % 16)))
       .groupBy(col("doc_id"))
       .agg(expr("bit_xor(h)").as("fingerprint"))
+
+  /** Composed C4/Gopher-style keep/drop verdict per document: length
+    * band, punctuation ceiling, stopword floor, repetition ceilings,
+    * language gate — each rule's flag emitted so a corpus report can
+    * attribute drops. Rules compare only 6-digit-rounded columns, so
+    * the verdict is as cross-engine-stable as its inputs. Documents too
+    * short to have bigrams miss the repetition frame (left join): their
+    * NULL repetition flags read as failed, matching the length rule
+    * that already drops them. Every metric is a PER-DOCUMENT function,
+    * so the verdict is independent of the rest of the corpus — the
+    * property the streaming twin (streaming/Streams.qualityFilterStream)
+    * relies on. */
+  def qualityVerdict(docs: DataFrame): DataFrame = {
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    quality(docs)
+      .join(repetition(docs)
+        .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac")),
+        Seq("doc_id"), "left")
+      .join(langId(docs).select(col("doc_id"), col("pred_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        flag(col("n_words") >= 10 && col("n_words") <= 100000).as("len_ok"),
+        flag(col("punct_ratio") <= 0.3).as("punct_ok"),
+        flag(col("stopword_ratio") >= 0.03).as("stop_ok"),
+        flag(col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.2).as("rep_ok"),
+        flag(col("pred_lang") === "en").as("lang_ok"))
+      .withColumn("keep",
+        col("len_ok") * col("punct_ok") * col("stop_ok") * col("rep_ok") * col("lang_ok"))
+  }
 }

@@ -646,32 +646,10 @@ object LlmQueries {
   // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----
 
   /** One keep/drop verdict per document from the composed filter
-    * pipeline — length band, punctuation ceiling, stopword floor,
-    * repetition ceilings (Gopher-style), language gate — with each
-    * rule's flag emitted so a corpus report can attribute drops.
-    * Rules compare only 6-digit-rounded columns, so the verdict is as
-    * cross-engine-stable as its inputs. Documents too short to have
-    * bigrams miss the repetition frame (left join): their NULL
-    * repetition flags read as failed, matching the length rule that
-    * already drops them. */
-  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
-    TextAnalysis.quality(docs)
-      .join(TextAnalysis.repetition(docs)
-        .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac")),
-        Seq("doc_id"), "left")
-      .join(TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"),
-        flag(col("n_words") >= 10 && col("n_words") <= 100000).as("len_ok"),
-        flag(col("punct_ratio") <= 0.3).as("punct_ok"),
-        flag(col("stopword_ratio") >= 0.03).as("stop_ok"),
-        flag(col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.2).as("rep_ok"),
-        flag(col("pred_lang") === "en").as("lang_ok"))
-      .withColumn("keep",
-        col("len_ok") * col("punct_ok") * col("stop_ok") * col("rep_ok") * col("lang_ok"))
-  }
+    * pipeline (operators/TextAnalysis.qualityVerdict — see its doc for
+    * the rule set and NULL semantics). */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityVerdict(Tables(spark, dir).documents)
 
   val qQualityFilterSql: String =
     s"""SELECT q.doc_id, q.n_words,

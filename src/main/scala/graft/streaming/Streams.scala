@@ -49,6 +49,27 @@ object Streams {
                              salt: String = "strat"): DataFrame =
     graft.operators.Sampling.stratifiedSample(docs, idCol, stratumCol, fractions, salt)
 
+  /** Streaming twin of the composed quality filter
+    * (operators/TextAnalysis.qualityVerdict): every component metric is
+    * a per-document function, so a doc's verdict never depends on the
+    * rest of the stream — but the batch composition computes
+    * repetition/langId via explode + groupBy, which on a raw stream
+    * would be an unbounded stateful aggregate. foreachBatch runs the
+    * IDENTICAL batch composition on each bounded micro-batch: per-doc
+    * semantics make batch boundaries invisible in the output, state
+    * stays zero, and parity with the batch operator holds by
+    * construction (same code object). The caller supplies the sink
+    * (`writeBatch`) and starts the returned writer with its own
+    * trigger/checkpoint options. */
+  def qualityFilterStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "qualityFilterStream is streaming-only: use TextAnalysis.qualityVerdict for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.qualityVerdict(batch), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

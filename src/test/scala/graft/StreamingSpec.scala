@@ -59,6 +59,35 @@ class StreamingSpec extends SparkSpec {
     assert(quality(2L) < quality(1L) && quality(2L) < quality(3L))
   }
 
+  test("qualityFilterStream: composed verdict matches batch across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more words here to pass", "en"),
+      (2L, "!!! ??? ### $$$", "en"),
+      (3L, "dup dup dup dup dup dup dup dup dup dup dup dup", "en"),
+      (4L, "a solid paragraph of plain text with enough words in it to score well on the rules", "en"),
+      (5L, "le renard brun rapide saute par dessus le chien paresseux avec des mots en plus", "fr"))
+    val input = MemoryStream[(Long, String, String)]
+    // two micro-batches: the verdict must not care where the split lands
+    input.addData(docs.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.qualityFilterStream(input.toDF().toDF("doc_id", "text", "lang")) {
+      (verdicts, _) => acc.synchronized { acc ++= verdicts.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.qualityVerdict(docs.toDF("doc_id", "text", "lang"))
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getLong(0)).toSeq === batch)
+    // both verdicts occur and the junk/repetitious/foreign docs drop
+    val keep = batch.map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(keep(1L) === 1L && keep(4L) === 1L)
+    assert(keep(2L) === 0L && keep(3L) === 0L && keep(5L) === 0L)
+  }
+
   test("stratifiedSampleStream admits exactly the batch sample, replay-stable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
