@@ -85,6 +85,8 @@ object SparkEntry {
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
     "q_image_decode" -> (L.qImageDecode _),
+    // real WKB geometry decode round-trip (encode WKB -> wkb_rings -> coord sums)
+    "q_wkb_decode" -> (G.qWkbDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,5 +154,6 @@ object SparkEntry {
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,
+    "q_wkb_decode" -> G.qWkbDecodeSql,
   )
 }

@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** WKB (well-known binary) geometry codec — the ingest half the
+  * geolookup builder previously left external (reference
+  * geolookup/2020/run.sh pipes shapefiles through shp2pgsql into
+  * PostGIS WKB; README "what stays external"). With this, WKB-bytes
+  * geometry columns decode straight to the rings-as-doubles model
+  * ([[PointInRings]]/[[PolygonCentroid]]'s input) inside a Spark
+  * projection — no external toolchain.
+  *
+  * Format support (the subset vector basemaps actually use):
+  * Polygon (type 3) and MultiPolygon (type 6), both byte orders,
+  * ISO WKB Z/M variants (+1000-style codes; extra ordinates skipped)
+  * and PostGIS EWKB flag bits (Z/M/SRID — the embedded SRID is read
+  * and discarded). Ring closing vertices (WKB repeats the first
+  * point last) are stripped: the rings model is implicitly closed.
+  * Malformed/unsupported bytes decode to NULL, never a task failure —
+  * corrupt rows are a fact of bulk geometry ingest.
+  */
+object Wkb {
+
+  private val TypePolygon = 3
+  private val TypeMultiPolygon = 6
+  private val EwkbZ = 0x80000000
+  private val EwkbM = 0x40000000
+  private val EwkbSrid = 0x20000000
+
+  /** Decode one WKB value to polygons → rings → flat [x0,y0,x1,y1,...]
+    * coordinates. A Polygon decodes to length 1; null on malformed or
+    * non-(Multi)Polygon input. */
+  def decode(bytes: Array[Byte]): Array[Array[Array[Double]]] = {
+    if (bytes == null || bytes.length < 9) return null
+    try {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = readGeometry(bb)
+      if (bb.hasRemaining) null else out // trailing garbage = malformed
+    } catch { case _: Exception => null }
+  }
+
+  private def readGeometry(bb: ByteBuffer): Array[Array[Array[Double]]] = {
+    bb.order(if (bb.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val rawType = bb.getInt()
+    // EWKB carries Z/M/SRID as high flag bits; ISO encodes Z/M in the
+    // thousands digit (1003 = PolygonZ). Mask the flag bits BEFORE the
+    // thousands-digit read or an EWKB SRID reads as a bogus ISO M.
+    val isoDim = (rawType & 0x1fffffff) / 1000 // 0 plain, 1 Z, 2 M, 3 ZM
+    val hasZ = (rawType & EwkbZ) != 0 || isoDim == 1 || isoDim == 3
+    val hasM = (rawType & EwkbM) != 0 || isoDim == 2 || isoDim == 3
+    if ((rawType & EwkbSrid) != 0) bb.getInt() // embedded SRID: skip
+    val extraOrdinates = (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
+    (rawType & 0x1fffffff) % 1000 match {
+      case TypePolygon => Array(readPolygonBody(bb, extraOrdinates))
+      case TypeMultiPolygon =>
+        // each element is a full WKB geometry with its own header
+        Array.fill(bb.getInt()) {
+          val sub = readGeometry(bb)
+          require(sub != null && sub.length == 1, "MultiPolygon element must be a Polygon")
+          sub(0)
+        }
+      case _ => null
+    }
+  }
+
+  private def readPolygonBody(bb: ByteBuffer, extra: Int): Array[Array[Double]] =
+    Array.fill(bb.getInt()) {
+      val nPoints = bb.getInt()
+      val coords = new Array[Double](2 * nPoints)
+      var i = 0
+      while (i < nPoints) {
+        coords(2 * i) = bb.getDouble()
+        coords(2 * i + 1) = bb.getDouble()
+        var e = 0
+        while (e < extra) { bb.getDouble(); e += 1 }
+        i += 1
+      }
+      // strip the closing vertex: the rings model is implicitly closed
+      if (nPoints >= 2 && coords(0) == coords(2 * nPoints - 2) &&
+          coords(1) == coords(2 * nPoints - 1))
+        java.util.Arrays.copyOf(coords, 2 * (nPoints - 1))
+      else coords
+    }
+
+  /** Encode a polygon (rings of (x, y) vertices, NOT pre-closed — the
+    * closing vertex is appended per the WKB spec). */
+  def encodePolygon(rings: Seq[Seq[(Double, Double)]], littleEndian: Boolean): Array[Byte] = {
+    val size = 9 + rings.map(r => 4 + 16 * (r.length + 1)).sum
+    val bb = ByteBuffer.allocate(size)
+    writePolygon(bb, rings, littleEndian)
+    bb.array()
+  }
+
+  /** Encode a MultiPolygon of polygons-of-rings. */
+  def encodeMultiPolygon(polys: Seq[Seq[Seq[(Double, Double)]]],
+                         littleEndian: Boolean): Array[Byte] = {
+    val size = 9 + polys.map(p => 9 + p.map(r => 4 + 16 * (r.length + 1)).sum).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.put(if (littleEndian) 1.toByte else 0.toByte)
+    bb.putInt(TypeMultiPolygon)
+    bb.putInt(polys.length)
+    polys.foreach(writePolygon(bb, _, littleEndian))
+    bb.array()
+  }
+
+  private def writePolygon(bb: ByteBuffer, rings: Seq[Seq[(Double, Double)]],
+                           littleEndian: Boolean): Unit = {
+    bb.order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.put(if (littleEndian) 1.toByte else 0.toByte)
+    bb.putInt(TypePolygon)
+    bb.putInt(rings.length)
+    rings.foreach { r =>
+      bb.putInt(r.length + 1)
+      (r :+ r.head).foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+    }
+  }
+
+  /** Catalyst-internal form, shared by interpreted eval and codegen. */
+  def decodeToArrayData(bytes: Array[Byte]): ArrayData = {
+    val polys = decode(bytes)
+    if (polys == null) null
+    else new GenericArrayData(polys.map(rings =>
+      new GenericArrayData(rings.map(c =>
+        new GenericArrayData(c).asInstanceOf[Any])).asInstanceOf[Any]))
+  }
+}
+
+/** `wkb_rings(binary)` → `array<array<array<double>>>` (polygons →
+  * rings → flat coords), the [[PointInRings]] geometry model, as a
+  * native expression: decode runs inside whole-stage codegen via a
+  * static call, so bulk geometry ingest is one narrow projection over
+  * the parquet scan. NULL for malformed bytes. */
+case class WkbRings(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false), containsNull = false)
+  // malformed bytes yield NULL even when the child is non-nullable
+  override def nullable: Boolean = true
+  override def prettyName: String = "wkb_rings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Wkb.decodeToArrayData(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Wkb.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = $cls.decodeToArrayData($b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WkbOps {
+  /** Column API: decode a WKB binary column to the rings model. */
+  def wkbRings(wkb: Column): Column =
+    GraftShim.column(WkbRings(GraftShim.expression(wkb)))
+}

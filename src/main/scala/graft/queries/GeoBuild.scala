@@ -179,4 +179,68 @@ object GeoBuild {
        |  RIGHT JOIN tracts t ON b.borocode || b.ct2020 = t.boroct2020
        |  LEFT JOIN flags f ON b.bk = f.bk""".stripMargin
   }
+
+  // ---- #56 WKB geometry decode, oracle-gated end-to-end ----
+
+  /** REAL WKB decode through the [[graft.functions.WkbRings]] codegen
+    * expression, gated like q_image_decode: synthesize genuine WKB
+    * bytes per document — a rectangle polygon whose coordinates are
+    * integer functions of doc_id, an interior hole ring for odd ids,
+    * a second polygon (MultiPolygon) when doc_id % 5 == 0, and BOTH
+    * byte orders (big-endian when doc_id % 3 == 0) — decode them back
+    * in a projection, and emit ring/point counts and exact coordinate
+    * sums. The DuckDB oracle computes the same values from the closed
+    * form; a single bent byte, ordinate, or ring fails the hash gate.
+    * Coordinates are integer-valued doubles, so the sums are exact in
+    * any order — no rounding needed. */
+  def qWkbDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.{Wkb, WkbOps}
+    val specs = Tables(spark, dir).documents.select(col("doc_id"))
+    val wkb = spark.createDataFrame(
+      specs.rdd.map { r =>
+        val id = r.getLong(0)
+        val s = (id % 97).toDouble
+        val exterior = Seq((s, s), (s + 10, s), (s + 10, s + 20), (s, s + 20))
+        val hole = Seq((s + 2, s + 2), (s + 4, s + 2), (s + 4, s + 6), (s + 2, s + 6))
+        val rings = if (id % 2 == 1) Seq(exterior, hole) else Seq(exterior)
+        val little = id % 3 != 0
+        val bytes =
+          if (id % 5 == 0) {
+            val far = Seq((s + 100, s + 100), (s + 105, s + 100),
+              (s + 105, s + 105), (s + 100, s + 105))
+            Wkb.encodeMultiPolygon(Seq(rings, Seq(far)), little)
+          } else Wkb.encodePolygon(rings, little)
+        Row(id, bytes)
+      },
+      StructType(Seq(StructField("doc_id", LongType), StructField("wkb", BinaryType))))
+    val coords = flatten(flatten(WkbOps.wkbRings(col("wkb"))))
+    wkb.select(col("doc_id"), WkbOps.wkbRings(col("wkb")).as("geom"), coords.as("c"))
+      .select(col("doc_id"),
+        size(col("geom")).cast("long").as("n_polys"),
+        aggregate(transform(col("geom"), p => size(p)), lit(0),
+          (a, n) => a + n).cast("long").as("n_rings"),
+        (size(col("c")) / 2).cast("long").as("n_points"),
+        aggregate(evenIdx(col("c")), lit(0.0), (a, v) => a + v).as("x_sum"),
+        aggregate(oddIdx(col("c")), lit(0.0), (a, v) => a + v).as("y_sum"))
+  }
+
+  /** Even-index (x) coordinates of an interleaved [x0,y0,x1,y1,...] array. */
+  private def evenIdx(c: Column): Column = filter(c, (_, i) => i % 2 === 0)
+  /** Odd-index (y) coordinates of an interleaved flat coords array. */
+  private def oddIdx(c: Column): Column = filter(c, (_, i) => i % 2 === 1)
+
+  val qWkbDecodeSql: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS s,
+      |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS hole,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS multi
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(1 + multi AS BIGINT) AS n_polys,
+      |  CAST(1 + hole + multi AS BIGINT) AS n_rings,
+      |  CAST(4 * (1 + hole + multi) AS BIGINT) AS n_points,
+      |  (4*s + 20) + hole * (4*s + 12) + multi * (4*s + 410) AS x_sum,
+      |  (4*s + 40) + hole * (4*s + 16) + multi * (4*s + 410) AS y_sum
+      |FROM d""".stripMargin
 }

@@ -43,6 +43,49 @@ class GeoLookupSpec extends SparkSpec {
     assert(probe(5.0, 4.0, Array(square, concave)))
   }
 
+  test("wkb: polygon/multipolygon round-trip, both endiannesses, EWKB/ISO variants, malformed -> null") {
+    import graft.functions.{Wkb, WkbOps}
+    val rings = Seq(
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+      Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)))
+    for (little <- Seq(true, false)) {
+      val poly = Wkb.decode(Wkb.encodePolygon(rings, little))
+      assert(poly.length === 1, s"little=$little")
+      assert(poly(0).map(_.toSeq).toSeq ===
+        rings.map(_.flatMap(p => Seq(p._1, p._2))), s"little=$little")
+      val multi = Wkb.decode(Wkb.encodeMultiPolygon(
+        Seq(rings, Seq(Seq((9.0, 9.0), (10.0, 9.0), (10.0, 10.0)))), little))
+      assert(multi.length === 2 && multi(1)(0).toSeq === Seq(9.0, 9.0, 10.0, 9.0, 10.0, 10.0))
+    }
+    // EWKB: SRID flag + embedded srid before the body (PostGIS shp2pgsql shape)
+    val plain = Wkb.encodePolygon(Seq(rings.head), littleEndian = true)
+    val ewkb = java.nio.ByteBuffer.allocate(plain.length + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(3 | 0x20000000).putInt(4326)
+      .put(plain, 5, plain.length - 5).array()
+    assert(Wkb.decode(ewkb)(0)(0).toSeq === Wkb.decode(plain)(0)(0).toSeq)
+    // ISO Z polygon (type 1003): z ordinates skipped
+    val zb = java.nio.ByteBuffer.allocate(9 + 4 + 4 * 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(1003).putInt(1).putInt(4)
+    Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))
+      .foreach { case (x, y) => zb.putDouble(x).putDouble(y).putDouble(7.5) }
+    assert(Wkb.decode(zb.array())(0)(0).toSeq === Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0))
+    // malformed: truncated, garbage, trailing bytes, wrong type
+    assert(Wkb.decode(plain.take(12)) === null)
+    assert(Wkb.decode("not wkb".getBytes) === null)
+    assert(Wkb.decode(plain :+ 0.toByte) === null)
+    assert(Wkb.decode(Array[Byte](1, 1, 0, 0, 0) ++ new Array[Byte](16)) === null)
+    // the expression path: decode inside a projection, feed PointInRings' model
+    import spark.implicits._
+    val df = Seq((1L, Wkb.encodePolygon(rings, littleEndian = true)),
+      (2L, "junk".getBytes)).toDF("id", "wkb")
+      .select(col("id"), WkbOps.wkbRings(col("wkb")).as("geom"))
+      .orderBy("id").collect()
+    assert(df(0).getSeq[Seq[Seq[Double]]](1).length === 1)
+    assert(df(1).isNullAt(1))
+  }
+
   test("pointInRings: structural equality over identical geometry (semanticEquals fuel)") {
     import org.apache.spark.sql.GraftShim
     import graft.functions.PointInRings
