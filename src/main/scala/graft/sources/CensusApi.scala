@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.net.URLEncoder
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.meta.Variable
+
+/** The census API client half of the reference's `Download` class
+  * (download.py:14-27 + the `census` package it wraps) — everything
+  * except the socket. The HTTP GET is an injected `fetch: String =>
+  * String`, so the full request pipeline (dataset routing, URL
+  * construction, variable chunking, response parsing, multi-dataset
+  * merge, per-county fan-out) is real, testable offline against canned
+  * responses, and goes live by passing
+  * `url => scala.io.Source.fromURL(url).mkString` in a deployment with
+  * egress.
+  *
+  * Endpoint layout (the public api.census.gov convention the `census`
+  * package encodes): detailed tables `{year}/acs/acs5`, data profile
+  * `…/acs/acs5/profile`, subject tables `…/acs/acs5/subject`,
+  * 2010 decennial SF1 `{year}/dec/sf1`. Responses are a JSON array of
+  * arrays, first row = column names, every value a string or null.
+  *
+  * Variable chunking: the API caps `get=` at 50 names per request;
+  * [[ChunkSize]] leaves headroom for NAME. Chunk frames and per-dataset
+  * frames merge on NAME with the duplicated geography columns dropped
+  * from the right side — the reference's pd.merge(on="NAME") shape
+  * (download.py:112-121).
+  */
+object CensusApi {
+
+  val DefaultBase = "https://api.census.gov/data"
+
+  /** Max census variables per request, NAME excluded (API limit 50). */
+  val ChunkSize = 48
+
+  /** Geography columns the API echoes back; dropped from the right
+    * side of a NAME merge (download.py:115 columns.difference). */
+  val GeoColumns: Seq[String] =
+    Seq("state", "county", "tract", "place", "block", "block group")
+
+  /** Dataset key (Ingest.datasetFor) → endpoint path under the base. */
+  def datasetPath(dataset: String, year: Int): String = dataset match {
+    case "acs5"   => s"$year/acs/acs5"
+    case "acs5dp" => s"$year/acs/acs5/profile"
+    case "acs5st" => s"$year/acs/acs5/subject"
+    case "sf1"    => s"$year/dec/sf1"
+    case other    => throw new IllegalArgumentException(s"unknown dataset '$other'")
+  }
+
+  /** One GET url: NAME + the chunk's variables, the geoquery's
+    * for/in clauses, and the key when present. Spaces percent-encode;
+    * the census API's own separators (`:` `*` `,`) stay literal, as
+    * every public client emits them. */
+  def buildUrl(dataset: String, year: Int, variables: Seq[String],
+               gq: Ingest.GeoQuery, apiKey: Option[String] = None,
+               base: String = DefaultBase): String = {
+    require(variables.nonEmpty && variables.length <= ChunkSize,
+      s"1..$ChunkSize variables per request, got ${variables.length}")
+    def enc(s: String) =
+      URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+        .replace("%3A", ":").replace("%2A", "*").replace("%2C", ",")
+    val params = Seq(
+      "get" -> ("NAME," + variables.mkString(",")),
+      "for" -> gq.forClause,
+      "in" -> gq.inClause) ++ apiKey.map("key" -> _)
+    s"$base/${datasetPath(dataset, year)}?" +
+      params.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+  }
+
+  /** Split a variable list into API-sized chunks. */
+  def chunked(variables: Seq[String]): Seq[Seq[String]] =
+    variables.grouped(ChunkSize).toSeq
+
+  /** Parse one API response (JSON array-of-arrays, header first) into
+    * a wide all-string DataFrame. NULL JSON values stay NULL. */
+  def parseResponse(spark: SparkSession, json: String): DataFrame = {
+    val rows = JsonMethods.parse(json) match {
+      case JArray(r) => r.map {
+        case JArray(cells) => cells.map {
+          case JString(s) => s
+          case JNull      => null
+          case JInt(i)    => i.toString // some vintages emit bare numbers
+          case JDouble(d) => d.toString
+          case other => throw new IllegalArgumentException(s"unexpected cell $other")
+        }
+        case other => throw new IllegalArgumentException(s"unexpected row $other")
+      }
+      case other => throw new IllegalArgumentException(s"expected array response, got $other")
+    }
+    require(rows.nonEmpty, "empty API response (no header row)")
+    val header = rows.head.map(h => if (h == null) "" else h)
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.tail.map(Row.fromSeq(_)), 1), schema)
+  }
+
+  /** Merge frames on NAME, dropping the right side's echoed geography
+    * columns (the reference's pd.merge shape). */
+  private def mergeOnName(frames: Seq[DataFrame]): DataFrame =
+    frames.reduceLeft { (acc, next) =>
+      acc.join(next.drop(GeoColumns.filter(next.columns.contains): _*), Seq("NAME"))
+    }
+
+  /** Download ONE variable's wide E/M frame for a geotype: fan out over
+    * the geotype's geoqueries (5 counties for tract/block levels), one
+    * request per (dataset, chunk), chunk/dataset frames merged on NAME,
+    * geoquery frames unioned — download_variable + download_e_m
+    * (download.py:51-121) with the socket injected. The result feeds
+    * [[Ingest.meltWide]] unchanged. */
+  def fetchWide(spark: SparkSession, fetch: String => String, v: Variable,
+                year: Int, geotype: String,
+                apiKey: Option[String] = None,
+                base: String = DefaultBase): DataFrame = {
+    val perQuery = Ingest.geoqueries(geotype).map { gq =>
+      val perDataset = v.censusVariables.groupBy(Ingest.datasetFor).toSeq
+        .sortBy(_._1).map { case (dataset, cvs) =>
+          val sub = Variable(v.pffVariable, cvs, v.baseVariable)
+          val apiVars = sub.eVariables ++ sub.mVariables
+          val chunkFrames = chunked(apiVars).map { chunk =>
+            parseResponse(spark, fetch(buildUrl(dataset, year, chunk, gq, apiKey, base)))
+          }
+          mergeOnName(chunkFrames)
+        }
+      mergeOnName(perDataset)
+    }
+    perQuery.reduceLeft(_.unionByName(_))
+  }
+
+  /** Profile-only variant: one request carrying E/M/PE/PM for the
+    * single census variable (download_e_m_p_z, download.py:60-87);
+    * feeds [[Ingest.meltProfile]]. */
+  def fetchProfileWide(spark: SparkSession, fetch: String => String, v: Variable,
+                       year: Int, geotype: String,
+                       apiKey: Option[String] = None,
+                       base: String = DefaultBase): DataFrame = {
+    val apiVars = v.eVariables ++ v.mVariables ++ v.peVariables ++ v.pmVariables
+    val dataset = Ingest.datasetFor(v.censusVariables.head)
+    Ingest.geoqueries(geotype).map { gq =>
+      parseResponse(spark, fetch(buildUrl(dataset, year, apiVars, gq, apiKey, base)))
+    }.reduceLeft(_.unionByName(_))
+  }
+}

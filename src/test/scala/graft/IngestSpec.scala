@@ -97,6 +97,86 @@ class IngestSpec extends SparkSpec {
     assert(out(1).getDouble(3) === 72000.0 && out(1).getDouble(5) === 72.1)
   }
 
+  test("CensusApi.buildUrl: endpoint routing, encoding, key, chunk cap (download.py:22-27)") {
+    import graft.sources.{CensusApi, Ingest}
+    val gq = Ingest.GeoQuery("tract:*", "state:36 county:005")
+    assert(CensusApi.buildUrl("acs5", 2019, Seq("B01001_001E", "B01001_001M"), gq,
+      apiKey = Some("SECRET")) ===
+      "https://api.census.gov/data/2019/acs/acs5?get=NAME,B01001_001E,B01001_001M" +
+        "&for=tract:*&in=state:36%20county:005&key=SECRET")
+    assert(CensusApi.buildUrl("acs5dp", 2019, Seq("DP05_0001E"), gq)
+      .startsWith("https://api.census.gov/data/2019/acs/acs5/profile?"))
+    assert(CensusApi.buildUrl("acs5st", 2019, Seq("S1701_C02_001E"), gq)
+      .contains("/acs/acs5/subject?"))
+    assert(CensusApi.buildUrl("sf1", 2010, Seq("P001001"), gq)
+      .contains("/2010/dec/sf1?"))
+    assertThrows[IllegalArgumentException] {
+      CensusApi.buildUrl("acs5", 2019, (1 to 49).map(i => s"V$i"), gq)
+    }
+    assert(CensusApi.chunked((1 to 100).map(i => s"V$i")).map(_.length) === Seq(48, 48, 4))
+  }
+
+  test("CensusApi.parseResponse: header row, nulls, string cells") {
+    import graft.sources.CensusApi
+    val df = CensusApi.parseResponse(spark,
+      """[["NAME","B01_001E","state","county"],
+        |["Bronx County","123","36","005"],
+        |["Kings County",null,"36","047"]]""".stripMargin)
+    assert(df.columns.toSeq === Seq("NAME", "B01_001E", "state", "county"))
+    val rows = df.orderBy("NAME").collect()
+    assert(rows(0).getString(1) === "123")
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("CensusApi.fetchWide: dataset fan-out, chunk merge on NAME, county union -> meltWide") {
+    import graft.sources.{CensusApi, Ingest}
+    // a variable spanning two datasets: one detailed (B) + one profile (D)
+    val v = Variable("mixed", Seq("B01001_001", "DP05_0001"), None)
+    val served = scala.collection.mutable.ArrayBuffer.empty[String]
+    def canned(url: String): String = {
+      served += url
+      val county = "county:(\\d+)".r.findFirstMatchIn(url).map(_.group(1)).get
+      if (url.contains("/acs/acs5?"))
+        s"""[["NAME","B01001_001E","B01001_001M","state","county"],
+           |["County $county","100","8","36","$county"]]""".stripMargin
+      else
+        s"""[["NAME","DP05_0001E","DP05_0001M","state","county"],
+           |["County $county","999999999","3","36","$county"]]""".stripMargin
+    }
+    val wide = CensusApi.fetchWide(spark, canned, v, 2019, "borough")
+    // 5 borough geoqueries x 2 datasets = 10 requests, merged + unioned
+    assert(served.length === 10)
+    assert(served.count(_.contains("/profile?")) === 5)
+    assert(wide.columns.toSeq.sorted ===
+      Seq("B01001_001E", "B01001_001M", "DP05_0001E", "DP05_0001M", "NAME", "county", "state"))
+    assert(wide.count() === 5)
+    // and the client's output feeds the existing melt + scrub unchanged
+    val long = Ingest.meltWide(wide, v, "borough").orderBy("census_geoid", "census_variable")
+      .collect()
+    assert(long.length === 10)
+    assert(long(0).getString(0) === "36005" && long(0).getDouble(3) === 100.0)
+    assert(long(1).isNullAt(3), "sentinel 999999999 must scrub to NULL")
+  }
+
+  test("CensusApi.fetchWide: >48 variables split into chunks and re-merge on NAME") {
+    import graft.sources.CensusApi
+    val cvs = (1 to 60).map(i => f"B99001_$i%03d")
+    val v = Variable("wide60", cvs, None)
+    val urls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def canned(url: String): String = {
+      urls += url
+      val vars = "get=NAME,([^&]*)".r.findFirstMatchIn(url).get.group(1).split(",")
+      val header = ("\"NAME\"" +: vars.map("\"" + _ + "\"")).mkString("[", ",", "]")
+      val row = ("\"Place\"" +: vars.map(_ => "\"1\"")).mkString("[", ",", "]")
+      s"[$header,\n$row]"
+    }
+    val wide = CensusApi.fetchWide(spark, canned, v, 2019, "city")
+    // 120 E+M names -> 3 chunks of 48/48/24 for the single city geoquery
+    assert(urls.length === 3)
+    assert(wide.count() === 1)
+    assert(wide.columns.length === 1 + 120, "NAME + every chunk's columns merged")
+  }
+
   test("community-profiles mapping loads and drives the wide export") {
     import graft.meta.CommunityProfiles
     assert(CommunityProfiles.entries.length === 75)
