@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ESRI shapefile (.shp) polygon reader — the last external step of the
+  * reference's geolookup ingest (geolookup/2020/run.sh unzips shapefiles
+  * and pipes them through shp2pgsql): with this, raw .shp bytes decode
+  * straight to the rings-as-doubles geometry model
+  * ([[graft.functions.PointInRings]]'s input) with no external
+  * toolchain at all.
+  *
+  * Format (the public ESRI whitepaper layout): a 100-byte header (file
+  * code 9994 big-endian at offset 0, shape type little-endian at 32),
+  * then records of [record number, content length in 16-bit words]
+  * (big-endian) + content [shape type (little), Polygon body: bbox ×4
+  * doubles, numParts, numPoints, part start indices, points x/y].
+  * Supported shapes: Polygon (5), PolygonZ (15) and PolygonM (25) —
+  * the trailing Z/M sections are skipped via the record's declared
+  * content length, which also carries the cursor past unsupported
+  * shape types; Null shapes (0) are dropped.
+  *
+  * Scale shape: shapefiles are whole-file units (records are not
+  * splittable without the .shx index), so the distributed read is
+  * `spark.read.format("binaryFile")` — one task per file, thousands of
+  * county/zone files parse in parallel, and each record becomes a row
+  * before any shuffle. The 2 GB binaryFile per-file cap comfortably
+  * holds real basemap tiles.
+  */
+object Shapefile {
+
+  val FileCode = 9994
+  val TypeNull = 0
+  val TypePolygon = 5
+  val TypePolygonZ = 15
+  val TypePolygonM = 25
+
+  /** One polygon record: 1-based record number + rings as flat
+    * [x0,y0,x1,y1,...] coordinate arrays (closing vertex stripped —
+    * the rings model is implicitly closed). */
+  case class PolygonRecord(recordNo: Int, rings: Array[Array[Double]])
+
+  /** Parse a whole .shp file's bytes. Non-polygon and Null records are
+    * skipped; a malformed trailer (truncated final record) ends the
+    * scan rather than failing the task. */
+  def readPolygons(bytes: Array[Byte]): Seq[PolygonRecord] = {
+    if (bytes == null || bytes.length < 100) return Seq.empty
+    val bb = ByteBuffer.wrap(bytes)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    if (bb.getInt(0) != FileCode) return Seq.empty
+    bb.position(100)
+    val out = Seq.newBuilder[PolygonRecord]
+    while (bb.remaining() >= 12) {
+      bb.order(ByteOrder.BIG_ENDIAN)
+      val recordNo = bb.getInt()
+      val contentBytes = bb.getInt() * 2 // length is in 16-bit words
+      if (contentBytes < 4 || contentBytes > bb.remaining()) return out.result()
+      val contentEnd = bb.position() + contentBytes
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      val shapeType = bb.getInt()
+      if (shapeType == TypePolygon || shapeType == TypePolygonZ ||
+          shapeType == TypePolygonM) {
+        bb.position(bb.position() + 32) // bbox: 4 doubles
+        val numParts = bb.getInt()
+        val numPoints = bb.getInt()
+        val starts = Array.fill(numParts)(bb.getInt())
+        val xs = new Array[Double](2 * numPoints)
+        var i = 0
+        while (i < numPoints) {
+          xs(2 * i) = bb.getDouble(); xs(2 * i + 1) = bb.getDouble()
+          i += 1
+        }
+        val rings = starts.zipWithIndex.map { case (s, pi) =>
+          val e = if (pi + 1 < numParts) starts(pi + 1) else numPoints
+          val n = e - s
+          val ring =
+            if (n >= 2 && xs(2 * s) == xs(2 * (e - 1)) && xs(2 * s + 1) == xs(2 * (e - 1) + 1))
+              java.util.Arrays.copyOfRange(xs, 2 * s, 2 * (e - 1)) // strip closer
+            else java.util.Arrays.copyOfRange(xs, 2 * s, 2 * e)
+          ring
+        }
+        out += PolygonRecord(recordNo, rings)
+      }
+      bb.position(contentEnd) // skips Z/M trailers and unsupported shapes
+    }
+    out.result()
+  }
+
+  private val polygonSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("record_no", IntegerType),
+    StructField("geom", ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false))))
+
+  /** Distributed read: every .shp under `path` (glob ok) → one row per
+    * polygon record, geometry in the rings model. */
+  def polygons(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp").load(path)
+      .select(col("path"), col("content"))
+    val rows = files.rdd.flatMap { r =>
+      val p = r.getString(0)
+      readPolygons(r.getAs[Array[Byte]](1)).map(rec =>
+        Row(p, rec.recordNo, rec.rings.map(_.toSeq).toSeq))
+    }
+    spark.createDataFrame(rows, polygonSchema)
+  }
+
+  /** Test/fixture encoder: write a minimal .shp of polygon records
+    * (rings NOT pre-closed; the closing vertex is appended per spec). */
+  def encode(polygons: Seq[Seq[Seq[(Double, Double)]]]): Array[Byte] = {
+    val recordBodies = polygons.map { rings =>
+      val closed = rings.map(r => r :+ r.head)
+      val numPoints = closed.map(_.length).sum
+      val body = ByteBuffer.allocate(4 + 32 + 8 + 4 * rings.length + 16 * numPoints)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      body.putInt(TypePolygon)
+      val allPts = closed.flatten
+      body.putDouble(allPts.map(_._1).min).putDouble(allPts.map(_._2).min)
+      body.putDouble(allPts.map(_._1).max).putDouble(allPts.map(_._2).max)
+      body.putInt(rings.length).putInt(numPoints)
+      closed.scanLeft(0)(_ + _.length).init.foreach(body.putInt)
+      allPts.foreach { case (x, y) => body.putDouble(x).putDouble(y) }
+      body.array()
+    }
+    val total = 100 + recordBodies.map(8 + _.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(FileCode); bb.position(24); bb.putInt(total / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1000).putInt(TypePolygon)
+    bb.position(100)
+    recordBodies.zipWithIndex.foreach { case (body, i) =>
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(i + 1).putInt(body.length / 2)
+      bb.put(body)
+    }
+    bb.array()
+  }
+}

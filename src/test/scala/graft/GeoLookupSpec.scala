@@ -86,6 +86,37 @@ class GeoLookupSpec extends SparkSpec {
     assert(df(1).isNullAt(1))
   }
 
+  test("shapefile: .shp polygon records round-trip through the binaryFile read path") {
+    import graft.sources.Shapefile
+    val tri = Seq(Seq((0.0, 0.0), (4.0, 0.0), (2.0, 3.0)))
+    val holed = Seq(
+      Seq((10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)),
+      Seq((12.0, 12.0), (14.0, 12.0), (14.0, 14.0), (12.0, 14.0)))
+    val bytes = Shapefile.encode(Seq(tri, holed))
+    // direct parse: record numbers, ring split, closing vertex stripped
+    val recs = Shapefile.readPolygons(bytes)
+    assert(recs.map(_.recordNo) === Seq(1, 2))
+    assert(recs(0).rings.map(_.toSeq).toSeq === Seq(Seq(0.0, 0.0, 4.0, 0.0, 2.0, 3.0)))
+    assert(recs(1).rings.length === 2)
+    assert(recs(1).rings(1).toSeq === Seq(12.0, 12.0, 14.0, 12.0, 14.0, 14.0, 12.0, 14.0))
+    // garbage and truncation degrade gracefully
+    assert(Shapefile.readPolygons("not a shapefile at all".getBytes) === Seq.empty)
+    assert(Shapefile.readPolygons(bytes.take(130)).length <= 1)
+    // the distributed read: write to disk, load via binaryFile, probe a point
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp")
+    try {
+      java.nio.file.Files.write(dir.resolve("zones.shp"), bytes)
+      val df = Shapefile.polygons(spark, dir.toString).orderBy("record_no").collect()
+      assert(df.length === 2)
+      assert(df(0).getInt(1) === 1)
+      val rings = df(1).getSeq[Seq[Double]](2)
+      assert(rings.length === 2 && rings(0).length === 8)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("pointInRings: structural equality over identical geometry (semanticEquals fuel)") {
     import org.apache.spark.sql.GraftShim
     import graft.functions.PointInRings
