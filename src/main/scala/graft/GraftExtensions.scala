@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, WordShingles}
+import graft.functions.{FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, WkbRings, WordShingles}
 
 /** Session-extension hook registering graft's native expressions as SQL
   * functions, so they are first-class from `spark.sql(...)`:
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("float_vec_qsum",
         "float_vec_qsum(v) - order-exact elementwise fixed-point (2^24) long sum of a float-array column"),
       (args: Seq[Expression]) => FloatVecQuantSumAgg(args.head, FloatVecQuantSumAgg.Scale)))
+    ext.injectFunction((
+      FunctionIdentifier("wkb_rings"),
+      info("wkb_rings",
+        "wkb_rings(wkb) - decode WKB Polygon/MultiPolygon bytes to polygons of flat-coordinate rings"),
+      (args: Seq[Expression]) => WkbRings(args.head)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),

@@ -20,5 +20,22 @@ class ExtensionsSpec extends SparkSpec {
         "(array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT))) AS t(v)")
       .collect()(0).getSeq[Double](0)
     assert(vs === Seq(1.5, 2.25))
+    val qs = spark.sql(
+      "SELECT float_vec_qsum(v) AS s FROM VALUES " +
+        "(array(CAST(1.0 AS FLOAT))), (array(CAST(0.5 AS FLOAT))) AS t(v)")
+      .collect()(0).getSeq[Long](0)
+    assert(qs === Seq((1.5 * 16777216.0).toLong))
+  }
+
+  test("wkb_rings registers as a SQL function") {
+    import graft.functions.Wkb
+    import spark.implicits._
+    val wkb = Wkb.encodePolygon(
+      Seq(Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0))), littleEndian = true)
+    Seq(Tuple1(wkb)).toDF("wkb").createOrReplaceTempView("wkb_t")
+    val rings = spark.sql("SELECT wkb_rings(wkb) AS g FROM wkb_t")
+      .collect()(0).getSeq[Seq[Seq[Double]]](0)
+    assert(rings.length === 1)
+    assert(rings(0)(0) === Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0))
   }
 }
