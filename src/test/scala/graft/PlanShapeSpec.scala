@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scan-level plan-shape pins: predicate pushdown and column pruning
+  * must reach the parquet scans — the properties that decide whether a
+  * 100 TB read touches terabytes or gigabytes. Asserted on
+  * `sparkPlan` (pre-AQE), where the FileSourceScanExec is visible. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+
+  test("filter + narrow projection reach the documents scan") {
+    val df = Tables(spark, dir).documents
+      .where(col("doc_id") > 100L)
+      .select(col("doc_id"), col("text"))
+    val scan = scans(df).head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(doc_id,100)"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    val read = scan.metadata("ReadSchema")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"scan must prune to the 2 used columns: $read")
+  }
+
+  test("registry queries prune their scans to the used columns") {
+    // q_token_count touches only doc_id + text of the 5-column table
+    val tok = scans(graft.queries.LlmQueries.qTokenCount(spark, dir))
+    assert(tok.nonEmpty)
+    assert(!tok.head.metadata("ReadSchema").contains("n_chars"))
+    // q1 pushes its shipdate predicate into the lineitem scan
+    val q1 = scans(graft.queries.Tpch.q1PricingSummary(spark, dir))
+    assert(q1.head.metadata("PushedFilters").contains("l_shipdate"),
+      s"q1 shipdate filter not pushed: ${q1.head.metadata("PushedFilters")}")
+    // the stratified sample's corpus scan reads only id + stratum + payload cols
+    val strat = scans(graft.queries.LlmQueries.qStratifiedSample(spark, dir))
+    assert(strat.forall(!_.metadata("ReadSchema").contains("n_chars")))
+  }
+}
