@@ -70,6 +70,26 @@ object Streams {
     }
   }
 
+  /** Streaming benchmark decontamination: flag documents of an
+    * incoming crawl stream that overlap a STATIC benchmark corpus
+    * (operators/Dedup.decontaminate) — the scrub an always-on ingestion
+    * pipeline runs on every batch of new data. A document's verdict
+    * depends only on itself and the benchmark set, so foreachBatch
+    * over the identical batch operator gives exact batch parity with
+    * zero streaming state; the benchmark side stays broadcast, so the
+    * stream never shuffles for the probe. Emits (doc_id, bench_id,
+    * n_common) flag rows per micro-batch; anti-join downstream to
+    * drop flagged docs. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame, minCommon: Int = 1)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "decontaminateStream is streaming-only: use Dedup.decontaminate for batch frames")
+    require(!benchmark.isStreaming, "the benchmark corpus must be a static frame")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Dedup.decontaminate(batch, benchmark, minCommon), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

@@ -88,6 +88,36 @@ class StreamingSpec extends SparkSpec {
     assert(keep(2L) === 0L && keep(3L) === 0L && keep(5L) === 0L)
   }
 
+  test("decontaminateStream flags benchmark overlap exactly like batch, across splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (900L, "the capital of france is paris and the capital of spain is madrid"),
+      (901L, "water boils at one hundred degrees celsius at sea level pressure"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the capital of france is paris and the capital of spain is madrid today"),
+      (2L, "a completely unrelated document about growing tomatoes in the garden"),
+      (3L, "it is known that water boils at one hundred degrees celsius at sea level pressure"),
+      (4L, "another benign training document with no benchmark overlap at all here"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.decontaminateStream(input.toDF().toDF("doc_id", "text"), bench, minCommon = 3) {
+      (flags, _) => acc.synchronized {
+        acc ++= flags.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.Dedup.decontaminate(docs.toDF("doc_id", "text"), bench, minCommon = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+    assert(acc.map(_._1).toSet === Set(1L, 3L), "exactly the contaminated docs flag")
+  }
+
   test("stratifiedSampleStream admits exactly the batch sample, replay-stable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
