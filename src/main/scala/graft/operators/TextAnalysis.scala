@@ -54,6 +54,44 @@ object TextAnalysis {
         (lit(1.0) - safe(nPunct.cast("double"), nChars)), 6).as("quality"))
   }
 
+  /** Compression-ratio quality signal (deflated bytes / raw bytes):
+    * highly repetitive or templated text compresses far below prose —
+    * the Gopher-style "too compressible" filter. Partition-local
+    * deflate (java.util.zip, one Deflater per partition, level 6), no
+    * shuffle. NOT in the oracle registry by the same contract as the
+    * sketches: deflate output is codec-implementation-specific, so no
+    * other engine can replay the ratio — determinism within the engine
+    * is spec-pinned instead (QualitySpec). NULL text → NULL ratio. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = docs.select(col("doc_id"), col("text")).rdd.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { r =>
+        if (r.isNullAt(1)) Row(r.getLong(0), null, null)
+        else {
+          val raw = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) null
+            else java.lang.Double.valueOf(
+              math.floor(compressed.toDouble / raw.length * 1e6 + 0.5) / 1e6)
+          Row(r.getLong(0), java.lang.Long.valueOf(raw.length.toLong), ratio)
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("compression_ratio", DoubleType))))
+  }
+
   /** Token counts: whitespace words vs BPE-ish regex tokens. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(

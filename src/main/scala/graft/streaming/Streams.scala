@@ -96,6 +96,24 @@ object Streams {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
 
+  /** Declarative sessionization via the BUILT-IN `session_window` —
+    * the Spark-first twin of [[sessionize]]: when per-session output is
+    * expressible as an aggregation (bounds + counts + sums), the
+    * built-in operator is the right tool (codegen'd state store, AQE,
+    * no user state code); reach for flatMapGroupsWithState only when
+    * per-session logic genuinely isn't an aggregate. Works on batch
+    * and streaming frames alike; on a stream, sessions emit when the
+    * watermark passes their close. Output schema matches [[sessionize]]
+    * (session_end = last event, not last + gap). */
+  def sessionizeDeclarative(events: DataFrame, gap: String,
+                            watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
   /** Gap-based sessionization: a session closes after `gapMs` of
     * inactivity (event-time, driven by the watermark in streaming mode).
     * Emits one row per closed session. */

@@ -193,6 +193,31 @@ class QualitySpec extends SparkSpec {
     assert(withNullElems === Seq(1.0, 2.0, 7.0))
   }
 
+  test("compressionRatio: repetitive text compresses far below prose, deterministic") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam " * 200),
+      (2L, "The quiet harbor town woke slowly; gulls argued over the first " +
+        "catch while a cold wind combed salt through narrow cobbled lanes " +
+        "and shopkeepers cranked awnings against a pale reluctant sun."),
+      (3L, ""),
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs).orderBy("doc_id").collect()
+    val spamRatio = out(0).getDouble(2)
+    val proseRatio = out(1).getDouble(2)
+    assert(spamRatio < 0.1, s"200x-repeated text must crush: $spamRatio")
+    assert(proseRatio > 0.5, s"one-off prose must not: $proseRatio")
+    assert(out(2).isNullAt(2), "empty text -> NULL ratio (no 0/0)")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2), "null text -> NULL row")
+    // deterministic across partition layouts (fresh Deflater per partition)
+    val again = TextAnalysis.compressionRatio(docs.repartition(7))
+      .orderBy("doc_id").collect()
+    assert(again.map(r => if (r.isNullAt(2)) -1.0 else r.getDouble(2)).toSeq ===
+      out.map(r => if (r.isNullAt(2)) -1.0 else r.getDouble(2)).toSeq)
+  }
+
   test("FloatVecQuantSumAgg: bit-identical across partition layouts, exact fixed-point") {
     import spark.implicits._
     import graft.functions.FloatVecQuantSumAgg

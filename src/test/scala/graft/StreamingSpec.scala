@@ -177,6 +177,46 @@ class StreamingSpec extends SparkSpec {
     assert(u10(0).session_start === ts(1) && u10(0).session_end === ts(5) && u10(0).n_events === 2L)
   }
 
+  test("sessionizeDeclarative (built-in session_window) agrees with the custom sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same event tape through both: the built-in aggregate and the
+    // flatMapGroupsWithState implementation must close identical sessions
+    val tape = Seq(
+      Event(1, ts(1), 10, "click", 1.0), Event(2, ts(5), 10, "click", 1.0),
+      Event(3, ts(30), 10, "view", 1.0), // >10s gap: second session for user 10
+      Event(4, ts(2), 20, "click", 1.0),
+      Event(5, ts(7500), 99, "click", 1.0), // watermark push (1h delay)
+      Event(6, ts(7600), 99, "click", 1.0))
+    val in1 = MemoryStream[Event]
+    val q1 = Streams.sessionizeDeclarative(in1.toDF(), "10 seconds")
+      .writeStream.format("memory").queryName("sess_decl")
+      .outputMode("append").start()
+    in1.addData(tape.take(4): _*); q1.processAllAvailable()
+    in1.addData(tape(4)); q1.processAllAvailable()
+    in1.addData(tape(5)); q1.processAllAvailable()
+    q1.stop()
+    val in2 = MemoryStream[Event]
+    val q2 = Streams.sessionize(in2.toDS(), gapMs = 10_000)
+      .writeStream.format("memory").queryName("sess_cust")
+      .outputMode("append").start()
+    in2.addData(tape.take(4): _*); q2.processAllAvailable()
+    in2.addData(tape(4)); q2.processAllAvailable()
+    in2.addData(tape(5)); q2.processAllAvailable()
+    q2.stop()
+    def canon(table: String) = spark.table(table)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+    val decl = canon("sess_decl"); val cust = canon("sess_cust")
+    // compare the sessions both have CLOSED for users 10/20 (user 99 may
+    // still be open in either engine at stop time)
+    val closed = (t: Set[(Long, Long, Long, Long)]) => t.filter(_._1 != 99L)
+    assert(closed(decl) === closed(cust))
+    assert(closed(decl) === Set(
+      (10L, 1000L, 5000L, 2L), (10L, 30000L, 30000L, 1L), (20L, 2000L, 2000L, 1L)))
+  }
+
   test("sessionize splits on gap within one batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
