@@ -566,6 +566,29 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
         "pff_variable", "c", "e", "m", "p", "z", "domain")
   }
 
+  /** The WHOLE pipelines/acs.py run in one call: [[calculateAll]] at
+    * every requested geotype, each dispatched through the geography's
+    * translator registry ([[graft.operators.GeoDispatch.verticalFor]]),
+    * unioned into the single 11-column export frame the reference
+    * loads into Postgres (pipelines/create_acs.sql). `downloads` maps
+    * FROM-geotype → long download frame — the reference downloads per
+    * from-geotype too, so one tract download feeds NTA, CDTA and CT20.
+    * The reference's geotype sets (acs.py:45-48): 2010_to_2020 runs
+    * NTA/CDTA/CT20/city/borough; other vintages add tract. Where the
+    * reference fans a process pool over |variables| × |geotypes| API
+    * downloads, this is |geotypes| Spark plans over shared scans. */
+  def runAcs(downloads: Map[String, DataFrame],
+             geo: graft.operators.GeoDispatch,
+             geotypes: Seq[String],
+             source: String = "acs"): DataFrame =
+    geotypes.map { g =>
+      val (from, vertical) = geo.verticalFor(source, g)
+      val dl = downloads.getOrElse(from, throw new IllegalArgumentException(
+        s"runAcs: no download for from-geotype '$from' (needed by '$g'; " +
+          s"have: ${downloads.keys.mkString(", ")})"))
+      calculateAll(dl, vertical)
+    }.reduce(_ unionByName _)
+
   /** Partitioned export of [[calculateAll]] output (the pipeline's
     * `.output/acs/year=… tree`, parquet instead of one giant CSV). */
   def export(df: DataFrame, path: String): Unit =

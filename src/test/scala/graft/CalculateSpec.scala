@@ -527,6 +527,44 @@ class CalculateSpec extends SparkSpec {
     assert(math.abs(p.getDouble(6) - 450.0 / 2900.0 * 100) < 1e-12)
   }
 
+  test("runAcs: the whole acs.py run — geotype matrix through the translator registry") {
+    import spark.implicits._
+    // tract-shaped fixture: the tract download feeds both the plain
+    // tract run and the NTA run (translator); city has its own download
+    val tracts = (0 until 4).map(i => f"36061${i}%06d")
+    val lookup = tracts.zipWithIndex.map { case (t, i) =>
+      (t + "1000", s"MN${i % 2}", s"Nta ${i % 2}", "MN80", "Cdta 0",
+        "1", "Manhattan", "0", "0", "1")
+    }.toDF("geoid", "nta2020", "ntaname", "cdta2020", "cdtaname",
+      "borocode", "boroname", "fp_500", "fp_100", "park_access")
+    val ratioDf = tracts.map(t => (t, t, "1.0")).toDF("geoid_ct2010", "geoid_ct2020", "ratio")
+    val geo = graft.operators.Geography(lookup, ratioDf)
+    def mk(geotype: String, geoids: Seq[String]) = geoids.flatMap(g => Seq(
+      (g, geotype, "B25003_002", 30.0, 3.0),
+      (g, geotype, "B25003_001", 100.0, 4.0)))
+      .toDF("census_geoid", "geotype", "census_variable", "e", "m")
+    val downloads = Map(
+      "tract" -> mk("tract", tracts),
+      "city" -> mk("city", Seq("3651000")))
+    val out = calc.runAcs(downloads, geo, Seq("NTA", "tract", "city"))
+      .where(col("pff_variable") === "ownerocc")
+    val byGeotype = out.groupBy("geotype").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2 NTAs rolled up from 4 tracts; 4 plain tracts; 1 city row
+    assert(byGeotype === Map("NTA" -> 2L, "tract" -> 4L, "city" -> 1L))
+    // the union equals the three individual calculateAll runs
+    val manual = Seq(
+      calc.calculateAll(downloads("tract"), Some(geo.tractToNta)),
+      calc.calculateAll(downloads("tract")),
+      calc.calculateAll(downloads("city")))
+      .reduce(_ unionByName _).where(col("pff_variable") === "ownerocc")
+    assert(out.collect().map(_.toString).sorted.toSeq ===
+      manual.collect().map(_.toString).sorted.toSeq)
+    // NTA e = sum of its tracts (ratio 1), m = RSS
+    val nta = out.where(col("geotype") === "NTA").collect()
+    assert(nta.forall(_.getDouble(6) === 60.0)) // e: 2 tracts x 30
+  }
+
   test("test_calculate_e_m_multiprocessing: mdpop10t14 at borough is a plain two-variable sum") {
     val d = dl(
       ("g1", "B01001_005", 120.0, 9.0),
