@@ -60,8 +60,12 @@ object Wkb {
     (rawType & 0x1fffffff) % 1000 match {
       case TypePolygon => Array(readPolygonBody(bb, extraOrdinates))
       case TypeMultiPolygon =>
+        // bound the count BEFORE allocating: a corrupt count of 2^31
+        // must fail the sanity require, not attempt a giant allocation
+        val n = bb.getInt()
+        require(n >= 0 && n.toLong * 9 <= bb.remaining(), "polygon count exceeds buffer")
         // each element is a full WKB geometry with its own header
-        Array.fill(bb.getInt()) {
+        Array.fill(n) {
           val sub = readGeometry(bb)
           require(sub != null && sub.length == 1, "MultiPolygon element must be a Polygon")
           sub(0)
@@ -70,9 +74,13 @@ object Wkb {
     }
   }
 
-  private def readPolygonBody(bb: ByteBuffer, extra: Int): Array[Array[Double]] =
-    Array.fill(bb.getInt()) {
+  private def readPolygonBody(bb: ByteBuffer, extra: Int): Array[Array[Double]] = {
+    val nRings = bb.getInt()
+    require(nRings >= 0 && nRings.toLong * 4 <= bb.remaining(), "ring count exceeds buffer")
+    Array.fill(nRings) {
       val nPoints = bb.getInt()
+      require(nPoints >= 0 &&
+        nPoints.toLong * 8 * (2 + extra) <= bb.remaining(), "point count exceeds buffer")
       val coords = new Array[Double](2 * nPoints)
       var i = 0
       while (i < nPoints) {
@@ -88,6 +96,7 @@ object Wkb {
         java.util.Arrays.copyOf(coords, 2 * (nPoints - 1))
       else coords
     }
+  }
 
   /** Encode a polygon (rings of (x, y) vertices, NOT pre-closed — the
     * closing vertex is appended per the WKB spec). */

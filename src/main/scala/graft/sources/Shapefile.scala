@@ -63,26 +63,34 @@ object Shapefile {
       val shapeType = bb.getInt()
       if (shapeType == TypePolygon || shapeType == TypePolygonZ ||
           shapeType == TypePolygonM) {
-        bb.position(bb.position() + 32) // bbox: 4 doubles
-        val numParts = bb.getInt()
-        val numPoints = bb.getInt()
-        val starts = Array.fill(numParts)(bb.getInt())
-        val xs = new Array[Double](2 * numPoints)
-        var i = 0
-        while (i < numPoints) {
-          xs(2 * i) = bb.getDouble(); xs(2 * i + 1) = bb.getDouble()
-          i += 1
-        }
-        val rings = starts.zipWithIndex.map { case (s, pi) =>
-          val e = if (pi + 1 < numParts) starts(pi + 1) else numPoints
-          val n = e - s
-          val ring =
+        // corrupt counts/part indices must skip the record, never kill
+        // the task (the fuzz sweep in GeoLookupSpec flips single bytes)
+        try {
+          bb.position(bb.position() + 32) // bbox: 4 doubles
+          val numParts = bb.getInt()
+          val numPoints = bb.getInt()
+          val needed = 4L * numParts + 16L * numPoints
+          require(numParts > 0 && numPoints >= 0 &&
+            needed <= contentEnd - bb.position(), "counts exceed record")
+          val starts = Array.fill(numParts)(bb.getInt())
+          require(starts.head == 0 &&
+            starts.zip(starts.tail :+ numPoints).forall { case (s, e) =>
+              s >= 0 && s <= e && e <= numPoints }, "part indices out of range")
+          val xs = new Array[Double](2 * numPoints)
+          var i = 0
+          while (i < numPoints) {
+            xs(2 * i) = bb.getDouble(); xs(2 * i + 1) = bb.getDouble()
+            i += 1
+          }
+          val rings = starts.zipWithIndex.map { case (s, pi) =>
+            val e = if (pi + 1 < numParts) starts(pi + 1) else numPoints
+            val n = e - s
             if (n >= 2 && xs(2 * s) == xs(2 * (e - 1)) && xs(2 * s + 1) == xs(2 * (e - 1) + 1))
               java.util.Arrays.copyOfRange(xs, 2 * s, 2 * (e - 1)) // strip closer
             else java.util.Arrays.copyOfRange(xs, 2 * s, 2 * e)
-          ring
-        }
-        out += PolygonRecord(recordNo, rings)
+          }
+          out += PolygonRecord(recordNo, rings)
+        } catch { case _: Exception => () } // malformed record: skip
       }
       bb.position(contentEnd) // skips Z/M trailers and unsupported shapes
     }

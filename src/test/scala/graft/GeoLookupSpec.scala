@@ -117,6 +117,60 @@ class GeoLookupSpec extends SparkSpec {
     }
   }
 
+  test("wkb/shapefile property sweep: random geometries round-trip; mutated bytes never throw") {
+    import graft.functions.Wkb
+    import graft.sources.Shapefile
+    def prd(seed: Int, mod: Int): Int = (((seed * 2654435761L + 104729L) >>> 16) % mod).toInt
+    for (trial <- 1 to 30) {
+      // random polygon set: 1-3 polygons, 1-3 rings each, 3-9 vertices
+      val polys = (0 until 1 + prd(trial, 3)).map { p =>
+        (0 until 1 + prd(trial * 31 + p, 3)).map { r =>
+          (0 until 3 + prd(trial * 17 + p * 7 + r, 7)).map { i =>
+            (prd(trial + p + r + i * 13, 1000) / 10.0,
+             prd(trial * 7 + p + r + i * 29, 1000) / 10.0)
+          }
+        }
+      }
+      val little = trial % 2 == 0
+      // WKB multipolygon round trip (dedup: random vertices may close a
+      // ring by accident, in which case the decoder strips the closer)
+      val decoded = Wkb.decode(Wkb.encodeMultiPolygon(polys, little))
+      assert(decoded.length === polys.length, s"trial $trial")
+      for ((dp, sp) <- decoded.zip(polys); (dr, sr) <- dp.zip(sp)) {
+        val flat = sr.flatMap(v => Seq(v._1, v._2))
+        val expected =
+          if (sr.length >= 2 && sr.head == sr.last) flat.dropRight(2) else flat
+        assert(dr.toSeq === expected, s"trial $trial")
+      }
+      // shapefile round trip over the same polygons (records)
+      val recs = Shapefile.readPolygons(Shapefile.encode(polys))
+      assert(recs.length === polys.length, s"trial $trial shp")
+      // mutation fuzz: flipping any single byte must not throw — decode
+      // yields null/short results, a task never dies on corrupt input
+      val wkbBytes = Wkb.encodeMultiPolygon(polys, little)
+      val pos = prd(trial * 101, wkbBytes.length)
+      val mutated = wkbBytes.clone(); mutated(pos) = (mutated(pos) ^ 0x5a).toByte
+      Wkb.decode(mutated) // must return (possibly null), not throw
+      val shpBytes = Shapefile.encode(polys)
+      val spos = prd(trial * 211, shpBytes.length)
+      val smut = shpBytes.clone(); smut(spos) = (smut(spos) ^ 0x5a).toByte
+      Shapefile.readPolygons(smut) // must return, not throw
+      val truncated = wkbBytes.take(prd(trial * 307, wkbBytes.length))
+      Wkb.decode(truncated)
+      Shapefile.readPolygons(shpBytes.take(prd(trial * 401, shpBytes.length)))
+    }
+  }
+
+  test("shapefile -> geolookup probe: .shp zones drive pointInRings end-to-end") {
+    import graft.sources.Shapefile
+    // a flood-zone square written as a real .shp, read back, probed
+    val zone = Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
+    val recs = Shapefile.readPolygons(Shapefile.encode(Seq(zone)))
+    val polygons = recs.map(_.rings).toArray
+    assert(probe(5.0, 5.0, polygons))
+    assert(!probe(15.0, 5.0, polygons))
+  }
+
   test("pointInRings: structural equality over identical geometry (semanticEquals fuel)") {
     import org.apache.spark.sql.GraftShim
     import graft.functions.PointInRings
