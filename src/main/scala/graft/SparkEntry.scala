@@ -87,6 +87,8 @@ object SparkEntry {
     "q_image_decode" -> (L.qImageDecode _),
     // real WKB geometry decode round-trip (encode WKB -> wkb_rings -> coord sums)
     "q_wkb_decode" -> (G.qWkbDecode _),
+    // real javax.sound WAV round-trip (encode PCM -> decode -> sample sums)
+    "q_audio_decode" -> (L.qAudioDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,5 +157,6 @@ object SparkEntry {
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
+    "q_audio_decode" -> L.qAudioDecodeSql,
   )
 }

@@ -200,6 +200,88 @@ object Multimodal {
     spark.createDataFrame(out, imageSchema)
   }
 
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("bits", LongType),
+    StructField("n_samples", LongType),
+    StructField("pcm_sum", LongType)))
+
+  /** Synthesize REAL WAV payloads partition-locally: input rows
+    * `(doc_id, n_samples, seed)` → `(doc_id, payload)` where payload is
+    * a genuine RIFF/WAVE file (16-bit signed little-endian PCM, mono,
+    * 8 kHz) written by javax.sound.sampled — the audio counterpart of
+    * [[encodePng]]. Sample i is `((seed + 7i) mod 2000) - 1000`, a
+    * closed form any engine can replay. */
+  def encodeWav(specs: DataFrame): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val spark = specs.sparkSession
+    val out = specs.select(col("doc_id"), col("n_samples").cast("int"),
+        col("seed").cast("int"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val (id, n, seed) = (r.getLong(0), r.getInt(1), r.getInt(2))
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = (seed + 7 * i) % 2000 - 1000
+            pcm(2 * i) = (v & 0xff).toByte          // little-endian lo
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+          val baos = new ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+          Row(id, baos.toByteArray)
+        }
+      }
+    spark.createDataFrame(out, imageSchema) // same (doc_id, payload) shape
+  }
+
+  /** Real audio decode, partition-local: WAV payloads through
+    * javax.sound.sampled → `(doc_id, sample_rate, channels, bits,
+    * n_samples, pcm_sum)` where pcm_sum is the exact sum of every
+    * signed 16-bit sample (PCM is lossless, so the encode→decode round
+    * trip must reproduce closed-form sums — the audio q_image_decode).
+    * Undecodable payloads → NULL columns, never task failures. */
+  def decodeAudio(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import javax.sound.sampled.AudioSystem
+    val spark = media.sparkSession
+    val out = media.select(col(idCol), col(payloadCol))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              val fmt = ais.getFormat
+              val bits = fmt.getSampleSizeInBits
+              val bytes = ais.readAllBytes()
+              var sum = 0L
+              var count = 0L
+              if (bits == 16) {
+                val le = !fmt.isBigEndian
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val lo = if (le) bytes(i) else bytes(i + 1)
+                  val hi = if (le) bytes(i + 1) else bytes(i)
+                  sum += ((hi << 8) | (lo & 0xff)).toShort.toLong
+                  count += 1
+                  i += 2
+                }
+              } else { count = bytes.length.toLong } // 8-bit: one byte per sample
+              Row(id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+                bits.toLong, count, if (bits == 16) sum else null)
+            } finally ais.close()
+          } catch { case _: Exception => Row(id, null, null, null, null, null) }
+        }
+      }
+    spark.createDataFrame(out, audioSchema)
+  }
+
   /** Frame-sampling plumbing for video-like payloads: one row per
     * sampled frame index (digest-derived frame count — see object doc),
     * with pure Column ops + explode: no shuffle, prunes to the payload

@@ -643,6 +643,33 @@ object LlmQueries {
       |FROM d JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
       |             FROM px GROUP BY doc_id) s ON d.doc_id = s.doc_id""".stripMargin
 
+  // ---- #34c real audio codec round-trip ----
+
+  /** REAL audio decode, oracle-gated like qImageDecode: synthesize a
+    * genuine RIFF/WAVE payload per document (16-bit PCM whose samples
+    * are a closed-form function of doc_id), decode back through
+    * javax.sound.sampled, and emit format fields plus the exact sum of
+    * every decoded sample. PCM is lossless, so the sums must match the
+    * DuckDB replay of the closed form bit-for-bit. */
+  def qAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (col("doc_id") % 100 + 100).as("n_samples"),
+      (col("doc_id") % 251).as("seed"))
+    Multimodal.decodeAudio(Multimodal.encodeWav(specs), "doc_id", "payload")
+  }
+
+  val qAudioDecodeSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 100 + 100 AS n, doc_id % 251 AS seed
+      |  FROM documents),
+      |s AS (SELECT doc_id, CAST(sum((seed + 7 * i.k) % 2000 - 1000) AS BIGINT) AS pcm_sum
+      |  FROM d, unnest(generate_series(0, n - 1)) AS i(k)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+      |  CAST(d.n AS BIGINT) AS n_samples, s.pcm_sum
+      |FROM d JOIN s ON d.doc_id = s.doc_id""".stripMargin
+
   // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----
 
   /** One keep/drop verdict per document from the composed filter

@@ -86,6 +86,29 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("encodeWav -> decodeAudio: real WAV round-trip recovers format and exact sample sums") {
+    import spark.implicits._
+    val specs = Seq((1L, 50, 10), (2L, 1, 1999), (3L, 200, 0))
+      .toDF("doc_id", "n_samples", "seed")
+    val wav = Multimodal.encodeWav(specs)
+    // the payloads are genuine RIFF files
+    val firstBytes = wav.orderBy("doc_id").collect()(0).getAs[Array[Byte]](1)
+    assert(new String(firstBytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(firstBytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val out = Multimodal.decodeAudio(wav, "doc_id", "payload").orderBy("doc_id").collect()
+    def expectSum(n: Int, seed: Int): Long =
+      (0 until n).map(i => ((seed + 7 * i) % 2000 - 1000).toLong).sum
+    for ((r, (_, n, seed)) <- out.zip(Seq((1L, 50, 10), (2L, 1, 1999), (3L, 200, 0)))) {
+      assert(r.getLong(1) === 8000L && r.getLong(2) === 1L && r.getLong(3) === 16L)
+      assert(r.getLong(4) === n.toLong)
+      assert(r.getLong(5) === expectSum(n, seed), s"pcm sum for n=$n seed=$seed")
+    }
+    // corrupt payloads yield NULLs, never failures
+    val bad = Seq((9L, "definitely not audio".getBytes)).toDF("doc_id", "payload")
+    val badOut = Multimodal.decodeAudio(bad, "doc_id", "payload").collect()(0)
+    for (j <- 1 to 5) assert(badOut.isNullAt(j))
+  }
+
   test("frameSample explodes every Nth frame index") {
     import spark.implicits._
     val docs = Seq((1L, "some video payload")).toDF("doc_id", "text")
