@@ -89,6 +89,9 @@ object SparkEntry {
     "q_wkb_decode" -> (G.qWkbDecode _),
     // real javax.sound WAV round-trip (encode PCM -> decode -> sample sums)
     "q_audio_decode" -> (L.qAudioDecode _),
+    // fixed-window doc chunking + deterministic mixture up-sampling
+    "q_doc_chunks" -> (L.qDocChunks _),
+    "q_mix_upsample" -> (L.qMixUpsample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +161,7 @@ object SparkEntry {
     "q_image_decode" -> L.qImageDecodeSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
+    "q_doc_chunks" -> L.qDocChunksSql,
+    "q_mix_upsample" -> L.qMixUpsampleSql,
   )
 }

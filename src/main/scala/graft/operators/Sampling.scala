@@ -44,6 +44,35 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Deterministic mixture UP-sampling: emit each row of stratum `s`
+    * `rates(s)` times in expectation — `floor(rate)` guaranteed copies
+    * plus one more iff the row's md5 coin lands under the fractional
+    * part. The inverse of [[stratifiedSample]] for mixture weighting
+    * (epochs-per-source > 1), same scale shape: thresholds broadcast,
+    * the copy fan-out is a narrow explode (NO corpus shuffle), and the
+    * same (salt, id) coin makes replays/retries emit identical copies.
+    * `copy_idx` (0-based) disambiguates repeats downstream — e.g. as an
+    * augmentation seed. Strata absent from `rates` are dropped; rows
+    * whose rate rounds to zero copies drop like a Bernoulli miss.
+    */
+  def upsample(df: DataFrame, idCol: String, stratumCol: String,
+               rates: Seq[(String, Double)],
+               salt: String = "mix"): DataFrame = {
+    require(rates.forall(_._2 >= 0), "rates must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.map { case (s, r) =>
+      (s, math.floor(r).toLong, perMillion(r - math.floor(r)))
+    }.toDF(stratumCol, "__base", "__thr")
+    val coin = Portable.h60(concat_ws(":", lit(salt), col(idCol))) % 1000000L
+    df.join(broadcast(thresholds), Seq(stratumCol))
+      .withColumn("__copies",
+        col("__base") + when(coin < col("__thr"), 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__base", "__thr", "__copies")
+  }
+
   /** Exact-n cut per stratum, in deterministic md5 order (h60 asc, id
     * asc tiebreak) — the "take the best/first n of each bucket" shape.
     *

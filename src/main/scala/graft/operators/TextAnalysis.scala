@@ -157,6 +157,32 @@ object TextAnalysis {
         (col("cum_before") % lit(budget)).as("pack_offset"))
   }
 
+  /** Fixed-window token chunking of long documents — the complement of
+    * [[packSequences]] (packing joins short docs; chunking splits long
+    * ones): chunk `i` carries words `[i·stride, i·stride + maxTokens)`,
+    * so consecutive chunks overlap by `maxTokens - stride` words for
+    * context continuity. `n_chunks = 1 + ceil((n - maxTokens)⁺ /
+    * stride)` — every word lands in ≥1 chunk and a trailing partial
+    * chunk is kept only when it adds new words. Narrow projection +
+    * explode, no shuffle; NULL texts drop (whitespace-only text keeps
+    * the one empty-word chunk the shared words idiom produces on both
+    * engines). Chunk text re-joins words with single spaces (the
+    * tokenizer's normalization). */
+  def chunkDocs(docs: DataFrame, maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "need 0 < stride <= maxTokens")
+    val base = docs.select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("n_chunks", lit(1L) +
+        ceil(greatest(col("n") - maxTokens, lit(0L)) / lit(stride.toDouble)).cast("long"))
+    base.withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk_idx") * stride).as("n_tokens"),
+        concat_ws(" ", slice(col("w"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens))).as("chunk_text"))
+  }
+
   /** Position-sensitive document fingerprint: XOR of 60-bit hashes of
     * (word, position mod 16). Order-independent aggregation (XOR is
     * commutative) of order-dependent terms — a rolling-hash analog that

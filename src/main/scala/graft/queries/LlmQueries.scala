@@ -643,6 +643,53 @@ object LlmQueries {
       |FROM d JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
       |             FROM px GROUP BY doc_id) s ON d.doc_id = s.doc_id""".stripMargin
 
+  // ---- #58 fixed-window document chunking ----
+
+  private val ChunkMax = 32
+  private val ChunkStride = 24
+
+  /** Split long documents into overlapping fixed-token windows — the
+    * complement of sequence packing (TextAnalysis.chunkDocs). */
+  def qDocChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(Tables(spark, dir).documents, ChunkMax, ChunkStride)
+
+  val qDocChunksSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM ws WHERE len(w) > 0),
+       |c AS (SELECT doc_id, w, n,
+       |    1 + CAST(ceil(greatest(n - $ChunkMax, 0) / CAST($ChunkStride AS DOUBLE)) AS BIGINT) AS n_chunks
+       |  FROM d)
+       |SELECT doc_id, i.k AS chunk_idx,
+       |  CAST(least($ChunkMax, n - i.k * $ChunkStride) AS BIGINT) AS n_tokens,
+       |  array_to_string(w[CAST(i.k * $ChunkStride + 1 AS BIGINT):CAST(i.k * $ChunkStride + $ChunkMax AS BIGINT)], ' ') AS chunk_text
+       |FROM c, unnest(generate_series(0, n_chunks - 1)) AS i(k)""".stripMargin
+
+  // ---- #59 deterministic mixture up-sampling ----
+
+  private val UpsampleRates = Seq("en" -> 2.5, "zh" -> 1.0, "es" -> 0.4, "de" -> 0.0)
+
+  /** Mixture weighting: repeat en docs 2-3x (md5 coin on the 0.5),
+    * keep zh, thin es to 40%, drop de entirely, drop unlisted fr —
+    * the epochs-per-source knob of corpus mixing, rand()-free
+    * (operators/Sampling.upsample). */
+  def qMixUpsample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.upsample(Tables(spark, dir).documents, "doc_id", "lang", UpsampleRates)
+      .select(col("doc_id"), col("lang"), col("copy_idx"))
+
+  val qMixUpsampleSql: String = {
+    val values = UpsampleRates.map { case (s, r) =>
+      s"('$s', ${math.floor(r).toLong}, ${Sampling.perMillion(r - math.floor(r))})"
+    }.mkString(", ")
+    s"""WITH t(lang, base, thr) AS (VALUES $values),
+       |j AS (SELECT d.doc_id, d.lang,
+       |    t.base + CASE WHEN ${h60Sql(s"'mix' || ':' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < t.thr
+       |             THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN t ON d.lang = t.lang)
+       |SELECT doc_id, lang, i.k AS copy_idx
+       |FROM j, unnest(generate_series(0, copies - 1)) AS i(k)
+       |WHERE copies > 0""".stripMargin
+  }
+
   // ---- #34c real audio codec round-trip ----
 
   /** REAL audio decode, oracle-gated like qImageDecode: synthesize a

@@ -193,6 +193,62 @@ class QualitySpec extends SparkSpec {
     assert(withNullElems === Seq(1.0, 2.0, 7.0))
   }
 
+  test("chunkDocs: overlapping windows cover every word; boundaries exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10 < max: 1 chunk
+      (2L, (1 to 13).map(i => s"w$i").mkString(" ")), // n=13: chunks at 0,8 (stride 8)
+      (3L, (1 to 21).map(i => s"w$i").mkString(" ")), // n=21: 0,8,16 -> last has 5
+      (4L, null: String),                             // NULL text: dropped
+      (5L, "single"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, maxTokens = 12, stride = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, 10L, (1 to 10).map(i => s"w$i").mkString(" "))))
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === Seq((0L, 12L), (1L, 5L)))
+    assert(out.filter(_._1 == 2L)(1)._4 === (9 to 13).map(i => s"w$i").mkString(" "))
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(t => (t._2, t._3)).toSeq === Seq((0L, 12L), (1L, 12L), (2L, 5L)))
+    assert(d3(1)._4 === (9 to 20).map(i => s"w$i").mkString(" ")) // overlap of 4
+    assert(!out.exists(_._1 == 4L))
+    assert(out.filter(_._1 == 5L).head._3 === 1L)
+    // every word of doc 3 appears in some chunk
+    val covered = d3.flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 21).map(i => s"w$i").toSet)
+  }
+
+  test("upsample: expected copy counts, deterministic coins, copy_idx fan-out") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 1000L).map(i =>
+      (i, Seq("en", "zh", "es", "de")((i % 4).toInt))).toDF("doc_id", "stratum")
+    val rates = Seq("en" -> 2.5, "zh" -> 1.0, "es" -> 0.4, "de" -> 0.0)
+    val out = Sampling.upsample(docs, "doc_id", "stratum", rates)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 250 docs x ~2.5 copies; binomial tolerance on the half coin
+    assert(byStratum("en") >= 250 * 2 && byStratum("en") <= 250 * 3)
+    assert(math.abs(byStratum("en") - 625L) < 75, s"en=${byStratum("en")}")
+    assert(byStratum("zh") === 250L) // rate 1.0: exactly one copy each
+    assert(math.abs(byStratum("es") - 100L) < 40, s"es=${byStratum("es")}")
+    assert(!byStratum.contains("de"), "rate 0 drops the stratum")
+    // copy_idx enumerates 0..copies-1 per doc; zh docs all have idx 0
+    val zhIdx = out.where(col("stratum") === "zh").select("copy_idx")
+      .collect().map(_.getLong(0)).toSet
+    assert(zhIdx === Set(0L))
+    val enCounts = out.where(col("stratum") === "en")
+      .groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+    assert(enCounts === Set(2L, 3L), "en docs get exactly 2 or 3 copies")
+    // deterministic: a second run emits the identical multiset
+    val again = Sampling.upsample(docs, "doc_id", "stratum", rates)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === byStratum)
+  }
+
   test("compressionRatio: repetitive text compresses far below prose, deterministic") {
     import spark.implicits._
     import graft.operators.TextAnalysis
