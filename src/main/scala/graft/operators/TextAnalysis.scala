@@ -193,6 +193,125 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(expr("bit_xor(h)").as("fingerprint"))
 
+  /** Distributed BPE training (Sennrich et al. 2016, the public
+    * byte-pair-encoding algorithm): learn `numMerges` merge rules from
+    * the corpus. Classic BPE trains on the UNIQUE-WORD frequency table
+    * — orders of magnitude smaller than the corpus (the one corpus
+    * scan builds it; every iteration then touches only unique words) —
+    * with each word a symbol sequence ending in the `</w>` marker.
+    * Per iteration: adjacent-pair frequencies via a map-side-combinable
+    * weighted count, ONE top-1 row collected (freq desc, pair asc —
+    * deterministic tiebreak), and the merge applied partition-locally.
+    * The words table persists across iterations (the kmeansFit
+    * cacheInput idiom); localCheckpoint every few rounds truncates the
+    * growing lineage the same way the cluster loops do.
+    *
+    * Spec-pinned rather than oracle-registered, by the sketch
+    * contract: K chained merge iterations have no cross-engine SQL
+    * replay; determinism and the textbook example are asserted
+    * instead (QualitySpec). */
+  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val wfSchema = StructType(Seq(
+      StructField("freq", LongType),
+      StructField("symbols", ArrayType(StringType, containsNull = false))))
+    var words = docs
+      .select(explode(Portable.words(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(split(col("word"), ""), array(lit("</w>"))).as("symbols"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("symbols"), lit(1), size(col("symbols")) - 1),
+          slice(col("symbols"), lit(2), size(col("symbols")) - 1)).cast(
+            "array<struct<a:string,b:string>>")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // bounded: ONE row per iteration
+      if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        val next = spark.createDataFrame(
+          words.select(col("freq"), col("symbols")).rdd.map { r =>
+            Row(r.getLong(0), mergeOnce(r.getSeq[String](1), a, b))
+          }, wfSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize before dropping the parent so the lineage stays flat
+        val fresh = next.localCheckpoint(true)
+        words.unpersist(blocking = false)
+        next.unpersist(blocking = false)
+        words = fresh
+      }
+      i += 1
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** One left-to-right pass merging every adjacent (a, b) occurrence. */
+  private[operators] def mergeOnce(symbols: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = symbols.length
+    while (i < n) {
+      if (i + 1 < n && symbols(i) == a && symbols(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += symbols(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Tokenize with learned merges: per word, repeatedly apply the
+    * LOWEST-rank applicable merge until none applies (the standard BPE
+    * encode). The merge table broadcasts (numMerges entries); the
+    * corpus side is one narrow partition-local pass, no shuffle.
+    * Output: one row per (doc_id, token position). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val rank = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pos", LongType),
+      StructField("token", StringType)))
+    val out = docs.select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .where(col("w").isNotNull)
+      .rdd.mapPartitions { rows =>
+        val ranks = bc.value
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          var pos = -1L
+          r.getSeq[String](1).filter(_.nonEmpty).flatMap { word =>
+            var symbols = (word.split("").toSeq :+ "</w>")
+            var done = false
+            while (!done) {
+              val best = symbols.zip(symbols.tail)
+                .flatMap(p => ranks.get(p).map(_ -> p))
+                .sortBy(_._1).headOption
+              best match {
+                case Some((_, (a, b))) => symbols = mergeOnce(symbols, a, b)
+                case None => done = true
+              }
+            }
+            symbols.map { t => pos += 1; Row(id, pos, t) }
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Composed C4/Gopher-style keep/drop verdict per document: length
     * band, punctuation ceiling, stopword floor, repetition ceilings,
     * language gate — each rule's flag emitted so a corpus report can

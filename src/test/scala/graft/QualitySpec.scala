@@ -249,6 +249,40 @@ class QualitySpec extends SparkSpec {
     assert(again === byStratum)
   }
 
+  test("bpeTrain/bpeEncode: textbook merges, deterministic, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // the Sennrich et al. worked example: {low:5, lower:2, newest:6, widest:3}
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    val docs = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 5)
+    // hand-derived: es(9) -> est(9) -> est</w>(9) -> lo(7) -> low(7),
+    // ties broken pair-ascending
+    assert(merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    // encode an in-vocabulary word: the learned subwords apply by rank
+    val enc = TextAnalysis.bpeEncode(Seq((1L, "lowest")).toDF("doc_id", "text"), merges)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(enc === Seq("low", "est</w>"))
+    // unseen word: merges still apply left-to-right where they match
+    val enc2 = TextAnalysis.bpeEncode(Seq((2L, "lowlow")).toDF("doc_id", "text"), merges)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(enc2 === Seq("low", "low", "</w>"))
+    // deterministic and partition-invariant (the 1-row argmax collect +
+    // partition-local merge application must not depend on layout)
+    assert(TextAnalysis.bpeTrain(docs.repartition(7), 5) === merges)
+    // training compresses: encoded corpus shorter than character count
+    val nTokens = TextAnalysis.bpeEncode(docs, merges).count()
+    val nChars = corpus.map(_.length + 1).sum // +1: the </w> marker
+    assert(nTokens < nChars, s"$nTokens tokens vs $nChars symbols")
+    // exhaustion: asking for more merges than the corpus supports stops early
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(tiny, 50)
+    assert(m2.length < 50 && m2.nonEmpty)
+  }
+
   test("compressionRatio: repetitive text compresses far below prose, deterministic") {
     import spark.implicits._
     import graft.operators.TextAnalysis
