@@ -249,6 +249,32 @@ class QualitySpec extends SparkSpec {
     assert(again === byStratum)
   }
 
+  test("chunkDocs property: random (n, max, stride) match a driver-side reference") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def prd(seed: Int, mod: Int): Int = (((seed * 2654435761L + 104729L) >>> 16) % mod).toInt
+    for (trial <- 1 to 8) {
+      val maxT = 2 + prd(trial * 13, 20)
+      val stride = 1 + prd(trial * 29, maxT)
+      val docs = (0 until 25).map { d =>
+        val n = 1 + prd(trial * 37 + d, 60)
+        (d.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+      }
+      val got = TextAnalysis.chunkDocs(docs.toDF("doc_id", "text"), maxT, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val expect = docs.flatMap { case (id, text) =>
+        val w = text.split("\\s+").toSeq
+        val nChunks = 1 + math.ceil(math.max(0, w.length - maxT) / stride.toDouble).toLong
+        (0L until nChunks).map { k =>
+          val slice = w.slice((k * stride).toInt, (k * stride).toInt + maxT)
+          (id, k, slice.length.toLong, slice.mkString(" "))
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got === expect, s"trial $trial max=$maxT stride=$stride")
+    }
+  }
+
   test("bpeTrain/bpeEncode: textbook merges, deterministic, partition-invariant") {
     import spark.implicits._
     import graft.operators.TextAnalysis
