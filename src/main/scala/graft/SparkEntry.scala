@@ -56,6 +56,8 @@ object SparkEntry {
     "q_range_join" -> (T.qRangeJoin _),
     "q_events_json" -> (T.qEventsJson _),
     "q_stream_window" -> (T.qStreamWindow _),
+    // gap sessionization via the built-in session_window (batch semantics)
+    "q_sessionize" -> (T.qSessionize _),
     // LLM-data-pipeline operators
     "q_dedup_exact" -> (L.qDedupExact _),
     "q_dedup_ngram" -> (L.qDedupNgram _),
@@ -162,6 +164,7 @@ object SparkEntry {
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,
+    "q_sessionize" -> T.qSessionizeSql,
     "q_mix_upsample" -> L.qMixUpsampleSql,
   )
 }

@@ -295,4 +295,44 @@ object Tpch {
       |  event_type, COUNT(*) AS n,
       |  SUM(CAST(floor((value*100) * 1e0 + 0.5) / 1e0 AS BIGINT)) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- #60 gap sessionization (batch semantics of the streaming op) ----
+
+  private val SessionGapSec = 600L
+
+  /** Per-user gap sessions over events through the BUILT-IN
+    * session_window aggregate (streaming/Streams.sessionizeDeclarative
+    * runs unchanged on this batch frame) — sessionization graduates
+    * from spec-only to oracle-checked: the DuckDB replay is the classic
+    * gaps-and-islands form. Boundary semantics, verified empirically
+    * against Spark's MergingSessionsExec: an event at EXACTLY
+    * `prev + gap` still merges (the break is `diff > gap`) — one real
+    * event pair at sf0.01 sits on this boundary, so the oracle would
+    * be off by one session with the other convention. Timestamps
+    * compare at second granularity per the events-table contract. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events.select(col("user_id"),
+      to_timestamp(unix_timestamp(col("ts"))).as("ts"))
+    graft.streaming.Streams.sessionizeDeclarative(e, s"$SessionGapSec seconds")
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start"),
+        unix_timestamp(col("session_end")).as("session_end"),
+        col("n_events"))
+  }
+
+  val qSessionizeSql: String =
+    s"""WITH e AS (SELECT user_id,
+       |    CAST(epoch(date_trunc('second', ts::TIMESTAMP)) AS BIGINT) AS sec
+       |  FROM events),
+       |m AS (SELECT user_id, sec,
+       |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+       |         > $SessionGapSec THEN 1 ELSE 0 END AS brk
+       |  FROM e),
+       |g AS (SELECT user_id, sec,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+       |                   ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM m)
+       |SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+       |  count(*) AS n_events
+       |FROM g GROUP BY user_id, grp""".stripMargin
 }
