@@ -580,7 +580,8 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
   def runAcs(downloads: Map[String, DataFrame],
              geo: graft.operators.GeoDispatch,
              geotypes: Seq[String],
-             source: String = "acs"): DataFrame =
+             source: String = "acs"): DataFrame = {
+    require(geotypes.nonEmpty, "runAcs: at least one geotype required")
     geotypes.map { g =>
       val (from, vertical) = geo.verticalFor(source, g)
       val dl = downloads.getOrElse(from, throw new IllegalArgumentException(
@@ -588,6 +589,7 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
           s"have: ${downloads.keys.mkString(", ")})"))
       calculateAll(dl, vertical)
     }.reduce(_ unionByName _)
+  }
 
   /** Partitioned export of [[calculateAll]] output (the pipeline's
     * `.output/acs/year=… tree`, parquet instead of one giant CSV). */

@@ -172,7 +172,9 @@ object Multimodal {
             val src = img.getRaster
             val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_3BYTE_BGR)
             val dstRaster = dst.getRaster
-            val nb = math.min(src.getNumBands, 3)
+            // <3 bands is grayscale (band 1 of a 2-band source is
+            // alpha, not color) — replicate band 0 across RGB
+            val nb = if (src.getNumBands >= 3) 3 else 1
             var y = 0
             while (y < targetH) {
               val sy = y * h / targetH

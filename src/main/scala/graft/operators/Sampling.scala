@@ -35,6 +35,10 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        fractions: Seq[(String, Double)],
                        salt: String = "strat"): DataFrame = {
+    // same hazard as upsample: a duplicated stratum matches two
+    // threshold rows and duplicates every sampled row of that stratum
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "stratifiedSample: duplicate stratum in fractions")
     val spark = df.sparkSession
     import spark.implicits._
     val thresholds = fractions.map { case (s, f) => (s, perMillion(f)) }
@@ -59,6 +63,10 @@ object Sampling {
                rates: Seq[(String, Double)],
                salt: String = "mix"): DataFrame = {
     require(rates.forall(_._2 >= 0), "rates must be non-negative")
+    // a duplicated stratum would match TWO broadcast threshold rows and
+    // silently multiply that stratum's copies
+    require(rates.map(_._1).distinct.size == rates.size,
+      "upsample: duplicate stratum in rates")
     val spark = df.sparkSession
     import spark.implicits._
     val thresholds = rates.map { case (s, r) =>

@@ -68,6 +68,10 @@ object TextAnalysis {
     import org.apache.spark.sql.types._
     val out = docs.select(col("doc_id"), col("text")).rdd.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
+      // release the native zlib buffer even when the iterator is only
+      // partially consumed (e.g. under limit) — GC alone reclaims it late
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](64 * 1024)
       rows.map { r =>
         if (r.isNullAt(1)) Row(r.getLong(0), null, null)

@@ -563,6 +563,11 @@ class CalculateSpec extends SparkSpec {
     // NTA e = sum of its tracts (ratio 1), m = RSS
     val nta = out.where(col("geotype") === "NTA").collect()
     assert(nta.forall(_.getDouble(6) === 60.0)) // e: 2 tracts x 30
+    // empty geotype list: descriptive require, not empty.reduce
+    val empty = intercept[IllegalArgumentException] {
+      calc.runAcs(downloads, geo, Seq.empty)
+    }
+    assert(empty.getMessage.contains("at least one geotype"))
   }
 
   test("test_calculate_e_m_multiprocessing: mdpop10t14 at borough is a plain two-variable sum") {

@@ -86,6 +86,38 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("resizeImages: 2-band gray+alpha source replicates gray across RGB (alpha never leaks into color)") {
+    import spark.implicits._
+    import java.awt.color.ColorSpace
+    import java.awt.image.{ComponentColorModel, DataBuffer}
+    // a genuine gray+alpha PNG: 2-band raster, band 0 = gray, band 1 = alpha
+    val cs = ColorSpace.getInstance(ColorSpace.CS_GRAY)
+    val cm = new ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(6, 4)
+    def gray(x: Int, y: Int): Int = (x * 31 + y * 7) % 256
+    for (x <- 0 until 6; y <- 0 until 4) {
+      raster.setSample(x, y, 0, gray(x, y))
+      raster.setSample(x, y, 1, 17) // alpha deliberately != gray
+    }
+    val img = new BufferedImage(cm, raster, false, null)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    // sanity: the decoder really hands resize a 2-band source
+    assert(ImageIO.read(new java.io.ByteArrayInputStream(baos.toByteArray))
+      .getRaster.getNumBands === 2)
+    val rows = Seq((1L, baos.toByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(
+        Multimodal.resizeImages(rows, "doc_id", "payload", 3, 2),
+        "doc_id", "payload").collect()
+    assert(out(0).getLong(2) === 3L && out(0).getLong(3) === 2L && out(0).getLong(4) === 3L)
+    // every channel carries the gray value at the nearest-neighbor source
+    val expect = (for (x <- 0 until 3; y <- 0 until 2)
+      yield 3L * gray(x * 6 / 3, y * 4 / 2)).sum
+    assert(out(0).getLong(5) === expect,
+      "pixel sum must be 3x gray at sampled positions (no alpha in green, no zero blue)")
+  }
+
   test("encodeWav -> decodeAudio: real WAV round-trip recovers format and exact sample sums") {
     import spark.implicits._
     val specs = Seq((1L, 50, 10), (2L, 1, 1999), (3L, 200, 0))

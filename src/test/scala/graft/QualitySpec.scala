@@ -249,6 +249,32 @@ class QualitySpec extends SparkSpec {
     assert(again === byStratum)
   }
 
+  test("sampling rejects duplicate strata (silent row multiplication via the broadcast join)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = Seq((1L, "en")).toDF("doc_id", "stratum")
+    val dupUp = intercept[IllegalArgumentException] {
+      Sampling.upsample(docs, "doc_id", "stratum", Seq("en" -> 1.0, "en" -> 2.0))
+    }
+    assert(dupUp.getMessage.contains("duplicate stratum"))
+    val dupStrat = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, "doc_id", "stratum", Seq("en" -> 0.5, "en" -> 0.5))
+    }
+    assert(dupStrat.getMessage.contains("duplicate stratum"))
+  }
+
+  test("compressionRatio: partial consumption (limit) completes cleanly and frees the deflater") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = (1L to 200L).map(i => (i, ("ab" * 50) + i)).toDF("doc_id", "text")
+      .repartition(8)
+    // limit leaves most partition iterators unexhausted; the task
+    // completion listener must still release each native deflater
+    val got = TextAnalysis.compressionRatio(docs).limit(3).collect()
+    assert(got.length === 3)
+    assert(got.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 1))
+  }
+
   test("chunkDocs property: random (n, max, stride) match a driver-side reference") {
     import spark.implicits._
     import graft.operators.TextAnalysis
