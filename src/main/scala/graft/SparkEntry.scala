@@ -83,6 +83,8 @@ object SparkEntry {
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
+    // BPE tokenization under a fixed merge-rank table
+    "q_bpe_encode" -> (L.qBpeEncode _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -158,6 +160,7 @@ object SparkEntry {
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
+    "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

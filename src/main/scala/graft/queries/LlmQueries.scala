@@ -594,6 +594,68 @@ object LlmQueries {
        |  FROM ix)
        |SELECT doc_id, bit_xor(h) AS fingerprint FROM hx GROUP BY doc_id""".stripMargin
 
+  // ---- BPE encoding with a fixed merge table ----
+
+  /** Fixed merge-rank table for the oracle-gated BPE encode. Well-formed
+    * like a learned table (every operand is a single char or the result
+    * of an EARLIER merge) — the property that makes rank-by-rank
+    * fixpoint application equivalent to the encoder's
+    * lowest-applicable-rank loop: a merge at rank r can only create
+    * adjacencies involving its new symbol, which only ranks > r may
+    * reference, so an exhausted rank never becomes applicable again. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "a" -> "</w>", "t" -> "h", "th" -> "e</w>",
+    "a" -> "t", "d" -> "at", "s" -> "t", "o" -> "r",
+    "e" -> "r", "er" -> "</w>", "r" -> "e", "st" -> "re",
+    "g" -> "g", "o" -> "w", "ow" -> "</w>", "a" -> "l")
+
+  /** BPE tokenization of the corpus under [[BpeMerges]]: one row per
+    * (doc, token position) — reference tokenizer semantics (Sennrich),
+    * encoded Spark-side by [[TextAnalysis.bpeEncode]]'s partition-local
+    * pass over a broadcast rank table. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(Tables(spark, dir).documents, BpeMerges)
+
+  /** The DuckDB replay: each unique word's symbol sequence is a
+    * `|sym|`-wrapped string (per-symbol delimiters, NOT a shared
+    * separator — a shared ' ' makes `replace` skip the pair that starts
+    * right after a match, diverging from the encoder's left-to-right
+    * pass on odd runs like `a a a a a`), and a recursive CTE applies
+    * each rank to fixpoint in rank order. Tokens then join back to word
+    * occurrences; `pos` is the per-doc running position. */
+  val qBpeEncodeSql: String = {
+    val values = BpeMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |m(r, a, b) AS (VALUES $values),
+       |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS wi FROM ws),
+       |dw AS (SELECT doc_id, wi, w[wi] AS word FROM ix WHERE len(w[wi]) > 0),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |enc(word, s, r) AS (
+       |  SELECT word,
+       |    '|' || array_to_string(string_split(word, ''), '||') || '||</w>|', 0
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN rep <> s THEN rep ELSE s END,
+       |    CASE WHEN rep <> s THEN r ELSE r + 1 END
+       |  FROM (SELECT e.word, e.s, e.r,
+       |          replace(e.s, '|' || m.a || '||' || m.b || '|',
+       |                       '|' || m.a || m.b || '|') AS rep
+       |        FROM enc e JOIN m ON m.r = e.r)
+       |),
+       |toks AS (SELECT word, string_split(trim(s, '|'), '||') AS t
+       |         FROM enc WHERE r = ${BpeMerges.size}),
+       |expl AS (SELECT d.doc_id, d.wi, tk.t,
+       |           unnest(generate_series(1, len(tk.t))) AS ti
+       |         FROM dw d JOIN toks tk USING (word))
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS BIGINT) AS pos,
+       |  t[ti] AS token
+       |FROM expl""".stripMargin
+  }
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

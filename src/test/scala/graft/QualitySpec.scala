@@ -301,6 +301,28 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_bpe_encode fixed table: hand-traced encodings, positions sequential per doc") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.queries.LlmQueries
+    val doc = Seq((7L, "the data agg window customer stream order value a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(doc, LlmQueries.BpeMerges)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getString(2)))
+    val expect = Seq(
+      "the</w>",                           // the
+      "dat", "a</w>",                      // data
+      "a", "gg", "</w>",                   // agg
+      "w", "i", "n", "d", "ow</w>",        // window
+      "c", "u", "st", "o", "m", "er</w>",  // customer
+      "stre", "a", "m", "</w>",            // stream
+      "or", "d", "er</w>",                 // order
+      "v", "al", "u", "e</w>",             // value
+      "a</w>")                             // a
+    assert(got.map(_._2).toSeq === expect)
+    assert(got.map(_._1).toSeq === expect.indices.map(_.toLong))
+  }
+
   test("bpeTrain/bpeEncode: textbook merges, deterministic, partition-invariant") {
     import spark.implicits._
     import graft.operators.TextAnalysis
