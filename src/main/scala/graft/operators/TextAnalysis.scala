@@ -197,37 +197,145 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(expr("bit_xor(h)").as("fingerprint"))
 
-  /** Distributed BPE training (Sennrich et al. 2016, the public
-    * byte-pair-encoding algorithm): learn `numMerges` merge rules from
-    * the corpus. Classic BPE trains on the UNIQUE-WORD frequency table
-    * — orders of magnitude smaller than the corpus (the one corpus
-    * scan builds it; every iteration then touches only unique words) —
-    * with each word a symbol sequence ending in the `</w>` marker.
-    * Per iteration: adjacent-pair frequencies via a map-side-combinable
-    * weighted count, ONE top-1 row collected (freq desc, pair asc —
-    * deterministic tiebreak), and the merge applied partition-locally.
-    * The words table persists across iterations (the kmeansFit
-    * cacheInput idiom); localCheckpoint every few rounds truncates the
-    * growing lineage the same way the cluster loops do.
+  /** BPE training (Sennrich et al. 2016, the public byte-pair-encoding
+    * algorithm): learn `numMerges` merge rules from the corpus.
+    *
+    * Classic BPE trains on the UNIQUE-WORD frequency table — orders of
+    * magnitude smaller than the corpus. The distributed part of this
+    * trainer is therefore the corpus scan that builds that table (the
+    * only step that touches 100 TB); what happens next depends on the
+    * table's size:
+    *
+    *  - `uniqueWords <= maxLocalWords` (the practical case — real text
+    *    at any corpus scale has a bounded unique-word set, and this is
+    *    how the public single-node tokenizer trainers work once counts
+    *    are aggregated): collect the table ONCE and run the exact
+    *    incremental in-memory algorithm — zero Spark jobs per merge,
+    *    vs one aggregate + one checkpoint job per merge for the
+    *    iterative loop (the r6 scale concern: a 50k-merge vocab was
+    *    50k+ jobs).
+    *  - otherwise fall back to [[bpeTrainDistributed]], which never
+    *    materializes the table on the driver.
+    *
+    * Both paths implement the SAME sequential algorithm with the same
+    * (freq desc, pair asc by UTF-8 bytes) tie-break, so the learned
+    * sequence is identical — QualitySpec pins path parity and the
+    * job-count reduction.
     *
     * Spec-pinned rather than oracle-registered, by the sketch
     * contract: K chained merge iterations have no cross-engine SQL
-    * replay; determinism and the textbook example are asserted
-    * instead (QualitySpec). */
-  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    * replay (the FIXED-table encoder is the oracle path: q_bpe_encode). */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               maxLocalWords: Long = 10000000L): Seq[(String, String)] = {
     require(numMerges >= 0)
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val spark = docs.sparkSession
-    val wfSchema = StructType(Seq(
-      StructField("freq", LongType),
-      StructField("symbols", ArrayType(StringType, containsNull = false))))
-    var words = docs
-      .select(explode(Portable.words(col("text"))).as("word"))
+    val words = uniqueWordFreqs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (words.count() <= maxLocalWords) {
+        val table = words.collect().map(r =>
+          (r.getLong(0), r.getSeq[String](1)))
+        bpeTrainLocal(table, numMerges)
+      } else bpeTrainDistributed(words, numMerges)
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** The unique-word frequency table with each word exploded to its
+    * initial symbol sequence (chars + the `</w>` end marker). */
+  private def uniqueWordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(Portable.words(col("text"))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(split(col("word"), ""), array(lit("</w>"))).as("symbols"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Unsigned UTF-8 byte order — Spark's binary string ordering, so the
+    * local trainer's tie-break matches the distributed orderBy exactly
+    * (Scala's String compareTo is UTF-16 code-unit order, which differs
+    * for supplementary characters). */
+  private[operators] def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Exact in-memory trainer over the collected unique-word table —
+    * the incremental algorithm from the reference BPE implementations:
+    * pair counts and a pair -> containing-words index are maintained
+    * with per-merge deltas, so each merge touches only the words that
+    * actually contain its pair. */
+  private[operators] def bpeTrainLocal(
+      table: Seq[(Long, Seq[String])], numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val freqs = table.map(_._1).toArray
+    val syms = table.map(_._2.toArray).toArray
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val c = pairCounts.getOrElse(p, 0L) + sign * freqs(wi)
+        if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    syms.indices.foreach(addPairs(_, 1L))
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestC = 0L
+      for ((p, c) <- pairCounts) {
+        if (c > bestC || (c == bestC && best != null &&
+            (utf8Less(p._1, best._1) ||
+              (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < 2L) exhausted = true
+      else {
+        merges += best
+        val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray
+        for (wi <- affected) {
+          addPairs(wi, -1L)
+          syms(wi) = mergeOnce(syms(wi).toSeq, best._1, best._2).toArray
+          addPairs(wi, 1L)
+        }
+        // the merged pair is gone from every word that contained it
+        pairCounts.remove(best)
+        pairWords.remove(best)
+      }
+      m += 1
+    }
+    merges.result()
+  }
+
+  /** The iterative distributed loop — the fallback when the unique-word
+    * table exceeds the driver budget. Per iteration: adjacent-pair
+    * frequencies via a map-side-combinable weighted count, ONE top-1
+    * row collected (freq desc, pair asc — deterministic tiebreak), and
+    * the merge applied partition-locally. The words table persists
+    * across iterations (the kmeansFit cacheInput idiom);
+    * localCheckpoint truncates the growing lineage the same way the
+    * cluster loops do. */
+  private[operators] def bpeTrainDistributed(
+      wordFreqs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = wordFreqs.sparkSession
+    val wfSchema = StructType(Seq(
+      StructField("freq", LongType),
+      StructField("symbols", ArrayType(StringType, containsNull = false))))
+    var words = wordFreqs
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var exhausted = false

@@ -357,6 +357,44 @@ class QualitySpec extends SparkSpec {
     assert(m2.length < 50 && m2.nonEmpty)
   }
 
+  test("bpeTrain: local and distributed paths learn the identical sequence; local is O(1) jobs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("lowest") ++ Seq.fill(2)("newer"))
+    val train = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    def countJobs(body: => Seq[(String, String)]): (Seq[(String, String)], Int) = {
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = body
+        org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val merges = 12
+    val (local, localJobs) = countJobs(TextAnalysis.bpeTrain(train, merges))
+    // maxLocalWords = 0 forces the fallback loop on the same corpus
+    val (dist, distJobs) = countJobs(TextAnalysis.bpeTrain(train, merges, maxLocalWords = 0))
+    assert(local === dist, "merge-sequence parity local vs distributed")
+    assert(local.length === merges)
+    // the r6 scale concern, measured: the collected-table path runs a
+    // constant number of jobs (count + collect) however many merges are
+    // asked for; the per-merge loop pays >=1 job per merge
+    // count + collect (AQE may stage-split each) — but NOT per-merge
+    assert(localJobs <= 6, s"local path ran $localJobs jobs")
+    assert(distJobs >= 5 * localJobs,
+      s"expected >=5x job reduction: local=$localJobs dist=$distJobs")
+  }
+
   test("compressionRatio: repetitive text compresses far below prose, deterministic") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -1,0 +1,8 @@
+package org.apache.spark
+
+/** Test-only bridge into `private[spark]` surface: lets specs drain the
+  * async listener bus so SparkListener-based job counting is
+  * deterministic (QualitySpec's BPE job-count assertion). */
+object GraftTestBridge {
+  def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}
