@@ -63,6 +63,16 @@ object Config {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Centroid-count threshold for IVF assignment strategy: at or below
+    * this, per-centroid cosines are inlined as codegen literal probes
+    * (tiny plans, zero per-row allocation); above it, the codebook
+    * rides into the plan as ONE reference object consumed by the fused
+    * FloatTopCosineIdx expression — generated-code size stays constant
+    * however large k grows (the k=10³ janino blowup guard). Both paths
+    * are bit-identical (parity-spec'd); the oracle pins the literal
+    * path at k=8. */
+  val IvfLiteralMaxK = 32
+
   /** Shingle width for n-gram / MinHash dedup. */
   val ShingleK = 3
 

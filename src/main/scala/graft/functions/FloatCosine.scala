@@ -111,6 +111,114 @@ case class FloatDotConst(child: Expression, coeffs: Array[Double])
     copy(child = newChild)
 }
 
+/** Top-`n` codebook indices by cosine against an embedding column, as
+  * one fused expression over a REFERENCE-HELD codebook.
+  *
+  * The literal-probe form (k separate [[FloatCosine]]-vs-literal
+  * columns + argmax) inlines every centroid float into the generated
+  * Java source, so code size grows O(k·dim) and janino compilation
+  * falls over near k≈10³. Here the codebook enters the generated code
+  * via `ctx.addReferenceObj` — a single object slot in the references
+  * array, NOT source text — and the per-row work is one static call,
+  * so the generated code is the same few lines at k=8 or k=100k.
+  * (This strictly dominates a broadcast-join formulation: same
+  * executor-local codebook sharing, but no row inflation and no
+  * argmax re-aggregation shuffle.)
+  *
+  * Semantics are bit-identical to the literal path and the DuckDB
+  * oracle: per centroid the FloatCosine double accumulation in index
+  * order, 6-digit portable rounding, NULL cosines (zero-norm either
+  * side) coalesced to -2.0 (below any real cosine), ranked
+  * (cos desc, index asc). Returns the first `min(n, k)` indices. */
+case class FloatTopCosineIdx(child: Expression, codebook: Array[Array[Float]], n: Int)
+    extends UnaryExpression {
+  require(codebook.nonEmpty && n >= 1, "non-empty codebook, n >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "float_top_cosine_idx"
+
+  @transient private lazy val normSq: Array[Double] =
+    FloatTopCosineIdx.normsOf(codebook)
+
+  override protected def nullSafeEval(a: Any): Any =
+    FloatTopCosineIdx.compute(a.asInstanceOf[ArrayData], codebook, normSq, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "float[][]")
+    val nsRef = ctx.addReferenceObj("normSq", normSq, "double[]")
+    val cls = FloatTopCosineIdx.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $cls.compute($a, $cbRef, $nsRef, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FloatTopCosineIdx {
+  private[functions] def normsOf(codebook: Array[Array[Float]]): Array[Double] =
+    codebook.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val v = c(i).toDouble; s += v * v; i += 1 }
+      s
+    }
+
+  /** Shared by interpreted eval and codegen (static call → exact
+    * eval/codegen parity, constant generated-code size). */
+  def compute(x: ArrayData, codebook: Array[Array[Float]],
+              normSq: Array[Double], n: Int): ArrayData = {
+    val k = codebook.length
+    val m = x.numElements()
+    // embedding norm² over the full vector; valid for the (universal)
+    // equal-length case — the prefix slow path recomputes it
+    var naFull = 0.0
+    var i = 0
+    while (i < m) { val v = x.getFloat(i).toDouble; naFull += v * v; i += 1 }
+    val cos = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = codebook(j)
+      var dot = 0.0; var na = naFull; var nb = normSq(j)
+      if (c.length == m) {
+        var t = 0
+        while (t < m) { dot += x.getFloat(t).toDouble * c(t).toDouble; t += 1 }
+      } else {
+        // length-mismatch: replay FloatCosine's min-prefix accumulation
+        val p = math.min(m, c.length)
+        na = 0.0; nb = 0.0
+        var t = 0
+        while (t < p) {
+          val xv = x.getFloat(t).toDouble; val cv = c(t).toDouble
+          dot += xv * cv; na += xv * xv; nb += cv * cv; t += 1
+        }
+      }
+      // roundp(·, 6) then coalesce(NULL, -2.0), exactly as the literal
+      // ivfProbes/ivfAssign column pipeline evaluates
+      cos(j) =
+        if (na * nb == 0.0) -2.0
+        else math.floor(dot / math.sqrt(na * nb) * 1e6 + 0.5) / 1e6
+      j += 1
+    }
+    val nn = math.min(n, k)
+    val out = new Array[Int](nn)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < nn) {
+      var best = -1; var bestC = 0.0
+      var jj = 0
+      while (jj < k) {
+        // strict > : first (lowest) index wins ties = (cos desc, idx asc)
+        if (!used(jj) && (best < 0 || cos(jj) > bestC)) { best = jj; bestC = cos(jj) }
+        jj += 1
+      }
+      used(best) = true; out(r) = best; r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorOps {
   /** Column API for [[FloatCosine]]. */
   def floatCosine(a: Column, b: Column): Column =
@@ -120,4 +228,9 @@ object VectorOps {
   /** Column API for [[FloatDotConst]]. */
   def floatDotConst(a: Column, coeffs: Array[Double]): Column =
     GraftShim.column(FloatDotConst(GraftShim.expression(a), coeffs))
+
+  /** Column API for [[FloatTopCosineIdx]]. */
+  def floatTopCosineIdx(emb: Column, codebook: Seq[Array[Float]], n: Int): Column =
+    GraftShim.column(FloatTopCosineIdx(
+      GraftShim.expression(emb), codebook.toArray, n))
 }

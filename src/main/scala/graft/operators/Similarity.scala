@@ -80,9 +80,21 @@ object Similarity {
     * columns so the k^2 argmax comparisons reference attributes instead
     * of re-expanding the dot products. Ties break to the lowest centroid
     * id on the 6-digit-rounded cosine, matching the oracle's
-    * ORDER BY cos DESC, cid ASC. */
-  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Array[Float]]): DataFrame = {
+    * ORDER BY cos DESC, cid ASC.
+    *
+    * Above `literalMaxK` centroids the literal probes would inline
+    * O(k·dim) float literals into the generated Java (janino falls over
+    * near k≈10³), so the codebook switches to ONE reference-held
+    * [[graft.functions.FloatTopCosineIdx]] expression — constant code
+    * size at any k, zero shuffle, zero row inflation, bit-identical
+    * output (parity-spec'd at k=8 and k=64 in QualitySpec). */
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Array[Float]],
+                literalMaxK: Int = Config.IvfLiteralMaxK): DataFrame = {
     val emb = col(embCol)
+    if (centroids.size > literalMaxK)
+      return df.withColumn("bucket", coalesce(
+        element_at(VectorOps.floatTopCosineIdx(emb, centroids, 1), 1),
+        lit(0)))
     // fused FloatCosine against a float-literal centroid: one codegen
     // loop per centroid; the HOF norm2 form is interpreted and gets
     // re-evaluated per argmax comparison if it leaks into the CASE chain
@@ -122,9 +134,18 @@ object Similarity {
     * descending: cos desc, then lowest centroid id on ties — the same
     * tiebreak as [[ivfAssign]]. */
   def ivfProbes(df: DataFrame, embCol: String, centroids: Seq[Array[Float]],
-                nProbe: Int): DataFrame = {
+                nProbe: Int, literalMaxK: Int = Config.IvfLiteralMaxK): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size, "1 <= nProbe <= centroids")
     val emb = col(embCol)
+    if (centroids.size > literalMaxK) {
+      // NULL embedding: the literal path's coalesce(cos, -2.0) ranks
+      // every centroid equal and the nid tiebreak emits 0..nProbe-1 —
+      // mirror with a literal fallback array
+      val fallback = array((0 until nProbe).map(i => lit(i)): _*)
+      return df
+        .withColumn("bucket",
+          explode(coalesce(VectorOps.floatTopCosineIdx(emb, centroids, nProbe), fallback)))
+    }
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         // zero-norm vectors have NULL cosines; -2 sorts them below any

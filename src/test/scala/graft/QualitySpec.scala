@@ -357,6 +357,35 @@ class QualitySpec extends SparkSpec {
     assert(m2.length < 50 && m2.nonEmpty)
   }
 
+  test("ivfAssign/ivfProbes: reference-held codebook path bit-identical to literal probes at k=8 and k=64") {
+    import spark.implicits._
+    for (k <- Seq(8, 64)) {
+      val centroids = Similarity.kmeansInit(emb, k)
+      def buckets(maxLit: Int): Seq[(Long, Int)] =
+        Similarity.ivfAssign(emb, "embedding", centroids, literalMaxK = maxLit)
+          .select("vec_id", "bucket").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      assert(buckets(Int.MaxValue) === buckets(0), s"ivfAssign parity at k=$k")
+      def probes(maxLit: Int): Seq[(Long, Int)] =
+        Similarity.ivfProbes(emb, "embedding", centroids, nProbe = 3, literalMaxK = maxLit)
+          .select("vec_id", "bucket").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      assert(probes(Int.MaxValue) === probes(0), s"ivfProbes parity at k=$k")
+    }
+    // degenerate inputs: zero-norm and NULL embeddings take the same
+    // bucket-0 / 0..nProbe-1 fallbacks on both paths
+    val weird = Seq(
+      (1L, Array(0f, 0f, 0f)), (2L, null: Array[Float]),
+      (3L, Array(1f, 2f, -1f)), (4L, Array(-3f, 0.5f, 2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    def w(maxLit: Int) = Similarity.ivfProbes(weird, "embedding", cents, 2, maxLit)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(w(Int.MaxValue) === w(0))
+    assert(w(0).filter(_._1 == 2L).map(_._2) === Seq(0, 1), "NULL emb probes 0..nProbe-1")
+  }
+
   test("bpeTrain: local and distributed paths learn the identical sequence; local is O(1) jobs") {
     import spark.implicits._
     import graft.operators.TextAnalysis
