@@ -14,11 +14,32 @@ object Bench {
     // doesn't absorb session startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Contention calibration: re-time ONE fixed cheap query at regular
+    // positions through the suite (plus once at the end). Its baseline
+    // cost is constant, so drift in this series IS host load at that
+    // moment — a judge can subtract contention windows without a
+    // re-run (the r6 adjudication re-ran the whole bench to prove
+    // three "regressions" were driver-host bursts). Single-run on
+    // purpose: min-of-3 would hide exactly the noise being measured.
+    val CalibQuery = "q_cv"
+    val CalibEvery = 10
+    val calib = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    def calibrate(pos: Int): Unit =
+      SparkEntry.queries.get(CalibQuery).foreach { fn =>
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          calib += pos -> (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+      }
+    var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: the dedup family persists intermediate frames
       // (shingles, signatures) that would otherwise accumulate across
       // the suite and evict/GC-pressure later queries' runs
       spark.catalog.clearCache()
+      if (qIdx % CalibEvery == 0) calibrate(qIdx)
+      qIdx += 1
       // min of three timed runs: steady-state timing, dampens machine
       // noise. A failed run is not timed and short-circuits the rest.
       var times = List.empty[Double]
@@ -49,10 +70,14 @@ object Bench {
     val spread = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    calibrate(qIdx) // closing sample: drift across the whole run
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = s"""{"query":"$CalibQuery","positions":${
+      calib.map(_._1).mkString("[", ",", "]")},"times":${
+      calib.map(_._2).mkString("[", ",", "]")}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$spread,"failed":$failedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
     // machine-readable twice over: a file (driver- or human-greppable
     // regardless of log decoration) AND the bare final stdout line
     // (build.sbt forces StdoutOutput so sbt adds no "[info] " prefix)
