@@ -357,6 +357,52 @@ class QualitySpec extends SparkSpec {
     assert(m2.length < 50 && m2.nonEmpty)
   }
 
+  test("sessionizeDeclarative property: random gap sequences match the gaps-and-islands reference") {
+    import spark.implicits._
+    // the q_sessionize oracle pins ONE real exact-gap pair; this sweep
+    // drives the boundary semantics (diff == gap merges, gap+1 breaks,
+    // duplicate timestamps count twice) across random sequences, vs an
+    // independent driver-side lag/sum reference
+    def prd(seed: Long, mod: Int): Int = (((seed * 2654435761L + 104729L) >>> 16) % mod).toInt
+    val gapSec = 600L
+    for (trial <- 1 to 6) {
+      val events: Seq[(Long, Long)] = (0 until 12).flatMap { u =>
+        var t = 1700000000L + prd(trial * 101L + u, 1000)
+        val n = 2 + prd(trial * 7L + u * 13, 30)
+        (0 until n).map { i =>
+          if (i > 0) t += (prd(trial * 31L + u * 17 + i * 3, 8) match {
+            case 0 => 0L          // duplicate timestamp
+            case 1 => gapSec      // exact gap: merges
+            case 2 => gapSec + 1  // one past: breaks
+            case 3 => gapSec - 1
+            case _ => prd(trial * 41L + u * 5 + i, 1500).toLong
+          })
+          (u.toLong, t)
+        }
+      }
+      val df = events.toDF("user_id", "sec")
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+        .repartition(7)
+      val got = graft.streaming.Streams.sessionizeDeclarative(df, s"$gapSec seconds")
+        .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+          unix_timestamp(col("session_end")).as("e"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        var out = List.empty[(Long, Long, Long, Long)]
+        var start = ts.head; var last = ts.head; var n = 0L
+        ts.foreach { t =>
+          if (t - last > gapSec) { out ::= ((u, start, last, n)); start = t; n = 0L }
+          last = t; n += 1
+        }
+        out ::= ((u, start, last, n))
+        out
+      }.sortBy(t => (t._1, t._2))
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("ivfAssign/ivfProbes: reference-held codebook path bit-identical to literal probes at k=8 and k=64") {
     import spark.implicits._
     for (k <- Seq(8, 64)) {
