@@ -103,8 +103,17 @@ object Dedup {
   /** MinHash + LSH banding near-dup: docs sharing any band of the
     * signature become candidate pairs; candidates are verified with the
     * true shingle Jaccard via array_intersect on the per-doc shingle
-    * arrays (no second explode+aggregate pass). */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    * arrays (no second explode+aggregate pass).
+    *
+    * `bandCap` is the viral-bucket defense: a band value shared by d
+    * docs emits O(d²) candidate rows, so one boilerplate-heavy cluster
+    * (d≈10⁵ at corpus scale) can dominate the whole join. Buckets with
+    * more than `bandCap` docs are dropped from candidate generation —
+    * SkewSpec pins the bound. Oversized buckets are overwhelmingly
+    * exact/boilerplate duplicates, which the exact-dedup pass
+    * (run FIRST in a real pipeline) already catches; the default
+    * (no cap) keeps the registered oracle semantics unchanged. */
+  def minhashLshPairs(docs: DataFrame, bandCap: Int = Int.MaxValue): DataFrame = {
     // persist the per-doc shingle arrays ONCE: the signature pipeline and
     // both verification join sides all derive from it (three document
     // scans + shingle computations otherwise).
@@ -115,7 +124,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesFromShingles(shArr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandRows(sig)
+    val allBands = bandRows(sig)
+    val bands =
+      if (bandCap == Int.MaxValue) allBands
+      else {
+        // occupancy agg + join are both keyed on (band_idx, band_val):
+        // one co-partitioned shuffle, no broadcast of an unbounded side
+        val occ = allBands.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") <= bandCap)
+        allBands.join(occ, Seq("band_idx", "band_val")).drop("__occ")
+      }
     val l = bands.select(col("doc_id").as("id_a"), col("band_idx"), col("band_val"))
     val r = bands.select(col("doc_id").as("id_b"), col("band_idx"), col("band_val"))
     val cand = l.join(r, Seq("band_idx", "band_val"))

@@ -91,6 +91,68 @@ class SkewSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((200L, 201L)))
   }
 
+  test("range join 100:1 hot bucket: bucketing keeps candidates near matches, output exact") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val width = 100L
+    // 100:1 skew — 5000 points pile into one (key, bucket); 50 cold
+    // points spread out. One long interval spans 20 buckets; 25 short
+    // ones sit elsewhere.
+    val points = ((1 to 5000).map(i => (i.toLong, "hot", 150L + (i % 50))) ++
+      (1 to 50).map(i => (5000L + i, "hot", 10000L + i * 300L)))
+      .toDF("pid", "k", "t")
+    val ivs = (Seq((900L, "hot", 100L, 2100L)) ++ // long: covers the hot bucket
+      (1 to 25).map(i => (1000L + i, "hot", 9000L + i * 400L, 9000L + i * 400L + 50L)))
+      .toDF("wid", "k", "s", "e")
+    val got = RangeJoin.intervalJoin(points, ivs, "t", "s", "e", width, Seq("k"))
+      .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = points.join(ivs, Seq("k"))
+      .where(col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === naive, "bucketed join must reproduce the exact theta-join pair set")
+    assert(got.distinct.length === got.length, "every true pair meets exactly once")
+    // the scale bound: candidate volume (sum over buckets of
+    // points_b x intervals_b) stays near the true match count instead
+    // of the naive points x intervals product
+    val pB = points.groupBy(col("k"), floor(col("t") / width).as("b")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val iB = ivs.where(col("e") > col("s"))
+      .select(col("k"), explode(sequence(floor(col("s") / width),
+        floor(col("e") / width))).as("b"))
+      .groupBy("k", "b").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val candidates = pB.map { case (kb, np) => np * iB.getOrElse(kb, 0L) }.sum
+    val naiveCandidates = points.count() * ivs.count()
+    assert(candidates <= 2L * naive.length + 100L,
+      s"bucketed candidates $candidates should track matches ${naive.length}")
+    assert(candidates * 20 < naiveCandidates,
+      s"bucketing must collapse the naive $naiveCandidates candidate space")
+  }
+
+  test("minhash band cap: a viral band bucket cannot manufacture O(d^2) candidates") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 60 identical viral docs (one band bucket holds all of them) plus
+    // a genuine near-dup pair with unique text
+    val viral = "breaking news story everyone shares this exact text today now"
+    val docs = ((0 until 60).map(i => (i.toLong, viral)) ++
+      Seq((100L, "rare alpha beta gamma delta epsilon zeta eta theta kappa"),
+          (101L, "rare alpha beta gamma delta epsilon zeta eta theta lambda")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._1 < 60 && p._2 < 60) === 60 * 59 / 2,
+      "uncapped: the viral bucket emits every pair")
+    spark.catalog.clearCache()
+    val capped = Dedup.minhashLshPairs(docs, bandCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 < 60 && p._2 < 60),
+      "capped: viral-bucket pairs are suppressed")
+    assert(capped.contains((100L, 101L)),
+      "capped: genuine near-dups in small buckets survive")
+    spark.catalog.clearCache()
+  }
+
   test("saltedDistinctCount keeps keys whose values are all NULL (count 0)") {
     import spark.implicits._
     val d = Seq(("a", None: Option[String]), ("b", Some("x")), ("b", None))
