@@ -36,6 +36,8 @@ object SparkEntry {
     "q_median_rooms" -> (C.qMedianRooms _),
     "q_poverty_pz" -> (C.qPovertyPz _),
     "q_community_profiles" -> (C.qCommunityProfiles _),
+    // the WHOLE runAcs pipeline (dispatch + translator + export tail)
+    "q_run_acs" -> (C.qRunAcs _),
     // the geolookup BUILDER (PostGIS build.sql as a point-in-polygon probe)
     "q_geo_lookup_build" -> (G.qGeoLookupBuild _),
     // query-engine basics
@@ -122,6 +124,7 @@ object SparkEntry {
     "q_median_rooms" -> C.qMedianRoomsSql,
     "q_poverty_pz" -> C.qPovertyPzSql,
     "q_community_profiles" -> C.qCommunityProfilesSql,
+    "q_run_acs" -> C.qRunAcsSql,
     "q_geo_lookup_build" -> G.qGeoLookupBuildSql,
     "q1_pricing_summary" -> T.q1Sql,
     "q3_top_orders" -> T.q3Sql,

@@ -330,6 +330,142 @@ object CensusQueries {
        |FROM ct GROUP BY 1""".stripMargin
   }
 
+  // ---- runAcs end-to-end: the whole acs.py run under the oracle gate ----
+
+  /** The FULL [[graft.Calculate.runAcs]] surface in one oracle-gated
+    * query (pipelines/acs.py): geotype dispatch through the translator
+    * registry (plain `tract` + derived `NTA` from the same tract
+    * download), the real bundled ct2010→ct2020 crosswalk with the MOE
+    * damping curve, two live acs2019 registry variables (ownerocc and
+    * its base occbaseunits), the base-join p/z derivation, and the
+    * export tail — rounding → cleaning → labs formatting → domain —
+    * exactly as runAcs unions them into the 11-column frame
+    * (create_acs.sql). The DuckDB oracle replays every stage. */
+  def qRunAcs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Geography
+    import graft.meta.VariableRegistry
+    val ratio = Geography.referenceRatio(spark)
+    val ids = spark.createDataFrame(
+        Geography.referenceRatioRows.map(_._2).distinct.sorted.zipWithIndex
+          .collect { case (ct10, idx) if idx < 2000 => (ct10, idx) })
+      .toDF("geoid_ct2010", "idx")
+    val l = Tables(spark, dir).lineitem
+    val tractDl = l.join(broadcast(ids), (col("l_orderkey") % 2000) === col("idx"))
+      .select(col("geoid_ct2010").as("census_geoid"),
+        lit("tract").as("geotype"),
+        when(col("l_linenumber") % 2 === 0, "B25003_002")
+          .otherwise("B25002_001").as("census_variable"),
+        col("l_quantity").as("e"), (col("l_discount") * 10).as("m"))
+    // one synthetic block per ct2020 (substring(1,11) recovers the
+    // tract); MN-prefixed NTAs take labs_geoid's identity branch
+    val lookupGeo = ratio.select(col("geoid_ct2020")).distinct().select(
+      concat(col("geoid_ct2020"), lit("0000")).as("geoid"),
+      concat(lit("MN"), substring(col("geoid_ct2020"), 6, 2)).as("nta2020"),
+      concat(lit("NTA "), substring(col("geoid_ct2020"), 6, 2)).as("ntaname"),
+      lit("MN01").as("cdta2020"), lit("CD 1").as("cdtaname"),
+      lit("1").as("borocode"), lit("Manhattan").as("boroname"),
+      lit("0").as("fp_500"), lit("0").as("fp_100"), lit("0").as("park_access"))
+    new graft.Calculate(VariableRegistry.acs2019)
+      .runAcs(Map("tract" -> tractDl), Geography(lookupGeo, ratio), Seq("NTA", "tract"))
+      .select(col("census_geoid"), col("labs_geoid"), col("geotype"),
+        col("labs_geotype"), col("pff_variable"),
+        Portable.roundp(col("c"), 4).as("c"), Portable.roundp(col("e"), 4).as("e"),
+        Portable.roundp(col("m"), 4).as("m"), Portable.roundp(col("p"), 4).as("p"),
+        Portable.roundp(col("z"), 4).as("z"), col("domain"))
+  }
+
+  lazy val qRunAcsSql: String = {
+    import graft.meta.VariableRegistry
+    val reg = VariableRegistry.acs2019
+    // registry constants ride into the SQL from the same load the
+    // Spark side uses — the two engines cannot drift
+    val vOwner = reg.byName("ownerocc"); val vBase = reg.byName("occbaseunits")
+    val dOwner = vOwner.rounding; val dBase = vBase.rounding
+    val values = graft.operators.Geography.referenceRatioRows
+      .map { case (ct20, ct10, r) => s"('$ct20','$ct10',CAST('$r' AS DOUBLE))" }
+      .mkString(",\n    ")
+    s"""WITH cw(ct20, ct10, ratio) AS (VALUES
+       |    $values),
+       |ids AS (SELECT ct10, row_number() OVER (ORDER BY ct10) - 1 AS idx
+       |        FROM (SELECT DISTINCT ct10 FROM cw)),
+       |dl AS (SELECT ids.ct10 AS g,
+       |         CASE WHEN l_linenumber % 2 = 0 THEN 'ownerocc'
+       |              ELSE 'occbaseunits' END AS v,
+       |         l_quantity AS e, l_discount*10 AS m
+       |       FROM lineitem JOIN ids ON ids.idx = l_orderkey % 2000),
+       |em AS (SELECT g, v, SUM(e) AS e, sqrt(SUM(m*m)) AS m FROM dl GROUP BY g, v),
+       |ap AS (SELECT cw.ct20 AS g20, em.v, em.e * cw.ratio AS e,
+       |         CASE WHEN cw.ratio = 1 THEN em.m
+       |              WHEN em.e * cw.ratio = 0 THEN NULL
+       |              WHEN pow(cw.ratio*100, 0.56901)*7.96309 >= 100 THEN em.m
+       |              ELSE pow(cw.ratio*100, 0.56901)*7.96309/100 * em.m END AS m
+       |       FROM em JOIN cw ON em.g = cw.ct10),
+       |ct AS (SELECT g20, v, SUM(e) AS e, sqrt(SUM(m*m)) AS m FROM ap GROUP BY g20, v),
+       |nta AS (SELECT 'MN' || substr(g20, 6, 2) AS g, v, SUM(e) AS e,
+       |          sqrt(SUM(m*m)) AS m
+       |        FROM ct GROUP BY 1, v),
+       |lvl AS (SELECT g, 'tract' AS geotype, v, e, m FROM em
+       |        UNION ALL SELECT g, 'NTA' AS geotype, v, e, m FROM nta),
+       |base AS (SELECT g, geotype, e AS agg_e, m AS agg_m FROM lvl
+       |         WHERE v = 'occbaseunits'),
+       |pz AS (SELECT lvl.g, lvl.geotype, lvl.v, lvl.e, lvl.m, agg_e, agg_m,
+       |         CASE WHEN lvl.v = 'occbaseunits' THEN 100.0
+       |              WHEN agg_e = 0 THEN NULL ELSE lvl.e/agg_e*100 END AS p,
+       |         CASE WHEN agg_e = 0 THEN NULL ELSE lvl.e*agg_m/agg_e END AS ratio
+       |       FROM lvl LEFT JOIN base
+       |         ON lvl.g = base.g AND lvl.geotype = base.geotype),
+       |cz AS (SELECT g, geotype, v, e, m, p,
+       |         CASE WHEN v = 'occbaseunits' THEN NULL
+       |              WHEN p = 0 OR p = 100 OR agg_e = 0 THEN NULL
+       |              ELSE (CASE WHEN m*m - ratio*ratio < 0
+       |                    THEN sqrt(m*m + ratio*ratio)
+       |                    ELSE sqrt(m*m - ratio*ratio) END)/agg_e*100 END AS z,
+       |         CASE WHEN e = 0 THEN NULL ELSE m/1.645/e*100 END AS c
+       |       FROM pz),
+       |r AS (SELECT g, geotype, v,
+       |        floor(c * 1e1 + 0.5) / 1e1 AS c,
+       |        CASE WHEN v = 'ownerocc' THEN floor(e * 1e$dOwner + 0.5) / 1e$dOwner
+       |             ELSE floor(e * 1e$dBase + 0.5) / 1e$dBase END AS e,
+       |        CASE WHEN v = 'ownerocc' THEN floor(m * 1e$dOwner + 0.5) / 1e$dOwner
+       |             ELSE floor(m * 1e$dBase + 0.5) / 1e$dBase END AS m,
+       |        floor(p * 1e1 + 0.5) / 1e1 AS p,
+       |        floor(z * 1e1 + 0.5) / 1e1 AS z
+       |      FROM cz),
+       |cl0 AS (SELECT g, geotype, v,
+       |         CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+       |         CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+       |         CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+       |         CASE WHEN p < 0 THEN NULL WHEN p > 100 THEN NULL ELSE p END AS p,
+       |         CASE WHEN z < 0 THEN NULL ELSE z END AS z
+       |       FROM r),
+       |cl1 AS (SELECT g, geotype, v, c, e, m, p,
+       |         CASE WHEN p IS NULL THEN NULL WHEN p = 100 THEN 0.0
+       |              ELSE z END AS z
+       |       FROM cl0),
+       |cl2 AS (SELECT g, geotype, v, c, e, m,
+       |         CASE WHEN v = 'occbaseunits' THEN 100.0 ELSE p END AS p,
+       |         CASE WHEN v = 'occbaseunits' THEN 0.0 ELSE z END AS z
+       |       FROM cl1),
+       |cl AS (SELECT g AS geoid, geotype, v,
+       |        CASE WHEN e IS NULL OR e = 0 THEN NULL ELSE c END AS c, e,
+       |        CASE WHEN e IS NULL OR e = 0 THEN NULL ELSE m END AS m,
+       |        CASE WHEN e IS NULL OR e = 0 THEN NULL ELSE p END AS p,
+       |        CASE WHEN e IS NULL OR e = 0 THEN NULL ELSE z END AS z
+       |       FROM cl2)
+       |SELECT geoid AS census_geoid,
+       |  geotype,
+       |  $labsSelect,
+       |  v AS pff_variable,
+       |  floor(c * 1e4 + 0.5) / 1e4 AS c,
+       |  floor(e * 1e4 + 0.5) / 1e4 AS e,
+       |  floor(m * 1e4 + 0.5) / 1e4 AS m,
+       |  floor(p * 1e4 + 0.5) / 1e4 AS p,
+       |  floor(z * 1e4 + 0.5) / 1e4 AS z,
+       |  CASE WHEN v = 'ownerocc' THEN '${vOwner.domain}'
+       |       ELSE '${vBase.domain}' END AS domain
+       |FROM cl""".stripMargin
+  }
+
   // ---- #11 multi-level geo rollup in one pass ----
 
   /** tract→boro→city in a single shuffle via ROLLUP — the Spark-first
