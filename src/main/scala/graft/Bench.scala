@@ -3,12 +3,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local[N] when run bare; defers to spark-submit conf (Sessions)
+    val spark = Sessions.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + codegen + parquet footers so the first timed query
     // doesn't absorb session startup.
@@ -32,8 +28,14 @@ object Bench {
           calib += pos -> (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => () }
       }
+    // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b (comma list).
+    // Full-suite runs (the driver's) leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var qIdx = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // isolate queries: the dedup family persists intermediate frames
       // (shingles, signatures) that would otherwise accumulate across
       // the suite and evict/GC-pressure later queries' runs

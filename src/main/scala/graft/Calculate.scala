@@ -407,6 +407,28 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // translator given they are suppressed below.
     val emAll = vertical.getOrElse(identity[DataFrame] _)(em(download))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PIVOT PRUNING: which pff variables actually have input rows? One
+    // bounded collect (distinct over ≤ registry-size values on the
+    // persisted aggregate). A special/median NONE of whose (transitive)
+    // plain inputs are present pivots to an EMPTY frame — skipping it
+    // is output-identical and collapses the plan for sparse downloads
+    // (a 2-variable download against the full acs2019 registry was
+    // paying ~24 empty wide-aggregate codegens per geotype, measured
+    // 16 s → ~1 s on q_run_acs). The names stay in derivedNames: a
+    // derived variable's published plain rows remain excluded even
+    // when its pivot is pruned, exactly as the unpruned plan behaves.
+    val present: Set[String] = emAll.select("pff_variable").distinct()
+      .collect().map(_.getString(0)).toSet
+    def plainInputs(v: String, seen: Set[String]): Set[String] =
+      if (seen(v)) Set.empty
+      else if (registry.specialVariables.contains(v))
+        registry.specialByName(v).baseVariables.toSet
+          .flatMap((b: String) => plainInputs(b, seen + v))
+      else Set(v)
+    val activeSpecials = derivedSpecials
+      .filter(sp => plainInputs(sp.pffVariable, Set.empty).exists(present))
+    val activeMedians = derivedMedians
+      .filter(md => md.inputVariables.exists(present))
     // at an aggregated geography (vertical defined) the profile path
     // does not exist — profile-only variables flow through the derived
     // paths like any other (calculate.py:218-221)
@@ -423,8 +445,8 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // SLOWER at the full registry: a 300+-column conditional aggregate
     // is its own codegen bomb, and every spec's projection drags the
     // wide row.)
-    val specials = derivedSpecials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
-    val medians = derivedMedians.map(md => emMedianFrom(emAll, md.pffVariable))
+    val specials = activeSpecials.map(sp => emSpecialFrom(emAll, sp.pffVariable))
+    val medians = activeMedians.map(md => emMedianFrom(emAll, md.pffVariable))
     // unionByName: the per-path selects don't share column order
     val all = (plain +: (specials ++ medians)).reduce(_ unionByName _)
     // base-variable (and poverty-pct) lookups resolve against the PLAIN
@@ -443,14 +465,14 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
         if (vertical.isDefined && registry.medianVariables.nonEmpty)
           emAll.where(!col("pff_variable").isin(registry.medianVariables.toSeq: _*))
         else emAll
-      val metalessSpecialPivots = derivedSpecials.zip(specials).collect {
+      val metalessSpecialPivots = activeSpecials.zip(specials).collect {
         case (sp, df) if metaless(sp.pffVariable) => df
       }
       // under a translator every median pivot joins (incl. metaless);
       // at plain geographies only the metaless ones fall back
       val medianLk =
         if (vertical.isDefined) medians
-        else derivedMedians.zip(medians).collect {
+        else activeMedians.zip(medians).collect {
           case (md, df) if metaless(md.pffVariable) => df
         }
       (plainLk +: (medianLk ++ metalessSpecialPivots)).reduce(_ unionByName _)

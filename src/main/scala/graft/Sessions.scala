@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession construction for the graft mains (Verify/Bench):
+  * local[N] defaults when launched bare (sbt runMain), fully
+  * DEFERENTIAL when launched via spark-submit — any externally
+  * provided master or conf wins, so the same jar serves local dev and
+  * a 1000-executor cluster without a rebuild.
+  *
+  * spark-submit (client mode) surfaces `--master` and every `--conf`
+  * as `spark.*` system properties in the driver JVM before main()
+  * runs; their absence is how "launched bare" is detected. Shuffle
+  * parallelism is therefore decoupled from SPARK_GRAFT_CPUS on a
+  * cluster: pass `--conf spark.sql.shuffle.partitions=<2-3x total
+  * executor cores>` and the local default never fires. */
+object Sessions {
+
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val b = SparkSession.builder().appName(appName)
+    if (!sys.props.contains("spark.master")) b.master(s"local[$cpus]")
+    if (!sys.props.contains("spark.sql.shuffle.partitions"))
+      b.config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    if (!sys.props.contains("spark.ui.enabled"))
+      b.config("spark.ui.enabled", "false")
+    // correctness contract: oracle comparisons are UTC-pinned
+    b.config("spark.sql.session.timeZone", "UTC")
+    b.getOrCreate()
+  }
+}
