@@ -402,22 +402,38 @@ object TextAnalysis {
       .where(col("w").isNotNull)
       .rdd.mapPartitions { rows =>
         val ranks = bc.value
+        // per-partition memo: encoding is a pure function of the word,
+        // and corpora are Zipfian — most words repeat, so each DISTINCT
+        // word pays the merge loop once per partition (bounded cap
+        // guards pathological vocabularies)
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def encode(word: String): Array[String] = {
+          val hit = memo.get(word)
+          if (hit != null) return hit
+          var syms: Array[String] = word.split("") :+ "</w>"
+          var done = false
+          while (!done) {
+            // lowest-rank applicable merge, one pass (rank is unique
+            // per pair, so min-rank identifies the pair outright)
+            var bestRank = Int.MaxValue
+            var bi = -1
+            var i = 0
+            while (i + 1 < syms.length) {
+              val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < bestRank) { bestRank = r; bi = i }
+              i += 1
+            }
+            if (bi < 0) done = true
+            else syms = mergeOnce(syms.toSeq, syms(bi), syms(bi + 1)).toArray
+          }
+          if (memo.size < (1 << 20)) memo.put(word, syms)
+          syms
+        }
         rows.flatMap { r =>
           val id = r.getLong(0)
           var pos = -1L
           r.getSeq[String](1).filter(_.nonEmpty).flatMap { word =>
-            var symbols = (word.split("").toSeq :+ "</w>")
-            var done = false
-            while (!done) {
-              val best = symbols.zip(symbols.tail)
-                .flatMap(p => ranks.get(p).map(_ -> p))
-                .sortBy(_._1).headOption
-              best match {
-                case Some((_, (a, b))) => symbols = mergeOnce(symbols, a, b)
-                case None => done = true
-              }
-            }
-            symbols.map { t => pos += 1; Row(id, pos, t) }
+            encode(word).map { t => pos += 1; Row(id, pos, t) }
           }
         }
       }

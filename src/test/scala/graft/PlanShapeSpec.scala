@@ -42,4 +42,18 @@ class PlanShapeSpec extends SparkSpec {
     val strat = scans(graft.queries.LlmQueries.qStratifiedSample(spark, dir))
     assert(strat.forall(!_.metadata("ReadSchema").contains("n_chars")))
   }
+
+  test("q_run_acs: sparse-download pivot pruning keeps the plan bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // calculateAll against the FULL acs2019 registry with a 2-variable
+    // download: the ~24 special/median pivots per geotype must be
+    // pruned (each is an empty ~40-column conditional aggregate whose
+    // codegen alone measured 16 s -> 2 s at sf0.1). The plain path
+    // needs only a handful of aggregations per geotype (em, crosswalk
+    // stages, rollup); a regression re-adding empty pivots blows past
+    // this bound immediately.
+    val aggs = graft.queries.CensusQueries.qRunAcs(spark, dir)
+      .queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.length <= 12, s"expected a pruned plan, found ${aggs.length} aggregates")
+  }
 }
