@@ -87,6 +87,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     // BPE tokenization under a fixed merge-rank table
     "q_bpe_encode" -> (L.qBpeEncode _),
+    // Dolma-style PII masking (emails/phones/IPs -> mask tokens)
+    "q_pii_scrub" -> (L.qPiiScrub _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -164,6 +166,7 @@ object SparkEntry {
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,
+    "q_pii_scrub" -> L.qPiiScrubSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

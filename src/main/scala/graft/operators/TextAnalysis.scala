@@ -468,4 +468,43 @@ object TextAnalysis {
       .withColumn("keep",
         col("len_ok") * col("punct_ok") * col("stop_ok") * col("rep_ok") * col("lang_ok"))
   }
+
+  // ---- PII masking ----
+
+  /** Email pattern: local part (letters, digits, dot, underscore,
+    * percent, plus, hyphen) @ dotted domain with an alphabetic TLD. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** US phone pattern: `(ddd) ddd-dddd` or `ddd-ddd-dddd`; the bare
+    * variant is boundary-guarded so a longer digit-hyphen run (e.g.
+    * `1234-567-8901`) is not partially masked. */
+  val PiiPhone = "\\(\\d{3}\\) \\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (no range check — masking errs on the side of
+    * redaction, as the reference pipelines do). */
+  val PiiIp = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  val EmailMask = "|||EMAIL_ADDRESS|||"
+  val PhoneMask = "|||PHONE_NUMBER|||"
+  val IpMask = "|||IP_ADDRESS|||"
+
+  /** PII masking for training corpora: emails, US phone numbers and
+    * IPv4 addresses replaced by fixed mask tokens, applied
+    * SEQUENTIALLY (email, then phone, then IP — each pattern counts
+    * and replaces on the previous stage's output, so a span can only
+    * be attributed once). Pure codegen'd regexp projections, zero
+    * shuffle, per-document — streams and scales trivially. The
+    * intermediate stages are staged as columns (each is referenced by
+    * both a count and the next replace; CollapseProject keeps
+    * multi-referenced regexes staged rather than inlining them twice).
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(PiiEmail)).cast("long"))
+      .withColumn("__t1", regexp_replace(col(textCol), PiiEmail, EmailMask))
+      .withColumn("n_phones", regexp_count(col("__t1"), lit(PiiPhone)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), PiiPhone, PhoneMask))
+      .withColumn("n_ips", regexp_count(col("__t2"), lit(PiiIp)).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("__t2"), PiiIp, IpMask))
+      .drop("__t1", "__t2", textCol)
 }

@@ -656,6 +656,61 @@ object LlmQueries {
        |FROM expl""".stripMargin
   }
 
+  // ---- PII scrubbing (Dolma-style masking) ----
+
+  /** PII masking, oracle-gated like qImageDecode: the corpus carries no
+    * PII (word-salad text, no digits/@/parens), so deterministic
+    * emails/phones/IPs — closed-form functions of doc_id — are spliced
+    * mid-text (at char offset doc_id % (len+1), exercising the
+    * word-boundary edges), then scrubbed by the REAL regex operator
+    * [[TextAnalysis.scrubPii]]. The DuckDB oracle rebuilds the expected
+    * scrubbed text by substituting mask tokens in the same splice
+    * without running any regex — any over- or under-match (a mask
+    * eating a neighboring word, a missed second email) fails the hash
+    * gate. Counts vary per doc (0-2 emails, 0-1 phones/IPs) so the
+    * count columns are a real gate, not constants. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val n = length(col("text"))
+    val p = (id % (n.cast("long") + 1L)).cast("int")
+    val sId = id.cast("string")
+    val email0 = concat(lit("user"), sId, lit(".0@ex"), (id % 7).cast("string"), lit(".org"))
+    val email1 = concat(lit("user"), sId, lit(".1@ex"), (id % 7).cast("string"), lit(".org"))
+    val phone = concat(lit("("), (id % 700 + 200).cast("string"), lit(") "),
+      (id % 900 + 100).cast("string"), lit("-"), (id % 9000 + 1000).cast("string"))
+    val ip = concat(lit("10."), (id % 250).cast("string"), lit("."),
+      (id % 150).cast("string"), lit("."), (id % 254 + 1).cast("string"))
+    val injected = concat(
+      when(id % 3 >= 1, concat(lit(" "), email0)).otherwise(lit("")),
+      when(id % 3 === 2, concat(lit(" "), email1)).otherwise(lit("")),
+      when(id % 2 === 1, concat(lit(" "), phone)).otherwise(lit("")),
+      when(id % 5 < 2, concat(lit(" "), ip)).otherwise(lit("")),
+      lit(" "))
+    val spliced = concat(col("text").substr(lit(1), p), injected,
+      col("text").substr(p + 1, n - p))
+    TextAnalysis.scrubPii(
+      Tables(spark, dir).documents.select(id, spliced.as("text")))
+  }
+
+  val qPiiScrubSql: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+       |    CAST(doc_id % (length(text) + 1) AS INT) AS p,
+       |    doc_id % 3 AS ne, doc_id % 2 AS np,
+       |    CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END AS ni
+       |  FROM documents),
+       |m AS (SELECT doc_id, ne, np, ni,
+       |    substr(text, 1, p)
+       |    || CASE WHEN ne >= 1 THEN ' ${TextAnalysis.EmailMask}' ELSE '' END
+       |    || CASE WHEN ne = 2 THEN ' ${TextAnalysis.EmailMask}' ELSE '' END
+       |    || CASE WHEN np = 1 THEN ' ${TextAnalysis.PhoneMask}' ELSE '' END
+       |    || CASE WHEN ni = 1 THEN ' ${TextAnalysis.IpMask}' ELSE '' END
+       |    || ' ' || substr(text, p + 1, n - p) AS scrubbed
+       |  FROM d)
+       |SELECT doc_id, CAST(ne AS BIGINT) AS n_emails,
+       |  CAST(np AS BIGINT) AS n_phones, CAST(ni AS BIGINT) AS n_ips,
+       |  scrubbed
+       |FROM m""".stripMargin
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

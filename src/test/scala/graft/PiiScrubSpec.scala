@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Unit fixtures for the PII masking operator (the oracle gate on
+  * q_pii_scrub covers the injected-corpus path; these pin the regex
+  * semantics on hand-written edge cases the synthetic corpus cannot
+  * produce). */
+class PiiScrubSpec extends SparkSpec {
+
+  private def scrubOne(text: String): (Long, Long, Long, String) = {
+    import spark.implicits._
+    val r = TextAnalysis.scrubPii(
+      Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+    (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+      r.getAs[Long]("n_ips"), r.getAs[String]("scrubbed"))
+  }
+
+  test("masks each PII family with its own token and exact counts") {
+    val (ne, np, ni, s) = scrubOne(
+      "mail a.b+c_d%e@sub.example.co.uk call (212) 555-0123 or 917-555-9999 from 192.168.0.1 done")
+    assert((ne, np, ni) === ((1L, 2L, 1L)))
+    assert(s === s"mail ${TextAnalysis.EmailMask} call ${TextAnalysis.PhoneMask} " +
+      s"or ${TextAnalysis.PhoneMask} from ${TextAnalysis.IpMask} done")
+  }
+
+  test("text without PII passes through untouched with zero counts") {
+    val orig = "plain words only, 3 digits 123 and a dash-join survive"
+    assert(scrubOne(orig) === ((0L, 0L, 0L, orig)))
+  }
+
+  test("bare-phone boundary guard: longer digit runs are not masked") {
+    val (_, np, _, s) = scrubOne("order 1234-567-8901 and 123-456-78901 stay")
+    assert(np === 0L && s.contains("1234-567-8901") && s.contains("123-456-78901"))
+  }
+
+  test("IP boundary: version-like dotted numbers mask, alpha-adjacent do not") {
+    val (_, _, ni, s) = scrubOne("v1.2.3.4 ships; peer 10.0.0.255, port stays")
+    // v1.2.3.4: '1' is preceded by 'v' (no \b break inside a word run
+    // only when adjacent chars are both word chars - 'v' and '1' are
+    // both word chars, so no boundary -> no match)
+    assert(ni === 1L && s.contains("v1.2.3.4") &&
+      s.contains(s"peer ${TextAnalysis.IpMask},"))
+  }
+
+  test("sequential attribution: an email is not re-counted as phone or IP") {
+    val (ne, np, ni, _) = scrubOne("reach 212-555-0123@relay.example.org today")
+    // the whole token matches the email pattern (digits and hyphens are
+    // legal local-part chars), so email claims it first
+    assert((ne, np, ni) === ((1L, 0L, 0L)))
+  }
+
+  test("null text yields null outputs") {
+    import spark.implicits._
+    val r = TextAnalysis.scrubPii(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("scrubbed")) && r.isNullAt(r.fieldIndex("n_emails")))
+  }
+}
