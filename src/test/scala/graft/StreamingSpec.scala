@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSpec {
     assert(quality(2L) < quality(1L) && quality(2L) < quality(3L))
   }
 
+  test("PII scrub runs unchanged on a document stream with batch parity") {
+    // scrubPii is a stateless regexp projection: no foreachBatch, no
+    // state store — the batch operator IS the streaming operator
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "ping admin@corp.example.net then (212) 555-0100"),
+      (2L, "no pii in this one"),
+      (3L, "origin 10.1.2.3 with fallback 192.168.7.19"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = graft.operators.TextAnalysis.scrubPii(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextAnalysis.scrubPii(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_.getAs[Long]("n_ips")).sum === 2L &&
+      !streamed.exists(_.getAs[String]("scrubbed").contains("@")))
+  }
+
   test("qualityFilterStream: composed verdict matches batch across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
