@@ -89,6 +89,8 @@ object SparkEntry {
     "q_bpe_encode" -> (L.qBpeEncode _),
     // Dolma-style PII masking (emails/phones/IPs -> mask tokens)
     "q_pii_scrub" -> (L.qPiiScrub _),
+    // crawl-pipeline HTML text extraction (script/style, tags, entities)
+    "q_html_extract" -> (L.qHtmlExtract _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -167,6 +169,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,
+    "q_html_extract" -> L.qHtmlExtractSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

@@ -507,4 +507,37 @@ object TextAnalysis {
       .withColumn("n_ips", regexp_count(col("__t2"), lit(PiiIp)).cast("long"))
       .withColumn("scrubbed", regexp_replace(col("__t2"), PiiIp, IpMask))
       .drop("__t1", "__t2", textCol)
+
+  // ---- HTML text extraction ----
+
+  /** script/style elements with their CONTENT (case-insensitive,
+    * dot-matches-newline, backreference pairs the closer). */
+  val HtmlBlock = "(?is)<(script|style)[^>]*>.*?</\\1>"
+
+  /** Any remaining markup tag. Unclosed fragments (`<br` with no `>`)
+    * are left as literal text — extraction never invents structure. */
+  val HtmlTag = "<[^>]+>"
+
+  /** HTML boilerplate stripping — the text-extraction step of a crawl
+    * pipeline: remove script/style blocks wholly, strip remaining tags
+    * to spaces, decode the common entities (`&amp;` LAST, so a
+    * double-encoded `&amp;lt;` yields the literal `&lt;` and is never
+    * over-decoded), then collapse whitespace. Entity decoding runs
+    * AFTER tag stripping, so decoded angle brackets (`&lt;tag&gt;`)
+    * survive as literal text. Pure codegen'd regexp projection, zero
+    * shuffle; emits per-doc removal counts for corpus reporting. */
+  def extractHtmlText(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val entityDecoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(regexp_replace(col("__nb"), HtmlTag, " ")) {
+        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+      }
+    docs
+      .withColumn("n_blocks", regexp_count(col(htmlCol), lit(HtmlBlock)).cast("long"))
+      .withColumn("__nb", regexp_replace(col(htmlCol), HtmlBlock, " "))
+      .withColumn("n_tags", regexp_count(col("__nb"), lit(HtmlTag)).cast("long"))
+      .withColumn("text", trim(regexp_replace(entityDecoded, "\\s+", " ")))
+      .drop("__nb", htmlCol)
+  }
 }

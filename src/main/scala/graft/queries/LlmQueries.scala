@@ -711,6 +711,61 @@ object LlmQueries {
        |  scrubbed
        |FROM m""".stripMargin
 
+  // ---- HTML text extraction (crawl-pipeline boilerplate stripping) ----
+
+  /** HTML extraction, oracle-gated by closed-form markup injection: each
+    * document's text is split at p = 1 + doc_id % (len-1) and wrapped in
+    * a deterministic page skeleton — optional script/style blocks
+    * (varying by doc_id so the counts are a real gate), an optional
+    * <br/>, attributed tags, and an entity segment cycling through the
+    * three decode families including the double-encoding edge
+    * (`a&amp;b` must emerge as `a&b`, never over-decode). The operator
+    * [[TextAnalysis.extractHtmlText]] runs the real regex pipeline; the
+    * DuckDB oracle rebuilds the expected clean text from the same parts
+    * WITHOUT parsing any HTML (only the shared whitespace-collapse,
+    * which the oracle registry already uses for tokenization). */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val n = length(col("text"))
+    val p = (lit(1) + (id % (n.cast("long") - 1L))).cast("int")
+    val head = col("text").substr(lit(1), p)
+    val tail = col("text").substr(p + 1, n - p)
+    val ent = when(id % 3 === 0, lit("x&amp;y"))
+      .when(id % 3 === 1, lit("&lt;raw&gt;"))
+      .otherwise(lit("&quot;q&quot;&#39;s&nbsp;end"))
+    val html = concat(
+      lit("<html><head><title>doc "), id.cast("string"), lit("</title>"),
+      when(id % 4 < 2, concat(lit("<script type=\"text/javascript\">var x = "),
+        id.cast("string"), lit(";</script>"))).otherwise(lit("")),
+      when(id % 5 === 0, lit("<style>.c{color:red}</style>")).otherwise(lit("")),
+      lit("</head><body><p class=\"lead\">"), head, lit("</p>"),
+      when(id % 2 === 1, lit("<br/>")).otherwise(lit("")),
+      lit("<div id=\"d"), id.cast("string"), lit("\">"), tail,
+      lit(" a&amp;b &lt;tag&gt; "), ent, lit("</div></body></html>"))
+    TextAnalysis.extractHtmlText(
+      Tables(spark, dir).documents.select(id, html.as("html")))
+  }
+
+  val qHtmlExtractSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n,
+      |    CAST(1 + doc_id % (length(text) - 1) AS INT) AS p,
+      |    CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END AS nscript,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS nstyle
+      |  FROM documents),
+      |m AS (SELECT doc_id, nscript, nstyle,
+      |    'doc ' || CAST(doc_id AS VARCHAR) || ' '
+      |    || substr(text, 1, p) || ' ' || substr(text, p + 1, n - p)
+      |    || ' a&b <tag> '
+      |    || CASE WHEN doc_id % 3 = 0 THEN 'x&y'
+      |            WHEN doc_id % 3 = 1 THEN '<raw>'
+      |            ELSE '"q"''s end' END AS raw
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(nscript + nstyle AS BIGINT) AS n_blocks,
+      |  CAST(12 + doc_id % 2 AS BIGINT) AS n_tags,
+      |  trim(regexp_replace(raw, '\s+', ' ', 'g')) AS text
+      |FROM m""".stripMargin
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

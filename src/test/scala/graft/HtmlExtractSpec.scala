@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Unit fixtures for HTML text extraction (the oracle gate on
+  * q_html_extract covers the injected-corpus path; these pin the parse
+  * edges hand-written markup exercises). */
+class HtmlExtractSpec extends SparkSpec {
+
+  private def extractOne(html: String): (Long, Long, String) = {
+    import spark.implicits._
+    val r = TextAnalysis.extractHtmlText(
+      Seq((1L, html)).toDF("doc_id", "html")).collect()(0)
+    (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_tags"), r.getAs[String]("text"))
+  }
+
+  test("script and style blocks vanish with their content, tags strip to text") {
+    val (nb, nt, t) = extractOne(
+      "<html><head><STYLE media=\"all\">body{x:1}</STYLE>" +
+        "<script>if (a < b) { alert('</div>'); }</script></head>" +
+        "<body><p>keep <b>this</b> text</p></body></html>")
+    assert(nb === 2L && t === "keep this text")
+    // html, head, /head, body, p, b, /b, /p, /body, /html
+    assert(nt === 10L)
+  }
+
+  test("entity decode runs after tag strip and never over-decodes") {
+    val (_, _, t) = extractOne(
+      "<p>5 &lt; 6 &amp; 7 &gt; 2, say &quot;hi&quot; &#39;ok&#39;&nbsp;: &amp;lt;</p>")
+    // &amp;lt; is a double-encoded literal "&lt;" - decoding &amp; last
+    // must NOT turn it into "<"
+    assert(t === "5 < 6 & 7 > 2, say \"hi\" 'ok' : &lt;")
+  }
+
+  test("unclosed tag fragments survive as literal text") {
+    val (_, nt, t) = extractOne("<p>a dangling <br bracket stays</p>")
+    // "[^>]+" runs through "<" and "/" up to the FIRST ">", which here
+    // is the </p> closer's: the whole "<br bracket stays</p>" strips as
+    // one malformed tag, leaving only the text before the "<"
+    assert(nt === 2L && t === "a dangling")
+  }
+
+  test("whitespace collapses across stripped structure") {
+    val (_, _, t) = extractOne(
+      "<div>\n  <p>first</p>\n  <p>second&nbsp;&nbsp;third</p>\n</div>")
+    assert(t === "first second third")
+  }
+}
