@@ -91,6 +91,10 @@ object SparkEntry {
     "q_pii_scrub" -> (L.qPiiScrub _),
     // crawl-pipeline HTML text extraction (script/style, tags, entities)
     "q_html_extract" -> (L.qHtmlExtract _),
+    // CCNet-style line-level dedup (first-occurrence keep + boiler cap)
+    "q_line_dedup" -> (L.qLineDedup _),
+    // URL extraction + broadcast domain-blocklist filtering
+    "q_url_filter" -> (L.qUrlFilter _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -170,6 +174,8 @@ object SparkEntry {
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,
     "q_html_extract" -> L.qHtmlExtractSql,
+    "q_line_dedup" -> L.qLineDedupSql,
+    "q_url_filter" -> L.qUrlFilterSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

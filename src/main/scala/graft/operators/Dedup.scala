@@ -346,4 +346,49 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("hamming")).as("hamming"))
   }
+
+  /** CCNet/RefinedWeb-style line-level dedup: split each document on
+    * newlines, trim lines and drop empties, then across the WHOLE corpus
+    * keep only the first occurrence of each distinct line — first in
+    * (doc_id, line_no) order — and drop boilerplate lines (corpus count
+    * > `boilerCap`) everywhere, including their first occurrence. Docs
+    * are rebuilt from their kept lines in original order, with per-doc
+    * attribution counts.
+    *
+    * Scale shape: lines shuffle ONCE on md5(line) for the
+    * occurrence-count + first-occurrence aggregate (map-side partials;
+    * uniform keys except for boilerplate, which is exactly what the cap
+    * exists to bound), join back many-to-one on the same key (AQE splits
+    * the hot boilerplate buckets), then one regroup by doc_id for the
+    * rebuild. Never a self-join: cost is linear in corpus lines. */
+  def dedupLines(docs: DataFrame, boilerCap: Long,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(text), "\n", -1)).as(Seq("line_no", "line")))
+      .select(col(id), col("line_no").cast(LongType).as("line_no"),
+        trim(col("line")).as("line"))
+      .where(length(col("line")) > 0)
+    // count(*) per distinct line IS its corpus frequency; min(struct)
+    // is the lexicographic first (doc_id, line_no) occurrence
+    val stats = lines.groupBy(md5(col("line")).as("__h"))
+      .agg(min(struct(col(id), col("line_no"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+    lines.withColumn("__h", md5(col("line")))
+      .join(stats, Seq("__h"))
+      .withColumn("__boiler", col("__cnt") > boilerCap)
+      .withColumn("__keep",
+        !col("__boiler") && struct(col(id), col("line_no")) === col("__first"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__boiler") && !col("__keep"), 1L).otherwise(0L)).as("n_dupes"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        // kept lines re-assemble in line_no order; the when() keeps
+        // dropped lines out of the collect (collect_list skips NULLs)
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line"))).as(text))
+  }
 }

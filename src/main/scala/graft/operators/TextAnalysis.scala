@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.Config
 import graft.functions.Portable
 
@@ -539,5 +540,47 @@ object TextAnalysis {
       .withColumn("n_tags", regexp_count(col("__nb"), lit(HtmlTag)).cast("long"))
       .withColumn("text", trim(regexp_replace(entityDecoded, "\\s+", " ")))
       .drop("__nb", htmlCol)
+  }
+
+  // ---- URL extraction + domain filtering ----
+
+  /** http(s) URL up to the next whitespace — crawl-corpus convention:
+    * punctuation glued to a URL in prose stays part of it (curation
+    * pipelines normalize at the host level, which this extracts). */
+  val UrlRe = "https?://\\S+"
+
+  /** Host of a URL: authority up to the first `/`, `?` or `#`. */
+  val UrlHostRe = "^https?://([^/?#]+)"
+
+  /** Crawl-curation URL filter: extract every http(s) URL, normalize
+    * hosts (lowercase, strip one leading `www.`), flag hosts on the
+    * blocklist via a BROADCAST join (real blocklists are 10^5-10^6
+    * hosts — a per-row IN-chain would be a codegen bomb, and the corpus
+    * side must never shuffle for the probe), then fold back to one row
+    * per document: url count, blocked count, the 0/1 keep verdict
+    * (no blocked URL), and the sorted distinct normalized host list.
+    * Documents with no URL keep (n_urls=0, hosts=''). One explode + one
+    * per-doc regroup; zero corpus-wide shuffle beyond it. */
+  def urlFilter(docs: DataFrame, blocklist: Seq[String],
+                id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocklist.toDF("host").withColumn("__blocked", lit(1L)))
+    // n_urls is computed BELOW the Generate so the url array does not
+    // ride through every exploded row
+    val exploded = docs
+      .select(col(id), regexp_extract_all(col(textCol), lit(UrlRe), lit(0)).as("__urls"))
+      .select(col(id), size(col("__urls")).cast(LongType).as("n_urls"), col("__urls"))
+      .select(col(id), col("n_urls"), explode_outer(col("__urls")).as("url"))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("url"), UrlHostRe, 1)), "^www\\.", ""))
+    exploded.join(bl, Seq("host"), "left")
+      .groupBy(col(id))
+      .agg(
+        max(col("n_urls")).as("n_urls"),
+        coalesce(sum(col("__blocked")), lit(0L)).as("n_blocked"),
+        array_join(array_sort(collect_set(when(col("url").isNotNull, col("host")))), ",")
+          .as("hosts"))
+      .withColumn("keep", when(col("n_blocked") === 0, 1L).otherwise(0L))
   }
 }

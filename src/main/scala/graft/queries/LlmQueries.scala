@@ -766,6 +766,110 @@ object LlmQueries {
       |  trim(regexp_replace(raw, '\s+', ' ', 'g')) AS text
       |FROM m""".stripMargin
 
+  // ---- line-level dedup (CCNet/RefinedWeb boilerplate removal) ----
+
+  /** Line-level corpus dedup, gated by a REAL dual implementation (both
+    * engines run the dedup, unlike the skeleton-replay gates): each
+    * document becomes five lines — two shared-boilerplate families that
+    * exceed the corpus cap (dropped everywhere), one below it
+    * (kept-first), and the document's own split halves (mostly unique,
+    * with whatever natural Zipfian collisions the corpus has — both
+    * engines resolve them identically by (doc_id, line_no) order). The
+    * boilerplate cap is corpus-relative (a quarter of the doc count) so
+    * both drop paths are exercised at every scale factor. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // bounded driver-side scalar (same class as the k-means centroid
+    // collects): one count job to size the corpus-relative cap
+    val cap = docs.count() / 4
+    val id = col("doc_id")
+    val n = length(col("text"))
+    val p = (lit(1) + (id % (n.cast("long") - 1L))).cast("int")
+    val lined = concat_ws("\n",
+      concat(lit("nav home about contact v"), (id % 4).cast("string")),
+      col("text").substr(lit(1), p),
+      concat(lit("subscribe to our newsletter s"), (id % 3).cast("string")),
+      col("text").substr(p + 1, n - p),
+      concat(lit("copyright c"), (id % 5).cast("string")))
+    Dedup.dedupLines(docs.select(id, lined.as("text")), cap)
+  }
+
+  val qLineDedupSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n,
+      |    CAST(1 + doc_id % (length(text) - 1) AS INT) AS p FROM documents),
+      |raw AS (
+      |  SELECT doc_id, 0 AS line_no,
+      |    'nav home about contact v' || CAST(doc_id % 4 AS VARCHAR) AS line FROM d
+      |  UNION ALL SELECT doc_id, 1, trim(substr(text, 1, p)) FROM d
+      |  UNION ALL SELECT doc_id, 2,
+      |    'subscribe to our newsletter s' || CAST(doc_id % 3 AS VARCHAR) FROM d
+      |  UNION ALL SELECT doc_id, 3, trim(substr(text, p + 1, n - p)) FROM d
+      |  UNION ALL SELECT doc_id, 4, 'copyright c' || CAST(doc_id % 5 AS VARCHAR) FROM d),
+      |l AS (SELECT doc_id, line_no, line FROM raw WHERE length(line) > 0),
+      |k AS (SELECT doc_id, line_no, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn,
+      |    count(*) OVER (PARTITION BY line) AS cnt
+      |  FROM l),
+      |f AS (SELECT doc_id, line_no, line, rn,
+      |    CASE WHEN cnt > (SELECT count(*) // 4 FROM documents) THEN 1 ELSE 0 END AS boiler
+      |  FROM k)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE boiler = 0 AND rn = 1) AS BIGINT) AS n_kept,
+      |  CAST(count(*) FILTER (WHERE boiler = 0 AND rn > 1) AS BIGINT) AS n_dupes,
+      |  CAST(count(*) FILTER (WHERE boiler = 1) AS BIGINT) AS n_boiler,
+      |  coalesce(string_agg(line, chr(10) ORDER BY line_no)
+      |    FILTER (WHERE boiler = 0 AND rn = 1), '') AS text
+      |FROM f GROUP BY doc_id""".stripMargin
+
+  // ---- URL extraction + domain blocklist filtering ----
+
+  /** Blocklist for [[qUrlFilter]]; the second host never occurs in the
+    * corpus, exercising the no-match side of the broadcast probe. */
+  val UrlBlocklist: Seq[String] = Seq("ads-tracker.net", "malware.example.invalid")
+
+  /** URL extraction + domain filtering, oracle-gated by closed-form URL
+    * injection: every doc gets a unique content URL; mod-cycling docs
+    * add a `www.`-prefixed MixedCase tracker (blocked only if both the
+    * lowercase and www-strip normalizations run), an uppercase-host CDN
+    * URL (normalized but NOT blocked), and a bare tracker URL. The
+    * operator [[TextAnalysis.urlFilter]] runs the real regex extraction
+    * and broadcast blocklist probe; the DuckDB oracle replays counts,
+    * verdicts, and the sorted normalized host list from the injection
+    * arithmetic without parsing any URL. */
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sId = id.cast("string")
+    val k = (id % 7).cast("string")
+    val withUrls = concat(
+      col("text"),
+      lit(" read https://site"), k, lit(".example.com/p/"), sId,
+      when(id % 3 === 0,
+        concat(lit(" http://www.Ads-Tracker.net/pixel?id="), sId)).otherwise(lit("")),
+      when(id % 5 === 1,
+        concat(lit(" https://CDN.site"), k, lit(".example.com/x.js"))).otherwise(lit("")),
+      when(id % 4 === 2,
+        concat(lit(" http://ads-tracker.net/b"), (id % 9).cast("string"))).otherwise(lit("")))
+    TextAnalysis.urlFilter(
+      Tables(spark, dir).documents.select(id, withUrls.as("text")), UrlBlocklist)
+  }
+
+  val qUrlFilterSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(doc_id % 7 AS VARCHAR) AS k,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS tr1,
+      |    CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS cdn,
+      |    CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS tr2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(1 + tr1 + cdn + tr2 AS BIGINT) AS n_urls,
+      |  CAST(tr1 + tr2 AS BIGINT) AS n_blocked,
+      |  (CASE WHEN tr1 + tr2 > 0 THEN 'ads-tracker.net,' ELSE '' END)
+      |  || (CASE WHEN cdn = 1 THEN 'cdn.site' || k || '.example.com,' ELSE '' END)
+      |  || 'site' || k || '.example.com' AS hosts,
+      |  CAST(CASE WHEN tr1 + tr2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM d""".stripMargin
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Unit fixtures for CCNet-style line-level dedup (the q_line_dedup
+  * oracle covers the corpus-scale path; these pin the keep/drop edges
+  * on hand-written line sets). */
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], cap: Long) =
+    Dedup.dedupLines(docs.toDF("doc_id", "text"), cap)
+      .orderBy("doc_id").collect()
+
+  test("first occurrence keeps, later duplicates drop, docs rebuild in order") {
+    val r = run(Seq(
+      1L -> "alpha\nshared line\nbeta",
+      2L -> "shared line\ngamma",
+      3L -> "gamma\n   \ndelta"), cap = 10L)
+    assert(r(0).getAs[String]("text") === "alpha\nshared line\nbeta")
+    assert(r(0).getAs[Long]("n_kept") === 3L && r(0).getAs[Long]("n_dupes") === 0L)
+    // doc 2's "shared line" was first seen in doc 1 (smaller doc_id wins)
+    assert(r(1).getAs[String]("text") === "gamma")
+    assert(r(1).getAs[Long]("n_dupes") === 1L)
+    // doc 3: gamma first seen in doc 2; the blank line drops BEFORE any
+    // counting (n_lines is the non-empty count)
+    assert(r(2).getAs[String]("text") === "delta")
+    assert(r(2).getAs[Long]("n_lines") === 2L && r(2).getAs[Long]("n_dupes") === 1L)
+  }
+
+  test("within-doc duplicate keeps the earliest line_no") {
+    val r = run(Seq(1L -> "x\ny\nx"), cap = 10L)
+    assert(r(0).getAs[String]("text") === "x\ny")
+    assert(r(0).getAs[Long]("n_kept") === 2L && r(0).getAs[Long]("n_dupes") === 1L)
+  }
+
+  test("boilerplate over the cap drops everywhere, including its first occurrence") {
+    val r = run(Seq(
+      1L -> "footer nav\nunique one",
+      2L -> "footer nav\nunique two",
+      3L -> "footer nav\nunique three"), cap = 2L)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_boiler") === 1L)
+      assert(row.getAs[Long]("n_kept") === 1L)
+      assert(!row.getAs[String]("text").contains("footer"))
+    }
+  }
+
+  test("a count exactly AT the cap is not boilerplate") {
+    val r = run(Seq(1L -> "at cap\na", 2L -> "at cap\nb"), cap = 2L)
+    assert(r(0).getAs[String]("text") === "at cap\na")
+    assert(r(1).getAs[String]("text") === "b")
+    assert(r.map(_.getAs[Long]("n_boiler")).sum === 0L)
+  }
+
+  test("lines trim before equality and a fully-dropped doc yields empty text") {
+    val r = run(Seq(1L -> "pad", 2L -> "  pad  "), cap = 10L)
+    assert(r(0).getAs[String]("text") === "pad")
+    assert(r(1).getAs[String]("text") === "" && r(1).getAs[Long]("n_kept") === 0L)
+  }
+}

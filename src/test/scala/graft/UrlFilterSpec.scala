@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Unit fixtures for the crawl URL filter (q_url_filter gates the
+  * corpus-scale path; these pin extraction and host-normalization
+  * edges on hand-written text). */
+class UrlFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], blocklist: Seq[String]) =
+    TextAnalysis.urlFilter(docs.toDF("doc_id", "text"), blocklist)
+      .orderBy("doc_id").collect()
+
+  test("extracts, normalizes, blocks, and folds per doc") {
+    val r = run(Seq(
+      1L -> "see https://www.Example.COM/a and http://sub.example.com/b?q=1",
+      2L -> "plain text with no urls at all",
+      3L -> "dup http://Bad.ads.net/x then http://bad.ads.net/y"),
+      blocklist = Seq("bad.ads.net"))
+    assert(r(0).getAs[Long]("n_urls") === 2L && r(0).getAs[Long]("n_blocked") === 0L)
+    assert(r(0).getAs[String]("hosts") === "example.com,sub.example.com")
+    assert(r(0).getAs[Long]("keep") === 1L)
+    // no URLs: empty host list, kept
+    assert(r(1).getAs[Long]("n_urls") === 0L && r(1).getAs[String]("hosts") === "")
+    assert(r(1).getAs[Long]("keep") === 1L)
+    // both casings of the blocked host count, host list dedups
+    assert(r(2).getAs[Long]("n_blocked") === 2L && r(2).getAs[String]("hosts") === "bad.ads.net")
+    assert(r(2).getAs[Long]("keep") === 0L)
+  }
+
+  test("www strips only as one whole leading label") {
+    val r = run(Seq(
+      1L -> "a https://wwwx.com/a b",
+      2L -> "a https://www.www.example.org/p b"),
+      blocklist = Seq.empty)
+    assert(r(0).getAs[String]("hosts") === "wwwx.com")
+    assert(r(1).getAs[String]("hosts") === "www.example.org")
+  }
+
+  test("host stops at the first slash, query, or fragment") {
+    val r = run(Seq(
+      1L -> "x http://h1.net?q=1 y",
+      2L -> "x https://h2.net#frag y",
+      3L -> "x http://h3.net:8080/path y"),
+      blocklist = Seq.empty)
+    assert(r(0).getAs[String]("hosts") === "h1.net")
+    assert(r(1).getAs[String]("hosts") === "h2.net")
+    // the port stays part of the authority (blocklists listing a bare
+    // host do not match a ported URL; document, don't guess)
+    assert(r(2).getAs[String]("hosts") === "h3.net:8080")
+  }
+}
