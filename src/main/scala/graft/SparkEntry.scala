@@ -95,6 +95,8 @@ object SparkEntry {
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
     "q_url_filter" -> (L.qUrlFilter _),
+    // TF-IDF keyword extraction (integer-deterministic rank)
+    "q_tfidf_topk" -> (L.qTfidfTopk _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -176,6 +178,7 @@ object SparkEntry {
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
+    "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

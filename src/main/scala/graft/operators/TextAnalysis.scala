@@ -583,4 +583,38 @@ object TextAnalysis {
           .as("hosts"))
       .withColumn("keep", when(col("n_blocked") === 0, 1L).otherwise(0L))
   }
+
+  // ---- TF-IDF keyword extraction ----
+
+  /** Top-k keywords per document by (tf DESC, df ASC, word ASC) — the
+    * within-doc-frequent, corpus-rare ordering of TF-IDF expressed over
+    * INTEGERS so the rank is bit-deterministic on any engine; the float
+    * tf·ln(N/df) score rides along for downstream weighting (roundp'd —
+    * it is never a sort key, so cross-engine libm ulp drift cannot flip
+    * a rank). `totalDocs` is the corpus size N, supplied by the caller
+    * (one bounded count job, same class as dedupLines' cap).
+    *
+    * Scale shape: one (doc_id, word) aggregate with map-side partials,
+    * a word-keyed df aggregate DERIVED from it ((doc, word) rows are
+    * distinct, so count(*) per word IS the document frequency), a
+    * vocabulary join (auto-broadcast when the vocabulary fits; word-
+    * partitioned otherwise), then the per-doc rank window. The explode
+    * pipeline is traversed twice (tf branch + df branch) — at 100 TB
+    * re-reading the pruned text column beats spilling a persisted
+    * corpus-sized tf table (the kmeansFit tradeoff, measured there). */
+  def tfidfTopK(docs: DataFrame, k: Int, totalDocs: Long,
+                id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(df, Seq("word"))
+      .withColumn("kw_rank", row_number().over(w).cast(LongType))
+      .where(col("kw_rank") <= k)
+      .withColumn("score",
+        Portable.roundp(col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6))
+      .select(col(id), col("kw_rank"), col("word"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -870,6 +870,36 @@ object LlmQueries {
       |  CAST(CASE WHEN tr1 + tr2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM d""".stripMargin
 
+  // ---- TF-IDF keyword extraction ----
+
+  private val TfidfK = 5
+
+  /** Per-doc top-5 keywords — REAL dual implementation: DuckDB runs the
+    * same tf/df aggregates, integer-deterministic rank, and ln-scored
+    * payload over the same corpus. The rank never touches a float
+    * (see [[TextAnalysis.tfidfTopK]]); the ln score is roundp(6) on
+    * both sides. */
+  def qTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    TextAnalysis.tfidfTopK(docs, TfidfK, docs.count())
+  }
+
+  val qTfidfTopkSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       |  WHERE length(word) > 0 GROUP BY 1, 2),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |s AS (SELECT doc_id, t.word, t.tf, df.df,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY t.tf DESC, df.df ASC, t.word ASC) AS r
+       |  FROM tf t JOIN df USING (word))
+       |SELECT doc_id, CAST(r AS BIGINT) AS kw_rank, word,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  floor((tf * ln(n.n / df)) * 1e6 + 0.5) / 1e6 AS score
+       |FROM s CROSS JOIN n WHERE r <= $TfidfK""".stripMargin
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

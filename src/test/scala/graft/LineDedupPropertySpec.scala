@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Randomized sweep for line-level dedup: random corpora drawn from a
+  * small line pool (so duplicates and boilerplate are dense) checked
+  * row-for-row against an in-memory reference model, including blank
+  * and whitespace-only lines, within-doc repeats, and docs that lose
+  * every line. */
+class LineDedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Expect(nLines: Long, nKept: Long, nDupes: Long,
+                            nBoiler: Long, text: String)
+
+  /** Reference model: sequential, obviously-correct semantics. */
+  private def model(docs: Seq[(Long, String)], cap: Long): Map[Long, Expect] = {
+    val lines = for {
+      (id, t) <- docs
+      (l, i) <- t.split("\n", -1).zipWithIndex
+      tl = l.trim if tl.nonEmpty
+    } yield (id, i.toLong, tl)
+    val byLine = lines.groupBy(_._3)
+    val cnt = byLine.view.mapValues(_.size.toLong).toMap
+    val first = byLine.view.mapValues(_.minBy(x => (x._1, x._2))).toMap
+    lines.groupBy(_._1).map { case (id, ls) =>
+      val flagged = ls.map { case r @ (_, _, l) =>
+        val boiler = cnt(l) > cap
+        val keep = !boiler && first(l) == r
+        (r, boiler, keep)
+      }
+      id -> Expect(
+        nLines = ls.size.toLong,
+        nKept = flagged.count(_._3).toLong,
+        nDupes = flagged.count(f => !f._2 && !f._3).toLong,
+        nBoiler = flagged.count(_._2).toLong,
+        text = flagged.filter(_._3).map(_._1).sortBy(_._2).map(_._3).mkString("\n"))
+    }
+  }
+
+  test("random corpora match the reference model row for row") {
+    val rnd = new scala.util.Random(20260813L)
+    val pool = Vector("alpha beta", "gamma", "shared footer line", "x y z",
+      "promo banner", "delta epsilon", "unique")
+    for (trial <- 1 to 5) {
+      val docs = (0L until 30L).map { id =>
+        val nLines = rnd.nextInt(7)
+        val ls = (0 until nLines).map { _ =>
+          rnd.nextInt(10) match {
+            case 0 => ""                                   // blank line
+            case 1 => "   "                                // whitespace-only
+            case 2 => s" ${pool(rnd.nextInt(pool.size))} " // pad-trim case
+            case 3 => s"doc$id only ${rnd.nextInt(3)}"     // near-unique
+            case _ => pool(rnd.nextInt(pool.size))
+          }
+        }
+        id -> ls.mkString("\n")
+      }
+      val cap = 1L + rnd.nextInt(8)
+      val expected = model(docs, cap)
+      val got = Dedup.dedupLines(docs.toDF("doc_id", "text"), cap).collect()
+        .map { r =>
+          r.getAs[Long]("doc_id") -> Expect(
+            r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dupes"), r.getAs[Long]("n_boiler"),
+            r.getAs[String]("text"))
+        }.toMap
+      assert(got === expected, s"trial $trial cap $cap")
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Unit fixtures for TF-IDF keyword extraction (q_tfidf_topk gates the
+  * corpus-scale path; these pin the integer-deterministic ranking). */
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    1L -> "apple apple banana zebra",
+    2L -> "banana cherry cherry",
+    3L -> "apple").toDF("doc_id", "text")
+
+  test("rank orders by tf desc, then corpus rarity (df asc), then word") {
+    val r = TextAnalysis.tfidfTopK(docs, k = 5, totalDocs = 3L)
+      .orderBy("doc_id", "kw_rank").collect()
+    val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+    // apple tf=2 first; zebra (df=1) outranks banana (df=2) at tf=1
+    assert(d1.map(_.getAs[String]("word")).toSeq === Seq("apple", "zebra", "banana"))
+    assert(d1.map(_.getAs[Long]("kw_rank")).toSeq === Seq(1L, 2L, 3L))
+    val d2 = r.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(_.getAs[String]("word")).toSeq === Seq("cherry", "banana"))
+  }
+
+  test("score is tf * ln(N/df), rounded portably") {
+    val r = TextAnalysis.tfidfTopK(docs, k = 5, totalDocs = 3L)
+      .where($"doc_id" === 1L).collect()
+      .map(row => row.getAs[String]("word") -> row.getAs[Double]("score")).toMap
+    def rp(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r("apple") === rp(2.0 * math.log(3.0 / 2.0)))
+    assert(r("zebra") === rp(math.log(3.0)))
+    assert(r("banana") === rp(math.log(3.0 / 2.0)))
+  }
+
+  test("k bounds the per-doc keyword count") {
+    val r = TextAnalysis.tfidfTopK(docs, k = 2, totalDocs = 3L)
+      .where($"doc_id" === 1L).orderBy("kw_rank").collect()
+    assert(r.map(_.getAs[String]("word")).toSeq === Seq("apple", "zebra"))
+  }
+
+  test("a word present in every doc scores exactly zero") {
+    val all = Seq(1L -> "common x", 2L -> "common y").toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopK(all, k = 5, totalDocs = 2L)
+      .where($"word" === "common").collect()
+    assert(r.length === 2 && r.forall(_.getAs[Double]("score") === 0.0))
+  }
+}
