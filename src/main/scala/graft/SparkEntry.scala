@@ -97,6 +97,8 @@ object SparkEntry {
     "q_url_filter" -> (L.qUrlFilter _),
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
+    // corpus unigram-LM quality score (fixed-point integer sums)
+    "q_unigram_logprob" -> (L.qUnigramLogprob _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -179,6 +181,7 @@ object SparkEntry {
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
+    "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

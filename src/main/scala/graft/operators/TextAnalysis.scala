@@ -617,4 +617,42 @@ object TextAnalysis {
         Portable.roundp(col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6))
       .select(col(id), col("kw_rank"), col("word"), col("tf"), col("df"), col("score"))
   }
+
+  // ---- unigram LM scoring (CCNet-style corpus-model quality) ----
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model — the LM-scoring half of a CCNet-style quality
+    * filter (low scores = far from the corpus distribution). Float
+    * MEANS are summation-order dependent, so each distinct word's
+    * ln(count/N) is quantized ONCE to a fixed-point long
+    * (floor(x*1e6+0.5)) and per-doc accumulation is pure integer
+    * arithmetic over tf·q — bit-identical on any engine or layout (the
+    * FloatVecQuantSumAgg idiom applied to scalars). `totalTokens` is
+    * the corpus token count, supplied by the caller (one bounded
+    * vocabulary-aggregate job).
+    *
+    * Scale shape: the same (doc, word) aggregate as [[tfidfTopK]], a
+    * vocabulary-sized count table behind a broadcast-eligible join,
+    * one per-doc regroup. */
+  def unigramLogprob(docs: DataFrame, totalTokens: Long,
+                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+    val q = tf.groupBy(col("word")).agg(sum(col("tf")).as("c"))
+      .withColumn("q",
+        floor(log(col("c") / lit(totalTokens.toDouble)) * 1e6 + 0.5).cast(LongType))
+    tf.join(q, Seq("word"))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("q")).as("__sq"))
+      .select(col(id), col("n_tokens"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
+  }
+
+  /** The corpus token count for [[unigramLogprob]] — split out so the
+    * caller controls when the bounded aggregate job runs. */
+  def totalTokens(docs: DataFrame, textCol: String = "text"): Long =
+    docs.select(explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .count()
 }

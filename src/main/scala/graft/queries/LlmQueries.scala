@@ -900,6 +900,34 @@ object LlmQueries {
        |  floor((tf * ln(n.n / df)) * 1e6 + 0.5) / 1e6 AS score
        |FROM s CROSS JOIN n WHERE r <= $TfidfK""".stripMargin
 
+  // ---- unigram LM scoring ----
+
+  /** CCNet-style corpus-LM quality score — REAL dual implementation:
+    * DuckDB builds the same unigram model, quantizes each word's
+    * ln(count/N) to the same fixed-point long, and integer-sums per
+    * doc. The only doubles that cross engines are single ln/div ops on
+    * identical operands, never an accumulation. */
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    TextAnalysis.unigramLogprob(docs, TextAnalysis.totalTokens(docs))
+  }
+
+  val qUnigramLogprobSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       |  WHERE length(word) > 0 GROUP BY 1, 2),
+       |cnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+       |q AS (SELECT word, CAST(floor(ln(c / nt.n) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM cnt CROSS JOIN nt),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf * q.q) AS BIGINT) AS sq
+       |  FROM tf JOIN q USING (word) GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  floor((sq / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |FROM d""".stripMargin
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

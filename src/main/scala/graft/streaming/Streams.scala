@@ -90,6 +90,23 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the crawl URL filter
+    * (operators/TextAnalysis.urlFilter): the verdict is a per-document
+    * fold over that document's own URLs, but the batch composition
+    * regroups after an explode — an unbounded stateful aggregate on a
+    * raw stream. foreachBatch runs the IDENTICAL batch operator per
+    * micro-batch (each doc arrives whole in one row, so batch
+    * boundaries are invisible); the blocklist stays broadcast inside
+    * every batch. Parity pinned in StreamingSpec. */
+  def urlFilterStream(docs: DataFrame, blocklist: Seq[String])(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "urlFilterStream is streaming-only: use TextAnalysis.urlFilter for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.urlFilter(batch, blocklist), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

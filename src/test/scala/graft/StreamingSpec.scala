@@ -112,6 +112,56 @@ class StreamingSpec extends SparkSpec {
     assert(keep(2L) === 0L && keep(3L) === 0L && keep(5L) === 0L)
   }
 
+  test("HTML extraction runs unchanged on a document stream with batch parity") {
+    // extractHtmlText is a stateless regexp projection: no foreachBatch,
+    // no state store — the batch operator IS the streaming operator
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "<html><body><p>hello <b>world</b></p></body></html>"),
+      (2L, "<div><script>var x = 1;</script>kept &amp; clean</div>"),
+      (3L, "no markup at all"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = graft.operators.TextAnalysis.extractHtmlText(input.toDF().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName("html_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("html_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextAnalysis.extractHtmlText(docs.toDF("doc_id", "html"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_.getAs[String]("text")) ===
+      Seq("hello world", "kept & clean", "no markup at all"))
+  }
+
+  test("urlFilterStream verdicts match batch across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "see https://ok.example.com/a fine"),
+      (2L, "bad http://www.Spam.ads.net/x link"),
+      (3L, "nothing here"),
+      (4L, "mixed https://ok.example.com/b and http://spam.ads.net/y"))
+    val input = MemoryStream[(Long, String)]
+    // two micro-batches: the verdict must not care where the split lands
+    input.addData(docs.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.urlFilterStream(input.toDF().toDF("doc_id", "text"), Seq("spam.ads.net")) {
+      (verdicts, _) => acc.synchronized { acc ++= verdicts.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.urlFilter(docs.toDF("doc_id", "text"), Seq("spam.ads.net"))
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === batch)
+    val keep = batch.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("decontaminateStream flags benchmark overlap exactly like batch, across splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

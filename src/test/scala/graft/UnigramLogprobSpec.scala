@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Unit fixtures for the corpus unigram-LM scorer (q_unigram_logprob
+  * gates the corpus-scale path; these pin the fixed-point arithmetic
+  * against a hand-rolled model). */
+class UnigramLogprobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(1L -> "a a b", 2L -> "b c")
+
+  // the operator's own quantization, replicated exactly
+  private def q(count: Long, n: Long): Long =
+    math.floor(math.log(count.toDouble / n.toDouble) * 1e6 + 0.5).toLong
+  private def rp(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("mean logprob is the integer-summed fixed-point model score") {
+    val df = docs.toDF("doc_id", "text")
+    val n = TextAnalysis.totalTokens(df)
+    assert(n === 5L)
+    val r = TextAnalysis.unigramLogprob(df, n).orderBy("doc_id").collect()
+    // counts: a=2, b=2, c=1 over N=5
+    val d1 = rp((2 * q(2, 5) + q(2, 5)).toDouble / 1e6 / 3)
+    val d2 = rp((q(2, 5) + q(1, 5)).toDouble / 1e6 / 2)
+    assert(r(0).getAs[Long]("n_tokens") === 3L)
+    assert(r(0).getAs[Double]("mean_logprob") === d1)
+    assert(r(1).getAs[Long]("n_tokens") === 2L)
+    assert(r(1).getAs[Double]("mean_logprob") === d2)
+  }
+
+  test("a doc of corpus-typical words outscores a doc of rare words") {
+    val corpus = (Seq.fill(20)("the cat sat") ++ Seq("zq xv wk")).zipWithIndex
+      .map { case (t, i) => i.toLong -> t }
+    val df = corpus.toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogprob(df, TextAnalysis.totalTokens(df))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("mean_logprob")).toMap
+    assert(r(20L) < r(0L)) // the rare-word doc sits far below the mode
+  }
+}
