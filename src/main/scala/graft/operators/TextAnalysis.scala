@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Config
 import graft.functions.Portable
 
@@ -596,18 +596,22 @@ object TextAnalysis {
     *
     * Scale shape: one (doc_id, word) aggregate with map-side partials,
     * a word-keyed df aggregate DERIVED from it ((doc, word) rows are
-    * distinct, so count(*) per word IS the document frequency), a
+    * distinct, so counting them per word IS the document frequency), a
     * vocabulary join (auto-broadcast when the vocabulary fits; word-
-    * partitioned otherwise), then the per-doc rank window. The explode
-    * pipeline is traversed twice (tf branch + df branch) — at 100 TB
-    * re-reading the pruned text column beats spilling a persisted
-    * corpus-sized tf table (the kmeansFit tradeoff, measured there). */
+    * partitioned otherwise), then the per-doc rank window. The df
+    * branch counts `when(tf > 0, 1)` — identical to count(*) since
+    * tf >= 1 by construction, but Catalyst can't PROVE that, so it
+    * can't prune the count out of the branch (count(lit(1)) and even
+    * count(tf) both collapse to a plain distinct there), both sides
+    * keep canonically identical exchanges, and runtime stage reuse
+    * shuffles the corpus ONCE (ReuseCheckSpec pins this). */
   def tfidfTopK(docs: DataFrame, k: Int, totalDocs: Long,
                 id: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("word"))
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("tf").desc, col("df").asc, col("word").asc)
     tf.join(df, Seq("word"))
@@ -627,32 +631,29 @@ object TextAnalysis {
     * ln(count/N) is quantized ONCE to a fixed-point long
     * (floor(x*1e6+0.5)) and per-doc accumulation is pure integer
     * arithmetic over tf·q — bit-identical on any engine or layout (the
-    * FloatVecQuantSumAgg idiom applied to scalars). `totalTokens` is
-    * the corpus token count, supplied by the caller (one bounded
-    * vocabulary-aggregate job).
+    * FloatVecQuantSumAgg idiom applied to scalars).
     *
-    * Scale shape: the same (doc, word) aggregate as [[tfidfTopK]], a
-    * vocabulary-sized count table behind a broadcast-eligible join,
-    * one per-doc regroup. */
-  def unigramLogprob(docs: DataFrame, totalTokens: Long,
+    * Scale shape: ONE tokenize pass. The corpus token count N rides
+    * the plan as a broadcast 1-row cross join (the oracle's `nt` CTE),
+    * and the vocabulary count table, the N aggregate, and the probe
+    * side all hang off the same canonical (doc, word) exchange —
+    * runtime exchange reuse shuffles the corpus once and the
+    * ReuseCheckSpec pins that. The vocabulary join auto-broadcasts
+    * when it fits; word-partitioned otherwise. */
+  def unigramLogprob(docs: DataFrame,
                      id: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum(col("tf")).cast(DoubleType).as("__n"))
     val q = tf.groupBy(col("word")).agg(sum(col("tf")).as("c"))
-      .withColumn("q",
-        floor(log(col("c") / lit(totalTokens.toDouble)) * 1e6 + 0.5).cast(LongType))
+      .crossJoin(broadcast(n))
+      .select(col("word"),
+        floor(log(col("c") / col("__n")) * 1e6 + 0.5).cast(LongType).as("q"))
     tf.join(q, Seq("word"))
       .groupBy(col(id))
       .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("q")).as("__sq"))
       .select(col(id), col("n_tokens"),
         Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
   }
-
-  /** The corpus token count for [[unigramLogprob]] — split out so the
-    * caller controls when the bounded aggregate job runs. */
-  def totalTokens(docs: DataFrame, textCol: String = "text"): Long =
-    docs.select(explode(Portable.words(col(textCol))).as("word"))
-      .where(length(col("word")) > 0)
-      .count()
 }

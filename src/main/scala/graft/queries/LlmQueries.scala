@@ -907,10 +907,8 @@ object LlmQueries {
     * ln(count/N) to the same fixed-point long, and integer-sums per
     * doc. The only doubles that cross engines are single ln/div ops on
     * identical operands, never an accumulation. */
-  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    TextAnalysis.unigramLogprob(docs, TextAnalysis.totalTokens(docs))
-  }
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogprob(Tables(spark, dir).documents)
 
   val qUnigramLogprobSql: String =
     s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),

@@ -1,0 +1,30 @@
+package graft
+
+/** Pins runtime exchange reuse on the self-referential corpus
+  * aggregates (tf consumed by probe + vocabulary + N): the executed
+  * adaptive plan must share ONE canonical (doc, word) exchange, not
+  * re-tokenize the corpus per consumer. This is the scale guarantee —
+  * at 100 TB a second tokenize pass is the bottleneck. */
+class ReuseCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("unigramLogprob shares the (doc, word) exchange across all three consumers") {
+    val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
+    val p = finalPlan(graft.operators.TextAnalysis.unigramLogprob(docs))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    // probe side owns the exchange; vocabulary agg and the N aggregate reuse it
+    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused in:\n$p")
+  }
+
+  test("tfidfTopK's df branch reuses the tf exchange") {
+    val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
+    val p = finalPlan(graft.operators.TextAnalysis.tfidfTopK(docs, 2, 3L))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused in:\n$p")
+  }
+}

@@ -17,9 +17,8 @@ class UnigramLogprobSpec extends SparkSpec {
 
   test("mean logprob is the integer-summed fixed-point model score") {
     val df = docs.toDF("doc_id", "text")
-    val n = TextAnalysis.totalTokens(df)
-    assert(n === 5L)
-    val r = TextAnalysis.unigramLogprob(df, n).orderBy("doc_id").collect()
+    // N=5 is derived inside the plan (broadcast 1-row cross join)
+    val r = TextAnalysis.unigramLogprob(df).orderBy("doc_id").collect()
     // counts: a=2, b=2, c=1 over N=5
     val d1 = rp((2 * q(2, 5) + q(2, 5)).toDouble / 1e6 / 3)
     val d2 = rp((q(2, 5) + q(1, 5)).toDouble / 1e6 / 2)
@@ -33,7 +32,7 @@ class UnigramLogprobSpec extends SparkSpec {
     val corpus = (Seq.fill(20)("the cat sat") ++ Seq("zq xv wk")).zipWithIndex
       .map { case (t, i) => i.toLong -> t }
     val df = corpus.toDF("doc_id", "text")
-    val r = TextAnalysis.unigramLogprob(df, TextAnalysis.totalTokens(df))
+    val r = TextAnalysis.unigramLogprob(df)
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("mean_logprob")).toMap
     assert(r(20L) < r(0L)) // the rare-word doc sits far below the mode
   }
