@@ -99,6 +99,8 @@ object SparkEntry {
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     // corpus unigram-LM quality score (fixed-point integer sums)
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
+    // CCNet head/middle/tail partition (per-language LM + binned tertiles)
+    "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -182,6 +184,7 @@ object SparkEntry {
     "q_url_filter" -> L.qUrlFilterSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
+    "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

@@ -656,4 +656,48 @@ object TextAnalysis {
       .select(col(id), col("n_tokens"),
         Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
   }
+
+  /** CCNet-style head/middle/tail corpus partition: score each doc
+    * under its OWN language's unigram model ([[unigramLogprob]]
+    * per-language), cut each language's score distribution at the
+    * 1/3 and 2/3 marks, and label docs head (most corpus-typical) /
+    * middle / tail. CCNet does this with a per-language LM and
+    * perplexity percentiles (ccnet repo, hashes/perplexity pipeline);
+    * the tertile THRESHOLD semantics (not rank ntile) is what scales —
+    * thresholds come from [[Percentile.binned]] (bounded memory, no
+    * per-language global sort, exact cross-engine replay) and docs are
+    * assigned by a broadcast threshold join, so no stage ever sorts
+    * the corpus.
+    *
+    * Scale shape: every consumer (vocabulary counts, per-language N,
+    * per-doc scores, both percentile passes) hangs off the ONE
+    * canonical (doc, lang, word) exchange — runtime stage reuse
+    * tokenizes and shuffles the corpus once; the threshold frame is
+    * one row per language. */
+  def lmBuckets(docs: DataFrame, id: String = "doc_id",
+                textCol: String = "text", langCol: String = "lang",
+                nBins: Int = 128): DataFrame = {
+    val tf = docs
+      .select(col(id), col(langCol), explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col(id), col(langCol), col("word")).agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy(col(langCol)).agg(sum(col("tf")).cast(DoubleType).as("__n"))
+    val q = tf.groupBy(col(langCol), col("word")).agg(sum(col("tf")).as("c"))
+      .join(broadcast(n), Seq(langCol))
+      .select(col(langCol), col("word"),
+        floor(log(col("c") / col("__n")) * 1e6 + 0.5).cast(LongType).as("q"))
+    val scores = tf.join(q, Seq(langCol, "word"))
+      .groupBy(col(id), col(langCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("q")).as("__sq"))
+      .select(col(id), col(langCol), col("n_tokens"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
+    val th = Percentile.binned(scores, col(langCol), col("mean_logprob"),
+      Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)), nBins)
+      .withColumnRenamed("g", langCol)
+    scores.join(broadcast(th), Seq(langCol))
+      .select(col(id), col(langCol), col("n_tokens"), col("mean_logprob"),
+        when(col("mean_logprob") >= col("t_hi"), lit("head"))
+          .when(col("mean_logprob") >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -926,6 +926,43 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- CCNet head/middle/tail buckets ----
+
+  /** The whole CCNet curation stage replayed: per-LANGUAGE unigram
+    * model, per-doc fixed-point score, tertile thresholds from the
+    * binned percentile estimator (Percentile.binnedSql emits the
+    * bit-identical CTEs), threshold-join bucket labels. */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmBuckets(Tables(spark, dir).documents)
+
+  val qCcnetBucketsSql: String = {
+    val (pctCtes, pctSel) = graft.operators.Percentile.binnedSql(
+      "d", "lang", "mean_logprob",
+      Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)))
+    s"""WITH ws AS (SELECT doc_id, lang, ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(w) AS word FROM ws),
+       |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM tok
+       |  WHERE length(word) > 0 GROUP BY 1, 2, 3),
+       |cnt AS (SELECT lang, word, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+       |nt AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY 1),
+       |q AS (SELECT cnt.lang AS lang, word,
+       |    CAST(floor(ln(c / nt.n) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM cnt JOIN nt ON cnt.lang = nt.lang),
+       |d AS (SELECT doc_id, tf.lang AS lang,
+       |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    floor((CAST(sum(tf * q.q) AS BIGINT) / 1e6 /
+       |           CAST(sum(tf) AS BIGINT)) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |  FROM tf JOIN q ON tf.lang = q.lang AND tf.word = q.word
+       |  GROUP BY 1, 2),
+       |$pctCtes,
+       |th AS ($pctSel)
+       |SELECT d.doc_id, d.lang, d.n_tokens, d.mean_logprob,
+       |  CASE WHEN d.mean_logprob >= th.t_hi THEN 'head'
+       |       WHEN d.mean_logprob >= th.t_lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM d JOIN th ON d.lang = th.g""".stripMargin
+  }
+
   // ---- #34 multimodal binary-column plumbing ----
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Property fixtures for the CCNet head/middle/tail partition
+  * (q_ccnet_buckets carries the exact cross-engine gate; these pin the
+  * semantics: per-language models, monotone buckets, total cover). */
+class LmBucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val order = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+
+  test("buckets partition every scored doc and are monotone in score per language") {
+    val docs = (0L until 30L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "es"
+      // vary typicality: low ids repeat corpus-common words, high ids are rare
+      val body =
+        if (i < 10) "the cat sat on the mat " * 3
+        else if (i < 20) s"the cat zebra$i quartz$i"
+        else s"xylo$i qrst$i vwxy$i"
+      (i, lang, body)
+    }
+    val r = TextAnalysis.lmBuckets(docs.toDF("doc_id", "lang", "text")).collect()
+    assert(r.length === 30)
+    assert(r.forall(x => order.contains(x.getAs[String]("bucket"))))
+    // monotone: within a language, a head doc never scores below a
+    // middle doc, which never scores below a tail doc
+    r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("mean_logprob"))).toMap
+      for {
+        (lo, hi) <- Seq("tail" -> "middle", "middle" -> "head")
+        los <- byBucket.get(lo); his <- byBucket.get(hi)
+      } assert(los.max <= his.min, s"$lo overlaps $hi")
+    }
+  }
+
+  test("models are per-language: the same text scores differently under different corpora") {
+    // "common common" is typical in en (every doc repeats it) but the
+    // es corpus is dominated by other words
+    val docs = Seq(
+      (1L, "en", "common common common"),
+      (2L, "en", "common common rare1"),
+      (3L, "es", "common otro otro otro otro"),
+      (4L, "es", "otro otro otro otro otro otro"))
+    val r = TextAnalysis.lmBuckets(docs.toDF("doc_id", "lang", "text"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("mean_logprob")).toMap
+    // doc 1 is all-common under en's model; doc 3's "common" is rare in es
+    assert(r(1L) > r(3L))
+  }
+
+  test("an all-equal-score language lands every doc in one bucket, none dropped") {
+    val docs = Seq((1L, "fr", "un deux"), (2L, "fr", "un deux"), (3L, "fr", "un deux"))
+    val r = TextAnalysis.lmBuckets(docs.toDF("doc_id", "lang", "text")).collect()
+    assert(r.length === 3)
+    assert(r.map(_.getAs[String]("bucket")).distinct.length === 1)
+  }
+}

@@ -21,6 +21,16 @@ class ReuseCheckSpec extends SparkSpec {
     assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused in:\n$p")
   }
 
+  test("lmBuckets' five corpus consumers share the tokenize exchange") {
+    val docs = Seq((1L, "en", "a a b c"), (2L, "en", "b c d"), (3L, "es", "x y x"))
+      .toDF("doc_id", "lang", "text")
+    val p = finalPlan(graft.operators.TextAnalysis.lmBuckets(docs))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    // per-language N, vocabulary q, and both percentile passes all
+    // re-derive from the (doc, lang, word) tf exchange
+    assert(reused >= 3, s"expected >=3 ReusedExchange, got $reused in:\n$p")
+  }
+
   test("tfidfTopK's df branch reuses the tf exchange") {
     val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
     val p = finalPlan(graft.operators.TextAnalysis.tfidfTopK(docs, 2, 3L))
