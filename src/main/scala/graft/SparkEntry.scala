@@ -101,6 +101,8 @@ object SparkEntry {
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
+    // delta dedup of a new batch against a pre-built corpus index
+    "q_dedup_incremental" -> (L.qDedupIncremental _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -185,6 +187,7 @@ object SparkEntry {
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
+    "q_dedup_incremental" -> L.qDedupIncrementalSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

@@ -152,6 +152,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Pre-computed dedup index over an existing corpus, the three frames
+    * a delta-dedup needs: exact content hashes (first doc id per hash),
+    * LSH band rows, and per-doc shingle arrays for verification. In a
+    * real deployment these are WRITTEN once (bucketed by content_hash /
+    * band_val / doc_id — see sources/Bucketing) and re-read per batch;
+    * here they stay DataFrames so the caller owns storage. */
+  case class DedupIndex(hashes: DataFrame, bands: DataFrame, shingles: DataFrame)
+
+  /** Build the [[DedupIndex]] for a corpus. The shingle frame is
+    * persisted — the signature pipeline and the verify join both scan
+    * it (same lifecycle note as [[minhashLshPairs]]). */
+  def buildIndex(corpus: DataFrame): DedupIndex = {
+    val shArr = withShingles(corpus, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DedupIndex(
+      hashes = corpus.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("first_id")),
+      bands = bandRows(signaturesFromShingles(shArr)),
+      shingles = shArr)
+  }
+
+  /** Incremental (delta) dedup: verdict for each NEW doc against an
+    * existing corpus index — the production shape at 100 TB, where a
+    * continuously-crawled corpus is never re-deduped whole; only the
+    * new batch is scored against the stored index.
+    *
+    * Two stages, exact first (the cheap gate): a hash probe against
+    * `index.hashes` marks `drop_exact` (dup_of = the corpus's first
+    * doc with that content); survivors get minhash signatures and meet
+    * `index.bands` in a band equi-join — candidates verify with true
+    * shingle Jaccard and `drop_near` points at the SMALLEST matching
+    * corpus id (deterministic), with that pair's jaccard as payload.
+    * Everything else is `keep`. Intra-batch duplicates are NOT this
+    * operator's job (run [[exact]]/[[minhashLshPairs]] within the
+    * batch first).
+    *
+    * Scale shape: the corpus is touched only through the index frames;
+    * delta-side shingles/signatures are computed for the batch only;
+    * both joins are keyed on uniform md5-derived values (hash,
+    * band_val) so the index side can be pre-bucketed on disk and the
+    * band join co-locates without a corpus shuffle. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DedupIndex,
+                        threshold: Double = Config.JaccardThreshold): DataFrame = {
+    val base = newDocs.select(col("doc_id"), col("text"))
+      .join(index.hashes, md5(col("text")) === index.hashes("content_hash"), "left")
+      .select(col("doc_id"), col("text"), col("first_id").as("exact_of"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = withShingles(base.where(col("exact_of").isNull), Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandRows(signaturesFromShingles(shNew))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
+      .join(index.bands.select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select("new_id", "idx_id").distinct()
+    val ver = cand
+      .join(shNew.select(col("doc_id").as("new_id"), col("shingles").as("sh_a")), Seq("new_id"))
+      .join(index.shingles.select(col("doc_id").as("idx_id"), col("shingles").as("sh_b")), Seq("idx_id"))
+      .select(col("new_id"), col("idx_id"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"), size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        Portable.roundp(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+    val best = ver.groupBy(col("new_id")).agg(min(col("idx_id")).as("near_of"))
+      .join(ver.select(col("new_id"), col("idx_id").as("near_of"), col("jaccard")),
+        Seq("new_id", "near_of"))
+    base.join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("drop_exact"))
+          .when(col("near_of").isNotNull, lit("drop_near"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        col("jaccard"))
+  }
+
   /** Transitive dedup clusters: connected components over a near-dup
     * pair list, labeling every member with the smallest doc id of its
     * component (the canonical keeper). Min-label propagation converges

@@ -147,6 +147,79 @@ object LlmQueries {
        |JOIN cnt na ON cand.id_a = na.doc_id JOIN cnt nb ON cand.id_b = nb.doc_id""".stripMargin
   }
 
+  // ---- incremental (delta) dedup against a corpus index ----
+
+  /** Production-shape delta dedup: docs with doc_id % 5 = 0 play the
+    * "new batch", the rest the indexed corpus. Exact hash probe first,
+    * then minhash bands against the index, Jaccard-verified. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.dedupAgainstIndex(
+      docs.where(col("doc_id") % 5 === 0),
+      Dedup.buildIndex(docs.where(col("doc_id") % 5 =!= 0)))
+  }
+
+  /** Minhash signature + band CTEs over a (doc_id, text) source CTE,
+    * suffixed so the delta and index sides compose in one statement. */
+  private def minhashCtes(src: String, sfx: String): String = {
+    val p = Config.MinhashPrime
+    val sigCols = Config.MinhashSeeds.zipWithIndex.map { case ((a, b), k) =>
+      s"min((x * $a + $b) % $p) AS sig_$k"
+    }.mkString(",\n    ")
+    val bandRows = (0 until Config.MinhashBands).map { bIdx =>
+      val concatArgs = (0 until Config.MinhashRows)
+        .map(r => s"sig_${bIdx * Config.MinhashRows + r}")
+        .mkString(", ',', ")
+      s"SELECT doc_id, $bIdx AS band_idx, md5(concat($concatArgs)) AS band_val FROM sig$sfx"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""ws$sfx AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $src),
+       |shl$sfx AS (SELECT doc_id, $shinglesSql AS shingles FROM ws$sfx),
+       |sh$sfx AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl$sfx),
+       |shx$sfx AS (SELECT doc_id, shingle, ${h31Sql("shingle")} AS x FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM shx$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  val qDedupIncrementalSql: String = {
+    val t = Config.JaccardThreshold
+    val jac = s"floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6"
+    s"""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |ch AS (SELECT md5(text) AS content_hash, min(doc_id) AS first_id
+       |  FROM corp GROUP BY 1),
+       |ex AS (SELECT n.doc_id, n.text, ch.first_id AS exact_of
+       |  FROM newd n LEFT JOIN ch ON md5(n.text) = ch.content_hash),
+       |newk AS (SELECT doc_id, text FROM ex WHERE exact_of IS NULL),
+       |${minhashCtes("newk", "_n")},
+       |${minhashCtes("corp", "_c")},
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+       |  FROM bands_n a JOIN bands_c b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val),
+       |cnt_n AS (SELECT doc_id, count(*) AS n FROM sh_n GROUP BY 1),
+       |cnt_c AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY 1),
+       |common AS (SELECT cand.new_id, cand.idx_id, count(*) AS n_common
+       |  FROM cand JOIN sh_n a ON cand.new_id = a.doc_id
+       |            JOIN sh_c b ON cand.idx_id = b.doc_id AND a.shingle = b.shingle
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT common.new_id, common.idx_id, $jac AS jaccard
+       |  FROM common JOIN cnt_n na ON common.new_id = na.doc_id
+       |              JOIN cnt_c nb ON common.idx_id = nb.doc_id
+       |  WHERE $jac >= $t),
+       |best AS (SELECT new_id, min(idx_id) AS near_of FROM ver GROUP BY 1),
+       |bestj AS (SELECT best.new_id, best.near_of, ver.jaccard
+       |  FROM best JOIN ver ON best.new_id = ver.new_id AND best.near_of = ver.idx_id)
+       |SELECT ex.doc_id,
+       |  CASE WHEN ex.exact_of IS NOT NULL THEN 'drop_exact'
+       |       WHEN bestj.near_of IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict,
+       |  COALESCE(ex.exact_of, bestj.near_of) AS dup_of,
+       |  bestj.jaccard AS jaccard
+       |FROM ex LEFT JOIN bestj ON ex.doc_id = bestj.new_id""".stripMargin
+  }
+
   // ---- #25b transitive dedup clusters over the near-dup pair graph ----
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =

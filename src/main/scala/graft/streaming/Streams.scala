@@ -107,6 +107,26 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the delta dedup (operators/Dedup
+    * .dedupAgainstIndex): the index is STATIC (pre-built from the
+    * existing corpus), each arriving micro-batch of new docs gets its
+    * verdicts from the identical batch operator — per-doc verdicts
+    * depend only on the doc and the index, so micro-batch boundaries
+    * are invisible. This is the production crawl-ingest shape: the
+    * index updates on a slow cadence (rebuild/merge offline), the
+    * stream dedups against the latest snapshot. Parity pinned in
+    * StreamingSpec. */
+  def incrementalDedupStream(docs: DataFrame,
+                             index: graft.operators.Dedup.DedupIndex,
+                             threshold: Double = graft.Config.JaccardThreshold)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "incrementalDedupStream is streaming-only: use Dedup.dedupAgainstIndex for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Dedup.dedupAgainstIndex(batch, index, threshold), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Fixtures for delta dedup against a pre-built corpus index
+  * (q_dedup_incremental carries the exact cross-engine gate). */
+class DedupIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val otherText =
+    "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+
+  private def index = Dedup.buildIndex(Seq(
+    10L -> longText,
+    11L -> otherText,
+    12L -> longText // second copy: exact dup_of must be the FIRST id
+  ).toDF("doc_id", "text"))
+
+  test("exact copy, near copy, novel and unshingleable docs get the right verdicts") {
+    val batch = Seq(
+      100L -> longText,                  // exact copy of 10/12
+      101L -> (otherText + " extra"),    // near copy of 11
+      102L -> "entirely novel content nothing shared with any corpus document here",
+      103L -> "too short"                // < k words: no shingles
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstIndex(batch, index).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("verdict"), Option(x.getAs[java.lang.Long]("dup_of")),
+          Option(x.getAs[java.lang.Double]("jaccard"))))).toMap
+    assert(r.size === 4)
+    assert(r(100L)._1 === "drop_exact" && r(100L)._2 === Some(10L) && r(100L)._3.isEmpty)
+    assert(r(101L)._1 === "drop_near" && r(101L)._2 === Some(11L))
+    assert(r(101L)._3.exists(j => j > 0.5 && j < 1.0))
+    assert(r(102L)._1 === "keep" && r(102L)._2.isEmpty && r(102L)._3.isEmpty)
+    assert(r(103L)._1 === "keep" && r(103L)._2.isEmpty)
+  }
+
+  test("near-dup points at the smallest matching corpus id") {
+    // both corpus copies of longText near-match the batch doc; the
+    // verdict must deterministically pick 10, never 12
+    val batch = Seq(200L -> (longText + " tail")).toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstIndex(batch, index).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("verdict") === "drop_near")
+    assert(r(0).getAs[Long]("dup_of") === 10L)
+  }
+
+  test("an empty batch yields an empty verdict frame with the full schema") {
+    val batch = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstIndex(batch, index)
+    assert(r.columns.toSeq === Seq("doc_id", "verdict", "dup_of", "jaccard"))
+    assert(r.count() === 0)
+  }
+}

@@ -162,6 +162,36 @@ class StreamingSpec extends SparkSpec {
     assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("incrementalDedupStream matches batch verdicts across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "one two three four five six seven eight nine ten").toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildIndex(corpus)
+    val batch = Seq(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact
+      101L -> "one two three four five six seven eight nine ten eleven",  // near
+      102L -> "totally fresh material with no corpus overlap whatsoever here",
+      103L -> "hi")
+    val input = MemoryStream[(Long, String)]
+    input.addData(batch.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.incrementalDedupStream(input.toDF().toDF("doc_id", "text"), index) {
+      (verdicts, _) => acc.synchronized { acc ++= verdicts.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(batch.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Dedup.dedupAgainstIndex(batch.toDF("doc_id", "text"), index)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    val verdicts = expected.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(verdicts === Map(100L -> "drop_exact", 101L -> "drop_near",
+      102L -> "keep", 103L -> "keep"))
+  }
+
   test("decontaminateStream flags benchmark overlap exactly like batch, across splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
