@@ -103,6 +103,8 @@ object SparkEntry {
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
     "q_dedup_incremental" -> (L.qDedupIncremental _),
+    // SemDedup: k-means-blocked semantic dedup over embeddings
+    "q_dedup_semantic" -> (L.qDedupSemantic _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -188,6 +190,7 @@ object SparkEntry {
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
+    "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

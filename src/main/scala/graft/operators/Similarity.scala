@@ -197,6 +197,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDedup-style semantic dedup (Abbas et al. 2023): k-means
+    * clusters play the blocking role — pairwise cosine is computed only
+    * WITHIN a coarse cluster, never across the corpus — and inside each
+    * cluster every vector whose cosine to a SMALLER-id vector clears
+    * `threshold` is dropped in favor of that smallest neighbor
+    * (deterministic greedy keeper, no transitive closure). One row per
+    * vector: (vec_id, bucket, keep 0/1, dup_of).
+    *
+    * Scale shape: assignment is [[ivfAssign]] (zero shuffle, constant
+    * codebook); the self-join shuffles on bucket only, so the k-means k
+    * is the candidate-blowup knob the way dfCap is for shingles — size
+    * k so corpus_size/k stays in the 10³-10⁴ range and each bucket's
+    * O(b²) verify stays bounded. */
+  def semanticDedup(vectors: DataFrame, centroids: Seq[Array[Float]],
+                    threshold: Double): DataFrame = {
+    // persisted: both self-join sides and the verdict join scan the
+    // assignment (cache lifecycle owned by the caller, like Dedup's)
+    val assigned = ivfAssign(vectors, "embedding", centroids)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.select(col("vec_id"), col("bucket"), col("embedding").as("emb_a"))
+      .join(assigned.select(col("vec_id").as("nbr"), col("bucket"), col("embedding").as("emb_b")),
+        Seq("bucket"))
+      .where(col("nbr") < col("vec_id"))
+      .withColumn("cos", Portable.roundp(VectorOps.floatCosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cos") >= threshold)
+    assigned.join(pairs.groupBy(col("vec_id")).agg(min(col("nbr")).as("dup_of")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
+        col("dup_of"))
+  }
+
   /** Embedding near-dup for UNBLOCKED corpora: hyperplane-LSH buckets
     * play the block role. Near-duplicate vectors (cosine near 1) agree
     * on almost every hyperplane sign, so they land in the same bucket

@@ -676,28 +676,63 @@ object TextAnalysis {
     * one row per language. */
   def lmBuckets(docs: DataFrame, id: String = "doc_id",
                 textCol: String = "text", langCol: String = "lang",
-                nBins: Int = 128): DataFrame = {
-    val tf = docs
-      .select(col(id), col(langCol), explode(Portable.words(col(textCol))).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy(col(id), col(langCol), col("word")).agg(count(lit(1)).as("tf"))
+                nBins: Int = 128): DataFrame =
+    lmBucketsApply(docs, lmTrain(docs, id, textCol, langCol, nBins),
+      id, textCol, langCol)
+
+  /** A trained corpus LM + its bucket thresholds: `model` is one row
+    * per (lang, word) with the fixed-point quantized log-probability,
+    * `thresholds` one row per lang. Both are WRITABLE frames — in a
+    * real deployment they are trained offline on the reference corpus,
+    * stored, and re-read by [[lmBucketsApply]] / the streaming twin on
+    * a slow cadence (the CCNet shape: the scoring LM is pretrained,
+    * never derived from the data being filtered). */
+  case class LmModel(model: DataFrame, thresholds: DataFrame)
+
+  private def langTf(docs: DataFrame, id: String, textCol: String,
+                     langCol: String): DataFrame = docs
+    .select(col(id), col(langCol), explode(Portable.words(col(textCol))).as("word"))
+    .where(length(col("word")) > 0)
+    .groupBy(col(id), col(langCol), col("word")).agg(count(lit(1)).as("tf"))
+
+  private def scoresFrom(tf: DataFrame, model: DataFrame, id: String,
+                         langCol: String): DataFrame =
+    tf.join(model, Seq(langCol, "word"))
+      .groupBy(col(id), col(langCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("q")).as("__sq"))
+      .select(col(id), col(langCol), col("n_tokens"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
+
+  /** Train the per-language unigram model and tertile thresholds on a
+    * reference corpus (the offline half of [[lmBuckets]]). */
+  def lmTrain(corpus: DataFrame, id: String = "doc_id",
+              textCol: String = "text", langCol: String = "lang",
+              nBins: Int = 128): LmModel = {
+    val tf = langTf(corpus, id, textCol, langCol)
     val n = tf.groupBy(col(langCol)).agg(sum(col("tf")).cast(DoubleType).as("__n"))
     val q = tf.groupBy(col(langCol), col("word")).agg(sum(col("tf")).as("c"))
       .join(broadcast(n), Seq(langCol))
       .select(col(langCol), col("word"),
         floor(log(col("c") / col("__n")) * 1e6 + 0.5).cast(LongType).as("q"))
-    val scores = tf.join(q, Seq(langCol, "word"))
-      .groupBy(col(id), col(langCol))
-      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("q")).as("__sq"))
-      .select(col(id), col(langCol), col("n_tokens"),
-        Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
-    val th = Percentile.binned(scores, col(langCol), col("mean_logprob"),
+    val th = Percentile.binned(scoresFrom(tf, q, id, langCol),
+      col(langCol), col("mean_logprob"),
       Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)), nBins)
       .withColumnRenamed("g", langCol)
-    scores.join(broadcast(th), Seq(langCol))
+    LmModel(q, th)
+  }
+
+  /** Score docs under a STATIC trained model and label buckets — the
+    * online half: new data never shifts the model or the cut points.
+    * Out-of-vocabulary words are dropped (score over in-model words
+    * only), and docs whose language has no threshold row are dropped —
+    * over the training corpus itself this composes back to exactly
+    * [[lmBuckets]] (parity-spec'd in LmBucketsSpec). */
+  def lmBucketsApply(docs: DataFrame, m: LmModel, id: String = "doc_id",
+                     textCol: String = "text", langCol: String = "lang"): DataFrame =
+    scoresFrom(langTf(docs, id, textCol, langCol), m.model, id, langCol)
+      .join(broadcast(m.thresholds), Seq(langCol))
       .select(col(id), col(langCol), col("n_tokens"), col("mean_logprob"),
         when(col("mean_logprob") >= col("t_hi"), lit("head"))
           .when(col("mean_logprob") >= col("t_lo"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-  }
 }

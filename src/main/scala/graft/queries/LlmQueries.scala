@@ -531,6 +531,43 @@ object LlmQueries {
        |FROM a$KmeansIters WHERE rn = 1""".stripMargin
   }
 
+  // ---- SemDedup: k-means-blocked semantic dedup ----
+
+  val SemDedupThreshold = 0.3
+
+  /** SemDedup over the embeddings table: the q_kmeans_assign codebook
+    * (deterministic fixed-point Lloyd's) blocks the corpus; within-
+    * cluster cosine pairs above threshold drop to the smallest-id
+    * keeper. */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+    Similarity.semanticDedup(
+      v, Similarity.kmeansFit(v, k = KmeansK, iters = KmeansIters), SemDedupThreshold)
+  }
+
+  val qDedupSemanticSql: String = {
+    val seed = "('0x' || substr(md5('km' || ':' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    val rounds = (0 until KmeansIters)
+      .map(i => s"${kmeansAssignCte(i)},\n${kmeansUpdateCte(i)}").mkString(",\n")
+    val cos = "floor((list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e))) * 1e6 + 0.5) / 1e6"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seed, vec_id) - 1 AS INTEGER) AS cid, e AS ce
+       |  FROM v
+       |  QUALIFY row_number() OVER (ORDER BY $seed, vec_id) <= $KmeansK),
+       |$rounds,
+       |${kmeansAssignCte(KmeansIters)},
+       |fin AS (SELECT vec_id, e, bucket FROM a$KmeansIters WHERE rn = 1),
+       |prs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr, $cos AS cos
+       |  FROM fin a JOIN fin b ON a.bucket = b.bucket AND b.vec_id < a.vec_id),
+       |du AS (SELECT vec_id, min(nbr) AS dup_of FROM prs
+       |  WHERE cos >= $SemDedupThreshold GROUP BY 1)
+       |SELECT fin.vec_id, CAST(fin.bucket AS BIGINT) AS bucket,
+       |  CAST(CASE WHEN du.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  du.dup_of
+       |FROM fin LEFT JOIN du ON fin.vec_id = du.vec_id""".stripMargin
+  }
+
   // ---- #31b Gopher-style repetition metrics ----
 
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame =

@@ -127,6 +127,21 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the CCNet scorer (operators/TextAnalysis
+    * .lmBucketsApply): the unigram model and bucket thresholds are
+    * STATIC (trained offline via lmTrain), each micro-batch of docs is
+    * scored and labeled by the identical batch operator — per-doc
+    * output depends only on the doc and the model, so batch boundaries
+    * are invisible. Parity pinned in StreamingSpec. */
+  def lmScoreStream(docs: DataFrame, model: graft.operators.TextAnalysis.LmModel)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "lmScoreStream is streaming-only: use TextAnalysis.lmBucketsApply for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.lmBucketsApply(batch, model), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

@@ -49,6 +49,36 @@ class LmBucketsSpec extends SparkSpec {
     assert(r(1L) > r(3L))
   }
 
+  test("lmBucketsApply over the training corpus composes back to lmBuckets exactly") {
+    val docs = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) "en" else "es",
+        s"the cat sat word$i on the mat plus tail${i % 4}")
+    }.toDF("doc_id", "lang", "text")
+    val whole = TextAnalysis.lmBuckets(docs).orderBy("doc_id").collect().toSeq
+    val applied = TextAnalysis.lmBucketsApply(docs, TextAnalysis.lmTrain(docs))
+      .orderBy("doc_id").collect().toSeq
+    assert(applied === whole)
+  }
+
+  test("a static model scores NEW docs without shifting; OOV-only docs drop") {
+    val corpus = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "en", "the cat and the dog sat"))
+      .toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.lmTrain(corpus)
+    val fresh = Seq(
+      (10L, "en", "the cat sat"),          // all in-model
+      (11L, "en", "zzz qqq vvv"),          // fully OOV -> dropped
+      (12L, "en", "the zzz cat"),          // partial: scored over in-model words
+      (13L, "fr", "le chat"))              // no fr thresholds -> dropped
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.lmBucketsApply(fresh, m)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_tokens")).toMap
+    assert(r.keySet === Set(10L, 12L))
+    assert(r(10L) === 3L && r(12L) === 2L) // OOV word excluded from the count
+  }
+
   test("an all-equal-score language lands every doc in one bucket, none dropped") {
     val docs = Seq((1L, "fr", "un deux"), (2L, "fr", "un deux"), (3L, "fr", "un deux"))
     val r = TextAnalysis.lmBuckets(docs.toDF("doc_id", "lang", "text")).collect()

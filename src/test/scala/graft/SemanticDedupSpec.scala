@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Fixtures for SemDedup-style k-means-blocked semantic dedup
+  * (q_dedup_semantic carries the exact cross-engine gate). */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal clusters; handmade centroids make bucketing explicit
+  private val cents = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+
+  test("within-cluster near-dups drop to the smallest id; cross-cluster twins survive") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0f)),   // cluster 0, keeper
+      (2L, Array(0.99f, 0.02f, 0f)),  // near-dup of 1
+      (5L, Array(0.98f, 0.0f, 0.01f)),// near-dup of 1 (not chained to 2)
+      (3L, Array(0f, 1.0f, 0.02f)),   // cluster 1, keeper
+      (4L, Array(0.01f, 0.97f, 0f)))  // near-dup of 3
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(vecs, cents, 0.95)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("bucket"), x.getAs[Long]("keep"),
+          Option(x.getAs[java.lang.Long]("dup_of"))))).toMap
+    assert(r(1L) === ((0L, 1L, None)))
+    assert(r(2L) === ((0L, 0L, Some(1L))))
+    assert(r(5L) === ((0L, 0L, Some(1L))))
+    assert(r(3L) === ((1L, 1L, None)))
+    assert(r(4L) === ((1L, 0L, Some(3L))))
+  }
+
+  test("similar vectors in different clusters are never compared") {
+    // 10 and 11 are nearly identical but straddle the centroid boundary
+    val vecs = Seq(
+      (10L, Array(0.71f, 0.70f, 0f)),
+      (11L, Array(0.70f, 0.71f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(vecs, cents, 0.5)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("keep")).toMap
+    assert(r === Map(10L -> 1L, 11L -> 1L)) // blocking sacrifices recall by design
+  }
+
+  test("threshold 1.0-adjacent keeps everything distinct") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(vecs, cents, 0.999999)
+    assert(r.where($"keep" === 1L).count() === 2)
+  }
+}

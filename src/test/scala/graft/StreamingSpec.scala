@@ -192,6 +192,34 @@ class StreamingSpec extends SparkSpec {
       102L -> "keep", 103L -> "keep"))
   }
 
+  test("lmScoreStream labels buckets from the static model exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 12L).map { i =>
+      (i, "en", if (i < 8) "the cat sat on the mat" else s"rare$i words$i only$i")
+    }.toDF("doc_id", "lang", "text")
+    val model = graft.operators.TextAnalysis.lmTrain(corpus)
+    val fresh = Seq(
+      (100L, "en", "the cat sat"),
+      (101L, "en", "rare8 the mat"),
+      (102L, "en", "unseen tokens entirely"))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(fresh.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.lmScoreStream(input.toDF().toDF("doc_id", "lang", "text"), model) {
+      (scored, _) => acc.synchronized { acc ++= scored.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(fresh.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis
+      .lmBucketsApply(fresh.toDF("doc_id", "lang", "text"), model)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    assert(expected.map(_.getAs[Long]("doc_id")) === Seq(100L, 101L)) // 102 is all-OOV
+  }
+
   test("decontaminateStream flags benchmark overlap exactly like batch, across splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
