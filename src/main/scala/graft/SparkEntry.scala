@@ -105,6 +105,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (L.qDedupIncremental _),
     // SemDedup: k-means-blocked semantic dedup over embeddings
     "q_dedup_semantic" -> (L.qDedupSemantic _),
+    // directional n-gram containment (sub-document duplication)
+    "q_dedup_containment" -> (L.qDedupContainment _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
@@ -191,6 +193,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,
+    "q_dedup_containment" -> L.qDedupContainmentSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_decode" -> L.qImageDecodeSql,

@@ -72,6 +72,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** N-gram Jaccard CONTAINMENT pairs: containment(a→b) = |A∩B|/|A|,
+    * the asymmetric companion of [[ngramJaccardPairs]]'s resemblance.
+    * A short doc swallowed whole by a long one (wire-copy reposts,
+    * quote-heavy pages) has high containment but LOW resemblance (the
+    * big union buries it), so a resemblance threshold never fires —
+    * this operator is how sub-document duplication is caught at the
+    * doc level (Broder 1997's two measures). Output is DIRECTIONAL:
+    * one row per ordered (contained id_a → container id_b) pair over
+    * the capped-shingle universe; same df-cap defense and same
+    * candidate blocking as the resemblance op, with the directional
+    * expansion applied AFTER the unordered pair aggregate (no second
+    * self-join). */
+  def ngramContainmentPairs(docs: DataFrame, bucket: String, threshold: Double,
+                            dfCap: Int = graft.Config.ShingleDfCap): DataFrame = {
+    val ex = withShingles(docs, Seq(bucket))
+      .select(col("doc_id"), col(bucket).as("bucket"), explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = ex.groupBy(col("bucket"), col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+      .select("bucket", "shingle")
+    val kept = ex.join(rare, Seq("bucket", "shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
+    val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
+    val common = a.join(b, Seq("bucket", "shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val directed = common.unionByName(
+      common.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("n_common")))
+    directed
+      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .withColumn("containment", Portable.roundp(col("n_common") / col("n_a"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** MinHash signature columns sig_0..sig_15 per doc: min over shingles
     * of (a_k * h31(shingle) + b_k) mod p. All 16 mins aggregate in one
     * pass with map-side partials. Docs with no shingle are dropped
@@ -192,19 +230,37 @@ object Dedup {
     * delta-side shingles/signatures are computed for the batch only;
     * both joins are keyed on uniform md5-derived values (hash,
     * band_val) so the index side can be pre-bucketed on disk and the
-    * band join co-locates without a corpus shuffle. */
+    * band join co-locates without a corpus shuffle.
+    *
+    * `bandCap` is [[minhashLshPairs]]'s viral-bucket defense on the
+    * INDEX side: a band value held by d index docs emits d candidate
+    * rows per matching new doc, so one boilerplate cluster in a 100 TB
+    * index can dominate every batch. Index buckets above the cap are
+    * dropped from candidate generation (in production, apply this
+    * filter once at index-build time); the exact-hash stage still
+    * catches identical boilerplate. Default (no cap) keeps the
+    * registered oracle semantics unchanged; SkewSpec pins the bound. */
   def dedupAgainstIndex(newDocs: DataFrame, index: DedupIndex,
-                        threshold: Double = Config.JaccardThreshold): DataFrame = {
+                        threshold: Double = Config.JaccardThreshold,
+                        bandCap: Int = Int.MaxValue): DataFrame = {
     val base = newDocs.select(col("doc_id"), col("text"))
       .join(index.hashes, md5(col("text")) === index.hashes("content_hash"), "left")
       .select(col("doc_id"), col("text"), col("first_id").as("exact_of"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shNew = withShingles(base.where(col("exact_of").isNull), Seq.empty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBands = {
+      val all = index.bands.select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"))
+      if (bandCap == Int.MaxValue) all
+      else {
+        val occ = all.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__occ")).where(col("__occ") <= bandCap)
+        all.join(occ, Seq("band_idx", "band_val")).drop("__occ")
+      }
+    }
     val cand = bandRows(signaturesFromShingles(shNew))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"))
-      .join(index.bands.select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val")),
-        Seq("band_idx", "band_val"))
+      .join(idxBands, Seq("band_idx", "band_val"))
       .select("new_id", "idx_id").distinct()
     val ver = cand
       .join(shNew.select(col("doc_id").as("new_id"), col("shingles").as("sh_a")), Seq("new_id"))

@@ -107,6 +107,27 @@ object LlmQueries {
        |FROM common JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
        |WHERE floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 >= ${Config.JaccardThreshold}""".stripMargin
 
+  // ---- #24b n-gram containment (sub-document duplication) ----
+
+  val ContainmentThreshold = 0.05
+
+  /** Directional containment |A∩B|/|A| over the same df-capped shingle
+    * universe as q_dedup_ngram — the sub-document-dup detector. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables(spark, dir).documents, "source", ContainmentThreshold)
+
+  val qDedupContainmentSql: String =
+    s"""WITH $ngramKeptCtes,
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |directed AS (SELECT id_a, id_b, n_common FROM common
+       |  UNION ALL SELECT id_b, id_a, n_common FROM common)
+       |SELECT id_a, id_b,
+       |  floor((n_common / na.n) * 1e6 + 0.5) / 1e6 AS containment
+       |FROM directed JOIN cnt na ON id_a = na.doc_id
+       |WHERE floor((n_common / na.n) * 1e6 + 0.5) / 1e6 >= $ContainmentThreshold""".stripMargin
+
   // ---- #25 MinHash + LSH banding near-dup ----
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Fixtures for directional n-gram containment — the sub-document-dup
+  * detector (q_dedup_containment carries the exact cross-engine gate). */
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a swallowed short doc has high containment but low resemblance") {
+    val short = "alpha beta gamma delta epsilon"          // 3 shingles
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, "s", short), (2L, "s", long)).toDF("doc_id", "source", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "source", 0.9).collect()
+    // direction matters: 1 is contained in 2, not vice versa
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(cont.head.getAs[Double]("containment") === 1.0)
+    spark.catalog.clearCache()
+    val jac = Dedup.ngramJaccardPairs(docs, "source", 0.5).collect()
+    assert(jac.isEmpty, "resemblance misses the swallowed doc at any sane threshold")
+    spark.catalog.clearCache()
+  }
+
+  test("containment respects the source blocking and the df cap") {
+    val text = "one two three four five six"
+    val docs = Seq(
+      (1L, "a", text), (2L, "b", text + " seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+    // different sources: never compared
+    assert(Dedup.ngramContainmentPairs(docs, "source", 0.1).collect().isEmpty)
+    spark.catalog.clearCache()
+    // same source but every shingle shared by both docs with dfCap=1:
+    // all shingles dropped, no pairs
+    val same = Seq((1L, "s", text), (2L, "s", text))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.ngramContainmentPairs(same, "source", 0.1, dfCap = 1).collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+}

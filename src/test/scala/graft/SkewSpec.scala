@@ -153,6 +153,32 @@ class SkewSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("index band cap: a viral index cluster cannot flood delta-dedup candidates") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the index holds a 50-doc viral near-dup cluster (same bands) and
+    // one unique doc; the batch doc near-matches both populations
+    val viral = "breaking news story everyone shares this exact text today now"
+    val corpus = ((0 until 50).map(i => (i.toLong, viral + s" v$i")) ++
+      Seq((200L, "rare alpha beta gamma delta epsilon zeta eta theta kappa")))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildIndex(corpus)
+    val batch = Seq(
+      (300L, viral + " vx"),
+      (301L, "rare alpha beta gamma delta epsilon zeta eta theta lambda"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.dedupAgainstIndex(batch, index)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(uncapped(300L) === "drop_near" && uncapped(301L) === "drop_near")
+    val capped = Dedup.dedupAgainstIndex(batch, index, bandCap = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // viral-bucket candidates are suppressed (the exact-hash stage owns
+    // boilerplate); small-bucket near-dups still resolve
+    assert(capped(300L) === "keep")
+    assert(capped(301L) === "drop_near")
+    spark.catalog.clearCache()
+  }
+
   test("saltedDistinctCount keeps keys whose values are all NULL (count 0)") {
     import spark.implicits._
     val d = Seq(("a", None: Option[String]), ("b", Some("x")), ("b", None))
