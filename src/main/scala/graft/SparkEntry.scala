@@ -97,6 +97,8 @@ object SparkEntry {
     "q_url_filter" -> (L.qUrlFilter _),
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
+    // per-domain curation rollup (RefinedWeb-style domain view)
+    "q_domain_stats" -> (L.qDomainStats _),
     // corpus unigram-LM quality score (fixed-point integer sums)
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
@@ -189,6 +191,7 @@ object SparkEntry {
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
+    "q_domain_stats" -> L.qDomainStatsSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,

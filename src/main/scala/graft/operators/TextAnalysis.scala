@@ -584,6 +584,34 @@ object TextAnalysis {
       .withColumn("keep", when(col("n_blocked") === 0, 1L).otherwise(0L))
   }
 
+  /** Per-domain curation rollup — the aggregate view domain-level
+    * filtering decisions are made from (RefinedWeb prunes whole
+    * domains before any per-doc scoring): one row per normalized host
+    * with its total URL mentions, distinct referencing docs, and
+    * blocklist membership. Same URL regex + host normalization as
+    * [[urlFilter]].
+    *
+    * Scale shape: one shuffle keyed on host. Every aggregate is
+    * map-side partial (count/max); the distinct-doc count plans as
+    * Spark's standard two-phase distinct on (host, doc) — fine under
+    * Zipfian hosts because the first phase collapses per-partition
+    * duplicates before the host-keyed exchange. */
+  def domainStats(docs: DataFrame, blocklist: Seq[String],
+                  id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocklist.toDF("host").withColumn("__blocked", lit(1L)))
+    docs
+      .select(col(id), explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .select(col(id),
+        regexp_replace(lower(regexp_extract(col("url"), UrlHostRe, 1)), "^www\\.", "").as("host"))
+      .join(bl, Seq("host"), "left")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(id)).as("n_docs"),
+        coalesce(max(col("__blocked")), lit(0L)).as("blocked"))
+  }
+
   // ---- TF-IDF keyword extraction ----
 
   /** Top-k keywords per document by (tf DESC, df ASC, word ASC) — the

@@ -1001,6 +1001,45 @@ object LlmQueries {
       |  CAST(CASE WHEN tr1 + tr2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM d""".stripMargin
 
+  // ---- per-domain curation rollup ----
+
+  /** Domain-level stats over the same closed-form URL injection as
+    * q_url_filter — the oracle replays host rows from the modular
+    * skeleton, no URL parsing on the oracle side. */
+  def qDomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sId = id.cast("string")
+    val k = (id % 7).cast("string")
+    val withUrls = concat(
+      col("text"),
+      lit(" read https://site"), k, lit(".example.com/p/"), sId,
+      when(id % 3 === 0,
+        concat(lit(" http://www.Ads-Tracker.net/pixel?id="), sId)).otherwise(lit("")),
+      when(id % 5 === 1,
+        concat(lit(" https://CDN.site"), k, lit(".example.com/x.js"))).otherwise(lit("")),
+      when(id % 4 === 2,
+        concat(lit(" http://ads-tracker.net/b"), (id % 9).cast("string"))).otherwise(lit("")))
+    TextAnalysis.domainStats(
+      Tables(spark, dir).documents.select(id, withUrls.as("text")), UrlBlocklist)
+  }
+
+  val qDomainStatsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(doc_id % 7 AS VARCHAR) AS k,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS tr1,
+      |    CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS cdn,
+      |    CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS tr2
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT doc_id, 'site' || k || '.example.com' AS host FROM d
+      |  UNION ALL SELECT doc_id, 'ads-tracker.net' FROM d WHERE tr1 = 1
+      |  UNION ALL SELECT doc_id, 'cdn.site' || k || '.example.com' FROM d WHERE cdn = 1
+      |  UNION ALL SELECT doc_id, 'ads-tracker.net' FROM d WHERE tr2 = 1)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(CASE WHEN host = 'ads-tracker.net' THEN 1 ELSE 0 END AS BIGINT) AS blocked
+      |FROM hosts GROUP BY host""".stripMargin
+
   // ---- TF-IDF keyword extraction ----
 
   private val TfidfK = 5

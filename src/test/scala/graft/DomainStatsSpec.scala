@@ -1,0 +1,25 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Fixtures for the per-domain curation rollup (q_domain_stats carries
+  * the exact cross-engine gate over the URL-injection closed form). */
+class DomainStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hosts aggregate across docs with normalization and blocklist flags") {
+    val docs = Seq(
+      (1L, "see https://www.Example.com/a and http://example.com/b plus http://Bad.ads.net/x"),
+      (2L, "more https://example.com/c here"),
+      (3L, "nothing"),
+      (4L, "only http://bad.ads.net/y twice http://BAD.ads.net/z"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.domainStats(docs, Seq("bad.ads.net"))
+      .collect().map(x => x.getAs[String]("host") ->
+        ((x.getAs[Long]("n_urls"), x.getAs[Long]("n_docs"), x.getAs[Long]("blocked")))).toMap
+    // www. stripped + lowercased: three example.com mentions over two docs
+    assert(r("example.com") === ((3L, 2L, 0L)))
+    assert(r("bad.ads.net") === ((3L, 2L, 1L)))
+    assert(r.size === 2) // doc 3 contributes no host rows
+  }
+}
