@@ -99,6 +99,8 @@ object SparkEntry {
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     // per-domain curation rollup (RefinedWeb-style domain view)
     "q_domain_stats" -> (L.qDomainStats _),
+    // deterministic global shuffle + sharding (replay-stable training order)
+    "q_corpus_shuffle" -> (L.qCorpusShuffle _),
     // corpus unigram-LM quality score (fixed-point integer sums)
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
@@ -192,6 +194,7 @@ object SparkEntry {
     "q_url_filter" -> L.qUrlFilterSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_domain_stats" -> L.qDomainStatsSql,
+    "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,

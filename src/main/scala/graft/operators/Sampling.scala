@@ -96,4 +96,29 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= n)
   }
+
+  /** Deterministic global corpus shuffle + sharding — the last stage
+    * before training: every doc gets a (shard, position) that is a
+    * pure function of (salt, id), so the training order is replay- and
+    * engine-stable (resume a crashed run, re-materialize a shard,
+    * re-run on another engine — same order). shard = h60 mod nShards
+    * (uniform by construction), position = rank of h60 within the
+    * shard (id tiebreak for the 2^-60 collision).
+    *
+    * Scale shape: the per-shard rank windows partition on the uniform
+    * shard key, so the global sort decomposes into nShards independent
+    * bounded sorts (size nShards to taste — corpus/nShards rows per
+    * sort); no global ordering step ever runs. Feed the result to
+    * [[graft.sources.Bucketing.writeSizedCorpus]] partitioned by shard
+    * with position as the sort column. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "shuf"): DataFrame = {
+    require(nShards > 0, "shuffleShards: nShards must be positive")
+    val h = Portable.h60(concat_ws(":", lit(salt), col(idCol)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

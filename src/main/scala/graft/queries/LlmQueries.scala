@@ -375,6 +375,22 @@ object LlmQueries {
       |  FROM documents)
       |SELECT source, doc_id, rk FROM r WHERE rk <= 25""".stripMargin
 
+  /** Deterministic global shuffle + sharding: (shard, position) as a
+    * pure function of doc_id — training order replay-stable across
+    * engines, reruns, and resumes. */
+  def qCorpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(
+        Tables(spark, dir).documents.select(col("doc_id")), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("position"))
+
+  val qCorpusShuffleSql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |    ${h60Sql("'shuf' || ':' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents)
+       |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS position
+       |FROM h""".stripMargin
+
   // ---- #26 SimHash near-dup ----
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -633,6 +633,33 @@ class QualitySpec extends SparkSpec {
     assert(out.collect().forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 7L))
   }
 
+  test("shuffleShards: total cover, uniform-ish shards, replay-stable order") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (i, s"payload$i")).toDF("doc_id", "text")
+    val out = Sampling.shuffleShards(rows, "doc_id", nShards = 8)
+    val collected = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("position")))
+    assert(collected.length === 1000)
+    assert(collected.map(_._1).toSet === (1L to 1000L).toSet, "every doc sharded")
+    val byShard = collected.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions are 1..n contiguous within each shard
+    byShard.values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq === (1L to s.length).toSeq)
+    }
+    // md5 shard assignment is roughly uniform (1000/8 = 125 ± 40%)
+    assert(byShard.values.forall(s => s.length > 75 && s.length < 175))
+    // order is a pure function of (salt, id): repartitioned input, same triples
+    val again = Sampling.shuffleShards(rows.repartition(13), "doc_id", nShards = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("position")))
+    assert(collected.toSet === again.toSet)
+    // training order must not correlate with ingest order: the first
+    // position of shard 0 is not doc 1..8
+    val firstDocs = byShard.values.map(_.minBy(_._3)._1).toSet
+    assert(firstDocs.exists(_ > 8L))
+  }
+
   test("minhash jaccard estimates track exact ngram jaccard") {
     // pairs surfaced by LSH must report the TRUE jaccard (they are
     // verified with array_intersect) - check against the exact operator
