@@ -58,6 +58,10 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("payload", BinaryType)))
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType)))
+
   /** Declarative metadata extraction over a binary payload column:
     * byte length, sha256, and digest-derived synthetic dimensions (see
     * object doc — the testdata has no media column). Pure Column ops →
@@ -295,6 +299,80 @@ object Multimodal {
         explode(sequence(lit(0L), floor((nFrames - 1) / everyN).cast(LongType))).as("sample_idx"))
       .select(col("doc_id"), col("n_frames"),
         (col("sample_idx") * everyN).as("frame_idx"))
+  }
+
+  /** Perceptual average-hash (aHash) over REAL decoded images: sample
+    * the raster on an 8×6 grid with the same pure-integer
+    * nearest-neighbor mapping as [[resizeImages]] (`sx = i*w/8` — no
+    * AWT rendering, bit-deterministic), cell value = sum of all bands
+    * at the sample point, bit k set iff `cell_k * 48 > total` (the
+    * strict-above-mean test expressed without a division, so there is
+    * no rounding-mode edge to match). 48 bits, not 64, so the hash
+    * stays in the sign-free low bits — the same width the text SimHash
+    * uses, sharing its 3×16-bit band machinery. Undecodable payloads
+    * are dropped (no pixels, no hash). Partition-local, no shuffle. */
+  def imagePhash(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col(idCol), col(payloadCol))
+      .rdd.mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeOne(r.getAs[Array[Byte]](1)).map { case (_, img) =>
+            val raster = img.getRaster
+            val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
+            val cells = new Array[Long](48)
+            var j = 0
+            while (j < 6) {
+              var i = 0
+              while (i < 8) {
+                val sx = i * w / 8
+                val sy = j * h / 6
+                var s = 0L
+                var b = 0
+                while (b < nb) { s += raster.getSample(sx, sy, b); b += 1 }
+                cells(j * 8 + i) = s
+                i += 1
+              }
+              j += 1
+            }
+            val total = cells.sum
+            var hash = 0L
+            var k = 0
+            while (k < 48) { if (cells(k) * 48L > total) hash |= 1L << k; k += 1 }
+            Row(id, hash)
+          }
+        }
+      }
+    spark.createDataFrame(out, phashSchema)
+  }
+
+  /** Image near-dup pairs over [[imagePhash]] fingerprints: the text
+    * SimHash's band-join shape verbatim — 3×16-bit band equality
+    * generates candidates, bit_count(xor) hamming verifies. Visually
+    * near-identical images agree on almost every cell bit, so they
+    * collide on at least one band with high probability; never an
+    * all-pairs join. */
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+                 maxHamming: Int): DataFrame = {
+    val fp = imagePhash(media, idCol, payloadCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until graft.Config.SimhashBands).map { i =>
+      struct(lit(i).as("band_idx"),
+        (shiftright(col("phash"), graft.Config.SimhashBandBits * i)
+          % (1L << graft.Config.SimhashBandBits)).as("band_val"))
+    }
+    val bands = fp.select(col("doc_id"), col("phash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val l = bands.select(col("doc_id").as("id_a"), col("phash").as("ph_a"), col("band_idx"), col("band_val"))
+    val r = bands.select(col("doc_id").as("id_b"), col("phash").as("ph_b"), col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ph_a ^ ph_b)").cast(LongType).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("hamming")).as("hamming"))
   }
 
   /** One payload through ImageIO: format name + decoded image, or None

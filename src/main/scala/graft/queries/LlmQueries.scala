@@ -1198,6 +1198,50 @@ object LlmQueries {
       |FROM d JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
       |             FROM px GROUP BY doc_id) s ON d.doc_id = s.doc_id""".stripMargin
 
+  // ---- image near-dup via perceptual hash ----
+
+  private val PhashMaxHamming = 2
+
+  /** Image dedup over REAL decoded pixels: synthesize genuine PNGs of
+    * the closed-form test pattern, aHash them through an actual ImageIO
+    * decode, band-join + hamming-verify. The oracle replays cells,
+    * hash, bands and hamming from the closed form — any bent byte in
+    * the codec path bends a cell and fails the hash gate. */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (col("doc_id") % 13 + 1).as("w"),
+      (col("doc_id") % 11 + 1).as("h"),
+      (col("doc_id") % 251).as("seed"))
+    Multimodal.phashPairs(Multimodal.encodePng(specs), "doc_id", "payload",
+      PhashMaxHamming)
+  }
+
+  val qImagePhashSql: String = {
+    val sxy = "7 * ((i.v * w) // 8) + 13 * ((j.v * h) // 6)"
+    val cell = (0 until 3).map(c => s"(seed + $sxy + ${101 * c}) % 256").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 1 AS INTEGER) AS w,
+       |    CAST(doc_id % 11 + 1 AS INTEGER) AS h,
+       |    CAST(doc_id % 251 AS INTEGER) AS seed FROM documents),
+       |cells AS (SELECT doc_id, j.v * 8 + i.v AS idx, CAST($cell AS BIGINT) AS v
+       |  FROM d, unnest(generate_series(0, 7)) AS i(v),
+       |         unnest(generate_series(0, 5)) AS j(v)),
+       |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total FROM cells GROUP BY 1),
+       |ph AS (SELECT cells.doc_id,
+       |    CAST(sum(CASE WHEN v * 48 > total THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id GROUP BY 1),
+       |bands AS (SELECT doc_id, phash, b.i AS band_idx,
+       |    (phash >> (16 * b.i)) % 65536 AS band_val
+       |  FROM ph, unnest(generate_series(0, 2)) AS b(i))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(max(bit_count(xor(a.phash, b.phash))) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- #58 fixed-window document chunking ----
 
   private val ChunkMax = 32

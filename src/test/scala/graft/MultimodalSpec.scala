@@ -21,6 +21,29 @@ class MultimodalSpec extends SparkSpec {
     assert((0 until 3).forall(i => out(i).getLong(5) >= 1 && out(i).getLong(5) <= 31))
   }
 
+
+  test("imagePhash: identical images pair at hamming 0; a corrupt payload drops") {
+    import spark.implicits._
+    // 100 and 101 are pixel-identical; 102 is a different pattern;
+    // 103 is not an image at all
+    val specs = Seq((100L, 16, 12, 40), (101L, 16, 12, 40), (102L, 16, 12, 171))
+      .toDF("doc_id", "w", "h", "seed")
+    val png = Multimodal.encodePng(specs)
+    val junk = Seq((103L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "payload")
+    val media = png.unionByName(junk)
+    val hashes = Multimodal.imagePhash(media, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet === Set(100L, 101L, 102L)) // 103 dropped
+    assert(hashes(100L) === hashes(101L))
+    assert(hashes(100L) !== hashes(102L))
+    assert(hashes.values.forall(h => h >= 0L && h < (1L << 48)), "48-bit sign-free")
+    val pairs = Multimodal.phashPairs(media, "doc_id", "payload", maxHamming = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet === Set((100L, 101L)))
+    assert(pairs((100L, 101L)) === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("encodePng -> decodeImages: real PNG round-trip recovers dims, channels, exact pixel sums") {
     import spark.implicits._
     val specs = Seq((1L, 4, 3, 10), (2L, 1, 1, 250), (3L, 16, 11, 0))
