@@ -115,6 +115,8 @@ object SparkEntry {
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
+    // audio near-dup: energy-profile fingerprint over real decoded PCM
+    "q_audio_fingerprint" -> (L.qAudioFingerprint _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
     "q_image_decode" -> (L.qImageDecode _),
     // real WKB geometry decode round-trip (encode WKB -> wkb_rings -> coord sums)
@@ -205,6 +207,7 @@ object SparkEntry {
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,
+    "q_audio_fingerprint" -> L.qAudioFingerprintSql,
     "q_image_decode" -> L.qImageDecodeSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

@@ -460,19 +460,31 @@ object Dedup {
     // join sides share one token-hash-vote aggregation
     val fp = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedHammingPairs(fp, "simhash", maxHamming)
+  }
+
+  /** Band-join + hamming-verify near-dup pairs over ANY 48-bit
+    * fingerprint frame (doc_id, hashCol) — the candidate machinery
+    * shared by the text SimHash, the image pHash and the audio
+    * fingerprint: near-identical items agree on almost every bit, so
+    * they match exactly on at least one 16-bit band with high
+    * probability; band equality generates candidates, bit_count(xor)
+    * verifies. Never an all-pairs join; shuffles key on the uniform
+    * band values. */
+  def bandedHammingPairs(fp: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
     val bandStructs = (0 until Config.SimhashBands).map { i =>
       struct(lit(i).as("band_idx"),
-        (shiftright(col("simhash"), Config.SimhashBandBits * i)
+        (shiftright(col(hashCol), Config.SimhashBandBits * i)
           % (1L << Config.SimhashBandBits)).as("band_val"))
     }
-    val bands = fp.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    val l = bands.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"), col("band_idx"), col("band_val"))
-    val r = bands.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"), col("band_idx"), col("band_val"))
+    val bands = fp.select(col("doc_id"), col(hashCol).as("__fp"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("__fp"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val l = bands.select(col("doc_id").as("id_a"), col("__fp").as("fp_a"), col("band_idx"), col("band_val"))
+    val r = bands.select(col("doc_id").as("id_b"), col("__fp").as("fp_b"), col("band_idx"), col("band_val"))
     l.join(r, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(sh_a ^ sh_b)").cast(LongType).as("hamming"))
+        expr("bit_count(fp_a ^ fp_b)").cast(LongType).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("hamming")).as("hamming"))

@@ -62,6 +62,10 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("phash", LongType)))
 
+  private val afpSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("afp", LongType)))
+
   /** Declarative metadata extraction over a binary payload column:
     * byte length, sha256, and digest-derived synthetic dimensions (see
     * object doc — the testdata has no media column). Pure Column ops →
@@ -231,7 +235,7 @@ object Multimodal {
           val pcm = new Array[Byte](2 * n)
           var i = 0
           while (i < n) {
-            val v = (seed + 7 * i) % 2000 - 1000
+            val v = (seed + 7 * i + 13 * i * i) % 2000 - 1000
             pcm(2 * i) = (v & 0xff).toByte          // little-endian lo
             pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1
@@ -347,33 +351,73 @@ object Multimodal {
     spark.createDataFrame(out, phashSchema)
   }
 
-  /** Image near-dup pairs over [[imagePhash]] fingerprints: the text
-    * SimHash's band-join shape verbatim — 3×16-bit band equality
-    * generates candidates, bit_count(xor) hamming verifies. Visually
-    * near-identical images agree on almost every cell bit, so they
-    * collide on at least one band with high probability; never an
-    * all-pairs join. */
+  /** Image near-dup pairs over [[imagePhash]] fingerprints via the
+    * shared [[Dedup.bandedHammingPairs]] machinery. */
   def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
-                 maxHamming: Int): DataFrame = {
-    val fp = imagePhash(media, idCol, payloadCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until graft.Config.SimhashBands).map { i =>
-      struct(lit(i).as("band_idx"),
-        (shiftright(col("phash"), graft.Config.SimhashBandBits * i)
-          % (1L << graft.Config.SimhashBandBits)).as("band_val"))
-    }
-    val bands = fp.select(col("doc_id"), col("phash"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("phash"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    val l = bands.select(col("doc_id").as("id_a"), col("phash").as("ph_a"), col("band_idx"), col("band_val"))
-    val r = bands.select(col("doc_id").as("id_b"), col("phash").as("ph_b"), col("band_idx"), col("band_val"))
-    l.join(r, Seq("band_idx", "band_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(ph_a ^ ph_b)").cast(LongType).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("hamming")).as("hamming"))
+                 maxHamming: Int): DataFrame =
+    Dedup.bandedHammingPairs(
+      imagePhash(media, idCol, payloadCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "phash", maxHamming)
+
+  /** 48-bit energy-profile audio fingerprint over REAL decoded PCM:
+    * the 16-bit WAV payload decodes through javax.sound, samples land
+    * in 48 equal time frames (`frame = i*48/n` — pure integer, the
+    * 1-D twin of [[imagePhash]]'s grid), frame energy = Σ sample², and
+    * bit k is set iff `energy_k * 48 > total` (above-mean with no
+    * division edge). Loudness-profile near-dups (same signal, small
+    * edits) agree on almost every frame bit. Non-16-bit or corrupt
+    * payloads drop. Partition-local, no shuffle. */
+  def audioFingerprint(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import javax.sound.sampled.AudioSystem
+    val spark = media.sparkSession
+    val out = media.select(col(idCol), col(payloadCol))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                if (n == 0) None
+                else {
+                  val le = !fmt.isBigEndian
+                  val energies = new Array[Long](48)
+                  var i = 0
+                  while (i < n) {
+                    val lo = if (le) bytes(2 * i) else bytes(2 * i + 1)
+                    val hi = if (le) bytes(2 * i + 1) else bytes(2 * i)
+                    val v = ((hi << 8) | (lo & 0xff)).toShort.toLong
+                    energies(((i.toLong * 48) / n).toInt) += v * v
+                    i += 1
+                  }
+                  val total = energies.sum
+                  var hash = 0L
+                  var k = 0
+                  while (k < 48) { if (energies(k) * 48L > total) hash |= 1L << k; k += 1 }
+                  Some(Row(id, hash))
+                }
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+      }
+    spark.createDataFrame(out, afpSchema)
   }
+
+  /** Audio near-dup pairs over [[audioFingerprint]] via the shared
+    * band machinery. */
+  def audioFingerprintPairs(media: DataFrame, idCol: String, payloadCol: String,
+                            maxHamming: Int): DataFrame =
+    Dedup.bandedHammingPairs(
+      audioFingerprint(media, idCol, payloadCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "afp", maxHamming)
 
   /** One payload through ImageIO: format name + decoded image, or None
     * for null/corrupt/unrecognized bytes. */

@@ -1308,13 +1308,60 @@ object LlmQueries {
   val qAudioDecodeSql: String =
     """WITH d AS (SELECT doc_id, doc_id % 100 + 100 AS n, doc_id % 251 AS seed
       |  FROM documents),
-      |s AS (SELECT doc_id, CAST(sum((seed + 7 * i.k) % 2000 - 1000) AS BIGINT) AS pcm_sum
+      |s AS (SELECT doc_id, CAST(sum((seed + 7 * i.k + 13 * i.k * i.k) % 2000 - 1000) AS BIGINT) AS pcm_sum
       |  FROM d, unnest(generate_series(0, n - 1)) AS i(k)
       |  GROUP BY doc_id)
       |SELECT d.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
       |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
       |  CAST(d.n AS BIGINT) AS n_samples, s.pcm_sum
       |FROM d JOIN s ON d.doc_id = s.doc_id""".stripMargin
+
+  // ---- audio near-dup via energy-profile fingerprint ----
+
+  private val AfpMaxHamming = 2
+
+  /** Audio dedup over REAL decoded PCM: synthesize genuine WAVs of the
+    * closed-form chirp, fingerprint the decoded frames, band-join +
+    * hamming-verify. Groups of 7 consecutive ids share (seed, n) — the
+    * "same recording re-encoded" population — so the expected pairs
+    * are the within-group cliques (bounded bucket size: pair count is
+    * LINEAR in corpus size, the scale-correct fixture shape; the
+    * low-entropy ramp signal instead clustered globally, 43k pairs at
+    * sf0.01). Oracle replays energies/hash/bands/hamming from the
+    * closed form — the audio twin of q_image_phash. */
+  def qAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id DIV 7")
+    val specs = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (g % 89 + 100).as("n_samples"),
+      (g % 251).as("seed"))
+    Multimodal.audioFingerprintPairs(Multimodal.encodeWav(specs), "doc_id", "payload",
+      AfpMaxHamming)
+  }
+
+  val qAudioFingerprintSql: String = {
+    val v = "((seed + 7 * i.k + 13 * i.k * i.k) % 2000 - 1000)"
+    s"""WITH d AS (SELECT doc_id, (doc_id // 7) % 89 + 100 AS n,
+       |    (doc_id // 7) % 251 AS seed
+       |  FROM documents),
+       |e AS (SELECT doc_id, (i.k * 48) // n AS f,
+       |    CAST(sum(CAST($v AS BIGINT) * CAST($v AS BIGINT)) AS BIGINT) AS e
+       |  FROM d, unnest(generate_series(0, n - 1)) AS i(k) GROUP BY 1, 2),
+       |t AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM e GROUP BY 1),
+       |fp AS (SELECT e.doc_id,
+       |    CAST(sum(CASE WHEN e.e * 48 > t.total THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
+       |  FROM e JOIN t ON e.doc_id = t.doc_id GROUP BY 1),
+       |bands AS (SELECT doc_id, afp, b.i AS band_idx,
+       |    (afp >> (16 * b.i)) % 65536 AS band_val
+       |  FROM fp, unnest(generate_series(0, 2)) AS b(i))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(max(bit_count(xor(a.afp, b.afp))) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= $AfpMaxHamming
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----
 

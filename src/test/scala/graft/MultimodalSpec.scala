@@ -44,6 +44,26 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+
+  test("audioFingerprint: identical signals pair at hamming 0; junk drops") {
+    import spark.implicits._
+    val specs = Seq((200L, 160, 40), (201L, 160, 40), (202L, 160, 233))
+      .toDF("doc_id", "n_samples", "seed")
+    val wav = Multimodal.encodeWav(specs)
+    val junk = Seq((203L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val media = wav.unionByName(junk)
+    val fps = Multimodal.audioFingerprint(media, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet === Set(200L, 201L, 202L))
+    assert(fps(200L) === fps(201L))
+    assert(fps(200L) !== fps(202L))
+    assert(fps.values.forall(h => h >= 0L && h < (1L << 48)))
+    val pairs = Multimodal.audioFingerprintPairs(media, "doc_id", "payload", maxHamming = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet === Set((200L, 201L)))
+    spark.catalog.clearCache()
+  }
+
   test("encodePng -> decodeImages: real PNG round-trip recovers dims, channels, exact pixel sums") {
     import spark.implicits._
     val specs = Seq((1L, 4, 3, 10), (2L, 1, 1, 250), (3L, 16, 11, 0))
@@ -152,7 +172,7 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(firstBytes.slice(8, 12), "US-ASCII") === "WAVE")
     val out = Multimodal.decodeAudio(wav, "doc_id", "payload").orderBy("doc_id").collect()
     def expectSum(n: Int, seed: Int): Long =
-      (0 until n).map(i => ((seed + 7 * i) % 2000 - 1000).toLong).sum
+      (0 until n).map(i => ((seed + 7 * i + 13 * i * i) % 2000 - 1000).toLong).sum
     for ((r, (_, n, seed)) <- out.zip(Seq((1L, 50, 10), (2L, 1, 1999), (3L, 200, 0)))) {
       assert(r.getLong(1) === 8000L && r.getLong(2) === 1L && r.getLong(3) === 16L)
       assert(r.getLong(4) === n.toLong)
