@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** End-to-end composition: the whole crawl-curation chain wired from
+  * the shipped operators, on one fixture — URL blocklist → HTML text
+  * extraction → PII scrub → line-level dedup → quality verdict →
+  * delta dedup against a corpus index → CCNet bucket under a static
+  * model. Each stage consumes the previous stage's (doc_id, text)
+  * frame directly; this spec pins that the contracts actually chain
+  * (the per-operator oracles prove each stage's math — this proves the
+  * plumbing). */
+class CrawlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crawl chain: filter -> extract -> scrub -> line-dedup -> quality -> delta-dedup -> bucket") {
+    val boiler = "Subscribe to our newsletter today"
+    def page(body: String) =
+      s"<html><body><p>$body</p><p>$boiler</p></body></html>"
+    // diverse words (repetition filter must pass), stopwords salted in
+    val longBody = (1 to 30).map(i => s"the alpha$i and bravo$i charlie$i").mkString(" ")
+    val crawl = Seq(
+      (1L, "en", page(s"$longBody Contact us at staff@example.com for details")),
+      (2L, "en", page((1 to 30).map(i => s"the delta$i and echo$i foxtrot$i").mkString(" "))),
+      (3L, "en", page("spam spam spam visit http://bad.ads.net/x now")),
+      (4L, "en", page("tiny")), // too short after extraction
+      // near-dup of 1 AFTER scrubbing (masks equalize the emails), with
+      // extra words so line dedup doesn't collapse it into doc 1 outright
+      (5L, "en", page(s"$longBody and some extra trailing words Contact us at other@example.org for details"))
+    ).toDF("doc_id", "lang", "html")
+
+    // 1. URL blocklist verdict on the raw HTML (doc 3 drops)
+    val urlKeep = TextAnalysis
+      .urlFilter(crawl.withColumnRenamed("html", "text"), Seq("bad.ads.net"))
+      .where($"keep" === 1L).select("doc_id")
+    val kept1 = crawl.join(urlKeep, Seq("doc_id"))
+    assert(kept1.count() === 4)
+
+    // 2. HTML -> text (tags stripped, both paragraphs survive as text)
+    val extracted = TextAnalysis.extractHtmlText(kept1)
+      .select($"doc_id", $"lang", $"text")
+    assert(extracted.where($"text".contains("<")).count() === 0)
+
+    // 3. PII scrub (doc 1's email masked, text column renamed back)
+    val scrubbed = TextAnalysis.scrubPii(extracted)
+      .withColumnRenamed("scrubbed", "text")
+    assert(scrubbed.where($"doc_id" === 1L).head.getAs[Long]("n_emails") === 1L)
+
+    // 4. line-level dedup: the boilerplate paragraph is one LINE of
+    //    every doc once extraction collapses the page — rebuild docs.
+    //    (Here every doc is one line, so first-occurrence keep dedups
+    //    exact copies at line granularity; cap > corpus keeps real text.)
+    val lineDeduped = Dedup.dedupLines(scrubbed.select($"doc_id", $"text"), boilerCap = 100)
+      .join(scrubbed.select($"doc_id", $"lang"), Seq("doc_id"))
+    assert(lineDeduped.count() === 4)
+
+    // 5. quality verdict (doc 4 is too short -> drops)
+    val quality = TextAnalysis.qualityVerdict(lineDeduped)
+      .where($"keep" === 1L).select("doc_id")
+    val kept5 = lineDeduped.join(quality, Seq("doc_id"))
+    val ids5 = kept5.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids5 === Set(1L, 2L, 5L))
+
+    // 6. delta dedup against an existing corpus whose index contains
+    //    doc 1's exact post-pipeline text: 1 drops exact, 5 drops near
+    val corpusTexts = kept5.where($"doc_id" === 1L)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text")
+    val verdicts = Dedup.dedupAgainstIndex(
+      kept5.select($"doc_id", $"text"), Dedup.buildIndex(corpusTexts))
+    val byId = verdicts.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) === "drop_exact")
+    assert(byId(5L) === "drop_near")
+    assert(byId(2L) === "keep")
+    val survivors = kept5.join(
+      verdicts.where($"verdict" === "keep").select("doc_id"), Seq("doc_id"))
+
+    // 7. CCNet bucket under a model trained on a reference corpus
+    val reference = (0L until 12L)
+      .map(i => (1000L + i, "en", s"the alpha$i and bravo$i charlie$i tail"))
+      .toDF("doc_id", "lang", "text")
+    val buckets = TextAnalysis.lmBucketsApply(
+      survivors.select($"doc_id", $"lang", $"text"),
+      TextAnalysis.lmTrain(reference))
+    val out = buckets.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(2L))
+    assert(Set("head", "middle", "tail").contains(out.head.getAs[String]("bucket")))
+    spark.catalog.clearCache()
+  }
+}
