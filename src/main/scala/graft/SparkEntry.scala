@@ -99,6 +99,8 @@ object SparkEntry {
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     // per-domain curation rollup (RefinedWeb-style domain view)
     "q_domain_stats" -> (L.qDomainStats _),
+    // Unicode NFC normalization through the real JVM Normalizer
+    "q_unicode_nfc" -> (L.qUnicodeNfc _),
     // deterministic global shuffle + sharding (replay-stable training order)
     "q_corpus_shuffle" -> (L.qCorpusShuffle _),
     // corpus unigram-LM quality score (fixed-point integer sums)
@@ -198,6 +200,7 @@ object SparkEntry {
     "q_url_filter" -> L.qUrlFilterSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_domain_stats" -> L.qDomainStatsSql,
+    "q_unicode_nfc" -> L.qUnicodeNfcSql,
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,

@@ -612,6 +612,29 @@ object TextAnalysis {
         coalesce(max(col("__blocked")), lit(0L)).as("blocked"))
   }
 
+  /** Unicode NFC normalization — the C4-style text fixup every crawl
+    * pipeline runs before hashing or dedup (decomposed sequences like
+    * `e` + COMBINING ACUTE hash differently from the precomposed `é`
+    * even though they render identically, so un-normalized corpora
+    * under-dedup). The kernel is the REAL `java.text.Normalizer` (the
+    * JVM's Unicode tables; no Catalyst built-in exists), run
+    * partition-locally like the media codecs. Emits the normalized
+    * text plus a changed flag and code-point counts (code points, not
+    * UTF-16 units, so the counts are engine-comparable). */
+  def normalizeNfc(docs: DataFrame, id: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        val n = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        (i, n, if (n == t) 0L else 1L,
+          t.codePointCount(0, t.length).toLong,
+          n.codePointCount(0, n.length).toLong)
+      })
+      .toDF(id, "text", "changed", "n_before", "n_after")
+  }
+
   // ---- TF-IDF keyword extraction ----
 
   /** Top-k keywords per document by (tf DESC, df ASC, word ASC) — the

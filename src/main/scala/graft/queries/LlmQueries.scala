@@ -1017,6 +1017,37 @@ object LlmQueries {
       |  CAST(CASE WHEN tr1 + tr2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM d""".stripMargin
 
+  // ---- Unicode NFC normalization ----
+
+  /** NFC text fixup through the REAL java.text.Normalizer: decomposed
+    * sequences (base + combining mark) injected as a closed form of
+    * doc_id must come back precomposed. The oracle constructs the
+    * expected composed text and code-point counts directly — any
+    * normalization drift (wrong form, missed composition, mangled
+    * passthrough) fails the hash gate. */
+  def qUnicodeNfc(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val withDecomposed = concat(
+      col("text"),
+      when(id % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+      when(id % 4 === 1, lit(" man\u0303ana")).otherwise(lit("")))
+    TextAnalysis.normalizeNfc(
+      Tables(spark, dir).documents.select(id, withDecomposed.as("text")))
+  }
+
+  val qUnicodeNfcSql: String =
+    s"""SELECT doc_id,
+      |  text || (CASE WHEN doc_id % 3 = 0 THEN ' café' ELSE '' END)
+      |       || (CASE WHEN doc_id % 4 = 1 THEN ' mañana' ELSE '' END) AS text,
+      |  CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS changed,
+      |  CAST(length(text)
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 4 = 1 THEN 8 ELSE 0 END) AS BIGINT) AS n_before,
+      |  CAST(length(text)
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
+      |FROM documents""".stripMargin
+
   // ---- per-domain curation rollup ----
 
   /** Domain-level stats over the same closed-form URL injection as

@@ -21,6 +21,44 @@ class ContainmentSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("randomized sweep: operator matches a brute-force model of the df-capped semantics") {
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (1L to 40L).map { i =>
+      val n = 3 + rnd.nextInt(10)
+      (i, s"s${rnd.nextInt(2)}", Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val dfCap = 12
+    val threshold = 0.3
+
+    // brute-force model, straight from the definition
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, src, t) => (id, src, shingles(t)) }
+    val df = byDoc.flatMap { case (_, src, sh) => sh.map(src -> _) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val kept = byDoc.map { case (id, src, sh) =>
+      (id, src, sh.filter(s => df((src, s)) <= dfCap))
+    }
+    val expected = (for {
+      (ia, sa, sha) <- kept if sha.nonEmpty
+      (ib, sb, shb) <- kept if ib != ia && sb == sa
+      common = (sha & shb).size if common > 0
+      cont = math.floor(common.toDouble / sha.size * 1e6 + 0.5) / 1e6
+      if cont >= threshold
+    } yield (ia, ib, cont)).toSet
+
+    val got = graft.operators.Dedup.ngramContainmentPairs(
+        docs.toDF("doc_id", "source", "text"), "source", threshold, dfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "sweep must exercise real pairs")
+    spark.catalog.clearCache()
+  }
+
   test("containment respects the source blocking and the df cap") {
     val text = "one two three four five six"
     val docs = Seq(

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Fixtures for Unicode NFC normalization (q_unicode_nfc carries the
+  * closed-form cross-engine gate). All non-ASCII is spelled in \u
+  * escapes so the fixture is byte-exact regardless of source encoding. */
+class NfcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eAcute = "\u00e9"   // precomposed \u00e9
+  private val nTilde = "\u00f1"   // precomposed \u00f1
+
+  test("decomposed sequences compose; ASCII passes through; idempotent") {
+    val docs = Seq(
+      (1L, "cafe\u0301 man\u0303ana"), // fully decomposed: 13 code points
+      (2L, s"caf$eAcute"),             // already NFC
+      (3L, "plain ascii only"),
+      (4L, "x\u0302"))                 // no precomposed form exists
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeNfc(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("text") === s"caf$eAcute ma${nTilde}ana")
+    assert(r(0).getAs[Long]("changed") === 1L)
+    assert(r(0).getAs[Long]("n_before") === 13L && r(0).getAs[Long]("n_after") === 11L)
+    assert(r(1).getAs[Long]("changed") === 0L)
+    assert(r(2).getAs[Long]("changed") === 0L)
+    // x + circumflex has no precomposed char: text unchanged, flag 0
+    assert(r(3).getAs[String]("text") === "x\u0302")
+    assert(r(3).getAs[Long]("changed") === 0L)
+    // idempotence: a second pass is the identity
+    val again = TextAnalysis.normalizeNfc(
+      TextAnalysis.normalizeNfc(docs).select($"doc_id", $"text"))
+    assert(again.where($"changed" === 1L).count() === 0L)
+  }
+}
