@@ -101,6 +101,8 @@ object SparkEntry {
     "q_domain_stats" -> (L.qDomainStats _),
     // Unicode NFC normalization through the real JVM Normalizer
     "q_unicode_nfc" -> (L.qUnicodeNfc _),
+    // budgeted best-first selection (binned threshold, no global sort)
+    "q_quality_select" -> (L.qQualitySelect _),
     // deterministic global shuffle + sharding (replay-stable training order)
     "q_corpus_shuffle" -> (L.qCorpusShuffle _),
     // corpus unigram-LM quality score (fixed-point integer sums)
@@ -201,6 +203,7 @@ object SparkEntry {
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_domain_stats" -> L.qDomainStatsSql,
     "q_unicode_nfc" -> L.qUnicodeNfcSql,
+    "q_quality_select" -> L.qQualitySelectSql,
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,

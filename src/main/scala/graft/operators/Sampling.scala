@@ -97,6 +97,63 @@ object Sampling {
       .where(col("rk") <= n)
   }
 
+  /** Budgeted best-first corpus selection — the FineWeb-Edu-style
+    * "keep the highest-quality documents up to a token budget" step,
+    * WITHOUT a global sort: scores land in `nBins` fixed-width bins
+    * (the [[Percentile]] arithmetic, identical IEEE ops in generated
+    * SQL), token mass accumulates from the TOP bin down, bins that fit
+    * entirely inside the budget are taken whole, and only the single
+    * BOUNDARY bin is sorted (score desc, id asc — deterministic ties)
+    * with a running token sum against the leftover budget. One row per
+    * doc: (id, score, weight, selected 0/1).
+    *
+    * Scale shape: two passes over a 3-column projection (stats, then
+    * bins); the bin table is ≤ nBins rows; the only sort touches
+    * ~corpus/nBins docs (the boundary bin) — the exact-prefix
+    * refinement a full order-by would have paid for the WHOLE corpus.
+    * Docs with non-finite scores are excluded (selected = 0 would be a
+    * lie — they never competed). */
+  def selectByScoreBudget(df: DataFrame, idCol: String, scoreCol: String,
+                          weightCol: String, budget: Long,
+                          nBins: Int = 128): DataFrame = {
+    require(budget >= 0, "selectByScoreBudget: budget must be non-negative")
+    val base = df.select(col(idCol).as("__id"), col(scoreCol).cast("double").as("__s"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__s").isNotNull && !isnan(col("__s")) &&
+        abs(col("__s")) =!= lit(Double.PositiveInfinity))
+    val stats = base.agg(min(col("__s")).as("mn"), max(col("__s")).as("mx"))
+    val binned = base.crossJoin(broadcast(stats))
+      .withColumn("w", (col("mx") - col("mn")) / lit(nBins.toDouble))
+      .withColumn("bin",
+        when(col("w") === 0, lit(0))
+          .otherwise(least(floor((col("__s") - col("mn")) / col("w")).cast("int"),
+            lit(nBins - 1))))
+      .select(col("__id"), col("__s"), col("__w"), col("bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // <= nBins rows: token mass per bin + mass strictly ABOVE each bin
+    val above = binned.groupBy(col("bin")).agg(sum(col("__w")).as("tok"))
+      .withColumn("above", coalesce(
+        sum(col("tok")).over(Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val fullBins = above.where(col("above") + col("tok") <= budget).select("bin")
+    // at most ONE boundary bin: the highest bin the budget enters but
+    // cannot swallow
+    val cut = above.where(col("above") < budget && col("above") + col("tok") > budget)
+      .select(col("bin"), (lit(budget) - col("above")).as("remaining"))
+    val boundarySel = binned.join(broadcast(cut), Seq("bin"))
+      .withColumn("run", sum(col("__w")).over(
+        Window.orderBy(col("__s").desc, col("__id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("run") <= col("remaining"))
+      .select(col("__id"))
+    binned
+      .join(broadcast(fullBins.withColumn("__full", lit(1L))), Seq("bin"), "left")
+      .join(boundarySel.withColumn("__bound", lit(1L)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__s").as("score"), col("__w").as("weight"),
+        when(col("__full").isNotNull || col("__bound").isNotNull, 1L)
+          .otherwise(0L).as("selected"))
+  }
+
   /** Deterministic global corpus shuffle + sharding — the last stage
     * before training: every doc gets a (shard, position) that is a
     * pure function of (salt, id), so the training order is replay- and

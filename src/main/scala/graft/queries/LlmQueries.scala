@@ -1017,6 +1017,50 @@ object LlmQueries {
       |  CAST(CASE WHEN tr1 + tr2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM d""".stripMargin
 
+  // ---- budgeted best-first corpus selection ----
+
+  /** FineWeb-style data selection: keep the highest-quality docs up to
+    * 30% of the corpus's token mass, via the binned no-global-sort
+    * threshold (only the boundary bin sorts). Score = the cross-engine
+    * exact quality signal; weight = word count. */
+  def qQualitySelect(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("quality"), col("n_words"))
+      .where(col("quality").isNotNull && !isnan(col("quality")) &&
+        abs(col("quality")) =!= lit(Double.PositiveInfinity))
+    val total = Option(q.agg(sum(col("n_words"))).first.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    Sampling.selectByScoreBudget(q, "doc_id", "quality", "n_words", total * 3 / 10)
+  }
+
+  val qQualitySelectSql: String =
+    s"""WITH q0 AS ($qTextQualitySql),
+       |v AS (SELECT doc_id, quality AS s, CAST(n_words AS BIGINT) AS w FROM q0
+       |  WHERE quality IS NOT NULL AND isfinite(quality)),
+       |bu AS (SELECT CAST(sum(w) AS BIGINT) * 3 // 10 AS b FROM v),
+       |st AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM v),
+       |bn AS (SELECT doc_id, s, w,
+       |    CASE WHEN (mx - mn) / CAST(128 AS DOUBLE) = 0 THEN 0
+       |         ELSE LEAST(CAST(floor((s - mn) / ((mx - mn) / CAST(128 AS DOUBLE))) AS INT), 127) END AS bin
+       |  FROM v, st),
+       |bt AS (SELECT bin, CAST(sum(w) AS BIGINT) AS tok FROM bn GROUP BY 1),
+       |ab AS (SELECT bin, tok, COALESCE(CAST(SUM(tok) OVER (ORDER BY bin DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS above
+       |  FROM bt),
+       |fullb AS (SELECT bin FROM ab, bu WHERE above + tok <= bu.b),
+       |cutb AS (SELECT bin, bu.b - above AS remaining FROM ab, bu
+       |  WHERE above < bu.b AND above + tok > bu.b),
+       |bd AS (SELECT bn.doc_id,
+       |    SUM(bn.w) OVER (ORDER BY bn.s DESC, bn.doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+       |    cutb.remaining AS remaining
+       |  FROM bn JOIN cutb ON bn.bin = cutb.bin),
+       |bsel AS (SELECT doc_id FROM bd WHERE run <= remaining)
+       |SELECT bn.doc_id, bn.s AS score, bn.w AS weight,
+       |  CAST(CASE WHEN bn.bin IN (SELECT bin FROM fullb)
+       |            OR bn.doc_id IN (SELECT doc_id FROM bsel) THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM bn""".stripMargin
+
   // ---- Unicode NFC normalization ----
 
   /** NFC text fixup through the REAL java.text.Normalizer: decomposed

@@ -22,7 +22,8 @@ object PlanDump {
       "q_line_dedup", "q_url_filter", "q_tfidf_topk", "q_unigram_logprob",
       "q_ccnet_buckets", "q_dedup_incremental", "q_dedup_semantic",
       "q_dedup_containment", "q_domain_stats", "q_corpus_shuffle",
-      "q_image_phash", "q_audio_fingerprint", "q_unicode_nfc")
+      "q_image_phash", "q_audio_fingerprint", "q_unicode_nfc",
+      "q_quality_select")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")

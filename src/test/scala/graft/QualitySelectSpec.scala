@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Sampling
+
+/** Fixtures for budgeted best-first selection (q_quality_select
+  * carries the exact cross-engine gate). */
+class QualitySelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selection is the exact best-first prefix under the token budget") {
+    // scores spread so bins separate; weights force a boundary bin
+    val docs = (1L to 100L).map(i => (i, i.toDouble, 10L)).toDF("doc_id", "s", "w")
+    // budget 250 tokens = top 25 docs by score (ids 76..100)
+    val r = Sampling.selectByScoreBudget(docs, "doc_id", "s", "w", budget = 250L)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("selected")).toMap
+    assert(r.size === 100)
+    assert((76L to 100L).forall(r(_) === 1L))
+    assert((1L to 75L).forall(r(_) === 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("boundary-bin ties break by id; partial budget never overshoots") {
+    // all scores EQUAL: everything lands in one bin, the boundary sort
+    // is (score desc, id asc) -> prefix by id
+    val docs = (1L to 10L).map(i => (i, 5.0, 7L)).toDF("doc_id", "s", "w")
+    val r = Sampling.selectByScoreBudget(docs, "doc_id", "s", "w", budget = 22L)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("selected")).toMap
+    // 22 / 7 = 3 whole docs (21 tokens); the 4th would overshoot
+    assert((1L to 3L).forall(r(_) === 1L))
+    assert((4L to 10L).forall(r(_) === 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("budget >= total selects everything; zero budget selects nothing") {
+    val docs = Seq((1L, 1.0, 5L), (2L, 2.0, 5L)).toDF("doc_id", "s", "w")
+    val all = Sampling.selectByScoreBudget(docs, "doc_id", "s", "w", budget = 100L)
+    assert(all.where($"selected" === 1L).count() === 2L)
+    spark.catalog.clearCache()
+    val none = Sampling.selectByScoreBudget(docs, "doc_id", "s", "w", budget = 0L)
+    assert(none.where($"selected" === 1L).count() === 0L)
+    spark.catalog.clearCache()
+  }
+}
