@@ -31,6 +31,29 @@ class QualitySelectSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("randomized sweep: binned selection equals the brute-force best-first prefix") {
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 200L).map { i =>
+        // duplicated score values force boundary-bin id tiebreaks
+        (i, (rnd.nextInt(40) * 0.25) + rnd.nextInt(3) * 0.01, 1L + rnd.nextInt(20))
+      }
+      val total = docs.map(_._3).sum
+      val budget = (total * (0.1 + 0.2 * trial)).toLong
+      // brute force: sort all docs best-first, take while the budget holds
+      var left = budget
+      val expected = docs.sortBy { case (id, s, _) => (-s, id) }
+        .takeWhile { case (_, _, w) => if (w <= left) { left -= w; true } else false }
+        .map(_._1).toSet
+      val got = Sampling.selectByScoreBudget(
+          docs.toDF("doc_id", "s", "w"), "doc_id", "s", "w", budget)
+        .where($"selected" === 1L)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got === expected, s"trial $trial budget $budget")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("budget >= total selects everything; zero budget selects nothing") {
     val docs = Seq((1L, 1.0, 5L), (2L, 2.0, 5L)).toDF("doc_id", "s", "w")
     val all = Sampling.selectByScoreBudget(docs, "doc_id", "s", "w", budget = 100L)
