@@ -419,10 +419,15 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
     // when its pivot is pruned, exactly as the unpruned plan behaves.
     val present: Set[String] = emAll.select("pff_variable").distinct()
       .collect().map(_.getString(0)).toSet
+    // A special-typed input counts as present through EITHER its own
+    // published plain row (the reference-fidelity rule: a special base
+    // resolves to its published row, cempz) OR any of its transitive
+    // plain inputs — so a sparse download carrying only the published
+    // row of a base special must NOT prune the dependent pivot.
     def plainInputs(v: String, seen: Set[String]): Set[String] =
       if (seen(v)) Set.empty
       else if (registry.specialVariables.contains(v))
-        registry.specialByName(v).baseVariables.toSet
+        Set(v) ++ registry.specialByName(v).baseVariables.toSet
           .flatMap((b: String) => plainInputs(b, seen + v))
       else Set(v)
     val activeSpecials = derivedSpecials

@@ -22,6 +22,41 @@ import graft.functions.Portable
   */
 object Dedup {
 
+  /** Intermediates persisted by the multi-scan operators below
+    * (minhashLshPairs, ngramJaccardPairs/ContainmentPairs, buildIndex,
+    * dedupAgainstIndex, bandedHammingPairs), tracked per session so a
+    * library caller can release them without nuking unrelated caches
+    * via `spark.catalog.clearCache()`. The results are LAZY frames, so
+    * the operators themselves can never unpersist — the caller owns
+    * the lifecycle: materialize the result, then [[releaseCaches]]. */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.Set[DataFrame]]()
+
+  private implicit class TrackedPersist(private val df: DataFrame) {
+    def trackedPersist: DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      trackedCaches.computeIfAbsent(p.sparkSession,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()).add(p)
+      p
+    }
+  }
+
+  /** Unpersist every intermediate a Dedup operator has persisted in
+    * `spark` (non-blocking) and return how many frames were released.
+    * Call after materializing operator results; repeated calls are
+    * no-ops. Unlike `clearCache()` this leaves caller-owned caches
+    * (and other operators') untouched. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Int = {
+    val set = trackedCaches.remove(spark)
+    if (set == null) 0
+    else {
+      var n = 0
+      set.forEach { df => df.unpersist(blocking = false); n += 1 }
+      n
+    }
+  }
+
   /** Exact dedup: group by content hash, keep the smallest id.
     * One shuffle on md5(text) — uniformly distributed by construction. */
   def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
@@ -49,7 +84,7 @@ object Dedup {
                         dfCap: Int = graft.Config.ShingleDfCap): DataFrame = {
     val ex = withShingles(docs, Seq(bucket))
       .select(col("doc_id"), col(bucket).as("bucket"), explode(col("shingles")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     // shingles are distinct per doc, so count(*) per (bucket, shingle)
     // IS the document frequency
     val rare = ex.groupBy(col("bucket"), col("shingle"))
@@ -57,7 +92,7 @@ object Dedup {
       .select("bucket", "shingle")
     // persisted: the per-doc counts and BOTH self-join sides scan it
     val kept = ex.join(rare, Seq("bucket", "shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
     val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
@@ -88,12 +123,12 @@ object Dedup {
                             dfCap: Int = graft.Config.ShingleDfCap): DataFrame = {
     val ex = withShingles(docs, Seq(bucket))
       .select(col("doc_id"), col(bucket).as("bucket"), explode(col("shingles")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val rare = ex.groupBy(col("bucket"), col("shingle"))
       .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
       .select("bucket", "shingle")
     val kept = ex.join(rare, Seq("bucket", "shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
     val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
@@ -155,13 +190,13 @@ object Dedup {
     // persist the per-doc shingle arrays ONCE: the signature pipeline and
     // both verification join sides all derive from it (three document
     // scans + shingle computations otherwise).
-    // NOTE: intentionally not unpersisted (the result is lazy); in a
-    // long-lived session the caller owns cache lifecycle via
-    // spark.catalog.clearCache() or by materializing + unpersisting
+    // NOTE: intentionally not unpersisted here (the result is lazy);
+    // the caller owns the lifecycle: materialize the result, then
+    // Dedup.releaseCaches(spark) frees every tracked intermediate
     val shArr = withShingles(docs, Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val sig = signaturesFromShingles(shArr)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val allBands = bandRows(sig)
     val bands =
       if (bandCap == Int.MaxValue) allBands
@@ -203,7 +238,7 @@ object Dedup {
     * it (same lifecycle note as [[minhashLshPairs]]). */
   def buildIndex(corpus: DataFrame): DedupIndex = {
     val shArr = withShingles(corpus, Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     DedupIndex(
       hashes = corpus.groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("first_id")),
@@ -246,9 +281,9 @@ object Dedup {
     val base = newDocs.select(col("doc_id"), col("text"))
       .join(index.hashes, md5(col("text")) === index.hashes("content_hash"), "left")
       .select(col("doc_id"), col("text"), col("first_id").as("exact_of"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val shNew = withShingles(base.where(col("exact_of").isNull), Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     val idxBands = {
       val all = index.bands.select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"))
       if (bandCap == Int.MaxValue) all
@@ -459,7 +494,7 @@ object Dedup {
     // per-doc fingerprints are 16 bytes each — persist so both band
     // join sides share one token-hash-vote aggregation
     val fp = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist
     bandedHammingPairs(fp, "simhash", maxHamming)
   }
 
@@ -516,7 +551,7 @@ object Dedup {
     val stats = lines.groupBy(md5(col("line")).as("__h"))
       .agg(min(struct(col(id), col("line_no"))).as("__first"),
         count(lit(1)).as("__cnt"))
-    lines.withColumn("__h", md5(col("line")))
+    val rebuilt = lines.withColumn("__h", md5(col("line")))
       .join(stats, Seq("__h"))
       .withColumn("__boiler", col("__cnt") > boilerCap)
       .withColumn("__keep",
@@ -533,5 +568,19 @@ object Dedup {
           array_sort(collect_list(when(col("__keep"),
             struct(col("line_no"), col("line"))))),
           s => s.getField("line"))).as(text))
+    // Every input doc gets an output row: a doc whose lines are ALL
+    // empty/whitespace vanished from `lines` above, but callers
+    // rebuilding the corpus need its (0-line, empty-text) row just as
+    // a doc whose lines were all dropped as boilerplate/dupes gets one.
+    // The join is co-partitioned with the regroup (both hash on the
+    // doc id) — one narrow id-only scan, no second corpus shuffle.
+    docs.select(col(id)).distinct()
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col(text), lit("")).as(text))
   }
 }

@@ -214,7 +214,11 @@ object TextAnalysis {
     *    incremental in-memory algorithm — zero Spark jobs per merge,
     *    vs one aggregate + one checkpoint job per merge for the
     *    iterative loop (the r6 scale concern: a 50k-merge vocab was
-    *    50k+ jobs).
+    *    50k+ jobs). The default threshold is sized for driver HEAP,
+    *    not row count: each collected word carries a per-character
+    *    String array (~hundreds of bytes/word), so 1M words ≈
+    *    low-single-GB on a default driver; raise it only with driver
+    *    memory to match.
     *  - otherwise fall back to [[bpeTrainDistributed]], which never
     *    materializes the table on the driver.
     *
@@ -227,7 +231,7 @@ object TextAnalysis {
     * contract: K chained merge iterations have no cross-engine SQL
     * replay (the FIXED-table encoder is the oracle path: q_bpe_encode). */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-               maxLocalWords: Long = 10000000L): Seq[(String, String)] = {
+               maxLocalWords: Long = 1000000L): Seq[(String, String)] = {
     require(numMerges >= 0)
     val words = uniqueWordFreqs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -874,7 +874,7 @@ object LlmQueries {
   def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val n = length(col("text"))
-    val p = (lit(1) + (id % (n.cast("long") - 1L))).cast("int")
+    val p = (lit(1) + (id % greatest(n.cast("long") - 1L, lit(1L)))).cast("int")
     val head = col("text").substr(lit(1), p)
     val tail = col("text").substr(p + 1, n - p)
     val ent = when(id % 3 === 0, lit("x&amp;y"))
@@ -895,7 +895,7 @@ object LlmQueries {
 
   val qHtmlExtractSql: String =
     """WITH d AS (SELECT doc_id, text, length(text) AS n,
-      |    CAST(1 + doc_id % (length(text) - 1) AS INT) AS p,
+      |    CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p,
       |    CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END AS nscript,
       |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS nstyle
       |  FROM documents),
@@ -931,7 +931,9 @@ object LlmQueries {
     val cap = docs.count() / 4
     val id = col("doc_id")
     val n = length(col("text"))
-    val p = (lit(1) + (id % (n.cast("long") - 1L))).cast("int")
+    // greatest(...,1): a length-1 doc must not divide by zero (ANSI
+    // error on Spark, NULL on DuckDB — either breaks the gate)
+    val p = (lit(1) + (id % greatest(n.cast("long") - 1L, lit(1L)))).cast("int")
     val lined = concat_ws("\n",
       concat(lit("nav home about contact v"), (id % 4).cast("string")),
       col("text").substr(lit(1), p),
@@ -943,7 +945,7 @@ object LlmQueries {
 
   val qLineDedupSql: String =
     """WITH d AS (SELECT doc_id, text, length(text) AS n,
-      |    CAST(1 + doc_id % (length(text) - 1) AS INT) AS p FROM documents),
+      |    CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p FROM documents),
       |raw AS (
       |  SELECT doc_id, 0 AS line_no,
       |    'nav home about contact v' || CAST(doc_id % 4 AS VARCHAR) AS line FROM d
@@ -960,14 +962,21 @@ object LlmQueries {
       |f AS (SELECT doc_id, line_no, line, rn,
       |    CASE WHEN cnt > (SELECT count(*) // 4 FROM documents) THEN 1 ELSE 0 END AS boiler
       |  FROM k)
-      |SELECT doc_id,
+      |g AS (SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_lines,
       |  CAST(count(*) FILTER (WHERE boiler = 0 AND rn = 1) AS BIGINT) AS n_kept,
       |  CAST(count(*) FILTER (WHERE boiler = 0 AND rn > 1) AS BIGINT) AS n_dupes,
       |  CAST(count(*) FILTER (WHERE boiler = 1) AS BIGINT) AS n_boiler,
       |  coalesce(string_agg(line, chr(10) ORDER BY line_no)
       |    FILTER (WHERE boiler = 0 AND rn = 1), '') AS text
-      |FROM f GROUP BY doc_id""".stripMargin
+      |FROM f GROUP BY doc_id)
+      |SELECT d0.doc_id,
+      |  CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(g.n_dupes, 0) AS BIGINT) AS n_dupes,
+      |  CAST(coalesce(g.n_boiler, 0) AS BIGINT) AS n_boiler,
+      |  coalesce(g.text, '') AS text
+      |FROM documents d0 LEFT JOIN g ON d0.doc_id = g.doc_id""".stripMargin
 
   // ---- URL extraction + domain blocklist filtering ----
 

@@ -570,6 +570,44 @@ class CalculateSpec extends SparkSpec {
     assert(empty.getMessage.contains("at least one geotype"))
   }
 
+  test("pivot pruning keeps a special-on-special pivot alive via the base's published row") {
+    // Synthetic special-on-special registry (none exists in the bundled
+    // vintages — this is the r7-advice latent case). Following the
+    // mntrvtm/wrkrnothm convention, the dependent special lists its
+    // base special's own plain inputs alongside it, so emWide can
+    // derive the base's columns in dependency order.
+    import graft.meta.{Special, Variable}
+    val reg = VariableRegistry(
+      variables = Seq(
+        Variable("xa", Seq("XA_1"), None),
+        Variable("xb", Seq("XB_1"), None),
+        Variable("spa", Seq("SPA_1"), None)),
+      medians = Seq.empty,
+      specials = Seq(
+        Special("spa", Seq("xa"), v => v("xae") * 2, v => v("xam") * 2),
+        // spb is metadata-less, so it derives even at plain geographies
+        Special("spb", Seq("xb", "xa", "spa"),
+          v => v("spae") + v("xbe"), v => v("spam") + v("xbm"))))
+    val c = new Calculate(reg)
+    // Full inputs: spb computes from the DERIVED spa (2*xa), the
+    // recursive calculate_e_m routing (calculate.py:33-42)
+    val full = dl(("g1", "XA_1", 10.0, 1.0), ("g1", "XB_1", 5.0, 2.0),
+      ("g1", "SPA_1", 100.0, 3.0))
+    val spb = c.calculateAll(full).where(col("pff_variable") === "spb").collect()
+    assert(spb.length === 1)
+    assert(spb(0).getAs[Double]("e") === 25.0) // 2*10 + 5
+    assert(spb(0).getAs[Double]("m") === 4.0)  // 2*1 + 2
+    // Sparse download carrying ONLY spa's published row: plainInputs
+    // must count spa itself as present (the fix) so the spb pivot stays
+    // ACTIVE; the pivot then evaluates over absent plain inputs exactly
+    // as the unpruned plan does — no spb row, no crash, and spa's
+    // published row still flows the plain path.
+    val sparse = dl(("g1", "SPA_1", 100.0, 3.0))
+    val out = c.calculateAll(sparse)
+    assert(out.where(col("pff_variable") === "spb").count() === 0L)
+    assert(out.where(col("pff_variable") === "spa").count() === 1L)
+  }
+
   test("test_calculate_e_m_multiprocessing: mdpop10t14 at borough is a plain two-variable sum") {
     val d = dl(
       ("g1", "B01001_005", 120.0, 9.0),

@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminate(train, bench, minCommon = 3).count() === 0)
   }
 
+  test("releaseCaches frees every tracked intermediate, once") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g")
+    // drain anything earlier suites in this shared session left behind
+    Dedup.releaseCaches(spark)
+    // two persisted intermediates each (shingle explode + df-capped join)
+    Dedup.ngramJaccardPairs(d, "source", 0.0).count()
+    Dedup.ngramContainmentPairs(d, "source", 0.0).count()
+    val released = Dedup.releaseCaches(spark)
+    // at least the 4 from the two ops above; other suites may add more
+    // concurrently (shared session), so no upper bound and no ===0
+    // idempotency check here — DedupReleaseSemantics covers that
+    assert(released >= 4, s"expected >=4 tracked frames, got $released")
+  }
+
   test("ngram df-cap drops boilerplate shingles from the candidate join") {
     // the shingle "x y z" occurs in 4 docs: with dfCap=3 it is dropped
     // and no pairs survive; with dfCap=4 all 6 pairs appear at jaccard 1

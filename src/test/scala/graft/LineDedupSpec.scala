@@ -53,6 +53,14 @@ class LineDedupSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_boiler")).sum === 0L)
   }
 
+  test("a doc whose lines are ALL blank still gets an output row (0 lines, empty text)") {
+    val r = run(Seq(1L -> "keep me", 2L -> "   \n\t\n  "), cap = 10L)
+    assert(r.length === 2, "every input doc must appear in the rebuilt corpus")
+    assert(r(1).getAs[Long]("n_lines") === 0L)
+    assert(r(1).getAs[Long]("n_kept") === 0L && r(1).getAs[Long]("n_boiler") === 0L)
+    assert(r(1).getAs[String]("text") === "")
+  }
+
   test("lines trim before equality and a fully-dropped doc yields empty text") {
     val r = run(Seq(1L -> "pad", 2L -> "  pad  "), cap = 10L)
     assert(r(0).getAs[String]("text") === "pad")
