@@ -525,8 +525,17 @@ object Dedup {
       .agg(max(col("hamming")).as("hamming"))
   }
 
+  /** Characters stripped from line ends before equality in
+    * [[dedupLines]]: ASCII whitespace (space, tab, VT, FF, CR), the
+    * Python `.strip()` set CCNet applies minus `\n` (lines are already
+    * newline-split). A literal charset — NOT `\s` regex — because
+    * Java's `\s` includes `\x0B` while RE2's does not, and DuckDB's
+    * bare `trim()` is space-only; `trim(x, set)` is identical in both
+    * engines, so the oracle replays it exactly. */
+  val LineTrimChars: String = " \t\f\r"
+
   /** CCNet/RefinedWeb-style line-level dedup: split each document on
-    * newlines, trim lines and drop empties, then across the WHOLE corpus
+    * newlines, trim lines ([[LineTrimChars]]) and drop empties, then across the WHOLE corpus
     * keep only the first occurrence of each distinct line — first in
     * (doc_id, line_no) order — and drop boilerplate lines (corpus count
     * > `boilerCap`) everywhere, including their first occurrence. Docs
@@ -544,7 +553,7 @@ object Dedup {
     val lines = docs
       .select(col(id), posexplode(split(col(text), "\n", -1)).as(Seq("line_no", "line")))
       .select(col(id), col("line_no").cast(LongType).as("line_no"),
-        trim(col("line")).as("line"))
+        trim(col("line"), LineTrimChars).as("line"))
       .where(length(col("line")) > 0)
     // count(*) per distinct line IS its corpus frequency; min(struct)
     // is the lexicographic first (doc_id, line_no) occurrence

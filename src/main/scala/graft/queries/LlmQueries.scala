@@ -949,10 +949,12 @@ object LlmQueries {
       |raw AS (
       |  SELECT doc_id, 0 AS line_no,
       |    'nav home about contact v' || CAST(doc_id % 4 AS VARCHAR) AS line FROM d
-      |  UNION ALL SELECT doc_id, 1, trim(substr(text, 1, p)) FROM d
+      |  UNION ALL SELECT doc_id, 1,
+      |    trim(substr(text, 1, p), ' ' || chr(9) || chr(12) || chr(13)) FROM d
       |  UNION ALL SELECT doc_id, 2,
       |    'subscribe to our newsletter s' || CAST(doc_id % 3 AS VARCHAR) FROM d
-      |  UNION ALL SELECT doc_id, 3, trim(substr(text, p + 1, n - p)) FROM d
+      |  UNION ALL SELECT doc_id, 3,
+      |    trim(substr(text, p + 1, n - p), ' ' || chr(9) || chr(12) || chr(13)) FROM d
       |  UNION ALL SELECT doc_id, 4, 'copyright c' || CAST(doc_id % 5 AS VARCHAR) FROM d),
       |l AS (SELECT doc_id, line_no, line FROM raw WHERE length(line) > 0),
       |k AS (SELECT doc_id, line_no, line,
@@ -961,7 +963,7 @@ object LlmQueries {
       |  FROM l),
       |f AS (SELECT doc_id, line_no, line, rn,
       |    CASE WHEN cnt > (SELECT count(*) // 4 FROM documents) THEN 1 ELSE 0 END AS boiler
-      |  FROM k)
+      |  FROM k),
       |g AS (SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_lines,
       |  CAST(count(*) FILTER (WHERE boiler = 0 AND rn = 1) AS BIGINT) AS n_kept,
