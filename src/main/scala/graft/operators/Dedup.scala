@@ -526,12 +526,16 @@ object Dedup {
   }
 
   /** Characters stripped from line ends before equality in
-    * [[dedupLines]]: ASCII whitespace (space, tab, VT, FF, CR), the
-    * Python `.strip()` set CCNet applies minus `\n` (lines are already
-    * newline-split). A literal charset — NOT `\s` regex — because
-    * Java's `\s` includes `\x0B` while RE2's does not, and DuckDB's
-    * bare `trim()` is space-only; `trim(x, set)` is identical in both
-    * engines, so the oracle replays it exactly. */
+    * [[dedupLines]]: space, tab, FF, CR — Python `.strip()`'s ASCII
+    * set minus `\n` (lines are already newline-split) and minus VT
+    * (U+000B), which is deliberately excluded: it never occurs in
+    * the corpus fixtures and keeping the set to 4 chars keeps the
+    * DuckDB oracle literal (`' ' || chr(9) || chr(12) || chr(13)`,
+    * LlmQueries.qLineDedupSql) trivially identical. A literal
+    * charset — NOT `\s` regex — because Java's `\s` includes VT while
+    * RE2's does not, and DuckDB's bare `trim()` is space-only;
+    * `trim(x, set)` is identical in both engines, so the oracle
+    * replays it exactly. Any change here must land in BOTH trim sets. */
   val LineTrimChars: String = " \t\f\r"
 
   /** CCNet/RefinedWeb-style line-level dedup: split each document on

@@ -13,13 +13,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read it as a long (legacy conf) and convert to a
-    * microsecond TIMESTAMP — the engine-wide timestamp resolution. */
+  /** Normalizes the events timestamp column to a session-tz (UTC)
+    * microsecond TIMESTAMP regardless of the parquet encoding, which
+    * has drifted across testdata generations:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; the
+    *    legacy `nanosAsLong` conf surfaces it as LongType nanos, which
+    *    we convert with `timestamp_micros(ts div 1000)`.
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=0: Spark reads
+    *    TIMESTAMP_NTZ; the session timezone is pinned to UTC
+    *    (Sessions.scala), so a cast to TIMESTAMP is lossless.
+    *  - TIMESTAMP_MICROS/MILLIS adjusted to UTC: already TimestampType.
+    *
+    * Dispatching on the inferred dataType (not the file bytes) keeps
+    * this robust to the next silent regeneration — TablesSpec pins all
+    * three encodings to identical values. */
   private def withNanoTs(name: String, tsCol: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(name).withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(name)
+    df.schema(tsCol).dataType match {
+      case LongType         => df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"$name.$tsCol: unsupported timestamp encoding $other")
+    }
   }
 
   def region: DataFrame    = table("region")

@@ -13,17 +13,27 @@ class LineDedupPropertySpec extends SparkSpec {
   private case class Expect(nLines: Long, nKept: Long, nDupes: Long,
                             nBoiler: Long, text: String)
 
-  /** Reference model: sequential, obviously-correct semantics. */
+  /** Reference model: sequential, obviously-correct semantics. Trims
+    * with the operator's exact charset (NOT Java `String.trim`, whose
+    * <= U+0020 rule is a latent divergence), and emits a zero row for
+    * every input doc — `dedupLines`'s contract is one output row per
+    * input doc, including docs whose lines are all blank or all
+    * dropped. */
   private def model(docs: Seq[(Long, String)], cap: Long): Map[Long, Expect] = {
+    def trimSet(s: String): String = {
+      val cs = Dedup.LineTrimChars
+      s.dropWhile(cs.contains(_)).reverse.dropWhile(cs.contains(_)).reverse
+    }
     val lines = for {
       (id, t) <- docs
       (l, i) <- t.split("\n", -1).zipWithIndex
-      tl = l.trim if tl.nonEmpty
+      tl = trimSet(l) if tl.nonEmpty
     } yield (id, i.toLong, tl)
     val byLine = lines.groupBy(_._3)
     val cnt = byLine.view.mapValues(_.size.toLong).toMap
     val first = byLine.view.mapValues(_.minBy(x => (x._1, x._2))).toMap
-    lines.groupBy(_._1).map { case (id, ls) =>
+    val zeroes = docs.map(_._1 -> Expect(0L, 0L, 0L, 0L, "")).toMap
+    zeroes ++ lines.groupBy(_._1).map { case (id, ls) =>
       val flagged = ls.map { case r @ (_, _, l) =>
         val boiler = cnt(l) > cap
         val keep = !boiler && first(l) == r

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import graft.sources.Tables
+
+/** Schema-drift guard for the events loader: the driver has regenerated
+  * testdata mid-build before (r9: events.ts flipped from
+  * TIMESTAMP(NANOS) to TIMESTAMP_MICROS/NTZ and silently killed six
+  * queries at analysis time). This spec writes an events fixture in
+  * every encoding `Tables.withNanoTs` dispatches on — nanos-as-long
+  * (how Spark surfaces TIMESTAMP(NANOS) under the legacy conf),
+  * TIMESTAMP_NTZ micros, and UTC-adjusted TIMESTAMP — and pins all
+  * three to a TimestampType column with identical microsecond values,
+  * so the next silent regeneration fails HERE instead of in six driver
+  * queries. */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // sub-second micros on purpose: truncation bugs in the div-1000
+  // nanos path or a seconds-granularity cast would flatten them
+  private val rows = Seq(
+    (1L, 1700000000123456L, 10L, "click", 1.5, "{}"),
+    (2L, 1700000001987654L, 11L, "view", 2.5, "{}"),
+    (3L, 1700086400000001L, 12L, "click", 3.5, "{}"))
+
+  private def writeFixture(suffix: String)(ts: Column): String = {
+    val dir = Files.createTempDirectory(s"tablesspec-$suffix").toFile.getAbsolutePath
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", ts.as("ts"), $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events loader normalizes nanos-long, NTZ-micros and UTC-micros encodings identically") {
+    val fixtures = Seq(
+      "nanos-as-long" -> writeFixture("nanos")($"ts_us" * 1000L),
+      "ntz-micros"    -> writeFixture("ntz")(timestamp_micros($"ts_us").cast(TimestampNTZType)),
+      "utc-micros"    -> writeFixture("tz")(timestamp_micros($"ts_us")))
+    val expected = rows.map(r => r._1 -> r._2).toMap
+    for ((label, dir) <- fixtures) {
+      val ev = Tables(spark, dir).events
+      assert(ev.schema("ts").dataType === TimestampType, s"$label: ts dataType")
+      val got = ev.select($"event_id", unix_micros($"ts").as("us")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"$label: values")
+    }
+  }
+
+  test("the shipped testdata events table loads to TimestampType") {
+    // whatever encoding the CURRENT testdata uses must hit a live branch
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = Tables(spark, dir).events
+    assert(ev.schema("ts").dataType === TimestampType)
+    assert(ev.limit(1).count() === 1L)
+  }
+}
