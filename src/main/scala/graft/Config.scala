@@ -76,6 +76,12 @@ object Config {
   /** Shingle width for n-gram / MinHash dedup. */
   val ShingleK = 3
 
+  /** Window width (tokens) for exact substring-span dedup
+    * (Dedup.duplicateSpanStats). Lee et al. 2021 use 50 BPE tokens at
+    * web scale; 8 whitespace tokens keeps the synthetic corpus's
+    * natural span duplication dense enough to gate on at every SF. */
+  val SubstringSpanK = 8
+
   /** Jaccard threshold for reporting an n-gram near-dup pair. */
   val JaccardThreshold = 0.01
 

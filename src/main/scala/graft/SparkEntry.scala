@@ -115,6 +115,8 @@ object SparkEntry {
     "q_dedup_semantic" -> (L.qDedupSemantic _),
     // directional n-gram containment (sub-document duplication)
     "q_dedup_containment" -> (L.qDedupContainment _),
+    // exact substring-span dedup coverage (Lee et al. 2021 family)
+    "q_dedup_substring" -> (L.qDedupSubstring _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -210,6 +212,7 @@ object SparkEntry {
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_dedup_containment" -> L.qDedupContainmentSql,
+    "q_dedup_substring" -> L.qDedupSubstringSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

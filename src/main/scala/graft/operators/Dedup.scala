@@ -145,6 +145,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** Exact substring (k-token span) dedup statistics — the
+    * suffix-array-family dedup of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed as a
+    * rolling k-token window census instead of a distributed suffix
+    * array: a span is DUPLICATED iff its k-token window text occurs at
+    * least twice in the corpus (across docs or within one doc — both
+    * count, matching the substring-dedup contract, unlike the
+    * distinct-shingle resemblance ops above). Per doc it reports total
+    * tokens, duplicated windows, the count of token positions covered
+    * by at least one duplicated window (overlaps merged by counting
+    * distinct positions), and the covered fraction — the per-doc signal
+    * a pipeline thresholds on before cutting or rewriting docs.
+    *
+    * Scale shape (100 TB): windows come from one narrow pass (ordered
+    * non-distinct [[graft.functions.WordShingles]], ~tokens rows per
+    * corpus); ONE shuffle on the uniform md5 window key for the
+    * occurrence count; candidates join back on the same key (AQE splits
+    * boilerplate buckets); coverage is a two-phase (doc, pos) →
+    * doc aggregate with map-side partials — count-distinct without an
+    * Expand, never a self-join. Cost is linear in corpus tokens. The
+    * windows projection is trackedPersist'd (two consumers); caller
+    * releases via [[releaseCaches]]. */
+  def duplicateSpanStats(docs: DataFrame, k: Int,
+                         id: String = "doc_id", text: String = "text"): DataFrame = {
+    val wins = docs
+      .select(col(id), posexplode(
+        graft.functions.WordShingles.of(col(text), k, distinct = false))
+        .as(Seq("pos", "win")))
+      .select(col(id), col("pos").cast(LongType).as("pos"), md5(col("win")).as("__h"))
+      .trackedPersist
+    val dup = wins.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2).select("__h")
+    // window starts are unique per doc, so windows-per-doc is a plain
+    // count; covered-token distinctness goes two-phase ((id, tp) then
+    // id) with the start-position flag summed alongside — no Expand
+    val cov = wins.join(dup, Seq("__h"))
+      .select(col(id), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1L))).as("tp"))
+      .groupBy(col(id), col("tp"))
+      .agg(sum(when(col("pos") === col("tp"), 1L).otherwise(0L)).as("__starts"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_dup_tokens"),
+        sum(col("__starts")).cast(LongType).as("n_dup_windows"))
+    docs.select(col(id),
+        size(split(trim(col(text)), "\\s+")).cast(LongType).as("n_tokens"))
+      .join(cov, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(Portable.roundp(
+            coalesce(col("n_dup_tokens"), lit(0L)) / col("n_tokens"), 6))
+          .as("dup_frac"))
+  }
+
   /** MinHash signature columns sig_0..sig_15 per doc: min over shingles
     * of (a_k * h31(shingle) + b_k) mod p. All 16 mins aggregate in one
     * pass with map-side partials. Docs with no shingle are dropped

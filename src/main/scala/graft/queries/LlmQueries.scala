@@ -980,6 +980,45 @@ object LlmQueries {
       |  coalesce(g.text, '') AS text
       |FROM documents d0 LEFT JOIN g ON d0.doc_id = g.doc_id""".stripMargin
 
+  // ---- exact substring-span dedup (Lee et al. 2021 family) ----
+
+  /** Per-doc duplicated k-token-span coverage over the natural corpus —
+    * no closed-form injection needed: the synthetic near-dup documents
+    * share long verbatim spans (sf0.01: ~2100 duplicated 8-token
+    * windows across ~47 docs), so both the hit and zero sides of the
+    * contract are exercised at every scale factor. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanStats(Tables(spark, dir).documents, Config.SubstringSpanK)
+
+  /** DuckDB dual: same window census (1-based list slices vs Spark's
+    * 0-based posexplode — counts are position-convention invariant),
+    * same md5 window keys, same two-phase coverage aggregate. */
+  val qDedupSubstringSql: String = {
+    val k = Config.SubstringSpanK
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |wins AS (SELECT doc_id, i AS pos,
+       |    md5(array_to_string(w[i:i+${k - 1}], ' ')) AS h
+       |  FROM w, unnest(CASE WHEN len(w) < $k THEN []
+       |                 ELSE range(1, len(w) - $k + 2) END) AS g(i)),
+       |dup AS (SELECT h FROM wins GROUP BY 1 HAVING count(*) >= 2),
+       |dw AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+       |tp AS (SELECT doc_id, p,
+       |    sum(CASE WHEN p = pos THEN 1 ELSE 0 END) AS starts
+       |  FROM dw, unnest(range(pos, pos + $k)) AS s(p) GROUP BY doc_id, p),
+       |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens,
+       |    CAST(sum(starts) AS BIGINT) AS n_dup_windows
+       |  FROM tp GROUP BY doc_id),
+       |n AS (SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT n.doc_id, n.n_tokens,
+       |  CAST(coalesce(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       |  CASE WHEN n.n_tokens = 0 THEN NULL
+       |       ELSE floor((coalesce(cov.n_dup_tokens, 0) / n.n_tokens) * 1e6 + 0.5) / 1e6
+       |  END AS dup_frac
+       |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
+  }
+
   // ---- URL extraction + domain blocklist filtering ----
 
   /** Blocklist for [[qUrlFilter]]; the second host never occurs in the

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Randomized sweep for exact substring-span dedup: random corpora from
+  * a small word pool (dense k-gram collisions) checked row-for-row
+  * against a sequential reference model — within-doc repeats, cross-doc
+  * spans, overlapping duplicated windows (coverage must merge them),
+  * short docs (< k tokens) and docs with no duplicated span at all. */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Expect(nTokens: Long, nDupWindows: Long,
+                            nDupTokens: Long, frac: Double)
+
+  private def model(docs: Seq[(Long, String)], k: Int): Map[Long, Expect] = {
+    def words(t: String): Array[String] =
+      java.util.regex.Pattern.compile("\\s+").split(t.trim)
+    val wins = for {
+      (id, t) <- docs
+      ws = words(t) if ws.length >= k
+      i <- 0 to ws.length - k
+    } yield (id, i, ws.slice(i, i + k).mkString(" "))
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val dupByDoc = wins.filter(w => cnt(w._3) >= 2).groupBy(_._1)
+    docs.map { case (id, t) =>
+      val n = words(t).length.toLong
+      val dw = dupByDoc.getOrElse(id, Seq.empty)
+      val covered = dw.flatMap(w => w._2 until w._2 + k).distinct.size.toLong
+      id -> Expect(n, dw.size.toLong, covered,
+        math.floor(covered.toDouble / n * 1e6 + 0.5) / 1e6)
+    }.toMap
+  }
+
+  test("random corpora match the reference model row for row") {
+    val rnd = new scala.util.Random(20260813L)
+    val pool = Vector("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val k = 3
+    for (trial <- 1 to 5) {
+      val docs = (0L until 25L).map { id =>
+        val n = rnd.nextInt(12) // includes docs with < k tokens
+        id -> (0 until n).map { _ =>
+          if (rnd.nextInt(6) == 0) s"u${rnd.nextInt(1000)}" // near-unique token
+          else pool(rnd.nextInt(pool.size))
+        }.mkString(" ")
+      }
+      val expected = model(docs, k)
+      val got = Dedup.duplicateSpanStats(docs.toDF("doc_id", "text"), k).collect()
+        .map { r =>
+          r.getAs[Long]("doc_id") -> Expect(
+            r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+            r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac"))
+        }.toMap
+      Dedup.releaseCaches(spark)
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("a doc fully covered by duplicated spans reports dup_frac 1.0") {
+    val twin = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(1L -> twin, 2L -> twin, 3L -> "nothing shared here at all now")
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(df, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Double]("dup_frac"))).toMap
+    Dedup.releaseCaches(spark)
+    assert(got(1L) === ((4L, 1.0)))
+    assert(got(2L) === ((4L, 1.0)))
+    assert(got(3L) === ((0L, 0.0)))
+  }
+}
