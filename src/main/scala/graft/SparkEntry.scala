@@ -117,6 +117,8 @@ object SparkEntry {
     "q_dedup_containment" -> (L.qDedupContainment _),
     // exact substring-span dedup coverage (Lee et al. 2021 family)
     "q_dedup_substring" -> (L.qDedupSubstring _),
+    // substring-span dedup transform: non-first span occurrences cut
+    "q_dedup_substring_cut" -> (L.qDedupSubstringCut _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -213,6 +215,7 @@ object SparkEntry {
     "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_dedup_containment" -> L.qDedupContainmentSql,
     "q_dedup_substring" -> L.qDedupSubstringSql,
+    "q_dedup_substring_cut" -> L.qDedupSubstringCutSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

@@ -200,6 +200,54 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The TRANSFORM half of substring-span dedup (the companion of
+    * [[duplicateSpanStats]]): rebuild every document with duplicated
+    * k-token spans CUT, keeping each span's globally-first occurrence —
+    * first in (doc_id, window position) order, the [[dedupLines]]
+    * convention. A token is cut iff it is covered by at least one
+    * NON-FIRST occurrence of a duplicated window; first-occurrence
+    * tokens survive unless another overlapping cut window claims them.
+    * Deterministic pure function of the corpus, so retries/replays
+    * rebuild identical text. Output: one row per input doc with token
+    * counts (total/cut/kept) and the rebuilt single-space text.
+    *
+    * Scale shape: same linear window census as [[duplicateSpanStats]]
+    * (ONE uniform-md5 shuffle + join-back), cut positions distinct on
+    * (doc, pos) keys, then one doc-keyed regroup for the rebuild —
+    * never a self-join, cost linear in corpus tokens. */
+  def dropDuplicateSpans(docs: DataFrame, k: Int,
+                         id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = docs.select(col(id),
+        posexplode(split(trim(col(text)), "\\s+")).as(Seq("tpos", "word")))
+      .select(col(id), col("tpos").cast(LongType).as("tpos"), col("word"))
+    val wins = docs.select(col(id), posexplode(
+        graft.functions.WordShingles.of(col(text), k, distinct = false))
+        .as(Seq("pos", "win")))
+      .select(col(id), col("pos").cast(LongType).as("pos"), md5(col("win")).as("__h"))
+    // count(*) per window hash IS its corpus frequency; min(struct) is
+    // the lexicographic first (doc_id, pos) occurrence
+    val stats = wins.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"), min(struct(col(id), col("pos"))).as("__first"))
+    val cutPos = wins.join(stats, Seq("__h"))
+      .where(col("__cnt") >= 2 && !(struct(col(id), col("pos")) === col("__first")))
+      .select(col(id), explode(sequence(col("pos"), col("pos") + lit(k - 1L))).as("tpos"))
+      .distinct()
+    toks.join(cutPos.withColumn("__cut", lit(1)), Seq(id, "tpos"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_cut_tokens"),
+        // kept tokens re-assemble in tpos order; collect_list skips the
+        // NULLs the when() leaves for cut tokens
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cut").isNull,
+            struct(col("tpos"), col("word"))))),
+          s => s.getField("word"))).as(text))
+      .select(col(id), col("n_tokens"), col("n_cut_tokens"),
+        (col("n_tokens") - col("n_cut_tokens")).cast(LongType).as("n_kept_tokens"),
+        col(text))
+  }
+
   /** MinHash signature columns sig_0..sig_15 per doc: min over shingles
     * of (a_k * h31(shingle) + b_k) mod p. All 16 mins aggregate in one
     * pass with map-side partials. Docs with no shingle are dropped

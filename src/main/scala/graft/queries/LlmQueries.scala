@@ -1019,6 +1019,45 @@ object LlmQueries {
        |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
   }
 
+  /** The transform half: documents rebuilt with non-first duplicated
+    * span occurrences cut (first occurrence in (doc_id, pos) order
+    * survives). Every token-count column AND the rebuilt text itself
+    * are hash-gated — a wrong keep/cut decision anywhere bends text. */
+  def qDedupSubstringCut(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSpans(Tables(spark, dir).documents, Config.SubstringSpanK)
+
+  /** DuckDB dual: rn/cnt window functions replay the first-occurrence
+    * rule; coverage via the same range-unnest; rebuild via ordered
+    * string_agg over non-cut tokens. */
+  val qDedupSubstringCutSql: String = {
+    val k = Config.SubstringSpanK
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |toks AS (SELECT doc_id, i AS tpos, w[i] AS word
+       |  FROM w, unnest(range(1, len(w) + 1)) AS g(i)),
+       |wins AS (SELECT doc_id, i AS pos,
+       |    md5(array_to_string(w[i:i+${k - 1}], ' ')) AS h
+       |  FROM w, unnest(CASE WHEN len(w) < $k THEN []
+       |                 ELSE range(1, len(w) - $k + 2) END) AS g(i)),
+       |r AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM wins),
+       |cut AS (SELECT DISTINCT doc_id, p AS tpos
+       |  FROM r, unnest(range(pos, pos + $k)) AS s(p)
+       |  WHERE cnt >= 2 AND rn > 1),
+       |g AS (SELECT t.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(c.tpos) AS BIGINT) AS n_cut_tokens,
+       |    coalesce(string_agg(t.word, ' ' ORDER BY t.tpos)
+       |      FILTER (WHERE c.tpos IS NULL), '') AS text
+       |  FROM toks t LEFT JOIN cut c
+       |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_cut_tokens,
+       |  CAST(n_tokens - n_cut_tokens AS BIGINT) AS n_kept_tokens, text
+       |FROM g""".stripMargin
+  }
+
   // ---- URL extraction + domain blocklist filtering ----
 
   /** Blocklist for [[qUrlFilter]]; the second host never occurs in the

@@ -56,6 +56,59 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  private case class CutExpect(nTokens: Long, nCut: Long, text: String)
+
+  /** Sequential model of dropDuplicateSpans: global first occurrence of
+    * each duplicated window (by (doc_id, pos)) survives; tokens covered
+    * by any other duplicated-window occurrence are cut. */
+  private def cutModel(docs: Seq[(Long, String)], k: Int): Map[Long, CutExpect] = {
+    def words(t: String): Array[String] =
+      java.util.regex.Pattern.compile("\\s+").split(t.trim)
+    val wins = for {
+      (id, t) <- docs
+      ws = words(t) if ws.length >= k
+      i <- 0 to ws.length - k
+    } yield (id, i, ws.slice(i, i + k).mkString(" "))
+    val byWin = wins.groupBy(_._3)
+    val cut: Map[Long, Set[Int]] = wins
+      .filter { case (id, i, w) =>
+        byWin(w).size >= 2 && byWin(w).minBy(x => (x._1, x._2)) != ((id, i, w))
+      }
+      .flatMap { case (id, i, _) => (i until i + k).map(id -> _) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.map { case (id, t) =>
+      val ws = words(t)
+      val c = cut.getOrElse(id, Set.empty)
+      id -> CutExpect(ws.length.toLong, ws.indices.count(c).toLong,
+        ws.indices.filterNot(c).map(ws).mkString(" "))
+    }.toMap
+  }
+
+  test("span-cut rebuild matches the reference model row for row") {
+    val rnd = new scala.util.Random(424242L)
+    val pool = Vector("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val k = 3
+    for (trial <- 1 to 5) {
+      val docs = (0L until 25L).map { id =>
+        val n = rnd.nextInt(12)
+        id -> (0 until n).map { _ =>
+          if (rnd.nextInt(6) == 0) s"u${rnd.nextInt(1000)}"
+          else pool(rnd.nextInt(pool.size))
+        }.mkString(" ")
+      }
+      val expected = cutModel(docs, k)
+      val got = Dedup.dropDuplicateSpans(docs.toDF("doc_id", "text"), k).collect()
+        .map { r =>
+          assert(r.getAs[Long]("n_kept_tokens") ===
+            r.getAs[Long]("n_tokens") - r.getAs[Long]("n_cut_tokens"))
+          r.getAs[Long]("doc_id") -> CutExpect(
+            r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut_tokens"),
+            r.getAs[String]("text"))
+        }.toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("a doc fully covered by duplicated spans reports dup_frac 1.0") {
     val twin = "alpha beta gamma delta epsilon zeta"
     val df = Seq(1L -> twin, 2L -> twin, 3L -> "nothing shared here at all now")
