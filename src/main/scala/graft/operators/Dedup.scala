@@ -169,18 +169,28 @@ object Dedup {
     * releases via [[releaseCaches]]. */
   def duplicateSpanStats(docs: DataFrame, k: Int,
                          id: String = "doc_id", text: String = "text"): DataFrame = {
-    val wins = docs
-      .select(col(id), posexplode(
+    val wins = spanWindows(docs, k, id, text).trackedPersist
+    val dup = wins.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2).select("__h")
+    spanCoverage(docs, wins.join(dup, Seq("__h")), k, id, text)
+  }
+
+  /** (id, pos, __h): the ordered k-token window census of a corpus —
+    * one narrow pass, ~tokens rows, md5 window keys. */
+  private def spanWindows(docs: DataFrame, k: Int, id: String, text: String): DataFrame =
+    docs.select(col(id), posexplode(
         graft.functions.WordShingles.of(col(text), k, distinct = false))
         .as(Seq("pos", "win")))
       .select(col(id), col("pos").cast(LongType).as("pos"), md5(col("win")).as("__h"))
-      .trackedPersist
-    val dup = wins.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
-      .where(col("__cnt") >= 2).select("__h")
-    // window starts are unique per doc, so windows-per-doc is a plain
-    // count; covered-token distinctness goes two-phase ((id, tp) then
-    // id) with the start-position flag summed alongside — no Expand
-    val cov = wins.join(dup, Seq("__h"))
+
+  /** Shared coverage tail: per-doc stats from the duplicated-window
+    * subset. Window starts are unique per doc, so windows-per-doc is a
+    * plain count; covered-token distinctness goes two-phase ((id, tp)
+    * then id) with the start-position flag summed alongside — no
+    * Expand. */
+  private def spanCoverage(docs: DataFrame, dupWins: DataFrame, k: Int,
+                           id: String, text: String): DataFrame = {
+    val cov = dupWins
       .select(col(id), col("pos"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1L))).as("tp"))
       .groupBy(col(id), col("tp"))
@@ -198,6 +208,41 @@ object Dedup {
           .otherwise(Portable.roundp(
             coalesce(col("n_dup_tokens"), lit(0L)) / col("n_tokens"), 6))
           .as("dup_frac"))
+  }
+
+  /** TRAIN half of the span census — the production shape for a 100 TB
+    * corpus that is never re-censused whole (the [[buildIndex]] /
+    * lmTrain pattern): one row per distinct k-token span with its
+    * corpus occurrence count and first (doc_id, pos) occurrence. A
+    * WRITABLE frame — in deployment it is written once, bucketed by
+    * span_hash, and re-read per batch; map-side partials make the
+    * build ONE shuffle on the uniform md5 key. */
+  def buildSpanIndex(corpus: DataFrame, k: Int,
+                     id: String = "doc_id", text: String = "text"): DataFrame =
+    spanWindows(corpus, k, id, text)
+      .groupBy(col("__h").as("span_hash"))
+      .agg(count(lit(1)).cast(LongType).as("n_occurrences"),
+        min(struct(col(id), col("pos"))).as("__f"))
+      .select(col("span_hash"), col("n_occurrences"),
+        col("__f").getField(id).as("first_id"),
+        col("__f").getField("pos").as("first_pos"))
+
+  /** APPLY half: [[duplicateSpanStats]] for a NEW batch against a
+    * pre-built [[buildSpanIndex]] frame. A batch window is duplicated
+    * iff the INDEX says its span occurs >= 2 times in the indexed
+    * corpus — batch-internal repetition does not count (static-model
+    * contract, like lmBucketsApply; census the batch itself first if
+    * that matters). Composition parity — apply(train(c), c) ==
+    * duplicateSpanStats(c) — is pinned in SubstringDedupSpec. Batch
+    * windows join the index on the uniform span_hash key only: the
+    * corpus is never touched, and a disk-bucketed index co-locates the
+    * probe without a corpus shuffle. Streaming twin:
+    * streaming/Streams.spanStatsStream. */
+  def spanStatsAgainstIndex(batch: DataFrame, index: DataFrame, k: Int,
+                            id: String = "doc_id", text: String = "text"): DataFrame = {
+    val dup = index.where(col("n_occurrences") >= 2)
+      .select(col("span_hash").as("__h"))
+    spanCoverage(batch, spanWindows(batch, k, id, text).join(dup, Seq("__h")), k, id, text)
   }
 
   /** The TRANSFORM half of substring-span dedup (the companion of

@@ -127,6 +127,22 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the substring-span census (operators/Dedup
+    * .spanStatsAgainstIndex): the span index is STATIC (built offline
+    * from the corpus via buildSpanIndex), each micro-batch of new docs
+    * gets its duplicated-span coverage from the identical batch
+    * operator — per-doc output depends only on the doc and the index,
+    * so micro-batch boundaries are invisible. Parity pinned in
+    * StreamingSpec. */
+  def spanStatsStream(docs: DataFrame, index: DataFrame, k: Int)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "spanStatsStream is streaming-only: use Dedup.spanStatsAgainstIndex for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Dedup.spanStatsAgainstIndex(batch, index, k), batchId)
+    }
+  }
+
   /** Streaming twin of the CCNet scorer (operators/TextAnalysis
     * .lmBucketsApply): the unigram model and bucket thresholds are
     * STATIC (trained offline via lmTrain), each micro-batch of docs is

@@ -192,6 +192,36 @@ class StreamingSpec extends SparkSpec {
       102L -> "keep", 103L -> "keep"))
   }
 
+  test("spanStatsStream matches batch span coverage across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      10L -> "alpha beta gamma delta epsilon",
+      11L -> "alpha beta gamma delta zeta").toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildSpanIndex(corpus, 3)
+    val batch = Seq(
+      100L -> "alpha beta gamma delta unrelated", // two duplicated corpus spans
+      101L -> "totally fresh words here",
+      102L -> "x")
+    val input = MemoryStream[(Long, String)]
+    input.addData(batch.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.spanStatsStream(input.toDF().toDF("doc_id", "text"), index, 3) {
+      (stats, _) => acc.synchronized { acc ++= stats.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(batch.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Dedup
+      .spanStatsAgainstIndex(batch.toDF("doc_id", "text"), index, 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    val nDup = expected.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    assert(nDup === Map(100L -> 2L, 101L -> 0L, 102L -> 0L))
+  }
+
   test("lmScoreStream labels buckets from the static model exactly like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

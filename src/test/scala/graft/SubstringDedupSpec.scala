@@ -109,6 +109,40 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("composition parity: apply(train(c), c) == duplicateSpanStats(c)") {
+    val rnd = new scala.util.Random(77L)
+    val pool = Vector("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val docs = (0L until 40L).map { id =>
+      id -> (0 until rnd.nextInt(15)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val k = 3
+    val whole = Dedup.duplicateSpanStats(docs, k).orderBy("doc_id").collect().toSeq
+    Dedup.releaseCaches(spark)
+    val split = Dedup.spanStatsAgainstIndex(docs, Dedup.buildSpanIndex(docs, k), k)
+      .orderBy("doc_id").collect().toSeq
+    assert(split === whole)
+  }
+
+  test("spanStatsAgainstIndex is static-model: batch-internal repeats don't count") {
+    val corpus = Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text")
+    val index = Dedup.buildSpanIndex(corpus, 3)
+    // batch doc repeats its own span twice AND contains one corpus span
+    val batch = Seq(
+      10L -> "x y z x y z",            // batch-internal repeat only
+      11L -> "alpha beta gamma").toDF("doc_id", "text")
+    val got = Dedup.spanStatsAgainstIndex(batch, index, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    // corpus has every span exactly once -> nothing reaches the >=2
+    // bar, and batch-internal repetition is invisible by contract
+    assert(got === Map(10L -> 0L, 11L -> 0L))
+    // a corpus where the span IS duplicated flags the batch window
+    val corpus2 = Seq(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma")
+      .toDF("doc_id", "text")
+    val got2 = Dedup.spanStatsAgainstIndex(batch, Dedup.buildSpanIndex(corpus2, 3), 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    assert(got2 === Map(10L -> 0L, 11L -> 1L))
+  }
+
   test("a doc fully covered by duplicated spans reports dup_frac 1.0") {
     val twin = "alpha beta gamma delta epsilon zeta"
     val df = Seq(1L -> twin, 2L -> twin, 3L -> "nothing shared here at all now")
