@@ -167,9 +167,20 @@ object Dedup {
     * Expand, never a self-join. Cost is linear in corpus tokens. The
     * windows projection is trackedPersist'd (two consumers); caller
     * releases via [[releaseCaches]]. */
+  /** `cacheWindows` persists the (id, pos, hash) census between the
+    * occurrence aggregate and the join-back, saving the second
+    * tokenize+hash pass. Default OFF — the census is ~corpus-sized
+    * ((id, pos, 32-char md5) per token), so at 100 TB persisting it
+    * spills far more than the recompute costs (the kmeansFit
+    * cacheInput trade-off); exchange reuse can't help here because the
+    * aggregate's exchange child is the partial agg, not the raw
+    * census. Turn on for small/medium corpora that fit executor
+    * storage. */
   def duplicateSpanStats(docs: DataFrame, k: Int,
-                         id: String = "doc_id", text: String = "text"): DataFrame = {
-    val wins = spanWindows(docs, k, id, text).trackedPersist
+                         id: String = "doc_id", text: String = "text",
+                         cacheWindows: Boolean = false): DataFrame = {
+    val base = spanWindows(docs, k, id, text)
+    val wins = if (cacheWindows) base.trackedPersist else base
     val dup = wins.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") >= 2).select("__h")
     spanCoverage(docs, wins.join(dup, Seq("__h")), k, id, text)
