@@ -119,6 +119,8 @@ object SparkEntry {
     "q_dedup_substring" -> (L.qDedupSubstring _),
     // substring-span dedup transform: non-first span occurrences cut
     "q_dedup_substring_cut" -> (L.qDedupSubstringCut _),
+    // DSIR importance weights: target-vs-raw unigram log-ratios
+    "q_dsir_weights" -> (L.qDsirWeights _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -216,6 +218,7 @@ object SparkEntry {
     "q_dedup_containment" -> L.qDedupContainmentSql,
     "q_dedup_substring" -> L.qDedupSubstringSql,
     "q_dedup_substring_cut" -> L.qDedupSubstringCutSql,
+    "q_dsir_weights" -> L.qDsirWeightsSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

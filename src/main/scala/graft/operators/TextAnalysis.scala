@@ -712,6 +712,55 @@ object TextAnalysis {
         Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * log-importance of a TARGET domain relative to the raw corpus,
+    * w(d) = Σ_w tf_d(w)·(ln p_target(w) − ln p_raw(w)) under add-1
+    * smoothed unigram models over the shared vocabulary. Docs from the
+    * target source score high; selection composes downstream (e.g.
+    * Sampling.selectByScoreBudget over `logratio_sum`, or a percentile
+    * threshold) — this operator's job is the weights, the hard
+    * cross-engine part.
+    *
+    * Determinism: each word's smoothed log-ratio is quantized ONCE to
+    * a fixed-point long (the [[unigramLogprob]] idiom); per-doc
+    * accumulation is pure integer tf·q sums — bit-identical on any
+    * partition layout or engine. The three corpus-global scalars
+    * (target mass, raw mass, vocabulary size) ride the plan as ONE
+    * broadcast 1-row cross join.
+    *
+    * Scale shape: one tokenize pass; the per-word count table, the
+    * totals aggregate and the probe side all hang off the same
+    * canonical (doc, target-flag, word) exchange; the word-model join
+    * auto-broadcasts when the vocabulary fits. Docs with zero tokens
+    * are absent (same contract as [[unigramLogprob]]). */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+                  id: String = "doc_id", textCol: String = "text",
+                  sourceCol: String = "source"): DataFrame = {
+    val tf = docs.select(col(id), (col(sourceCol) === lit(targetSource)).as("__t"),
+        explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col(id), col("__t"), col("word")).agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy(col("word")).agg(
+      sum(when(col("__t"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("__t"), col("tf")).otherwise(0L)).as("cr"))
+    val totals = wc.agg(
+      sum(col("ct")).cast(DoubleType).as("__ct_total"),
+      sum(col("cr")).cast(DoubleType).as("__cr_total"),
+      count(lit(1)).cast(DoubleType).as("__v"))
+    val q = wc.crossJoin(broadcast(totals))
+      .select(col("word"),
+        floor((log((col("ct") + lit(1)) / (col("__ct_total") + col("__v")))
+          - log((col("cr") + lit(1)) / (col("__cr_total") + col("__v"))))
+          * 1e6 + 0.5).cast(LongType).as("q"))
+    tf.join(q, Seq("word"))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("q")).as("__sq"))
+      .select(col(id), col("n_tokens"),
+        Portable.roundp(col("__sq") / lit(1e6), 6).as("logratio_sum"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("logratio_mean"))
+  }
+
   /** CCNet-style head/middle/tail corpus partition: score each doc
     * under its OWN language's unigram model ([[unigramLogprob]]
     * per-language), cut each language's score distribution at the

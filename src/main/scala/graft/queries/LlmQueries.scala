@@ -1276,6 +1276,41 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- DSIR importance weights ----
+
+  /** Target domain for [[qDsirWeights]]: src0 exists at every SF with
+    * 1/20 of the corpus, so both model sides are populated. */
+  val DsirTargetSource = "src0"
+
+  /** DSIR importance weights against the src0 "domain": smoothed
+    * target/raw unigram log-ratios quantized per word, integer-summed
+    * per doc. */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(Tables(spark, dir).documents, DsirTargetSource)
+
+  val qDsirWeightsSql: String =
+    s"""WITH tok AS (SELECT doc_id, (source = '$DsirTargetSource') AS t,
+       |    unnest(${wordsSql("text")}) AS word FROM documents),
+       |tf AS (SELECT doc_id, t, word, count(*) AS tf FROM tok
+       |  WHERE length(word) > 0 GROUP BY 1, 2, 3),
+       |wc AS (SELECT word,
+       |    CAST(sum(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN NOT t THEN tf ELSE 0 END) AS BIGINT) AS cr
+       |  FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS ct_total,
+       |    CAST(sum(cr) AS DOUBLE) AS cr_total,
+       |    CAST(count(*) AS DOUBLE) AS v FROM wc),
+       |q AS (SELECT word, CAST(floor((ln((ct + 1) / (ct_total + v))
+       |      - ln((cr + 1) / (cr_total + v))) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM wc CROSS JOIN tot),
+       |d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf.tf * q.q) AS BIGINT) AS sq
+       |  FROM tf JOIN q USING (word) GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  floor((sq / 1e6) * 1e6 + 0.5) / 1e6 AS logratio_sum,
+       |  floor((sq / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6 AS logratio_mean
+       |FROM d""".stripMargin
+
   // ---- CCNet head/middle/tail buckets ----
 
   /** The whole CCNet curation stage replayed: per-LANGUAGE unigram

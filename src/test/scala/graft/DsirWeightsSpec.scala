@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** DSIR importance weights vs a sequential reference model, plus the
+  * semantic direction check: docs wordly-typical of the target domain
+  * must outscore raw-typical docs. */
+class DsirWeightsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def model(docs: Seq[(Long, String, String)], target: String)
+      : Map[Long, (Long, Double, Double)] = {
+    val tf = docs.flatMap { case (id, src, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).map(w => (id, src == target, w))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val words = tf.keys.map(_._3).toSet
+    val ct = words.map(w => w -> tf.collect { case ((_, true, `w`), n) => n }.sum).toMap
+    val cr = words.map(w => w -> tf.collect { case ((_, false, `w`), n) => n }.sum).toMap
+    val (ctTot, crTot, v) = (ct.values.sum.toDouble, cr.values.sum.toDouble, words.size.toDouble)
+    val q = words.map { w =>
+      w -> math.floor((math.log((ct(w) + 1) / (ctTot + v))
+        - math.log((cr(w) + 1) / (crTot + v))) * 1e6 + 0.5).toLong
+    }.toMap
+    tf.groupBy(_._1._1).map { case (id, m) =>
+      val n = m.values.sum
+      val sq = m.map { case ((_, _, w), c) => c * q(w) }.sum
+      def rp(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      id -> ((n, rp(sq / 1e6), rp(sq / 1e6 / n)))
+    }
+  }
+
+  test("weights match the sequential model row for row") {
+    val rnd = new scala.util.Random(99L)
+    val targetPool = Vector("census", "tract", "median", "income", "survey")
+    val rawPool = Vector("lorem", "ipsum", "dolor", "sit", "amet", "the", "and")
+    val docs = (0L until 30L).map { id =>
+      val src = if (id % 5 == 0) "tgt" else s"raw${id % 3}"
+      val pool = if (src == "tgt") targetPool ++ rawPool.take(2) else rawPool
+      (id, src, (0 until 4 + rnd.nextInt(8)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    val expected = model(docs, "tgt")
+    val got = TextAnalysis.dsirWeights(docs.toDF("doc_id", "source", "text"), "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("logratio_sum"),
+          r.getAs[Double]("logratio_mean")))).toMap
+    assert(got === expected)
+  }
+
+  test("target-typical docs outscore raw-typical docs") {
+    val docs = Seq(
+      (1L, "tgt", "census tract median income"),
+      (2L, "tgt", "census survey median tract"),
+      (3L, "raw", "lorem ipsum dolor sit"),
+      (4L, "raw", "the and lorem ipsum"),
+      // a raw doc written in target vocabulary must STILL score high
+      (5L, "raw", "census tract median survey"))
+    val got = TextAnalysis.dsirWeights(docs.toDF("doc_id", "source", "text"), "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logratio_mean")).toMap
+    assert(got(1L) > got(3L) && got(2L) > got(4L))
+    assert(got(5L) > got(3L), "importance is about words, not the source label")
+  }
+}
