@@ -121,6 +121,8 @@ object SparkEntry {
     "q_dedup_substring_cut" -> (L.qDedupSubstringCut _),
     // DSIR importance weights: target-vs-raw unigram log-ratios
     "q_dsir_weights" -> (L.qDsirWeights _),
+    // Wimbd-style corpus trigram census
+    "q_ngram_topk" -> (L.qNgramTopk _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -219,6 +221,7 @@ object SparkEntry {
     "q_dedup_substring" -> L.qDedupSubstringSql,
     "q_dedup_substring_cut" -> L.qDedupSubstringCutSql,
     "q_dsir_weights" -> L.qDsirWeightsSql,
+    "q_ngram_topk" -> L.qNgramTopkSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

@@ -141,6 +141,23 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Wimbd-style corpus n-gram census (Elazar et al. 2024, "What's In
+    * My Big Data?"): the k most frequent word n-grams with a
+    * deterministic (count desc, ngram asc) cut — the corpus-analysis
+    * report run before/after dedup to spot boilerplate and
+    * contamination candidates. Uses the ordered non-distinct
+    * [[graft.functions.WordShingles]] census (within-doc repeats
+    * count, unlike the dedup resemblance ops). Scale shape: map-side
+    * partial counts on the n-gram key, then TakeOrdered — k rows cross
+    * the driver, never the census. */
+  def ngramTopk(docs: DataFrame, n: Int, k: Int = 100,
+                textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.functions.WordShingles.of(col(textCol), n,
+        distinct = false)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+
   /** Deterministic streaming sequence packing: assign each document a
     * (pack_id, pack_offset) inside its shard by cumulative token count
     * against a fixed context budget — the planning half of training

@@ -706,6 +706,21 @@ object LlmQueries {
        |SELECT token, COUNT(*) AS n FROM w GROUP BY token
        |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
 
+  /** Wimbd-style corpus trigram census: top 100 3-grams with the
+    * deterministic (count desc, ngram asc) cut. */
+  def qNgramTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramTopk(Tables(spark, dir).documents, 3, 100)
+
+  val qNgramTopkSql: String = {
+    val joined = (0 until 3).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH ws AS (SELECT ${wordsSql("text")} AS w FROM documents),
+       |ng AS (SELECT unnest(CASE WHEN len(w) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len(w)-2), i -> $joined)
+       |  END) AS ngram FROM ws)
+       |SELECT ngram, COUNT(*) AS n FROM ng GROUP BY ngram
+       |ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin
+  }
+
   // ---- deterministic sequence packing ----
 
   /** Fixed-budget training-sequence packing: per md5 shard, cumulative

@@ -1,0 +1,26 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class NgramTopkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts within-doc repeats and cuts deterministically") {
+    val docs = Seq(
+      1L -> "a b c a b c a b c", // "a b c" x3 within one doc (+ "b c a" x2, "c a b" x2)
+      2L -> "a b c d",
+      3L -> "x y"                // too short for a trigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramTopk(docs, 3, 3).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n"))).toSeq
+    // ties at n=2 break on ngram asc: "b c a" before "c a b"
+    assert(got === Seq("a b c" -> 4L, "b c a" -> 2L, "c a b" -> 2L))
+  }
+
+  test("k larger than the census returns everything, ordered") {
+    val docs = Seq(1L -> "p q r s").toDF("doc_id", "text")
+    val got = TextAnalysis.ngramTopk(docs, 3, 100).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n"))).toSeq
+    assert(got === Seq("p q r" -> 1L, "q r s" -> 1L))
+  }
+}
