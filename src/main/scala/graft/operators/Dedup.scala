@@ -240,18 +240,26 @@ object Dedup {
 
   /** APPLY half: [[duplicateSpanStats]] for a NEW batch against a
     * pre-built [[buildSpanIndex]] frame. A batch window is duplicated
-    * iff the INDEX says its span occurs >= 2 times in the indexed
-    * corpus — batch-internal repetition does not count (static-model
-    * contract, like lmBucketsApply; census the batch itself first if
-    * that matters). Composition parity — apply(train(c), c) ==
-    * duplicateSpanStats(c) — is pinned in SubstringDedupSpec. Batch
-    * windows join the index on the uniform span_hash key only: the
-    * corpus is never touched, and a disk-bucketed index co-locates the
-    * probe without a corpus shuffle. Streaming twin:
-    * streaming/Streams.spanStatsStream. */
+    * iff the INDEX says its span occurs >= `minOccurrences` times in
+    * the indexed corpus — batch-internal repetition does not count
+    * (static-model contract, like lmBucketsApply; census the batch
+    * itself first if that matters). Composition parity at the default
+    * — apply(train(c), c) == duplicateSpanStats(c) — is pinned in
+    * SubstringDedupSpec. Batch windows join the index on the uniform
+    * span_hash key only: the corpus is never touched, and a
+    * disk-bucketed index co-locates the probe without a corpus
+    * shuffle. Streaming twin: streaming/Streams.spanStatsStream.
+    *
+    * `minOccurrences = 1` turns this into GPT-3-style span-level
+    * DECONTAMINATION: build the index from the BENCHMARK corpus and
+    * any training doc with n_dup_windows > 0 shares a verbatim k-token
+    * span with a benchmark doc — with dup_frac as the per-doc overlap
+    * severity the shingle-count decontaminator (q_decontaminate)
+    * doesn't report. */
   def spanStatsAgainstIndex(batch: DataFrame, index: DataFrame, k: Int,
-                            id: String = "doc_id", text: String = "text"): DataFrame = {
-    val dup = index.where(col("n_occurrences") >= 2)
+                            id: String = "doc_id", text: String = "text",
+                            minOccurrences: Long = 2L): DataFrame = {
+    val dup = index.where(col("n_occurrences") >= minOccurrences)
       .select(col("span_hash").as("__h"))
     spanCoverage(batch, spanWindows(batch, k, id, text).join(dup, Seq("__h")), k, id, text)
   }

@@ -31,6 +31,16 @@ class ReuseCheckSpec extends SparkSpec {
     assert(reused >= 3, s"expected >=3 ReusedExchange, got $reused in:\n$p")
   }
 
+  test("dsirWeights' model branch reuses the tf exchange") {
+    val docs = Seq((1L, "tgt", "a a b c"), (2L, "raw", "b c d"), (3L, "raw", "a d d"))
+      .toDF("doc_id", "source", "text")
+    val p = finalPlan(graft.operators.TextAnalysis.dsirWeights(docs, "tgt"))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    // the word-count model (and through it the totals scalar) re-derives
+    // from the probe side's (doc, target-flag, word) tf exchange
+    assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused in:\n$p")
+  }
+
   test("tfidfTopK's df branch reuses the tf exchange") {
     val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
     val p = finalPlan(graft.operators.TextAnalysis.tfidfTopK(docs, 2, 3L))

@@ -143,6 +143,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got2 === Map(10L -> 0L, 11L -> 1L))
   }
 
+  test("minOccurrences=1 decontaminates: training spans overlapping a benchmark flag") {
+    val benchmark = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog").toDF("doc_id", "text")
+    val train = Seq(
+      10L -> "prefix words the quick brown fox suffix words here", // verbatim 4-gram
+      11L -> "entirely original training material nothing shared",
+      12L -> "the quick brown fox jumps straight through").toDF("doc_id", "text")
+    val idx = Dedup.buildSpanIndex(benchmark, 4)
+    val got = Dedup.spanStatsAgainstIndex(train, idx, 4, minOccurrences = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_dup_tokens"))).toMap
+    assert(got(10L) === ((1L, 4L)))   // "the quick brown fox"
+    assert(got(11L) === ((0L, 0L)))
+    assert(got(12L) === ((2L, 5L)))   // two overlapping benchmark 4-grams
+    // at the default threshold the single-occurrence benchmark spans
+    // are invisible — decontamination NEEDS minOccurrences=1
+    val dflt = Dedup.spanStatsAgainstIndex(train, idx, 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    assert(dflt === Map(10L -> 0L, 11L -> 0L, 12L -> 0L))
+  }
+
   test("a doc fully covered by duplicated spans reports dup_frac 1.0") {
     val twin = "alpha beta gamma delta epsilon zeta"
     val df = Seq(1L -> twin, 2L -> twin, 3L -> "nothing shared here at all now")
