@@ -238,6 +238,24 @@ object Dedup {
         col("__f").getField(id).as("first_id"),
         col("__f").getField("pos").as("first_pos"))
 
+  /** Incremental maintenance of [[buildSpanIndex]]: merge the index of
+    * a new batch into the standing corpus index WITHOUT re-censusing
+    * the corpus — counts sum, first occurrences take the (id, pos)
+    * minimum; both are associative/commutative, so
+    * merge(train(a), train(b)) == train(a ∪ b) EXACTLY (pinned in
+    * SubstringDedupSpec) and merges can proceed in any order on any
+    * cadence. One shuffle on the uniform span_hash key; at 100 TB both
+    * sides pre-bucketed on span_hash merge without moving the big
+    * side. */
+  def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("span_hash"))
+      .agg(sum(col("n_occurrences")).cast(LongType).as("n_occurrences"),
+        min(struct(col("first_id"), col("first_pos"))).as("__f"))
+      .select(col("span_hash"), col("n_occurrences"),
+        col("__f").getField("first_id").as("first_id"),
+        col("__f").getField("first_pos").as("first_pos"))
+
   /** APPLY half: [[duplicateSpanStats]] for a NEW batch against a
     * pre-built [[buildSpanIndex]] frame. A batch window is duplicated
     * iff the INDEX says its span occurs >= `minOccurrences` times in

@@ -164,6 +164,24 @@ class SubstringDedupSpec extends SparkSpec {
     assert(dflt === Map(10L -> 0L, 11L -> 0L, 12L -> 0L))
   }
 
+  test("index merge parity: merge(train(a), train(b)) == train(a ∪ b)") {
+    val rnd = new scala.util.Random(31L)
+    val pool = Vector("the", "quick", "brown", "fox", "jumps", "over")
+    def corpus(ids: Range) = ids.map { i =>
+      i.toLong -> (0 until 3 + rnd.nextInt(8)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    }
+    val a = corpus(0 until 15)
+    val b = corpus(15 until 30) // whole docs per batch (the merge contract)
+    val k = 3
+    val merged = Dedup.mergeSpanIndexes(
+        Dedup.buildSpanIndex(a.toDF("doc_id", "text"), k),
+        Dedup.buildSpanIndex(b.toDF("doc_id", "text"), k))
+      .orderBy("span_hash").collect().toSeq
+    val whole = Dedup.buildSpanIndex((a ++ b).toDF("doc_id", "text"), k)
+      .orderBy("span_hash").collect().toSeq
+    assert(merged === whole)
+  }
+
   test("a doc fully covered by duplicated spans reports dup_frac 1.0") {
     val twin = "alpha beta gamma delta epsilon zeta"
     val df = Seq(1L -> twin, 2L -> twin, 3L -> "nothing shared here at all now")
