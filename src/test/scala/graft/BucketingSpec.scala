@@ -59,4 +59,28 @@ class BucketingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("span-index probe: bucketed index side joins without its shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = graft.operators.Dedup.buildSpanIndex(docs, 8)
+    spark.sql("DROP TABLE IF EXISTS span_idx_b")
+    Bucketing.writeBucketed(idx, "span_idx_b", 4, "span_hash")
+    try {
+      val bidx = spark.table("span_idx_b")
+        .where(col("n_occurrences") >= 2).select(col("span_hash"))
+      // a batch window probe (always freshly computed, so IT must
+      // shuffle) against the standing bucketed index (which must not)
+      val wins = docs.select(explode(
+          graft.functions.WordShingles.of(col("text"), 8, distinct = false)).as("win"))
+        .select(md5(col("win")).as("span_hash"))
+      val probe = wins.hint("merge").join(bidx, Seq("span_hash"))
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(probe.queryExecution.executedPlan.toString).length
+      assert(exchanges === 1,
+        s"expected only the window side to shuffle:\n${probe.queryExecution.executedPlan}")
+      assert(probe.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS span_idx_b")
+    }
+  }
 }
