@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Degenerate-input contracts for the round-11 operators: empty
+  * corpora keep their schemas, single docs with internal repeats
+  * self-deduplicate, and a DSIR target source that never occurs still
+  * yields defined (smoothed) weights. */
+class Round11EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("span census and cut on an empty corpus: empty output, stable schema") {
+    val stats = Dedup.duplicateSpanStats(empty, 3)
+    assert(stats.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_dup_windows", "n_dup_tokens", "dup_frac"))
+    assert(stats.count() === 0L)
+    val cut = Dedup.dropDuplicateSpans(empty, 3)
+    assert(cut.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_cut_tokens", "n_kept_tokens", "text"))
+    assert(cut.count() === 0L)
+    assert(Dedup.buildSpanIndex(empty, 3).count() === 0L)
+  }
+
+  test("single doc with an internal repeat self-deduplicates") {
+    val doc = Seq(7L -> "a b c x a b c").toDF("doc_id", "text")
+    val stats = Dedup.duplicateSpanStats(doc, 3).collect().head
+    // "a b c" occurs twice inside the one doc -> both windows flagged
+    assert(stats.getAs[Long]("n_dup_windows") === 2L)
+    assert(stats.getAs[Long]("n_dup_tokens") === 6L)
+    val cut = Dedup.dropDuplicateSpans(doc, 3).collect().head
+    // the first occurrence survives, the second is cut
+    assert(cut.getAs[String]("text") === "a b c x")
+    assert(cut.getAs[Long]("n_cut_tokens") === 3L)
+  }
+
+  test("dsirWeights with an absent target source stays defined and raw-negative") {
+    val docs = Seq((1L, "raw", "common words here"), (2L, "raw", "common words again"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirWeights(docs, "never-present").collect()
+    assert(got.length === 2)
+    // target counts are all zero -> every smoothed ratio is
+    // ln(1/V) - ln((cr+1)/(CR+V)) — finite, and negative for any word
+    // the raw corpus actually uses more than the uniform floor
+    got.foreach { r =>
+      val m = r.getAs[Double]("logratio_mean")
+      assert(!m.isNaN && !m.isInfinite)
+    }
+  }
+
+  test("ngramTopk on an empty corpus and on all-short docs is empty") {
+    assert(TextAnalysis.ngramTopk(empty, 3, 10).count() === 0L)
+    val short = Seq(1L -> "a b", 2L -> "x").toDF("doc_id", "text")
+    assert(TextAnalysis.ngramTopk(short, 3, 10).count() === 0L)
+  }
+
+  test("merging with an empty index is identity on contents") {
+    val docs = Seq(1L -> "p q r s t").toDF("doc_id", "text")
+    val idx = Dedup.buildSpanIndex(docs, 3)
+    val emptyIdx = Dedup.buildSpanIndex(empty, 3)
+    val merged = Dedup.mergeSpanIndexes(idx, emptyIdx)
+      .orderBy("span_hash").collect().toSeq
+    assert(merged === idx.orderBy("span_hash").collect().toSeq)
+  }
+}
