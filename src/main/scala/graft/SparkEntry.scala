@@ -123,6 +123,8 @@ object SparkEntry {
     "q_dsir_weights" -> (L.qDsirWeights _),
     // Wimbd-style corpus trigram census
     "q_ngram_topk" -> (L.qNgramTopk _),
+    // C4-style bad-words document filter
+    "q_badwords_filter" -> (L.qBadwordsFilter _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -222,6 +224,7 @@ object SparkEntry {
     "q_dedup_substring_cut" -> L.qDedupSubstringCutSql,
     "q_dsir_weights" -> L.qDsirWeightsSql,
     "q_ngram_topk" -> L.qNgramTopkSql,
+    "q_badwords_filter" -> L.qBadwordsFilterSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

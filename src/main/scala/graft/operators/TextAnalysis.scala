@@ -141,6 +141,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** C4-style bad-words document filter (Raffel et al. 2020 drop any
+    * page containing a blocklisted word): per-doc token total, flagged
+    * occurrence count, the sorted distinct flagged words, and the 0/1
+    * keep verdict (keep iff NO blocklisted token). The word-level
+    * companion of [[urlFilter]]'s domain blocklist.
+    *
+    * Scale shape: blocklists are small (thousands of words), so the
+    * probe is a codegen'd isin over the exploded token stream — no
+    * join, no broadcast, ZERO shuffle before the one doc-keyed
+    * regroup. Docs with no tokens are absent (the [[unigramLogprob]]
+    * contract). */
+  def badwordsFilter(docs: DataFrame, blocklist: Seq[String],
+                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val flagged = col("word").isin(blocklist: _*)
+    docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(flagged, 1L).otherwise(0L)).as("n_flagged"),
+        concat_ws(",", array_sort(collect_set(when(flagged, col("word")))))
+          .as("flagged_words"))
+      .select(col(id), col("n_tokens"), col("n_flagged"),
+        when(col("n_flagged") === 0, 1L).otherwise(0L).as("keep"),
+        col("flagged_words"))
+  }
+
   /** Wimbd-style corpus n-gram census (Elazar et al. 2024, "What's In
     * My Big Data?"): the k most frequent word n-grams with a
     * deterministic (count desc, ngram asc) cut — the corpus-analysis

@@ -706,6 +706,31 @@ object LlmQueries {
        |SELECT token, COUNT(*) AS n FROM w GROUP BY token
        |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
 
+  /** Blocklist for [[qBadwordsFilter]]: "dup" occurs in ~5% of docs at
+    * every SF (both verdict paths exercised); the second entry never
+    * occurs (no-match path of the isin probe). */
+  val BadwordsBlocklist: Seq[String] = Seq("dup", "slur.invalid")
+
+  /** C4-style bad-words filter over the natural corpus. */
+  def qBadwordsFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.badwordsFilter(Tables(spark, dir).documents, BadwordsBlocklist)
+
+  val qBadwordsFilterSql: String = {
+    val bl = BadwordsBlocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
+       |t AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+       |g AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) FILTER (WHERE word IN ($bl)) AS BIGINT) AS n_flagged,
+       |    coalesce(string_agg(DISTINCT word, ',' ORDER BY word)
+       |      FILTER (WHERE word IN ($bl)), '') AS flagged_words
+       |  FROM t GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_flagged,
+       |  CAST(CASE WHEN n_flagged = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  flagged_words
+       |FROM g""".stripMargin
+  }
+
   /** Wimbd-style corpus trigram census: top 100 3-grams with the
     * deterministic (count desc, ngram asc) cut. */
   def qNgramTopk(spark: SparkSession, dir: String): DataFrame =

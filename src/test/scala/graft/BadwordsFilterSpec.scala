@@ -1,0 +1,27 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class BadwordsFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags occurrences, sorts distinct flagged words, keeps clean docs") {
+    val docs = Seq(
+      1L -> "clean text with nothing wrong at all",
+      2L -> "one bad word bad twice plus worse",
+      3L -> "worse comes first then bad").toDF("doc_id", "text")
+    val got = TextAnalysis.badwordsFilter(docs, Seq("bad", "worse", "absent"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_flagged"),
+          r.getAs[Long]("keep"), r.getAs[String]("flagged_words")))).toMap
+    assert(got(1L) === ((7L, 0L, 1L, "")))
+    assert(got(2L) === ((7L, 3L, 0L, "bad,worse")))
+    assert(got(3L) === ((5L, 2L, 0L, "bad,worse"))) // sorted, not occurrence order
+  }
+
+  test("an empty blocklist keeps everything") {
+    val docs = Seq(1L -> "any words here").toDF("doc_id", "text")
+    val got = TextAnalysis.badwordsFilter(docs, Seq.empty).collect().head
+    assert(got.getAs[Long]("keep") === 1L && got.getAs[Long]("n_flagged") === 0L)
+  }
+}
