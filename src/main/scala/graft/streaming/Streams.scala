@@ -127,6 +127,21 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the C4 bad-words filter (operators/TextAnalysis
+    * .badwordsFilter): the blocklist is static, per-doc verdicts depend
+    * only on the doc — micro-batch boundaries are invisible as long as
+    * each document arrives whole in one batch (the same contract as
+    * every per-doc foreachBatch twin here). Parity pinned in
+    * StreamingSpec. */
+  def badwordsFilterStream(docs: DataFrame, blocklist: Seq[String])(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "badwordsFilterStream is streaming-only: use TextAnalysis.badwordsFilter for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.badwordsFilter(batch, blocklist), batchId)
+    }
+  }
+
   /** Streaming twin of the substring-span census (operators/Dedup
     * .spanStatsAgainstIndex): the span index is STATIC (built offline
     * from the corpus via buildSpanIndex), each micro-batch of new docs

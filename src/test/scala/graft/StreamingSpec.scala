@@ -192,6 +192,33 @@ class StreamingSpec extends SparkSpec {
       102L -> "keep", 103L -> "keep"))
   }
 
+  test("badwordsFilterStream verdicts match batch across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> "clean text entirely",
+      2L -> "this has bad language twice bad",
+      3L -> "worse and bad together",
+      4L -> "nothing flagged here")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.badwordsFilterStream(input.toDF().toDF("doc_id", "text"),
+        Seq("bad", "worse")) {
+      (verdicts, _) => acc.synchronized { acc ++= verdicts.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis
+      .badwordsFilter(docs.toDF("doc_id", "text"), Seq("bad", "worse"))
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === batch)
+    val keep = batch.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("spanStatsStream matches batch span coverage across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
