@@ -738,9 +738,14 @@ object Dedup {
     * the hot boilerplate buckets), then one regroup by doc_id for the
     * rebuild. Never a self-join: cost is linear in corpus lines. */
   def dedupLines(docs: DataFrame, boilerCap: Long,
-                 id: String = "doc_id", text: String = "text"): DataFrame = {
+                 id: String = "doc_id", text: String = "text",
+                 sep: String = "\n"): DataFrame = {
+    // `sep` is a regex: "\n" = RefinedWeb line mode (the oracle-gated
+    // default), "\n{2,}" = CCNet paragraph mode (blank-line-separated
+    // blocks; spec-gated in LineDedupPropertySpec). Rebuilt text joins
+    // units with a single newline either way.
     val lines = docs
-      .select(col(id), posexplode(split(col(text), "\n", -1)).as(Seq("line_no", "line")))
+      .select(col(id), posexplode(split(col(text), sep, -1)).as(Seq("line_no", "line")))
       .select(col(id), col("line_no").cast(LongType).as("line_no"),
         trim(col("line"), LineTrimChars).as("line"))
       .where(length(col("line")) > 0)

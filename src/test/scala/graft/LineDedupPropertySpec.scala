@@ -48,6 +48,26 @@ class LineDedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("paragraph mode (sep=\"\\n{2,}\") dedups blank-line-separated blocks") {
+    // CCNet dedups PARAGRAPHS; same operator, regex separator. The
+    // shared footer paragraph spans a newline, so line mode could
+    // never hash it as one unit.
+    val footer = "contact us\nterms of service"
+    val docs = Seq(
+      1L -> s"intro one\n\n$footer",
+      2L -> s"intro two\n\n\n$footer",   // 3 newlines: still ONE separator
+      3L -> s"unique body only")
+    val got = Dedup.dedupLines(docs.toDF("doc_id", "text"), boilerCap = 10L,
+        sep = "\\n{2,}").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dupes"), r.getAs[String]("text")))).toMap
+    assert(got(1L) === ((2L, 2L, 0L, s"intro one\n$footer")))
+    // doc 2's footer is a corpus dupe of doc 1's (first occurrence wins)
+    assert(got(2L) === ((2L, 1L, 1L, "intro two")))
+    assert(got(3L) === ((1L, 1L, 0L, "unique body only")))
+  }
+
   test("random corpora match the reference model row for row") {
     val rnd = new scala.util.Random(20260813L)
     val pool = Vector("alpha beta", "gamma", "shared footer line", "x y z",
