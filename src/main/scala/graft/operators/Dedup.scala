@@ -160,30 +160,37 @@ object Dedup {
     *
     * Scale shape (100 TB): windows come from one narrow pass (ordered
     * non-distinct [[graft.functions.WordShingles]], ~tokens rows per
-    * corpus); ONE shuffle on the uniform md5 window key for the
-    * occurrence count; candidates join back on the same key (AQE splits
-    * boilerplate buckets); coverage is a two-phase (doc, pos) →
+    * corpus), scanned ONCE; occurrence counts are a count-over-window
+    * on the uniform md5 key partition — one shuffle, trivial per-group
+    * sorts (near-unique keys); coverage is a two-phase (doc, pos) →
     * doc aggregate with map-side partials — count-distinct without an
-    * Expand, never a self-join. Cost is linear in corpus tokens. The
-    * windows projection is trackedPersist'd (two consumers); caller
-    * releases via [[releaseCaches]]. */
-  /** `cacheWindows` persists the (id, pos, hash) census between the
-    * occurrence aggregate and the join-back, saving the second
-    * tokenize+hash pass. Default OFF — the census is ~corpus-sized
-    * ((id, pos, 32-char md5) per token), so at 100 TB persisting it
-    * spills far more than the recompute costs (the kmeansFit
-    * cacheInput trade-off); exchange reuse can't help here because the
-    * aggregate's exchange child is the partial agg, not the raw
-    * census. Turn on for small/medium corpora that fit executor
-    * storage. */
+    * Expand, never a self-join. Cost is linear in corpus tokens.
+    *
+    * `cacheWindows` persists the census for EXTERNAL reuse only (a
+    * caller running stats + cut over the same corpus releases via
+    * [[releaseCaches]]); the operator itself has a single consumer.
+    * Default OFF — the census is ~corpus-sized, so at 100 TB
+    * persisting it spills more than a recompute costs (the kmeansFit
+    * cacheInput trade-off). */
   def duplicateSpanStats(docs: DataFrame, k: Int,
                          id: String = "doc_id", text: String = "text",
                          cacheWindows: Boolean = false): DataFrame = {
+    // occurrence counts via count-over-__h-partition: the census is
+    // scanned ONCE and shuffled ONCE (vs the aggregate + join-back
+    // shape, which scans and shuffles it twice — exchange reuse can't
+    // merge those because the agg's exchange child is the partial agg).
+    // The window sort is over near-unique md5 keys (tiny groups), and
+    // this is exactly the oracle SQL's shape. cacheWindows persists the
+    // census only to serve EXTERNAL reuse (a caller running stats+cut
+    // over one corpus); the operator itself no longer needs it.
+    import org.apache.spark.sql.expressions.Window
     val base = spanWindows(docs, k, id, text)
     val wins = if (cacheWindows) base.trackedPersist else base
-    val dup = wins.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
-      .where(col("__cnt") >= 2).select("__h")
-    spanCoverage(docs, wins.join(dup, Seq("__h")), k, id, text)
+    val dwins = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .where(col("__cnt") >= 2)
+      .select(col(id), col("pos"))
+    spanCoverage(docs, dwins, k, id, text)
   }
 
   /** (id, pos, __h): the ordered k-token window census of a corpus —
@@ -302,16 +309,20 @@ object Dedup {
     val toks = docs.select(col(id),
         posexplode(split(trim(col(text)), "\\s+")).as(Seq("tpos", "word")))
       .select(col(id), col("tpos").cast(LongType).as("tpos"), col("word"))
-    val wins = docs.select(col(id), posexplode(
-        graft.functions.WordShingles.of(col(text), k, distinct = false))
-        .as(Seq("pos", "win")))
-      .select(col(id), col("pos").cast(LongType).as("pos"), md5(col("win")).as("__h"))
-    // count(*) per window hash IS its corpus frequency; min(struct) is
-    // the lexicographic first (doc_id, pos) occurrence
-    val stats = wins.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__cnt"), min(struct(col(id), col("pos"))).as("__first"))
-    val cutPos = wins.join(stats, Seq("__h"))
-      .where(col("__cnt") >= 2 && !(struct(col(id), col("pos")) === col("__first")))
+    // ONE census pass + ONE shuffle on __h: occurrence counts and the
+    // first-occurrence rank come from window functions over the hash
+    // partition (the oracle SQL's exact shape) instead of an aggregate
+    // + join-back, which would scan and shuffle the census twice.
+    // Groups are near-unique md5 keys, so the per-partition sort is
+    // over tiny runs; row_number in (id, pos) order makes rn=1 the
+    // lexicographic first occurrence.
+    import org.apache.spark.sql.expressions.Window
+    val wins = spanWindows(docs, k, id, text)
+    val cutPos = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(id), col("pos"))))
+      .where(col("__cnt") >= 2 && col("__rn") > 1)
       .select(col(id), explode(sequence(col("pos"), col("pos") + lit(k - 1L))).as("tpos"))
       .distinct()
     toks.join(cutPos.withColumn("__cut", lit(1)), Seq(id, "tpos"), "left")
