@@ -760,16 +760,20 @@ object Dedup {
       .select(col(id), col("line_no").cast(LongType).as("line_no"),
         trim(col("line"), LineTrimChars).as("line"))
       .where(length(col("line")) > 0)
-    // count(*) per distinct line IS its corpus frequency; min(struct)
-    // is the lexicographic first (doc_id, line_no) occurrence
-    val stats = lines.groupBy(md5(col("line")).as("__h"))
-      .agg(min(struct(col(id), col("line_no"))).as("__first"),
-        count(lit(1)).as("__cnt"))
+    // corpus frequency and first-occurrence rank via count/row_number
+    // over the md5(line) partition — the line census is scanned and
+    // shuffled ONCE (the agg + join-back shape did both twice; its two
+    // exchanges can't reuse because the agg's exchange child is the
+    // partial agg). Near-unique keys make the per-group sorts trivial;
+    // rn=1 in (doc_id, line_no) order IS the lexicographic first.
+    // This is the oracle SQL's exact shape (qLineDedupSql's k CTE).
+    import org.apache.spark.sql.expressions.Window
+    val byLine = Window.partitionBy(col("__h"))
     val rebuilt = lines.withColumn("__h", md5(col("line")))
-      .join(stats, Seq("__h"))
+      .withColumn("__cnt", count(lit(1)).over(byLine))
+      .withColumn("__rn", row_number().over(byLine.orderBy(col(id), col("line_no"))))
       .withColumn("__boiler", col("__cnt") > boilerCap)
-      .withColumn("__keep",
-        !col("__boiler") && struct(col(id), col("line_no")) === col("__first"))
+      .withColumn("__keep", !col("__boiler") && col("__rn") === 1)
       .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_lines"),
