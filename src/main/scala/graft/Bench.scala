@@ -1,6 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Compiled-in copy of BASELINE.md's per-query pin table (seconds,
+    * min-of-3, sf0.1, local[32]). The bench flags any query whose
+    * min-of-3 exceeds FlagRatio x its pin, auto re-runs it, and prints
+    * a compact summary as the LAST stdout line — so a truncated tail
+    * capture on a loaded driver host still retains the verdict-relevant
+    * facts (r10/r11 both lost the full JSON to tail truncation while
+    * the binary was at 0.93x). Queries without a pin (new this round)
+    * are reported as unpinned, never flagged. */
+  val FlagRatio = 1.5
+  val Pins: Map[String, Double] = Map(
+    "q_dedup_clusters" -> 4.07, "q_dedup_clusters_star" -> 3.59,
+    "q_dedup_keep" -> 2.78, "q_community_profiles" -> 2.06,
+    "q_percentile" -> 1.92, "q_salted_agg" -> 1.32,
+    "q_quality_filter" -> 1.15, "q_dedup_ngram" -> 1.14,
+    "q_geo_nta" -> 0.72, "q_text_repetition" -> 0.68,
+    "q_median_rooms" -> 0.66, "q3_top_orders" -> 0.64,
+    "q1_pricing_summary" -> 0.58, "q_ann_ivf" -> 0.58,
+    "q_anti_join" -> 0.55, "q_decontaminate" -> 0.54,
+    "q_percentile_binned" -> 0.48, "q_binned_median" -> 0.46,
+    "q_text_quality" -> 0.45, "q_image_decode" -> 0.43,
+    "q_ann_lsh" -> 0.42, "q_median_moe" -> 0.41,
+    "q_doc_fingerprint" -> 0.38, "q_lang_id" -> 0.37,
+    "q_poverty_pz" -> 0.36, "q_asof_join" -> 0.35,
+    "q_events_json" -> 0.33, "q_kmeans_assign" -> 0.33,
+    "q_dedup_minhash" -> 0.32, "q_crosswalk_apportion" -> 0.31,
+    "q_pct_moe" -> 0.31, "q_geo_zone_2010" -> 0.30,
+    "q_geo_lookup_build" -> 0.30, "q_pct_base" -> 0.28,
+    "q_dedup_embed" -> 0.25, "q_window_running" -> 0.25,
+    "q_window_lag" -> 0.24, "q_dedup_exact" -> 0.22,
+    "q_cleaning" -> 0.22, "q_corpus_stats" -> 0.22,
+    "q_vacancy_rate" -> 0.22, "q_token_count" -> 0.21,
+    "q_dedup_simhash" -> 0.20, "q_cv" -> 0.20,
+    "q_range_join" -> 0.19, "q_embed_cosine_topk" -> 0.19,
+    "q_ratio_stat" -> 0.19, "q_outlier_clean" -> 0.19,
+    "q_rounding" -> 0.17, "q_token_pack" -> 0.17,
+    "q_vocab_topk" -> 0.17, "q_stream_window" -> 0.16,
+    "q_geo_rollup" -> 0.15, "q_vertical_agg" -> 0.15,
+    "q_support_geoids" -> 0.14, "q_stratum_topn" -> 0.14,
+    "q_horizontal_agg" -> 0.14, "q_multimodal_frames" -> 0.14,
+    "q_multimodal_meta" -> 0.11, "q_stratified_sample" -> 0.11,
+    "q_labs_geoid" -> 0.10, "q_sample_split" -> 0.09,
+    "q_wkb_decode" -> 0.12, "q_audio_decode" -> 0.82,
+    "q_doc_chunks" -> 0.17, "q_mix_upsample" -> 0.13,
+    "q_sessionize" -> 0.27, "q_bpe_encode" -> 0.59,
+    "q_run_acs" -> 2.04, "q_pii_scrub" -> 0.66,
+    "q_html_extract" -> 0.29, "q_line_dedup" -> 0.86,
+    "q_url_filter" -> 0.21, "q_tfidf_topk" -> 0.62,
+    "q_unigram_logprob" -> 0.77, "q_ccnet_buckets" -> 1.61,
+    "q_dedup_incremental" -> 1.08, "q_dedup_semantic" -> 0.52,
+    "q_dedup_containment" -> 1.55, "q_domain_stats" -> 0.25,
+    "q_corpus_shuffle" -> 0.21, "q_image_phash" -> 0.61,
+    "q_audio_fingerprint" -> 1.17, "q_unicode_nfc" -> 0.14,
+    "q_quality_select" -> 1.45, "q_dedup_substring" -> 0.96,
+    "q_dedup_substring_cut" -> 1.27, "q_dsir_weights" -> 0.70,
+    "q_ngram_topk" -> 0.37, "q_badwords_filter" -> 0.62)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[N] when run bare; defers to spark-submit conf (Sessions)
@@ -78,8 +134,37 @@ object Bench {
     val calibJson = s"""{"query":"$CalibQuery","positions":${
       calib.map(_._1).mkString("[", ",", "]")},"times":${
       calib.map(_._2).mkString("[", ",", "]")}}"""
+    // Flag pass: any pinned query whose min-of-3 exceeded FlagRatio x
+    // its pin gets ONE automatic re-run (min-of-3, same noop sink) now
+    // that the suite's memory/cache pressure has settled. A flag that
+    // survives the re-run is a real regression; one that melts away was
+    // host contention during the first sample. Both samples go in the
+    // JSON and the summary line.
+    val flagged = results.collect {
+      case (name, t, _) if t > 0 && Pins.get(name).exists(p => t > FlagRatio * p) =>
+        (name, t, Pins(name))
+    }
+    val reruns = flagged.map { case (name, first, pin) =>
+      spark.catalog.clearCache()
+      var ts = List.empty[Double]
+      var i = 0
+      while (i < 3) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          ts ::= (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => i = 3 }
+        i += 1
+      }
+      val rerun = if (ts.isEmpty) first else ts.min
+      (name, first, rerun, pin, rerun > FlagRatio * pin)
+    }
+    val flagsJson = reruns.map { case (n, f, r, p, s) =>
+      s""""$n":{"pin":$p,"first":$f,"rerun":$r,"stable":$s}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$spread,"failed":$failedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$spread,"failed":$failedJson,"calibration":$calibJson,"flags":$flagsJson,"sf":"$sfDir"}"""
     // machine-readable twice over: a file (driver- or human-greppable
     // regardless of log decoration) AND the bare final stdout line
     // (build.sbt forces StdoutOutput so sbt adds no "[info] " prefix)
@@ -95,6 +180,26 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     println(json)
+    // LAST stdout line: a compact non-JSON summary that survives tail
+    // truncation (prefixed so a last-JSON-line parser never mistakes it
+    // for the record). Calibration stats exclude the position-0 sample,
+    // which absorbs residual warmup by design (BASELINE.md protocol).
+    def f2(x: Double) = "%.2f".format(x)
+    val steady = calib.collect { case (p, t) if p > 0 => t }.sorted
+    val calibStr =
+      if (steady.isEmpty) "n/a"
+      else s"${f2(steady.head)}/${f2(steady(steady.size / 2))}/${f2(steady.last)}"
+    val unpinned = results.collect {
+      case (n, t, _) if t > 0 && !Pins.contains(n) => n }
+    val flagStr =
+      if (reruns.isEmpty) "none"
+      else reruns.map { case (n, first, rerun, pin, stable) =>
+        s"$n:${f2(first / pin)}x(rerun ${f2(rerun / pin)}x${if (stable) " STABLE" else ""})"
+      }.mkString(",")
+    println(s"BENCH SUMMARY total=${f2(total)}s n=${results.size} " +
+      s"failed=${failed.size} calib(min/med/max,pos>0)=$calibStr " +
+      s"flags>${FlagRatio}x=$flagStr stable_flags=${reruns.count(_._5)} " +
+      s"unpinned=${if (unpinned.isEmpty) "none" else unpinned.mkString(",")}")
     spark.stop()
   }
 }

@@ -716,7 +716,7 @@ object LlmQueries {
     TextAnalysis.badwordsFilter(Tables(spark, dir).documents, BadwordsBlocklist)
 
   val qBadwordsFilterSql: String = {
-    val bl = BadwordsBlocklist.map(w => s"'$w'").mkString(", ")
+    val bl = BadwordsBlocklist.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
        |t AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
        |g AS (SELECT doc_id,

@@ -61,6 +61,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("span-index probe: bucketed index side joins without its shuffle") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val idx = graft.operators.Dedup.buildSpanIndex(docs, 8)
     spark.sql("DROP TABLE IF EXISTS span_idx_b")
