@@ -466,6 +466,89 @@ object CensusQueries {
        |FROM cl""".stripMargin
   }
 
+  // ---- runAcs with the decennial source: the 2010 decennial run ----
+
+  /** The decennial pipeline end-to-end under the oracle gate — the
+    * same [[graft.Calculate.runAcs]] dispatch as q_run_acs but with
+    * `VariableRegistry.decennial(2010)` and the 2010 geography
+    * (geography/2010.py): decennial counts publish NO margin of error
+    * (calculate.py:100-104), the registry carries no medians or
+    * specials, and decennial_pop is its own 100% base. Geotypes: plain
+    * `tract` plus derived `NTA` via Geography2010's tract→NTA rollup.
+    * One tract (tid 7) carries an all-zero estimate to exercise the
+    * cleaning dead-row rule (e stays 0; c/m/p/z null) through the
+    * decennial branch. */
+  def qRunDec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meta.VariableRegistry
+    val c = Tables(spark, dir).customer
+    val tid = col("c_custkey") % 40
+    val tract = concat(
+      fipsCase2010((tid % 5).cast("string")),
+      lpad((tid * 100 + 100).cast("string"), 6, "0"))
+    val dl = c.select(
+      tract.as("census_geoid"), lit("tract").as("geotype"),
+      lit("P001001").as("census_variable"),
+      when(tid === 7, 0.0).otherwise((col("c_custkey") % 100).cast("double")).as("e"),
+      // m values are PRESENT in the download; the decennial source must
+      // ignore them and publish NULL moe
+      (col("c_custkey") % 10).cast("double").as("m"))
+    // synthetic 2010 lookup_geo: one block per tract, MN-prefixed NTAs
+    // (identity labs branch), zone flags unused by this run
+    val lk = c.select(tid.as("tid")).distinct().select(
+      fipsCase2010((col("tid") % 5).cast("string")).as("county_fips"),
+      concat(lpad((col("tid") * 100 + 100).cast("string"), 6, "0"),
+        lit("1000")).as("ctcb2010"),
+      lpad((col("tid") * 100 + 100).cast("string"), 6, "0").as("ct2010"),
+      (col("tid") % 12 + 1).cast("string").as("cd"),
+      concat(lit("MN"), (col("tid") % 7).cast("string")).as("nta"),
+      lit("0").as("fp_500"), lit("0").as("fp_100"), lit("0").as("park_access"))
+    val geo = graft.operators.Geography2010(lk)
+    new graft.Calculate(VariableRegistry.decennial(2010))
+      .runAcs(Map("tract" -> dl), geo, Seq("NTA", "tract"), source = "decennial")
+      .select(col("census_geoid"), col("labs_geoid"), col("geotype"),
+        col("labs_geotype"), col("pff_variable"),
+        Portable.roundp(col("c"), 4).as("c"), Portable.roundp(col("e"), 4).as("e"),
+        Portable.roundp(col("m"), 4).as("m"), Portable.roundp(col("p"), 4).as("p"),
+        Portable.roundp(col("z"), 4).as("z"), col("domain"))
+  }
+
+  lazy val qRunDecSql: String = {
+    import graft.meta.VariableRegistry
+    val reg = VariableRegistry.decennial(2010)
+    val v = reg.byName("decennial_pop")
+    val d = v.rounding
+    val fipsSql = "CASE CAST(tid % 5 AS VARCHAR) " +
+      fips2010.map { case (k, vv) => s"WHEN '$k' THEN '$vv'" }.mkString(" ") + " END"
+    // the decennial tail collapses hard: m/c are NULL by source rule,
+    // p/z by the base rule + cleaning (p=100, z=0 unless the row is
+    // dead). Only e needs the rounding digits from the registry.
+    s"""WITH t AS (SELECT c_custkey % 40 AS tid,
+       |    CASE WHEN c_custkey % 40 = 7 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(c_custkey % 100 AS DOUBLE) END AS e
+       |  FROM customer),
+       |g AS (SELECT $fipsSql
+       |    || LPAD(CAST(tid * 100 + 100 AS VARCHAR), 6, '0') AS geoid,
+       |    'MN' || CAST(tid % 7 AS VARCHAR) AS nta, e
+       |  FROM t),
+       |em AS (SELECT geoid, nta, SUM(e) AS e FROM g GROUP BY 1, 2),
+       |lvl AS (SELECT geoid, 'tract' AS geotype, e FROM em
+       |        UNION ALL
+       |        SELECT nta, 'NTA', SUM(e) FROM em GROUP BY 1, 2),
+       |r AS (SELECT geoid, geotype,
+       |        floor(e * 1e$d + 0.5) / 1e$d AS e FROM lvl)
+       |SELECT geoid AS census_geoid,
+       |  geotype,
+       |  $labsSelect,
+       |  'decennial_pop' AS pff_variable,
+       |  CAST(NULL AS DOUBLE) AS c,
+       |  floor(e * 1e4 + 0.5) / 1e4 AS e,
+       |  CAST(NULL AS DOUBLE) AS m,
+       |  CASE WHEN e = 0 THEN NULL ELSE CAST(100 AS DOUBLE) END AS p,
+       |  CASE WHEN e = 0 THEN NULL ELSE CAST(0 AS DOUBLE) END AS z,
+       |  '${v.domain}' AS domain
+       |FROM r""".stripMargin
+  }
+
   // ---- #11 multi-level geo rollup in one pass ----
 
   /** tract→boro→city in a single shuffle via ROLLUP — the Spark-first
