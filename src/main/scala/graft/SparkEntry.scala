@@ -83,6 +83,8 @@ object SparkEntry {
     "q_lang_id" -> (L.qLangId _),
     "q_text_quality" -> (L.qTextQuality _),
     "q_quality_filter" -> (L.qQualityFilter _),
+    // learned linear classifier next to the rule- and LM-based signals
+    "q_quality_classifier" -> (L.qQualityClassifier _),
     "q_token_count" -> (L.qTokenCount _),
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_token_pack" -> (L.qTokenPack _),
@@ -204,6 +206,7 @@ object SparkEntry {
     "q_lang_id" -> L.qLangIdSql,
     "q_text_quality" -> L.qTextQualitySql,
     "q_quality_filter" -> L.qQualityFilterSql,
+    "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_token_count" -> L.qTokenCountSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_token_pack" -> L.qTokenPackSql,

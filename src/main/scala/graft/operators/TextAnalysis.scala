@@ -883,4 +883,61 @@ object TextAnalysis {
         when(col("mean_logprob") >= col("t_hi"), lit("head"))
           .when(col("mean_logprob") >= col("t_lo"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+
+  // ---- linear quality classifier (fastText / FineWeb-Edu style) ----
+
+  /** A deterministic stand-in for a TRAINED linear model over hashed
+    * n-gram features: one fixed-point weight per hash bucket, derived
+    * closed-form from the bucket id via the md5 hash (so the DuckDB
+    * oracle regenerates the identical table from `range(nBuckets)`).
+    * In a real deployment this frame is the trained fastText/FineWeb-Edu
+    * classifier's weight vector loaded from storage — the apply half
+    * ([[hashedLinearScore]]) never cares where the weights came from.
+    * Weights land in [-1e6, 1e6] = real weights in [-1, 1] at the 1e6
+    * fixed-point scale. */
+  def hashedLinearModel(spark: org.apache.spark.sql.SparkSession,
+                        nBuckets: Int): DataFrame =
+    spark.range(nBuckets).select(
+      col("id").cast("int").as("bucket"),
+      (Portable.h31(concat(lit("w:"), col("id").cast("string")))
+        % lit(2000001L) - lit(1000000L)).as("w"))
+
+  /** Score documents under a linear hashed-ngram classifier — the
+    * fastText sentence-vector shape (Joulin et al. 2016: average of
+    * feature embeddings → linear layer) reduced to 1 dimension, which
+    * is exactly the FineWeb-Edu-style quality scorer. Features are
+    * unigrams + bigrams (ONE Generate over a concatenated array — a
+    * single corpus scan), hashed into `nBuckets` buckets with the
+    * md5-derived [[Portable.h31]]; per-doc accumulation is pure integer
+    * tf·w sums (bit-identical on any partition layout or engine); the
+    * squash is the rational sigmoid x/(1+|x|) scaled to (0,1) — only
+    * IEEE +,*,/,abs, so the oracle replays it EXACTLY (no exp
+    * cross-engine drift). `keep` cuts at prob >= 0.5, i.e. the exact
+    * integer sign of the weight sum.
+    *
+    * Scale shape: one tokenize scan, one (doc, bucket) shuffle, the
+    * model joins broadcast (nBuckets rows), one per-doc shuffle. Docs
+    * with zero tokens are absent (same contract as [[dsirWeights]]). */
+  def hashedLinearScore(docs: DataFrame, model: DataFrame, nBuckets: Int,
+                        id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats = docs.select(col(id), explode(concat(
+        Portable.words(col(textCol)),
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false))).as("f"))
+      .where(length(col("f")) > 0)
+    val tf = feats
+      .select(col(id), (Portable.h31(col("f")) % nBuckets).cast("int").as("bucket"))
+      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_features"), sum(col("tf") * col("w")).as("__s"))
+      // stage x: score and prob both reference it (CollapseProject
+      // keeps it staged); n_features >= 1 by construction, no /0
+      .withColumn("__x",
+        col("__s").cast(DoubleType) / col("n_features").cast(DoubleType) / lit(1e6))
+    scored.select(col(id), col("n_features"),
+      Portable.roundp(col("__x"), 6).as("score"),
+      Portable.roundp(
+        lit(0.5) + lit(0.5) * col("__x") / (lit(1.0) + abs(col("__x"))), 6).as("prob"),
+      (col("__s") >= 0).cast(LongType).as("keep"))
+  }
 }

@@ -1626,6 +1626,52 @@ object LlmQueries {
        |LEFT JOIN ($qTextRepetitionSql) r ON q.doc_id = r.doc_id
        |JOIN ($qLangIdSql) l ON q.doc_id = l.doc_id""".stripMargin
 
+  // ---- linear quality classifier (fastText / FineWeb-Edu style) ----
+
+  /** Per-doc score under a BROADCAST linear hashed-ngram model — the
+    * learned-classifier quality signal next to the rule family
+    * (q_quality_filter) and the LM family (q_ccnet_buckets,
+    * q_dsir_weights). See TextAnalysis.hashedLinearScore for the
+    * feature/weight/squash design; the oracle regenerates the weight
+    * table closed-form from range(nBuckets) and replays the integer
+    * tf·w sums exactly. */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(Tables(spark, dir).documents,
+      TextAnalysis.hashedLinearModel(spark, QcBuckets), QcBuckets)
+
+  private val QcBuckets = 4096
+
+  val qQualityClassifierSql: String = {
+    val b = QcBuckets
+    s"""WITH wt AS (SELECT CAST(i AS INT) AS bucket,
+       |    (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 7))::BIGINT
+       |      % ${Config.MinhashPrime}) % 2000001 - 1000000 AS w
+       |  FROM range($b) t(i)),
+       |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |feats AS (SELECT doc_id, f FROM (
+       |    SELECT doc_id, unnest(w) AS f FROM ws
+       |    UNION ALL
+       |    SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+       |      ELSE list_transform(generate_series(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1]) END) AS f FROM ws
+       |  ) WHERE length(f) > 0),
+       |tb AS (SELECT doc_id,
+       |    CAST((('0x' || substr(md5(f), 1, 7))::BIGINT % ${Config.MinhashPrime})
+       |      % $b AS INT) AS bucket,
+       |    COUNT(*) AS tf
+       |  FROM feats GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_features,
+       |    CAST(SUM(tf * w) AS BIGINT) AS s
+       |  FROM tb JOIN wt USING (bucket) GROUP BY 1),
+       |xs AS (SELECT doc_id, n_features, s,
+       |    CAST(s AS DOUBLE) / CAST(n_features AS DOUBLE) / 1e6 AS x FROM sc)
+       |SELECT doc_id, n_features,
+       |  floor((x) * 1e6 + 0.5) / 1e6 AS score,
+       |  floor((0.5 + 0.5 * x / (1.0 + abs(x))) * 1e6 + 0.5) / 1e6 AS prob,
+       |  CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM xs""".stripMargin
+  }
+
   // ---- #51 corpus stats rollup (CUBE) ----
 
   /** Corpus reporting: docs and whitespace-token totals by source, by

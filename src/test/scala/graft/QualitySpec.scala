@@ -592,6 +592,45 @@ class QualitySpec extends SparkSpec {
     assert(keeps > 0 && keeps < out.length, s"keeps=$keeps of ${out.length}")
   }
 
+  test("hashedLinearScore: sane ranges, sign-consistent keep, and budget composition") {
+    val model = TextAnalysis.hashedLinearModel(spark, 4096)
+    val out = TextAnalysis.hashedLinearScore(docs, model, 4096).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val score = r.getDouble(r.fieldIndex("score"))
+      val prob = r.getDouble(r.fieldIndex("prob"))
+      val keep = r.getLong(r.fieldIndex("keep"))
+      assert(score >= -1.0 && score <= 1.0, s"score $score out of weight range")
+      assert(prob >= 0.0 && prob <= 1.0)
+      // keep is the exact sign cut at prob >= 0.5 (up to the 1e-6 round)
+      assert((keep == 1L) === (score >= -1e-6 || prob >= 0.5 - 1e-6))
+      assert(r.getLong(r.fieldIndex("n_features")) >= 1L)
+    }
+    // a hashed random-weight model splits a real corpus both ways
+    val keeps = out.count(_.getLong(out.head.fieldIndex("keep")) == 1L)
+    assert(keeps > 0 && keeps < out.length, s"keeps=$keeps of ${out.length}")
+
+    // threshold-selection composition: classifier score drives the
+    // budgeted best-first selection (the FineWeb-Edu deployment shape)
+    val scored = TextAnalysis.hashedLinearScore(docs, model, 4096)
+    val total = scored.agg(sum(col("n_features"))).first.getLong(0)
+    val sel = Sampling.selectByScoreBudget(
+      scored, "doc_id", "score", "n_features", total * 3 / 10).collect()
+    val selected = sel.filter(_.getLong(3) == 1L)
+    val rejected = sel.filter(_.getLong(3) == 0L)
+    assert(selected.map(_.getLong(2)).sum <= total * 3 / 10, "budget exceeded")
+    // best-first: every selected score >= every rejected score, except
+    // inside the single boundary bin (where the id tiebreak rules)
+    if (selected.nonEmpty && rejected.nonEmpty) {
+      val minSel = selected.map(_.getDouble(1)).min
+      val better = rejected.count(_.getDouble(1) > minSel)
+      val binWidth = (sel.map(_.getDouble(1)).max - sel.map(_.getDouble(1)).min) / 128
+      val boundary = rejected.count(r => r.getDouble(1) <= minSel + binWidth)
+      assert(better <= boundary,
+        s"$better rejected docs outscore a selected one beyond the boundary bin")
+    }
+  }
+
   test("stratifiedSample: deterministic, proportional, drops unlisted strata, no shuffle of the corpus") {
     import spark.implicits._
     val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
