@@ -56,4 +56,52 @@ object Bucketing {
     * (hash repartitioning) — broadcast exchanges don't count. */
   def hasExchange(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** The table names of a dedup index MANIFEST under one prefix: the
+    * delta-dedup index's three frames plus the substring-span index,
+    * each a bucketed+sorted managed table on its PROBE key. This is the
+    * standing 100 TB layout: indexes are trained offline
+    * (Dedup.buildIndex / Dedup.buildSpanIndex), written ONCE here, and
+    * every per-batch probe join (Dedup.dedupAgainstIndex /
+    * spanStatsAgainstIndex) then shuffles only the batch side — the
+    * index's co-location is in the catalog. */
+  case class ManifestNames(prefix: String) {
+    val hashes = s"${prefix}_hashes"     // probe key: content_hash
+    val bands = s"${prefix}_bands"       // probe key: band_val
+    val shingles = s"${prefix}_shingles" // probe key: doc_id (verify join)
+    val spans = s"${prefix}_spans"       // probe key: span_hash
+    def all: Seq[String] = Seq(hashes, bands, shingles, spans)
+  }
+
+  /** Persist both standing indexes as one manifest (see
+    * [[ManifestNames]] for the per-table probe keys). */
+  def writeDedupManifest(prefix: String,
+                         index: graft.operators.Dedup.DedupIndex,
+                         spanIndex: DataFrame, nBuckets: Int): ManifestNames = {
+    val n = ManifestNames(prefix)
+    writeBucketed(index.hashes, n.hashes, nBuckets, "content_hash")
+    writeBucketed(index.bands, n.bands, nBuckets, "band_val")
+    writeBucketed(index.shingles, n.shingles, nBuckets, "doc_id")
+    writeBucketed(spanIndex, n.spans, nBuckets, "span_hash")
+    n
+  }
+
+  /** Reload a written manifest: (delta-dedup index, span index). The
+    * frames are catalog tables — downstream probe joins see the bucket
+    * layout and plan no Exchange on the index side. */
+  def readDedupManifest(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): (graft.operators.Dedup.DedupIndex, DataFrame) = {
+    val n = ManifestNames(prefix)
+    (graft.operators.Dedup.DedupIndex(
+      hashes = spark.table(n.hashes),
+      bands = spark.table(n.bands),
+      shingles = spark.table(n.shingles)),
+      spark.table(n.spans))
+  }
+
+  /** Drop every table of a manifest (test/rebuild hygiene). */
+  def dropDedupManifest(spark: org.apache.spark.sql.SparkSession,
+                        prefix: String): Unit =
+    ManifestNames(prefix).all.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
 }

@@ -84,4 +84,44 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS span_idx_b")
     }
   }
+
+  test("dedup manifest: written-and-reloaded indexes probe identically to in-memory") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val idx = Dedup.buildIndex(corpus)
+    val spans = Dedup.buildSpanIndex(corpus, 8)
+    Bucketing.dropDedupManifest(spark, "m_rt")
+    Bucketing.writeDedupManifest("m_rt", idx, spans, 4)
+    try {
+      val (ridx, rspans) = Bucketing.readDedupManifest(spark, "m_rt")
+      // composition parity: the on-disk manifest is the SAME index
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+      val mem = Dedup.dedupAgainstIndex(batch, idx).collect().map(key).toSet
+      val disk = Dedup.dedupAgainstIndex(batch, ridx).collect().map(key).toSet
+      assert(mem === disk)
+      assert(mem.nonEmpty)
+      val smem = Dedup.spanStatsAgainstIndex(batch, spans, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sdisk = Dedup.spanStatsAgainstIndex(batch, rspans, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(smem === sdisk)
+      // the span probe join must not shuffle the reloaded index side
+      val probe = batch.select(explode(
+          graft.functions.WordShingles.of(col("text"), 8, distinct = false)).as("win"))
+        .select(md5(col("win")).as("span_hash"))
+        .hint("merge")
+        .join(rspans.where(col("n_occurrences") >= 2)
+          .select(col("span_hash")), Seq("span_hash"))
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(probe.queryExecution.executedPlan.toString).length
+      assert(exchanges === 1,
+        s"expected only the batch side to shuffle:\n${probe.queryExecution.executedPlan}")
+    } finally {
+      Bucketing.dropDedupManifest(spark, "m_rt")
+    }
+  }
 }
