@@ -1,0 +1,34 @@
+package graft
+
+/** Scale-linearity probe for the pair-generating operators (the r7
+  * audio-ramp lesson: quadratic pair blowups hide in fixtures — check
+  * output ROWS and wall-clock scale ~linearly across the natural
+  * 1×/10×/100× testdata range before believing any pair query's
+  * baseline). Prints one JSON line per (query, sf): row count and
+  * min-of-3 noop-sink seconds. ScaleLinearitySpec pins the row ratios;
+  * this main records the wall-clock evidence for SURVEY §9.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_dedup_containment", "q_dedup_incremental",
+        "q_image_phash", "q_audio_fingerprint")
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val spark = Sessions.build("graft-scaleprobe")
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (name <- names; dir <- sfs) {
+      spark.catalog.clearCache()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"$name","sf":"$dir","rows":$rows,"sec":${times.min}%.3f}""")
+    }
+    spark.stop()
+  }
+}

@@ -83,11 +83,21 @@ object Multimodal {
   }
 
   /** The deterministic test pattern: pixel (x, y, band) of an image
-    * seeded with `seed` is `(seed + 7x + 13y + 101c) mod 256` — simple
-    * integer arithmetic any engine can replay, so a decode of the
-    * encoded PNG is verifiable from first principles. */
+    * seeded with `seed` is
+    * `(seed + 7x + 13y + 101c + 29·seed·x + 53·seed·y) mod 256` —
+    * simple integer arithmetic any engine can replay, so a decode of
+    * the encoded PNG is verifiable from first principles. The seed
+    * enters MULTIPLICATIVELY with the coordinates (not just as an
+    * additive offset): two same-shape images with different seeds then
+    * differ per-pixel by `(s1-s2)(1+29x+53y) mod 256`, which varies
+    * across the grid — so their perceptual above-mean profiles
+    * decorrelate. With the original additive-only pattern every
+    * same-shape pair differed by a CONSTANT, leaving phashes nearly
+    * identical, and the pair count grew quadratically in the corpus
+    * (the r7 audio-ramp failure mode, re-measured in r12: 614→72k
+    * pairs for 10× docs). */
   @inline def patternValue(seed: Int, x: Int, y: Int, band: Int): Int =
-    (seed + 7 * x + 13 * y + 101 * band) % 256
+    (seed + 7 * x + 13 * y + 101 * band + 29 * seed * x + 53 * seed * y) % 256
 
   /** Synthesize REAL PNG payloads partition-locally: input rows
     * `(doc_id, w, h, seed)` → `(doc_id, payload)` where payload is a
@@ -222,8 +232,13 @@ object Multimodal {
     * `(doc_id, n_samples, seed)` → `(doc_id, payload)` where payload is
     * a genuine RIFF/WAVE file (16-bit signed little-endian PCM, mono,
     * 8 kHz) written by javax.sound.sampled — the audio counterpart of
-    * [[encodePng]]. Sample i is `((seed + 7i) mod 2000) - 1000`, a
-    * closed form any engine can replay. */
+    * [[encodePng]]. Sample i is
+    * `((seed + 7i + 13i² + 31·seed·i) mod 2000) - 1000`, a closed form
+    * any engine can replay. The 31·seed·i cross term decorrelates
+    * same-length signals with different seeds (see [[patternValue]] —
+    * an additive-only seed shifts every sample by a constant, leaving
+    * energy-profile fingerprints nearly identical and the pair count
+    * quadratic in the corpus). */
   def encodeWav(specs: DataFrame): DataFrame = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val spark = specs.sparkSession
@@ -235,7 +250,7 @@ object Multimodal {
           val pcm = new Array[Byte](2 * n)
           var i = 0
           while (i < n) {
-            val v = (seed + 7 * i + 13 * i * i) % 2000 - 1000
+            val v = (seed + 7 * i + 13 * i * i + 31 * seed * i) % 2000 - 1000
             pcm(2 * i) = (v & 0xff).toByte          // little-endian lo
             pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1

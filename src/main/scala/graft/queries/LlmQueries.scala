@@ -1426,7 +1426,8 @@ object LlmQueries {
   val qImageDecodeSql: String =
     """WITH d AS (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h,
       |    doc_id % 251 AS seed FROM documents),
-      |px AS (SELECT doc_id, (seed + 7 * x.i + 13 * y.j + 101 * c.k) % 256 AS v
+      |px AS (SELECT doc_id, (seed + 7 * x.i + 13 * y.j + 101 * c.k
+      |    + 29 * seed * x.i + 53 * seed * y.j) % 256 AS v
       |  FROM d,
       |    unnest(generate_series(0, w - 1)) AS x(i),
       |    unnest(generate_series(0, h - 1)) AS y(j),
@@ -1447,21 +1448,34 @@ object LlmQueries {
     * hash, bands and hamming from the closed form — any bent byte in
     * the codec path bends a cell and fails the hash gate. */
   def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    // groups-of-7 re-encodings (the r7 audio-fixture rule): identical
+    // specs within a group give C(7,2) pairs per group — LINEAR in the
+    // corpus; the multiplicative-seed pattern (patternValue) makes
+    // cross-group near-collisions vanish, so the pair count is bounded
+    // by construction at any scale (r12 probe: 614→72k pairs for 10×
+    // docs under the old per-doc additive fixture)
+    // w/h >= 8: below the 8x6 phash grid a tiny image repeats sample
+    // coordinates ((i*w)//8 collapses), the hash loses entropy, and
+    // cross-group near-collisions creep back in
+    val g = expr("doc_id DIV 7")
     val specs = Tables(spark, dir).documents.select(
       col("doc_id"),
-      (col("doc_id") % 13 + 1).as("w"),
-      (col("doc_id") % 11 + 1).as("h"),
-      (col("doc_id") % 251).as("seed"))
+      (g % 13 + 8).as("w"),
+      (g % 11 + 8).as("h"),
+      (g % 251).as("seed"))
     Multimodal.phashPairs(Multimodal.encodePng(specs), "doc_id", "payload",
       PhashMaxHamming)
   }
 
   val qImagePhashSql: String = {
-    val sxy = "7 * ((i.v * w) // 8) + 13 * ((j.v * h) // 6)"
-    val cell = (0 until 3).map(c => s"(seed + $sxy + ${101 * c}) % 256").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 1 AS INTEGER) AS w,
-       |    CAST(doc_id % 11 + 1 AS INTEGER) AS h,
-       |    CAST(doc_id % 251 AS INTEGER) AS seed FROM documents),
+    val gx = "(i.v * w) // 8"
+    val gy = "(j.v * h) // 6"
+    val cell = (0 until 3).map(c =>
+      s"(seed + 7 * ($gx) + 13 * ($gy) + ${101 * c}" +
+        s" + 29 * seed * ($gx) + 53 * seed * ($gy)) % 256").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, CAST((doc_id // 7) % 13 + 8 AS INTEGER) AS w,
+       |    CAST((doc_id // 7) % 11 + 8 AS INTEGER) AS h,
+       |    CAST((doc_id // 7) % 251 AS INTEGER) AS seed FROM documents),
        |cells AS (SELECT doc_id, j.v * 8 + i.v AS idx, CAST($cell AS BIGINT) AS v
        |  FROM d, unnest(generate_series(0, 7)) AS i(v),
        |         unnest(generate_series(0, 5)) AS j(v)),
@@ -1547,7 +1561,7 @@ object LlmQueries {
   val qAudioDecodeSql: String =
     """WITH d AS (SELECT doc_id, doc_id % 100 + 100 AS n, doc_id % 251 AS seed
       |  FROM documents),
-      |s AS (SELECT doc_id, CAST(sum((seed + 7 * i.k + 13 * i.k * i.k) % 2000 - 1000) AS BIGINT) AS pcm_sum
+      |s AS (SELECT doc_id, CAST(sum((seed + 7 * i.k + 13 * i.k * i.k + 31 * seed * i.k) % 2000 - 1000) AS BIGINT) AS pcm_sum
       |  FROM d, unnest(generate_series(0, n - 1)) AS i(k)
       |  GROUP BY doc_id)
       |SELECT d.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
@@ -1579,7 +1593,7 @@ object LlmQueries {
   }
 
   val qAudioFingerprintSql: String = {
-    val v = "((seed + 7 * i.k + 13 * i.k * i.k) % 2000 - 1000)"
+    val v = "((seed + 7 * i.k + 13 * i.k * i.k + 31 * seed * i.k) % 2000 - 1000)"
     s"""WITH d AS (SELECT doc_id, (doc_id // 7) % 89 + 100 AS n,
        |    (doc_id // 7) % 251 AS seed
        |  FROM documents),

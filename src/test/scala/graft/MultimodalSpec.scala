@@ -172,7 +172,7 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(firstBytes.slice(8, 12), "US-ASCII") === "WAVE")
     val out = Multimodal.decodeAudio(wav, "doc_id", "payload").orderBy("doc_id").collect()
     def expectSum(n: Int, seed: Int): Long =
-      (0 until n).map(i => ((seed + 7 * i + 13 * i * i) % 2000 - 1000).toLong).sum
+      (0 until n).map(i => ((seed + 7 * i + 13 * i * i + 31 * seed * i) % 2000 - 1000).toLong).sum
     for ((r, (_, n, seed)) <- out.zip(Seq((1L, 50, 10), (2L, 1, 1999), (3L, 200, 0)))) {
       assert(r.getLong(1) === 8000L && r.getLong(2) === 1L && r.getLong(3) === 16L)
       assert(r.getLong(4) === n.toLong)

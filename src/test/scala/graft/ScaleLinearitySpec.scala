@@ -1,0 +1,49 @@
+package graft
+
+/** The r7 audio-ramp lesson as a standing gate: pair-generating
+  * operators must produce output ROWS that grow ~linearly with the
+  * corpus, or their baselines rest on a fixture that quietly goes
+  * quadratic (BASELINE.md:190-195). This spec runs the pair queries at
+  * sf0.01 (500 docs) and sf0.1 (5000 docs — a real 10× corpus, not a
+  * synthetic replication) and pins the growth ratio. r12 measurements
+  * that motivated it (ScaleProbe): the additive-seed phash fixture grew
+  * 614→72114 pairs (117×) for 10× docs; after the multiplicative-seed
+  * pattern + groups-of-7 fix, 1494→15191 (10.2×). Audio:
+  * 1543→50485 (33×) before, 1494→14995 (10.04×) after.
+  *
+  * q_dedup_containment is intentionally NOT pinned linear: its
+  * candidates are natural-language trigram sharing, quadratic BELOW the
+  * df-cap (measured max trigram df at sf0.1 is 6 vs cap 64) and
+  * cap-bounded (≤ C(dfCap,2) pairs per shingle, shingles linear) above
+  * it — the 100 TB shape is linear, the small-corpus window is not.
+  */
+class ScaleLinearitySpec extends SparkSpec {
+  private def rows(name: String, sf: String): Long = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, s"/root/testdata/sf$sf").count()
+  }
+
+  private def assertLinear(name: String): Unit = {
+    assume(new java.io.File("/root/testdata/sf0.1/documents.parquet").exists())
+    val small = rows(name, "0.01")
+    val big = rows(name, "0.1")
+    assert(small > 0, s"$name: empty at sf0.01 — fixture produces no pairs")
+    val ratio = big.toDouble / small
+    // 10x docs: linear-by-construction fixtures land at ~10x (partial
+    // trailing groups + a small residual); >20x means quadratic leakage
+    assert(ratio > 5 && ratio < 20,
+      s"$name: $small -> $big rows (${ratio}x) for 10x docs — not linear")
+  }
+
+  test("q_image_phash pairs grow linearly with the corpus") {
+    assertLinear("q_image_phash")
+  }
+
+  test("q_audio_fingerprint pairs grow linearly with the corpus") {
+    assertLinear("q_audio_fingerprint")
+  }
+
+  test("q_dedup_incremental verdicts grow linearly with the batch") {
+    assertLinear("q_dedup_incremental")
+  }
+}
