@@ -73,6 +73,8 @@ object SparkEntry {
     "q_stratified_sample" -> (L.qStratifiedSample _),
     "q_stratum_topn" -> (L.qStratumTopn _),
     "q_decontaminate" -> (L.qDecontaminate _),
+    // constant-memory Bloom-filter variant (deterministic md5 positions)
+    "q_bloom_decontaminate" -> (L.qBloomDecontaminate _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
@@ -196,6 +198,7 @@ object SparkEntry {
     "q_stratified_sample" -> L.qStratifiedSampleSql,
     "q_stratum_topn" -> L.qStratumTopnSql,
     "q_decontaminate" -> L.qDecontaminateSql,
+    "q_bloom_decontaminate" -> L.qBloomDecontaminateSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,

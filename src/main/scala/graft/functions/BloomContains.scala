@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftShim
+
+/** Deterministic Bloom-filter membership probe for string keys.
+  *
+  * Position i of key s is `h31(i + ":" + s) % m` where h31 is the
+  * md5-derived 31-bit hash [[Portable.h31]] uses (md5 hex, first 7
+  * chars as base-16, mod 2^31-1) — so the k probe positions are
+  * EXACTLY replayable as SQL
+  * `(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||s),1,7))::BIGINT
+  *   % 2147483647) % m`
+  * and even the FALSE POSITIVES are deterministic and cross-engine
+  * identical (the property that lets a Bloom-filter query hold an
+  * exact oracle gate; engine-native bloom implementations cannot).
+  *
+  * The bit array rides into codegen via `ctx.addReferenceObj` — one
+  * references-array slot, constant generated-code size at any m (the
+  * FloatTopCosineIdx pattern) — and the per-row work is a static
+  * method shared by interpreted eval and codegen (no drift). At
+  * m = 2^18 the filter is 32 KiB per executor: the constant-memory
+  * membership index that a broadcast join of the raw key set cannot
+  * match at benchmark-suite scale.
+  */
+case class BloomContains(child: Expression, bits: Array[Long], k: Int, m: Int)
+    extends UnaryExpression {
+  require(k >= 1 && m >= 1 && bits.length == (m + 63) / 64,
+    s"bits must hold m=$m bits (have ${bits.length} longs)")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override protected def nullSafeEval(s: Any): Any =
+    BloomContains.contains(s.asInstanceOf[UTF8String], bits, k, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val cls = BloomContains.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $cls.contains($s, $bitsRef, $k, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomContains {
+
+  /** `h31(prefix-i ":" key) % m` — byte-for-byte the same value as
+    * Spark's `conv(substring(md5(concat(lit(i+":"), key)), 1, 7), 16,
+    * 10) % 2147483647 % m` (Portable.h31 composed with the position
+    * prefix). Exposed for the builder and the parity spec. */
+  def position(i: Int, key: UTF8String, m: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((i + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(key.getBytes)
+    val d = md.digest()
+    // first 7 hex chars of the digest = the high 28 bits of the first
+    // four bytes (big-endian), exactly what conv(substring(hex,1,7))
+    // parses
+    val v = ((d(0) & 0xffL) << 24 | (d(1) & 0xffL) << 16 |
+      (d(2) & 0xffL) << 8 | (d(3) & 0xffL)) >> 4
+    ((v % 2147483647L) % m).toInt
+  }
+
+  /** Shared by interpreted eval and codegen. */
+  def contains(s: UTF8String, bits: Array[Long], k: Int, m: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      val p = position(i, s, m)
+      if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Pack set positions into the bit array. */
+  def build(positions: Array[Int], m: Int): Array[Long] = {
+    val bits = new Array[Long]((m + 63) / 64)
+    var i = 0
+    while (i < positions.length) {
+      val p = positions(i)
+      bits(p >> 6) |= 1L << (p & 63)
+      i += 1
+    }
+    bits
+  }
+
+  /** Column API. */
+  def of(key: Column, bits: Array[Long], k: Int, m: Int): Column =
+    GraftShim.column(BloomContains(GraftShim.expression(key), bits, k, m))
+}

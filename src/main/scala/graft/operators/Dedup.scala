@@ -664,6 +664,48 @@ object Dedup {
       .where(col("n_common") >= minCommon)
   }
 
+  /** Bloom-filter benchmark decontamination — [[decontaminate]]'s
+    * constant-memory sibling for benchmark suites too large to
+    * broadcast raw: benchmark shingles hash into an mBits-bit Bloom
+    * filter (k md5-derived positions each, [[graft.functions
+    * .BloomContains]]), and the corpus probes the filter with a
+    * codegen scalar expression — NO join, no row inflation, no shuffle
+    * before the per-doc regroup, and the executor-side index is
+    * mBits/8 bytes no matter how many benchmark documents exist. The
+    * build's driver collect is bounded by mBits DISTINCT positions
+    * (the memory the filter itself costs — that bound is the point).
+    *
+    * Because the hash positions are md5-derived, the filter's false
+    * positives are DETERMINISTIC and engine-independent: the oracle
+    * regenerates the identical position set in SQL and the flag counts
+    * hash-match exactly (size mBits for the expected benchmark shingle
+    * volume so the false-positive rate stays honest; they are a
+    * modeled property, not noise).
+    *
+    * Returns one row per corpus doc with at least one shingle:
+    * (doc_id, n_shingles, n_flagged, contaminated 0/1). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         numHashes: Int = 3, mBits: Int = 1 << 18,
+                         minFlagged: Long = 1L): DataFrame = {
+    import graft.functions.BloomContains
+    val benchSh = withShingles(benchmark, Seq.empty)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val posCols = (0 until numHashes).map(i =>
+      (Portable.h31(concat(lit(s"$i:"), col("shingle"))) % mBits).cast("int"))
+    val positions = benchSh
+      .select(explode(array(posCols: _*)).as("pos")).distinct()
+      .collect().map(_.getInt(0))
+    val bits = BloomContains.build(positions, mBits)
+    withShingles(corpus, Seq.empty)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .withColumn("__hit", BloomContains.of(col("shingle"), bits, numHashes, mBits))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("doc_id"), col("n_shingles"), col("n_flagged"),
+        (col("n_flagged") >= minFlagged).cast(LongType).as("contaminated"))
+  }
+
   /** 32-bit SimHash per doc: every token occurrence votes ±1 on each bit
     * of the low Config.SimhashBits bits of its 60-bit hash; fingerprint bit j is 1 iff the vote sum is
     * positive. One explode + ONE custom aggregate (graft.functions

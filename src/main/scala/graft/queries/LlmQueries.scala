@@ -322,6 +322,48 @@ object LlmQueries {
        |GROUP BY 1, 2
        |HAVING count(*) >= $DecontaminateMinCommon""".stripMargin
 
+  // ---- Bloom-filter decontamination (constant-memory index) ----
+
+  private val BloomK = 3
+  private val BloomM = 1 << 18
+
+  /** The constant-memory sibling of q_decontaminate: benchmark
+    * shingles (docs with id < 15) build an md5-derived Bloom filter;
+    * the corpus probes it with the BloomContains codegen expression —
+    * deterministic false positives, so the oracle replays the probe
+    * exactly via the same position arithmetic (see
+    * Dedup.bloomDecontaminate). */
+  def qBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.bloomDecontaminate(
+      docs.where(col("doc_id") >= 15),
+      docs.where(col("doc_id") < 15),
+      BloomK, BloomM)
+  }
+
+  val qBloomDecontaminateSql: String = {
+    val pos = "(('0x' || substr(md5(CAST(h.i AS VARCHAR) || ':' || shingle), 1, 7))::BIGINT" +
+      s" % ${Config.MinhashPrime}) % $BloomM"
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM ws),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |bpos AS (SELECT DISTINCT $pos AS pos
+       |  FROM ex, unnest(generate_series(0, ${BloomK - 1})) AS h(i)
+       |  WHERE doc_id < 15),
+       |ppos AS (SELECT doc_id, shingle, $pos AS pos
+       |  FROM ex, unnest(generate_series(0, ${BloomK - 1})) AS h(i)
+       |  WHERE doc_id >= 15),
+       |hits AS (SELECT doc_id, shingle,
+       |    count(*) FILTER (WHERE pos IN (SELECT pos FROM bpos)) AS nset
+       |  FROM ppos GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(*) FILTER (WHERE nset = $BloomK) AS BIGINT) AS n_flagged,
+       |  CAST(CASE WHEN count(*) FILTER (WHERE nset = $BloomK) >= 1
+       |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM hits GROUP BY 1""".stripMargin
+  }
+
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val bucket = Portable.h60(concat_ws(":", lit("split"), col("doc_id"))) % 100

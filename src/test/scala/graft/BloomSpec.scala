@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{BloomContains, Portable}
+import graft.operators.Dedup
+
+class BloomSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("position matches the Portable.h31 column arithmetic byte-for-byte") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val m = 1 << 18
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = docs.select(explode(
+        graft.functions.WordShingles.of(col("text"), 3)).as("s"))
+      .limit(200)
+      .select(col("s"),
+        (Portable.h31(concat(lit("0:"), col("s"))) % m).as("p0"),
+        (Portable.h31(concat(lit("2:"), col("s"))) % m).as("p2"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = UTF8String.fromString(r.getString(0))
+      assert(BloomContains.position(0, s, m) === r.getLong(1).toInt)
+      assert(BloomContains.position(2, s, m) === r.getLong(2).toInt)
+    }
+  }
+
+  test("no false negatives; false positives deterministic and rare at the sized m") {
+    val m = 1 << 18
+    val k = 3
+    val keys = (0 until 2000).map(i => s"member key $i")
+    val positions = keys.flatMap(s =>
+      (0 until k).map(i => BloomContains.position(i, UTF8String.fromString(s), m)))
+      .distinct.toArray
+    val bits = BloomContains.build(positions, m)
+    keys.foreach(s => assert(
+      BloomContains.contains(UTF8String.fromString(s), bits, k, m),
+      s"false negative on $s"))
+    val probes = (0 until 20000).map(i => s"non member $i")
+    val fp = probes.count(s =>
+      BloomContains.contains(UTF8String.fromString(s), bits, k, m))
+    // 2000 keys * 3 hashes in 2^18 bits -> theoretical fp ~ (n/m)^k ~ 1e-5
+    assert(fp < 20, s"$fp false positives in ${probes.size} probes")
+    // determinism: the same probe set flags identically on a rebuild
+    val fp2 = probes.count(s =>
+      BloomContains.contains(UTF8String.fromString(s),
+        BloomContains.build(positions.reverse, m), k, m))
+    assert(fp2 === fp)
+  }
+
+  test("bloomDecontaminate is a superset of exact decontamination (never misses)") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") >= 15)
+    val bench = docs.where(col("doc_id") < 15)
+    val exact = Dedup.decontaminate(corpus, bench, 1)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.bloomDecontaminate(corpus, bench)
+      .where(col("contaminated") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom missed ${exact -- bloom} — a Bloom filter cannot have false negatives")
+    // at this corpus/m ratio the filter should not be drowning in fps
+    assert(bloom.size <= exact.size + docs.count() / 10)
+  }
+}
