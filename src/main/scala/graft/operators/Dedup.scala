@@ -686,8 +686,16 @@ object Dedup {
     * (doc_id, n_shingles, n_flagged, contaminated 0/1). */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                          numHashes: Int = 3, mBits: Int = 1 << 18,
-                         minFlagged: Long = 1L): DataFrame = {
-    import graft.functions.BloomContains
+                         minFlagged: Long = 1L): DataFrame =
+    bloomProbe(corpus, buildBloomFilter(benchmark, numHashes, mBits),
+      numHashes, mBits, minFlagged)
+
+  /** The TRAIN half of [[bloomDecontaminate]]: benchmark shingles →
+    * the packed bit array. Built once, shipped everywhere (it is
+    * mBits/8 bytes); the streaming twin and any per-batch probe reuse
+    * it without touching the benchmark again. */
+  def buildBloomFilter(benchmark: DataFrame, numHashes: Int = 3,
+                       mBits: Int = 1 << 18): Array[Long] = {
     val benchSh = withShingles(benchmark, Seq.empty)
       .select(explode(col("shingles")).as("shingle")).distinct()
     val posCols = (0 until numHashes).map(i =>
@@ -695,7 +703,15 @@ object Dedup {
     val positions = benchSh
       .select(explode(array(posCols: _*)).as("pos")).distinct()
       .collect().map(_.getInt(0))
-    val bits = BloomContains.build(positions, mBits)
+    graft.functions.BloomContains.build(positions, mBits)
+  }
+
+  /** The APPLY half of [[bloomDecontaminate]]: probe a corpus against
+    * a pre-built filter. Per-row scalar work only. */
+  def bloomProbe(corpus: DataFrame, bits: Array[Long],
+                 numHashes: Int = 3, mBits: Int = 1 << 18,
+                 minFlagged: Long = 1L): DataFrame = {
+    import graft.functions.BloomContains
     withShingles(corpus, Seq.empty)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("__hit", BloomContains.of(col("shingle"), bits, numHashes, mBits))

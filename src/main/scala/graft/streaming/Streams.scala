@@ -173,6 +173,37 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the linear quality classifier (operators/
+    * TextAnalysis.hashedLinearScore): the hashed-ngram weight frame is
+    * STATIC (a trained model loaded offline), each micro-batch scores
+    * through the identical batch operator — per-doc output depends
+    * only on the doc and the weights, so batch boundaries are
+    * invisible. Parity pinned in StreamingSpec. */
+  def classifierScoreStream(docs: DataFrame, model: DataFrame, nBuckets: Int)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "classifierScoreStream is streaming-only: use TextAnalysis.hashedLinearScore for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.hashedLinearScore(batch, model, nBuckets), batchId)
+    }
+  }
+
+  /** Streaming twin of the Bloom-filter decontaminator: the bit array
+    * is a STATIC trained index (built offline from the benchmark via
+    * Dedup.buildBloomFilter — the benchmark is never touched per
+    * micro-batch); probing is a stateless scalar expression, so batch
+    * boundaries are invisible. Parity pinned in StreamingSpec. */
+  def bloomDecontaminateStream(docs: DataFrame, bits: Array[Long],
+                               numHashes: Int = 3, mBits: Int = 1 << 18)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "bloomDecontaminateStream is streaming-only: use Dedup.bloomProbe for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Dedup.bloomProbe(
+        batch, bits, numHashes, mBits), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

@@ -277,6 +277,62 @@ class StreamingSpec extends SparkSpec {
     assert(expected.map(_.getAs[Long]("doc_id")) === Seq(100L, 101L)) // 102 is all-OOV
   }
 
+  test("classifierScoreStream scores from the static weights exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextAnalysis.hashedLinearModel(spark, 512)
+    val fresh = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "rare words only here"),
+      (102L, "one"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(fresh.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.classifierScoreStream(input.toDF().toDF("doc_id", "text"), model, 512) {
+      (scored, _) => acc.synchronized { acc ++= scored.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(fresh.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis
+      .hashedLinearScore(fresh.toDF("doc_id", "text"), model, 512)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    assert(expected.size === 3)
+  }
+
+  test("bloomDecontaminateStream probes the static filter exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (900L, "the capital of france is paris and nothing else matters here"))
+      .toDF("doc_id", "text")
+    val bits = graft.operators.Dedup.buildBloomFilter(bench)
+    val docs = Seq(
+      (1L, "we know the capital of france is paris for sure"),
+      (2L, "completely unrelated fresh material with novel trigrams"),
+      (3L, "tiny"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.bloomDecontaminateStream(input.toDF().toDF("doc_id", "text"), bits) {
+      (flagged, _) => acc.synchronized { acc ++= flagged.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Dedup
+      .bloomProbe(docs.toDF("doc_id", "text"), bits)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    val cont = expected.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("contaminated")).toMap
+    assert(cont(1L) === 1L && cont(2L) === 0L) // 3L has no trigrams -> absent
+    assert(!cont.contains(3L))
+  }
+
   test("decontaminateStream flags benchmark overlap exactly like batch, across splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
