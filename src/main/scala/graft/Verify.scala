@@ -10,7 +10,14 @@ object Verify {
     val spark = Sessions.build("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iterate on a subset: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b (comma list).
+    // oracle_sql.json is filtered to match so selfcheck compares only
+    // the dumped queries. Full runs (the driver's) leave it unset.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // the dedup family persists intermediate frames; clear per query
       // so cache never accumulates across the 48-query dump
       spark.catalog.clearCache()
@@ -41,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

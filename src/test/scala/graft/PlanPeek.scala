@@ -1,0 +1,13 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
+    println(df.queryExecution.executedPlan.toString.take(6000))
+    spark.stop()
+  }
+}
