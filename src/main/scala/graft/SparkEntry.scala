@@ -131,6 +131,10 @@ object SparkEntry {
     "q_ngram_topk" -> (L.qNgramTopk _),
     // C4-style bad-words document filter
     "q_badwords_filter" -> (L.qBadwordsFilter _),
+    // deterministic HLL distinct-count sketch vs exact per-source vocab
+    "q_hll_distinct" -> (L.qHllDistinct _),
+    // priority sampling: weighted audit sample + threshold estimator
+    "q_priority_sample" -> (L.qPrioritySample _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -234,6 +238,8 @@ object SparkEntry {
     "q_dsir_weights" -> L.qDsirWeightsSql,
     "q_ngram_topk" -> L.qNgramTopkSql,
     "q_badwords_filter" -> L.qBadwordsFilterSql,
+    "q_hll_distinct" -> L.qHllDistinctSql,
+    "q_priority_sample" -> L.qPrioritySampleSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

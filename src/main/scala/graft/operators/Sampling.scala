@@ -178,4 +178,56 @@ object Sampling {
       .withColumn("position", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007): a deterministic
+    * weighted without-replacement sample of n rows per stratum, plus
+    * the threshold estimator that makes the sample USABLE for
+    * estimation — for any subset S of the stratum,
+    * Σ_{sampled ∩ S} max(w, tau) is an unbiased estimate of Σ_S w
+    * (tau = the (n+1)-th largest priority). This is how a curation
+    * pipeline audits token mass per domain/quality-bucket from a
+    * bounded sample instead of a full pass.
+    *
+    * Determinism: priority q = w/u with u md5-uniform in [1, 2^60] is
+    * ranked DESCENDING via the pure-integer key `u div w` ascending
+    * (floor cannot reorder distinct integer keys; ties break on id) —
+    * the sample is a pure function of (salt, id, w), replay/engine
+    * stable like every sampler here. tau alone is computed in double
+    * (w·2^60/u — one multiply and one divide of exactly-representable
+    * integers, IEEE-identical cross-engine), and est = max(w, tau)
+    * is roundp(4)-terminal.
+    *
+    * Scale shape: the rank ≤ n+1 predicate is a per-group top-(n+1) —
+    * Spark rewrites it to WindowGroupLimit, so each map task forwards
+    * at most n+1 rows per stratum into the exchange and nothing
+    * resembling a per-stratum full sort materializes. tau comes from
+    * a SECOND window over the already-limited ≤(n+1)·strata frame
+    * (same partitioning, no new exchange) instead of a self-join —
+    * the corpus is scanned ONCE (a rank=n+1 branch would carry a
+    * different group limit, so exchange reuse could never kick in —
+    * the aggregate-vs-join-back lesson again). */
+  def prioritySample(df: DataFrame, idCol: String, stratumCol: String,
+                     weightCol: String, n: Int,
+                     salt: String = "psample"): DataFrame = {
+    require(n > 0, "prioritySample: n must be positive")
+    val two60 = lit(1152921504606846976L).cast("double") // 2^60, exact
+    val base = df.select(col(stratumCol), col(idCol),
+        greatest(col(weightCol).cast("long"), lit(1L)).as("__w"),
+        (Portable.h60(concat(lit(salt + ":"), col(idCol))) + 1).as("__u"))
+      .withColumn("__key", expr("__u div __w"))
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    val pr = col("__w").cast("double") * two60 / col("__u").cast("double")
+    val ranked = base
+      .withColumn("smp_rank", row_number().over(win).cast("long"))
+      .where(col("smp_rank") <= n + 1)
+    ranked
+      .withColumn("__tau", max(when(col("smp_rank") === n + 1, pr))
+        .over(Window.partitionBy(col(stratumCol))))
+      .where(col("smp_rank") <= n)
+      .select(col(stratumCol), col(idCol), col("__w").as("weight"),
+        col("smp_rank"),
+        Portable.roundp(greatest(col("__w").cast("double"),
+          coalesce(col("__tau"), lit(0.0))), 4).as("est_weight"))
+  }
 }

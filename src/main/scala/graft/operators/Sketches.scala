@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Portable
+
+/** Deterministic distinct-count sketching (HyperLogLog family,
+  * Flajolet et al. 2007) with md5-derived hashes and pure-integer
+  * register arithmetic, so the estimate is BIT-IDENTICAL across
+  * engines and partition layouts — unlike approx_count_distinct,
+  * whose engine-native sketch can never hash-match the DuckDB oracle
+  * (the r5 percentile-sketch lesson; this is the distinct-count
+  * analogue of the binned-percentile fix).
+  *
+  * Exact distinct counting is the operation that does NOT survive
+  * 100 TB: count(DISTINCT x) per group shuffles every distinct value.
+  * The register frame here is the scale path — map-side max-combine
+  * collapses each task's contribution to ≤ m rows per group before
+  * the exchange, registers from independent corpus shards MERGE by
+  * max ([[hllMerge]]) like the span/dedup index manifests, and the
+  * estimate touches only (groups × m) rows.
+  *
+  * Layout: a 40-bit md5-derived hash splits into a 10-bit register
+  * index (m = 1024 registers) and a 30-bit rank field; the register
+  * value is the max leading-zero rank rho in [1, 31]. The harmonic
+  * mean's Σ 2^-rho accumulates as Σ 2^(31-rho) in a 64-bit integer
+  * (max 1024·2^31 = 2^41 — exact, order-independent), divided back
+  * once at the end: the integer-cents idiom applied to the HLL sum.
+  * Bias correction: alpha_1024·m²; linear counting below 2.5m when
+  * empty registers remain (the standard small-range correction).
+  */
+object Sketches {
+
+  /** Register count m = 2^10. */
+  val HllM = 1024
+
+  private val RestBits = 30
+  private val RestMod = 1L << RestBits // 2^30
+  private val MaxRho = RestBits + 1 // 31
+
+  /** 40-bit md5-derived hash of a value (first 10 hex chars).
+    * DuckDB: `('0x'||substr(md5(x),1,10))::BIGINT`. */
+  private def h40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast(LongType)
+
+  /** Build the register frame: one row per (keys..., bucket) holding
+    * the max rank observed for that register. Mergeable (max) and
+    * idempotent — duplicate inputs cannot move a register, so the
+    * input needs NO distinct pass. One aggregation, map-side partial.
+    */
+  def hllRegisters(df: DataFrame, keys: Seq[String],
+                   valueCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val v = h40(col(valueCol))
+    val rest = (v % lit(RestMod)).as("__rest")
+    df.select(kc ++ Seq(shiftright(v, RestBits).as("bucket"), rest): _*)
+      .withColumn("rho",
+        when(col("__rest") === 0, lit(MaxRho))
+          .otherwise(lit(MaxRho) - length(ltrim(bin(col("__rest")), "0")))
+          .cast(LongType))
+      .groupBy(kc :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Merge register frames from independent corpus shards: union +
+    * per-register max. Exact parity with a whole-corpus build (max is
+    * associative/commutative/idempotent) — the same contract as
+    * Dedup.mergeSpanIndexes. */
+  def hllMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** Estimate distinct counts from a register frame: per key group,
+    * `registers_used` (non-empty registers) and the bias-corrected
+    * harmonic-mean estimate `hll_est` (roundp 4). All arithmetic up
+    * to the single final division is 64-bit integer. */
+  def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val m = lit(HllM.toLong)
+    // alpha_1024 = 0.7213 / (1 + 1.079/1024), computed (not
+    // pre-folded) so the oracle replays the identical IEEE ops
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+    val g = regs
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("registers_used"),
+        // sum of 2^(31 - rho): each term <= 2^30, 1024 terms — exact
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($MaxRho - max_rho AS INT))"))
+          .as("__s"))
+    val zeros = m - col("registers_used")
+    // empty registers contribute 2^-0 = 1, scaled: 2^31 each
+    val sTotal = col("__s") + zeros * lit(1L << MaxRho)
+    val raw = alpha * lit(1024.0) * lit(1024.0) * lit(2147483648.0) / sTotal
+    val est = when(raw <= lit(2560.0) && zeros > 0,
+      lit(1024.0) * log(lit(1024.0) / zeros)).otherwise(raw)
+    g.select(kc ++ Seq(col("registers_used"),
+      Portable.roundp(est, 4).as("hll_est")): _*)
+  }
+}

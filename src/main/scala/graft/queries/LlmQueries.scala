@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
-import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
@@ -1772,4 +1772,109 @@ object LlmQueries {
        |SELECT doc_id, n_frames,
        |  unnest(generate_series(0, CAST(floor((n_frames - 1) / $FrameEvery) AS BIGINT))) * $FrameEvery AS frame_idx
        |FROM m""".stripMargin
+
+  // ---- deterministic HLL distinct-count sketch ----
+
+  /** Per-language trigram cardinality both ways: the EXACT distinct
+    * count (the operation that does not survive 100 TB — every
+    * distinct n-gram shuffles) next to the deterministic
+    * 1024-register HLL estimate (constant memory per group, mergeable
+    * across corpus shards via [[graft.operators.Sketches.hllMerge]]).
+    * Trigrams (3k-9k distinct per language at sf0.01) put every group
+    * in the harmonic-mean regime, above the linear-counting
+    * switchover — the estimator proper is what's gated. rel_err is
+    * computed from the ROUNDED estimate so the oracle replays it
+    * exactly. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("lang"), explode(
+        graft.functions.WordShingles.of(col("text"), 3, distinct = false))
+        .as("ngram"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(tok, Seq("lang"), "ngram"), Seq("lang"))
+    val exact = tok.groupBy(col("lang"))
+      .agg(countDistinct(col("ngram")).as("n_distinct"))
+    exact.join(est, Seq("lang"))
+      .select(col("lang"), col("n_distinct"), col("registers_used"),
+        col("hll_est"),
+        when(col("n_distinct") > 0, Portable.roundp(
+          (col("hll_est") - col("n_distinct")) / col("n_distinct"), 6))
+          .as("rel_err"))
+  }
+
+  val qHllDistinctSql: String =
+    s"""WITH ws AS (SELECT lang, ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT lang, unnest(CASE WHEN len(w) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len(w)-2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ngram
+       |  FROM ws),
+       |h AS (SELECT lang, ngram,
+       |    ('0x'||substr(md5(ngram),1,10))::BIGINT AS v
+       |  FROM tok),
+       |r1 AS (SELECT lang, v // 1073741824 AS bucket,
+       |    CASE WHEN v % 1073741824 = 0 THEN 31
+       |      ELSE 31 - length(ltrim(bin(v % 1073741824), '0')) END AS rho
+       |  FROM h),
+       |regs AS (SELECT lang, bucket, CAST(max(rho) AS BIGINT) AS r
+       |  FROM r1 GROUP BY 1, 2),
+       |g AS (SELECT lang,
+       |    CAST(count(*) AS BIGINT) AS registers_used,
+       |    CAST(sum(1::BIGINT << CAST(31 - r AS INT)) AS BIGINT) AS s
+       |  FROM regs GROUP BY 1),
+       |ex AS (SELECT lang, CAST(count(DISTINCT ngram) AS BIGINT) AS n_distinct
+       |  FROM h GROUP BY 1),
+       |e AS (SELECT lang, registers_used,
+       |    (1024 - registers_used) AS zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |       + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE)))
+       |      * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)
+       |      * CAST(2147483648 AS DOUBLE)
+       |      / (s + (1024 - registers_used) * 2147483648) AS raw
+       |  FROM g),
+       |est AS (SELECT lang, registers_used,
+       |    floor((CASE WHEN raw <= CAST(2560 AS DOUBLE) AND zeros > 0
+       |      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+       |      ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_est
+       |  FROM e)
+       |SELECT ex.lang, ex.n_distinct, est.registers_used, est.hll_est,
+       |  CASE WHEN ex.n_distinct > 0 THEN
+       |    floor(((est.hll_est - ex.n_distinct) / ex.n_distinct) * 1e6 + 0.5) / 1e6
+       |  END AS rel_err
+       |FROM ex JOIN est USING (lang)""".stripMargin
+
+  // ---- priority sampling (weighted audit sample + estimator) ----
+
+  private val PrioritySampleN = 10
+
+  /** Duffield-Lund-Thorup priority sample of 10 docs per source,
+    * weighted by n_chars, with the max(w, tau) threshold estimator.
+    * Every testdata stratum has > 10 docs, so the oracle gates the
+    * tau path; the no-boundary (est = w) path is spec-pinned
+    * (PrioritySampleSpec). */
+  def qPrioritySample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(Tables(spark, dir).documents,
+      "doc_id", "source", "n_chars", PrioritySampleN, salt = "ps")
+
+  val qPrioritySampleSql: String = {
+    val n = PrioritySampleN
+    s"""WITH b AS (SELECT source, doc_id,
+       |    greatest(CAST(n_chars AS BIGINT), 1) AS w,
+       |    ${h60Sql("'ps:' || CAST(doc_id AS VARCHAR)")} + 1 AS u
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, w, u,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY u // w ASC, doc_id ASC) AS BIGINT) AS smp_rank
+       |  FROM b),
+       |r2 AS (SELECT * FROM r WHERE smp_rank <= ${n + 1}),
+       |t AS (SELECT source, doc_id, w, smp_rank,
+       |    max(CASE WHEN smp_rank = ${n + 1} THEN
+       |      CAST(w AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |        / CAST(u AS DOUBLE) END)
+       |      OVER (PARTITION BY source) AS tau
+       |  FROM r2)
+       |SELECT source, doc_id, w AS weight, smp_rank,
+       |  floor(greatest(CAST(w AS DOUBLE),
+       |    coalesce(tau, CAST(0 AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS est_weight
+       |FROM t WHERE smp_rank <= $n""".stripMargin
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class PrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: Int) =
+    (0 until rows).map { i =>
+      (i.toLong, s"s${i % 4}", (i % 97) + 1L)
+    }.toDF("doc_id", "stratum", "w")
+
+  test("exactly n per stratum; deterministic across layouts") {
+    val df = corpus(400)
+    val s = Sampling.prioritySample(df, "doc_id", "stratum", "w", 10)
+    val counts = s.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10) && counts.size === 4)
+    val a = s.orderBy("stratum", "smp_rank").collect().toSeq
+    val b = Sampling.prioritySample(df.repartition(7), "doc_id", "stratum", "w", 10)
+      .orderBy("stratum", "smp_rank").collect().toSeq
+    assert(a === b)
+  }
+
+  test("small strata keep every row with est = w (no boundary row)") {
+    val df = corpus(12) // 3 rows per stratum < n = 10
+    val s = Sampling.prioritySample(df, "doc_id", "stratum", "w", 10)
+    assert(s.count() === 12)
+    s.collect().foreach { r =>
+      assert(r.getAs[Double]("est_weight") === r.getAs[Long]("weight").toDouble)
+    }
+  }
+
+  test("threshold estimator lands near the true stratum mass") {
+    // one stratum, heavy-tailed weights: Σ max(w, tau) over the sample
+    // estimates Σ w. One draw, fixed salt — assert a generous band
+    // (the estimator's variance bound is Σw²/(n-1) over repeated
+    // draws; here we pin THIS deterministic draw stays sane).
+    val df = (0 until 2000).map { i =>
+      (i.toLong, "all", if (i % 50 == 0) 5000L else (i % 13) + 1L)
+    }.toDF("doc_id", "stratum", "w")
+    val trueTotal = df.agg(sum("w")).collect().head.getLong(0).toDouble
+    val est = Sampling.prioritySample(df, "doc_id", "stratum", "w", 64)
+      .agg(sum("est_weight")).collect().head.getDouble(0)
+    assert(math.abs(est - trueTotal) / trueTotal < 0.5,
+      s"est $est vs true $trueTotal")
+  }
+
+  test("sampled set = the n smallest u div w keys (priority order)") {
+    val df = corpus(100)
+    val s = Sampling.prioritySample(df, "doc_id", "stratum", "w", 5)
+      .where($"stratum" === "s0")
+    val got = s.select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent recomputation of the priority order
+    val expected = df.where($"stratum" === "s0")
+      .select($"doc_id",
+        (graft.functions.Portable.h60(concat(lit("psample:"), $"doc_id")) + 1)
+          .as("u"), greatest($"w", lit(1L)).as("w2"))
+      .withColumn("k", expr("u div w2"))
+      .orderBy($"k".asc, $"doc_id".asc)
+      .limit(5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values(n: Int, tag: String) =
+    (0 until n).map(i => ("g", s"$tag-$i")).toDF("k", "v")
+
+  test("estimate within the theoretical band and deterministic") {
+    val df = values(50000, "val")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("k"), "v"), Seq("k")).collect()
+    assert(est.length === 1)
+    val e = est.head.getAs[Double]("hll_est")
+    // sigma ~ 1.04/sqrt(1024) = 3.25%; 4 sigma is conservative
+    assert(math.abs(e - 50000) / 50000 < 0.13, s"est $e vs 50000")
+    // bit-identical under a different partition layout
+    val est2 = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.repartition(7), Seq("k"), "v"),
+      Seq("k")).collect().head.getAs[Double]("hll_est")
+    assert(e === est2)
+  }
+
+  test("duplicate inputs cannot move a register (no distinct pass needed)") {
+    val df = values(2000, "x")
+    val dup = df.union(df).union(df)
+    val a = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("k"), "v"), Seq("k")).collect().head
+    val b = Sketches.hllEstimate(
+      Sketches.hllRegisters(dup, Seq("k"), "v"), Seq("k")).collect().head
+    assert(a === b)
+  }
+
+  test("merge of shard registers == whole-corpus registers") {
+    val all = values(30000, "m")
+    val (h1, h2) = (all.where($"v".substr(3, 1) =!= "1"),
+      all.where($"v".substr(3, 1) === "1"))
+    val whole = Sketches.hllRegisters(all, Seq("k"), "v")
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(h1, Seq("k"), "v"),
+      Sketches.hllRegisters(h2, Seq("k"), "v"), Seq("k"))
+    val w = whole.orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val m = merged.orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(w.sameElements(m))
+    // and therefore identical estimates
+    val ew = Sketches.hllEstimate(whole, Seq("k")).collect().head.getAs[Double]("hll_est")
+    val em = Sketches.hllEstimate(merged, Seq("k")).collect().head.getAs[Double]("hll_est")
+    assert(ew === em)
+  }
+
+  test("linear-counting regime below 2.5m with empty registers") {
+    // 100 distinct values: raw estimate must route to m*ln(m/V)
+    val df = values(100, "lc")
+    val row = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, Seq("k"), "v"), Seq("k")).collect().head
+    val used = row.getAs[Long]("registers_used")
+    assert(used <= 100)
+    val expected = 1024.0 * math.log(1024.0 / (1024.0 - used))
+    val e = row.getAs[Double]("hll_est")
+    assert(math.abs(e - expected) < 1e-3, s"$e vs linear-count $expected")
+    assert(math.abs(e - 100) / 100 < 0.1)
+  }
+
+  test("register frame is bounded by m per group") {
+    val df = values(200000, "big")
+    val regs = Sketches.hllRegisters(df, Seq("k"), "v")
+    assert(regs.count() <= Sketches.HllM)
+    // every register filled at this cardinality
+    assert(regs.count() === Sketches.HllM)
+    val rhos = regs.agg(min("max_rho"), max("max_rho")).collect().head
+    assert(rhos.getLong(0) >= 1 && rhos.getLong(1) <= 31)
+  }
+}
