@@ -113,6 +113,8 @@ object SparkEntry {
     "q_corpus_shuffle" -> (L.qCorpusShuffle _),
     // corpus unigram-LM quality score (fixed-point integer sums)
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
+    // corpus bigram-LM quality score (smoothed, same integer idiom)
+    "q_bigram_logprob" -> (L.qBigramLogprob _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
@@ -229,6 +231,7 @@ object SparkEntry {
     "q_quality_select" -> L.qQualitySelectSql,
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
+    "q_bigram_logprob" -> L.qBigramLogprobSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,

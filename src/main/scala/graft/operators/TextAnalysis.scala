@@ -756,6 +756,50 @@ object TextAnalysis {
         Portable.roundp(col("__sq") / lit(1e6) / col("n_tokens"), 6).as("mean_logprob"))
   }
 
+  /** Per-document mean BIGRAM log-probability under the corpus's own
+    * add-1-smoothed bigram model — the KenLM-flavor upgrade of
+    * [[unigramLogprob]]: p(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V), where
+    * c(w1·) is w1's occurrence count as a bigram context and V is the
+    * observed OUTCOME vocabulary (distinct second-position words — the
+    * event space the smoothing spreads mass over). Bigram perplexity
+    * separates fluent text from shuffled/boilerplate text that a
+    * unigram model scores identically.
+    *
+    * Determinism: the [[unigramLogprob]] recipe verbatim — each
+    * distinct bigram's ln p is quantized ONCE to a fixed-point long,
+    * per-doc accumulation is pure integer tf·q sums.
+    *
+    * Scale shape: ONE tokenize pass — bigrams via the native
+    * WordShingles expression; the model table, the context table, and
+    * V are all DERIVED from the (doc, bigram) tf aggregate (context
+    * counts regroup the bigram-vocab-sized model frame, never the
+    * corpus); V rides a broadcast 1-row cross join; the model join
+    * auto-broadcasts when the bigram vocabulary fits. Docs with < 2
+    * words have no bigrams and are absent (the unigram contract). */
+  def bigramLogprob(docs: DataFrame,
+                    id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(id), explode(
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false))
+        .as("bigram"))
+      .groupBy(col(id), col("bigram")).agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("c2"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val ctx = cb.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = cb.agg(countDistinct(col("w2")).cast(DoubleType).as("__v"))
+    val q = cb.join(ctx, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("bigram"),
+        floor(log((col("c2") + lit(1)) / (col("c1") + col("__v")))
+          * 1e6 + 0.5).cast(LongType).as("q"))
+    tf.join(q, Seq("bigram"))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("q")).as("__sq"))
+      .select(col(id), col("n_bigrams"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_bigrams"), 6)
+          .as("mean_logprob"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per-doc
     * log-importance of a TARGET domain relative to the raw corpus,

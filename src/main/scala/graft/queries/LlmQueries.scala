@@ -1358,6 +1358,35 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- bigram LM scoring ----
+
+  /** Corpus-model bigram log-probability score (the KenLM-flavor
+    * upgrade of q_unigram_logprob). */
+  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogprob(Tables(spark, dir).documents)
+
+  val qBigramLogprobSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN []
+       |    ELSE list_transform(generate_series(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1]) END) AS bigram
+       |  FROM ws),
+       |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |cb AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2,
+       |    split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+       |  FROM tf GROUP BY 1),
+       |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+       |nt AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM cb),
+       |q AS (SELECT bigram,
+       |    CAST(floor(ln((c2 + 1) / (c1 + nt.v)) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM cb JOIN ctx USING (w1) CROSS JOIN nt),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(tf * q.q) AS BIGINT) AS sq
+       |  FROM tf JOIN q USING (bigram) GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  floor((sq / 1e6 / n_bigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |FROM d""".stripMargin
+
   // ---- DSIR importance weights ----
 
   /** Target domain for [[qDsirWeights]]: src0 exists at every SF with

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class BigramLogprobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed smoothed bigram model on a tiny corpus") {
+    // corpus bigrams: "a b" x3 (2 in d1, 1 in d2), "b a" x1
+    // contexts: a -> 3, b -> 1; outcome vocab V = {a, b} = 2
+    // p(b|a) = (3+1)/(3+2) = 0.8      q = floor(ln(.8)*1e6+.5)  = -223144
+    // p(a|b) = (1+1)/(1+2) = 2/3      q = floor(ln(2/3)*1e6+.5) = -405465
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // docs with < 2 words are absent (the unigram contract)
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 3L)
+    // (2*(-223144) + (-405465)) / 1e6 / 3, roundp 6
+    assert(out(1L)._2 === -0.283918)
+    assert(out(2L) === ((1L, -0.223144)))
+  }
+
+  test("deterministic across partition layouts") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}")
+    }.toDF("doc_id", "text")
+    val a = TextAnalysis.bigramLogprob(docs)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bigramLogprob(docs.repartition(11))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("in-model text outscores out-of-model text") {
+    val fluent = (0 until 50).map(i => (i.toLong, "the cat sat on the mat"))
+    val weird = Seq((99L, "zx qv jk pl mn bv"))
+    val docs = (fluent ++ weird).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > out(99L))
+  }
+}
