@@ -137,6 +137,8 @@ object SparkEntry {
     "q_hll_distinct" -> (L.qHllDistinct _),
     // priority sampling: weighted audit sample + threshold estimator
     "q_priority_sample" -> (L.qPrioritySample _),
+    // product-quantization ANN: compressed-candidate ADC scan
+    "q_ann_pq" -> (L.qAnnPq _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -243,6 +245,7 @@ object SparkEntry {
     "q_badwords_filter" -> L.qBadwordsFilterSql,
     "q_hll_distinct" -> L.qHllDistinctSql,
     "q_priority_sample" -> L.qPrioritySampleSql,
+    "q_ann_pq" -> L.qAnnPqSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

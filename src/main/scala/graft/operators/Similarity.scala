@@ -328,4 +328,94 @@ object Similarity {
     try kmeansIterate(input, kmeansInit(input, k), iters)
     finally if (cacheInput) input.unpersist(blocking = false)
   }
+
+  // ---- product quantization (Jégou et al. 2011) ----
+
+  /** Deterministic PQ codebook: the first `ks` vectors' slices, one
+    * sub-codebook per subspace — `codebook(s)(j)` is sub-centroid j of
+    * subspace s. Like the IVF coarse codebook, the bounded collect
+    * stands in for loading a trained codebook; a production train step
+    * is [[kmeansFit]] per subspace over sliced embeddings. */
+  def pqCodebook(vectors: DataFrame, m: Int, ks: Int,
+                 embCol: String = "embedding",
+                 idCol: String = "vec_id"): Seq[Seq[Array[Float]]] = {
+    val rows = vectors.where(col(idCol) < ks).orderBy(idCol).collect()
+    require(rows.length == ks, s"expected $ks codebook vectors, got ${rows.length}")
+    val embs = rows.map(_.getAs[Seq[Float]](embCol).toArray)
+    val dim = embs.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(s => embs.map(e => e.slice(s * sub, (s + 1) * sub)).toSeq)
+  }
+
+  /** PQ encode: each vector compresses to one sub-centroid index per
+    * subspace — m·log2(ks) bits (80 bits at m=16/ks=32 vs 2048 bits of
+    * floats; the memory-bounded ANN representation). code_s = argmax
+    * inner product of the vector's s-th slice against sub-codebook s,
+    * on the 6-digit-rounded dot (ties → lowest index, the ivfAssign
+    * tiebreak); `pq_code` is the dash-joined code string (a storage
+    * layer would pack the bits; the string keeps the column
+    * cross-engine comparable). Pure narrow codegen projection — zero
+    * shuffle, like ivfAssign. */
+  def pqEncode(df: DataFrame, embCol: String,
+               codebook: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebook.size
+    val ks = codebook.head.size
+    val sub = codebook.head.head.length
+    val codeCols = (0 until m).map { s =>
+      val dots = (0 until ks).map { j =>
+        Portable.roundp(VectorOps.floatDotConst(
+          slice(col(embCol), s * sub + 1, sub),
+          codebook(s)(j).map(_.toDouble)), 6)
+      }
+      val arr = array(dots: _*)
+      s"code_$s" -> (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    df.withColumns(codeCols.toMap)
+      .withColumn("pq_code",
+        concat_ws("-", codeCols.map(c => col(c._1)): _*))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: full-precision queries score
+    * COMPRESSED candidates — per subspace the query's dot against
+    * every sub-centroid is staged ONCE per query row as a ks-wide
+    * array column (the Median get() idiom), and each candidate's
+    * score is m array lookups + a fixed-order sum. This is the
+    * compressed linear scan: candidates carry only their codes (the
+    * embedding column is pruned after encode), so the scan reads
+    * m·log2(ks) bits per row instead of the vector — the shape that
+    * lets one executor hold 10⁹ candidates in memory. Compose with
+    * [[ivfAssign]] buckets to also bound WHICH candidates scan. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+             codebook: Seq[Seq[Array[Float]]], k: Int): DataFrame = {
+    val m = codebook.size
+    val ks = codebook.head.size
+    val sub = codebook.head.head.length
+    val cands = pqEncode(
+      candidates.select(col("vec_id").as("cand_id"),
+        col("embedding").as("__c_emb")), "__c_emb", codebook)
+      .drop("__c_emb")
+    val dtCols = (0 until m).map { s =>
+      s"__dt_$s" -> array((0 until ks).map { j =>
+        Portable.roundp(VectorOps.floatDotConst(
+          slice(col("__q_emb"), s * sub + 1, sub),
+          codebook(s)(j).map(_.toDouble)), 6)
+      }: _*)
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__q_emb"))
+      .withColumns(dtCols.toMap).drop("__q_emb")
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__dt_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val scored = broadcast(q).crossJoin(cands)
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", Portable.roundp(adc, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("pq_code"), col("adc"))
+  }
 }

@@ -548,6 +548,69 @@ object LlmQueries {
        |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, rank, cand_id, cos
        |FROM r WHERE rank <= $TopK""".stripMargin
 
+  // ---- #28c product-quantization ANN (compressed-scan path) ----
+
+  private val PqM = 16       // subspaces (AnnDim 64 / 16 = 4 dims each)
+  private val PqKs = 32      // sub-centroids per subspace
+  private val PqQueries = 20
+
+  /** PQ ADC top-5: full-precision queries against candidates carrying
+    * ONLY their 16×5-bit codes. Codebook = slices of the first 32
+    * vectors (the qAnnIvf convention for a loaded trained codebook);
+    * m=16/ks=32 measured best recall on the geometry sweep (0.43 IP
+    * recall@5 at sf0.01 — near-random Gaussian embeddings are PQ's
+    * hardest case; structured real embeddings quantize far better). */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val codebook = Similarity.pqCodebook(emb, PqM, PqKs)
+    Similarity.pqTopK(emb.where(col("vec_id") < PqQueries), emb, codebook, TopK)
+  }
+
+  val qAnnPqSql: String = {
+    val sub = Config.AnnDim / PqM
+    val pivotCodes = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n       |    ")
+    val packed = (0 until PqM).map(s => s"CAST(c$s AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val pivotD = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN d END) AS d$s").mkString(",\n       |    ")
+    val sumD = (0 until PqM).map(s => s"d$s").reduce((a, b) => s"($a + $b)")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |ss AS (SELECT s FROM generate_series(0, ${PqM - 1}) t(s)),
+       |subc AS (SELECT cid, s, sce FROM (
+       |    SELECT vec_id AS cid, s, e[(s*$sub+1):(s*$sub+$sub)] AS sce
+       |    FROM v, ss WHERE vec_id < $PqKs)),
+       |d AS (SELECT vec_id, s, cid,
+       |    floor(list_dot_product(e[(s*$sub+1):(s*$sub+$sub)], sce) * 1e6 + 0.5) / 1e6 AS d
+       |  FROM v, subc),
+       |code AS (SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cid ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |codep AS (SELECT vec_id,
+       |    $pivotCodes
+       |  FROM code GROUP BY 1),
+       |packedc AS (SELECT vec_id, $packed AS pq_code FROM codep),
+       |adcl AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.s, d.d
+       |  FROM code c
+       |  CROSS JOIN (SELECT vec_id FROM v WHERE vec_id < $PqQueries) q
+       |  JOIN d ON d.vec_id = q.vec_id AND d.s = c.s AND d.cid = c.code
+       |  WHERE c.vec_id <> q.vec_id),
+       |adcp AS (SELECT query_id, cand_id,
+       |    $pivotD
+       |  FROM adcl GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cand_id,
+       |    floor(($sumD) * 1e6 + 0.5) / 1e6 AS adc
+       |  FROM adcp),
+       |r AS (SELECT query_id, cand_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT r.query_id, r.rank, r.cand_id, p.pq_code, r.adc
+       |FROM r JOIN packedc p ON r.cand_id = p.vec_id
+       |WHERE r.rank <= $TopK""".stripMargin
+  }
+
   // ---- #46 k-means codebook training + assignment ----
 
   private val KmeansK = 4

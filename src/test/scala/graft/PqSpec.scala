@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class PqSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("codes bounded, pq_code has m parts, deterministic across layouts") {
+    val cb = Similarity.pqCodebook(emb, 16, 32)
+    assert(cb.size === 16 && cb.head.size === 32 && cb.head.head.length === 4)
+    val enc = Similarity.pqEncode(emb, "embedding", cb)
+    val codes = enc.select(col("pq_code")).collect().map(_.getString(0))
+    assert(codes.forall { c =>
+      val parts = c.split("-")
+      parts.length == 16 && parts.forall(p => p.toInt >= 0 && p.toInt < 32)
+    })
+    val enc2 = Similarity.pqEncode(emb.repartition(7), "embedding", cb)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc1 = enc.select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc1 === enc2)
+  }
+
+  test("ADC recall@5 vs exact inner-product top-5 above the floor") {
+    val cb = Similarity.pqCodebook(emb, 16, 32)
+    val queries = emb.where(col("vec_id") < 20)
+    val pq = Similarity.pqTopK(queries, emb, cb, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact inner-product ground truth (computed independently)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def ip(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val exact = (0L until 20L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, ip(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).map { case (c, _) => (q, c) }
+    }.toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    // 0.31 measured on this fixture; near-random Gaussian embeddings
+    // are PQ's hardest case (no cluster structure to quantize onto)
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
+  test("candidate side of the scan carries codes, not embeddings") {
+    val cb = Similarity.pqCodebook(emb, 16, 32)
+    val out = Similarity.pqTopK(emb.where(col("vec_id") < 3), emb, cb, 5)
+    // output schema exposes only compressed representation
+    assert(!out.schema.fieldNames.exists(_.contains("emb")))
+    assert(out.schema.fieldNames.contains("pq_code"))
+    assert(out.count() === 15)
+  }
+}
