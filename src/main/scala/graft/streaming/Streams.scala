@@ -204,6 +204,24 @@ object Streams {
     }
   }
 
+  /** Streaming cardinality: each micro-batch reduces to its HLL
+    * register frame, which the caller MERGES (max) into a standing
+    * register store — the streaming form of an append-only distinct
+    * count. Exact streaming distinct needs unbounded state; registers
+    * are ≤ m rows per group forever, and merge associativity
+    * (SketchesSpec) makes batch boundaries invisible: any split of
+    * the stream folds to the identical store as one whole-corpus
+    * build. The estimate is a cheap read of the store at any point
+    * (Sketches.hllEstimate). */
+  def hllRegisterStream(rows: DataFrame, keys: Seq[String], valueCol: String)(
+      mergeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(rows.isStreaming,
+      "hllRegisterStream is streaming-only: use Sketches.hllRegisters for batch frames")
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBatch(graft.operators.Sketches.hllRegisters(batch, keys, valueCol), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, nEvents: Long)

@@ -530,4 +530,43 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq === Seq(1L, 2L))
   }
+
+  test("hllRegisterStream store folds to the whole-corpus registers and estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 3000).map(i => ("g", s"val-$i"))
+    val input = MemoryStream[(String, String)]
+    input.addData(all.take(1000): _*)
+    // the caller-owned standing register store, merged per micro-batch
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    val q = Streams.hllRegisterStream(
+        input.toDF().toDF("k", "v"), Seq("k"), "v") { (regs, _) =>
+      store.synchronized {
+        // localCheckpoint: cut the growing lineage AND materialize the
+        // tiny register frame before the source batch is retired
+        val merged = store.map(s =>
+          graft.operators.Sketches.hllMerge(s, regs, Seq("k")))
+          .getOrElse(regs)
+        store = Some(merged.localCheckpoint())
+      }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(all.slice(1000, 2200): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(2200): _*)
+    q.processAllAvailable()
+    q.stop()
+    val whole = graft.operators.Sketches
+      .hllRegisters(all.toDF("k", "v"), Seq("k"), "v")
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val streamed = store.get.orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(streamed.sameElements(whole))
+    val eWhole = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(all.toDF("k", "v"), Seq("k"), "v"),
+      Seq("k")).collect().head.getAs[Double]("hll_est")
+    val eStream = graft.operators.Sketches.hllEstimate(store.get, Seq("k"))
+      .collect().head.getAs[Double]("hll_est")
+    assert(eStream === eWhole)
+  }
 }
