@@ -47,4 +47,14 @@ class ReuseCheckSpec extends SparkSpec {
     val reused = "ReusedExchange".r.findAllIn(p).length
     assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused in:\n$p")
   }
+
+  test("bigramLogprob's model branch reuses the (doc, bigram) tf exchange") {
+    val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
+    val p = finalPlan(graft.operators.TextAnalysis.bigramLogprob(docs))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    // the bigram model (and through it context counts and V) re-derives
+    // from the probe side's (doc, bigram) tf exchange — the corpus is
+    // shingled once
+    assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused in:\n$p")
+  }
 }
