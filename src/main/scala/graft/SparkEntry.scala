@@ -139,6 +139,8 @@ object SparkEntry {
     "q_priority_sample" -> (L.qPrioritySample _),
     // product-quantization ANN: compressed-candidate ADC scan
     "q_ann_pq" -> (L.qAnnPq _),
+    // chunk->document embedding mean-pool (fixed-point exact)
+    "q_embed_pool" -> (L.qEmbedPool _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -246,6 +248,7 @@ object SparkEntry {
     "q_hll_distinct" -> L.qHllDistinctSql,
     "q_priority_sample" -> L.qPrioritySampleSql,
     "q_ann_pq" -> L.qAnnPqSql,
+    "q_embed_pool" -> L.qEmbedPoolSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

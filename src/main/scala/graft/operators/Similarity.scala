@@ -329,6 +329,28 @@ object Similarity {
     finally if (cacheInput) input.unpersist(blocking = false)
   }
 
+  /** Mean-pool an embedding column per group — the chunk→document
+    * representation step of a RAG/embedding pipeline (a document's
+    * vector = the mean of its chunk vectors). Float means are
+    * summation-order dependent, so each element accumulates as a
+    * fixed-point long via [[FloatVecQuantSumAgg]] (map-side long[dim]
+    * partials, ONE aggregate, no explode before the shuffle) and
+    * divides back once — bit-identical on any layout or engine, the
+    * kmeans centroid idiom as a standalone operator. Output is LONG
+    * FORM (group, dim, mean_val): scalar columns cross-engine-compare
+    * cleanly where array columns would not. */
+  def meanPool(df: DataFrame, groupCol: String,
+               embCol: String = "embedding"): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(FloatVecQuantSumAgg.of(col(embCol)).as("__s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("n_vecs"),
+        posexplode(col("__s")).as(Seq("dim", "__q")))
+      .select(col(groupCol), col("dim").cast("long").as("dim"),
+        col("n_vecs"),
+        Portable.roundp(col("__q") / col("n_vecs")
+          / lit(FloatVecQuantSumAgg.Scale), 6).as("mean_val"))
+
   // ---- product quantization (Jégou et al. 2011) ----
 
   /** Deterministic PQ codebook: the first `ks` vectors' slices, one

@@ -611,6 +611,25 @@ object LlmQueries {
        |WHERE r.rank <= $TopK""".stripMargin
   }
 
+  // ---- embedding mean-pooling (chunk -> document representation) ----
+
+  /** Per-label mean embedding in long form, via the fixed-point
+    * integer-sum aggregate (exact on any layout/engine). */
+  def qEmbedPool(spark: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(Tables(spark, dir).embeddings, "label")
+
+  val qEmbedPoolSql: String =
+    s"""WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT label, d AS dim,
+       |    CAST(floor(e[d + 1] * CAST(16777216 AS DOUBLE) + 0.5) AS BIGINT) AS qv
+       |  FROM v, generate_series(0, ${Config.AnnDim - 1}) t(d)),
+       |g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM q GROUP BY 1, 2)
+       |SELECT label, dim, n_vecs,
+       |  floor(((s / n_vecs) / CAST(16777216 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_val
+       |FROM g""".stripMargin
+
   // ---- #46 k-means codebook training + assignment ----
 
   private val KmeansK = 4

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Similarity
+
+class MeanPoolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, "a", Array(1.0f, -2.0f, 0.5f)),
+    (1L, "a", Array(2.0f, 0.0f, -0.5f)),
+    (2L, "b", Array(-1.0f, 4.0f, 8.0f))
+  ).toDF("vec_id", "label", "embedding")
+
+  test("hand-computed means; singleton group passes through") {
+    val out = Similarity.meanPool(vecs, "label").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out(("a", 0L)) === 1.5)
+    assert(out(("a", 1L)) === -1.0)
+    assert(out(("a", 2L)) === 0.0)
+    assert(out(("b", 0L)) === -1.0)
+    assert(out(("b", 2L)) === 8.0)
+  }
+
+  test("bit-identical across partition layouts (fixed-point sums)") {
+    val big = (0 until 500).map { i =>
+      (i.toLong, s"g${i % 3}", Array.tabulate(8)(d => ((i * 31 + d * 7) % 100 - 50) / 7.0f))
+    }.toDF("vec_id", "label", "embedding")
+    val a = Similarity.meanPool(big, "label").orderBy("label", "dim").collect().toSeq
+    val b = Similarity.meanPool(big.repartition(13), "label")
+      .orderBy("label", "dim").collect().toSeq
+    assert(a === b)
+  }
+
+  test("quantized mean within 2^-24-scale error of the exact mean") {
+    val big = (0 until 200).map { i =>
+      (i.toLong, "g", Array.tabulate(4)(d => math.sin(i * 0.7 + d).toFloat))
+    }
+    val exact = (0 until 4).map(d => big.map(_._3(d).toDouble).sum / big.size)
+    val out = Similarity.meanPool(big.toDF("vec_id", "label", "embedding"), "label")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    (0 until 4).foreach { d =>
+      assert(math.abs(out(d.toLong) - exact(d)) < 1e-6)
+    }
+  }
+}
