@@ -233,4 +233,12 @@ object VectorOps {
   def floatTopCosineIdx(emb: Column, codebook: Seq[Array[Float]], n: Int): Column =
     GraftShim.column(FloatTopCosineIdx(
       GraftShim.expression(emb), codebook.toArray, n))
+
+  /** Column API for [[PqCodes]]. */
+  def pqCodes(emb: Column, codebook: Array[Array[Array[Float]]]): Column =
+    GraftShim.column(PqCodes(GraftShim.expression(emb), codebook))
+
+  /** Column API for [[PqDotTable]]. */
+  def pqDotTable(emb: Column, codebook: Array[Array[Array[Float]]]): Column =
+    GraftShim.column(PqDotTable(GraftShim.expression(emb), codebook))
 }

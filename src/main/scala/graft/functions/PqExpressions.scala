@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization kernels as reference-held codegen expressions.
+  *
+  * The column-composition form (m·ks FloatDotConst columns + per-
+  * subspace argmax arrays — 512 expressions per side at m=16/ks=32)
+  * is semantically right but janino-hostile: generated-code size grows
+  * O(m·ks·sub) and compilation dominated q_ann_pq (4.15 s at sf0.1,
+  * almost all plan compile). Here the whole codebook enters generated
+  * code via `ctx.addReferenceObj` — ONE references-array slot — and
+  * the per-row work is a static call shared by eval and doGenCode (no
+  * eval/codegen drift, constant janino size at any m·ks). The
+  * FloatTopCosineIdx recipe applied to PQ.
+  *
+  * Semantics are bit-identical to the column pipeline they replace:
+  * per subspace s, dot_j = Σ_d x[s·sub+d]·cb[s][j][d] accumulated in
+  * index order in double, rounded floor(x·1e6+0.5)/1e6; argmax with
+  * first-max-wins (= array_position(arr, array_max(arr)) ties to the
+  * lowest index). The DuckDB oracle replays the same slices and dots.
+  */
+object PqKernel {
+
+  /** Flat rounded dot table: out[s·ks + j] = roundp6(dot of subspace
+    * slice s against sub-centroid j). */
+  def dotTable(x: ArrayData, cb: Array[Array[Array[Float]]]): Array[Double] = {
+    val m = cb.length
+    val ks = cb(0).length
+    val out = new Array[Double](m * ks)
+    val n = x.numElements()
+    var s = 0
+    while (s < m) {
+      val sub = cb(s)(0).length
+      val off = s * sub
+      var j = 0
+      while (j < ks) {
+        val c = cb(s)(j)
+        var dot = 0.0
+        var d = 0
+        // min-prefix accumulation: FloatDotConst semantics on the slice
+        while (d < sub && off + d < n) {
+          dot += x.getFloat(off + d).toDouble * c(d).toDouble
+          d += 1
+        }
+        out(s * ks + j) = math.floor(dot * 1e6 + 0.5) / 1e6
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  def dotTableData(x: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData =
+    new GenericArrayData(dotTable(x, cb))
+
+  /** Per-subspace argmax codes over [[dotTable]] (first max wins). */
+  def codes(x: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val dt = dotTable(x, cb)
+    val m = cb.length
+    val ks = cb(0).length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestV = dt(s * ks)
+      var j = 1
+      while (j < ks) {
+        val v = dt(s * ks + j)
+        // strict > : lowest index wins ties
+        if (v > bestV) { best = j; bestV = v }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** codes = one int per subspace; see [[PqKernel]]. */
+case class PqCodes(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PqKernel.codes(a.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    val cls = PqKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.codes($a, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Flat m·ks rounded dot table (ADC lookup rows); see [[PqKernel]]. */
+case class PqDotTable(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_dot_table"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PqKernel.dotTableData(a.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    val cls = PqKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.dotTableData($a, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

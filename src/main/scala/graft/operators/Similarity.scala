@@ -379,23 +379,23 @@ object Similarity {
     * layer would pack the bits; the string keeps the column
     * cross-engine comparable). Pure narrow codegen projection — zero
     * shuffle, like ivfAssign. */
+  private def cbArray(codebook: Seq[Seq[Array[Float]]]): Array[Array[Array[Float]]] =
+    codebook.map(_.toArray).toArray
+
   def pqEncode(df: DataFrame, embCol: String,
                codebook: Seq[Seq[Array[Float]]]): DataFrame = {
     val m = codebook.size
-    val ks = codebook.head.size
-    val sub = codebook.head.head.length
-    val codeCols = (0 until m).map { s =>
-      val dots = (0 until ks).map { j =>
-        Portable.roundp(VectorOps.floatDotConst(
-          slice(col(embCol), s * sub + 1, sub),
-          codebook(s)(j).map(_.toDouble)), 6)
-      }
-      val arr = array(dots: _*)
-      s"code_$s" -> (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
-    df.withColumns(codeCols.toMap)
+    // ONE reference-held expression computes all m codes (the
+    // column-composed m·ks-dot form was janino-dominated: 512
+    // generated dot loops per side at m=16/ks=32 — see PqKernel)
+    val withCodes = df.withColumn("__codes",
+      VectorOps.pqCodes(col(embCol), cbArray(codebook)))
+    val codeCols = (0 until m).map(s =>
+      s"code_$s" -> element_at(col("__codes"), s + 1))
+    withCodes.withColumns(codeCols.toMap)
       .withColumn("pq_code",
         concat_ws("-", codeCols.map(c => col(c._1)): _*))
+      .drop("__codes")
   }
 
   /** PQ asymmetric-distance (ADC) top-k: full-precision queries score
@@ -417,18 +417,13 @@ object Similarity {
       candidates.select(col("vec_id").as("cand_id"),
         col("embedding").as("__c_emb")), "__c_emb", codebook)
       .drop("__c_emb")
-    val dtCols = (0 until m).map { s =>
-      s"__dt_$s" -> array((0 until ks).map { j =>
-        Portable.roundp(VectorOps.floatDotConst(
-          slice(col("__q_emb"), s * sub + 1, sub),
-          codebook(s)(j).map(_.toDouble)), 6)
-      }: _*)
-    }
+    // flat m·ks rounded dot table staged ONCE per query row
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("__q_emb"))
-      .withColumns(dtCols.toMap).drop("__q_emb")
+      .withColumn("__dt", VectorOps.pqDotTable(col("__q_emb"), cbArray(codebook)))
+      .drop("__q_emb")
     val adc = (0 until m)
-      .map(s => element_at(col(s"__dt_$s"), col(s"code_$s") + 1))
+      .map(s => element_at(col("__dt"), lit(s * ks) + col(s"code_$s") + 1))
       .reduce(_ + _)
     val scored = broadcast(q).crossJoin(cands)
       .where(col("query_id") =!= col("cand_id"))
