@@ -55,7 +55,12 @@ object Bench {
     "q_audio_fingerprint" -> 1.17, "q_unicode_nfc" -> 0.14,
     "q_quality_select" -> 1.45, "q_dedup_substring" -> 0.96,
     "q_dedup_substring_cut" -> 1.27, "q_dsir_weights" -> 0.70,
-    "q_ngram_topk" -> 0.37, "q_badwords_filter" -> 0.62)
+    "q_ngram_topk" -> 0.37, "q_badwords_filter" -> 0.62,
+    "q_run_dec" -> 0.88, "q_quality_classifier" -> 1.42,
+    "q_bloom_decontaminate" -> 0.67, "q_hll_distinct" -> 0.87,
+    "q_priority_sample" -> 0.16, "q_bigram_logprob" -> 0.98,
+    "q_ann_pq" -> 0.75, "q_embed_pool" -> 0.18,
+    "q_mixture_plan" -> 0.35)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

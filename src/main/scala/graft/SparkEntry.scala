@@ -141,6 +141,8 @@ object SparkEntry {
     "q_ann_pq" -> (L.qAnnPq _),
     // chunk->document embedding mean-pool (fixed-point exact)
     "q_embed_pool" -> (L.qEmbedPool _),
+    // mixture planning: target weights + budget -> per-stratum rates
+    "q_mixture_plan" -> (L.qMixturePlan _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -249,6 +251,7 @@ object SparkEntry {
     "q_priority_sample" -> L.qPrioritySampleSql,
     "q_ann_pq" -> L.qAnnPqSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
+    "q_mixture_plan" -> L.qMixturePlanSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

@@ -179,6 +179,47 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Mixture planning: turn a target mixture (per-stratum weights) and
+    * a token budget into per-stratum sampling rates — the mixing-config
+    * stage (Pile/Dolma style) that [[stratifiedSample]] then applies.
+    * target_tokens(s) = budget·w(s); rate(s) = min(1, target/actual),
+    * i.e. down-sampling only (up-sampling is [[upsample]]'s job);
+    * strata without a target weight plan to rate 0.
+    *
+    * ALL arithmetic is 64-bit integer (weights are per-million longs,
+    * rates come out as per-million longs ready for the md5 threshold
+    * filter) — the plan is engine/layout-exact, never a float rate
+    * that rounds differently downstream. Bounds: budget ≤ 2^43 tokens
+    * (~8.8 T) keeps every intermediate < 2^63.
+    *
+    * Scale shape: one narrow aggregate over (stratum, token count);
+    * the target table is a broadcast dim. The output is strata-sized —
+    * a plan you can collect, version, and feed to the sampler. */
+  def mixturePlan(docs: DataFrame, targetsPpm: Seq[(String, Long)],
+                  budgetTokens: Long, stratumCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && budgetTokens < (1L << 43),
+      "mixturePlan: budget out of the exact-integer range")
+    require(targetsPpm.forall(_._2 >= 0), "mixturePlan: negative weight")
+    val measured = docs
+      .select(col(stratumCol), size(Portable.words(col(textCol))).cast("long").as("__t"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val targets = broadcast(targetsPpm.toDF(stratumCol, "w_ppm"))
+    measured.join(targets, Seq(stratumCol), "left")
+      .withColumn("w_ppm", coalesce(col("w_ppm"), lit(0L)))
+      .withColumn("target_tokens", expr(s"($budgetTokens * w_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("(target_tokens * 1000000) div n_tokens"))))
+      .withColumn("planned_tokens", expr("(n_tokens * rate_ppm) div 1000000"))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("w_ppm"),
+        col("target_tokens"), col("rate_ppm"), col("planned_tokens"))
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup 2007): a deterministic
     * weighted without-replacement sample of n rows per stratum, plus
     * the threshold estimator that makes the sample USABLE for

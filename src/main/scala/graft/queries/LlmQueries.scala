@@ -611,6 +611,42 @@ object LlmQueries {
        |WHERE r.rank <= $TopK""".stripMargin
   }
 
+  // ---- mixture planning (mixing-config stage) ----
+
+  /** Mixture targets: src0 down-samples hard, src1 mildly, src2's
+    * target exceeds its mass (rate caps at 1e6), the rest plan to 0. */
+  val MixturePlanTargets: Seq[(String, Long)] =
+    Seq("src0" -> 100000L, "src1" -> 300000L, "src2" -> 600000L)
+  val MixturePlanBudget = 20000L
+
+  def qMixturePlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(Tables(spark, dir).documents,
+      MixturePlanTargets, MixturePlanBudget)
+
+  val qMixturePlanSql: String = {
+    val vals = MixturePlanTargets
+      .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH t(source, w_ppm) AS (VALUES $vals),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |j AS (SELECT m.source, m.n_docs, m.n_tokens,
+       |    coalesce(t.w_ppm, 0) AS w_ppm
+       |  FROM m LEFT JOIN t USING (source)),
+       |p AS (SELECT source, n_docs, n_tokens, w_ppm,
+       |    ($MixturePlanBudget * w_ppm) // 1000000 AS target_tokens
+       |  FROM j),
+       |r AS (SELECT source, n_docs, n_tokens, w_ppm, target_tokens,
+       |    CASE WHEN n_tokens = 0 THEN 0
+       |      ELSE least(1000000, (target_tokens * 1000000) // n_tokens)
+       |    END AS rate_ppm
+       |  FROM p)
+       |SELECT source, n_docs, n_tokens, w_ppm, target_tokens,
+       |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+       |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS planned_tokens
+       |FROM r""".stripMargin
+  }
+
   // ---- embedding mean-pooling (chunk -> document representation) ----
 
   /** Per-label mean embedding in long form, via the fixed-point

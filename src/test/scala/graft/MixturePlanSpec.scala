@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class MixturePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 strata; "a" and "b" get targets, "c" target exceeds its mass,
+  // "d" has no target. Each doc = 10 tokens.
+  private def corpus = (0 until 100).map { i =>
+    (i.toLong, Seq("a", "a", "a", "a", "b", "b", "b", "c", "c", "d")(i % 10),
+      (1 to 10).map(t => s"w$t").mkString(" "))
+  }.toDF("doc_id", "source", "text")
+
+  test("hand-computed rates: downsample, cap at 1e6, absent target -> 0") {
+    // masses: a=400, b=300, c=200, d=100 tokens
+    val plan = Sampling.mixturePlan(corpus,
+      Seq("a" -> 500000L, "b" -> 250000L, "c" -> 250000L), 400L)
+    val rows = plan.collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    }.toMap
+    // a: target 200 of 400 -> rate 500000, planned 200
+    assert(rows("a") === ((40L, 400L, 500000L, 200L, 500000L, 200L)))
+    // b: target 100 of 300 -> rate 333333, planned 99
+    assert(rows("b") === ((30L, 300L, 250000L, 100L, 333333L, 99L)))
+    // c: target 100 of 200 mass... 100 < 200 -> rate 500000, planned 100
+    assert(rows("c")._5 === 500000L)
+    // d: no target -> rate 0, planned 0
+    assert(rows("d") === ((10L, 100L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rate caps at 1e6 when the target exceeds the stratum mass") {
+    val plan = Sampling.mixturePlan(corpus, Seq("d" -> 1000000L), 10000L)
+    val d = plan.where($"source" === "d").collect().head
+    assert(d.getAs[Long]("rate_ppm") === 1000000L)
+    assert(d.getAs[Long]("planned_tokens") === d.getAs[Long]("n_tokens"))
+  }
+
+  test("plan composes with stratifiedSample: achieved mass near planned") {
+    val plan = Sampling.mixturePlan(corpus,
+      Seq("a" -> 500000L, "b" -> 500000L), 350L).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6))).toMap
+    val rates = plan.map { case (s, (ppm, _)) => s -> (ppm / 1e6) }.toSeq
+    val sampled = Sampling.stratifiedSample(corpus, "doc_id", "source", rates)
+    val achieved = sampled
+      .select($"source", size(graft.functions.Portable.words($"text")).cast("long").as("t"))
+      .groupBy("source").agg(sum($"t").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bernoulli draw vs expectation: generous band on a 30-40 doc stratum
+    for (s <- Seq("a", "b")) {
+      val planned = plan(s)._2
+      assert(math.abs(achieved.getOrElse(s, 0L) - planned) <= planned,
+        s"$s achieved ${achieved.get(s)} vs planned $planned")
+      assert(achieved.getOrElse(s, 0L) > 0)
+    }
+    // unplanned strata are absent entirely
+    assert(!achieved.contains("c") && !achieved.contains("d"))
+  }
+}
