@@ -131,6 +131,10 @@ object SparkEntry {
     "q_dsir_weights" -> (L.qDsirWeights _),
     // Wimbd-style corpus trigram census
     "q_ngram_topk" -> (L.qNgramTopk _),
+    // PMI collocations (quantized-PMI rank, Wimbd-flavor analysis)
+    "q_pmi_topk" -> (L.qPmiTopk _),
+    // word-frequency spectrum (counts-of-counts, Good-Turing input)
+    "q_freq_spectrum" -> (L.qFreqSpectrum _),
     // C4-style bad-words document filter
     "q_badwords_filter" -> (L.qBadwordsFilter _),
     // deterministic HLL distinct-count sketch vs exact per-source vocab
@@ -238,6 +242,8 @@ object SparkEntry {
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_bigram_logprob" -> L.qBigramLogprobSql,
+    "q_pmi_topk" -> L.qPmiTopkSql,
+    "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,

@@ -800,6 +800,58 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * word pairs — the corpus-analysis view (Wimbd-flavor) that
+    * surfaces multiword expressions and boilerplate phrases:
+    * pmi(w1,w2) = ln( c(w1w2)·N / (cl(w1)·cr(w2)) ), with cl/cr the
+    * words' counts in first/second bigram position and N the bigram
+    * total. A minimum pair count filters the noise floor (hapax pairs
+    * have inflated PMI).
+    *
+    * Determinism: the rank order is (quantized-PMI long desc, bigram
+    * asc) — the tfidf lesson: never order on a raw double
+    * cross-engine. One tokenize pass; cl/cr/N all derive from the
+    * bigram census; TakeOrdered — k rows to the driver. */
+  def pmiTopK(docs: DataFrame, k: Int, minCount: Long,
+              textCol: String = "text"): DataFrame = {
+    val bg = docs.select(explode(
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val cl = bg.groupBy(col("w1")).agg(sum(col("c2")).as("cl"))
+    val cr = bg.groupBy(col("w2")).agg(sum(col("c2")).as("cr"))
+    val n = bg.agg(sum(col("c2")).cast(DoubleType).as("__n"))
+    val scored = bg.where(col("c2") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("__q",
+        // cl·cr in DOUBLE: a long product would overflow at corpus
+        // scale (and DuckDB's BIGINT product silently widens to
+        // HUGEINT — a cross-engine drift the double form sidesteps)
+        floor(log(col("c2") * col("__n")
+            / (col("cl").cast(DoubleType) * col("cr").cast(DoubleType)))
+          * 1e6 + 0.5).cast(LongType))
+    scored
+      .orderBy(col("__q").desc, col("bigram").asc)
+      .limit(k)
+      .select(col("bigram"), col("c2"), col("cl"), col("cr"),
+        (col("__q") / lit(1e6)).as("pmi"))
+  }
+
+  /** Word-frequency spectrum: how many distinct words occur exactly c
+    * times — the counts-of-counts view (the input to Good-Turing
+    * smoothing, and the Zipf diagnostic run before sizing a tokenizer
+    * vocabulary). Two nested aggregates, both map-side partial; the
+    * spectrum is at most #distinct-frequencies rows (≪ vocabulary). */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_words"))
+      .select(col("c").as("occurrences"), col("n_words"))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per-doc
     * log-importance of a TARGET domain relative to the raw corpus,

@@ -1505,6 +1505,48 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_bigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- PMI collocations + frequency spectrum (corpus analysis) ----
+
+  private val PmiK = 100
+  private val PmiMinCount = 5L
+
+  /** Top-100 adjacent-pair collocations by PMI (pair count >= 5),
+    * ranked on the quantized-PMI long (never a raw double). */
+  def qPmiTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiTopK(Tables(spark, dir).documents, PmiK, PmiMinCount)
+
+  val qPmiTopkSql: String =
+    s"""WITH ws AS (SELECT ${wordsSql("text")} AS w FROM documents),
+       |bg0 AS (SELECT unnest(CASE WHEN len(w) < 2 THEN []
+       |    ELSE list_transform(generate_series(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1]) END) AS bigram
+       |  FROM ws),
+       |bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2,
+       |    split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+       |  FROM bg0 GROUP BY 1),
+       |clt AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cl FROM bg GROUP BY 1),
+       |crt AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cr FROM bg GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c2) AS DOUBLE) AS n FROM bg),
+       |s AS (SELECT bigram, c2, clt.cl, crt.cr,
+       |    CAST(floor(ln(c2 * nt.n
+       |        / (CAST(clt.cl AS DOUBLE) * CAST(crt.cr AS DOUBLE)))
+       |      * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM bg JOIN clt USING (w1) JOIN crt USING (w2) CROSS JOIN nt
+       |  WHERE c2 >= $PmiMinCount)
+       |SELECT bigram, c2, cl, cr, q / 1e6 AS pmi
+       |FROM s ORDER BY q DESC, bigram ASC LIMIT $PmiK""".stripMargin
+
+  /** Word-frequency spectrum: counts-of-counts (Good-Turing input). */
+  def qFreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.freqSpectrum(Tables(spark, dir).documents)
+
+  val qFreqSpectrumSql: String =
+    s"""WITH tok AS (SELECT unnest(${wordsSql("text")}) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok
+       |  WHERE length(word) > 0 GROUP BY 1)
+       |SELECT c AS occurrences, CAST(count(*) AS BIGINT) AS n_words
+       |FROM wc GROUP BY 1""".stripMargin
+
   // ---- DSIR importance weights ----
 
   /** Target domain for [[qDsirWeights]]: src0 exists at every SF with

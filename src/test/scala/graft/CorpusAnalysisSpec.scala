@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class CorpusAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PMI hand-computed on a tiny corpus; min-count filters the tail") {
+    // pairs: "x y" x6, "a b" x5, "x z" x2 -> N = 13
+    // cl: x->8, a->5 ; cr: y->6, b->5, z->2
+    // pmi(a b) = ln(5*13/(5*5))  = ln(2.6)   ~ 0.955511
+    // pmi(x y) = ln(6*13/(8*6))  = ln(1.625) ~ 0.485508
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "x y")) ++
+      (10 until 15).map(i => (i.toLong, "a b")) ++
+      Seq(20L -> "x z", 21L -> "x z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiTopK(docs, 10, 5L).collect()
+    // "x z" (count 2) filtered by minCount
+    assert(out.map(_.getString(0)).toSeq === Seq("a b", "x y"))
+    assert(out(0).getAs[Double]("pmi") === 0.955511)
+    assert(out(0).getAs[Long]("c2") === 5L)
+    assert(out(1).getAs[Double]("pmi") === 0.485508)
+    assert(out(1).getAs[Long]("cl") === 8L && out(1).getAs[Long]("cr") === 6L)
+  }
+
+  test("PMI rank is a total order: quantized ties break on bigram asc") {
+    // two pairs engineered to the same PMI (symmetric counts)
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "p q")) ++
+      (10 until 15).map(i => (i.toLong, "m n"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiTopK(docs, 10, 5L).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m n", "p q"))
+    assert(out(0).getAs[Double]("pmi") === out(1).getAs[Double]("pmi"))
+  }
+
+  test("frequency spectrum counts-of-counts") {
+    val docs = Seq(1L -> "a a a b b c", 2L -> "d d e").toDF("doc_id", "text")
+    // counts: a3 b2 c1 d2 e1 -> spectrum 3->1, 2->2, 1->2
+    val out = TextAnalysis.freqSpectrum(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 1L, 2L -> 2L, 1L -> 2L))
+  }
+
+  test("spectrum mass identities: sum(c*n) = tokens, sum(n) = vocab") {
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"w${i % 17} w${i % 5} w${i % 29} common")).toDF("doc_id", "text")
+    val spec = TextAnalysis.freqSpectrum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tokens = 400L
+    val vocab = ((0 until 100).flatMap(i =>
+      Seq(s"w${i % 17}", s"w${i % 5}", s"w${i % 29}", "common")).toSet).size
+    assert(spec.map { case (c, n) => c * n }.sum === tokens)
+    assert(spec.map(_._2).sum === vocab.toLong)
+  }
+}
