@@ -60,7 +60,8 @@ object Bench {
     "q_bloom_decontaminate" -> 0.67, "q_hll_distinct" -> 0.87,
     "q_priority_sample" -> 0.16, "q_bigram_logprob" -> 0.98,
     "q_ann_pq" -> 0.75, "q_embed_pool" -> 0.18,
-    "q_mixture_plan" -> 0.35)
+    "q_mixture_plan" -> 0.35, "q_pmi_topk" -> 0.65,
+    "q_freq_spectrum" -> 0.42)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,7 +23,9 @@ object PlanDump {
       "q_ccnet_buckets", "q_dedup_incremental", "q_dedup_semantic",
       "q_dedup_containment", "q_domain_stats", "q_corpus_shuffle",
       "q_image_phash", "q_audio_fingerprint", "q_unicode_nfc",
-      "q_quality_select")
+      "q_quality_select", "q_hll_distinct", "q_priority_sample",
+      "q_bigram_logprob", "q_ann_pq", "q_embed_pool", "q_mixture_plan",
+      "q_pmi_topk")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
