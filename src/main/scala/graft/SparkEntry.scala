@@ -147,6 +147,8 @@ object SparkEntry {
     "q_embed_pool" -> (L.qEmbedPool _),
     // mixture planning: target weights + budget -> per-stratum rates
     "q_mixture_plan" -> (L.qMixturePlan _),
+    // embedding OOD outlier filter (per-cluster z-score on cosine)
+    "q_embed_outlier" -> (L.qEmbedOutlier _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -258,6 +260,7 @@ object SparkEntry {
     "q_ann_pq" -> L.qAnnPqSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
+    "q_embed_outlier" -> L.qEmbedOutlierSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

@@ -329,6 +329,51 @@ object Similarity {
     finally if (cacheInput) input.unpersist(blocking = false)
   }
 
+  /** Embedding outlier filter — the curation step that drops
+    * out-of-distribution vectors (mislabeled scrapes, decode garbage)
+    * before they poison dedup/ANN stages: assign each vector to its
+    * nearest codebook centroid (the ivfAssign argmax, same tiebreak),
+    * then flag vectors whose centroid-cosine sits more than zThresh
+    * standard deviations below/above their CLUSTER's mean cosine.
+    *
+    * Determinism: the rounded cosine is re-quantized to an exact long
+    * (floor(cos·1e6+0.5) — never a bare cast, DuckDB rounds where
+    * Spark truncates); per-cluster n/Σq/Σq² are pure integer sums,
+    * so mean/std/z come from identical integers on any engine or
+    * layout. Zero-norm vectors carry NULL cosine → NULL z, flagged 0.
+    *
+    * Scale shape: assignment is shuffle-free scalar exprs; ONE
+    * k-row stats aggregate joins back broadcast. */
+  def embedOutliers(vectors: DataFrame, centroids: Seq[Array[Float]],
+                    zThresh: Double): DataFrame = {
+    val cosCols = centroids.map(c =>
+      Portable.roundp(VectorOps.floatCosine(col("embedding"), lit(c)), 6))
+    val assigned = vectors
+      .withColumn("__arr", array(cosCols: _*))
+      .withColumn("bucket", coalesce(
+        (array_position(col("__arr"), array_max(col("__arr"))) - 1).cast("int"),
+        lit(0)))
+      .withColumn("cos", element_at(col("__arr"), col("bucket") + 1))
+      .withColumn("__q", floor(col("cos") * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("__arr")
+    val stats = assigned.groupBy(col("bucket")).agg(
+      count(col("__q")).as("__n"),
+      sum(col("__q")).as("__s1"),
+      sum(col("__q") * col("__q")).as("__s2"))
+    val mean = col("__s1") / col("__n")
+    val variance = col("__s2") / col("__n") - mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val withStats = assigned.join(
+      broadcast(stats.select(col("bucket"), mean.as("__mean"), std.as("__std"))),
+      Seq("bucket"))
+    val z = (col("__q") - col("__mean")) / col("__std")
+    withStats.select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+      col("cos"),
+      when(col("__std") > 0, Portable.roundp(z, 4)).as("z_score"),
+      when(col("__std") > 0 && abs(z) > lit(zThresh), lit(1L)).otherwise(lit(0L))
+        .as("is_outlier"))
+  }
+
   /** Mean-pool an embedding column per group — the chunk→document
     * representation step of a RAG/embedding pipeline (a document's
     * vector = the mean of its chunk vectors). Float means are

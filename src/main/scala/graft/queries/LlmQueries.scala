@@ -647,6 +647,50 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
+  // ---- embedding outlier filter (OOD hygiene) ----
+
+  private val EmbedOutlierZ = 2
+
+  /** Flag vectors whose centroid-cosine sits > 2 sigma from their
+    * cluster's mean — the OOD-hygiene pass before dedup/ANN. Codebook
+    * = first 8 vectors (the qAnnIvf loaded-codebook convention). */
+  def qEmbedOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroidRows = emb.where(col("vec_id") < IvfCentroids)
+      .orderBy("vec_id").collect()
+    require(centroidRows.length == IvfCentroids,
+      s"expected $IvfCentroids centroid vectors, got ${centroidRows.length}")
+    val centroids = centroidRows.map(_.getAs[Seq[Float]]("embedding").toArray)
+    Similarity.embedOutliers(emb, centroids.toSeq, EmbedOutlierZ.toDouble)
+  }
+
+  val qEmbedOutlierSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $IvfCentroids),
+       |scored AS (SELECT vec_id, cid,
+       |    floor((list_dot_product(e, ce) / sqrt(list_dot_product(e, e) * list_dot_product(ce, ce))) * 1e6 + 0.5) / 1e6 AS ccos
+       |  FROM v, cent),
+       |assign AS (SELECT vec_id, cid AS bucket, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM scored),
+       |a AS (SELECT vec_id, bucket, ccos AS cos,
+       |    CAST(floor(ccos * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM assign WHERE rn = 1),
+       |st AS (SELECT bucket, CAST(count(q) AS BIGINT) AS n,
+       |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q * q) AS BIGINT) AS s2
+       |  FROM a GROUP BY 1),
+       |m AS (SELECT bucket, s1 / n AS mean,
+       |    sqrt(greatest((s2 / n) - (s1 / n) * (s1 / n),
+       |      CAST(0 AS DOUBLE))) AS std
+       |  FROM st)
+       |SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket, a.cos,
+       |  CASE WHEN m.std > 0 THEN
+       |    floor(((a.q - m.mean) / m.std) * 1e4 + 0.5) / 1e4 END AS z_score,
+       |  CAST(CASE WHEN m.std > 0
+       |      AND abs((a.q - m.mean) / m.std) > CAST($EmbedOutlierZ AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+       |FROM a JOIN m USING (bucket)""".stripMargin
+
   // ---- embedding mean-pooling (chunk -> document representation) ----
 
   /** Per-label mean embedding in long form, via the fixed-point

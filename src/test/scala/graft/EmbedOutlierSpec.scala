@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Similarity
+
+class EmbedOutlierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one centroid at e1; cluster members hug it, one planted outlier
+  // points near-orthogonal
+  private val centroids = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f))
+
+  private def vecs = (
+    (0 until 40).map { i =>
+      val t = (i % 5) * 0.01f
+      (i.toLong, Array(1.0f, t, -t, 0.0f))
+    } :+ (99L, Array(0.1f, 1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("planted orthogonal vector is the only outlier") {
+    val out = Similarity.embedOutliers(vecs, centroids, 2.0)
+    val flagged = out.where($"is_outlier" === 1).collect()
+    assert(flagged.map(_.getLong(0)).toSeq === Seq(99L))
+    assert(flagged.head.getAs[Double]("z_score") < -2.0)
+    assert(out.count() === 41)
+  }
+
+  test("deterministic across partition layouts") {
+    val a = Similarity.embedOutliers(vecs, centroids, 2.0)
+      .orderBy("vec_id").collect().toSeq
+    val b = Similarity.embedOutliers(vecs.repartition(7), centroids, 2.0)
+      .orderBy("vec_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("uniform cluster (std = 0) flags nothing, z is NULL") {
+    val uniform = (0 until 10).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedOutliers(uniform, centroids, 2.0).collect()
+    assert(out.forall(_.getAs[Long]("is_outlier") === 0L))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("z_score"))))
+  }
+}
