@@ -415,6 +415,31 @@ object Similarity {
     (0 until m).map(s => embs.map(e => e.slice(s * sub, (s + 1) * sub)).toSeq)
   }
 
+  /** Train PQ sub-codebooks: per subspace, deterministic distributed
+    * Lloyd's k-means ([[kmeansFit]] — md5 seeds, fixed-point centroid
+    * sums) over the SLICED embeddings. This is the production
+    * codebook path; [[pqCodebook]]'s first-ks slices stand in for a
+    * stored trained codebook in the oracle-gated query. Spec-gated
+    * (the BPE-trainer precedent: iterative training has no tractable
+    * SQL replay; q_ann_pq's oracle gates encode+scan under a LOADED
+    * codebook, PqSpec pins the trained path's determinism and recall).
+    *
+    * Scale: m sequential k-means over a dim/m-wide projection — each
+    * iteration is one map-side-partial aggregate + a ks-row collect;
+    * the corpus is never shuffled. */
+  def pqTrain(vectors: DataFrame, m: Int, ks: Int, iters: Int,
+              embCol: String = "embedding",
+              idCol: String = "vec_id"): Seq[Seq[Array[Float]]] = {
+    val dim = vectors.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = vectors.select(col(idCol).as("vec_id"),
+        slice(col(embCol), s * sub + 1, sub).as("embedding"))
+      kmeansFit(sliced, ks, iters).map(_.toSeq.toArray)
+    }
+  }
+
   /** PQ encode: each vector compresses to one sub-centroid index per
     * subspace — m·log2(ks) bits (80 bits at m=16/ks=32 vs 2048 bits of
     * floats; the memory-bounded ANN representation). code_s = argmax

@@ -51,6 +51,36 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("trained codebook: deterministic, and recall at least matches the naive slices") {
+    val m = 16
+    val t1 = Similarity.pqTrain(emb, m, 32, iters = 2)
+    val t2 = Similarity.pqTrain(emb, m, 32, iters = 2)
+    assert(t1.flatten.map(_.toSeq) === t2.flatten.map(_.toSeq))
+    val queries = emb.where(col("vec_id") < 20)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def ip(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val exact = (0L until 20L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, ip(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).map { case (c, _) => (q, c) }
+    }.toSet
+    def recall(cb: Seq[Seq[Array[Float]]]): Double = {
+      val got = Similarity.pqTopK(queries, emb, cb, 5)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val naive = recall(Similarity.pqCodebook(emb, m, 32))
+    val trained = recall(t1)
+    // Lloyd's refinement should not hurt on this fixture; assert
+    // no-worse-minus-noise plus an absolute floor
+    assert(trained >= naive - 0.05, s"trained $trained vs naive $naive")
+    assert(trained >= 0.25, s"trained recall $trained")
+  }
+
   test("candidate side of the scan carries codes, not embeddings") {
     val cb = Similarity.pqCodebook(emb, 16, 32)
     val out = Similarity.pqTopK(emb.where(col("vec_id") < 3), emb, cb, 5)
