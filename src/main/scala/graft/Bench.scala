@@ -61,7 +61,8 @@ object Bench {
     "q_priority_sample" -> 0.16, "q_bigram_logprob" -> 0.98,
     "q_ann_pq" -> 0.75, "q_embed_pool" -> 0.18,
     "q_mixture_plan" -> 0.35, "q_pmi_topk" -> 0.65,
-    "q_freq_spectrum" -> 0.42, "q_embed_outlier" -> 1.13)
+    "q_freq_spectrum" -> 0.42, "q_embed_outlier" -> 1.13,
+    "q_dim_reduce" -> 0.33)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

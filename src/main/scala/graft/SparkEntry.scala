@@ -149,6 +149,8 @@ object SparkEntry {
     "q_mixture_plan" -> (L.qMixturePlan _),
     // embedding OOD outlier filter (per-cluster z-score on cosine)
     "q_embed_outlier" -> (L.qEmbedOutlier _),
+    // JL ±1 random projection (64 -> 16 dims, fixed-point exact)
+    "q_dim_reduce" -> (L.qDimReduce _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -261,6 +263,7 @@ object SparkEntry {
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
     "q_embed_outlier" -> L.qEmbedOutlierSql,
+    "q_dim_reduce" -> L.qDimReduceSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

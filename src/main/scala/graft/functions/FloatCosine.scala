@@ -241,4 +241,8 @@ object VectorOps {
   /** Column API for [[PqDotTable]]. */
   def pqDotTable(emb: Column, codebook: Array[Array[Array[Float]]]): Column =
     GraftShim.column(PqDotTable(GraftShim.expression(emb), codebook))
+
+  /** Column API for [[RandomProjectSums]]. */
+  def randomProjectSums(emb: Column, signs: Array[Array[Int]]): Column =
+    GraftShim.column(RandomProjectSums(GraftShim.expression(emb), signs))
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Johnson–Lindenstrauss sign-matrix random projection, fixed-point
+  * exact: out[d] = Σ_i floor(x[i]·2^24 + 0.5) · sign(d,i) with
+  * sign ∈ {+1,−1} md5-derived — the cheap dimensionality-reduction
+  * step run before LSH/PQ when the raw embedding width is the cost
+  * driver. Because each input element quantizes ONCE to a long and
+  * the sum is pure integer, the projection is bit-identical on any
+  * engine or partition layout (the FloatVecQuantSumAgg idiom applied
+  * to a matrix product), and the DuckDB oracle replays it from the
+  * same md5 sign derivation.
+  *
+  * The sign matrix enters generated code via `ctx.addReferenceObj`
+  * (one references slot, constant janino size at any outDim·dim) with
+  * a static-method kernel shared by eval and codegen — the PqKernel
+  * recipe. */
+object RandomProjectKernel {
+  def sums(x: ArrayData, signs: Array[Array[Int]]): ArrayData = {
+    val outDim = signs.length
+    val n = x.numElements()
+    val out = new Array[Long](outDim)
+    var d = 0
+    while (d < outDim) {
+      val row = signs(d)
+      val lim = math.min(n, row.length)
+      var acc = 0L
+      var i = 0
+      while (i < lim) {
+        acc += math.floor(x.getFloat(i).toDouble * 16777216.0 + 0.5).toLong * row(i)
+        i += 1
+      }
+      out(d) = acc
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** sign(d,i) = +1 iff h31("salt:d:i") is even — h31 exactly as
+    * Portable.h31 / the DuckDB replay:
+    * `('0x'||substr(md5(s),1,7))::BIGINT % 2147483647`. */
+  def signMatrix(salt: String, outDim: Int, dim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (d, i) =>
+      md.reset()
+      val hex = md.digest(s"$salt:$d:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      val h31 = java.lang.Long.parseLong(hex, 16) % 2147483647L
+      if (h31 % 2 == 0) 1 else -1
+    }
+  }
+}
+
+case class RandomProjectSums(child: Expression, signs: Array[Array[Int]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "random_project_sums"
+
+  override protected def nullSafeEval(a: Any): Any =
+    RandomProjectKernel.sums(a.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("rpSigns", signs, "int[][]")
+    val cls = RandomProjectKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.sums($a, $sRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

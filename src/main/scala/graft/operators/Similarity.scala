@@ -415,6 +415,29 @@ object Similarity {
     (0 until m).map(s => embs.map(e => e.slice(s * sub, (s + 1) * sub)).toSeq)
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction: project the
+    * embedding onto outDim md5-derived ±1 directions, scaled by
+    * 1/√outDim — the cheap width-reduction run before LSH/PQ when the
+    * raw embedding width drives cost (a ±1 matrix needs no float
+    * weights and JL guarantees distance preservation in expectation).
+    * Fixed-point exact: inputs quantize once to longs, the projection
+    * is a pure integer matrix product inside ONE reference-held
+    * codegen expression (functions/RandomProject — the PqKernel
+    * recipe), divided back at the end. Long-form output (vec, dim,
+    * value), the meanPool convention. Shuffle-free. */
+  def dimReduce(vectors: DataFrame, outDim: Int, salt: String = "rp",
+                embCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val dim = vectors.select(size(col(embCol))).head().getInt(0)
+    val signs = graft.functions.RandomProjectKernel.signMatrix(salt, outDim, dim)
+    vectors
+      .withColumn("__s", VectorOps.randomProjectSums(col(embCol), signs))
+      .select(col(idCol), posexplode(col("__s")).as(Seq("dim", "__q")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        Portable.roundp(col("__q") / lit(16777216.0)
+          / sqrt(lit(outDim.toDouble)), 6).as("value"))
+  }
+
   /** Train PQ sub-codebooks: per subspace, deterministic distributed
     * Lloyd's k-means ([[kmeansFit]] — md5 seeds, fixed-point centroid
     * sums) over the SLICED embeddings. This is the production

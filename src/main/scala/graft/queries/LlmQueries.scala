@@ -647,6 +647,33 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
+  // ---- JL random-projection dim reduction ----
+
+  private val DimReduceOut = 16
+
+  /** 64 -> 16 dims via md5-derived ±1 projections, fixed-point exact. */
+  def qDimReduce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dimReduce(Tables(spark, dir).embeddings, DimReduceOut)
+
+  val qDimReduceSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id, i,
+       |    CAST(floor(e[i + 1] * CAST(16777216 AS DOUBLE) + 0.5) AS BIGINT) AS qv
+       |  FROM v, generate_series(0, ${Config.AnnDim - 1}) t(i)),
+       |sg AS (SELECT d, i,
+       |    CASE WHEN (('0x' || substr(md5('rp:' || CAST(d AS VARCHAR)
+       |        || ':' || CAST(i AS VARCHAR)), 1, 7))::BIGINT
+       |        % 2147483647) % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM generate_series(0, ${DimReduceOut - 1}) td(d),
+       |    generate_series(0, ${Config.AnnDim - 1}) ti(i)),
+       |g AS (SELECT vec_id, d AS dim, CAST(sum(qv * s) AS BIGINT) AS sq
+       |  FROM q JOIN sg USING (i) GROUP BY 1, 2)
+       |SELECT vec_id, dim,
+       |  floor(((sq / CAST(16777216 AS DOUBLE))
+       |    / sqrt(CAST($DimReduceOut AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS value
+       |FROM g""".stripMargin
+
   // ---- embedding outlier filter (OOD hygiene) ----
 
   private val EmbedOutlierZ = 2

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Portable, RandomProjectKernel}
+import graft.operators.Similarity
+
+class DimReduceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sign matrix matches the Portable.h31 column arithmetic") {
+    val signs = RandomProjectKernel.signMatrix("rp", 4, 6)
+    val rows = spark.range(1).select(
+      (0 until 4).flatMap(d => (0 until 6).map(i =>
+        (Portable.h31(lit(s"rp:$d:$i")) % 2).as(s"s_${d}_$i"))): _*)
+      .collect().head
+    for (d <- 0 until 4; i <- 0 until 6) {
+      val expected = if (rows.getAs[Long](s"s_${d}_$i") == 0L) 1 else -1
+      assert(signs(d)(i) === expected, s"sign($d,$i)")
+    }
+  }
+
+  test("deterministic across layouts; output shape n x outDim") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i + d * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.dimReduce(vecs, 4).orderBy("vec_id", "dim").collect().toSeq
+    val b = Similarity.dimReduce(vecs.repartition(7), 4)
+      .orderBy("vec_id", "dim").collect().toSeq
+    assert(a === b)
+    assert(a.size === 200)
+  }
+
+  test("JL property: pairwise distances roughly preserved") {
+    // hash-noise inputs: a deterministic ±1 matrix on Fourier-smooth
+    // vectors (sinusoids) concentrates poorly — JL's guarantee is over
+    // the matrix draw, so the fixture must not align with it
+    val raw = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(64)(d => (((i * 37 + d * 101) % 97) - 48) / 10.0f)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val proj = Similarity.dimReduce(vecs, 16).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- 0 until 10; j <- (i + 1) until 10) yield {
+      val orig = d2(raw(i)._2.map(_.toDouble).toSeq, raw(j)._2.map(_.toDouble).toSeq)
+      d2(proj(i.toLong).toSeq, proj(j.toLong).toSeq) / orig
+    }
+    // k=16 gives loose concentration; the MEAN ratio should be near 1
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"mean distance ratio $mean")
+    assert(ratios.forall(r => r > 0.1 && r < 4.0), s"ratio range ${ratios.min}..${ratios.max}")
+  }
+}
