@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL corpus interchange — the de-facto exchange format for
+  * training corpora (one JSON object per line; Dolma, RedPajama, and
+  * most crawl dumps ship this way).
+  *
+  * Reader: `spark.read.text` + `from_json`, NOT the native JSON
+  * source's corrupt-record column — filtering on that column alone is
+  * disallowed (Spark requires caching the frame first, which is
+  * exactly what a 100 TB read must never do). `from_json` returns a
+  * NULL struct for an unparseable line, so the malformed flag is a
+  * plain column predicate: streaming-safe, pushdown-friendly, no
+  * caching. Malformed lines keep their raw text for quarantine;
+  * well-formed rows drop it.
+  *
+  * Writer: deterministic sharding via Sampling.shuffleShards (md5 —
+  * a replay/retry re-writes byte-identical shard files, rand() would
+  * not), rows ordered by the shard-local position, one `shard=N`
+  * partition dir per shard with a maxRecordsPerFile spill guard (the
+  * writeSizedCorpus small-files contract for JSON). */
+object Jsonl {
+
+  /** Read a JSONL tree under `schema`. Output = schema columns +
+    * `__malformed` (boolean) + `__raw` (the raw line, malformed rows
+    * only). `df.where(!col("__malformed"))` is the clean corpus.
+    * Malformed detection is an explicit corrupt-record field in the
+    * from_json schema — PERMISSIVE from_json returns an all-null
+    * struct (not a NULL struct) for a bad line, so struct nullness
+    * alone cannot distinguish garbage from a row of JSON nulls. */
+  def readCorpus(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("__corrupt"),
+      "readCorpus: __corrupt is reserved")
+    val parseSchema = StructType(schema.fields :+
+      StructField("__corrupt", StringType, nullable = true))
+    val parsed = spark.read.textFile(path).toDF("value")
+      .select(col("value"), from_json(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "__corrupt")).as("__r"))
+    val malformed = col("__r.__corrupt").isNotNull
+    parsed.select(
+      schema.fieldNames.toSeq.map(n => col(s"__r.$n")) ++
+        Seq(malformed.as("__malformed"),
+          when(malformed, col("value")).as("__raw")): _*)
+  }
+
+  /** Write a deterministic sharded JSONL corpus. */
+  def writeCorpus(df: DataFrame, path: String, nShards: Int,
+                  idCol: String = "doc_id", salt: String = "jsonl",
+                  maxRecordsPerFile: Long = 1000000L): Unit = {
+    val sharded = graft.operators.Sampling.shuffleShards(df, idCol, nShards, salt)
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("position"))
+      .drop("position")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .json(path)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Jsonl
+
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("round trip: write sharded, read back identical (unicode, quotes, newlines)") {
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "quoted \"text\" with \\ backslash", "en"),
+      (3L, "newline\nin the middle", "de"),
+      (4L, "unicode: café 中文 😀", "zh"),
+      (5L, "", "es")
+    ).toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString
+    try {
+      Jsonl.writeCorpus(docs, out, nShards = 3)
+      val back = Jsonl.readCorpus(spark, out, schema)
+      assert(back.where($"__malformed").count() === 0)
+      val a = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val b = back.select("doc_id", "text", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(a === b)
+      // shard dirs are the deterministic md5 assignment
+      val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.nonEmpty && dirs.forall(_.matches("shard=\\d")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("malformed lines quarantined with raw text; clean rows carry no raw") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlbad")
+    val f = dir.resolve("part-0.json")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "ok", "lang": "en"}
+        |not json at all
+        |{"doc_id": 2, "text": "also ok", "lang": "de"}
+        |{"broken": [unclosed
+        |""".stripMargin)
+    try {
+      val back = Jsonl.readCorpus(spark, dir.toString, schema)
+      val good = back.where(!$"__malformed")
+      val bad = back.where($"__malformed")
+      assert(good.count() === 2)
+      assert(good.where($"__raw".isNotNull).count() === 0)
+      assert(bad.count() === 2)
+      val raws = bad.select("__raw").collect().map(_.getString(0)).toSet
+      assert(raws === Set("not json at all", """{"broken": [unclosed"""))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("replayed write produces byte-identical shard assignment") {
+    val docs = (0 until 200).map(i => (i.toLong, s"doc $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val o1 = java.nio.file.Files.createTempDirectory("jsonl1").toString
+    val o2 = java.nio.file.Files.createTempDirectory("jsonl2").toString
+    try {
+      Jsonl.writeCorpus(docs, o1, 4)
+      Jsonl.writeCorpus(docs.repartition(7), o2, 4)
+      def shardOf(path: String) =
+        spark.read.textFile(path).toDF("value")
+          .select(from_json($"value", schema).as("r"))
+          .select(col("r.doc_id"),
+            input_file_name().as("f"))
+          .collect()
+          .map(r => r.getLong(0) -> "shard=(\\d+)".r.findFirstMatchIn(r.getString(1)).get.group(1))
+          .toMap
+      assert(shardOf(o1) === shardOf(o2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(o1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(o2))
+    }
+  }
+}
