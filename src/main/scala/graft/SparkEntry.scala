@@ -151,6 +151,8 @@ object SparkEntry {
     "q_embed_outlier" -> (L.qEmbedOutlier _),
     // JL ±1 random projection (64 -> 16 dims, fixed-point exact)
     "q_dim_reduce" -> (L.qDimReduce _),
+    // content-defined chunking (rolling-hash boundaries, chunk dedup)
+    "q_cdc_chunks" -> (L.qCdcChunks _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -264,6 +266,7 @@ object SparkEntry {
     "q_mixture_plan" -> L.qMixturePlanSql,
     "q_embed_outlier" -> L.qEmbedOutlierSql,
     "q_dim_reduce" -> L.qDimReduceSql,
+    "q_cdc_chunks" -> L.qCdcChunksSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Config
@@ -798,6 +799,50 @@ object TextAnalysis {
       .select(col(id), col("n_bigrams"),
         Portable.roundp(col("__sq") / lit(1e6) / col("n_bigrams"), 6)
           .as("mean_logprob"))
+  }
+
+  /** Content-defined chunking (the FastCDC/rsync family): chunk
+    * boundaries fall where the rolling trigram hash ≡ 0 (mod divisor)
+    * — a pure function of LOCAL content, so inserting or deleting
+    * words resynchronizes at the next boundary and every chunk after
+    * it keeps its hash. Fixed-window chunking ([[packSequences]] /
+    * doc_chunks) shifts every subsequent chunk on a one-word edit;
+    * CDC is the variant that makes chunk-level dedup of re-crawled /
+    * lightly-edited documents work. Expected chunk length ≈ divisor
+    * words.
+    *
+    * Emits one row per chunk with its md5 and the corpus-wide
+    * occurrence count of that chunk (the chunk-dedup signal).
+    *
+    * Scale shape: one (doc, pos) window pass computes the trigram
+    * lags, the boundary flag, and the running chunk id on a single
+    * doc-keyed exchange; the chunk regroup rides the same
+    * partitioning; the occurrence census is a count window over the
+    * near-unique md5 partition (the span-census shape — never an
+    * aggregate + join-back). */
+  def cdcChunks(docs: DataFrame, divisor: Int = 16,
+                id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(divisor > 0, "cdcChunks: divisor must be positive")
+    val tok = docs.select(col(id),
+        posexplode(Portable.words(col(textCol))).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val tri = concat_ws(" ",
+      lag(col("word"), 2).over(w), lag(col("word"), 1).over(w), col("word"))
+    val flagged = tok.withColumn("__flag",
+      when(col("pos") >= 2 && Portable.h31(tri) % divisor === 0, lit(1L))
+        .otherwise(lit(0L)))
+    val chunked = flagged.withColumn("chunk_id",
+      lit(1L) + coalesce(
+        sum(col("__flag")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val chunks = chunked.groupBy(col(id), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")))).as("chunk_hash"))
+    chunks.withColumn("n_occurrences",
+      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))).cast(LongType))
   }
 
   /** Top-k collocations by pointwise mutual information over adjacent

@@ -1576,6 +1576,40 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_bigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- content-defined chunking (CDC) ----
+
+  private val CdcDivisor = 16
+
+  /** CDC chunks over the corpus: boundaries where the rolling trigram
+    * hash ≡ 0 (mod 16), one row per chunk with its md5 and
+    * corpus-wide occurrence count. */
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcChunks(Tables(spark, dir).documents, CdcDivisor)
+
+  val qCdcChunksSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+       |    i -> {'pos': i - 1, 'word': w[i]})) AS t FROM ws),
+       |tok AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM tok0
+       |  WHERE length(t.word) > 0),
+       |f AS (SELECT doc_id, pos, word,
+       |    CASE WHEN pos >= 2 AND ${h31Sql(
+             "lag(word, 2) OVER win || ' ' || lag(word, 1) OVER win || ' ' || word")}
+       |        % $CdcDivisor = 0
+       |      THEN 1 ELSE 0 END AS flag
+       |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (SELECT doc_id, pos, word,
+       |    1 + coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM f),
+       |g AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM c GROUP BY 1, 2)
+       |SELECT doc_id, chunk_id, n_tokens, chunk_hash,
+       |  CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_occurrences
+       |FROM g""".stripMargin
+
   // ---- PMI collocations + frequency spectrum (corpus analysis) ----
 
   private val PmiK = 100

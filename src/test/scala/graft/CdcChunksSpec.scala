@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class CdcChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // aperiodic: position rides in the token so no chunk repeats in-doc
+  private def wordsOf(n: Int, seed: Int) =
+    (0 until n).map(i => s"w$i-${(i * 31 + seed * 17) % 101}")
+
+  test("chunks partition the doc; ids are consecutive from 1; ~divisor-sized") {
+    val text = wordsOf(400, 1).mkString(" ")
+    val out = TextAnalysis.cdcChunks(Seq(1L -> text).toDF("doc_id", "text"), 16)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === 400L)
+    assert(out.map(_.getAs[Long]("chunk_id")).toSeq === (1L to out.length).toSeq)
+    val avg = 400.0 / out.length
+    assert(avg > 4 && avg < 64, s"avg chunk $avg") // expectation ~16
+  }
+
+  test("insertion resynchronizes: most chunk hashes survive a one-word edit") {
+    val base = wordsOf(400, 2)
+    val edited = (base.take(5) :+ "INSERTED") ++ base.drop(5)
+    val docs = Seq(1L -> base.mkString(" "), 2L -> edited.mkString(" "))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs, 16).collect()
+    val h1 = chunks.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_hash")).toSet
+    val h2 = chunks.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_hash")).toSet
+    val shared = (h1 & h2).size.toDouble / h1.size
+    // the edit perturbs only chunks up to the next boundary; everything
+    // after re-aligns — THE content-defined property (a fixed-window
+    // chunker shares ~zero hashes after a shift)
+    assert(shared > 0.5, s"shared fraction $shared")
+    assert(h1 !== h2)
+    // and the occurrence census sees the shared chunks twice
+    val occ = chunks.filter(r => (h1 & h2).contains(r.getAs[String]("chunk_hash")))
+      .map(_.getAs[Long]("n_occurrences"))
+    assert(occ.forall(_ === 2L))
+  }
+
+  test("deterministic across partition layouts; short docs are one chunk") {
+    val docs = (Seq(10L -> "only two", 11L -> "") ++
+      (0 until 50).map(i => (100L + i, wordsOf(60, i).mkString(" "))))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.cdcChunks(docs, 16)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val b = TextAnalysis.cdcChunks(docs.repartition(7), 16)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(a === b)
+    val short = a.filter(_.getLong(0) == 10L)
+    assert(short.size === 1 && short.head.getAs[Long]("n_tokens") === 2L)
+    assert(!a.exists(_.getLong(0) == 11L)) // empty doc absent
+  }
+}
