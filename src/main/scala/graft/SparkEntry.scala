@@ -153,6 +153,8 @@ object SparkEntry {
     "q_dim_reduce" -> (L.qDimReduce _),
     // content-defined chunking (rolling-hash boundaries, chunk dedup)
     "q_cdc_chunks" -> (L.qCdcChunks _),
+    // CDC transform: duplicated chunks cut, docs rebuilt
+    "q_cdc_dedup" -> (L.qCdcDedup _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -267,6 +269,7 @@ object SparkEntry {
     "q_embed_outlier" -> L.qEmbedOutlierSql,
     "q_dim_reduce" -> L.qDimReduceSql,
     "q_cdc_chunks" -> L.qCdcChunksSql,
+    "q_cdc_dedup" -> L.qCdcDedupSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

@@ -820,8 +820,11 @@ object TextAnalysis {
     * partitioning; the occurrence census is a count window over the
     * near-unique md5 partition (the span-census shape — never an
     * aggregate + join-back). */
-  def cdcChunks(docs: DataFrame, divisor: Int = 16,
-                id: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The shared CDC token pipeline: (id, pos, word, chunk_id) with the
+    * running chunk id from rolling-trigram boundaries — one doc-keyed
+    * window exchange (lags, boundary flag and running sum fuse). */
+  private def cdcTokens(docs: DataFrame, divisor: Int,
+                        id: String, textCol: String): DataFrame = {
     require(divisor > 0, "cdcChunks: divisor must be positive")
     val tok = docs.select(col(id),
         posexplode(Portable.words(col(textCol))).as(Seq("pos", "word")))
@@ -829,20 +832,62 @@ object TextAnalysis {
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
     val tri = concat_ws(" ",
       lag(col("word"), 2).over(w), lag(col("word"), 1).over(w), col("word"))
-    val flagged = tok.withColumn("__flag",
-      when(col("pos") >= 2 && Portable.h31(tri) % divisor === 0, lit(1L))
-        .otherwise(lit(0L)))
-    val chunked = flagged.withColumn("chunk_id",
-      lit(1L) + coalesce(
-        sum(col("__flag")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val chunks = chunked.groupBy(col(id), col("chunk_id"))
+    tok.withColumn("__flag",
+        when(col("pos") >= 2 && Portable.h31(tri) % divisor === 0, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("chunk_id",
+        lit(1L) + coalesce(
+          sum(col("__flag")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__flag")
+  }
+
+  /** Per-chunk frame: (id, chunk_id, n_tokens, chunk_hash). */
+  private def cdcChunkFrame(toks: DataFrame, id: String): DataFrame =
+    toks.groupBy(col(id), col("chunk_id"))
       .agg(count(lit(1)).as("n_tokens"),
         md5(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           s => s.getField("word")))).as("chunk_hash"))
-    chunks.withColumn("n_occurrences",
-      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))).cast(LongType))
+
+  def cdcChunks(docs: DataFrame, divisor: Int = 16,
+                id: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunkFrame(cdcTokens(docs, divisor, id, textCol), id)
+      .withColumn("n_occurrences",
+        count(lit(1)).over(Window.partitionBy(col("chunk_hash"))).cast(LongType))
+
+  /** The TRANSFORM half of [[cdcChunks]]: drop every non-first
+    * occurrence of a duplicated chunk (global first = lowest
+    * (doc_id, chunk_id) — deterministic, replay-stable) and rebuild
+    * each doc from its kept chunks — chunk-granularity dedup of
+    * re-crawled/boilerplate content, the CDC analog of
+    * Dedup.dropDuplicateSpans. Keep/drop comes from a row_number
+    * window over the near-unique chunk_hash partition (the
+    * span-census shape — never an aggregate + join-back); the doc
+    * regroup reassembles kept tokens in position order. */
+  def cdcDedupChunks(docs: DataFrame, divisor: Int = 16,
+                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = cdcTokens(docs, divisor, id, textCol)
+    val marked = cdcChunkFrame(toks, id)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("chunk_hash"))
+          .orderBy(col(id).asc, col("chunk_id").asc)))
+    val g1 = marked.groupBy(col(id)).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped_chunks"))
+    val verdict = marked.select(col(id), col("chunk_id"),
+      (col("__rn") === 1).as("__keep"))
+    val g2 = toks.join(verdict, Seq(id, "chunk_id"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("word"))))),
+          s => s.getField("word"))).as(textCol))
+    g1.join(g2, Seq(id))
+      .select(col(id), col("n_chunks"), col("n_dropped_chunks"),
+        col("n_tokens"), col("n_kept_tokens"), col(textCol))
   }
 
   /** Top-k collocations by pointwise mutual information over adjacent

@@ -1610,6 +1610,47 @@ object LlmQueries {
        |  CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_occurrences
        |FROM g""".stripMargin
 
+  /** Chunk-granularity dedup transform: non-first duplicated chunks
+    * cut, docs rebuilt; counts AND rebuilt text hash-gated. */
+  def qCdcDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcDedupChunks(Tables(spark, dir).documents, CdcDivisor)
+
+  val qCdcDedupSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tok0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+       |    i -> {'pos': i - 1, 'word': w[i]})) AS t FROM ws),
+       |tok AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM tok0
+       |  WHERE length(t.word) > 0),
+       |f AS (SELECT doc_id, pos, word,
+       |    CASE WHEN pos >= 2 AND ${h31Sql(
+             "lag(word, 2) OVER win || ' ' || lag(word, 1) OVER win || ' ' || word")}
+       |        % $CdcDivisor = 0
+       |      THEN 1 ELSE 0 END AS flag
+       |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (SELECT doc_id, pos, word,
+       |    1 + coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM f),
+       |g AS (SELECT doc_id, chunk_id,
+       |    md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM c GROUP BY 1, 2),
+       |mk AS (SELECT doc_id, chunk_id,
+       |    row_number() OVER (PARTITION BY chunk_hash
+       |      ORDER BY doc_id ASC, chunk_id ASC) AS rn
+       |  FROM g),
+       |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_chunks
+       |  FROM mk GROUP BY 1),
+       |g2 AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN mk.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+       |    coalesce(string_agg(word, ' ' ORDER BY pos)
+       |      FILTER (WHERE mk.rn = 1), '') AS text
+       |  FROM c JOIN mk ON c.doc_id = mk.doc_id AND c.chunk_id = mk.chunk_id
+       |  GROUP BY 1)
+       |SELECT g1.doc_id, g1.n_chunks, g1.n_dropped_chunks,
+       |  g2.n_tokens, g2.n_kept_tokens, g2.text
+       |FROM g1 JOIN g2 USING (doc_id)""".stripMargin
+
   // ---- PMI collocations + frequency spectrum (corpus analysis) ----
 
   private val PmiK = 100

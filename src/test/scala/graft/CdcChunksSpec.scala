@@ -40,6 +40,24 @@ class CdcChunksSpec extends SparkSpec {
     assert(occ.forall(_ === 2L))
   }
 
+  test("dedup transform: twin doc empties, first occurrence keeps everything") {
+    val base = wordsOf(300, 7).mkString(" ")
+    val unique = wordsOf(80, 99).mkString(" ")
+    val docs = Seq(1L -> base, 2L -> base, 3L -> unique).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcDedupChunks(docs, 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 (lowest id) keeps all tokens, rebuilt text == original
+    assert(out(1L).getAs[Long]("n_dropped_chunks") === 0L)
+    assert(out(1L).getAs[Long]("n_kept_tokens") === 300L)
+    assert(out(1L).getAs[String]("text") === base)
+    // doc 2 is chunk-for-chunk duplicated -> loses everything
+    assert(out(2L).getAs[Long]("n_dropped_chunks") === out(2L).getAs[Long]("n_chunks"))
+    assert(out(2L).getAs[Long]("n_kept_tokens") === 0L)
+    assert(out(2L).getAs[String]("text") === "")
+    // unrelated doc untouched
+    assert(out(3L).getAs[String]("text") === unique)
+  }
+
   test("deterministic across partition layouts; short docs are one chunk") {
     val docs = (Seq(10L -> "only two", 11L -> "") ++
       (0 until 50).map(i => (100L + i, wordsOf(60, i).mkString(" "))))
