@@ -53,6 +53,8 @@ object SparkEntry {
     // engines, so it is not registered here; q_percentile_binned IS the
     // oracle-exact bounded-memory scale path.
     "q_percentile_binned" -> (T.qPercentileBinned _),
+    // winsorized robust stats on the binned-percentile cut points
+    "q_winsorize" -> (T.qWinsorize _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_salted_agg" -> (T.qSaltedAgg _),
     "q_corpus_stats" -> (L.qCorpusStats _),
@@ -205,6 +207,7 @@ object SparkEntry {
     "q_window_lag" -> T.qWindowLagSql,
     "q_percentile" -> T.qPercentileSql,
     "q_percentile_binned" -> T.qPercentileBinnedSql,
+    "q_winsorize" -> T.qWinsorizeSql,
     "q_anti_join" -> T.qAntiJoinSql,
     "q_salted_agg" -> T.qSaltedAggSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,

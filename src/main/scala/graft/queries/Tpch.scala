@@ -199,6 +199,42 @@ object Tpch {
        |FROM ep JOIN qt ON ep.g = qt.g""".stripMargin
   }
 
+  /** Winsorized price stats per return flag: clip at the binned
+    * [p5, p95] estimates, integer-quantized clipped mean. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Percentile
+    Percentile.winsorize(Tables(spark, dir).lineitem,
+      col("l_returnflag"), col("l_extendedprice"), 0.05, 0.95)
+      .withColumnRenamed("g", "l_returnflag")
+  }
+
+  lazy val qWinsorizeSql: String = {
+    import graft.operators.Percentile
+    val (ctes, sel) = Percentile.refinedSql(
+      "lineitem", "l_returnflag", "l_extendedprice",
+      Seq("lo" -> 0.05, "hi" -> 0.95), rounds = 4, sfx = "w")
+    s"""WITH $ctes,
+       |cuts AS ($sel),
+       |b AS (SELECT l_returnflag AS g,
+       |    CAST(l_extendedprice AS DOUBLE) AS x
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |    AND isfinite(CAST(l_extendedprice AS DOUBLE))),
+       |c AS (SELECT b.g, x, lo, hi,
+       |    CAST(floor(least(greatest(x, lo), hi) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM b JOIN cuts ON b.g = cuts.g),
+       |g2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       |    CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       |    max(lo) AS lo, max(hi) AS hi,
+       |    CAST(sum(q) AS BIGINT) AS sq
+       |  FROM c GROUP BY g)
+       |SELECT g AS l_returnflag, n, n_clipped_low, n_clipped_high,
+       |  floor((lo) * 1e6 + 0.5) / 1e6 AS p_lo,
+       |  floor((hi) * 1e6 + 0.5) / 1e6 AS p_hi,
+       |  floor((sq / 1e6 / n) * 1e6 + 0.5) / 1e6 AS winsor_mean
+       |FROM g2""".stripMargin
+  }
+
   /** Anti join: orders that never shipped a line item. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentile
+
+class WinsorizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorized mean damps injected outliers; plain mean does not") {
+    val clean = (0 until 1000).map(i => ("g", 100.0 + (i % 50)))
+    val dirty = clean ++ Seq(("g", 1e9), ("g", 1e9), ("g", -1e9))
+    val df = dirty.toDF("k", "v")
+    val out = Percentile.winsorize(df, col("k"), col("v"), 0.05, 0.95)
+      .collect().head
+    val wMean = out.getAs[Double]("winsor_mean")
+    val plainMean = df.agg(avg("v")).collect().head.getDouble(0)
+    val cleanMean = clean.map(_._2).sum / clean.size
+    // 3 extreme rows move the plain mean by ~1e6; winsorized stays put
+    assert(math.abs(wMean - cleanMean) < 5.0, s"winsor $wMean vs clean $cleanMean")
+    assert(math.abs(plainMean - cleanMean) > 1e5)
+    assert(out.getAs[Long]("n_clipped_high") >= 2L)
+    assert(out.getAs[Long]("n_clipped_low") >= 1L)
+    assert(out.getAs[Long]("n") === 1003L)
+  }
+
+  test("mean sits within [p_lo, p_hi]; deterministic across layouts") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", (i * 37 % 997).toDouble))
+      .toDF("k", "v")
+    val a = Percentile.winsorize(df, col("k"), col("v"), 0.1, 0.9)
+      .orderBy("g").collect().toSeq
+    a.foreach { r =>
+      val m = r.getAs[Double]("winsor_mean")
+      assert(m >= r.getAs[Double]("p_lo") && m <= r.getAs[Double]("p_hi"))
+    }
+    val b = Percentile.winsorize(df.repartition(11), col("k"), col("v"), 0.1, 0.9)
+      .orderBy("g").collect().toSeq
+    assert(a === b)
+  }
+
+  test("refined(rounds=1) is bit-identical to the single-pass binned estimator") {
+    val df = (0 until 2000).map(i => (s"g${i % 3}", (i * 7919 % 4001).toDouble))
+      .toDF("k", "v")
+    val ps = Seq("p25" -> 0.25, "p90" -> 0.9)
+    val a = Percentile.binned(df, col("k"), col("v"), ps)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val b = Percentile.refined(df, col("k"), col("v"), ps, rounds = 1)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("refinement converges toward the exact quantile under extreme outliers") {
+    // range stretched to ~2e9: single-pass bin width ~1.5e7
+    val vals = (0 until 1000).map(i => 100.0 + (i % 50)) ++ Seq(1e9, -1e9)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val exact = {
+      // the estimator's limit: smallest v with count(<=v) >= t = 0.5*n
+      val s = vals.sorted
+      s((0.5 * s.size).toInt - 1)
+    }
+    def err(rounds: Int) = math.abs(Percentile.refined(
+      df, col("k"), col("v"), Seq("p50" -> 0.5), rounds = rounds)
+      .collect().head.getDouble(1) - exact)
+    // error bound is range/B^k: ~1.5e7 at k=1, ~950 at k=3, ~0.06 at k=5
+    val e1 = err(1); val e3 = err(3); val e5 = err(5)
+    assert(e3 < e1 / 1000, s"round-1 err $e1, round-3 err $e3")
+    assert(e5 < 0.5, s"round-5 err $e5")
+  }
+
+  test("non-finite values are excluded like the estimator excludes them") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0),
+      ("g", Double.NaN), ("g", Double.PositiveInfinity)).toDF("k", "v")
+    val out = Percentile.winsorize(df, col("k"), col("v"), 0.2, 0.8).collect().head
+    assert(out.getAs[Long]("n") === 3L)
+  }
+}
