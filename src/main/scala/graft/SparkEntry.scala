@@ -55,6 +55,10 @@ object SparkEntry {
     "q_percentile_binned" -> (T.qPercentileBinned _),
     // winsorized robust stats on the binned-percentile cut points
     "q_winsorize" -> (T.qWinsorize _),
+    // per-group least squares on exact integer sufficient statistics
+    "q_linreg" -> (T.qLinreg _),
+    // doc-length histogram (length-filter tuning diagnostic)
+    "q_length_hist" -> (L.qLengthHist _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_salted_agg" -> (T.qSaltedAgg _),
     "q_corpus_stats" -> (L.qCorpusStats _),
@@ -208,6 +212,8 @@ object SparkEntry {
     "q_percentile" -> T.qPercentileSql,
     "q_percentile_binned" -> T.qPercentileBinnedSql,
     "q_winsorize" -> T.qWinsorizeSql,
+    "q_linreg" -> T.qLinregSql,
+    "q_length_hist" -> L.qLengthHistSql,
     "q_anti_join" -> T.qAntiJoinSql,
     "q_salted_agg" -> T.qSaltedAggSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Distributed summary statistics over exact integer sufficient
+  * statistics — the pattern that makes classical stats oracle-exact
+  * cross-engine: every sum (Σx, Σy, Σxy, Σx², Σy²) accumulates as a
+  * 64-bit integer (exact, order-independent — the integer-cents idiom
+  * applied to moments), and only the FINAL closed-form arithmetic
+  * runs in double, on identical integers both sides.
+  */
+object Stats {
+
+  /** Per-group simple least-squares fit y ≈ slope·x + intercept, with
+    * r². Inputs must be integer columns (quantize floats upstream —
+    * cents, fixed-point, counts); caller guarantees Σx², Σxy, Σy² fit
+    * in 64 bits (|x|,|y| < 2^21 with n < 2^21 always does).
+    *
+    * Groups with zero x-variance fit nothing (slope/intercept/r²
+    * NULL — the computed-denominator guard); zero y-variance on
+    * non-degenerate x gives slope 0 and r² NULL.
+    *
+    * Scale: ONE map-side-partial aggregate; the closed form touches
+    * groups-sized data. This is how a curation pipeline checks signal
+    * agreement (does the learned quality score track the rule-based
+    * one per source?) without collecting anything. */
+  def linearFit(df: DataFrame, group: Column, xCol: Column,
+                yCol: Column): DataFrame = {
+    val base = df.select(group.as("g"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val agg = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double")
+    val dsy = col("sy").cast("double")
+    val vx = dn * col("sxx").cast("double") - dsx * dsx
+    val vy = dn * col("syy").cast("double") - dsy * dsy
+    val cov = dn * col("sxy").cast("double") - dsx * dsy
+    val slope = when(vx === 0, lit(null)).otherwise(cov / vx)
+    agg.select(col("g"), col("n"),
+      Portable.roundp(slope, 6).as("slope"),
+      Portable.roundp(when(vx === 0, lit(null))
+        .otherwise((dsy - (cov / vx) * dsx) / dn), 6).as("intercept"),
+      Portable.roundp(when(vx === 0 || vy === 0, lit(null))
+        .otherwise(cov * cov / (vx * vy)), 6).as("r2"))
+  }
+}

@@ -1682,6 +1682,26 @@ object LlmQueries {
        |SELECT bigram, c2, cl, cr, q / 1e6 AS pmi
        |FROM s ORDER BY q DESC, bigram ASC LIMIT $PmiK""".stripMargin
 
+  /** Doc-length histogram in fixed 16-token bins — the length-
+    * distribution diagnostic behind min/max-length filter tuning
+    * (C4/Gopher length rules) and packing-efficiency estimates.
+    * One map-side-partial aggregate; ≤ maxlen/16 output rows. */
+  def qLengthHist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select((size(Portable.words(col("text"))).cast("long")).as("__n"))
+      .select(expr("__n div 16").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("bin"), (col("bin") * 16).as("lo_tokens"),
+        (col("bin") * 16 + 15).as("hi_tokens"), col("n_docs"))
+
+  val qLengthHistSql: String =
+    s"""WITH t AS (SELECT CAST(len(${wordsSql("text")}) AS BIGINT) // 16 AS bin
+       |  FROM documents)
+       |SELECT bin, bin * 16 AS lo_tokens, bin * 16 + 15 AS hi_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM t GROUP BY 1""".stripMargin
+
   /** Word-frequency spectrum: counts-of-counts (Good-Turing input). */
   def qFreqSpectrum(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.freqSpectrum(Tables(spark, dir).documents)

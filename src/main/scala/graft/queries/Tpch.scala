@@ -235,6 +235,49 @@ object Tpch {
        |FROM g2""".stripMargin
   }
 
+  /** Per-returnflag least-squares fit of whole-dollar price against
+    * quantity — the signal-agreement diagnostic on exact integer
+    * sufficient statistics. Dollars, not cents: Σy² at cents scale
+    * would pass 2^63 on sf0.1's 600k rows (measured — the 64-bit
+    * moment bound is a real constraint, see Stats.linearFit). */
+  def qLinreg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.linearFit(Tables(spark, dir).lineitem,
+      col("l_returnflag"), col("l_quantity"),
+      Portable.roundp(col("l_extendedprice"), 0))
+      .withColumnRenamed("g", "l_returnflag")
+
+  lazy val qLinregSql: String =
+    """WITH b AS (SELECT l_returnflag AS g,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor((l_extendedprice) * 1e0 + 0.5) / 1e0 AS BIGINT) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY 1),
+      |d AS (SELECT g, n,
+      |    CAST(n AS DOUBLE) AS dn,
+      |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+      |  FROM a)
+      |SELECT g AS l_returnflag, n,
+      |  CASE WHEN vx = 0 THEN NULL
+      |    ELSE floor((cov / vx) * 1e6 + 0.5) / 1e6 END AS slope,
+      |  CASE WHEN vx = 0 THEN NULL
+      |    ELSE floor(((dsy - (cov / vx) * dsx) / dn) * 1e6 + 0.5) / 1e6
+      |    END AS intercept,
+      |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+      |    ELSE floor((cov * cov / (vx * vy)) * 1e6 + 0.5) / 1e6 END AS r2
+      |FROM d""".stripMargin
+
   /** Anti join: orders that never shipped a line item. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect line recovers slope/intercept exactly, r2 = 1") {
+    val df = (1 to 100).map(x => ("g", x.toLong, 3L * x + 7L)).toDF("k", "x", "y")
+    val r = Stats.linearFit(df, col("k"), col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("intercept") === 7.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+    assert(r.getAs[Long]("n") === 100L)
+  }
+
+  test("hand-computed noisy fit") {
+    // (1,2),(2,3),(3,5),(4,6): slope=1.4, intercept=0.5, r2=0.98
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 5L), (4L, 6L))
+      .map { case (x, y) => ("g", x, y) }.toDF("k", "x", "y")
+    val r = Stats.linearFit(df, col("k"), col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("slope") === 1.4)
+    assert(r.getAs[Double]("intercept") === 0.5)
+    assert(r.getAs[Double]("r2") === 0.98)
+  }
+
+  test("degenerate x (zero variance) yields NULLs; layout determinism") {
+    val df = (Seq(("d", 5L, 1L), ("d", 5L, 9L)) ++
+      (0 until 300).map(i => ("g", (i % 37).toLong, ((i * 13) % 101).toLong)))
+      .toDF("k", "x", "y")
+    val rows = Stats.linearFit(df, col("k"), col("x"), col("y"))
+      .orderBy("g").collect()
+    val d = rows.find(_.getString(0) == "d").get
+    assert(d.isNullAt(d.fieldIndex("slope")) && d.isNullAt(d.fieldIndex("r2")))
+    val again = Stats.linearFit(df.repartition(7), col("k"), col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+}
