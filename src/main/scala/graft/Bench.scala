@@ -64,7 +64,8 @@ object Bench {
     "q_freq_spectrum" -> 0.42, "q_embed_outlier" -> 1.13,
     "q_dim_reduce" -> 0.33, "q_cdc_chunks" -> 0.90,
     "q_cdc_dedup" -> 1.91, "q_winsorize" -> 2.28,
-    "q_linreg" -> 0.41, "q_length_hist" -> 0.32)
+    "q_linreg" -> 0.41, "q_length_hist" -> 0.32,
+    "q_char_entropy" -> 0.21)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,6 +59,8 @@ object SparkEntry {
     "q_linreg" -> (T.qLinreg _),
     // doc-length histogram (length-filter tuning diagnostic)
     "q_length_hist" -> (L.qLengthHist _),
+    // codepoint entropy (gibberish/blob detector, native one-pass kernel)
+    "q_char_entropy" -> (L.qCharEntropy _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_salted_agg" -> (T.qSaltedAgg _),
     "q_corpus_stats" -> (L.qCorpusStats _),
@@ -214,6 +216,7 @@ object SparkEntry {
     "q_winsorize" -> T.qWinsorizeSql,
     "q_linreg" -> T.qLinregSql,
     "q_length_hist" -> L.qLengthHistSql,
+    "q_char_entropy" -> L.qCharEntropySql,
     "q_anti_join" -> T.qAntiJoinSql,
     "q_salted_agg" -> T.qSaltedAggSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codepoint-level Shannon entropy of a string — the gibberish /
+  * base64-blob / key-mash detector of the quality family (natural
+  * text sits in a characteristic band; encoded blobs run high,
+  * repeated-character junk runs low). Computed partition-local in ONE
+  * pass with NO character explode (a per-codepoint Generate would
+  * inflate the corpus ~2000×; the oracle does the explode census —
+  * that asymmetry is the point).
+  *
+  * Determinism: H = ln(n) − (Σ_c cnt_c·ln(cnt_c))/n with each
+  * distinct codepoint's cnt·ln(cnt) quantized ONCE to a fixed-point
+  * long and summed in integer space (the unigram idiom) — the result
+  * is independent of codepoint iteration order, so a hash-map census
+  * is safe. DuckDB replays via regexp_extract_all(text, '(?s).')
+  * (RE2 '.': one codepoint, dotall for newlines) + the same
+  * quantized sums. Empty input → NULL. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(a: Any): Any =
+    CharEntropy.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CharEntropy.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("ce")
+      s"""
+         |Object $r = $cls.compute($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $r).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  /** Column API. */
+  def of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftShim.column(
+      CharEntropy(org.apache.spark.sql.GraftShim.expression(c)))
+
+  /** Shared by eval and codegen. Returns java.lang.Double or null. */
+  def compute(s: UTF8String): java.lang.Double = {
+    val str = s.toString
+    if (str.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var sq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next()
+      // quantize BEFORE summing: integer total is order-independent
+      sq += math.floor(cnt.toDouble * math.log(cnt.toDouble) * 1e6 + 0.5).toLong
+    }
+    val h = math.log(n.toDouble) - sq.toDouble / 1e6 / n.toDouble
+    math.floor(h * 1e6 + 0.5) / 1e6
+  }
+}

@@ -1702,6 +1702,27 @@ object LlmQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs
        |FROM t GROUP BY 1""".stripMargin
 
+  /** Codepoint Shannon entropy per doc — the gibberish/blob detector;
+    * native one-pass kernel, no character explode (the oracle does
+    * the 2000× explode census; that asymmetry is the point). */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_cp"),
+        graft.functions.CharEntropy.of(col("text")).as("entropy"))
+
+  val qCharEntropySql: String =
+    s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).', 0)) AS c
+       |  FROM documents),
+       |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ch GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_cp,
+       |    CAST(sum(CAST(floor(cnt * ln(cnt) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM cc GROUP BY 1)
+       |SELECT doc_id, n_cp,
+       |  floor((ln(n_cp) - sq / 1e6 / n_cp) * 1e6 + 0.5) / 1e6 AS entropy
+       |FROM d""".stripMargin
+
   /** Word-frequency spectrum: counts-of-counts (Good-Turing input). */
   def qFreqSpectrum(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.freqSpectrum(Tables(spark, dir).documents)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CharEntropy
+
+class CharEntropySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+      .select($"doc_id", CharEntropy.of($"text").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+  test("hand-computed: 'aabb' = ln 2; uniform beats repeated; empty is NULL") {
+    val out = h(1L -> "aabb", 2L -> "aaaa", 3L -> "abcdefgh", 4L -> "")
+    assert(out(1L).get === math.floor(math.log(2) * 1e6 + 0.5) / 1e6)
+    assert(out(2L).get === 0.0)
+    assert(out(3L).get === math.floor(math.log(8) * 1e6 + 0.5) / 1e6)
+    assert(out(4L) === None)
+  }
+
+  test("surrogate pairs count as one codepoint") {
+    // four distinct codepoints, one astral: H = ln 4
+    val out = h(1L -> "ab中😀")
+    assert(out(1L).get === math.floor(math.log(4) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("signal separates text from blobs and from repetition") {
+    val natural = "the quick brown fox jumps over the lazy dog again and again"
+    val blob = (0 until 200).map(i => "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+      .charAt(i * 37 % 64)).mkString
+    val junk = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaabbbb"
+    val out = h(1L -> natural, 2L -> blob, 3L -> junk)
+    assert(out(2L).get > out(1L).get)
+    assert(out(1L).get > out(3L).get)
+  }
+
+  test("interpreted eval matches codegen path") {
+    val df = (0 until 200).map(i => (i.toLong, s"text $i " * (i % 7 + 1)))
+      .toDF("doc_id", "text")
+    val a = df.select($"doc_id", CharEntropy.of($"text").as("h"))
+      .orderBy("doc_id").collect().toSeq
+    val b = df.repartition(9)
+      .select($"doc_id", CharEntropy.of($"text").as("h"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // direct kernel call agrees with the column path
+    val direct = CharEntropy.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aabb"))
+    assert(direct === math.floor(math.log(2) * 1e6 + 0.5) / 1e6)
+  }
+}
