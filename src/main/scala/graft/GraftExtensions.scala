@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, WkbRings, WordShingles}
+import graft.functions.{CharEntropy, FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, WkbRings, WordShingles}
 
 /** Session-extension hook registering graft's native expressions as SQL
   * functions, so they are first-class from `spark.sql(...)`:
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("wkb_rings",
         "wkb_rings(wkb) - decode WKB Polygon/MultiPolygon bytes to polygons of flat-coordinate rings"),
       (args: Seq[Expression]) => WkbRings(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(text) - codepoint Shannon entropy (one-pass, no explode)"),
+      (args: Seq[Expression]) => CharEntropy(args.head)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),

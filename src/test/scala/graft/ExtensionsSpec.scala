@@ -38,4 +38,10 @@ class ExtensionsSpec extends SparkSpec {
     assert(rings.length === 1)
     assert(rings(0)(0) === Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0))
   }
+
+  test("char_entropy registers as a SQL function") {
+    val h = spark.sql("SELECT char_entropy('aabb') AS h").collect()(0).getDouble(0)
+    assert(h === math.floor(math.log(2) * 1e6 + 0.5) / 1e6)
+    assert(spark.sql("SELECT char_entropy('') AS h").collect()(0).isNullAt(0))
+  }
 }
