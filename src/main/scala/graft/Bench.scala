@@ -65,7 +65,8 @@ object Bench {
     "q_dim_reduce" -> 0.33, "q_cdc_chunks" -> 0.90,
     "q_cdc_dedup" -> 1.91, "q_winsorize" -> 2.28,
     "q_linreg" -> 0.41, "q_length_hist" -> 0.32,
-    "q_char_entropy" -> 0.21)
+    "q_char_entropy" -> 0.21,
+    "q_rolling_anomaly" -> 0.57)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

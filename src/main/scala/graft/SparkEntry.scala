@@ -57,6 +57,8 @@ object SparkEntry {
     "q_winsorize" -> (T.qWinsorize _),
     // per-group least squares on exact integer sufficient statistics
     "q_linreg" -> (T.qLinreg _),
+    // rolling z-score anomaly flags over the per-user event stream
+    "q_rolling_anomaly" -> (T.qRollingAnomaly _),
     // doc-length histogram (length-filter tuning diagnostic)
     "q_length_hist" -> (L.qLengthHist _),
     // codepoint entropy (gibberish/blob detector, native one-pass kernel)
@@ -215,6 +217,7 @@ object SparkEntry {
     "q_percentile_binned" -> T.qPercentileBinnedSql,
     "q_winsorize" -> T.qWinsorizeSql,
     "q_linreg" -> T.qLinregSql,
+    "q_rolling_anomaly" -> T.qRollingAnomalySql,
     "q_length_hist" -> L.qLengthHistSql,
     "q_char_entropy" -> L.qCharEntropySql,
     "q_anti_join" -> T.qAntiJoinSql,

@@ -14,6 +14,51 @@ import graft.functions.Portable
   */
 object Stats {
 
+  /** Rolling z-score anomaly flags over an ordered per-key stream —
+    * the telemetry/fraud shape: each event scores against the moments
+    * of its n PRECEDING events (frame rows [-n, -1] — the event never
+    * sees itself, so one spike cannot mask itself). Values quantize
+    * ONCE to fixed-point longs; the rolling Σq/Σq² are integer sums
+    * over an EXACT frame (deterministic order: orderCol + tie), so
+    * mean/std/z derive from identical integers on any engine. Caller
+    * bounds |value|·1e6 so n·q² fits 63 bits (|v|<10³ with n≤8 does).
+    *
+    * Events with fewer than `minPrev` predecessors (default 4 — a
+    * 2-sample std makes z volatile enough to flag ordinary jitter) or
+    * zero predecessor variance get NULL z and flag 0 (the
+    * computed-denominator guard).
+    *
+    * Scale: ONE key-partitioned window exchange; state is the n-row
+    * frame. The streaming twin is the same logic over
+    * flatMapGroupsWithState if ever needed — batch shape first. */
+  def rollingZScore(df: DataFrame, partCol: String, orderCol: Column,
+                    tieCol: Column, valueCol: Column,
+                    n: Int = 8, zThresh: Double = 2.5,
+                    minPrev: Int = 4): DataFrame = {
+    require(n >= 2 && minPrev >= 2, "rollingZScore: window/minPrev too small")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(orderCol.asc, tieCol.asc)
+      .rowsBetween(-n, -1)
+    val withM = df
+      .withColumn("__q", floor(valueCol * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("__cnt", count(col("__q")).over(w))
+      .withColumn("__s1", sum(col("__q")).over(w))
+      .withColumn("__s2", sum(col("__q") * col("__q")).over(w))
+    val dc = col("__cnt").cast("double")
+    val mean = col("__s1").cast("double") / dc
+    val variance = col("__s2").cast("double") / dc - mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val z = (col("__q").cast("double") - mean) / std
+    withM
+      .withColumn("n_prev", col("__cnt"))
+      .withColumn("z_score",
+        when(col("__cnt") >= minPrev && std > 0, Portable.roundp(z, 4)))
+      .withColumn("is_anomaly",
+        when(col("__cnt") >= minPrev && std > 0 && abs(z) > lit(zThresh), lit(1L))
+          .otherwise(lit(0L)))
+      .drop("__q", "__cnt", "__s1", "__s2")
+  }
+
   /** Per-group simple least-squares fit y ≈ slope·x + intercept, with
     * r². Inputs must be integer columns (quantize floats upstream —
     * cents, fixed-point, counts); caller guarantees Σx², Σxy, Σy² fit

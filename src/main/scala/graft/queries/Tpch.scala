@@ -278,6 +278,46 @@ object Tpch {
       |    ELSE floor((cov * cov / (vx * vy)) * 1e6 + 0.5) / 1e6 END AS r2
       |FROM d""".stripMargin
 
+  /** Rolling z-score anomaly flags per user over the event stream:
+    * each event against the moments of its 8 preceding events. */
+  def qRollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+    graft.operators.Stats.rollingZScore(e, "user_id",
+        col("sec"), col("event_id"), col("value"))
+      .select("event_id", "user_id", "sec", "n_prev", "z_score", "is_anomaly")
+  }
+
+  val qRollingAnomalySql: String = {
+    val mean = "CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE)"
+    s"""WITH e AS (SELECT event_id, user_id,
+       |    CAST(epoch(date_trunc('second', ts::TIMESTAMP)) AS BIGINT) AS sec,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM events),
+       |m AS (SELECT event_id, user_id, sec, q,
+       |    count(q) OVER win AS cnt,
+       |    sum(q) OVER win AS s1,
+       |    sum(q * q) OVER win AS s2
+       |  FROM e WINDOW win AS (PARTITION BY user_id
+       |    ORDER BY sec ASC, event_id ASC
+       |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+       |d AS (SELECT event_id, user_id, sec, q,
+       |    CAST(cnt AS BIGINT) AS n_prev,
+       |    $mean AS mean,
+       |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+       |      - ($mean) * ($mean), CAST(0 AS DOUBLE))) AS std
+       |  FROM m)
+       |SELECT event_id, user_id, sec, n_prev,
+       |  CASE WHEN n_prev >= 4 AND std > 0 THEN
+       |    floor(((CAST(q AS DOUBLE) - mean) / std) * 1e4 + 0.5) / 1e4
+       |    END AS z_score,
+       |  CAST(CASE WHEN n_prev >= 4 AND std > 0
+       |      AND abs((CAST(q AS DOUBLE) - mean) / std) > CAST(2.5 AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+       |FROM d""".stripMargin
+  }
+
   /** Anti join: orders that never shipped a line item. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

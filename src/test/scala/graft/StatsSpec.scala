@@ -25,6 +25,34 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") === 0.98)
   }
 
+  test("rolling z-score flags a planted spike; warmup rows unflagged") {
+    val events = ((1 to 20).map(i => (i.toLong, 7L, i.toLong, 10.0 + (i % 3))) :+
+      (21L, 7L, 21L, 500.0)) :+ (22L, 7L, 22L, 10.0)
+    val df = events.toDF("event_id", "user_id", "sec", "value")
+    val out = Stats.rollingZScore(df, "user_id", col("sec"), col("event_id"),
+        col("value")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getAs[Long]("is_anomaly"))).toMap
+    // the spike is the only flag; the event after it is judged against
+    // a window CONTAINING the spike but is itself normal
+    assert(out(21L)._2 === 1L)
+    assert(out.filter(_._2._2 == 1L).keySet === Set(21L))
+    // first event has no predecessors -> n_prev 0, unflagged; warmup
+    // events below minPrev never flag
+    assert(out(1L)._1 === 0L && out(1L)._2 === 0L)
+    assert((1L to 4L).forall(out(_)._2 === 0L))
+  }
+
+  test("rolling z-score deterministic across layouts") {
+    val df = (0 until 400).map(i =>
+      (i.toLong, (i % 5).toLong, (i / 5).toLong, ((i * 131) % 97).toDouble))
+      .toDF("event_id", "user_id", "sec", "value")
+    val a = Stats.rollingZScore(df, "user_id", col("sec"), col("event_id"), col("value"))
+      .orderBy("event_id").collect().toSeq
+    val b = Stats.rollingZScore(df.repartition(9), "user_id", col("sec"), col("event_id"), col("value"))
+      .orderBy("event_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("degenerate x (zero variance) yields NULLs; layout determinism") {
     val df = (Seq(("d", 5L, 1L), ("d", 5L, 9L)) ++
       (0 until 300).map(i => ("g", (i % 37).toLong, ((i * 13) % 101).toLong)))
