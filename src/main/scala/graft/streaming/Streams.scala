@@ -213,6 +213,52 @@ object Streams {
     * the stream folds to the identical store as one whole-corpus
     * build. The estimate is a cheap read of the store at any point
     * (Sketches.hllEstimate). */
+  /** Streaming twin of Stats.rollingZScore: per-user rolling-window
+    * anomaly scoring with BOUNDED state (the last ≤ n quantized
+    * values — one short list per live key, vs the watermark-unbounded
+    * state a naive self-join would need). Arithmetic replicates the
+    * batch operator exactly — integer Σq/Σq² over the same window,
+    * threshold on the raw z, roundp(4) on the emitted one — so
+    * in-order delivery gives exact batch parity (StreamingSpec). */
+  def anomalyStream(events: Dataset[Event], n: Int = 8,
+                    zThresh: Double = 2.5,
+                    minPrev: Int = 4): Dataset[AnomalyFlag] = {
+    require(events.isStreaming,
+      "anomalyStream is streaming-only: use Stats.rollingZScore for batch frames")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = sorted.map { e =>
+            val q = math.floor(e.value * 1e6 + 0.5).toLong
+            val win = recent.take(n)
+            val cnt = win.size
+            val (zOut, flag) =
+              if (cnt >= minPrev) {
+                var s1 = 0L; var s2 = 0L
+                win.foreach { v => s1 += v; s2 += v * v }
+                val dc = cnt.toDouble
+                val mean = s1.toDouble / dc
+                val variance = s2.toDouble / dc - mean * mean
+                val std = math.sqrt(math.max(variance, 0.0))
+                if (std > 0) {
+                  val z = (q.toDouble - mean) / std
+                  (Some(math.floor(z * 1e4 + 0.5) / 1e4),
+                    if (math.abs(z) > zThresh) 1L else 0L)
+                } else (None, 0L)
+              } else (None, 0L)
+            recent = (q :: recent).take(n)
+            AnomalyFlag(e.event_id, userId, e.ts.getTime / 1000L,
+              cnt.toLong, zOut, flag)
+          }
+          state.update(ZState(recent))
+          out.iterator
+      }
+  }
+
   def hllRegisterStream(rows: DataFrame, keys: Seq[String], valueCol: String)(
       mergeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(rows.isStreaming,
@@ -224,6 +270,10 @@ object Streams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  case class ZState(recent: List[Long])
+  case class AnomalyFlag(event_id: Long, user_id: Long, sec: Long,
+                         n_prev: Long, z_score: Option[Double],
+                         is_anomaly: Long)
   case class SessionState(start: Long, end: Long, nEvents: Long)
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

@@ -531,6 +531,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("anomalyStream matches the batch rolling z-score across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 30).map { i =>
+      Streams.Event(i.toLong, ts(i * 10), (i % 3).toLong, "m",
+        if (i == 25) 900.0 else 10.0 + (i % 7))
+    }
+    val input = MemoryStream[Streams.Event]
+    input.addData(events.take(12): _*)
+    val q = Streams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(events.drop(12): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom_out")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getLong(5))).toSeq
+    val batch = graft.operators.Stats.rollingZScore(
+        events.toDF().select($"event_id", $"user_id",
+          org.apache.spark.sql.functions.unix_timestamp($"ts").as("sec"), $"value"),
+        "user_id", $"sec", $"event_id", $"value")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Long]("n_prev"),
+        Option(r.getAs[Any]("z_score")).map(_.asInstanceOf[Double]),
+        r.getAs[Long]("is_anomaly"))).toSeq
+    assert(streamed === batch)
+    // the planted spike is flagged
+    assert(streamed.find(_._1 == 25L).get._4 === 1L)
+  }
+
   test("hllRegisterStream store folds to the whole-corpus registers and estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
