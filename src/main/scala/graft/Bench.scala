@@ -66,7 +66,8 @@ object Bench {
     "q_cdc_dedup" -> 1.91, "q_winsorize" -> 2.28,
     "q_linreg" -> 0.41, "q_length_hist" -> 0.32,
     "q_char_entropy" -> 0.21,
-    "q_rolling_anomaly" -> 0.57)
+    "q_rolling_anomaly" -> 0.57,
+    "q_dedup_stitch" -> 0.56)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

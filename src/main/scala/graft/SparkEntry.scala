@@ -165,6 +165,8 @@ object SparkEntry {
     "q_cdc_chunks" -> (L.qCdcChunks _),
     // CDC transform: duplicated chunks cut, docs rebuilt
     "q_cdc_dedup" -> (L.qCdcDedup _),
+    // crawl-stitching detection: tail/head k-window overlap pairs
+    "q_dedup_stitch" -> (L.qDedupStitch _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
@@ -285,6 +287,7 @@ object SparkEntry {
     "q_dim_reduce" -> L.qDimReduceSql,
     "q_cdc_chunks" -> L.qCdcChunksSql,
     "q_cdc_dedup" -> L.qCdcDedupSql,
+    "q_dedup_stitch" -> L.qDedupStitchSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
     "q_image_phash" -> L.qImagePhashSql,

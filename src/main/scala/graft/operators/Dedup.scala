@@ -859,4 +859,30 @@ object Dedup {
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
         coalesce(col(text), lit("")).as(text))
   }
+
+  /** Crawl-stitching detection: pairs where doc A's TAIL k-window
+    * equals doc B's HEAD k-window — the overlapping-crawl /
+    * pagination-concatenation artifact that whole-document and even
+    * near-dup hashing miss (the shared text is a sliver of each doc,
+    * so resemblance stays low; only the boundary windows align).
+    * Directional by construction: (id_a tail → id_b head).
+    *
+    * Scale shape: ONE equi-join on uniform md5 window keys — two
+    * narrow single-window projections, never a self-join over
+    * content; each doc contributes exactly one head and one tail row.
+    */
+  def stitchPairs(docs: DataFrame, k: Int,
+                  id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, "stitchPairs: k must be positive")
+    val ws = docs.select(col(id), Portable.words(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= k)
+    val heads = ws.select(col(id).as("id_b"),
+      md5(concat_ws(" ", slice(col("__w"), 1, k))).as("overlap_hash"))
+    val tails = ws.select(col(id).as("id_a"),
+      md5(concat_ws(" ", slice(col("__w"), -k, k))).as("overlap_hash"))
+    tails.join(heads, Seq("overlap_hash"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("overlap_hash"))
+      .distinct()
+  }
 }

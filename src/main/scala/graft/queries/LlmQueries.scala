@@ -1576,6 +1576,46 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_bigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- crawl-stitching detection (tail/head overlap) ----
+
+  private val StitchK = 4
+
+  /** Tail/head overlap pairs over a closed-form stitched fixture:
+    * every 40th doc gets a 4-word marker appended, its successor gets
+    * the same marker prepended — linear pair count by construction
+    * (plus any natural boundary alignments, which ride along). */
+  def qDedupStitch(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 40")
+    val mk = concat_ws(" ", (1 to StitchK).map(j =>
+      concat(lit("stitchw"), g, lit(s"q$j"))): _*)
+    val injected = Tables(spark, dir).documents
+      .withColumn("text",
+        when(col("doc_id") % 40 === 0, concat_ws(" ", col("text"), mk))
+          .when(col("doc_id") % 40 === 1, concat_ws(" ", mk, col("text")))
+          .otherwise(col("text")))
+    Dedup.stitchPairs(injected, StitchK)
+  }
+
+  val qDedupStitchSql: String = {
+    val mk = (1 to StitchK).map(j =>
+      s"'stitchw' || CAST(doc_id // 40 AS VARCHAR) || 'q$j'")
+      .mkString(" || ' ' || ")
+    s"""WITH inj AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 40 = 0 THEN text || ' ' || ($mk)
+       |         WHEN doc_id % 40 = 1 THEN ($mk) || ' ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM inj),
+       |f AS (SELECT doc_id, w FROM ws WHERE len(w) >= $StitchK),
+       |heads AS (SELECT doc_id AS id_b,
+       |    md5(array_to_string(w[1:$StitchK], ' ')) AS overlap_hash FROM f),
+       |tails AS (SELECT doc_id AS id_a,
+       |    md5(array_to_string(w[len(w)-${StitchK - 1}:len(w)], ' ')) AS overlap_hash FROM f)
+       |SELECT DISTINCT id_a, id_b, overlap_hash
+       |FROM tails JOIN heads USING (overlap_hash)
+       |WHERE id_a <> id_b""".stripMargin
+  }
+
   // ---- content-defined chunking (CDC) ----
 
   private val CdcDivisor = 16

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Dedup
+
+class StitchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("detects tail->head overlap with the right direction; no false pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta marker one two three"),
+      (2L, "marker one two three epsilon zeta eta theta"),
+      (3L, "totally unrelated words live here instead now"),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.stitchPairs(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1's tail = doc 2's head; nothing else aligns
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("whole-doc duplicates pair in both directions (tail==head both ways)") {
+    val t = "one two three four"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val pairs = Dedup.stitchPairs(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("deterministic across layouts; sub-k docs never pair") {
+    val docs = ((0 until 100).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d tail$i one two three")) ++
+      Seq((200L, "tail7 one two three starts this doc with the marker"),
+        (201L, "ab cd")))
+      .toDF("doc_id", "text")
+    val a = Dedup.stitchPairs(docs, 4).orderBy("id_a", "id_b").collect().toSeq
+    val b = Dedup.stitchPairs(docs.repartition(7), 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a === b)
+    assert(a.map(r => (r.getLong(0), r.getLong(1))) === Seq((7L, 200L)))
+  }
+}
