@@ -99,8 +99,9 @@ object Percentile {
         abs(col("x")) =!= lit(Double.PositiveInfinity))
     val stats = base.groupBy("g").agg(
       min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1L)).as("n"))
-    // state: one row per (g, pname): window [lo, lo+w], rows below the
-    // window, and the group-global target rank t = p*n
+    // state: one row per (g, pname): window [lo, lo+w), rows below the
+    // window, the group-global target rank t = p*n, and the group max
+    // mx (the one value the right edge must stay CLOSED for)
     var state = stats.select(Seq(col("g"), col("mn"), col("mx"), col("n")) ++ Seq.empty: _*)
       .select(col("g"),
         explode(array(ps.map { case (name, p) =>
@@ -109,18 +110,28 @@ object Percentile {
       .select(col("g"), col("ps.pname").as("pname"),
         col("mn").as("lo"), (col("mx") - col("mn")).as("w"),
         lit(0L).cast("double").as("below"),
-        (col("ps.p") * col("n").cast("double")).as("t"))
+        (col("ps.p") * col("n").cast("double")).as("t"),
+        col("mx"))
     var est: DataFrame = null
     for (r <- 1 to rounds) {
       val bw = col("w") / lit(nBins.toDouble)
+      // half-open window [lo, lo+w): a value at the exact right edge was
+      // binned into cbin+1 by the previous round's floor and must NOT be
+      // re-included (it would clamp into the top bin and inflate
+      // cnt/cum). The single exception is the group max when the window
+      // reaches it — the global right edge stays closed so the top rank
+      // remains reachable. (An FP-recomputed lo can still exclude a
+      // left-edge row of the chosen bin; accepted estimator slack —
+      // both engines compute identically so the gate is unaffected.)
       val j = base.join(broadcast(state), "g")
-        .where(col("x") >= col("lo") && col("x") <= col("lo") + col("w"))
+        .where(col("x") >= col("lo") && col("x") <= col("lo") + col("w") &&
+          (col("x") < col("lo") + col("w") || col("x") === col("mx")))
         .withColumn("bin",
           when(bw === 0, lit(0))
             .otherwise(least(floor((col("x") - col("lo")) / bw).cast("int"),
               lit(nBins - 1))))
         .groupBy(col("g"), col("pname"), col("lo"), col("w"), col("below"),
-          col("t"), col("bin"))
+          col("t"), col("mx"), col("bin"))
         .agg(count(lit(1L)).as("cnt"))
       val cum = j.withColumn("cum",
           sum(col("cnt")).over(Window.partitionBy("g", "pname").orderBy("bin"))
@@ -130,7 +141,7 @@ object Percentile {
       def pick(c: Column) = min(when(
         col("cum") >= col("t") && col("cum_below") < col("t") && col("cnt") > 0, c))
       val chosen = cum.groupBy(col("g"), col("pname"), col("lo"), col("w"),
-          col("t"))
+          col("t"), col("mx"))
         .agg(pick(col("bin").cast("double")).as("cbin"),
           pick(col("cum_below").cast("double")).as("cbelow"),
           pick(col("cnt").cast("double")).as("ccnt"))
@@ -143,7 +154,7 @@ object Percentile {
         state = chosen.select(col("g"), col("pname"),
           (col("lo") + col("cbin") * (col("w") / lit(nBins.toDouble))).as("lo"),
           (col("w") / lit(nBins.toDouble)).as("w"),
-          col("cbelow").as("below"), col("t"))
+          col("cbelow").as("below"), col("t"), col("mx"))
     }
     // pivot pnames back to columns
     val aggs = ps.map { case (name, _) =>
@@ -170,35 +181,35 @@ object Percentile {
          |rst$sfx AS (SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
          |  FROM rv$sfx GROUP BY g),
          |rs${sfx}0 AS (SELECT g, pp.pname, mn AS lo, mx - mn AS w,
-         |    CAST(0 AS DOUBLE) AS below, pp.p * CAST(n AS DOUBLE) AS t
+         |    CAST(0 AS DOUBLE) AS below, pp.p * CAST(n AS DOUBLE) AS t, mx
          |  FROM rst$sfx, (VALUES $pvals) pp(pname, p))""".stripMargin)
     val cond = "cum >= t AND cum_below < t AND cnt > 0"
     for (k <- 1 to rounds) {
       val prev = s"rs$sfx${k - 1}"
       sb.append(
         s""",
-           |rj$sfx$k AS (SELECT rv$sfx.g AS g, pname, lo, w, below, t,
+           |rj$sfx$k AS (SELECT rv$sfx.g AS g, pname, lo, w, below, t, mx,
            |    CASE WHEN w / $b = 0 THEN 0
            |      ELSE LEAST(CAST(floor((x - lo) / (w / $b)) AS INT), ${nBins - 1})
            |      END AS bin
            |  FROM rv$sfx JOIN $prev ON rv$sfx.g = $prev.g
-           |  WHERE x >= lo AND x <= lo + w),
-           |rc$sfx$k AS (SELECT g, pname, lo, w, below, t, bin, COUNT(*) AS cnt
-           |  FROM rj$sfx$k GROUP BY g, pname, lo, w, below, t, bin),
-           |rm$sfx$k AS (SELECT g, pname, lo, w, t, bin, cnt,
+           |  WHERE x >= lo AND x <= lo + w AND (x < lo + w OR x = mx)),
+           |rc$sfx$k AS (SELECT g, pname, lo, w, below, t, mx, bin, COUNT(*) AS cnt
+           |  FROM rj$sfx$k GROUP BY g, pname, lo, w, below, t, mx, bin),
+           |rm$sfx$k AS (SELECT g, pname, lo, w, t, mx, bin, cnt,
            |    SUM(cnt) OVER (PARTITION BY g, pname ORDER BY bin) + below AS cum,
            |    SUM(cnt) OVER (PARTITION BY g, pname ORDER BY bin) + below - cnt AS cum_below
            |  FROM rc$sfx$k),
-           |rk$sfx$k AS (SELECT g, pname, lo, w, t,
+           |rk$sfx$k AS (SELECT g, pname, lo, w, t, mx,
            |    MIN(CASE WHEN $cond THEN CAST(bin AS DOUBLE) END) AS cbin,
            |    MIN(CASE WHEN $cond THEN CAST(cum_below AS DOUBLE) END) AS cbelow,
            |    MIN(CASE WHEN $cond THEN CAST(cnt AS DOUBLE) END) AS ccnt
-           |  FROM rm$sfx$k GROUP BY g, pname, lo, w, t)""".stripMargin)
+           |  FROM rm$sfx$k GROUP BY g, pname, lo, w, t, mx)""".stripMargin)
       if (k < rounds)
         sb.append(
           s""",
              |rs$sfx$k AS (SELECT g, pname, lo + cbin * (w / $b) AS lo,
-             |    w / $b AS w, cbelow AS below, t
+             |    w / $b AS w, cbelow AS below, t, mx
              |  FROM rk$sfx$k)""".stripMargin)
     }
     sb.append(

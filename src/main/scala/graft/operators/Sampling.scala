@@ -201,6 +201,11 @@ object Sampling {
     require(budgetTokens >= 0 && budgetTokens < (1L << 43),
       "mixturePlan: budget out of the exact-integer range")
     require(targetsPpm.forall(_._2 >= 0), "mixturePlan: negative weight")
+    // w_ppm is per-million: a larger weight would overflow
+    // budget * w_ppm in 64-bit Spark while DuckDB silently widens to
+    // HUGEINT — exactly the cross-engine drift the integer idiom bans
+    require(targetsPpm.forall(_._2 <= 1000000L),
+      "mixturePlan: weight exceeds 1e6 ppm")
     val measured = docs
       .select(col(stratumCol), size(Portable.words(col(textCol))).cast("long").as("__t"))
       .groupBy(col(stratumCol))

@@ -1590,8 +1590,12 @@ object LlmQueries {
       concat(lit("stitchw"), g, lit(s"q$j"))): _*)
     val injected = Tables(spark, dir).documents
       .withColumn("text",
-        when(col("doc_id") % 40 === 0, concat_ws(" ", col("text"), mk))
-          .when(col("doc_id") % 40 === 1, concat_ws(" ", mk, col("text")))
+        // coalesce keeps NULL-text behavior identical to the SQL dual:
+        // concat_ws skips NULLs while || propagates them
+        when(col("doc_id") % 40 === 0,
+            concat_ws(" ", coalesce(col("text"), lit("")), mk))
+          .when(col("doc_id") % 40 === 1,
+            concat_ws(" ", mk, coalesce(col("text"), lit(""))))
           .otherwise(col("text")))
     Dedup.stitchPairs(injected, StitchK)
   }
@@ -1601,8 +1605,8 @@ object LlmQueries {
       s"'stitchw' || CAST(doc_id // 40 AS VARCHAR) || 'q$j'")
       .mkString(" || ' ' || ")
     s"""WITH inj AS (SELECT doc_id,
-       |    CASE WHEN doc_id % 40 = 0 THEN text || ' ' || ($mk)
-       |         WHEN doc_id % 40 = 1 THEN ($mk) || ' ' || text
+       |    CASE WHEN doc_id % 40 = 0 THEN coalesce(text, '') || ' ' || ($mk)
+       |         WHEN doc_id % 40 = 1 THEN ($mk) || ' ' || coalesce(text, '')
        |         ELSE text END AS text
        |  FROM documents),
        |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM inj),

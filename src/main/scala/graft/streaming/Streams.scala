@@ -230,7 +230,10 @@ object Streams {
       .flatMapGroupsWithState[ZState, AnomalyFlag](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[ZState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // batch twin orders by epoch SECONDS with event_id tiebreak
+          // (Stats.rollingZScore) — sub-second ts must not reorder past
+          // the event_id tiebreak or the window frames diverge
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
           var recent = state.getOption.map(_.recent).getOrElse(Nil)
           val out = sorted.map { e =>
             val q = math.floor(e.value * 1e6 + 0.5).toLong

@@ -565,6 +565,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 25L).get._4 === 1L)
   }
 
+  test("anomalyStream orders sub-second timestamps like the batch twin (sec, event_id)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same user, same SECOND, sub-second order opposite to event_id
+    // order: the batch operator frames by (sec, event_id), so the
+    // stream must not let millisecond ts reorder past the tiebreak
+    val events = (1 to 12).map { i =>
+      val millis = i * 10000L * 1000L + (if (i % 2 == 0) 100L else 900L)
+      Streams.Event(i.toLong, new Timestamp(millis), 1L, "m",
+        if (i == 11) 900.0 else 10.0 + (i % 5))
+    } ++ Seq(
+      // two events inside ONE second, event_id ascending but sub-second
+      // ts descending — the r12 divergence case
+      Streams.Event(13L, new Timestamp(130000L * 1000L + 800L), 1L, "m", 12.0),
+      Streams.Event(14L, new Timestamp(130000L * 1000L + 200L), 1L, "m", 950.0))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val q = Streams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_subsec_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom_subsec_out")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getLong(5))).toSeq
+    val batch = graft.operators.Stats.rollingZScore(
+        events.toDF().select($"event_id", $"user_id",
+          (org.apache.spark.sql.functions.col("ts").cast("long")).as("sec"), $"value"),
+        "user_id", $"sec", $"event_id", $"value")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Long]("n_prev"),
+        Option(r.getAs[Any]("z_score")).map(_.asInstanceOf[Double]),
+        r.getAs[Long]("is_anomaly"))).toSeq
+    assert(streamed === batch)
+  }
+
   test("hllRegisterStream store folds to the whole-corpus registers and estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
