@@ -153,6 +153,7 @@ object SparkEntry {
     "q_priority_sample" -> (L.qPrioritySample _),
     // product-quantization ANN: compressed-candidate ADC scan
     "q_ann_pq" -> (L.qAnnPq _),
+    "q_ann_ivfpq" -> (L.qAnnIvfPq _),
     // chunk->document embedding mean-pool (fixed-point exact)
     "q_embed_pool" -> (L.qEmbedPool _),
     // mixture planning: target weights + budget -> per-stratum rates
@@ -281,6 +282,7 @@ object SparkEntry {
     "q_hll_distinct" -> L.qHllDistinctSql,
     "q_priority_sample" -> L.qPrioritySampleSql,
     "q_ann_pq" -> L.qAnnPqSql,
+    "q_ann_ivfpq" -> L.qAnnIvfPqSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
     "q_embed_outlier" -> L.qEmbedOutlierSql,

@@ -528,4 +528,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("pq_code"), col("adc"))
   }
+
+  /** IVF×PQ composed ANN — the production retrieval shape at 10⁹
+    * candidates (Jégou et al. 2011's IVFADC): [[ivfProbes]] prunes
+    * WHICH candidates score (each query meets only its nProbe nearest
+    * coarse buckets) and the PQ ADC kernel bounds WHAT each score
+    * costs (m table lookups over 80-bit codes, embeddings pruned
+    * after encode). [[pqTopK]]'s full compressed scan remains the
+    * small-scale oracle baseline, exactly as bruteForceTopK is for
+    * lshTopK.
+    *
+    * Plan shape: candidates take ONE narrow codegen projection
+    * (coarse assign + encode, zero shuffle), the probe side is a
+    * broadcast hash join on bucket — ADC compute is proportional to
+    * matched (query, candidate-in-probed-bucket) pairs, never
+    * nQueries × corpus. With bucket-partitioned candidate storage the
+    * scan itself partition-prunes too. A candidate lives in exactly
+    * one bucket and probes are distinct, so no pair dedup is needed
+    * (the ivfTopKProbed argument). */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                coarse: Seq[Array[Float]], codebook: Seq[Seq[Array[Float]]],
+                k: Int, nProbe: Int): DataFrame = {
+    val m = codebook.size
+    val ks = codebook.head.size
+    val cands = pqEncode(
+      ivfAssign(candidates, "embedding", coarse)
+        .select(col("vec_id").as("cand_id"), col("bucket"),
+          col("embedding").as("__c_emb")),
+      "__c_emb", codebook)
+      .drop("__c_emb")
+    // dot table staged AFTER the probe explode: probe rows stay narrow
+    // until the table is attached, and the query set is bounded anyway
+    val q = ivfProbes(queries, "embedding", coarse, nProbe)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("embedding").as("__q_emb"))
+      .withColumn("__dt", VectorOps.pqDotTable(col("__q_emb"), cbArray(codebook)))
+      .drop("__q_emb")
+    val adc = (0 until m)
+      .map(s => element_at(col("__dt"), lit(s * ks) + col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val scored = broadcast(q).join(cands, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", Portable.roundp(adc, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("bucket").cast("long").as("bucket"),
+        col("rank"), col("cand_id"), col("pq_code"), col("adc"))
+  }
 }

@@ -611,6 +611,84 @@ object LlmQueries {
        |WHERE r.rank <= $TopK""".stripMargin
   }
 
+  // ---- #28d IVF×PQ composed ANN (the production retrieval shape) ----
+
+  private val IvfPqProbes = 2
+
+  /** IVFADC: coarse buckets prune WHICH candidates score, PQ codes
+    * bound WHAT each score costs. Coarse codebook = first 8 vectors
+    * (the qAnnIvf convention), sub-codebooks = first-32 slices (the
+    * qAnnPq convention), nProbe=2. q_ann_pq's full compressed scan
+    * stays registered as the small-scale oracle baseline. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroidRows = emb.where(col("vec_id") < IvfCentroids)
+      .orderBy("vec_id").collect()
+    require(centroidRows.length == IvfCentroids,
+      s"expected $IvfCentroids centroid vectors, got ${centroidRows.length}")
+    val coarse = centroidRows.map(_.getAs[Seq[Float]]("embedding").toArray).toSeq
+    val codebook = Similarity.pqCodebook(emb, PqM, PqKs)
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < PqQueries), emb,
+      coarse, codebook, TopK, IvfPqProbes)
+  }
+
+  val qAnnIvfPqSql: String = {
+    val sub = Config.AnnDim / PqM
+    val pivotCodes = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n       |    ")
+    val packed = (0 until PqM).map(s => s"CAST(c$s AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val pivotD = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN d END) AS d$s").mkString(",\n       |    ")
+    val sumD = (0 until PqM).map(s => s"d$s").reduce((a, b) => s"($a + $b)")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $IvfCentroids),
+       |cscored AS (SELECT vec_id, cid,
+       |    floor((list_dot_product(e, ce) / sqrt(list_dot_product(e, e) * list_dot_product(ce, ce))) * 1e6 + 0.5) / 1e6 AS ccos
+       |  FROM v, cent),
+       |cassign AS (SELECT vec_id, cid AS bucket,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM cscored),
+       |cb AS (SELECT vec_id, bucket FROM cassign WHERE rn = 1),
+       |qb AS (SELECT vec_id, bucket FROM cassign
+       |  WHERE rn <= $IvfPqProbes AND vec_id < $PqQueries),
+       |ss AS (SELECT s FROM generate_series(0, ${PqM - 1}) t(s)),
+       |subc AS (SELECT cid, s, sce FROM (
+       |    SELECT vec_id AS cid, s, e[(s*$sub+1):(s*$sub+$sub)] AS sce
+       |    FROM v, ss WHERE vec_id < $PqKs)),
+       |d AS (SELECT vec_id, s, cid,
+       |    floor(list_dot_product(e[(s*$sub+1):(s*$sub+$sub)], sce) * 1e6 + 0.5) / 1e6 AS d
+       |  FROM v, subc),
+       |code AS (SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cid ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |codep AS (SELECT vec_id,
+       |    $pivotCodes
+       |  FROM code GROUP BY 1),
+       |packedc AS (SELECT vec_id, $packed AS pq_code FROM codep),
+       |adcl AS (SELECT qb.vec_id AS query_id, qb.bucket, c.vec_id AS cand_id, c.s, d.d
+       |  FROM code c
+       |  JOIN cb ON cb.vec_id = c.vec_id
+       |  JOIN qb ON qb.bucket = cb.bucket
+       |  JOIN d ON d.vec_id = qb.vec_id AND d.s = c.s AND d.cid = c.code
+       |  WHERE c.vec_id <> qb.vec_id),
+       |adcp AS (SELECT query_id, bucket, cand_id,
+       |    $pivotD
+       |  FROM adcl GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, bucket, cand_id,
+       |    floor(($sumD) * 1e6 + 0.5) / 1e6 AS adc
+       |  FROM adcp),
+       |r AS (SELECT query_id, bucket, cand_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT r.query_id, CAST(r.bucket AS BIGINT) AS bucket, r.rank,
+       |  r.cand_id, p.pq_code, r.adc
+       |FROM r JOIN packedc p ON r.cand_id = p.vec_id
+       |WHERE r.rank <= $TopK""".stripMargin
+  }
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's

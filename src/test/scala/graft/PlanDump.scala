@@ -24,7 +24,8 @@ object PlanDump {
       "q_dedup_containment", "q_domain_stats", "q_corpus_shuffle",
       "q_image_phash", "q_audio_fingerprint", "q_unicode_nfc",
       "q_quality_select", "q_hll_distinct", "q_priority_sample",
-      "q_bigram_logprob", "q_ann_pq", "q_embed_pool", "q_mixture_plan",
+      "q_bigram_logprob", "q_ann_pq", "q_ann_ivfpq", "q_embed_pool",
+      "q_mixture_plan",
       "q_pmi_topk", "q_cdc_chunks", "q_winsorize", "q_rolling_anomaly",
       "q_char_entropy", "q_dedup_stitch")
     val sb = new StringBuilder

@@ -81,6 +81,42 @@ class PqSpec extends SparkSpec {
     assert(trained >= 0.25, s"trained recall $trained")
   }
 
+  test("IVF×PQ composed scan is the bucket-restricted subset of the full ADC scan") {
+    val cb = Similarity.pqCodebook(emb, 16, 32)
+    val coarse = emb.where(col("vec_id") < 8).orderBy("vec_id").collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray).toSeq
+    val queries = emb.where(col("vec_id") < 20)
+    val composed = Similarity.ivfPqTopK(queries, emb, coarse, cb, 5, nProbe = 2)
+    // per (query, cand) pair: the ADC score must equal the full scan's
+    // (pruning changes WHICH candidates score, never the score)
+    val fullAdc = Similarity.pqTopK(queries, emb, cb, emb.count().toInt)
+      .select("query_id", "cand_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = composed.select("query_id", "cand_id", "adc", "bucket").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(fullAdc((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    // candidates come only from the query's probed buckets
+    val candBucket = Similarity.ivfAssign(emb, "embedding", coarse)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Similarity.ivfProbes(queries, "embedding", coarse, 2)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    rows.foreach { r =>
+      assert(r.getLong(3) === candBucket(r.getLong(1)).toLong)
+      assert(probed.contains((r.getLong(0), r.getLong(3).toInt)))
+    }
+    // layout determinism
+    val again = Similarity.ivfPqTopK(queries, emb.repartition(9), coarse, cb, 5, nProbe = 2)
+      .select("query_id", "rank", "cand_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val first = composed.select("query_id", "rank", "cand_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(first === again)
+  }
+
   test("candidate side of the scan carries codes, not embeddings") {
     val cb = Similarity.pqCodebook(emb, 16, 32)
     val out = Similarity.pqTopK(emb.where(col("vec_id") < 3), emb, cb, 5)
