@@ -125,6 +125,7 @@ object SparkEntry {
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
     // corpus bigram-LM quality score (smoothed, same integer idiom)
     "q_bigram_logprob" -> (L.qBigramLogprob _),
+    "q_trigram_logprob" -> (L.qTrigramLogprob _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
@@ -268,6 +269,7 @@ object SparkEntry {
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_bigram_logprob" -> L.qBigramLogprobSql,
+    "q_trigram_logprob" -> L.qTrigramLogprobSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,

@@ -801,6 +801,114 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  // ---- trigram LM with stupid backoff (Brants et al. 2007) ----
+
+  /** Train a trigram stupid-backoff model over a corpus — the
+    * web-scale smoothing (Brants et al. 2007, "Large Language Models
+    * in Machine Translation"): no discount normalization, just
+    * S(w3|w1w2) = c123/c12, backing off to 0.4·c23/c2, then to
+    * 0.4²·c3/N — which is why it is the order-3 LM you can actually
+    * train at 100 TB (every order is one shingle census; Kneser-Ney's
+    * continuation counts need extra passes and normalization terms).
+    *
+    * The model is ONE writable long-form frame (ord, gram, q): ord 3
+    * rows carry floor(ln(c123/c12)·1e6+0.5) per trigram, ord 2 the
+    * 0.4-penalized bigram scores, ord 1 the 0.4²-penalized unigram
+    * scores, and the single ord 0 row the OOV floor (count-1 unigram:
+    * ln(0.16·(1/N))). Quantization happens ONCE at train time, so
+    * apply-side accumulation is pure integer arithmetic — the
+    * [[unigramLogprob]] idiom with the backoff penalty folded into
+    * each order's quantized score.
+    *
+    * Scale shape: three narrow shingle censuses over the pruned text
+    * column (native WordShingles — no token shuffle); context counts
+    * c12/c1 regroup the model-sized census frames, never the corpus;
+    * N rides a broadcast 1-row cross join. The train/apply split is
+    * the production shape (CCNet trains on held Wikipedia, applies to
+    * the crawl): train offline, write the frame, key-join at apply. */
+  def trigramLmTrain(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t3 = docs.select(explode(
+        graft.functions.WordShingles.of(col(textCol), 3, distinct = false)).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      .withColumn("w12", substring_index(col("tri"), " ", 2))
+    val ctx3 = t3.groupBy(col("w12")).agg(sum(col("c3")).as("c12"))
+    val t2 = docs.select(explode(
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false)).as("big"))
+      .groupBy(col("big")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+    val ctx2 = t2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val t1 = docs.select(explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val n = t1.agg(sum(col("c")).cast(DoubleType).as("__n"))
+    val m3 = t3.join(ctx3, Seq("w12"))
+      .select(lit(3L).as("ord"), col("tri").as("gram"),
+        floor(log(col("c3") / col("c12")) * 1e6 + 0.5).cast(LongType).as("q"))
+    val m2 = t2.join(ctx2, Seq("w1"))
+      .select(lit(2L).as("ord"), col("big").as("gram"),
+        floor(log(lit(0.4) * (col("c2") / col("c1"))) * 1e6 + 0.5)
+          .cast(LongType).as("q"))
+    val m1 = t1.crossJoin(broadcast(n))
+      .select(lit(1L).as("ord"), col("word").as("gram"),
+        floor(log(lit(0.16) * (col("c") / col("__n"))) * 1e6 + 0.5)
+          .cast(LongType).as("q"))
+    val m0 = n.select(lit(0L).as("ord"), lit("").as("gram"),
+      floor(log(lit(0.16) * (lit(1.0) / col("__n"))) * 1e6 + 0.5)
+        .cast(LongType).as("q"))
+    m3.unionByName(m2).unionByName(m1).unionByName(m0)
+  }
+
+  /** Score a corpus under a trained trigram stupid-backoff model: per
+    * document, the integer-exact mean quantized log-score over trigram
+    * positions, cascading trigram → bigram → unigram → OOV floor via
+    * coalesce (the penalties are already inside each order's q).
+    * `n_backed_off` counts positions that fell below order 3 — the
+    * out-of-domain signal a curation filter thresholds alongside the
+    * mean. Docs with < 3 words have no trigrams and are absent (the
+    * [[unigramLogprob]] contract).
+    *
+    * Scale shape: ONE trigram census over the apply corpus, then three
+    * key-joins against model frames (auto-broadcast when the model
+    * fits — CCNet's Wikipedia-trained model does; word-partitioned
+    * otherwise) and the OOV floor as a broadcast 1-row cross join.
+    * Per-row + broadcast/key-join only, so the streaming twin is a
+    * trivial foreachBatch replay. */
+  def trigramLmApply(model: DataFrame, docs: DataFrame,
+                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(id), explode(
+        graft.functions.WordShingles.of(col(textCol), 3, distinct = false)).as("tri"))
+      .groupBy(col(id), col("tri")).agg(count(lit(1)).as("tf"))
+      .withColumn("w23", substring_index(col("tri"), " ", -2))
+      .withColumn("w3", substring_index(col("tri"), " ", -1))
+    val m3 = model.where(col("ord") === 3)
+      .select(col("gram").as("tri"), col("q").as("q3"))
+    val m2 = model.where(col("ord") === 2)
+      .select(col("gram").as("w23"), col("q").as("q2"))
+    val m1 = model.where(col("ord") === 1)
+      .select(col("gram").as("w3"), col("q").as("q1"))
+    val m0 = model.where(col("ord") === 0).select(col("q").as("q0"))
+    tf.join(m3, Seq("tri"), "left")
+      .join(m2, Seq("w23"), "left")
+      .join(m1, Seq("w3"), "left")
+      .crossJoin(broadcast(m0))
+      .withColumn("__q", coalesce(col("q3"), col("q2"), col("q1"), col("q0")))
+      .withColumn("__bo", when(col("q3").isNull, col("tf")).otherwise(lit(0L)))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf") * col("__q")).as("__sq"),
+        sum(col("__bo")).as("n_backed_off"))
+      .select(col(id), col("n_trigrams"), col("n_backed_off"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_trigrams"), 6)
+          .as("mean_logprob"))
+  }
+
+  /** Whole-corpus convenience: train on `docs` and score `docs`
+    * (composition parity with the split is spec-pinned; on its own
+    * training corpus every trigram is seen, so n_backed_off = 0). */
+  def trigramLogprob(docs: DataFrame,
+                     id: String = "doc_id", textCol: String = "text"): DataFrame =
+    trigramLmApply(trigramLmTrain(docs, textCol), docs, id, textCol)
+
   /** Content-defined chunking (the FastCDC/rsync family): chunk
     * boundaries fall where the rolling trigram hash ≡ 0 (mod divisor)
     * — a pure function of LOCAL content, so inserting or deleting

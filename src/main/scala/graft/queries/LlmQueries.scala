@@ -1654,6 +1654,78 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_bigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
 
+  // ---- trigram LM scoring (stupid backoff) ----
+
+  /** Trigram stupid-backoff LM in its production train/apply shape:
+    * the model trains on HALF the corpus (even doc_ids — CCNet's
+    * held-reference pattern) and scores ALL documents, so odd docs'
+    * unseen trigrams genuinely exercise the backoff cascade
+    * (n_backed_off > 0 there; the oracle replays every order). */
+  def qTrigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = TextAnalysis.trigramLmTrain(docs.where(col("doc_id") % 2 === 0))
+    TextAnalysis.trigramLmApply(model, docs)
+  }
+
+  val qTrigramLogprobSql: String = {
+    def triList(w: String) =
+      s"""CASE WHEN len($w) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($w)-2),
+         |      i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END""".stripMargin
+    def bigList(w: String) =
+      s"""CASE WHEN len($w) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len($w)-1),
+         |      i -> $w[i] || ' ' || $w[i+1]) END""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
+       |t3 AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM (
+       |    SELECT unnest(${triList("w")}) AS tri FROM trws) GROUP BY 1),
+       |t3w AS (SELECT tri, c3,
+       |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12
+       |  FROM t3),
+       |ctx3 AS (SELECT w12, CAST(sum(c3) AS BIGINT) AS c12 FROM t3w GROUP BY 1),
+       |m3 AS (SELECT tri, CAST(floor(ln(c3 / c12) * 1e6 + 0.5) AS BIGINT) AS q3
+       |  FROM t3w JOIN ctx3 USING (w12)),
+       |t2 AS (SELECT big, CAST(count(*) AS BIGINT) AS c2 FROM (
+       |    SELECT unnest(${bigList("w")}) AS big FROM trws) GROUP BY 1),
+       |t2w AS (SELECT big, c2, split_part(big, ' ', 1) AS w1 FROM t2),
+       |ctx2 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM t2w GROUP BY 1),
+       |m2 AS (SELECT big,
+       |    CAST(floor(ln(CAST(0.4 AS DOUBLE) * (c2 / c1)) * 1e6 + 0.5) AS BIGINT) AS q2
+       |  FROM t2w JOIN ctx2 USING (w1)),
+       |t1 AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(w) AS word FROM trws)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM t1),
+       |m1 AS (SELECT word,
+       |    CAST(floor(ln(CAST(0.16 AS DOUBLE) * (c / nt.n)) * 1e6 + 0.5) AS BIGINT) AS q1
+       |  FROM t1 CROSS JOIN nt),
+       |m0 AS (SELECT
+       |    CAST(floor(ln(CAST(0.16 AS DOUBLE) * (CAST(1.0 AS DOUBLE) / nt.n)) * 1e6 + 0.5) AS BIGINT) AS q0
+       |  FROM nt),
+       |atf AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(${triList("w")}) AS tri FROM ws) GROUP BY 1, 2),
+       |atw AS (SELECT doc_id, tri, tf,
+       |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+       |    split_part(tri, ' ', 3) AS w3
+       |  FROM atf),
+       |j AS (SELECT doc_id, tf,
+       |    coalesce(m3.q3, m2.q2, m1.q1, m0.q0) AS q,
+       |    CASE WHEN m3.q3 IS NULL THEN tf ELSE CAST(0 AS BIGINT) END AS bo
+       |  FROM atw
+       |  LEFT JOIN m3 USING (tri)
+       |  LEFT JOIN m2 ON atw.w23 = m2.big
+       |  LEFT JOIN m1 ON atw.w3 = m1.word
+       |  CROSS JOIN m0),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(bo) AS BIGINT) AS n_backed_off,
+       |    CAST(sum(tf * q) AS BIGINT) AS sq
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, n_trigrams, n_backed_off,
+       |  floor((sq / 1e6 / n_trigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |FROM d""".stripMargin
+  }
+
   // ---- crawl-stitching detection (tail/head overlap) ----
 
   private val StitchK = 4

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TrigramLogprobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed stupid-backoff cascade on a tiny corpus") {
+    // train corpus: "a b c a b c" + "a b d"
+    //   trigrams: "a b c" x2, "b c a" x1, "c a b" x1, "a b d" x1
+    //   contexts: "a b" -> 3, "b c" -> 1, "c a" -> 1
+    //   bigrams:  "a b" x3, "b c" x2, "c a" x1, "b d" x1
+    //   contexts: a -> 4 ("a b" 3 + ... wait: w1 marginals: a->3? see below
+    // bigram contexts c1 are marginals over the bigram census by w1:
+    //   a: "a b"(3) = 3;  b: "b c"(2)+"b d"(1) = 3;  c: "c a"(1) = 1
+    // unigrams: a x3, b x3, c x2, d x1 -> N = 9
+    val train = Seq((0L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val model = TextAnalysis.trigramLmTrain(train)
+    val mq = model.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // order 3: S(c|a b) = 2/3
+    assert(mq((3L, "a b c")) === math.floor(math.log(2.0 / 3.0) * 1e6 + 0.5).toLong)
+    // order 2: 0.4 * S(c|b) = 0.4 * 2/3
+    assert(mq((2L, "b c")) === math.floor(math.log(0.4 * (2.0 / 3.0)) * 1e6 + 0.5).toLong)
+    // order 1: 0.16 * c(d)/N = 0.16 * 1/9
+    assert(mq((1L, "d")) === math.floor(math.log(0.16 * (1.0 / 9.0)) * 1e6 + 0.5).toLong)
+    // order 0 OOV floor: 0.16 * 1/N
+    assert(mq((0L, "")) === math.floor(math.log(0.16 * (1.0 / 9.0)) * 1e6 + 0.5).toLong)
+
+    // apply: "a b c" hits order 3; "c b a" backs off ("c b" unseen as
+    // trigram context AND bigram, b seen as unigram); "zz yy xx" is
+    // pure OOV (three order-0 positions... only 1 trigram position)
+    val probe = Seq((10L, "a b c"), (11L, "c b a"), (12L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmApply(model, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L)._1 === 1L && out(10L)._2 === 0L)
+    assert(out(10L)._3 === math.floor(math.log(2.0 / 3.0) * 1e6 + 0.5) / 1e6)
+    // "c b a": trigram unseen -> bigram "b a" unseen -> unigram a = 3/9
+    assert(out(11L)._2 === 1L)
+    assert(out(11L)._3 === math.floor(math.log(0.16 * (3.0 / 9.0)) * 1e6 + 0.5) / 1e6)
+    // full OOV -> order-0 floor
+    assert(out(12L)._2 === 1L)
+    assert(out(12L)._3 === math.floor(math.log(0.16 * (1.0 / 9.0)) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("composition parity: apply(train(c), c) == trigramLogprob(c), zero backoff") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val whole = TextAnalysis.trigramLogprob(docs).orderBy("doc_id").collect().toSeq
+    val split = TextAnalysis.trigramLmApply(TextAnalysis.trigramLmTrain(docs), docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(whole === split)
+    // scoring the training corpus itself: every trigram is in-model
+    assert(whole.forall(_.getLong(2) === 0L))
+  }
+
+  test("deterministic across partition layouts") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.trigramLmTrain(docs.where(col("doc_id") % 2 === 0))
+    val a = TextAnalysis.trigramLmApply(model, docs).orderBy("doc_id").collect().toSeq
+    val model2 = TextAnalysis.trigramLmTrain(
+      docs.repartition(11).where(col("doc_id") % 2 === 0))
+    val b = TextAnalysis.trigramLmApply(model2, docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("in-model text outscores out-of-model text; backoff counted") {
+    val fluent = (0 until 50).map(i => (i.toLong, "the cat sat on the mat again"))
+    val weird = Seq((99L, "zx qv jk pl mn bv tr"))
+    val docs = (fluent ++ weird).toDF("doc_id", "text")
+    val model = TextAnalysis.trigramLmTrain(fluent.toDF("doc_id", "text"))
+    val out = TextAnalysis.trigramLmApply(model, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L)._2 > out(99L)._2)
+    assert(out(0L)._1 === 0L)
+    // every position of the unseen doc backed off
+    assert(out(99L)._1 === 5L)
+  }
+}
