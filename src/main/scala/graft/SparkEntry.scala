@@ -155,6 +155,7 @@ object SparkEntry {
     // product-quantization ANN: compressed-candidate ADC scan
     "q_ann_pq" -> (L.qAnnPq _),
     "q_ann_ivfpq" -> (L.qAnnIvfPq _),
+    "q_ann_pq_trained" -> (L.qAnnPqTrained _),
     // chunk->document embedding mean-pool (fixed-point exact)
     "q_embed_pool" -> (L.qEmbedPool _),
     // mixture planning: target weights + budget -> per-stratum rates
@@ -285,6 +286,7 @@ object SparkEntry {
     "q_priority_sample" -> L.qPrioritySampleSql,
     "q_ann_pq" -> L.qAnnPqSql,
     "q_ann_ivfpq" -> L.qAnnIvfPqSql,
+    "q_ann_pq_trained" -> L.qAnnPqTrainedSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
     "q_embed_outlier" -> L.qEmbedOutlierSql,

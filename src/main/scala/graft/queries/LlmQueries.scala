@@ -689,6 +689,110 @@ object LlmQueries {
        |WHERE r.rank <= $TopK""".stripMargin
   }
 
+  // ---- #28e PQ with a TRAINED codebook (production codebook path) ----
+
+  private val PqTrM = 8
+  private val PqTrKs = 8
+  private val PqTrIters = 2
+  private val PqTrQueries = 10
+
+  /** PQ ADC top-k under a codebook TRAINED by per-subspace
+    * deterministic Lloyd's (pqTrain = kmeansFit per slice: md5 seeds,
+    * cosine argmax assignment, fixed-point centroid means) — the
+    * production path q_ann_pq's first-ks convention stands in for.
+    * The oracle replays the full per-subspace training trajectory
+    * (the qKmeansAssignSql chain, once per subspace) before the
+    * encode+ADC replay, so the gate covers training, not just
+    * loading. Geometry m=8/ks=8/iters=2 keeps the generated SQL
+    * bounded (8 trajectory chains); the m=16/ks=32 recall sweep
+    * stays PqSpec-pinned. */
+  def qAnnPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cb = Similarity.pqTrain(emb, PqTrM, PqTrKs, PqTrIters)
+    Similarity.pqTopK(emb.where(col("vec_id") < PqTrQueries), emb, cb, TopK)
+  }
+
+  val qAnnPqTrainedSql: String = {
+    val sub = Config.AnnDim / PqTrM
+    val seed = "('0x' || substr(md5('km' || ':' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    def vs(s: Int) = s"vs$s"
+    // one Lloyd's round for subspace s: cosine argmax under pc{s}x{i},
+    // then fixed-point rounded-mean floats -> pc{s}x{i+1} (the
+    // qKmeansAssignSql machinery, namespaced per subspace)
+    def assignCte(s: Int, i: Int): String =
+      s"""ps${s}x$i AS (SELECT a.vec_id, a.e, c.cid,
+         |    floor((list_dot_product(a.e, c.ce) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.ce, c.ce))) * 1e6 + 0.5) / 1e6 AS ccos
+         |  FROM ${vs(s)} a, pc${s}x$i c),
+         |pa${s}x$i AS (SELECT vec_id, e, cid AS bucket,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |  FROM ps${s}x$i)""".stripMargin
+    def updateCte(s: Int, i: Int): String =
+      s"""pu${s}x$i AS (SELECT bucket, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+         |  FROM pa${s}x$i WHERE rn = 1),
+         |pm${s}x$i AS (SELECT bucket, pos,
+         |    CAST(sum(CAST(floor(val * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) / 16777216.0 AS mv
+         |  FROM pu${s}x$i GROUP BY bucket, pos),
+         |pl${s}x$i AS (SELECT bucket,
+         |    list(CAST(CAST(floor(mv * 1e6 + 0.5) / 1e6 AS REAL) AS DOUBLE) ORDER BY pos) AS ce
+         |  FROM pm${s}x$i GROUP BY bucket),
+         |pc${s}x${i + 1} AS (SELECT c.cid, COALESCE(l.ce, c.ce) AS ce
+         |  FROM pc${s}x$i c LEFT JOIN pl${s}x$i l ON c.cid = l.bucket)""".stripMargin
+    val perSub = (0 until PqTrM).map { s =>
+      val v0 = s"${vs(s)} AS (SELECT vec_id, e[($s*$sub+1):($s*$sub+$sub)] AS e FROM v)"
+      val c0 =
+        s"""pc${s}x0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY $seed, vec_id) - 1 AS INTEGER) AS cid, e AS ce
+           |  FROM ${vs(s)}
+           |  QUALIFY row_number() OVER (ORDER BY $seed, vec_id) <= $PqTrKs)""".stripMargin
+      val rounds = (0 until PqTrIters)
+        .map(i => s"${assignCte(s, i)},\n${updateCte(s, i)}").mkString(",\n")
+      s"$v0,\n$c0,\n$rounds"
+    }.mkString(",\n")
+    val dUnion = (0 until PqTrM).map { s =>
+      s"""  SELECT vec_id, $s AS s, cid,
+         |      floor(list_dot_product(e, ce) * 1e6 + 0.5) / 1e6 AS d
+         |    FROM ${vs(s)}, pc${s}x$PqTrIters""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val pivotCodes = (0 until PqTrM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n    ")
+    val packed = (0 until PqTrM).map(s => s"CAST(c$s AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val pivotD = (0 until PqTrM)
+      .map(s => s"max(CASE WHEN s = $s THEN d END) AS d$s").mkString(",\n    ")
+    val sumD = (0 until PqTrM).map(s => s"d$s").reduce((a, b) => s"($a + $b)")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |$perSub,
+       |d AS (
+       |$dUnion),
+       |code AS (SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d DESC, cid ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |codep AS (SELECT vec_id,
+       |    $pivotCodes
+       |  FROM code GROUP BY 1),
+       |packedc AS (SELECT vec_id, $packed AS pq_code FROM codep),
+       |adcl AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.s, d.d
+       |  FROM code c
+       |  CROSS JOIN (SELECT vec_id FROM v WHERE vec_id < $PqTrQueries) q
+       |  JOIN d ON d.vec_id = q.vec_id AND d.s = c.s AND d.cid = c.code
+       |  WHERE c.vec_id <> q.vec_id),
+       |adcp AS (SELECT query_id, cand_id,
+       |    $pivotD
+       |  FROM adcl GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cand_id,
+       |    floor(($sumD) * 1e6 + 0.5) / 1e6 AS adc
+       |  FROM adcp),
+       |r AS (SELECT query_id, cand_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT r.query_id, r.rank, r.cand_id, p.pq_code, r.adc
+       |FROM r JOIN packedc p ON r.cand_id = p.vec_id
+       |WHERE r.rank <= $TopK""".stripMargin
+  }
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's
