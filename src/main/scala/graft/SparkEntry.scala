@@ -178,6 +178,7 @@ object SparkEntry {
     "q_audio_fingerprint" -> (L.qAudioFingerprint _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
     "q_image_decode" -> (L.qImageDecode _),
+    "q_warc_extract" -> (L.qWarcExtract _),
     // real WKB geometry decode round-trip (encode WKB -> wkb_rings -> coord sums)
     "q_wkb_decode" -> (G.qWkbDecode _),
     // real javax.sound WAV round-trip (encode PCM -> decode -> sample sums)
@@ -299,6 +300,7 @@ object SparkEntry {
     "q_image_phash" -> L.qImagePhashSql,
     "q_audio_fingerprint" -> L.qAudioFingerprintSql,
     "q_image_decode" -> L.qImageDecodeSql,
+    "q_warc_extract" -> L.qWarcExtractSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
 import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{Tables, Warc}
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
   * `documents` / `embeddings` / `events` tables.
@@ -2153,6 +2153,58 @@ object LlmQueries {
       |  CAST(3 AS BIGINT) AS channels, s.px_sum
       |FROM d JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
       |             FROM px GROUP BY doc_id) s ON d.doc_id = s.doc_id""".stripMargin
+
+  // ---- #34c WARC record splitting (crawl ingestion) ----
+
+  /** REAL WARC parsing, oracle-gated end-to-end (the q_image_decode
+    * synthesize-decode precedent): synthesize a genuine WARC file per
+    * document — a response record whose payload length is a closed-form
+    * function of doc_id, every 5th doc adds a request record, every
+    * 13th appends a TRUNCATED record (Content-Length past EOF) — run
+    * the production record splitter over the bytes, and aggregate
+    * per-doc record/quarantine/byte counts the DuckDB oracle computes
+    * from first principles. Any byte the parser bends (an off-by-one
+    * in header scan, payload slicing, or resynchronization) bends a
+    * count and fails the hash gate. */
+  def qWarcExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val pay = concat(lit("payload-"), id, lit(":"),
+      expr("repeat('x', CAST(doc_id % 7 AS INT))"))
+    val rec1 = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"), id,
+      lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: http://example.com/"), id,
+      lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+      length(pay).cast("string"), lit("\r\n\r\n"), pay, lit("\r\n\r\n"))
+    val rec2 = concat(
+      lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: <urn:uuid:r"), id,
+      lit(">\r\nWARC-Target-URI: http://example.com/"), id,
+      lit("\r\nContent-Length: 14\r\n\r\nGET / HTTP/1.1\r\n\r\n"))
+    val rec3 = lit("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nshort")
+    val synth = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      concat(rec1,
+        when(col("doc_id") % 5 === 0, rec2).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, rec3).otherwise(lit("")))
+        .cast("binary").as("bytes"))
+    Warc.records(synth, "bytes", "doc_id")
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(
+        sum(when(!col("__malformed"), 1L).otherwise(0L)).as("n_records"),
+        sum(when(col("__malformed"), 1L).otherwise(0L)).as("n_malformed"),
+        sum(when(!col("__malformed"), col("content_length")).otherwise(0L))
+          .as("payload_bytes"),
+        max(when(col("warc_type") === "response", col("target_uri")))
+          .as("response_uri"))
+  }
+
+  val qWarcExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+      |  CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_malformed,
+      |  CAST(length('payload-' || CAST(doc_id AS VARCHAR) || ':') + doc_id % 7
+      |    + CASE WHEN doc_id % 5 = 0 THEN 14 ELSE 0 END AS BIGINT) AS payload_bytes,
+      |  'http://example.com/' || CAST(doc_id AS VARCHAR) AS response_uri
+      |FROM documents""".stripMargin
 
   // ---- image near-dup via perceptual hash ----
 

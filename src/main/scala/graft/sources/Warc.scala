@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) ingestion — the first step of a Common-Crawl-style
+  * pipeline: split raw archive bytes into records, quarantine anything
+  * malformed, and hand clean (url, ts, mime, payload) rows downstream.
+  *
+  * Design follows the [[Jsonl]] corrupt-line contract: malformed
+  * records become ROWS with `__malformed = true` and a reason, never
+  * task failures and never a cached-frame corrupt column — at 100 TB a
+  * bad crawl segment must cost one quarantined row, not a stage retry.
+  * The parser RESYNCHRONIZES on the next `WARC/` magic after any
+  * malformed region, so one corrupt record never poisons the rest of
+  * its file (WarcSpec pins this).
+  *
+  * Scale shape: `spark.read.format("binaryFile")` hands each archive
+  * to one task (crawl archives are ~1 GB — the natural parallel
+  * grain; a 100 TB crawl is ~10⁵ files). Record splitting is a pure
+  * JVM kernel inside a Dataset flatMap — the mapPartitions altitude
+  * the Multimodal codecs use, since no Catalyst expression can stream
+  * a length-delimited binary format. Whole-file gzip is detected by
+  * magic bytes (java.util.zip reads concatenated members, covering
+  * the per-record-gzip layout Common Crawl ships). */
+object Warc {
+
+  /** One parsed record (or one quarantined malformed region). */
+  case class WarcRecord(
+      rec_idx: Int,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte],
+      __malformed: Boolean,
+      reason: String)
+
+  private val Magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Gunzip if the buffer carries the gzip magic; multi-member streams
+    * (per-record gzip, the Common Crawl layout) decompress end-to-end. */
+  def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return bytes
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  private def mk(idx: Int, tpe: String, id: String, uri: String, date: String,
+                 ctype: String, clen: Long, payload: Array[Byte]): WarcRecord =
+    WarcRecord(idx, tpe, id, uri, date, ctype, clen, payload,
+      __malformed = false, reason = null)
+
+  private def bad(idx: Int, reason: String, raw: Array[Byte]): WarcRecord =
+    WarcRecord(idx, null, null, null, null, null, -1L, raw,
+      __malformed = true, reason = reason)
+
+  /** Split one (possibly gzipped) archive into records. Pure function
+    * of the bytes — deterministic, replay-stable. Malformed regions
+    * (leading/interstitial garbage, unterminated headers, bad or
+    * missing Content-Length, truncated payloads) emit quarantine rows
+    * carrying the offending bytes; parsing resumes at the next
+    * `WARC/` magic. */
+  def parseAll(raw: Array[Byte]): Seq[WarcRecord] = {
+    val bytes = maybeGunzip(raw)
+    val out = Vector.newBuilder[WarcRecord]
+    var pos = 0
+    var idx = 0
+    val eohNeedle = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+    while (pos < bytes.length) {
+      val m = indexOf(bytes, Magic, pos)
+      if (m < 0) {
+        // trailing bytes with no record start: garbage unless pure CRLF
+        val tail = bytes.slice(pos, bytes.length)
+        if (!tail.forall(b => b == '\r'.toByte || b == '\n'.toByte)) {
+          out += bad(idx, "garbage", tail); idx += 1
+        }
+        pos = bytes.length
+      } else {
+        if (m > pos) {
+          val gap = bytes.slice(pos, m)
+          if (!gap.forall(b => b == '\r'.toByte || b == '\n'.toByte)) {
+            out += bad(idx, "garbage", gap); idx += 1
+          }
+        }
+        val eoh = indexOf(bytes, eohNeedle, m)
+        if (eoh < 0) {
+          out += bad(idx, "unterminated-header", bytes.slice(m, bytes.length))
+          idx += 1; pos = bytes.length
+        } else {
+          val header = new String(bytes, m, eoh - m, StandardCharsets.UTF_8)
+          val lines = header.split("\r\n")
+          val kv = lines.drop(1).flatMap { l =>
+            val c = l.indexOf(':')
+            if (c < 0) None
+            else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+          }.toMap
+          val bodyStart = eoh + 4
+          kv.get("content-length").flatMap(s => s.toLongOption) match {
+            case None =>
+              // quarantine the header region, resync after it
+              out += bad(idx, "bad-content-length", bytes.slice(m, bodyStart))
+              idx += 1; pos = bodyStart
+            case Some(clen) if clen < 0 =>
+              out += bad(idx, "bad-content-length", bytes.slice(m, bodyStart))
+              idx += 1; pos = bodyStart
+            case Some(clen) if bodyStart + clen > bytes.length =>
+              out += bad(idx, "truncated-payload", bytes.slice(m, bytes.length))
+              idx += 1; pos = bytes.length
+            case Some(clen) =>
+              // clen <= bytes.length here, so the Int narrowing is safe
+              val payload = bytes.slice(bodyStart, bodyStart + clen.toInt)
+              out += mk(idx,
+                kv.getOrElse("warc-type", null),
+                kv.getOrElse("warc-record-id", null),
+                kv.getOrElse("warc-target-uri", null),
+                kv.getOrElse("warc-date", null),
+                kv.getOrElse("content-type", null),
+                clen, payload)
+              idx += 1
+              pos = bodyStart + clen.toInt
+              // optional record separator; resync handles anything else
+              if (pos + 4 <= bytes.length &&
+                bytes(pos) == '\r'.toByte && bytes(pos + 1) == '\n'.toByte &&
+                bytes(pos + 2) == '\r'.toByte && bytes(pos + 3) == '\n'.toByte) pos += 4
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Record-split a frame carrying archive bytes: one output row per
+    * record, keyed by `keyCol`. The JVM kernel runs inside a typed
+    * flatMap (the codec altitude); binary payloads stay opaque columns
+    * downstream, the multimodal contract. */
+  def records(df: DataFrame, bytesCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("key"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (k, b) => parseAll(b).map(r => (k, r)) }
+      .select(col("_1").as(keyCol), col("_2.*"))
+  }
+
+  /** Read a WARC tree: each file is one task's whole-file read (the
+    * binaryFile grain), split into records. */
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    records(
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content")),
+      "content", "path")
+}

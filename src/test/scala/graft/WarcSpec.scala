@@ -1,0 +1,121 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(tpe: String, uri: String, payload: String,
+                  clenOverride: Option[Long] = None): String = {
+    val clen = clenOverride.getOrElse(payload.getBytes(StandardCharsets.UTF_8).length.toLong)
+    s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Record-ID: <urn:uuid:t>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Type: text/plain\r\nContent-Length: $clen\r\n\r\n$payload\r\n\r\n"
+  }
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  test("round-trip: records, headers, payload bytes") {
+    val file = rec("response", "http://a/1", "hello world") +
+      rec("request", "http://a/1", "GET / HTTP/1.1")
+    val out = Warc.parseAll(bytes(file))
+    assert(out.size === 2)
+    assert(out.forall(!_.__malformed))
+    assert(out(0).warc_type === "response" && out(0).target_uri === "http://a/1")
+    assert(new String(out(0).payload, StandardCharsets.UTF_8) === "hello world")
+    assert(out(0).content_length === 11L)
+    assert(out(1).warc_type === "request")
+    assert(out(1).rec_idx === 1)
+  }
+
+  test("gzip (including multi-member, the Common Crawl layout) is transparent") {
+    val r1 = rec("response", "http://g/1", "one")
+    val r2 = rec("response", "http://g/2", "two")
+    def gz(s: String): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bo)
+      g.write(bytes(s)); g.close(); bo.toByteArray
+    }
+    // one member per record, concatenated — per-record gzip
+    val multi = gz(r1) ++ gz(r2)
+    val out = Warc.parseAll(multi)
+    assert(out.map(_.target_uri) === Seq("http://g/1", "http://g/2"))
+    assert(out.forall(!_.__malformed))
+  }
+
+  test("truncated payload quarantines; earlier records survive") {
+    val file = rec("response", "http://t/1", "ok") +
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 500\r\n\r\nshort"
+    val out = Warc.parseAll(bytes(file))
+    assert(out.size === 2)
+    assert(!out(0).__malformed)
+    assert(out(1).__malformed && out(1).reason === "truncated-payload")
+  }
+
+  test("bad/missing Content-Length quarantines the header and resyncs to the next record") {
+    val file = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: nope\r\n\r\n" +
+      rec("response", "http://r/2", "good")
+    val out = Warc.parseAll(bytes(file))
+    assert(out.size === 2)
+    assert(out(0).__malformed && out(0).reason === "bad-content-length")
+    assert(!out(1).__malformed && out(1).target_uri === "http://r/2")
+  }
+
+  test("interstitial garbage quarantines without poisoning neighbors") {
+    val file = "not a warc at all\n" + rec("response", "http://z/1", "a") +
+      "random junk between records" + rec("response", "http://z/2", "bb")
+    val out = Warc.parseAll(bytes(file))
+    assert(out.count(_.__malformed) === 2)
+    assert(out.filter(_.__malformed).forall(_.reason === "garbage"))
+    assert(out.filter(!_.__malformed).map(_.target_uri) ===
+      Seq("http://z/1", "http://z/2"))
+    // a payload CONTAINING the WARC magic must not split the record
+    val tricky = rec("response", "http://z/3", "embedded WARC/1.0 magic here")
+    val out2 = Warc.parseAll(bytes(tricky))
+    assert(out2.size === 1 && !out2(0).__malformed)
+    assert(new String(out2(0).payload, StandardCharsets.UTF_8)
+      .contains("WARC/1.0"))
+  }
+
+  test("records() frame: per-key rows, deterministic across layouts") {
+    val rows = (0L until 40L).map { i =>
+      val good = rec("response", s"http://k/$i", s"p$i" * (i % 3 + 1).toInt)
+      val extra = if (i % 4 == 0) rec("request", s"http://k/$i", "GET") else ""
+      (i, bytes(good + extra))
+    }
+    val df = rows.toDF("doc_id", "bytes")
+    val a = Warc.records(df, "bytes", "doc_id")
+      .select("doc_id", "rec_idx", "warc_type", "target_uri", "content_length")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val b = Warc.records(df.repartition(7), "bytes", "doc_id")
+      .select("doc_id", "rec_idx", "warc_type", "target_uri", "content_length")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(a === b)
+    assert(a.count(_._3 == "request") === 10)
+    assert(a.count(_._3 == "response") === 40)
+  }
+
+  test("readWarc: binaryFile round-trip from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      val f = new java.io.File(dir, "part0.warc")
+      java.nio.file.Files.write(f.toPath,
+        bytes(rec("response", "http://d/1", "disk payload") +
+          rec("response", "http://d/2", "x")))
+      val out = Warc.readWarc(spark, f.getAbsolutePath)
+        .select("warc_type", "target_uri", "content_length").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(out === Set(("response", "http://d/1", 12L),
+        ("response", "http://d/2", 1L)))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
