@@ -95,6 +95,7 @@ object SparkEntry {
     "q_lang_id" -> (L.qLangId _),
     "q_text_quality" -> (L.qTextQuality _),
     "q_quality_filter" -> (L.qQualityFilter _),
+    "q_crawl_e2e" -> (L.qCrawlE2e _),
     // learned linear classifier next to the rule- and LM-based signals
     "q_quality_classifier" -> (L.qQualityClassifier _),
     "q_token_count" -> (L.qTokenCount _),
@@ -254,6 +255,7 @@ object SparkEntry {
     "q_lang_id" -> L.qLangIdSql,
     "q_text_quality" -> L.qTextQualitySql,
     "q_quality_filter" -> L.qQualityFilterSql,
+    "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_token_count" -> L.qTokenCountSql,
     "q_vocab_topk" -> L.qVocabTopkSql,

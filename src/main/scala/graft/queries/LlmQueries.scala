@@ -1023,8 +1023,10 @@ object LlmQueries {
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables(spark, dir).documents)
 
-  val qTextRepetitionSql: String =
-    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+  val qTextRepetitionSql: String = textRepetitionSqlFrom("documents")
+
+  private def textRepetitionSqlFrom(t: String): String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $t),
        |bg AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
        |    w[i] || ' ' || w[i+1] AS gram
@@ -1056,7 +1058,9 @@ object LlmQueries {
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables(spark, dir).documents)
 
-  val qLangIdSql: String = {
+  val qLangIdSql: String = langIdSqlFrom("documents")
+
+  private def langIdSqlFrom(t: String): String = {
     val codes = Config.Stopwords.map(_._1)
     val scoreCols = Config.Stopwords.map { case (code, stops) =>
       val lst = stops.map(s => s"'$s'").mkString(", ")
@@ -1066,7 +1070,7 @@ object LlmQueries {
       val conds = codes.map(o => s"score_$code >= score_$o").mkString(" AND ")
       s"WHEN $conds THEN '$code'"
     }.mkString("\n    ")
-    s"""WITH ws AS (SELECT doc_id, lang, ${wordsSql("text")} AS w FROM documents),
+    s"""WITH ws AS (SELECT doc_id, lang, ${wordsSql("text")} AS w FROM $t),
        |sc AS (SELECT doc_id, lang AS actual_lang,
        |    $scoreCols
        |  FROM ws)
@@ -1080,12 +1084,14 @@ object LlmQueries {
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(Tables(spark, dir).documents)
 
-  val qTextQualitySql: String = {
+  val qTextQualitySql: String = textQualitySqlFrom("documents")
+
+  private def textQualitySqlFrom(t: String): String = {
     val en = Config.Stopwords.toMap.apply("en").map(s => s"'$s'").mkString(", ")
     s"""WITH b AS (SELECT doc_id, text, ${wordsSql("text")} AS w,
        |    length(text) AS nc,
        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np
-       |  FROM documents)
+       |  FROM $t)
        |SELECT doc_id,
        |  CAST(nc AS BIGINT) AS n_chars,
        |  CAST(len(w) AS BIGINT) AS n_words,
@@ -2392,7 +2398,9 @@ object LlmQueries {
   def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityVerdict(Tables(spark, dir).documents)
 
-  val qQualityFilterSql: String =
+  val qQualityFilterSql: String = qualityFilterSqlFrom("documents")
+
+  private def qualityFilterSqlFrom(t: String): String =
     s"""SELECT q.doc_id, q.n_words,
        |  CAST(CASE WHEN q.n_words >= 10 AND q.n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
        |  CAST(CASE WHEN q.punct_ratio <= CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS punct_ok,
@@ -2404,9 +2412,141 @@ object LlmQueries {
        |    * CAST(CASE WHEN q.stopword_ratio >= CAST(0.03 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
        |    * CAST(CASE WHEN r.dup_word_frac <= CAST(0.5 AS DOUBLE) AND r.top_bigram_frac <= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)
        |    * CAST(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM ($qTextQualitySql) q
-       |LEFT JOIN ($qTextRepetitionSql) r ON q.doc_id = r.doc_id
-       |JOIN ($qLangIdSql) l ON q.doc_id = l.doc_id""".stripMargin
+       |FROM (${textQualitySqlFrom(t)}) q
+       |LEFT JOIN (${textRepetitionSqlFrom(t)}) r ON q.doc_id = r.doc_id
+       |JOIN (${langIdSqlFrom(t)}) l ON q.doc_id = l.doc_id""".stripMargin
+
+  // ---- composed crawl pipeline (one DAG, one oracle) ----
+
+  /** The crawl-curation chain as ONE plan: html extract → NFC →
+    * line dedup → quality filter → stratified sample, each stage the
+    * exact fixture its standalone gate runs (qHtmlExtract synthesis,
+    * qUnicodeNfc injections, qLineDedup lines, qualityVerdict rules,
+    * MixRates sampling), chained through (doc_id, lang, text) frames.
+    * The per-stage oracles prove each stage's math; this row proves
+    * the stages COMPOSE in one DAG — the final text rides out as an
+    * md5 so any divergence anywhere in the chain fails the gate.
+    * Docs whose every line dedups away drop before quality (their
+    * empty text would hit the punct-ratio zero denominator — the
+    * pipeline-correct place to drop empties anyway). */
+  def qCrawlE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // bounded driver-side scalar: the corpus-relative boilerplate cap
+    // (the qLineDedup convention)
+    val cap = docs.count() / 4
+    val id = col("doc_id")
+    // A: html synthesis (the qHtmlExtract fixture) + extraction
+    val n0 = length(col("text"))
+    val p0 = (lit(1) + (id % greatest(n0.cast("long") - 1L, lit(1L)))).cast("int")
+    val head = col("text").substr(lit(1), p0)
+    val tail = col("text").substr(p0 + 1, n0 - p0)
+    val ent = when(id % 3 === 0, lit("x&amp;y"))
+      .when(id % 3 === 1, lit("&lt;raw&gt;"))
+      .otherwise(lit("&quot;q&quot;&#39;s&nbsp;end"))
+    val html = concat(
+      lit("<html><head><title>doc "), id.cast("string"), lit("</title>"),
+      when(id % 4 < 2, concat(lit("<script type=\"text/javascript\">var x = "),
+        id.cast("string"), lit(";</script>"))).otherwise(lit("")),
+      when(id % 5 === 0, lit("<style>.c{color:red}</style>")).otherwise(lit("")),
+      lit("</head><body><p class=\"lead\">"), head, lit("</p>"),
+      when(id % 2 === 1, lit("<br/>")).otherwise(lit("")),
+      lit("<div id=\"d"), id.cast("string"), lit("\">"), tail,
+      lit(" a&amp;b &lt;tag&gt; "), ent, lit("</div></body></html>"))
+    val ea = TextAnalysis.extractHtmlText(docs.select(id, html.as("html")))
+      .select(col("doc_id"), col("text"))
+    // B: NFC with the qUnicodeNfc decomposed-char injections
+    val withDecomposed = concat(col("text"),
+      when(id % 3 === 0, lit(" café")).otherwise(lit("")),
+      when(id % 4 === 1, lit(" mañana")).otherwise(lit("")))
+    // persisted: dedupLines traverses its input more than once (line
+    // window + doc regroup + the all-docs join back), and each
+    // traversal would re-run the scan→extract→NFC kernel chain
+    val eb = TextAnalysis.normalizeNfc(ea.select(id, withDecomposed.as("text")))
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // C: line dedup over the qLineDedup five-line layout
+    val n1 = length(col("text"))
+    val p1 = (lit(1) + (id % greatest(n1.cast("long") - 1L, lit(1L)))).cast("int")
+    val lined = concat_ws("\n",
+      concat(lit("nav home about contact v"), (id % 4).cast("string")),
+      col("text").substr(lit(1), p1),
+      concat(lit("subscribe to our newsletter s"), (id % 3).cast("string")),
+      col("text").substr(p1 + 1, n1 - p1),
+      concat(lit("copyright c"), (id % 5).cast("string")))
+    // persisted: the fan-out point — qualityVerdict's three metric
+    // branches plus the keep join all re-derive this frame, and
+    // without the cache each would re-run the whole extract→NFC→
+    // line-dedup chain (measured: 16 scans / 10 NFC passes → 1).
+    // Post-dedup compact text; lifecycle owned by the caller, the
+    // semanticDedup convention.
+    val ec = Dedup.dedupLines(eb.select(id, lined.as("text")), cap)
+      .where(col("n_kept") > 0)
+      .select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // D: quality verdict (needs lang for the langId gate)
+    val ed = ec.join(
+      TextAnalysis.qualityVerdict(ec).where(col("keep") === 1L).select("doc_id"),
+      Seq("doc_id"))
+    // E: per-language stratified sample; final text pinned by md5
+    Sampling.stratifiedSample(ed, "doc_id", "lang", MixRates)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+  }
+
+  val qCrawlE2eSql: String = {
+    val rows = MixRates
+      .map { case (s, f) => s"('$s', ${Sampling.perMillion(f)})" }.mkString(", ")
+    s"""WITH ed0 AS (SELECT doc_id, lang, text, length(text) AS n,
+       |    CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p
+       |  FROM documents),
+       |ea AS (SELECT doc_id, lang,
+       |    trim(regexp_replace(
+       |      'doc ' || CAST(doc_id AS VARCHAR) || ' '
+       |      || substr(text, 1, p) || ' ' || substr(text, p + 1, n - p)
+       |      || ' a&b <tag> '
+       |      || CASE WHEN doc_id % 3 = 0 THEN 'x&y'
+       |              WHEN doc_id % 3 = 1 THEN '<raw>'
+       |              ELSE '"q"''s end' END, '\\s+', ' ', 'g')) AS text
+       |  FROM ed0),
+       |eb AS (SELECT doc_id, lang,
+       |    text || (CASE WHEN doc_id % 3 = 0 THEN ' café' ELSE '' END)
+       |         || (CASE WHEN doc_id % 4 = 1 THEN ' mañana' ELSE '' END) AS text
+       |  FROM ea),
+       |ec0 AS (SELECT doc_id, lang, text, length(text) AS n,
+       |    CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p FROM eb),
+       |ecr AS (
+       |  SELECT doc_id, 0 AS line_no,
+       |    'nav home about contact v' || CAST(doc_id % 4 AS VARCHAR) AS line FROM ec0
+       |  UNION ALL SELECT doc_id, 1,
+       |    trim(substr(text, 1, p), ' ' || chr(9) || chr(12) || chr(13)) FROM ec0
+       |  UNION ALL SELECT doc_id, 2,
+       |    'subscribe to our newsletter s' || CAST(doc_id % 3 AS VARCHAR) FROM ec0
+       |  UNION ALL SELECT doc_id, 3,
+       |    trim(substr(text, p + 1, n - p), ' ' || chr(9) || chr(12) || chr(13)) FROM ec0
+       |  UNION ALL SELECT doc_id, 4, 'copyright c' || CAST(doc_id % 5 AS VARCHAR) FROM ec0),
+       |ecl AS (SELECT doc_id, line_no, line FROM ecr WHERE length(line) > 0),
+       |eck AS (SELECT doc_id, line_no, line,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn,
+       |    count(*) OVER (PARTITION BY line) AS cnt
+       |  FROM ecl),
+       |ecf AS (SELECT doc_id, line_no, line, rn,
+       |    CASE WHEN cnt > (SELECT count(*) // 4 FROM documents) THEN 1 ELSE 0 END AS boiler
+       |  FROM eck),
+       |ecg AS (SELECT doc_id,
+       |    count(*) FILTER (WHERE boiler = 0 AND rn = 1) AS n_kept,
+       |    coalesce(string_agg(line, chr(10) ORDER BY line_no)
+       |      FILTER (WHERE boiler = 0 AND rn = 1), '') AS text
+       |  FROM ecf GROUP BY doc_id),
+       |ec AS (SELECT g.doc_id, e.lang, g.text
+       |  FROM ecg g JOIN eb e ON g.doc_id = e.doc_id WHERE g.n_kept > 0),
+       |edq AS (SELECT ec.doc_id, ec.lang, ec.text FROM ec
+       |  JOIN (${qualityFilterSqlFrom("ec")}) v ON ec.doc_id = v.doc_id
+       |  WHERE v.keep = 1),
+       |ef(lang, thr) AS (VALUES $rows)
+       |SELECT d.doc_id, d.lang, md5(d.text) AS text_md5
+       |FROM edq d JOIN ef ON d.lang = ef.lang
+       |WHERE (('0x' || substr(md5('strat' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < ef.thr""".stripMargin
+  }
 
   // ---- linear quality classifier (fastText / FineWeb-Edu style) ----
 
