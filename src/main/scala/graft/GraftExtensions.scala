@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CharEntropy, FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, WkbRings, WordShingles}
+import graft.functions.{CharEntropy, FloatCosine, FloatDotConst, FloatVecQuantSumAgg, FloatVecSumAgg, Portable, WkbRings, WordShingles}
 
 /** Session-extension hook registering graft's native expressions as SQL
   * functions, so they are first-class from `spark.sql(...)`:
@@ -49,11 +49,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CharEntropy(args.head)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
-      info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, _) => WordShingles(args(0), k)
+      info("word_shingles",
+        "word_shingles(text, k[, distinct]) - word k-shingles (distinct by default; pass false for positional shingles)"),
+      (args: Seq[Expression]) => (args(1), args.lift(2)) match {
+        case (Literal(k: Int, _), None) => WordShingles(args(0), k)
+        case (Literal(k: Int, _), Some(Literal(d: Boolean, _))) =>
+          WordShingles(args(0), k, d)
         case other => throw new IllegalArgumentException(
-          s"word_shingles k must be an integer literal, got $other")
+          s"word_shingles needs an integer-literal k (and optional boolean-literal distinct), got $other")
       }))
+
+    // ---- the portable (cross-engine bit-identical) scalar family ----
+    // The same arithmetic as graft.functions.Portable, built as raw
+    // Catalyst trees (the Spark 4 Column DSL produces lazily-resolved
+    // ColumnNodes that a FunctionRegistry builder cannot return), so
+    // SQL-only users get the md5-derived hashes / rounding every graft
+    // operator is gated on.
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Conv, Divide, Floor, Md5, Multiply, Remainder, RegExpExtractAll, StringSplit, StringTrim, Substring}
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
+
+    def md5Hex(x: Expression, hexChars: Int): Expression =
+      Cast(Conv(Substring(Md5(Cast(x, BinaryType)), Literal(1), Literal(hexChars)),
+        Literal(16), Literal(10)), LongType)
+
+    ext.injectFunction((
+      FunctionIdentifier("h60"),
+      info("h60",
+        "h60(x) - 60-bit md5-derived hash; DuckDB twin ('0x'||substr(md5(x),1,15))::BIGINT"),
+      (args: Seq[Expression]) => md5Hex(args.head, 15)))
+    ext.injectFunction((
+      FunctionIdentifier("h31"),
+      info("h31",
+        "h31(x) - 31-bit md5-derived hash (safe in 64-bit modular products); DuckDB twin ('0x'||substr(md5(x),1,7))::BIGINT % 2147483647"),
+      (args: Seq[Expression]) =>
+        Remainder(md5Hex(args.head, 7), Literal(2147483647L))))
+    ext.injectFunction((
+      FunctionIdentifier("roundp"),
+      info("roundp",
+        "roundp(x, d) - portable rounding floor(x*10^d + 0.5)/10^d; use instead of round() for any oracle-compared double"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(d: Int, _) =>
+          val p = Literal(math.pow(10, d))
+          Divide(Cast(Floor(Add(Multiply(Cast(args(0), DoubleType), p),
+            Literal(0.5))), DoubleType), p)
+        case other => throw new IllegalArgumentException(
+          s"roundp digits must be an integer literal, got $other")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_words"),
+      info("portable_words",
+        "portable_words(text) - whitespace word list; DuckDB twin string_split_regex(trim(x), '\\s+')"),
+      (args: Seq[Expression]) =>
+        StringSplit(StringTrim(args.head), Literal("\\s+"), Literal(-1))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_tokens"),
+      info("bpe_tokens",
+        "bpe_tokens(text) - BPE-ish token list (letter runs, digit runs, single punctuation); DuckDB twin regexp_extract_all"),
+      (args: Seq[Expression]) =>
+        RegExpExtractAll(args.head, Literal(Portable.bpePattern), Literal(0))))
   }
 }

@@ -243,6 +243,14 @@ object LlmQueries {
 
   // ---- #25b transitive dedup clusters over the near-dup pair graph ----
 
+  /** DELIBERATELY kept on label propagation: star contraction is the
+    * production default (qDedupKeep uses it; O(log n) rounds on any
+    * diameter), and q_dedup_clusters_star gates it against the SAME
+    * oracle — registering propagation here too keeps a standing bench
+    * A/B between the two cluster algorithms on identical input
+    * (propagation wins on the shallow components this corpus has;
+    * star wins on long chains). Flipping this to clustersStar would
+    * make the two rows byte-identical — padding, not coverage. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.clusters(
       Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold))

@@ -44,4 +44,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(h === math.floor(math.log(2) * 1e6 + 0.5) / 1e6)
     assert(spark.sql("SELECT char_entropy('') AS h").collect()(0).isNullAt(0))
   }
+
+  test("portable family registers: h60, h31, roundp, portable_words, bpe_tokens") {
+    // h60/h31 must equal the md5-derived arithmetic the operators gate on
+    val Seq(h60v, h31v) = spark.sql(
+      "SELECT h60('graft'), h31('graft')").collect()(0)
+      .toSeq.map(_.asInstanceOf[Long])
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("graft".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h60v === java.lang.Long.parseLong(hex.take(15), 16))
+    assert(h31v === java.lang.Long.parseLong(hex.take(7), 16) % 2147483647L)
+    // roundp is the floor(x*10^d+0.5)/10^d idiom, not round()
+    val r = spark.sql("SELECT roundp(73.54475, 4)").collect()(0).getDouble(0)
+    assert(r === math.floor(73.54475 * 1e4 + 0.5) / 1e4)
+    val w = spark.sql("SELECT portable_words('  a  b c ')").collect()(0)
+      .getSeq[String](0)
+    assert(w === Seq("a", "b", "c"))
+    val b = spark.sql("SELECT bpe_tokens('ab12, cd')").collect()(0)
+      .getSeq[String](0)
+    assert(b === Seq("ab", "12", ",", "cd"))
+    // word_shingles grows a positional (distinct=false) variant
+    val sh = spark.sql("SELECT word_shingles('a b a b', 2, false)").collect()(0)
+      .getSeq[String](0)
+    assert(sh === Seq("a b", "b a", "a b"))
+    val shd = spark.sql("SELECT word_shingles('a b a b', 2)").collect()(0)
+      .getSeq[String](0)
+    assert(shd === Seq("a b", "b a"))
+  }
 }
