@@ -13,8 +13,12 @@ object ScaleProbe {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_dedup_containment", "q_dedup_incremental",
         "q_image_phash", "q_audio_fingerprint")
-    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+    // SPARK_GRAFT_PROBE_DIRS overrides the table-dir list — used for
+    // the synthetic-sf1 evidence run (ScaleUp writes a 10x corpus)
+    val sfs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
     val spark = Sessions.build("graft-scaleprobe")
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

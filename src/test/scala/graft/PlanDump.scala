@@ -27,7 +27,8 @@ object PlanDump {
       "q_bigram_logprob", "q_ann_pq", "q_ann_ivfpq", "q_embed_pool",
       "q_mixture_plan",
       "q_pmi_topk", "q_cdc_chunks", "q_winsorize", "q_rolling_anomaly",
-      "q_char_entropy", "q_dedup_stitch")
+      "q_char_entropy", "q_dedup_stitch", "q_trigram_logprob",
+      "q_warc_extract", "q_crawl_e2e")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")

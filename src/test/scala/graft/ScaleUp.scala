@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Synthesize an sf1-equivalent corpus (10x sf0.1) for the scale-
+  * evidence run: 10 id-offset copies of documents and embeddings.
+  * Document words are PREFIXED with a per-copy marker, so within-copy
+  * dedup structure (exact dups, near-dup spans, shingle overlaps) is
+  * preserved exactly while cross-copy vocabularies are disjoint —
+  * pair outputs scale linearly BY CONSTRUCTION and the probe measures
+  * honest runtime scaling, not a quadratic fixture artifact (the r7
+  * audio-ramp lesson). Embeddings are copied as-is: ANN queries keep
+  * their fixed query sets against a 10x candidate corpus — the
+  * production shape. Blocking columns (source, lang, label) are NOT
+  * salted: real 10x growth grows the blocks, and that cost is what
+  * the probe exists to measure.
+  *
+  * Usage: sbt "Test/runMain graft.ScaleUp [outDir]"  (default
+  * /tmp/graft_sf1), then
+  * SPARK_GRAFT_PROBE_DIRS=/root/testdata/sf0.1,/tmp/graft_sf1 \
+  *   sbt "runMain graft.ScaleProbe q_dedup_exact ..."
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val src = "/root/testdata/sf0.1"
+    val copies = 10
+    val spark = Sessions.build("graft-scaleup")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docOffset = 10000000L
+    val docCopies = (0 until copies).map { k =>
+      val marked =
+        if (k == 0) docs.withColumn("doc_id", col("doc_id"))
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(k * docOffset))
+          .withColumn("text",
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              w => concat(lit(s"c${k}x"), w)), " "))
+      marked
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecOffset = 10000000L
+    (0 until copies).map { k =>
+      if (k == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(k * vecOffset))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scaleup] wrote $out (documents x$copies, embeddings x$copies)")
+    spark.stop()
+  }
+}
