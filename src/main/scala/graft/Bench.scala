@@ -67,7 +67,10 @@ object Bench {
     "q_linreg" -> 0.41, "q_length_hist" -> 0.32,
     "q_char_entropy" -> 0.21,
     "q_rolling_anomaly" -> 0.57,
-    "q_dedup_stitch" -> 0.56)
+    "q_dedup_stitch" -> 0.56,
+    "q_ann_ivfpq" -> 0.84, "q_ann_pq_trained" -> 2.14,
+    "q_trigram_logprob" -> 0.83, "q_warc_extract" -> 0.22,
+    "q_crawl_e2e" -> 1.06)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

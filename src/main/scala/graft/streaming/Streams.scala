@@ -173,6 +173,21 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the trigram stupid-backoff scorer (operators/
+    * TextAnalysis.trigramLmApply): the order-3 model frame is STATIC
+    * (trained offline via trigramLmTrain), each micro-batch of docs is
+    * scored by the identical batch operator — per-doc output depends
+    * only on the doc and the model, so batch boundaries are invisible.
+    * Parity pinned in StreamingSpec. */
+  def trigramScoreStream(docs: DataFrame, model: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "trigramScoreStream is streaming-only: use TextAnalysis.trigramLmApply for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.trigramLmApply(model, batch), batchId)
+    }
+  }
+
   /** Streaming twin of the linear quality classifier (operators/
     * TextAnalysis.hashedLinearScore): the hashed-ngram weight frame is
     * STATIC (a trained model loaded offline), each micro-batch scores

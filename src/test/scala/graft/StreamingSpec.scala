@@ -277,6 +277,37 @@ class StreamingSpec extends SparkSpec {
     assert(expected.map(_.getAs[Long]("doc_id")) === Seq(100L, 101L)) // 102 is all-OOV
   }
 
+  test("trigramScoreStream scores from the static order-3 model exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 10L).map { i =>
+      (i, if (i < 7) "the cat sat on the mat again" else s"rare$i words$i only$i here$i")
+    }.toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.trigramLmTrain(corpus)
+      .localCheckpoint()
+    val fresh = Seq(
+      (100L, "the cat sat on the mat"),   // in-model trigrams
+      (101L, "mat the cat sat backwards"), // backoff fires
+      (102L, "zz yy xx ww"))               // all-OOV -> order-0 floor
+    val input = MemoryStream[(Long, String)]
+    input.addData(fresh.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.trigramScoreStream(input.toDF().toDF("doc_id", "text"), model) {
+      (scored, _) => acc.synchronized { acc ++= scored.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(fresh.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis
+      .trigramLmApply(model, fresh.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    assert(expected.size === 3)
+    val byId = expected.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_backed_off")).toMap
+    assert(byId(100L) === 0L && byId(101L) > 0L)
+  }
+
   test("classifierScoreStream scores from the static weights exactly like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
