@@ -151,6 +151,7 @@ object SparkEntry {
     "q_badwords_filter" -> (L.qBadwordsFilter _),
     // deterministic HLL distinct-count sketch vs exact per-source vocab
     "q_hll_distinct" -> (L.qHllDistinct _),
+    "q_cms_vocab" -> (L.qCmsVocab _),
     // priority sampling: weighted audit sample + threshold estimator
     "q_priority_sample" -> (L.qPrioritySample _),
     // product-quantization ANN: compressed-candidate ADC scan
@@ -286,6 +287,7 @@ object SparkEntry {
     "q_ngram_topk" -> L.qNgramTopkSql,
     "q_badwords_filter" -> L.qBadwordsFilterSql,
     "q_hll_distinct" -> L.qHllDistinctSql,
+    "q_cms_vocab" -> L.qCmsVocabSql,
     "q_priority_sample" -> L.qPrioritySampleSql,
     "q_ann_pq" -> L.qAnnPqSql,
     "q_ann_ivfpq" -> L.qAnnIvfPqSql,

@@ -98,4 +98,73 @@ object Sketches {
     g.select(kc ++ Seq(col("registers_used"),
       Portable.roundp(est, 4).as("hll_est")): _*)
   }
+
+  // ---- count-min sketch (Cormode & Muthukrishnan 2005) ----
+  //
+  // The frequency-estimation companion of the HLL registers: exact
+  // per-value counts at corpus scale need a vocabulary-sized shuffle
+  // PER QUERY, while the CMS frame is a FIXED d×w counter grid —
+  // bounded memory at any corpus size, mergeable across shards by
+  // plain integer addition (shardable like the dedup/span indexes),
+  // and never underestimating (the heavy-hitter screening guarantee:
+  // est(x) >= true(x) always, est(x) <= true(x) + εN w.h.p.).
+  // Hashes are md5-derived (h31, row-salted) and counters are pure
+  // integer sums, so the whole sketch AND its estimates are
+  // bit-identical across engines — oracle-gatable, unlike any
+  // engine-native approximate frequency function.
+
+  /** Default geometry: d=4 rows × w=1024 counters (ε ≈ e/w ≈ 0.27% of
+    * the stream mass, δ ≈ e^-4). Size w to the tolerated overestimate
+    * at deployment scale. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** Row-salted md5 bucket for value `v` in hash row `j`.
+    * DuckDB: `(('0x'||substr(md5('cms:'||j||':'||v),1,7))::BIGINT
+    * % 2147483647) % w`. */
+  private def cmsBucket(v: Column, j: Column, w: Int): Column =
+    Portable.h31(concat_ws(":", lit("cms"), j, v)) % w
+
+  /** Build the counter frame: one row per (row_j, bucket) with its
+    * integer count sum. The d-fold expansion happens on the DISTINCT-
+    * value census (vocabulary-sized), never on the corpus — one
+    * tokenize-and-count pass, then a model-sized regroup. ≤ d·w rows
+    * out regardless of input size. */
+  def cmsSketch(df: DataFrame, valueCol: String,
+                d: Int = CmsD, w: Int = CmsW): DataFrame = {
+    require(d >= 1 && w >= 1, "cmsSketch: d and w must be positive")
+    val counts = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    counts
+      .select(col("__v"), col("__c"),
+        explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("row_j"))
+      .withColumn("bucket", cmsBucket(col("__v"), col("row_j"), w))
+      .groupBy(col("row_j"), col("bucket"))
+      .agg(sum(col("__c")).as("cnt"))
+  }
+
+  /** Merge counter frames from independent corpus shards: union +
+    * per-counter integer sum. Exact parity with a whole-corpus build
+    * (addition is associative/commutative) — spec-pinned. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row_j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a probe frame: est(v) = min over rows of the
+    * counter at (j, h_j(v)); absent counters read 0. The probe side is
+    * expanded d-fold (probe sets are bounded — heavy-hitter candidates,
+    * audit lists) and the sketch side is ≤ d·w rows, so the join
+    * broadcasts. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+                  d: Int = CmsD, w: Int = CmsW): DataFrame =
+    probes
+      .select(col(valueCol).as("__v"))
+      .withColumn("row_j",
+        explode(array((0 until d).map(j => lit(j.toLong)): _*)))
+      .withColumn("bucket", cmsBucket(col("__v"), col("row_j"), w))
+      .join(broadcast(sketch), Seq("row_j", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col("__v"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("__v").as(valueCol), col("cms_est"))
 }

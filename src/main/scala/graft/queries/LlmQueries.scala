@@ -2716,6 +2716,53 @@ object LlmQueries {
        |  END AS rel_err
        |FROM ex JOIN est USING (lang)""".stripMargin
 
+  // ---- count-min sketch heavy-hitter estimates ----
+
+  private val CmsTopK = 50
+
+  /** Count-min sketch vs truth on the corpus vocabulary: build the
+    * d=4×w=1024 counter grid over all word occurrences, probe the
+    * true top-50 words (total-ordered cut), and emit estimate next to
+    * exact count. The sketch never underestimates (CmsSpec pins the
+    * property corpus-wide); the oracle replays the identical
+    * integer-counter grid, so even hash-collision overestimates
+    * hash-match. */
+  def qCmsVocab(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(explode(Portable.words(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val sketch = Sketches.cmsSketch(toks, "token")
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("token").asc).limit(CmsTopK)
+    Sketches.cmsEstimate(sketch, top, "token")
+      .join(top, Seq("token"))
+      .select(col("token"), col("n_true"), col("cms_est"))
+  }
+
+  val qCmsVocabSql: String = {
+    val d = Sketches.CmsD
+    val w = Sketches.CmsW
+    def bucket(j: String, v: String) =
+      s"(('0x'||substr(md5('cms' || ':' || CAST($j AS VARCHAR) || ':' || $v),1,7))::BIGINT % 2147483647) % $w"
+    s"""WITH tok AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents),
+       |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_true FROM tok
+       |  WHERE length(token) > 0 GROUP BY 1),
+       |rj AS (SELECT j FROM generate_series(0, ${d - 1}) t(j)),
+       |sk AS (SELECT j AS row_j, ${bucket("j", "token")} AS bucket,
+       |    CAST(sum(n_true) AS BIGINT) AS cnt
+       |  FROM tc, rj GROUP BY 1, 2),
+       |top AS (SELECT token, n_true FROM tc
+       |  ORDER BY n_true DESC, token ASC LIMIT $CmsTopK),
+       |pe AS (SELECT top.token, j AS row_j, ${bucket("j", "top.token")} AS bucket
+       |  FROM top, rj),
+       |je AS (SELECT pe.token, coalesce(sk.cnt, 0) AS cnt
+       |  FROM pe LEFT JOIN sk ON pe.row_j = sk.row_j AND pe.bucket = sk.bucket),
+       |est AS (SELECT token, CAST(min(cnt) AS BIGINT) AS cms_est
+       |  FROM je GROUP BY 1)
+       |SELECT top.token, top.n_true, est.cms_est
+       |FROM top JOIN est USING (token)""".stripMargin
+  }
+
   // ---- priority sampling (weighted audit sample + estimator) ----
 
   private val PrioritySampleN = 10

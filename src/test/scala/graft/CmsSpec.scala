@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class CmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Zipf-ish synthetic stream: 3000 distinct values (well above the
+  // 1024-counter width, so collisions are real), frequency ~ 1/(i+1)
+  private def stream = (0 until 3000).flatMap { i =>
+    Seq.fill(3000 / (i + 1))(s"v$i")
+  }.toDF("v")
+
+  test("never underestimates, and overestimate is bounded by the CMS guarantee") {
+    val sk = Sketches.cmsSketch(stream, "v")
+    val truth = stream.groupBy("v").agg(count(lit(1)).as("n_true"))
+    val est = Sketches.cmsEstimate(sk, truth, "v")
+      .join(truth, Seq("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    // est >= true for EVERY value — the heavy-hitter screen relies on it
+    est.foreach { case (v, e, t) => assert(e >= t, s"$v: est $e < true $t") }
+    // ε = e/w of the stream mass bounds the overestimate in expectation;
+    // allow 3x slack for the worst row of a small fixture
+    val n = stream.count()
+    val eps = math.E / Sketches.CmsW
+    val bound = (3 * eps * n).toLong + 1
+    val worst = est.map { case (_, e, t) => e - t }.max
+    assert(worst <= bound, s"worst overestimate $worst > bound $bound")
+  }
+
+  test("shard merge is exact: sum-merged shards equal the whole-corpus sketch") {
+    val whole = Sketches.cmsSketch(stream, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val withIdx = stream.withColumn("i", monotonically_increasing_id())
+    val a = Sketches.cmsSketch(withIdx.where(col("i") % 2 === 0), "v")
+    val b = Sketches.cmsSketch(withIdx.where(col("i") % 2 === 1), "v")
+    val merged = Sketches.cmsMerge(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
+  test("deterministic across partition layouts") {
+    val a = Sketches.cmsSketch(stream, "v").orderBy("row_j", "bucket").collect().toSeq
+    val b = Sketches.cmsSketch(stream.repartition(13), "v")
+      .orderBy("row_j", "bucket").collect().toSeq
+    assert(a === b)
+  }
+
+  test("absent probes estimate at the collision floor (0 when their counters are empty)") {
+    val tiny = Seq("a", "a", "b").toDF("v")
+    val sk = Sketches.cmsSketch(tiny, "v")
+    val est = Sketches.cmsEstimate(sk, Seq("zz-unseen").toDF("v"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2 values in 4096 counters: the unseen probe's 4 counters are
+    // almost surely empty -> 0 (and never negative)
+    assert(est("zz-unseen") >= 0L && est("zz-unseen") <= 2L)
+  }
+}

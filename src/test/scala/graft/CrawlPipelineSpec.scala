@@ -13,6 +13,35 @@ import graft.operators.{Dedup, TextAnalysis}
 class CrawlPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("WARC ingestion feeds the chain: records -> response filter -> html extract") {
+    import java.nio.charset.StandardCharsets
+    def rec(tpe: String, uri: String, payload: String): String = {
+      val clen = payload.getBytes(StandardCharsets.UTF_8).length
+      s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $clen\r\n\r\n$payload\r\n\r\n"
+    }
+    val archives = (0L until 5L).map { i =>
+      val html = s"<html><body><p>page $i body text</p></body></html>"
+      val file = rec("response", s"http://w/$i", html) +
+        rec("request", s"http://w/$i", "GET / HTTP/1.1") +
+        (if (i == 3) "WARC/1.0\r\nContent-Length: 999\r\n\r\nx" else "")
+      (i, file.getBytes(StandardCharsets.UTF_8))
+    }.toDF("archive_id", "bytes")
+    // ingest -> keep clean response records -> payload bytes become the
+    // html column the extraction stage consumes
+    val pages = graft.sources.Warc.records(archives, "bytes", "archive_id")
+      .where(!$"__malformed" && $"warc_type" === "response")
+      .select($"target_uri", org.apache.spark.sql.functions
+        .col("payload").cast("string").as("html"))
+    val extracted = TextAnalysis.extractHtmlText(pages)
+    val out = extracted.collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("text")).toMap
+    assert(out.size === 5)
+    assert(out("http://w/2") === "page 2 body text")
+    // the truncated record quarantined without dropping archive 3's page
+    assert(out.contains("http://w/3"))
+  }
+
   test("crawl chain: filter -> extract -> scrub -> line-dedup -> quality -> delta-dedup -> bucket") {
     val boiler = "Subscribe to our newsletter today"
     def page(body: String) =
