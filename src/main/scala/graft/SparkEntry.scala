@@ -137,6 +137,7 @@ object SparkEntry {
     "q_dedup_containment" -> (L.qDedupContainment _),
     // exact substring-span dedup coverage (Lee et al. 2021 family)
     "q_dedup_substring" -> (L.qDedupSubstring _),
+    "q_dedup_maxspan" -> (L.qDedupMaxspan _),
     // substring-span dedup transform: non-first span occurrences cut
     "q_dedup_substring_cut" -> (L.qDedupSubstringCut _),
     // DSIR importance weights: target-vs-raw unigram log-ratios
@@ -282,6 +283,7 @@ object SparkEntry {
     "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_dedup_containment" -> L.qDedupContainmentSql,
     "q_dedup_substring" -> L.qDedupSubstringSql,
+    "q_dedup_maxspan" -> L.qDedupMaxspanSql,
     "q_dedup_substring_cut" -> L.qDedupSubstringCutSql,
     "q_dsir_weights" -> L.qDsirWeightsSql,
     "q_ngram_topk" -> L.qNgramTopkSql,

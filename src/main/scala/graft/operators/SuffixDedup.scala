@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Portable
+
+/** Arbitrary-length exact duplicated-span detection — the suffix-array
+  * formulation (Lee et al. 2021, "Deduplicating Training Data Makes
+  * Language Models Better") that the fixed-k window census
+  * ([[Dedup.duplicateSpanStats]]) approximates: per document, the
+  * EXACT length of the longest token span that occurs at least twice
+  * in the corpus (any other position, same doc or not), at any
+  * length, not just >= k.
+  *
+  * Algorithm, Spark-first:
+  *   1. Prefix-doubling suffix ranking (Manber & Myers 1990):
+  *      rank_0 = dense rank of tokens; rank_j = dense rank of the
+  *      pair (rank_{j-1}(p), rank_{j-1}(p + 2^{j-1}) or 0-for-end) —
+  *      after J = log2(cap) rounds, rank_J orders every (capped)
+  *      suffix lexicographically. Each round is one doc-keyed lead()
+  *      window (one reusable exchange) plus one GLOBAL dense rank.
+  *   2. Adjacency: suffixes sorted by (rank_J, doc, pos); a suffix's
+  *      best match in the whole corpus is one of its two lexicographic
+  *      neighbors (the suffix-array LCP property), so only N-1
+  *      adjacent pairs are ever compared — never all pairs.
+  *   3. LCP by binary descent over the SAME rank tables: for
+  *      j = J..0, extend lcp by 2^j when rank_j agrees at both
+  *      cursors (absent rank = past doc end = no extension); the
+  *      both-suffixes-end-inside-a-window overcount is removed by a
+  *      final cap at the true remaining lengths.
+  *
+  * Global dense ranks are computed scale-correctly: distinct keys →
+  * distributed range-partitioned sort → zipWithIndex (the one place
+  * an RDD is the right tool — a global total order with no
+  * single-partition window). Rank frames localCheckpoint per round
+  * (the iterative-loop rule; each is read by the next round AND the
+  * descent); odd rounds COMPOSE ranks (r·B + r2 — an order/equality
+  * preserving injection, a pure projection with no global sort, valid
+  * while the corpus stays under 2^31 positions) so only every other
+  * round pays a densify sort.
+  *
+  * Cost is the honest distributed-suffix-array cost: J global sorts
+  * of the (doc, pos) token frame plus 2(J+1) key-joins over the
+  * adjacency pairs. `cap` bounds analysis length per doc (and J);
+  * spans longer than cap report as cap. Everything is rank
+  * arithmetic over md5-free integer/dense-rank keys, so the DuckDB
+  * oracle replays it exactly ([[maxDupSpanSql]]).
+  */
+object SuffixDedup {
+
+  /** Distributed deterministic index for a frame under a total order:
+    * range-partitioned sort + zipWithIndex. */
+  private def withSortedIndex(df: DataFrame, order: Seq[Column],
+                              idxName: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(idxName, LongType, nullable = false)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ (i + 1L))
+      }, schema)
+  }
+
+  /** Per-document longest duplicated span: (doc_id, n_tokens,
+    * max_dup_len), where max_dup_len is the exact maximal L such that
+    * some L-token window of the doc occurs >= 2 times in the corpus
+    * (within-doc repeats count, the duplicateSpanStats contract);
+    * docs whose every window is unique report 0. Analysis is capped
+    * at `cap` tokens per doc (power of two). */
+  def maxDupSpans(docs: DataFrame, id: String = "doc_id",
+                  textCol: String = "text", cap: Int = 128): DataFrame = {
+    require(cap >= 2 && (cap & (cap - 1)) == 0, "cap must be a power of two >= 2")
+    val levels = Integer.numberOfTrailingZeros(cap)
+    val tok = docs
+      .select(col(id).as("d"),
+        posexplode(slice(Portable.words(col(textCol)), 1, cap))
+          .as(Seq("p0", "word")))
+      .select(col("d"), (col("p0") + 1).cast(LongType).as("p"), col("word"))
+      .localCheckpoint()
+    // rank_0: global dense rank of the vocabulary
+    val vocab = withSortedIndex(
+      tok.select(col("word")).distinct(), Seq(col("word")), "rk")
+    var rank = tok.join(vocab, Seq("word"))
+      .select(col("d"), col("p"), col("rk").as("r"))
+      .localCheckpoint()
+    val ranks = scala.collection.mutable.ArrayBuffer(rank)
+    val byDoc = Window.partitionBy(col("d")).orderBy(col("p"))
+    for (j <- 1 to levels) {
+      val shift = 1 << (j - 1)
+      val keyed = rank.withColumn("r2",
+        coalesce(lead(col("r"), shift).over(byDoc), lit(0L)))
+      if (j % 2 == 1) {
+        // compose round: rank' = r·B + r2 with B = max(r)+1 is an
+        // order- and equality-preserving injection of the pair — a
+        // pure narrow projection, NO global sort. Safe while
+        // B² < 2^62; densified ranks are ≤ N+1, so alternating
+        // compose/densify stays exact for corpora under 2^31
+        // positions (the driver guard below; at larger N run every
+        // round dense). The oracle replays B as a scalar subquery.
+        val b = rank.agg(max(col("r"))).head().getLong(0) + 1L
+        require(b < (1L << 31),
+          s"maxDupSpans: rank bound $b too large for the compose round — corpus exceeds 2^31 positions, densify every round")
+        rank = keyed
+          .select(col("d"), col("p"), (col("r") * b + col("r2")).as("r"))
+          .localCheckpoint()
+      } else {
+        val keys = withSortedIndex(
+          keyed.select(col("r"), col("r2")).distinct(),
+          Seq(col("r"), col("r2")), "rk")
+        rank = keyed.join(keys, Seq("r", "r2"))
+          .select(col("d"), col("p"), col("rk").as("r"))
+          .localCheckpoint()
+      }
+      ranks += rank
+    }
+    // adjacency in final suffix order (checkpointed: both sides of the
+    // neighbor self-join read it — uncached, the sort+index RDD would
+    // evaluate twice)
+    val ordered = withSortedIndex(ranks.last,
+      Seq(col("r"), col("d"), col("p")), "idx")
+      .localCheckpoint()
+    var pairs = ordered.select(col("idx"), col("d").as("ad"), col("p").as("ap"))
+      .join(ordered.select((col("idx") + 1).as("idx"),
+        col("d").as("bd"), col("p").as("bp")), Seq("idx"))
+      .select(col("ad"), col("ap"), col("bd"), col("bp"), lit(0L).as("lcp"))
+    // binary LCP descent over the rank tables
+    for (j <- levels to 0 by -1) {
+      val rj = ranks(j)
+      val step = 1L << j
+      pairs = pairs
+        .withColumn("__ka", col("ap") + col("lcp"))
+        .withColumn("__kb", col("bp") + col("lcp"))
+        .join(rj.select(col("d").as("ad"), col("p").as("__ka"),
+          col("r").as("__ra")), Seq("ad", "__ka"), "left")
+        .join(rj.select(col("d").as("bd"), col("p").as("__kb"),
+          col("r").as("__rb")), Seq("bd", "__kb"), "left")
+        .withColumn("lcp",
+          when(col("__ra").isNotNull && col("__rb").isNotNull &&
+            col("__ra") === col("__rb"), col("lcp") + step)
+            .otherwise(col("lcp")))
+        .select(col("ad"), col("ap"), col("bd"), col("bp"), col("lcp"))
+      // no per-round checkpoint here: each descent round adds two
+      // joins against an ALREADY-checkpointed rank frame, so lineage
+      // stays 2(J+1) joins deep — one materialization at the end
+      // beats J+1 intermediate ones (measured: 12.9 -> 11.0 s at
+      // sf0.1; the compose rounds then took the build to 9.2 s)
+    }
+    // remove the both-suffixes-end-inside-a-window overcount
+    val nTok = tok.groupBy(col("d")).agg(max(col("p")).as("n"))
+    val capped = pairs
+      .join(nTok.select(col("d").as("ad"), col("n").as("__na")), Seq("ad"))
+      .join(nTok.select(col("d").as("bd"), col("n").as("__nb")), Seq("bd"))
+      .withColumn("lcp", least(col("lcp"),
+        col("__na") - col("ap") + 1, col("__nb") - col("bp") + 1))
+    val perDoc = capped.select(col("ad").as("d"), col("lcp"))
+      .unionByName(capped.select(col("bd").as("d"), col("lcp")))
+      .groupBy(col("d")).agg(max(col("lcp")).as("max_dup_len"))
+    docs.select(col(id))
+      .join(nTok.withColumnRenamed("d", id), Seq(id), "left")
+      .join(perDoc.withColumnRenamed("d", id), Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("max_dup_len"), lit(0L)).as("max_dup_len"))
+  }
+
+  /** DuckDB SQL replaying [[maxDupSpans]] bit-exactly: dense_rank
+    * doubling rounds, row_number suffix order, the same LCP descent,
+    * the same end caps. `table` must carry (doc_id, text). */
+  def maxDupSpanSql(table: String, wordsExpr: String, cap: Int = 128): String = {
+    require(cap >= 2 && (cap & (cap - 1)) == 0, "cap must be a power of two >= 2")
+    val levels = Integer.numberOfTrailingZeros(cap)
+    val sb = new StringBuilder
+    sb.append(
+      s"""sdw AS (SELECT doc_id AS d, ($wordsExpr)[1:$cap] AS w FROM $table),
+         |sdt AS (SELECT d, CAST(i AS BIGINT) AS p, w[i] AS word
+         |  FROM sdw, unnest(generate_series(1, len(w))) t(i)),
+         |sdr0 AS (SELECT d, p, CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS r
+         |  FROM sdt)""".stripMargin)
+    for (j <- 1 to levels) {
+      val shift = 1 << (j - 1)
+      if (j % 2 == 1)
+        // compose round (see maxDupSpans): r·B + r2, B a scalar subquery
+        sb.append(
+          s""",
+             |sds$j AS (SELECT d, p, r,
+             |    coalesce(lead(r, $shift) OVER (PARTITION BY d ORDER BY p), 0) AS r2
+             |  FROM sdr${j - 1}),
+             |sdb$j AS (SELECT max(r) + 1 AS b FROM sdr${j - 1}),
+             |sdr$j AS (SELECT d, p, r * sdb$j.b + r2 AS r
+             |  FROM sds$j CROSS JOIN sdb$j)""".stripMargin)
+      else
+        sb.append(
+          s""",
+             |sds$j AS (SELECT d, p, r,
+             |    coalesce(lead(r, $shift) OVER (PARTITION BY d ORDER BY p), 0) AS r2
+             |  FROM sdr${j - 1}),
+             |sdr$j AS (SELECT d, p,
+             |    CAST(dense_rank() OVER (ORDER BY r, r2) AS BIGINT) AS r
+             |  FROM sds$j)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |sdo AS (SELECT d, p,
+         |    row_number() OVER (ORDER BY r, d, p) AS idx FROM sdr$levels),
+         |sdp0 AS (SELECT a.d AS ad, a.p AS ap, b.d AS bd, b.p AS bp,
+         |    CAST(0 AS BIGINT) AS lcp
+         |  FROM sdo a JOIN sdo b ON b.idx = a.idx + 1)""".stripMargin)
+    var k = 0
+    for (j <- levels to 0 by -1) {
+      val step = 1L << j
+      sb.append(
+        s""",
+           |sdp${k + 1} AS (SELECT pr.ad, pr.ap, pr.bd, pr.bp,
+           |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL AND ra.r = rb.r
+           |      THEN pr.lcp + $step ELSE pr.lcp END AS lcp
+           |  FROM sdp$k pr
+           |  LEFT JOIN sdr$j ra ON ra.d = pr.ad AND ra.p = pr.ap + pr.lcp
+           |  LEFT JOIN sdr$j rb ON rb.d = pr.bd AND rb.p = pr.bp + pr.lcp)""".stripMargin)
+      k += 1
+    }
+    sb.append(
+      s""",
+         |sdn AS (SELECT d, max(p) AS n FROM sdt GROUP BY 1),
+         |sdc AS (SELECT pr.ad, pr.bd,
+         |    least(pr.lcp, na.n - pr.ap + 1, nb.n - pr.bp + 1) AS lcp
+         |  FROM sdp$k pr
+         |  JOIN sdn na ON na.d = pr.ad
+         |  JOIN sdn nb ON nb.d = pr.bd),
+         |sdm AS (SELECT d, CAST(max(lcp) AS BIGINT) AS max_dup_len FROM (
+         |    SELECT ad AS d, lcp FROM sdc
+         |    UNION ALL SELECT bd AS d, lcp FROM sdc) GROUP BY 1)""".stripMargin)
+    sb.toString
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
-import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
 import graft.sources.{Tables, Warc}
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
@@ -1446,6 +1446,26 @@ object LlmQueries {
       |  CAST(coalesce(g.n_boiler, 0) AS BIGINT) AS n_boiler,
       |  coalesce(g.text, '') AS text
       |FROM documents d0 LEFT JOIN g ON d0.doc_id = g.doc_id""".stripMargin
+
+  // ---- arbitrary-length exact duplicated spans (suffix ranking) ----
+
+  /** Exact longest duplicated span per doc at ANY length — the
+    * suffix-array completion of the fixed-k window census below
+    * (operators/SuffixDedup: prefix-doubling ranks + adjacent-pair
+    * LCP descent). Natural corpus duplication drives it: the
+    * synthetic near-dup docs share long verbatim spans, everything
+    * else bottoms out at short Zipfian matches. */
+  def qDedupMaxspan(spark: SparkSession, dir: String): DataFrame =
+    SuffixDedup.maxDupSpans(Tables(spark, dir).documents)
+
+  val qDedupMaxspanSql: String =
+    s"""WITH ${SuffixDedup.maxDupSpanSql("documents", wordsSql("text"))}
+       |SELECT d0.doc_id,
+       |  CAST(coalesce(sdn.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sdm.max_dup_len, 0) AS BIGINT) AS max_dup_len
+       |FROM documents d0
+       |LEFT JOIN sdn ON d0.doc_id = sdn.d
+       |LEFT JOIN sdm ON d0.doc_id = sdm.d""".stripMargin
 
   // ---- exact substring-span dedup (Lee et al. 2021 family) ----
 

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, SuffixDedup}
+
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def uniq(tag: String, n: Int): String =
+    (0 until n).map(i => s"${tag}u$i").mkString(" ")
+
+  test("planted cross-doc span of known length is found exactly") {
+    val span = (0 until 37).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 20)} $span ${uniq("b", 15)}"),
+      (2L, s"${uniq("c", 5)} $span ${uniq("d", 30)}"),
+      (3L, uniq("e", 40))
+    ).toDF("doc_id", "text")
+    val out = SuffixDedup.maxDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((72L, 37L)))
+    assert(out(2L) === ((72L, 37L)))
+    assert(out(3L) === ((40L, 0L)))
+  }
+
+  test("within-doc repeats count; identical docs report their full length") {
+    val docs = Seq(
+      (1L, "p q r s x1 x2 p q r"),            // within-doc repeat "p q r"
+      (2L, "same full text here now ok"),
+      (3L, "same full text here now ok"),     // exact duplicate of 2
+      (4L, uniq("z", 10))
+    ).toDF("doc_id", "text")
+    val out = SuffixDedup.maxDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 3L)
+    assert(out(2L) === 6L && out(3L) === 6L)
+    assert(out(4L) === 0L)
+  }
+
+  test("agrees with the fixed-k window census: census hit implies maxspan >= k") {
+    val span = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 9)} $span"),
+      (2L, s"$span ${uniq("b", 7)}"),
+      (3L, uniq("c", 25))
+    ).toDF("doc_id", "text")
+    val census = Dedup.duplicateSpanStats(docs, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    val maxspan = SuffixDedup.maxDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docs.collect().map(_.getLong(0)).foreach { d =>
+      if (census(d) > 0L) assert(maxspan(d) >= 8L, s"doc $d")
+      else assert(maxspan(d) < 8L, s"doc $d")
+    }
+    assert(maxspan(1L) === 12L)
+  }
+
+  test("analysis cap truncates: long identical docs report the cap") {
+    val long = (0 until 300).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val out = SuffixDedup.maxDupSpans(docs, cap = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((64L, 64L)))
+    assert(out(2L) === ((64L, 64L)))
+  }
+
+  test("deterministic across partition layouts") {
+    val docs = (0L until 60L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 7 + j) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = SuffixDedup.maxDupSpans(docs).orderBy("doc_id").collect().toSeq
+    val b = SuffixDedup.maxDupSpans(docs.repartition(11)).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
