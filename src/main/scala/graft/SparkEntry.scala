@@ -138,6 +138,7 @@ object SparkEntry {
     // exact substring-span dedup coverage (Lee et al. 2021 family)
     "q_dedup_substring" -> (L.qDedupSubstring _),
     "q_dedup_maxspan" -> (L.qDedupMaxspan _),
+    "q_dedup_edit" -> (L.qDedupEdit _),
     // substring-span dedup transform: non-first span occurrences cut
     "q_dedup_substring_cut" -> (L.qDedupSubstringCut _),
     // DSIR importance weights: target-vs-raw unigram log-ratios
@@ -284,6 +285,7 @@ object SparkEntry {
     "q_dedup_containment" -> L.qDedupContainmentSql,
     "q_dedup_substring" -> L.qDedupSubstringSql,
     "q_dedup_maxspan" -> L.qDedupMaxspanSql,
+    "q_dedup_edit" -> L.qDedupEditSql,
     "q_dedup_substring_cut" -> L.qDedupSubstringCutSql,
     "q_dsir_weights" -> L.qDsirWeightsSql,
     "q_ngram_topk" -> L.qNgramTopkSql,

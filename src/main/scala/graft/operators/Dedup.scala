@@ -885,4 +885,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("overlap_hash"))
       .distinct()
   }
+
+  /** Bounded edit-distance near-dup pairs — the SHORT-STRING dedup
+    * (titles, URLs, product names, author fields) that shingle/minhash
+    * methods handle poorly (a one-char typo flips most shingles of a
+    * 30-char string). Symmetric-delete blocking (the SymSpell family):
+    * every string expands to its deletion neighborhood of depth
+    * maxDist (all strings reachable by deleting <= maxDist chars);
+    * ed(a,b) <= k implies a and b share a depth-k deletion variant
+    * (substitution: delete the differing char from both; indel:
+    * delete from the longer side), so candidates meet ONLY inside a
+    * variant bucket and the exact levenshtein verify makes the output
+    * EXACTLY the ed <= maxDist pair set — complete recall, bounded
+    * blocking, never an all-pairs scan.
+    *
+    * Scale shape: inflation is C(n, <=k) keys per string (n+1 at
+    * k=1 — linear); the candidate join is key-bucketed; pairs dedup
+    * BEFORE the verify. Popular identical strings make quadratic
+    * PAIR OUTPUT — inherent to emitting pairs, same contract as
+    * minhash buckets; cluster the ids upstream if groups are huge.
+    * Verify is engine-native levenshtein (classic integer DP —
+    * bit-identical across engines, so the oracle replays the whole
+    * pipeline including the blocking). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "editDistancePairs: maxDist must be 1 or 2 (deletion-neighborhood depth)")
+    // depth-1 deletion variants of (id, s, v): i = 0 keeps v, i >= 1
+    // deletes char i — codegen substring arithmetic, no interpreted HOF
+    def expand(frame: DataFrame): DataFrame = frame
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), length(col("v")))).as("i"), col("v"))
+      .select(col("id"), col("s"),
+        when(col("i") === 0, col("v"))
+          .otherwise(concat(
+            col("v").substr(lit(1), col("i") - 1),
+            col("v").substr(col("i") + 1, length(col("v")) - col("i"))))
+          .as("v"))
+      .distinct()
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      col(strCol).as("v"))
+    val keys = (1 to maxDist).foldLeft(base)((f, _) => expand(f))
+      .select(col("id"), col("s"), col("v").as("key"))
+      .distinct()
+    val cands = keys.select(col("id").as("id_a"), col("s").as("sa"), col("key"))
+      .join(keys.select(col("id").as("id_b"), col("s").as("sb"), col("key")),
+        Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("sa"), col("id_b"), col("sb"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

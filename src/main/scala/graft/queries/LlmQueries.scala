@@ -1447,6 +1447,47 @@ object LlmQueries {
       |  coalesce(g.text, '') AS text
       |FROM documents d0 LEFT JOIN g ON d0.doc_id = g.doc_id""".stripMargin
 
+  // ---- bounded edit-distance pairs (short-string / typo dedup) ----
+
+  /** SymSpell-blocked exact ed<=1 pairs over a closed-form title
+    * fixture: per 5-doc group a base title, a one-deletion typo, and
+    * an exact duplicate (3 pairs per group — linear by construction;
+    * all other members and all cross-group titles sit at distance
+    * >= 2, digit transitions included). */
+  def qDedupEdit(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("CAST(doc_id div 5 AS STRING)")
+    val m = col("doc_id") % 5
+    val title =
+      when(m === 0 || m === 2, concat(lit("alphabeta t"), g, lit("q"), g))
+        .when(m === 1, concat(lit("alphbeta t"), g, lit("q"), g))
+        .when(m === 3, concat(lit("zzalphabeta t"), g, lit("q"), g))
+        .otherwise(concat(lit("omegapsi x"), col("doc_id").cast("string"),
+          lit("w"), col("doc_id").cast("string")))
+    Dedup.editDistancePairs(
+      Tables(spark, dir).documents.select(col("doc_id"), title.as("title")),
+      "doc_id", "title")
+  }
+
+  val qDedupEditSql: String =
+    s"""WITH tg AS (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS g FROM documents),
+       |tt AS (SELECT doc_id, CASE doc_id % 5
+       |    WHEN 0 THEN 'alphabeta t' || g || 'q' || g
+       |    WHEN 2 THEN 'alphabeta t' || g || 'q' || g
+       |    WHEN 1 THEN 'alphbeta t' || g || 'q' || g
+       |    WHEN 3 THEN 'zzalphabeta t' || g || 'q' || g
+       |    ELSE 'omegapsi x' || CAST(doc_id AS VARCHAR) || 'w' || CAST(doc_id AS VARCHAR)
+       |    END AS s
+       |  FROM tg),
+       |ek AS (SELECT DISTINCT doc_id, s,
+       |    CASE WHEN i = 0 THEN s
+       |      ELSE substr(s, 1, i - 1) || substr(s, i + 1, length(s) - i) END AS v
+       |  FROM tt, unnest(generate_series(0, length(s))) u(i)),
+       |ec AS (SELECT DISTINCT a.doc_id AS id_a, a.s AS sa,
+       |    b.doc_id AS id_b, b.s AS sb
+       |  FROM ek a JOIN ek b ON a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+       |FROM ec WHERE levenshtein(sa, sb) <= 1""".stripMargin
+
   // ---- arbitrary-length exact duplicated spans (suffix ranking) ----
 
   /** Exact longest duplicated span per doc at ANY length — the

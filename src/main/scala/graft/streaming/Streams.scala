@@ -286,6 +286,25 @@ object Streams {
     }
   }
 
+  /** Streaming count-min: each micro-batch reduces to its ≤ d·w
+    * counter grid, which the caller SUMS ([[graft.operators.Sketches
+    * .cmsMerge]]) into a standing store — the streaming form of
+    * corpus-wide frequency estimation. Counter addition is
+    * associative/commutative, so any split of the stream folds to the
+    * identical store as one whole-corpus build (batch boundaries
+    * invisible — the hllRegisterStream contract with + instead of
+    * max). Estimates are a cheap read of the store at any point. */
+  def cmsSketchStream(rows: DataFrame, valueCol: String,
+                      d: Int = graft.operators.Sketches.CmsD,
+                      w: Int = graft.operators.Sketches.CmsW)(
+      mergeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(rows.isStreaming,
+      "cmsSketchStream is streaming-only: use Sketches.cmsSketch for batch frames")
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBatch(graft.operators.Sketches.cmsSketch(batch, valueCol, d, w), batchId)
+    }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class ZState(recent: List[Long])

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class EditDistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side classic Levenshtein for the brute-force ground truth. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val strings = Seq(
+    "spark", "spork", "sprk", "sparks", "scala", "scale", "skale",
+    "catalyst", "catalist", "cattalyst", "tungsten", "tungsten",
+    "query", "quary", "wholly-different")
+
+  test("exactly the ed<=1 pair set of a brute-force check (complete recall)") {
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (for {
+      i <- strings.indices; j <- strings.indices if i < j
+      d = lev(strings(i), strings(j)) if d <= 1
+    } yield (i.toLong, j.toLong) -> d.toLong).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty && expect.values.exists(_ == 0L) &&
+      expect.values.exists(_ == 1L))
+  }
+
+  test("maxDist=2 deepens the neighborhood and still matches brute force") {
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (for {
+      i <- strings.indices; j <- strings.indices if i < j
+      d = lev(strings(i), strings(j)) if d <= 2
+    } yield (i.toLong, j.toLong) -> d.toLong).toMap
+    assert(got === expect)
+    // the depth-2 set strictly extends depth-1 on this fixture
+    assert(expect.values.exists(_ == 2L))
+  }
+
+  test("deterministic across partition layouts; empty strings survive") {
+    val df = (Seq((100L, ""), (101L, ""), (102L, "a")) ++
+      strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }).toDF("id", "s")
+    val a = Dedup.editDistancePairs(df, "id", "s").orderBy("id_a", "id_b")
+      .collect().toSeq
+    val b = Dedup.editDistancePairs(df.repartition(7), "id", "s")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a === b)
+    val pairs = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "" vs "" dist 0, "" vs "a" dist 1
+    assert(pairs.contains((100L, 101L)) && pairs.contains((100L, 102L)))
+  }
+}

@@ -634,6 +634,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("cmsSketchStream store folds to the whole-corpus counter grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 900).map(i => s"v${i % 140}")
+    val input = MemoryStream[String]
+    input.addData(all.take(300): _*)
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    val q = Streams.cmsSketchStream(input.toDF().toDF("v"), "v") { (grid, _) =>
+      store.synchronized {
+        val merged = store.map(s => graft.operators.Sketches.cmsMerge(s, grid))
+          .getOrElse(grid)
+        store = Some(merged.localCheckpoint())
+      }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(all.slice(300, 700): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(700): _*)
+    q.processAllAvailable()
+    q.stop()
+    val whole = graft.operators.Sketches.cmsSketch(all.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = store.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === whole)
+  }
+
   test("hllRegisterStream store folds to the whole-corpus registers and estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
