@@ -112,6 +112,7 @@ object SparkEntry {
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
     "q_url_filter" -> (L.qUrlFilter _),
+    "q_url_canon" -> (L.qUrlCanon _),
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     // per-domain curation rollup (RefinedWeb-style domain view)
@@ -269,6 +270,7 @@ object SparkEntry {
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
+    "q_url_canon" -> L.qUrlCanonSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_domain_stats" -> L.qDomainStatsSql,
     "q_unicode_nfc" -> L.qUnicodeNfcSql,

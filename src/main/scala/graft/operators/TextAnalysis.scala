@@ -633,6 +633,37 @@ object TextAnalysis {
       .withColumn("keep", when(col("n_blocked") === 0, 1L).otherwise(0L))
   }
 
+  /** URL canonicalization — the normalize-before-dedup step crawl
+    * pipelines run so the same page fetched as
+    * `HTTP://WWW.Site.com:80/p/?utm_source=feed&id=1#top` and
+    * `http://site.com/p/?id=1` dedups by key: (1) strip the fragment,
+    * (2) lowercase scheme+authority (path stays case-sensitive),
+    * (3) drop one leading `www.`, (4) drop default ports (:80 http,
+    * :443 https), (5) drop tracking params (utm_*, gclid, fbclid,
+    * ref) wherever they sit in the query string, (6) strip trailing
+    * slashes. Pure codegen regexp chain over the url column — no UDF,
+    * no shuffle; RE2-safe patterns (no lookahead) so the same rules
+    * run on any engine. The oracle gates it from the OTHER direction:
+    * closed-form expected strings, no regex on the oracle side. */
+  def canonicalizeUrl(u: Column): Column = {
+    val auth = "^https?://[^/?#]*"
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val lowered = concat(lower(regexp_extract(noFrag, auth, 0)),
+      regexp_replace(noFrag, auth, ""))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort = Seq(
+      ("^(http://[^/:?#]+):80([/?#])", "$1$2"),
+      ("^(http://[^/:?#]+):80$", "$1"),
+      ("^(https://[^/:?#]+):443([/?#])", "$1$2"),
+      ("^(https://[^/:?#]+):443$", "$1"))
+      .foldLeft(noWww) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    val tracking = "(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)"
+    val noTrack = regexp_replace(
+      regexp_replace(noPort, s"([?&])($tracking=[^&#]*&)+", "$1"),
+      s"[?&]$tracking=[^&#]*$$", "")
+    regexp_replace(noTrack, "/+$", "")
+  }
+
   /** Per-domain curation rollup — the aggregate view domain-level
     * filtering decisions are made from (RefinedWeb prunes whole
     * domains before any per-doc scoring): one row per normalized host

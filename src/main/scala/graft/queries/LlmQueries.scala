@@ -1709,6 +1709,62 @@ object LlmQueries {
       |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
       |FROM documents""".stripMargin
 
+  // ---- URL canonicalization (normalize-before-dedup) ----
+
+  /** Real regexp canonicalizer vs a closed-form oracle: the messy
+    * URLs are synthesized per doc (uppercase authority, www, default
+    * ports, utm/gclid/ref params in every position, fragments,
+    * trailing slashes) and the oracle emits the EXPECTED canonical
+    * strings directly — it never runs a regex, so any divergence in
+    * the operator's rule chain fails the hash gate. */
+  def qUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id").cast("string")
+    val k = (col("doc_id") % 7).cast("string")
+    val docs = Tables(spark, dir).documents
+    def row(cond: Column, u: Column) = docs.where(cond)
+      .select(col("doc_id"), u.as("url"))
+    val urls = row(lit(true),
+        concat(lit("http://WWW.Site"), k, lit(".Example.com:80/Path"), d,
+          lit("/?utm_source=feed&utm_campaign=c"), d, lit("&id="), d,
+          lit("#frag"), d))
+      .unionByName(row(col("doc_id") % 3 === 0,
+        concat(lit("https://CDN.site"), k, lit(".example.com:443/x.js?v=1&ref=tw"))))
+      .unionByName(row(col("doc_id") % 4 === 1,
+        concat(lit("https://site"), k, lit(".example.com/About"), d, lit("//"))))
+      .unionByName(row(col("doc_id") % 5 === 2,
+        concat(lit("http://site"), k, lit(".example.com/q?gclid=g"), d,
+          lit("&x=1&utm_x=9"))))
+    urls.select(col("doc_id"), col("url"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+  }
+
+  val qUrlCanonSql: String =
+    """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS d,
+      |    CAST(doc_id % 7 AS VARCHAR) AS k FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    'http://WWW.Site' || k || '.Example.com:80/Path' || d
+      |      || '/?utm_source=feed&utm_campaign=c' || d || '&id=' || d
+      |      || '#frag' || d AS url,
+      |    'http://site' || k || '.example.com/Path' || d || '/?id=' || d AS canon_url
+      |  FROM b
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'https://CDN.site' || k || '.example.com:443/x.js?v=1&ref=tw',
+      |    'https://cdn.site' || k || '.example.com/x.js?v=1'
+      |  FROM b WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'https://site' || k || '.example.com/About' || d || '//',
+      |    'https://site' || k || '.example.com/About' || d
+      |  FROM b WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'http://site' || k || '.example.com/q?gclid=g' || d || '&x=1&utm_x=9',
+      |    'http://site' || k || '.example.com/q?x=1'
+      |  FROM b WHERE doc_id % 5 = 2)
+      |SELECT doc_id, url, canon_url FROM u""".stripMargin
+
   // ---- per-domain curation rollup ----
 
   /** Domain-level stats over the same closed-form URL injection as

@@ -50,4 +50,34 @@ class UrlFilterSpec extends SparkSpec {
     // host do not match a ported URL; document, don't guess)
     assert(r(2).getAs[String]("hosts") === "h3.net:8080")
   }
+
+  test("canonicalizeUrl: hand-case edge coverage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // fragment + upper authority + www + default port + utm head
+      "http://WWW.Ex.COM:80/P/Q?utm_a=1&id=2#x" -> "http://ex.com/P/Q?id=2",
+      // https default port, ref at tail
+      "https://Ex.com:443/a?x=1&ref=z" -> "https://ex.com/a?x=1",
+      // NON-default ports survive; https :80 is NOT a default
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a",
+      "https://ex.com:80/a" -> "https://ex.com:80/a",
+      // consecutive tracking params collapse in one pass
+      "http://ex.com/?utm_a=1&utm_b=2&gclid=g&id=3" -> "http://ex.com/?id=3",
+      // the whole query was tracking -> no dangling separator
+      "http://ex.com/p?utm_a=1" -> "http://ex.com/p",
+      // href= is NOT ref= (separator-anchored match)
+      "http://ex.com/p?href=x&utm_a=1" -> "http://ex.com/p?href=x",
+      // trailing slashes incl. root
+      "http://ex.com/" -> "http://ex.com",
+      "http://ex.com/a//" -> "http://ex.com/a",
+      // path case preserved; only authority lowers
+      "https://EX.com/CaseSensitive" -> "https://ex.com/CaseSensitive")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), graft.operators.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) === want, s"canon($u)")
+    }
+  }
 }
