@@ -165,6 +165,8 @@ object SparkEntry {
     "q_embed_pool" -> (L.qEmbedPool _),
     // mixture planning: target weights + budget -> per-stratum rates
     "q_mixture_plan" -> (L.qMixturePlan _),
+    "q_mixture_temp" -> (L.qMixtureTemp _),
+    "q_corpus_diff" -> (L.qCorpusDiff _),
     // embedding OOD outlier filter (per-cluster z-score on cosine)
     "q_embed_outlier" -> (L.qEmbedOutlier _),
     // JL ±1 random projection (64 -> 16 dims, fixed-point exact)
@@ -300,6 +302,8 @@ object SparkEntry {
     "q_ann_pq_trained" -> L.qAnnPqTrainedSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
+    "q_mixture_temp" -> L.qMixtureTempSql,
+    "q_corpus_diff" -> L.qCorpusDiffSql,
     "q_embed_outlier" -> L.qEmbedOutlierSql,
     "q_dim_reduce" -> L.qDimReduceSql,
     "q_cdc_chunks" -> L.qCdcChunksSql,

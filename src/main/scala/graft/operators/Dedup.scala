@@ -886,6 +886,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus snapshot diff — the incremental-corpus bookkeeping step
+    * (what changed between crawl snapshots / dataset versions): per
+    * id, `added` (new only), `removed` (old only), `changed` (both,
+    * different content hash), `unchanged`. Content compare is
+    * md5(text) (the exact-dedup key — never a float or engine hash),
+    * so one full outer join on the id column decides everything; at
+    * scale both sides shuffle once on id (or co-bucket and skip it).
+    * The summary is a map-side-partial count over the verdict. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   id: String = "doc_id", text: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(id), md5(col(text)).as("__ho"))
+    val n = newDocs.select(col(id), md5(col(text)).as("__hn"))
+    o.join(n, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Bounded edit-distance near-dup pairs — the SHORT-STRING dedup
     * (titles, URLs, product names, author fields) that shingle/minhash
     * methods handle poorly (a one-char typo flips most shingles of a

@@ -225,6 +225,43 @@ object Sampling {
         col("target_tokens"), col("rate_ppm"), col("planned_tokens"))
   }
 
+  /** Temperature-scaled mixture weights (the UniMax/multilingual-
+    * sampling shape): per-stratum ppm weights ∝ mass^(1/T), the knob
+    * that up-weights small strata (T > 1 flattens toward uniform,
+    * T = 1 is proportional). Output (stratum, n_tokens, w_ppm) feeds
+    * [[mixturePlan]] directly (w_ppm ≤ 1e6 by construction).
+    *
+    * Determinism: masses are integer sums; each stratum's
+    * mass^(1/T) quantizes ONCE to a fixed-point long so the
+    * normalizing total is an exact integer sum; the ppm weight is one
+    * double division on identical integers. T = 2 routes through
+    * sqrt, which IEEE requires to be correctly rounded —
+    * bit-identical on any engine (and the oracle-gated setting);
+    * other T use pow, whose libm parity is only ~4-digit
+    * (CLAUDE/geo_nta) — fine for planning, not for a hash gate.
+    *
+    * Scale shape: one narrow aggregate; everything after is
+    * strata-sized. */
+  def temperatureWeights(docs: DataFrame, temperature: Double,
+                         stratumCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    require(temperature > 0, "temperatureWeights: temperature must be positive")
+    val masses = docs
+      .select(col(stratumCol),
+        size(Portable.words(col(textCol))).cast("long").as("__t"))
+      .groupBy(col(stratumCol)).agg(sum(col("__t")).as("n_tokens"))
+    val scaled =
+      if (temperature == 2.0) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(1.0) / lit(temperature))
+    val q = masses.withColumn("__q",
+      floor(scaled * lit(1e6) + lit(0.5)).cast("long"))
+    val tot = q.agg(sum(col("__q")).as("__tot"))
+    q.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_tokens"),
+        floor((col("__q") / col("__tot")) * lit(1e6) + lit(0.5))
+          .cast("long").as("w_ppm"))
+  }
+
   /** Priority sampling (Duffield, Lund & Thorup 2007): a deterministic
     * weighted without-replacement sample of n rows per stratum, plus
     * the threshold estimator that makes the sample USABLE for

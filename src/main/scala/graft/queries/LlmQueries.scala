@@ -1709,6 +1709,55 @@ object LlmQueries {
       |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
       |FROM documents""".stripMargin
 
+  // ---- corpus snapshot diff (incremental corpus bookkeeping) ----
+
+  /** Snapshot diff gated on a closed-form previous snapshot: every
+    * doc_id % 10 == 3 is absent from "old" (→ added), % 7 == 2 got a
+    * marker appended in old (→ changed), % 11 == 0 contributes a
+    * synthetic legacy row only old has (→ removed), rest unchanged.
+    * The operator compares REAL md5 content hashes through a full
+    * outer join; the oracle states the verdicts from the skeleton. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val oldDocs = docs.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2-edit")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("legacy doc").as("text")))
+    Dedup.snapshotDiff(oldDocs, docs.select(col("doc_id"), col("text")))
+  }
+
+  val qCorpusDiffSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 3 THEN 'added'
+      |       WHEN doc_id % 7 = 2 THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000000, 'removed' FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
+  // ---- temperature-scaled mixture weights ----
+
+  /** UniMax-style temperature flattening at T=2: w_ppm ∝ sqrt(mass),
+    * normalized over an exact integer total (sqrt is IEEE
+    * correctly-rounded — bit-identical cross-engine, unlike pow). */
+  def qMixtureTemp(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(Tables(spark, dir).documents, 2.0)
+
+  val qMixtureTempSql: String =
+    s"""WITH m AS (SELECT source,
+       |    CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |q AS (SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM m),
+       |t AS (SELECT CAST(sum(q) AS BIGINT) AS tot FROM q)
+       |SELECT source, n_tokens,
+       |  CAST(floor((q / tot) * 1e6 + 0.5) AS BIGINT) AS w_ppm
+       |FROM q CROSS JOIN t""".stripMargin
+
   // ---- URL canonicalization (normalize-before-dedup) ----
 
   /** Real regexp canonicalizer vs a closed-form oracle: the messy

@@ -58,4 +58,30 @@ class MixturePlanSpec extends SparkSpec {
     // unplanned strata are absent entirely
     assert(!achieved.contains("c") && !achieved.contains("d"))
   }
+
+  test("temperatureWeights: T=2 flattens toward uniform; weights feed mixturePlan") {
+    // masses: a=400, b=300, c=200, d=100
+    val w = Sampling.temperatureWeights(corpus, 2.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w("a")._1 === 400L && w("d")._1 === 100L)
+    // proportional shares: a 40%, d 10%; sqrt shares: 20/(20+17.32+14.14+10)
+    // = 32.6%, d = 16.3% — small strata up-weighted, big down-weighted
+    assert(w("a")._2 < 400000L && w("a")._2 > 300000L)
+    assert(w("d")._2 > 100000L && w("d")._2 < 200000L)
+    // ordering preserved, total ~1e6
+    assert(w("a")._2 > w("b")._2 && w("b")._2 > w("c")._2 && w("c")._2 > w("d")._2)
+    val tot = w.values.map(_._2).sum
+    assert(math.abs(tot - 1000000L) <= 4L)
+    // composes with mixturePlan (ppm contract holds: all <= 1e6)
+    val plan = Sampling.mixturePlan(corpus,
+      w.toSeq.map { case (s0, (_, ppm)) => s0 -> ppm }, 500L)
+    assert(plan.collect().map(_.getLong(4)).forall(_ >= 0))
+  }
+
+  test("temperatureWeights deterministic across layouts") {
+    val a = Sampling.temperatureWeights(corpus, 2.0).orderBy("source").collect().toSeq
+    val b = Sampling.temperatureWeights(corpus.repartition(7), 2.0)
+      .orderBy("source").collect().toSeq
+    assert(a === b)
+  }
 }

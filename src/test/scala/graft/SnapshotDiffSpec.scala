@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Dedup
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all four verdicts; md5-content compare, not text-length") {
+    val old = Seq(
+      (1L, "same text"),
+      (2L, "old version"),
+      (3L, "gone soon"),
+      (5L, "whitespace  matters")).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"),
+      (2L, "new version"),
+      (4L, "brand new"),
+      (5L, "whitespace matters")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added", 5L -> "changed"))
+  }
+
+  test("deterministic across layouts; summary counts") {
+    val old = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val neu = (50L until 250L).map(i =>
+      (i, if (i % 3 == 0) s"text $i v2" else s"text $i")).toDF("doc_id", "text")
+    val a = Dedup.snapshotDiff(old, neu).orderBy("doc_id").collect().toSeq
+    val b = Dedup.snapshotDiff(old.repartition(9), neu.repartition(5))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    val counts = a.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(counts("removed") === 50 && counts("added") === 50)
+    assert(counts("changed") + counts("unchanged") === 150)
+  }
+}
