@@ -152,6 +152,7 @@ object SparkEntry {
     "q_freq_spectrum" -> (L.qFreqSpectrum _),
     // C4-style bad-words document filter
     "q_badwords_filter" -> (L.qBadwordsFilter _),
+    "q_phrase_filter" -> (L.qPhraseFilter _),
     // deterministic HLL distinct-count sketch vs exact per-source vocab
     "q_hll_distinct" -> (L.qHllDistinct _),
     "q_cms_vocab" -> (L.qCmsVocab _),
@@ -294,6 +295,7 @@ object SparkEntry {
     "q_dsir_weights" -> L.qDsirWeightsSql,
     "q_ngram_topk" -> L.qNgramTopkSql,
     "q_badwords_filter" -> L.qBadwordsFilterSql,
+    "q_phrase_filter" -> L.qPhraseFilterSql,
     "q_hll_distinct" -> L.qHllDistinctSql,
     "q_cms_vocab" -> L.qCmsVocabSql,
     "q_priority_sample" -> L.qPrioritySampleSql,

@@ -1,0 +1,76 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Aho-Corasick multi-pattern automaton (Aho & Corasick 1975) — the
+  * one-pass answer to matching a LARGE phrase set against a corpus:
+  * a 10⁵-10⁶-phrase blocklist as a regex alternation is a compile
+  * bomb and per-phrase `contains` is O(|P|) passes, while the
+  * automaton scans each document ONCE regardless of phrase count.
+  *
+  * Matching is plain substring semantics over characters (no word
+  * boundaries — a phrase list wanting token semantics pre/post-pads
+  * with spaces); occurrences are counted at every match END position,
+  * so overlapping occurrences of a self-overlapping phrase all count
+  * (the standard AC semantic, and what the positional oracle replay
+  * counts).
+  *
+  * Built once per partition from the broadcast phrase seq (the
+  * BPE-memo altitude: a JVM kernel where no Catalyst expression
+  * exists), ~O(total phrase chars) states in hash-map transitions.
+  */
+final class AhoCorasick(phrases: Seq[String]) extends Serializable {
+
+  private val gotoT = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+  private val out = mutable.ArrayBuffer(List.empty[Int])
+  private val fail = mutable.ArrayBuffer(0)
+
+  phrases.zipWithIndex.foreach { case (p, idx) =>
+    if (p.nonEmpty) {
+      var s = 0
+      p.foreach { ch =>
+        s = gotoT(s).getOrElseUpdate(ch, {
+          gotoT += mutable.HashMap.empty[Char, Int]
+          out += Nil
+          fail += 0
+          gotoT.size - 1
+        })
+      }
+      out(s) = idx :: out(s)
+    }
+  }
+  // BFS failure links
+  locally {
+    val queue = mutable.Queue.empty[Int]
+    gotoT(0).valuesIterator.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoT(r).foreach { case (ch, s) =>
+        queue += s
+        var f = fail(r)
+        while (f != 0 && !gotoT(f).contains(ch)) f = fail(f)
+        fail(s) = if (gotoT(f).contains(ch) && gotoT(f)(ch) != s) gotoT(f)(ch) else 0
+        out(s) = out(s) ++ out(fail(s))
+      }
+    }
+  }
+
+  /** Per-phrase occurrence counts in `text` (indices into the phrase
+    * seq; absent = zero). One pass over the characters. */
+  def countMatches(text: String): Map[Int, Long] = {
+    if (text == null) return Map.empty
+    val counts = mutable.HashMap.empty[Int, Long]
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (s != 0 && !gotoT(s).contains(ch)) s = fail(s)
+      s = gotoT(s).getOrElse(ch, 0)
+      out(s).foreach { idx =>
+        counts.update(idx, counts.getOrElse(idx, 0L) + 1L)
+      }
+      i += 1
+    }
+    counts.toMap
+  }
+}

@@ -633,6 +633,40 @@ object TextAnalysis {
       .withColumn("keep", when(col("n_blocked") === 0, 1L).otherwise(0L))
   }
 
+  /** Multi-PHRASE blocklist filter via one Aho-Corasick pass
+    * (functions/AhoCorasick): the scale answer when the blocklist is
+    * phrases, not words, and large — a 10⁵-10⁶-entry alternation is a
+    * regex-compile bomb, per-phrase contains() is |P| passes, and the
+    * token isin probe ([[badwordsFilter]]) can't see multi-word
+    * phrases at all. The automaton scans each document ONCE
+    * regardless of phrase count; occurrences count at every match end
+    * position (overlaps included — the standard AC semantic, which
+    * the positional oracle replay counts identically).
+    *
+    * Scale shape: phrases broadcast, automaton built once per
+    * partition (the BPE-memo altitude — a JVM kernel with no Catalyst
+    * equivalent), zero shuffle before the per-doc row; the streaming
+    * twin is a trivial per-row replay. Matching is plain substring
+    * semantics; pad phrases with spaces for token boundaries. */
+  def phraseFilter(docs: DataFrame, phrases: Seq[String],
+                   id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phraseFilter: phrases must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(phrases.toVector)
+    docs.select(col(id).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = new graft.functions.AhoCorasick(bc.value)
+        it.map { case (i, t) =>
+          val m = ac.countMatches(t)
+          (i, m.values.sum, m.size.toLong,
+            if (m.isEmpty) 1L else 0L)
+        }
+      }
+      .toDF(id, "n_phrase_hits", "n_distinct_phrases", "keep")
+  }
+
   /** URL canonicalization — the normalize-before-dedup step crawl
     * pipelines run so the same page fetched as
     * `HTTP://WWW.Site.com:80/p/?utm_source=feed&id=1#top` and

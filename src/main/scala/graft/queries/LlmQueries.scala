@@ -1709,6 +1709,52 @@ object LlmQueries {
       |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
       |FROM documents""".stripMargin
 
+  // ---- multi-phrase blocklist (Aho-Corasick) ----
+
+  val PhraseBlocklist: Seq[String] =
+    Seq("free money", "money fast", "oo oo", "zq never-occurs")
+
+  /** One-pass Aho-Corasick phrase filter vs a POSITIONAL oracle: the
+    * injection plants overlapping phrases ("free money fast" hits two
+    * list entries; "oo oo oo" contains the self-overlapping "oo oo"
+    * TWICE) and the oracle counts every end position by brute-force
+    * substr over generate_series — any automaton bug (missed overlap,
+    * wrong failure link) changes a count and fails the gate. */
+  def qPhraseFilter(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" free money fast offer"))
+            .when(col("doc_id") % 6 === 1, lit(" free money now"))
+            .when(col("doc_id") % 6 === 2, lit(" oo oo oo"))
+            .otherwise(lit(""))).as("text"))
+    TextAnalysis.phraseFilter(injected, PhraseBlocklist)
+  }
+
+  val qPhraseFilterSql: String = {
+    val vals = PhraseBlocklist.map(p => s"('$p')").mkString(", ")
+    s"""WITH it AS (SELECT doc_id, text || CASE
+       |    WHEN doc_id % 6 = 0 THEN ' free money fast offer'
+       |    WHEN doc_id % 6 = 1 THEN ' free money now'
+       |    WHEN doc_id % 6 = 2 THEN ' oo oo oo'
+       |    ELSE '' END AS text
+       |  FROM documents),
+       |ph(p) AS (VALUES $vals),
+       |hits AS (SELECT doc_id, p, count(*) AS c
+       |  FROM it, ph,
+       |    unnest(generate_series(1, length(text) - length(p) + 1)) u(i)
+       |  WHERE substr(text, i, length(p)) = p
+       |  GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_phrase_hits,
+       |    CAST(count(*) AS BIGINT) AS n_distinct_phrases
+       |  FROM hits GROUP BY 1)
+       |SELECT it.doc_id,
+       |  coalesce(agg.n_phrase_hits, 0) AS n_phrase_hits,
+       |  coalesce(agg.n_distinct_phrases, 0) AS n_distinct_phrases,
+       |  CAST(CASE WHEN agg.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM it LEFT JOIN agg ON it.doc_id = agg.doc_id""".stripMargin
+  }
+
   // ---- corpus snapshot diff (incremental corpus bookkeeping) ----
 
   /** Snapshot diff gated on a closed-form previous snapshot: every

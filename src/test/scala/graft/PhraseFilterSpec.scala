@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.AhoCorasick
+import graft.operators.TextAnalysis
+
+class PhraseFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force positional ground truth: matches at every end pos. */
+  private def brute(text: String, p: String): Long =
+    (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+
+  test("automaton counts equal brute force incl. overlaps and shared prefixes") {
+    val phrases = Seq("he", "she", "his", "hers", "oo oo", "a", "ab", "abc")
+    val ac = new AhoCorasick(phrases)
+    val texts = Seq(
+      "ushers", // classic AC fixture: she, he, hers all fire inside
+      "oo oo oo oo", // self-overlapping phrase: 3 occurrences
+      "abcabcab", // prefix-nested phrases
+      "", "zzz")
+    texts.foreach { t =>
+      val got = ac.countMatches(t)
+      phrases.zipWithIndex.foreach { case (p, i) =>
+        assert(got.getOrElse(i, 0L) === brute(t, p), s"'$p' in '$t'")
+      }
+    }
+  }
+
+  test("failure links: a match spanning another phrase's boundary is found") {
+    // "xy" sits across the end of a partial "xxz" walk — the fail
+    // transition must recover mid-stream
+    val ac = new AhoCorasick(Seq("xxz", "xy"))
+    val got = ac.countMatches("xxy")
+    assert(got.getOrElse(1, 0L) === 1L) // "xy" at position 2
+    assert(got.getOrElse(0, 0L) === 0L)
+  }
+
+  test("scales to a large phrase set: one pass regardless of count") {
+    val phrases = (0 until 20000).map(i => s"phrase$i marker") :+ "needle word"
+    val t0 = System.nanoTime()
+    val ac = new AhoCorasick(phrases)
+    val build = (System.nanoTime() - t0) / 1e9
+    assert(build < 10.0, s"automaton build took $build s")
+    val got = ac.countMatches("haystack with a needle word inside and phrase7 marker too")
+    assert(got(phrases.length - 1) === 1L)
+    assert(got(7) === 1L)
+    assert(got.size === 2)
+  }
+
+  test("phraseFilter frame: verdicts + layout determinism") {
+    val docs = Seq(
+      (1L, "clean document with nothing flagged"),
+      (2L, "get free money fast offer today"),
+      (3L, "oo oo oo")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseFilter(docs,
+      Seq("free money", "money fast", "oo oo")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((0L, 0L, 1L)))
+    assert(out(2L) === ((2L, 2L, 0L))) // "free money" + "money fast" overlap
+    assert(out(3L) === ((2L, 1L, 0L))) // self-overlapping "oo oo" twice
+    val again = TextAnalysis.phraseFilter(docs.repartition(5),
+      Seq("free money", "money fast", "oo oo")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === again)
+  }
+}
