@@ -158,6 +158,7 @@ object SparkEntry {
     "q_cms_vocab" -> (L.qCmsVocab _),
     // priority sampling: weighted audit sample + threshold estimator
     "q_priority_sample" -> (L.qPrioritySample _),
+    "q_negative_sample" -> (L.qNegativeSample _),
     // product-quantization ANN: compressed-candidate ADC scan
     "q_ann_pq" -> (L.qAnnPq _),
     "q_ann_ivfpq" -> (L.qAnnIvfPq _),
@@ -299,6 +300,7 @@ object SparkEntry {
     "q_hll_distinct" -> L.qHllDistinctSql,
     "q_cms_vocab" -> L.qCmsVocabSql,
     "q_priority_sample" -> L.qPrioritySampleSql,
+    "q_negative_sample" -> L.qNegativeSampleSql,
     "q_ann_pq" -> L.qAnnPqSql,
     "q_ann_ivfpq" -> L.qAnnIvfPqSql,
     "q_ann_pq_trained" -> L.qAnnPqTrainedSql,

@@ -896,13 +896,18 @@ object Dedup {
     * The summary is a map-side-partial count over the verdict. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    id: String = "doc_id", text: String = "text"): DataFrame = {
-    val o = oldDocs.select(col(id), md5(col(text)).as("__ho"))
-    val n = newDocs.select(col(id), md5(col(text)).as("__hn"))
+    // explicit presence flags: a doc PRESENT with NULL text must not
+    // read as absent (its md5 is NULL too), and two NULL-text
+    // snapshots compare unchanged via the null-safe <=>
+    val o = oldDocs.select(col(id), md5(col(text)).as("__ho"),
+      lit(true).as("__po"))
+    val n = newDocs.select(col(id), md5(col(text)).as("__hn"),
+      lit(true).as("__pn"))
     o.join(n, Seq(id), "full_outer")
       .select(col(id),
-        when(col("__ho").isNull, "added")
-          .when(col("__hn").isNull, "removed")
-          .when(col("__ho") === col("__hn"), "unchanged")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__ho") <=> col("__hn"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

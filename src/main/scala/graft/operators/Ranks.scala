@@ -1,0 +1,21 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed deterministic global indexing: range-partitioned sort +
+  * zipWithIndex — a global total order with no single-partition window
+  * (the one place an RDD is the right tool). Shared by the suffix
+  * ranking rounds (SuffixDedup) and the hash-ring sampler (Sampling).
+  * `idxName` is 1-based. */
+private[operators] object Ranks {
+  def withSortedIndex(df: DataFrame, order: Seq[Column],
+                      idxName: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(idxName, LongType, nullable = false)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ (i + 1L))
+      }, schema)
+  }
+}

@@ -225,6 +225,51 @@ object Sampling {
         col("target_tokens"), col("rate_ppm"), col("planned_tokens"))
   }
 
+  /** Deterministic negative sampling — the contrastive-training
+    * (DPR/CLIP) companion of the positive-pair generators: for each
+    * anchor, k pseudo-random corpus picks that are replay/engine
+    * stable (rand() would re-draw on every retry and engine) and
+    * never the anchor itself.
+    *
+    * Shape: the corpus is ranked ONCE onto a hash ring — a global
+    * index in md5 order ([[Ranks.withSortedIndex]], a distributed
+    * sort, done once and reusable across anchor batches) — and each
+    * (anchor, j) probe hashes to a ring INDEX: an equi-join, not a
+    * nearest-neighbor search, so probes bucket uniformly by
+    * construction. A probe that lands on its own anchor moves to the
+    * next ring slot (one tiny second join over the collision rows —
+    * the boundary-row idiom). N is one bounded count job (the
+    * dedupLines cap precedent); the oracle replays ranking and both
+    * probes with row_number + identical mod arithmetic. */
+  def negativeSample(anchors: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "doc_id", salt: String = "neg"): DataFrame = {
+    require(k >= 1, "negativeSample: k must be positive")
+    val ring = Ranks.withSortedIndex(
+      corpus.select(col(idCol).as("__rid")),
+      Seq(Portable.h60(concat_ws(":", lit("ring"), col("__rid"))), col("__rid")),
+      "__idx1")
+      .select((col("__idx1") - 1).as("__idx"), col("__rid"))
+      .localCheckpoint()
+    val n = ring.count()
+    require(n >= 2, "negativeSample: corpus must have at least 2 docs")
+    val probes = anchors.select(col(idCol).as("anchor_id"))
+      .withColumn("neg_rank",
+        explode(array((0 until k).map(j => lit(j.toLong)): _*)))
+      .withColumn("__p",
+        Portable.h60(concat_ws(":", lit(salt), col("anchor_id"), col("neg_rank")))
+          % n)
+    val first = probes.join(ring, probes("__p") === ring("__idx"))
+      .select(col("anchor_id"), col("neg_rank"), col("__p"),
+        col("__rid").as("__pick"))
+    val clean = first.where(col("__pick") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_rank"), col("__pick").as("neg_id"))
+    val fixed = first.where(col("__pick") === col("anchor_id"))
+      .withColumn("__p2", (col("__p") + 1) % n)
+      .join(ring, col("__p2") === ring("__idx"))
+      .select(col("anchor_id"), col("neg_rank"), col("__rid").as("neg_id"))
+    clean.unionByName(fixed)
+  }
+
   /** Temperature-scaled mixture weights (the UniMax/multilingual-
     * sampling shape): per-stratum ppm weights ∝ mass^(1/T), the knob
     * that up-weights small strata (T > 1 flattens toward uniform,

@@ -51,17 +51,11 @@ import graft.functions.Portable
   */
 object SuffixDedup {
 
-  /** Distributed deterministic index for a frame under a total order:
-    * range-partitioned sort + zipWithIndex. */
+  /** Distributed deterministic index under a total order (shared
+    * helper — see [[Ranks.withSortedIndex]]). */
   private def withSortedIndex(df: DataFrame, order: Seq[Column],
-                              idxName: String): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(idxName, LongType, nullable = false)
-    sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (row, i) =>
-        Row.fromSeq(row.toSeq :+ (i + 1L))
-      }, schema)
-  }
+                              idxName: String): DataFrame =
+    Ranks.withSortedIndex(df, order, idxName)
 
   /** Per-document longest duplicated span: (doc_id, n_tokens,
     * max_dup_len), where max_dup_len is the exact maximal L such that

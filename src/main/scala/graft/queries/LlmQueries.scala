@@ -1709,6 +1709,37 @@ object LlmQueries {
       |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
       |FROM documents""".stripMargin
 
+  // ---- deterministic negative sampling (contrastive training) ----
+
+  private val NegK = 3
+
+  /** Every doc plays anchor against the whole corpus: k=3 replay-
+    * stable negatives each, never self. The oracle replays the hash
+    * ring (row_number in md5 order), the probe mod arithmetic, and
+    * the collision bump. */
+  def qNegativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Sampling.negativeSample(docs, docs, NegK)
+  }
+
+  val qNegativeSampleSql: String =
+    s"""WITH ring AS (SELECT doc_id AS rid,
+       |    row_number() OVER (ORDER BY
+       |      ${h60Sql("'ring' || ':' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1 AS idx
+       |  FROM documents),
+       |cn AS (SELECT count(*) AS n FROM documents),
+       |pr AS (SELECT d.doc_id AS anchor_id, CAST(j AS BIGINT) AS neg_rank,
+       |    ${h60Sql("'neg' || ':' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % cn.n AS p
+       |  FROM documents d, generate_series(0, ${NegK - 1}) t(j), cn),
+       |f1 AS (SELECT pr.anchor_id, pr.neg_rank, pr.p, r.rid AS pick
+       |  FROM pr JOIN ring r ON pr.p = r.idx)
+       |SELECT f1.anchor_id, f1.neg_rank,
+       |  CAST(CASE WHEN f1.pick = f1.anchor_id THEN r2.rid
+       |            ELSE f1.pick END AS BIGINT) AS neg_id
+       |FROM f1 CROSS JOIN cn
+       |LEFT JOIN ring r2
+       |  ON f1.pick = f1.anchor_id AND r2.idx = (f1.p + 1) % cn.n""".stripMargin
+
   // ---- multi-phrase blocklist (Aho-Corasick) ----
 
   val PhraseBlocklist: Seq[String] =

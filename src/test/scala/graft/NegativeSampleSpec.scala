@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class NegativeSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+
+  test("k picks per anchor, never self, all from the corpus") {
+    val out = Sampling.negativeSample(corpus, corpus, k = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 200 * 4)
+    rows.foreach { case (a, _, n) =>
+      assert(a !== n, s"anchor $a sampled itself")
+      assert(n >= 0L && n < 200L)
+    }
+    // every (anchor, rank) slot present exactly once
+    assert(rows.map(r => (r._1, r._2)).toSet.size === 800)
+  }
+
+  test("replay-stable and layout-independent") {
+    val a = Sampling.negativeSample(corpus, corpus, k = 3)
+      .orderBy("anchor_id", "neg_rank").collect().toSeq
+    val b = Sampling.negativeSample(corpus.repartition(9), corpus.repartition(5), k = 3)
+      .orderBy("anchor_id", "neg_rank").collect().toSeq
+    assert(a === b)
+  }
+
+  test("picks spread roughly uniformly over the corpus") {
+    val counts = Sampling.negativeSample(corpus, corpus, k = 5)
+      .groupBy("neg_id").count().collect().map(_.getLong(1))
+    // 1000 picks over 200 docs: mean 5; md5 uniformity keeps the max
+    // from concentrating (binomial tail: P(max > 20) is negligible)
+    assert(counts.max <= 20L)
+    assert(counts.length >= 150) // most docs get picked at least once
+  }
+
+  test("anchors outside the corpus sample cleanly (cross-set negatives)") {
+    val anchors = (1000L until 1010L).map(i => (i, "q")).toDF("doc_id", "text")
+    val out = Sampling.negativeSample(anchors, corpus, k = 2).collect()
+    assert(out.length === 20)
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 200L))
+  }
+}

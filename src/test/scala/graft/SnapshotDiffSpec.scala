@@ -22,6 +22,17 @@ class SnapshotDiffSpec extends SparkSpec {
       3L -> "removed", 4L -> "added", 5L -> "changed"))
   }
 
+  test("NULL text: present-with-null is not absent; null==null is unchanged") {
+    val old = Seq((1L, null.asInstanceOf[String]), (2L, "x"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("deterministic across layouts; summary counts") {
     val old = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val neu = (50L until 250L).map(i =>
