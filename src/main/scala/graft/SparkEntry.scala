@@ -115,6 +115,7 @@ object SparkEntry {
     "q_url_canon" -> (L.qUrlCanon _),
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
+    "q_bm25_topk" -> (L.qBm25Topk _),
     // per-domain curation rollup (RefinedWeb-style domain view)
     "q_domain_stats" -> (L.qDomainStats _),
     // Unicode NFC normalization through the real JVM Normalizer
@@ -276,6 +277,7 @@ object SparkEntry {
     "q_url_filter" -> L.qUrlFilterSql,
     "q_url_canon" -> L.qUrlCanonSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
+    "q_bm25_topk" -> L.qBm25TopkSql,
     "q_domain_stats" -> L.qDomainStatsSql,
     "q_unicode_nfc" -> L.qUnicodeNfcSql,
     "q_quality_select" -> L.qQualitySelectSql,

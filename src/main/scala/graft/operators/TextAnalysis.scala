@@ -787,6 +787,71 @@ object TextAnalysis {
       .select(col(id), col("kw_rank"), col("word"), col("tf"), col("df"), col("score"))
   }
 
+  // ---- BM25 sparse retrieval ----
+
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009) — the SPARSE
+    * retrieval sibling of the dense ANN family (Similarity.*): score
+    * every document against a bounded query set and keep the top k
+    * per query. The Lucene-style positive idf
+    * ln((N - df + 0.5)/(df + 0.5) + 1) and the (k1, b) saturation /
+    * length normalization run per (query term, doc) row; per-doc
+    * accumulation quantizes each term contribution ONCE to a
+    * fixed-point long and integer-sums (float sums are
+    * order-dependent — the unigram idiom), and the rank key is the
+    * integer sum, so ranking is bit-deterministic on any engine.
+    *
+    * Scale shape: ONE tokenize pass — document lengths AND document
+    * frequencies both derive from the (doc, word) tf aggregate (the
+    * tfidf exchange-reuse shape; the df branch counts
+    * when(tf > 0, 1) so Catalyst cannot rewrite it away from the
+    * shared exchange); query terms broadcast (queries are a bounded
+    * request set); corpus scalars (N, total length) ride ONE
+    * broadcast 1-row cross join; top-k per query compiles to
+    * WindowGroupLimit. Queries with no matching term are absent (the
+    * inner-join contract). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "bm25TopK: queries and k required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col(id)).agg(sum(col("tf")).as("len"))
+    val stats = lens.agg(count(lit(1)).as("__nd"), sum(col("len")).as("__sl"))
+    val dfreq = tf.groupBy(col("word"))
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+    val qterms = broadcast(
+      queries.flatMap { case (qid, text) => bm25Terms(text).map(t => (qid, t)) }
+        .toDF("query_id", "word"))
+    val avgdl = col("__sl") / col("__nd")
+    val idf = log((col("__nd").cast("double") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * ((col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("len") / avgdl))))
+    val scored = tf.join(qterms, Seq("word"))
+      .join(dfreq, Seq("word"))
+      .join(lens, Seq(id))
+      .crossJoin(broadcast(stats))
+      .withColumn("__q", floor(contrib * lit(1e6) + lit(0.5)).cast(LongType))
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(col("__q")).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__s").desc, col(id).asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(id),
+        Portable.roundp(col("__s") / lit(1e6), 6).as("score"))
+  }
+
+  /** Query tokenization for [[bm25TopK]]: whitespace split, DISTINCT
+    * terms (binary query term weighting — the common retrieval
+    * default). Shared with the oracle generator so the two sides
+    * cannot drift. */
+  def bm25Terms(text: String): Seq[String] =
+    text.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
   // ---- unigram LM scoring (CCNet-style corpus-model quality) ----
 
   /** Per-document mean unigram log-probability under the corpus's own

@@ -1709,6 +1709,61 @@ object LlmQueries {
       |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
       |FROM documents""".stripMargin
 
+  // ---- BM25 sparse retrieval ----
+
+  private val Bm25K = 10
+
+  /** Fixed query set over the natural corpus vocabulary (the testdata
+    * generator's token set), with a partially-OOV and a fully-OOV
+    * query: the fully-OOV one is absent from the output (the
+    * inner-join contract), the partial one scores on its known term
+    * only. */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "q_cust" -> "customer join filter",
+    "q_scan" -> "hash scan",
+    "q_part" -> "column zzqq-oov-term",
+    "q_none" -> "totally-oov wholly-unknown")
+
+  def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables(spark, dir).documents, Bm25Queries, Bm25K)
+
+  val qBm25TopkSql: String = {
+    val qt = Bm25Queries.flatMap { case (qid, text) =>
+      TextAnalysis.bm25Terms(text).map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE length(word) > 0 GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(len) AS BIGINT) AS sl
+       |  FROM lens),
+       |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |qt(query_id, word) AS (VALUES $qt),
+       |contrib AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor(
+       |      ln((CAST(st.nd AS DOUBLE) - dfq.df + CAST(0.5 AS DOUBLE))
+       |          / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+       |      * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |         / (tf.tf + CAST(1.2 AS DOUBLE)
+       |            * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |               + CAST(0.75 AS DOUBLE) * (lens.len / (st.sl / st.nd)))))
+       |      * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM tf
+       |  JOIN qt ON tf.word = qt.word
+       |  JOIN dfq ON tf.word = dfq.word
+       |  JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN st),
+       |sc AS (SELECT query_id, doc_id, CAST(sum(q) AS BIGINT) AS s
+       |  FROM contrib GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, s,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, doc_id,
+       |  floor((s / 1e6) * 1e6 + 0.5) / 1e6 AS score
+       |FROM r WHERE rank <= $Bm25K""".stripMargin
+  }
+
   // ---- deterministic negative sampling (contrastive training) ----
 
   private val NegK = 3

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed single-term score on a tiny corpus") {
+    // docs: d1 has "cat" twice in 4 tokens, d2 none in 2, d3 one in 2
+    // N=3, df(cat)=2, avgdl = 8/3
+    val docs = Seq((1L, "cat dog cat bird"), (2L, "dog bird"), (3L, "cat dog"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("q" -> "cat"), 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def contrib(tf: Long, len: Long): Double = {
+      val c = idf * ((tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (len / (8.0 / 3.0)))))
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === r6(contrib(2L, 4L)))
+    assert(out(3L) === r6(contrib(1L, 2L)))
+    // length normalization: same idf, d3's single hit in a SHORT doc
+    // still scores below d1's double hit, but above half of it
+    // (saturation: the second occurrence adds less than the first)
+    assert(out(1L) > out(3L))
+    assert(out(1L) < 2 * out(3L))
+  }
+
+  test("multi-term queries sum per-term contributions; rank is total-ordered") {
+    val docs = Seq(
+      (1L, "spark sql engine"), (2L, "spark spark spark"),
+      (3L, "sql only here"), (4L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("q" -> "spark sql"), 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList.sortBy(_._1)
+    // doc 1 matches both terms -> must outrank single-term docs
+    assert(out.head._2 === 1L)
+    assert(out.map(_._2).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("OOV handling: partial query scores on known terms, fully-OOV query is absent") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs,
+      Seq("qp" -> "alpha zzz-never", "qo" -> "zzz-never yyy-never"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.map(_._1).toSet === Set("qp"))
+    assert(out.toSet === Set(("qp", 1L)))
+  }
+
+  test("deterministic across partition layouts") {
+    val docs = (0L until 300L).map { i =>
+      (i, s"w${i % 11} w${i % 7} w${i % 5} w${i % 3} filler$i")
+    }.toDF("doc_id", "text")
+    val qs = Seq("a" -> "w1 w2", "b" -> "w3")
+    val x = TextAnalysis.bm25TopK(docs, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val y = TextAnalysis.bm25TopK(docs.repartition(13), qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(x === y)
+  }
+}
