@@ -77,7 +77,8 @@ object Bench {
     "q_corpus_diff" -> 0.42, "q_mixture_temp" -> 0.37,
     "q_phrase_filter" -> 0.26,
     "q_negative_sample" -> 0.99,
-    "q_bm25_topk" -> 1.04)
+    "q_bm25_topk" -> 1.04,
+    "q_rrf_fusion" -> 1.26)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

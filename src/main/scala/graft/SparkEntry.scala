@@ -116,6 +116,7 @@ object SparkEntry {
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     "q_bm25_topk" -> (L.qBm25Topk _),
+    "q_rrf_fusion" -> (L.qRrfFusion _),
     // per-domain curation rollup (RefinedWeb-style domain view)
     "q_domain_stats" -> (L.qDomainStats _),
     // Unicode NFC normalization through the real JVM Normalizer
@@ -278,6 +279,7 @@ object SparkEntry {
     "q_url_canon" -> L.qUrlCanonSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_bm25_topk" -> L.qBm25TopkSql,
+    "q_rrf_fusion" -> L.qRrfFusionSql,
     "q_domain_stats" -> L.qDomainStatsSql,
     "q_unicode_nfc" -> L.qUnicodeNfcSql,
     "q_quality_select" -> L.qQualitySelectSql,

@@ -247,6 +247,35 @@ object Similarity {
     embeddingNearDupPairs(withBucket, "__lsh_block", threshold)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    * to combine heterogeneous rankers (dense ANN + sparse BM25, or
+    * relevance + a quality/freshness prior) without score
+    * calibration: fused(q, d) = Σ_sources 1/(c + rank). Each term is
+    * the pure INTEGER division 10⁹ div (c + rank), so per-doc sums
+    * and the re-rank key are exact integers — order-free,
+    * engine-exact (the integer-cents idiom applied to rank fusion);
+    * the float score is a terminal roundp only.
+    *
+    * Inputs are (query_id, doc_id, rank) frames — already top-k'd by
+    * their rankers, so the union is (queries × k × sources) rows:
+    * tiny. One groupBy + one WindowGroupLimit re-rank. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && c >= 0, "rrfFuse: bad arguments")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .withColumn("__q", expr(s"1000000000 div (${c}L + rank)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_sources"),
+        Portable.roundp(col("__s") / lit(1e9), 6).as("rrf_score"))
+  }
+
   // ---- k-means codebook training (the IVF centroids' missing half) ----
 
   /** Portable 6-digit rounding in driver-side Scala — the same

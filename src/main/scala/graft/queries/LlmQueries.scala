@@ -1764,6 +1764,52 @@ object LlmQueries {
        |FROM r WHERE rank <= $Bm25K""".stripMargin
   }
 
+  // ---- reciprocal-rank fusion (hybrid ranking) ----
+
+  /** RRF over two real rankers: the BM25 relevance ranking fused with
+    * a corpus-global quality prior (the production relevance × prior
+    * shape — fresh/quality boosts in retrieval). The prior is the
+    * top-10 docs by the quality score, shared across queries; the
+    * fusion arithmetic is pure integer so the whole chain hash-gates. */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bm25 = TextAnalysis.bm25TopK(docs, Bm25Queries, Bm25K)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // global quality prior: TakeOrdered to k rows, then rank the tiny
+    // result (the window runs over <= k rows — fine at any scale)
+    val prior = TextAnalysis.quality(docs)
+      .orderBy(col("quality").desc, col("doc_id").asc).limit(Bm25K)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"))
+    val perQuery = bm25.select(col("query_id")).distinct()
+      .crossJoin(broadcast(prior))
+    Similarity.rrfFuse(Seq(bm25, perQuery), Bm25K)
+  }
+
+  val qRrfFusionSql: String =
+    s"""WITH bsel AS (SELECT query_id, doc_id, rank FROM ($qBm25TopkSql)),
+       |qual AS (SELECT doc_id, quality FROM (${textQualitySqlFrom("documents")})),
+       |pri0 AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM qual),
+       |prior AS (SELECT doc_id, rank FROM pri0 WHERE rank <= $Bm25K),
+       |qs AS (SELECT DISTINCT query_id FROM bsel),
+       |pp AS (SELECT qs.query_id, prior.doc_id, prior.rank FROM qs, prior),
+       |allr AS (SELECT * FROM bsel UNION ALL SELECT * FROM pp),
+       |f AS (SELECT query_id, doc_id,
+       |    CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM allr GROUP BY 1, 2),
+       |rr AS (SELECT query_id, doc_id, s, n_sources,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, doc_id, n_sources,
+       |  floor((s / 1e9) * 1e6 + 0.5) / 1e6 AS rrf_score
+       |FROM rr WHERE rank <= $Bm25K""".stripMargin
+
   // ---- deterministic negative sampling (contrastive training) ----
 
   private val NegK = 3

@@ -61,4 +61,26 @@ class Bm25Spec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(x === y)
   }
+
+  test("rrfFuse: hand-computed fusion; dual-source doc outranks single-source") {
+    import graft.operators.Similarity
+    val a = Seq(("q", 10L, 1L), ("q", 20L, 2L), ("q", 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 20L, 1L), ("q", 40L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 20: rank 2 in a + rank 1 in b -> 1e9/62 + 1e9/61 quantized
+    val s20 = 1000000000L / 62 + 1000000000L / 61
+    assert(out(20L)._1 === 1L && out(20L)._2 === 2L)
+    assert(out(20L)._3 === math.floor(s20 / 1e9 * 1e6 + 0.5) / 1e6)
+    // doc 10 (best single-source) comes second
+    assert(out(10L)._1 === 2L && out(10L)._2 === 1L)
+    // determinism across layouts
+    val again = Similarity.rrfFuse(Seq(a.repartition(3), b.repartition(2)), k = 10)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === again)
+  }
 }

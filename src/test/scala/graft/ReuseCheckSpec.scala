@@ -48,6 +48,16 @@ class ReuseCheckSpec extends SparkSpec {
     assert(reused >= 1, s"expected >=1 ReusedExchange, got $reused in:\n$p")
   }
 
+  test("bm25TopK's lens/df/scoring consumers share the (doc, word) tf exchange") {
+    val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
+    val p = finalPlan(graft.operators.TextAnalysis.bm25TopK(docs, Seq("q" -> "a b"), 5))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    // doc lengths, document frequencies and the corpus-stats scalar all
+    // re-derive from the probe side's (doc, word) tf exchange — the
+    // corpus tokenizes once (measured 3 ReusedExchange)
+    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused in:\n$p")
+  }
+
   test("bigramLogprob's model branch reuses the (doc, bigram) tf exchange") {
     val docs = Seq(1L -> "a a b c", 2L -> "b c d", 3L -> "a d d").toDF("doc_id", "text")
     val p = finalPlan(graft.operators.TextAnalysis.bigramLogprob(docs))
