@@ -78,7 +78,8 @@ object Bench {
     "q_phrase_filter" -> 0.26,
     "q_negative_sample" -> 0.99,
     "q_bm25_topk" -> 1.04,
-    "q_rrf_fusion" -> 1.26)
+    "q_rrf_fusion" -> 1.26,
+    "q_score_norm" -> 0.48, "q_dedup_cluster_sizes" -> 3.04)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -117,6 +117,8 @@ object SparkEntry {
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     "q_bm25_topk" -> (L.qBm25Topk _),
     "q_rrf_fusion" -> (L.qRrfFusion _),
+    "q_score_norm" -> (L.qScoreNorm _),
+    "q_dedup_cluster_sizes" -> (L.qDedupClusterSizes _),
     // per-domain curation rollup (RefinedWeb-style domain view)
     "q_domain_stats" -> (L.qDomainStats _),
     // Unicode NFC normalization through the real JVM Normalizer
@@ -280,6 +282,8 @@ object SparkEntry {
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_bm25_topk" -> L.qBm25TopkSql,
     "q_rrf_fusion" -> L.qRrfFusionSql,
+    "q_score_norm" -> L.qScoreNormSql,
+    "q_dedup_cluster_sizes" -> L.qDedupClusterSizesSql,
     "q_domain_stats" -> L.qDomainStatsSql,
     "q_unicode_nfc" -> L.qUnicodeNfcSql,
     "q_quality_select" -> L.qQualitySelectSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -31,6 +32,29 @@ object Stats {
     * Scale: ONE key-partitioned window exchange; state is the n-row
     * frame. The streaming twin is the same logic over
     * flatMapGroupsWithState if ever needed — batch shape first. */
+  /** Per-group rank normalization — the score-calibration step run
+    * before thresholding heterogeneous quality scores globally (a
+    * "0.6" from one language's scorer is not a "0.6" from another's;
+    * the percentile rank IS comparable). pct_rank = rank/(n+1) with
+    * rank = row_number over (value, id) — a TOTAL order, so the rank
+    * and the ratio of exact integers are bit-deterministic on any
+    * engine (the rank key is never the float; the tfidf total-order
+    * lesson). ONE group-keyed window exchange carries both the rank
+    * and the group-count window (the span-census shape — never an
+    * aggregate + join-back). */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                    idCol: String): DataFrame = {
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("pct_rank",
+        graft.functions.Portable.roundp(
+          col("__rk") / (col("__n") + lit(1L)), 6))
+      .drop("__rk", "__n")
+  }
+
   def rollingZScore(df: DataFrame, partCol: String, orderCol: Column,
                     tieCol: Column, valueCol: Column,
                     n: Int = 8, zThresh: Double = 2.5,

@@ -1764,6 +1764,54 @@ object LlmQueries {
        |FROM r WHERE rank <= $Bm25K""".stripMargin
   }
 
+  // ---- per-group score rank normalization ----
+
+  /** Quality scores rank-normalized WITHIN language — comparable
+    * across scorers before any global threshold. */
+  def qScoreNorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    graft.operators.Stats.rankNormalize(scored, "lang", "quality", "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"), col("pct_rank"))
+  }
+
+  val qScoreNormSql: String =
+    s"""WITH qual AS (SELECT doc_id, quality FROM (${textQualitySqlFrom("documents")})),
+       |j AS (SELECT q.doc_id, d.lang, q.quality
+       |  FROM qual q JOIN documents d ON q.doc_id = d.doc_id),
+       |r AS (SELECT doc_id, lang, quality,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY quality ASC, doc_id ASC) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM j)
+       |SELECT doc_id, lang, quality,
+       |  floor((rk / (n + 1)) * 1e6 + 0.5) / 1e6 AS pct_rank
+       |FROM r""".stripMargin
+
+  // ---- dedup cluster-size census ----
+
+  /** Size histogram of the near-dup components — the dedup QA report
+    * (how much mass sits in big boilerplate clusters vs pairs):
+    * counts-of-counts over the cluster labels, extending the
+    * q_dedup_clusters oracle chain (the q_dedup_semantic precedent). */
+  def qDedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersStar(
+      Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source",
+        Config.JaccardThreshold))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  val qDedupClusterSizesSql: String =
+    s"""WITH RECURSIVE $dedupGraphCtes,
+       |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM cl GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM sz GROUP BY 1""".stripMargin
+
   // ---- reciprocal-rank fusion (hybrid ranking) ----
 
   /** RRF over two real rankers: the BM25 relevance ranking fused with

@@ -65,4 +65,23 @@ class StatsSpec extends SparkSpec {
       .orderBy("g").collect()
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("rankNormalize: bounds, per-group uniformity, tie determinism") {
+    val df = (0 until 90).map { i =>
+      (i.toLong, s"g${i % 3}", (i % 7).toDouble)  // heavy value ties
+    }.toDF("id", "g", "score")
+    val out = Stats.rankNormalize(df, "g", "score", "id")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(rows.forall { case (_, _, p) => p > 0.0 && p < 1.0 })
+    // per group: 30 rows -> ranks 1..30 over 31 -> distinct pct ranks
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length === 30)
+      assert(math.abs(g.map(_._3).sum - 30.0 / 2) < 1e-6) // mean 0.5
+    }
+    // ties broken by id: layout independent
+    val again = Stats.rankNormalize(df.repartition(7), "g", "score", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSet
+    assert(rows.toSet === again)
+  }
 }
