@@ -809,12 +809,17 @@ object TextAnalysis {
     * broadcast 1-row cross join; top-k per query compiles to
     * WindowGroupLimit. Queries with no matching term are absent (the
     * inner-join contract). */
-  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int,
-               k1: Double = 1.2, b: Double = 0.75,
-               id: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(queries.nonEmpty && k >= 1, "bm25TopK: queries and k required")
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The INDEX half of BM25 — the production retrieval split (the
+    * lmTrain / Dedup.buildIndex doctrine: corpus-global state trains
+    * offline as WRITABLE frames, the query path is per-row +
+    * key-join only). One tokenize pass; `postings`, `lens`, `dfreq`
+    * derive from the shared tf exchange; `stats` is the 1-row corpus
+    * scalar frame. */
+  case class Bm25Index(postings: DataFrame, lens: DataFrame,
+                       dfreq: DataFrame, stats: DataFrame)
+
+  def bm25BuildIndex(docs: DataFrame, id: String = "doc_id",
+                     textCol: String = "text"): Bm25Index = {
     val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
@@ -822,6 +827,19 @@ object TextAnalysis {
     val stats = lens.agg(count(lit(1)).as("__nd"), sum(col("len")).as("__sl"))
     val dfreq = tf.groupBy(col("word"))
       .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+    Bm25Index(tf, lens, dfreq, stats)
+  }
+
+  /** The QUERY half: score a bounded query set against a built (or
+    * written-and-reloaded) index. Per-row + broadcast/key-join only,
+    * so the streaming twin (Streams.bm25ScoreStream) is a trivial
+    * foreachBatch replay over the static index. */
+  def bm25Score(index: Bm25Index, queries: Seq[(String, String)], k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                id: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "bm25Score: queries and k required")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
     val qterms = broadcast(
       queries.flatMap { case (qid, text) => bm25Terms(text).map(t => (qid, t)) }
         .toDF("query_id", "word"))
@@ -830,10 +848,10 @@ object TextAnalysis {
       (col("df") + lit(0.5)) + lit(1.0))
     val contrib = idf * ((col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("len") / avgdl))))
-    val scored = tf.join(qterms, Seq("word"))
-      .join(dfreq, Seq("word"))
-      .join(lens, Seq(id))
-      .crossJoin(broadcast(stats))
+    val scored = index.postings.join(qterms, Seq("word"))
+      .join(index.dfreq, Seq("word"))
+      .join(index.lens, Seq(id))
+      .crossJoin(broadcast(index.stats))
       .withColumn("__q", floor(contrib * lit(1e6) + lit(0.5)).cast(LongType))
       .groupBy(col("query_id"), col(id))
       .agg(sum(col("__q")).as("__s"))
@@ -844,6 +862,13 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col(id),
         Portable.roundp(col("__s") / lit(1e6), 6).as("score"))
   }
+
+  /** Whole-corpus convenience: build + score in one DAG (composition
+    * parity with the split is spec-pinned). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               id: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25Score(bm25BuildIndex(docs, id, textCol), queries, k, k1, b, id)
 
   /** Query tokenization for [[bm25TopK]]: whitespace split, DISTINCT
     * terms (binary query term weighting — the common retrieval

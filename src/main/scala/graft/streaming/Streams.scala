@@ -173,6 +173,26 @@ object Streams {
     }
   }
 
+  /** Streaming BM25: queries arrive as a micro-batched stream of
+    * (query_id, query_text) rows and score against a STATIC built
+    * index (TextAnalysis.bm25BuildIndex — trained offline, the
+    * production retrieval shape). Each batch collects its bounded
+    * query rows (queries are requests, not corpus) and replays the
+    * identical batch scorer, so batch boundaries are invisible.
+    * Parity pinned in StreamingSpec. */
+  def bm25ScoreStream(queries: DataFrame,
+                      index: graft.operators.TextAnalysis.Bm25Index, k: Int)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(queries.isStreaming,
+      "bm25ScoreStream is streaming-only: use TextAnalysis.bm25Score for batch frames")
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val qs = batch.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSeq
+      if (qs.nonEmpty)
+        writeBatch(graft.operators.TextAnalysis.bm25Score(index, qs, k), batchId)
+    }
+  }
+
   /** Streaming twin of the trigram stupid-backoff scorer (operators/
     * TextAnalysis.trigramLmApply): the order-3 model frame is STATIC
     * (trained offline via trigramLmTrain), each micro-batch of docs is

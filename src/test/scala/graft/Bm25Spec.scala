@@ -83,4 +83,36 @@ class Bm25Spec extends SparkSpec {
         ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
     assert(out === again)
   }
+
+  test("composition parity: score(buildIndex(c)) == bm25TopK(c); index survives a write") {
+    val docs = (0L until 100L).map { i =>
+      (i, s"w${i % 11} w${i % 7} w${i % 5} extra$i")
+    }.toDF("doc_id", "text")
+    val qs = Seq("a" -> "w1 w3", "b" -> "w2")
+    val whole = TextAnalysis.bm25TopK(docs, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val idx = TextAnalysis.bm25BuildIndex(docs)
+    val split = TextAnalysis.bm25Score(idx, qs, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(whole === split)
+    // the index frames are WRITABLE: round-trip through parquet
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toFile
+    try {
+      idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+      idx.lens.write.mode("overwrite").parquet(s"$dir/lens")
+      idx.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+      idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
+      val reloaded = TextAnalysis.Bm25Index(
+        spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/lens"),
+        spark.read.parquet(s"$dir/dfreq"), spark.read.parquet(s"$dir/stats"))
+      val again = TextAnalysis.bm25Score(reloaded, qs, 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(again === whole)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -277,6 +277,35 @@ class StreamingSpec extends SparkSpec {
     assert(expected.map(_.getAs[Long]("doc_id")) === Seq(100L, 101L)) // 102 is all-OOV
   }
 
+  test("bm25ScoreStream scores query batches against the static index like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 50L).map { i =>
+      (i, s"w${i % 11} w${i % 7} w${i % 5} filler$i")
+    }.toDF("doc_id", "text")
+    val idx = graft.operators.TextAnalysis.bm25BuildIndex(corpus)
+    // materialize the index frames (a production index is loaded from
+    // storage); without this each micro-batch would re-tokenize
+    val sIdx = graft.operators.TextAnalysis.Bm25Index(
+      idx.postings.localCheckpoint(), idx.lens.localCheckpoint(),
+      idx.dfreq.localCheckpoint(), idx.stats.localCheckpoint())
+    val qs = Seq("qa" -> "w1 w3", "qb" -> "w2", "qc" -> "w4 w5")
+    val input = MemoryStream[(String, String)]
+    input.addData(qs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.bm25ScoreStream(
+        input.toDF().toDF("query_id", "query_text"), sIdx, k = 5) {
+      (scored, _) => acc.synchronized { acc ++= scored.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(qs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis.bm25Score(sIdx, qs, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("trigramScoreStream scores from the static order-3 model exactly like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
