@@ -30,7 +30,8 @@ object PlanDump {
       "q_char_entropy", "q_dedup_stitch", "q_trigram_logprob",
       "q_warc_extract", "q_crawl_e2e", "q_dedup_maxspan", "q_cms_vocab",
       "q_dedup_edit", "q_url_canon", "q_phrase_filter", "q_corpus_diff",
-      "q_negative_sample", "q_bm25_topk", "q_mixture_temp")
+      "q_negative_sample", "q_bm25_topk", "q_mixture_temp",
+      "q_rrf_fusion", "q_score_norm", "q_dedup_cluster_sizes")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
