@@ -133,7 +133,11 @@ object Sketches {
   def cmsSketch(df: DataFrame, valueCol: String,
                 d: Int = CmsD, w: Int = CmsW): DataFrame = {
     require(d >= 1 && w >= 1, "cmsSketch: d and w must be positive")
-    val counts = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    // NULL values are not counted: concat_ws would silently SKIP the
+    // null on the Spark side while || propagates it on an oracle side
+    // — the one place the row-salt hash could drift cross-engine
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
     counts
       .select(col("__v"), col("__c"),
         explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("row_j"))
@@ -159,6 +163,7 @@ object Sketches {
                   d: Int = CmsD, w: Int = CmsW): DataFrame =
     probes
       .select(col(valueCol).as("__v"))
+      .where(col("__v").isNotNull)
       .withColumn("row_j",
         explode(array((0 until d).map(j => lit(j.toLong)): _*)))
       .withColumn("bucket", cmsBucket(col("__v"), col("row_j"), w))
