@@ -241,9 +241,15 @@ object Sampling {
     * the boundary-row idiom). N is one bounded count job (the
     * dedupLines cap precedent); the oracle replays ranking and both
     * probes with row_number + identical mod arithmetic. */
-  def negativeSample(anchors: DataFrame, corpus: DataFrame, k: Int,
-                     idCol: String = "doc_id", salt: String = "neg"): DataFrame = {
-    require(k >= 1, "negativeSample: k must be positive")
+  /** The INDEX half of [[negativeSample]] — the train/apply split
+    * (the Dedup.buildIndex doctrine): the ring is a WRITABLE
+    * (ring index, id) frame built once per corpus version; probing
+    * is per-anchor key-joins only, so the streaming twin
+    * (Streams.negativeSampleStream) replays anchor micro-batches
+    * against the static ring. */
+  case class HashRing(ring: DataFrame, size: Long)
+
+  def buildRing(corpus: DataFrame, idCol: String = "doc_id"): HashRing = {
     val ring = Ranks.withSortedIndex(
       corpus.select(col(idCol).as("__rid")),
       Seq(Portable.h60(concat_ws(":", lit("ring"), col("__rid"))), col("__rid")),
@@ -251,7 +257,22 @@ object Sampling {
       .select((col("__idx1") - 1).as("__idx"), col("__rid"))
       .localCheckpoint()
     val n = ring.count()
-    require(n >= 2, "negativeSample: corpus must have at least 2 docs")
+    require(n >= 2, "buildRing: corpus must have at least 2 docs")
+    HashRing(ring, n)
+  }
+
+  def negativeSample(anchors: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "doc_id", salt: String = "neg"): DataFrame =
+    sampleAgainstRing(anchors, buildRing(corpus, idCol), k, idCol, salt)
+
+  /** The QUERY half: k negatives per anchor from a built (or
+    * written-and-reloaded) ring. */
+  def sampleAgainstRing(anchors: DataFrame, hashRing: HashRing, k: Int,
+                        idCol: String = "doc_id",
+                        salt: String = "neg"): DataFrame = {
+    require(k >= 1, "sampleAgainstRing: k must be positive")
+    val ring = hashRing.ring
+    val n = hashRing.size
     val probes = anchors.select(col(idCol).as("anchor_id"))
       .withColumn("neg_rank",
         explode(array((0 until k).map(j => lit(j.toLong)): _*)))

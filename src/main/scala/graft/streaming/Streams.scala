@@ -173,6 +173,36 @@ object Streams {
     }
   }
 
+  /** Streaming negative sampling: anchor micro-batches draw their k
+    * replay-stable negatives against a STATIC hash ring
+    * (Sampling.buildRing — built once per corpus version, a writable
+    * frame); per-anchor picks depend only on (anchor, ring), so batch
+    * boundaries are invisible. Parity pinned in StreamingSpec. */
+  def negativeSampleStream(anchors: DataFrame,
+                           ring: graft.operators.Sampling.HashRing, k: Int,
+                           idCol: String = "doc_id")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(anchors.isStreaming,
+      "negativeSampleStream is streaming-only: use Sampling.sampleAgainstRing for batch frames")
+    anchors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Sampling.sampleAgainstRing(batch, ring, k, idCol), batchId)
+    }
+  }
+
+  /** Streaming twin of the Aho-Corasick phrase filter (operators/
+    * TextAnalysis.phraseFilter): the phrase list is static, the
+    * automaton rebuilds per partition from the broadcast list, and
+    * per-doc verdicts depend only on the doc — batch boundaries are
+    * invisible. Parity pinned in StreamingSpec. */
+  def phraseFilterStream(docs: DataFrame, phrases: Seq[String])(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "phraseFilterStream is streaming-only: use TextAnalysis.phraseFilter for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.phraseFilter(batch, phrases), batchId)
+    }
+  }
+
   /** Streaming BM25: queries arrive as a micro-batched stream of
     * (query_id, query_text) rows and score against a STATIC built
     * index (TextAnalysis.bm25BuildIndex — trained offline, the

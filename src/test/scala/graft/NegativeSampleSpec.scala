@@ -43,4 +43,24 @@ class NegativeSampleSpec extends SparkSpec {
     assert(out.length === 20)
     assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 200L))
   }
+
+  test("ring round-trip: a written-and-reloaded ring gives identical picks") {
+    val whole = Sampling.negativeSample(corpus, corpus, k = 3)
+      .orderBy("anchor_id", "neg_rank").collect().toSeq
+    val ring = Sampling.buildRing(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("negring").toFile
+    try {
+      ring.ring.write.mode("overwrite").parquet(dir.getAbsolutePath + "/ring")
+      val reloaded = Sampling.HashRing(
+        spark.read.parquet(dir.getAbsolutePath + "/ring"), ring.size)
+      val again = Sampling.sampleAgainstRing(corpus, reloaded, k = 3)
+        .orderBy("anchor_id", "neg_rank").collect().toSeq
+      assert(again === whole)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -277,6 +277,54 @@ class StreamingSpec extends SparkSpec {
     assert(expected.map(_.getAs[Long]("doc_id")) === Seq(100L, 101L)) // 102 is all-OOV
   }
 
+  test("negativeSampleStream draws from the static ring exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val ring = graft.operators.Sampling.buildRing(corpus)
+    val anchors = Seq((100L, "a"), (101L, "b"), (3L, "c"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(anchors.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.negativeSampleStream(
+        input.toDF().toDF("doc_id", "text"), ring, k = 2) {
+      (negs, _) => acc.synchronized { acc ++= negs.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(anchors.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Sampling.sampleAgainstRing(
+        anchors.toDF("doc_id", "text"), ring, k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
+  test("phraseFilterStream flags from the static phrase list exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val phrases = Seq("free money", "oo oo")
+    val fresh = Seq(
+      (1L, "nothing to see"),
+      (2L, "get free money now"),
+      (3L, "oo oo oo"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(fresh.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.phraseFilterStream(input.toDF().toDF("doc_id", "text"), phrases) {
+      (flags, _) => acc.synchronized { acc ++= flags.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(fresh.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis
+      .phraseFilter(fresh.toDF("doc_id", "text"), phrases)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getAs[Long]("doc_id")).toSeq === expected)
+    assert(expected.map(_.getAs[Long]("n_phrase_hits")).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("bm25ScoreStream scores query batches against the static index like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
