@@ -21,37 +21,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity guard: a builder indexing args(i) on a short call would
+    * throw IndexOutOfBoundsException instead of a readable analysis
+    * error. */
+  private def arity(name: String, args: Seq[Expression], min: Int,
+                    max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new IllegalArgumentException(
+        if (min == max)
+          s"$name expects $min argument(s), got ${args.length}"
+        else s"$name expects $min to $max arguments, got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("float_cosine"),
       info("float_cosine", "float_cosine(a, b) - fused cosine similarity of two float arrays"),
-      (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("float_cosine", args, 2, 2); FloatCosine(args(0), args(1)) }))
     ext.injectFunction((
       FunctionIdentifier("float_vec_sum"),
       info("float_vec_sum", "float_vec_sum(v) - elementwise double sum of a float-array column"),
       // a raw AggregateFunction here is fine: the analyzer wraps it in
       // an AggregateExpression when resolving the call site
-      (args: Seq[Expression]) => FloatVecSumAgg(args.head)))
+      (args: Seq[Expression]) => { arity("float_vec_sum", args, 1, 1); FloatVecSumAgg(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("float_vec_qsum"),
       info("float_vec_qsum",
         "float_vec_qsum(v) - order-exact elementwise fixed-point (2^24) long sum of a float-array column"),
-      (args: Seq[Expression]) => FloatVecQuantSumAgg(args.head, FloatVecQuantSumAgg.Scale)))
+      (args: Seq[Expression]) => { arity("float_vec_qsum", args, 1, 1); FloatVecQuantSumAgg(args.head, FloatVecQuantSumAgg.Scale) }))
     ext.injectFunction((
       FunctionIdentifier("wkb_rings"),
       info("wkb_rings",
         "wkb_rings(wkb) - decode WKB Polygon/MultiPolygon bytes to polygons of flat-coordinate rings"),
-      (args: Seq[Expression]) => WkbRings(args.head)))
+      (args: Seq[Expression]) => { arity("wkb_rings", args, 1, 1); WkbRings(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("char_entropy"),
       info("char_entropy",
         "char_entropy(text) - codepoint Shannon entropy (one-pass, no explode)"),
-      (args: Seq[Expression]) => CharEntropy(args.head)))
+      (args: Seq[Expression]) => { arity("char_entropy", args, 1, 1); CharEntropy(args.head) }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, k[, distinct]) - word k-shingles (distinct by default; pass false for positional shingles)"),
-      (args: Seq[Expression]) => (args(1), args.lift(2)) match {
+      (args: Seq[Expression]) => { arity("word_shingles", args, 2, 3); (args(1), args.lift(2)) } match {
         case (Literal(k: Int, _), None) => WordShingles(args(0), k)
         case (Literal(k: Int, _), Some(Literal(d: Boolean, _))) =>
           WordShingles(args(0), k, d)
@@ -76,18 +87,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("h60"),
       info("h60",
         "h60(x) - 60-bit md5-derived hash; DuckDB twin ('0x'||substr(md5(x),1,15))::BIGINT"),
-      (args: Seq[Expression]) => md5Hex(args.head, 15)))
+      (args: Seq[Expression]) => { arity("h60", args, 1, 1); md5Hex(args.head, 15) }))
     ext.injectFunction((
       FunctionIdentifier("h31"),
       info("h31",
         "h31(x) - 31-bit md5-derived hash (safe in 64-bit modular products); DuckDB twin ('0x'||substr(md5(x),1,7))::BIGINT % 2147483647"),
-      (args: Seq[Expression]) =>
-        Remainder(md5Hex(args.head, 7), Literal(2147483647L))))
+      (args: Seq[Expression]) => { arity("h31", args, 1, 1)
+        Remainder(md5Hex(args.head, 7), Literal(2147483647L)) }))
     ext.injectFunction((
       FunctionIdentifier("roundp"),
       info("roundp",
         "roundp(x, d) - portable rounding floor(x*10^d + 0.5)/10^d; use instead of round() for any oracle-compared double"),
-      (args: Seq[Expression]) => args(1) match {
+      (args: Seq[Expression]) => { arity("roundp", args, 2, 2); args(1) } match {
         case Literal(d: Int, _) =>
           val p = Literal(math.pow(10, d))
           Divide(Cast(Floor(Add(Multiply(Cast(args(0), DoubleType), p),
@@ -99,13 +110,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("portable_words"),
       info("portable_words",
         "portable_words(text) - whitespace word list; DuckDB twin string_split_regex(trim(x), '\\s+')"),
-      (args: Seq[Expression]) =>
-        StringSplit(StringTrim(args.head), Literal("\\s+"), Literal(-1))))
+      (args: Seq[Expression]) => { arity("portable_words", args, 1, 1)
+        StringSplit(StringTrim(args.head), Literal("\\s+"), Literal(-1)) }))
     ext.injectFunction((
       FunctionIdentifier("bpe_tokens"),
       info("bpe_tokens",
         "bpe_tokens(text) - BPE-ish token list (letter runs, digit runs, single punctuation); DuckDB twin regexp_extract_all"),
-      (args: Seq[Expression]) =>
-        RegExpExtractAll(args.head, Literal(Portable.bpePattern), Literal(0))))
+      (args: Seq[Expression]) => { arity("bpe_tokens", args, 1, 1)
+        RegExpExtractAll(args.head, Literal(Portable.bpePattern), Literal(0)) }))
   }
 }

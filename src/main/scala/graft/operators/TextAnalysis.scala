@@ -653,17 +653,23 @@ object TextAnalysis {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phraseFilter: phrases must be non-empty")
     val spark = docs.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(phrases.toVector)
-    docs.select(col(id).cast(LongType), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
-        val ac = new graft.functions.AhoCorasick(bc.value)
-        it.map { case (i, t) =>
-          val m = ac.countMatches(t)
-          (i, m.values.sum, m.size.toLong,
-            if (m.isEmpty) 1L else 0L)
-        }
+    // the id column rides through with its NATIVE type (string doc ids
+    // are legal across the operator family — a silent cast-to-long
+    // would null them out); only the text column's type is constrained
+    val in = docs.select(col(id), col(textCol).cast("string"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.head +:
+        Seq("n_phrase_hits", "n_distinct_phrases", "keep")
+          .map(org.apache.spark.sql.types.StructField(_, LongType, nullable = false)))
+    in.mapPartitions { it =>
+      val ac = new graft.functions.AhoCorasick(bc.value)
+      it.map { r =>
+        val m = ac.countMatches(r.getString(1))
+        org.apache.spark.sql.Row(r.get(0), m.values.sum, m.size.toLong,
+          if (m.isEmpty) 1L else 0L)
       }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(id, "n_phrase_hits", "n_distinct_phrases", "keep")
   }
 

@@ -2818,6 +2818,12 @@ object LlmQueries {
 
   // ---- composed crawl pipeline (one DAG, one oracle) ----
 
+  /** Stage caches of the LAST qCrawlE2e invocation; swapped (and the
+    * old ones released) on each call — see the lifecycle note inside
+    * qCrawlE2e. */
+  private val crawlStageCaches =
+    new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
+
   /** The crawl-curation chain as ONE plan: html extract → NFC →
     * line dedup → quality filter → stratified sample, each stage the
     * exact fixture its standalone gate runs (qHtmlExtract synthesis,
@@ -2831,9 +2837,6 @@ object LlmQueries {
     * pipeline-correct place to drop empties anyway). */
   def qCrawlE2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    // bounded driver-side scalar: the corpus-relative boilerplate cap
-    // (the qLineDedup convention)
-    val cap = docs.count() / 4
     val id = col("doc_id")
     // A: html synthesis (the qHtmlExtract fixture) + extraction
     val n0 = length(col("text"))
@@ -2864,6 +2867,11 @@ object LlmQueries {
     val eb = TextAnalysis.normalizeNfc(ea.select(id, withDecomposed.as("text")))
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver-side scalar doubling as the cache fill: extract/
+    // NFC are row-preserving, so the corpus-relative boilerplate cap
+    // (the qLineDedup convention) reads off the persisted stage frame
+    // — no standalone corpus-scan job exists just for this number
+    val cap = eb.count() / 4
     // C: line dedup over the qLineDedup five-line layout
     val n1 = length(col("text"))
     val p1 = (lit(1) + (id % greatest(n1.cast("long") - 1L, lit(1L)))).cast("int")
@@ -2884,6 +2892,13 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the returned plan reads these caches lazily, so they can't be
+    // released here — instead release the PREVIOUS invocation's stage
+    // frames (Bench/Verify run registry queries repeatedly on one
+    // shared session; without this each run stacks fresh cached
+    // copies of eb/ec)
+    crawlStageCaches.getAndSet(List(eb, ec))
+      .foreach(_.unpersist(blocking = false))
     // D: quality verdict (needs lang for the langId gate)
     val ed = ec.join(
       TextAnalysis.qualityVerdict(ec).where(col("keep") === 1L).select("doc_id"),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   * grain; a 100 TB crawl is ~10⁵ files). Record splitting is a pure
   * JVM kernel inside a Dataset flatMap — the mapPartitions altitude
   * the Multimodal codecs use, since no Catalyst expression can stream
-  * a length-delimited binary format. Whole-file gzip is detected by
-  * magic bytes (java.util.zip reads concatenated members, covering
-  * the per-record-gzip layout Common Crawl ships). */
+  * a length-delimited binary format. Gzip is detected by magic bytes
+  * and decompressed INCREMENTALLY off the stream (java.util.zip reads
+  * concatenated members, covering the per-record-gzip layout Common
+  * Crawl ships): peak memory is one record plus a chunk, never the
+  * inflated archive — a 1 GB gzipped segment inflating past the 2 GB
+  * JVM array limit stays a sequence of small rows, not a task
+  * failure. */
 object Warc {
 
   /** One parsed record (or one quarantined malformed region). */
@@ -43,10 +47,12 @@ object Warc {
       reason: String)
 
   private val Magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+  private val Eoh = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+  private def indexOf(hay: Array[Byte], hayLen: Int,
+                      needle: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
-    val last = hay.length - needle.length
+    val last = hayLen - needle.length
     while (i <= last) {
       var j = 0
       while (j < needle.length && hay(i + j) == needle(j)) j += 1
@@ -56,13 +62,27 @@ object Warc {
     -1
   }
 
+  /** Wrap in a GZIPInputStream when the stream leads with the gzip
+    * magic — decompression then happens chunk-by-chunk as the parser
+    * pulls, never as one whole-archive inflate. */
+  def maybeGunzipStream(in: InputStream): InputStream = {
+    val pb = new PushbackInputStream(in, 2)
+    val b0 = pb.read()
+    val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 65536) else pb
+  }
+
   /** Gunzip if the buffer carries the gzip magic; multi-member streams
-    * (per-record gzip, the Common Crawl layout) decompress end-to-end. */
+    * (per-record gzip, the Common Crawl layout) decompress end-to-end.
+    * Small-buffer convenience (specs, in-memory fixtures) — the
+    * record path streams via [[maybeGunzipStream]] instead. */
   def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       return bytes
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val in = maybeGunzipStream(new ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
     val buf = new Array[Byte](65536)
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -79,91 +99,168 @@ object Warc {
     WarcRecord(idx, null, null, null, null, null, -1L, raw,
       __malformed = true, reason = reason)
 
-  /** Split one (possibly gzipped) archive into records. Pure function
-    * of the bytes — deterministic, replay-stable. Malformed regions
-    * (leading/interstitial garbage, unterminated headers, bad or
-    * missing Content-Length, truncated payloads) emit quarantine rows
-    * carrying the offending bytes; parsing resumes at the next
-    * `WARC/` magic. */
-  def parseAll(raw: Array[Byte]): Seq[WarcRecord] = {
-    val bytes = maybeGunzip(raw)
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    var idx = 0
-    val eohNeedle = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
-    while (pos < bytes.length) {
-      val m = indexOf(bytes, Magic, pos)
-      if (m < 0) {
-        // trailing bytes with no record start: garbage unless pure CRLF
-        val tail = bytes.slice(pos, bytes.length)
-        if (!tail.forall(b => b == '\r'.toByte || b == '\n'.toByte)) {
-          out += bad(idx, "garbage", tail); idx += 1
-        }
-        pos = bytes.length
-      } else {
-        if (m > pos) {
-          val gap = bytes.slice(pos, m)
-          if (!gap.forall(b => b == '\r'.toByte || b == '\n'.toByte)) {
-            out += bad(idx, "garbage", gap); idx += 1
+  private def crlfOnly(a: Array[Byte], from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      if (a(i) != '\r'.toByte && a(i) != '\n'.toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Incremental record parser over a (possibly still-compressing)
+    * stream. Memory high-water mark is ONE record's header+payload
+    * plus a 64 KiB read chunk — the buffer grows to the current
+    * record and is compacted after each emit, so archive size never
+    * enters the footprint. Malformed regions (leading/interstitial
+    * garbage, unterminated headers, bad or missing Content-Length,
+    * truncated payloads) emit quarantine rows carrying the offending
+    * bytes; parsing resumes at the next `WARC/` magic. */
+  def recordIterator(in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var buf = new Array[Byte](65536)
+    private var len = 0
+    private var eof = false
+    private var idx = 0
+    private var pendingNext: WarcRecord = null
+    private var finished = false
+
+    private def fill(): Boolean = {
+      if (eof) return false
+      if (len == buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + 65536))
+      val n = in.read(buf, len, buf.length - len)
+      if (n < 0) { eof = true; false } else { len += n; true }
+    }
+
+    private def consume(n: Int): Unit = {
+      if (n > 0) { System.arraycopy(buf, n, buf, 0, len - n); len -= n }
+      // shrink a payload-inflated buffer back to the chunk grain so one
+      // huge record doesn't pin its footprint for the rest of the file
+      if (buf.length > (1 << 22) && len < 65536)
+        buf = java.util.Arrays.copyOf(buf, math.max(65536, len))
+    }
+
+    /** Advance to the next record start, accumulating any gap bytes;
+      * returns a quarantine row for a non-CRLF gap, null when
+      * positioned at a magic (or the input is exhausted). */
+    private def seekMagic(): WarcRecord = {
+      val gap = new java.io.ByteArrayOutputStream()
+      while (true) {
+        val m = Warc.indexOf(buf, len, Magic, 0)
+        if (m >= 0) {
+          if (m > 0) { gap.write(buf, 0, m); consume(m) }
+          val g = gap.toByteArray
+          if (g.nonEmpty && !crlfOnly(g, 0, g.length)) {
+            val r = bad(idx, "garbage", g); idx += 1; return r
           }
+          return null
         }
-        val eoh = indexOf(bytes, eohNeedle, m)
-        if (eoh < 0) {
-          out += bad(idx, "unterminated-header", bytes.slice(m, bytes.length))
-          idx += 1; pos = bytes.length
-        } else {
-          val header = new String(bytes, m, eoh - m, StandardCharsets.UTF_8)
-          val lines = header.split("\r\n")
-          val kv = lines.drop(1).flatMap { l =>
-            val c = l.indexOf(':')
-            if (c < 0) None
-            else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
-          }.toMap
-          val bodyStart = eoh + 4
-          kv.get("content-length").flatMap(s => s.toLongOption) match {
-            case None =>
-              // quarantine the header region, resync after it
-              out += bad(idx, "bad-content-length", bytes.slice(m, bodyStart))
-              idx += 1; pos = bodyStart
-            case Some(clen) if clen < 0 =>
-              out += bad(idx, "bad-content-length", bytes.slice(m, bodyStart))
-              idx += 1; pos = bodyStart
-            case Some(clen) if bodyStart + clen > bytes.length =>
-              out += bad(idx, "truncated-payload", bytes.slice(m, bytes.length))
-              idx += 1; pos = bytes.length
-            case Some(clen) =>
-              // clen <= bytes.length here, so the Int narrowing is safe
-              val payload = bytes.slice(bodyStart, bodyStart + clen.toInt)
-              out += mk(idx,
-                kv.getOrElse("warc-type", null),
-                kv.getOrElse("warc-record-id", null),
-                kv.getOrElse("warc-target-uri", null),
-                kv.getOrElse("warc-date", null),
-                kv.getOrElse("content-type", null),
-                clen, payload)
-              idx += 1
-              pos = bodyStart + clen.toInt
-              // optional record separator; resync handles anything else
-              if (pos + 4 <= bytes.length &&
-                bytes(pos) == '\r'.toByte && bytes(pos + 1) == '\n'.toByte &&
-                bytes(pos + 2) == '\r'.toByte && bytes(pos + 3) == '\n'.toByte) pos += 4
+        // no magic in window: all but a possible straddling prefix of
+        // the magic is gap — consume it and read more
+        val keep = math.min(len, Magic.length - 1)
+        if (len > keep) { gap.write(buf, 0, len - keep); consume(len - keep) }
+        if (!fill()) {
+          if (len > 0) { gap.write(buf, 0, len); consume(len) }
+          val g = gap.toByteArray
+          if (g.nonEmpty && !crlfOnly(g, 0, g.length)) {
+            val r = bad(idx, "garbage", g); idx += 1; return r
           }
+          return null
         }
       }
+      null
     }
-    out.result()
+
+    /** Parse the record whose magic sits at buffer position 0. */
+    private def parseAtMagic(): WarcRecord = {
+      var eoh = Warc.indexOf(buf, len, Eoh, 0)
+      while (eoh < 0 && fill()) eoh = Warc.indexOf(buf, len, Eoh, 0)
+      if (eoh < 0) {
+        val r = bad(idx, "unterminated-header", java.util.Arrays.copyOf(buf, len))
+        idx += 1; consume(len)
+        return r
+      }
+      val header = new String(buf, 0, eoh, StandardCharsets.UTF_8)
+      val kv = header.split("\r\n").drop(1).flatMap { l =>
+        val c = l.indexOf(':')
+        if (c < 0) None
+        else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+      }.toMap
+      val bodyStart = eoh + 4
+      kv.get("content-length").flatMap(_.toLongOption) match {
+        case None =>
+          val r = bad(idx, "bad-content-length",
+            java.util.Arrays.copyOf(buf, bodyStart))
+          idx += 1; consume(bodyStart); r
+        case Some(clen) if clen < 0 =>
+          val r = bad(idx, "bad-content-length",
+            java.util.Arrays.copyOf(buf, bodyStart))
+          idx += 1; consume(bodyStart); r
+        case Some(clen) =>
+          val end = bodyStart.toLong + clen
+          while (len < end && end <= Int.MaxValue - 8 && fill()) ()
+          if (len < end) {
+            // stream ended (or the record can't fit a JVM array) short
+            // of the declared length
+            val r = bad(idx, "truncated-payload", java.util.Arrays.copyOf(buf, len))
+            idx += 1; consume(len); r
+          } else {
+            val e = end.toInt
+            val payload = java.util.Arrays.copyOfRange(buf, bodyStart, e)
+            val r = mk(idx,
+              kv.getOrElse("warc-type", null),
+              kv.getOrElse("warc-record-id", null),
+              kv.getOrElse("warc-target-uri", null),
+              kv.getOrElse("warc-date", null),
+              kv.getOrElse("content-type", null),
+              clen, payload)
+            idx += 1
+            consume(e)
+            // optional record separator; resync handles anything else
+            while (len < 4 && fill()) ()
+            if (len >= 4 && buf(0) == '\r'.toByte && buf(1) == '\n'.toByte &&
+              buf(2) == '\r'.toByte && buf(3) == '\n'.toByte) consume(4)
+            r
+          }
+      }
+    }
+
+    private def advance(): Unit = {
+      if (finished || pendingNext != null) return
+      val gapRow = seekMagic()
+      if (gapRow != null) { pendingNext = gapRow; return }
+      if (len == 0 && eof) { finished = true; return }
+      pendingNext = parseAtMagic()
+      if (pendingNext == null) finished = true
+    }
+
+    override def hasNext: Boolean = { advance(); pendingNext != null }
+    override def next(): WarcRecord = {
+      advance()
+      if (pendingNext == null) throw new NoSuchElementException("WARC iterator")
+      val r = pendingNext; pendingNext = null; r
+    }
   }
+
+  /** Split one (possibly gzipped) archive into records. Pure function
+    * of the bytes — deterministic, replay-stable. Convenience wrapper
+    * over [[recordIterator]] for in-memory buffers. */
+  def parseAll(raw: Array[Byte]): Seq[WarcRecord] =
+    recordIterator(maybeGunzipStream(new ByteArrayInputStream(raw))).toVector
 
   /** Record-split a frame carrying archive bytes: one output row per
     * record, keyed by `keyCol`. The JVM kernel runs inside a typed
     * flatMap (the codec altitude); binary payloads stay opaque columns
-    * downstream, the multimodal contract. */
+    * downstream, the multimodal contract; decompression streams, so
+    * per-task memory is one record, not one inflated archive. */
   def records(df: DataFrame, bytesCol: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("string").as("key"), col(bytesCol).as("bytes"))
       .as[(String, Array[Byte])]
-      .flatMap { case (k, b) => parseAll(b).map(r => (k, r)) }
+      .flatMap { case (k, b) =>
+        recordIterator(maybeGunzipStream(new ByteArrayInputStream(b))).map(r => (k, r))
+      }
       .select(col("_1").as(keyCol), col("_2.*"))
   }
 

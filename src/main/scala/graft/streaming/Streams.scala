@@ -209,15 +209,24 @@ object Streams {
     * production retrieval shape). Each batch collects its bounded
     * query rows (queries are requests, not corpus) and replays the
     * identical batch scorer, so batch boundaries are invisible.
+    * The driver-side collect is BOUNDED: a micro-batch larger than
+    * `maxQueriesPerBatch` fails fast (a misrouted corpus topic must
+    * never OOM the driver), and columns are read by NAME so a
+    * reordered upstream schema can't swap id and text.
     * Parity pinned in StreamingSpec. */
   def bm25ScoreStream(queries: DataFrame,
-                      index: graft.operators.TextAnalysis.Bm25Index, k: Int)(
+                      index: graft.operators.TextAnalysis.Bm25Index, k: Int,
+                      maxQueriesPerBatch: Int = 10000)(
       writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(queries.isStreaming,
       "bm25ScoreStream is streaming-only: use TextAnalysis.bm25Score for batch frames")
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val qs = batch.collect()
-        .map(r => r.getString(0) -> r.getString(1)).toSeq
+      val rows = batch.select("query_id", "query_text")
+        .limit(maxQueriesPerBatch + 1).collect()
+      require(rows.length <= maxQueriesPerBatch,
+        s"bm25ScoreStream batch $batchId exceeds maxQueriesPerBatch=$maxQueriesPerBatch " +
+          "query rows; queries are requests, not corpus — check the stream routing")
+      val qs = rows.map(r => r.getString(0) -> r.getString(1)).toSeq
       if (qs.nonEmpty)
         writeBatch(graft.operators.TextAnalysis.bm25Score(index, qs, k), batchId)
     }

@@ -71,4 +71,15 @@ class ExtensionsSpec extends SparkSpec {
       .getSeq[String](0)
     assert(shd === Seq("a b", "b a"))
   }
+
+  test("short calls raise a readable arity error, not IndexOutOfBounds") {
+    for (q <- Seq("SELECT word_shingles('x')", "SELECT roundp(1.5)",
+                  "SELECT float_cosine(array(1.0f))", "SELECT h60()")) {
+      val ex = intercept[Exception](spark.sql(q).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(m => m.contains("expects") && m.contains("argument")),
+        s"$q raised: ${msgs(ex).mkString(" | ")}")
+    }
+  }
 }

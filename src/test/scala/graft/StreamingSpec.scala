@@ -354,6 +354,29 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("bm25ScoreStream fails fast when a micro-batch exceeds the query cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 10L).map(i => (i, s"w${i % 3} filler$i")).toDF("doc_id", "text")
+    val idx = graft.operators.TextAnalysis.bm25BuildIndex(corpus)
+    val sIdx = graft.operators.TextAnalysis.Bm25Index(
+      idx.postings.localCheckpoint(), idx.lens.localCheckpoint(),
+      idx.dfreq.localCheckpoint(), idx.stats.localCheckpoint())
+    val input = MemoryStream[(String, String)]
+    input.addData((0 until 5).map(i => s"q$i" -> "w1"): _*)
+    val q = Streams.bm25ScoreStream(
+        input.toDF().toDF("query_id", "query_text"), sIdx, k = 3,
+        maxQueriesPerBatch = 2) { (_, _) => () }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxQueriesPerBatch")))
+  }
+
   test("trigramScoreStream scores from the static order-3 model exactly like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
