@@ -113,6 +113,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("portable_words", args, 1, 1)
         StringSplit(StringTrim(args.head), Literal("\\s+"), Literal(-1)) }))
     ext.injectFunction((
+      FunctionIdentifier("portable_words_scripted"),
+      info("portable_words_scripted",
+        "portable_words_scripted(text) - script-aware token list (Han per-ideograph, kana/Thai/Lao runs); DuckDB twin regexp_extract_all with the same literal classes"),
+      (args: Seq[Expression]) => { arity("portable_words_scripted", args, 1, 1)
+        RegExpExtractAll(args.head, Literal(Portable.scriptedPattern), Literal(0)) }))
+    ext.injectFunction((
       FunctionIdentifier("bpe_tokens"),
       info("bpe_tokens",
         "bpe_tokens(text) - BPE-ish token list (letter runs, digit runs, single punctuation); DuckDB twin regexp_extract_all"),

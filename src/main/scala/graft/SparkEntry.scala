@@ -99,6 +99,8 @@ object SparkEntry {
     // learned linear classifier next to the rule- and LM-based signals
     "q_quality_classifier" -> (L.qQualityClassifier _),
     "q_token_count" -> (L.qTokenCount _),
+    // script-aware (CJK/Thai) segmentation census
+    "q_token_count_cjk" -> (L.qTokenCountCjk _),
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
@@ -270,6 +272,7 @@ object SparkEntry {
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_token_count" -> L.qTokenCountSql,
+    "q_token_count_cjk" -> L.qTokenCountCjkSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,

@@ -58,4 +58,44 @@ object Portable {
   val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  // ---- script-aware segmentation (multilingual corpora) ----
+  // Whitespace splitting silently turns a Chinese/Japanese/Thai
+  // sentence into ONE "word", degrading every token-gated operator on
+  // the multilingual share of a web corpus. These classes are built
+  // from LITERAL characters (RE2 has no \uXXXX escape, so the ranges
+  // ride as raw UTF-8 — identical under Java regex and DuckDB's RE2),
+  // and the alternatives are pairwise disjoint, so leftmost-first
+  // matching is unambiguous on both engines.
+  private val HanCls = "㐀-䶿一-鿿" // CJK ideographs (ExtA + basic)
+  private val HiraCls = "぀-ゟ"
+  private val KataCls = "゠-ヿ" // includes the U+30FC prolonged-sound mark
+  private val ThaiCls = "ก-๿"
+  private val LaoCls = "຀-໿"
+  // U+3000 (ideographic space) is a SEPARATOR: it sits in no class,
+  // so extract-all skips it; U+3001-303F CJK punctuation tokenizes
+  // one char per token (the bpePattern convention for punctuation).
+  private val CjkPunctCls = "、-〿"
+
+  /** One token per Han ideograph. */
+  val hanTokenPattern: String = s"[$HanCls]"
+  /** Kana runs — hiragana and katakana segment separately (a script
+    * switch marks a word boundary in Japanese). */
+  val kanaRunPattern: String = s"[$HiraCls]+|[$KataCls]+"
+  /** Thai / Lao runs (no word delimiter in either script; a run per
+    * same-script stretch is the deterministic engine-portable cut). */
+  val seaRunPattern: String = s"[$ThaiCls]+|[$LaoCls]+"
+
+  /** Full scripted tokenization: Han one-per-ideograph, kana / Thai /
+    * Lao same-script runs, CJK punctuation one-per-char, everything
+    * else whitespace-delimited runs (identical to [[words]] on pure
+    * ASCII/Latin text — SegmentationSpec pins that). */
+  val scriptedPattern: String =
+    s"[$HanCls]|[$HiraCls]+|[$KataCls]+|[$ThaiCls]+|[$LaoCls]+|[$CjkPunctCls]|" +
+      s"[^\\s　-〿$HiraCls$KataCls$HanCls$ThaiCls$LaoCls]+"
+
+  /** Script-aware tokenization; DuckDB:
+    * `regexp_extract_all(x, scriptedPattern)` (same literal classes). */
+  def wordsScripted(text: Column): Column =
+    regexp_extract_all(text, lit(scriptedPattern), lit(0))
 }

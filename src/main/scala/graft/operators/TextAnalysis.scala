@@ -106,6 +106,30 @@ object TextAnalysis {
       size(Portable.bpeTokens(col("text"))).cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** Script-aware token counts for multilingual corpora
+    * (Portable.wordsScripted): Han ideographs one token per char,
+    * kana / Thai / Lao as same-script runs, everything else
+    * whitespace-delimited — whitespace splitting alone would count a
+    * whole CJK sentence as ONE token, silently degrading every
+    * token-gated stat on the multilingual share of a web corpus.
+    * Emits per-script censuses plus an md5 over the full token list,
+    * so any boundary drift fails the hash, not just the counts.
+    * Zero-shuffle codegen projection (five native regexp passes per
+    * doc); identical literal-class regexes replay under DuckDB RE2. */
+  def tokenCountsScripted(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Portable.wordsScripted(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(Portable.hanTokenPattern), lit(0)))
+        .cast("long").as("n_han"),
+      size(regexp_extract_all(col("text"), lit(Portable.kanaRunPattern), lit(0)))
+        .cast("long").as("n_kana"),
+      size(regexp_extract_all(col("text"), lit(Portable.seaRunPattern), lit(0)))
+        .cast("long").as("n_sea"),
+      // the \\u0001 separator keeps boundaries in the hash ("ab","c"
+      // vs "a","bc" must differ); DuckDB twin: array_to_string(l, chr(1))
+      md5(concat_ws("\u0001", Portable.wordsScripted(col("text")))).as("tok_md5"))
+
   /** Gopher-style repetition metrics: fraction of duplicate words and
     * the share of the most frequent word bigram. Per-doc word stats ride
     * below the bigram explode; the only shuffles are the two partial-agg

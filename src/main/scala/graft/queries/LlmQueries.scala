@@ -1121,6 +1121,52 @@ object LlmQueries {
        |  CAST(length(text) AS BIGINT) AS n_chars
        |FROM documents""".stripMargin
 
+  // ---- script-aware (multilingual) token counts ----
+
+  /** Mixed-script injections for [[qTokenCountCjk]] — closed-form per
+    * doc_id so the oracle rebuilds the identical corpus. Expected
+    * segmentations (SegmentationSpec pins them exactly):
+    * Chinese 6 Han singles; Japanese katakana-run + 2 Han + run;
+    * Thai one same-script run; mixed Latin/Han/punct/hiragana. */
+  private val MixZh = "机器学习模型"
+  private val MixJa = "データ学習モデル"
+  private val MixTh = "การเรียนรู้" +
+    "ด้วยเครื่อง"
+  private val MixMx = "mixed漢字data、ここ"
+
+  /** Scripted token census over a mixed-script corpus: the documents
+    * table widened with closed-form Chinese / Japanese / Thai / mixed
+    * tails (doc_id % 4). Whitespace counting sees each tail as ONE
+    * word; the scripted segmenter (Portable.wordsScripted) cuts Han
+    * per ideograph and kana/Thai as script runs — the per-script
+    * censuses and the token-list md5 gate the exact boundaries. */
+  def qTokenCountCjk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val id = col("doc_id")
+    val mixed = concat(col("text"), lit(" "),
+      when(id % 4 === 0, lit(MixZh))
+        .when(id % 4 === 1, lit(MixJa))
+        .when(id % 4 === 2, lit(MixTh))
+        .otherwise(lit(MixMx)))
+    TextAnalysis.tokenCountsScripted(docs.select(id, mixed.as("text")))
+  }
+
+  val qTokenCountCjkSql: String = {
+    val P = graft.functions.Portable
+    s"""WITH d AS (SELECT doc_id,
+       |    text || ' ' || CASE doc_id % 4
+       |      WHEN 0 THEN '$MixZh' WHEN 1 THEN '$MixJa'
+       |      WHEN 2 THEN '$MixTh' ELSE '$MixMx' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${P.scriptedPattern}')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '${P.hanTokenPattern}')) AS BIGINT) AS n_han,
+       |  CAST(len(regexp_extract_all(text, '${P.kanaRunPattern}')) AS BIGINT) AS n_kana,
+       |  CAST(len(regexp_extract_all(text, '${P.seaRunPattern}')) AS BIGINT) AS n_sea,
+       |  md5(array_to_string(regexp_extract_all(text, '${P.scriptedPattern}'), chr(1))) AS tok_md5
+       |FROM d""".stripMargin
+  }
+
   // ---- corpus vocabulary top-k ----
 
   /** Frequency-table building: top 100 corpus tokens with counts,

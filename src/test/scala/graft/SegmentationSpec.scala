@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Script-aware segmentation (Portable.wordsScripted): Han per
+  * ideograph, kana / Thai / Lao same-script runs, CJK punctuation one
+  * per char, U+3000 a separator — and BYTE-IDENTICAL to the plain
+  * whitespace path on pure ASCII/Latin text, so every existing
+  * English-fixture operator is unaffected by the new tokenizer's
+  * existence. The oracle-side twin is the same literal-class regex
+  * under RE2 (q_token_count_cjk gates it cross-engine). */
+class SegmentationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seg(s: String): Seq[String] =
+    Seq(s).toDF("t").select(Portable.wordsScripted(col("t"))).collect()(0)
+      .getSeq[String](0)
+
+  test("pure-ASCII text segments identically to the whitespace path") {
+    val fixtures = Seq(
+      "the quick brown fox", "  leading and trailing  ",
+      "punct, stays! glued-to words.", "digits 123 mix3d a1b2")
+    for (f <- fixtures) {
+      val ws = Seq(f).toDF("t").select(Portable.words(col("t"))).collect()(0)
+        .getSeq[String](0)
+      assert(seg(f) === ws, s"scripted != whitespace on: $f")
+    }
+  }
+
+  test("Han segments one token per ideograph") {
+    assert(seg("机器学习模型") === Seq("机", "器", "学", "习", "模", "型"))
+  }
+
+  test("Japanese: kana runs, script switches cut") {
+    // katakana run (incl. U+30FC prolonged mark), Han singles, run
+    assert(seg("データ学習モデル") === Seq("データ", "学", "習", "モデル"))
+    // hiragana vs katakana switch is a boundary
+    assert(seg("これはテスト") === Seq("これは", "テスト"))
+  }
+
+  test("Thai segments as one same-script run") {
+    assert(seg("การเรียนรู้ด้วยเครื่อง").length === 1)
+  }
+
+  test("mixed Latin/Han/punct/hiragana") {
+    assert(seg("mixed漢字data、ここ") ===
+      Seq("mixed", "漢", "字", "data", "、", "ここ"))
+  }
+
+  test("U+3000 ideographic space separates, CJK punct is its own token") {
+    assert(seg("漢　字") === Seq("漢", "字"))
+    assert(seg("a。b") === Seq("a", "。", "b"))
+  }
+
+  test("portable_words_scripted registers as a SQL function") {
+    val t = spark.sql("SELECT portable_words_scripted('ab 漢字 cd')")
+      .collect()(0).getSeq[String](0)
+    assert(t === Seq("ab", "漢", "字", "cd"))
+  }
+
+  test("scripted token census: whitespace sees 1, scripted sees the cut") {
+    val df = Seq((0L, "hello 机器学习")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.tokenCountsScripted(df).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 5L) // hello + 4 han
+    assert(r.getAs[Long]("n_han") === 4L)
+    assert(r.getAs[Long]("n_kana") === 0L)
+    assert(r.getAs[Long]("n_sea") === 0L)
+  }
+}
