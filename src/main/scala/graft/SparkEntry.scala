@@ -114,6 +114,8 @@ object SparkEntry {
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
     "q_url_filter" -> (L.qUrlFilter _),
+    // link-graph PageRank domain prior
+    "q_domain_rank" -> (L.qDomainRank _),
     "q_url_canon" -> (L.qUrlCanon _),
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
@@ -281,6 +283,7 @@ object SparkEntry {
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
+    "q_domain_rank" -> L.qDomainRankSql,
     "q_url_canon" -> L.qUrlCanonSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_bm25_topk" -> L.qBm25TopkSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
-import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Graph, Multimodal, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
 import graft.sources.{Tables, Warc}
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
@@ -1679,6 +1679,77 @@ object LlmQueries {
       |  || 'site' || k || '.example.com' AS hosts,
       |  CAST(CASE WHEN tr1 + tr2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM d""".stripMargin
+
+  // ---- link-graph domain rank (PageRank prior) ----
+
+  private val PrIters = 5
+  private val PrDamp = 850000L
+
+  /** PageRank over the host link graph (operators/Graph): the
+    * domain-authority prior crawl curation combines with per-document
+    * quality. Closed-form fixture: each doc's origin host is
+    * `source`.example.org and its text carries the qUrlFilter URL
+    * conventions (a content link to site{doc_id%7}.example.com, a
+    * tracker on doc_id%3=0 or %4=2, a CDN host on %5=1) — so origins
+    * link out, content/CDN/tracker hosts are DANGLING, and the oracle
+    * rebuilds the identical edge set without parsing a URL, then
+    * replays the 5-round fixed-point trajectory as chained CTEs.
+    * Spark runs the real machinery: regex extraction, host
+    * normalization, distinct edges, per-round shuffled contribution
+    * sums with broadcast dangling mass. */
+  def qDomainRank(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val k = (id % 7).cast("string")
+    val withUrls = concat(
+      col("text"),
+      lit(" see https://site"), k, lit(".example.com/p/"), id.cast("string"),
+      when(id % 3 === 0 || id % 4 === 2,
+        concat(lit(" http://www.Ads-Tracker.net/pixel?id="), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 1,
+        concat(lit(" https://CDN.site"), k, lit(".example.com/x.js")))
+        .otherwise(lit("")))
+    val docs = Tables(spark, dir).documents
+      .select(concat(col("source"), lit(".example.org")).as("src_host"),
+        withUrls.as("text"))
+    val ranks = Graph.pageRank(Graph.linkEdges(docs), PrIters, PrDamp)
+    ranks.select(col("host"), col("out_deg"), col("rank_fp"),
+      Portable.roundp(col("rank_fp").cast("double") / lit(1e12), 9).as("rank"))
+  }
+
+  val qDomainRankSql: String = {
+    val S = graft.operators.Graph.RankScale
+    val base = s"((${1000000L - PrDamp} * ($S // nn.n)) // 1000000)"
+    val rounds = (0 until PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS host, CAST(sum(r.r // r.out_deg) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r$i r ON e.src = r.host AND r.out_deg > 0 GROUP BY 1),
+         |g$i AS (SELECT CAST(COALESCE(sum(CASE WHEN out_deg = 0 THEN r END), 0) AS BIGINT) AS dang FROM r$i),
+         |r${i + 1} AS (SELECT o.host, o.out_deg,
+         |    CAST($base + ($PrDamp * (COALESCE(c.contrib, 0) + (g.dang // nn.n))) // 1000000 AS BIGINT) AS r
+         |  FROM od o LEFT JOIN c$i c ON o.host = c.host, g$i g, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, source, CAST(doc_id % 7 AS VARCHAR) AS k,
+       |    CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 END AS tr,
+       |    CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS cdn
+       |  FROM documents),
+       |el AS (
+       |  SELECT source || '.example.org' AS src, 'site' || k || '.example.com' AS dst FROM d
+       |  UNION ALL
+       |  SELECT source || '.example.org', 'ads-tracker.net' FROM d WHERE tr = 1
+       |  UNION ALL
+       |  SELECT source || '.example.org', 'cdn.site' || k || '.example.com' FROM d WHERE cdn = 1),
+       |edges AS (SELECT DISTINCT src, dst FROM el),
+       |nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+       |od AS (SELECT n.host, CAST(COALESCE(c.c, 0) AS BIGINT) AS out_deg FROM nodes n
+       |  LEFT JOIN (SELECT src, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY 1) c
+       |    ON n.host = c.src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT host, out_deg, CAST($S // nn.n AS BIGINT) AS r FROM od, nn),
+       |$rounds
+       |SELECT host, out_deg, r AS rank_fp,
+       |  floor((CAST(r AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9 AS rank
+       |FROM r$PrIters""".stripMargin
+  }
 
   // ---- budgeted best-first corpus selection ----
 

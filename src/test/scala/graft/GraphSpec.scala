@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** PageRank (operators/Graph) invariants: fixed-point rank mass is
+  * conserved per round up to integer floor losses, dangling mass is
+  * redistributed (not dropped), sink-less nodes all carry the same
+  * closed-form rank, and the trajectory is deterministic. Cross-engine
+  * value parity is q_domain_rank's oracle row; this spec pins the
+  * algebra. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> b, a -> c, b -> c; c dangling
+  private def triangle = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+
+  test("rank mass is conserved per round up to floor losses") {
+    for (iters <- 1 to 4) {
+      val total = Graph.pageRank(triangle, iters)
+        .agg(sum("rank_fp")).collect()(0).getLong(0)
+      // every floor (per-edge contrib, per-node damping, dangling
+      // share, base) loses < 1 unit on the 1e12 grid; with 3 nodes and
+      // 3 edges per round the loss is bounded far below 1e3 per round
+      assert(total <= Graph.RankScale, s"iters=$iters total=$total")
+      assert(total > Graph.RankScale - 1000L * iters - 3,
+        s"iters=$iters total=$total lost too much mass")
+    }
+  }
+
+  test("dangling node redistributes; in-link-rich node ranks highest") {
+    val r = Graph.pageRank(triangle, 8).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("rank_fp")).toMap
+    // c has two in-links and receives the most mass; a has none
+    assert(r("c") > r("b") && r("b") > r("a"))
+    // a (no in-links) still holds base + dangling share > 0
+    assert(r("a") > 0L)
+  }
+
+  test("no-in-link nodes all carry the identical closed-form rank") {
+    // star: o1..o3 -> hub; origins have no in-links
+    val star = Seq(("o1", "hub"), ("o2", "hub"), ("o3", "hub")).toDF("src", "dst")
+    val r = Graph.pageRank(star, 5).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("rank_fp")).toMap
+    assert(r("o1") === r("o2") && r("o2") === r("o3"))
+    assert(r("hub") > r("o1"))
+  }
+
+  test("deterministic across invocations and partitionings") {
+    val e1 = triangle.repartition(7)
+    val a = Graph.pageRank(e1, 5).collect().map(_.toString).sorted.toSeq
+    val b = Graph.pageRank(triangle.coalesce(1), 5).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("linkEdges extracts normalized distinct host edges") {
+    val docs = Seq(
+      ("h1.org", "see https://WWW.Target.com/a and http://other.net/b"),
+      ("h1.org", "again https://target.com/c"),
+      ("h2.org", "self http://h2.org/loop plus https://target.com/d"))
+      .toDF("src_host", "text")
+    val e = Graph.linkEdges(docs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // www-strip + lowercase collapse the two target.com forms; the
+    // self-link drops
+    assert(e === Set(("h1.org", "target.com"), ("h1.org", "other.net"),
+      ("h2.org", "target.com")))
+  }
+}
