@@ -106,6 +106,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     // BPE tokenization under a fixed merge-rank table
     "q_bpe_encode" -> (L.qBpeEncode _),
+    // the BPE TRAINER gated by merge-trajectory replay
+    "q_bpe_train" -> (L.qBpeTrain _),
     // Dolma-style PII masking (emails/phones/IPs -> mask tokens)
     "q_pii_scrub" -> (L.qPiiScrub _),
     // crawl-pipeline HTML text extraction (script/style, tags, entities)
@@ -279,6 +281,7 @@ object SparkEntry {
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,
+    "q_bpe_train" -> L.qBpeTrainSql,
     "q_pii_scrub" -> L.qPiiScrubSql,
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,

@@ -1316,6 +1316,68 @@ object LlmQueries {
        |FROM expl""".stripMargin
   }
 
+  // ---- BPE TRAINING, oracle-gated by merge-trajectory replay ----
+
+  private val BpeTrainMerges = 8
+
+  /** The BPE TRAINER inside the oracle gate: learn [[BpeTrainMerges]]
+    * merges from the natural corpus (TextAnalysis.bpeTrain — the exact
+    * Sennrich algorithm over the unique-word frequency table) and emit
+    * the learned merge sequence. The oracle replays the trajectory as
+    * chained CTEs (the q_ann_pq_trained precedent): per round, the
+    * weighted pair census, the (freq desc, pair asc) argmax, and the
+    * LEFT-TO-RIGHT non-overlapping merge — replayed positionally with
+    * windows (overlap is only possible inside equal-symbol runs, where
+    * a run-parity flag reproduces the greedy pass; the 'aaa aaa'
+    * fixture in QualitySpec pins it). Any trainer bug — tie-break,
+    * overlap handling, stop rule — changes a merge and fails the
+    * hash. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeTrain(Tables(spark, dir).documents, BpeTrainMerges)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_idx", "sym_a", "sym_b")
+  }
+
+  val qBpeTrainSql: String = {
+    val rounds = (0 until BpeTrainMerges).map { i =>
+      s"""m$i AS (SELECT a, b FROM (
+         |    SELECT s[j] AS a, s[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |    FROM w$i, unnest(generate_series(1, len(s) - 1)) AS t(j) GROUP BY 1, 2)
+         |  WHERE n >= 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |w${i + 1} AS (
+         |  SELECT wid, freq, list(CASE WHEN sf THEN a || b ELSE sym END ORDER BY j) AS s
+         |  FROM (
+         |    SELECT wid, freq, j, sym, a, b, sf,
+         |      COALESCE(lag(sf) OVER (PARTITION BY wid ORDER BY j), false) AS consumed
+         |    FROM (
+         |      SELECT wid, freq, j, sym, a, b,
+         |        (a IS NOT NULL AND sym = a AND nxt = b AND
+         |         (a <> b OR (j - (COALESCE(lastnota, 0) + 1)) % 2 = 0)) AS sf
+         |      FROM (
+         |        SELECT e.wid, e.freq, e.j, e.sym, m.a, m.b,
+         |          lead(e.sym) OVER (PARTITION BY e.wid ORDER BY e.j) AS nxt,
+         |          max(CASE WHEN e.sym <> m.a THEN e.j END) OVER (
+         |            PARTITION BY e.wid ORDER BY e.j
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastnota
+         |        FROM (SELECT wid, freq, j, s[j] AS sym
+         |              FROM w$i, unnest(generate_series(1, len(s))) AS t(j)) e
+         |        LEFT JOIN m$i m ON TRUE)))
+         |  WHERE NOT consumed GROUP BY wid, freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until BpeTrainMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS sym_a, b AS sym_b FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word AS wid, CAST(count(*) AS BIGINT) AS freq,
+       |    list_concat(string_split(word, ''), ['</w>']) AS s
+       |  FROM (SELECT unnest(${wordsSql("text")}) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   // ---- PII scrubbing (Dolma-style masking) ----
 
   /** PII masking, oracle-gated like qImageDecode: the corpus carries no

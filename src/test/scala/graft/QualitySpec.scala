@@ -357,6 +357,17 @@ class QualitySpec extends SparkSpec {
     assert(m2.length < 50 && m2.nonEmpty)
   }
 
+  test("bpeTrain equal-symbol runs: greedy left-to-right non-overlap (q_bpe_train's parity rule)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 'aaa' x2: round 1 merges (a,a) count 4; the greedy pass leaves
+    // [aa, a, </w>] (an overlap bug yields [aa, aa-less] shapes whose
+    // round-2 census differs), so round 2's argmax is (a,</w>) count 2
+    // over the ("a","</w>") < ("aa","a") UTF-8 tie
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, 2) === Seq(("a", "a"), ("a", "</w>")))
+  }
+
   test("sessionizeDeclarative property: random gap sequences match the gaps-and-islands reference") {
     import spark.implicits._
     // the q_sessionize oracle pins ONE real exact-gap pair; this sweep
