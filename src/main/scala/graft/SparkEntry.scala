@@ -191,6 +191,9 @@ object SparkEntry {
     "q_dedup_stitch" -> (L.qDedupStitch _),
     "q_multimodal_meta" -> (L.qMultimodalMeta _),
     "q_multimodal_frames" -> (L.qMultimodalFrames _),
+    // real ISO-BMFF atom walk + frame sampling over parsed counts
+    "q_video_meta" -> (L.qVideoMeta _),
+    "q_video_frames" -> (L.qVideoFrames _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
@@ -332,6 +335,8 @@ object SparkEntry {
     "q_dedup_stitch" -> L.qDedupStitchSql,
     "q_multimodal_meta" -> L.qMultimodalMetaSql,
     "q_multimodal_frames" -> L.qMultimodalFramesSql,
+    "q_video_meta" -> L.qVideoMetaSql,
+    "q_video_frames" -> L.qVideoFramesSql,
     "q_image_phash" -> L.qImagePhashSql,
     "q_audio_fingerprint" -> L.qAudioFingerprintSql,
     "q_image_decode" -> L.qImageDecodeSql,

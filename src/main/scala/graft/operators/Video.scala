@@ -1,0 +1,236 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ISO-BMFF (MP4) container metadata — the video leg of the multimodal
+  * column family, built on the synthesize-then-decode oracle pattern
+  * ([[graft.sources.Warc]] / Multimodal.encodePng precedent): payloads
+  * are REAL ISO/IEC 14496-12 box trees
+  * (ftyp / moov / mvhd / trak / tkhd / mdia / mdhd / minf / stbl /
+  * stts) whose field values are closed-form functions of the row id,
+  * so the DuckDB oracle replays the expected metadata without parsing
+  * a byte — any bent offset, wrong fixed-point shift, or mis-walked
+  * child box fails the hash gate.
+  *
+  * The parser is a partition-local recursive atom walk (a pure JVM
+  * kernel in a mapPartitions — no Catalyst expression can walk a
+  * length-prefixed tree), honoring the real framing rules: 32-bit
+  * sizes, size==1 → 64-bit largesize, size==0 → to-end-of-enclosure.
+  * Malformed containers become quarantine ROWS (`ok = 0` + reason),
+  * never task failures — the Jsonl/Warc contract. */
+object Video {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", LongType),
+    StructField("n_frames", LongType),
+    StructField("max_width", LongType),
+    StructField("max_height", LongType),
+    StructField("ok", LongType, nullable = false),
+    StructField("reason", StringType)))
+
+  // ---- encoder ----
+
+  private def be32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+
+  private def box(tpe: String, content: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(content.length + 8)
+    be32(out, content.length + 8L)
+    out.write(tpe.getBytes("US-ASCII"))
+    out.write(content)
+    out.toByteArray
+  }
+
+  private def fullBoxContent(fields: (ByteArrayOutputStream => Unit)): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    be32(out, 0L) // version 0, flags 0
+    fields(out)
+    out.toByteArray
+  }
+
+  /** One track spec for the encoder. */
+  case class TrackSpec(track_id: Long, w: Long, h: Long, frames: Long)
+
+  private[operators] def buildMp4(timescale: Long, duration: Long,
+                                  tracks: Seq[TrackSpec], corrupt: Int): Array[Byte] = {
+    val ftyp = {
+      val c = new ByteArrayOutputStream()
+      c.write("isom".getBytes("US-ASCII")); be32(c, 512L)
+      c.write("isom".getBytes("US-ASCII")); c.write("mp41".getBytes("US-ASCII"))
+      box("ftyp", c.toByteArray)
+    }
+    val mvhd = box("mvhd", fullBoxContent { c =>
+      be32(c, 0L); be32(c, 0L) // creation, modification
+      be32(c, timescale); be32(c, duration)
+      be32(c, 0x00010000L) // rate 1.0
+      c.write(1); c.write(0) // volume 1.0
+      c.write(new Array[Byte](10)) // reserved
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+        .foreach(be32(c, _)) // unity matrix
+      c.write(new Array[Byte](24)) // pre_defined
+      be32(c, tracks.map(_.track_id).foldLeft(0L)(math.max) + 1) // next id
+    })
+    val traks = tracks.map { t =>
+      val tkhd = box("tkhd", fullBoxContent { c =>
+        be32(c, 0L); be32(c, 0L) // creation, modification
+        be32(c, t.track_id); be32(c, 0L) // reserved
+        be32(c, duration)
+        c.write(new Array[Byte](8)) // reserved
+        c.write(new Array[Byte](4)) // layer + alternate_group
+        c.write(new Array[Byte](4)) // volume + reserved
+        Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+          .foreach(be32(c, _))
+        be32(c, t.w << 16); be32(c, t.h << 16) // 16.16 fixed point
+      })
+      val mdhd = box("mdhd", fullBoxContent { c =>
+        be32(c, 0L); be32(c, 0L)
+        be32(c, timescale); be32(c, duration)
+        c.write(0x55); c.write(0xc4) // language 'und'
+        c.write(0); c.write(0) // pre_defined
+      })
+      val stts = box("stts", fullBoxContent { c =>
+        be32(c, 1L) // entry_count
+        be32(c, t.frames); be32(c, 40L) // sample_count, sample_delta
+      })
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf", box("stbl", stts))))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val whole = ftyp ++ moov
+    corrupt match {
+      case 1 => whole.dropRight(20) // truncated container
+      case 2 => // moov claims an impossible 4-byte size
+        val at = ftyp.length
+        whole(at) = 0; whole(at + 1) = 0; whole(at + 2) = 0; whole(at + 3) = 4
+        whole
+      case _ => whole
+    }
+  }
+
+  /** Synthesize MP4 payloads partition-locally from spec rows
+    * `(doc_id, timescale, duration, tracks:array<struct<track_id,w,h,
+    * frames>>, corrupt)` — the encodePng altitude. */
+  def encodeMp4(specs: DataFrame): DataFrame = {
+    val spark = specs.sparkSession
+    val out = specs.select(col("doc_id").cast("long"),
+        col("timescale").cast("long"), col("duration").cast("long"),
+        col("tracks"), col("corrupt").cast("int"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val tracks = r.getSeq[Row](3).map(t => TrackSpec(
+            t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
+          Row(r.getLong(0), buildMp4(r.getLong(1), r.getLong(2), tracks, r.getInt(4)))
+        }
+      }
+    spark.createDataFrame(out, payloadSchema)
+  }
+
+  // ---- parser ----
+
+  private final class Malformed(val reason: String) extends Exception(reason)
+
+  private def rdBe32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def rdBe64(b: Array[Byte], o: Int): Long =
+    (rdBe32(b, o) << 32) | rdBe32(b, o + 4)
+
+  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  private final class ParseState {
+    var brand: String = null
+    var timescale: Long = -1L
+    var duration: Long = -1L
+    var nTracks: Long = 0L
+    var frames: Long = 0L
+    var maxW: Long = 0L
+    var maxH: Long = 0L
+  }
+
+  /** Walk boxes in b[start, end); throws Malformed on framing errors. */
+  private def walk(b: Array[Byte], start: Int, end: Int, st: ParseState): Unit = {
+    var pos = start
+    while (pos < end) {
+      if (pos + 8 > end) throw new Malformed("truncated-box")
+      val size32 = rdBe32(b, pos)
+      val tpe = new String(b, pos + 4, 4, "US-ASCII")
+      var header = 8
+      val size: Long =
+        if (size32 == 0L) (end - pos).toLong // to end of enclosure
+        else if (size32 == 1L) { // 64-bit largesize
+          if (pos + 16 > end) throw new Malformed("truncated-box")
+          header = 16
+          rdBe64(b, pos + 8)
+        } else size32
+      if (size < header) throw new Malformed("bad-box-size")
+      if (pos + size > end) throw new Malformed("truncated-box")
+      val bodyStart = pos + header
+      val bodyEnd = (pos + size).toInt
+      tpe match {
+        case t if Containers.contains(t) => walk(b, bodyStart, bodyEnd, st)
+        case "ftyp" =>
+          if (bodyEnd - bodyStart < 4) throw new Malformed("truncated-box")
+          st.brand = new String(b, bodyStart, 4, "US-ASCII")
+        case "mvhd" =>
+          if (bodyEnd - bodyStart < 20) throw new Malformed("truncated-box")
+          st.timescale = rdBe32(b, bodyStart + 12)
+          st.duration = rdBe32(b, bodyStart + 16)
+        case "tkhd" =>
+          if (bodyEnd - bodyStart < 84) throw new Malformed("truncated-box")
+          st.nTracks += 1
+          st.maxW = math.max(st.maxW, rdBe32(b, bodyStart + 76) >> 16)
+          st.maxH = math.max(st.maxH, rdBe32(b, bodyStart + 80) >> 16)
+        case "stts" =>
+          if (bodyEnd - bodyStart < 8) throw new Malformed("truncated-box")
+          val entries = rdBe32(b, bodyStart + 4)
+          if (bodyEnd - bodyStart < 8 + entries * 8) throw new Malformed("truncated-box")
+          var e = 0
+          while (e < entries) { st.frames += rdBe32(b, bodyStart + 8 + e * 8); e += 1 }
+        case _ => () // unknown leaf: skip (the ISO-BMFF forward-compat rule)
+      }
+      pos = bodyEnd
+    }
+  }
+
+  private[operators] def parseOne(id: Long, payload: Array[Byte]): Row =
+    try {
+      val st = new ParseState
+      walk(payload, 0, payload.length, st)
+      if (st.brand == null || st.timescale <= 0) throw new Malformed("missing-required-box")
+      Row(id, st.brand, st.timescale, st.duration,
+        st.duration * 1000L / st.timescale,
+        st.nTracks, st.frames, st.maxW, st.maxH, 1L, null)
+    } catch {
+      case m: Malformed =>
+        Row(id, null, null, null, null, null, null, null, null, 0L, m.reason)
+      case _: IndexOutOfBoundsException =>
+        Row(id, null, null, null, null, null, null, null, null, 0L, "truncated-box")
+    }
+
+  /** Parse container metadata from `(idCol, payloadCol)` rows: brand,
+    * movie timescale/duration (+ integer-exact duration_ms), track
+    * census, total stts frame count, max track dimensions. Malformed
+    * payloads quarantine as `ok = 0` rows. Partition-local, no
+    * shuffle. */
+  def parseMp4(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions(_.map(r => parseOne(r.getLong(0), r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(out, metaSchema)
+  }
+}

@@ -3233,6 +3233,82 @@ object LlmQueries {
        |  unnest(generate_series(0, CAST(floor((n_frames - 1) / $FrameEvery) AS BIGINT))) * $FrameEvery AS frame_idx
        |FROM m""".stripMargin
 
+  // ---- real ISO-BMFF video containers ----
+
+  /** ISO-BMFF metadata through the real atom walk (operators/Video):
+    * payloads are genuine ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/minf/
+    * stbl/stts trees whose fields are closed-form in doc_id, two
+    * mod-cycles carry distinct corruptions (a truncated container and
+    * a moov box claiming a 4-byte size), and the oracle emits the
+    * expected metadata / quarantine verdicts without touching a byte
+    * — the WARC/WKB/WAV synthesize-decode pattern on the video leg. */
+  def qVideoMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Video.parseMp4(
+      graft.operators.Video.encodeMp4(videoSpecs(Tables(spark, dir).documents)),
+      "doc_id", "payload")
+
+  private def videoSpecs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id,
+      (lit(600L) + (id % 5) * 120L).as("timescale"),
+      (lit(1000L) + (id % 9999) * 37L).as("duration"),
+      transform(sequence(lit(0L), id % 3), k => struct(
+        (k + 1L).as("track_id"),
+        (lit(320L) + lit(16L) * ((id + k) % 20)).as("w"),
+        (lit(240L) + lit(8L) * ((id + k) % 15)).as("h"),
+        ((id % 29) + lit(10L) * (k + 1L)).as("frames"))).as("tracks"),
+      when(id % 13 === 5, 1).when(id % 13 === 9, 2).otherwise(0).as("corrupt"))
+  }
+
+  private val videoSpecSql: String =
+    """s AS (SELECT doc_id, 600 + (doc_id % 5) * 120 AS ts,
+      |    1000 + (doc_id % 9999) * 37 AS dur,
+      |    CASE WHEN doc_id % 13 = 5 THEN 1 WHEN doc_id % 13 = 9 THEN 2 ELSE 0 END AS corrupt
+      |  FROM documents),
+      |tr AS (SELECT doc_id, 320 + 16 * ((doc_id + k) % 20) AS w,
+      |    240 + 8 * ((doc_id + k) % 15) AS h,
+      |    (doc_id % 29) + 10 * (k + 1) AS fr
+      |  FROM s, unnest(generate_series(0, doc_id % 3)) AS t(k)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tracks,
+      |    CAST(sum(fr) AS BIGINT) AS n_frames,
+      |    CAST(max(w) AS BIGINT) AS max_width, CAST(max(h) AS BIGINT) AS max_height
+      |  FROM tr GROUP BY 1)""".stripMargin
+
+  val qVideoMetaSql: String =
+    s"""WITH $videoSpecSql
+       |SELECT s.doc_id,
+       |  CASE WHEN corrupt = 0 THEN 'isom' END AS brand,
+       |  CASE WHEN corrupt = 0 THEN CAST(ts AS BIGINT) END AS timescale,
+       |  CASE WHEN corrupt = 0 THEN CAST(dur AS BIGINT) END AS duration,
+       |  CASE WHEN corrupt = 0 THEN CAST(dur AS BIGINT) * 1000 // CAST(ts AS BIGINT) END AS duration_ms,
+       |  CASE WHEN corrupt = 0 THEN a.n_tracks END AS n_tracks,
+       |  CASE WHEN corrupt = 0 THEN a.n_frames END AS n_frames,
+       |  CASE WHEN corrupt = 0 THEN a.max_width END AS max_width,
+       |  CASE WHEN corrupt = 0 THEN a.max_height END AS max_height,
+       |  CAST(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+       |  CASE WHEN corrupt = 1 THEN 'truncated-box'
+       |       WHEN corrupt = 2 THEN 'bad-box-size' END AS reason
+       |FROM s LEFT JOIN agg a ON s.doc_id = a.doc_id""".stripMargin
+
+  /** Frame sampling over REAL parsed frame counts: every-4th frame of
+    * each healthy container's stts total — the q_multimodal_frames
+    * plumbing shape fed by the atom walk instead of a digest stub
+    * (that query stays registered as the cheap declarative variant;
+    * this one completes the video family). */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    qVideoMeta(spark, dir)
+      .where(col("ok") === 1)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), expr(s"(n_frames - 1) div $FrameEvery"))).as("__i"))
+      .select(col("doc_id"), col("n_frames"),
+        (col("__i") * FrameEvery).cast("long").as("frame_idx"))
+
+  val qVideoFramesSql: String =
+    s"""WITH $videoSpecSql
+       |SELECT s.doc_id, a.n_frames,
+       |  CAST(unnest(generate_series(0, (a.n_frames - 1) // $FrameEvery)) * $FrameEvery AS BIGINT) AS frame_idx
+       |FROM s JOIN agg a ON s.doc_id = a.doc_id WHERE s.corrupt = 0""".stripMargin
+
   // ---- deterministic HLL distinct-count sketch ----
 
   /** Per-language trigram cardinality both ways: the EXACT distinct

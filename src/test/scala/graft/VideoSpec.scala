@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Video
+
+/** ISO-BMFF codec pins (operators/Video): exact encode→parse
+  * roundtrip, the real framing rules (size==0 to-end, size==1
+  * largesize, unknown-box skip), and the quarantine contract —
+  * malformed containers are rows, never task failures. Cross-engine
+  * value parity is q_video_meta's oracle row. */
+class VideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def specFrame(corrupt: Int = 0) = {
+    val id = col("doc_id")
+    Seq(7L).toDF("doc_id").select(id,
+      lit(1000L).as("timescale"), lit(48000L).as("duration"),
+      array(
+        struct(lit(1L).as("track_id"), lit(640L).as("w"), lit(360L).as("h"),
+          lit(120L).as("frames")),
+        struct(lit(2L).as("track_id"), lit(1280L).as("w"), lit(720L).as("h"),
+          lit(240L).as("frames"))).as("tracks"),
+      lit(corrupt).as("corrupt"))
+  }
+
+  test("encode -> parse roundtrip recovers every field exactly") {
+    val r = Video.parseMp4(Video.encodeMp4(specFrame()), "doc_id", "payload")
+      .collect()(0)
+    assert(r.getAs[String]("brand") === "isom")
+    assert(r.getAs[Long]("timescale") === 1000L)
+    assert(r.getAs[Long]("duration") === 48000L)
+    assert(r.getAs[Long]("duration_ms") === 48000L)
+    assert(r.getAs[Long]("n_tracks") === 2L)
+    assert(r.getAs[Long]("n_frames") === 360L)
+    assert(r.getAs[Long]("max_width") === 1280L)
+    assert(r.getAs[Long]("max_height") === 720L)
+    assert(r.getAs[Long]("ok") === 1L)
+  }
+
+  test("corruptions quarantine with distinct reasons, never fail the task") {
+    val t = Video.parseMp4(Video.encodeMp4(specFrame(corrupt = 1)),
+      "doc_id", "payload").collect()(0)
+    assert(t.getAs[Long]("ok") === 0L && t.getAs[String]("reason") === "truncated-box")
+    assert(t.isNullAt(t.fieldIndex("brand")))
+    val b = Video.parseMp4(Video.encodeMp4(specFrame(corrupt = 2)),
+      "doc_id", "payload").collect()(0)
+    assert(b.getAs[Long]("ok") === 0L && b.getAs[String]("reason") === "bad-box-size")
+  }
+
+  test("framing rules: size==0 (to end), size==1 (largesize), unknown boxes skip") {
+    val base = Video.parseMp4(Video.encodeMp4(specFrame()), "doc_id", "payload")
+    val payload = Video.encodeMp4(specFrame()).collect()(0).getAs[Array[Byte]](1)
+    // locate moov (follows the 24-byte ftyp)
+    val moovAt = 24
+    assert(new String(payload, moovAt + 4, 4, "US-ASCII") === "moov")
+    // size==0: moov extends to end of file
+    val zeroSize = payload.clone()
+    zeroSize(moovAt) = 0; zeroSize(moovAt + 1) = 0
+    zeroSize(moovAt + 2) = 0; zeroSize(moovAt + 3) = 0
+    // size==1: 64-bit largesize carrying the original size, box body
+    // shifted by the 8 extra header bytes
+    val origSize = ((payload(moovAt) & 0xff) << 24) | ((payload(moovAt + 1) & 0xff) << 16) |
+      ((payload(moovAt + 2) & 0xff) << 8) | (payload(moovAt + 3) & 0xff)
+    val large = payload.take(moovAt) ++
+      Array[Byte](0, 0, 0, 1) ++ "moov".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0,
+        ((origSize + 8) >> 8).toByte, ((origSize + 8) & 0xff).toByte) ++
+      payload.drop(moovAt + 8)
+    // unknown top-level box ('free') between ftyp and moov must skip
+    val free = payload.take(moovAt) ++
+      Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4) ++ payload.drop(moovAt)
+    val expected = base.collect()(0).toString
+    for (variant <- Seq(zeroSize, large, free)) {
+      val df = Seq((7L, variant)).toDF("doc_id", "payload")
+      val got = Video.parseMp4(df, "doc_id", "payload").collect()(0)
+      assert(got.toString === expected, s"variant drifted: $got")
+    }
+  }
+
+  test("truncated stts entry table quarantines") {
+    val payload = Video.encodeMp4(specFrame()).collect()(0).getAs[Array[Byte]](1)
+    // find the first stts and inflate its entry_count past the body
+    var i = 0
+    var sttsAt = -1
+    while (sttsAt < 0 && i < payload.length - 4) {
+      if (payload(i + 4) == 's' && payload(i + 5) == 't' &&
+        payload(i + 6) == 't' && payload(i + 7) == 's' &&
+        ((payload(i) & 0xff) | (payload(i + 1) & 0xff) |
+          (payload(i + 2) & 0xff)) >= 0 && (payload(i + 3) & 0xff) > 8) sttsAt = i
+      else i += 1
+    }
+    assert(sttsAt > 0, "stts not found")
+    val bent = payload.clone()
+    bent(sttsAt + 12) = 0x7f.toByte // entry_count explodes
+    val got = Video.parseMp4(Seq((7L, bent)).toDF("doc_id", "payload"),
+      "doc_id", "payload").collect()(0)
+    assert(got.getAs[Long]("ok") === 0L)
+    assert(got.getAs[String]("reason") === "truncated-box")
+  }
+}
