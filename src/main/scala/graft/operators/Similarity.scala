@@ -349,13 +349,34 @@ object Similarity {
     * embedding column fits memory/disk. Results are identical either
     * way (the fixed-point sums make the trajectory layout-independent). */
   def kmeansFit(vectors: DataFrame, k: Int, iters: Int,
-                cacheInput: Boolean = false): Seq[Array[Float]] = {
+                cacheInput: Boolean = false,
+                sampleRatePpm: Long = 1000000L): Seq[Array[Float]] = {
+    val base = trainSample(vectors, sampleRatePpm)
     val input =
-      if (!cacheInput) vectors
-      else vectors.select(col("vec_id"), col("embedding"))
+      if (!cacheInput) base
+      else base.select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try kmeansIterate(input, kmeansInit(input, k), iters)
     finally if (cacheInput) input.unpersist(blocking = false)
+  }
+
+  /** Deterministic md5-threshold Bernoulli sample of the vectors frame
+    * for codebook training — the 100 TB answer to Lloyd's
+    * full-scan-per-iteration cost: train on a bounded sample (iters ×
+    * sample scans), assign on the full corpus (one scan). Zero
+    * shuffle, engine/layout/retry-stable (the stratifiedSample hash
+    * idiom with its own salt), identity at 1e6 ppm. Codebooks from a
+    * sampled run are themselves bit-deterministic (SemanticDedupSpec
+    * pins it); they differ from full-corpus codebooks — by k-means'
+    * nature a sampled codebook is an approximation whose recall the
+    * spec floors, not a tolerance on centroid values. */
+  def trainSample(vectors: DataFrame, ratePpm: Long,
+                  idCol: String = "vec_id"): DataFrame = {
+    require(ratePpm >= 1 && ratePpm <= 1000000L,
+      s"sampleRatePpm out of range: $ratePpm")
+    if (ratePpm >= 1000000L) vectors
+    else vectors.where(
+      Portable.h60(concat_ws(":", lit("kms"), col(idCol))) % 1000000L < ratePpm)
   }
 
   /** Embedding outlier filter — the curation step that drops
@@ -481,12 +502,16 @@ object Similarity {
     * the corpus is never shuffled. */
   def pqTrain(vectors: DataFrame, m: Int, ks: Int, iters: Int,
               embCol: String = "embedding",
-              idCol: String = "vec_id"): Seq[Seq[Array[Float]]] = {
+              idCol: String = "vec_id",
+              sampleRatePpm: Long = 1000000L): Seq[Seq[Array[Float]]] = {
     val dim = vectors.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
+    // sample ONCE (shared by all m subspace trainings) so the m
+    // Lloyd's runs scan the same bounded frame
+    val base = trainSample(vectors, sampleRatePpm, idCol)
     (0 until m).map { s =>
-      val sliced = vectors.select(col(idCol).as("vec_id"),
+      val sliced = base.select(col(idCol).as("vec_id"),
         slice(col(embCol), s * sub + 1, sub).as("embedding"))
       kmeansFit(sliced, ks, iters).map(_.toSeq.toArray)
     }

@@ -81,6 +81,44 @@ class PqSpec extends SparkSpec {
     assert(trained >= 0.25, s"trained recall $trained")
   }
 
+  test("sampled codebook training: deterministic, bounded input, recall above the floor") {
+    val m = 16
+    // half-rate md5-threshold sample: deterministic across layouts
+    val s1 = Similarity.pqTrain(emb, m, 32, iters = 2, sampleRatePpm = 500000L)
+    val s2 = Similarity.pqTrain(
+      emb.repartition(7), m, 32, iters = 2, sampleRatePpm = 500000L)
+    assert(s1.flatten.map(_.toSeq) === s2.flatten.map(_.toSeq))
+    // the sample really is a strict subset (the 100 TB point: Lloyd's
+    // rounds scan the sample, assignment scans the corpus once)
+    val nAll = emb.count()
+    val nSample = Similarity.trainSample(emb, 500000L).count()
+    assert(nSample < nAll && nSample > nAll / 4)
+    // rate 1e6 is the identity (no behavior change for existing paths)
+    assert(Similarity.trainSample(emb, 1000000L).count() === nAll)
+    // recall floor holds on the sampled path
+    val queries = emb.where(col("vec_id") < 20)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def ip(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val exact = (0L until 20L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, ip(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).map { case (c, _) => (q, c) }
+    }.toSet
+    val got = Similarity.pqTopK(queries, emb, s1, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"sampled-trained recall $recall")
+    // kmeansFit honors the same knob (the IVF coarse codebook)
+    val c1 = Similarity.kmeansFit(emb, k = 8, iters = 2, sampleRatePpm = 500000L)
+    val c2 = Similarity.kmeansFit(
+      emb.repartition(5), k = 8, iters = 2, sampleRatePpm = 500000L)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq))
+  }
+
   test("IVF×PQ composed scan is the bucket-restricted subset of the full ADC scan") {
     val cb = Similarity.pqCodebook(emb, 16, 32)
     val coarse = emb.where(col("vec_id") < 8).orderBy("vec_id").collect()
