@@ -178,6 +178,8 @@ object SparkEntry {
     // mixture planning: target weights + budget -> per-stratum rates
     "q_mixture_plan" -> (L.qMixturePlan _),
     "q_mixture_temp" -> (L.qMixtureTemp _),
+    // the whole mixing chain in one DAG
+    "q_mix_e2e" -> (L.qMixE2e _),
     "q_corpus_diff" -> (L.qCorpusDiff _),
     // embedding OOD outlier filter (per-cluster z-score on cosine)
     "q_embed_outlier" -> (L.qEmbedOutlier _),
@@ -327,6 +329,7 @@ object SparkEntry {
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
     "q_mixture_temp" -> L.qMixtureTempSql,
+    "q_mix_e2e" -> L.qMixE2eSql,
     "q_corpus_diff" -> L.qCorpusDiffSql,
     "q_embed_outlier" -> L.qEmbedOutlierSql,
     "q_dim_reduce" -> L.qDimReduceSql,

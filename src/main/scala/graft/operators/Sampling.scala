@@ -43,7 +43,20 @@ object Sampling {
     import spark.implicits._
     val thresholds = fractions.map { case (s, f) => (s, perMillion(f)) }
       .toDF(stratumCol, "__thr")
-    df.join(broadcast(thresholds), Seq(stratumCol))
+    stratifiedSampleByPlan(df, idCol, stratumCol,
+      thresholds.withColumnRenamed("__thr", "rate_ppm"), salt)
+  }
+
+  /** [[stratifiedSample]] keyed by a PLAN FRAME `(stratumCol,
+    * rate_ppm)` — the composable half: [[mixturePlan]]'s output feeds
+    * the sampler inside ONE DAG with no driver round-trip, and the
+    * rates stay exact per-million longs end to end. Duplicate-stratum
+    * hazard transfers to the plan producer (mixturePlan aggregates per
+    * stratum, so its output is key-unique by construction). */
+  def stratifiedSampleByPlan(df: DataFrame, idCol: String, stratumCol: String,
+                             plan: DataFrame, salt: String = "strat"): DataFrame = {
+    val thr = plan.select(col(stratumCol), col("rate_ppm").as("__thr"))
+    df.join(broadcast(thr), Seq(stratumCol))
       .where(Portable.h60(concat_ws(":", lit(salt), col(idCol))) % 1000000L < col("__thr"))
       .drop("__thr")
   }
@@ -179,6 +192,24 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Budgeted sequence packing over an EXISTING deterministic order:
+    * cumulative token mass per shard in `posCol` order →
+    * (pack_id, pack_offset) against `budget`. Chained directly after
+    * [[shuffleShards]] the cum-sum window shares the shard-keyed
+    * exchange AND sort with the rank window (same partitioning and
+    * ordering — the span-census one-exchange lesson), so shuffle→pack
+    * costs ONE shuffle total. */
+  def packBudget(df: DataFrame, shardCol: String, posCol: String,
+                 tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "packBudget: budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(posCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cum div ${budget}L"))
+      .withColumn("pack_offset", col("__cum") % budget)
+      .drop("__cum")
+  }
+
   /** Mixture planning: turn a target mixture (per-stratum weights) and
     * a token budget into per-stratum sampling rates — the mixing-config
     * stage (Pile/Dolma style) that [[stratifiedSample]] then applies.
@@ -198,22 +229,38 @@ object Sampling {
   def mixturePlan(docs: DataFrame, targetsPpm: Seq[(String, Long)],
                   budgetTokens: Long, stratumCol: String = "source",
                   textCol: String = "text"): DataFrame = {
-    require(budgetTokens >= 0 && budgetTokens < (1L << 43),
-      "mixturePlan: budget out of the exact-integer range")
     require(targetsPpm.forall(_._2 >= 0), "mixturePlan: negative weight")
     // w_ppm is per-million: a larger weight would overflow
     // budget * w_ppm in 64-bit Spark while DuckDB silently widens to
     // HUGEINT — exactly the cross-engine drift the integer idiom bans
     require(targetsPpm.forall(_._2 <= 1000000L),
       "mixturePlan: weight exceeds 1e6 ppm")
-    val measured = docs
-      .select(col(stratumCol), size(Portable.words(col(textCol))).cast("long").as("__t"))
-      .groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
     val sp = docs.sparkSession
     import sp.implicits._
-    val targets = broadcast(targetsPpm.toDF(stratumCol, "w_ppm"))
-    measured.join(targets, Seq(stratumCol), "left")
+    mixturePlanFromTokens(
+      docs.select(col(stratumCol),
+        size(Portable.words(col(textCol))).cast("long").as("__t")),
+      targetsPpm.toDF(stratumCol, "w_ppm"), budgetTokens, stratumCol, "__t")
+  }
+
+  /** [[mixturePlan]] over a per-doc TOKENS frame and a WEIGHTS FRAME
+    * `(stratumCol, w_ppm)` — the composable halves that let
+    * [[temperatureWeightsFromTokens]] → plan → sampler chain inside
+    * ONE DAG: the tokenization runs once on a shared (persisted)
+    * frame, the weights never round-trip through the driver. Weights
+    * clamp to 1e6 ppm (the Seq overload enforces it statically). */
+  def mixturePlanFromTokens(tokens: DataFrame, targets: DataFrame,
+                            budgetTokens: Long,
+                            stratumCol: String = "source",
+                            tokCol: String = "n_tokens"): DataFrame = {
+    require(budgetTokens >= 0 && budgetTokens < (1L << 43),
+      "mixturePlan: budget out of the exact-integer range")
+    val measured = tokens
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"))
+    val t = broadcast(targets.select(col(stratumCol),
+      least(col("w_ppm").cast("long"), lit(1000000L)).as("w_ppm")))
+    measured.join(t, Seq(stratumCol), "left")
       .withColumn("w_ppm", coalesce(col("w_ppm"), lit(0L)))
       .withColumn("target_tokens", expr(s"($budgetTokens * w_ppm) div 1000000"))
       .withColumn("rate_ppm",
@@ -310,12 +357,21 @@ object Sampling {
     * strata-sized. */
   def temperatureWeights(docs: DataFrame, temperature: Double,
                          stratumCol: String = "source",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text"): DataFrame =
+    temperatureWeightsFromTokens(
+      docs.select(col(stratumCol),
+        size(Portable.words(col(textCol))).cast("long").as("__t")),
+      temperature, stratumCol, "__t")
+
+  /** [[temperatureWeights]] over a per-doc TOKENS frame — the
+    * composable half (shares one tokenize pass with the rest of a
+    * mixing DAG). */
+  def temperatureWeightsFromTokens(tokens: DataFrame, temperature: Double,
+                                   stratumCol: String = "source",
+                                   tokCol: String = "n_tokens"): DataFrame = {
     require(temperature > 0, "temperatureWeights: temperature must be positive")
-    val masses = docs
-      .select(col(stratumCol),
-        size(Portable.words(col(textCol))).cast("long").as("__t"))
-      .groupBy(col(stratumCol)).agg(sum(col("__t")).as("n_tokens"))
+    val masses = tokens
+      .groupBy(col(stratumCol)).agg(sum(col(tokCol)).as("n_tokens"))
     val scaled =
       if (temperature == 2.0) sqrt(col("n_tokens").cast("double"))
       else pow(col("n_tokens").cast("double"), lit(1.0) / lit(temperature))

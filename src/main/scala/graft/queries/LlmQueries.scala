@@ -2163,6 +2163,78 @@ object LlmQueries {
        |  CAST(floor((q / tot) * 1e6 + 0.5) AS BIGINT) AS w_ppm
        |FROM q CROSS JOIN t""".stripMargin
 
+  // ---- mixing pipeline end-to-end (one DAG, one oracle) ----
+
+  private val MixE2eBudget = 20000L
+  private val MixE2ePack = 1024L
+
+  /** The mixing chain as ONE plan: temperature weights (T=2, the
+    * sqrt-gated setting) → mixture plan → plan-keyed stratified
+    * sample → deterministic shuffle shards → budgeted packing — each
+    * stage the operator its standalone gate runs, chained through
+    * FRAMES (the ...FromTokens / ByPlan composable halves), so the
+    * weights and rates never round-trip through the driver and the
+    * corpus tokenizes ONCE on a persisted (doc_id, source, n_tokens)
+    * projection (the fan-out point: weights agg, plan agg, and the
+    * sampler all read it — MixE2eSpec counts the cache scans).
+    * shuffle→pack share one shard-keyed exchange (rank and cum-sum
+    * windows, same partitioning+ordering). The final (shard,
+    * position, pack_id, pack_offset) is what a training run consumes;
+    * any drift in any stage's arithmetic moves a row and fails the
+    * hash. */
+  def qMixE2e(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(Portable.words(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapStageCaches("mix_e2e", List(toks))
+    val weights = Sampling.temperatureWeightsFromTokens(toks, 2.0)
+    val plan = Sampling.mixturePlanFromTokens(
+      toks, weights.select(col("source"), col("w_ppm")), MixE2eBudget)
+    val sampled = Sampling.stratifiedSampleByPlan(
+      toks, "doc_id", "source", plan.select(col("source"), col("rate_ppm")),
+      salt = "mixe2e")
+    val sharded = Sampling.shuffleShards(sampled, "doc_id", nShards = 8)
+    Sampling.packBudget(sharded, "shard", "position", "n_tokens", MixE2ePack)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"),
+        col("position"), col("pack_id"), col("pack_offset"))
+  }
+
+  val qMixE2eSql: String =
+    s"""WITH tk AS (SELECT doc_id, source,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens FROM documents),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+       |q AS (SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM m),
+       |t AS (SELECT CAST(sum(q) AS BIGINT) AS tot FROM q),
+       |w AS (SELECT source,
+       |    CAST(floor((q / tot) * 1e6 + 0.5) AS BIGINT) AS w_ppm
+       |  FROM q CROSS JOIN t),
+       |p AS (SELECT m.source,
+       |    CASE WHEN m.n_tokens = 0 THEN 0
+       |         ELSE least(1000000,
+       |           ((($MixE2eBudget * least(COALESCE(w.w_ppm, 0), 1000000)) // 1000000) * 1000000) // m.n_tokens)
+       |    END AS rate_ppm
+       |  FROM m LEFT JOIN w USING (source)),
+       |s AS (SELECT tk.doc_id, tk.source, tk.n_tokens
+       |  FROM tk JOIN p USING (source)
+       |  WHERE ${h60Sql("'mixe2e' || ':' || CAST(tk.doc_id AS VARCHAR)")} % 1000000 < p.rate_ppm),
+       |h AS (SELECT doc_id, source, n_tokens,
+       |    ${h60Sql("'shuf' || ':' || CAST(doc_id AS VARCHAR)")} AS h FROM s),
+       |r AS (SELECT doc_id, source, n_tokens, CAST(h % 8 AS BIGINT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS position
+       |  FROM h),
+       |c AS (SELECT doc_id, source, n_tokens, shard, position,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY position
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM r)
+       |SELECT doc_id, source, n_tokens, shard, position,
+       |  CAST(cum // $MixE2ePack AS BIGINT) AS pack_id,
+       |  CAST(cum % $MixE2ePack AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin
+
   // ---- URL canonicalization (normalize-before-dedup) ----
 
   /** Real regexp canonicalizer vs a closed-form oracle: the messy
@@ -2997,11 +3069,19 @@ object LlmQueries {
 
   // ---- composed crawl pipeline (one DAG, one oracle) ----
 
-  /** Stage caches of the LAST qCrawlE2e invocation; swapped (and the
-    * old ones released) on each call — see the lifecycle note inside
-    * qCrawlE2e. */
-  private val crawlStageCaches =
-    new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
+  /** Per-query stage caches of the LAST invocation: a composed-DAG
+    * query (qCrawlE2e, qMixE2e) persists its fan-out frames for the
+    * returned lazy plan, so they can't be released before the caller
+    * consumes it — instead each NEW invocation releases the previous
+    * one's (Bench/Verify run registry queries repeatedly on one shared
+    * session; without this every run stacks fresh cached copies). */
+  private val stageCacheReg =
+    new java.util.concurrent.atomic.AtomicReference(Map.empty[String, List[DataFrame]])
+
+  private def swapStageCaches(key: String, fresh: List[DataFrame]): Unit = {
+    val prev = stageCacheReg.getAndUpdate(m => m.updated(key, fresh))
+    prev.getOrElse(key, Nil).foreach(_.unpersist(blocking = false))
+  }
 
   /** The crawl-curation chain as ONE plan: html extract → NFC →
     * line dedup → quality filter → stratified sample, each stage the
@@ -3071,13 +3151,9 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the returned plan reads these caches lazily, so they can't be
-    // released here — instead release the PREVIOUS invocation's stage
-    // frames (Bench/Verify run registry queries repeatedly on one
-    // shared session; without this each run stacks fresh cached
-    // copies of eb/ec)
-    crawlStageCaches.getAndSet(List(eb, ec))
-      .foreach(_.unpersist(blocking = false))
+    // lifecycle: see stageCacheReg — the previous invocation's eb/ec
+    // release here, this invocation's ride with the returned plan
+    swapStageCaches("crawl_e2e", List(eb, ec))
     // D: quality verdict (needs lang for the langId gate)
     val ed = ec.join(
       TextAnalysis.qualityVerdict(ec).where(col("keep") === 1L).select("doc_id"),

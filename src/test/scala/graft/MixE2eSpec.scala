@@ -1,0 +1,37 @@
+package graft
+
+/** q_mix_e2e structural pins: the composed weights→plan→sample→
+  * shuffle→pack chain must tokenize the corpus ONCE (the persisted
+  * (doc_id, source, n_tokens) projection feeds the weights aggregate,
+  * the plan aggregate, and the sampler — cache scans, not re-derives)
+  * and the shuffle-rank + pack-cum-sum windows must share ONE
+  * shard-keyed exchange. Value correctness is the oracle row's job. */
+class MixE2eSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def avail = new java.io.File(s"$dir/documents.parquet").exists()
+
+  test("one tokenize pass (cache scans at the fan-out), one shard exchange") {
+    assume(avail)
+    val df = SparkEntry.queries("q_mix_e2e")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    // weights agg + plan agg + sampler all read the persisted tokens
+    // frame: at least 3 cache scans, and the documents parquet is
+    // scanned only inside the cached relation's child plan
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 3, s"expected >=3 InMemoryTableScan, got $cacheScans")
+    // rank + cum-sum over the same (shard, position-order) partitioning
+    // collapse into one Window stage: exactly ONE hashpartitioning on
+    // the shard key in the FINAL plan (the AQE string prints the
+    // initial plan below it — cut there)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val shardExchanges = "hashpartitioning\\(shard".r.findAllIn(finalPlan).length
+    assert(shardExchanges <= 1, s"shuffle+pack split exchanges:\n$finalPlan")
+    // deterministic across reruns
+    val again = SparkEntry.queries("q_mix_e2e")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+}
