@@ -70,7 +70,8 @@ object Bench {
     "q_dedup_stitch" -> 0.56,
     "q_ann_ivfpq" -> 0.84, "q_ann_pq_trained" -> 2.14,
     "q_trigram_logprob" -> 0.83, "q_warc_extract" -> 0.22,
-    "q_crawl_e2e" -> 1.06, "q_cms_vocab" -> 0.69,
+    // re-pinned r14: 1.06 measured leaked-cache reruns (see BASELINE.md)
+    "q_crawl_e2e" -> 2.30, "q_cms_vocab" -> 0.69,
     "q_dedup_maxspan" -> 9.17,
     "q_dedup_edit" -> 0.83,
     "q_url_canon" -> 0.38,
@@ -79,7 +80,10 @@ object Bench {
     "q_negative_sample" -> 0.99,
     "q_bm25_topk" -> 1.04,
     "q_rrf_fusion" -> 1.26,
-    "q_score_norm" -> 0.48, "q_dedup_cluster_sizes" -> 3.04)
+    "q_score_norm" -> 0.48, "q_dedup_cluster_sizes" -> 3.04,
+    "q_token_count_cjk" -> 0.48, "q_domain_rank" -> 0.84,
+    "q_bpe_train" -> 0.30, "q_video_meta" -> 0.18,
+    "q_video_frames" -> 0.22, "q_mix_e2e" -> 0.43)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
