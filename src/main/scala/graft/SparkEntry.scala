@@ -101,6 +101,7 @@ object SparkEntry {
     "q_token_count" -> (L.qTokenCount _),
     // script-aware (CJK/Thai) segmentation census
     "q_token_count_cjk" -> (L.qTokenCountCjk _),
+    "q_lang_id_cjk" -> (L.qLangIdCjk _),
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_url_filter" -> (L.qUrlFilter _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
+    "q_domain_prior" -> (L.qDomainPrior _),
     "q_url_canon" -> (L.qUrlCanon _),
     // TF-IDF keyword extraction (integer-deterministic rank)
     "q_tfidf_topk" -> (L.qTfidfTopk _),
@@ -282,6 +284,7 @@ object SparkEntry {
     "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_token_count" -> L.qTokenCountSql,
     "q_token_count_cjk" -> L.qTokenCountCjkSql,
+    "q_lang_id_cjk" -> L.qLangIdCjkSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
@@ -292,6 +295,7 @@ object SparkEntry {
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
     "q_domain_rank" -> L.qDomainRankSql,
+    "q_domain_prior" -> L.qDomainPriorSql,
     "q_url_canon" -> L.qUrlCanonSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_bm25_topk" -> L.qBm25TopkSql,

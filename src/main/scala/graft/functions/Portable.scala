@@ -79,6 +79,11 @@ object Portable {
 
   /** One token per Han ideograph. */
   val hanTokenPattern: String = s"[$HanCls]"
+  /** Single kana character (hiragana or katakana) — for per-CHAR
+    * censuses (script-ratio language ID), vs the run patterns below. */
+  val kanaCharPattern: String = s"[$HiraCls$KataCls]"
+  /** Single Thai/Lao character. */
+  val seaCharPattern: String = s"[$ThaiCls$LaoCls]"
   /** Kana runs — hiragana and katakana segment separately (a script
     * switch marks a word boundary in Japanese). */
   val kanaRunPattern: String = s"[$HiraCls]+|[$KataCls]+"

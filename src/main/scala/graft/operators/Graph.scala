@@ -90,4 +90,20 @@ object Graph {
     }
     ranks.select(col("host"), col("out_deg"), col("r").as("rank_fp"))
   }
+
+  /** The APPLY half of the train/apply split: score documents by
+    * their host's trained rank — (doc_id, host) ⋈ the rank frame.
+    * The rank frame is the writable trained model ([[pageRank]]'s
+    * output stored offline, the Dedup.buildIndex shape); applying is
+    * one host-keyed equi-join — Spark broadcasts when the rank table
+    * is dim-sized, shuffles on host otherwise. Hosts outside the
+    * trained graph get NULL rank (an unknown domain has no
+    * authority evidence — the caller decides the default), so the
+    * streaming twin is a trivial per-batch replay. `prior` is the
+    * terminal roundp view of the fixed-point rank. */
+  def domainPrior(docs: DataFrame, ranks: DataFrame): DataFrame =
+    docs.join(ranks.select(col("host"), col("rank_fp")), Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("rank_fp"),
+        graft.functions.Portable.roundp(
+          col("rank_fp").cast("double") / lit(1e12), 9).as("prior"))
 }

@@ -34,6 +34,50 @@ object TextAnalysis {
     withScores.withColumn("pred_lang", pred)
   }
 
+  /** Script-aware language ID: a codepoint-class pre-classifier in
+    * front of the stopword argmax — the real-world multilingual
+    * heuristic. Stopword lists cannot see CJK/Thai text at all: it
+    * has no spaces, so the whole sentence is one "word", every score
+    * is 0, and the alphabetical tie-break silently labels Chinese
+    * text as the first language code. Rules, integer-exact
+    * (10·count >= 3·nonspace — never a float ratio):
+    * kana present and han+kana >= 30% of non-space chars → ja;
+    * han >= 30% → zh; Thai/Lao >= 30% → th; otherwise the stopword
+    * argmax decides. Zero-shuffle codegen projection like [[langId]]. */
+  def langIdScripted(docs: DataFrame): DataFrame = {
+    val ws = Portable.words(col("text"))
+    val codes = Config.Stopwords.map(_._1)
+    val nHan = size(regexp_extract_all(col("text"),
+      lit(Portable.hanTokenPattern), lit(0))).cast("long")
+    val nKana = size(regexp_extract_all(col("text"),
+      lit(Portable.kanaCharPattern), lit(0))).cast("long")
+    val nSea = size(regexp_extract_all(col("text"),
+      lit(Portable.seaCharPattern), lit(0))).cast("long")
+    val nNs = (length(col("text")) -
+      size(regexp_extract_all(col("text"), lit("\\s"), lit(0)))).cast("long")
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        nHan.as("n_han") +: nKana.as("n_kana") +: nSea.as("n_sea") +:
+        nNs.as("n_nonspace") +:
+        Config.Stopwords.map { case (code, stops) =>
+          langScore(ws, stops).as(s"score_$code")
+        }: _*)
+    val stopPred = codes.foldLeft(when(lit(false), lit(""))) { (acc, code) =>
+      acc.when(codes.map(o => col(s"score_$code") >= col(s"score_$o"))
+        .reduce(_ && _), lit(code))
+    }
+    scored.withColumn("pred_lang",
+      when(col("n_kana") > 0 &&
+        (col("n_han") + col("n_kana")) * 10 >= col("n_nonspace") * 3, lit("ja"))
+        .when(col("n_han") > 0 &&
+          col("n_han") * 10 >= col("n_nonspace") * 3, lit("zh"))
+        .when(col("n_sea") > 0 &&
+          col("n_sea") * 10 >= col("n_nonspace") * 3, lit("th"))
+        .otherwise(stopPred))
+      .select(col("doc_id"), col("actual_lang"), col("n_han"), col("n_kana"),
+        col("n_sea"), col("pred_lang"))
+  }
+
   /** Quality metrics: word/char counts, punctuation ratio, stopword
     * ratio, and a bounded linear quality score (no libm functions — the
     * score must be bit-stable across engines). */

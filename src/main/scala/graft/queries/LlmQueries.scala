@@ -18,6 +18,17 @@ object LlmQueries {
 
   // ---- shared oracle fragments ----
 
+  /** Mixed-script injections for [[qTokenCountCjk]] — closed-form per
+    * doc_id so the oracle rebuilds the identical corpus. Expected
+    * segmentations (SegmentationSpec pins them exactly):
+    * Chinese 6 Han singles; Japanese katakana-run + 2 Han + run;
+    * Thai one same-script run; mixed Latin/Han/punct/hiragana. */
+  private val MixZh = "机器学习模型"
+  private val MixJa = "データ学習モデル"
+  private val MixTh = "การเรียนรู้" +
+    "ด้วยเครื่อง"
+  private val MixMx = "mixed漢字data、ここ"
+
   /** DuckDB: whitespace word list of a text column. */
   private def wordsSql(c: String) = s"string_split_regex(trim($c), '\\s+')"
 
@@ -1087,6 +1098,62 @@ object LlmQueries {
        |FROM sc""".stripMargin
   }
 
+  // ---- script-aware (CJK/Thai) language ID ----
+
+  /** Language ID with the script-ratio pre-classifier
+    * (TextAnalysis.langIdScripted) over a mixed-script corpus: pure
+    * Chinese / Japanese / Thai docs (closed-form repeats of the
+    * qTokenCountCjk phrases — texts the stopword argmax mislabels as
+    * the alphabetically-first code, since spaceless scripts score 0
+    * on every stopword list), a below-threshold mixed class that must
+    * FALL THROUGH to the stopword path, and untouched English. The
+    * oracle replays the integer ratio rules (10·count >= 3·nonspace)
+    * and the stopword chain with the same literal-class regexes. */
+  def qLangIdCjk(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val reps = (id % 7 + 3).cast("int")
+    val text2 = when(id % 5 === 1, repeat(lit(MixZh + " "), reps))
+      .when(id % 5 === 2, repeat(lit(MixJa + " "), reps))
+      .when(id % 5 === 3, repeat(lit(MixTh + " "), reps))
+      .when(id % 5 === 4, concat(col("text"), lit(" " + MixMx)))
+      .otherwise(col("text"))
+    TextAnalysis.langIdScripted(
+      Tables(spark, dir).documents.select(id, col("lang"), text2.as("text")))
+  }
+
+  val qLangIdCjkSql: String = {
+    val P = graft.functions.Portable
+    val codes = Config.Stopwords.map(_._1)
+    val scoreCols = Config.Stopwords.map { case (code, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(w, x -> list_contains([$lst], x))) AS score_$code"
+    }.mkString(",\n    ")
+    val stopChain = codes.map { code =>
+      val conds = codes.map(o => s"score_$code >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$code'"
+    }.mkString("\n      ")
+    s"""WITH dd AS (SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 5 = 1 THEN repeat('$MixZh ', CAST(doc_id % 7 + 3 AS INT))
+       |         WHEN doc_id % 5 = 2 THEN repeat('$MixJa ', CAST(doc_id % 7 + 3 AS INT))
+       |         WHEN doc_id % 5 = 3 THEN repeat('$MixTh ', CAST(doc_id % 7 + 3 AS INT))
+       |         WHEN doc_id % 5 = 4 THEN text || ' $MixMx'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang AS actual_lang,
+       |    CAST(len(regexp_extract_all(text, '${P.hanTokenPattern}')) AS BIGINT) AS n_han,
+       |    CAST(len(regexp_extract_all(text, '${P.kanaCharPattern}')) AS BIGINT) AS n_kana,
+       |    CAST(len(regexp_extract_all(text, '${P.seaCharPattern}')) AS BIGINT) AS n_sea,
+       |    CAST(length(text) - len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_nonspace,
+       |    $scoreCols
+       |  FROM (SELECT doc_id, lang, text, ${wordsSql("text")} AS w FROM dd))
+       |SELECT doc_id, actual_lang, n_han, n_kana, n_sea,
+       |  CASE WHEN n_kana > 0 AND (n_han + n_kana) * 10 >= n_nonspace * 3 THEN 'ja'
+       |       WHEN n_han > 0 AND n_han * 10 >= n_nonspace * 3 THEN 'zh'
+       |       WHEN n_sea > 0 AND n_sea * 10 >= n_nonspace * 3 THEN 'th'
+       |       ELSE (CASE $stopChain END) END AS pred_lang
+       |FROM sc""".stripMargin
+  }
+
   // ---- #31 text quality ----
 
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
@@ -1123,16 +1190,6 @@ object LlmQueries {
 
   // ---- script-aware (multilingual) token counts ----
 
-  /** Mixed-script injections for [[qTokenCountCjk]] — closed-form per
-    * doc_id so the oracle rebuilds the identical corpus. Expected
-    * segmentations (SegmentationSpec pins them exactly):
-    * Chinese 6 Han singles; Japanese katakana-run + 2 Han + run;
-    * Thai one same-script run; mixed Latin/Han/punct/hiragana. */
-  private val MixZh = "机器学习模型"
-  private val MixJa = "データ学習モデル"
-  private val MixTh = "การเรียนรู้" +
-    "ด้วยเครื่อง"
-  private val MixMx = "mixed漢字data、ここ"
 
   /** Scripted token census over a mixed-script corpus: the documents
     * table widened with closed-form Chinese / Japanese / Thai / mixed
@@ -1759,7 +1816,9 @@ object LlmQueries {
     * Spark runs the real machinery: regex extraction, host
     * normalization, distinct edges, per-round shuffled contribution
     * sums with broadcast dangling mass. */
-  def qDomainRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The qDomainRank/qDomainPrior fixture: each doc's origin host
+    * plus its text widened with the qUrlFilter URL conventions. */
+  private def domainLinkedDocs(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val k = (id % 7).cast("string")
     val withUrls = concat(
@@ -1771,15 +1830,22 @@ object LlmQueries {
       when(id % 5 === 1,
         concat(lit(" https://CDN.site"), k, lit(".example.com/x.js")))
         .otherwise(lit("")))
-    val docs = Tables(spark, dir).documents
-      .select(concat(col("source"), lit(".example.org")).as("src_host"),
-        withUrls.as("text"))
+    docs.select(concat(col("source"), lit(".example.org")).as("src_host"),
+      withUrls.as("text"))
+  }
+
+  def qDomainRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = domainLinkedDocs(Tables(spark, dir).documents)
     val ranks = Graph.pageRank(Graph.linkEdges(docs), PrIters, PrDamp)
     ranks.select(col("host"), col("out_deg"), col("rank_fp"),
       Portable.roundp(col("rank_fp").cast("double") / lit(1e12), 9).as("rank"))
   }
 
-  val qDomainRankSql: String = {
+  /** The shared CTE chain (closed-form edges + the full PrIters
+    * trajectory) — qDomainRankSql reads the rank table off it,
+    * qDomainPriorSql extends it with the per-doc join (the
+    * q_dedup_semantic chain-extension precedent). */
+  private val domainRankChainSql: String = {
     val S = graft.operators.Graph.RankScale
     val base = s"((${1000000L - PrDamp} * ($S // nn.n)) // 1000000)"
     val rounds = (0 until PrIters).map { i =>
@@ -1790,7 +1856,7 @@ object LlmQueries {
          |    CAST($base + ($PrDamp * (COALESCE(c.contrib, 0) + (g.dang // nn.n))) // 1000000 AS BIGINT) AS r
          |  FROM od o LEFT JOIN c$i c ON o.host = c.host, g$i g, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id, source, CAST(doc_id % 7 AS VARCHAR) AS k,
+    s"""d AS (SELECT doc_id, source, CAST(doc_id % 7 AS VARCHAR) AS k,
        |    CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 END AS tr,
        |    CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS cdn
        |  FROM documents),
@@ -1807,11 +1873,37 @@ object LlmQueries {
        |    ON n.host = c.src),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |r0 AS (SELECT host, out_deg, CAST($S // nn.n AS BIGINT) AS r FROM od, nn),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qDomainRankSql: String =
+    s"""WITH $domainRankChainSql
        |SELECT host, out_deg, r AS rank_fp,
        |  floor((CAST(r AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9 AS rank
        |FROM r$PrIters""".stripMargin
+
+  /** The APPLY half of the PageRank train/apply split, oracle-gated:
+    * every document scored by its origin host's trained rank
+    * (Graph.domainPrior — one host-keyed join against the writable
+    * rank frame; the production prior-scoring shape, whose streaming
+    * twin is a trivial static-model replay). */
+  def qDomainPrior(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val ranks = Graph.pageRank(
+      Graph.linkEdges(domainLinkedDocs(docs)), PrIters, PrDamp)
+    Graph.domainPrior(
+      docs.select(col("doc_id"),
+        concat(col("source"), lit(".example.org")).as("host")),
+      ranks)
   }
+
+  val qDomainPriorSql: String =
+    s"""WITH $domainRankChainSql
+       |SELECT dd.doc_id, dd.source || '.example.org' AS host,
+       |  r.r AS rank_fp,
+       |  floor((CAST(r.r AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9 AS prior
+       |FROM documents dd
+       |LEFT JOIN r$PrIters r ON dd.source || '.example.org' = r.host""".stripMargin
 
   // ---- budgeted best-first corpus selection ----
 

@@ -262,6 +262,34 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the PageRank domain prior (operators/Graph
+    * train/apply split): the host rank frame is the STATIC trained
+    * model (Graph.pageRank run offline — never re-iterated per
+    * micro-batch); applying is one host-keyed join per batch through
+    * the identical batch operator, so batch boundaries are invisible.
+    * Parity pinned in StreamingSpec. */
+  def domainPriorStream(docs: DataFrame, ranks: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "domainPriorStream is streaming-only: use Graph.domainPrior for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Graph.domainPrior(batch, ranks), batchId)
+    }
+  }
+
+  /** Streaming twin of the script-aware token census (operators/
+    * TextAnalysis.tokenCountsScripted): a stateless per-doc codegen
+    * projection — the trivial replay. Parity pinned in
+    * StreamingSpec. */
+  def scriptedTokenStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "scriptedTokenStream is streaming-only: use TextAnalysis.tokenCountsScripted for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.tokenCountsScripted(batch), batchId)
+    }
+  }
+
   /** Streaming twin of the Bloom-filter decontaminator: the bit array
     * is a STATIC trained index (built offline from the benchmark via
     * Dedup.buildBloomFilter — the benchmark is never touched per

@@ -59,6 +59,33 @@ class SegmentationSpec extends SparkSpec {
     assert(t === Seq("ab", "漢", "字", "cd"))
   }
 
+  test("generated CJK oracle SQL carries the literal fixtures, not init-order nulls") {
+    // a val declared below the SQL val interpolates as "null" during
+    // object init — exactly the bug this pins (caught live in r14)
+    for (sql <- Seq(graft.queries.LlmQueries.qTokenCountCjkSql,
+                    graft.queries.LlmQueries.qLangIdCjkSql)) {
+      assert(sql.contains("机器学习模型"), "missing Chinese fixture")
+      assert(!sql.contains("'null"), s"init-order null leaked into SQL")
+    }
+  }
+
+  test("script-ratio language ID: zh/ja/th pre-classify, Latin falls through") {
+    val df = Seq(
+      (1L, "en", "机器学习模型 机器学习模型"),
+      (2L, "en", "データ学習モデル"),
+      (3L, "en", "การเรียนรู้"),
+      (4L, "en", "the of and to a plain english sentence"))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextAnalysis.langIdScripted(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("pred_lang")).toMap
+    assert(r(1L) === "zh" && r(2L) === "ja" && r(3L) === "th" && r(4L) === "en")
+    // empty text must not trip the >= 0 ratio edge into 'zh'
+    val e = graft.operators.TextAnalysis.langIdScripted(
+        Seq((9L, "en", "")).toDF("doc_id", "lang", "text"))
+      .collect()(0).getAs[String]("pred_lang")
+    assert(e != "zh" && e != "ja" && e != "th")
+  }
+
   test("scripted token census: whitespace sees 1, scripted sees the cut") {
     val df = Seq((0L, "hello 机器学习")).toDF("doc_id", "text")
     val r = graft.operators.TextAnalysis.tokenCountsScripted(df).collect()(0)

@@ -354,6 +354,54 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("domainPriorStream scores batches against the static rank model like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val edges = Seq(("a.org", "b.com"), ("a.org", "c.net"), ("b.com", "c.net"))
+      .toDF("src", "dst")
+    // trained OFFLINE; materialized like a loaded model
+    val ranks = graft.operators.Graph.pageRank(edges, 4).localCheckpoint()
+    val docs = Seq((1L, "b.com"), (2L, "c.net"), (3L, "unknown.xyz"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.domainPriorStream(
+        input.toDF().toDF("doc_id", "host"), ranks) {
+      (scored, _) => acc.synchronized { acc ++= scored.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Graph.domainPrior(
+        docs.toDF("doc_id", "host"), ranks)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+    // the unknown host rode through with a NULL prior, not a drop
+    assert(acc.exists(r => r.getAs[String]("host") == "unknown.xyz" &&
+      r.isNullAt(r.fieldIndex("rank_fp"))))
+  }
+
+  test("scriptedTokenStream replays the scripted census exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "hello 机器学习"), (2L, "データ model"), (3L, "plain text"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.scriptedTokenStream(input.toDF().toDF("doc_id", "text")) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis
+      .tokenCountsScripted(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("bm25ScoreStream fails fast when a micro-batch exceeds the query cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
