@@ -125,6 +125,8 @@ object SparkEntry {
     "q_tfidf_topk" -> (L.qTfidfTopk _),
     "q_bm25_topk" -> (L.qBm25Topk _),
     "q_rrf_fusion" -> (L.qRrfFusion _),
+    // chunk -> embed -> hybrid retrieve -> fuse in one DAG
+    "q_rag_e2e" -> (L.qRagE2e _),
     "q_score_norm" -> (L.qScoreNorm _),
     "q_dedup_cluster_sizes" -> (L.qDedupClusterSizes _),
     // per-domain curation rollup (RefinedWeb-style domain view)
@@ -300,6 +302,7 @@ object SparkEntry {
     "q_tfidf_topk" -> L.qTfidfTopkSql,
     "q_bm25_topk" -> L.qBm25TopkSql,
     "q_rrf_fusion" -> L.qRrfFusionSql,
+    "q_rag_e2e" -> L.qRagE2eSql,
     "q_score_norm" -> L.qScoreNormSql,
     "q_dedup_cluster_sizes" -> L.qDedupClusterSizesSql,
     "q_domain_stats" -> L.qDomainStatsSql,

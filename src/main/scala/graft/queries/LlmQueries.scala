@@ -511,11 +511,17 @@ object LlmQueries {
     Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, TopK)
   }
 
-  val qAnnLshSql: String = {
-    val planeList = (0 until Config.AnnPlanes).map { k =>
+  /** The hyperplane-LSH bucket id as a DuckDB expression over a
+    * DOUBLE[] column named `e` — shared by qAnnLshSql and the
+    * q_rag_e2e dense leg. */
+  private def lshBucketSqlExpr: String =
+    (0 until Config.AnnPlanes).map { k =>
       val coeffs = (0 until Config.AnnDim).map(i => s"${Config.planeCoeff(k, i)}.0").mkString(", ")
       s"(CASE WHEN floor(list_dot_product(e, [$coeffs]::DOUBLE[]) * 1e6 + 0.5) / 1e6 > 0 THEN ${1L << k} ELSE 0 END)"
     }.mkString("\n      + ")
+
+  val qAnnLshSql: String = {
+    val planeList = lshBucketSqlExpr
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |vb AS (SELECT vec_id, e,
        |    CAST($planeList AS BIGINT) AS bucket
@@ -1998,11 +2004,17 @@ object LlmQueries {
   def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(Tables(spark, dir).documents, Bm25Queries, Bm25K)
 
-  val qBm25TopkSql: String = {
-    val qt = Bm25Queries.flatMap { case (qid, text) =>
-      TextAnalysis.bm25Terms(text).map(t => s"('$qid', '$t')")
+  val qBm25TopkSql: String = bm25SqlFrom("documents", Bm25Queries, Bm25K)
+
+  /** The full BM25 replay parameterized on the corpus table/subquery
+    * (must carry doc_id + text) — q_rag_e2e reuses it over the chunk
+    * frame via `FROM (subquery)` nesting (the qRrfFusionSql shape). */
+  private def bm25SqlFrom(t: String, queries: Seq[(String, String)],
+                          k: Int): String = {
+    val qt = queries.flatMap { case (qid, text) =>
+      TextAnalysis.bm25Terms(text).map(term => s"('$qid', '$term')")
     }.mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM $t),
        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
        |  WHERE length(word) > 0 GROUP BY 1, 2),
        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
@@ -2032,7 +2044,7 @@ object LlmQueries {
        |  FROM sc)
        |SELECT query_id, rank, doc_id,
        |  floor((s / 1e6) * 1e6 + 0.5) / 1e6 AS score
-       |FROM r WHERE rank <= $Bm25K""".stripMargin
+       |FROM r WHERE rank <= $k""".stripMargin
   }
 
   // ---- per-group score rank normalization ----
@@ -2128,6 +2140,106 @@ object LlmQueries {
        |SELECT query_id, rank, doc_id, n_sources,
        |  floor((s / 1e9) * 1e6 + 0.5) / 1e6 AS rrf_score
        |FROM rr WHERE rank <= $Bm25K""".stripMargin
+
+  // ---- RAG preparation end-to-end (one DAG, one oracle) ----
+
+  private val RagK = 10
+  private val RagChunkMax = 32
+  private val RagChunkStride = 24
+  private val RagIdOffset = 1000000L
+
+  /** (query_id, bm25 text, dense-query vec_id) — each query retrieves
+    * through BOTH legs under one id. */
+  val RagQueries: Seq[(String, String, Long)] = Seq(
+    ("rq0", "customer join filter", 0L),
+    ("rq1", "hash scan", 1L),
+    ("rq2", "window merge sort", 2L))
+
+  /** The RAG data-prep chain as ONE plan: chunk the corpus →
+    * deterministic chunk embeddings (an md5 ring into the embeddings
+    * table — the stubbed "embedding model", the multimodal-decode
+    * convention: the join plumbing is real, the model is a
+    * deterministic stand-in) → hyperplane-LSH dense retrieval + BM25
+    * sparse retrieval over the SAME chunk frame → reciprocal-rank
+    * fusion. Every stage is the operator its standalone gate runs
+    * (chunkDocs / lshTopK / bm25TopK / rrfFuse); this row proves they
+    * COMPOSE — chunk ids offset past the query vec_id space so the
+    * dense leg's self-exclusion can never hide a chunk, the chunk
+    * frame persists at the fan-out (embed join + BM25 legs,
+    * RagE2eSpec counts the cache scans), and the fused integer rrf
+    * ranking hash-gates the whole DAG end to end. */
+  def qRagE2e(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val chunks = TextAnalysis.chunkDocs(t.documents, RagChunkMax, RagChunkStride)
+      .select((col("doc_id") * 100 + col("chunk_idx") + RagIdOffset).as("chunk_id"),
+        col("chunk_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapStageCaches("rag_e2e", List(chunks))
+    val emb = t.embeddings
+    // ring size enters as a broadcast 1-row aggregate, never a
+    // driver count job
+    val nv = broadcast(emb.agg(max(col("vec_id")).cast("long").as("__mx")))
+    val chunkVecs = chunks.crossJoin(nv)
+      .select(col("chunk_id"),
+        (Portable.h60(concat_ws(":", lit("rag"), col("chunk_id")))
+          % (col("__mx") + 1L)).as("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("chunk_id").as("vec_id"), col("embedding"))
+    val dense = Similarity.lshTopK(
+      emb.where(col("vec_id") < RagQueries.size), chunkVecs, RagK)
+      .select(concat(lit("rq"), col("query_id").cast("string")).as("query_id"),
+        col("cand_id").as("doc_id"), col("rank"))
+    val sparse = TextAnalysis.bm25TopK(
+      chunks.select(col("chunk_id").as("doc_id"), col("chunk_text").as("text")),
+      RagQueries.map(q => (q._1, q._2)), RagK)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(dense, sparse), RagK)
+  }
+
+  val qRagE2eSql: String = {
+    val chunksSub =
+      s"""SELECT doc_id * 100 + chunk_idx + $RagIdOffset AS chunk_id, chunk_text FROM (
+         |  WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |  d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM ws WHERE len(w) > 0),
+         |  c AS (SELECT doc_id, w, n,
+         |      1 + CAST(ceil(greatest(n - $RagChunkMax, 0) / CAST($RagChunkStride AS DOUBLE)) AS BIGINT) AS n_chunks
+         |    FROM d)
+         |  SELECT doc_id, i.k AS chunk_idx,
+         |    array_to_string(w[CAST(i.k * $RagChunkStride + 1 AS BIGINT):CAST(i.k * $RagChunkStride + $RagChunkMax AS BIGINT)], ' ') AS chunk_text
+         |  FROM c, unnest(generate_series(0, n_chunks - 1)) AS i(k))""".stripMargin
+    val bm25Sub = bm25SqlFrom(
+      s"(SELECT chunk_id AS doc_id, chunk_text AS text FROM ch)",
+      RagQueries.map(q => (q._1, q._2)), RagK)
+    s"""WITH ch AS ($chunksSub),
+       |vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |nv AS (SELECT CAST(max(vec_id) AS BIGINT) AS mx FROM vv),
+       |cv AS (SELECT ch.chunk_id, vv.e
+       |  FROM ch CROSS JOIN nv
+       |  JOIN vv ON vv.vec_id = ${h60Sql("'rag' || ':' || CAST(ch.chunk_id AS VARCHAR)")} % (nv.mx + 1)),
+       |cb AS (SELECT chunk_id, e, CAST($lshBucketSqlExpr AS BIGINT) AS bucket FROM cv),
+       |qb AS (SELECT vec_id AS qid, e, CAST($lshBucketSqlExpr AS BIGINT) AS bucket
+       |  FROM vv WHERE vec_id < ${RagQueries.size}),
+       |dsc AS (SELECT qb.qid, cb.chunk_id,
+       |    floor((list_dot_product(qb.e, cb.e) / sqrt(list_dot_product(qb.e, qb.e) * list_dot_product(cb.e, cb.e))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM qb JOIN cb ON qb.bucket = cb.bucket),
+       |dr AS (SELECT 'rq' || CAST(qid AS VARCHAR) AS query_id, chunk_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, chunk_id ASC) AS BIGINT) AS rank
+       |  FROM dsc),
+       |dsel AS (SELECT query_id, doc_id, rank FROM dr WHERE rank <= $RagK),
+       |bsel AS (SELECT query_id, doc_id, rank FROM ($bm25Sub)),
+       |allr AS (SELECT * FROM dsel UNION ALL SELECT * FROM bsel),
+       |f AS (SELECT query_id, doc_id,
+       |    CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n_sources
+       |  FROM allr GROUP BY 1, 2),
+       |rr AS (SELECT query_id, doc_id, s, n_sources,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, doc_id, n_sources,
+       |  floor((s / 1e9) * 1e6 + 0.5) / 1e6 AS rrf_score
+       |FROM rr WHERE rank <= $RagK""".stripMargin
+  }
 
   // ---- deterministic negative sampling (contrastive training) ----
 

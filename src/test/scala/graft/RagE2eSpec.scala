@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_rag_e2e structural pins: the chunk frame must persist at the
+  * fan-out (embed-join + BM25 legs read cache, not re-chunk), both
+  * retrieval legs must actually reach the fused output, and the DAG
+  * is deterministic. Value correctness is the oracle row's job. */
+class RagE2eSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def avail = new java.io.File(s"$dir/documents.parquet").exists() &&
+    new java.io.File(s"$dir/embeddings.parquet").exists()
+
+  test("fan-out reads the chunk cache; both legs reach the fusion; deterministic") {
+    assume(avail)
+    val df = SparkEntry.queries("q_rag_e2e")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheScans >= 2, s"expected >=2 InMemoryTableScan, got $cacheScans")
+    // every query fused exactly RagK rows with ranks 1..K
+    val byQuery = rows.groupBy(_.getAs[String]("query_id"))
+    assert(byQuery.keySet === Set("rq0", "rq1", "rq2"))
+    for ((q, rs) <- byQuery) {
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 10L),
+        s"$q ranks")
+    }
+    // disjoint-source RRF: the two legs' rank-1 docs share the top
+    // integer score, so BOTH must appear in the fused output — a leg
+    // silently dropping (empty frame, broken join) fails here
+    val fusedDocs = rows.map(r =>
+      r.getAs[String]("query_id") -> r.getAs[Long]("doc_id")).toSet
+    val docs = graft.sources.Tables(spark, dir).documents
+    val chunks = graft.operators.TextAnalysis.chunkDocs(docs, 32, 24)
+      .select((col("doc_id") * 100 + col("chunk_idx") + 1000000L).as("doc_id"),
+        col("chunk_text").as("text"))
+    val sparse1 = graft.operators.TextAnalysis
+      .bm25TopK(chunks, graft.queries.LlmQueries.RagQueries.map(q => (q._1, q._2)), 10)
+      .where(col("rank") === 1)
+      .collect().map(r => r.getAs[String]("query_id") -> r.getAs[Long]("doc_id"))
+    assert(sparse1.nonEmpty)
+    sparse1.foreach { case (q, d) =>
+      assert(fusedDocs.contains(q -> d), s"sparse rank-1 ($q,$d) missing from fusion")
+    }
+    val again = SparkEntry.queries("q_rag_e2e")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+}
