@@ -98,6 +98,8 @@ object SparkEntry {
     "q_crawl_e2e" -> (L.qCrawlE2e _),
     // learned linear classifier next to the rule- and LM-based signals
     "q_quality_classifier" -> (L.qQualityClassifier _),
+    // the classifier TRAINER (batch perceptron, trajectory-gated)
+    "q_classifier_train" -> (L.qClassifierTrain _),
     "q_token_count" -> (L.qTokenCount _),
     // script-aware (CJK/Thai) segmentation census
     "q_token_count_cjk" -> (L.qTokenCountCjk _),
@@ -284,6 +286,7 @@ object SparkEntry {
     "q_quality_filter" -> L.qQualityFilterSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
+    "q_classifier_train" -> L.qClassifierTrainSql,
     "q_token_count" -> L.qTokenCountSql,
     "q_token_count_cjk" -> L.qTokenCountCjkSql,
     "q_lang_id_cjk" -> L.qLangIdCjkSql,

@@ -1463,4 +1463,60 @@ object TextAnalysis {
         lit(0.5) + lit(0.5) * col("__x") / (lit(1.0) + abs(col("__x"))), 6).as("prob"),
       (col("__s") >= 0).cast(LongType).as("keep"))
   }
+
+  /** The TRAIN half of the hashed linear classifier — a distributed
+    * BATCH PERCEPTRON over the same feature space as
+    * [[hashedLinearScore]] (words + positional 2-shingles, h31 mod
+    * nBuckets): per epoch, every currently-misclassified doc
+    * (y·margin ≤ 0) contributes lr·y·tf to its buckets in ONE
+    * aggregate, so the whole epoch is two joins + two map-side-partial
+    * groupBys — never a sequential per-sample pass. ALL arithmetic is
+    * integer (weights live on the same 1e-6 grid hashedLinearScore
+    * divides by), so the k-epoch trajectory replays exactly as chained
+    * CTEs — the sigmoid-free reason a perceptron hash-gates where
+    * logistic regression (libm exp) never could. Labels must be ±1.
+    *
+    * Scale shape: the (doc, y, bucket, tf) feature frame builds once
+    * and localCheckpoints (every epoch reads it twice: margins +
+    * update); the weight vector is ≤ nBuckets rows, checkpointed per
+    * epoch (referenced twice per epoch — the PageRank lesson);
+    * margins shuffle on doc, updates on bucket, both partial-agg
+    * friendly. Returns the final (bucket, w) model frame —
+    * WRITABLE, the train/apply production shape; feed it straight to
+    * [[hashedLinearScore]] (QualitySpec pins the composition). */
+  def perceptronTrain(docs: DataFrame, labelCol: String, nBuckets: Int,
+                      epochs: Int, lrMicro: Long = 1000L,
+                      id: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0 && epochs >= 1 && epochs <= 64 && lrMicro > 0,
+      "perceptronTrain: bad hyperparameters")
+    val feats = docs.select(col(id), col(labelCol).cast("long").as("__y"),
+        explode(concat(
+          Portable.words(col(textCol)),
+          graft.functions.WordShingles.of(col(textCol), 2, distinct = false)))
+          .as("f"))
+      .where(length(col("f")) > 0)
+    val tf = feats
+      .select(col(id), col("__y"),
+        (Portable.h31(col("f")) % nBuckets).cast("int").as("bucket"))
+      .groupBy(col(id), col("__y"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    var w = tf.select(col("bucket")).distinct()
+      .select(col("bucket"), lit(0L).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to epochs) {
+      val mis = tf.join(w, Seq("bucket"))
+        .groupBy(col(id), col("__y"))
+        .agg(sum(col("tf") * col("w")).as("__m"))
+        .where(col("__y") * col("__m") <= 0)
+        .select(col(id))
+      val upd = tf.join(mis, Seq(id))
+        .groupBy(col("bucket"))
+        .agg((lit(lrMicro) * sum(col("__y") * col("tf"))).as("__u"))
+      w = w.join(upd, Seq("bucket"), "left")
+        .select(col("bucket"), (col("w") + coalesce(col("__u"), lit(0L))).as("w"))
+        .localCheckpoint(true)
+    }
+    w
+  }
 }

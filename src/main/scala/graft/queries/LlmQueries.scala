@@ -3422,6 +3422,60 @@ object LlmQueries {
        |WHERE (('0x' || substr(md5('strat' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < ef.thr""".stripMargin
   }
 
+  // ---- classifier TRAINING: distributed batch perceptron ----
+
+  private val PtBuckets = 64
+  private val PtEpochs = 3
+  private val PtLr = 1000L
+
+  /** The classifier TRAINER inside the oracle gate
+    * (TextAnalysis.perceptronTrain): 3 batch-perceptron epochs over
+    * hashed word+bigram features, supervision y = ±1 from the lang
+    * column (en vs rest — a closed-form label both engines derive).
+    * Integer weights on hashedLinearScore's 1e-6 grid make the whole
+    * epoch trajectory hash-exact; the oracle replays margins →
+    * misclassified set → bucket updates per epoch as chained CTEs
+    * (the q_bpe_train / q_domain_rank pattern — training inside the
+    * gate, sigmoid-free by design since libm exp could never gate). */
+  def qClassifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    TextAnalysis.perceptronTrain(docs, "y", PtBuckets, PtEpochs, PtLr)
+  }
+
+  val qClassifierTrainSql: String = {
+    val epochs = (0 until PtEpochs).map { t =>
+      s"""m$t AS (SELECT doc_id FROM (
+         |    SELECT tb.doc_id, tb.y, CAST(SUM(tb.tf * w$t.w) AS BIGINT) AS mg
+         |    FROM tb JOIN w$t USING (bucket) GROUP BY 1, 2)
+         |  WHERE y * mg <= 0),
+         |u$t AS (SELECT bucket, CAST($PtLr * SUM(y * tf) AS BIGINT) AS u
+         |  FROM tb JOIN m$t USING (doc_id) GROUP BY 1),
+         |w${t + 1} AS (SELECT w$t.bucket,
+         |    CAST(w$t.w + COALESCE(u.u, 0) AS BIGINT) AS w
+         |  FROM w$t LEFT JOIN u$t u USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    ${wordsSql("text")} AS w FROM documents),
+       |feats AS (SELECT doc_id, y, f FROM (
+       |    SELECT doc_id, y, unnest(w) AS f FROM ws
+       |    UNION ALL
+       |    SELECT doc_id, y, unnest(CASE WHEN len(w) < 2 THEN []
+       |      ELSE list_transform(generate_series(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1]) END) AS f FROM ws
+       |  ) WHERE length(f) > 0),
+       |tb AS (SELECT doc_id, y,
+       |    CAST((('0x' || substr(md5(f), 1, 7))::BIGINT % ${Config.MinhashPrime})
+       |      % $PtBuckets AS INT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM feats GROUP BY 1, 2, 3),
+       |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM tb),
+       |$epochs
+       |SELECT bucket, w FROM w$PtEpochs""".stripMargin
+  }
+
   // ---- linear quality classifier (fastText / FineWeb-Edu style) ----
 
   /** Per-doc score under a BROADCAST linear hashed-ngram model — the

@@ -368,6 +368,30 @@ class QualitySpec extends SparkSpec {
     assert(TextAnalysis.bpeTrain(docs, 2) === Seq(("a", "a"), ("a", "</w>")))
   }
 
+  test("perceptronTrain: separable fixture converges, composes with hashedLinearScore, layout-invariant") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions._
+    // disjoint vocabularies -> linearly separable in the hashed space
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", 1L)
+      else (i, "mal texto basura spamspam junkjunk", -1L)
+    }.toDF("doc_id", "text", "y")
+    val model = TextAnalysis.perceptronTrain(docs, "y", nBuckets = 64, epochs = 3)
+    // the trained model plugs straight into the apply half: every
+    // positive doc must score >= 0 (keep=1), every negative < 0
+    val scored = TextAnalysis.hashedLinearScore(
+        docs.select(col("doc_id"), col("text")), model, 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    (0L until 40L).foreach { i =>
+      assert(scored(i) === (if (i % 2 == 0) 1L else 0L), s"doc $i misclassified")
+    }
+    // bit-identical weights on any partitioning (the integer-grid claim)
+    val m2 = TextAnalysis.perceptronTrain(docs.repartition(7), "y", 64, 3)
+    assert(model.collect().map(_.toString).sorted.toSeq ===
+      m2.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("sessionizeDeclarative property: random gap sequences match the gaps-and-islands reference") {
     import spark.implicits._
     // the q_sessionize oracle pins ONE real exact-gap pair; this sweep
