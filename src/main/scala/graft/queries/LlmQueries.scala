@@ -2170,11 +2170,12 @@ object LlmQueries {
     * ranking hash-gates the whole DAG end to end. */
   def qRagE2e(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    releaseStageCaches("rag_e2e") // BEFORE the persist (see stageCacheReg)
     val chunks = TextAnalysis.chunkDocs(t.documents, RagChunkMax, RagChunkStride)
       .select((col("doc_id") * 100 + col("chunk_idx") + RagIdOffset).as("chunk_id"),
         col("chunk_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    swapStageCaches("rag_e2e", List(chunks))
+    registerStageCaches("rag_e2e", List(chunks))
     val emb = t.embeddings
     // ring size enters as a broadcast 1-row aggregate, never a
     // driver count job
@@ -2387,11 +2388,12 @@ object LlmQueries {
     * any drift in any stage's arithmetic moves a row and fails the
     * hash. */
   def qMixE2e(spark: SparkSession, dir: String): DataFrame = {
+    releaseStageCaches("mix_e2e") // BEFORE the persist (see stageCacheReg)
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"),
         size(Portable.words(col("text"))).cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    swapStageCaches("mix_e2e", List(toks))
+    registerStageCaches("mix_e2e", List(toks))
     val weights = Sampling.temperatureWeightsFromTokens(toks, 2.0)
     val plan = Sampling.mixturePlanFromTokens(
       toks, weights.select(col("source"), col("w_ppm")), MixE2eBudget)
@@ -3274,16 +3276,33 @@ object LlmQueries {
   // ---- composed crawl pipeline (one DAG, one oracle) ----
 
   /** Per-query stage caches of the LAST invocation: a composed-DAG
-    * query (qCrawlE2e, qMixE2e) persists its fan-out frames for the
-    * returned lazy plan, so they can't be released before the caller
-    * consumes it — instead each NEW invocation releases the previous
-    * one's (Bench/Verify run registry queries repeatedly on one shared
-    * session; without this every run stacks fresh cached copies). */
+    * query (qCrawlE2e, qMixE2e, qRagE2e) persists its fan-out frames
+    * for the returned lazy plan, so they can't be released before the
+    * caller consumes it — instead each NEW invocation releases the
+    * previous one's (Bench/Verify run registry queries repeatedly on
+    * one shared session; without this every run stacks fresh cached
+    * copies).
+    *
+    * ORDER MATTERS: release must happen BEFORE the new invocation
+    * persists. The fresh frames have the SAME analyzed plan as the
+    * previous ones, so CacheManager treats their persist() as
+    * already-cached (a no-op) — releasing the old entry afterwards
+    * would leave the new invocation entirely UNcached (measured: the
+    * e2e fan-outs silently recomputed per consumer on every
+    * invocation after the first). Hence the two-phase protocol:
+    * [[releaseStageCaches]] at query entry, [[registerStageCaches]]
+    * after the persists. */
   private val stageCacheReg =
     new java.util.concurrent.atomic.AtomicReference(Map.empty[String, List[DataFrame]])
 
-  private def swapStageCaches(key: String, fresh: List[DataFrame]): Unit = {
+  private def releaseStageCaches(key: String): Unit = {
+    val prev = stageCacheReg.getAndUpdate(m => m.updated(key, Nil))
+    prev.getOrElse(key, Nil).foreach(_.unpersist(blocking = false))
+  }
+
+  private def registerStageCaches(key: String, fresh: List[DataFrame]): Unit = {
     val prev = stageCacheReg.getAndUpdate(m => m.updated(key, fresh))
+    // a racing invocation may have registered in between; never leak it
     prev.getOrElse(key, Nil).foreach(_.unpersist(blocking = false))
   }
 
@@ -3299,6 +3318,7 @@ object LlmQueries {
     * empty text would hit the punct-ratio zero denominator — the
     * pipeline-correct place to drop empties anyway). */
   def qCrawlE2e(spark: SparkSession, dir: String): DataFrame = {
+    releaseStageCaches("crawl_e2e") // BEFORE the persists (see stageCacheReg)
     val docs = Tables(spark, dir).documents
     val id = col("doc_id")
     // A: html synthesis (the qHtmlExtract fixture) + extraction
@@ -3355,9 +3375,9 @@ object LlmQueries {
       .select(col("doc_id"), col("text"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // lifecycle: see stageCacheReg — the previous invocation's eb/ec
-    // release here, this invocation's ride with the returned plan
-    swapStageCaches("crawl_e2e", List(eb, ec))
+    // lifecycle: see stageCacheReg — released at entry, registered
+    // here; this invocation's frames ride with the returned plan
+    registerStageCaches("crawl_e2e", List(eb, ec))
     // D: quality verdict (needs lang for the langId gate)
     val ed = ec.join(
       TextAnalysis.qualityVerdict(ec).where(col("keep") === 1L).select("doc_id"),

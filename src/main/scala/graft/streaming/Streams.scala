@@ -290,6 +290,20 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the ISO-BMFF metadata parser (operators/
+    * Video.parseMp4): a stateless partition-local atom walk per
+    * payload — malformed containers quarantine as ok=0 rows in the
+    * batch output exactly as in batch. Parity pinned in
+    * StreamingSpec. */
+  def videoMetaStream(media: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(media.isStreaming,
+      "videoMetaStream is streaming-only: use Video.parseMp4 for batch frames")
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Video.parseMp4(batch, "doc_id", "payload"), batchId)
+    }
+  }
+
   /** Streaming twin of the Bloom-filter decontaminator: the bit array
     * is a STATIC trained index (built offline from the benchmark via
     * Dedup.buildBloomFilter — the benchmark is never touched per

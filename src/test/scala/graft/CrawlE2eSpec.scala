@@ -14,10 +14,10 @@ class CrawlE2eSpec extends SparkSpec {
 
   test("composed chain: non-empty, deterministic, fan-out reads the cache") {
     assume(avail)
-    val df = SparkEntry.queries("q_crawl_e2e")(spark, dir)
+    val (df, p) = buildWithCacheScans(minScans = 4)(
+      SparkEntry.queries("q_crawl_e2e")(spark, dir))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val p = df.queryExecution.executedPlan.toString
     // the quality fan-out and the final joins must hit the persisted
     // stage frames (pre-persist measurement: 16 file scans and 10 NFC
     // kernel passes in one plan; with the two stage persists the

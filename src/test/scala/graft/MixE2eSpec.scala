@@ -13,10 +13,10 @@ class MixE2eSpec extends SparkSpec {
 
   test("one tokenize pass (cache scans at the fan-out), one shard exchange") {
     assume(avail)
-    val df = SparkEntry.queries("q_mix_e2e")(spark, dir)
+    val (df, p) = buildWithCacheScans(minScans = 3)(
+      SparkEntry.queries("q_mix_e2e")(spark, dir))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val p = df.queryExecution.executedPlan.toString
     // weights agg + plan agg + sampler all read the persisted tokens
     // frame: at least 3 cache scans, and the documents parquet is
     // scanned only inside the cached relation's child plan

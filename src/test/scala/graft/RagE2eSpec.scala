@@ -14,10 +14,10 @@ class RagE2eSpec extends SparkSpec {
 
   test("fan-out reads the chunk cache; both legs reach the fusion; deterministic") {
     assume(avail)
-    val df = SparkEntry.queries("q_rag_e2e")(spark, dir)
+    val (df, p) = buildWithCacheScans(minScans = 2)(
+      SparkEntry.queries("q_rag_e2e")(spark, dir))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val p = df.queryExecution.executedPlan.toString
     val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
     assert(cacheScans >= 2, s"expected >=2 InMemoryTableScan, got $cacheScans")
     // every query fused exactly RagK rows with ranks 1..K

@@ -28,4 +28,30 @@ object TestSpark {
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Build a frame whose executed plan must show at least `minScans`
+    * InMemoryTableScan nodes, retrying the WHOLE build when a
+    * concurrently-running suite's clearCache() raced away the stage
+    * persists between registration and plan build (suites share ONE
+    * session and several call clearCache; the race is transient, so a
+    * bounded rebuild converges). Returns (frame, plan string) of the
+    * first attempt that satisfies the count — or the last attempt, so
+    * the caller's assertion still reports the real shape on a genuine
+    * regression. */
+  protected def buildWithCacheScans(minScans: Int, attempts: Int = 15)(
+      build: => org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, String) = {
+    var last: (org.apache.spark.sql.DataFrame, String) = null
+    var i = 0
+    while (i < attempts) {
+      val df = build
+      val p = df.queryExecution.executedPlan.toString
+      if ("InMemoryTableScan".r.findAllIn(p).length >= minScans) return (df, p)
+      last = (df, p)
+      i += 1
+      // a clearCache storm from a concurrently-running suite can span
+      // several quick retries — back off so the aggressor finishes
+      Thread.sleep(1000L)
+    }
+    last
+  }
 }

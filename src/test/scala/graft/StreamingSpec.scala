@@ -402,6 +402,35 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("videoMetaStream parses containers per batch exactly like batch, quarantine included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val specs = Seq(7L, 8L).toDF("doc_id").select(col("doc_id"),
+      lit(1000L).as("timescale"), lit(5000L).as("duration"),
+      array(struct(lit(1L).as("track_id"), lit(320L).as("w"),
+        lit(240L).as("h"), lit(50L).as("frames"))).as("tracks"),
+      when(col("doc_id") === 8L, 1).otherwise(0).as("corrupt"))
+    val payloads = graft.operators.Video.encodeMp4(specs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    input.addData(payloads.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.videoMetaStream(input.toDF().toDF("doc_id", "payload")) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(payloads.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Video.parseMp4(
+        payloads.toSeq.toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+    assert(acc.exists(r => r.getAs[Long]("ok") == 0L &&
+      r.getAs[String]("reason") == "truncated-box"))
+  }
+
   test("bm25ScoreStream fails fast when a micro-batch exceeds the query cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
