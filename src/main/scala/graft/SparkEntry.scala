@@ -83,6 +83,8 @@ object SparkEntry {
     "q_stratified_sample" -> (L.qStratifiedSample _),
     "q_stratum_topn" -> (L.qStratumTopn _),
     "q_decontaminate" -> (L.qDecontaminate _),
+    // graded contamination fraction (Dolma-style)
+    "q_decontam_overlap" -> (L.qDecontamOverlap _),
     // constant-memory Bloom-filter variant (deterministic md5 positions)
     "q_bloom_decontaminate" -> (L.qBloomDecontaminate _),
     "q_dedup_simhash" -> (L.qDedupSimhash _),
@@ -181,6 +183,8 @@ object SparkEntry {
     "q_ann_pq_trained" -> (L.qAnnPqTrained _),
     // chunk->document embedding mean-pool (fixed-point exact)
     "q_embed_pool" -> (L.qEmbedPool _),
+    // snapshot-to-snapshot embedding drift monitor
+    "q_embed_drift" -> (L.qEmbedDrift _),
     // mixture planning: target weights + budget -> per-stratum rates
     "q_mixture_plan" -> (L.qMixturePlan _),
     "q_mixture_temp" -> (L.qMixtureTemp _),
@@ -273,6 +277,7 @@ object SparkEntry {
     "q_stratified_sample" -> L.qStratifiedSampleSql,
     "q_stratum_topn" -> L.qStratumTopnSql,
     "q_decontaminate" -> L.qDecontaminateSql,
+    "q_decontam_overlap" -> L.qDecontamOverlapSql,
     "q_bloom_decontaminate" -> L.qBloomDecontaminateSql,
     "q_dedup_simhash" -> L.qDedupSimhashSql,
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
@@ -337,6 +342,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> L.qAnnIvfPqSql,
     "q_ann_pq_trained" -> L.qAnnPqTrainedSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
+    "q_embed_drift" -> L.qEmbedDriftSql,
     "q_mixture_plan" -> L.qMixturePlanSql,
     "q_mixture_temp" -> L.qMixtureTempSql,
     "q_mix_e2e" -> L.qMixE2eSql,

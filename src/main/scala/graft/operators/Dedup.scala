@@ -664,6 +664,41 @@ object Dedup {
       .where(col("n_common") >= minCommon)
   }
 
+  /** Per-document contamination SCORE — the graded companion of
+    * [[decontaminate]]'s pair report (Dolma-style): what FRACTION of a
+    * training doc's distinct shingles appear anywhere in the benchmark
+    * suite. A doc sharing one boilerplate phrase scores near 0; a
+    * paraphrased benchmark item scores high even when no single pair
+    * crosses a minCommon count. `flagged` is an integer cross-multiply
+    * (5·n_contaminated >= n_shingles ⇔ frac >= 0.2 — no float
+    * threshold can drift between engines); the fraction itself is a
+    * terminal roundp view.
+    *
+    * Scale shape: the benchmark's distinct-shingle SET broadcasts
+    * (suites are small; for huge suites use the Bloom sibling), the
+    * corpus side is one explode + left join + doc-keyed regroup —
+    * ONE shuffle. Docs with zero shingles (shorter than the k-gram)
+    * are absent from the report — nothing to measure, the
+    * [[decontaminate]] convention; n_shingles >= 1 on every emitted
+    * row, so the fraction's denominator is never zero. */
+  def contaminationScore(train: DataFrame, benchmark: DataFrame): DataFrame = {
+    val trainSh = withShingles(train, Seq.empty)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val benchSet = withShingles(benchmark, Seq.empty)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    trainSh.join(broadcast(benchSet), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        graft.functions.Portable.roundp(
+          col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("overlap_frac"),
+        (col("n_contaminated") * 5 >= col("n_shingles")).cast("long")
+          .as("flagged"))
+  }
+
   /** Bloom-filter benchmark decontamination — [[decontaminate]]'s
     * constant-memory sibling for benchmark suites too large to
     * broadcast raw: benchmark shingles hash into an mBits-bit Bloom

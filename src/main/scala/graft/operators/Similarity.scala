@@ -446,6 +446,39 @@ object Similarity {
         Portable.roundp(col("__q") / col("n_vecs")
           / lit(FloatVecQuantSumAgg.Scale), 6).as("mean_val"))
 
+  /** Embedding DRIFT monitor between two corpus snapshots — the
+    * curation alarm for encoder swaps / domain shift before they
+    * poison ANN indexes and semantic dedup: per group, the L2
+    * distance between the snapshots' centroids. Exactness chain: the
+    * centroids are [[meanPool]]'s fixed-point-exact 1e-6-grid means,
+    * so each per-dim difference is exact and its square is ONE
+    * deterministic IEEE product (never pow — libm); the square
+    * quantizes to an integer picounit (floor(d²·1e12 + 0.5)) so the
+    * per-group sum is order-free; the distance is one sqrt (IEEE
+    * correctly-rounded, gate-safe) + terminal roundp. Groups present
+    * in only one snapshot drop (no distance exists). Two meanPool
+    * aggregates + one dims-sized join — the corpus is scanned once
+    * per snapshot. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                     embCol: String = "embedding"): DataFrame = {
+    val ma = meanPool(a, groupCol, embCol)
+      .select(col(groupCol), col("dim"), col("n_vecs").as("n_a"),
+        col("mean_val").as("__ma"))
+    val mb = meanPool(b, groupCol, embCol)
+      .select(col(groupCol), col("dim"), col("n_vecs").as("n_b"),
+        col("mean_val").as("__mb"))
+    ma.join(mb, Seq(groupCol, "dim"))
+      .withColumn("__t",
+        floor((col("__ma") - col("__mb")) * (col("__ma") - col("__mb"))
+          * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("__t")).as("__s"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        Portable.roundp(sqrt(col("__s").cast("double") / lit(1e12)), 6)
+          .as("drift"))
+  }
+
   // ---- product quantization (Jégou et al. 2011) ----
 
   /** Deterministic PQ codebook: the first `ks` vectors' slices, one

@@ -341,6 +341,34 @@ object LlmQueries {
        |GROUP BY 1, 2
        |HAVING count(*) >= $DecontaminateMinCommon""".stripMargin
 
+  /** Graded contamination: per-train-doc overlap FRACTION against the
+    * benchmark shingle set (Dedup.contaminationScore — the Dolma-style
+    * score next to qDecontaminate's exact-pair report), same
+    * benchmark/train split. Integer flag (5·hits >= shingles), roundp
+    * fraction. */
+  def qDecontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.contaminationScore(
+      docs.where(col("doc_id") >= 15),
+      docs.where(col("doc_id") < 15))
+  }
+
+  val qDecontamOverlapSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM ws),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |tr AS (SELECT doc_id, shingle FROM ex WHERE doc_id >= 15),
+       |bs AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 15),
+       |g AS (SELECT tr.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(count(bs.shingle) AS BIGINT) AS n_contaminated
+       |  FROM tr LEFT JOIN bs ON tr.shingle = bs.shingle
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  floor((CAST(n_contaminated AS DOUBLE) / n_shingles) * 1e6 + 0.5) / 1e6 AS overlap_frac,
+       |  CAST(CASE WHEN n_contaminated * 5 >= n_shingles THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM g""".stripMargin
+
   // ---- Bloom-filter decontamination (constant-memory index) ----
 
   private val BloomK = 3
@@ -943,6 +971,39 @@ object LlmQueries {
        |SELECT label, dim, n_vecs,
        |  floor(((s / n_vecs) / CAST(16777216 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_val
        |FROM g""".stripMargin
+
+  // ---- embedding drift between snapshots ----
+
+  /** Per-label centroid L2 shift between two corpus snapshots
+    * (Similarity.embeddingDrift — vec_id parity stands in for the
+    * snapshot split): fixed-point means, integer-picounit squared
+    * diffs, one gate-safe sqrt. */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.embeddingDrift(
+      emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 === 1), "label")
+  }
+
+  val qEmbedDriftSql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id % 2 AS half, label, d AS dim,
+       |    CAST(floor(e[d + 1] * CAST(16777216 AS DOUBLE) + 0.5) AS BIGINT) AS qv
+       |  FROM v, generate_series(0, ${Config.AnnDim - 1}) t(d)),
+       |g AS (SELECT half, label, dim, CAST(sum(qv) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM q GROUP BY 1, 2, 3),
+       |m AS (SELECT half, label, dim, n,
+       |    floor(((s / n) / CAST(16777216 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mv
+       |  FROM g),
+       |j AS (SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+       |    CAST(floor((a.mv - b.mv) * (a.mv - b.mv) * 1e12 + 0.5) AS BIGINT) AS t
+       |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+       |    AND a.half = 0 AND b.half = 1)
+       |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a,
+       |  CAST(max(n_b) AS BIGINT) AS n_b,
+       |  floor(sqrt(CAST(sum(t) AS BIGINT) / 1e12) * 1e6 + 0.5) / 1e6 AS drift
+       |FROM j GROUP BY 1""".stripMargin
 
   // ---- #46 k-means codebook training + assignment ----
 

@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminate(train, bench, minCommon = 3).count() === 0)
   }
 
+  test("contaminationScore: hand-computed fractions and the integer flag") {
+    import spark.implicits._
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon"), // 3 shingles, 2 in bench
+      (101L, "one two three four five six"))    // 4 shingles, 0 in bench
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(train, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getAs[Long]("flagged")))).toMap
+    assert(out(100L) === ((3L, 2L, math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6, 1L)))
+    assert(out(101L) === ((4L, 0L, 0.0, 0L)))
+  }
+
   test("releaseCaches frees every tracked intermediate, once") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g")
     // drain anything earlier suites in this shared session left behind

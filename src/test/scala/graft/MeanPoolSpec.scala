@@ -42,4 +42,23 @@ class MeanPoolSpec extends SparkSpec {
       assert(math.abs(out(d.toLong) - exact(d)) < 1e-6)
     }
   }
+
+  test("embeddingDrift: zero on identical snapshots, exact on a known shift, one-sided groups drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def vecs(rows: (Long, String, Seq[Float])*) =
+      rows.toSeq.toDF("vec_id", "label", "embedding")
+    val a = vecs((1L, "g", Seq(1f, 0f)), (2L, "g", Seq(0f, 1f)),
+      (3L, "solo", Seq(1f, 1f)))
+    // identical snapshot -> drift exactly 0
+    val z = graft.operators.Similarity.embeddingDrift(a, a, "label")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(z("g") === 0.0 && z("solo") === 0.0)
+    // b shifts group g's centroid by (0.5, 0) -> drift 0.5; solo absent
+    val b = vecs((4L, "g", Seq(2f, 0f)), (5L, "g", Seq(0f, 1f)))
+    val d = graft.operators.Similarity.embeddingDrift(a, b, "label").collect()
+    assert(d.map(_.getString(0)).toSeq === Seq("g"))
+    assert(d(0).getDouble(3) === 0.5)
+    assert(d(0).getAs[Long]("n_a") === 2L && d(0).getAs[Long]("n_b") === 2L)
+  }
 }
