@@ -1487,10 +1487,20 @@ object TextAnalysis {
   def perceptronTrain(docs: DataFrame, labelCol: String, nBuckets: Int,
                       epochs: Int, lrMicro: Long = 1000L,
                       id: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      sampleRatePpm: Long = 1000000L): DataFrame = {
     require(nBuckets > 0 && epochs >= 1 && epochs <= 64 && lrMicro > 0,
       "perceptronTrain: bad hyperparameters")
-    val feats = docs.select(col(id), col(labelCol).cast("long").as("__y"),
+    require(sampleRatePpm >= 1 && sampleRatePpm <= 1000000L,
+      s"perceptronTrain: sampleRatePpm out of range: $sampleRatePpm")
+    // the kmeansFit sampled-training story: epochs re-scan the feature
+    // frame, so at corpus scale train on a deterministic md5-threshold
+    // sample (identity at 1e6 ppm — existing trajectories untouched)
+    val base =
+      if (sampleRatePpm >= 1000000L) docs
+      else docs.where(
+        Portable.h60(concat_ws(":", lit("pts"), col(id))) % 1000000L < sampleRatePpm)
+    val feats = base.select(col(id), col(labelCol).cast("long").as("__y"),
         explode(concat(
           Portable.words(col(textCol)),
           graft.functions.WordShingles.of(col(textCol), 2, distinct = false)))

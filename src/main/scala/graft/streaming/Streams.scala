@@ -290,6 +290,22 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the graded contamination score (operators/
+    * Dedup.contaminationScore): the benchmark frame is STATIC (suites
+    * change rarely; load it offline, the Bloom-stream convention), so
+    * each micro-batch of crawl docs scores through the identical
+    * batch operator — per-doc fractions depend only on the doc and
+    * the benchmark, batch boundaries invisible. Parity pinned in
+    * StreamingSpec. */
+  def contaminationScoreStream(docs: DataFrame, benchmark: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "contaminationScoreStream is streaming-only: use Dedup.contaminationScore for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Dedup.contaminationScore(batch, benchmark), batchId)
+    }
+  }
+
   /** Streaming twin of the ISO-BMFF metadata parser (operators/
     * Video.parseMp4): a stateless partition-local atom walk per
     * payload — malformed containers quarantine as ok=0 rows in the

@@ -390,6 +390,25 @@ class QualitySpec extends SparkSpec {
     val m2 = TextAnalysis.perceptronTrain(docs.repartition(7), "y", 64, 3)
     assert(model.collect().map(_.toString).sorted.toSeq ===
       m2.collect().map(_.toString).sorted.toSeq)
+    // sampled training: deterministic across layouts, identity at 1e6,
+    // and the separable fixture still classifies from a half sample
+    val sFull = TextAnalysis.perceptronTrain(docs, "y", 64, 3,
+      sampleRatePpm = 1000000L)
+    assert(sFull.collect().map(_.toString).sorted.toSeq ===
+      model.collect().map(_.toString).sorted.toSeq)
+    val sHalf = TextAnalysis.perceptronTrain(docs, "y", 64, 3,
+      sampleRatePpm = 500000L)
+    val sHalf2 = TextAnalysis.perceptronTrain(docs.repartition(5), "y", 64, 3,
+      sampleRatePpm = 500000L)
+    assert(sHalf.collect().map(_.toString).sorted.toSeq ===
+      sHalf2.collect().map(_.toString).sorted.toSeq)
+    val scoredHalf = TextAnalysis.hashedLinearScore(
+        docs.select(col("doc_id"), col("text")), sHalf, 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    (0L until 40L).foreach { i =>
+      assert(scoredHalf(i) === (if (i % 2 == 0) 1L else 0L),
+        s"doc $i misclassified by the sample-trained model")
+    }
   }
 
   test("sessionizeDeclarative property: random gap sequences match the gaps-and-islands reference") {

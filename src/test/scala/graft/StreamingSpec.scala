@@ -402,6 +402,32 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("contaminationScoreStream scores batches against the static benchmark like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+      .localCheckpoint()
+    val docs = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four five six"),
+      (102L, "alpha beta gamma qqq zzz seven"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.contaminationScoreStream(
+        input.toDF().toDF("doc_id", "text"), bench) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Dedup.contaminationScore(
+        docs.toDF("doc_id", "text"), bench)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("videoMetaStream parses containers per batch exactly like batch, quarantine included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
