@@ -86,7 +86,8 @@ object Bench {
     "q_video_frames" -> 0.22, "q_mix_e2e" -> 0.43,
     "q_domain_prior" -> 1.77, "q_lang_id_cjk" -> 0.44,
     "q_rag_e2e" -> 1.73, "q_classifier_train" -> 2.12,
-    "q_decontam_overlap" -> 0.71, "q_embed_drift" -> 0.36)
+    "q_decontam_overlap" -> 0.71, "q_embed_drift" -> 0.36,
+    "q_interleave" -> 0.63)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -141,6 +141,8 @@ object SparkEntry {
     "q_quality_select" -> (L.qQualitySelect _),
     // deterministic global shuffle + sharding (replay-stable training order)
     "q_corpus_shuffle" -> (L.qCorpusShuffle _),
+    // stride-scheduled weighted source interleave
+    "q_interleave" -> (L.qInterleave _),
     // corpus unigram-LM quality score (fixed-point integer sums)
     "q_unigram_logprob" -> (L.qUnigramLogprob _),
     // corpus bigram-LM quality score (smoothed, same integer idiom)
@@ -317,6 +319,7 @@ object SparkEntry {
     "q_unicode_nfc" -> L.qUnicodeNfcSql,
     "q_quality_select" -> L.qQualitySelectSql,
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
+    "q_interleave" -> L.qInterleaveSql,
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_bigram_logprob" -> L.qBigramLogprobSql,
     "q_trigram_logprob" -> L.qTrigramLogprobSql,

@@ -192,6 +192,41 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic weighted source INTERLEAVING — the training-order
+    * schedule that alternates sources proportionally to mixture
+    * weights (stride scheduling, the Pile/Dolma interleave): within
+    * each shard, the rank-r doc of stratum s lands at integer stride
+    * key (r · 2^20) div w_ppm(s), so a double-weight source appears
+    * twice as often and evenly spread — not front-loaded the way a
+    * plain concat+shuffle can clump. Engine/replay exact: md5
+    * per-stratum order, pure-integer keys (floor can never reorder
+    * distinct integer keys), total tie order (key, stratum, id).
+    * Strata absent from the weights frame (or w <= 0) drop.
+    *
+    * Scale shape: two window exchanges — (shard, stratum) ranks, then
+    * the shard slot — both decomposed by the uniform md5 shard key,
+    * so no global sort ever runs; weights broadcast. Composable with
+    * [[packBudget]] downstream (same shard partitioning). */
+  def interleaveBySource(df: DataFrame, idCol: String, stratumCol: String,
+                         weights: DataFrame, nShards: Int,
+                         salt: String = "shuf"): DataFrame = {
+    require(nShards > 0, "interleaveBySource: nShards must be positive")
+    val h = Portable.h60(concat_ws(":", lit(salt), col(idCol)))
+    val w1 = Window.partitionBy(col("shard"), col(stratumCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col("shard"))
+      .orderBy(col("__key").asc, col(stratumCol).asc, col(idCol).asc)
+    df.join(broadcast(weights.select(col(stratumCol),
+        col("w_ppm").cast("long").as("__w"))), Seq(stratumCol))
+      .where(col("__w") > 0)
+      .withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("__r", row_number().over(w1).cast("long"))
+      .withColumn("__key", expr("(__r * 1048576) div __w"))
+      .withColumn("slot", row_number().over(w2).cast("long"))
+      .drop("__h", "__r", "__w", "__key")
+  }
+
   /** Budgeted sequence packing over an EXISTING deterministic order:
     * cumulative token mass per shard in `posCol` order →
     * (pack_id, pack_offset) against `budget`. Chained directly after

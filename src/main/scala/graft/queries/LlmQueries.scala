@@ -2202,6 +2202,42 @@ object LlmQueries {
        |  floor((s / 1e9) * 1e6 + 0.5) / 1e6 AS rrf_score
        |FROM rr WHERE rank <= $Bm25K""".stripMargin
 
+  // ---- weighted source interleaving (training schedule) ----
+
+  /** Stride-scheduled interleave over closed-form per-source weights
+    * (w ∝ the source's digit mod 5 — both engines parse it from the
+    * name): the deterministic "which doc comes next" schedule
+    * (Sampling.interleaveBySource). */
+  def qInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (lit(100000L) +
+          (substring(col("source"), 4, 10).cast("long") % 5) * 200000L)
+          .as("w_ppm"))
+    Sampling.interleaveBySource(
+      docs.select(col("doc_id"), col("source")), "doc_id", "source",
+      weights, nShards = 4)
+      .select(col("doc_id"), col("source"), col("shard"), col("slot"))
+  }
+
+  val qInterleaveSql: String =
+    s"""WITH w AS (SELECT DISTINCT source,
+       |    100000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200000 AS w_ppm
+       |  FROM documents),
+       |h AS (SELECT d.doc_id, d.source, w.w_ppm,
+       |    ${h60Sql("'shuf' || ':' || CAST(d.doc_id AS VARCHAR)")} AS hh
+       |  FROM documents d JOIN w USING (source)),
+       |s AS (SELECT doc_id, source, w_ppm, CAST(hh % 4 AS BIGINT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY hh % 4, source
+       |      ORDER BY hh ASC, doc_id ASC) AS BIGINT) AS r
+       |  FROM h),
+       |k AS (SELECT doc_id, source, shard, (r * 1048576) // w_ppm AS key FROM s)
+       |SELECT doc_id, source, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY key ASC, source ASC, doc_id ASC) AS BIGINT) AS slot
+       |FROM k""".stripMargin
+
   // ---- RAG preparation end-to-end (one DAG, one oracle) ----
 
   private val RagK = 10

@@ -84,4 +84,32 @@ class MixturePlanSpec extends SparkSpec {
       .orderBy("source").collect().toSeq
     assert(a === b)
   }
+
+  test("interleaveBySource: 2:1 weights alternate ~2:1 in every prefix, layout-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 300L).map { i =>
+      (i, if (i < 200) "A" else "B")
+    }.toDF("doc_id", "source")
+    val weights = Seq(("A", 200000L), ("B", 100000L)).toDF("source", "w_ppm")
+    val out = Sampling.interleaveBySource(docs, "doc_id", "source", weights,
+      nShards = 1)
+    val ordered = out.orderBy("slot").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("slot")))
+    assert(ordered.length === 300)
+    // stride property: every prefix holds A ≈ 2x B (within one stride)
+    for (n <- Seq(30, 90, 150, 270)) {
+      val as = ordered.take(n).count(_._1 == "A")
+      assert(math.abs(as - 2.0 * n / 3) <= 2, s"prefix $n: $as A-slots")
+    }
+    // zero-weight strata drop
+    val w0 = Seq(("A", 200000L), ("B", 0L)).toDF("source", "w_ppm")
+    assert(Sampling.interleaveBySource(docs, "doc_id", "source", w0, 1)
+      .select("source").distinct().collect().map(_.getString(0)).toSeq === Seq("A"))
+    // layout-invariant
+    val again = Sampling.interleaveBySource(docs.repartition(7), "doc_id",
+      "source", weights, nShards = 1)
+      .orderBy("slot").collect().map(r => (r.getString(0), r.getAs[Long]("slot")))
+    assert(again.toSeq === ordered.toSeq)
+  }
 }
