@@ -75,6 +75,8 @@ object SparkEntry {
     // LLM-data-pipeline operators
     "q_dedup_exact" -> (L.qDedupExact _),
     "q_dedup_ngram" -> (L.qDedupNgram _),
+    // same census under the scripted (CJK-aware) tokenizer
+    "q_dedup_ngram_cjk" -> (L.qDedupNgramCjk _),
     "q_dedup_minhash" -> (L.qDedupMinhash _),
     "q_dedup_clusters" -> (L.qDedupClusters _),
     "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
@@ -271,6 +273,7 @@ object SparkEntry {
     "q_stream_window" -> T.qStreamWindowSql,
     "q_dedup_exact" -> L.qDedupExactSql,
     "q_dedup_ngram" -> L.qDedupNgramSql,
+    "q_dedup_ngram_cjk" -> L.qDedupNgramCjkSql,
     "q_dedup_minhash" -> L.qDedupMinhashSql,
     "q_dedup_clusters" -> L.qDedupClustersSql,
     "q_dedup_clusters_star" -> L.qDedupClustersStarSql,

@@ -20,14 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * document interpreted; this is a single tight loop. CodegenFallback
   * keeps the surrounding operators inside whole-stage codegen.
   */
-case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true,
+                        scripted: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
   override protected def nullSafeEval(t: Any): Any = {
-    val words = WordShingles.Whitespace.split(t.asInstanceOf[UTF8String].toString.trim)
+    val str = t.asInstanceOf[UTF8String].toString
+    val words =
+      if (scripted) WordShingles.scriptedTokens(str)
+      else WordShingles.Whitespace.split(str.trim)
     if (words.length < k) new GenericArrayData(Array.empty[Any])
     else {
       val out = if (distinct) mutable.LinkedHashSet.empty[String]
@@ -58,8 +62,23 @@ object WordShingles {
   /** compiled once — String.split would re-compile \s+ per row */
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
+  /** compiled once: Portable.scriptedPattern (Han per-ideograph, kana/
+    * Thai/Lao runs, Latin whitespace runs) — the multilingual
+    * tokenizer for shingle-based dedup; identical tokens to
+    * Portable.wordsScripted (same pattern, same Java regex). */
+  private val Scripted = java.util.regex.Pattern.compile(Portable.scriptedPattern)
+
+  private def scriptedTokens(s: String): Array[String] = {
+    val m = Scripted.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
   /** Column API: word k-shingles straight from a text column
-    * (first-occurrence-distinct by default). */
-  def of(text: Column, k: Int, distinct: Boolean = true): Column =
-    GraftShim.column(WordShingles(GraftShim.expression(text), k, distinct))
+    * (first-occurrence-distinct by default; `scripted = true` for the
+    * CJK/Thai-aware token cut). */
+  def of(text: Column, k: Int, distinct: Boolean = true,
+         scripted: Boolean = false): Column =
+    GraftShim.column(WordShingles(GraftShim.expression(text), k, distinct, scripted))
 }

@@ -66,9 +66,11 @@ object Dedup {
   /** (doc_id, <extras>, shingles array<string>) with distinct shingles.
     * Uses the native WordShingles expression: the composed HOF form
     * costs ~1.7ms/doc interpreted and dominated every dedup operator. */
-  private def withShingles(docs: DataFrame, extra: Seq[String]): DataFrame =
+  private def withShingles(docs: DataFrame, extra: Seq[String],
+                           scripted: Boolean = false): DataFrame =
     docs.select((col("doc_id") +: extra.map(col)) :+
-      graft.functions.WordShingles.of(col("text"), Config.ShingleK).as("shingles"): _*)
+      graft.functions.WordShingles.of(col("text"), Config.ShingleK,
+        scripted = scripted).as("shingles"): _*)
 
   /** N-gram Jaccard near-dup pairs, blocked by a bucket column (e.g.
     * source) so candidate pairs stay bounded, with a document-frequency
@@ -81,8 +83,9 @@ object Dedup {
     * shuffles at test scale and removes the d² blowup at 100 TB.
     * NOTE on persist lifecycle: see [[minhashLshPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, bucket: String, threshold: Double,
-                        dfCap: Int = graft.Config.ShingleDfCap): DataFrame = {
-    val ex = withShingles(docs, Seq(bucket))
+                        dfCap: Int = graft.Config.ShingleDfCap,
+                        scripted: Boolean = false): DataFrame = {
+    val ex = withShingles(docs, Seq(bucket), scripted)
       .select(col("doc_id"), col(bucket).as("bucket"), explode(col("shingles")).as("shingle"))
       .trackedPersist
     // shingles are distinct per doc, so count(*) per (bucket, shingle)

@@ -97,9 +97,11 @@ object LlmQueries {
     Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "source", Config.JaccardThreshold)
 
   /** Shared CTE chain: exploded shingles -> df-capped kept set -> per-doc
-    * counts (mirrors the dfCap semantics of Dedup.ngramJaccardPairs). */
-  private val ngramKeptCtes: String =
-    s"""ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents),
+    * counts (mirrors the dfCap semantics of Dedup.ngramJaccardPairs).
+    * Parameterized on the word-list CTE so q_dedup_ngram_cjk swaps in
+    * the scripted tokenizer. */
+  private def ngramKeptCtesFrom(wsCte: String): String =
+    s"""$wsCte,
        |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM ws),
        |ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
        |rare AS (SELECT source, shingle FROM ex GROUP BY source, shingle
@@ -107,6 +109,104 @@ object LlmQueries {
        |kept AS (SELECT ex.doc_id, ex.source, ex.shingle
        |  FROM ex JOIN rare ON ex.source = rare.source AND ex.shingle = rare.shingle),
        |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1)""".stripMargin
+
+  private val ngramKeptCtes: String = ngramKeptCtesFrom(
+    s"ws AS (SELECT doc_id, source, ${wordsSql("text")} AS w FROM documents)")
+
+  /** The jaccard tail shared by the whitespace and scripted gates. */
+  private def ngramJaccardTailSqlAt(threshold: Double): String =
+    s"""common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM common JOIN cnt na ON id_a = na.doc_id JOIN cnt nb ON id_b = nb.doc_id
+       |WHERE floor((n_common / (na.n + nb.n - n_common)) * 1e6 + 0.5) / 1e6 >= $threshold""".stripMargin
+
+  /** Han numerals for the per-doc CJK tails (translate both engines). */
+  private val HanDigits = "零一二三四五六七八九"
+
+  /** q_dedup_ngram_cjk's jaccard cut: 0.2, NOT the plain query's
+    * 0.01 — the corpus has docs as small as 8 shingles, so at low
+    * thresholds a SINGLE shared shingle between two short docs fires
+    * and ANY finite tail alphabet injects birthday pairs that grow
+    * superlinearly (probed: 14.6x pairs at 10x docs at 0.05, 122x at
+    * 0.01-style slack). At 0.2 a noise pair needs >= 12 coincident
+    * trigrams against the 32-token md5-Han phrases — statistically
+    * dead — while constructed pair members share ~30/34 shingles. */
+  private val CjkJaccardThreshold = 0.2
+
+  /** 16 Han chars keyed by md5 hex digits — phrase entropy for the
+    * constructed CJK near-dup pairs. */
+  private val HanHex = "零一二三四五六七八九十百千万億兆"
+
+  /** Multilingual n-gram dedup: the SAME jaccard census under the
+    * SCRIPTED tokenizer (WordShingles scripted=true — Han
+    * per-ideograph, kana/Thai runs). Fixture discipline (the r7
+    * audio-ramp / r12 quadratic-fixture lesson — pair fixtures must
+    * bound bucket sizes BY CONSTRUCTION): the CJK tails are a
+    * SINGLE-token script marker (katakana run / Thai run / hiragana
+    * run — one token can never form a fully-internal shared shingle)
+    * plus the doc's Han-numeral group id (doc_id div 40 — exactly TWO
+    * same-source docs share a tail, so tail-induced candidates grow
+    * linearly). An early draft used the 6-token MixZh phrase shared
+    * by a quarter of each source: its 4 internal shingles made
+    * same-tail groups grow with the corpus and pair counts went
+    * quadratic (4548 pairs at 500 docs) — exactly the disease the
+    * lesson names. */
+  def qDedupNgramCjk(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val marker = when(id % 3 === 0, lit("データ"))
+      .when(id % 3 === 1, lit(MixTh))
+      .otherwise(lit("ここ"))
+    // group key bounded to 2 digits: the han tail is <= 2 ideograph
+    // tokens at ANY corpus scale, so the only tail-internal shingle is
+    // (marker, d1, d2) — ONE shared trigram, whose lone overlap
+    // (1/(na+nb-1)) can never reach the jaccard threshold by itself;
+    // tail-induced pairs therefore NEVER fire and output stays the
+    // corpus's real near-dup census (probed: a 3-digit key leaked 2
+    // shared trigrams and +84k threshold-crossing pairs at sf1)
+    val hanGroup = translate(expr("CAST((doc_id div 40) % 97 AS STRING)"),
+      "0123456789", HanDigits)
+    // deliberate CJK near-dup pairs, bounded BY CONSTRUCTION: the two
+    // docs per 250-id block with id%250 in {0,40} (same source) become
+    // pure-Han repeats of their block's 2-digit phrase — pair members
+    // share the phrase shingles (high jaccard), and phrase collisions
+    // across blocks (mod-100 key) cap at constant group sizes
+    val isCjkDup = id % 250 === 0 || id % 250 === 40
+    // the phrase is 32 Han tokens from the md5 of the UNBOUNDED block
+    // key: no modulus, so no key reuse at any corpus scale (a bounded
+    // modulus made every synthetic-probe copy — offset a multiple of
+    // every power of 10 — reuse the key set and pair counts went
+    // quadratic), and the 16-char alphabet gives ~30 random trigrams
+    // per phrase, so cross-block overlap can never reach 0.2
+    val blockPhrase = translate(
+      md5(concat(lit("cjk:"), expr("CAST(doc_id div 250 AS STRING)"))),
+      "0123456789abcdef", HanHex)
+    val mixed = when(isCjkDup,
+      concat(blockPhrase, lit(" "), marker, lit(" "), hanGroup))
+      .otherwise(concat(col("text"), lit(" "), marker, lit(" "), hanGroup))
+    Dedup.ngramJaccardPairs(
+      Tables(spark, dir).documents.select(id, col("source"), mixed.as("text")),
+      "source", CjkJaccardThreshold, scripted = true)
+  }
+
+  val qDedupNgramCjkSql: String = {
+    val mixedWs =
+      s"""wsx AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 250 = 0 OR doc_id % 250 = 40
+         |      THEN translate(md5('cjk:' || CAST(doc_id // 250 AS VARCHAR)), '0123456789abcdef', '$HanHex')
+         |      ELSE text END || ' ' ||
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 'データ' WHEN 1 THEN '$MixTh' ELSE 'ここ' END || ' ' ||
+         |      translate(CAST((doc_id // 40) % 97 AS VARCHAR), '0123456789', '$HanDigits') AS text
+         |  FROM documents),
+         |ws AS (SELECT doc_id, source,
+         |    regexp_extract_all(text, '${graft.functions.Portable.scriptedPattern}') AS w
+         |  FROM wsx)""".stripMargin
+    s"""WITH ${ngramKeptCtesFrom(mixedWs)},
+       |${ngramJaccardTailSqlAt(CjkJaccardThreshold)}""".stripMargin
+  }
 
   val qDedupNgramSql: String =
     s"""WITH $ngramKeptCtes,

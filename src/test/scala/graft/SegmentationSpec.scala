@@ -53,6 +53,20 @@ class SegmentationSpec extends SparkSpec {
     assert(seg("a。b") === Seq("a", "。", "b"))
   }
 
+  test("WordShingles scripted mode shingles over the scripted token cut") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "机器学习 and データ here")).toDF("doc_id", "t")
+    val sh = df.select(graft.functions.WordShingles
+        .of(col("t"), 3, scripted = true)).collect()(0).getSeq[String](0)
+    // scripted tokens: 机 器 学 习 and データ here -> 5 trigrams
+    assert(sh === Seq("机 器 学", "器 学 习", "学 习 and", "习 and データ",
+      "and データ here"))
+    // default mode unchanged: whitespace split glues the CJK runs
+    val plain = df.select(graft.functions.WordShingles.of(col("t"), 3))
+      .collect()(0).getSeq[String](0)
+    assert(plain === Seq("机器学习 and データ", "and データ here"))
+  }
+
   test("portable_words_scripted registers as a SQL function") {
     val t = spark.sql("SELECT portable_words_scripted('ab 漢字 cd')")
       .collect()(0).getSeq[String](0)
