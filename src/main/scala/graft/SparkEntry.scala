@@ -177,6 +177,8 @@ object SparkEntry {
     "q_phrase_filter" -> (L.qPhraseFilter _),
     // deterministic HLL distinct-count sketch vs exact per-source vocab
     "q_hll_distinct" -> (L.qHllDistinct _),
+    // snapshot-overlap estimation: merged HLL registers + inclusion-exclusion
+    "q_hll_overlap" -> (L.qHllOverlap _),
     "q_cms_vocab" -> (L.qCmsVocab _),
     // priority sampling: weighted audit sample + threshold estimator
     "q_priority_sample" -> (L.qPrioritySample _),
@@ -341,6 +343,7 @@ object SparkEntry {
     "q_badwords_filter" -> L.qBadwordsFilterSql,
     "q_phrase_filter" -> L.qPhraseFilterSql,
     "q_hll_distinct" -> L.qHllDistinctSql,
+    "q_hll_overlap" -> L.qHllOverlapSql,
     "q_cms_vocab" -> L.qCmsVocabSql,
     "q_priority_sample" -> L.qPrioritySampleSql,
     "q_negative_sample" -> L.qNegativeSampleSql,

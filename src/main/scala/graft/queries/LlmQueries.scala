@@ -3929,6 +3929,147 @@ object LlmQueries {
        |  END AS rel_err
        |FROM ex JOIN est USING (lang)""".stripMargin
 
+  // ---- HLL snapshot-overlap estimation (inclusion-exclusion) ----
+
+  /** Snapshot split percentages: A = docs with md5 bucket < 70,
+    * B = bucket >= 30 — a 40% overlap band, covering all buckets so
+    * A ∪ B is the whole corpus. */
+  private val SnapCutA = 70
+  private val SnapCutB = 30
+
+  /** Crawl-snapshot overlap estimation: how much of dump B's content
+    * is already in dump A? The production question behind every
+    * incremental-crawl ingest decision. Two deterministic overlapping
+    * document snapshots, per-language trigram HLL registers per side,
+    * [[graft.operators.Sketches.hllMerge]] for the union sketch, and
+    * the inclusion-exclusion intersection estimate
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) with its Jaccard, next to the
+    * exact integer inclusion-exclusion audit. At 100 TB the register
+    * frames are the WRITABLE per-dump artifacts (1024 rows × groups,
+    * built once per dump, merged by max in constant memory) — the
+    * exact side here is the small-scale audit, never the scale path.
+    * This puts hllMerge itself inside the oracle gate: a register the
+    * merge moved wrongly shifts est_union and fails the hash. */
+  def qHllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"), explode(
+        graft.functions.WordShingles.of(col("text"), 3, distinct = false))
+        .as("ngram"))
+      .withColumn("snap",
+        Portable.h31(concat_ws(":", lit("snap"), col("doc_id"))) % 100)
+    // ONE corpus pass: registers tagged by snapshot region (a-only /
+    // b-only / overlap band); the tiny result (langs × 3 × 1024 rows)
+    // checkpoints, and each snapshot's registers are max-merges over
+    // its region subsets — identical to a direct per-side build (max
+    // is associative), so the oracle replays the simpler direct form.
+    val region = when(col("snap") < SnapCutB, lit("a"))
+      .when(col("snap") >= SnapCutA, lit("b")).otherwise(lit("ab"))
+    val regs = Sketches.hllRegisters(
+      tok.withColumn("region", region), Seq("lang", "region"), "ngram")
+      .localCheckpoint(true)
+    def side(regions: Seq[String]) = Sketches.hllMerge(
+      regs.where(col("region") === regions.head).drop("region"),
+      regs.where(col("region").isin(regions.tail: _*)).drop("region"),
+      Seq("lang"))
+    val ra = side(Seq("a", "ab"))
+    val rb = side(Seq("b", "ab"))
+    val ru = side(Seq("a", "ab", "b"))
+    def est(r: DataFrame, out: String) =
+      Sketches.hllEstimate(r, Seq("lang"))
+        .select(col("lang"), col("hll_est").as(out))
+    val ests = est(ra, "est_a")
+      .join(est(rb, "est_b"), Seq("lang"))
+      .join(est(ru, "est_union"), Seq("lang"))
+      .withColumn("est_intersect",
+        Portable.roundp(col("est_a") + col("est_b") - col("est_union"), 4))
+      .withColumn("jaccard_est", when(col("est_union") > 0,
+        Portable.roundp(col("est_intersect") / col("est_union"), 6)))
+    // exact integer inclusion-exclusion audit: one distinct census
+    // with per-ngram membership masks, then a count roll-up — a single
+    // shuffle, no 3x countDistinct Expand (counts identical to the
+    // oracle's count(DISTINCT CASE ...) form by construction)
+    val perNgram = tok.groupBy(col("lang"), col("ngram")).agg(
+      max(when(col("snap") < SnapCutA, 1L).otherwise(0L)).as("in_a"),
+      max(when(col("snap") >= SnapCutB, 1L).otherwise(0L)).as("in_b"))
+    val exact = perNgram.groupBy(col("lang")).agg(
+      sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+      count(lit(1)).as("n_union"))
+      .withColumn("n_intersect", col("n_a") + col("n_b") - col("n_union"))
+    exact.join(ests, Seq("lang"))
+      .select(col("lang"), col("n_a"), col("n_b"), col("n_union"),
+        col("n_intersect"),
+        when(col("n_union") > 0, Portable.roundp(
+          col("n_intersect").cast("double") / col("n_union"), 6))
+          .as("jaccard_exact"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_intersect"),
+        col("jaccard_est"))
+  }
+
+  val qHllOverlapSql: String = {
+    // one register CTE per side + the union merge; each side replays
+    // the identical 40-bit-hash register build gated by its snapshot
+    // predicate, and the estimate chain is the qHllDistinctSql chain
+    // verbatim (same IEEE op order) parameterized by source CTE.
+    def regs(name: String, pred: String) =
+      s"""r_$name AS (SELECT lang, v // 1073741824 AS bucket,
+         |    CAST(max(CASE WHEN v % 1073741824 = 0 THEN 31
+         |      ELSE 31 - length(ltrim(bin(v % 1073741824), '0')) END) AS BIGINT) AS r
+         |  FROM h WHERE $pred GROUP BY 1, 2)"""
+    def est(name: String, out: String) =
+      s"""g_$name AS (SELECT lang,
+         |    CAST(count(*) AS BIGINT) AS used,
+         |    CAST(sum(1::BIGINT << CAST(31 - r AS INT)) AS BIGINT) AS s
+         |  FROM r_$name GROUP BY 1),
+         |v_$name AS (SELECT lang,
+         |    floor((CASE WHEN raw <= CAST(2560 AS DOUBLE) AND zeros > 0
+         |      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+         |      ELSE raw END) * 1e4 + 0.5) / 1e4 AS $out
+         |  FROM (SELECT lang, (1024 - used) AS zeros,
+         |      (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         |         + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE)))
+         |        * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)
+         |        * CAST(2147483648 AS DOUBLE)
+         |        / (s + (1024 - used) * 2147483648) AS raw
+         |    FROM g_$name) t)"""
+    s"""WITH ws AS (SELECT lang, doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT lang, doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len(w)-2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ngram
+       |  FROM ws),
+       |h AS (SELECT lang, ngram,
+       |    ${h31Sql("'snap' || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS snap,
+       |    ('0x'||substr(md5(ngram),1,10))::BIGINT AS v
+       |  FROM tok),
+       |${regs("a", s"snap < $SnapCutA")},
+       |${regs("b", s"snap >= $SnapCutB")},
+       |r_u AS (SELECT lang, bucket, CAST(max(r) AS BIGINT) AS r
+       |  FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b) m
+       |  GROUP BY 1, 2),
+       |${est("a", "est_a")},
+       |${est("b", "est_b")},
+       |${est("u", "est_union")},
+       |ex AS (SELECT lang,
+       |    CAST(count(DISTINCT CASE WHEN snap < $SnapCutA THEN ngram END) AS BIGINT) AS n_a,
+       |    CAST(count(DISTINCT CASE WHEN snap >= $SnapCutB THEN ngram END) AS BIGINT) AS n_b,
+       |    CAST(count(DISTINCT ngram) AS BIGINT) AS n_union
+       |  FROM h GROUP BY 1),
+       |fin AS (SELECT ex.lang, ex.n_a, ex.n_b, ex.n_union,
+       |    (ex.n_a + ex.n_b - ex.n_union) AS n_intersect,
+       |    va.est_a, vb.est_b, vu.est_union,
+       |    floor((va.est_a + vb.est_b - vu.est_union) * 1e4 + 0.5) / 1e4 AS est_intersect
+       |  FROM ex JOIN v_a va USING (lang) JOIN v_b vb USING (lang)
+       |    JOIN v_u vu USING (lang))
+       |SELECT lang, n_a, n_b, n_union, n_intersect,
+       |  CASE WHEN n_union > 0 THEN
+       |    floor((CAST(n_intersect AS DOUBLE) / n_union) * 1e6 + 0.5) / 1e6
+       |  END AS jaccard_exact,
+       |  est_a, est_b, est_union, est_intersect,
+       |  CASE WHEN est_union > 0 THEN
+       |    floor((est_intersect / est_union) * 1e6 + 0.5) / 1e6
+       |  END AS jaccard_est
+       |FROM fin""".stripMargin
+  }
+
   // ---- count-min sketch heavy-hitter estimates ----
 
   private val CmsTopK = 50

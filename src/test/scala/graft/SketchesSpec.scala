@@ -64,6 +64,28 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(e - 100) / 100 < 0.1)
   }
 
+  test("overlap inclusion-exclusion: estimate tracks the exact intersection") {
+    // two overlapping snapshots: A = 0..29999, B = 20000..49999
+    // (|A∩B| = 10000, |A∪B| = 50000, jaccard = 0.2)
+    val all = values(50000, "ov")
+    val idx = $"v".substr(4, 10).cast("int")
+    val a = all.where(idx < 30000)
+    val b = all.where(idx >= 20000)
+    val ra = Sketches.hllRegisters(a, Seq("k"), "v")
+    val rb = Sketches.hllRegisters(b, Seq("k"), "v")
+    val ru = Sketches.hllMerge(ra, rb, Seq("k"))
+    def est(r: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(r, Seq("k")).collect().head.getAs[Double]("hll_est")
+    val (ea, eb, eu) = (est(ra), est(rb), est(ru))
+    val ei = ea + eb - eu
+    // union estimate within the 4-sigma band of 50000
+    assert(math.abs(eu - 50000) / 50000 < 0.13, s"union est $eu")
+    // intersection estimate: 3 correlated estimators, wider band
+    assert(math.abs(ei - 10000) / 10000 < 0.35, s"intersect est $ei")
+    // jaccard from the estimates lands near 0.2
+    assert(math.abs(ei / eu - 0.2) < 0.07, s"jaccard est ${ei / eu}")
+  }
+
   test("register frame is bounded by m per group") {
     val df = values(200000, "big")
     val regs = Sketches.hllRegisters(df, Seq("k"), "v")
