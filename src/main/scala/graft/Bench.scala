@@ -88,7 +88,7 @@ object Bench {
     "q_rag_e2e" -> 1.73, "q_classifier_train" -> 2.12,
     "q_decontam_overlap" -> 0.71, "q_embed_drift" -> 0.36,
     "q_interleave" -> 0.63, "q_dedup_ngram_cjk" -> 1.14,
-    "q_hll_overlap" -> 1.60)
+    "q_hll_overlap" -> 1.60, "q_bitext_mine" -> 1.14)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -187,6 +187,8 @@ object SparkEntry {
     "q_ann_pq" -> (L.qAnnPq _),
     "q_ann_ivfpq" -> (L.qAnnIvfPq _),
     "q_ann_pq_trained" -> (L.qAnnPqTrained _),
+    // margin-based bitext mining: LSH candidates + k-NN margin + mutuality
+    "q_bitext_mine" -> (L.qBitextMine _),
     // chunk->document embedding mean-pool (fixed-point exact)
     "q_embed_pool" -> (L.qEmbedPool _),
     // snapshot-to-snapshot embedding drift monitor
@@ -350,6 +352,7 @@ object SparkEntry {
     "q_ann_pq" -> L.qAnnPqSql,
     "q_ann_ivfpq" -> L.qAnnIvfPqSql,
     "q_ann_pq_trained" -> L.qAnnPqTrainedSql,
+    "q_bitext_mine" -> L.qBitextMineSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_embed_drift" -> L.qEmbedDriftSql,
     "q_mixture_plan" -> L.qMixturePlanSql,

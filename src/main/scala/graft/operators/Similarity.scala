@@ -276,6 +276,74 @@ object Similarity {
         Portable.roundp(col("__s") / lit(1e9), 6).as("rrf_score"))
   }
 
+  /** Margin-based parallel-pair mining (the CCMatrix/LASER margin
+    * criterion, Artetxe & Schwenk 2019): for every src-side vector,
+    * its best tgt-side neighbor scored by
+    * margin = cos(a,b) / mean(k-NN neighborhood cosines of a and b) —
+    * an absolute cosine threshold can't separate "genuinely parallel"
+    * from "this vector is close to everything"; the margin normalizes
+    * by how crowded each side's neighborhood is.
+    *
+    * Scale shape: candidates meet only inside shared hyperplane-LSH
+    * buckets (never src × tgt), and the whole statistic chain is ONE
+    * linear pipeline of chained windows — rank + neighborhood sums on
+    * the src key share one exchange+sort, then rank + sums + backward
+    * argmax on the tgt key share a second. No self-joins, no persist.
+    *
+    * Exactness chain: cosines land on the 1e-6 grid as micro-unit
+    * LONGS at the candidate step; neighborhood sums are integer sums
+    * (order-free on any layout); the margin is ONE terminal double
+    * division (guarded — an all-negative neighborhood yields NULL)
+    * and the threshold verdict is a pure long cross-multiply, so the
+    * pass set is engine-exact even where the printed margin is a
+    * rounded double. `mutual` flags pairs that are also the tgt
+    * side's backward argmax (the intersection criterion).
+    *
+    * k-NN sums count ties deterministically: (cosu desc, id asc) is a
+    * total order on both engines. Sums stay far from overflow:
+    * |cosu| ≤ 1e6, cnt ≤ 2k, threshold cross-multiply ≤ ~1e13. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, marginThrPpm: Long,
+                 nPlanes: Int = Config.AnnPlanes): DataFrame = {
+    require(k >= 1 && marginThrPpm > 0, "bitextMine: bad arguments")
+    val s = src.select(col("vec_id").as("src_id"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"),
+      col("embedding").as("__se"))
+    val t = tgt.select(col("vec_id").as("tgt_id"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"),
+      col("embedding").as("__te"))
+    // embeddings drop at the candidate step — nothing wide rides the
+    // two window exchanges below
+    val cand = s.join(t, Seq("bucket"))
+      .select(col("src_id"), col("tgt_id"),
+        floor(VectorOps.floatCosine(col("__se"), col("__te")) * lit(1e6)
+          + lit(0.5)).cast("long").as("cosu"))
+    val wSrc = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosu").desc, col("tgt_id").asc)
+    val wSrcAll = wSrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTgt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cosu").desc, col("src_id").asc)
+    val wTgtAll = wTgt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = cand
+      .withColumn("rf", row_number().over(wSrc))
+      .withColumn("sum_f", sum(when(col("rf") <= k, col("cosu"))).over(wSrcAll))
+      .withColumn("cnt_f", sum(when(col("rf") <= k, lit(1L))).over(wSrcAll))
+      .withColumn("rb", row_number().over(wTgt))
+      .withColumn("back_best", first(col("src_id")).over(wTgtAll))
+      .withColumn("sum_b", sum(when(col("rb") <= k, col("cosu"))).over(wTgtAll))
+      .withColumn("cnt_b", sum(when(col("rb") <= k, lit(1L))).over(wTgtAll))
+    val denom = col("sum_f") + col("sum_b")
+    val cnt = col("cnt_f") + col("cnt_b")
+    ranked.where(col("rf") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        Portable.roundp(col("cosu").cast("double") / lit(1e6), 6).as("cos"),
+        when(denom > 0, Portable.roundp(
+          (col("cosu") * cnt).cast("double") / denom.cast("double"), 6))
+          .as("margin"),
+        when(col("back_best") === col("src_id"), 1L).otherwise(0L).as("mutual"),
+        when(denom > 0 && col("cosu") * cnt * lit(1000000L) >= lit(marginThrPpm) * denom,
+          1L).otherwise(0L).as("pass"))
+  }
+
   // ---- k-means codebook training (the IVF centroids' missing half) ----
 
   /** Portable 6-digit rounding in driver-side Scala — the same

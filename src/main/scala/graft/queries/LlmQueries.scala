@@ -946,6 +946,69 @@ object LlmQueries {
        |WHERE r.rank <= $TopK""".stripMargin
   }
 
+  // ---- margin-based bitext / parallel-pair mining ----
+
+  private val BitextK = 4
+  private val BitextPlanes = 4      // 16 buckets — sized to the test corpus
+  private val BitextThrPpm = 1050000L   // margin >= 1.05
+
+  /** Parallel-pair mining with the CCMatrix/LASER margin criterion
+    * ([[graft.operators.Similarity.bitextMine]]): the two "language"
+    * sides are deterministic halves of the embeddings table (even /
+    * odd vec_id — the stubbed multilingual encoder, per the
+    * multimodal-decode convention: the mining plumbing is real).
+    * Candidates meet only inside shared LSH buckets; each src's best
+    * tgt neighbor is scored by cos / mean(both sides' k-NN
+    * neighborhoods) with an integer cross-multiply verdict and a
+    * backward-argmax mutuality flag. At 100 TB the sides are
+    * per-language embedding frames and nPlanes scales the buckets. */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.bitextMine(
+      emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 === 1),
+      BitextK, BitextThrPpm, BitextPlanes)
+  }
+
+  val qBitextMineSql: String = {
+    val planeList = (0 until BitextPlanes).map { k =>
+      val coeffs = (0 until Config.AnnDim).map(i => s"${Config.planeCoeff(k, i)}.0").mkString(", ")
+      s"(CASE WHEN floor(list_dot_product(e, [$coeffs]::DOUBLE[]) * 1e6 + 0.5) / 1e6 > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |vb AS (SELECT vec_id, e,
+       |    CAST($planeList AS BIGINT) AS bucket
+       |  FROM v),
+       |s AS (SELECT vec_id AS src_id, e AS se, bucket FROM vb WHERE vec_id % 2 = 0),
+       |t AS (SELECT vec_id AS tgt_id, e AS te, bucket FROM vb WHERE vec_id % 2 = 1),
+       |cand AS (SELECT src_id, tgt_id,
+       |    CAST(floor((list_dot_product(se, te)
+       |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
+       |  FROM s JOIN t USING (bucket)),
+       |rk AS (SELECT src_id, tgt_id, cosu,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id ASC) AS rf,
+       |    row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id ASC) AS rb,
+       |    first_value(src_id) OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS back_best
+       |  FROM cand),
+       |st AS (SELECT src_id, tgt_id, cosu, rf, back_best,
+       |    CAST(sum(CASE WHEN rf <= $BitextK THEN cosu END) OVER (PARTITION BY src_id) AS BIGINT) AS sum_f,
+       |    CAST(sum(CASE WHEN rf <= $BitextK THEN 1 END) OVER (PARTITION BY src_id) AS BIGINT) AS cnt_f,
+       |    CAST(sum(CASE WHEN rb <= $BitextK THEN cosu END) OVER (PARTITION BY tgt_id) AS BIGINT) AS sum_b,
+       |    CAST(sum(CASE WHEN rb <= $BitextK THEN 1 END) OVER (PARTITION BY tgt_id) AS BIGINT) AS cnt_b
+       |  FROM rk)
+       |SELECT src_id, tgt_id,
+       |  floor((CAST(cosu AS DOUBLE) / 1000000.0) * 1e6 + 0.5) / 1e6 AS cos,
+       |  CASE WHEN sum_f + sum_b > 0 THEN
+       |    floor((CAST(cosu * (cnt_f + cnt_b) AS DOUBLE) / CAST(sum_f + sum_b AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |  END AS margin,
+       |  CAST(CASE WHEN back_best = src_id THEN 1 ELSE 0 END AS BIGINT) AS mutual,
+       |  CAST(CASE WHEN sum_f + sum_b > 0
+       |    AND cosu * (cnt_f + cnt_b) * 1000000 >= $BitextThrPpm * (sum_f + sum_b)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |FROM st WHERE rf = 1""".stripMargin
+  }
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's

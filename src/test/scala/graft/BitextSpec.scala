@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.Similarity
+
+/** [[Similarity.bitextMine]] — margin-based parallel-pair mining.
+  *
+  * Fixture vectors copy the sign pattern of LSH hyperplane 0 (with
+  * sub-unit perturbations that can't flip a component's sign), so at
+  * nPlanes=1 every vector projects positive and the whole fixture
+  * shares ONE bucket — candidate generation degenerates to the full
+  * src × tgt cross product, which the in-spec brute-force replay can
+  * then recompute independently (same double-accumulation cosine, same
+  * integer micro-unit grid, same k-NN sums) to pin the margin and
+  * verdict columns exactly. */
+class BitextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val K = 2
+  private val ThrPpm = 1050000L
+
+  private val signs: Array[Float] =
+    (0 until dim).map(i => if (Config.planeCoeff(0, i) >= 0) 1.0f else -1.0f).toArray
+
+  private def vec(perturb: (Int, Float)*): Array[Float] = {
+    val a = signs.clone()
+    perturb.foreach { case (i, d) =>
+      require(math.abs(d) < 1.0f, "perturbation must not flip a sign")
+      a(i) = a(i) + d
+    }
+    a
+  }
+
+  // src = even ids, tgt = odd ids; 200/201 is a planted identical pair
+  // decoys are heavily perturbed (0.9 toward zero on four components)
+  // so the k-NN neighborhoods stay uncrowded and the planted pair's
+  // margin clears the 1.05 threshold
+  private def damp(is: Int*): Seq[(Int, Float)] =
+    is.map(i => i -> (if (signs(i) > 0) -0.9f else 0.9f))
+
+  private val srcRows = Seq(
+    200L -> vec(),
+    202L -> vec(damp(0, 1, 2, 3): _*),
+    204L -> vec(damp(4, 5, 6, 7): _*))
+  private val tgtRows = Seq(
+    201L -> vec(),
+    203L -> vec(damp(0, 2, 4, 6): _*),
+    205L -> vec(damp(1, 3, 5, 7): _*),
+    207L -> vec(damp(0, 3, 5, 6): _*))
+
+  private def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+
+  /** The same cosine FloatCosine computes: double accumulation in
+    * index order over the float values, then the 1e-6 micro grid. */
+  private def cosu(a: Array[Float], b: Array[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    math.floor(dot / math.sqrt(na * nb) * 1e6 + 0.5).toLong
+  }
+
+  /** Independent driver-side replay of the whole mining statistic. */
+  private def replay(): Map[(Long, Long), (Double, Option[Double], Long, Long)] = {
+    val cand = for ((sid, sv) <- srcRows; (tid, tv) <- tgtRows)
+      yield (sid, tid, cosu(sv, tv))
+    def topk(rows: Seq[(Long, Long)]): Seq[(Long, Long)] =   // (otherId, cosu)
+      rows.sortBy { case (oid, c) => (-c, oid) }.take(K)
+    val fwd = cand.groupBy(_._1).map { case (sid, rs) =>
+      sid -> topk(rs.map(r => (r._2, r._3)))
+    }
+    val bwd = cand.groupBy(_._2).map { case (tid, rs) =>
+      tid -> topk(rs.map(r => (r._1, r._3)))
+    }
+    fwd.map { case (sid, nf) =>
+      val (tid, c) = (nf.head._1, nf.head._2)      // forward argmax
+      val nb = bwd(tid)
+      val sum = nf.map(_._2).sum + nb.map(_._2).sum
+      val cnt = (nf.size + nb.size).toLong
+      val margin = if (sum > 0)
+        Some(math.floor(c * cnt / sum.toDouble * 1e6 + 0.5) / 1e6) else None
+      val mutual = if (nb.head._1 == sid) 1L else 0L
+      val pass = if (sum > 0 && c * cnt * 1000000L >= ThrPpm * sum) 1L else 0L
+      (sid, tid) -> (math.floor(c.toDouble / 1e6 * 1e6 + 0.5) / 1e6, margin, mutual, pass)
+    }
+  }
+
+  private def mined = Similarity.bitextMine(df(srcRows), df(tgtRows), K, ThrPpm, nPlanes = 1)
+
+  test("planted identical pair is its src's best target, mutual, and passes") {
+    val rows = mined.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === srcRows.size, "one row per src vector")
+    val planted = rows(200L)
+    assert(planted.getLong(1) === 201L)
+    assert(planted.getDouble(2) >= 0.999999)
+    assert(planted.getLong(4) === 1L, "mutual")
+    assert(planted.getLong(5) === 1L, "pass")
+  }
+
+  test("margin, mutuality, and verdict match an independent brute-force replay") {
+    val expected = replay()
+    val got = mined.collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getLong(4), r.getLong(5))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("chained windows share one exchange per key side") {
+    // rank + k-NN sums on the src key must reuse one exchange+sort,
+    // likewise rank + back_best + sums on the tgt key: exactly one
+    // hashpartitioning per key in the FINAL plan (cut the AQE string
+    // before the echoed initial plan)
+    val p = mined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val srcEx = "hashpartitioning\\(src_id".r.findAllIn(p).length
+    val tgtEx = "hashpartitioning\\(tgt_id".r.findAllIn(p).length
+    assert(srcEx <= 1, s"src-keyed exchanges: $srcEx\n$p")
+    assert(tgtEx <= 1, s"tgt-keyed exchanges: $tgtEx\n$p")
+  }
+
+  test("deterministic across partition layouts") {
+    val a = mined.orderBy("src_id").collect().toSeq
+    val b = Similarity.bitextMine(df(srcRows).repartition(5),
+      df(tgtRows).repartition(3), K, ThrPpm, nPlanes = 1)
+      .orderBy("src_id").collect().toSeq
+    assert(a === b)
+  }
+}
