@@ -52,10 +52,15 @@ object Graph {
     * lesson). Edges/out-degrees checkpoint once and are reused by
     * every round. */
   def pageRank(edges: DataFrame, iters: Int,
-               dampPpm: Long = 850000L): DataFrame = {
+               dampPpm: Long = 850000L,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 64, s"pageRank iters out of range: $iters")
     require(dampPpm >= 0 && dampPpm <= 1000000L, s"dampPpm out of range: $dampPpm")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // edgesDistinct=true skips the defensive dedup — [[linkEdges]] output is
+    // already distinct, and at web scale (10^9+ host pairs) a redundant
+    // distinct is a full extra exchange of the edge set.
+    val eRaw = edges.select(col("src"), col("dst"))
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()

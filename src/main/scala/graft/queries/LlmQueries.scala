@@ -2066,7 +2066,8 @@ object LlmQueries {
 
   def qDomainRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = domainLinkedDocs(Tables(spark, dir).documents)
-    val ranks = Graph.pageRank(Graph.linkEdges(docs), PrIters, PrDamp)
+    val ranks = Graph.pageRank(Graph.linkEdges(docs), PrIters, PrDamp,
+      edgesDistinct = true)
     ranks.select(col("host"), col("out_deg"), col("rank_fp"),
       Portable.roundp(col("rank_fp").cast("double") / lit(1e12), 9).as("rank"))
   }
@@ -2120,7 +2121,8 @@ object LlmQueries {
   def qDomainPrior(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val ranks = Graph.pageRank(
-      Graph.linkEdges(domainLinkedDocs(docs)), PrIters, PrDamp)
+      Graph.linkEdges(domainLinkedDocs(docs)), PrIters, PrDamp,
+      edgesDistinct = true)
     Graph.domainPrior(
       docs.select(col("doc_id"),
         concat(col("source"), lit(".example.org")).as("host")),
@@ -2407,6 +2409,23 @@ object LlmQueries {
   private val RagChunkMax = 32
   private val RagChunkStride = 24
   private val RagIdOffset = 1000000L
+  /** Chunk-id pack width: chunk_id = doc_id·RagChunkPack + chunk_idx.
+    * A document with chunk_idx ≥ the width would ALIAS another doc's
+    * chunk ids (silent retrieval corruption at scale), so the packing
+    * expression raises per-row instead of wrapping — [[packedChunkId]]. */
+  private val RagChunkPack = 100L
+
+  /** Collision-guarded chunk-id packing: doc_id·pack + chunk_idx +
+    * offset, raising a row-level error (not silently aliasing) when
+    * chunk_idx overflows the pack width. The guard is an expression in
+    * the same projection — no extra scan, no driver count job. */
+  private[graft] def packedChunkId(docId: Column, chunkIdx: Column): Column =
+    (docId * RagChunkPack +
+      when(chunkIdx >= RagChunkPack,
+        raise_error(concat(
+          lit("packedChunkId: chunk_idx "), chunkIdx.cast("string"),
+          lit(s" >= $RagChunkPack aliases another document's chunk ids — widen RagChunkPack"))))
+        .otherwise(chunkIdx) + RagIdOffset)
 
   /** (query_id, bm25 text, dense-query vec_id) — each query retrieves
     * through BOTH legs under one id. */
@@ -2432,7 +2451,7 @@ object LlmQueries {
     val t = Tables(spark, dir)
     releaseStageCaches("rag_e2e") // BEFORE the persist (see stageCacheReg)
     val chunks = TextAnalysis.chunkDocs(t.documents, RagChunkMax, RagChunkStride)
-      .select((col("doc_id") * 100 + col("chunk_idx") + RagIdOffset).as("chunk_id"),
+      .select(packedChunkId(col("doc_id"), col("chunk_idx")).as("chunk_id"),
         col("chunk_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerStageCaches("rag_e2e", List(chunks))

@@ -54,6 +54,43 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("edgesDistinct fast path: identical output, one fewer aggregate") {
+    // linkEdges output is already distinct — the fast path must drop
+    // pageRank's defensive dedup (a full extra exchange of the edge
+    // set at web scale) without changing a single rank
+    val docs = Seq(
+      ("h1.org", "see https://target.com/a and http://other.net/b"),
+      ("h2.org", "x https://target.com/d https://h1.org/in"))
+      .toDF("src_host", "text")
+    val edges = Graph.linkEdges(docs).localCheckpoint(true)
+    val slow = Graph.pageRank(edges, 4).collect().map(_.toString).sorted.toSeq
+    val fast = Graph.pageRank(edges, 4, edgesDistinct = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast === slow)
+    // the dedup is a full exchange of the edge set: dropping it must
+    // shed at least one shuffle stage from the trajectory
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    def countStages(body: => Unit): Int = {
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+      stages.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+        stages.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val sSlow = countStages(Graph.pageRank(edges, 1).count())
+    val sFast = countStages(Graph.pageRank(edges, 1, edgesDistinct = true).count())
+    assert(sFast < sSlow,
+      s"fast path did not shed the distinct exchange: fast=$sFast slow=$sSlow")
+  }
+
   test("linkEdges extracts normalized distinct host edges") {
     val docs = Seq(
       ("h1.org", "see https://WWW.Target.com/a and http://other.net/b"),

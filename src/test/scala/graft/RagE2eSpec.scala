@@ -48,4 +48,23 @@ class RagE2eSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
     spark.catalog.clearCache()
   }
+
+  test("chunk-id packing raises (not aliases) past the pack width") {
+    import spark.implicits._
+    // a >100-chunk document: chunk_idx 150 would silently collide with
+    // doc_id+1's chunk space under plain doc_id*100 packing
+    val over = Seq((7L, 150L), (7L, 0L)).toDF("doc_id", "chunk_idx")
+    val ex = intercept[Exception] {
+      over.select(graft.queries.LlmQueries.packedChunkId(
+        col("doc_id"), col("chunk_idx")).as("chunk_id")).collect()
+    }
+    assert(ex.getMessage.contains("aliases another document"),
+      s"unexpected error: ${ex.getMessage}")
+    // in-range rows pack exactly as before
+    val ok = Seq((7L, 99L)).toDF("doc_id", "chunk_idx")
+      .select(graft.queries.LlmQueries.packedChunkId(
+        col("doc_id"), col("chunk_idx")).as("chunk_id"))
+      .collect().head.getLong(0)
+    assert(ok === 7L * 100 + 99 + 1000000L)
+  }
 }
