@@ -107,6 +107,9 @@ object SparkEntry {
     "q_token_count" -> (L.qTokenCount _),
     // script-aware (CJK/Thai) segmentation census
     "q_token_count_cjk" -> (L.qTokenCountCjk _),
+    "q_bm25_topk_cjk" -> (L.qBm25TopkCjk _),
+    "q_unigram_logprob_cjk" -> (L.qUnigramLogprobCjk _),
+    "q_vocab_topk_cjk" -> (L.qVocabTopkCjk _),
     "q_lang_id_cjk" -> (L.qLangIdCjk _),
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_token_pack" -> (L.qTokenPack _),
@@ -303,6 +306,9 @@ object SparkEntry {
     "q_classifier_train" -> L.qClassifierTrainSql,
     "q_token_count" -> L.qTokenCountSql,
     "q_token_count_cjk" -> L.qTokenCountCjkSql,
+    "q_bm25_topk_cjk" -> L.qBm25TopkCjkSql,
+    "q_unigram_logprob_cjk" -> L.qUnigramLogprobCjkSql,
+    "q_vocab_topk_cjk" -> L.qVocabTopkCjkSql,
     "q_lang_id_cjk" -> L.qLangIdCjkSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_token_pack" -> L.qTokenPackSql,

@@ -103,4 +103,16 @@ object Portable {
     * `regexp_extract_all(x, scriptedPattern)` (same literal classes). */
   def wordsScripted(text: Column): Column =
     regexp_extract_all(text, lit(scriptedPattern), lit(0))
+
+  /** Driver-side twin of [[wordsScripted]] for bounded request sets
+    * (BM25 query terms, oracle VALUES generation) — the same compiled
+    * Java pattern, so the query side can never segment differently
+    * from the corpus side. */
+  private lazy val ScriptedLocal = java.util.regex.Pattern.compile(scriptedPattern)
+  def wordsScriptedLocal(s: String): Seq[String] = {
+    val m = ScriptedLocal.matcher(s)
+    val b = Seq.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
 }

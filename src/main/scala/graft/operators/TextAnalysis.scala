@@ -14,6 +14,17 @@ import graft.functions.Portable
   */
 object TextAnalysis {
 
+  /** The shared tokenize step behind the token-gated family (BM25,
+    * tf-idf, the n-gram LMs, vocab/ngram censuses): whitespace words
+    * (plain) or the script-aware segmenter (`scripted = true`,
+    * [[Portable.wordsScripted]] — Han per ideograph, kana/Thai/Lao
+    * runs). On pure-ASCII text the two modes are byte-identical
+    * (SegmentationSpec pins it); on a multilingual corpus the plain
+    * mode silently treats each CJK sentence as ONE token, which is
+    * why every operator below exposes the switch. */
+  def tokensOf(text: Column, scripted: Boolean): Column =
+    if (scripted) Portable.wordsScripted(text) else Portable.words(text)
+
   /** Stopword-count score for one language (long, to match the oracle's
     * BIGINT list len). */
   private def langScore(ws: Column, stops: Seq[String]): Column =
@@ -204,8 +215,9 @@ object TextAnalysis {
     * map-side partial counts collapse each task to its distinct-token
     * set before the one exchange, and the global top-k runs as
     * TakeOrdered (per-partition heads, no full sort). */
-  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
-    docs.select(explode(Portable.words(col("text"))).as("token"))
+  def vocab(docs: DataFrame, k: Int = 100,
+            scripted: Boolean = false): DataFrame =
+    docs.select(explode(tokensOf(col("text"), scripted)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
@@ -247,9 +259,10 @@ object TextAnalysis {
     * partial counts on the n-gram key, then TakeOrdered — k rows cross
     * the driver, never the census. */
   def ngramTopk(docs: DataFrame, n: Int, k: Int = 100,
-                textCol: String = "text"): DataFrame =
+                textCol: String = "text",
+                scripted: Boolean = false): DataFrame =
     docs.select(explode(graft.functions.WordShingles.of(col(textCol), n,
-        distinct = false)).as("ngram"))
+        distinct = false, scripted = scripted)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(k)
@@ -845,8 +858,9 @@ object TextAnalysis {
     * keep canonically identical exchanges, and runtime stage reuse
     * shuffles the corpus ONCE (ReuseCheckSpec pins this). */
   def tfidfTopK(docs: DataFrame, k: Int, totalDocs: Long,
-                id: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+                id: String = "doc_id", textCol: String = "text",
+                scripted: Boolean = false): DataFrame = {
+    val tf = docs.select(col(id), explode(tokensOf(col(textCol), scripted)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word"))
@@ -893,8 +907,9 @@ object TextAnalysis {
                        dfreq: DataFrame, stats: DataFrame)
 
   def bm25BuildIndex(docs: DataFrame, id: String = "doc_id",
-                     textCol: String = "text"): Bm25Index = {
-    val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+                     textCol: String = "text",
+                     scripted: Boolean = false): Bm25Index = {
+    val tf = docs.select(col(id), explode(tokensOf(col(textCol), scripted)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
     val lens = tf.groupBy(col(id)).agg(sum(col("tf")).as("len"))
@@ -910,12 +925,15 @@ object TextAnalysis {
     * foreachBatch replay over the static index. */
   def bm25Score(index: Bm25Index, queries: Seq[(String, String)], k: Int,
                 k1: Double = 1.2, b: Double = 0.75,
-                id: String = "doc_id"): DataFrame = {
+                id: String = "doc_id",
+                scripted: Boolean = false): DataFrame = {
     require(queries.nonEmpty && k >= 1, "bm25Score: queries and k required")
     val spark = index.postings.sparkSession
     import spark.implicits._
+    // query terms MUST segment with the index's tokenizer or a CJK
+    // query can never match its own corpus tokens
     val qterms = broadcast(
-      queries.flatMap { case (qid, text) => bm25Terms(text).map(t => (qid, t)) }
+      queries.flatMap { case (qid, text) => bm25Terms(text, scripted).map(t => (qid, t)) }
         .toDF("query_id", "word"))
     val avgdl = col("__sl") / col("__nd")
     val idf = log((col("__nd").cast("double") - col("df") + lit(0.5)) /
@@ -941,15 +959,21 @@ object TextAnalysis {
     * parity with the split is spec-pinned). */
   def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               id: String = "doc_id", textCol: String = "text"): DataFrame =
-    bm25Score(bm25BuildIndex(docs, id, textCol), queries, k, k1, b, id)
+               id: String = "doc_id", textCol: String = "text",
+               scripted: Boolean = false): DataFrame =
+    bm25Score(bm25BuildIndex(docs, id, textCol, scripted), queries, k, k1, b,
+      id, scripted)
 
   /** Query tokenization for [[bm25TopK]]: whitespace split, DISTINCT
     * terms (binary query term weighting — the common retrieval
     * default). Shared with the oracle generator so the two sides
     * cannot drift. */
-  def bm25Terms(text: String): Seq[String] =
-    text.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+  def bm25Terms(text: String, scripted: Boolean = false): Seq[String] = {
+    val toks =
+      if (scripted) Portable.wordsScriptedLocal(text)
+      else text.split("\\s+").toSeq
+    toks.filter(_.nonEmpty).distinct
+  }
 
   // ---- unigram LM scoring (CCNet-style corpus-model quality) ----
 
@@ -970,8 +994,9 @@ object TextAnalysis {
     * ReuseCheckSpec pins that. The vocabulary join auto-broadcasts
     * when it fits; word-partitioned otherwise. */
   def unigramLogprob(docs: DataFrame,
-                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf = docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+                     id: String = "doc_id", textCol: String = "text",
+                     scripted: Boolean = false): DataFrame = {
+    val tf = docs.select(col(id), explode(tokensOf(col(textCol), scripted)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
     val n = tf.agg(sum(col("tf")).cast(DoubleType).as("__n"))
@@ -1007,9 +1032,11 @@ object TextAnalysis {
     * auto-broadcasts when the bigram vocabulary fits. Docs with < 2
     * words have no bigrams and are absent (the unigram contract). */
   def bigramLogprob(docs: DataFrame,
-                    id: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    id: String = "doc_id", textCol: String = "text",
+                    scripted: Boolean = false): DataFrame = {
     val tf = docs.select(col(id), explode(
-        graft.functions.WordShingles.of(col(textCol), 2, distinct = false))
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false,
+          scripted = scripted))
         .as("bigram"))
       .groupBy(col(id), col("bigram")).agg(count(lit(1)).as("tf"))
     val cb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("c2"))
@@ -1055,18 +1082,21 @@ object TextAnalysis {
     * N rides a broadcast 1-row cross join. The train/apply split is
     * the production shape (CCNet trains on held Wikipedia, applies to
     * the crawl): train offline, write the frame, key-join at apply. */
-  def trigramLmTrain(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def trigramLmTrain(docs: DataFrame, textCol: String = "text",
+                     scripted: Boolean = false): DataFrame = {
     val t3 = docs.select(explode(
-        graft.functions.WordShingles.of(col(textCol), 3, distinct = false)).as("tri"))
+        graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
+          scripted = scripted)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("c3"))
       .withColumn("w12", substring_index(col("tri"), " ", 2))
     val ctx3 = t3.groupBy(col("w12")).agg(sum(col("c3")).as("c12"))
     val t2 = docs.select(explode(
-        graft.functions.WordShingles.of(col(textCol), 2, distinct = false)).as("big"))
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false,
+          scripted = scripted)).as("big"))
       .groupBy(col("big")).agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("big"), " ", 1))
     val ctx2 = t2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val t1 = docs.select(explode(Portable.words(col(textCol))).as("word"))
+    val t1 = docs.select(explode(tokensOf(col(textCol), scripted)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
     val n = t1.agg(sum(col("c")).cast(DoubleType).as("__n"))
@@ -1103,9 +1133,11 @@ object TextAnalysis {
     * Per-row + broadcast/key-join only, so the streaming twin is a
     * trivial foreachBatch replay. */
   def trigramLmApply(model: DataFrame, docs: DataFrame,
-                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     id: String = "doc_id", textCol: String = "text",
+                     scripted: Boolean = false): DataFrame = {
     val tf = docs.select(col(id), explode(
-        graft.functions.WordShingles.of(col(textCol), 3, distinct = false)).as("tri"))
+        graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
+          scripted = scripted)).as("tri"))
       .groupBy(col(id), col("tri")).agg(count(lit(1)).as("tf"))
       .withColumn("w23", substring_index(col("tri"), " ", -2))
       .withColumn("w3", substring_index(col("tri"), " ", -1))
@@ -1135,8 +1167,10 @@ object TextAnalysis {
     * (composition parity with the split is spec-pinned; on its own
     * training corpus every trigram is seen, so n_backed_off = 0). */
   def trigramLogprob(docs: DataFrame,
-                     id: String = "doc_id", textCol: String = "text"): DataFrame =
-    trigramLmApply(trigramLmTrain(docs, textCol), docs, id, textCol)
+                     id: String = "doc_id", textCol: String = "text",
+                     scripted: Boolean = false): DataFrame =
+    trigramLmApply(trigramLmTrain(docs, textCol, scripted), docs, id, textCol,
+      scripted)
 
   /** Content-defined chunking (the FastCDC/rsync family): chunk
     * boundaries fall where the rolling trigram hash ≡ 0 (mod divisor)

@@ -32,6 +32,11 @@ object LlmQueries {
   /** DuckDB: whitespace word list of a text column. */
   private def wordsSql(c: String) = s"string_split_regex(trim($c), '\\s+')"
 
+  /** DuckDB: scripted (CJK-aware) token list — the [[wordsSql]] twin of
+    * Portable.wordsScripted (same literal classes under RE2). */
+  private def scriptedWordsSql(c: String) =
+    s"regexp_extract_all($c, '${graft.functions.Portable.scriptedPattern}')"
+
   /** DuckDB: distinct k-shingle list from a word-list column `w`. */
   private val shinglesSql: String = {
     val k = Config.ShingleK
@@ -1427,7 +1432,12 @@ object LlmQueries {
     * word; the scripted segmenter (Portable.wordsScripted) cuts Han
     * per ideograph and kana/Thai as script runs — the per-script
     * censuses and the token-list md5 gate the exact boundaries. */
-  def qTokenCountCjk(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared mixed-script corpus: documents widened with the
+    * closed-form CJK tails (doc_id % 4) — the fixture every scripted-
+    * tokenizer composition row (token counts, BM25, unigram LM, vocab)
+    * runs over, so the segmentation boundary cases are identical
+    * across the family. */
+  private[graft] def cjkDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val id = col("doc_id")
     val mixed = concat(col("text"), lit(" "),
@@ -1435,16 +1445,23 @@ object LlmQueries {
         .when(id % 4 === 1, lit(MixJa))
         .when(id % 4 === 2, lit(MixTh))
         .otherwise(lit(MixMx)))
-    TextAnalysis.tokenCountsScripted(docs.select(id, mixed.as("text")))
+    docs.select(id, mixed.as("text"))
   }
 
-  val qTokenCountCjkSql: String = {
-    val P = graft.functions.Portable
-    s"""WITH d AS (SELECT doc_id,
+  /** DuckDB twin of [[cjkDocs]] (a full SELECT, nestable as `($it)`). */
+  private val cjkDocsSql: String =
+    s"""SELECT doc_id,
        |    text || ' ' || CASE doc_id % 4
        |      WHEN 0 THEN '$MixZh' WHEN 1 THEN '$MixJa'
        |      WHEN 2 THEN '$MixTh' ELSE '$MixMx' END AS text
-       |  FROM documents)
+       |  FROM documents""".stripMargin
+
+  def qTokenCountCjk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCountsScripted(cjkDocs(spark, dir))
+
+  val qTokenCountCjkSql: String = {
+    val P = graft.functions.Portable
+    s"""WITH d AS ($cjkDocsSql)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '${P.scriptedPattern}')) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(text, '${P.hanTokenPattern}')) AS BIGINT) AS n_han,
@@ -1463,6 +1480,21 @@ object LlmQueries {
 
   val qVocabTopkSql: String =
     s"""WITH w AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents)
+       |SELECT token, COUNT(*) AS n FROM w GROUP BY token
+       |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
+  /** Corpus vocabulary under the SCRIPTED tokenizer over the mixed-
+    * script corpus: every doc contributes one CJK tail, so the Han
+    * ideographs / kana runs land in the global top-100 — whitespace
+    * counting would report each whole tail as one four-count "token".
+    * Same deterministic (count desc, token asc) cut; CJK tokens sort
+    * by UTF-8 byte order identically in Spark and DuckDB. */
+  def qVocabTopkCjk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocab(cjkDocs(spark, dir), 100, scripted = true)
+
+  val qVocabTopkCjkSql: String =
+    s"""WITH d AS ($cjkDocsSql),
+       |w AS (SELECT unnest(${scriptedWordsSql("text")}) AS token FROM d)
        |SELECT token, COUNT(*) AS n FROM w GROUP BY token
        |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
 
@@ -2232,15 +2264,40 @@ object LlmQueries {
 
   val qBm25TopkSql: String = bm25SqlFrom("documents", Bm25Queries, Bm25K)
 
+  /** Mixed-script query set for [[qBm25TopkCjk]]: a Chinese compound
+    * that MUST segment per-ideograph to match the corpus tokens, a
+    * katakana run + Latin corpus word (cross-script query), the full
+    * Thai tail run (Thai runs segment as same-script stretches, so
+    * only the exact run matches), and a fully-OOV Han query (absent
+    * from the output — the inner-join contract). */
+  val Bm25CjkQueries: Seq[(String, String)] = Seq(
+    "q_zh" -> "机器学习",
+    "q_ja" -> ("データ" + " customer"),
+    "q_th" -> MixTh,
+    "q_oov" -> "零")
+
+  /** BM25 over the mixed-script corpus under the SCRIPTED tokenizer —
+    * index side AND query side segment with the same pattern (a CJK
+    * query under whitespace tokenization is one giant term that can
+    * never match). The whitespace twin q_bm25_topk stays byte-stable
+    * on its ASCII corpus (SegmentationSpec parity). */
+  def qBm25TopkCjk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(cjkDocs(spark, dir), Bm25CjkQueries, Bm25K,
+      scripted = true)
+
+  val qBm25TopkCjkSql: String =
+    bm25SqlFrom(s"($cjkDocsSql)", Bm25CjkQueries, Bm25K, scripted = true)
+
   /** The full BM25 replay parameterized on the corpus table/subquery
     * (must carry doc_id + text) — q_rag_e2e reuses it over the chunk
     * frame via `FROM (subquery)` nesting (the qRrfFusionSql shape). */
   private def bm25SqlFrom(t: String, queries: Seq[(String, String)],
-                          k: Int): String = {
+                          k: Int, scripted: Boolean = false): String = {
     val qt = queries.flatMap { case (qid, text) =>
-      TextAnalysis.bm25Terms(text).map(term => s"('$qid', '$term')")
+      TextAnalysis.bm25Terms(text, scripted).map(term => s"('$qid', '$term')")
     }.mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM $t),
+    val words = if (scripted) scriptedWordsSql("text") else wordsSql("text")
+    s"""WITH tok AS (SELECT doc_id, unnest($words) AS word FROM $t),
        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
        |  WHERE length(word) > 0 GROUP BY 1, 2),
        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
@@ -2855,8 +2912,11 @@ object LlmQueries {
   def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(Tables(spark, dir).documents)
 
-  val qUnigramLogprobSql: String =
-    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+  /** The unigram-LM replay parameterized on corpus table and tokenizer
+    * mode (the bm25SqlFrom shape). */
+  private def unigramSqlFrom(t: String, scripted: Boolean = false): String = {
+    val words = if (scripted) scriptedWordsSql("text") else wordsSql("text")
+    s"""WITH ws AS (SELECT doc_id, $words AS w FROM $t),
        |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
        |  WHERE length(word) > 0 GROUP BY 1, 2),
@@ -2870,6 +2930,23 @@ object LlmQueries {
        |SELECT doc_id, n_tokens,
        |  floor((sq / 1e6 / n_tokens) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
+  }
+
+  val qUnigramLogprobSql: String = unigramSqlFrom("documents")
+
+  /** Unigram LM over the mixed-script corpus under the SCRIPTED
+    * tokenizer — the composition row that proves the CJK segmenter
+    * reaches the LM family end to end: under whitespace tokenization
+    * every zh tail is ONE rare "word" (a huge negative logprob spike on
+    * exactly the multilingual share); scripted, the tails decompose
+    * into per-ideograph / per-run tokens whose corpus frequencies the
+    * model actually estimates. Same fixed-point integer-sum gate as
+    * q_unigram_logprob. */
+  def qUnigramLogprobCjk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogprob(cjkDocs(spark, dir), scripted = true)
+
+  val qUnigramLogprobCjkSql: String =
+    unigramSqlFrom(s"($cjkDocsSql)", scripted = true)
 
   // ---- bigram LM scoring ----
 

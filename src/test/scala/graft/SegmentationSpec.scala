@@ -108,4 +108,54 @@ class SegmentationSpec extends SparkSpec {
     assert(r.getAs[Long]("n_kana") === 0L)
     assert(r.getAs[Long]("n_sea") === 0L)
   }
+
+  test("token-gated family: scripted mode is byte-identical to plain on ASCII") {
+    import graft.operators.TextAnalysis
+    // pure-ASCII corpus: both tokenizer modes must produce the SAME
+    // rows for every operator that grew the scripted switch — the
+    // parity contract that makes the mode safe to flip per-corpus
+    val docs = Seq(
+      (1L, "customer join filter scan plan"),
+      (2L, "hash scan merge scan customer"),
+      (3L, "window sort merge join customer filter"),
+      (4L, "plan hash window filter"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val qs = Seq("qa" -> "customer scan", "qb" -> "merge")
+    assert(rows(TextAnalysis.bm25TopK(docs, qs, 3, scripted = true)) ===
+      rows(TextAnalysis.bm25TopK(docs, qs, 3)))
+    assert(rows(TextAnalysis.unigramLogprob(docs, scripted = true)) ===
+      rows(TextAnalysis.unigramLogprob(docs)))
+    assert(rows(TextAnalysis.bigramLogprob(docs, scripted = true)) ===
+      rows(TextAnalysis.bigramLogprob(docs)))
+    assert(rows(TextAnalysis.trigramLogprob(docs, scripted = true)) ===
+      rows(TextAnalysis.trigramLogprob(docs)))
+    assert(rows(TextAnalysis.vocab(docs, 50, scripted = true)) ===
+      rows(TextAnalysis.vocab(docs, 50)))
+    assert(rows(TextAnalysis.ngramTopk(docs, 2, 50, scripted = true)) ===
+      rows(TextAnalysis.ngramTopk(docs, 2, 50)))
+    assert(rows(TextAnalysis.tfidfTopK(docs, 3, 4, scripted = true)) ===
+      rows(TextAnalysis.tfidfTopK(docs, 3, 4)))
+  }
+
+  test("scripted BM25: query side segments with the index's tokenizer") {
+    import graft.operators.TextAnalysis
+    // a CJK query under the plain tokenizer is ONE un-matchable term;
+    // scripted, it decomposes to the same per-ideograph tokens the
+    // index holds
+    assert(TextAnalysis.bm25Terms("机器学习", scripted = true) ===
+      Seq("机", "器", "学", "习"))
+    assert(TextAnalysis.bm25Terms("机器学习") === Seq("机器学习"))
+    assert(TextAnalysis.bm25Terms("データ customer", scripted = true) ===
+      Seq("データ", "customer"))
+    val docs = Seq((1L, "alpha 机器学习 beta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.bm25TopK(docs, Seq("q1" -> "机器"), 5,
+        scripted = true).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L),
+      "scripted query must reach the scripted index tokens")
+    assert(TextAnalysis.bm25TopK(docs, Seq("q1" -> "机器"), 5).collect().isEmpty,
+      "plain mode: the compound query term matches nothing")
+  }
 }
