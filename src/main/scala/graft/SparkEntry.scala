@@ -118,6 +118,7 @@ object SparkEntry {
     "q_bpe_encode" -> (L.qBpeEncode _),
     // the BPE TRAINER gated by merge-trajectory replay
     "q_bpe_train" -> (L.qBpeTrain _),
+    "q_bpe_train_dist" -> (L.qBpeTrainDist _),
     // Dolma-style PII masking (emails/phones/IPs -> mask tokens)
     "q_pii_scrub" -> (L.qPiiScrub _),
     // crawl-pipeline HTML text extraction (script/style, tags, entities)
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_bpe_train" -> L.qBpeTrainSql,
+    "q_bpe_train_dist" -> L.qBpeTrainDistSql,
     "q_pii_scrub" -> L.qPiiScrubSql,
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,

@@ -1697,6 +1697,26 @@ object LlmQueries {
        |$out""".stripMargin
   }
 
+  /** The DISTRIBUTED BPE-trainer path inside the oracle gate: the
+    * identical merge trajectory with maxLocalWords = 0, forcing
+    * [[TextAnalysis.bpeTrainDistributed]] — the 100 TB path, where the
+    * unique-word table is never collected and each merge round is a
+    * bounded argmax job over the symbol frame — against the SAME
+    * merge-trajectory oracle as q_bpe_train. Both paths green proves
+    * trajectory equality inside the gate, not just in QualitySpec's
+    * path-parity spec. */
+  def qBpeTrainDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeTrain(Tables(spark, dir).documents, BpeTrainMerges,
+        maxLocalWords = 0L)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_idx", "sym_a", "sym_b")
+  }
+
+  /** Same expected output as the local path — the whole point. */
+  val qBpeTrainDistSql: String = qBpeTrainSql
+
   // ---- PII scrubbing (Dolma-style masking) ----
 
   /** PII masking, oracle-gated like qImageDecode: the corpus carries no
