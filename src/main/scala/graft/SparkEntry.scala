@@ -193,6 +193,7 @@ object SparkEntry {
     "q_ann_pq_trained" -> (L.qAnnPqTrained _),
     // margin-based bitext mining: LSH candidates + k-NN margin + mutuality
     "q_bitext_mine" -> (L.qBitextMine _),
+    "q_bitext_mine_ivf" -> (L.qBitextMineIvf _),
     // chunk->document embedding mean-pool (fixed-point exact)
     "q_embed_pool" -> (L.qEmbedPool _),
     // snapshot-to-snapshot embedding drift monitor
@@ -361,6 +362,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> L.qAnnIvfPqSql,
     "q_ann_pq_trained" -> L.qAnnPqTrainedSql,
     "q_bitext_mine" -> L.qBitextMineSql,
+    "q_bitext_mine_ivf" -> L.qBitextMineIvfSql,
     "q_embed_pool" -> L.qEmbedPoolSql,
     "q_embed_drift" -> L.qEmbedDriftSql,
     "q_mixture_plan" -> L.qMixturePlanSql,

@@ -311,12 +311,45 @@ object Similarity {
     val t = tgt.select(col("vec_id").as("tgt_id"),
       lshBucket(col("embedding"), nPlanes).as("bucket"),
       col("embedding").as("__te"))
-    // embeddings drop at the candidate step — nothing wide rides the
-    // two window exchanges below
-    val cand = s.join(t, Seq("bucket"))
+    bitextMargin(bitextCandidates(s, t), k, marginThrPpm)
+  }
+
+  /** IVF-bounded bitext mining — the production-scale candidate bound:
+    * a single random-hyperplane band gives uncontrolled bucket skew at
+    * CCMatrix scale (one viral bucket = quadratic candidates AND a
+    * bucket-biased margin denominator); data-adaptive coarse centroids
+    * bound every bucket by construction, and nProbe is the recall knob
+    * ([[ivfProbes]] — src probes its nProbe nearest centroids, tgt
+    * lives in its argmax bucket, so a pair can meet at most once and
+    * no dedup is needed, the [[ivfTopKProbed]] contract). The margin /
+    * mutuality statistic is [[bitextMine]]'s chain UNCHANGED. */
+  def bitextMineIvf(src: DataFrame, tgt: DataFrame, k: Int, marginThrPpm: Long,
+                    centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
+    require(k >= 1 && marginThrPpm > 0, "bitextMineIvf: bad arguments")
+    val s = ivfProbes(src.select(col("vec_id"), col("embedding")),
+        "embedding", centroids, nProbe)
+      .select(col("vec_id").as("src_id"), col("bucket"),
+        col("embedding").as("__se"))
+    val t = ivfAssign(tgt.select(col("vec_id"), col("embedding")),
+        "embedding", centroids)
+      .select(col("vec_id").as("tgt_id"), col("bucket"),
+        col("embedding").as("__te"))
+    bitextMargin(bitextCandidates(s, t), k, marginThrPpm)
+  }
+
+  /** Bucket-join candidate step shared by the LSH and IVF bounds:
+    * embeddings drop here — nothing wide rides the two window
+    * exchanges in [[bitextMargin]]. */
+  private def bitextCandidates(s: DataFrame, t: DataFrame): DataFrame =
+    s.join(t, Seq("bucket"))
       .select(col("src_id"), col("tgt_id"),
         floor(VectorOps.floatCosine(col("__se"), col("__te")) * lit(1e6)
           + lit(0.5)).cast("long").as("cosu"))
+
+  /** The margin/mutuality statistic over a (src_id, tgt_id, cosu)
+    * candidate frame — see [[bitextMine]] for the exactness chain. */
+  private def bitextMargin(cand: DataFrame, k: Int,
+                           marginThrPpm: Long): DataFrame = {
     val wSrc = Window.partitionBy(col("src_id"))
       .orderBy(col("cosu").desc, col("tgt_id").asc)
     val wSrcAll = wSrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

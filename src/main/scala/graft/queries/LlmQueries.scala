@@ -975,21 +975,11 @@ object LlmQueries {
       BitextK, BitextThrPpm, BitextPlanes)
   }
 
-  val qBitextMineSql: String = {
-    val planeList = (0 until BitextPlanes).map { k =>
-      val coeffs = (0 until Config.AnnDim).map(i => s"${Config.planeCoeff(k, i)}.0").mkString(", ")
-      s"(CASE WHEN floor(list_dot_product(e, [$coeffs]::DOUBLE[]) * 1e6 + 0.5) / 1e6 > 0 THEN ${1L << k} ELSE 0 END)"
-    }.mkString("\n      + ")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |vb AS (SELECT vec_id, e,
-       |    CAST($planeList AS BIGINT) AS bucket
-       |  FROM v),
-       |s AS (SELECT vec_id AS src_id, e AS se, bucket FROM vb WHERE vec_id % 2 = 0),
-       |t AS (SELECT vec_id AS tgt_id, e AS te, bucket FROM vb WHERE vec_id % 2 = 1),
-       |cand AS (SELECT src_id, tgt_id,
-       |    CAST(floor((list_dot_product(se, te)
-       |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
-       |  FROM s JOIN t USING (bucket)),
+  /** The shared margin/mutuality CTE chain over whatever `ctes` define
+    * as `cand(src_id, tgt_id, cosu)` — LSH and IVF bounds replay the
+    * identical statistic. */
+  private def bitextMarginChainSql(ctes: String): String =
+    s"""WITH $ctes,
        |rk AS (SELECT src_id, tgt_id, cosu,
        |    row_number() OVER (PARTITION BY src_id ORDER BY cosu DESC, tgt_id ASC) AS rf,
        |    row_number() OVER (PARTITION BY tgt_id ORDER BY cosu DESC, src_id ASC) AS rb,
@@ -1012,7 +1002,68 @@ object LlmQueries {
        |    AND cosu * (cnt_f + cnt_b) * 1000000 >= $BitextThrPpm * (sum_f + sum_b)
        |    THEN 1 ELSE 0 END AS BIGINT) AS pass
        |FROM st WHERE rf = 1""".stripMargin
+
+  val qBitextMineSql: String = {
+    val planeList = (0 until BitextPlanes).map { k =>
+      val coeffs = (0 until Config.AnnDim).map(i => s"${Config.planeCoeff(k, i)}.0").mkString(", ")
+      s"(CASE WHEN floor(list_dot_product(e, [$coeffs]::DOUBLE[]) * 1e6 + 0.5) / 1e6 > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n      + ")
+    bitextMarginChainSql(
+      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |vb AS (SELECT vec_id, e,
+         |    CAST($planeList AS BIGINT) AS bucket
+         |  FROM v),
+         |s AS (SELECT vec_id AS src_id, e AS se, bucket FROM vb WHERE vec_id % 2 = 0),
+         |t AS (SELECT vec_id AS tgt_id, e AS te, bucket FROM vb WHERE vec_id % 2 = 1),
+         |cand AS (SELECT src_id, tgt_id,
+         |    CAST(floor((list_dot_product(se, te)
+         |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
+         |  FROM s JOIN t USING (bucket))""".stripMargin)
   }
+
+  private val BitextIvfProbes = 2
+
+  /** IVF-bounded bitext mining inside the gate
+    * ([[graft.operators.Similarity.bitextMineIvf]]): same sides, same
+    * margin statistic, but candidates meet inside data-adaptive coarse
+    * buckets (first-$IvfCentroids codebook, the qAnnIvf loaded-
+    * codebook convention) with src probing nProbe=2 — the CCMatrix-
+    * scale bound where one viral LSH bucket can't go quadratic or
+    * bias the margin denominator. The oracle replays the coarse
+    * argmax/probe assignment as rank CTEs (the qAnnIvfSql shape) and
+    * the identical margin chain. */
+  def qBitextMineIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroidRows = emb.where(col("vec_id") < IvfCentroids)
+      .orderBy("vec_id").collect()
+    require(centroidRows.length == IvfCentroids,
+      s"expected $IvfCentroids centroid vectors, got ${centroidRows.length}")
+    val centroids = centroidRows.map(_.getAs[Seq[Float]]("embedding").toArray).toSeq
+    Similarity.bitextMineIvf(
+      emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 === 1),
+      BitextK, BitextThrPpm, centroids, BitextIvfProbes)
+  }
+
+  val qBitextMineIvfSql: String = bitextMarginChainSql(
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $IvfCentroids),
+       |scored AS (SELECT vec_id, cid,
+       |    floor((list_dot_product(e, ce) / sqrt(list_dot_product(e, e) * list_dot_product(ce, ce))) * 1e6 + 0.5) / 1e6 AS ccos
+       |  FROM v, cent),
+       |assign AS (SELECT vec_id, cid AS bucket,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM scored),
+       |s AS (SELECT v.vec_id AS src_id, v.e AS se, a.bucket
+       |  FROM v JOIN assign a ON v.vec_id = a.vec_id AND a.rn <= $BitextIvfProbes
+       |  WHERE v.vec_id % 2 = 0),
+       |t AS (SELECT v.vec_id AS tgt_id, v.e AS te, a.bucket
+       |  FROM v JOIN assign a ON v.vec_id = a.vec_id AND a.rn = 1
+       |  WHERE v.vec_id % 2 = 1),
+       |cand AS (SELECT src_id, tgt_id,
+       |    CAST(floor((list_dot_product(se, te)
+       |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
+       |  FROM s JOIN t USING (bucket))""".stripMargin)
 
   // ---- mixture planning (mixing-config stage) ----
 

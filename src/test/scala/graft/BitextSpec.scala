@@ -124,6 +124,40 @@ class BitextSpec extends SparkSpec {
     assert(tgtEx <= 1, s"tgt-keyed exchanges: $tgtEx\n$p")
   }
 
+  test("IVF bound: nProbe = #centroids recovers the brute-force statistic exactly") {
+    // two coarse centroids; src probing BOTH buckets makes every
+    // (src, tgt) pair meet exactly once (tgt is argmax-assigned), so
+    // the full margin statistic must equal the replay bit-for-bit
+    val cents = Seq(vec(), vec(damp(0, 1, 2, 3, 4, 5): _*))
+    val got = Similarity.bitextMineIvf(df(srcRows), df(tgtRows), K, ThrPpm,
+        cents, nProbe = 2)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getLong(4), r.getLong(5))
+      }.toMap
+    assert(got === replay())
+  }
+
+  test("IVF bound at nProbe=1: planted pair survives, output is a recall subset") {
+    val cents = Seq(vec(), vec(damp(0, 1, 2, 3, 4, 5): _*))
+    val rows = Similarity.bitextMineIvf(df(srcRows), df(tgtRows), K, ThrPpm,
+        cents, nProbe = 1).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // identical vectors assign to the same argmax centroid — the
+    // planted pair can never be pruned by the coarse bound
+    val planted = byId(200L)
+    assert(planted.getLong(1) === 201L)
+    assert(planted.getDouble(2) >= 0.999999)
+    assert(planted.getLong(5) === 1L, "pass")
+    // every emitted src row keys into the brute-force candidate space
+    val bruteKeys = (for ((sid, _) <- srcRows; (tid, _) <- tgtRows)
+      yield (sid, tid)).toSet
+    assert(rows.forall(r => bruteKeys.contains((r.getLong(0), r.getLong(1)))))
+    assert(rows.length <= srcRows.size)
+  }
+
   test("deterministic across partition layouts") {
     val a = mined.orderBy("src_id").collect().toSeq
     val b = Similarity.bitextMine(df(srcRows).repartition(5),
