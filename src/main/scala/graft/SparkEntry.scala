@@ -232,6 +232,7 @@ object SparkEntry {
     "q_audio_decode" -> (L.qAudioDecode _),
     // fixed-window doc chunking + deterministic mixture up-sampling
     "q_doc_chunks" -> (L.qDocChunks _),
+    "q_chunk_sentence" -> (L.qChunkSentence _),
     "q_mix_upsample" -> (L.qMixUpsample _),
   )
 
@@ -385,6 +386,7 @@ object SparkEntry {
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,
+    "q_chunk_sentence" -> L.qChunkSentenceSql,
     "q_sessionize" -> T.qSessionizeSql,
     "q_mix_upsample" -> L.qMixUpsampleSql,
   )

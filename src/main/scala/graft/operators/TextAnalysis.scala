@@ -314,6 +314,87 @@ object TextAnalysis {
           (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens))).as("chunk_text"))
   }
 
+  // ---- sentence-boundary segmentation & chunking (RAG prep) ----
+
+  /** Literal abbreviation guard list for [[sentences]] — multi-dot
+    * entries first so their internal dots protect before any
+    * single-dot rule could fire. Case-sensitive literals; RE2-safe
+    * (\b word boundaries, no lookahead — the r13 lesson). */
+  val SentAbbrevs: Seq[String] =
+    Seq("e.g", "i.e", "Mr", "Mrs", "Ms", "Dr", "Prof", "St", "No", "Fig",
+      "vs", "etc")
+
+  /** A sentence = a run of non-terminators plus its terminator run —
+    * leftmost-first over disjoint alternatives, identical under Java
+    * regex and RE2. */
+  val SentPattern: String = "[^.!?]+[.!?]*"
+
+  /** Guard char standing in for protected abbreviation dots (U+0002 —
+    * never in text; the oracle builds it via chr(2) so no raw control
+    * byte rides the generated SQL). */
+  private val SentGuard = "\u0002"
+
+  /** Abbreviation-protected text: every listed abbreviation's dots
+    * become the guard char so the terminator split can't fire inside
+    * "Dr. Smith" or "e.g. this". */
+  private def sentProtected(text: Column): Column =
+    SentAbbrevs.foldLeft(text) { (c, a) =>
+      regexp_replace(c, "\\b" + a.replace(".", "\\.") + "\\.",
+        a.replace(".", SentGuard) + SentGuard)
+    }
+
+  /** Deterministic sentence segmentation: protect abbreviations,
+    * extract [[SentPattern]] runs, restore the dots, trim whitespace,
+    * drop empties. One narrow projection + generate — no shuffle; the
+    * identical replace/extract chain replays under DuckDB RE2 (the
+    * regexp_replace 'g' flag on the oracle side). Emits
+    * (id, sent_idx, sent_text, n_tokens). */
+  def sentences(docs: DataFrame, id: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val arr = filter(
+      transform(
+        regexp_extract_all(sentProtected(col(textCol)), lit(SentPattern), lit(0)),
+        s => trim(translate(s, SentGuard, "."), " \t\n\r")),
+      s => length(s) > 0)
+    docs.select(col(id), posexplode(arr).as(Seq("sent_idx", "sent_text")))
+      .select(col(id), col("sent_idx").cast(LongType).as("sent_idx"),
+        col("sent_text"),
+        size(Portable.words(col("sent_text"))).cast(LongType).as("n_tokens"))
+  }
+
+  /** Sentence-boundary chunking — the production RAG prep shape
+    * (split on sentence boundaries FIRST, then window): consecutive
+    * sentences group into chunks by cumulative token count against
+    * `maxTokens`, a sentence joining the chunk its FIRST token falls
+    * in (the [[packSequences]] cumulative idiom — no iteration, so the
+    * whole assignment is one window pass and replays as CTEs). The
+    * budget is therefore a soft bound: a chunk can overflow by its
+    * last sentence's tail, and a single sentence longer than the
+    * budget gets its own chunk — sentences are never split
+    * mid-boundary, which is the point.
+    *
+    * Scale shape: one doc-keyed window exchange (cum sums), and the
+    * chunk regroup rides the same partitioning; chunk text re-joins
+    * via the sorted-struct collect (the cdcChunkFrame idiom). */
+  def chunkDocsBySentence(docs: DataFrame, maxTokens: Int,
+                          id: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "chunkDocsBySentence: maxTokens must be positive")
+    val sent = sentences(docs, id, textCol)
+    val w = Window.partitionBy(col(id)).orderBy(col("sent_idx"))
+    sent
+      .withColumn("__cumb", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("chunk_idx", expr(s"__cumb div ${maxTokens}L"))
+      .groupBy(col(id), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(col("n_tokens")).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sent_text")))),
+          s => s.getField("sent_text"))).as("chunk_text"))
+  }
+
   /** Position-sensitive document fingerprint: XOR of 60-bit hashes of
     * (word, position mod 16). Order-independent aggregation (XOR is
     * commutative) of order-dependent terms — a rolling-hash analog that

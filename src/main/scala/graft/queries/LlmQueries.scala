@@ -3574,6 +3574,77 @@ object LlmQueries {
        |  array_to_string(w[CAST(i.k * $ChunkStride + 1 AS BIGINT):CAST(i.k * $ChunkStride + $ChunkMax AS BIGINT)], ' ') AS chunk_text
        |FROM c, unnest(generate_series(0, n_chunks - 1)) AS i(k)""".stripMargin
 
+  // ---- sentence-boundary chunking (RAG prep, the chunkDocs sibling) ----
+
+  private val SentChunkMax = 24
+
+  /** The punctuation fixture: documents widened with closed-form
+    * sentence tails — the base word-salad text (terminator-free)
+    * becomes one long first sentence, and the tails exercise the
+    * abbreviation guards (Dr./No./e.g./Fig.), multi-terminator runs,
+    * an unterminated trailing sentence, and ?/! terminators. */
+  private def sentFixtureDocs(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val tail =
+      when(id % 3 === 0,
+        concat(lit("Dr. Smith logged No. "), (id % 9).cast("string"),
+          lit(" today! Was it e.g. enough? See Fig. 3.")))
+        .when(id % 3 === 1, lit("one trailing sentence without a terminator"))
+        .otherwise(lit("First bit. Second bit? Third bit!"))
+    Tables(spark, dir).documents
+      .select(id, concat(col("text"), lit(". "), tail).as("text"))
+  }
+
+  private val sentFixtureSql: String =
+    s"""SELECT doc_id, text || '. ' || CASE doc_id % 3
+       |    WHEN 0 THEN 'Dr. Smith logged No. ' ||
+       |      CAST(doc_id % 9 AS VARCHAR) || ' today! Was it e.g. enough? See Fig. 3.'
+       |    WHEN 1 THEN 'one trailing sentence without a terminator'
+       |    ELSE 'First bit. Second bit? Third bit!' END AS text
+       |  FROM documents""".stripMargin
+
+  /** Sentence-boundary chunking inside the gate
+    * (TextAnalysis.chunkDocsBySentence): protect abbreviations with a
+    * guard char, split on terminator runs, greedy-window whole
+    * sentences by cumulative token count (the packSequences idiom — a
+    * sentence joins the chunk its first token falls in, never splits).
+    * The oracle replays the identical replace/extract/window chain
+    * under RE2 ('g'-flagged replaces, chr(2) guard); any guard or
+    * boundary bug changes a chunk_text and fails the hash. */
+  def qChunkSentence(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocsBySentence(sentFixtureDocs(spark, dir), SentChunkMax)
+
+  val qChunkSentenceSql: String = {
+    val protectChain = TextAnalysis.SentAbbrevs.foldLeft("text") { (acc, a) =>
+      val pat = "\\b" + a.replace(".", "\\.") + "\\."
+      val repl = a.split("\\.").map(p => s"'$p'").mkString(" || chr(2) || ") +
+        " || chr(2)"
+      // DuckDB regexp_replace replaces FIRST match unless 'g'
+      s"regexp_replace($acc, '$pat', $repl, 'g')"
+    }
+    s"""WITH f AS ($sentFixtureSql),
+       |p AS (SELECT doc_id, $protectChain AS pt FROM f),
+       |ra AS (SELECT doc_id, regexp_extract_all(pt, '${TextAnalysis.SentPattern}') AS arr FROM p),
+       |s0 AS (SELECT doc_id, i.k AS ord,
+       |    trim(replace(arr[i.k], chr(2), '.'), ' ' || chr(9) || chr(10) || chr(13)) AS sent
+       |  FROM ra, unnest(generate_series(1, len(arr))) AS i(k)),
+       |s1 AS (SELECT doc_id, ord, sent,
+       |    CAST(len(string_split_regex(trim(sent), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM s0 WHERE length(sent) > 0),
+       |s2 AS (SELECT doc_id, sent, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS sent_idx
+       |  FROM s1),
+       |c AS (SELECT doc_id, sent_idx, sent, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |  FROM s2)
+       |SELECT doc_id, CAST(cumb // $SentChunkMax AS BIGINT) AS chunk_idx,
+       |  CAST(count(*) AS BIGINT) AS n_sents,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  string_agg(sent, ' ' ORDER BY sent_idx) AS chunk_text
+       |FROM c GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- #59 deterministic mixture up-sampling ----
 
   private val UpsampleRates = Seq("en" -> 2.5, "zh" -> 1.0, "es" -> 0.4, "de" -> 0.0)

@@ -109,6 +109,37 @@ class SegmentationSpec extends SparkSpec {
     assert(r.getAs[Long]("n_sea") === 0L)
   }
 
+  test("sentence splitter: abbreviation guards, terminator runs, soft-budget windows") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Dr. Smith met Mrs. Jones. They argued! Really?? The end"),
+      (2L, "See Fig. 3 e.g. the chart. Next sentence."),
+      (3L, "   "),
+      (4L, "No terminator at all"))
+      .toDF("doc_id", "text")
+    val sents = TextAnalysis.sentences(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getAs[Long]("sent_idx")).map(_.getAs[String]("sent_text")).toSeq).toMap
+    // guards hold: "Dr." / "Mrs." never end a sentence; "??" is one
+    // terminator run; the unterminated tail is still a sentence
+    assert(sents(1L) === Seq("Dr. Smith met Mrs. Jones.", "They argued!",
+      "Really??", "The end"))
+    assert(sents(2L) === Seq("See Fig. 3 e.g. the chart.", "Next sentence."))
+    assert(!sents.contains(3L), "whitespace-only text has no sentences")
+    assert(sents(4L) === Seq("No terminator at all"))
+    // soft-budget chunking: sentences never split; a chunk overflows
+    // only by its last sentence's tail
+    val chunks = TextAnalysis.chunkDocsBySentence(docs, 6)
+      .where(col("doc_id") === 1L).orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getAs[Long]("n_sents")).sum === 4L)
+    val texts = chunks.map(_.getAs[String]("chunk_text"))
+    assert(texts.head.startsWith("Dr. Smith met Mrs. Jones."),
+      "first chunk holds the whole first sentence")
+    // every chunk's text is whole sentences re-joined
+    assert(texts.mkString(" ") ===
+      "Dr. Smith met Mrs. Jones. They argued! Really?? The end")
+  }
+
   test("token-gated family: scripted mode is byte-identical to plain on ASCII") {
     import graft.operators.TextAnalysis
     // pure-ASCII corpus: both tokenizer modes must produce the SAME
