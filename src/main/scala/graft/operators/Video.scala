@@ -38,6 +38,7 @@ object Video {
     StructField("n_frames", LongType),
     StructField("max_width", LongType),
     StructField("max_height", LongType),
+    StructField("codecs", StringType),
     StructField("ok", LongType, nullable = false),
     StructField("reason", StringType)))
 
@@ -63,8 +64,10 @@ object Video {
     out.toByteArray
   }
 
-  /** One track spec for the encoder. */
-  case class TrackSpec(track_id: Long, w: Long, h: Long, frames: Long)
+  /** One track spec for the encoder. `codec` is the sample-entry
+    * fourcc written into the track's stsd box. */
+  case class TrackSpec(track_id: Long, w: Long, h: Long, frames: Long,
+                       codec: String = "avc1")
 
   private[operators] def buildMp4(timescale: Long, duration: Long,
                                   tracks: Seq[TrackSpec], corrupt: Int): Array[Byte] = {
@@ -107,7 +110,18 @@ object Video {
         be32(c, 1L) // entry_count
         be32(c, t.frames); be32(c, 40L) // sample_count, sample_delta
       })
-      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf", box("stbl", stts))))
+      val stsd = box("stsd", fullBoxContent { c =>
+        be32(c, 1L) // entry_count
+        // one sample entry: a box whose type IS the codec fourcc; body =
+        // 6 reserved bytes + data_reference_index (the SampleEntry base)
+        val entry = {
+          val e = new ByteArrayOutputStream()
+          e.write(new Array[Byte](6)); e.write(0); e.write(1)
+          box(t.codec, e.toByteArray)
+        }
+        c.write(entry)
+      })
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf", box("stbl", stsd ++ stts))))
     }
     val moov = box("moov", mvhd ++ traks.flatten.toArray)
     val whole = ftyp ++ moov
@@ -131,8 +145,10 @@ object Video {
         col("tracks"), col("corrupt").cast("int"))
       .rdd.mapPartitions { rows =>
         rows.map { r =>
-          val tracks = r.getSeq[Row](3).map(t => TrackSpec(
-            t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
+          val tracks = r.getSeq[Row](3).map { t =>
+            val codec = if (t.length > 4 && !t.isNullAt(4)) t.getString(4) else "avc1"
+            TrackSpec(t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), codec)
+          }
           Row(r.getLong(0), buildMp4(r.getLong(1), r.getLong(2), tracks, r.getInt(4)))
         }
       }
@@ -152,6 +168,13 @@ object Video {
 
   private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
+  /** Real ISO-BMFF trees nest < 10 deep; a corrupt/adversarial payload
+    * declaring containers all the way down (8 bytes per level) would
+    * otherwise recurse ~128k frames per MB and StackOverflowError past
+    * the quarantine contract (an Error, not an Exception — parseOne's
+    * catch never sees it). */
+  private val MaxDepth = 32
+
   private final class ParseState {
     var brand: String = null
     var timescale: Long = -1L
@@ -160,10 +183,13 @@ object Video {
     var frames: Long = 0L
     var maxW: Long = 0L
     var maxH: Long = 0L
+    val codecs = scala.collection.mutable.TreeSet.empty[String]
   }
 
   /** Walk boxes in b[start, end); throws Malformed on framing errors. */
-  private def walk(b: Array[Byte], start: Int, end: Int, st: ParseState): Unit = {
+  private def walk(b: Array[Byte], start: Int, end: Int, st: ParseState,
+                   depth: Int = 0): Unit = {
+    if (depth > MaxDepth) throw new Malformed("nesting-too-deep")
     var pos = start
     while (pos < end) {
       if (pos + 8 > end) throw new Malformed("truncated-box")
@@ -182,7 +208,7 @@ object Video {
       val bodyStart = pos + header
       val bodyEnd = (pos + size).toInt
       tpe match {
-        case t if Containers.contains(t) => walk(b, bodyStart, bodyEnd, st)
+        case t if Containers.contains(t) => walk(b, bodyStart, bodyEnd, st, depth + 1)
         case "ftyp" =>
           if (bodyEnd - bodyStart < 4) throw new Malformed("truncated-box")
           st.brand = new String(b, bodyStart, 4, "US-ASCII")
@@ -195,6 +221,21 @@ object Video {
           st.nTracks += 1
           st.maxW = math.max(st.maxW, rdBe32(b, bodyStart + 76) >> 16)
           st.maxH = math.max(st.maxH, rdBe32(b, bodyStart + 80) >> 16)
+        case "stsd" =>
+          // sample descriptions: entry_count, then each entry is a BOX
+          // whose type is the codec fourcc (framing rules apply)
+          if (bodyEnd - bodyStart < 8) throw new Malformed("truncated-box")
+          val nEntries = rdBe32(b, bodyStart + 4)
+          var p = bodyStart + 8
+          var e = 0L
+          while (e < nEntries) {
+            if (p + 8 > bodyEnd) throw new Malformed("truncated-box")
+            val esz = rdBe32(b, p)
+            if (esz < 8 || p + esz > bodyEnd) throw new Malformed("bad-box-size")
+            st.codecs += new String(b, p + 4, 4, "US-ASCII")
+            p += esz.toInt
+            e += 1
+          }
         case "stts" =>
           if (bodyEnd - bodyStart < 8) throw new Malformed("truncated-box")
           val entries = rdBe32(b, bodyStart + 4)
@@ -214,12 +255,13 @@ object Video {
       if (st.brand == null || st.timescale <= 0) throw new Malformed("missing-required-box")
       Row(id, st.brand, st.timescale, st.duration,
         st.duration * 1000L / st.timescale,
-        st.nTracks, st.frames, st.maxW, st.maxH, 1L, null)
+        st.nTracks, st.frames, st.maxW, st.maxH,
+        st.codecs.mkString(","), 1L, null)
     } catch {
       case m: Malformed =>
-        Row(id, null, null, null, null, null, null, null, null, 0L, m.reason)
+        Row(id, null, null, null, null, null, null, null, null, null, 0L, m.reason)
       case _: IndexOutOfBoundsException =>
-        Row(id, null, null, null, null, null, null, null, null, 0L, "truncated-box")
+        Row(id, null, null, null, null, null, null, null, null, null, 0L, "truncated-box")
     }
 
   /** Parse container metadata from `(idCol, payloadCol)` rows: brand,

@@ -4108,7 +4108,9 @@ object LlmQueries {
         (k + 1L).as("track_id"),
         (lit(320L) + lit(16L) * ((id + k) % 20)).as("w"),
         (lit(240L) + lit(8L) * ((id + k) % 15)).as("h"),
-        ((id % 29) + lit(10L) * (k + 1L)).as("frames"))).as("tracks"),
+        ((id % 29) + lit(10L) * (k + 1L)).as("frames"),
+        element_at(array(lit("avc1"), lit("hev1"), lit("mp4a"), lit("vp09")),
+          (((id + k) % 4) + 1).cast("int")).as("codec"))).as("tracks"),
       when(id % 13 === 5, 1).when(id % 13 === 9, 2).otherwise(0).as("corrupt"))
   }
 
@@ -4119,11 +4121,13 @@ object LlmQueries {
       |  FROM documents),
       |tr AS (SELECT doc_id, 320 + 16 * ((doc_id + k) % 20) AS w,
       |    240 + 8 * ((doc_id + k) % 15) AS h,
-      |    (doc_id % 29) + 10 * (k + 1) AS fr
+      |    (doc_id % 29) + 10 * (k + 1) AS fr,
+      |    ['avc1', 'hev1', 'mp4a', 'vp09'][CAST((doc_id + k) % 4 AS INT) + 1] AS codec
       |  FROM s, unnest(generate_series(0, doc_id % 3)) AS t(k)),
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tracks,
       |    CAST(sum(fr) AS BIGINT) AS n_frames,
-      |    CAST(max(w) AS BIGINT) AS max_width, CAST(max(h) AS BIGINT) AS max_height
+      |    CAST(max(w) AS BIGINT) AS max_width, CAST(max(h) AS BIGINT) AS max_height,
+      |    string_agg(DISTINCT codec, ',' ORDER BY codec) AS codecs
       |  FROM tr GROUP BY 1)""".stripMargin
 
   val qVideoMetaSql: String =
@@ -4137,6 +4141,7 @@ object LlmQueries {
        |  CASE WHEN corrupt = 0 THEN a.n_frames END AS n_frames,
        |  CASE WHEN corrupt = 0 THEN a.max_width END AS max_width,
        |  CASE WHEN corrupt = 0 THEN a.max_height END AS max_height,
+       |  CASE WHEN corrupt = 0 THEN a.codecs END AS codecs,
        |  CAST(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
        |  CASE WHEN corrupt = 1 THEN 'truncated-box'
        |       WHEN corrupt = 2 THEN 'bad-box-size' END AS reason

@@ -116,6 +116,17 @@ object Warc {
     * garbage, unterminated headers, bad or missing Content-Length,
     * truncated payloads) emit quarantine rows carrying the offending
     * bytes; parsing resumes at the next `WARC/` magic. */
+  /** Accumulation bounds for PATHOLOGICAL inputs, so the one-record
+    * memory high-water mark holds on any byte stream, not just
+    * well-formed archives: a magic-free region quarantines as
+    * bounded garbage SLICES (one row per GapSliceBytes — far beyond
+    * any legal record separator run, so only genuine garbage is ever
+    * sliced), and a header with no CRLFCRLF terminator quarantines
+    * once the search passes MaxHeaderBytes, its raw bytes truncated
+    * to the cap (real WARC headers are < 1 KiB). */
+  private val GapSliceBytes: Int = 4 << 20
+  private val MaxHeaderBytes: Int = 1 << 20
+
   def recordIterator(in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var buf = new Array[Byte](65536)
     private var len = 0
@@ -159,6 +170,11 @@ object Warc {
         // the magic is gap — consume it and read more
         val keep = math.min(len, Magic.length - 1)
         if (len > keep) { gap.write(buf, 0, len - keep); consume(len - keep) }
+        if (gap.size >= GapSliceBytes) {
+          // bounded-slice quarantine: never buffer a whole magic-free
+          // archive (CRLF-only content this long is garbage too)
+          val r = bad(idx, "garbage", gap.toByteArray); idx += 1; return r
+        }
         if (!fill()) {
           if (len > 0) { gap.write(buf, 0, len); consume(len) }
           val g = gap.toByteArray
@@ -174,9 +190,14 @@ object Warc {
     /** Parse the record whose magic sits at buffer position 0. */
     private def parseAtMagic(): WarcRecord = {
       var eoh = Warc.indexOf(buf, len, Eoh, 0)
-      while (eoh < 0 && fill()) eoh = Warc.indexOf(buf, len, Eoh, 0)
+      while (eoh < 0 && len <= MaxHeaderBytes && fill())
+        eoh = Warc.indexOf(buf, len, Eoh, 0)
       if (eoh < 0) {
-        val r = bad(idx, "unterminated-header", java.util.Arrays.copyOf(buf, len))
+        // either the stream ended mid-header or the "header" outgrew
+        // any real one — quarantine with the raw bytes truncated to
+        // the cap and resync from whatever follows
+        val r = bad(idx, "unterminated-header",
+          java.util.Arrays.copyOf(buf, math.min(len, MaxHeaderBytes)))
         idx += 1; consume(len)
         return r
       }

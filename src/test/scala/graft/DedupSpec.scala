@@ -129,6 +129,22 @@ class DedupSpec extends SparkSpec {
     assert(out(101L) === ((4L, 0L, 0.0, 0L)))
   }
 
+  test("contaminationScore: oversized benchmark fails fast with the Bloom redirect") {
+    import spark.implicits._
+    val train = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bench = Seq((1L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.contaminationScore(train, bench, maxBenchShingles = 1L).collect()
+    }
+    assert(ex.getMessage.contains("bloomDecontaminate"))
+    // cap disabled: same result as default
+    val a = Dedup.contaminationScore(train, bench, maxBenchShingles = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Dedup.contaminationScore(train, bench)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("releaseCaches frees every tracked intermediate, once") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g")
     // drain anything earlier suites in this shared session left behind

@@ -78,6 +78,47 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("stsd sample descriptions surface as sorted distinct codec fourccs") {
+    val id = col("doc_id")
+    val withCodecs = Seq(7L).toDF("doc_id").select(id,
+      lit(1000L).as("timescale"), lit(48000L).as("duration"),
+      array(
+        struct(lit(1L).as("track_id"), lit(640L).as("w"), lit(360L).as("h"),
+          lit(120L).as("frames"), lit("vp09").as("codec")),
+        struct(lit(2L).as("track_id"), lit(1280L).as("w"), lit(720L).as("h"),
+          lit(240L).as("frames"), lit("avc1").as("codec")),
+        struct(lit(3L).as("track_id"), lit(320L).as("w"), lit(240L).as("h"),
+          lit(60L).as("frames"), lit("avc1").as("codec"))).as("tracks"),
+      lit(0).as("corrupt"))
+    val r = Video.parseMp4(Video.encodeMp4(withCodecs), "doc_id", "payload")
+      .collect()(0)
+    assert(r.getAs[Long]("ok") === 1L)
+    assert(r.getAs[String]("codecs") === "avc1,vp09", "sorted, distinct")
+    // 4-field track structs (no codec) still encode — default avc1
+    val legacy = Video.parseMp4(Video.encodeMp4(specFrame()), "doc_id", "payload")
+      .collect()(0)
+    assert(legacy.getAs[String]("codecs") === "avc1")
+  }
+
+  test("container-nesting bomb quarantines instead of StackOverflowError") {
+    // 'moov' containers all the way down: 8 bytes per level, each
+    // declaring the rest of the buffer as its body — legal framing at
+    // every level, unbounded recursion without the depth cap
+    val levels = 100000
+    val out = new java.io.ByteArrayOutputStream()
+    for (l <- 0 until levels) {
+      val remaining = (levels - l) * 8
+      out.write((remaining >> 24) & 0xff); out.write((remaining >> 16) & 0xff)
+      out.write((remaining >> 8) & 0xff); out.write(remaining & 0xff)
+      out.write("moov".getBytes("US-ASCII"))
+    }
+    val got = Video.parseMp4(
+      Seq((7L, out.toByteArray)).toDF("doc_id", "payload"),
+      "doc_id", "payload").collect()(0)
+    assert(got.getAs[Long]("ok") === 0L)
+    assert(got.getAs[String]("reason") === "nesting-too-deep")
+  }
+
   test("truncated stts entry table quarantines") {
     val payload = Video.encodeMp4(specFrame()).collect()(0).getAs[Array[Byte]](1)
     // find the first stts and inflate its entry_count past the body

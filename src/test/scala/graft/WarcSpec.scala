@@ -82,6 +82,26 @@ class WarcSpec extends SparkSpec {
       .contains("WARC/1.0"))
   }
 
+  test("pathological inputs stay bounded: magic-free garbage slices, capped header") {
+    // a 9 MiB magic-free stream quarantines as multiple bounded slices
+    // (never one whole-archive buffer)
+    val big = Array.fill[Byte](9 << 20)('x'.toByte)
+    val slices = Warc.parseAll(big)
+    assert(slices.size >= 2, s"expected bounded slices, got ${slices.size}")
+    assert(slices.forall(_.__malformed))
+    assert(slices.forall(_.reason === "garbage"))
+    assert(slices.forall(_.payload.length <= (4 << 20) + 65536),
+      "each slice bounded near GapSliceBytes")
+    assert(slices.map(_.payload.length.toLong).sum === (9L << 20), "no byte lost")
+    // a "header" with no CRLFCRLF terminator quarantines with its raw
+    // bytes truncated to the cap instead of buffering the whole stream
+    val headerBomb = ("WARC/1.0\r\nX: " + "y" * ((2 << 20))).getBytes(StandardCharsets.US_ASCII)
+    val out = Warc.parseAll(headerBomb)
+    assert(out.exists(r => r.__malformed && r.reason === "unterminated-header"))
+    val uh = out.find(_.reason === "unterminated-header").get
+    assert(uh.payload.length <= (1 << 20), s"raw truncated to cap, got ${uh.payload.length}")
+  }
+
   test("records() frame: per-key rows, deterministic across layouts") {
     val rows = (0L until 40L).map { i =>
       val good = rec("response", s"http://k/$i", s"p$i" * (i % 3 + 1).toInt)
