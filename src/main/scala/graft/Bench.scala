@@ -86,9 +86,13 @@ object Bench {
     "q_video_frames" -> 0.22, "q_mix_e2e" -> 0.43,
     "q_domain_prior" -> 1.77, "q_lang_id_cjk" -> 0.44,
     "q_rag_e2e" -> 1.73, "q_classifier_train" -> 2.12,
-    "q_decontam_overlap" -> 0.71, "q_embed_drift" -> 0.36,
-    "q_interleave" -> 0.63, "q_dedup_ngram_cjk" -> 1.14,
-    "q_hll_overlap" -> 1.60, "q_bitext_mine" -> 1.14)
+    "q_decontam_overlap" -> 0.71, "q_embed_drift" -> 0.31,
+    "q_interleave" -> 0.38, "q_dedup_ngram_cjk" -> 1.11,
+    "q_hll_overlap" -> 1.60, "q_bitext_mine" -> 1.10,
+    // r15 additions (quiet-host min-of-3, q_cv companion 0.23)
+    "q_bm25_topk_cjk" -> 1.61, "q_unigram_logprob_cjk" -> 0.90,
+    "q_vocab_topk_cjk" -> 0.42, "q_bpe_train_dist" -> 1.84,
+    "q_bitext_mine_ivf" -> 1.74, "q_chunk_sentence" -> 0.97)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
