@@ -684,6 +684,22 @@ object Dedup {
     * are absent from the report — nothing to measure, the
     * [[decontaminate]] convention; n_shingles >= 1 on every emitted
     * row, so the fraction's denominator is never zero. */
+  /** Guard for the FORCED benchmark broadcast: one bounded limit+count
+    * job over the small side; fails with a clear redirect instead of an
+    * executor OOM inside the broadcast build. Streaming twins call this
+    * ONCE at setup (the benchmark is static) and disable the per-batch
+    * check. */
+  def requireBroadcastableBenchmark(benchmark: DataFrame,
+                                    maxBenchShingles: Long): Unit = {
+    val cap = math.min(maxBenchShingles, Int.MaxValue - 8L)
+    val probed = withShingles(benchmark, Seq.empty)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+      .limit((cap + 1).toInt).count()
+    require(probed <= cap,
+      s"benchmark suite exceeds $cap distinct shingles — too large to " +
+        "broadcast; use bloomDecontaminate (the constant-memory sibling)")
+  }
+
   def contaminationScore(train: DataFrame, benchmark: DataFrame,
                          maxBenchShingles: Long = 10000000L): DataFrame = {
     val trainSh = withShingles(train, Seq.empty)
@@ -691,17 +707,9 @@ object Dedup {
     val benchSet = withShingles(benchmark, Seq.empty)
       .select(explode(col("shingles")).as("shingle")).distinct()
       .withColumn("__hit", lit(1L))
-    // guard the FORCED broadcast: a suite past the cap fails here with
-    // a clear redirect instead of an executor OOM inside the broadcast
-    // build (one bounded limit+count job over the small side;
-    // maxBenchShingles <= 0 disables for callers that know their suite)
-    if (maxBenchShingles > 0) {
-      val cap = math.min(maxBenchShingles, Int.MaxValue - 8L)
-      val probed = benchSet.limit((cap + 1).toInt).count()
-      require(probed <= cap,
-        s"contaminationScore: benchmark suite exceeds $cap distinct shingles — " +
-          "too large to broadcast; use bloomDecontaminate (the constant-memory sibling)")
-    }
+    // maxBenchShingles <= 0 disables (callers that validated offline)
+    if (maxBenchShingles > 0)
+      requireBroadcastableBenchmark(benchmark, maxBenchShingles)
     trainSh.join(broadcast(benchSet), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -216,7 +216,8 @@ object Streams {
     * Parity pinned in StreamingSpec. */
   def bm25ScoreStream(queries: DataFrame,
                       index: graft.operators.TextAnalysis.Bm25Index, k: Int,
-                      maxQueriesPerBatch: Int = 10000)(
+                      maxQueriesPerBatch: Int = 10000,
+                      scripted: Boolean = false)(
       writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(queries.isStreaming,
       "bm25ScoreStream is streaming-only: use TextAnalysis.bm25Score for batch frames")
@@ -228,7 +229,8 @@ object Streams {
           "query rows; queries are requests, not corpus — check the stream routing")
       val qs = rows.map(r => r.getString(0) -> r.getString(1)).toSeq
       if (qs.nonEmpty)
-        writeBatch(graft.operators.TextAnalysis.bm25Score(index, qs, k), batchId)
+        writeBatch(graft.operators.TextAnalysis.bm25Score(index, qs, k,
+          scripted = scripted), batchId)
     }
   }
 
@@ -290,6 +292,19 @@ object Streams {
     }
   }
 
+  /** Streaming twin of sentence-boundary chunking (operators/
+    * TextAnalysis.chunkDocsBySentence): chunks depend only on the
+    * document's own sentences — stateless per doc, batch boundaries
+    * invisible. Parity pinned in StreamingSpec. */
+  def sentenceChunkStream(docs: DataFrame, maxTokens: Int)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "sentenceChunkStream is streaming-only: use TextAnalysis.chunkDocsBySentence for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.chunkDocsBySentence(batch, maxTokens), batchId)
+    }
+  }
+
   /** Streaming twin of the graded contamination score (operators/
     * Dedup.contaminationScore): the benchmark frame is STATIC (suites
     * change rarely; load it offline, the Bloom-stream convention), so
@@ -297,12 +312,18 @@ object Streams {
     * batch operator — per-doc fractions depend only on the doc and
     * the benchmark, batch boundaries invisible. Parity pinned in
     * StreamingSpec. */
-  def contaminationScoreStream(docs: DataFrame, benchmark: DataFrame)(
+  def contaminationScoreStream(docs: DataFrame, benchmark: DataFrame,
+                               maxBenchShingles: Long = 10000000L)(
       writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(docs.isStreaming,
       "contaminationScoreStream is streaming-only: use Dedup.contaminationScore for batch frames")
+    // the broadcast-size guard runs ONCE here at stream setup (the
+    // benchmark is static) — never per micro-batch
+    if (maxBenchShingles > 0)
+      graft.operators.Dedup.requireBroadcastableBenchmark(benchmark, maxBenchShingles)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      writeBatch(graft.operators.Dedup.contaminationScore(batch, benchmark), batchId)
+      writeBatch(graft.operators.Dedup.contaminationScore(batch, benchmark,
+        maxBenchShingles = 0L), batchId)
     }
   }
 

@@ -402,6 +402,44 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("sentenceChunkStream chunks batches exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "Dr. Smith met Mrs. Jones. They argued! Really?? The end"),
+      (2L, "See Fig. 3 e.g. the chart. Next sentence."),
+      (3L, "No terminator at all"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.sentenceChunkStream(input.toDF().toDF("doc_id", "text"), 6) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis
+      .chunkDocsBySentence(docs.toDF("doc_id", "text"), 6)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
+  test("contaminationScoreStream guard fires once at setup for oversized suites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "zzz alpha beta gamma delta qqq")).toDF("doc_id", "text")
+      .localCheckpoint()
+    val input = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.contaminationScoreStream(
+        input.toDF().toDF("doc_id", "text"), bench, maxBenchShingles = 1L) {
+        (_, _) => ()
+      }
+    }
+    assert(ex.getMessage.contains("bloomDecontaminate"))
+  }
+
   test("contaminationScoreStream scores batches against the static benchmark like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
