@@ -94,6 +94,8 @@ object SparkEntry {
     "q_ann_lsh" -> (L.qAnnLsh _),
     "q_ann_ivf" -> (L.qAnnIvf _),
     "q_kmeans_assign" -> (L.qKmeansAssign _),
+    "q_cluster_silhouette" -> (L.qClusterSilhouette _),
+    "q_embed_quant" -> (L.qEmbedQuant _),
     "q_text_repetition" -> (L.qTextRepetition _),
     "q_dedup_embed" -> (L.qDedupEmbed _),
     "q_lang_id" -> (L.qLangId _),
@@ -299,6 +301,8 @@ object SparkEntry {
     "q_ann_lsh" -> L.qAnnLshSql,
     "q_ann_ivf" -> L.qAnnIvfSql,
     "q_kmeans_assign" -> L.qKmeansAssignSql,
+    "q_cluster_silhouette" -> L.qClusterSilhouetteSql,
+    "q_embed_quant" -> L.qEmbedQuantSql,
     "q_text_repetition" -> L.qTextRepetitionSql,
     "q_dedup_embed" -> L.qDedupEmbedSql,
     "q_lang_id" -> L.qLangIdSql,

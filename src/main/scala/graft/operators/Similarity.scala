@@ -377,6 +377,75 @@ object Similarity {
           1L).otherwise(0L).as("pass"))
   }
 
+  /** Symmetric int8 embedding quantization — the vector-STORAGE path
+    * (serving indexes ship int8 codes + one float scale per vector:
+    * 4x smaller, SIMD-dot-friendly). Per vector: scale = max|x|/127,
+    * code_i = clamp(round(x_i/scale), ±127), all in double (float →
+    * double is exact, and both engines run the identical IEEE
+    * divide/floor on identical operands). The reconstruction-error
+    * census is the FloatVecQuantSumAgg idiom: each element's
+    * |x - code·scale| quantizes to a fixed-point LONG and sums as
+    * integers — order-free, engine-exact, no float accumulation
+    * anywhere. Zero vectors emit all-zero codes with scale 0 (guarded
+    * division). Zero-shuffle narrow projection. */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(e, x => abs(x)))
+    val out = vectors
+      .withColumn("__e", e)
+      .withColumn("__scale", amax / lit(127.0))
+      .withColumn("__codes",
+        transform(col("__e"), x =>
+          when(col("__scale") > 0,
+            greatest(lit(-127L), least(lit(127L),
+              floor(x / col("__scale") + lit(0.5)).cast("long"))))
+            .otherwise(lit(0L))))
+    out.select(col("vec_id"),
+      Portable.roundp(col("__scale"), 9).as("scale"),
+      aggregate(col("__codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+      aggregate(col("__codes"), lit(0L), (acc, c) => acc + abs(c)).as("code_l1"),
+      aggregate(
+        zip_with(col("__e"), col("__codes"), (x, c) =>
+          floor(abs(x - c.cast("double") * col("__scale")) * lit(16777216.0)
+            + lit(0.5)).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("err_fp"))
+  }
+
+  /** Simplified (centroid-based) silhouette over a trained coarse
+    * codebook — the cluster-QA report run after kmeans training (is
+    * the codebook separating the corpus, or are vectors equidistant
+    * to two centroids?): per vector, cosine DISTANCE to its own
+    * centroid (a = 1 - cos₁) vs the nearest OTHER centroid
+    * (b = 1 - cos₂), silhouette = (b - a)/max(a, b) ∈ [-1, 1]. The
+    * classic silhouette needs pairwise distances (quadratic); the
+    * centroid form is the one that scales — k codegen cosine probes
+    * per row, zero shuffle, zero row inflation (the ivfAssign
+    * machinery with the per-centroid cosines kept). cos₂ is the
+    * second-largest VALUE (tie-insensitive: equal top cosines give
+    * silhouette 0 on any tiebreak). One terminal guarded division. */
+  def clusterSilhouette(vectors: DataFrame,
+                        centroids: Seq[Array[Float]]): DataFrame = {
+    require(centroids.size >= 2, "clusterSilhouette: need >= 2 centroids")
+    val cosCols = centroids.zipWithIndex.map { case (c, i) =>
+      s"__sil_cos_$i" -> Portable.roundp(
+        VectorOps.floatCosine(col("embedding"), lit(c)), 6)
+    }
+    val a = lit(1.0) - col("__c1")
+    val b = lit(1.0) - col("__c2")
+    vectors.withColumns(cosCols.toMap)
+      .withColumn("__arr", array(cosCols.map(c => col(c._1)): _*))
+      .withColumn("bucket", coalesce(
+        (array_position(col("__arr"), array_max(col("__arr"))) - 1).cast("int"),
+        lit(0)))
+      .withColumn("__sorted", sort_array(col("__arr"), asc = false))
+      .withColumn("__c1", element_at(col("__sorted"), 1))
+      .withColumn("__c2", element_at(col("__sorted"), 2))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("__c1").as("cos_own"), col("__c2").as("cos_next"),
+        when(greatest(a, b) > 0,
+          Portable.roundp((b - a) / greatest(a, b), 6)).as("silhouette"))
+  }
+
   // ---- k-means codebook training (the IVF centroids' missing half) ----
 
   /** Portable 6-digit rounding in driver-side Scala — the same

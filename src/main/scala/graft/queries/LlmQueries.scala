@@ -1286,6 +1286,71 @@ object LlmQueries {
        |FROM a$KmeansIters WHERE rn = 1""".stripMargin
   }
 
+  /** Simplified silhouette over the q_kmeans_assign codebook — the
+    * cluster-QA report (Similarity.clusterSilhouette): per vector,
+    * own-centroid vs nearest-other-centroid cosine distance. Extends
+    * the Lloyd's trajectory oracle with the rn=1/rn=2 rows of the
+    * FINAL assignment (the q_dedup_semantic chain-extension
+    * precedent): cosines live on the shared 1e-6 grid, so the
+    * distance algebra and the one guarded division replay exactly. */
+  def qClusterSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+    val cents = Similarity.kmeansFit(v, k = KmeansK, iters = KmeansIters)
+    Similarity.clusterSilhouette(v, cents)
+  }
+
+  val qClusterSilhouetteSql: String = {
+    val seed = "('0x' || substr(md5('km' || ':' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    val rounds = (0 until KmeansIters)
+      .map(i => s"${kmeansAssignCte(i)},\n${kmeansUpdateCte(i)}").mkString(",\n")
+    val K = KmeansIters
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seed, vec_id) - 1 AS INTEGER) AS cid, e AS ce
+       |  FROM v
+       |  QUALIFY row_number() OVER (ORDER BY $seed, vec_id) <= $KmeansK),
+       |$rounds,
+       |${kmeansAssignCte(K)},
+       |rk AS (SELECT vec_id, cid AS bucket, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |  FROM s$K),
+       |fin AS (SELECT vec_id, bucket, ccos AS c1 FROM rk WHERE rn = 1),
+       |sec AS (SELECT vec_id, ccos AS c2 FROM rk WHERE rn = 2)
+       |SELECT f.vec_id, CAST(f.bucket AS BIGINT) AS bucket,
+       |  f.c1 AS cos_own, s.c2 AS cos_next,
+       |  CASE WHEN greatest(1 - f.c1, 1 - s.c2) > 0 THEN
+       |    floor(((1 - s.c2) - (1 - f.c1)) / greatest(1 - f.c1, 1 - s.c2) * 1e6 + 0.5) / 1e6
+       |  END AS silhouette
+       |FROM fin f JOIN sec s ON f.vec_id = s.vec_id""".stripMargin
+  }
+
+  /** Int8 embedding quantization inside the gate
+    * (Similarity.quantizeInt8 — the vector-storage path): scale,
+    * integer code censuses, and the fixed-point reconstruction-error
+    * sum all replay in DuckDB with identical IEEE ops; any clamp,
+    * rounding, or zero-guard bug bends an integer and fails the
+    * hash. */
+  def qEmbedQuant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables(spark, dir).embeddings)
+
+  val qEmbedQuantSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+       |  FROM v),
+       |c AS (SELECT vec_id, e, scale,
+       |    list_transform(e, x -> CASE WHEN scale > 0
+       |      THEN greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))
+       |      ELSE 0 END) AS codes
+       |  FROM s)
+       |SELECT vec_id,
+       |  floor(scale * 1e9 + 0.5) / 1e9 AS scale,
+       |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+       |  CAST(list_sum(list_transform(generate_series(1, len(e)),
+       |    i -> CAST(floor(abs(e[i] - codes[i] * scale) * 16777216.0 + 0.5) AS BIGINT))) AS BIGINT) AS err_fp
+       |FROM c""".stripMargin
+
   // ---- SemDedup: k-means-blocked semantic dedup ----
 
   val SemDedupThreshold = 0.3

@@ -11,6 +11,35 @@ class PqSpec extends SparkSpec {
     spark.read.parquet(s"$dir/embeddings.parquet")
   }
 
+  test("quantizeInt8: hand-computed codes, clamp, zero-vector guard, exact error") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0f)),  // scale = 1/127
+      (2L, Array(0f, 0f, 0f, 0f)))          // zero vector
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // scale = 1/127; codes = round(x * 127) = [127, -63, 32, 0]
+    // (-0.5/scale = -63.5 -> floor(-63.5 + 0.5) = -63; 0.25 -> 31.75 -> 32)
+    assert(r1.getAs[Long]("code_sum") === (127L - 63L + 32L + 0L))
+    assert(r1.getAs[Long]("code_l1") === (127L + 63L + 32L))
+    assert(r1.getAs[Double]("scale") === math.floor(1.0 / 127 * 1e9 + 0.5) / 1e9)
+    // reconstruction error: exact fixed-point replay of the operator's
+    // own arithmetic
+    val scale = 1.0 / 127
+    val codes = Seq(127L, -63L, 32L, 0L)
+    val xs = Seq(1.0, -0.5, 0.25, 0.0)
+    val expectedErr = xs.zip(codes).map { case (x, c) =>
+      math.floor(math.abs(x - c * scale) * 16777216.0 + 0.5).toLong }.sum
+    assert(r1.getAs[Long]("err_fp") === expectedErr)
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("scale") === 0.0)
+    assert(r2.getAs[Long]("code_sum") === 0L)
+    assert(r2.getAs[Long]("code_l1") === 0L)
+    assert(r2.getAs[Long]("err_fp") === 0L)
+  }
+
   test("codes bounded, pq_code has m parts, deterministic across layouts") {
     val cb = Similarity.pqCodebook(emb, 16, 32)
     assert(cb.size === 16 && cb.head.size === 32 && cb.head.head.length === 4)

@@ -40,6 +40,32 @@ class SemanticDedupSpec extends SparkSpec {
     assert(r === Map(10L -> 1L, 11L -> 1L)) // blocking sacrifices recall by design
   }
 
+  test("clusterSilhouette: separated clusters score high, boundary vectors near 0") {
+    import org.apache.spark.sql.functions.col
+    // two orthogonal centroids; vectors on-axis are perfectly clustered,
+    // the diagonal vector is equidistant to both
+    val cents = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),     // on centroid 0
+      (2L, Array(0.95f, 0.05f, 0f, 0f)), // near centroid 0
+      (3L, Array(1f, 1f, 0f, 0f)))     // exactly between
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterSilhouette(vecs, cents).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("bucket") === 0L)
+    assert(out(1L).getAs[Double]("silhouette") === 1.0,
+      "exact centroid hit: a = 0, b > 0 -> silhouette 1")
+    assert(out(2L).getAs[Double]("silhouette") > 0.8)
+    // the diagonal vector: cos to both centroids equal -> a = b -> 0
+    assert(out(3L).getAs[Double]("silhouette") === 0.0)
+    // deterministic across layouts
+    val a = Similarity.clusterSilhouette(vecs.repartition(5), cents)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.clusterSilhouette(vecs.coalesce(1), cents)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("threshold 1.0-adjacent keeps everything distinct") {
     val vecs = Seq(
       (1L, Array(1.0f, 0f, 0f)),
