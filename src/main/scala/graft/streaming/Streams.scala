@@ -305,6 +305,33 @@ object Streams {
     }
   }
 
+  /** Streaming twin of int8 embedding quantization (operators/
+    * Similarity.quantizeInt8): stateless per vector — the storage
+    * codec applied at ingest time. Parity pinned in StreamingSpec. */
+  def embedQuantStream(vectors: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(vectors.isStreaming,
+      "embedQuantStream is streaming-only: use Similarity.quantizeInt8 for batch frames")
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Similarity.quantizeInt8(batch), batchId)
+    }
+  }
+
+  /** Streaming twin of the centroid silhouette (operators/
+    * Similarity.clusterSilhouette): the codebook is a STATIC trained
+    * model (kmeansFit offline — the loaded-codebook convention);
+    * scoring is k scalar probes per row. Parity pinned in
+    * StreamingSpec. */
+  def clusterSilhouetteStream(vectors: DataFrame,
+                              centroids: Seq[Array[Float]])(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(vectors.isStreaming,
+      "clusterSilhouetteStream is streaming-only: use Similarity.clusterSilhouette for batch frames")
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Similarity.clusterSilhouette(batch, centroids), batchId)
+    }
+  }
+
   /** Streaming twin of the graded contamination score (operators/
     * Dedup.contaminationScore): the benchmark frame is STATIC (suites
     * change rarely; load it offline, the Bloom-stream convention), so

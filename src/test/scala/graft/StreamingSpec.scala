@@ -402,6 +402,38 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("embedQuantStream and clusterSilhouetteStream replay batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0.4f, -0.8f, 0.2f, 0f)),
+      (3L, Array(0f, 1.0f, 0f, 0f)))
+    val cents = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val input = MemoryStream[(Long, Array[Float])]
+    input.addData(vecs.take(2): _*)
+    val accQ = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val accS = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val q1 = Streams.embedQuantStream(df) {
+      (out, _) => accQ.synchronized { accQ ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    val q2 = Streams.clusterSilhouetteStream(df, cents) {
+      (out, _) => accS.synchronized { accS ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData(vecs.drop(2): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    assert(accQ.map(_.toString).sorted.toSeq ===
+      graft.operators.Similarity.quantizeInt8(batchDf)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(accS.map(_.toString).sorted.toSeq ===
+      graft.operators.Similarity.clusterSilhouette(batchDf, cents)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("sentenceChunkStream chunks batches exactly like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
