@@ -129,6 +129,8 @@ object SparkEntry {
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
     "q_url_filter" -> (L.qUrlFilter _),
+    "q_robots_rules" -> (L.qRobotsRules _),
+    "q_robots_verdict" -> (L.qRobotsVerdict _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
     "q_domain_prior" -> (L.qDomainPrior _),
@@ -327,6 +329,8 @@ object SparkEntry {
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
+    "q_robots_rules" -> L.qRobotsRulesSql,
+    "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_domain_rank" -> L.qDomainRankSql,
     "q_domain_prior" -> L.qDomainPriorSql,
     "q_url_canon" -> L.qUrlCanonSql,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and crawl-permission verdicts — the politeness
+  * half of crawl curation (the [[TextAnalysis.urlFilter]] sibling: the
+  * blocklist says what WE refuse; robots says what the HOST refuses).
+  * A 100 TB crawl pipeline stores each host's robots.txt next to its
+  * pages and filters fetch frontiers through it.
+  *
+  * Semantics implemented (the REP subset that is deterministic and
+  * engine-replayable — documented contract):
+  *  - line-oriented: `key: value`, `#` comments stripped, keys
+  *    case-insensitive, surrounding whitespace trimmed;
+  *  - GROUPS: a maximal run of consecutive `User-agent` lines forms a
+  *    header; the allow/disallow/crawl-delay rules that follow (until
+  *    the next header run) belong to EVERY agent in that header;
+  *  - `Sitemap` is group-independent (host-level), per the spec;
+  *  - rule matching is LITERAL PATH PREFIX (no `*`/`$` wildcards —
+  *    the pre-REP-2019 core; wildcard support is a documented
+  *    non-goal), empty-path rules are no-ops per the spec;
+  *  - verdict per (host, path): the most specific (LONGEST) matching
+  *    rule of the effective group wins; on a length tie Allow wins;
+  *    no matching rule (or no rules at all) means allowed — all
+  *    Google/REP longest-match semantics;
+  *  - effective group: the requested agent's group if the host has
+  *    one, else the `*` group.
+  *
+  * Scale shape: parsing is explode + ONE host-keyed window pass
+  * (running header-run id); verdicts are a host-keyed equi-join of
+  * the frontier against the rules frame plus a WindowGroupLimit rank
+  * — rules frames are host-bounded (robots files are tiny), so the
+  * join co-partitions on host and nothing is ever quadratic. The
+  * rules frame is a WRITABLE model (the train/apply doctrine): parse
+  * once per crawl snapshot, verdict per batch — the streaming twin is
+  * a static-model foreachBatch replay. */
+object Robots {
+
+  /** Parse (host, body) robots.txt documents into a long rule frame:
+    * (host, agent, rule, value, line_no) where rule is one of
+    * allow | disallow | crawl-delay | sitemap. Sitemap rows carry
+    * agent '*' always (host-level). Unknown keys and empty-path
+    * allow/disallow rules drop (spec no-ops). */
+  def parseRules(robots: DataFrame, hostCol: String = "host",
+                 bodyCol: String = "body"): DataFrame = {
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no").cast("long").as("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .where(length(col("line")) > 0 && col("line").contains(":"))
+      .select(col("host"), col("line_no"),
+        lower(trim(substring_index(col("line"), ":", 1))).as("key"),
+        // value = everything after the FIRST colon (sitemap URLs
+        // contain colons of their own)
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("value"))
+    val known = lines.where(col("key").isin("user-agent", "allow",
+      "disallow", "crawl-delay", "sitemap"))
+    val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
+    // a header RUN starts at a user-agent line whose previous known
+    // line is not user-agent; rules attach to the run's group id
+    val grouped = known
+      .withColumn("__is_ua", (col("key") === "user-agent").cast("int"))
+      .withColumn("__run_start",
+        when(col("__is_ua") === 1 &&
+          coalesce(lag(col("__is_ua"), 1).over(w), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("group_id",
+        sum(col("__run_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val agents = grouped.where(col("key") === "user-agent")
+      .select(col("host"), col("group_id"),
+        lower(col("value")).as("agent"))
+    val rules = grouped
+      .where(col("key").isin("allow", "disallow", "crawl-delay"))
+      // empty-path allow/disallow are spec no-ops; crawl-delay keeps
+      // its numeric value
+      .where(col("key") === "crawl-delay" || length(col("value")) > 0)
+      .select(col("host"), col("group_id"), col("key").as("rule"),
+        col("value"), col("line_no"))
+    val grouping = rules.join(agents, Seq("host", "group_id"))
+      .select(col("host"), col("agent"), col("rule"), col("value"),
+        col("line_no"))
+    val sitemaps = grouped.where(col("key") === "sitemap")
+      .select(col("host"), lit("*").as("agent"), lit("sitemap").as("rule"),
+        col("value"), col("line_no"))
+    grouping.unionByName(sitemaps)
+  }
+
+  /** Crawl verdicts for a (host, url_path) frontier against a parsed
+    * rules frame: longest-match over the effective agent group.
+    * Output: (host, url_path, allowed 0/1, matched_rule, matched_path)
+    * — matched_* NULL when no rule applies. */
+  def crawlVerdict(urls: DataFrame, rules: DataFrame,
+                   agent: String): DataFrame = {
+    val ad = rules.where(col("rule").isin("allow", "disallow"))
+      .select(col("host"), col("agent"), col("rule"),
+        col("value").as("path"))
+    // effective group: the agent's own group when the host has one,
+    // else '*' — decided per host from the rules frame itself
+    val hasAgent = ad.where(col("agent") === lower(lit(agent)))
+      .select(col("host")).distinct().withColumn("__own", lit(1))
+    val eff = ad.join(hasAgent, Seq("host"), "left")
+      .where((col("__own").isNotNull && col("agent") === lower(lit(agent))) ||
+        (col("__own").isNull && col("agent") === "*"))
+      .select(col("host"), col("rule"), col("path"))
+    // every URL keeps >= 1 row (a host whose rules all miss — or that
+    // has no rules — must still emit an allowed verdict): rank with
+    // MATCHING rows first, longest path next, allow before disallow on
+    // a length tie, path as the final determinism tiebreak
+    val joined = urls.join(eff, Seq("host"), "left")
+      .withColumn("__m",
+        col("path").isNotNull && col("url_path").startsWith(col("path")))
+    val w = Window.partitionBy(col("host"), col("url_path"))
+      .orderBy(col("__m").desc, length(col("path")).desc,
+        col("rule").asc, col("path").asc)
+    joined
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("host"), col("url_path"),
+        when(!col("__m") || col("rule") === "allow", 1L)
+          .otherwise(0L).as("allowed"),
+        when(col("__m"), col("rule")).as("matched_rule"),
+        when(col("__m"), col("path")).as("matched_path"))
+  }
+}

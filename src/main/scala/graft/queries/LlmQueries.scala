@@ -1065,6 +1065,110 @@ object LlmQueries {
        |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
        |  FROM s JOIN t USING (bucket))""".stripMargin)
 
+  // ---- robots.txt crawl politeness (operators/Robots) ----
+
+  private val RobotsNumHosts = 40L
+
+  /** The robots fixture: one synthesized robots.txt per host (three
+    * closed-form variants in doc_id % 3), exercising comment strip,
+    * multi-agent header runs, group fallback, crawl-delay, sitemap
+    * colon-values, and longest-match allow-over-disallow. */
+  private def robotsBase(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.where(col("doc_id") < RobotsNumHosts)
+      .select(col("doc_id").as("i"),
+        concat(lit("h"), col("doc_id").cast("string"), lit(".example.com"))
+          .as("host"),
+        (col("doc_id") % 3).as("v"),
+        (col("doc_id") % 5).cast("string").as("k"))
+
+  private def robotsBodies(base: DataFrame): DataFrame = {
+    val host = col("host"); val k = col("k"); val v = col("v")
+    val body = when(v === 0, concat(
+        lit("# crawl policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: "),
+        (col("i") % 7).cast("string"),
+        lit("\nSitemap: https://"), host, lit("/sitemap.xml")))
+      .when(v === 1, concat(
+        lit("User-agent: *\nDisallow: /\nUser-agent: graftbot\nUser-agent: altbot\nDisallow: /g"),
+        k, lit("\nAllow: /g"), k, lit("/pub\nCrawl-delay: 2")))
+      .otherwise(lit("User-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /all"))
+    base.select(host, body.as("body"))
+  }
+
+  /** Robots parser inside the gate: the long rule frame (group
+    * attribution, multi-agent headers, crawl-delay, sitemap) against a
+    * CLOSED-FORM expected-rows oracle — the q_url_canon doctrine: the
+    * oracle never parses a byte, so any group-boundary, comment, or
+    * value-split bug bends a row and fails the hash. */
+  def qRobotsRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Robots.parseRules(
+      robotsBodies(robotsBase(spark, dir)))
+
+  val qRobotsRulesSql: String =
+    s"""WITH h AS (SELECT doc_id AS i,
+       |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
+       |  FROM documents WHERE doc_id < $RobotsNumHosts),
+       |r AS (
+       |  SELECT host, '*' AS agent, 'disallow' AS rule, '/private' AS value, 2 AS line_no FROM h WHERE v = 0
+       |  UNION ALL SELECT host, '*', 'allow', '/private/ok', 3 FROM h WHERE v = 0
+       |  UNION ALL SELECT host, '*', 'crawl-delay', CAST(i % 7 AS VARCHAR), 4 FROM h WHERE v = 0
+       |  UNION ALL SELECT host, '*', 'sitemap', 'https://' || host || '/sitemap.xml', 5 FROM h WHERE v = 0
+       |  UNION ALL SELECT host, '*', 'disallow', '/', 1 FROM h WHERE v = 1
+       |  UNION ALL SELECT host, t.a, 'disallow', '/g' || k, 4 FROM h, unnest(['graftbot', 'altbot']) t(a) WHERE v = 1
+       |  UNION ALL SELECT host, t.a, 'allow', '/g' || k || '/pub', 5 FROM h, unnest(['graftbot', 'altbot']) t(a) WHERE v = 1
+       |  UNION ALL SELECT host, t.a, 'crawl-delay', '2', 6 FROM h, unnest(['graftbot', 'altbot']) t(a) WHERE v = 1
+       |  UNION ALL SELECT host, 'graftbot', 'allow', '/', 1 FROM h WHERE v = 2
+       |  UNION ALL SELECT host, '*', 'disallow', '/all', 3 FROM h WHERE v = 2)
+       |SELECT host, agent, rule, value, CAST(line_no AS BIGINT) AS line_no
+       |FROM r""".stripMargin
+
+  /** Crawl verdicts inside the gate: a per-host URL frontier judged
+    * for agent `graftbot` with longest-match semantics — own group
+    * when present, `*` fallback otherwise, allow wins length ties, no
+    * match means allowed. Oracle = closed-form expected verdicts per
+    * (variant, path); the parser and the rank machinery both sit
+    * under the hash. */
+  def qRobotsVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val base = robotsBase(spark, dir)
+    val k = col("k")
+    val urls = base.select(col("host"), explode(array(
+        lit("/private/x"), lit("/private/okay"),
+        concat(lit("/g"), k, lit("/a")),
+        concat(lit("/g"), k, lit("/pub/b")),
+        lit("/all/page"), lit("/other"))).as("url_path"))
+    graft.operators.Robots.crawlVerdict(urls,
+      graft.operators.Robots.parseRules(robotsBodies(base)), "graftbot")
+  }
+
+  val qRobotsVerdictSql: String =
+    s"""WITH h AS (SELECT doc_id AS i,
+       |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
+       |  FROM documents WHERE doc_id < $RobotsNumHosts),
+       |p AS (SELECT i, host, v, k,
+       |    unnest(['/private/x', '/private/okay', '/g' || k || '/a',
+       |      '/g' || k || '/pub/b', '/all/page', '/other']) AS url_path
+       |  FROM h)
+       |SELECT host, url_path,
+       |  CAST(CASE
+       |    WHEN v = 2 THEN 1
+       |    WHEN v = 0 AND url_path = '/private/x' THEN 0
+       |    WHEN v = 1 AND url_path = '/g' || k || '/a' THEN 0
+       |    ELSE 1 END AS BIGINT) AS allowed,
+       |  CASE WHEN v = 2 THEN 'allow'
+       |       WHEN v = 0 AND url_path = '/private/x' THEN 'disallow'
+       |       WHEN v = 0 AND url_path = '/private/okay' THEN 'allow'
+       |       WHEN v = 1 AND url_path = '/g' || k || '/a' THEN 'disallow'
+       |       WHEN v = 1 AND url_path = '/g' || k || '/pub/b' THEN 'allow'
+       |  END AS matched_rule,
+       |  CASE WHEN v = 2 THEN '/'
+       |       WHEN v = 0 AND url_path = '/private/x' THEN '/private'
+       |       WHEN v = 0 AND url_path = '/private/okay' THEN '/private/ok'
+       |       WHEN v = 1 AND url_path = '/g' || k || '/a' THEN '/g' || k
+       |       WHEN v = 1 AND url_path = '/g' || k || '/pub/b' THEN '/g' || k || '/pub'
+       |  END AS matched_path
+       |FROM p""".stripMargin
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's

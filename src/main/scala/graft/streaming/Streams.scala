@@ -305,6 +305,22 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the robots crawl verdict (operators/
+    * Robots.crawlVerdict): the rules frame is a STATIC parsed model
+    * (Robots.parseRules over the crawl snapshot's robots files —
+    * refreshed on the crawl cadence, not per batch); each frontier
+    * micro-batch gets its verdicts from the identical batch operator.
+    * Parity pinned in StreamingSpec. */
+  def crawlVerdictStream(urls: DataFrame, rules: DataFrame, agent: String)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(urls.isStreaming,
+      "crawlVerdictStream is streaming-only: use Robots.crawlVerdict for batch frames")
+    require(!rules.isStreaming, "the rules frame must be a static parsed model")
+    urls.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Robots.crawlVerdict(batch, rules, agent), batchId)
+    }
+  }
+
   /** Streaming twin of int8 embedding quantization (operators/
     * Similarity.quantizeInt8): stateless per vector — the storage
     * codec applied at ingest time. Parity pinned in StreamingSpec. */

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Robots
+
+/** robots.txt parsing + longest-match verdicts (operators/Robots):
+  * group attribution, fallback, tie-breaks, and the edges the gated
+  * fixture doesn't reach (rule-less hosts, unknown keys, case
+  * insensitivity, empty-path no-ops). Cross-engine value parity is
+  * q_robots_rules / q_robots_verdict's oracle rows. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def robots(rows: (String, String)*) = rows.toDF("host", "body")
+  private def urls(rows: (String, String)*) = rows.toDF("host", "url_path")
+
+  test("groups: multi-agent headers share rules; keys case-insensitive; unknown keys drop") {
+    val r = Robots.parseRules(robots(
+      ("a.com",
+        "# hi\nUSER-AGENT: GraftBot\nUser-Agent: other\n" +
+          "DISALLOW: /x\nNoIndex: /y\nAllow: /x/ok\nHost: a.com")))
+      .collect().map(x => (x.getString(1), x.getString(2), x.getString(3))).toSet
+    // both agents get both rules; NoIndex/Host (unknown) dropped;
+    // agent values lowercased
+    assert(r === Set(
+      ("graftbot", "disallow", "/x"), ("other", "disallow", "/x"),
+      ("graftbot", "allow", "/x/ok"), ("other", "allow", "/x/ok")))
+  }
+
+  test("empty-path allow/disallow are spec no-ops; crawl-delay and sitemap survive") {
+    val r = Robots.parseRules(robots(
+      ("b.com", "User-agent: *\nDisallow:\nAllow:\nCrawl-delay: 5\nSitemap: https://b.com/s.xml")))
+      .collect().map(x => (x.getString(1), x.getString(2), x.getString(3))).toSet
+    assert(r === Set(("*", "crawl-delay", "5"),
+      ("*", "sitemap", "https://b.com/s.xml")))
+  }
+
+  test("verdicts: rule-less host allowed, no-match allowed, tie goes to allow") {
+    val rules = Robots.parseRules(robots(
+      // same-length allow and disallow matching the same path: allow wins
+      ("tie.com", "User-agent: *\nDisallow: /abc\nAllow: /abd"),
+      ("blocked.com", "User-agent: *\nDisallow: /")))
+    val v = Robots.crawlVerdict(urls(
+        ("tie.com", "/abdxyz"), ("tie.com", "/abcxyz"), ("tie.com", "/zzz"),
+        ("blocked.com", "/anything"), ("norules.com", "/free")),
+      rules, "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(v(("tie.com", "/abdxyz")) === ((1L, Some("allow"), Some("/abd"))))
+    assert(v(("tie.com", "/abcxyz")) === ((0L, Some("disallow"), Some("/abc"))))
+    assert(v(("tie.com", "/zzz")) === ((1L, None, None)), "no match -> allowed")
+    assert(v(("blocked.com", "/anything")) === ((0L, Some("disallow"), Some("/"))))
+    assert(v(("norules.com", "/free")) === ((1L, None, None)), "no rules -> allowed")
+  }
+
+  test("own group beats * even when * is more permissive; fallback when absent") {
+    val rules = Robots.parseRules(robots(
+      ("own.com", "User-agent: *\nAllow: /\nUser-agent: graftbot\nDisallow: /"),
+      ("fall.com", "User-agent: *\nDisallow: /priv")))
+    val v = Robots.crawlVerdict(urls(
+        ("own.com", "/page"), ("fall.com", "/priv/x"), ("fall.com", "/pub")),
+      rules, "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v(("own.com", "/page")) === 0L,
+      "the agent's own group applies exclusively")
+    assert(v(("fall.com", "/priv/x")) === 0L && v(("fall.com", "/pub")) === 1L)
+  }
+
+  test("deterministic across partition layouts") {
+    val body = "User-agent: *\nDisallow: /a\nAllow: /a/b\nUser-agent: graftbot\nDisallow: /c"
+    val rb = robots(("x.com", body), ("y.com", body))
+    val us = urls(("x.com", "/a/bq"), ("x.com", "/cq"), ("y.com", "/a/x"))
+    val a = Robots.crawlVerdict(us.repartition(5),
+        Robots.parseRules(rb.repartition(3)), "graftbot")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Robots.crawlVerdict(us.coalesce(1),
+        Robots.parseRules(rb.coalesce(1)), "graftbot")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}

@@ -402,6 +402,31 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("crawlVerdictStream judges frontier batches against the static rules like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rules = graft.operators.Robots.parseRules(
+      Seq(("a.com", "User-agent: *\nDisallow: /priv\nAllow: /priv/ok"))
+        .toDF("host", "body")).localCheckpoint()
+    val frontier = Seq(("a.com", "/priv/x"), ("a.com", "/priv/okay"),
+      ("a.com", "/pub"), ("new.com", "/any"))
+    val input = MemoryStream[(String, String)]
+    input.addData(frontier.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.crawlVerdictStream(
+        input.toDF().toDF("host", "url_path"), rules, "graftbot") {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(frontier.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Robots.crawlVerdict(
+        frontier.toDF("host", "url_path"), rules, "graftbot")
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("embedQuantStream and clusterSilhouetteStream replay batch exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
