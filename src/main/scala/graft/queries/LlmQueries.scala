@@ -1067,14 +1067,14 @@ object LlmQueries {
 
   // ---- robots.txt crawl politeness (operators/Robots) ----
 
-  private val RobotsNumHosts = 40L
-
-  /** The robots fixture: one synthesized robots.txt per host (three
-    * closed-form variants in doc_id % 3), exercising comment strip,
-    * multi-agent header runs, group fallback, crawl-delay, sitemap
-    * colon-values, and longest-match allow-over-disallow. */
+  /** The robots fixture: ONE synthesized robots.txt per host, one
+    * host per document (hosts scale with the corpus — the production
+    * ratio; three closed-form variants in doc_id % 3), exercising
+    * comment strip, multi-agent header runs, group fallback,
+    * crawl-delay, sitemap colon-values, and longest-match
+    * allow-over-disallow. */
   private def robotsBase(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents.where(col("doc_id") < RobotsNumHosts)
+    Tables(spark, dir).documents
       .select(col("doc_id").as("i"),
         concat(lit("h"), col("doc_id").cast("string"), lit(".example.com"))
           .as("host"),
@@ -1107,7 +1107,7 @@ object LlmQueries {
     s"""WITH h AS (SELECT doc_id AS i,
        |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
        |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
-       |  FROM documents WHERE doc_id < $RobotsNumHosts),
+       |  FROM documents),
        |r AS (
        |  SELECT host, '*' AS agent, 'disallow' AS rule, '/private' AS value, 2 AS line_no FROM h WHERE v = 0
        |  UNION ALL SELECT host, '*', 'allow', '/private/ok', 3 FROM h WHERE v = 0
@@ -1144,7 +1144,7 @@ object LlmQueries {
     s"""WITH h AS (SELECT doc_id AS i,
        |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
        |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
-       |  FROM documents WHERE doc_id < $RobotsNumHosts),
+       |  FROM documents),
        |p AS (SELECT i, host, v, k,
        |    unnest(['/private/x', '/private/okay', '/g' || k || '/a',
        |      '/g' || k || '/pub/b', '/all/page', '/other']) AS url_path
