@@ -82,6 +82,8 @@ object SparkEntry {
     "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
     "q_dedup_keep" -> (L.qDedupKeep _),
     "q_sample_split" -> (L.qSampleSplit _),
+    "q_split_domain" -> (L.qSplitDomain _),
+    "q_split_leakage" -> (L.qSplitLeakage _),
     "q_stratified_sample" -> (L.qStratifiedSample _),
     "q_stratum_topn" -> (L.qStratumTopn _),
     "q_decontaminate" -> (L.qDecontaminate _),
@@ -293,6 +295,8 @@ object SparkEntry {
     "q_dedup_clusters_star" -> L.qDedupClustersStarSql,
     "q_dedup_keep" -> L.qDedupKeepSql,
     "q_sample_split" -> L.qSampleSplitSql,
+    "q_split_domain" -> L.qSplitDomainSql,
+    "q_split_leakage" -> L.qSplitLeakageSql,
     "q_stratified_sample" -> L.qStratifiedSampleSql,
     "q_stratum_topn" -> L.qStratumTopnSql,
     "q_decontaminate" -> L.qDecontaminateSql,

@@ -684,6 +684,36 @@ object Dedup {
     * are absent from the report — nothing to measure, the
     * [[decontaminate]] convention; n_shingles >= 1 on every emitted
     * row, so the fraction's denominator is never zero. */
+  /** Near-dup SPLIT-LEAKAGE census — the eval-hygiene audit: how many
+    * near-duplicate pairs straddle a train/val boundary under each
+    * candidate split assignment? A row-hash split leaks every
+    * near-dup family with members on both sides (the classic
+    * benchmark-contamination vector); a group-disjoint split
+    * ([[Sampling.groupDisjointSplit]]) provably cannot leak pairs
+    * blocked inside the group. `splits` carries doc_id plus one
+    * 'train'/'val' column per candidate mode; output is one
+    * (mode, n_pairs, n_leak) row per mode from ONE pass over the
+    * pair frame (the modes ride as conditional sums on a single
+    * aggregate — the pair chain is never re-executed per mode). */
+  def pairSplitLeakage(pairs: DataFrame, splits: DataFrame,
+                       modeCols: Seq[String]): DataFrame = {
+    require(modeCols.nonEmpty, "pairSplitLeakage: need >= 1 mode column")
+    val a = splits.select(col("doc_id").as("id_a") +:
+      modeCols.map(m => col(m).as(s"__a_$m")): _*)
+    val b = splits.select(col("doc_id").as("id_b") +:
+      modeCols.map(m => col(m).as(s"__b_$m")): _*)
+    val one = pairs.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .agg(count(lit(1)).as("__n"),
+        modeCols.map(m =>
+          sum(when(col(s"__a_$m") =!= col(s"__b_$m"), 1L).otherwise(0L))
+            .as(s"__l_$m")): _*)
+    one.select(explode(array(modeCols.map(m =>
+        struct(lit(m).as("mode"), col("__n").as("n_pairs"),
+          col(s"__l_$m").as("n_leak"))): _*)).as("r"))
+      .select(col("r.mode"), col("r.n_pairs"), col("r.n_leak"))
+  }
+
   /** Guard for the FORCED benchmark broadcast: one bounded limit+count
     * job over the small side; fails with a clear redirect instead of an
     * executor OOM inside the broadcast build. Streaming twins call this

@@ -16,6 +16,23 @@ import graft.functions.Portable
   */
 object Sampling {
 
+  /** Leakage-safe corpus split: hash the GROUP (domain / host / site),
+    * not the row — every document of a group lands on the SAME side,
+    * so near-duplicate pages of one site can never straddle
+    * train/val (the eval-contamination vector a row-hash split leaves
+    * open; [[graft.operators.Dedup.pairSplitLeakage]] is the audit
+    * that measures it). Same md5-threshold idiom as sampleSplit —
+    * deterministic, replay-stable, zero shuffle. */
+  def groupDisjointSplit(df: DataFrame, groupCol: String,
+                         trainPct: Int = 90,
+                         salt: String = "gsplit"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, "trainPct out of range")
+    df.withColumn("split",
+      when(graft.functions.Portable.h60(
+        concat_ws(":", lit(salt), col(groupCol))) % 100 < trainPct,
+        "train").otherwise("val"))
+  }
+
   /** Per-million threshold of a sampling fraction, computed ONCE on the
     * driver so Spark and any generated SQL share the same literal long
     * (no cross-engine float→int edge: DuckDB CAST rounds, Spark

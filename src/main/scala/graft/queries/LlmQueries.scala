@@ -529,6 +529,59 @@ object LlmQueries {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents""".stripMargin
 
+  /** Leakage-safe split inside the gate
+    * (Sampling.groupDisjointSplit): documents split by their origin
+    * HOST's hash — every page of a site lands on one side. */
+  def qSplitDomain(spark: SparkSession, dir: String): DataFrame =
+    Sampling.groupDisjointSplit(
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          concat(col("source"), lit(".example.org")).as("host")),
+      "host")
+
+  val qSplitDomainSql: String =
+    """SELECT doc_id, source || '.example.org' AS host,
+      |  CASE WHEN (('0x' || substr(md5('gsplit' || ':' || source || '.example.org'), 1, 15))::BIGINT) % 100 < 90
+      |       THEN 'train' ELSE 'val' END AS split
+      |FROM documents""".stripMargin
+
+  /** Near-dup split-leakage census inside the gate
+    * (Dedup.pairSplitLeakage over the q_dedup_ngram pair frame): the
+    * row-hash split leaks whatever near-dup families straddle it; the
+    * domain-disjoint split leaks ZERO pairs BY CONSTRUCTION here —
+    * the jaccard census blocks candidates inside source, and the
+    * domain split assigns whole sources — which the oracle replays as
+    * a hard integer (any blocking or split bug breaks the zero). */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", Config.JaccardThreshold)
+    val host = concat(col("source"), lit(".example.org"))
+    val splits = docs.select(col("doc_id"),
+      when(Portable.h60(concat_ws(":", lit("split"), col("doc_id"))) % 100 < 90,
+        "train").otherwise("val").as("m_row"),
+      when(Portable.h60(concat_ws(":", lit("gsplit"), host)) % 100 < 90,
+        "train").otherwise("val").as("m_domain"))
+    Dedup.pairSplitLeakage(pairs, splits, Seq("m_row", "m_domain"))
+  }
+
+  lazy val qSplitLeakageSql: String =
+    s"""WITH pr AS (SELECT id_a, id_b FROM ($qDedupNgramSql)),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN (('0x' || substr(md5('split' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 90
+       |         THEN 'train' ELSE 'val' END AS m_row,
+       |    CASE WHEN (('0x' || substr(md5('gsplit' || ':' || source || '.example.org'), 1, 15))::BIGINT) % 100 < 90
+       |         THEN 'train' ELSE 'val' END AS m_domain
+       |  FROM documents),
+       |j AS (SELECT a.m_row AS ar, a.m_domain AS ad, b.m_row AS br, b.m_domain AS bd
+       |  FROM pr p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE ar <> br) AS BIGINT) AS lr,
+       |    CAST(count(*) FILTER (WHERE ad <> bd) AS BIGINT) AS ld
+       |  FROM j)
+       |SELECT 'm_row' AS mode, n AS n_pairs, lr AS n_leak FROM g
+       |UNION ALL
+       |SELECT 'm_domain', n, ld FROM g""".stripMargin
+
   // ---- #47/#48 stratified data mixing ----
 
   /** The per-language mixing rates of the stratified-sample query — the

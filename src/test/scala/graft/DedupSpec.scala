@@ -145,6 +145,38 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pairSplitLeakage: row splits leak near-dup pairs, group splits cannot") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
+    // two sites, each with an internal near-dup pair
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (10L, "s2", "one two three four five six"),
+      (11L, "s2", "one two three four five seven"))
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", 0.3)
+    // a hand-forced row split that separates 1 from 2; the group split
+    // keys on source so pairs can never straddle
+    val splits = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "train").otherwise("val").as("m_row"),
+      when(graft.functions.Portable.h60(
+        concat_ws(":", lit("gsplit"), col("source"))) % 100 < 90, "train")
+        .otherwise("val").as("m_domain"))
+    val out = Dedup.pairSplitLeakage(pairs, splits, Seq("m_row", "m_domain"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("m_row")._1 === 2L, "both near-dup pairs found")
+    assert(out("m_row")._2 === 2L, "the alternating row split leaks both")
+    assert(out("m_domain") === ((2L, 0L)),
+      "group-disjoint split cannot leak source-blocked pairs")
+    // groupDisjointSplit: every group wholly on one side
+    val g = Sampling.groupDisjointSplit(docs, "source").collect()
+      .groupBy(_.getString(1)).map { case (src, rows) =>
+        src -> rows.map(_.getAs[String]("split")).distinct.length }
+    assert(g.values.forall(_ === 1), "each source entirely on one side")
+  }
+
   test("releaseCaches frees every tracked intermediate, once") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g")
     // drain anything earlier suites in this shared session left behind
