@@ -95,7 +95,8 @@ object Bench {
     "q_bitext_mine_ivf" -> 1.74, "q_chunk_sentence" -> 0.97,
     "q_cluster_silhouette" -> 1.02, "q_embed_quant" -> 0.34,
     "q_robots_rules" -> 0.87, "q_robots_verdict" -> 1.29,
-    "q_split_domain" -> 0.19, "q_split_leakage" -> 1.56)
+    "q_split_domain" -> 0.19, "q_split_leakage" -> 1.56,
+    "q_crawl_schedule" -> 1.97)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_url_filter" -> (L.qUrlFilter _),
     "q_robots_rules" -> (L.qRobotsRules _),
     "q_robots_verdict" -> (L.qRobotsVerdict _),
+    "q_crawl_schedule" -> (L.qCrawlSchedule _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
     "q_domain_prior" -> (L.qDomainPrior _),
@@ -335,6 +336,7 @@ object SparkEntry {
     "q_url_filter" -> L.qUrlFilterSql,
     "q_robots_rules" -> L.qRobotsRulesSql,
     "q_robots_verdict" -> L.qRobotsVerdictSql,
+    "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_domain_rank" -> L.qDomainRankSql,
     "q_domain_prior" -> L.qDomainPriorSql,
     "q_url_canon" -> L.qUrlCanonSql,

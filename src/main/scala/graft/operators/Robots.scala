@@ -124,4 +124,43 @@ object Robots {
         when(col("__m"), col("rule")).as("matched_rule"),
         when(col("__m"), col("path")).as("matched_path"))
   }
+
+  /** Politeness scheduling — the actionable stage after the verdict:
+    * assign every ALLOWED frontier URL a per-host fetch slot honoring
+    * the host's crawl-delay. Slot order is the deterministic md5 ring
+    * (replay-stable: a retried scheduler emits identical slots), so
+    * `fetch_at_ms = slot_idx · delay_ms` is a complete per-host fetch
+    * timeline. Delay resolution: the requested agent's crawl-delay
+    * rows when the host declares any, else the `*` rows, else
+    * `defaultDelayMs`; multiple declarations take the SMALLEST
+    * (deterministic, and the conservative read); non-numeric values
+    * are ignored. Blocked URLs are absent (fetch nothing you may not
+    * fetch). One host-keyed window over the allowed frontier — rules
+    * frames are host-bounded, nothing quadratic. */
+  def crawlSchedule(urls: DataFrame, rules: DataFrame, agent: String,
+                    defaultDelayMs: Long = 1000L): DataFrame = {
+    val allowed = crawlVerdict(urls, rules, agent)
+      .where(col("allowed") === 1)
+      .select(col("host"), col("url_path"))
+    val cd = rules.where(col("rule") === "crawl-delay")
+      .withColumn("__d", col("value").cast("long"))
+      .where(col("__d").isNotNull)
+    val own = cd.where(col("agent") === lower(lit(agent)))
+      .groupBy(col("host")).agg(min(col("__d")).as("__own"))
+    val star = cd.where(col("agent") === "*")
+      .groupBy(col("host")).agg(min(col("__d")).as("__star"))
+    val w = Window.partitionBy(col("host")).orderBy(
+      graft.functions.Portable.h60(
+        concat_ws(":", lit("sched"), col("host"), col("url_path"))),
+      col("url_path"))
+    allowed
+      .join(own, Seq("host"), "left")
+      .join(star, Seq("host"), "left")
+      .withColumn("delay_ms", coalesce(col("__own") * 1000L,
+        col("__star") * 1000L, lit(defaultDelayMs)))
+      .withColumn("slot_idx", (row_number().over(w) - 1).cast("long"))
+      .select(col("host"), col("url_path"), col("delay_ms"),
+        col("slot_idx"),
+        (col("delay_ms") * col("slot_idx")).as("fetch_at_ms"))
+  }
 }

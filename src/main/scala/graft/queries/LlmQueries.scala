@@ -1222,6 +1222,49 @@ object LlmQueries {
        |  END AS matched_path
        |FROM p""".stripMargin
 
+  /** Politeness scheduling inside the gate (Robots.crawlSchedule):
+    * allowed frontier URLs get per-host fetch slots on the md5 ring,
+    * spaced by the host's resolved crawl-delay (own group → `*` →
+    * default). Oracle = closed-form allowed set + delay per variant
+    * + the h60 ring rank replay — any verdict, delay-resolution, or
+    * ordering bug bends a slot. */
+  def qCrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val base = robotsBase(spark, dir)
+    val k = col("k")
+    val urls = base.select(col("host"), explode(array(
+        lit("/private/x"), lit("/private/okay"),
+        concat(lit("/g"), k, lit("/a")),
+        concat(lit("/g"), k, lit("/pub/b")),
+        lit("/all/page"), lit("/other"))).as("url_path"))
+    graft.operators.Robots.crawlSchedule(urls,
+      graft.operators.Robots.parseRules(robotsBodies(base)), "graftbot")
+  }
+
+  val qCrawlScheduleSql: String =
+    s"""WITH h AS (SELECT doc_id AS i,
+       |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
+       |  FROM documents),
+       |p AS (SELECT i, host, v, k,
+       |    unnest(['/private/x', '/private/okay', '/g' || k || '/a',
+       |      '/g' || k || '/pub/b', '/all/page', '/other']) AS url_path
+       |  FROM h),
+       |al AS (SELECT i, host, v, url_path FROM p
+       |  WHERE NOT ((v = 0 AND url_path = '/private/x')
+       |          OR (v = 1 AND url_path = '/g' || k || '/a'))),
+       |d AS (SELECT host, url_path,
+       |    CAST(CASE WHEN v = 0 THEN (i % 7) * 1000
+       |         WHEN v = 1 THEN 2000 ELSE 1000 END AS BIGINT) AS delay_ms
+       |  FROM al),
+       |r AS (SELECT host, url_path, delay_ms,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY
+       |      ${h60Sql("'sched' || ':' || host || ':' || url_path")}, url_path) - 1
+       |      AS BIGINT) AS slot_idx
+       |  FROM d)
+       |SELECT host, url_path, delay_ms, slot_idx,
+       |  delay_ms * slot_idx AS fetch_at_ms
+       |FROM r""".stripMargin
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's

@@ -66,6 +66,33 @@ class RobotsSpec extends SparkSpec {
     assert(v(("fall.com", "/priv/x")) === 0L && v(("fall.com", "/pub")) === 1L)
   }
 
+  test("crawlSchedule: blocked urls absent, delay resolution, contiguous slots") {
+    val rules = Robots.parseRules(robots(
+      ("a.com", "User-agent: *\nDisallow: /no\nCrawl-delay: 3"),
+      ("b.com", "User-agent: graftbot\nAllow: /\nCrawl-delay: 7\nUser-agent: *\nCrawl-delay: 1"),
+      ("c.com", "User-agent: *\nDisallow: /x")))
+    val frontier = urls(
+      ("a.com", "/p1"), ("a.com", "/p2"), ("a.com", "/no/thing"),
+      ("b.com", "/q1"), ("b.com", "/q2"),
+      ("c.com", "/r1"))
+    val out = Robots.crawlSchedule(frontier, rules, "graftbot").collect()
+    val byHost = out.groupBy(_.getString(0))
+    // blocked path absent
+    assert(!out.exists(_.getString(1) == "/no/thing"))
+    // a.com: * delay 3s; b.com: own group delay 7s beats *'s 1s;
+    // c.com: no crawl-delay -> default 1000
+    assert(byHost("a.com").forall(_.getAs[Long]("delay_ms") === 3000L))
+    assert(byHost("b.com").forall(_.getAs[Long]("delay_ms") === 7000L))
+    assert(byHost("c.com").forall(_.getAs[Long]("delay_ms") === 1000L))
+    // slots contiguous from 0 per host; fetch_at = slot * delay
+    for ((_, rows) <- byHost) {
+      val slots = rows.map(_.getAs[Long]("slot_idx")).sorted.toSeq
+      assert(slots === (0L until rows.length).toSeq)
+      rows.foreach(r => assert(r.getAs[Long]("fetch_at_ms") ===
+        r.getAs[Long]("slot_idx") * r.getAs[Long]("delay_ms")))
+    }
+  }
+
   test("deterministic across partition layouts") {
     val body = "User-agent: *\nDisallow: /a\nAllow: /a/b\nUser-agent: graftbot\nDisallow: /c"
     val rb = robots(("x.com", body), ("y.com", body))
