@@ -96,7 +96,8 @@ object Bench {
     "q_cluster_silhouette" -> 1.02, "q_embed_quant" -> 0.34,
     "q_robots_rules" -> 0.87, "q_robots_verdict" -> 1.29,
     "q_split_domain" -> 0.19, "q_split_leakage" -> 1.56,
-    "q_crawl_schedule" -> 1.97)
+    "q_crawl_schedule" -> 1.97,
+    "q_recency_sample" -> 0.37)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_keep" -> (L.qDedupKeep _),
     "q_sample_split" -> (L.qSampleSplit _),
     "q_split_domain" -> (L.qSplitDomain _),
+    "q_recency_sample" -> (L.qRecencySample _),
     "q_split_leakage" -> (L.qSplitLeakage _),
     "q_stratified_sample" -> (L.qStratifiedSample _),
     "q_stratum_topn" -> (L.qStratumTopn _),
@@ -297,6 +298,7 @@ object SparkEntry {
     "q_dedup_keep" -> L.qDedupKeepSql,
     "q_sample_split" -> L.qSampleSplitSql,
     "q_split_domain" -> L.qSplitDomainSql,
+    "q_recency_sample" -> L.qRecencySampleSql,
     "q_split_leakage" -> L.qSplitLeakageSql,
     "q_stratified_sample" -> L.qStratifiedSampleSql,
     "q_stratum_topn" -> L.qStratumTopnSql,

@@ -16,6 +16,33 @@ import graft.functions.Portable
   */
 object Sampling {
 
+  /** Exponential recency weighting with INTEGER arithmetic — the
+    * fresh-crawl upweighting knob (newer snapshots matter more;
+    * CC-style pipelines downweight stale recrawls): weight halves per
+    * `halfLifeS` of age, computed as a ppm long via a BIT SHIFT
+    * (1e6 >> age_buckets) — never a float pow, which can't hash-gate
+    * (libm parity is ~4 digits; the r13 sqrt-vs-pow lesson). The age
+    * anchor is the corpus max timestamp, riding the plan as a
+    * broadcast 1-row cross join (never a driver count job). `keep` is
+    * the standard md5 ppm coin over the weight — replay-stable
+    * sampling, composing with the mixture-plan ppm scheme. Shift
+    * saturates at 20 (weight 0 past ~20 half-lives). */
+  def recencyWeights(docs: DataFrame, tsCol: String, halfLifeS: Long,
+                     salt: String = "rec"): DataFrame = {
+    require(halfLifeS > 0, "recencyWeights: halfLifeS must be positive")
+    val anchor = broadcast(docs.agg(max(col(tsCol)).as("__anchor")))
+    docs.crossJoin(anchor)
+      .withColumn("age_buckets",
+        least(expr(s"(__anchor - $tsCol) div ${halfLifeS}L"), lit(20L)))
+      .withColumn("weight_ppm",
+        expr("1000000L div shiftleft(1L, cast(age_buckets as int))"))
+      .withColumn("keep",
+        (graft.functions.Portable.h60(
+          concat_ws(":", lit(salt), col("doc_id"))) % 1000000L <
+          col("weight_ppm")).cast("long"))
+      .drop("__anchor")
+  }
+
   /** Leakage-safe corpus split: hash the GROUP (domain / host / site),
     * not the row — every document of a group lands on the SAME side,
     * so near-duplicate pages of one site can never straddle

@@ -582,6 +582,34 @@ object LlmQueries {
        |UNION ALL
        |SELECT 'm_domain', n, ld FROM g""".stripMargin
 
+  /** Recency-weighted sampling inside the gate
+    * (Sampling.recencyWeights): closed-form crawl timestamps (doc_id
+    * splayed over ~12 half-lives), integer bit-shift weights — the
+    * no-pow exponential — and the md5 ppm keep coin. The anchor is
+    * the corpus max ts via a broadcast 1-row cross join, which the
+    * oracle replays as a scalar CTE. */
+  def qRecencySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (lit(1700000000L) + (col("doc_id") * 37L) % 100000L).as("crawl_ts"))
+    Sampling.recencyWeights(docs, "crawl_ts", halfLifeS = 8192L)
+  }
+
+  val qRecencySampleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT) AS crawl_ts
+       |  FROM documents),
+       |a AS (SELECT CAST(max(crawl_ts) AS BIGINT) AS anchor FROM d),
+       |w AS (SELECT doc_id, crawl_ts,
+       |    least((a.anchor - crawl_ts) // 8192, 20) AS age_buckets
+       |  FROM d, a)
+       |SELECT doc_id, crawl_ts,
+       |  CAST(age_buckets AS BIGINT) AS age_buckets,
+       |  CAST(1000000 // (1 << CAST(age_buckets AS INT)) AS BIGINT) AS weight_ppm,
+       |  CAST(CASE WHEN (${h60Sql("'rec' || ':' || CAST(doc_id AS VARCHAR)")}) % 1000000
+       |       < 1000000 // (1 << CAST(age_buckets AS INT)) THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM w""".stripMargin
+
   // ---- #47/#48 stratified data mixing ----
 
   /** The per-language mixing rates of the stratified-sample query — the

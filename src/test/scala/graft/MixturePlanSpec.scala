@@ -112,4 +112,35 @@ class MixturePlanSpec extends SparkSpec {
       .orderBy("slot").collect().map(r => (r.getString(0), r.getAs[Long]("slot")))
     assert(again.toSeq === ordered.toSeq)
   }
+
+  test("recencyWeights: halving per half-life, saturation, exact keep coin") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    // ages 0, 1, 2, 5, and 25 half-lives (saturates at 20)
+    val docs = Seq(
+      (1L, 1000000L), (2L, 1000000L - 8192L), (3L, 1000000L - 2 * 8192L),
+      (4L, 1000000L - 5 * 8192L), (5L, 1000000L - 25 * 8192L))
+      .toDF("doc_id", "crawl_ts")
+    val out = Sampling.recencyWeights(docs, "crawl_ts", 8192L).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("age_buckets"),
+        r.getAs[Long]("weight_ppm"), r.getAs[Long]("keep")))).toMap
+    assert(out(1L)._1 === 0L && out(1L)._2 === 1000000L && out(1L)._3 === 1L,
+      "zero age keeps everything")
+    assert(out(2L)._2 === 500000L)
+    assert(out(3L)._2 === 250000L)
+    assert(out(4L)._2 === 31250L)
+    assert(out(5L)._1 === 20L && out(5L)._2 === 0L && out(5L)._3 === 0L,
+      "saturated shift drops the doc deterministically")
+    // the coin replays: keep == (h60 % 1e6 < weight)
+    val h = graft.operators.Sampling // just scoping
+    val replay = Sampling.recencyWeights(docs, "crawl_ts", 8192L)
+      .select(col("doc_id"), col("keep"),
+        (graft.functions.Portable.h60(
+          org.apache.spark.sql.functions.concat_ws(":",
+            org.apache.spark.sql.functions.lit("rec"), col("doc_id")))
+          % 1000000L < col("weight_ppm")).cast("long").as("expect"))
+      .collect()
+    replay.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
 }
