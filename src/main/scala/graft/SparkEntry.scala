@@ -99,6 +99,7 @@ object SparkEntry {
     "q_kmeans_assign" -> (L.qKmeansAssign _),
     "q_cluster_silhouette" -> (L.qClusterSilhouette _),
     "q_embed_quant" -> (L.qEmbedQuant _),
+    "q_embed_mrl" -> (L.qEmbedMrl _),
     "q_text_repetition" -> (L.qTextRepetition _),
     "q_dedup_embed" -> (L.qDedupEmbed _),
     "q_lang_id" -> (L.qLangId _),
@@ -312,6 +313,7 @@ object SparkEntry {
     "q_kmeans_assign" -> L.qKmeansAssignSql,
     "q_cluster_silhouette" -> L.qClusterSilhouetteSql,
     "q_embed_quant" -> L.qEmbedQuantSql,
+    "q_embed_mrl" -> L.qEmbedMrlSql,
     "q_text_repetition" -> L.qTextRepetitionSql,
     "q_dedup_embed" -> L.qDedupEmbedSql,
     "q_lang_id" -> L.qLangIdSql,

@@ -411,6 +411,39 @@ object Similarity {
         lit(0L), (acc, v) => acc + v).as("err_fp"))
   }
 
+  /** Matryoshka-style truncation quality (the MRL question: how much
+    * of each vector's energy lives in its first d dims?): per vector
+    * and per prefix length, the cosine between the full vector and
+    * its d-prefix (zero-padded) — which collapses to
+    * sqrt(Σ_{i<d} x_i² / Σ x_i²). Retrieval pipelines use prefix
+    * truncation as the cheap first-pass filter; this census says what
+    * ratio survives per corpus/encoder.
+    *
+    * Exactness: each x_i² quantizes to a fixed-point LONG
+    * (floor(x²·2^24 + 0.5)) and sums as integers (order-free on any
+    * layout), so both engines divide the SAME two integers and take
+    * ONE sqrt — which IEEE defines correctly-rounded (the r13
+    * sqrt-vs-pow rule: sqrt gates, pow never). Zero vectors emit NULL
+    * ratios (guarded division). Zero-shuffle narrow projection. */
+  def truncationQuality(vectors: DataFrame,
+                        prefixes: Seq[Int]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ > 0),
+      "truncationQuality: prefixes must be positive")
+    val e = transform(col("embedding"), x => x.cast("double"))
+    def qsum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, v) =>
+        acc + floor(v * v * lit(16777216.0) + lit(0.5)).cast("long"))
+    val out = vectors
+      .withColumn("__e", e)
+      .withColumn("__qall", qsum(col("__e")))
+    val ratios = prefixes.map { d =>
+      when(col("__qall") > 0, Portable.roundp(
+        sqrt(qsum(slice(col("__e"), 1, d)).cast("double") /
+          col("__qall").cast("double")), 6)).as(s"keep_d$d")
+    }
+    out.select(col("vec_id") +: ratios: _*)
+  }
+
   /** Simplified (centroid-based) silhouette over a trained coarse
     * codebook — the cluster-QA report run after kmeans training (is
     * the codebook separating the corpus, or are vectors equidistant

@@ -1552,6 +1552,36 @@ object LlmQueries {
        |FROM fin f JOIN sec s ON f.vec_id = s.vec_id""".stripMargin
   }
 
+  private val MrlPrefixes = Seq(8, 16, 32)
+
+  /** Matryoshka truncation-quality census inside the gate
+    * (Similarity.truncationQuality): per vector, the energy ratio
+    * surviving prefix truncation at d = 8/16/32 of the 64-dim
+    * embeddings — integer quantized-square sums, one correctly-
+    * rounded sqrt per ratio (the only gateable float transcendental). */
+  def qEmbedMrl(spark: SparkSession, dir: String): DataFrame =
+    Similarity.truncationQuality(Tables(spark, dir).embeddings, MrlPrefixes)
+
+  val qEmbedMrlSql: String = {
+    val q = "CAST(floor(x * x * 16777216.0 + 0.5) AS BIGINT)"
+    val cols = MrlPrefixes.map { d =>
+      s"""CASE WHEN qall > 0 THEN
+         |    floor(sqrt(CAST(q$d AS DOUBLE) / CAST(qall AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |  END AS keep_d$d""".stripMargin
+    }.mkString(",\n  ")
+    val sums = MrlPrefixes.map { d =>
+      s"CAST(list_sum(list_transform(e[1:$d], x -> $q)) AS BIGINT) AS q$d"
+    }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (SELECT vec_id,
+       |    $sums,
+       |    CAST(list_sum(list_transform(e, x -> $q)) AS BIGINT) AS qall
+       |  FROM v)
+       |SELECT vec_id,
+       |  $cols
+       |FROM s""".stripMargin
+  }
+
   /** Int8 embedding quantization inside the gate
     * (Similarity.quantizeInt8 — the vector-storage path): scale,
     * integer code censuses, and the fixed-point reconstruction-error

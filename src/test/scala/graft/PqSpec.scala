@@ -40,6 +40,27 @@ class PqSpec extends SparkSpec {
     assert(r2.getAs[Long]("err_fp") === 0L)
   }
 
+  test("truncationQuality: exact prefix-energy ratios, zero-vector guard") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f, 0f, 0f)),   // all energy in first 2 dims
+      (2L, Array(0f, 0f, 3.0f, 4.0f)),   // none in first 2
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (4L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.truncationQuality(vecs, Seq(2)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) === Some(1.0), "prefix holds all energy")
+    assert(out(2L) === Some(0.0), "prefix holds none")
+    assert(out(3L) === Some(math.floor(math.sqrt(0.5) * 1e6 + 0.5) / 1e6))
+    assert(out(4L) === None, "zero vector -> NULL ratio")
+    // monotone in d: keep_d grows with the prefix
+    val m = Similarity.truncationQuality(vecs.where($"vec_id" === 3L), Seq(1, 2, 3, 4))
+      .collect()(0)
+    val vals = (1 to 4).map(i => m.getDouble(i))
+    assert(vals === vals.sorted && vals.last === 1.0)
+  }
+
   test("codes bounded, pq_code has m parts, deterministic across layouts") {
     val cb = Similarity.pqCodebook(emb, 16, 32)
     assert(cb.size === 16 && cb.head.size === 32 && cb.head.head.length === 4)
