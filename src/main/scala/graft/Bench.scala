@@ -98,7 +98,8 @@ object Bench {
     "q_split_domain" -> 0.19, "q_split_leakage" -> 1.56,
     "q_crawl_schedule" -> 1.97,
     "q_recency_sample" -> 0.37,
-    "q_embed_mrl" -> 0.32)
+    "q_embed_mrl" -> 0.32,
+    "q_chat_validate" -> 0.83)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

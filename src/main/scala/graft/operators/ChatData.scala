@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Portable
+
+/** Chat / SFT-transcript validation — the post-training data leg:
+  * instruction-tuning pipelines ingest JSON conversations and must
+  * reject structurally broken ones (role typos, missing assistant
+  * final, double turns, empty contents) BEFORE tokenization, where a
+  * malformed transcript silently trains the wrong turn boundaries.
+  *
+  * Validation rules (precedence order — the first failing rule names
+  * the reason):
+  *   1. `empty`            — no turns (or unparseable JSON);
+  *   2. `bad-role`         — any role outside system/user/assistant;
+  *   3. `misplaced-system` — a system turn anywhere but position 0;
+  *   4. `empty-content`    — any turn with empty/NULL content;
+  *   5. `bad-structure`    — after dropping one optional leading
+  *      system turn, the body must strictly alternate
+  *      user/assistant, starting with user and ending with
+  *      assistant (an even, positive body length);
+  * otherwise valid. Word counts (whitespace words in user vs
+  * assistant turns; system uncounted) ride along — the prompt/
+  * response mass censuses SFT mixing needs.
+  *
+  * Scale shape: ONE from_json + pure HOF column algebra per row —
+  * zero shuffle, no UDF; the JSON schema is static so Catalyst prunes
+  * into the scan where the source supports it. */
+object ChatData {
+
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType),
+    StructField("content", StringType))))
+
+  private def wordsOf(c: Column): Column =
+    size(filter(Portable.words(coalesce(c, lit(""))), w => length(w) > 0))
+
+  def validateChat(docs: DataFrame, jsonCol: String = "chat",
+                   id: String = "doc_id"): DataFrame = {
+    val turns = from_json(col(jsonCol), turnSchema)
+    val roles = transform(turns, t => t.getField("role"))
+    val n = size(turns)
+    val badRole = exists(roles,
+      r => r.isNull || !r.isin("system", "user", "assistant"))
+    val misplacedSystem = exists(
+      zip_with(roles, sequence(lit(0), n - 1),
+        (r, i) => r === "system" && i > 0),
+      x => x)
+    val emptyContent = exists(turns,
+      t => t.getField("content").isNull || length(t.getField("content")) === 0)
+    val body = when(element_at(roles, 1) === "system",
+      slice(turns, lit(2), greatest(n - 1, lit(0)))).otherwise(turns)
+    val bodyRoles = transform(body, t => t.getField("role"))
+    val alternates = forall(
+      zip_with(bodyRoles, sequence(lit(0), size(body) - 1),
+        (r, i) => r === when(i % 2 === 0, "user").otherwise("assistant")),
+      x => x)
+    val goodStructure = size(body) > 0 && size(body) % 2 === 0 && alternates
+    val reason = when(turns.isNull || n === 0, "empty")
+      .when(badRole, "bad-role")
+      .when(misplacedSystem, "misplaced-system")
+      .when(emptyContent, "empty-content")
+      .when(!goodStructure, "bad-structure")
+    def roleWords(role: String): Column =
+      coalesce(aggregate(turns, lit(0),
+        (acc, t) => acc + when(t.getField("role") === role,
+          wordsOf(t.getField("content"))).otherwise(lit(0))), lit(0))
+        .cast(LongType)
+    docs.select(col(id),
+      coalesce(n, lit(0)).cast(LongType).as("n_turns"),
+      roleWords("user").as("n_user_words"),
+      roleWords("assistant").as("n_asst_words"),
+      when(reason.isNull, 1L).otherwise(0L).as("valid"),
+      reason.as("reason"))
+  }
+}

@@ -1146,6 +1146,44 @@ object LlmQueries {
        |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
        |  FROM s JOIN t USING (bucket))""".stripMargin)
 
+  // ---- chat / SFT transcript validation (operators/ChatData) ----
+
+  /** Chat-format validation inside the gate (ChatData.validateChat):
+    * six closed-form transcript variants (doc_id % 6) — two valid
+    * shapes, a system-led valid shape, and three distinct failure
+    * modes (assistant-first, double-user, empty assistant content).
+    * The JSON is built and PARSED on the Spark side (real from_json
+    * machinery); the oracle emits the expected verdicts closed-form
+    * without touching JSON — the q_url_canon doctrine. */
+  def qChatValidate(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    def u(extra: Column) = concat(lit("{\"role\":\"user\",\"content\":\"ask "), extra, lit("\"}"))
+    def a(extra: Column) = concat(lit("{\"role\":\"assistant\",\"content\":\"ans "), extra, lit(" done\"}"))
+    val aEmpty = lit("{\"role\":\"assistant\",\"content\":\"\"}")
+    val sys = lit("{\"role\":\"system\",\"content\":\"be helpful\"}")
+    val chat = when(i % 6 === 0, concat(lit("["), u(s), lit(","), a(s), lit("]")))
+      .when(i % 6 === 1, concat(lit("["), u(s), lit(","), a(s), lit(","),
+        u(s), lit(","), a(s), lit("]")))
+      .when(i % 6 === 2, concat(lit("["), a(s), lit(","), u(s), lit("]")))
+      .when(i % 6 === 3, concat(lit("["), u(s), lit(","), u(s), lit(","), a(s), lit("]")))
+      .when(i % 6 === 4, concat(lit("["), u(s), lit(","), aEmpty, lit("]")))
+      .otherwise(concat(lit("["), sys, lit(","), u(s), lit(","), a(s), lit("]")))
+    graft.operators.ChatData.validateChat(
+      Tables(spark, dir).documents.select(i, chat.as("chat")))
+  }
+
+  val qChatValidateSql: String =
+    s"""SELECT doc_id,
+       |  CAST(CASE doc_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 2
+       |       WHEN 3 THEN 3 WHEN 4 THEN 2 ELSE 3 END AS BIGINT) AS n_turns,
+       |  CAST(CASE doc_id % 6 WHEN 1 THEN 4 WHEN 3 THEN 4 ELSE 2 END AS BIGINT) AS n_user_words,
+       |  CAST(CASE doc_id % 6 WHEN 1 THEN 6 WHEN 4 THEN 0 ELSE 3 END AS BIGINT) AS n_asst_words,
+       |  CAST(CASE WHEN doc_id % 6 IN (0, 1, 5) THEN 1 ELSE 0 END AS BIGINT) AS valid,
+       |  CASE WHEN doc_id % 6 IN (2, 3) THEN 'bad-structure'
+       |       WHEN doc_id % 6 = 4 THEN 'empty-content' END AS reason
+       |FROM documents""".stripMargin
+
   // ---- robots.txt crawl politeness (operators/Robots) ----
 
   /** The robots fixture: ONE synthesized robots.txt per host, one

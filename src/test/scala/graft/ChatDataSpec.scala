@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.ChatData
+
+/** Chat/SFT transcript validation (operators/ChatData): the rule
+  * precedence and the edges the gated fixture doesn't reach
+  * (unparseable JSON, unknown roles, misplaced system, odd-length
+  * bodies, system-only). Cross-engine value parity is
+  * q_chat_validate's oracle row. */
+class ChatDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: (Long, String)*) =
+    ChatData.validateChat(rows.toDF("doc_id", "chat")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5))))).toMap
+
+  test("rule precedence and edge shapes") {
+    val out = run(
+      (1L, """[{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""),
+      (2L, "not json at all"),
+      (3L, "[]"),
+      (4L, """[{"role":"tool","content":"x"},{"role":"user","content":"y"}]"""),
+      (5L, """[{"role":"user","content":"a"},{"role":"system","content":"late"}]"""),
+      (6L, """[{"role":"user","content":"only user"}]"""),
+      (7L, """[{"role":"system","content":"sys"}]"""),
+      (8L, """[{"role":"user","content":"q"},{"role":"assistant","content":null}]"""))
+    assert(out(1L) === ((2L, 2L, 1L, 1L, None)))
+    assert(out(2L)._5 === Some("empty"), "unparseable JSON quarantines as empty")
+    assert(out(3L) === ((0L, 0L, 0L, 0L, Some("empty"))))
+    assert(out(4L)._5 === Some("bad-role"))
+    assert(out(5L)._5 === Some("misplaced-system"))
+    assert(out(6L)._5 === Some("bad-structure"), "odd body length")
+    assert(out(7L)._5 === Some("bad-structure"), "system-only: empty body")
+    assert(out(8L)._5 === Some("empty-content"), "NULL content")
+  }
+
+  test("system-led transcripts validate; system words uncounted") {
+    val out = run(
+      (1L, """[{"role":"system","content":"be very helpful"},{"role":"user","content":"one two"},{"role":"assistant","content":"three four five"}]"""))
+    assert(out(1L) === ((3L, 2L, 3L, 1L, None)))
+  }
+
+  test("deterministic across partition layouts") {
+    val rows = (0L until 24L).map(i => (i,
+      if (i % 2 == 0) s"""[{"role":"user","content":"q $i"},{"role":"assistant","content":"a $i"}]"""
+      else s"""[{"role":"assistant","content":"x"}]"""))
+    val a = ChatData.validateChat(rows.toDF("doc_id", "chat").repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    val b = ChatData.validateChat(rows.toDF("doc_id", "chat").coalesce(1))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}
