@@ -49,13 +49,16 @@ object Robots {
       .select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("line_no", "raw")))
       .select(col("host"), col("line_no").cast("long").as("line_no"),
-        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+        // CRLF files are the common case: Spark's default trim strips
+        // spaces ONLY, so the \r must go explicitly or every value on
+        // a Windows-lineage robots.txt carries a trailing CR
+        trim(regexp_replace(col("raw"), "#.*$", ""), " \t\r").as("line"))
       .where(length(col("line")) > 0 && col("line").contains(":"))
       .select(col("host"), col("line_no"),
-        lower(trim(substring_index(col("line"), ":", 1))).as("key"),
+        lower(trim(substring_index(col("line"), ":", 1), " \t")).as("key"),
         // value = everything after the FIRST colon (sitemap URLs
         // contain colons of their own)
-        trim(expr("substring(line, instr(line, ':') + 1)")).as("value"))
+        trim(expr("substring(line, instr(line, ':') + 1)"), " \t").as("value"))
     val known = lines.where(col("key").isin("user-agent", "allow",
       "disallow", "crawl-delay", "sitemap"))
     val w = Window.partitionBy(col("host")).orderBy(col("line_no"))

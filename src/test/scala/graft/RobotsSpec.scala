@@ -93,6 +93,18 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("CRLF and tab-separated robots files parse identically to LF") {
+    val lf = "User-agent: *\nDisallow: /x\nAllow:\t/x/ok\nCrawl-delay: 4"
+    val crlf = lf.replace("\n", "\r\n")
+    val a = Robots.parseRules(robots(("a.com", lf))).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    val b = Robots.parseRules(robots(("a.com", crlf))).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(a === b, "CRLF must not leak \\r into values")
+    assert(a === Set(("*", "disallow", "/x"), ("*", "allow", "/x/ok"),
+      ("*", "crawl-delay", "4")))
+  }
+
   test("deterministic across partition layouts") {
     val body = "User-agent: *\nDisallow: /a\nAllow: /a/b\nUser-agent: graftbot\nDisallow: /c"
     val rb = robots(("x.com", body), ("y.com", body))
