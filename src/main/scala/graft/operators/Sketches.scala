@@ -73,6 +73,29 @@ object Sketches {
       .groupBy(keys.map(col) :+ col("bucket"): _*)
       .agg(max(col("max_rho")).as("max_rho"))
 
+  /** Snapshot-overlap estimation from per-dump register ARTIFACTS —
+    * the estimate-only production path (VERDICT r14: the exact audit
+    * in q_hll_overlap is a TEST artifact; the production question is
+    * answered from registers alone, ONE pass per dump at build time
+    * and zero corpus passes here): est(A), est(B), est(A∪B) via
+    * [[hllMerge]], the inclusion–exclusion intersection estimate, and
+    * its Jaccard. Register frames are the writable per-dump artifacts
+    * (1024 rows × groups); this join-of-sketches costs kilobytes at
+    * any corpus size. */
+  def snapshotOverlapEstimate(regsA: DataFrame, regsB: DataFrame,
+                              keys: Seq[String]): DataFrame = {
+    def est(r: DataFrame, out: String) =
+      hllEstimate(r, keys).select((keys.map(col) :+
+        col("hll_est").as(out)): _*)
+    est(regsA, "est_a")
+      .join(est(regsB, "est_b"), keys)
+      .join(est(hllMerge(regsA, regsB, keys), "est_union"), keys)
+      .withColumn("est_intersect",
+        Portable.roundp(col("est_a") + col("est_b") - col("est_union"), 4))
+      .withColumn("jaccard_est", when(col("est_union") > 0,
+        Portable.roundp(col("est_intersect") / col("est_union"), 6)))
+  }
+
   /** Estimate distinct counts from a register frame: per key group,
     * `registers_used` (non-empty registers) and the bias-corrected
     * harmonic-mean estimate `hll_est` (roundp 4). All arithmetic up

@@ -95,4 +95,38 @@ class SketchesSpec extends SparkSpec {
     val rhos = regs.agg(min("max_rho"), max("max_rho")).collect().head
     assert(rhos.getLong(0) >= 1 && rhos.getLong(1) <= 31)
   }
+
+  test("snapshotOverlapEstimate from per-dump artifacts equals the gated query's estimates") {
+    // the production path: registers built once per dump, overlap
+    // answered from the artifacts alone — must match q_hll_overlap's
+    // estimate columns (same merge algebra, zero corpus passes here)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    import graft.functions.Portable
+    val tok = graft.sources.Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"), explode(
+        graft.functions.WordShingles.of(col("text"), 3, distinct = false))
+        .as("ngram"))
+      .withColumn("snap",
+        Portable.h31(concat_ws(":", lit("snap"), col("doc_id"))) % 100)
+    // per-dump register builds (what a pipeline would write per crawl)
+    val ra = Sketches.hllRegisters(tok.where(col("snap") < 70), Seq("lang"), "ngram")
+      .localCheckpoint(true)
+    val rb = Sketches.hllRegisters(tok.where(col("snap") >= 30), Seq("lang"), "ngram")
+      .localCheckpoint(true)
+    val est = Sketches.snapshotOverlapEstimate(ra, rb, Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))))
+      .toMap
+    val gated = SparkEntry.queries("q_hll_overlap")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))))
+      .toMap
+    assert(est === gated)
+    assert(est.nonEmpty)
+  }
 }
