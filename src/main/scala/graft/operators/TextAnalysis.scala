@@ -234,9 +234,10 @@ object TextAnalysis {
     * regroup. Docs with no tokens are absent (the [[unigramLogprob]]
     * contract). */
   def badwordsFilter(docs: DataFrame, blocklist: Seq[String],
-                     id: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     id: String = "doc_id", textCol: String = "text",
+                     scripted: Boolean = false): DataFrame = {
     val flagged = col("word").isin(blocklist: _*)
-    docs.select(col(id), explode(Portable.words(col(textCol))).as("word"))
+    docs.select(col(id), explode(tokensOf(col(textCol), scripted)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col(id))
       .agg(
@@ -275,11 +276,12 @@ object TextAnalysis {
     * doc_id order makes the window reproducible. A document straddling
     * a boundary starts at `pack_offset` and spills into the next pack —
     * fixed-budget chunk assignment, not bin packing. */
-  def packSequences(docs: DataFrame, budget: Long = 1024, shards: Int = 8): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long = 1024, shards: Int = 8,
+                    scripted: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"),
       (Portable.h60(concat_ws(":", lit("pack"), col("doc_id"))) % shards).as("shard"),
-      size(Portable.words(col("text"))).cast("long").as("n_tokens"))
+      size(tokensOf(col("text"), scripted)).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))

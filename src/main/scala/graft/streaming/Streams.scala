@@ -305,6 +305,19 @@ object Streams {
     }
   }
 
+  /** Streaming twin of chat/SFT transcript validation (operators/
+    * ChatData.validateChat): stateless per transcript — the ingest
+    * gate an SFT data service runs on every arriving conversation.
+    * Parity pinned in StreamingSpec. */
+  def chatValidateStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "chatValidateStream is streaming-only: use ChatData.validateChat for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.ChatData.validateChat(batch), batchId)
+    }
+  }
+
   /** Streaming twin of the robots crawl verdict (operators/
     * Robots.crawlVerdict): the rules frame is a STATIC parsed model
     * (Robots.parseRules over the crawl snapshot's robots files —

@@ -168,6 +168,10 @@ class SegmentationSpec extends SparkSpec {
       rows(TextAnalysis.ngramTopk(docs, 2, 50)))
     assert(rows(TextAnalysis.tfidfTopK(docs, 3, 4, scripted = true)) ===
       rows(TextAnalysis.tfidfTopK(docs, 3, 4)))
+    assert(rows(TextAnalysis.badwordsFilter(docs, Seq("hash"), scripted = true)) ===
+      rows(TextAnalysis.badwordsFilter(docs, Seq("hash"))))
+    assert(rows(TextAnalysis.packSequences(docs, 8, 2, scripted = true)) ===
+      rows(TextAnalysis.packSequences(docs, 8, 2)))
   }
 
   test("scripted BM25: query side segments with the index's tokenizer") {

@@ -402,6 +402,28 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("chatValidateStream validates transcript batches like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]"""),
+      (2L, """[{"role":"assistant","content":"first"}]"""),
+      (3L, "broken"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.chatValidateStream(input.toDF().toDF("doc_id", "chat")) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.ChatData.validateChat(docs.toDF("doc_id", "chat"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("crawlVerdictStream judges frontier batches against the static rules like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
