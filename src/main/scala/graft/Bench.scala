@@ -94,9 +94,9 @@ object Bench {
     "q_vocab_topk_cjk" -> 0.42, "q_bpe_train_dist" -> 1.84,
     "q_bitext_mine_ivf" -> 1.74, "q_chunk_sentence" -> 0.97,
     "q_cluster_silhouette" -> 1.02, "q_embed_quant" -> 0.34,
-    "q_robots_rules" -> 0.87, "q_robots_verdict" -> 1.29,
+    "q_robots_rules" -> 0.87, "q_robots_verdict" -> 1.19,
     "q_split_domain" -> 0.19, "q_split_leakage" -> 1.56,
-    "q_crawl_schedule" -> 1.97,
+    "q_crawl_schedule" -> 1.82,
     "q_recency_sample" -> 0.37,
     "q_embed_mrl" -> 0.32,
     "q_chat_validate" -> 0.83)

@@ -1255,8 +1255,12 @@ object LlmQueries {
         concat(lit("/g"), k, lit("/a")),
         concat(lit("/g"), k, lit("/pub/b")),
         lit("/all/page"), lit("/other"))).as("url_path"))
+    // the rules frame is consumed twice (group-presence probe + the
+    // effective-rule join) and is tiny (a few rows per host) — one
+    // eager checkpoint beats re-running the parse window per consumer
     graft.operators.Robots.crawlVerdict(urls,
-      graft.operators.Robots.parseRules(robotsBodies(base)), "graftbot")
+      graft.operators.Robots.parseRules(robotsBodies(base))
+        .localCheckpoint(true), "graftbot")
   }
 
   val qRobotsVerdictSql: String =
@@ -1302,8 +1306,11 @@ object LlmQueries {
         concat(lit("/g"), k, lit("/a")),
         concat(lit("/g"), k, lit("/pub/b")),
         lit("/all/page"), lit("/other"))).as("url_path"))
+    // four consumers (verdict probe + effective rules + own/star
+    // delays) — checkpoint the tiny parsed frame once
     graft.operators.Robots.crawlSchedule(urls,
-      graft.operators.Robots.parseRules(robotsBodies(base)), "graftbot")
+      graft.operators.Robots.parseRules(robotsBodies(base))
+        .localCheckpoint(true), "graftbot")
   }
 
   val qCrawlScheduleSql: String =
