@@ -133,6 +133,7 @@ object SparkEntry {
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
     "q_url_filter" -> (L.qUrlFilter _),
+    "q_quality_curve" -> (L.qQualityCurve _),
     "q_chat_validate" -> (L.qChatValidate _),
     "q_robots_rules" -> (L.qRobotsRules _),
     "q_robots_verdict" -> (L.qRobotsVerdict _),
@@ -339,6 +340,7 @@ object SparkEntry {
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
+    "q_quality_curve" -> L.qQualityCurveSql,
     "q_chat_validate" -> L.qChatValidateSql,
     "q_robots_rules" -> L.qRobotsRulesSql,
     "q_robots_verdict" -> L.qRobotsVerdictSql,

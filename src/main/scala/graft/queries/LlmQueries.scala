@@ -1146,6 +1146,50 @@ object LlmQueries {
        |      / sqrt(list_dot_product(se, se) * list_dot_product(te, te))) * 1e6 + 0.5) AS BIGINT) AS cosu
        |  FROM s JOIN t USING (bucket))""".stripMargin)
 
+  private val QualityCurveThrs: Seq[Int] = (1 to 9).map(_ * 10)
+
+  /** Quality-filter OPERATING CURVE — the knob-setting report every
+    * curation run produces before committing a threshold: per
+    * candidate cutoff (0.10 … 0.90), how many documents and how much
+    * token mass survive. ONE aggregate pass with per-threshold
+    * conditional sums (never nine scans), unpivoted via the
+    * struct-array explode (the pairSplitLeakage shape); the quality
+    * signal is the cross-engine-exact TextAnalysis.quality score, so
+    * every census integer hash-gates. */
+  def qQualityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(Tables(spark, dir).documents)
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      sum(col("n_words")).as("__tok")) ++
+      QualityCurveThrs.flatMap(t => Seq(
+        sum(when(col("quality") >= lit(t / 100.0), 1L).otherwise(0L)).as(s"__d_$t"),
+        sum(when(col("quality") >= lit(t / 100.0), col("n_words")).otherwise(0L)).as(s"__t_$t")))
+    q.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(QualityCurveThrs.map(t => struct(
+        lit(t.toLong).as("thr_pct"),
+        col(s"__d_$t").as("n_docs"), col(s"__t_$t").as("n_tokens"),
+        col("__n").as("n_docs_total"), col("__tok").as("n_tokens_total"))): _*))
+        .as("r"))
+      .select(col("r.thr_pct"), col("r.n_docs"), col("r.n_tokens"),
+        col("r.n_docs_total"), col("r.n_tokens_total"))
+  }
+
+  val qQualityCurveSql: String = {
+    val sums = QualityCurveThrs.map { t =>
+      s"""CAST(count(*) FILTER (WHERE quality >= CAST($t AS DOUBLE) / 100) AS BIGINT) AS d_$t,
+         |    CAST(COALESCE(sum(n_words) FILTER (WHERE quality >= CAST($t AS DOUBLE) / 100), 0) AS BIGINT) AS t_$t""".stripMargin
+    }.mkString(",\n    ")
+    val rows = QualityCurveThrs.map(t =>
+      s"SELECT CAST($t AS BIGINT) AS thr_pct, d_$t AS n_docs, t_$t AS n_tokens, n AS n_docs_total, tok AS n_tokens_total FROM g")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT n_words, quality FROM (${textQualitySqlFrom("documents")})),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(n_words) AS BIGINT) AS tok,
+       |    $sums
+       |  FROM q)
+       |$rows""".stripMargin
+  }
+
   // ---- chat / SFT transcript validation (operators/ChatData) ----
 
   /** Chat-format validation inside the gate (ChatData.validateChat):
