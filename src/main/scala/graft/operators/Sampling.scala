@@ -28,10 +28,19 @@ object Sampling {
     * sampling, composing with the mixture-plan ppm scheme. Shift
     * saturates at 20 (weight 0 past ~20 half-lives). */
   def recencyWeights(docs: DataFrame, tsCol: String, halfLifeS: Long,
-                     salt: String = "rec"): DataFrame = {
+                     salt: String = "rec",
+                     anchorTs: Option[Long] = None): DataFrame = {
     require(halfLifeS > 0, "recencyWeights: halfLifeS must be positive")
-    val anchor = broadcast(docs.agg(max(col(tsCol)).as("__anchor")))
-    docs.crossJoin(anchor)
+    // anchorTs: the STREAMING/incremental mode — a pinned "now" makes
+    // the weight a pure per-row function (batch boundaries invisible;
+    // a corpus-max anchor would shift per micro-batch). Batch mode
+    // derives it from the corpus as a broadcast 1-row aggregate.
+    val withAnchor = anchorTs match {
+      case Some(a) => docs.withColumn("__anchor", lit(a))
+      case None =>
+        docs.crossJoin(broadcast(docs.agg(max(col(tsCol)).as("__anchor"))))
+    }
+    withAnchor
       .withColumn("age_buckets",
         least(expr(s"(__anchor - $tsCol) div ${halfLifeS}L"), lit(20L)))
       .withColumn("weight_ppm",

@@ -305,6 +305,23 @@ object Streams {
     }
   }
 
+  /** Streaming twin of recency weighting (operators/
+    * Sampling.recencyWeights with a PINNED anchor): the decay anchor
+    * is fixed at stream start (a corpus-max anchor would shift per
+    * micro-batch and re-weight history), making the weight a pure
+    * per-row function — batch boundaries invisible. Parity pinned in
+    * StreamingSpec. */
+  def recencyWeightStream(docs: DataFrame, tsCol: String, halfLifeS: Long,
+                          anchorTs: Long)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "recencyWeightStream is streaming-only: use Sampling.recencyWeights for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Sampling.recencyWeights(batch, tsCol,
+        halfLifeS, anchorTs = Some(anchorTs)), batchId)
+    }
+  }
+
   /** Streaming twin of chat/SFT transcript validation (operators/
     * ChatData.validateChat): stateless per transcript — the ingest
     * gate an SFT data service runs on every arriving conversation.

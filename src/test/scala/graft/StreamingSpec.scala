@@ -402,6 +402,42 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("recencyWeightStream with a pinned anchor replays batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, 1000000L), (2L, 1000000L - 8192L), (3L, 1000000L - 40000L))
+    val input = MemoryStream[(Long, Long)]
+    input.addData(rows.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.recencyWeightStream(
+        input.toDF().toDF("doc_id", "crawl_ts"), "crawl_ts", 8192L, 1000000L) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(rows.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Sampling.recencyWeights(
+        rows.toDF("doc_id", "crawl_ts"), "crawl_ts", 8192L,
+        anchorTs = Some(1000000L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+    // groupDisjointSplit is a pure projection: the SAME operator code
+    // runs on a stream (the stratifiedSampleStream contract)
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((1L, "s1"), (2L, "s2"))
+    val q2 = graft.operators.Sampling.groupDisjointSplit(
+        input2.toDF().toDF("doc_id", "source"), "source")
+      .writeStream.format("memory").queryName("gsplit_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val streamed = spark.table("gsplit_out").collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Sampling.groupDisjointSplit(
+        Seq((1L, "s1"), (2L, "s2")).toDF("doc_id", "source"), "source")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("chatValidateStream validates transcript batches like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
