@@ -118,6 +118,7 @@ object SparkEntry {
     "q_vocab_topk_cjk" -> (L.qVocabTopkCjk _),
     "q_lang_id_cjk" -> (L.qLangIdCjk _),
     "q_vocab_topk" -> (L.qVocabTopk _),
+    "q_vocab_coverage" -> (L.qVocabCoverage _),
     "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     // BPE tokenization under a fixed merge-rank table
@@ -331,6 +332,7 @@ object SparkEntry {
     "q_vocab_topk_cjk" -> L.qVocabTopkCjkSql,
     "q_lang_id_cjk" -> L.qLangIdCjkSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
+    "q_vocab_coverage" -> L.qVocabCoverageSql,
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,

@@ -1961,6 +1961,57 @@ object LlmQueries {
        |SELECT token, COUNT(*) AS n FROM w GROUP BY token
        |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
 
+  private val VocabCoverageKs: Seq[Int] = Seq(10, 100, 1000)
+
+  /** Vocabulary COVERAGE curve — the Zipf report behind tokenizer/
+    * vocab sizing: what share of the corpus token mass do the top-k
+    * word types cover (k = 10/100/1000), and how many types exist at
+    * all? The complement is the OOV rate a k-entry vocab would pay.
+    * One frequency census, one rank window with the total order
+    * (count desc, token asc — the deterministic-cut rule), ONE 1-row
+    * aggregate with per-k conditional sums, struct-array unpivot.
+    * All integers — hash-gates exactly. */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables(spark, dir).documents
+      .select(explode(Portable.words(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    val ranked = freq.withColumn("__rk", row_number().over(w))
+    val aggs = Seq(
+      count(lit(1)).as("__types"), sum(col("n")).as("__tok")) ++
+      VocabCoverageKs.map(k =>
+        sum(when(col("__rk") <= k, col("n")).otherwise(0L)).as(s"__c_$k"))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(VocabCoverageKs.map(k => struct(
+        lit(k.toLong).as("k"),
+        col(s"__c_$k").as("covered_tokens"),
+        col("__types").as("n_types"),
+        col("__tok").as("total_tokens"))): _*)).as("r"))
+      .select(col("r.k"), col("r.covered_tokens"), col("r.n_types"),
+        col("r.total_tokens"),
+        Portable.roundp(col("r.covered_tokens").cast("double") /
+          col("r.total_tokens"), 6).as("coverage"))
+  }
+
+  val qVocabCoverageSql: String = {
+    val sums = VocabCoverageKs.map(k =>
+      s"CAST(COALESCE(sum(n) FILTER (WHERE rk <= $k), 0) AS BIGINT) AS c_$k")
+      .mkString(",\n    ")
+    val rows = VocabCoverageKs.map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, c_$k AS covered_tokens, types AS n_types, tok AS total_tokens,
+         |  floor((CAST(c_$k AS DOUBLE) / tok) * 1e6 + 0.5) / 1e6 AS coverage FROM g""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents),
+       |f AS (SELECT token, count(*) AS n FROM t WHERE length(token) > 0 GROUP BY 1),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM f),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS types, CAST(sum(n) AS BIGINT) AS tok,
+       |    $sums
+       |  FROM r)
+       |$rows""".stripMargin
+  }
+
   /** Blocklist for [[qBadwordsFilter]]: "dup" occurs in ~5% of docs at
     * every SF (both verdict paths exercised); the second entry never
     * occurs (no-match path of the isin probe). */
