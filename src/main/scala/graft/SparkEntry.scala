@@ -170,6 +170,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
     "q_dedup_incremental" -> (L.qDedupIncremental _),
+    "q_incremental_gain" -> (L.qIncrementalGain _),
     // SemDedup: k-means-blocked semantic dedup over embeddings
     "q_dedup_semantic" -> (L.qDedupSemantic _),
     // directional n-gram containment (sub-document duplication)
@@ -368,6 +369,7 @@ object SparkEntry {
     "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
+    "q_incremental_gain" -> L.qIncrementalGainSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_dedup_containment" -> L.qDedupContainmentSql,
     "q_dedup_substring" -> L.qDedupSubstringSql,

@@ -357,6 +357,34 @@ object LlmQueries {
        |FROM ex LEFT JOIN bestj ON ex.doc_id = bestj.new_id""".stripMargin
   }
 
+  /** Incremental-crawl GAIN census — the per-dump KPI behind every
+    * "is another crawl worth ingesting" decision: after delta dedup
+    * against the standing index (the q_dedup_incremental chain),
+    * how many documents and how much token mass does each verdict
+    * class hold? `keep` is the net-new data the dump actually adds;
+    * drop_exact/drop_near is the redundancy paid for. Composes the
+    * existing gated chain with a token join + one verdict rollup
+    * (the chain-extension precedent). */
+  def qIncrementalGain(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        size(Portable.words(col("text"))).cast("long").as("__n"))
+    qDedupIncremental(spark, dir)
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+  }
+
+  lazy val qIncrementalGainSql: String =
+    s"""WITH inc AS (SELECT doc_id, verdict FROM ($qDedupIncrementalSql)),
+       |tok AS (SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 5 = 0)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM inc JOIN tok USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // ---- #25b transitive dedup clusters over the near-dup pair graph ----
 
   /** DELIBERATELY kept on label propagation: star contraction is the
