@@ -102,7 +102,8 @@ object Bench {
     "q_chat_validate" -> 0.83,
     "q_quality_curve" -> 0.64,
     "q_vocab_coverage" -> 0.45,
-    "q_incremental_gain" -> 1.49)
+    "q_incremental_gain" -> 1.49,
+    "q_host_components" -> 2.31)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -141,6 +141,7 @@ object SparkEntry {
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
+    "q_host_components" -> (L.qHostComponents _),
     "q_domain_prior" -> (L.qDomainPrior _),
     "q_url_canon" -> (L.qUrlCanon _),
     // TF-IDF keyword extraction (integer-deterministic rank)
@@ -349,6 +350,7 @@ object SparkEntry {
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_domain_rank" -> L.qDomainRankSql,
+    "q_host_components" -> L.qHostComponentsSql,
     "q_domain_prior" -> L.qDomainPriorSql,
     "q_url_canon" -> L.qUrlCanonSql,
     "q_tfidf_topk" -> L.qTfidfTopkSql,

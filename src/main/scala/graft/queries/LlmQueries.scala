@@ -2731,6 +2731,74 @@ object LlmQueries {
        |FROM documents dd
        |LEFT JOIN r$PrIters r ON dd.source || '.example.org' = r.host""".stripMargin
 
+  // ---- host-graph connected components (link-farm detection) ----
+
+  /** Closed-form host link edges with KNOWN component structure: one
+    * host per doc; hosts 5j+1..5j+4 each link their group hub 5j (a
+    * star of five), and every even hub links the previous hub —
+    * pairs of stars merge into 10-host components, odd-hub stars
+    * stay 5. Multi-component by construction (a realistic site-
+    * cluster shape: hub-and-spoke sites plus some cross-site links). */
+  private def hostEdges(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    def host(n: Column) = concat(lit("h"), n.cast("string"), lit(".example.com"))
+    val docs = Tables(spark, dir).documents.select(i)
+    val spokes = docs.where(i % 5 =!= 0)
+      .select(host(i).as("src"), host(i - i % 5).as("dst"))
+    val hubLinks = docs.where(i % 10 === 0 && i >= 10)
+      .select(host(i).as("src"), host(i - 5).as("dst"))
+    spokes.unionByName(hubLinks)
+  }
+
+  /** Connected components over the host link graph — the site-cluster
+    * / link-farm census (Graph family rank+prior+COMPONENTS): hosts
+    * hash onto the md5 ring (h60 — the deterministic id idiom) and
+    * the star-contraction component finder (Dedup.clustersStar, the
+    * O(log n)-round scale path) labels each component by its minimum
+    * ring id; output joins the label back to the readable host. The
+    * oracle replays the closed-form edge set with the recursive
+    * reach CTE over the same h60 ids. */
+  def qHostComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = hostEdges(spark, dir)
+    def hid(c: Column) = Portable.h60(concat_ws(":", lit("host"), c))
+    val pairs = edges.select(hid(col("src")).as("id_a"), hid(col("dst")).as("id_b"))
+      .where(col("id_a") =!= col("id_b")).distinct()
+    val hosts = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host"))).distinct()
+      .select(col("host"), hid(col("host")).as("doc_id"))
+    Dedup.clustersStar(pairs)
+      .join(hosts, Seq("doc_id"))
+      .select(col("host"), col("cluster_id"))
+  }
+
+  val qHostComponentsSql: String = {
+    val hid = h60Sql("'host' || ':' || h")
+    s"""WITH RECURSIVE d AS (SELECT doc_id AS i FROM documents),
+       |el AS (
+       |  SELECT 'h' || CAST(i AS VARCHAR) || '.example.com' AS hs,
+       |         'h' || CAST(i - i % 5 AS VARCHAR) || '.example.com' AS hd
+       |  FROM d WHERE i % 5 <> 0
+       |  UNION ALL
+       |  SELECT 'h' || CAST(i AS VARCHAR) || '.example.com',
+       |         'h' || CAST(i - 5 AS VARCHAR) || '.example.com'
+       |  FROM d WHERE i % 10 = 0 AND i >= 10),
+       |ids AS (SELECT DISTINCT h FROM (
+       |  SELECT hs AS h FROM el UNION ALL SELECT hd FROM el)),
+       |hm AS (SELECT h, $hid AS hid FROM ids),
+       |pairs AS (SELECT DISTINCT a.hid AS id_a, b.hid AS id_b
+       |  FROM el JOIN hm a ON el.hs = a.h JOIN hm b ON el.hd = b.h
+       |  WHERE a.hid <> b.hid),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src, src AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT hm.h AS host, c.cluster_id
+       |FROM (SELECT src AS hid, min(dst) AS cluster_id FROM reach GROUP BY src) c
+       |JOIN hm ON c.hid = hm.hid""".stripMargin
+  }
+
   // ---- budgeted best-first corpus selection ----
 
   /** FineWeb-style data selection: keep the highest-quality docs up to
