@@ -706,7 +706,8 @@ object Dedup {
       .join(a, Seq("id_a")).join(b, Seq("id_b"))
       .agg(count(lit(1)).as("__n"),
         modeCols.map(m =>
-          sum(when(col(s"__a_$m") =!= col(s"__b_$m"), 1L).otherwise(0L))
+          coalesce(sum(when(col(s"__a_$m") =!= col(s"__b_$m"), 1L)
+            .otherwise(0L)), lit(0L))
             .as(s"__l_$m")): _*)
     one.select(explode(array(modeCols.map(m =>
         struct(lit(m).as("mode"), col("__n").as("n_pairs"),

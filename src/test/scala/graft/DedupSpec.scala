@@ -170,6 +170,12 @@ class DedupSpec extends SparkSpec {
     assert(out("m_row")._2 === 2L, "the alternating row split leaks both")
     assert(out("m_domain") === ((2L, 0L)),
       "group-disjoint split cannot leak source-blocked pairs")
+    // an EMPTY pair frame (fully deduped corpus) reports hard zeros,
+    // never NULLs
+    val zero = Dedup.pairSplitLeakage(
+      pairs.where(col("jaccard") > 2.0), splits, Seq("m_row")).collect()
+    assert(zero.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("m_row", 0L, 0L)))
     // groupDisjointSplit: every group wholly on one side
     val g = Sampling.groupDisjointSplit(docs, "source").collect()
       .groupBy(_.getString(1)).map { case (src, rows) =>
