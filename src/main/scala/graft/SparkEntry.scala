@@ -240,6 +240,8 @@ object SparkEntry {
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
     "q_image_decode" -> (L.qImageDecode _),
     "q_warc_extract" -> (L.qWarcExtract _),
+    // real POSIX-ustar / WebDataset shard splitting (sources/Tar)
+    "q_tar_extract" -> (L.qTarExtract _),
     // real WKB geometry decode round-trip (encode WKB -> wkb_rings -> coord sums)
     "q_wkb_decode" -> (G.qWkbDecode _),
     // real javax.sound WAV round-trip (encode PCM -> decode -> sample sums)
@@ -411,6 +413,7 @@ object SparkEntry {
     "q_audio_fingerprint" -> L.qAudioFingerprintSql,
     "q_image_decode" -> L.qImageDecodeSql,
     "q_warc_extract" -> L.qWarcExtractSql,
+    "q_tar_extract" -> L.qTarExtractSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
 import graft.operators.{AsOf, Dedup, Graph, Multimodal, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
-import graft.sources.{Tables, Warc}
+import graft.sources.{Tables, Tar, Warc}
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
   * `documents` / `embeddings` / `events` tables.
@@ -4054,6 +4054,83 @@ object LlmQueries {
       |    + CASE WHEN doc_id % 5 = 0 THEN 14 ELSE 0 END AS BIGINT) AS payload_bytes,
       |  'http://example.com/' || CAST(doc_id AS VARCHAR) AS response_uri
       |FROM documents""".stripMargin
+
+  // ---- #34e tar / WebDataset shard splitting ----
+
+  /** REAL tar (POSIX ustar / WebDataset shard) splitting, oracle-gated
+    * end-to-end (the q_warc_extract synthesize-decode precedent):
+    * synthesize a genuine ustar shard per document — doc_id%3+1
+    * WebDataset samples of a `.txt` member (ASCII integer payload, a
+    * closed form of doc_id) plus a `.lbl` member, every 4th doc adds a
+    * >100-byte GNU-longname member, every 13th injects a corrupt
+    * header block before the terminator — run the production entry
+    * splitter (header checksums, longname reassembly, one-block
+    * quarantine + block-grid resync) and aggregate entry/quarantine
+    * counts, payload bytes, the WebDataset sample-key census and the
+    * SUM of the decoded integer payloads. The DuckDB oracle computes
+    * every output from first principles without touching a tar byte —
+    * a bent header offset, checksum, longname or payload byte bends a
+    * count and fails the hash gate. */
+  def qTarExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = Tables(spark, dir).documents
+      .select(col("doc_id").cast("long")).as[Long].map { id =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val s = (id % 3 + 1).toInt
+        val files = (0 until s).flatMap { k =>
+          Seq(
+            Tar.TarFile(s"d/k${id}_$k.txt",
+              String.valueOf(id * 7 + 3 * k).getBytes(ascii)),
+            Tar.TarFile(s"d/k${id}_$k.lbl",
+              ("L" + (id + k) % 10).getBytes(ascii)))
+        } ++ (if (id % 4 == 0)
+          Seq(Tar.TarFile("p" * 104 + s"/x$id.bin",
+            String.valueOf(id * 11 + 5).getBytes(ascii)))
+        else Nil)
+        val clean = Tar.write(files)
+        val bytes = if (id % 13 == 0) {
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(clean, 0, clean.length - 2 * Tar.BlockSize)
+          out.write(Array.fill[Byte](Tar.BlockSize)(0xAA.toByte))
+          out.write(new Array[Byte](2 * Tar.BlockSize))
+          out.toByteArray
+        } else clean
+        (id, bytes)
+      }.toDF("doc_id", "bytes")
+    Tar.entries(synth, "bytes", "doc_id")
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(
+        sum(when(!col("__malformed"), 1L).otherwise(0L)).as("n_entries"),
+        sum(when(col("__malformed"), 1L).otherwise(0L)).as("n_malformed"),
+        sum(when(!col("__malformed"), col("size")).otherwise(0L))
+          .as("payload_bytes"),
+        count_distinct(when(col("typeflag") === "0", col("sample_key")))
+          .as("n_samples"),
+        sum(when(col("sample_ext") === "txt",
+          col("payload").cast("string").cast("long")).otherwise(0L))
+          .as("txt_val_sum"))
+  }
+
+  val qTarExtractSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS s FROM documents),
+      |f AS (SELECT d.doc_id,
+      |    length(CAST(d.doc_id * 7 + 3 * k.k AS VARCHAR)) + 2 AS pair_bytes,
+      |    d.doc_id * 7 + 3 * k.k AS txt_val
+      |  FROM d, unnest(generate_series(0, s - 1)) AS k(k)),
+      |g AS (SELECT doc_id, CAST(sum(pair_bytes) AS BIGINT) AS pb,
+      |    CAST(sum(txt_val) AS BIGINT) AS tv FROM f GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(2 * d.s + CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_entries,
+      |  CAST(CASE WHEN d.doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_malformed,
+      |  g.pb + CASE WHEN d.doc_id % 4 = 0
+      |    THEN length(CAST(d.doc_id * 11 + 5 AS VARCHAR)) ELSE 0 END
+      |    AS payload_bytes,
+      |  CAST(d.s + CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_samples,
+      |  g.tv AS txt_val_sum
+      |FROM d JOIN g USING (doc_id)""".stripMargin
 
   // ---- image near-dup via perceptual hash ----
 

@@ -1,0 +1,373 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** POSIX ustar / WebDataset shard ingestion — the tar leg of the source
+  * family. Large multimodal training corpora ship as tar shards whose
+  * member files group into SAMPLES by basename stem (`{key}.jpg` +
+  * `{key}.cls` + `{key}.json` is one sample — the WebDataset layout);
+  * this source splits raw shard bytes into member entries, reassembles
+  * GNU/pax long names, verifies header checksums, and hands clean
+  * `(name, size, payload)` rows — or quarantine rows — downstream.
+  *
+  * Follows the [[Warc]]/[[Jsonl]] corrupt-input contract: malformed
+  * regions become ROWS with `__malformed = true` and a reason, never
+  * task failures. Tar's fixed 512-byte block grid gives a stronger
+  * resynchronization guarantee than WARC's magic scan: after a bad
+  * header block the parser advances exactly one block and re-verifies
+  * the checksum there, so one corrupt header costs one quarantined
+  * block, never the rest of the shard (TarSpec pins this).
+  *
+  * Scale shape: `spark.read.format("binaryFile")` hands each shard to
+  * one task (WebDataset shards are sized ~1 GB for exactly this
+  * reason; a 100 TB corpus is ~10⁵ shards — the natural parallel
+  * grain). Entry splitting is a pure JVM kernel inside a Dataset
+  * flatMap (the codec altitude — no Catalyst expression streams a
+  * block-framed binary format), and gzip shards (.tar.gz) decompress
+  * INCREMENTALLY through [[Warc.maybeGunzipStream]]: peak memory is
+  * one member plus a read chunk, never the inflated shard. */
+object Tar {
+
+  val BlockSize = 512
+
+  /** One parsed member entry (or one quarantined block region). */
+  case class TarEntry(
+      ent_idx: Int,
+      name: String,
+      typeflag: String,
+      size: Long,
+      mtime: Long,
+      payload: Array[Byte],
+      __malformed: Boolean,
+      reason: String)
+
+  // ---- header field helpers ----
+
+  /** Parse a tar numeric field: octal ASCII (leading spaces/NULs
+    * skipped, terminated by space/NUL) or GNU base-256 (high bit set
+    * on the first byte — big-endian binary in the remaining bytes,
+    * how tar stores sizes past 8 GiB). Returns -1 on garbage. */
+  private[graft] def numField(b: Array[Byte], off: Int, len: Int): Long = {
+    if ((b(off) & 0x80) != 0) { // GNU base-256
+      var v = b(off) & 0x7fL
+      var i = off + 1
+      while (i < off + len) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      return v
+    }
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == ' '.toByte || b(i) == 0.toByte)) i += 1
+    if (i == end) return 0L
+    var v = 0L
+    var seen = false
+    while (i < end && b(i) != ' '.toByte && b(i) != 0.toByte) {
+      val c = b(i)
+      if (c < '0'.toByte || c > '7'.toByte) return -1L
+      v = (v << 3) | (c - '0'.toByte).toLong
+      seen = true
+      i += 1
+    }
+    if (seen) v else -1L
+  }
+
+  private def strField(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0.toByte) end += 1
+    new String(b, off, end - off, StandardCharsets.UTF_8)
+  }
+
+  /** Header checksum: unsigned byte sum with the chksum field (148,8)
+    * read as spaces. */
+  private[sources] def checksum(block: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < BlockSize) {
+      s += (if (i >= 148 && i < 156) 0x20L else (block(i) & 0xffL))
+      i += 1
+    }
+    s
+  }
+
+  private def allZero(b: Array[Byte], n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** WebDataset sample key: everything up to the FIRST '.' of the
+    * basename (directories included), so `a/b/key.seg.png` groups
+    * under `a/b/key` with extension `seg.png`. */
+  def sampleKey(name: String): String = {
+    val slash = name.lastIndexOf('/')
+    val dot = name.indexOf('.', slash + 1)
+    if (dot < 0) name else name.substring(0, dot)
+  }
+
+  def sampleExt(name: String): String = {
+    val slash = name.lastIndexOf('/')
+    val dot = name.indexOf('.', slash + 1)
+    if (dot < 0) "" else name.substring(dot + 1)
+  }
+
+  // ---- parser ----
+
+  /** Meta typeflags consumed internally (never emitted as rows):
+    * GNU longname/longlink, pax extended + global headers. */
+  private val MetaFlags = Set('L', 'K', 'x', 'g')
+
+  /** Incremental entry parser. Memory high-water mark is ONE member's
+    * payload plus a block — shard size never enters the footprint.
+    * Header blocks that fail the checksum quarantine as single blocks
+    * and parsing resumes at the next block boundary; a stream ending
+    * mid-payload quarantines the partial member. Parsing stops at the
+    * first all-zero block (the end-of-archive marker). */
+  def entryIterator(in: InputStream): Iterator[TarEntry] = new Iterator[TarEntry] {
+    private var idx = 0
+    private var pendingName: String = null // GNU 'L' / pax path override
+    private var pending: TarEntry = null
+    private var finished = false
+    private val block = new Array[Byte](BlockSize)
+
+    /** Read exactly n bytes into dst; returns bytes actually read. */
+    private def readFully(dst: Array[Byte], n: Int): Int = {
+      var got = 0
+      while (got < n) {
+        val r = in.read(dst, got, n - got)
+        if (r < 0) return got
+        got += r
+      }
+      got
+    }
+
+    private def bad(reason: String, raw: Array[Byte]): TarEntry = {
+      val e = TarEntry(idx, null, null, -1L, -1L, raw, __malformed = true, reason)
+      idx += 1
+      e
+    }
+
+    /** Read a member payload of `size` bytes plus block padding.
+      * Returns (payload, truncated). */
+    private def readPayload(size: Long): (Array[Byte], Boolean) = {
+      // members past the JVM array limit would need streaming hand-off;
+      // WebDataset members are files of a sample (images, labels) and
+      // stay far below it — quarantine instead of failing the task
+      if (size > Int.MaxValue - 8) return (new Array[Byte](0), true)
+      val payload = new Array[Byte](size.toInt)
+      val got = readFully(payload, size.toInt)
+      if (got < size) return (java.util.Arrays.copyOf(payload, got), true)
+      val pad = ((BlockSize - (size % BlockSize)) % BlockSize).toInt
+      if (pad > 0) {
+        val got2 = readFully(block, pad)
+        if (got2 < pad) return (payload, true)
+      }
+      (payload, false)
+    }
+
+    /** Parse pax `len key=value\n` records; returns the `path` value
+      * if present (the pax long-name mechanism). */
+    private def paxPath(payload: Array[Byte]): String = {
+      var pos = 0
+      var path: String = null
+      while (pos < payload.length) {
+        var sp = pos
+        while (sp < payload.length && payload(sp) != ' '.toByte) sp += 1
+        if (sp >= payload.length) return path
+        val lenStr = new String(payload, pos, sp - pos, StandardCharsets.US_ASCII)
+        val recLen = lenStr.toIntOption.getOrElse(return path)
+        if (recLen <= 0 || pos + recLen > payload.length) return path
+        val rec = new String(payload, sp + 1, pos + recLen - sp - 2,
+          StandardCharsets.UTF_8) // drop trailing \n
+        val eq = rec.indexOf('=')
+        if (eq > 0 && rec.substring(0, eq) == "path") path = rec.substring(eq + 1)
+        pos += recLen
+      }
+      path
+    }
+
+    private def advance(): Unit = {
+      while (pending == null && !finished) {
+        val got = readFully(block, BlockSize)
+        if (got == 0) { finished = true; return }
+        if (got < BlockSize) {
+          pending = bad("truncated-header", java.util.Arrays.copyOf(block, got))
+          finished = true
+          return
+        }
+        if (allZero(block, BlockSize)) { finished = true; return }
+        val stored = numField(block, 148, 8)
+        if (stored < 0 || stored != checksum(block)) {
+          // quarantine this block, resync at the next block boundary
+          pending = bad("bad-checksum", block.clone())
+          return
+        }
+        val size = numField(block, 124, 12)
+        if (size < 0) { pending = bad("bad-size", block.clone()); return }
+        val flagByte = block(156)
+        val flag = if (flagByte == 0) '0' else flagByte.toChar
+        val mtime = numField(block, 136, 12)
+        val rawName = {
+          val base = strField(block, 0, 100)
+          val magic = new String(block, 257, 5, StandardCharsets.US_ASCII)
+          val prefix = if (magic == "ustar") strField(block, 345, 155) else ""
+          if (prefix.nonEmpty) prefix + "/" + base else base
+        }
+        val (payload, truncated) = readPayload(size)
+        if (truncated) {
+          pending = bad("truncated-payload", payload)
+          finished = true
+          return
+        }
+        if (MetaFlags.contains(flag)) {
+          flag match {
+            case 'L' => // GNU longname: NUL-terminated next-entry name
+              var n = payload.length
+              while (n > 0 && payload(n - 1) == 0) n -= 1
+              pendingName = new String(payload, 0, n, StandardCharsets.UTF_8)
+            case 'x' =>
+              val p = paxPath(payload)
+              if (p != null) pendingName = p
+            case _ => () // 'K' longlink / 'g' global: consumed
+          }
+        } else {
+          val name = if (pendingName != null) pendingName else rawName
+          pendingName = null
+          pending = TarEntry(idx, name, flag.toString, size, mtime, payload,
+            __malformed = false, reason = null)
+          idx += 1
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): TarEntry = {
+      advance()
+      if (pending == null) throw new NoSuchElementException("tar iterator")
+      val e = pending; pending = null; e
+    }
+  }
+
+  /** Split one (possibly gzipped) shard into entries. Pure function of
+    * the bytes — deterministic, replay-stable. */
+  def parseAll(raw: Array[Byte]): Seq[TarEntry] =
+    entryIterator(Warc.maybeGunzipStream(new ByteArrayInputStream(raw))).toVector
+
+  /** Entry-split a frame carrying shard bytes: one output row per
+    * member, keyed by `keyCol`; `sample_key`/`sample_ext` precomputed
+    * for WebDataset grouping. Partition-local flatMap, no shuffle. */
+  def entries(df: DataFrame, bytesCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("key"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (k, b) =>
+        entryIterator(Warc.maybeGunzipStream(new ByteArrayInputStream(b)))
+          .map(e => (k, e))
+      }
+      .select(col("_1").as(keyCol), col("_2.*"))
+      .withColumn("sample_key",
+        when(!col("__malformed"), udfFreeSampleKey(col("name"))))
+      .withColumn("sample_ext",
+        when(!col("__malformed"), udfFreeSampleExt(col("name"))))
+  }
+
+  // sample key/ext as codegen'd Column expressions (no UDF): key =
+  // name up to the first '.' after the last '/', ext = the remainder
+  private def udfFreeSampleKey(name: org.apache.spark.sql.Column) = {
+    val base = substring_index(name, "/", -1)
+    val dir = when(instr(name, "/") > 0,
+      concat(expr("substring(name, 1, length(name) - length(substring_index(name, '/', -1)))")))
+      .otherwise(lit(""))
+    when(instr(base, ".") > 0,
+      concat(dir, substring_index(base, ".", 1))).otherwise(name)
+  }
+
+  private def udfFreeSampleExt(name: org.apache.spark.sql.Column) = {
+    val base = substring_index(name, "/", -1)
+    when(instr(base, ".") > 0,
+      expr("substring(substring_index(name, '/', -1), " +
+        "instr(substring_index(name, '/', -1), '.') + 1)")).otherwise(lit(""))
+  }
+
+  /** WebDataset sample view: regular-file entries grouped by
+    * (shard key, sample key) → file census, total bytes, sorted
+    * extension list. One map-side-combinable aggregation. */
+  def samples(entries: DataFrame, keyCol: String): DataFrame =
+    entries
+      .filter(!col("__malformed") && col("typeflag") === "0")
+      .groupBy(col(keyCol), col("sample_key"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("size")).as("total_bytes"),
+        array_join(sort_array(collect_list(col("sample_ext"))), ",").as("exts"))
+
+  /** Read a shard tree: each file is one task's whole-file read (the
+    * binaryFile grain), split into member entries. */
+  def readTar(spark: SparkSession, path: String): DataFrame =
+    entries(
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content")),
+      "content", "path")
+
+  // ---- encoder (fixtures, specs, round-trips) ----
+
+  /** One member file for the encoder. */
+  case class TarFile(name: String, payload: Array[Byte], mtime: Long = 0L)
+
+  private def writeOctal(dst: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+    // len-1 octal digits, NUL terminated (the POSIX layout)
+    var i = off + len - 2
+    var x = v
+    while (i >= off) { dst(i) = ('0' + (x & 7L)).toByte; x >>= 3; i -= 1 }
+    dst(off + len - 1) = 0
+  }
+
+  private def headerBlock(name100: Array[Byte], size: Long, mtime: Long,
+                          typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](BlockSize)
+    System.arraycopy(name100, 0, h, 0, math.min(name100.length, 100))
+    writeOctal(h, 100, 8, 420L) // mode 0644
+    writeOctal(h, 108, 8, 0L) // uid
+    writeOctal(h, 116, 8, 0L) // gid
+    writeOctal(h, 124, 12, size)
+    writeOctal(h, 136, 12, mtime)
+    h(156) = typeflag.toByte
+    System.arraycopy("ustar".getBytes(StandardCharsets.US_ASCII), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0'
+    // checksum: 6 octal digits, NUL, space
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val s = checksum(h)
+    writeOctal(h, 148, 7, s)
+    h(155) = ' '.toByte
+    h
+  }
+
+  private def padTo(out: ByteArrayOutputStream, n: Int): Unit = {
+    val pad = (BlockSize - (n % BlockSize)) % BlockSize
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** Encode members into a ustar archive; names longer than 100 bytes
+    * ride a GNU 'L' longname entry (what real tar emits). Terminated
+    * by two zero blocks. */
+  def write(files: Seq[TarFile]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    files.foreach { f =>
+      val nameBytes = f.name.getBytes(StandardCharsets.UTF_8)
+      if (nameBytes.length > 100) {
+        val ln = nameBytes ++ Array[Byte](0)
+        out.write(headerBlock("././@LongLink".getBytes(StandardCharsets.US_ASCII),
+          ln.length.toLong, 0L, 'L'))
+        out.write(ln); padTo(out, ln.length)
+      }
+      out.write(headerBlock(nameBytes, f.payload.length.toLong, f.mtime, '0'))
+      out.write(f.payload); padTo(out, f.payload.length)
+    }
+    out.write(new Array[Byte](2 * BlockSize))
+    out.toByteArray
+  }
+}
