@@ -233,6 +233,8 @@ object SparkEntry {
     // real ISO-BMFF atom walk + frame sampling over parsed counts
     "q_video_meta" -> (L.qVideoMeta _),
     "q_video_frames" -> (L.qVideoFrames _),
+    // real JPEG/JFIF marker-segment walk (dims/tables/scan census)
+    "q_jpeg_meta" -> (L.qJpegMeta _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
@@ -414,6 +416,7 @@ object SparkEntry {
     "q_image_decode" -> L.qImageDecodeSql,
     "q_warc_extract" -> L.qWarcExtractSql,
     "q_tar_extract" -> L.qTarExtractSql,
+    "q_jpeg_meta" -> L.qJpegMetaSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

@@ -1,0 +1,249 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JPEG/JFIF (ITU-T T.81) marker-segment metadata — the still-image
+  * container leg of the multimodal family next to [[Video]]'s ISO-BMFF
+  * atom walk. Crawled image corpora are overwhelmingly JPEG; dimension
+  * / component / progressive metadata drives resize planning and
+  * quality filtering long before any pixel is decoded, so the walker
+  * reads ONLY the marker grid: SOI, length-prefixed segments (APP0
+  * JFIF density, DQT table census honoring multi-table segments and
+  * 16-bit Pq tables, DHT census via the BITS arrays, SOF0/SOF2 frame
+  * headers), then the entropy-coded scan after SOS, skipping byte
+  * stuffing (FF 00) and restart markers (FF D0-D7) exactly as the
+  * standard frames them, up to EOI.
+  *
+  * Parser altitude: a pure JVM kernel inside mapPartitions (the
+  * Warc/Video codec altitude — no Catalyst expression walks a
+  * marker-framed stream); malformed payloads quarantine as `ok = 0`
+  * rows with a reason, never task failures. The encoder synthesizes
+  * REAL baseline/progressive JFIF streams whose fields are closed-form
+  * in the row id, so the DuckDB oracle replays expected metadata
+  * without touching a byte (the synthesize-decode gate); JpegSpec
+  * additionally walks a genuine `javax.imageio`-encoded JPEG to pin
+  * the walker against a production encoder's output. */
+object Jpeg {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_components", LongType),
+    StructField("progressive", LongType),
+    StructField("n_dqt", LongType),
+    StructField("n_dht", LongType),
+    StructField("density_x", LongType),
+    StructField("scan_bytes", LongType),
+    StructField("ok", LongType, nullable = false),
+    StructField("reason", StringType)))
+
+  // ---- encoder ----
+
+  /** One synthetic JPEG spec (all fields closed-form at call sites). */
+  case class JpegSpec(doc_id: Long, w: Int, h: Int, nComp: Int,
+                      progressive: Boolean, nDqt: Int, densityX: Int,
+                      scanLen: Int, seed: Int, rst: Boolean, stuff: Boolean,
+                      corrupt: Int)
+
+  private def seg(out: ByteArrayOutputStream, marker: Int,
+                  body: Array[Byte]): Unit = {
+    out.write(0xFF); out.write(marker)
+    val len = body.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(body)
+  }
+
+  private[graft] def buildJpeg(s: JpegSpec): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8) // SOI
+    // APP0 / JFIF: identifier, version 1.1, units 0, density, no thumb
+    val app0 = new ByteArrayOutputStream()
+    app0.write("JFIF".getBytes("US-ASCII")); app0.write(0)
+    app0.write(1); app0.write(1); app0.write(0)
+    app0.write((s.densityX >> 8) & 0xff); app0.write(s.densityX & 0xff)
+    app0.write(0); app0.write(72)
+    app0.write(0); app0.write(0)
+    seg(out, 0xE0, app0.toByteArray)
+    // DQT: ONE segment carrying nDqt 8-bit tables (the multi-table form)
+    val dqt = new ByteArrayOutputStream()
+    (0 until s.nDqt).foreach { t =>
+      dqt.write(t) // Pq=0 (8-bit), Tq=t
+      (0 until 64).foreach(i => dqt.write((t * 7 + i) % 255 + 1))
+    }
+    seg(out, 0xDB, dqt.toByteArray)
+    // SOF0 (baseline) / SOF2 (progressive)
+    val sof = new ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((s.h >> 8) & 0xff); sof.write(s.h & 0xff)
+    sof.write((s.w >> 8) & 0xff); sof.write(s.w & 0xff)
+    sof.write(s.nComp)
+    (0 until s.nComp).foreach { c =>
+      sof.write(c + 1)
+      sof.write(if (c == 0 && s.nComp > 1) 0x22 else 0x11)
+      sof.write(if (c == 0) 0 else s.nDqt - 1)
+    }
+    seg(out, if (s.progressive) 0xC2 else 0xC0, sof.toByteArray)
+    // two DHTs (DC class 0 + AC class 1): 1 code of len 1, 1 of len 2
+    Seq(0x00, 0x10).foreach { tcth =>
+      val dht = new ByteArrayOutputStream()
+      dht.write(tcth)
+      dht.write(1); dht.write(1); (2 until 16).foreach(_ => dht.write(0))
+      dht.write(0); dht.write(1)
+      seg(out, 0xC4, dht.toByteArray)
+    }
+    // SOS header
+    val sos = new ByteArrayOutputStream()
+    sos.write(s.nComp)
+    (0 until s.nComp).foreach { c => sos.write(c + 1); sos.write(0) }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(out, 0xDA, sos.toByteArray)
+    // entropy-coded scan: bytes never 0xFF by construction; RST marker
+    // after the 2nd data byte, FF 00 stuffing appended at the end
+    (0 until s.scanLen).foreach { i =>
+      out.write((s.seed + 7 * i) % 254)
+      if (i == 1 && s.rst) { out.write(0xFF); out.write(0xD0) }
+    }
+    if (s.stuff) { out.write(0xFF); out.write(0x00) }
+    out.write(0xFF); out.write(0xD9) // EOI
+    val whole = out.toByteArray
+    s.corrupt match {
+      case 1 => whole.dropRight(2) // EOI gone: scan runs off the end
+      case 2 => whole(2) = 0; whole // APP0's FF bent: bad marker grid
+      case _ => whole
+    }
+  }
+
+  /** Synthesize JPEG payloads partition-locally from spec rows
+    * `(doc_id, w, h, n_comp, progressive, n_dqt, density_x, scan_len,
+    * seed, rst, stuff, corrupt)` — the encodeMp4 altitude. */
+  def encodeJpeg(specs: DataFrame): DataFrame = {
+    val spark = specs.sparkSession
+    val out = specs.select(col("doc_id").cast("long"), col("w").cast("int"),
+        col("h").cast("int"), col("n_comp").cast("int"),
+        col("progressive").cast("boolean"), col("n_dqt").cast("int"),
+        col("density_x").cast("int"), col("scan_len").cast("int"),
+        col("seed").cast("int"), col("rst").cast("boolean"),
+        col("stuff").cast("boolean"), col("corrupt").cast("int"))
+      .rdd.mapPartitions(_.map { r =>
+        Row(r.getLong(0), buildJpeg(JpegSpec(r.getLong(0), r.getInt(1),
+          r.getInt(2), r.getInt(3), r.getBoolean(4), r.getInt(5),
+          r.getInt(6), r.getInt(7), r.getInt(8), r.getBoolean(9),
+          r.getBoolean(10), r.getInt(11))))
+      })
+    spark.createDataFrame(out, payloadSchema)
+  }
+
+  // ---- parser ----
+
+  private final class Malformed(val reason: String) extends Exception(reason)
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private[graft] def parseOne(id: Long, b: Array[Byte]): Row =
+    try {
+      if (b.length < 2 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8)
+        throw new Malformed("no-soi")
+      var pos = 2
+      var width = -1L; var height = -1L; var nComp = -1L
+      var progressive = -1L; var nDqt = 0L; var nDht = 0L
+      var densityX = -1L; var scanBytes = -1L
+      var sawSof = false; var sawEoi = false
+      while (pos < b.length && !sawEoi) {
+        if ((b(pos) & 0xff) != 0xFF) throw new Malformed("bad-marker")
+        if (pos + 2 > b.length) throw new Malformed("truncated-segment")
+        val m = b(pos + 1) & 0xff
+        if (m == 0xD9) { sawEoi = true; pos += 2 }
+        else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2
+        else {
+          if (pos + 4 > b.length) throw new Malformed("truncated-segment")
+          val len = be16(b, pos + 2)
+          if (len < 2) throw new Malformed("bad-length")
+          if (pos + 2 + len > b.length) throw new Malformed("truncated-segment")
+          val o = pos + 4
+          val bodyEnd = pos + 2 + len
+          m match {
+            case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+              if (bodyEnd - o < 6) throw new Malformed("bad-length")
+              height = be16(b, o + 1).toLong
+              width = be16(b, o + 3).toLong
+              nComp = (b(o + 5) & 0xff).toLong
+              progressive = if (m == 0xC2) 1L else 0L
+              sawSof = true
+            case 0xDB => // DQT: 1 + 64 (Pq=0) or 1 + 128 (Pq=1) per table
+              var p = o
+              while (p < bodyEnd) {
+                val pq = (b(p) & 0xff) >> 4
+                p += 1 + (if (pq == 0) 64 else 128)
+                if (p > bodyEnd) throw new Malformed("bad-length")
+                nDqt += 1
+              }
+            case 0xC4 => // DHT: 1 + 16 BITS + sum(BITS) symbols per table
+              var p = o
+              while (p < bodyEnd) {
+                if (p + 17 > bodyEnd) throw new Malformed("bad-length")
+                var symbols = 0
+                var i = 0
+                while (i < 16) { symbols += b(p + 1 + i) & 0xff; i += 1 }
+                p += 17 + symbols
+                if (p > bodyEnd) throw new Malformed("bad-length")
+                nDht += 1
+              }
+            case 0xE0 => // APP0: JFIF density
+              if (bodyEnd - o >= 12 &&
+                new String(b, o, 4, "US-ASCII") == "JFIF" && b(o + 4) == 0)
+                densityX = be16(b, o + 8).toLong
+            case 0xDA => // SOS header, then the entropy-coded scan
+              val e = bodyEnd
+              var q = e
+              var found = false
+              while (!found) {
+                if (q + 1 >= b.length) throw new Malformed("missing-eoi")
+                if ((b(q) & 0xff) == 0xFF) {
+                  val nx = b(q + 1) & 0xff
+                  // stuffed 00 and restart markers belong to the scan
+                  if (nx == 0x00 || (nx >= 0xD0 && nx <= 0xD7)) q += 2
+                  else found = true
+                } else q += 1
+              }
+              scanBytes = (q - e).toLong
+              pos = q - (2 + len) // net: loop resumes at the next marker
+            case _ => () // APPn/COM/unknown: skip (forward-compat)
+          }
+          pos += 2 + len
+        }
+      }
+      if (!sawEoi) throw new Malformed("missing-eoi")
+      if (!sawSof) throw new Malformed("missing-sof")
+      Row(id, width, height, nComp, progressive, nDqt, nDht,
+        if (densityX >= 0) densityX else null,
+        if (scanBytes >= 0) scanBytes else null, 1L, null)
+    } catch {
+      case m: Malformed =>
+        Row(id, null, null, null, null, null, null, null, null, 0L, m.reason)
+      case _: IndexOutOfBoundsException =>
+        Row(id, null, null, null, null, null, null, null, null, 0L,
+          "truncated-segment")
+    }
+
+  /** Parse JPEG metadata from `(idCol, payloadCol)` rows: frame dims,
+    * component count, baseline-vs-progressive, quant/huffman table
+    * censuses, JFIF density, entropy-scan byte count. Malformed
+    * payloads quarantine as `ok = 0` rows. Partition-local, no
+    * shuffle. */
+  def parseJpeg(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions(_.map(r => parseOne(r.getLong(0), r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(out, metaSchema)
+  }
+}

@@ -4802,6 +4802,57 @@ object LlmQueries {
        |  CAST(unnest(generate_series(0, (a.n_frames - 1) // $FrameEvery)) * $FrameEvery AS BIGINT) AS frame_idx
        |FROM s JOIN agg a ON s.doc_id = a.doc_id WHERE s.corrupt = 0""".stripMargin
 
+  // ---- real JPEG/JFIF marker-walk metadata ----
+
+  /** JPEG metadata through the real marker-segment walk
+    * (operators/Jpeg): payloads are genuine JFIF streams (APP0 density,
+    * a multi-table DQT segment, SOF0/SOF2 frame headers, two DHTs, an
+    * SOS whose entropy scan carries restart markers every 5th doc and
+    * FF 00 stuffing every 9th) with closed-form fields; two mod-cycles
+    * carry distinct corruptions (EOI dropped → the scan runs off the
+    * end; APP0's FF bent → the marker grid breaks) and the oracle
+    * emits expected metadata / quarantine verdicts without touching a
+    * byte — the ISO-BMFF/WARC synthesize-decode pattern on the
+    * still-image leg. */
+  def qJpegMeta(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val specs = Tables(spark, dir).documents.select(id,
+      (id % 200 + 16).as("w"),
+      (id % 150 + 16).as("h"),
+      when(id % 7 === 0, 1).otherwise(3).as("n_comp"),
+      (id % 3 === 0).as("progressive"),
+      (id % 2 + 1).as("n_dqt"),
+      (id % 100 + 72).as("density_x"),
+      (id % 50 + 5).as("scan_len"),
+      (id % 251).as("seed"),
+      (id % 5 === 0).as("rst"),
+      (id % 9 === 0).as("stuff"),
+      when(id % 13 === 0, 1).when(id % 11 === 0, 2).otherwise(0).as("corrupt"))
+    graft.operators.Jpeg.parseJpeg(
+      graft.operators.Jpeg.encodeJpeg(specs), "doc_id", "payload")
+  }
+
+  val qJpegMetaSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 1 WHEN doc_id % 11 = 0 THEN 2
+      |         ELSE 0 END AS corrupt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN corrupt = 0 THEN CAST(doc_id % 200 + 16 AS BIGINT) END AS width,
+      |  CASE WHEN corrupt = 0 THEN CAST(doc_id % 150 + 16 AS BIGINT) END AS height,
+      |  CASE WHEN corrupt = 0 THEN CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS BIGINT) END AS n_components,
+      |  CASE WHEN corrupt = 0 THEN CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) END AS progressive,
+      |  CASE WHEN corrupt = 0 THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS n_dqt,
+      |  CASE WHEN corrupt = 0 THEN CAST(2 AS BIGINT) END AS n_dht,
+      |  CASE WHEN corrupt = 0 THEN CAST(doc_id % 100 + 72 AS BIGINT) END AS density_x,
+      |  CASE WHEN corrupt = 0 THEN CAST(doc_id % 50 + 5
+      |    + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
+      |    + CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 0 END AS BIGINT) END AS scan_bytes,
+      |  CAST(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+      |  CASE WHEN corrupt = 1 THEN 'missing-eoi'
+      |       WHEN corrupt = 2 THEN 'bad-marker' END AS reason
+      |FROM s""".stripMargin
+
   // ---- deterministic HLL distinct-count sketch ----
 
   /** Per-language trigram cardinality both ways: the EXACT distinct

@@ -1,0 +1,94 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.operators.Jpeg
+
+/** JPEG/JFIF marker walker: closed-form round-trip, a GENUINE
+  * javax.imageio-encoded JPEG (the production-encoder pin), entropy
+  * scan framing (stuffing + restart markers), DQT/DHT censuses, and
+  * every corruption → quarantine-row path. */
+class JpegSpec extends SparkSpec {
+
+  private def spec(id: Long, corrupt: Int = 0, rst: Boolean = false,
+                   stuff: Boolean = false) =
+    Jpeg.JpegSpec(id, w = 640, h = 480, nComp = 3, progressive = false,
+      nDqt = 2, densityX = 96, scanLen = 10, seed = 7, rst = rst,
+      stuff = stuff, corrupt = corrupt)
+
+  test("closed-form round-trip: dims, components, tables, density, scan") {
+    val r = Jpeg.parseOne(1L, Jpeg.buildJpeg(spec(1L)))
+    assert(r.getLong(10 - 1) === 1L) // ok
+    assert(r.getLong(1) === 640L && r.getLong(2) === 480L)
+    assert(r.getLong(3) === 3L) // components
+    assert(r.getLong(4) === 0L) // baseline
+    assert(r.getLong(5) === 2L) // DQT tables in ONE multi-table segment
+    assert(r.getLong(6) === 2L) // DHTs
+    assert(r.getLong(7) === 96L) // JFIF density
+    assert(r.getLong(8) === 10L) // scan bytes
+  }
+
+  test("progressive SOF2 and grayscale are recognized") {
+    val p = Jpeg.buildJpeg(spec(2L).copy(progressive = true, nComp = 1))
+    val r = Jpeg.parseOne(2L, p)
+    assert(r.getLong(4) === 1L && r.getLong(3) === 1L)
+  }
+
+  test("restart markers and FF 00 stuffing belong to the scan") {
+    val r = Jpeg.parseOne(3L, Jpeg.buildJpeg(spec(3L, rst = true, stuff = true)))
+    assert(r.getLong(9) === 1L)
+    assert(r.getLong(8) === 14L) // 10 data + RST (2) + stuffing (2)
+  }
+
+  test("a genuine javax.imageio JPEG parses ok with exact dimensions") {
+    val img = new BufferedImage(37, 23, BufferedImage.TYPE_INT_RGB)
+    (0 until 23).foreach(y => (0 until 37).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val bo = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bo))
+    val r = Jpeg.parseOne(4L, bo.toByteArray)
+    assert(r.getLong(9) === 1L, s"reason=${r.get(10)}")
+    assert(r.getLong(1) === 37L && r.getLong(2) === 23L)
+    assert(r.getLong(3) === 3L)
+    assert(r.getLong(5) >= 1L && r.getLong(6) >= 1L) // real tables counted
+    assert(r.getLong(8) > 0L) // real entropy data measured
+  }
+
+  test("corruptions quarantine with distinct reasons, never throw") {
+    val eoiGone = Jpeg.parseOne(5L, Jpeg.buildJpeg(spec(5L, corrupt = 1)))
+    assert(eoiGone.getLong(9) === 0L && eoiGone.getString(10) === "missing-eoi")
+    val badMarker = Jpeg.parseOne(6L, Jpeg.buildJpeg(spec(6L, corrupt = 2)))
+    assert(badMarker.getLong(9) === 0L && badMarker.getString(10) === "bad-marker")
+    val noSoi = Jpeg.parseOne(7L, Array[Byte](1, 2, 3))
+    assert(noSoi.getLong(9) === 0L && noSoi.getString(10) === "no-soi")
+    val whole = Jpeg.buildJpeg(spec(8L))
+    val cutSeg = Jpeg.parseOne(8L, whole.take(10)) // mid-APP0
+    assert(cutSeg.getLong(9) === 0L && cutSeg.getString(10) === "truncated-segment")
+    val sofGone = { // strip everything between APP0 and SOS: minimal stream
+      val out = new ByteArrayOutputStream()
+      out.write(0xFF); out.write(0xD8); out.write(0xFF); out.write(0xD9)
+      Jpeg.parseOne(9L, out.toByteArray)
+    }
+    assert(sofGone.getLong(9) === 0L && sofGone.getString(10) === "missing-sof")
+  }
+
+  test("unknown APPn/COM segments skip; 16-bit DQT tables count once") {
+    val base = Jpeg.buildJpeg(spec(10L))
+    // splice an APP2 and a COM right after SOI, and a 16-bit DQT
+    val out = new ByteArrayOutputStream()
+    out.write(base, 0, 2)
+    out.write(0xFF); out.write(0xE2); out.write(0); out.write(6)
+    out.write("ICCP".getBytes("US-ASCII"))
+    out.write(0xFF); out.write(0xFE); out.write(0); out.write(4)
+    out.write('h'); out.write('i')
+    out.write(0xFF); out.write(0xDB); out.write(0); out.write(131)
+    out.write(0x10) // Pq=1: 16-bit table → 128 value bytes
+    (0 until 128).foreach(i => out.write(i % 250))
+    out.write(base, 2, base.length - 2)
+    val r = Jpeg.parseOne(10L, out.toByteArray)
+    assert(r.getLong(9) === 1L, s"reason=${r.get(10)}")
+    assert(r.getLong(5) === 3L) // 1 sixteen-bit + 2 eight-bit tables
+    assert(r.getLong(1) === 640L)
+  }
+}
