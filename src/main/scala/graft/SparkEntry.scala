@@ -235,6 +235,8 @@ object SparkEntry {
     "q_video_frames" -> (L.qVideoFrames _),
     // real JPEG/JFIF marker-segment walk (dims/tables/scan census)
     "q_jpeg_meta" -> (L.qJpegMeta _),
+    // delta+LEB128 varint postings codec round-trip (inverted-index storage)
+    "q_varint_postings" -> (L.qVarintPostings _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
@@ -417,6 +419,7 @@ object SparkEntry {
     "q_warc_extract" -> L.qWarcExtractSql,
     "q_tar_extract" -> L.qTarExtractSql,
     "q_jpeg_meta" -> L.qJpegMetaSql,
+    "q_varint_postings" -> L.qVarintPostingsSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

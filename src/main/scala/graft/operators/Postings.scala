@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delta + LEB128-varint postings compression — the inverted-index
+  * STORAGE leg of the retrieval family (BM25/tf-idf score; this is how
+  * the index itself ships): a sorted doc-id list becomes first-value +
+  * ascending gaps, each gap written as little-endian 7-bit groups with
+  * a continuation high bit (the Lucene/Kafka/protobuf wire idiom —
+  * public format, original implementation). Stopword lists with dense
+  * gaps compress toward 1 byte/doc; rare terms pay ~1 varint for one
+  * large first value.
+  *
+  * Codec altitude: pure JVM kernels inside a typed map (no Catalyst
+  * expression emits variable-length binary), with the DataFrame halves
+  * building the postings declaratively: distinct (term, doc) pairs,
+  * a df census with the deterministic (df desc, term asc) top-k cut,
+  * then one bounded regroup for the SURVIVING terms only — the census
+  * + broadcast-semijoin shape, so the expensive collect only ever runs
+  * for k terms, never the whole vocabulary.
+  *
+  * Scale contract: a per-term array row bounds the postings list by
+  * the max-array/row size — at 100 TB a stopword's list (~10⁹ ids)
+  * must shard as (term, block_id) rows of bounded length; the codec
+  * and the gap algebra are unchanged (each block's first id is
+  * absolute), so the sharded variant is a grouping change only. */
+object Postings {
+
+  /** Encode a SORTED ascending doc-id list: first value verbatim, then
+    * gaps, each as LEB128 (little-endian 7-bit groups, high bit =
+    * continuation). */
+  def varintEncode(ids: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(ids.length * 2)
+    var prev = 0L
+    var first = true
+    ids.foreach { id =>
+      var v = if (first) id else id - prev
+      require(v >= (if (first) 0L else 1L),
+        s"postings must be sorted ascending and distinct (at $id)")
+      first = false
+      prev = id
+      var more = true
+      while (more) {
+        val g = (v & 0x7fL).toInt
+        v >>>= 7
+        more = v != 0L
+        out.write(if (more) g | 0x80 else g)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decode back to absolute doc ids. */
+  def varintDecode(b: Array[Byte]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var prev = 0L
+    var first = true
+    while (i < b.length) {
+      var v = 0L
+      var shift = 0
+      var cont = true
+      while (cont) {
+        val x = b(i) & 0xff
+        i += 1
+        v |= (x & 0x7fL) << shift
+        shift += 7
+        cont = (x & 0x80) != 0
+      }
+      val id = if (first) v else prev + v
+      first = false
+      prev = id
+      out += id
+    }
+    out.toArray
+  }
+
+  /** Postings for the top-k terms by document frequency (deterministic
+    * (df desc, term asc) total-order cut): `(term, doc_ids)` with the
+    * id list sorted ascending. Two passes over the token pairs — the
+    * df census, then a broadcast semi-join so only k terms regroup. */
+  def buildTopK(docs: DataFrame, k: Int, scripted: Boolean = false): DataFrame = {
+    val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(TextAnalysis.tokensOf(col("text"), scripted)).as("term"))
+      .distinct()
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+    tok.join(broadcast(top.select("term")), Seq("term"))
+      .groupBy(col("term"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+  }
+
+  /** Encode → decode round-trip census per term: list length, exact
+    * encoded byte count, unsigned byte sum (gates every emitted byte),
+    * and the id sum recovered from the DECODED list (gates the
+    * decoder). A round-trip mismatch fails the task outright — the
+    * codec is deterministic, so any mismatch is a codec bug, not a
+    * data condition to quarantine. */
+  def roundTripCensus(postings: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.select(col("term"), col("doc_ids"))
+      .as[(String, Seq[Long])]
+      .map { case (t, ids) =>
+        val arr = ids.toArray
+        val bin = varintEncode(arr)
+        val back = varintDecode(bin)
+        require(java.util.Arrays.equals(arr, back),
+          s"varint round-trip mismatch for term '$t'")
+        var bs = 0L
+        bin.foreach(x => bs += (x & 0xffL))
+        (t, arr.length.toLong, bin.length.toLong, bs, back.sum)
+      }
+      .toDF("term", "n_docs", "encoded_bytes", "byte_sum", "doc_sum")
+  }
+}

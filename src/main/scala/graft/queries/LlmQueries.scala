@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
-import graft.operators.{AsOf, Dedup, Graph, Multimodal, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Graph, Multimodal, Postings, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
 import graft.sources.{Tables, Tar, Warc}
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
@@ -1988,6 +1988,53 @@ object LlmQueries {
        |w AS (SELECT unnest(${scriptedWordsSql("text")}) AS token FROM d)
        |SELECT token, COUNT(*) AS n FROM w GROUP BY token
        |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
+  // ---- varint-compressed postings (inverted-index storage) ----
+
+  private val PostingsTopK = 256
+
+  /** Delta+LEB128 postings round-trip over the top-256 df terms
+    * (operators/Postings): the REAL codec encodes each sorted doc-id
+    * list and decodes it back; the gate compares the exact encoded
+    * byte count, the unsigned sum of every emitted byte (128-weighted
+    * continuation bits included — any bent group or flag bends it)
+    * and the id sum recovered from the DECODED bytes. The DuckDB
+    * oracle replays the varint algebra from first principles: gap
+    * lengths via the portable integer bit-length idiom
+    * (ltrim(bin(x),'0')), 7-bit digit sums via a generate_series
+    * lateral — it never runs the codec. */
+  def qVarintPostings(spark: SparkSession, dir: String): DataFrame =
+    Postings.roundTripCensus(
+      Postings.buildTopK(Tables(spark, dir).documents, PostingsTopK))
+
+  val qVarintPostingsSql: String =
+    s"""WITH raw AS (SELECT doc_id, unnest(${wordsSql("text")}) AS term
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, term FROM raw),
+       |top AS (SELECT term, count(*) AS df FROM tok GROUP BY term
+       |  ORDER BY df DESC, term ASC LIMIT $PostingsTopK),
+       |p AS (SELECT tok.term, list_sort(list(tok.doc_id)) AS ids
+       |  FROM tok JOIN top USING (term) GROUP BY tok.term),
+       |u AS (SELECT term, ids[t.i] AS id, t.i AS ord
+       |  FROM p, unnest(generate_series(1, len(ids))) AS t(i)),
+       |g AS (SELECT term, id, ord,
+       |    CASE WHEN ord = 1 THEN id
+       |         ELSE id - lag(id) OVER (PARTITION BY term ORDER BY ord) END AS gap
+       |  FROM u),
+       |b AS (SELECT term, id, ord, gap,
+       |    CASE WHEN gap = 0 THEN 1
+       |         ELSE (length(ltrim(bin(gap), '0')) + 6) // 7 END AS nb
+       |  FROM g),
+       |d AS (SELECT b.term, b.ord, max(b.id) AS id, max(b.nb) AS nb,
+       |    CAST(sum((b.gap >> (7 * t.j)) & 127) + 128 * (max(b.nb) - 1) AS BIGINT)
+       |      AS gap_bytesum
+       |  FROM b, unnest(generate_series(0, b.nb - 1)) AS t(j)
+       |  GROUP BY b.term, b.ord)
+       |SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nb) AS BIGINT) AS encoded_bytes,
+       |  CAST(sum(gap_bytesum) AS BIGINT) AS byte_sum,
+       |  CAST(sum(id) AS BIGINT) AS doc_sum
+       |FROM d GROUP BY term""".stripMargin
 
   private val VocabCoverageKs: Seq[Int] = Seq(10, 100, 1000)
 

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Postings
+
+/** Varint postings codec: LEB128 boundary values, delta algebra,
+  * random-list round-trip property, the deterministic top-k postings
+  * build, and the census columns against a driver-side brute force. */
+class PostingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LEB128 boundaries: 0, 127, 128, 16383, 16384, 2^31, 2^62") {
+    // single-value lists: the encoded form IS the varint of the value
+    def nBytes(v: Long): Int = Postings.varintEncode(Array(v)).length
+    assert(nBytes(0L) === 1)
+    assert(nBytes(127L) === 1)
+    assert(nBytes(128L) === 2)
+    assert(nBytes(16383L) === 2)
+    assert(nBytes(16384L) === 3)
+    assert(nBytes(1L << 31) === 5)
+    assert(nBytes(1L << 62) === 9)
+    assert(Postings.varintDecode(Postings.varintEncode(Array(1L << 62)))
+      === Array(1L << 62))
+  }
+
+  test("gaps, not absolutes, are what's encoded") {
+    // 1000000 then +1: second entry is one gap byte
+    val bin = Postings.varintEncode(Array(1000000L, 1000001L))
+    assert(bin.length === Postings.varintEncode(Array(1000000L)).length + 1)
+    assert(Postings.varintDecode(bin) === Array(1000000L, 1000001L))
+  }
+
+  test("unsorted or duplicate ids are rejected") {
+    intercept[IllegalArgumentException](Postings.varintEncode(Array(5L, 3L)))
+    intercept[IllegalArgumentException](Postings.varintEncode(Array(5L, 5L)))
+  }
+
+  test("round-trip property over random sorted distinct lists (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(50)
+      val ids = Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 40))
+        .distinct.sorted.toArray
+      assert(Postings.varintDecode(Postings.varintEncode(ids)).toSeq
+        === ids.toSeq)
+    }
+  }
+
+  test("buildTopK: deterministic cut, sorted distinct lists, census matches brute force") {
+    val docs = Seq(
+      (0L, "the cat sat"), (1L, "the dog sat sat"), (2L, "the cat ran"),
+      (3L, "a cat"), (4L, "the end"), (5L, "b b b")).toDF("doc_id", "text")
+    val postings = Postings.buildTopK(docs, 3).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // df: the=4, cat=3, sat=2|ties... -> top3 = the, cat, sat (df desc, term asc)
+    assert(postings.keySet === Set("the", "cat", "sat"))
+    assert(postings("the") === Seq(0L, 1L, 2L, 4L))
+    assert(postings("cat") === Seq(0L, 2L, 3L))
+    assert(postings("sat") === Seq(0L, 1L)) // distinct: doc 1 repeats 'sat'
+    val census = Postings.roundTripCensus(
+        Postings.buildTopK(docs, 3)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    postings.foreach { case (t, ids) =>
+      val bin = Postings.varintEncode(ids.toArray)
+      val bs = bin.map(_ & 0xffL).sum
+      assert(census(t) === ((ids.length.toLong, bin.length.toLong, bs, ids.sum)), t)
+    }
+  }
+}
