@@ -237,6 +237,8 @@ object SparkEntry {
     "q_jpeg_meta" -> (L.qJpegMeta _),
     // delta+LEB128 varint postings codec round-trip (inverted-index storage)
     "q_varint_postings" -> (L.qVarintPostings _),
+    // T5-style block-local span corruption (denoising pretraining pairs)
+    "q_span_corrupt" -> (L.qSpanCorrupt _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
@@ -420,6 +422,7 @@ object SparkEntry {
     "q_tar_extract" -> L.qTarExtractSql,
     "q_jpeg_meta" -> L.qJpegMetaSql,
     "q_varint_postings" -> L.qVarintPostingsSql,
+    "q_span_corrupt" -> L.qSpanCorruptSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

@@ -1344,6 +1344,56 @@ object TextAnalysis {
         col("n_tokens"), col("n_kept_tokens"), col(textCol))
   }
 
+  /** T5-style span corruption (the denoising-pretraining data
+    * transform), deterministic block-local variant: token positions
+    * partition into fixed blocks of `blockSize`; each (doc, block)
+    * draws an md5 coin (fires ~1/2), a span start in 0..6 and a span
+    * length in 2..4, masking block offsets [start, start+len) —
+    * expected corruption ≈ 15% of tokens at the default geometry (the
+    * T5 rate). Classic span sampling is a sequential scan; block-local
+    * draws make corruption embarrassingly parallel AND replayable from
+    * (doc_id, block) alone — the md5-sampling doctrine, so a retried
+    * job or another engine masks the identical positions. Emits the
+    * training pair the pipeline actually ships: input = kept tokens
+    * with each span collapsed to ONE `<extra_id_k>` sentinel (k = span
+    * rank within the doc), target = sentinel-prefixed masked spans;
+    * both gated as md5 of the rebuilt strings, so one mis-masked or
+    * mis-ordered token anywhere bends a hash. Docs with no tokens are
+    * absent (the unigramLogprob contract); `target_md5` is NULL when
+    * no span fired. One doc-keyed window exchange; the regroup rides
+    * the same partitioning. */
+  def spanCorrupt(docs: DataFrame, blockSize: Int = 10,
+                  id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val marked = docs
+      .select(col(id), posexplode(Portable.words(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("__blk", expr(s"pos div $blockSize"))
+      .withColumn("__h", Portable.h31(concat(
+        col(id).cast("string"), lit(":"), col("__blk").cast("string"))))
+      .withColumn("__s", col("__h") % 7)
+      .withColumn("__masked",
+        col("__h") % 2 === 0 && col("pos") % blockSize >= col("__s") &&
+          col("pos") % blockSize < col("__s") + col("__h") % 3 + 2)
+      .withColumn("__first", col("__masked") && col("pos") % blockSize === col("__s"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val withK = marked.withColumn("__k",
+      sum(when(col("__first"), 1L).otherwise(0L)).over(w))
+    val sentinel = concat(lit("<extra_id_"), (col("__k") - 1).cast("string"), lit(">"))
+    val inputTok = when(!col("__masked"), col("word")).when(col("__first"), sentinel)
+    val targetTok = when(col("__first"), concat(sentinel, lit(" "), col("word")))
+      .when(col("__masked"), col("word"))
+    def orderedMd5(tok: Column): Column = md5(concat_ws(" ",
+      transform(array_sort(collect_list(when(tok.isNotNull,
+        struct(col("pos"), tok.as("t"))))), s => s.getField("t"))))
+    withK.groupBy(col(id)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__masked"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("__first"), 1L).otherwise(0L)).as("n_spans"),
+        orderedMd5(inputTok).as("input_md5"),
+        orderedMd5(targetTok).as("__t_md5"))
+      .withColumn("target_md5", when(col("n_spans") > 0, col("__t_md5")))
+      .drop("__t_md5")
+  }
+
   /** Top-k collocations by pointwise mutual information over adjacent
     * word pairs — the corpus-analysis view (Wimbd-flavor) that
     * surfaces multiword expressions and boilerplate phrases:

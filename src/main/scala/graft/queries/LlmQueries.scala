@@ -2036,6 +2036,48 @@ object LlmQueries {
        |  CAST(sum(id) AS BIGINT) AS doc_sum
        |FROM d GROUP BY term""".stripMargin
 
+  // ---- T5-style span corruption (denoising pretraining pairs) ----
+
+  private val SpanBlock = 10
+
+  /** Deterministic block-local span corruption (TextAnalysis
+    * .spanCorrupt): every (doc, block) md5 coin, span geometry and
+    * sentinel id replays on both engines, and the gate hashes the
+    * REBUILT input/target strings — one mis-masked token, wrong
+    * sentinel number or ordering slip anywhere bends a hash. */
+  def qSpanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorrupt(Tables(spark, dir).documents, SpanBlock)
+
+  val qSpanCorruptSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT doc_id, t.i - 1 AS pos, w[t.i] AS word
+       |  FROM ws, unnest(generate_series(1, len(w))) AS t(i)),
+       |m AS (SELECT doc_id, pos, word,
+       |    ${h31Sql(s"CAST(doc_id AS VARCHAR) || ':' || CAST(pos // $SpanBlock AS VARCHAR)")} AS h
+       |  FROM tok),
+       |f AS (SELECT doc_id, pos, word,
+       |    (h % 2 = 0 AND pos % $SpanBlock >= h % 7
+       |      AND pos % $SpanBlock < h % 7 + h % 3 + 2) AS masked,
+       |    (h % 2 = 0 AND pos % $SpanBlock = h % 7) AS isfirst
+       |  FROM m),
+       |kk AS (SELECT doc_id, pos, word, masked, isfirst,
+       |    sum(CASE WHEN isfirst THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS k
+       |  FROM f),
+       |e AS (SELECT doc_id, pos, masked, isfirst,
+       |    CASE WHEN NOT masked THEN word
+       |         WHEN isfirst THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+       |         END AS itok,
+       |    CASE WHEN isfirst THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || word
+       |         WHEN masked THEN word END AS ttok
+       |  FROM kk)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(sum(CASE WHEN isfirst THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  md5(string_agg(itok, ' ' ORDER BY pos)) AS input_md5,
+       |  md5(string_agg(ttok, ' ' ORDER BY pos)) AS target_md5
+       |FROM e GROUP BY doc_id""".stripMargin
+
   private val VocabCoverageKs: Seq[Int] = Seq(10, 100, 1000)
 
   /** Vocabulary COVERAGE curve — the Zipf report behind tokenizer/

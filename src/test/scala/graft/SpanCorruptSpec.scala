@@ -1,0 +1,94 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.TextAnalysis
+
+/** Block-local T5 span corruption: exact driver-side replication of
+  * the md5 coins, masks, sentinel numbering and rebuilt input/target
+  * strings; the no-span NULL contract; and the corruption-rate
+  * envelope of the default geometry. */
+class SpanCorruptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def h31(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 7), 16) % 2147483647L
+
+  /** Driver-side replica of the operator's mask/rebuild algebra. */
+  private def replicate(id: Long, words: Seq[String], B: Int = 10)
+      : (Long, Long, String, Option[String]) = {
+    case class Blk(fire: Boolean, s: Long, l: Long)
+    val blk = (0 to words.length / B).map { b =>
+      val h = h31(s"$id:$b")
+      b -> Blk(h % 2 == 0, h % 7, h % 3 + 2)
+    }.toMap
+    def masked(pos: Int): Boolean = {
+      val k = blk(pos / B)
+      k.fire && pos % B >= k.s && pos % B < k.s + k.l
+    }
+    def first(pos: Int): Boolean = {
+      val k = blk(pos / B)
+      k.fire && pos % B == k.s
+    }
+    var kRank = 0
+    val in = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tg = scala.collection.mutable.ArrayBuffer.empty[String]
+    words.zipWithIndex.foreach { case (w, p) =>
+      if (first(p)) {
+        kRank += 1
+        in += s"<extra_id_${kRank - 1}>"
+        tg += s"<extra_id_${kRank - 1}> $w"
+      } else if (masked(p)) tg += w
+      else in += w
+    }
+    val nMasked = words.indices.count(masked)
+    (nMasked.toLong, kRank.toLong, in.mkString(" "),
+      if (kRank > 0) Some(tg.mkString(" ")) else None)
+  }
+
+  test("exact replication: masks, sentinels, input/target hashes") {
+    val docs = Seq(
+      (7L, (0 until 25).map(i => s"w$i").mkString(" ")),
+      (8L, (0 until 9).map(i => s"x$i").mkString(" ")),
+      (9L, "single"))
+    val out = TextAnalysis.spanCorrupt(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text) =>
+      val words = text.split("\\s+").toSeq
+      val (nm, ns, in, tgOpt) = replicate(id, words)
+      val r = out(id)
+      assert(r.getLong(1) === words.length.toLong, s"n_tokens id=$id")
+      assert(r.getLong(2) === nm, s"n_masked id=$id")
+      assert(r.getLong(3) === ns, s"n_spans id=$id")
+      assert(r.getString(4) === md5hex(in), s"input id=$id")
+      tgOpt match {
+        case Some(t) => assert(r.getString(5) === md5hex(t), s"target id=$id")
+        case None => assert(r.isNullAt(5), s"target should be NULL id=$id")
+      }
+    }
+  }
+
+  test("no-span docs carry a NULL target and an untouched input") {
+    // hunt a (doc_id, 5-word) doc whose single block does not fire
+    val id = (0L to 200L).find(i => h31(s"$i:0") % 2 != 0).get
+    val out = TextAnalysis.spanCorrupt(
+      Seq((id, "a b c d e")).toDF("doc_id", "text")).collect()(0)
+    assert(out.getLong(2) === 0L && out.getLong(3) === 0L)
+    assert(out.getString(4) === md5hex("a b c d e"))
+    assert(out.isNullAt(5))
+  }
+
+  test("default geometry corrupts ~15% of a long corpus") {
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until 100).map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
+    val agg = TextAnalysis.spanCorrupt(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_masked"),
+        org.apache.spark.sql.functions.sum("n_tokens")).collect()(0)
+    val rate = agg.getLong(0).toDouble / agg.getLong(1)
+    assert(rate > 0.10 && rate < 0.20, s"rate=$rate")
+  }
+}
