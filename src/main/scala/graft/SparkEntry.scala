@@ -239,6 +239,8 @@ object SparkEntry {
     "q_varint_postings" -> (L.qVarintPostings _),
     // T5-style block-local span corruption (denoising pretraining pairs)
     "q_span_corrupt" -> (L.qSpanCorrupt _),
+    // SFT loss-mask rendering census (assistant-only loss, hash-gated)
+    "q_loss_mask" -> (L.qLossMask _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
@@ -423,6 +425,7 @@ object SparkEntry {
     "q_jpeg_meta" -> L.qJpegMetaSql,
     "q_varint_postings" -> L.qVarintPostingsSql,
     "q_span_corrupt" -> L.qSpanCorruptSql,
+    "q_loss_mask" -> L.qLossMaskSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

@@ -75,4 +75,40 @@ object ChatData {
       when(reason.isNull, 1L).otherwise(0L).as("valid"),
       reason.as("reason"))
   }
+
+  /** SFT loss-mask rendering — the step between validation and
+    * tokenization: each turn renders as `<|role|>` header + content
+    * words + `<|end|>`, and the 0/1 loss mask admits ONLY assistant
+    * content words and the assistant's own end token (the model learns
+    * to answer and to stop; headers, system and user tokens never
+    * receive loss — the standard SFT masking rule). Emits the census
+    * SFT mixing reads (total/loss token counts, assistant-turn count)
+    * plus md5 of the rendered template and of the mask string, so one
+    * mis-attributed token anywhere bends a hash.
+    *
+    * Pure from_json + HOF column algebra per row — zero shuffle, no
+    * UDF, no explode (the whole render stays one array expression).
+    * Unparseable JSON yields NULL censuses (validate first — the
+    * [[validateChat]] contract). */
+  def lossMask(docs: DataFrame, jsonCol: String = "chat",
+               id: String = "doc_id"): DataFrame = {
+    val turns = from_json(col(jsonCol), turnSchema)
+    def hdr(t: Column): Column = concat(lit("<|"), t.getField("role"), lit("|>"))
+    def cw(t: Column): Column =
+      filter(Portable.words(coalesce(t.getField("content"), lit(""))),
+        w => length(w) > 0)
+    def isA(t: Column): Column = t.getField("role") === "assistant"
+    val tpl = flatten(transform(turns, t =>
+      concat(array(hdr(t)), cw(t), array(lit("<|end|>")))))
+    val mask = flatten(transform(turns, t =>
+      concat(array(lit("0")),
+        transform(cw(t), _ => when(isA(t), "1").otherwise("0")),
+        array(when(isA(t), "1").otherwise("0")))))
+    docs.select(col(id),
+      size(tpl).cast(LongType).as("n_tokens"),
+      size(filter(mask, m => m === "1")).cast(LongType).as("n_loss"),
+      size(filter(turns, t => isA(t))).cast(LongType).as("n_asst_turns"),
+      md5(array_join(tpl, " ")).as("render_md5"),
+      md5(array_join(mask, "")).as("mask_md5"))
+  }
 }

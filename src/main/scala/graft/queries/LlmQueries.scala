@@ -1227,7 +1227,10 @@ object LlmQueries {
     * The JSON is built and PARSED on the Spark side (real from_json
     * machinery); the oracle emits the expected verdicts closed-form
     * without touching JSON — the q_url_canon doctrine. */
-  def qChatValidate(spark: SparkSession, dir: String): DataFrame = {
+  /** The six-variant chat fixture (doc_id % 6) shared by
+    * q_chat_validate and q_loss_mask — two valid shapes, a system-led
+    * valid shape, and three failure modes. */
+  private def chatFixture(spark: SparkSession, dir: String): DataFrame = {
     val i = col("doc_id")
     val s = i.cast("string")
     def u(extra: Column) = concat(lit("{\"role\":\"user\",\"content\":\"ask "), extra, lit("\"}"))
@@ -1241,9 +1244,11 @@ object LlmQueries {
       .when(i % 6 === 3, concat(lit("["), u(s), lit(","), u(s), lit(","), a(s), lit("]")))
       .when(i % 6 === 4, concat(lit("["), u(s), lit(","), aEmpty, lit("]")))
       .otherwise(concat(lit("["), sys, lit(","), u(s), lit(","), a(s), lit("]")))
-    graft.operators.ChatData.validateChat(
-      Tables(spark, dir).documents.select(i, chat.as("chat")))
+    Tables(spark, dir).documents.select(i, chat.as("chat"))
   }
+
+  def qChatValidate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ChatData.validateChat(chatFixture(spark, dir))
 
   val qChatValidateSql: String =
     s"""SELECT doc_id,
@@ -1255,6 +1260,45 @@ object LlmQueries {
        |  CASE WHEN doc_id % 6 IN (2, 3) THEN 'bad-structure'
        |       WHEN doc_id % 6 = 4 THEN 'empty-content' END AS reason
        |FROM documents""".stripMargin
+
+  // ---- SFT loss-mask rendering (operators/ChatData.lossMask) ----
+
+  /** Loss-mask census over the shared chat fixture: the Spark side
+    * renders through real from_json + HOF algebra; the oracle emits
+    * the expected rendered template and mask STRINGS closed-form per
+    * variant (the q_url_canon doctrine — it never parses JSON), so a
+    * mis-attributed loss token, a bent header, or a dropped end token
+    * bends a hash. */
+  def qLossMask(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ChatData.lossMask(chatFixture(spark, dir))
+
+  val qLossMaskSql: String = {
+    val uR = "'<|user|> ask ' || s || ' <|end|>'"
+    val aR = "'<|assistant|> ans ' || s || ' done <|end|>'"
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents)
+       |SELECT doc_id,
+       |  CAST(CASE doc_id % 6 WHEN 0 THEN 9 WHEN 1 THEN 18 WHEN 2 THEN 9
+       |       WHEN 3 THEN 13 WHEN 4 THEN 6 ELSE 13 END AS BIGINT) AS n_tokens,
+       |  CAST(CASE doc_id % 6 WHEN 1 THEN 8 WHEN 4 THEN 1 ELSE 4 END AS BIGINT) AS n_loss,
+       |  CAST(CASE doc_id % 6 WHEN 1 THEN 2 ELSE 1 END AS BIGINT) AS n_asst_turns,
+       |  md5(CASE doc_id % 6
+       |    WHEN 0 THEN $uR || ' ' || $aR
+       |    WHEN 1 THEN $uR || ' ' || $aR || ' ' || $uR || ' ' || $aR
+       |    WHEN 2 THEN $aR || ' ' || $uR
+       |    WHEN 3 THEN $uR || ' ' || $uR || ' ' || $aR
+       |    WHEN 4 THEN $uR || ' ' || '<|assistant|> <|end|>'
+       |    ELSE '<|system|> be helpful <|end|> ' || $uR || ' ' || $aR
+       |  END) AS render_md5,
+       |  md5(CASE doc_id % 6
+       |    WHEN 0 THEN '000001111'
+       |    WHEN 1 THEN '000001111000001111'
+       |    WHEN 2 THEN '011110000'
+       |    WHEN 3 THEN '0000000001111'
+       |    WHEN 4 THEN '000001'
+       |    ELSE '0000000001111'
+       |  END) AS mask_md5
+       |FROM d""".stripMargin
+  }
 
   // ---- robots.txt crawl politeness (operators/Robots) ----
 

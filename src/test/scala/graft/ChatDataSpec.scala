@@ -51,4 +51,33 @@ class ChatDataSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a === b)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  test("lossMask: render/mask strings, assistant-only loss, edge shapes") {
+    val out = ChatData.lossMask(Seq(
+        (1L, """[{"role":"user","content":"a  b"},{"role":"assistant","content":"c"}]"""),
+        (2L, """[{"role":"system","content":"s"}]"""),
+        (3L, "not json"),
+        (4L, "[]"))
+      .toDF("doc_id", "chat")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // double space collapses: words filter empties
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 7L && r1.getLong(2) === 2L && r1.getLong(3) === 1L)
+    assert(r1.getString(4) === md5hex("<|user|> a b <|end|> <|assistant|> c <|end|>"))
+    assert(r1.getString(5) === md5hex("0000011"))
+    // system-only: renders, zero loss
+    val r2 = out(2L)
+    assert(r2.getLong(1) === 3L && r2.getLong(2) === 0L && r2.getLong(3) === 0L)
+    assert(r2.getString(4) === md5hex("<|system|> s <|end|>"))
+    // unparseable: NULL censuses (validate first)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))
+    // empty transcript: empty render, zero counts
+    val r4 = out(4L)
+    assert(r4.getLong(1) === 0L && r4.getLong(2) === 0L)
+    assert(r4.getString(4) === md5hex(""))
+  }
 }
