@@ -610,6 +610,58 @@ object Streams {
     * construction, null texts propagate to a null n_tokens (cursor
     * unmoved) instead of crashing the query, and only the narrow
     * (doc_id, shard, n_tokens) rows ride the stateful shuffle. */
+  /** Streaming twin of T5 span corruption (operators/TextAnalysis
+    * .spanCorrupt): every mask draw is a pure function of
+    * (doc_id, block), so a document corrupts identically in any batch
+    * — stateless per doc, the md5-sampling doctrine's streaming
+    * dividend. Parity pinned in StreamingSpec. */
+  def spanCorruptStream(docs: DataFrame, blockSize: Int = 10)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "spanCorruptStream is streaming-only: use TextAnalysis.spanCorrupt for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.spanCorrupt(batch, blockSize), batchId)
+    }
+  }
+
+  /** Streaming twin of SFT loss-mask rendering (operators/ChatData
+    * .lossMask): stateless per transcript — the render step an SFT
+    * ingest service runs right after validation. Parity pinned in
+    * StreamingSpec. */
+  def lossMaskStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "lossMaskStream is streaming-only: use ChatData.lossMask for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.ChatData.lossMask(batch), batchId)
+    }
+  }
+
+  /** Streaming twin of tar/WebDataset shard splitting (sources/Tar
+    * .entries): each arriving shard splits independently — the ingest
+    * shape of a continuously-landing shard bucket. Parity pinned in
+    * StreamingSpec. */
+  def tarEntriesStream(shards: DataFrame, bytesCol: String, keyCol: String)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(shards.isStreaming,
+      "tarEntriesStream is streaming-only: use Tar.entries for batch frames")
+    shards.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.sources.Tar.entries(batch, bytesCol, keyCol), batchId)
+    }
+  }
+
+  /** Streaming twin of the JPEG marker walk (operators/Jpeg
+    * .parseJpeg): stateless per payload — metadata extraction at image
+    * ingest time. Parity pinned in StreamingSpec. */
+  def jpegMetaStream(media: DataFrame, idCol: String, payloadCol: String)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(media.isStreaming,
+      "jpegMetaStream is streaming-only: use Jpeg.parseJpeg for batch frames")
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Jpeg.parseJpeg(batch, idCol, payloadCol), batchId)
+    }
+  }
+
   def packStream(docs: Dataset[Doc], budget: Long = 1024,
                  shards: Int = 8): Dataset[PackAssignment] = {
     require(budget > 0 && shards > 0)

@@ -1055,4 +1055,82 @@ class StreamingSpec extends SparkSpec {
       .collect().head.getAs[Double]("hll_est")
     assert(eStream === eWhole)
   }
+
+  test("spanCorruptStream and lossMaskStream replay batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (1L, (0 until 25).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc here"),
+      (3L, "a b c d e f g h i j k l m"))
+    val chats = Seq(
+      (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo there"}]"""),
+      (2L, """[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""),
+      (3L, "broken"))
+    val inT = MemoryStream[(Long, String)]
+    val inC = MemoryStream[(Long, String)]
+    inT.addData(texts.take(1): _*); inC.addData(chats.take(1): _*)
+    val accT = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val accC = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q1 = Streams.spanCorruptStream(inT.toDF().toDF("doc_id", "text")) {
+      (out, _) => accT.synchronized { accT ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    val q2 = Streams.lossMaskStream(inC.toDF().toDF("doc_id", "chat")) {
+      (out, _) => accC.synchronized { accC ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    inT.addData(texts.drop(1): _*); inC.addData(chats.drop(1): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    assert(accT.map(_.toString).sorted.toSeq ===
+      graft.operators.TextAnalysis.spanCorrupt(texts.toDF("doc_id", "text"))
+        .collect().map(_.toString).sorted.toSeq)
+    assert(accC.map(_.toString).sorted.toSeq ===
+      graft.operators.ChatData.lossMask(chats.toDF("doc_id", "chat"))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("tarEntriesStream and jpegMetaStream split/parse batches like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shards = Seq(
+      ("s0", graft.sources.Tar.write(Seq(
+        graft.sources.Tar.TarFile("a/k.txt", "42".getBytes),
+        graft.sources.Tar.TarFile("a/k.lbl", "L1".getBytes)))),
+      ("s1", graft.sources.Tar.write(Seq(
+        graft.sources.Tar.TarFile("b/x.json", "{}".getBytes)))))
+    val jpegs = Seq(
+      (1L, graft.operators.Jpeg.buildJpeg(graft.operators.Jpeg.JpegSpec(
+        1L, 32, 16, 3, progressive = false, nDqt = 1, densityX = 72,
+        scanLen = 6, seed = 3, rst = false, stuff = false, corrupt = 0))),
+      (2L, graft.operators.Jpeg.buildJpeg(graft.operators.Jpeg.JpegSpec(
+        2L, 8, 8, 1, progressive = true, nDqt = 2, densityX = 96,
+        scanLen = 4, seed = 9, rst = true, stuff = true, corrupt = 1))))
+    val inS = MemoryStream[(String, Array[Byte])]
+    val inJ = MemoryStream[(Long, Array[Byte])]
+    inS.addData(shards.take(1): _*); inJ.addData(jpegs.take(1): _*)
+    val accS = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val accJ = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q1 = Streams.tarEntriesStream(
+        inS.toDF().toDF("shard", "bytes"), "bytes", "shard") {
+      (out, _) => accS.synchronized {
+        accS ++= out.drop("payload").collect()
+      }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    val q2 = Streams.jpegMetaStream(
+        inJ.toDF().toDF("doc_id", "payload"), "doc_id", "payload") {
+      (out, _) => accJ.synchronized { accJ ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    inS.addData(shards.drop(1): _*); inJ.addData(jpegs.drop(1): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    assert(accS.map(_.toString).sorted.toSeq ===
+      graft.sources.Tar.entries(shards.toDF("shard", "bytes"), "bytes", "shard")
+        .drop("payload").collect().map(_.toString).sorted.toSeq)
+    assert(accJ.map(_.toString).sorted.toSeq ===
+      graft.operators.Jpeg.parseJpeg(jpegs.toDF("doc_id", "payload"),
+          "doc_id", "payload")
+        .collect().map(_.toString).sorted.toSeq)
+  }
 }
