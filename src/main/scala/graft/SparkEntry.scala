@@ -241,6 +241,9 @@ object SparkEntry {
     "q_span_corrupt" -> (L.qSpanCorrupt _),
     // SFT loss-mask rendering census (assistant-only loss, hash-gated)
     "q_loss_mask" -> (L.qLossMask _),
+    // byte-level encoding hygiene: UTF-8 DFA census + mojibake repair
+    "q_utf8_census" -> (L.qUtf8Census _),
+    "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
@@ -426,6 +429,8 @@ object SparkEntry {
     "q_varint_postings" -> L.qVarintPostingsSql,
     "q_span_corrupt" -> L.qSpanCorruptSql,
     "q_loss_mask" -> L.qLossMaskSql,
+    "q_utf8_census" -> L.qUtf8CensusSql,
+    "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,
     "q_doc_chunks" -> L.qDocChunksSql,

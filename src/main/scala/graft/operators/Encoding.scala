@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-level text encoding hygiene — the ingest step BEFORE any
+  * tokenizer sees crawl data: (1) a real UTF-8 validator (RFC 3629
+  * ranges: overlong leads C0/C1 and F5-FF rejected, E0/ED/F0/F4
+  * narrowed continuation windows excluding surrogates and > U+10FFFF,
+  * truncation) that counts codepoints and quarantifies ill-formed
+  * regions by the Unicode "maximal subpart" convention — each
+  * ill-formed subsequence is ONE run, consuming exactly the valid
+  * prefix bytes, resync at the offending byte; (2) a CP1252-mojibake
+  * repair chain (the ftfy-core cases: UTF-8 bytes once mis-decoded as
+  * Windows-1252 leave `â€™`-style digraph scars) as an ordered
+  * literal-replace chain — deterministic, RE2-free, replayable.
+  *
+  * Validator altitude: a pure JVM DFA inside mapPartitions (the codec
+  * altitude — per-byte state machines don't fit an expression); the
+  * repair chain is pure `replace` Column algebra, zero shuffle, fully
+  * codegen'd. */
+object Encoding {
+
+  val censusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_multibyte", LongType, nullable = false),
+    StructField("n_invalid_bytes", LongType, nullable = false),
+    StructField("n_invalid_runs", LongType, nullable = false),
+    StructField("first_invalid_pos", LongType),
+    StructField("valid", LongType, nullable = false)))
+
+  /** One document's UTF-8 census (the DFA walk). */
+  private[graft] def utf8CensusOne(id: Long, b: Array[Byte]): Row = {
+    val n = b.length
+    var i = 0
+    var chars = 0L; var multi = 0L; var invB = 0L; var invR = 0L
+    var firstInv = -1L
+    def cont(x: Int): Boolean = x >= 0x80 && x <= 0xBF
+    def at(j: Int): Int = if (j < n) b(j) & 0xff else -1
+    def bad(runBytes: Int): Unit = {
+      invR += 1; invB += runBytes
+      if (firstInv < 0) firstInv = i.toLong
+      i += runBytes
+    }
+    while (i < n) {
+      val c0 = b(i) & 0xff
+      if (c0 < 0x80) { chars += 1; i += 1 }
+      else if (c0 >= 0xC2 && c0 <= 0xDF) {
+        if (cont(at(i + 1))) { chars += 1; multi += 1; i += 2 } else bad(1)
+      } else if (c0 >= 0xE0 && c0 <= 0xEF) {
+        // E0: A0-BF (no overlong); ED: 80-9F (no surrogates); else 80-BF
+        val lo = if (c0 == 0xE0) 0xA0 else 0x80
+        val hi = if (c0 == 0xED) 0x9F else 0xBF
+        val c1 = at(i + 1)
+        if (c1 >= lo && c1 <= hi) {
+          if (cont(at(i + 2))) { chars += 1; multi += 1; i += 3 } else bad(2)
+        } else bad(1)
+      } else if (c0 >= 0xF0 && c0 <= 0xF4) {
+        // F0: 90-BF (no overlong); F4: 80-8F (<= U+10FFFF); else 80-BF
+        val lo = if (c0 == 0xF0) 0x90 else 0x80
+        val hi = if (c0 == 0xF4) 0x8F else 0xBF
+        val c1 = at(i + 1)
+        if (c1 >= lo && c1 <= hi) {
+          if (cont(at(i + 2))) {
+            if (cont(at(i + 3))) { chars += 1; multi += 1; i += 4 } else bad(3)
+          } else bad(2)
+        } else bad(1)
+      } else bad(1) // lone continuation, C0/C1 overlong lead, F5-FF
+    }
+    Row(id, n.toLong, chars, multi, invB, invR,
+      if (firstInv >= 0) firstInv else null, if (invB == 0) 1L else 0L)
+  }
+
+  /** UTF-8 census over `(idCol, bytesCol)` rows. Partition-local, no
+    * shuffle; ill-formed input yields counted rows, never failures. */
+  def utf8Census(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long"), col(bytesCol))
+      .rdd.mapPartitions(_.map(r =>
+        utf8CensusOne(r.getLong(0), r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(out, censusSchema)
+  }
+
+  /** Ordered CP1252-mojibake repairs: the UTF-8 bytes of the target
+    * char, each mis-decoded once as Windows-1252/Latin-1. Longer
+    * patterns first so `â€œ` never half-matches after `â€“` ran. All
+    * patterns are pairwise non-overlapping printable digraphs (cases
+    * whose CP1252 reading lands on a control byte are out of scope —
+    * documented, not silently handled). */
+  val mojibakeRules: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // â€™ -> right single quote
+    "â€œ" -> "“", // â€œ -> left double quote
+    "â€“" -> "–", // â€“ -> en dash
+    "Ã©" -> "é", // Ã© -> é
+    "Ã¨" -> "è", // Ã¨ -> è
+    "Ã¼" -> "ü", // Ã¼ -> ü
+    "Ã±" -> "ñ") // Ã± -> ñ
+
+  /** Repair mojibake scars in `textCol`: the fixed text plus the
+    * number of characters removed (each repair collapses a 2-3 char
+    * scar to one char — the census a curation report reads). Pure
+    * literal-replace chain, zero shuffle. */
+  def mojibakeFix(docs: DataFrame, textCol: String = "text",
+                  id: String = "doc_id"): DataFrame = {
+    val fixed = mojibakeRules.foldLeft(col(textCol)) { case (c, (from, to)) =>
+      // functions.replace is literal (not regexp) string replacement
+      replace(c, lit(from), lit(to))
+    }
+    docs.select(col(id), fixed.as(textCol),
+      (length(col(textCol)) - length(fixed)).cast(LongType)
+        .as("n_fixed_chars"))
+  }
+}

@@ -1300,6 +1300,84 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- byte-level encoding hygiene (operators/Encoding) ----
+
+  /** UTF-8 validation census through the real DFA
+    * (Encoding.utf8Census): per-doc byte payloads synthesized
+    * closed-form — an ASCII prefix, doc_id%4+1 repetitions of a
+    * 2-/3-/4-byte codepoint run, then four independent injection
+    * cycles (lone continuation, truncated 3-byte lead, the C0 AF
+    * overlong pair, the ED A0 80 surrogate triple) whose
+    * maximal-subpart run/byte counts the oracle computes from first
+    * principles. Any bent continuation window (E0/ED/F0/F4 narrowing),
+    * wrong resync position or miscounted subpart bends a count. */
+  def qUtf8Census(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = Tables(spark, dir).documents
+      .select(col("doc_id").cast("long")).as[Long].map { id =>
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(s"doc$id ".getBytes("US-ASCII"))
+        val run = "é中𝄞".getBytes("UTF-8") // é中𝄞: 2+3+4 bytes
+        (0 until (id % 4 + 1).toInt).foreach(_ => out.write(run))
+        if (id % 5 == 0) out.write(0x80)
+        if (id % 7 == 0) { out.write(0xE4); out.write(0xB8); out.write('z') }
+        if (id % 11 == 0) { out.write(0xC0); out.write(0xAF) }
+        if (id % 13 == 0) { out.write(0xED); out.write(0xA0); out.write(0x80) }
+        (id, out.toByteArray)
+      }.toDF("doc_id", "bytes")
+    graft.operators.Encoding.utf8Census(synth, "doc_id", "bytes")
+  }
+
+  val qUtf8CensusSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    length(CAST(doc_id AS VARCHAR)) AS l,
+      |    doc_id % 4 + 1 AS r,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS i5,
+      |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS i7,
+      |    CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS i11,
+      |    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS i13
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(4 + l + 9 * r + i5 + 3 * i7 + 2 * i11 + 3 * i13 AS BIGINT) AS n_bytes,
+      |  CAST(4 + l + 3 * r + i7 AS BIGINT) AS n_chars,
+      |  CAST(3 * r AS BIGINT) AS n_multibyte,
+      |  CAST(i5 + 2 * i7 + 2 * i11 + 3 * i13 AS BIGINT) AS n_invalid_bytes,
+      |  CAST(i5 + i7 + 2 * i11 + 3 * i13 AS BIGINT) AS n_invalid_runs,
+      |  CASE WHEN i5 + i7 + i11 + i13 > 0 THEN CAST(4 + l + 9 * r AS BIGINT)
+      |       END AS first_invalid_pos,
+      |  CAST(CASE WHEN i5 + i7 + i11 + i13 > 0 THEN 0 ELSE 1 END AS BIGINT) AS valid
+      |FROM s""".stripMargin
+
+  /** CP1252-mojibake repair inside the gate (Encoding.mojibakeFix):
+    * closed-form scar tails per doc_id%4 (café / don't / double-scar
+    * quote line / clean), the REAL replace chain runs on the Spark
+    * side, and the oracle emits the expected REPAIRED strings without
+    * running a single replace — the q_url_canon doctrine. */
+  def qMojibakeFix(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val tail = when(i % 4 === 0, lit(" cafÃ©"))
+      .when(i % 4 === 1, lit(" donâ€™t go"))
+      .when(i % 4 === 2, lit(" â€œquotedâ€“ text"))
+      .otherwise(lit(""))
+    val docs = Tables(spark, dir).documents
+      .select(i, concat(col("text"), tail).as("text"))
+    graft.operators.Encoding.mojibakeFix(docs)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_fixed_chars"))
+  }
+
+  val qMojibakeFixSql: String =
+    """SELECT doc_id,
+      |  md5(text || CASE doc_id % 4
+      |    WHEN 0 THEN ' café'
+      |    WHEN 1 THEN ' don’t go'
+      |    WHEN 2 THEN ' “quoted– text'
+      |    ELSE '' END) AS text_md5,
+      |  CAST(CASE WHEN text IS NULL THEN NULL
+      |       ELSE CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+      |            WHEN 2 THEN 4 ELSE 0 END END AS BIGINT) AS n_fixed_chars
+      |FROM documents""".stripMargin
+
   // ---- robots.txt crawl politeness (operators/Robots) ----
 
   /** The robots fixture: ONE synthesized robots.txt per host, one

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Encoding
+
+/** UTF-8 DFA: every RFC 3629 window edge (overlong leads, E0/ED/F0/F4
+  * narrowed continuations, truncation at each length), the
+  * maximal-subpart quarantine convention, agreement with the JDK
+  * decoder on validity, and the mojibake repair chain. */
+class EncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(bytes: Array[Byte]) = Encoding.utf8CensusOne(1L, bytes)
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("valid sequences: 1-4 byte codepoints count once each") {
+    val r = census("aé中𝄞".getBytes("UTF-8"))
+    assert(r.getLong(1) === 10L) // 1+2+3+4 bytes
+    assert(r.getLong(2) === 4L && r.getLong(3) === 3L)
+    assert(r.getLong(4) === 0L && r.getLong(7) === 1L)
+    assert(r.isNullAt(6))
+  }
+
+  test("window edges: boundary continuations accept, neighbors reject") {
+    // E0 A0 80 = U+0800 (smallest legal 3-byte); E0 9F BF would be overlong
+    assert(census(b(0xE0, 0xA0, 0x80)).getLong(7) === 1L)
+    assert(census(b(0xE0, 0x9F, 0xBF)).getLong(7) === 0L)
+    // ED 9F BF = U+D7FF (last before surrogates); ED A0 80 = surrogate
+    assert(census(b(0xED, 0x9F, 0xBF)).getLong(7) === 1L)
+    assert(census(b(0xED, 0xA0, 0x80)).getLong(7) === 0L)
+    // F0 90 80 80 = U+10000; F0 8F would be overlong
+    assert(census(b(0xF0, 0x90, 0x80, 0x80)).getLong(7) === 1L)
+    assert(census(b(0xF0, 0x8F, 0xBF, 0xBF)).getLong(7) === 0L)
+    // F4 8F BF BF = U+10FFFF (max); F4 90 is past it
+    assert(census(b(0xF4, 0x8F, 0xBF, 0xBF)).getLong(7) === 1L)
+    assert(census(b(0xF4, 0x90, 0x80, 0x80)).getLong(7) === 0L)
+    // C2 80 = U+0080 (smallest legal 2-byte); C0/C1 leads always invalid
+    assert(census(b(0xC2, 0x80)).getLong(7) === 1L)
+    assert(census(b(0xC0, 0xAF)).getLong(5) === 2L) // two 1-byte subparts
+    assert(census(b(0xC1, 0xBF)).getLong(5) === 2L)
+    assert(census(b(0xF5, 0x80)).getLong(5) === 2L)
+  }
+
+  test("maximal subpart: valid prefixes quarantine as ONE run, resync at offender") {
+    // E4 B8 then ASCII: 2-byte subpart, 'z' survives as a char
+    val r1 = census(b(0xE4, 0xB8, 'z'.toInt))
+    assert(r1.getLong(4) === 2L && r1.getLong(5) === 1L && r1.getLong(2) === 1L)
+    assert(r1.getLong(6) === 0L) // first_invalid_pos at the lead
+    // F0 9D 84 then end: 3-byte subpart
+    val r2 = census(b(0xF0, 0x9D, 0x84))
+    assert(r2.getLong(4) === 3L && r2.getLong(5) === 1L)
+    // ED A0 80: lead rejected at c1, then two lone continuations
+    val r3 = census(b(0xED, 0xA0, 0x80))
+    assert(r3.getLong(4) === 3L && r3.getLong(5) === 3L)
+  }
+
+  test("validity verdict agrees with the JDK decoder on a byte sweep") {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(12))(rnd.nextInt(256).toByte)
+      val jdkValid = try {
+        dec.reset()
+        dec.decode(java.nio.ByteBuffer.wrap(bytes)); true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+      val ours = census(bytes).getLong(7) === 1L
+      assert(ours === jdkValid, bytes.map(x => f"${x & 0xff}%02x").mkString(" "))
+    }
+  }
+
+  test("mojibake chain repairs every rule, counts removed chars, no-ops clean text") {
+    val out = Encoding.mojibakeFix(Seq(
+        (1L, "donâ€™t say â€œthatâ€“ cafÃ© crÃ¨me Ã¼ber maÃ±ana"),
+        (2L, "perfectly clean text"),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "don’t say “that– café crème über mañana")
+    assert(out(1L).getLong(2) === 10L) // 3 trigraph + 4 digraph scars
+    assert(out(2L).getString(1) === "perfectly clean text")
+    assert(out(2L).getLong(2) === 0L)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+    // idempotence: repaired text has no remaining scars
+    val again = Encoding.mojibakeFix(Seq((1L, out(1L).getString(1)))
+      .toDF("doc_id", "text")).collect()(0)
+    assert(again.getLong(2) === 0L)
+  }
+}
