@@ -243,6 +243,8 @@ object SparkEntry {
     "q_loss_mask" -> (L.qLossMask _),
     // byte-level encoding hygiene: UTF-8 DFA census + mojibake repair
     "q_utf8_census" -> (L.qUtf8Census _),
+    // Gopher document-shape quality rules (integer cross-multiply verdicts)
+    "q_gopher_rules" -> (L.qGopherRules _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
@@ -430,6 +432,7 @@ object SparkEntry {
     "q_span_corrupt" -> L.qSpanCorruptSql,
     "q_loss_mask" -> L.qLossMaskSql,
     "q_utf8_census" -> L.qUtf8CensusSql,
+    "q_gopher_rules" -> L.qGopherRulesSql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

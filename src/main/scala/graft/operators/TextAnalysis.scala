@@ -1344,6 +1344,62 @@ object TextAnalysis {
         col("n_tokens"), col("n_kept_tokens"), col(textCol))
   }
 
+  /** The Gopher repetition-free quality rule set (Rae et al. 2021
+    * §A1.1.1 flavor) — the document-shape filters next to [[quality]]'s
+    * ratio score: mean word length in [3, 10], word count in
+    * [50, 100k], ≤90% bullet-led lines, ≤30% ellipsis-ended lines,
+    * symbol-to-word ratio ≤ 0.1 (# and ellipses), ≥80% of words
+    * containing an alphabetic character, ≥2 hits from the 8-word
+    * stop-list. Every verdict is an INTEGER CROSS-MULTIPLY over the
+    * emitted censuses (10·bullets ≤ 9·lines, 5·alpha ≥ 4·words, …) —
+    * never a float threshold, so the whole frame hash-gates
+    * cross-engine. Zero shuffle; one projection pair (counts staged as
+    * columns, verdicts derived — the CollapseProject staging rule). */
+  def gopherRules(docs: DataFrame, id: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col(textCol)
+    val ws = Portable.words(t)
+    val lines = split(t, "\n")
+    def chars(needle: String): Column =
+      (length(t) - length(replace(t, lit(needle)))).cast(LongType)
+    val counts = docs.select(col(id),
+      size(lines).cast(LongType).as("n_lines"),
+      size(ws).cast(LongType).as("n_words"),
+      length(regexp_replace(t, "\\s+", "")).cast(LongType).as("word_chars"),
+      size(filter(lines, l => substring(trim(l), 1, 1).isin("-", "•")))
+        .cast(LongType).as("n_bullet_lines"),
+      size(filter(lines, l =>
+        endswith(trim(l), lit("...")) || endswith(trim(l), lit("…"))))
+        .cast(LongType).as("n_ellipsis_lines"),
+      (chars("#") + chars("…") + (chars("...") / 3).cast(LongType))
+        .as("n_symbols"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(LongType)
+        .as("n_alpha_words"),
+      size(filter(ws, w => w.isin(stops.map(lit): _*))).cast(LongType)
+        .as("n_stop_hits"))
+    def verdict(cond: Column): Column = when(cond, 1L).otherwise(0L)
+    val withRules = counts
+      .withColumn("r_wordlen", verdict(
+        col("word_chars") >= lit(3) * col("n_words") &&
+          col("word_chars") <= lit(10) * col("n_words")))
+      .withColumn("r_nwords", verdict(
+        col("n_words") >= 50 && col("n_words") <= 100000))
+      .withColumn("r_bullets", verdict(
+        lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines")))
+      .withColumn("r_ellipsis", verdict(
+        lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines")))
+      .withColumn("r_symbols", verdict(
+        lit(10) * col("n_symbols") <= col("n_words")))
+      .withColumn("r_alpha", verdict(
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")))
+      .withColumn("r_stops", verdict(col("n_stop_hits") >= 2))
+    val ruleCols = Seq("r_wordlen", "r_nwords", "r_bullets", "r_ellipsis",
+      "r_symbols", "r_alpha", "r_stops")
+    withRules.withColumn("keep",
+      verdict(ruleCols.map(c => col(c) === 1L).reduce(_ && _)))
+  }
+
   /** T5-style span corruption (the denoising-pretraining data
     * transform), deterministic block-local variant: token positions
     * partition into fixed blocks of `blockSize`; each (doc, block)

@@ -1300,6 +1300,66 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- Gopher document-shape quality rules ----
+
+  /** Gopher rule census over a widened corpus: five closed-form tail
+    * variants (bullet wall, ellipsis lines, symbol run, numeric words,
+    * clean) make every rule fire BOTH ways somewhere; the integer
+    * cross-multiply verdicts hash-gate exactly. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val tail = when(i % 5 === 0, lit("\n- b" * 10))
+      .when(i % 5 === 1, lit("\nwait...\nhm…\nok... fine"))
+      .when(i % 5 === 2, lit("\n# ## ### #### more"))
+      .when(i % 5 === 3, lit("\n000 111 222 333 444 555 666 777 888 999 000 111"))
+      .otherwise(lit(""))
+    TextAnalysis.gopherRules(Tables(spark, dir).documents
+      .select(i, concat(col("text"), tail).as("text")))
+  }
+
+  val qGopherRulesSql: String = {
+    val w = "string_split_regex(trim(text), '\\s+')"
+    val ls = "string_split(text, chr(10))"
+    """WITH d AS (SELECT doc_id, text || CASE doc_id % 5
+      |    WHEN 0 THEN repeat(chr(10) || '- b', 10)
+      |    WHEN 1 THEN chr(10) || 'wait...' || chr(10) || 'hm…' || chr(10) || 'ok... fine'
+      |    WHEN 2 THEN chr(10) || '# ## ### #### more'
+      |    WHEN 3 THEN chr(10) || '000 111 222 333 444 555 666 777 888 999 000 111'
+      |    ELSE '' END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    CAST(len(@LS@) AS BIGINT) AS n_lines,
+      |    CAST(len(@W@) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+      |    CAST(len(list_filter(@LS@, x -> substr(trim(x), 1, 1) IN ('-', '•'))) AS BIGINT) AS n_bullet_lines,
+      |    CAST(len(list_filter(@LS@, x -> ends_with(trim(x), '...')
+      |      OR ends_with(trim(x), '…'))) AS BIGINT) AS n_ellipsis_lines,
+      |    CAST((length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '…', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+      |    CAST(len(list_filter(@W@, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+      |    CAST(len(list_filter(@W@, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop_hits
+      |  FROM d),
+      |v AS (SELECT *,
+      |    CASE WHEN word_chars >= 3 * n_words AND word_chars <= 10 * n_words THEN 1 ELSE 0 END AS rw,
+      |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS rn,
+      |    CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 1 ELSE 0 END AS rb,
+      |    CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 1 ELSE 0 END AS re,
+      |    CASE WHEN 10 * n_symbols <= n_words THEN 1 ELSE 0 END AS rs,
+      |    CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS rt
+      |  FROM c)
+      |SELECT doc_id, n_lines, n_words, word_chars, n_bullet_lines,
+      |  n_ellipsis_lines, n_symbols, n_alpha_words, n_stop_hits,
+      |  CAST(rw AS BIGINT) AS r_wordlen, CAST(rn AS BIGINT) AS r_nwords,
+      |  CAST(rb AS BIGINT) AS r_bullets, CAST(re AS BIGINT) AS r_ellipsis,
+      |  CAST(rs AS BIGINT) AS r_symbols, CAST(ra AS BIGINT) AS r_alpha,
+      |  CAST(rt AS BIGINT) AS r_stops,
+      |  CAST(CASE WHEN rw + rn + rb + re + rs + ra + rt = 7 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM v""".stripMargin
+      .replace("@LS@", ls).replace("@W@", w)
+  }
+
   // ---- byte-level encoding hygiene (operators/Encoding) ----
 
   /** UTF-8 validation census through the real DFA

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Gopher rule verdicts at their exact integer boundaries — the
+  * cross-multiply forms must flip exactly where the published ratios
+  * say, with no float drift. */
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: (Long, String)*) =
+    TextAnalysis.gopherRules(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getValuesMap[Any](r.schema.fieldNames)).toMap
+
+  test("mean word length: 3 and 10 are inclusive bounds") {
+    val out = run(
+      (1L, "abc def ghi"), // mean exactly 3
+      (2L, "ab cd ef"), // mean 2: fails
+      (3L, "abcdefghij " * 3), // mean exactly 10
+      (4L, "abcdefghijk lmnopqrstuv wxyzabcdefg")) // mean 11: fails
+    assert(out(1L)("r_wordlen") === 1L && out(3L)("r_wordlen") === 1L)
+    assert(out(2L)("r_wordlen") === 0L && out(4L)("r_wordlen") === 0L)
+  }
+
+  test("bullet fraction: 9 of 10 lines passes, 10 of 10 fails") {
+    val pass = ("x plain line" +: Seq.fill(9)("- bullet")).mkString("\n")
+    val fail = Seq.fill(10)("- bullet").mkString("\n")
+    val out = run((1L, pass), (2L, fail))
+    assert(out(1L)("r_bullets") === 1L && out(1L)("n_bullet_lines") === 9L)
+    assert(out(2L)("r_bullets") === 0L)
+  }
+
+  test("ellipsis fraction: 3 of 10 passes, 4 of 10 fails; … counts like ...") {
+    val pass = (Seq.fill(3)("end...") ++ Seq.fill(7)("plain")).mkString("\n")
+    val fail = (Seq.fill(3)("end...") :+ "uni…").padTo(10, "plain").mkString("\n")
+    val out = run((1L, pass), (2L, fail))
+    assert(out(1L)("r_ellipsis") === 1L && out(2L)("r_ellipsis") === 0L)
+    assert(out(2L)("n_ellipsis_lines") === 4L)
+  }
+
+  test("symbol ratio: # and ellipses count; 1 per 10 words is the edge") {
+    val out = run(
+      (1L, Seq.fill(10)("word").mkString(" ") + " #"), // 1 sym / 11 words: pass
+      (2L, Seq.fill(8)("word").mkString(" ") + " # …")) // 2 sym / 10 words: fail
+    assert(out(1L)("r_symbols") === 1L)
+    assert(out(2L)("r_symbols") === 0L && out(2L)("n_symbols") === 2L)
+  }
+
+  test("alpha-word fraction: 4 of 5 passes, 3 of 5 fails") {
+    val out = run(
+      (1L, "one two three four 555"),
+      (2L, "one two three 444 555"))
+    assert(out(1L)("r_alpha") === 1L && out(2L)("r_alpha") === 0L)
+  }
+
+  test("stop hits: 2 passes, 1 fails; n_words window splits") {
+    val out = run(
+      (1L, "the cat and dog " + Seq.fill(46)("w").mkString(" ")), // 50 words
+      (2L, "the cat runs " + Seq.fill(46)("w").mkString(" "))) // 49 words, 1 stop
+    assert(out(1L)("r_stops") === 1L && out(1L)("r_nwords") === 1L)
+    assert(out(2L)("r_stops") === 0L && out(2L)("r_nwords") === 0L)
+    assert(out(1L)("n_stop_hits") === 2L)
+  }
+
+  test("keep is the conjunction of all seven rules") {
+    val good = ("the cat and the dog sat " +
+      Seq.fill(44)("word").mkString(" ")) // 50 alpha words, clean shape
+    val out = run((1L, good))
+    assert(out(1L)("keep") === 1L)
+    Seq("r_wordlen", "r_nwords", "r_bullets", "r_ellipsis", "r_symbols",
+      "r_alpha", "r_stops").foreach(c => assert(out(1L)(c) === 1L, c))
+  }
+}
