@@ -235,6 +235,8 @@ object SparkEntry {
     "q_video_frames" -> (L.qVideoFrames _),
     // real JPEG/JFIF marker-segment walk (dims/tables/scan census)
     "q_jpeg_meta" -> (L.qJpegMeta _),
+    // real EXIF TIFF IFD walk (II/MM byte orders, orientation/dims)
+    "q_exif_meta" -> (L.qExifMeta _),
     // delta+LEB128 varint postings codec round-trip (inverted-index storage)
     "q_varint_postings" -> (L.qVarintPostings _),
     // T5-style block-local span corruption (denoising pretraining pairs)
@@ -428,6 +430,7 @@ object SparkEntry {
     "q_warc_extract" -> L.qWarcExtractSql,
     "q_tar_extract" -> L.qTarExtractSql,
     "q_jpeg_meta" -> L.qJpegMetaSql,
+    "q_exif_meta" -> L.qExifMetaSql,
     "q_varint_postings" -> L.qVarintPostingsSql,
     "q_span_corrupt" -> L.qSpanCorruptSql,
     "q_loss_mask" -> L.qLossMaskSql,

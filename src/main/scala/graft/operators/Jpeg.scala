@@ -43,16 +43,47 @@ object Jpeg {
     StructField("n_dht", LongType),
     StructField("density_x", LongType),
     StructField("scan_bytes", LongType),
+    StructField("orientation", LongType),
+    StructField("exif_width", LongType),
+    StructField("exif_height", LongType),
     StructField("ok", LongType, nullable = false),
     StructField("reason", StringType)))
 
   // ---- encoder ----
 
-  /** One synthetic JPEG spec (all fields closed-form at call sites). */
+  /** One synthetic JPEG spec (all fields closed-form at call sites).
+    * `exif > 0` adds an APP1 Exif segment — a REAL TIFF structure
+    * (exif = 1 little-endian `II`, exif = 2 big-endian `MM`) carrying
+    * ImageWidth/ImageLength/Orientation in IFD0. */
   case class JpegSpec(doc_id: Long, w: Int, h: Int, nComp: Int,
                       progressive: Boolean, nDqt: Int, densityX: Int,
                       scanLen: Int, seed: Int, rst: Boolean, stuff: Boolean,
-                      corrupt: Int)
+                      corrupt: Int, exif: Int = 0, orientation: Int = 1,
+                      exifW: Int = 0, exifH: Int = 0)
+
+  /** TIFF payload of an Exif APP1: byte-order mark, magic 42, IFD0 with
+    * the three tags a crawl pipeline reads (0x0100 width, 0x0101
+    * length, 0x0112 orientation), ascending tag order, no next IFD. */
+  private def tiffBody(big: Boolean, orientation: Int, w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (big) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit =
+      if (big) { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    out.write(if (big) 'M' else 'I'); out.write(if (big) 'M' else 'I')
+    u16(42); u32(8) // magic, IFD0 offset
+    u16(3) // entry count
+    Seq((0x0100, w), (0x0101, h), (0x0112, orientation)).foreach { case (tag, v) =>
+      u16(tag); u16(3); u32(1) // type SHORT, count 1
+      u16(v); u16(0) // value inline, left-justified in the 4-byte slot
+    }
+    u32(0) // no next IFD
+    out.toByteArray
+  }
 
   private def seg(out: ByteArrayOutputStream, marker: Int,
                   body: Array[Byte]): Unit = {
@@ -65,6 +96,12 @@ object Jpeg {
   private[graft] def buildJpeg(s: JpegSpec): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8) // SOI
+    if (s.exif > 0) { // APP1 / Exif: "Exif\0\0" + the TIFF structure
+      val app1 = new ByteArrayOutputStream()
+      app1.write("Exif".getBytes("US-ASCII")); app1.write(0); app1.write(0)
+      app1.write(tiffBody(s.exif == 2, s.orientation, s.exifW, s.exifH))
+      seg(out, 0xE1, app1.toByteArray)
+    }
     // APP0 / JFIF: identifier, version 1.1, units 0, density, no thumb
     val app0 = new ByteArrayOutputStream()
     app0.write("JFIF".getBytes("US-ASCII")); app0.write(0)
@@ -127,17 +164,24 @@ object Jpeg {
     * seed, rst, stuff, corrupt)` — the encodeMp4 altitude. */
   def encodeJpeg(specs: DataFrame): DataFrame = {
     val spark = specs.sparkSession
-    val out = specs.select(col("doc_id").cast("long"), col("w").cast("int"),
+    val withExif = Seq("exif", "orientation", "exif_w", "exif_h")
+      .foldLeft(specs)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(if (c == "orientation") 1 else 0)))
+    val out = withExif.select(col("doc_id").cast("long"), col("w").cast("int"),
         col("h").cast("int"), col("n_comp").cast("int"),
         col("progressive").cast("boolean"), col("n_dqt").cast("int"),
         col("density_x").cast("int"), col("scan_len").cast("int"),
         col("seed").cast("int"), col("rst").cast("boolean"),
-        col("stuff").cast("boolean"), col("corrupt").cast("int"))
+        col("stuff").cast("boolean"), col("corrupt").cast("int"),
+        col("exif").cast("int"), col("orientation").cast("int"),
+        col("exif_w").cast("int"), col("exif_h").cast("int"))
       .rdd.mapPartitions(_.map { r =>
         Row(r.getLong(0), buildJpeg(JpegSpec(r.getLong(0), r.getInt(1),
           r.getInt(2), r.getInt(3), r.getBoolean(4), r.getInt(5),
           r.getInt(6), r.getInt(7), r.getInt(8), r.getBoolean(9),
-          r.getBoolean(10), r.getInt(11))))
+          r.getBoolean(10), r.getInt(11), r.getInt(12), r.getInt(13),
+          r.getInt(14), r.getInt(15))))
       })
     spark.createDataFrame(out, payloadSchema)
   }
@@ -149,6 +193,52 @@ object Jpeg {
   private def be16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
+  /** Walk an Exif TIFF structure in b[t, end): byte-order mark, magic
+    * 42, IFD0 entries (SHORT/LONG inline values honoring the declared
+    * endianness). Returns (orientation, width, height), -1 where
+    * absent. EXIF is auxiliary metadata — a malformed TIFF yields all
+    * -1 (the caller emits NULLs), never a quarantined document. */
+  private def tiffWalk(b: Array[Byte], t: Int, end: Int): (Long, Long, Long) = {
+    if (t + 8 > end) return (-1L, -1L, -1L)
+    val big =
+      if (b(t) == 'M'.toByte && b(t + 1) == 'M'.toByte) true
+      else if (b(t) == 'I'.toByte && b(t + 1) == 'I'.toByte) false
+      else return (-1L, -1L, -1L)
+    def u16(o: Int): Int =
+      if (big) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def u32(o: Int): Long =
+      if (big) ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      else ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    if (u16(t + 2) != 42) return (-1L, -1L, -1L)
+    val ifd = t + u32(t + 4).toInt
+    if (ifd + 2 > end) return (-1L, -1L, -1L)
+    val n = u16(ifd)
+    var orientation = -1L; var w = -1L; var h = -1L
+    var e = 0
+    while (e < n) {
+      val p = ifd + 2 + e * 12
+      if (p + 12 > end) return (orientation, w, h)
+      val tag = u16(p)
+      val typ = u16(p + 2)
+      val v: Long = typ match {
+        case 3 => u16(p + 8).toLong // SHORT, left-justified inline
+        case 4 => u32(p + 8) // LONG
+        case _ => -1L
+      }
+      tag match {
+        case 0x0100 => w = v
+        case 0x0101 => h = v
+        case 0x0112 => orientation = v
+        case _ => ()
+      }
+      e += 1
+    }
+    (orientation, w, h)
+  }
+
   private[graft] def parseOne(id: Long, b: Array[Byte]): Row =
     try {
       if (b.length < 2 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8)
@@ -157,6 +247,7 @@ object Jpeg {
       var width = -1L; var height = -1L; var nComp = -1L
       var progressive = -1L; var nDqt = 0L; var nDht = 0L
       var densityX = -1L; var scanBytes = -1L
+      var exifOrient = -1L; var exifW = -1L; var exifH = -1L
       var sawSof = false; var sawEoi = false
       while (pos < b.length && !sawEoi) {
         if ((b(pos) & 0xff) != 0xFF) throw new Malformed("bad-marker")
@@ -202,6 +293,13 @@ object Jpeg {
               if (bodyEnd - o >= 12 &&
                 new String(b, o, 4, "US-ASCII") == "JFIF" && b(o + 4) == 0)
                 densityX = be16(b, o + 8).toLong
+            case 0xE1 => // APP1: Exif TIFF walk ("Exif\0\0" identifier)
+              if (bodyEnd - o >= 8 &&
+                new String(b, o, 4, "US-ASCII") == "Exif" &&
+                b(o + 4) == 0 && b(o + 5) == 0) {
+                val (ori, ew, eh) = tiffWalk(b, o + 6, bodyEnd)
+                exifOrient = ori; exifW = ew; exifH = eh
+              }
             case 0xDA => // SOS header, then the entropy-coded scan
               val e = bodyEnd
               var q = e
@@ -224,15 +322,17 @@ object Jpeg {
       }
       if (!sawEoi) throw new Malformed("missing-eoi")
       if (!sawSof) throw new Malformed("missing-sof")
+      def opt(v: Long): Any = if (v >= 0) v else null
       Row(id, width, height, nComp, progressive, nDqt, nDht,
-        if (densityX >= 0) densityX else null,
-        if (scanBytes >= 0) scanBytes else null, 1L, null)
+        opt(densityX), opt(scanBytes), opt(exifOrient), opt(exifW),
+        opt(exifH), 1L, null)
     } catch {
       case m: Malformed =>
-        Row(id, null, null, null, null, null, null, null, null, 0L, m.reason)
+        Row(id, null, null, null, null, null, null, null, null, null, null,
+          null, 0L, m.reason)
       case _: IndexOutOfBoundsException =>
-        Row(id, null, null, null, null, null, null, null, null, 0L,
-          "truncated-segment")
+        Row(id, null, null, null, null, null, null, null, null, null, null,
+          null, 0L, "truncated-segment")
     }
 
   /** Parse JPEG metadata from `(idCol, payloadCol)` rows: frame dims,

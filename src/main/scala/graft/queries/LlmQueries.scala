@@ -5119,10 +5119,49 @@ object LlmQueries {
       |  CASE WHEN corrupt = 0 THEN CAST(doc_id % 50 + 5
       |    + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
       |    + CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 0 END AS BIGINT) END AS scan_bytes,
+      |  CAST(NULL AS BIGINT) AS orientation,
+      |  CAST(NULL AS BIGINT) AS exif_width,
+      |  CAST(NULL AS BIGINT) AS exif_height,
       |  CAST(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
       |  CASE WHEN corrupt = 1 THEN 'missing-eoi'
       |       WHEN corrupt = 2 THEN 'bad-marker' END AS reason
       |FROM s""".stripMargin
+
+  /** EXIF orientation/dimension extraction through the real TIFF IFD
+    * walk (Jpeg.tiffWalk): every doc carries an APP1 Exif whose TIFF
+    * structure alternates little-endian `II` and big-endian `MM` by
+    * doc parity — one wrong byte-order read bends a value; every 9th
+    * doc omits the APP1 (the NULL case). Orientation is the field
+    * image pipelines MUST honor before any resize. */
+  def qExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val specs = Tables(spark, dir).documents.select(id,
+      (id % 100 + 16).as("w"), (id % 80 + 16).as("h"),
+      lit(3).as("n_comp"), lit(false).as("progressive"),
+      lit(1).as("n_dqt"), lit(72).as("density_x"),
+      lit(5).as("scan_len"), (id % 251).as("seed"),
+      lit(false).as("rst"), lit(false).as("stuff"), lit(0).as("corrupt"),
+      when(id % 9 === 0, 0).otherwise(id % 2 + 1).as("exif"),
+      (id % 8 + 1).as("orientation"),
+      (id % 500 + 8).as("exif_w"), (id % 400 + 8).as("exif_h"))
+    graft.operators.Jpeg.parseJpeg(
+        graft.operators.Jpeg.encodeJpeg(specs), "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("orientation"), col("exif_width"), col("exif_height"), col("ok"))
+  }
+
+  val qExifMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 100 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 80 + 16 AS BIGINT) AS height,
+      |  CASE WHEN doc_id % 9 <> 0 THEN CAST(doc_id % 8 + 1 AS BIGINT)
+      |       END AS orientation,
+      |  CASE WHEN doc_id % 9 <> 0 THEN CAST(doc_id % 500 + 8 AS BIGINT)
+      |       END AS exif_width,
+      |  CASE WHEN doc_id % 9 <> 0 THEN CAST(doc_id % 400 + 8 AS BIGINT)
+      |       END AS exif_height,
+      |  CAST(1 AS BIGINT) AS ok
+      |FROM documents""".stripMargin
 
   // ---- deterministic HLL distinct-count sketch ----
 

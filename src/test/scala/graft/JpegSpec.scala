@@ -19,7 +19,7 @@ class JpegSpec extends SparkSpec {
 
   test("closed-form round-trip: dims, components, tables, density, scan") {
     val r = Jpeg.parseOne(1L, Jpeg.buildJpeg(spec(1L)))
-    assert(r.getLong(10 - 1) === 1L) // ok
+    assert(r.getLong(12) === 1L) // ok
     assert(r.getLong(1) === 640L && r.getLong(2) === 480L)
     assert(r.getLong(3) === 3L) // components
     assert(r.getLong(4) === 0L) // baseline
@@ -37,7 +37,7 @@ class JpegSpec extends SparkSpec {
 
   test("restart markers and FF 00 stuffing belong to the scan") {
     val r = Jpeg.parseOne(3L, Jpeg.buildJpeg(spec(3L, rst = true, stuff = true)))
-    assert(r.getLong(9) === 1L)
+    assert(r.getLong(12) === 1L)
     assert(r.getLong(8) === 14L) // 10 data + RST (2) + stuffing (2)
   }
 
@@ -48,7 +48,7 @@ class JpegSpec extends SparkSpec {
     val bo = new ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "jpg", bo))
     val r = Jpeg.parseOne(4L, bo.toByteArray)
-    assert(r.getLong(9) === 1L, s"reason=${r.get(10)}")
+    assert(r.getLong(12) === 1L, s"reason=${r.get(13)}")
     assert(r.getLong(1) === 37L && r.getLong(2) === 23L)
     assert(r.getLong(3) === 3L)
     assert(r.getLong(5) >= 1L && r.getLong(6) >= 1L) // real tables counted
@@ -57,20 +57,40 @@ class JpegSpec extends SparkSpec {
 
   test("corruptions quarantine with distinct reasons, never throw") {
     val eoiGone = Jpeg.parseOne(5L, Jpeg.buildJpeg(spec(5L, corrupt = 1)))
-    assert(eoiGone.getLong(9) === 0L && eoiGone.getString(10) === "missing-eoi")
+    assert(eoiGone.getLong(12) === 0L && eoiGone.getString(13) === "missing-eoi")
     val badMarker = Jpeg.parseOne(6L, Jpeg.buildJpeg(spec(6L, corrupt = 2)))
-    assert(badMarker.getLong(9) === 0L && badMarker.getString(10) === "bad-marker")
+    assert(badMarker.getLong(12) === 0L && badMarker.getString(13) === "bad-marker")
     val noSoi = Jpeg.parseOne(7L, Array[Byte](1, 2, 3))
-    assert(noSoi.getLong(9) === 0L && noSoi.getString(10) === "no-soi")
+    assert(noSoi.getLong(12) === 0L && noSoi.getString(13) === "no-soi")
     val whole = Jpeg.buildJpeg(spec(8L))
     val cutSeg = Jpeg.parseOne(8L, whole.take(10)) // mid-APP0
-    assert(cutSeg.getLong(9) === 0L && cutSeg.getString(10) === "truncated-segment")
+    assert(cutSeg.getLong(12) === 0L && cutSeg.getString(13) === "truncated-segment")
     val sofGone = { // strip everything between APP0 and SOS: minimal stream
       val out = new ByteArrayOutputStream()
       out.write(0xFF); out.write(0xD8); out.write(0xFF); out.write(0xD9)
       Jpeg.parseOne(9L, out.toByteArray)
     }
-    assert(sofGone.getLong(9) === 0L && sofGone.getString(10) === "missing-sof")
+    assert(sofGone.getLong(12) === 0L && sofGone.getString(13) === "missing-sof")
+  }
+
+  test("EXIF TIFF walk: II and MM byte orders read identical values") {
+    Seq(1, 2).foreach { endian =>
+      val r = Jpeg.parseOne(20L, Jpeg.buildJpeg(spec(20L).copy(
+        exif = endian, orientation = 6, exifW = 4032, exifH = 3024)))
+      assert(r.getLong(12) === 1L)
+      assert(r.getLong(9) === 6L, s"orientation endian=$endian")
+      assert(r.getLong(10) === 4032L && r.getLong(11) === 3024L,
+        s"dims endian=$endian")
+    }
+    // no APP1: all three NULL
+    val bare = Jpeg.parseOne(21L, Jpeg.buildJpeg(spec(21L)))
+    assert(bare.isNullAt(9) && bare.isNullAt(10) && bare.isNullAt(11))
+    // malformed TIFF (bad byte-order mark) yields NULLs, not quarantine
+    val payload = Jpeg.buildJpeg(spec(22L).copy(exif = 1, orientation = 3))
+    val at = payload.indexOfSlice("Exif".getBytes("US-ASCII").toSeq) + 6
+    payload(at) = 'X'.toByte
+    val broken = Jpeg.parseOne(22L, payload)
+    assert(broken.getLong(12) === 1L && broken.isNullAt(9))
   }
 
   test("unknown APPn/COM segments skip; 16-bit DQT tables count once") {
@@ -87,7 +107,7 @@ class JpegSpec extends SparkSpec {
     (0 until 128).foreach(i => out.write(i % 250))
     out.write(base, 2, base.length - 2)
     val r = Jpeg.parseOne(10L, out.toByteArray)
-    assert(r.getLong(9) === 1L, s"reason=${r.get(10)}")
+    assert(r.getLong(12) === 1L, s"reason=${r.get(13)}")
     assert(r.getLong(5) === 3L) // 1 sixteen-bit + 2 eight-bit tables
     assert(r.getLong(1) === 640L)
   }
