@@ -247,6 +247,8 @@ object SparkEntry {
     "q_utf8_census" -> (L.qUtf8Census _),
     // Gopher document-shape quality rules (integer cross-multiply verdicts)
     "q_gopher_rules" -> (L.qGopherRules _),
+    // power-of-two length buckets: the padding-efficiency report
+    "q_length_buckets" -> (L.qLengthBuckets _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
@@ -436,6 +438,7 @@ object SparkEntry {
     "q_loss_mask" -> L.qLossMaskSql,
     "q_utf8_census" -> L.qUtf8CensusSql,
     "q_gopher_rules" -> L.qGopherRulesSql,
+    "q_length_buckets" -> L.qLengthBucketsSql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

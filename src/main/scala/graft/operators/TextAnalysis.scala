@@ -1344,6 +1344,31 @@ object TextAnalysis {
         col("n_tokens"), col("n_kept_tokens"), col(textCol))
   }
 
+  /** Power-of-two length-bucket census — the PADDING-EFFICIENCY report
+    * behind batched training and sequence packing: each document lands
+    * in the smallest power-of-two bucket holding its token count
+    * (dynamic batching pads every sequence in a batch to the bucket
+    * size, so `capacity - token_mass` is exactly the compute wasted on
+    * pad tokens). Bucket boundary via the portable integer bit-length
+    * idiom (`length(ltrim(bin(n-1),'0'))` — no float log2, the HLL-rho
+    * trick), one map-side-combinable aggregate, the ratio a terminal
+    * roundp. Empty docs are absent. */
+  def lengthBuckets(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(size(Portable.words(col(textCol))).cast(LongType).as("n"))
+      .where(col("n") > 0)
+      .withColumn("__bl", length(ltrim(bin(col("n") - 1), "0")))
+      .withColumn("bucket",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(__bl AS INT)) AS BIGINT)"))
+      .drop("__bl")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("token_mass"))
+      .withColumn("capacity", col("n_docs") * col("bucket"))
+      .withColumn("padded", col("capacity") - col("token_mass"))
+      .withColumn("pad_ratio", Portable.roundp(
+        col("padded").cast(DoubleType) / col("capacity"), 6))
+
   /** The Gopher repetition-free quality rule set (Rae et al. 2021
     * §A1.1.1 flavor) — the document-shape filters next to [[quality]]'s
     * ratio score: mean word length in [3, 10], word count in

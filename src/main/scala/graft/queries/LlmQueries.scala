@@ -1300,6 +1300,32 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- padding-efficiency length buckets ----
+
+  /** Power-of-two length-bucket census (TextAnalysis.lengthBuckets) —
+    * the padding-waste report behind dynamic batching: bucket
+    * boundaries via the portable bit-length idiom, all-integer
+    * censuses, the ratio a terminal roundp. */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthBuckets(Tables(spark, dir).documents)
+
+  val qLengthBucketsSql: String =
+    s"""WITH n AS (SELECT len(${wordsSql("text")}) AS n FROM documents),
+       |f AS (SELECT n FROM n WHERE n > 0),
+       |b AS (SELECT n,
+       |    (CAST(1 AS BIGINT) << length(ltrim(bin(n - 1), '0'))) AS bucket
+       |  FROM f),
+       |g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS token_mass
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, token_mass,
+       |  n_docs * bucket AS capacity,
+       |  n_docs * bucket - token_mass AS padded,
+       |  floor((CAST(n_docs * bucket - token_mass AS DOUBLE)
+       |    / (n_docs * bucket)) * 1e6 + 0.5) / 1e6 AS pad_ratio
+       |FROM g""".stripMargin
+
   // ---- Gopher document-shape quality rules ----
 
   /** Gopher rule census over a widened corpus: five closed-form tail

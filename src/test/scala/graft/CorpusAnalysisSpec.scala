@@ -54,4 +54,18 @@ class CorpusAnalysisSpec extends SparkSpec {
     assert(spec.map { case (c, n) => c * n }.sum === tokens)
     assert(spec.map(_._2).sum === vocab.toLong)
   }
+
+  test("lengthBuckets: power-of-two boundaries, exact padding algebra") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // n = 1, 2, 3, 4, 16, 17 → buckets 1, 2, 4, 4, 16, 32
+    val out = TextAnalysis.lengthBuckets(Seq(
+        doc(1, 1), doc(2, 2), doc(3, 3), doc(4, 4), doc(5, 16), doc(6, 17))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L, 16L, 32L))
+    assert(out(4L) === ((2L, 7L, 8L, 1L, 0.125))) // n=3 and n=4 share bucket 4
+    assert(out(32L) === ((1L, 17L, 32L, 15L, 0.468750)))
+    assert(out(1L)._4 === 0L && out(16L)._4 === 0L) // exact powers pad zero
+  }
 }
