@@ -65,6 +65,8 @@ object SparkEntry {
     "q_char_entropy" -> (L.qCharEntropy _),
     "q_anti_join" -> (T.qAntiJoin _),
     "q_salted_agg" -> (T.qSaltedAgg _),
+    // shuffle-skew pre-flight census (top-k key shares in integer ppm)
+    "q_skew_census" -> (T.qSkewCensus _),
     "q_corpus_stats" -> (L.qCorpusStats _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_range_join" -> (T.qRangeJoin _),
@@ -309,6 +311,7 @@ object SparkEntry {
     "q_char_entropy" -> L.qCharEntropySql,
     "q_anti_join" -> T.qAntiJoinSql,
     "q_salted_agg" -> T.qSaltedAggSql,
+    "q_skew_census" -> T.qSkewCensusSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,
     "q_asof_join" -> L.qAsofJoinSql,
     "q_range_join" -> T.qRangeJoinSql,

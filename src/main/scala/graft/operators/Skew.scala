@@ -62,4 +62,35 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n_distinct"))
   }
+
+  /** Shuffle-skew PRE-FLIGHT census — the report that decides whether a
+    * planned join/aggregation key needs [[salt]] at all: top-k keys by
+    * row count (deterministic (count desc, key asc) total order — the
+    * cut rule), each with its parts-per-million share and the running
+    * cumulative share, plus the global total and key cardinality every
+    * row carries (broadcast 1-row cross join — the global-scalar
+    * doctrine). Shares are integer DIV ppm, never float ratios, so the
+    * frame hash-gates.
+    *
+    * Scale shape: the key census is ONE map-side-combinable aggregate;
+    * the rank + running-sum windows share a single sort over the
+    * key-cardinality-sized census (both windows carry identical
+    * ordering — one exchange), and only k rows survive. */
+  def skewCensus(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = census.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val order = Window.orderBy(col("cnt").desc, col("key").asc)
+    census.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("CAST((cnt * 1000000) DIV total AS BIGINT)").as("share_ppm"),
+        expr("CAST((cum_cnt * 1000000) DIV total AS BIGINT)").as("cum_share_ppm"),
+        col("total"), col("n_keys"))
+  }
 }

@@ -347,6 +347,30 @@ object Tpch {
     """SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
       |FROM lineitem GROUP BY l_partkey""".stripMargin
 
+  /** Shuffle-skew pre-flight census over the event user key
+    * (Skew.skewCensus): the report that decides whether a planned
+    * join/agg key needs salting — top-20 keys with integer-DIV ppm
+    * shares and the running cumulative share. */
+  def qSkewCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.skewCensus(Tables(spark, dir).events, "user_id", 20)
+
+  val qSkewCensusSql: String =
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+      |r AS (SELECT key, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank,
+      |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+      |  FROM c)
+      |SELECT r.rank, r.key, r.cnt,
+      |  CAST((r.cnt * 1000000) // t.total AS BIGINT) AS share_ppm,
+      |  CAST((r.cum_cnt * 1000000) // t.total AS BIGINT) AS cum_share_ppm,
+      |  t.total, t.n_keys
+      |FROM r, t WHERE r.rank <= 20""".stripMargin
+
   // ---- #53 bucketed interval (range) join ----
 
   /** Every event matched to the deterministic 30-minute maintenance

@@ -187,4 +187,33 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(out.toSeq === Seq(("a", 0L), ("b", 1L)))
   }
+
+  test("skewCensus: ppm algebra, deterministic ties, one shared window sort") {
+    import spark.implicits._
+    // hot=6, warm=3, and two 1-row tie keys cut deterministically
+    val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("a1", "a2")
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "key")
+    val out = Skew.skewCensus(df, "key", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, "hot", 6L, 545454L, 545454L, 11L, 4L),
+      (2L, "warm", 3L, 272727L, 818181L, 11L, 4L),
+      (3L, "a1", 1L, 90909L, 909090L, 11L, 4L))) // tie: a1 < a2
+    // rank + running-sum windows share one sort: a single exchange
+    // below the window pair in the executed plan
+    val plan = Skew.skewCensus(df, "key", 3)
+      .queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(0, i)
+    }
+    assert("Window".r.findAllIn(cut).length >= 1)
+    // the global-totals aggregate owns one single-partition exchange;
+    // the rank + running-sum windows must SHARE one sort on top of one
+    // more — never a sort each
+    assert("\\bSort\\b".r.findAllIn(cut).length <= 1,
+      s"the two windows must share one sort:\n$cut")
+  }
 }
