@@ -251,6 +251,8 @@ object SparkEntry {
     "q_gopher_rules" -> (L.qGopherRules _),
     // power-of-two length buckets: the padding-efficiency report
     "q_length_buckets" -> (L.qLengthBuckets _),
+    // per-source data card: quality + Gopher keep + near-dup exposure
+    "q_data_card" -> (L.qDataCard _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
@@ -442,6 +444,7 @@ object SparkEntry {
     "q_utf8_census" -> L.qUtf8CensusSql,
     "q_gopher_rules" -> L.qGopherRulesSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
+    "q_data_card" -> L.qDataCardSql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

@@ -1343,20 +1343,16 @@ object LlmQueries {
       .select(i, concat(col("text"), tail).as("text")))
   }
 
-  val qGopherRulesSql: String = {
+  /** The whole Gopher census/verdict chain as ONE nestable SELECT over
+    * any `(doc_id, text)` source (the q_dedup_ngram nesting precedent). */
+  private def gopherSqlFrom(from: String): String = {
     val w = "string_split_regex(trim(text), '\\s+')"
     val ls = "string_split(text, chr(10))"
-    """WITH d AS (SELECT doc_id, text || CASE doc_id % 5
-      |    WHEN 0 THEN repeat(chr(10) || '- b', 10)
-      |    WHEN 1 THEN chr(10) || 'wait...' || chr(10) || 'hm…' || chr(10) || 'ok... fine'
-      |    WHEN 2 THEN chr(10) || '# ## ### #### more'
-      |    WHEN 3 THEN chr(10) || '000 111 222 333 444 555 666 777 888 999 000 111'
-      |    ELSE '' END AS text
-      |  FROM documents),
+    s"""WITH d AS (SELECT doc_id, text FROM $from),
       |c AS (SELECT doc_id,
       |    CAST(len(@LS@) AS BIGINT) AS n_lines,
       |    CAST(len(@W@) AS BIGINT) AS n_words,
-      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+      |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
       |    CAST(len(list_filter(@LS@, x -> substr(trim(x), 1, 1) IN ('-', '•'))) AS BIGINT) AS n_bullet_lines,
       |    CAST(len(list_filter(@LS@, x -> ends_with(trim(x), '...')
       |      OR ends_with(trim(x), '…'))) AS BIGINT) AS n_ellipsis_lines,
@@ -1385,6 +1381,74 @@ object LlmQueries {
       |FROM v""".stripMargin
       .replace("@LS@", ls).replace("@W@", w)
   }
+
+  val qGopherRulesSql: String = gopherSqlFrom(
+    """(SELECT doc_id, text || CASE doc_id % 5
+      |    WHEN 0 THEN repeat(chr(10) || '- b', 10)
+      |    WHEN 1 THEN chr(10) || 'wait...' || chr(10) || 'hm…' || chr(10) || 'ok... fine'
+      |    WHEN 2 THEN chr(10) || '# ## ### #### more'
+      |    WHEN 3 THEN chr(10) || '000 111 222 333 444 555 666 777 888 999 000 111'
+      |    ELSE '' END AS text
+      |  FROM documents)""".stripMargin)
+
+  // ---- per-source data card (the curation report) ----
+
+  /** The corpus DATA CARD — the per-source summary a curation team
+    * actually ships: document/token mass, mean quality (micro-unit
+    * LONG sums — one terminal division, never a float accumulation),
+    * Gopher-keep count, and the near-dup exposure (docs appearing in
+    * ≥1 q_dedup_ngram pair). Composes three gated chains (quality,
+    * gopherRules, the jaccard pair frame) in ONE DAG — the
+    * chain-extension precedent; all joins are doc-keyed equi-joins and
+    * the rollup is one map-side-combinable aggregate over sources. */
+  def qDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+    val g = TextAnalysis.gopherRules(docs).select(col("doc_id"), col("keep"))
+    val dup = Dedup.ngramJaccardPairs(docs, "source", Config.JaccardThreshold)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .join(g, Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("token_mass"),
+        sum(col("keep")).as("keep_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"),
+        sum(when(col("quality").isNotNull,
+          floor(col("quality") * 1e6 + 0.5).cast("long"))).as("__qsum"),
+        count(col("quality")).as("__qn"))
+      .select(col("source"), col("n_docs"), col("token_mass"),
+        col("keep_docs"), col("dup_docs"),
+        Portable.roundp(col("__qsum").cast("double") / 1e6 / col("__qn"), 6)
+          .as("mean_quality"))
+  }
+
+  lazy val qDataCardSql: String =
+    s"""WITH q AS (SELECT doc_id, n_words, quality
+       |  FROM (${textQualitySqlFrom("documents")})),
+       |g AS (SELECT doc_id, keep FROM (${gopherSqlFrom("documents")})),
+       |pr AS (SELECT id_a, id_b FROM ($qDedupNgramSql)),
+       |dup AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr)),
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(q.n_words) AS BIGINT) AS token_mass,
+       |  CAST(sum(g.keep) AS BIGINT) AS keep_docs,
+       |  CAST(count(dup.doc_id) AS BIGINT) AS dup_docs,
+       |  floor((CAST(sum(CASE WHEN q.quality IS NOT NULL
+       |      THEN CAST(floor(q.quality * 1e6 + 0.5) AS BIGINT) END) AS DOUBLE)
+       |    / 1e6 / count(q.quality)) * 1e6 + 0.5) / 1e6 AS mean_quality
+       |FROM d
+       |JOIN q USING (doc_id) JOIN g USING (doc_id)
+       |LEFT JOIN dup USING (doc_id)
+       |GROUP BY d.source""".stripMargin
 
   // ---- byte-level encoding hygiene (operators/Encoding) ----
 
