@@ -662,6 +662,43 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the Gopher rule census (operators/TextAnalysis
+    * .gopherRules): stateless per document — the shape filter a crawl
+    * ingest runs before anything token-level. Parity pinned in
+    * StreamingSpec. */
+  def gopherRulesStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "gopherRulesStream is streaming-only: use TextAnalysis.gopherRules for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.gopherRules(batch), batchId)
+    }
+  }
+
+  /** Streaming twin of the UTF-8 DFA census (operators/Encoding
+    * .utf8Census): stateless per payload — byte hygiene at the very
+    * front of ingest. Parity pinned in StreamingSpec. */
+  def utf8CensusStream(df: DataFrame, idCol: String, bytesCol: String)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(df.isStreaming,
+      "utf8CensusStream is streaming-only: use Encoding.utf8Census for batch frames")
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Encoding.utf8Census(batch, idCol, bytesCol), batchId)
+    }
+  }
+
+  /** Streaming twin of mojibake repair (operators/Encoding
+    * .mojibakeFix): stateless per document. Parity pinned in
+    * StreamingSpec. */
+  def mojibakeFixStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "mojibakeFixStream is streaming-only: use Encoding.mojibakeFix for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Encoding.mojibakeFix(batch), batchId)
+    }
+  }
+
   def packStream(docs: Dataset[Doc], budget: Long = 1024,
                  shards: Int = 8): Dataset[PackAssignment] = {
     require(budget > 0 && shards > 0)

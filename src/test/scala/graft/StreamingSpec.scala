@@ -1090,6 +1090,50 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("gopher/utf8/mojibake hygiene twins replay batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat and the dog " + Seq.fill(46)("w").mkString(" ")),
+      (2L, "- b\n- b\n- b"),
+      (3L, "donâ€™t say â€œthat cafÃ©"))
+    val bytes = Seq(
+      (1L, "plain ascii".getBytes("UTF-8")),
+      (2L, "é中𝄞".getBytes("UTF-8")),
+      (3L, Array[Byte](0x41, 0x80.toByte, 0xC0.toByte)))
+    val inD = MemoryStream[(Long, String)]
+    val inB = MemoryStream[(Long, Array[Byte])]
+    inD.addData(docs.take(1): _*); inB.addData(bytes.take(1): _*)
+    val aG = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val aU = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val aM = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val dDf = inD.toDF().toDF("doc_id", "text")
+    val q1 = Streams.gopherRulesStream(dDf) {
+      (out, _) => aG.synchronized { aG ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    val q2 = Streams.utf8CensusStream(
+        inB.toDF().toDF("doc_id", "bytes"), "doc_id", "bytes") {
+      (out, _) => aU.synchronized { aU ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    val q3 = Streams.mojibakeFixStream(dDf) {
+      (out, _) => aM.synchronized { aM ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    Seq(q1, q2, q3).foreach(_.processAllAvailable())
+    inD.addData(docs.drop(1): _*); inB.addData(bytes.drop(1): _*)
+    Seq(q1, q2, q3).foreach { q => q.processAllAvailable(); q.stop() }
+    val dBatch = docs.toDF("doc_id", "text")
+    assert(aG.map(_.toString).sorted.toSeq ===
+      graft.operators.TextAnalysis.gopherRules(dBatch)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(aU.map(_.toString).sorted.toSeq ===
+      graft.operators.Encoding.utf8Census(
+          bytes.toDF("doc_id", "bytes"), "doc_id", "bytes")
+        .collect().map(_.toString).sorted.toSeq)
+    assert(aM.map(_.toString).sorted.toSeq ===
+      graft.operators.Encoding.mojibakeFix(dBatch)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("tarEntriesStream and jpegMetaStream split/parse batches like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
