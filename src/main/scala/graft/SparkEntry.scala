@@ -253,6 +253,8 @@ object SparkEntry {
     "q_length_buckets" -> (L.qLengthBuckets _),
     // per-source data card: quality + Gopher keep + near-dup exposure
     "q_data_card" -> (L.qDataCard _),
+    // magic-byte content-type dispatch over a genuinely mixed bucket
+    "q_format_detect" -> (L.qFormatDetect _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
@@ -445,6 +447,7 @@ object SparkEntry {
     "q_gopher_rules" -> L.qGopherRulesSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_data_card" -> L.qDataCardSql,
+    "q_format_detect" -> L.qFormatDetectSql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

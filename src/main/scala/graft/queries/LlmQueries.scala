@@ -1391,6 +1391,65 @@ object LlmQueries {
       |    ELSE '' END AS text
       |  FROM documents)""".stripMargin)
 
+  // ---- content-type dispatch by magic bytes (sources/Magic) ----
+
+  /** Format autodetection over a genuinely mixed bucket: every payload
+    * is produced by its REAL encoder (ustar via Tar.write, JFIF via
+    * Jpeg.encodeJpeg, PNG via javax.imageio, ISO-BMFF via
+    * Video.encodeMp4, RIFF/WAVE via javax.sound, gzip, WARC, JSONL) —
+    * one format per doc_id%8 — and Magic.formatOf must route each to
+    * its decode leg by magic bytes alone. The oracle knows only the
+    * residue → format mapping; any encoder emitting a bent anchor or
+    * any detector offset slip misroutes a row and fails the hash. */
+  def qFormatDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables(spark, dir).documents.select(col("doc_id").cast("long"))
+    def part(m: Int) = ids.where(col("doc_id") % 8 === m)
+    val tar = part(0).as[Long].map(id =>
+        (id, graft.sources.Tar.write(Seq(graft.sources.Tar.TarFile(
+          s"f$id.txt", "x".getBytes("US-ASCII"))))))
+      .toDF("doc_id", "payload")
+    val jpeg = graft.operators.Jpeg.encodeJpeg(part(1).select(col("doc_id"),
+      lit(16).as("w"), lit(16).as("h"), lit(3).as("n_comp"),
+      lit(false).as("progressive"), lit(1).as("n_dqt"),
+      lit(72).as("density_x"), lit(4).as("scan_len"), lit(1).as("seed"),
+      lit(false).as("rst"), lit(false).as("stuff"), lit(0).as("corrupt")))
+    val png = Multimodal.encodePng(part(2).select(col("doc_id"),
+      lit(4).as("w"), lit(4).as("h"), lit(1).as("seed")))
+    val mp4 = graft.operators.Video.encodeMp4(part(3).select(col("doc_id"),
+      lit(600L).as("timescale"), lit(1200L).as("duration"),
+      array(struct(lit(1L).as("track_id"), lit(320L).as("w"),
+        lit(240L).as("h"), lit(24L).as("frames"),
+        lit("avc1").as("codec"))).as("tracks"),
+      lit(0).as("corrupt")))
+    val wav = Multimodal.encodeWav(part(4).select(col("doc_id"),
+      lit(16).as("n_samples"), lit(3).as("seed")))
+    val gz = part(5).as[Long].map { id =>
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(s"payload$id".getBytes("US-ASCII")); g.close()
+        (id, bo.toByteArray)
+      }.toDF("doc_id", "payload")
+    val warc = part(6).select(col("doc_id"),
+      lit("WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+        .cast("binary").as("payload"))
+    val jsonl = part(7).select(col("doc_id"),
+      concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}"))
+        .cast("binary").as("payload"))
+    Seq(tar, jpeg, png, mp4, wav, gz, warc, jsonl)
+      .reduce(_ unionByName _)
+      .select(col("doc_id"),
+        graft.sources.Magic.formatOf(col("payload")).as("format"))
+  }
+
+  val qFormatDetectSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 8 WHEN 0 THEN 'tar' WHEN 1 THEN 'jpeg'
+      |    WHEN 2 THEN 'png' WHEN 3 THEN 'mp4' WHEN 4 THEN 'wav'
+      |    WHEN 5 THEN 'gzip' WHEN 6 THEN 'warc' ELSE 'jsonl'
+      |  END AS format
+      |FROM documents""".stripMargin
+
   // ---- per-source data card (the curation report) ----
 
   /** The corpus DATA CARD — the per-source summary a curation team

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Content-type detection by magic bytes — the dispatch layer in front
+  * of the source family: a crawl/data-lake bucket holds a MIX of
+  * payload kinds, and every decode leg (Tar/Warc/Jsonl/Jpeg/PNG/WAV/
+  * ISO-BMFF, plus transparent gzip) needs routing BEFORE any parser
+  * runs. Detection is pure Column algebra over fixed offsets (hex
+  * compares — codegen'd, no UDF, no kernel): payloads shorter than an
+  * anchor window simply fail that compare, so truncated inputs fall
+  * through to `unknown` instead of erroring.
+  *
+  * The checks mirror each format's real framing anchor: gzip 1F 8B,
+  * PNG 89 'PNG', JPEG FF D8 FF, RIFF….WAVE, `ftyp` at offset 4
+  * (ISO-BMFF — the size field varies, the brand box type does not),
+  * `ustar` at offset 257 (the POSIX header magic), `WARC/` and a
+  * leading `{`/`[` for JSON lines. Detection order is irrelevant —
+  * the anchors are pairwise disjoint by construction of the formats. */
+object Magic {
+
+  def formatOf(bytes: Column): Column = {
+    def hexAt(off: Int, len: Int): Column = hex(substring(bytes, off, len))
+    when(hexAt(1, 2) === "1F8B", "gzip")
+      .when(hexAt(1, 4) === "89504E47", "png")
+      .when(hexAt(1, 3) === "FFD8FF", "jpeg")
+      .when(hexAt(1, 4) === "52494646" && hexAt(9, 4) === "57415645", "wav")
+      .when(hexAt(5, 4) === "66747970", "mp4")
+      .when(hexAt(258, 5) === "7573746172", "tar")
+      .when(hexAt(1, 5) === "574152432F", "warc")
+      .when(hexAt(1, 1).isin("7B", "5B"), "jsonl")
+      .otherwise("unknown")
+  }
+}

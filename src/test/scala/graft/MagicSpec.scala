@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Magic, Tar}
+
+/** Magic-byte dispatch: every real encoder's output routes to its
+  * format; empty, truncated, and anchor-free payloads fall through to
+  * `unknown` without erroring. */
+class MagicSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def detect(payloads: Seq[(Long, Array[Byte])]): Map[Long, String] =
+    payloads.toDF("id", "b")
+      .select(col("id"), Magic.formatOf(col("b")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("real encoder outputs route correctly; edge payloads are unknown") {
+    val gz = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write("x".getBytes); g.close(); bo.toByteArray
+    }
+    val out = detect(Seq(
+      1L -> Tar.write(Seq(Tar.TarFile("a.txt", "x".getBytes))),
+      2L -> gz,
+      3L -> "WARC/1.0\r\n\r\n".getBytes,
+      4L -> """{"k":1}""".getBytes,
+      5L -> """["a"]""".getBytes,
+      6L -> Array.empty[Byte],
+      7L -> Array[Byte](0x00, 0x01, 0x02),
+      8L -> "plain text, no anchor".getBytes,
+      9L -> Tar.write(Seq(Tar.TarFile("a.txt", "x".getBytes))).take(100)))
+    assert(out(1L) === "tar")
+    assert(out(2L) === "gzip")
+    assert(out(3L) === "warc")
+    assert(out(4L) === "jsonl" && out(5L) === "jsonl")
+    assert(out(6L) === "unknown")
+    assert(out(7L) === "unknown")
+    assert(out(8L) === "unknown")
+    assert(out(9L) === "unknown", "a tar cut before offset 257 loses its magic")
+  }
+}
