@@ -255,6 +255,8 @@ object SparkEntry {
     "q_data_card" -> (L.qDataCard _),
     // magic-byte content-type dispatch over a genuinely mixed bucket
     "q_format_detect" -> (L.qFormatDetect _),
+    // Luhn-validated card detection (high-precision PII verdicts)
+    "q_card_scan" -> (L.qCardScan _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
@@ -448,6 +450,7 @@ object SparkEntry {
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
+    "q_card_scan" -> L.qCardScanSql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

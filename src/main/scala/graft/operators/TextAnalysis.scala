@@ -722,6 +722,40 @@ object TextAnalysis {
       .withColumn("scrubbed", regexp_replace(col("__t2"), PiiIp, IpMask))
       .drop("__t1", "__t2", textCol)
 
+  /** Card-number candidates: four separator-grouped quads or a bare
+    * 16-digit run, boundary-guarded. RE2-safe (no lookahead). */
+  val CardPattern = "\\b(?:\\d{4}[ -]){3}\\d{4}\\b|\\b\\d{16}\\b"
+
+  /** Luhn-validated card detection — the high-precision PII leg next
+    * to [[scrubPii]]'s pattern masks: a 16-digit run is only a REAL
+    * card number if its Luhn checksum holds (ISO/IEC 7812), which cuts
+    * the false-positive digit runs (order ids, timestamps) that a bare
+    * regex would flag. The checksum is UNROLLED over the 16 fixed
+    * positions (double odd left-positions, subtract 9 past 9 — pure
+    * codegen'd integer algebra, no UDF); production policy for a
+    * validated hit is DROP, not mask, so the verdict column is the
+    * filter key. Zero shuffle. */
+  def cardScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def luhnOk(d: Column): Column = {
+      val total = (1 to 16).map { k =>
+        val dig = substring(d, k, 1).cast("int")
+        if (k % 2 == 1) { // 16-digit PAN: odd left-positions double
+          val dd = dig * 2
+          when(dd > 9, dd - 9).otherwise(dd)
+        } else dig
+      }.reduce(_ + _)
+      total % 10 === 0
+    }
+    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    docs.select(col("doc_id"),
+        size(cands).cast(LongType).as("n_candidates"),
+        size(filter(cands, c =>
+          luhnOk(regexp_replace(c, "[ -]", "")))).cast(LongType)
+          .as("n_valid_cards"))
+      .withColumn("has_valid_card",
+        when(col("n_valid_cards") > 0, 1L).otherwise(0L))
+  }
+
   // ---- HTML text extraction ----
 
   /** script/style elements with their CONTENT (case-insensitive,

@@ -1391,6 +1391,51 @@ object LlmQueries {
       |    ELSE '' END AS text
       |  FROM documents)""".stripMargin)
 
+  // ---- Luhn-validated card detection (high-precision PII) ----
+
+  /** Card scan over a widened corpus: every 3rd doc carries a VALID
+    * (Luhn-passing) separator-grouped test number, the next a
+    * one-digit-off INVALID twin — the false positive a bare regex
+    * would drop a document for. The oracle replays extraction AND the
+    * full checksum algebra (nested list lambdas over the 16 fixed
+    * positions), so a doubled-position or subtract-9 slip anywhere
+    * bends a count. */
+  def qCardScan(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val tail = when(i % 3 === 0, lit(" pay 4539 1488 0343 6467 now"))
+      .when(i % 3 === 1, lit(" ref 4539148803436468 order"))
+      .otherwise(lit(""))
+    TextAnalysis.cardScan(Tables(spark, dir).documents
+      .select(i, concat(col("text"), tail).as("text")))
+  }
+
+  val qCardScanSql: String = {
+    // DuckDB string literals keep backslashes verbatim: the Scala
+    // pattern (one backslash in memory) drops in unchanged
+    val pat = TextAnalysis.CardPattern
+    s"""WITH d AS (SELECT doc_id, text || CASE doc_id % 3
+       |    WHEN 0 THEN ' pay 4539 1488 0343 6467 now'
+       |    WHEN 1 THEN ' ref 4539148803436468 order'
+       |    ELSE '' END AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS cands FROM d),
+       |v AS (SELECT doc_id, cands,
+       |    list_filter(cands, c -> (
+       |      list_sum(list_transform(generate_series(1, 16), k ->
+       |        CASE WHEN k % 2 = 1
+       |          THEN CASE WHEN 2 * CAST(substr(replace(replace(c, ' ', ''), '-', ''), CAST(k AS INT), 1) AS INT) > 9
+       |               THEN 2 * CAST(substr(replace(replace(c, ' ', ''), '-', ''), CAST(k AS INT), 1) AS INT) - 9
+       |               ELSE 2 * CAST(substr(replace(replace(c, ' ', ''), '-', ''), CAST(k AS INT), 1) AS INT) END
+       |          ELSE CAST(substr(replace(replace(c, ' ', ''), '-', ''), CAST(k AS INT), 1) AS INT)
+       |        END)) % 10 = 0)) AS valids
+       |  FROM c)
+       |SELECT doc_id,
+       |  CAST(len(cands) AS BIGINT) AS n_candidates,
+       |  CAST(len(valids) AS BIGINT) AS n_valid_cards,
+       |  CAST(CASE WHEN len(valids) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_valid_card
+       |FROM v""".stripMargin
+  }
+
   // ---- content-type dispatch by magic bytes (sources/Magic) ----
 
   /** Format autodetection over a genuinely mixed bucket: every payload

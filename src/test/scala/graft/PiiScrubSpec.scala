@@ -57,4 +57,49 @@ class PiiScrubSpec extends SparkSpec {
       Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")).collect()(0)
     assert(r.isNullAt(r.fieldIndex("scrubbed")) && r.isNullAt(r.fieldIndex("n_emails")))
   }
+
+  /** Reference Luhn (independent implementation for the cross-check). */
+  private def luhnRef(digits: String): Boolean = {
+    val s = digits.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'
+      if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+    }.sum
+    s % 10 == 0
+  }
+
+  test("cardScan: Luhn validation, separators, boundaries, multiples") {
+    import spark.implicits._
+    val valid = "4539148803436467" // fixture number — prove it IS valid
+    val invalid = "4539148803436468"
+    assert(luhnRef(valid) && !luhnRef(invalid))
+    val out = TextAnalysis.cardScan(Seq(
+        (1L, s"pay $valid now"),
+        (2L, "pay 4539 1488 0343 6467 now"), // grouped form of the same
+        (3L, "pay 4539-1488-0343-6467 now"),
+        (4L, s"ref $invalid order"), // candidate, Luhn fails
+        (5L, "short 453914880343646 run"), // 15 digits: no candidate
+        (6L, s"two: $valid and 4539 1488 0343 6467"),
+        (7L, "x4539148803436467 glued"), // no boundary: \b inside a word
+        (8L, "nothing here"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((1L, 1L, 1L)))
+    assert(out(2L) === ((1L, 1L, 1L)))
+    assert(out(3L) === ((1L, 1L, 1L)))
+    assert(out(4L) === ((1L, 0L, 0L)))
+    assert(out(5L) === ((0L, 0L, 0L)))
+    assert(out(6L) === ((2L, 2L, 1L)))
+    assert(out(8L) === ((0L, 0L, 0L)))
+    // randomized agreement with the reference implementation
+    val rnd = new scala.util.Random(11)
+    val nums = (0 until 50).map(_ => (0 until 16).map(_ => rnd.nextInt(10)).mkString)
+    val scan = TextAnalysis.cardScan(
+        nums.zipWithIndex.map { case (n, i) => (i.toLong, s"n $n z") }
+          .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    nums.zipWithIndex.foreach { case (n, i) =>
+      assert(scan(i.toLong) === (if (luhnRef(n)) 1L else 0L), n)
+    }
+  }
 }
