@@ -257,6 +257,8 @@ object SparkEntry {
     "q_format_detect" -> (L.qFormatDetect _),
     // Luhn-validated card detection (high-precision PII verdicts)
     "q_card_scan" -> (L.qCardScan _),
+    // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
+    "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
     // image near-dup: perceptual aHash over real decoded pixels
     "q_image_phash" -> (L.qImagePhash _),
@@ -451,6 +453,7 @@ object SparkEntry {
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,
+    "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,
     "q_audio_decode" -> L.qAudioDecodeSql,

@@ -953,6 +953,46 @@ object TextAnalysis {
       .toDF(id, "text", "changed", "n_before", "n_after")
   }
 
+  /** Dedup-key normalization — the "fuzzy exact" step most pipelines
+    * run BEFORE any MinHash: NFD + combining-mark strip (the real
+    * `java.text.Normalizer`, the [[normalizeNfc]] altitude), casefold,
+    * and punctuation/whitespace collapse — so case variants,
+    * precomposed/decomposed accents and punctuation-only edits share
+    * ONE exact key while staying far cheaper than near-dup machinery.
+    * NULL text yields a NULL key (callers filter or quarantine). */
+  def fuzzyDedupKey(docs: DataFrame, id: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) =>
+        val key = if (t == null) null
+        else java.text.Normalizer
+          .normalize(t, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{M}+", "")
+          .toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^\\p{L}\\p{Nd}]+", " ")
+          .trim
+        (i, key)
+      })
+      .toDF(id, "fuzzy_key")
+  }
+
+  /** Fuzzy-exact keep verdicts: first doc (lowest id) of each
+    * normalized-key group survives. The window runs over md5 of the
+    * key (narrow exchange rows — the drop-payloads-before-windows
+    * rule) in the span-census shape: one shuffle, no aggregate +
+    * join-back. */
+  def fuzzyExactKeep(docs: DataFrame, id: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val keyed = fuzzyDedupKey(docs, id, textCol)
+      .select(col(id), md5(col("fuzzy_key")).as("__kh"))
+    val w = Window.partitionBy(col("__kh")).orderBy(col(id).asc)
+    keyed.withColumn("keep",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col(id), col("keep"))
+  }
+
   // ---- TF-IDF keyword extraction ----
 
   /** Top-k keywords per document by (tf DESC, df ASC, word ASC) — the

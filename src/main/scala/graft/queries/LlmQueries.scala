@@ -1391,6 +1391,36 @@ object LlmQueries {
       |    ELSE '' END AS text
       |  FROM documents)""".stripMargin)
 
+  // ---- fuzzy-exact dedup (normalize-then-hash) ----
+
+  /** Fuzzy-exact dedup inside the gate: each corpus doc explodes into
+    * FOUR variants — identity, uppercased, accent-injected
+    * (a→á, e→é), punctuation-wrapped — that must all normalize to one
+    * key (group ids prefixed into the text keep groups unique even
+    * where the corpus carries exact-duplicate docs). The REAL
+    * Normalizer/casefold/collapse chain runs on the Spark side; the
+    * oracle knows only that v0 survives — any normalization slip
+    * (missed mark strip, locale casefold, punct collapse) splits a
+    * group and bends a verdict. */
+  def qDedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("g"), col("doc_id").cast("string"), lit(" "),
+      coalesce(col("text"), lit("")))
+    val variants = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(3L))).as("v"))
+      .select((col("doc_id") * 4 + col("v")).as("doc_id"),
+        when(col("v") === 0, base)
+          .when(col("v") === 1, upper(base))
+          .when(col("v") === 2, translate(base, "ae", "áé"))
+          .otherwise(concat(lit("? "), base, lit(" ...!!"))).as("text"))
+    TextAnalysis.fuzzyExactKeep(variants)
+  }
+
+  val qDedupFuzzySql: String =
+    """SELECT doc_id * 4 + t.v AS doc_id,
+      |  CAST(CASE WHEN t.v = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM documents, unnest(generate_series(0, 3)) AS t(v)""".stripMargin
+
   // ---- Luhn-validated card detection (high-precision PII) ----
 
   /** Card scan over a widened corpus: every 3rd doc carries a VALID

@@ -32,4 +32,27 @@ class NfcSpec extends SparkSpec {
       TextAnalysis.normalizeNfc(docs).select($"doc_id", $"text"))
     assert(again.where($"changed" === 1L).count() === 0L)
   }
+
+  test("fuzzyDedupKey merges case/accent/punct variants, splits real edits") {
+    import spark.implicits._
+    val composed = "café nice"        // precomposed é
+    val decomposed = "cafe\u0301 nice" // e + COMBINING ACUTE
+    val keys = TextAnalysis.fuzzyDedupKey(Seq(
+        (1L, composed), (2L, decomposed), (3L, "CAFE  nice!!"),
+        (4L, "? cafe, nice..."), (5L, "cafe nicer"),
+        (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(keys(1L) === keys(2L), "NFD strip unifies composed/decomposed")
+    assert(keys(1L) === Some("cafe nice"))
+    assert(keys(3L) === Some("cafe nice") && keys(4L) === Some("cafe nice"))
+    assert(keys(5L) === Some("cafe nicer"))
+    assert(keys(6L) === None)
+    val keep = TextAnalysis.fuzzyExactKeep(Seq(
+        (1L, composed), (2L, decomposed), (3L, "CAFE  nice!!"),
+        (5L, "cafe nicer"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 5L -> 1L))
+  }
 }
