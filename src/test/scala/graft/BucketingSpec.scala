@@ -60,6 +60,40 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned corpus: a language filter prunes to its directory at plan time") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Files.createTempDirectory("graft_pruned_corpus").toString
+    try {
+      Bucketing.writeSizedCorpus(docs, out, Seq("lang"), "doc_id",
+        filesPerPartition = 2)
+      val one = spark.read.parquet(out).where(col("lang") === "en")
+      val plan = one.queryExecution.executedPlan.toString
+      // the filter must reach the scan as a PARTITION filter (pruned at
+      // listing time — other languages' files are never opened), not a
+      // post-scan Filter over all partitions
+      assert(plan.contains("PartitionFilters"), plan.take(2000))
+      assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+        "lang must appear inside PartitionFilters")
+      val expected = docs.where(col("lang") === "en").count()
+      // execute THIS queryExecution (count() would plan its own) so
+      // the scan node's metrics populate
+      assert(one.queryExecution.toRdd.count() === expected && expected > 0)
+      // pruning is visible in the EXECUTED scan's file metric (df
+      // .inputFiles lists before pruning and shows every language)
+      val enFiles = new java.io.File(out, "lang=en").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scan.metrics("numFiles").value === enFiles.toLong,
+        s"scan read ${scan.metrics("numFiles").value} files, lang=en holds $enFiles")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("span-index probe: bucketed index side joins without its shuffle") {
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
