@@ -251,6 +251,8 @@ object SparkEntry {
     "q_gopher_rules" -> (L.qGopherRules _),
     // power-of-two length buckets: the padding-efficiency report
     "q_length_buckets" -> (L.qLengthBuckets _),
+    // Zipf power-law fit over the vocabulary (quantized-ln regression)
+    "q_zipf_fit" -> (L.qZipfFit _),
     // per-source data card: quality + Gopher keep + near-dup exposure
     "q_data_card" -> (L.qDataCard _),
     // magic-byte content-type dispatch over a genuinely mixed bucket
@@ -450,6 +452,7 @@ object SparkEntry {
     "q_utf8_census" -> L.qUtf8CensusSql,
     "q_gopher_rules" -> L.qGopherRulesSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
+    "q_zipf_fit" -> L.qZipfFitSql,
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,

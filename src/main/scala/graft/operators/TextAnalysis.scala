@@ -1418,6 +1418,49 @@ object TextAnalysis {
         col("n_tokens"), col("n_kept_tokens"), col(textCol))
   }
 
+  /** Zipf power-law fit over the vocabulary — the corpus-law report
+    * behind vocab sizing and dedup sanity (natural text sits near
+    * alpha ≈ 1; a templated/boilerplate corpus bends the slope):
+    * least-squares over (ln rank, ln count) of the top-`maxRank`
+    * types. Determinism: the rank uses the (count desc, token asc)
+    * total order; BOTH logs quantize once to micro-unit LONGS (the
+    * LM-scoring ln precedent) and the regression sums over those
+    * integers are order-free; the closed-form slope/intercept divide
+    * in DOUBLE with term-identical operand order on both engines (sums
+    * can pass 2^53 — parity holds because the IEEE ops are identical,
+    * the binned-percentile principle; never recompute in a different
+    * association). Census is map-side-combinable; rank + regression
+    * run over the ≤maxRank frame. */
+  def zipfFit(docs: DataFrame, maxRank: Int = 1000,
+              scripted: Boolean = false): DataFrame = {
+    val census = docs
+      .select(explode(tokensOf(col("text"), scripted)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(maxRank)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    val q = census
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(
+        floor(log(col("rank").cast(DoubleType)) * 1e6 + 0.5).cast(LongType).as("qx"),
+        floor(log(col("n").cast(DoubleType)) * 1e6 + 0.5).cast(LongType).as("qy"))
+    val s = q.agg(
+      count(lit(1)).as("k"),
+      sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+      sum(col("qx") * col("qy")).as("sxy"),
+      sum(col("qx") * col("qx")).as("sxx"))
+    val kD = col("k").cast(DoubleType)
+    val slope = (kD * col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+      (kD * col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+    s.select(col("k").as("n_types"),
+      Portable.roundp(-slope, 6).as("alpha"),
+      Portable.roundp(
+        (col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+          kD / 1e6, 6).as("intercept"))
+  }
+
   /** Power-of-two length-bucket census — the PADDING-EFFICIENCY report
     * behind batched training and sequence packing: each document lands
     * in the smallest power-of-two bucket holding its token count

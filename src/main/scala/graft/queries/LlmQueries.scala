@@ -1300,6 +1300,39 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- Zipf power-law fit over the vocabulary ----
+
+  /** Zipf fit inside the gate (TextAnalysis.zipfFit): micro-unit
+    * quantized logs, integer regression sums, one term-identical
+    * double divide per coefficient. */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables(spark, dir).documents, 1000)
+
+  val qZipfFitSql: String =
+    s"""WITH w AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM w
+       |  GROUP BY token ORDER BY n DESC, token ASC LIMIT 1000),
+       |r AS (SELECT
+       |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qx,
+       |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qy
+       |  FROM c),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+       |    CAST(sum(qx * qy) AS BIGINT) AS sxy,
+       |    CAST(sum(qx * qx) AS BIGINT) AS sxx
+       |  FROM r),
+       |t AS (SELECT k, sx, sy,
+       |    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+       |  FROM s)
+       |SELECT k AS n_types,
+       |  floor((-slope) * 1e6 + 0.5) / 1e6 AS alpha,
+       |  floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |    / CAST(k AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS intercept
+       |FROM t""".stripMargin
+
   // ---- padding-efficiency length buckets ----
 
   /** Power-of-two length-bucket census (TextAnalysis.lengthBuckets) —

@@ -55,6 +55,27 @@ class CorpusAnalysisSpec extends SparkSpec {
     assert(spec.map(_._2).sum === vocab.toLong)
   }
 
+  test("zipfFit recovers a planted exponent; deterministic across layouts") {
+    import org.apache.spark.sql.functions._
+    // corpus where type t_r occurs round(2000 / r^1.2) times: alpha = 1.2
+    val words = (1 to 60).flatMap { r =>
+      val c = math.round(2000.0 / math.pow(r, 1.2)).toInt
+      Seq.fill(c)(f"t$r%03d")
+    }
+    val rnd = new scala.util.Random(5)
+    val shuffled = rnd.shuffle(words)
+    val docs = shuffled.grouped(40).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, 60).collect()(0)
+    assert(fit.getLong(0) === 60L)
+    val alpha = fit.getDouble(1)
+    assert(alpha > 1.1 && alpha < 1.3, s"alpha=$alpha")
+    // deterministic across partition layouts
+    val again = TextAnalysis.zipfFit(docs.repartition(7), 60).collect()(0)
+    assert(again.getDouble(1) === alpha && again.getDouble(2) === fit.getDouble(2))
+  }
+
   test("lengthBuckets: power-of-two boundaries, exact padding algebra") {
     def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
     // n = 1, 2, 3, 4, 16, 17 → buckets 1, 2, 4, 4, 16, 32
