@@ -67,6 +67,8 @@ object SparkEntry {
     "q_salted_agg" -> (T.qSaltedAgg _),
     // shuffle-skew pre-flight census (top-k key shares in integer ppm)
     "q_skew_census" -> (T.qSkewCensus _),
+    // ordered funnel with conversion window (chained min joins, ppm)
+    "q_funnel" -> (T.qFunnel _),
     "q_corpus_stats" -> (L.qCorpusStats _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_range_join" -> (T.qRangeJoin _),
@@ -322,6 +324,7 @@ object SparkEntry {
     "q_anti_join" -> T.qAntiJoinSql,
     "q_salted_agg" -> T.qSaltedAggSql,
     "q_skew_census" -> T.qSkewCensusSql,
+    "q_funnel" -> T.qFunnelSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,
     "q_asof_join" -> L.qAsofJoinSql,
     "q_range_join" -> T.qRangeJoinSql,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — the classic
+  * sequential-analytics operator (how many users progress
+  * view → click → purchase, within a conversion window measured from
+  * the FIRST step): per user, step k's entry time is the earliest
+  * step-k event STRICTLY AFTER the step-(k-1) entry and no later than
+  * `t1 + withinS`. Expressed as a chain of filtered joins + per-user
+  * min aggregates — fully declarative, no per-user state machine: the
+  * event frame enters once per step with its type filter PUSHED INTO
+  * THE SCAN, and every intermediate frame is user-cardinality-sized
+  * (tiny next to the events), so each stage is one broadcast-friendly
+  * join + a map-side-combinable min.
+  *
+  * Determinism: timestamps compare at epoch seconds (the engine-wide
+  * ns-vs-us rule — callers load via Tables.events); conversion ratios
+  * are integer DIV ppm. Emits one row per step: users reaching it and
+  * ppm conversion relative to step 1. */
+object Funnel {
+
+  def funnel(events: DataFrame, steps: Seq[String], withinS: Long,
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_timestamp(col(tsCol)).as("sec"))
+    // stage 1: first occurrence of the entry step per user
+    val s1 = e.where(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("sec")).as("t1"))
+      .withColumn("tk", col("t1"))
+    // stage k: earliest step-k event after stage k-1, inside the window
+    val reached = steps.tail.scanLeft(s1) { (prev, step) =>
+      e.where(col("t") === step)
+        .join(prev.select(col("u"), col("t1"), col("tk").as("__prev")), Seq("u"))
+        .where(col("sec") > col("__prev") && col("sec") <= col("t1") + withinS)
+        .groupBy(col("u"), col("t1")).agg(min(col("sec")).as("tk"))
+    }
+    val counts = reached.zip(steps.zipWithIndex).map { case (df, (step, i)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }
+    val unioned = counts.reduce(_ unionByName _)
+    val base = counts.head.select(col("n_users").as("__n1"))
+    unioned.crossJoin(broadcast(base))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        expr("CAST(CASE WHEN __n1 = 0 THEN NULL" +
+          " ELSE (n_users * 1000000) DIV __n1 END AS BIGINT)").as("conv_ppm"))
+  }
+}

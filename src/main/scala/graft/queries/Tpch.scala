@@ -347,6 +347,47 @@ object Tpch {
     """SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
       |FROM lineitem GROUP BY l_partkey""".stripMargin
 
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWithinS = 200000L
+
+  /** Ordered funnel view → click → purchase with a 200,000 s
+    * conversion window from the first view (operators/Funnel): chained
+    * filtered joins + per-user mins, integer-ppm conversion. The
+    * window is sized to SPLIT the corpus (gap IQR ~45k-237k s), so
+    * both the ordering constraint and the window constraint are
+    * exercised inside the gate. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(Tables(spark, dir).events,
+      FunnelSteps, FunnelWithinS)
+
+  val qFunnelSql: String =
+    s"""WITH e AS (SELECT user_id AS u, event_type AS t,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       |s1 AS (SELECT u, min(sec) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+       |s2 AS (SELECT e.u, min(s1.t1) AS t1, min(e.sec) AS tk
+       |  FROM e JOIN s1 ON e.u = s1.u
+       |  WHERE e.t = 'click' AND e.sec > s1.t1
+       |    AND e.sec <= s1.t1 + $FunnelWithinS
+       |  GROUP BY e.u),
+       |s3 AS (SELECT e.u, min(e.sec) AS tk
+       |  FROM e JOIN s2 ON e.u = s2.u
+       |  WHERE e.t = 'purchase' AND e.sec > s2.tk
+       |    AND e.sec <= s2.t1 + $FunnelWithinS
+       |  GROUP BY e.u),
+       |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+       |    (SELECT count(*) FROM s2) AS n2,
+       |    (SELECT count(*) FROM s3) AS n3)
+       |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+       |  CAST(n1 AS BIGINT) AS n_users,
+       |  CAST(CASE WHEN n1 = 0 THEN NULL ELSE (n1 * 1000000) // n1 END AS BIGINT) AS conv_ppm
+       |FROM n
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'click', CAST(n2 AS BIGINT),
+       |  CAST(CASE WHEN n1 = 0 THEN NULL ELSE (n2 * 1000000) // n1 END AS BIGINT) FROM n
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
+       |  CAST(CASE WHEN n1 = 0 THEN NULL ELSE (n3 * 1000000) // n1 END AS BIGINT) FROM n""".stripMargin
+
   /** Shuffle-skew pre-flight census over the event user key
     * (Skew.skewCensus): the report that decides whether a planned
     * join/agg key needs salting — top-20 keys with integer-DIV ppm

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Funnel
+
+/** Ordered funnel: strict-after ordering, the window measured from the
+  * FIRST step, earliest-occurrence entry times, and ppm conversion. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(u: Long, t: String, sec: Long) =
+    (u, t, new Timestamp(sec * 1000L))
+
+  private def run(within: Long, rows: (Long, String, Timestamp)*) =
+    Funnel.funnel(rows.toDF("user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"), within)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+
+  test("strict ordering: a click BEFORE the first view does not count") {
+    val out = run(1000L,
+      ev(1, "click", 10), ev(1, "view", 20), ev(1, "purchase", 30),
+      ev(2, "view", 10), ev(2, "click", 20), ev(2, "purchase", 30))
+    assert(out(1L) === (("view", 2L, 1000000L)))
+    assert(out(2L) === (("click", 1L, 500000L)), "user 1's early click is dead")
+    assert(out(3L) === (("purchase", 1L, 500000L)))
+  }
+
+  test("window measured from the FIRST view, not the previous step") {
+    // click at t1+50 ok; purchase at t1+150 exceeds within=100 even
+    // though it is only 100 after the click
+    val out = run(100L,
+      ev(1, "view", 0), ev(1, "click", 50), ev(1, "purchase", 150),
+      ev(2, "view", 0), ev(2, "click", 50), ev(2, "purchase", 100))
+    assert(out(2L)._2 === 2L)
+    assert(out(3L)._2 === 1L, "only user 2 purchases inside the window")
+  }
+
+  test("earliest occurrences drive entry times; repeats don't double-count") {
+    val out = run(1000L,
+      ev(1, "view", 0), ev(1, "view", 5), ev(1, "click", 10),
+      ev(1, "click", 15), ev(1, "purchase", 20), ev(1, "purchase", 900))
+    assert(out(1L)._2 === 1L && out(2L)._2 === 1L && out(3L)._2 === 1L)
+  }
+
+  test("ties at the same second do NOT advance (strict after)") {
+    val out = run(1000L,
+      ev(1, "view", 10), ev(1, "click", 10), ev(1, "purchase", 20))
+    assert(out(2L)._2 === 0L && out(3L)._2 === 0L)
+    assert(out(2L)._3 === 0L)
+  }
+}
