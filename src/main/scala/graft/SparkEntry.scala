@@ -255,6 +255,8 @@ object SparkEntry {
     "q_length_buckets" -> (L.qLengthBuckets _),
     // Zipf power-law fit over the vocabulary (quantized-ln regression)
     "q_zipf_fit" -> (L.qZipfFit _),
+    // per-line language segments (code-switching census)
+    "q_lang_segments" -> (L.qLangSegments _),
     // per-source data card: quality + Gopher keep + near-dup exposure
     "q_data_card" -> (L.qDataCard _),
     // magic-byte content-type dispatch over a genuinely mixed bucket
@@ -456,6 +458,7 @@ object SparkEntry {
     "q_gopher_rules" -> L.qGopherRulesSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_zipf_fit" -> L.qZipfFitSql,
+    "q_lang_segments" -> L.qLangSegmentsSql,
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,

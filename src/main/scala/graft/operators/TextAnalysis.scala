@@ -1418,6 +1418,53 @@ object TextAnalysis {
         col("n_tokens"), col("n_kept_tokens"), col(textCol))
   }
 
+  /** Per-LINE language identification — the code-switching /
+    * multilingual-document census (a whole-doc argmax silently averages
+    * a half-English half-German page into one label; mixing pipelines
+    * need to know the page is mixed): each line gets the stopword-hit
+    * argmax verdict (alphabetical tiebreak — the langId rule) or `und`
+    * when no list hits, then a doc rollup: line counts, the dominant
+    * tagged language, distinct tagged languages and the mixed flag.
+    * Shape: posexplode lines → five STAGED score columns (never a
+    * 25-reference HOF tree — the CollapseProject staging rule) → one
+    * doc-keyed regroup; all verdicts integer. */
+  def langSegments(docs: DataFrame, id: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val codes = Config.Stopwords.map(_._1)
+    val ln = docs.select(col(id),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    val ws = Portable.words(col("line"))
+    val scored = ln.select(col(id) +: Config.Stopwords.map { case (c, stops) =>
+      size(filter(ws, w => w.isin(stops.map(lit): _*))).cast(LongType)
+        .as(s"s_$c")
+    }: _*)
+    val anyHit = codes.map(c => col(s"s_$c")).reduce(_ + _) > 0
+    val pred = codes.foldLeft(when(lit(false), lit(""))) { (acc, c) =>
+      acc.when(codes.map(o => col(s"s_$c") >= col(s"s_$o")).reduce(_ && _),
+        lit(c))
+    }
+    val tagged = scored.withColumn("__ll",
+      when(anyHit, pred).otherwise(lit("und")))
+    val aggs = Seq(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__ll") =!= "und", 1L).otherwise(0L)).as("n_tagged")) ++
+      codes.map(c =>
+        sum(when(col("__ll") === c, 1L).otherwise(0L)).as(s"n_$c"))
+    val counts = tagged.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val dom = codes.foldLeft(when(lit(false), lit(""))) { (acc, c) =>
+      acc.when(col("n_tagged") > 0 &&
+        codes.map(o => col(s"n_$c") >= col(s"n_$o")).reduce(_ && _), lit(c))
+    }
+    val nLangs = codes.map(c =>
+      when(col(s"n_$c") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    counts
+      .withColumn("dom_lang", dom)
+      .withColumn("n_dom_lines", greatest(codes.map(c => col(s"n_$c")): _*))
+      .withColumn("n_langs", nLangs)
+      .withColumn("is_mixed", when(nLangs >= 2, 1L).otherwise(0L))
+      .drop(codes.map(c => s"n_$c"): _*)
+  }
+
   /** Zipf power-law fit over the vocabulary — the corpus-law report
     * behind vocab sizing and dedup sanity (natural text sits near
     * alpha ≈ 1; a templated/boilerplate corpus bends the slope):

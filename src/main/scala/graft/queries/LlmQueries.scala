@@ -1300,6 +1300,70 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- per-line language segments (code-switching census) ----
+
+  /** Line-level language census over a widened corpus: closed-form
+    * French+German, Spanish, and symbol-only (und) line tails per
+    * doc cycle; the oracle replays the per-line stopword argmax and
+    * the whole doc rollup. */
+  def qLangSegments(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val tail = when(i % 4 === 0, lit("\nle chat et le la\nder hund und die das"))
+      .when(i % 4 === 1, lit("\nel que y la de los"))
+      .when(i % 4 === 2, lit("\n||| 123 ###"))
+      .otherwise(lit(""))
+    TextAnalysis.langSegments(Tables(spark, dir).documents
+      .select(i, concat(col("text"), tail).as("text")))
+  }
+
+  val qLangSegmentsSql: String = {
+    val codes = Config.Stopwords.map(_._1)
+    val scoreCols = Config.Stopwords.map { case (code, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> list_contains([$lst], x))) AS BIGINT) AS s_$code"
+    }.mkString(",\n    ")
+    val linePred = codes.map { c =>
+      val conds = codes.map(o => s"s_$c >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$c'"
+    }.mkString("\n      ")
+    val nCols = codes.map(c =>
+      s"CAST(count(*) FILTER (WHERE ll = '$c') AS BIGINT) AS n_$c")
+      .mkString(",\n    ")
+    val domPred = codes.map { c =>
+      val conds = codes.map(o => s"n_$c >= n_$o").mkString(" AND ")
+      s"WHEN n_tagged > 0 AND $conds THEN '$c'"
+    }.mkString("\n    ")
+    val nLangs = codes.map(c => s"CASE WHEN n_$c > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val greatestN = s"greatest(${codes.map(c => s"n_$c").mkString(", ")})"
+    s"""WITH d AS (SELECT doc_id, text || CASE doc_id % 4
+       |    WHEN 0 THEN chr(10) || 'le chat et le la' || chr(10) || 'der hund und die das'
+       |    WHEN 1 THEN chr(10) || 'el que y la de los'
+       |    WHEN 2 THEN chr(10) || '||| 123 ###'
+       |    ELSE '' END AS text
+       |  FROM documents),
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+       |s AS (SELECT doc_id, ${wordsSql("line")} AS w FROM l),
+       |sc AS (SELECT doc_id,
+       |    $scoreCols
+       |  FROM s),
+       |v AS (SELECT doc_id,
+       |    CASE WHEN ${codes.map(c => s"s_$c").mkString(" + ")} > 0
+       |      THEN CASE $linePred END
+       |      ELSE 'und' END AS ll
+       |  FROM sc),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(count(*) FILTER (WHERE ll <> 'und') AS BIGINT) AS n_tagged,
+       |    $nCols
+       |  FROM v GROUP BY doc_id)
+       |SELECT doc_id, n_lines, n_tagged,
+       |  CASE $domPred END AS dom_lang,
+       |  $greatestN AS n_dom_lines,
+       |  CAST($nLangs AS BIGINT) AS n_langs,
+       |  CAST(CASE WHEN $nLangs >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM g""".stripMargin
+  }
+
   // ---- Zipf power-law fit over the vocabulary ----
 
   /** Zipf fit inside the gate (TextAnalysis.zipfFit): micro-unit

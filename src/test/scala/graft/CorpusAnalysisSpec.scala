@@ -55,6 +55,23 @@ class CorpusAnalysisSpec extends SparkSpec {
     assert(spec.map(_._2).sum === vocab.toLong)
   }
 
+  test("langSegments: per-line verdicts, und, ties, mixed flag") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.langSegments(Seq(
+        (1L, "the cat is here\nle chat et le la"), // en + fr -> mixed
+        (2L, "der hund und die das\nder und ein"), // all de
+        (3L, "||| 123\n###"), // only und lines
+        (4L, "the of and\nel la de que")) // tie 1-1: alphabetical -> en
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val f = out(1L)
+    assert(f.getLong(1) === 2L && f.getLong(2) === 2L) // n_lines, n_tagged
+    assert(f.getLong(5) === 2L && f.getLong(6) === 1L) // n_langs, is_mixed
+    assert(out(2L).getString(3) === "de" && out(2L).getLong(6) === 0L)
+    assert(out(3L).getLong(2) === 0L && out(3L).isNullAt(3))
+    assert(out(4L).getString(3) === "en", "alphabetical tiebreak")
+  }
+
   test("zipfFit recovers a planted exponent; deterministic across layouts") {
     import org.apache.spark.sql.functions._
     // corpus where type t_r occurs round(2000 / r^1.2) times: alpha = 1.2
