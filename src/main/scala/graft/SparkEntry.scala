@@ -257,6 +257,8 @@ object SparkEntry {
     "q_zipf_fit" -> (L.qZipfFit _),
     // per-line language segments (code-switching census)
     "q_lang_segments" -> (L.qLangSegments _),
+    // anchor-text extraction (link-graph relevance signal)
+    "q_anchor_text" -> (L.qAnchorText _),
     // per-source data card: quality + Gopher keep + near-dup exposure
     "q_data_card" -> (L.qDataCard _),
     // magic-byte content-type dispatch over a genuinely mixed bucket
@@ -459,6 +461,7 @@ object SparkEntry {
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_zipf_fit" -> L.qZipfFitSql,
     "q_lang_segments" -> L.qLangSegmentsSql,
+    "q_anchor_text" -> L.qAnchorTextSql,
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,

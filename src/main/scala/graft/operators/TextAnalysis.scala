@@ -722,6 +722,31 @@ object TextAnalysis {
       .withColumn("scrubbed", regexp_replace(col("__t2"), PiiIp, IpMask))
       .drop("__t1", "__t2", textCol)
 
+  /** `<a href="...">text</a>` pairs, double-quoted hrefs, text free of
+    * nested tags. RE2-safe (no lookahead, no backreference in the
+    * MATCH — the pattern's groups are extracted per match). */
+  val AnchorPattern = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** Anchor-text extraction — the link-graph signal [[htmlExtract]]
+    * throws away and [[graft.operators.Graph]] never sees: what OTHER
+    * pages call a target (anchor text is a classic relevance/quality
+    * feature, and anchor spam is a link-farm tell). One row per anchor
+    * tag: raw href, normalized target host (lowercase, one leading
+    * `www.` stripped; empty for relative hrefs), trimmed anchor text.
+    * Pure regexp projections + one explode, zero shuffle; pair
+    * censuses compose downstream (groupBy host/anchor). */
+  def anchorTexts(docs: DataFrame, id: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(id),
+        explode(regexp_extract_all(col(textCol), lit(AnchorPattern), lit(0)))
+          .as("m"))
+      .select(col(id),
+        regexp_extract(col("m"), AnchorPattern, 1).as("href"),
+        regexp_replace(lower(regexp_extract(
+          regexp_extract(col("m"), AnchorPattern, 1), UrlHostRe, 1)),
+          "^www\\.", "").as("host"),
+        trim(regexp_extract(col("m"), AnchorPattern, 2)).as("anchor"))
+
   /** Card-number candidates: four separator-grouped quads or a bare
     * 16-digit run, boundary-guarded. RE2-safe (no lookahead). */
   val CardPattern = "\\b(?:\\d{4}[ -]){3}\\d{4}\\b|\\b\\d{16}\\b"

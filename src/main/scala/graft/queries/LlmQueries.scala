@@ -1300,6 +1300,41 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- anchor-text extraction (link-graph signal) ----
+
+  /** Anchor extraction over a widened corpus: closed-form anchor tags
+    * per doc cycle (absolute www-prefixed, absolute bare, relative
+    * href, plus an href-less `<a>` that must NOT match); the oracle
+    * replays the identical RE2 extraction and host normalization. */
+  def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val tail = when(i % 3 === 0, concat(
+        lit(" <a class=\"x\" href=\"https://www.site"), s,
+        lit(".com/p\">Page "), s, lit("</a> and <a href=\"/rel/"), s,
+        lit("\"> local </a>")))
+      .when(i % 3 === 1, concat(
+        lit(" <a href=\"http://other"), s, lit(".org/q?z=1\">ref-"), s,
+        lit("</a> <a name=\"n\">no href</a>")))
+      .otherwise(lit(""))
+    TextAnalysis.anchorTexts(Tables(spark, dir).documents
+      .select(i, concat(col("text"), tail).as("text")))
+  }
+
+  val qAnchorTextSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents)
+       |SELECT doc_id,
+       |  'https://www.site' || s || '.com/p' AS href,
+       |  'site' || s || '.com' AS host,
+       |  'Page ' || s AS anchor
+       |FROM d WHERE doc_id % 3 = 0
+       |UNION ALL
+       |SELECT doc_id, '/rel/' || s, '', 'local' FROM d WHERE doc_id % 3 = 0
+       |UNION ALL
+       |SELECT doc_id, 'http://other' || s || '.org/q?z=1',
+       |  'other' || s || '.org', 'ref-' || s
+       |FROM d WHERE doc_id % 3 = 1""".stripMargin
+
   // ---- per-line language segments (code-switching census) ----
 
   /** Line-level language census over a widened corpus: closed-form

@@ -45,4 +45,17 @@ class HtmlExtractSpec extends SparkSpec {
       "<div>\n  <p>first</p>\n  <p>second&nbsp;&nbsp;third</p>\n</div>")
     assert(t === "first second third")
   }
+
+  test("anchorTexts: attrs, relative hrefs, no-href tags, host normalization") {
+    import spark.implicits._
+    val html = """<a rel="nofollow" href="https://WWW.Ex.COM/a?b=1">Click here</a>
+      |<a href="/local/path"> rel text </a>
+      |<a name="anchor-only">skipped</a>
+      |<a href="http://sub.ex.org/x"><b>nested</b></a>""".stripMargin
+    val out = TextAnalysis.anchorTexts(Seq((1L, html)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.length === 2, "no-href and nested-tag anchors must not match")
+    assert(out(0) === (("https://WWW.Ex.COM/a?b=1", "ex.com", "Click here")))
+    assert(out(1) === (("/local/path", "", "rel text")))
+  }
 }
