@@ -1000,6 +1000,46 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** [[snapshotDiff]] upgraded with MOVE detection — the crawl-diff
+    * class plain id-diffing mislabels twice (a relocated page counts
+    * as one removed AND one added, inflating both sides of the churn
+    * report): a removed id and an added id with IDENTICAL content pair
+    * as `moved_out`/`moved_in` with partner ids. Matching is 1:1 and
+    * deterministic — within each content hash, removed and added ids
+    * rank by id and pair BY RANK (min(K,L) matches; leftovers stay
+    * added/removed) — never the K×L cross join a bare hash join would
+    * emit over duplicated content. NULL-text docs never match moves
+    * (md5 NULL drops from the inner join) and keep their plain diff
+    * class. Two narrow hash frames + rank windows over near-unique md5
+    * partitions; everything else rides [[snapshotDiff]]. */
+  def snapshotDiffWithMoves(oldDocs: DataFrame, newDocs: DataFrame,
+                            id: String = "doc_id",
+                            text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = snapshotDiff(oldDocs, newDocs, id, text)
+    val w = Window.partitionBy(col("__h")).orderBy(col(id).asc)
+    def side(docs: DataFrame, status: String) =
+      base.where(col("status") === status).select(col(id))
+        .join(docs.select(col(id), md5(col(text)).as("__h")), Seq(id))
+        .where(col("__h").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+    val moves = side(oldDocs, "removed")
+      .select(col(id).as("__old"), col("__h"), col("__rn"))
+      .join(side(newDocs, "added")
+        .select(col(id).as("__new"), col("__h"), col("__rn")),
+        Seq("__h", "__rn"))
+    base
+      .join(moves.select(col("__old").as(id), col("__new").as("__to")),
+        Seq(id), "left")
+      .join(moves.select(col("__new").as(id), col("__old").as("__from")),
+        Seq(id), "left")
+      .select(col(id),
+        when(col("__to").isNotNull, "moved_out")
+          .when(col("__from").isNotNull, "moved_in")
+          .otherwise(col("status")).as("status"),
+        coalesce(col("__to"), col("__from")).as("partner_id"))
+  }
+
   /** Bounded edit-distance near-dup pairs — the SHORT-STRING dedup
     * (titles, URLs, product names, author fields) that shingle/minhash
     * methods handle poorly (a one-char typo flips most shingles of a

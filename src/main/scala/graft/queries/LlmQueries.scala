@@ -1300,6 +1300,49 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- snapshot diff with move detection ----
+
+  /** Snapshot diff incl. MOVED pages inside the gate
+    * (Dedup.snapshotDiffWithMoves): snapshot B relocates every 7th doc
+    * to a new id (same content), drops every 11th, edits every 13th,
+    * and adds a brand-new page for every 17th; a per-doc unique text
+    * prefix keeps content hashes distinct so the closed-form oracle is
+    * exact even where the corpus carries duplicate texts. Any hash,
+    * rank-matching or relabel slip bends a status or partner id. */
+  def qSnapshotMoves(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val i = col("doc_id")
+    val prefixed = concat(lit("s"), i.cast("string"), lit(" "),
+      coalesce(col("text"), lit("")))
+    val a = docs.select(i.as("doc_id"), prefixed.as("text"))
+    val kept = docs
+      .where(!(i % 7 === 0) && !(i % 11 === 0 && !(i % 7 === 0)))
+      .select(i.as("doc_id"),
+        when(i % 13 === 0, concat(prefixed, lit(" v2")))
+          .otherwise(prefixed).as("text"))
+    val moved = docs.where(i % 7 === 0)
+      .select((i + 1000000L).as("doc_id"), prefixed.as("text"))
+    val added = docs.where(i % 17 === 0)
+      .select((i + 2000000L).as("doc_id"),
+        concat(lit("new page "), i.cast("string")).as("text"))
+    Dedup.snapshotDiffWithMoves(a, kept.unionByName(moved).unionByName(added))
+  }
+
+  val qSnapshotMovesSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'moved_out'
+      |       WHEN doc_id % 11 = 0 THEN 'removed'
+      |       WHEN doc_id % 13 = 0 THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  CASE WHEN doc_id % 7 = 0 THEN doc_id + 1000000 END AS partner_id
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, 'moved_in', doc_id
+      |FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, 'added', NULL
+      |FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
   // ---- anchor-text extraction (link-graph signal) ----
 
   /** Anchor extraction over a widened corpus: closed-form anchor tags

@@ -45,4 +45,36 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(counts("removed") === 50 && counts("added") === 50)
     assert(counts("changed") + counts("unchanged") === 150)
   }
+
+  test("snapshotDiffWithMoves: 1:1 rank matching, leftovers, null text") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "moved page"), (2L, "stays"), (3L, "really gone"),
+      (4L, "dup content"), (5L, "dup content"), // two movers, same text
+      (6L, "dup content"), // third copy: only two new homes exist
+      (7L, null.asInstanceOf[String])) // null text: never a move
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (101L, "moved page"), (2L, "stays"),
+      (104L, "dup content"), (105L, "dup content"),
+      (108L, "brand new"), (109L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiffWithMoves(old, neu).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) === (("moved_out", 101L)))
+    assert(out(101L) === (("moved_in", 1L)))
+    assert(out(2L) === (("unchanged", -1L)))
+    assert(out(3L) === (("removed", -1L)))
+    // rank matching: 4->104, 5->105 by id order; 6 stays removed
+    assert(out(4L) === (("moved_out", 104L)))
+    assert(out(5L) === (("moved_out", 105L)))
+    assert(out(104L) === (("moved_in", 4L)))
+    assert(out(105L) === (("moved_in", 5L)))
+    assert(out(6L) === (("removed", -1L)))
+    // null-text rows never match as moves
+    assert(out(7L) === (("removed", -1L)))
+    assert(out(109L) === (("added", -1L)))
+    assert(out(108L) === (("added", -1L)))
+  }
 }
