@@ -261,6 +261,8 @@ object SparkEntry {
     "q_anchor_text" -> (L.qAnchorText _),
     // snapshot diff with 1:1 content-hash move matching
     "q_snapshot_moves" -> (L.qSnapshotMoves _),
+    // PSI distribution-drift monitor over quality deciles
+    "q_quality_drift" -> (L.qQualityDrift _),
     // per-source data card: quality + Gopher keep + near-dup exposure
     "q_data_card" -> (L.qDataCard _),
     // magic-byte content-type dispatch over a genuinely mixed bucket
@@ -465,6 +467,7 @@ object SparkEntry {
     "q_lang_segments" -> L.qLangSegmentsSql,
     "q_anchor_text" -> L.qAnchorTextSql,
     "q_snapshot_moves" -> L.qSnapshotMovesSql,
+    "q_quality_drift" -> L.qQualityDriftSql,
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,

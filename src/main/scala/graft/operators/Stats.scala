@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.Portable
 
@@ -120,5 +121,45 @@ object Stats {
         .otherwise((dsy - (cov / vx) * dsx) / dn), 6).as("intercept"),
       Portable.roundp(when(vx === 0 || vy === 0, lit(null))
         .otherwise(cov * cov / (vx * vy)), 6).as("r2"))
+  }
+
+  /** Population Stability Index between two tagged samples — the
+    * distribution-drift monitor an ML data pipeline runs per dump
+    * (industry reading: PSI < 0.1 stable, > 0.25 investigate): over
+    * `(sideCol ∈ {a, b}, bucketCol)` rows, per-bucket Laplace-smoothed
+    * parts-per-million shares (+1 per bucket over the UNION of
+    * observed buckets, so an empty side never divides by zero), and
+    * psi = Σ (pa − pb)·ln(pa/pb).
+    *
+    * Exactness: shares are integer-DIV ppm; each ln quantizes ONCE to
+    * micro-units (the LM-scoring precedent); contributions are pure
+    * LONG products (dppm·qln ≤ ~1.4e13 — no overflow, order-free
+    * sum); psi is ONE terminal division. One row per bucket with its
+    * contribution, the total riding every row via a window over the
+    * bucket-count-sized frame. */
+  def psiReport(tagged: DataFrame, sideCol: String = "side",
+                bucketCol: String = "bucket"): DataFrame = {
+    val counts = tagged.groupBy(col(bucketCol).as("bucket")).agg(
+      sum(when(col(sideCol) === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col(sideCol) === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("nBuckets"))
+    val withP = counts.crossJoin(broadcast(totals))
+      .withColumn("pa_ppm",
+        expr("CAST(((ca + 1) * 1000000) DIV (na + nBuckets) AS BIGINT)"))
+      .withColumn("pb_ppm",
+        expr("CAST(((cb + 1) * 1000000) DIV (nb + nBuckets) AS BIGINT)"))
+      .withColumn("__qln", floor(
+        log(col("pa_ppm").cast(DoubleType) / col("pb_ppm").cast(DoubleType))
+          * 1e6 + 0.5).cast(LongType))
+      .withColumn("contrib_pico",
+        (col("pa_ppm") - col("pb_ppm")) * col("__qln"))
+    withP
+      .withColumn("psi", Portable.roundp(
+        sum(col("contrib_pico")).over(
+          Window.partitionBy())
+          .cast(DoubleType) / 1e12, 6))
+      .select(col("bucket"), col("ca"), col("cb"), col("pa_ppm"),
+        col("pb_ppm"), col("contrib_pico"), col("psi"))
   }
 }

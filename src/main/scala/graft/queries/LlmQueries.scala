@@ -1300,6 +1300,59 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- quality-distribution drift (PSI) ----
+
+  /** PSI drift between the corpus and a degraded twin (every 3rd doc
+    * gains a punctuation blob, dropping its quality bucket): the
+    * Stats.psiReport machinery — Laplace-smoothed ppm shares,
+    * once-quantized lns, pure-long contributions — against decile
+    * buckets of the cross-engine-exact quality score. */
+  def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val degraded = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" !? #; " * 30)))
+        .otherwise(col("text")).as("text"))
+    def buckets(d: DataFrame, side: String) =
+      TextAnalysis.quality(d).where(col("quality").isNotNull)
+        .select(lit(side).as("side"),
+          floor(col("quality") * 10).cast("long").as("bucket"))
+    graft.operators.Stats.psiReport(
+      buckets(docs, "a").unionByName(buckets(degraded, "b")))
+  }
+
+  lazy val qQualityDriftSql: String = {
+    val degradedSrc = """(SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text || repeat(' !? #; ', 30)
+      |         ELSE text END AS text
+      |  FROM documents)""".stripMargin
+    s"""WITH qa AS (SELECT quality FROM (${textQualitySqlFrom("documents")})
+       |  WHERE quality IS NOT NULL),
+       |qb AS (SELECT quality FROM (${textQualitySqlFrom(degradedSrc)})
+       |  WHERE quality IS NOT NULL),
+       |t AS (SELECT 'a' AS side, CAST(floor(quality * 10) AS BIGINT) AS bucket FROM qa
+       |  UNION ALL
+       |  SELECT 'b', CAST(floor(quality * 10) AS BIGINT) FROM qb),
+       |c AS (SELECT bucket,
+       |    CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS ca,
+       |    CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS cb
+       |  FROM t GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS nbk FROM c),
+       |p AS (SELECT bucket, ca, cb,
+       |    CAST(((ca + 1) * 1000000) // (na + nbk) AS BIGINT) AS pa_ppm,
+       |    CAST(((cb + 1) * 1000000) // (nb + nbk) AS BIGINT) AS pb_ppm
+       |  FROM c, tot),
+       |k AS (SELECT bucket, ca, cb, pa_ppm, pb_ppm,
+       |    (pa_ppm - pb_ppm) * CAST(floor(ln(CAST(pa_ppm AS DOUBLE)
+       |      / CAST(pb_ppm AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS contrib_pico
+       |  FROM p)
+       |SELECT bucket, ca, cb, pa_ppm, pb_ppm, contrib_pico,
+       |  floor((CAST(sum(contrib_pico) OVER () AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6 AS psi
+       |FROM k""".stripMargin
+  }
+
   // ---- snapshot diff with move detection ----
 
   /** Snapshot diff incl. MOVED pages inside the gate

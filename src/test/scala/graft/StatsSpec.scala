@@ -84,4 +84,26 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSet
     assert(rows.toSet === again)
   }
+
+  test("psiReport: identical sides are exactly zero; shifts and missing buckets register") {
+    import spark.implicits._
+    def tagged(rows: (String, Long)*) = rows.toDF("side", "bucket")
+    // identical distributions: every per-bucket qln is ln(1) = 0
+    val same = Stats.psiReport(tagged(
+      ("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 1L), ("b", 2L)))
+      .collect()
+    assert(same.forall(_.getLong(5) === 0L)) // contrib_pico
+    assert(same.forall(_.getDouble(6) === 0.0))
+    // a bucket present on ONE side only: Laplace keeps it finite,
+    // the shift registers as a large psi
+    val shift = Stats.psiReport(tagged(
+      (("a", 1L)), ("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", 9L), ("b", 9L), ("b", 9L), ("b", 9L)))
+      .collect()
+    assert(shift.length === 2)
+    assert(shift.head.getDouble(6) > 1.0, s"psi=${shift.head.getDouble(6)}")
+    // one-sided input (empty b) never divides by zero
+    val oneSided = Stats.psiReport(tagged(("a", 1L), ("a", 2L))).collect()
+    assert(oneSided.length === 2 && !oneSided.head.isNullAt(6))
+  }
 }
