@@ -263,6 +263,8 @@ object SparkEntry {
     "q_snapshot_moves" -> (L.qSnapshotMoves _),
     // PSI distribution-drift monitor over quality deciles
     "q_quality_drift" -> (L.qQualityDrift _),
+    // per-shard release manifest (order-free content signatures)
+    "q_release_manifest" -> (L.qReleaseManifest _),
     // per-source data card: quality + Gopher keep + near-dup exposure
     "q_data_card" -> (L.qDataCard _),
     // magic-byte content-type dispatch over a genuinely mixed bucket
@@ -468,6 +470,7 @@ object SparkEntry {
     "q_anchor_text" -> L.qAnchorTextSql,
     "q_snapshot_moves" -> L.qSnapshotMovesSql,
     "q_quality_drift" -> L.qQualityDriftSql,
+    "q_release_manifest" -> L.qReleaseManifestSql,
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,

@@ -245,6 +245,30 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Release MANIFEST over the [[shuffleShards]] layout — the
+    * provenance artifact a dataset release ships next to the shards:
+    * per shard, document count, token mass, and an ORDER-FREE content
+    * signature (sum of per-doc h31 over id + content md5), so a
+    * consumer can verify a copied/re-materialized shard without
+    * re-reading the source of truth — any lost, duplicated or bent
+    * document changes the signature. h31 terms keep the sum inside
+    * 63 bits to ~4·10⁹ docs per shard (far past any real shard). ONE
+    * map-side-combinable aggregate, nShards rows out. */
+  def releaseManifest(docs: DataFrame, nShards: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      salt: String = "shuf"): DataFrame = {
+    val shard = Portable.h60(concat_ws(":", lit(salt), col(idCol))) % nShards
+    val sig = Portable.h31(concat_ws(":", lit("sig"), col(idCol),
+      md5(coalesce(col(textCol), lit("")))))
+    docs
+      .select(shard.as("shard"), sig.as("__sig"),
+        size(Portable.words(col(textCol))).cast("long").as("__tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__tok"), lit(0L))).as("token_mass"),
+        sum(col("__sig")).as("content_sig"))
+  }
+
   /** Deterministic weighted source INTERLEAVING — the training-order
     * schedule that alternates sources proportionally to mixture
     * weights (stride scheduling, the Pile/Dolma interleave): within

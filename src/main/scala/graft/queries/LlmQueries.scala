@@ -694,6 +694,26 @@ object LlmQueries {
        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS position
        |FROM h""".stripMargin
 
+  /** Release manifest inside the gate (Sampling.releaseManifest): the
+    * per-shard provenance rows (count, token mass, order-free content
+    * signature) a dataset release ships next to the shards — the
+    * oracle recomputes every signature from first principles, so a
+    * bent shard key, dropped doc, or hash slip bends a row. */
+  def qReleaseManifest(spark: SparkSession, dir: String): DataFrame =
+    Sampling.releaseManifest(Tables(spark, dir).documents, nShards = 8)
+
+  val qReleaseManifestSql: String =
+    s"""WITH h AS (SELECT
+       |    ${h60Sql("'shuf' || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |    ${h31Sql("'sig' || ':' || CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, ''))")} AS sig,
+       |    len(${wordsSql("text")}) AS tok
+       |  FROM documents)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(tok, 0)) AS BIGINT) AS token_mass,
+       |  CAST(sum(sig) AS BIGINT) AS content_sig
+       |FROM h GROUP BY shard""".stripMargin
+
   // ---- #26 SimHash near-dup ----
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -62,4 +62,31 @@ class PrioritySampleSpec extends SparkSpec {
       .limit(5).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === expected)
   }
+
+  test("releaseManifest: signatures detect drops, duplicates and bent bytes") {
+    val docs = (0 until 100).map(i => (i.toLong, s"text number $i"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Sampling.releaseManifest(df, nShards = 4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = manifest(docs)
+    assert(base.values.map(_._1).sum === 100L)
+    // order/layout free: a repartitioned copy signs identically
+    assert(manifest(docs.repartition(7)) === base)
+    // a dropped doc changes exactly its shard's row
+    val dropped = manifest(docs.where(col("doc_id") =!= 42L))
+    assert(dropped.count { case (s, v) => base(s) != v } === 1)
+    // a duplicated doc changes its shard's count AND signature
+    val duped = manifest(docs.unionByName(docs.where(col("doc_id") === 42L)))
+    assert(duped.count { case (s, v) => base(s) != v } === 1)
+    // one bent byte changes the signature but not the counts
+    val bent = manifest(docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("text number 42x")).otherwise(col("text"))))
+    val changed = bent.filter { case (s, v) => base(s) != v }
+    assert(changed.size === 1)
+    val (s, v) = changed.head
+    assert(v._1 === base(s)._1)
+    assert(v._3 !== base(s)._3)
+  }
 }
