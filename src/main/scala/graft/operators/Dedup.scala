@@ -1018,14 +1018,17 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val base = snapshotDiff(oldDocs, newDocs, id, text)
     val w = Window.partitionBy(col("__h")).orderBy(col(id).asc)
-    def side(docs: DataFrame, status: String) =
-      base.where(col("status") === status).select(col(id))
-        .join(docs.select(col(id), md5(col(text)).as("__h")), Seq(id))
+    // removed/added sides via DIRECT anti-joins on the id sets — never
+    // by filtering `base`, which would re-execute the full-outer diff
+    // once per side (3x the corpus-sized join at scale)
+    def side(docs: DataFrame, others: DataFrame) =
+      docs.select(col(id), md5(col(text)).as("__h"))
+        .join(others.select(col(id)), Seq(id), "left_anti")
         .where(col("__h").isNotNull)
         .withColumn("__rn", row_number().over(w))
-    val moves = side(oldDocs, "removed")
+    val moves = side(oldDocs, newDocs)
       .select(col(id).as("__old"), col("__h"), col("__rn"))
-      .join(side(newDocs, "added")
+      .join(side(newDocs, oldDocs)
         .select(col(id).as("__new"), col("__h"), col("__rn")),
         Seq("__h", "__rn"))
     base
