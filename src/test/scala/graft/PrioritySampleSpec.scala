@@ -89,4 +89,18 @@ class PrioritySampleSpec extends SparkSpec {
     assert(v._1 === base(s)._1)
     assert(v._3 !== base(s)._3)
   }
+
+  test("releaseManifest is MERGEABLE: manifest(A∪B) = per-shard column sums") {
+    val a = (0 until 60).map(i => (i.toLong, s"alpha doc $i")).toDF("doc_id", "text")
+    val b = (60 until 100).map(i => (i.toLong, s"beta doc $i")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sampling.releaseManifest(df, nShards = 4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap.withDefaultValue((0L, 0L, 0L))
+    val (ma, mb, whole) = (m(a), m(b), m(a.unionByName(b)))
+    (0L until 4L).foreach { s =>
+      val merged = (ma(s)._1 + mb(s)._1, ma(s)._2 + mb(s)._2, ma(s)._3 + mb(s)._3)
+      assert(whole.getOrElse(s, (0L, 0L, 0L)) === merged, s"shard $s")
+    }
+  }
 }
