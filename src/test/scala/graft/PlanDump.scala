@@ -31,7 +31,13 @@ object PlanDump {
       "q_warc_extract", "q_crawl_e2e", "q_dedup_maxspan", "q_cms_vocab",
       "q_dedup_edit", "q_url_canon", "q_phrase_filter", "q_corpus_diff",
       "q_negative_sample", "q_bm25_topk", "q_mixture_temp",
-      "q_rrf_fusion", "q_score_norm", "q_dedup_cluster_sizes")
+      "q_rrf_fusion", "q_score_norm", "q_dedup_cluster_sizes",
+      "q_tar_extract", "q_jpeg_meta", "q_exif_meta", "q_varint_postings",
+      "q_span_corrupt", "q_loss_mask", "q_utf8_census", "q_mojibake_fix",
+      "q_gopher_rules", "q_length_buckets", "q_skew_census", "q_data_card",
+      "q_format_detect", "q_card_scan", "q_dedup_fuzzy", "q_zipf_fit",
+      "q_funnel", "q_lang_segments", "q_anchor_text", "q_snapshot_moves",
+      "q_quality_drift", "q_release_manifest")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
