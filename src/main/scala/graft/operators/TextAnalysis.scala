@@ -1018,6 +1018,39 @@ object TextAnalysis {
       .select(col(id), col("keep"))
   }
 
+  /** The TRAIN half of incremental fuzzy-exact dedup: the standing
+    * corpus's distinct normalized-key hashes — a WRITABLE one-column
+    * index frame (the train/apply doctrine; persist via
+    * Bucketing.writeBucketed on `key_hash` for zero-Exchange probes). */
+  def fuzzyKeyIndex(docs: DataFrame, id: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    fuzzyDedupKey(docs, id, textCol)
+      .where(col("fuzzy_key").isNotNull)
+      .select(md5(col("fuzzy_key")).as("key_hash"))
+      .distinct()
+
+  /** The APPLY half: probe a NEW batch against the standing index —
+    * per batch doc, `drop_known` when its key already exists in the
+    * corpus, else `keep` (intra-batch first-id dedup rides the same
+    * window as [[fuzzyExactKeep]], so two new dups in one batch keep
+    * exactly one). Pure key join + one md5-key window; the batch side
+    * shuffles, the index side is the standing co-located layout. */
+  def fuzzyDedupAgainstIndex(batch: DataFrame, index: DataFrame,
+                             id: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val keyed = fuzzyDedupKey(batch, id, textCol)
+      .select(col(id), md5(col("fuzzy_key")).as("__kh"))
+    val known = index.select(col("key_hash").as("__kh"),
+      lit(1L).as("__known"))
+    val w = Window.partitionBy(col("__kh")).orderBy(col(id).asc)
+    keyed.join(known, Seq("__kh"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col(id),
+        when(col("__known").isNotNull, "drop_known")
+          .when(col("__rn") > 1, "drop_batch_dup")
+          .otherwise("keep").as("verdict"))
+  }
+
   // ---- TF-IDF keyword extraction ----
 
   /** Top-k keywords per document by (tf DESC, df ASC, word ASC) — the

@@ -699,6 +699,22 @@ object Streams {
     }
   }
 
+  /** Streaming twin of incremental fuzzy-exact dedup (operators/
+    * TextAnalysis.fuzzyDedupAgainstIndex): the key index is a STATIC
+    * trained frame (fuzzyKeyIndex over the standing corpus — refreshed
+    * on the ingest cadence); each micro-batch gets per-doc verdicts
+    * from the identical batch operator. Parity pinned in
+    * StreamingSpec. */
+  def fuzzyDedupStream(docs: DataFrame, index: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "fuzzyDedupStream is streaming-only: use TextAnalysis.fuzzyDedupAgainstIndex for batch frames")
+    require(!index.isStreaming, "the key index must be a static trained frame")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.fuzzyDedupAgainstIndex(batch, index), batchId)
+    }
+  }
+
   def packStream(docs: Dataset[Doc], budget: Long = 1024,
                  shards: Int = 8): Dataset[PackAssignment] = {
     require(budget > 0 && shards > 0)

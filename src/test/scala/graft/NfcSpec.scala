@@ -55,4 +55,29 @@ class NfcSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 5L -> 1L))
   }
+
+  test("fuzzy train/apply: index probes compose with the whole-corpus keep") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known page"), (2L, "another page"))
+      .toDF("doc_id", "text")
+    // batch ids > corpus ids: whole-corpus keep == incremental keep
+    val batch = Seq(
+      (10L, "KNOWN page!!"), // normalizes to a corpus key: drop_known
+      (11L, "fresh content"), // new key: keep
+      (12L, "fresh  content"), // same new key, higher id: batch dup
+      (13L, "другой fresh")) // distinct: keep
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.fuzzyKeyIndex(corpus).localCheckpoint()
+    val verdicts = TextAnalysis.fuzzyDedupAgainstIndex(batch, idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts === Map(10L -> "drop_known", 11L -> "keep",
+      12L -> "drop_batch_dup", 13L -> "keep"))
+    // composition parity: a batch doc keeps iff it keeps in the
+    // whole-corpus pass over corpus ∪ batch
+    val whole = TextAnalysis.fuzzyExactKeep(corpus.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    verdicts.foreach { case (id, v) =>
+      assert((v == "keep") === (whole(id) == 1L), s"id=$id v=$v")
+    }
+  }
 }

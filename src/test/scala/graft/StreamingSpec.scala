@@ -1090,6 +1090,33 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("fuzzyDedupStream probes the static key index exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.operators.TextAnalysis.fuzzyKeyIndex(
+      Seq((1L, "known page")).toDF("doc_id", "text")).localCheckpoint()
+    val batch = Seq((10L, "KNOWN page!"), (11L, "fresh one"),
+      (12L, "fresh  one"), (13L, "brand new"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(batch.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.fuzzyDedupStream(input.toDF().toDF("doc_id", "text"), idx) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(batch.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    // NOTE: batch-dup detection is per MICRO-BATCH (12 arrives after 11
+    // was already emitted — within its own batch it is first): compare
+    // against the per-batch replays, the foreachBatch contract
+    val expected = (graft.operators.TextAnalysis.fuzzyDedupAgainstIndex(
+        batch.take(2).toDF("doc_id", "text"), idx).collect() ++
+      graft.operators.TextAnalysis.fuzzyDedupAgainstIndex(
+        batch.drop(2).toDF("doc_id", "text"), idx).collect())
+      .map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("gopher/utf8/mojibake hygiene twins replay batch exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
