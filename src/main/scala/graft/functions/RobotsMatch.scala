@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 9309 robots.txt rule resolution as ONE native expression: the
+  * index of the best-matching rule in a host's aggregated rule array.
+  *
+  * Shape rationale (the array-form verdict): the naive formulation
+  * joins every frontier URL against every rule of its host and ranks
+  * with a window — a 10k-line robots.txt on a host with 10⁶ frontier
+  * URLs makes 10¹⁰ intermediate rows in that host's partition. Here
+  * each host's rules are pre-aggregated to ONE array row, the probe
+  * is a broadcast-friendly 1:1 equi-join, and longest-match resolves
+  * per row inside whole-stage codegen — no fan-out, no window, no
+  * sort. The kernel is a static method shared by interpreted eval and
+  * codegen (the FloatTopCosineIdx recipe: no eval/codegen drift,
+  * constant generated-code size at any rule count).
+  *
+  * Matching semantics (RFC 9309 §2.2.2-2.2.3, Google REP):
+  *  - patterns are matched against the path OCTETS from the start;
+  *  - `*` matches any sequence of octets (including empty, incl. `/`);
+  *  - a TRAILING `$` anchors the match at the end of the path (a `$`
+  *    anywhere else is a literal octet);
+  *  - without `$` the pattern is a prefix match (path may continue);
+  *  - precedence: the matching rule with the MOST OCTETS in its raw
+  *    pattern (wildcards and `$` count, per the RFC's "most octets"
+  *    rule) wins; on a length tie Allow beats Disallow; residual ties
+  *    break on ascending pattern bytes (determinism only — residual
+  *    ties are identical (rule, path) pairs in practice).
+  *
+  * Input: (url_path STRING, rules ARRAY<STRUCT<rule STRING, path
+  * STRING>>). Output: 0-based index of the winning rule, -1 when no
+  * rule matches. NULL when either input is NULL (a host with no
+  * effective rules), which callers read as "no match". */
+case class RobotsBestIdx(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "robots_best_idx"
+
+  override protected def nullSafeEval(p: Any, r: Any): Any =
+    RobotsBestIdx.compute(p.asInstanceOf[UTF8String], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = RobotsBestIdx.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (p, r) => s"${ev.value} = $cls.compute($p, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsBestIdx {
+
+  private val Allow = UTF8String.fromString("allow")
+
+  /** Greedy `*`-wildcard match of `rawPat` against path octets `s`:
+    * prefix semantics without a trailing `$`, full-path with. The
+    * classic single-backtrack algorithm (O(|s|·|pat|) worst case,
+    * linear on real rules), exact for `*`-only wildcard alphabets. */
+  def wcMatches(s: Array[Byte], rawPat: Array[Byte]): Boolean = {
+    var plen = rawPat.length
+    var anchored = false
+    if (plen > 0 && rawPat(plen - 1) == '$') { anchored = true; plen -= 1 }
+    var si = 0; var pi = 0; var star = -1; var mark = 0
+    while (si < s.length) {
+      if (pi < plen && rawPat(pi) == '*') { star = pi; pi += 1; mark = si }
+      else if (pi < plen && rawPat(pi) == s(si)) { pi += 1; si += 1 }
+      else if (pi >= plen && !anchored) return true // prefix consumed
+      else if (star >= 0) { pi = star + 1; mark += 1; si = mark }
+      else return false
+    }
+    // path exhausted: any residual pattern must be all '*'
+    while (pi < plen && rawPat(pi) == '*') pi += 1
+    pi >= plen
+  }
+
+  /** Shared by interpreted eval and codegen. Returns the 0-based index
+    * of the winning (longest-pattern, allow-on-tie) matching rule, or
+    * -1 when nothing matches. */
+  def compute(path: UTF8String, rules: ArrayData): Int = {
+    if (path == null || rules == null) return -1
+    val pb = path.getBytes
+    var best = -1
+    var bestLen = -1
+    var bestAllow = false
+    var bestPat: UTF8String = null
+    val n = rules.numElements()
+    var i = 0
+    while (i < n) {
+      if (!rules.isNullAt(i)) {
+        val row = rules.getStruct(i, 2)
+        val rule = row.getUTF8String(0)
+        val rpath = row.getUTF8String(1)
+        if (rule != null && rpath != null) {
+          val rb = rpath.getBytes
+          if (wcMatches(pb, rb)) {
+            val isAllow = rule.equals(Allow)
+            val better =
+              rb.length > bestLen ||
+                (rb.length == bestLen && isAllow && !bestAllow) ||
+                (rb.length == bestLen && isAllow == bestAllow &&
+                  (bestPat == null || rpath.compareTo(bestPat) < 0))
+            if (better) {
+              best = i; bestLen = rb.length; bestAllow = isAllow; bestPat = rpath
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Column API. */
+  def robotsBestIdx(path: Column, rules: Column): Column =
+    GraftShim.column(RobotsBestIdx(
+      GraftShim.expression(path), GraftShim.expression(rules)))
+}

@@ -18,24 +18,33 @@ import org.apache.spark.sql.functions._
   *    header; the allow/disallow/crawl-delay rules that follow (until
   *    the next header run) belong to EVERY agent in that header;
   *  - `Sitemap` is group-independent (host-level), per the spec;
-  *  - rule matching is LITERAL PATH PREFIX (no `*`/`$` wildcards —
-  *    the pre-REP-2019 core; wildcard support is a documented
-  *    non-goal), empty-path rules are no-ops per the spec;
-  *  - verdict per (host, path): the most specific (LONGEST) matching
-  *    rule of the effective group wins; on a length tie Allow wins;
-  *    no matching rule (or no rules at all) means allowed — all
-  *    Google/REP longest-match semantics;
-  *  - effective group: the requested agent's group if the host has
-  *    one, else the `*` group.
+  *  - rule matching is RFC 9309 wildcard matching over path OCTETS:
+  *    `*` matches any octet sequence, a TRAILING `$` anchors at the
+  *    end of the path, everything else is literal prefix matching;
+  *    empty-path rules are no-ops per the spec;
+  *  - verdict per (host, path): the most specific matching rule of
+  *    the effective group wins — most OCTETS in the raw pattern
+  *    (wildcards and `$` count, the RFC's "most octets" rule); on a
+  *    length tie Allow wins; no matching rule (or no rules at all)
+  *    means allowed — all Google/REP longest-match semantics;
+  *  - effective group: the requested agent's group if the host
+  *    declares ANY rule for it (allow/disallow/crawl-delay — a group
+  *    holding only a crawl-delay still claims the agent), else the
+  *    `*` group. An agent group whose path rules are empty therefore
+  *    allows everything (it does NOT fall back to `*`). A group that
+  *    parses to ZERO rules (a bare User-agent header with nothing
+  *    under it) leaves no trace in the rules frame and is
+  *    indistinguishable from absence — documented contract boundary.
   *
   * Scale shape: parsing is explode + ONE host-keyed window pass
-  * (running header-run id); verdicts are a host-keyed equi-join of
-  * the frontier against the rules frame plus a WindowGroupLimit rank
-  * — rules frames are host-bounded (robots files are tiny), so the
-  * join co-partitions on host and nothing is ever quadratic. The
-  * rules frame is a WRITABLE model (the train/apply doctrine): parse
-  * once per crawl snapshot, verdict per batch — the streaming twin is
-  * a static-model foreachBatch replay. */
+  * (running header-run id); verdicts pre-aggregate each host's
+  * effective rules to ONE array row and probe it with a 1:1
+  * broadcast-friendly equi-join — longest-match resolves per row
+  * inside whole-stage codegen ([[graft.functions.RobotsBestIdx]]),
+  * so a 10k-line robots.txt never fans a popular host's frontier out
+  * by its rule count. The rules frame is a WRITABLE model (the
+  * train/apply doctrine): parse once per crawl snapshot, verdict per
+  * batch — the streaming twin is a static-model foreachBatch replay. */
 object Robots {
 
   /** Parse (host, body) robots.txt documents into a long rule frame:
@@ -91,41 +100,53 @@ object Robots {
     grouping.unionByName(sitemaps)
   }
 
+  /** Per-host "does this host declare a group for `agent`" frame —
+    * decided from ALL rule kinds (a group holding only a crawl-delay
+    * still claims the agent; sitemap rows are host-level and never
+    * count). Shared by verdict and schedule so path rules and delay
+    * always resolve from the SAME group. */
+  private def hasAgentFrame(rules: DataFrame, agent: String): DataFrame =
+    rules.where(col("rule") =!= "sitemap" &&
+        col("agent") === lower(lit(agent)))
+      .select(col("host")).distinct().withColumn("__own", lit(1))
+
   /** Crawl verdicts for a (host, url_path) frontier against a parsed
-    * rules frame: longest-match over the effective agent group.
+    * rules frame: RFC 9309 longest-match (with `*`/`$` wildcards)
+    * over the effective agent group.
     * Output: (host, url_path, allowed 0/1, matched_rule, matched_path)
-    * — matched_* NULL when no rule applies. */
+    * — matched_* NULL when no rule applies.
+    *
+    * Plan shape: effective rules collapse to ONE sorted array row per
+    * host, the frontier probes it 1:1 (broadcast-friendly), and
+    * [[graft.functions.RobotsBestIdx]] resolves the winning rule in a
+    * single codegen'd pass — no per-URL×per-rule fan-out, no window. */
   def crawlVerdict(urls: DataFrame, rules: DataFrame,
                    agent: String): DataFrame = {
     val ad = rules.where(col("rule").isin("allow", "disallow"))
       .select(col("host"), col("agent"), col("rule"),
         col("value").as("path"))
-    // effective group: the agent's own group when the host has one,
-    // else '*' — decided per host from the rules frame itself
-    val hasAgent = ad.where(col("agent") === lower(lit(agent)))
-      .select(col("host")).distinct().withColumn("__own", lit(1))
-    val eff = ad.join(hasAgent, Seq("host"), "left")
+    val eff = ad.join(hasAgentFrame(rules, agent), Seq("host"), "left")
       .where((col("__own").isNotNull && col("agent") === lower(lit(agent))) ||
         (col("__own").isNull && col("agent") === "*"))
       .select(col("host"), col("rule"), col("path"))
-    // every URL keeps >= 1 row (a host whose rules all miss — or that
-    // has no rules — must still emit an allowed verdict): rank with
-    // MATCHING rows first, longest path next, allow before disallow on
-    // a length tie, path as the final determinism tiebreak
-    val joined = urls.join(eff, Seq("host"), "left")
-      .withColumn("__m",
-        col("path").isNotNull && col("url_path").startsWith(col("path")))
-    val w = Window.partitionBy(col("host"), col("url_path"))
-      .orderBy(col("__m").desc, length(col("path")).desc,
-        col("rule").asc, col("path").asc)
-    joined
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .select(col("host"), col("url_path"),
-        when(!col("__m") || col("rule") === "allow", 1L)
-          .otherwise(0L).as("allowed"),
-        when(col("__m"), col("rule")).as("matched_rule"),
-        when(col("__m"), col("path")).as("matched_path"))
+    // one array row per host; sort_array only for layout-independent
+    // plan determinism (best-idx selection is already a total order)
+    val hostRules = eff.groupBy(col("host"))
+      .agg(sort_array(collect_list(struct(col("rule"), col("path"))))
+        .as("__rules"))
+    val probed = urls.join(hostRules, Seq("host"), "left")
+      .withColumn("__bi", graft.functions.RobotsBestIdx.robotsBestIdx(
+        col("url_path"), col("__rules")))
+    // __bi NULL (host with no effective rules) or -1 (all rules miss)
+    // both mean "no match -> allowed"; 0-based get() is NULL-safe on
+    // -1 (never an ANSI index error, unlike element_at)
+    val m = col("__bi").isNotNull && col("__bi") >= 0
+    val won = get(col("__rules"), col("__bi"))
+    probed.select(col("host"), col("url_path"),
+      when(!m || won.getField("rule") === "allow", 1L)
+        .otherwise(0L).as("allowed"),
+      when(m, won.getField("rule")).as("matched_rule"),
+      when(m, won.getField("path")).as("matched_path"))
   }
 
   /** Politeness scheduling — the actionable stage after the verdict:
@@ -133,13 +154,16 @@ object Robots {
     * the host's crawl-delay. Slot order is the deterministic md5 ring
     * (replay-stable: a retried scheduler emits identical slots), so
     * `fetch_at_ms = slot_idx · delay_ms` is a complete per-host fetch
-    * timeline. Delay resolution: the requested agent's crawl-delay
-    * rows when the host declares any, else the `*` rows, else
-    * `defaultDelayMs`; multiple declarations take the SMALLEST
-    * (deterministic, and the conservative read); non-numeric values
-    * are ignored. Blocked URLs are absent (fetch nothing you may not
-    * fetch). One host-keyed window over the allowed frontier — rules
-    * frames are host-bounded, nothing quadratic. */
+    * timeline. Delay resolution follows the SAME effective group as
+    * the verdict (one group applies wholesale): when the host
+    * declares ANY rule for the agent, the agent group's crawl-delay
+    * rows apply (else `defaultDelayMs` — never the `*` group's);
+    * otherwise the `*` group's rows, else `defaultDelayMs`. Multiple
+    * declarations take the SMALLEST (deterministic, and the
+    * conservative read); non-numeric values are ignored. Blocked URLs
+    * are absent (fetch nothing you may not fetch). One host-keyed
+    * window over the allowed frontier — rules frames are
+    * host-bounded, nothing quadratic. */
   def crawlSchedule(urls: DataFrame, rules: DataFrame, agent: String,
                     defaultDelayMs: Long = 1000L): DataFrame = {
     val allowed = crawlVerdict(urls, rules, agent)
@@ -149,7 +173,7 @@ object Robots {
       .withColumn("__d", col("value").cast("long"))
       .where(col("__d").isNotNull)
     val own = cd.where(col("agent") === lower(lit(agent)))
-      .groupBy(col("host")).agg(min(col("__d")).as("__own"))
+      .groupBy(col("host")).agg(min(col("__d")).as("__ownd"))
     val star = cd.where(col("agent") === "*")
       .groupBy(col("host")).agg(min(col("__d")).as("__star"))
     val w = Window.partitionBy(col("host")).orderBy(
@@ -159,8 +183,13 @@ object Robots {
     allowed
       .join(own, Seq("host"), "left")
       .join(star, Seq("host"), "left")
-      .withColumn("delay_ms", coalesce(col("__own") * 1000L,
-        col("__star") * 1000L, lit(defaultDelayMs)))
+      .join(hasAgentFrame(rules, agent), Seq("host"), "left")
+      // the group that judged the verdict also owns the delay: an
+      // agent group without a crawl-delay gets the default, not *'s
+      .withColumn("delay_ms",
+        when(col("__own").isNotNull,
+          coalesce(col("__ownd") * 1000L, lit(defaultDelayMs)))
+        .otherwise(coalesce(col("__star") * 1000L, lit(defaultDelayMs))))
       .withColumn("slot_idx", (row_number().over(w) - 1).cast("long"))
       .select(col("host"), col("url_path"), col("delay_ms"),
         col("slot_idx"),

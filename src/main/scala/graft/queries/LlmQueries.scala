@@ -1914,17 +1914,21 @@ object LlmQueries {
 
   /** The robots fixture: ONE synthesized robots.txt per host, one
     * host per document (hosts scale with the corpus — the production
-    * ratio; three closed-form variants in doc_id % 3), exercising
+    * ratio; five closed-form variants in doc_id % 5), exercising
     * comment strip, multi-agent header runs, group fallback,
-    * crawl-delay, sitemap colon-values, and longest-match
-    * allow-over-disallow. */
+    * crawl-delay, sitemap colon-values, longest-match
+    * allow-over-disallow, RFC 9309 `*`/`$` wildcard rules (v=3 —
+    * verdicts that FLIP vs literal-prefix matching), and a
+    * crawl-delay-only agent group (v=4 — claims the agent, path
+    * rules empty, everything allowed; literal group detection would
+    * fall back to `*`'s Disallow: / and block everything). */
   private def robotsBase(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id").as("i"),
         concat(lit("h"), col("doc_id").cast("string"), lit(".example.com"))
           .as("host"),
-        (col("doc_id") % 3).as("v"),
-        (col("doc_id") % 5).cast("string").as("k"))
+        (col("doc_id") % 5).as("v"),
+        (col("doc_id") % 7).cast("string").as("k"))
 
   private def robotsBodies(base: DataFrame): DataFrame = {
     val host = col("host"); val k = col("k"); val v = col("v")
@@ -1935,8 +1939,26 @@ object LlmQueries {
       .when(v === 1, concat(
         lit("User-agent: *\nDisallow: /\nUser-agent: graftbot\nUser-agent: altbot\nDisallow: /g"),
         k, lit("\nAllow: /g"), k, lit("/pub\nCrawl-delay: 2")))
-      .otherwise(lit("User-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /all"))
+      .when(v === 2,
+        lit("User-agent: graftbot\nAllow: /\nUser-agent: *\nDisallow: /all"))
+      .when(v === 3, lit(
+        "User-agent: *\nDisallow: /*.php\nAllow: /api/*.php$\nDisallow: /tmp*"))
+      .otherwise(lit(
+        "User-agent: graftbot\nCrawl-delay: 7\nUser-agent: *\nDisallow: /"))
     base.select(host, body.as("body"))
+  }
+
+  /** The shared frontier probed by the verdict + schedule gates: paths
+    * hitting every variant's rules, incl. the wildcard flips. */
+  private def robotsUrls(base: DataFrame): DataFrame = {
+    val k = col("k")
+    base.select(col("host"), explode(array(
+      lit("/private/x"), lit("/private/okay"),
+      concat(lit("/g"), k, lit("/a")),
+      concat(lit("/g"), k, lit("/pub/b")),
+      lit("/all/page"), lit("/other"),
+      lit("/index.php"), lit("/api/run.php"),
+      lit("/api/run.php?x=1"), lit("/tmpfile"))).as("url_path"))
   }
 
   /** Robots parser inside the gate: the long rule frame (group
@@ -1951,7 +1973,7 @@ object LlmQueries {
   val qRobotsRulesSql: String =
     s"""WITH h AS (SELECT doc_id AS i,
        |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
-       |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
+       |    doc_id % 5 AS v, CAST(doc_id % 7 AS VARCHAR) AS k
        |  FROM documents),
        |r AS (
        |  SELECT host, '*' AS agent, 'disallow' AS rule, '/private' AS value, 2 AS line_no FROM h WHERE v = 0
@@ -1963,28 +1985,30 @@ object LlmQueries {
        |  UNION ALL SELECT host, t.a, 'allow', '/g' || k || '/pub', 5 FROM h, unnest(['graftbot', 'altbot']) t(a) WHERE v = 1
        |  UNION ALL SELECT host, t.a, 'crawl-delay', '2', 6 FROM h, unnest(['graftbot', 'altbot']) t(a) WHERE v = 1
        |  UNION ALL SELECT host, 'graftbot', 'allow', '/', 1 FROM h WHERE v = 2
-       |  UNION ALL SELECT host, '*', 'disallow', '/all', 3 FROM h WHERE v = 2)
+       |  UNION ALL SELECT host, '*', 'disallow', '/all', 3 FROM h WHERE v = 2
+       |  UNION ALL SELECT host, '*', 'disallow', '/*.php', 1 FROM h WHERE v = 3
+       |  UNION ALL SELECT host, '*', 'allow', '/api/*.php$$', 2 FROM h WHERE v = 3
+       |  UNION ALL SELECT host, '*', 'disallow', '/tmp*', 3 FROM h WHERE v = 3
+       |  UNION ALL SELECT host, 'graftbot', 'crawl-delay', '7', 1 FROM h WHERE v = 4
+       |  UNION ALL SELECT host, '*', 'disallow', '/', 3 FROM h WHERE v = 4)
        |SELECT host, agent, rule, value, CAST(line_no AS BIGINT) AS line_no
        |FROM r""".stripMargin
 
   /** Crawl verdicts inside the gate: a per-host URL frontier judged
-    * for agent `graftbot` with longest-match semantics — own group
-    * when present, `*` fallback otherwise, allow wins length ties, no
-    * match means allowed. Oracle = closed-form expected verdicts per
-    * (variant, path); the parser and the rank machinery both sit
-    * under the hash. */
+    * for agent `graftbot` with RFC 9309 longest-match semantics — own
+    * group when the host declares ANY rule for the agent (v=4's
+    * crawl-delay-only group included), `*` fallback otherwise, `*`/`$`
+    * wildcard matching (v=3's verdicts flip vs literal prefixes),
+    * allow wins length ties, no match means allowed. Oracle =
+    * closed-form expected verdicts per (variant, path); the parser,
+    * the wildcard matcher, and the array-form best-match expression
+    * all sit under the hash. */
   def qRobotsVerdict(spark: SparkSession, dir: String): DataFrame = {
     val base = robotsBase(spark, dir)
-    val k = col("k")
-    val urls = base.select(col("host"), explode(array(
-        lit("/private/x"), lit("/private/okay"),
-        concat(lit("/g"), k, lit("/a")),
-        concat(lit("/g"), k, lit("/pub/b")),
-        lit("/all/page"), lit("/other"))).as("url_path"))
     // the rules frame is consumed twice (group-presence probe + the
     // effective-rule join) and is tiny (a few rows per host) — one
     // eager checkpoint beats re-running the parse window per consumer
-    graft.operators.Robots.crawlVerdict(urls,
+    graft.operators.Robots.crawlVerdict(robotsUrls(base),
       graft.operators.Robots.parseRules(robotsBodies(base))
         .localCheckpoint(true), "graftbot")
   }
@@ -1992,29 +2016,36 @@ object LlmQueries {
   val qRobotsVerdictSql: String =
     s"""WITH h AS (SELECT doc_id AS i,
        |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
-       |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
+       |    doc_id % 5 AS v, CAST(doc_id % 7 AS VARCHAR) AS k
        |  FROM documents),
        |p AS (SELECT i, host, v, k,
        |    unnest(['/private/x', '/private/okay', '/g' || k || '/a',
-       |      '/g' || k || '/pub/b', '/all/page', '/other']) AS url_path
+       |      '/g' || k || '/pub/b', '/all/page', '/other', '/index.php',
+       |      '/api/run.php', '/api/run.php?x=1', '/tmpfile']) AS url_path
        |  FROM h)
        |SELECT host, url_path,
        |  CAST(CASE
-       |    WHEN v = 2 THEN 1
+       |    WHEN v = 2 OR v = 4 THEN 1
        |    WHEN v = 0 AND url_path = '/private/x' THEN 0
        |    WHEN v = 1 AND url_path = '/g' || k || '/a' THEN 0
+       |    WHEN v = 3 AND url_path IN ('/index.php', '/api/run.php?x=1', '/tmpfile') THEN 0
        |    ELSE 1 END AS BIGINT) AS allowed,
        |  CASE WHEN v = 2 THEN 'allow'
        |       WHEN v = 0 AND url_path = '/private/x' THEN 'disallow'
        |       WHEN v = 0 AND url_path = '/private/okay' THEN 'allow'
        |       WHEN v = 1 AND url_path = '/g' || k || '/a' THEN 'disallow'
        |       WHEN v = 1 AND url_path = '/g' || k || '/pub/b' THEN 'allow'
+       |       WHEN v = 3 AND url_path IN ('/index.php', '/api/run.php?x=1', '/tmpfile') THEN 'disallow'
+       |       WHEN v = 3 AND url_path = '/api/run.php' THEN 'allow'
        |  END AS matched_rule,
        |  CASE WHEN v = 2 THEN '/'
        |       WHEN v = 0 AND url_path = '/private/x' THEN '/private'
        |       WHEN v = 0 AND url_path = '/private/okay' THEN '/private/ok'
        |       WHEN v = 1 AND url_path = '/g' || k || '/a' THEN '/g' || k
        |       WHEN v = 1 AND url_path = '/g' || k || '/pub/b' THEN '/g' || k || '/pub'
+       |       WHEN v = 3 AND url_path IN ('/index.php', '/api/run.php?x=1') THEN '/*.php'
+       |       WHEN v = 3 AND url_path = '/tmpfile' THEN '/tmp*'
+       |       WHEN v = 3 AND url_path = '/api/run.php' THEN '/api/*.php$$'
        |  END AS matched_path
        |FROM p""".stripMargin
 
@@ -2026,15 +2057,9 @@ object LlmQueries {
     * ordering bug bends a slot. */
   def qCrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
     val base = robotsBase(spark, dir)
-    val k = col("k")
-    val urls = base.select(col("host"), explode(array(
-        lit("/private/x"), lit("/private/okay"),
-        concat(lit("/g"), k, lit("/a")),
-        concat(lit("/g"), k, lit("/pub/b")),
-        lit("/all/page"), lit("/other"))).as("url_path"))
     // four consumers (verdict probe + effective rules + own/star
     // delays) — checkpoint the tiny parsed frame once
-    graft.operators.Robots.crawlSchedule(urls,
+    graft.operators.Robots.crawlSchedule(robotsUrls(base),
       graft.operators.Robots.parseRules(robotsBodies(base))
         .localCheckpoint(true), "graftbot")
   }
@@ -2042,18 +2067,21 @@ object LlmQueries {
   val qCrawlScheduleSql: String =
     s"""WITH h AS (SELECT doc_id AS i,
        |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
-       |    doc_id % 3 AS v, CAST(doc_id % 5 AS VARCHAR) AS k
+       |    doc_id % 5 AS v, CAST(doc_id % 7 AS VARCHAR) AS k
        |  FROM documents),
        |p AS (SELECT i, host, v, k,
        |    unnest(['/private/x', '/private/okay', '/g' || k || '/a',
-       |      '/g' || k || '/pub/b', '/all/page', '/other']) AS url_path
+       |      '/g' || k || '/pub/b', '/all/page', '/other', '/index.php',
+       |      '/api/run.php', '/api/run.php?x=1', '/tmpfile']) AS url_path
        |  FROM h),
        |al AS (SELECT i, host, v, url_path FROM p
        |  WHERE NOT ((v = 0 AND url_path = '/private/x')
-       |          OR (v = 1 AND url_path = '/g' || k || '/a'))),
+       |          OR (v = 1 AND url_path = '/g' || k || '/a')
+       |          OR (v = 3 AND url_path IN ('/index.php', '/api/run.php?x=1', '/tmpfile')))),
        |d AS (SELECT host, url_path,
        |    CAST(CASE WHEN v = 0 THEN (i % 7) * 1000
-       |         WHEN v = 1 THEN 2000 ELSE 1000 END AS BIGINT) AS delay_ms
+       |         WHEN v = 1 THEN 2000
+       |         WHEN v = 4 THEN 7000 ELSE 1000 END AS BIGINT) AS delay_ms
        |  FROM al),
        |r AS (SELECT host, url_path, delay_ms,
        |    CAST(row_number() OVER (PARTITION BY host ORDER BY

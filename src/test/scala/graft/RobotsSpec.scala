@@ -93,6 +93,87 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("wildcard matcher: *, trailing $, prefix semantics, byte-level") {
+    import graft.functions.RobotsBestIdx.wcMatches
+    def wc(path: String, pat: String) =
+      wcMatches(path.getBytes("UTF-8"), pat.getBytes("UTF-8"))
+    assert(wc("/index.php", "/*.php"))
+    assert(wc("/a/b.php?x=1", "/*.php"), "prefix: path may continue past the pattern")
+    assert(!wc("/a/b.php?x=1", "/*.php$"), "trailing $ anchors at path end")
+    assert(wc("/a/b.php", "/*.php$"))
+    assert(wc("/anything", "/"))
+    assert(wc("/fish/salmon", "/fish*"))
+    assert(wc("/fishheads", "/fish*"))
+    assert(!wc("/Fish", "/fish*"), "matching is case-sensitive octets")
+    assert(wc("/", "/$"))
+    assert(!wc("/page", "/$"))
+    assert(!wc("/x/y.php/z.html", "/*.php$"))
+    assert(wc("/a.phpb.php", "/*.php$"), "backtracking finds the LAST .php for $")
+    assert(wc("/ab", "/*b$") && !wc("/ab/c", "/*b$"))
+    assert(wc("/star*lit", "/star*lit"), "a * in the rule matches a literal * too")
+    assert(wc("/x", "") && wc("", ""), "empty pattern prefix-matches everything")
+  }
+
+  test("REP precedence: most-octets wins, allow on ties (Google's published examples)") {
+    val rules = Robots.parseRules(robots(
+      ("w1.com", "User-agent: *\nAllow: /p\nDisallow: /"),
+      ("w2.com", "User-agent: *\nAllow: /folder\nDisallow: /folder"),
+      ("w3.com", "User-agent: *\nAllow: /page\nDisallow: /*.htm"),
+      ("w4.com", "User-agent: *\nAllow: /page\nDisallow: /*.ph"),
+      ("w5.com", "User-agent: *\nAllow: /$\nDisallow: /")))
+    val v = Robots.crawlVerdict(urls(
+        ("w1.com", "/page"), ("w2.com", "/folder/page"),
+        ("w3.com", "/page.htm"), ("w4.com", "/page.php5"),
+        ("w5.com", "/"), ("w5.com", "/page.htm")),
+      rules, "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.getString(4))))).toMap
+    assert(v(("w1.com", "/page")) === ((1L, Some("/p"))))
+    assert(v(("w2.com", "/folder/page")) === ((1L, Some("/folder"))),
+      "equal-length allow and disallow -> allow")
+    assert(v(("w3.com", "/page.htm")) === ((0L, Some("/*.htm"))),
+      "/*.htm has 6 octets vs /page's 5 -> most-octets disallow wins")
+    assert(v(("w4.com", "/page.php5")) === ((1L, Some("/page"))),
+      "5-octet tie -> allow")
+    assert(v(("w5.com", "/")) === ((1L, Some("/$"))), "/$ matches only the root")
+    assert(v(("w5.com", "/page.htm")) === ((0L, Some("/"))))
+  }
+
+  test("wildcard verdicts flip vs literal-prefix matching") {
+    val rules = Robots.parseRules(robots(
+      ("x.com", "User-agent: *\nDisallow: /*.php\nAllow: /api/*.php$\nDisallow: /tmp*")))
+    val v = Robots.crawlVerdict(urls(
+        ("x.com", "/index.php"), ("x.com", "/api/run.php"),
+        ("x.com", "/api/run.php?x=1"), ("x.com", "/tmpfile"),
+        ("x.com", "/plain")),
+      rules, "graftbot")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // literal-prefix matching would report ALL of these allowed
+    assert(v("/index.php") === 0L)
+    assert(v("/api/run.php") === 1L, "the anchored allow out-lengths /*.php")
+    assert(v("/api/run.php?x=1") === 0L, "$ blocks the anchored allow; /*.php disallows")
+    assert(v("/tmpfile") === 0L)
+    assert(v("/plain") === 1L)
+  }
+
+  test("a crawl-delay-only agent group claims the agent: empty path rules allow everything") {
+    val rules = Robots.parseRules(robots(
+      ("d.com", "User-agent: graftbot\nCrawl-delay: 7\nUser-agent: *\nDisallow: /")))
+    val v = Robots.crawlVerdict(urls(("d.com", "/x")), rules, "graftbot").collect()
+    assert(v.head.getLong(2) === 1L && v.head.isNullAt(3),
+      "agent group exists (crawl-delay row) -> no * fallback -> allowed")
+    val s = Robots.crawlSchedule(urls(("d.com", "/x")), rules, "graftbot").collect()
+    assert(s.head.getAs[Long]("delay_ms") === 7000L)
+  }
+
+  test("delay resolves from the verdict's group: agent group without crawl-delay -> default, never *'s") {
+    val rules = Robots.parseRules(robots(
+      ("e.com", "User-agent: graftbot\nDisallow: /no\nUser-agent: *\nCrawl-delay: 9")))
+    val s = Robots.crawlSchedule(urls(("e.com", "/ok")), rules, "graftbot").collect()
+    assert(s.head.getAs[Long]("delay_ms") === 1000L,
+      "one group applies wholesale: *'s delay must not mix into the agent group")
+  }
+
   test("CRLF and tab-separated robots files parse identically to LF") {
     val lf = "User-agent: *\nDisallow: /x\nAllow:\t/x/ok\nCrawl-delay: 4"
     val crlf = lf.replace("\n", "\r\n")
@@ -103,6 +184,19 @@ class RobotsSpec extends SparkSpec {
     assert(a === b, "CRLF must not leak \\r into values")
     assert(a === Set(("*", "disallow", "/x"), ("*", "allow", "/x/ok"),
       ("*", "crawl-delay", "4")))
+  }
+
+  test("verdict plan is array-form: no Window, best-match expression present") {
+    val rules = Robots.parseRules(robots(
+      ("a.com", "User-agent: *\nDisallow: /x\nAllow: /x/ok"))).localCheckpoint(true)
+    val plan = Robots.crawlVerdict(
+        urls(("a.com", "/x/1"), ("a.com", "/y")), rules, "graftbot")
+      .queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      "longest-match must resolve in the expression, not a rank window")
+    assert(finalPlan.contains("robots_best_idx"),
+      "the codegen'd best-match expression drives the verdict")
   }
 
   test("deterministic across partition layouts") {
