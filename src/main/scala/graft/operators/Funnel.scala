@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Ordered-funnel analysis over an event stream — the classic
   * sequential-analytics operator (how many users progress
@@ -9,11 +10,20 @@ import org.apache.spark.sql.functions._
   * the FIRST step): per user, step k's entry time is the earliest
   * step-k event STRICTLY AFTER the step-(k-1) entry and no later than
   * `t1 + withinS`. Expressed as a chain of filtered joins + per-user
-  * min aggregates — fully declarative, no per-user state machine: the
-  * event frame enters once per step with its type filter PUSHED INTO
-  * THE SCAN, and every intermediate frame is user-cardinality-sized
-  * (tiny next to the events), so each stage is one broadcast-friendly
-  * join + a map-side-combinable min.
+  * min aggregates — fully declarative, no per-user state machine.
+  *
+  * Scan discipline (the r15 finding): the event table is filtered to
+  * the step UNION once and persisted, so a k-step funnel costs ONE
+  * corpus scan — not k (and not O(k²) upstream re-executions: every
+  * reached frame is ALSO persisted; stage k's plan consumes cached
+  * stage k-1, and the per-step counts consume the cached frames).
+  * Reached frames are user-cardinality-sized; the step-union event
+  * cache is the one corpus-order intermediate and spills to disk
+  * (MEMORY_AND_DISK). The step counts are collected ONCE (k tiny
+  * driver actions over cached frames) and the k-row output is built
+  * from literals, which lets every cache release BEFORE returning —
+  * the frame handed back is self-contained (no lazy reads of
+  * unpersisted plans, the r14 cache-lifecycle lesson).
   *
   * Determinism: timestamps compare at epoch seconds (the engine-wide
   * ns-vs-us rule — callers load via Tables.events); conversion ratios
@@ -25,29 +35,38 @@ object Funnel {
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts"): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
-    val e = events.select(col(userCol).as("u"), col(typeCol).as("t"),
-      unix_timestamp(col(tsCol)).as("sec"))
+    val spark = events.sparkSession
+    // ONE pass over the event table: filter to the step union, prune
+    // to 3 columns, persist — every per-step filter below reads this
+    val e = events.where(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        unix_timestamp(col(tsCol)).as("sec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 1: first occurrence of the entry step per user
     val s1 = e.where(col("t") === steps.head)
       .groupBy(col("u")).agg(min(col("sec")).as("t1"))
       .withColumn("tk", col("t1"))
-    // stage k: earliest step-k event after stage k-1, inside the window
-    val reached = steps.tail.scanLeft(s1) { (prev, step) =>
-      e.where(col("t") === step)
-        .join(prev.select(col("u"), col("t1"), col("tk").as("__prev")), Seq("u"))
-        .where(col("sec") > col("__prev") && col("sec") <= col("t1") + withinS)
-        .groupBy(col("u"), col("t1")).agg(min(col("sec")).as("tk"))
+    // stage k: earliest step-k event after stage k-1, inside the
+    // window; persisting each stage keeps lineage linear (stage k
+    // reads cached stage k-1, not the whole re-derived chain)
+    val reached = steps.tail.scanLeft(s1.persist(StorageLevel.MEMORY_AND_DISK)) {
+      (prev, step) =>
+        e.where(col("t") === step)
+          .join(prev.select(col("u"), col("t1"), col("tk").as("__prev")), Seq("u"))
+          .where(col("sec") > col("__prev") && col("sec") <= col("t1") + withinS)
+          .groupBy(col("u"), col("t1")).agg(min(col("sec")).as("tk"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val counts = reached.zip(steps.zipWithIndex).map { case (df, (step, i)) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
-          col("n_users"))
-    }
-    val unioned = counts.reduce(_ unionByName _)
-    val base = counts.head.select(col("n_users").as("__n1"))
-    unioned.crossJoin(broadcast(base))
-      .select(col("step_idx"), col("step"), col("n_users"),
-        expr("CAST(CASE WHEN __n1 = 0 THEN NULL" +
-          " ELSE (n_users * 1000000) DIV __n1 END AS BIGINT)").as("conv_ppm"))
+    // collect the k step counts once (each count doubles as the cache
+    // fill for its stage), then release everything and emit literals
+    val ns = reached.map(_.count())
+    reached.foreach(_.unpersist())
+    e.unpersist()
+    val n1 = ns.head
+    import spark.implicits._
+    steps.zipWithIndex.map { case (step, i) =>
+      (i + 1L, step, ns(i),
+        if (n1 == 0) None else Some(ns(i) * 1000000L / n1))
+    }.toDF("step_idx", "step", "n_users", "conv_ppm")
   }
 }

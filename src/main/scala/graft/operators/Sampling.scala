@@ -41,8 +41,14 @@ object Sampling {
         docs.crossJoin(broadcast(docs.agg(max(col(tsCol)).as("__anchor"))))
     }
     withAnchor
+      // clamp BOTH ends: saturate at 20 half-lives above, floor at 0
+      // below — in pinned-anchor mode a row NEWER than the anchor
+      // would otherwise shift by a negative count, which Spark's
+      // shiftleft masks mod 64 (1L<<-1 = 1L<<63 -> weight 0: the
+      // freshest rows silently dropped, the opposite of recency)
       .withColumn("age_buckets",
-        least(expr(s"(__anchor - $tsCol) div ${halfLifeS}L"), lit(20L)))
+        greatest(lit(0L),
+          least(expr(s"(__anchor - $tsCol) div ${halfLifeS}L"), lit(20L))))
       .withColumn("weight_ppm",
         expr("1000000L div shiftleft(1L, cast(age_buckets as int))"))
       .withColumn("keep",

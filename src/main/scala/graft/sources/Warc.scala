@@ -194,11 +194,14 @@ object Warc {
         eoh = Warc.indexOf(buf, len, Eoh, 0)
       if (eoh < 0) {
         // either the stream ended mid-header or the "header" outgrew
-        // any real one — quarantine with the raw bytes truncated to
-        // the cap and resync from whatever follows
+        // any real one — quarantine the capped window ONLY and let
+        // seekMagic resync over the remainder: a valid 'WARC/' magic
+        // already buffered past the cap must be re-scanned, not
+        // discarded with the oversized header
+        val cut = math.min(len, MaxHeaderBytes)
         val r = bad(idx, "unterminated-header",
-          java.util.Arrays.copyOf(buf, math.min(len, MaxHeaderBytes)))
-        idx += 1; consume(len)
+          java.util.Arrays.copyOf(buf, cut))
+        idx += 1; consume(cut)
         return r
       }
       val header = new String(buf, 0, eoh, StandardCharsets.UTF_8)

@@ -50,4 +50,20 @@ class FunnelSpec extends SparkSpec {
     assert(out(2L)._2 === 0L && out(3L)._2 === 0L)
     assert(out(2L)._3 === 0L)
   }
+
+  test("one corpus scan feeds every stage (step-union cache)") {
+    val acc = spark.sparkContext.longAccumulator("funnel-input-rows")
+    val rows = Seq(
+      ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+      ev(2, "view", 1), ev(2, "click", 3),
+      ev(3, "other", 2), ev(3, "view", 4))
+    val counted = rows.toDF("user_id", "event_type", "ts")
+      .filter((r: org.apache.spark.sql.Row) => { acc.add(1); true })
+    val out = Funnel.funnel(counted, Seq("view", "click", "purchase"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    assert(acc.value === rows.size.toLong,
+      s"input read ${acc.value} row-visits for ${rows.size} rows — " +
+        "the step-union scan must run exactly once")
+  }
 }

@@ -405,7 +405,11 @@ class StreamingSpec extends SparkSpec {
   test("recencyWeightStream with a pinned anchor replays batch exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val rows = Seq((1L, 1000000L), (2L, 1000000L - 8192L), (3L, 1000000L - 40000L))
+    // row 4 is NEWER than the pinned anchor (arrives mid-stream after
+    // the anchor was fixed): the age bucket clamps at 0, full weight —
+    // an unclamped negative shift would mask to 1L<<63 and weight 0
+    val rows = Seq((1L, 1000000L), (2L, 1000000L - 8192L),
+      (3L, 1000000L - 40000L), (4L, 1000000L + 5000L))
     val input = MemoryStream[(Long, Long)]
     input.addData(rows.take(1): _*)
     val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -422,6 +426,9 @@ class StreamingSpec extends SparkSpec {
         anchorTs = Some(1000000L))
       .collect().map(_.toString).sorted.toSeq
     assert(acc.map(_.toString).sorted.toSeq === expected)
+    assert(acc.find(_.getLong(0) == 4L).get
+      .getAs[Long]("weight_ppm") === 1000000L,
+      "fresher-than-anchor rows keep FULL weight (age bucket clamps at 0)")
     // groupDisjointSplit is a pure projection: the SAME operator code
     // runs on a stream (the stratifiedSampleStream contract)
     val input2 = MemoryStream[(Long, String)]

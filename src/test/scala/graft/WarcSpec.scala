@@ -100,6 +100,14 @@ class WarcSpec extends SparkSpec {
     assert(out.exists(r => r.__malformed && r.reason === "unterminated-header"))
     val uh = out.find(_.reason === "unterminated-header").get
     assert(uh.payload.length <= (1 << 20), s"raw truncated to cap, got ${uh.payload.length}")
+    // a valid record already buffered past the cap is RESYNCED to,
+    // not discarded with the oversized header's window
+    val bombThenGood = ("WARC/1.0\r\nX: " + "y" * (2 << 20) +
+      rec("response", "http://rescued/1", "hello")).getBytes(StandardCharsets.US_ASCII)
+    val out2 = Warc.parseAll(bombThenGood)
+    assert(out2.exists(r => !r.__malformed && r.target_uri == "http://rescued/1"),
+      "record past the header cap must survive via resync")
+    assert(out2.count(_.reason == "unterminated-header") === 1)
   }
 
   test("records() frame: per-key rows, deterministic across layouts") {
