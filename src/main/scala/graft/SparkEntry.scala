@@ -243,6 +243,7 @@ object SparkEntry {
     "q_exif_meta" -> (L.qExifMeta _),
     // delta+LEB128 varint postings codec round-trip (inverted-index storage)
     "q_varint_postings" -> (L.qVarintPostings _),
+    "q_varint_postings_blocked" -> (L.qVarintPostingsBlocked _),
     // T5-style block-local span corruption (denoising pretraining pairs)
     "q_span_corrupt" -> (L.qSpanCorrupt _),
     // SFT loss-mask rendering census (assistant-only loss, hash-gated)
@@ -460,6 +461,7 @@ object SparkEntry {
     "q_jpeg_meta" -> L.qJpegMetaSql,
     "q_exif_meta" -> L.qExifMetaSql,
     "q_varint_postings" -> L.qVarintPostingsSql,
+    "q_varint_postings_blocked" -> L.qVarintPostingsBlockedSql,
     "q_span_corrupt" -> L.qSpanCorruptSql,
     "q_loss_mask" -> L.qLossMaskSql,
     "q_utf8_census" -> L.qUtf8CensusSql,

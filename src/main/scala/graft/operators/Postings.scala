@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   * the max-array/row size — at 100 TB a stopword's list (~10⁹ ids)
   * must shard as (term, block_id) rows of bounded length; the codec
   * and the gap algebra are unchanged (each block's first id is
-  * absolute), so the sharded variant is a grouping change only. */
+  * absolute), so the sharded variant is a grouping change only.
+  * [[buildTopKBlocked]] implements it by ID-RANGE blocking
+  * (block_id = doc_id div blockWidth): block length is bounded by
+  * blockWidth BY CONSTRUCTION and the assignment is a pure
+  * projection — no per-term rank window, which would drag a
+  * stopword's full list onto one partition to number it (the exact
+  * failure the sharding exists to prevent). Sparse terms simply skip
+  * empty ranges; concatenating a term's blocks in block_id order
+  * reproduces the unsharded sorted list exactly. */
 object Postings {
 
   /** Encode a SORTED ascending doc-id list: first value verbatim, then
@@ -92,6 +100,59 @@ object Postings {
     tok.join(broadcast(top.select("term")), Seq("term"))
       .groupBy(col("term"))
       .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+  }
+
+  /** Sharded postings for the top-k df terms: the [[buildTopK]] census
+    * + broadcast-semijoin shape with (term, block_id) grouping,
+    * block_id = doc_id div blockWidth — each row's id list is bounded
+    * by blockWidth regardless of document frequency, each block's
+    * first id stays absolute (blocks encode/decode independently and
+    * merge by concatenation). The grouping column is a projection, so
+    * the regroup stays one map-side-combinable aggregate. */
+  def buildTopKBlocked(docs: DataFrame, k: Int, blockWidth: Long,
+                       scripted: Boolean = false): DataFrame = {
+    require(blockWidth >= 1L, "blockWidth must be positive")
+    val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(TextAnalysis.tokensOf(col("text"), scripted)).as("term"))
+      .distinct()
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+    tok.join(broadcast(top.select("term")), Seq("term"))
+      .withColumn("block_id", expr(s"doc_id div ${blockWidth}L"))
+      .groupBy(col("term"), col("block_id"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+  }
+
+  /** Per-term census over BLOCKED postings: every block round-trips
+    * through the codec independently, then blocks aggregate per term.
+    * The grouping-change-only contract makes n_docs and doc_sum equal
+    * the unsharded census values exactly (the oracle computes them
+    * from the FLAT list); encoded_bytes/byte_sum differ from the
+    * unsharded encoding only by each block's absolute first-id
+    * restart, which the oracle replays with block-partitioned gaps. */
+  def blockedCensus(blocked: DataFrame): DataFrame = {
+    val spark = blocked.sparkSession
+    import spark.implicits._
+    blocked.select(col("term"), col("block_id"), col("doc_ids"))
+      .as[(String, Long, Seq[Long])]
+      .map { case (t, _, ids) =>
+        val arr = ids.toArray
+        val bin = varintEncode(arr)
+        val back = varintDecode(bin)
+        require(java.util.Arrays.equals(arr, back),
+          s"varint round-trip mismatch for term '$t'")
+        var bs = 0L
+        bin.foreach(x => bs += (x & 0xffL))
+        (t, arr.length.toLong, bin.length.toLong, bs, back.sum)
+      }
+      .toDF("term", "__n", "__bytes", "__bsum", "__dsum")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__n")).as("n_docs"),
+        sum(col("__bytes")).as("encoded_bytes"),
+        sum(col("__bsum")).as("byte_sum"),
+        sum(col("__dsum")).as("doc_sum"))
   }
 
   /** Encode → decode round-trip census per term: list length, exact

@@ -2718,6 +2718,54 @@ object LlmQueries {
        |  CAST(sum(id) AS BIGINT) AS doc_sum
        |FROM d GROUP BY term""".stripMargin
 
+  private val PostingsBlockWidth = 64L
+
+  /** Sharded (term, block_id) postings census — the 100 TB contract of
+    * operators/Postings.scala made gated: id-range blocks bound every
+    * row's list at blockWidth with a PROJECTION (no per-term rank
+    * window), each block encodes independently with its first id
+    * absolute. The gate proves the grouping-change-only contract:
+    * n_docs and doc_sum are computed by Spark from the BLOCK aggregate
+    * but by the oracle from the FLAT list (equal iff no id is lost,
+    * duplicated, or misplaced across blocks), while encoded_bytes /
+    * byte_sum replay the varint algebra with block-partitioned gaps
+    * (any block-boundary delta bug bends them). */
+  def qVarintPostingsBlocked(spark: SparkSession, dir: String): DataFrame =
+    Postings.blockedCensus(Postings.buildTopKBlocked(
+      Tables(spark, dir).documents, PostingsTopK, PostingsBlockWidth))
+
+  val qVarintPostingsBlockedSql: String =
+    s"""WITH raw AS (SELECT doc_id, unnest(${wordsSql("text")}) AS term
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, term FROM raw),
+       |top AS (SELECT term, count(*) AS df FROM tok GROUP BY term
+       |  ORDER BY df DESC, term ASC LIMIT $PostingsTopK),
+       |f AS (SELECT tok.term, tok.doc_id AS id,
+       |    tok.doc_id // $PostingsBlockWidth AS blk
+       |  FROM tok JOIN top USING (term)),
+       |u AS (SELECT term, blk, id,
+       |    row_number() OVER (PARTITION BY term, blk ORDER BY id) AS ord
+       |  FROM f),
+       |g AS (SELECT term, blk, id, ord,
+       |    CASE WHEN ord = 1 THEN id
+       |         ELSE id - lag(id) OVER (PARTITION BY term, blk ORDER BY ord) END AS gap
+       |  FROM u),
+       |b AS (SELECT term, blk, id, ord, gap,
+       |    CASE WHEN gap = 0 THEN 1
+       |         ELSE (length(ltrim(bin(gap), '0')) + 6) // 7 END AS nb
+       |  FROM g),
+       |d AS (SELECT b.term, b.blk, b.ord, max(b.id) AS id, max(b.nb) AS nb,
+       |    CAST(sum((b.gap >> (7 * t.j)) & 127) + 128 * (max(b.nb) - 1) AS BIGINT)
+       |      AS gap_bytesum
+       |  FROM b, unnest(generate_series(0, b.nb - 1)) AS t(j)
+       |  GROUP BY b.term, b.blk, b.ord)
+       |SELECT term, CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nb) AS BIGINT) AS encoded_bytes,
+       |  CAST(sum(gap_bytesum) AS BIGINT) AS byte_sum,
+       |  CAST(sum(id) AS BIGINT) AS doc_sum
+       |FROM d GROUP BY term""".stripMargin
+
   // ---- T5-style span corruption (denoising pretraining pairs) ----
 
   private val SpanBlock = 10

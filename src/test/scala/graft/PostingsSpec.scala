@@ -66,4 +66,39 @@ class PostingsSpec extends SparkSpec {
       assert(census(t) === ((ids.length.toLong, bin.length.toLong, bs, ids.sum)), t)
     }
   }
+
+  test("buildTopKBlocked: bounded rows, >=3 blocks, block concat == unsharded list") {
+    // 'hot' in 150 docs spread over ids 0..899 -> crosses >= 3 blocks
+    // at width 64; 'rare' in two docs of one block
+    val docs = ((0L until 900L by 6L).map(i => (i, "hot x" + i)) ++
+      Seq((901L, "rare"), (902L, "rare"))).toDF("doc_id", "text")
+    val w = 64L
+    val blocked = Postings.buildTopKBlocked(docs, 2, w).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val hotBlocks = blocked.keys.filter(_._1 == "hot").map(_._2).toSeq.sorted
+    assert(hotBlocks.size >= 3, s"need >=3 blocks, got $hotBlocks")
+    // every row bounded by the width; ids stay inside their range
+    blocked.foreach { case ((t, b), ids) =>
+      assert(ids.size <= w, s"$t/$b overflows the width")
+      assert(ids.forall(id => id / w == b), s"$t/$b carries out-of-range ids")
+      assert(ids === ids.sorted, s"$t/$b not sorted")
+    }
+    // concatenation in block order reproduces the unsharded list
+    val plain = Postings.buildTopK(docs, 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (t <- plain.keys) {
+      val cat = blocked.toSeq.filter(_._1._1 == t).sortBy(_._1._2)
+        .flatMap(_._2)
+      assert(cat === plain(t), s"block concat != unsharded for $t")
+    }
+    // per-term block census equals the flat list on n_docs/doc_sum
+    val census = Postings.blockedCensus(
+        Postings.buildTopKBlocked(docs, 2, w)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(census("hot")._1 >= 3L)
+    assert(census("hot")._2 === plain("hot").size.toLong)
+    assert(census("hot")._3 === plain("hot").sum)
+    assert(census("rare") === ((1L, 2L, 901L + 902L)))
+  }
 }
