@@ -85,6 +85,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (L.qDedupClusters _),
     "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
     "q_dedup_keep" -> (L.qDedupKeep _),
+    "q_dedup_index_merge" -> (L.qDedupIndexMerge _),
     "q_sample_split" -> (L.qSampleSplit _),
     "q_split_domain" -> (L.qSplitDomain _),
     "q_recency_sample" -> (L.qRecencySample _),
@@ -417,6 +418,7 @@ object SparkEntry {
     "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
+    "q_dedup_index_merge" -> L.qDedupIndexMergeSql,
     "q_incremental_gain" -> L.qIncrementalGainSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_dedup_containment" -> L.qDedupContainmentSql,

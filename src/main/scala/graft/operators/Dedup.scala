@@ -445,6 +445,33 @@ object Dedup {
       shingles = shArr)
   }
 
+  /** Incremental maintenance of [[buildIndex]] — the
+    * [[mergeSpanIndexes]] precedent for the minhash index, closing the
+    * production ingest loop (dedupe batch → fold the kept survivors
+    * into the standing index → next batch) without ever re-shingling
+    * the standing corpus:
+    *  - hashes: union + min(first_id) per content_hash (associative/
+    *    commutative — merges compose in any order);
+    *  - bands and shingles: doc-keyed rows, plain union.
+    * CONTRACT: the two indexes cover DISJOINT doc-id sets (the ingest
+    * loop guarantees it — survivors are new ids by construction);
+    * under that contract merge(buildIndex(a), buildIndex(b)) ==
+    * buildIndex(a ∪ b) EXACTLY, frame by frame, and a batch judged
+    * against the merged index gets the same verdicts as against an
+    * index rebuilt from scratch (both pinned in DedupIncrementalSpec;
+    * q_dedup_index_merge proves verdict parity through the oracle
+    * gate). Scale: the band/shingle halves are shuffle-FREE appends —
+    * on disk, writing the new batch's rows into the same bucketed
+    * layout (sources/Bucketing) IS the merge; only the hash frame
+    * re-aggregates, on its uniform md5 key. */
+  def mergeDedupIndexes(a: DedupIndex, b: DedupIndex): DedupIndex =
+    DedupIndex(
+      hashes = a.hashes.unionByName(b.hashes)
+        .groupBy(col("content_hash"))
+        .agg(min(col("first_id")).as("first_id")),
+      bands = a.bands.unionByName(b.bands),
+      shingles = a.shingles.unionByName(b.shingles))
+
   /** Incremental (delta) dedup: verdict for each NEW doc against an
     * existing corpus index — the production shape at 100 TB, where a
     * continuously-crawled corpus is never re-deduped whole; only the

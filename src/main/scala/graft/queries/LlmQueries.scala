@@ -296,6 +296,26 @@ object LlmQueries {
       Dedup.buildIndex(docs.where(col("doc_id") % 5 =!= 0)))
   }
 
+  /** The ingest-loop MERGE half inside the gate: the standing index is
+    * built as merge(buildIndex(half), buildIndex(other half)) over a
+    * disjoint doc-id split of the same corpus, then the same delta
+    * batch is judged against it. The oracle is q_dedup_incremental's
+    * replay VERBATIM (it builds the index from the whole corpus), so
+    * the hash gate IS the proof that merging indexes equals rebuilding
+    * from the union — any dropped band row, duplicated shingle frame,
+    * or non-min first_id in the merge bends a verdict. */
+  def qDedupIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    Dedup.dedupAgainstIndex(
+      docs.where(col("doc_id") % 5 === 0),
+      Dedup.mergeDedupIndexes(
+        Dedup.buildIndex(corpus.where(col("doc_id") % 2 === 0)),
+        Dedup.buildIndex(corpus.where(col("doc_id") % 2 =!= 0))))
+  }
+
+  lazy val qDedupIndexMergeSql: String = qDedupIncrementalSql
+
   /** Minhash signature + band CTEs over a (doc_id, text) source CTE,
     * suffixed so the delta and index sides compose in one statement. */
   private def minhashCtes(src: String, sfx: String): String = {

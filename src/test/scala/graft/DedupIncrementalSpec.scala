@@ -55,4 +55,42 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(r.columns.toSeq === Seq("doc_id", "verdict", "dup_of", "jaccard"))
     assert(r.count() === 0)
   }
+
+  test("mergeDedupIndexes == buildIndex over the union, frame by frame (disjoint ids)") {
+    val a = Seq(10L -> longText, 11L -> otherText).toDF("doc_id", "text")
+    val b = Seq(12L -> longText, 13L -> (longText + " tail")).toDF("doc_id", "text")
+    val merged = Dedup.mergeDedupIndexes(Dedup.buildIndex(a), Dedup.buildIndex(b))
+    val rebuilt = Dedup.buildIndex(a.unionByName(b))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(merged.hashes) === rows(rebuilt.hashes),
+      "content-hash first ids: min across sides")
+    assert(rows(merged.bands) === rows(rebuilt.bands))
+    assert(rows(merged.shingles.select("doc_id")) ===
+      rows(rebuilt.shingles.select("doc_id")))
+  }
+
+  test("ingest loop: fold kept survivors into the index; verdicts == rebuilt index") {
+    // batch 1 against the standing index; its keepers fold in; batch 2
+    // must then see batch-1 keepers as the corpus does
+    val batch1 = Seq(
+      100L -> "entirely novel content nothing shared with any corpus document here more words to shingle",
+      101L -> longText).toDF("doc_id", "text")
+    val v1 = Dedup.dedupAgainstIndex(batch1, index)
+    val kept1 = batch1.join(
+      v1.where($"verdict" === "keep").select("doc_id"), Seq("doc_id"))
+    val folded = Dedup.mergeDedupIndexes(index, Dedup.buildIndex(kept1))
+    val batch2 = Seq(
+      200L -> "entirely novel content nothing shared with any corpus document here more words to shingle",
+      201L -> (otherText + " extra")).toDF("doc_id", "text")
+    val viaMerge = Dedup.dedupAgainstIndex(batch2, folded)
+      .collect().map(_.toString).sorted.toSeq
+    val corpus = Seq(10L -> longText, 11L -> otherText, 12L -> longText)
+      .toDF("doc_id", "text").unionByName(kept1)
+    val viaRebuild = Dedup.dedupAgainstIndex(batch2, Dedup.buildIndex(corpus))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaMerge === viaRebuild)
+    // and the folded keeper is actually seen: 200 is an exact copy of 100
+    assert(viaMerge.exists(s => s.contains("200") && s.contains("drop_exact")))
+  }
 }
