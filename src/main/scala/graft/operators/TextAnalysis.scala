@@ -597,6 +597,39 @@ object TextAnalysis {
     out.result()
   }
 
+  /** The BPE merge table as a WRITABLE model frame — (rank, left,
+    * right), the train/apply doctrine every other trainer here
+    * follows (CCNet lm, perceptron, robots rules, k-means codebooks):
+    * the tokenizer is the model a training pipeline most needs to
+    * SHIP, so its merges round-trip through parquet and feed
+    * [[bpeEncode]] directly. Rank is the merge order (0-based) — the
+    * only state BPE has. */
+  def bpeMergesFrame(spark: org.apache.spark.sql.SparkSession,
+                     merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), k) => (k.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Rebuild the ordered merge seq from a model frame (rank asc —
+    * layout-independent). The collect is MODEL-sized (numMerges rows,
+    * the codebook precedent), never corpus-sized. */
+  def mergesFromFrame(frame: DataFrame): Seq[(String, String)] =
+    frame.select(col("rank").cast("long"), col("left"), col("right"))
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+
+  /** [[bpeEncode]] from a merge MODEL FRAME (e.g. re-read from
+    * parquet): resolves the frame to the rank table once — a
+    * model-sized collect — then runs the identical partition-local
+    * encode, so frame-path output is byte-identical to the Seq path
+    * (spec-pinned composition parity). */
+  def bpeEncode(docs: DataFrame, mergesFrame: DataFrame): DataFrame =
+    bpeEncode(docs, mergesFromFrame(mergesFrame))
+
   /** Tokenize with learned merges: per word, repeatedly apply the
     * LOWEST-rank applicable merge until none applies (the standard BPE
     * encode). The merge table broadcasts (numMerges entries); the

@@ -2972,9 +2972,13 @@ object LlmQueries {
   /** BPE tokenization of the corpus under [[BpeMerges]]: one row per
     * (doc, token position) — reference tokenizer semantics (Sennrich),
     * encoded Spark-side by [[TextAnalysis.bpeEncode]]'s partition-local
-    * pass over a broadcast rank table. */
+    * pass over a broadcast rank table. Routed THROUGH the writable
+    * merge MODEL FRAME (r16: bpeMergesFrame → mergesFromFrame), so the
+    * gate exercises the shippable-model path; frame-vs-Seq byte parity
+    * is additionally spec-pinned with a parquet round-trip. */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bpeEncode(Tables(spark, dir).documents, BpeMerges)
+    TextAnalysis.bpeEncode(Tables(spark, dir).documents,
+      TextAnalysis.bpeMergesFrame(spark, BpeMerges))
 
   /** The DuckDB replay: each unique word's symbol sequence is a
     * `|sym|`-wrapped string (per-symbol delimiters, NOT a shared

@@ -335,6 +335,23 @@ object Streams {
     }
   }
 
+  /** Streaming twin of BPE encoding (operators/TextAnalysis.bpeEncode)
+    * from a WRITABLE merge model frame: the tokenizer model is STATIC
+    * (trained offline, shipped as parquet — the train/apply doctrine),
+    * resolved to its rank table ONCE at stream setup (a model-sized
+    * collect), then every document micro-batch encodes with the
+    * identical batch operator. Parity pinned in StreamingSpec. */
+  def bpeEncodeStream(docs: DataFrame, mergesFrame: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "bpeEncodeStream is streaming-only: use TextAnalysis.bpeEncode for batch frames")
+    require(!mergesFrame.isStreaming, "the merge model frame must be static")
+    val merges = graft.operators.TextAnalysis.mergesFromFrame(mergesFrame)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.bpeEncode(batch, merges), batchId)
+    }
+  }
+
   /** Streaming twin of the robots crawl verdict (operators/
     * Robots.crawlVerdict): the rules frame is a STATIC parsed model
     * (Robots.parseRules over the crawl snapshot's robots files —

@@ -357,6 +357,39 @@ class QualitySpec extends SparkSpec {
     assert(m2.length < 50 && m2.nonEmpty)
   }
 
+  test("BPE merge model frame: parquet round-trip, frame path == Seq path, stream twin") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.queries.LlmQueries
+    val docs = Seq((1L, "the data agg window lowest"), (2L, "stream order value"))
+      .toDF("doc_id", "text")
+    val frame = TextAnalysis.bpeMergesFrame(spark, LlmQueries.BpeMerges)
+    // the model frame preserves rank order and round-trips the table
+    assert(TextAnalysis.mergesFromFrame(frame) === LlmQueries.BpeMerges)
+    // parquet round-trip: the SHIPPED model encodes identically
+    val dirF = java.nio.file.Files.createTempDirectory("bpe-model").toFile
+    val path = new java.io.File(dirF, "merges.parquet").getAbsolutePath
+    try {
+      frame.write.mode("overwrite").parquet(path)
+      val reread = spark.read.parquet(path)
+      val viaSeq = TextAnalysis.bpeEncode(docs, LlmQueries.BpeMerges)
+        .collect().map(_.toString).sorted.toSeq
+      val viaFrame = TextAnalysis.bpeEncode(docs, reread)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaFrame === viaSeq, "frame path must be byte-identical to the Seq path")
+      // a SHUFFLED model frame still resolves by rank, not row order
+      val viaShuffled = TextAnalysis.bpeEncode(docs,
+          reread.orderBy(col("left"), col("right")).repartition(5))
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaShuffled === viaSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dirF)
+    }
+  }
+
   test("bpeTrain equal-symbol runs: greedy left-to-right non-overlap (q_bpe_train's parity rule)") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -467,6 +467,30 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("bpeEncodeStream encodes batches from the static merge model like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextAnalysis.bpeMergesFrame(
+      spark, graft.queries.LlmQueries.BpeMerges)
+    val docs = Seq((1L, "the data agg"), (2L, "window lowest"), (3L, "stream order"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.bpeEncodeStream(
+        input.toDF().toDF("doc_id", "text"), model) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    input.addData(docs.slice(1, 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis.bpeEncode(
+        docs.toDF("doc_id", "text"), graft.queries.LlmQueries.BpeMerges)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("crawlVerdictStream judges frontier batches against the static rules like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
