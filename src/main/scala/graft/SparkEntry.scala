@@ -69,6 +69,8 @@ object SparkEntry {
     "q_skew_census" -> (T.qSkewCensus _),
     // ordered funnel with conversion window (chained min joins, ppm)
     "q_funnel" -> (T.qFunnel _),
+    // weekly cohort retention matrix (the funnel sibling)
+    "q_retention" -> (T.qRetention _),
     "q_corpus_stats" -> (L.qCorpusStats _),
     "q_asof_join" -> (L.qAsofJoin _),
     "q_range_join" -> (T.qRangeJoin _),
@@ -337,6 +339,7 @@ object SparkEntry {
     "q_salted_agg" -> T.qSaltedAggSql,
     "q_skew_census" -> T.qSkewCensusSql,
     "q_funnel" -> T.qFunnelSql,
+    "q_retention" -> T.qRetentionSql,
     "q_corpus_stats" -> L.qCorpusStatsSql,
     "q_asof_join" -> L.qAsofJoinSql,
     "q_range_join" -> T.qRangeJoinSql,

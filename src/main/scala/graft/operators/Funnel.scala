@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -68,5 +69,47 @@ object Funnel {
       (i + 1L, step, ns(i),
         if (n1 == 0) None else Some(ns(i) * 1000000L / n1))
     }.toDF("step_idx", "step", "n_users", "conv_ppm")
+  }
+
+  /** Cohort retention matrix — the second classic sequential-analytics
+    * operator next to [[funnel]]: users cohort by the CALENDAR period
+    * of their first event (cohort_wk = first epoch-period index), and
+    * each later period counts how many of them came back
+    * (period = event's epoch period − cohort period; period 0 is the
+    * cohort itself, retention_ppm 1000000 by construction).
+    *
+    * Shape: ONE event scan → distinct (user, period) pairs → the
+    * per-user first period as a WINDOW min over the user partition
+    * (the r15 span-census lesson: an aggregate + join-back over the
+    * same frame can never reuse its exchange; the window form shuffles
+    * once) → one (cohort, period) count. Cohort sizes re-enter as a
+    * broadcast (cohort-cardinality) join for the ppm denominator.
+    * Nothing is ever user×period dense — only observed pairs flow.
+    *
+    * Determinism: epoch seconds (the ns-vs-µs rule — load via
+    * Tables.events), integer DIV ppm, pure-integer period indexes.
+    * `maxPeriods` bounds the matrix width; later returns drop. */
+  def retention(events: DataFrame, periodS: Long = 604800L,
+                maxPeriods: Int = 26, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    require(periodS > 0, "periodS must be positive")
+    require(maxPeriods >= 0, "maxPeriods must be non-negative")
+    val uw = events.select(col(userCol).as("u"),
+        expr(s"unix_timestamp($tsCol) div ${periodS}L").as("wk"))
+      .distinct()
+    val cell = uw
+      .withColumn("cohort_wk", min(col("wk")).over(Window.partitionBy(col("u"))))
+      .withColumn("period", col("wk") - col("cohort_wk"))
+      .where(col("period") <= maxPeriods)
+      .groupBy(col("cohort_wk"), col("period"))
+      .agg(count(lit(1)).as("n_users"))
+    // every cohort has its period-0 cell by construction (the first
+    // period IS the min), so the denominator join never drops rows
+    val base = cell.where(col("period") === 0)
+      .select(col("cohort_wk"), col("n_users").as("__base"))
+    cell.join(broadcast(base), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("period"), col("n_users"),
+        expr("CAST((n_users * 1000000) DIV __base AS BIGINT)")
+          .as("retention_ppm"))
   }
 }

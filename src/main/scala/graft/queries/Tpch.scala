@@ -388,6 +388,33 @@ object Tpch {
        |SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
        |  CAST(CASE WHEN n1 = 0 THEN NULL ELSE (n3 * 1000000) // n1 END AS BIGINT) FROM n""".stripMargin
 
+  private val RetentionPeriodS = 604800L // calendar weeks
+  private val RetentionMaxPeriods = 26
+
+  /** Weekly cohort retention matrix over the event stream
+    * (Funnel.retention): users cohort by the calendar week of their
+    * first event; each cell counts distinct returners with integer
+    * DIV ppm retention. One event scan, distinct (user, week) pairs,
+    * the per-user first week as a window min (no aggregate+join-back),
+    * one (cohort, period) count. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(Tables(spark, dir).events,
+      RetentionPeriodS, RetentionMaxPeriods)
+
+  val qRetentionSql: String =
+    s"""WITH e AS (SELECT user_id AS u,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $RetentionPeriodS AS wk
+       |  FROM events),
+       |uw AS (SELECT DISTINCT u, wk FROM e),
+       |f AS (SELECT u, wk, min(wk) OVER (PARTITION BY u) AS cohort_wk FROM uw),
+       |c AS (SELECT cohort_wk, wk - cohort_wk AS period, count(*) AS n_users
+       |  FROM f WHERE wk - cohort_wk <= $RetentionMaxPeriods
+       |  GROUP BY 1, 2),
+       |b AS (SELECT cohort_wk, n_users AS base FROM c WHERE period = 0)
+       |SELECT c.cohort_wk, c.period, CAST(c.n_users AS BIGINT) AS n_users,
+       |  CAST((c.n_users * 1000000) // b.base AS BIGINT) AS retention_ppm
+       |FROM c JOIN b USING (cohort_wk)""".stripMargin
+
   /** Shuffle-skew pre-flight census over the event user key
     * (Skew.skewCensus): the report that decides whether a planned
     * join/agg key needs salting — top-20 keys with integer-DIV ppm

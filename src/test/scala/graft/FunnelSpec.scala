@@ -51,6 +51,30 @@ class FunnelSpec extends SparkSpec {
     assert(out(2L)._3 === 0L)
   }
 
+  test("retention: hand-computed cohort matrix, period cap, ppm floors") {
+    val W = 100L // seconds per period, for a closed-form fixture
+    // cohort 0 (first event in period 0): users 1,2,3
+    //   period 1 returners: 1,2 ; period 2: 1 ; period 4 (> cap 3): 1
+    // cohort 2: user 4 alone, returns period 1
+    val rows = Seq(
+      ev(1, "view", 10), ev(1, "click", 110), ev(1, "view", 250), ev(1, "view", 430),
+      ev(2, "view", 50), ev(2, "view", 150), ev(2, "view", 199),
+      ev(3, "view", 99),
+      ev(4, "view", 210), ev(4, "click", 350))
+    val out = graft.operators.Funnel.retention(
+        rows.toDF("user_id", "event_type", "ts"), W, maxPeriods = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      (0L, 0L) -> ((3L, 1000000L)),
+      (0L, 1L) -> ((2L, 666666L)), // floor(2e6/3): integer DIV, no rounding
+      (0L, 2L) -> ((1L, 333333L)),
+      (2L, 0L) -> ((1L, 1000000L)),
+      (2L, 1L) -> ((1L, 1000000L))),
+      "user 1's period-4 return must fall past the cap")
+  }
+
   test("one corpus scan feeds every stage (step-union cache)") {
     val acc = spark.sparkContext.longAccumulator("funnel-input-rows")
     val rows = Seq(
