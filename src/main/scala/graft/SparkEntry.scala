@@ -38,6 +38,8 @@ object SparkEntry {
     "q_community_profiles" -> (C.qCommunityProfiles _),
     // the WHOLE runAcs pipeline (dispatch + translator + export tail)
     "q_run_acs" -> (C.qRunAcs _),
+    // the download chain end-to-end from canned API responses
+    "q_download_acs" -> (C.qDownloadAcs _),
     // the decennial twin: NULL-moe source, 2010 geography, no medians/specials
     "q_run_dec" -> (C.qRunDec _),
     // the geolookup BUILDER (PostGIS build.sql as a point-in-polygon probe)
@@ -322,6 +324,7 @@ object SparkEntry {
     "q_poverty_pz" -> C.qPovertyPzSql,
     "q_community_profiles" -> C.qCommunityProfilesSql,
     "q_run_acs" -> C.qRunAcsSql,
+    "q_download_acs" -> C.qDownloadAcsSql,
     "q_run_dec" -> C.qRunDecSql,
     "q_geo_lookup_build" -> G.qGeoLookupBuildSql,
     "q1_pricing_summary" -> T.q1Sql,

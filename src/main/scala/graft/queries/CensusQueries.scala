@@ -979,4 +979,97 @@ object CensusQueries {
        |FROM f JOIN lk ON f.census_geoid = lk.bg
        |GROUP BY 1, 2""".stripMargin
   }
+
+  // ---- the download chain, end to end (download.py:14-121 gated) ----
+
+  /** The download fixture variable: 50 detailed-table vars (3 chunks of
+    * the 100 E/M api columns at the 48 cap) + 2 profile vars (a second
+    * dataset), so chunking, chunk merge, dataset merge and the
+    * 5-county fan-out all sit inside the gate. */
+  private val DlVars: Seq[String] =
+    (1 to 50).map(i => f"B01001_$i%03d") ++ Seq("DP05_0001", "DP05_0002")
+
+  /** idx key shared by the canned fetch and the oracle: numeric part
+    * after '_', +1000 for the profile dataset. */
+  private def dlKey(cv: String): Int =
+    cv.substring(cv.indexOf('_') + 1).toInt + (if (cv.startsWith("D")) 1000 else 0)
+
+  /** Canned api.census.gov responses — a pure function of the request
+    * URL (the q_url_canon doctrine applied to a SOURCE): every cell is
+    * a closed-form integer in (variable key, county, tract), so the
+    * oracle replays the expected rows without fetching or parsing
+    * anything, and any URL-construction, chunk-merge, NAME-merge or
+    * melt bug bends a row. Sentinel and zero cells (t%13 / t%11 on
+    * keys 1 and 2) put outlierClean's scrub rules inside the gate. */
+  private def cannedFetch(tractsPerCounty: Int)(url: String): String = {
+    val q = url.substring(url.indexOf('?') + 1)
+    val params = q.split("&").map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+    }.toMap
+    require(params("for") == "tract:*", s"fixture serves tract queries only: $url")
+    val county = params("in").split(" ")
+      .collectFirst { case s if s.startsWith("county:") => s.substring(7) }
+      .getOrElse(sys.error(s"no county in $url"))
+    val c = county.toInt
+    val vars = params("get").split(",").toSeq // NAME first, per buildUrl
+    def cellOf(v: String, t: Int): String = {
+      if (v == "NAME") return "\"T" + t + " C" + county + "\""
+      val isM = v.endsWith("M")
+      val k = dlKey(v.substring(0, v.length - 1))
+      val base = k.toLong * 100000L + c * 1000L + t
+      val e =
+        if (k % 1000 == 1 && t % 13 == 0) -666666666L
+        else if (k % 1000 == 2 && t % 11 == 0) 0L
+        else base
+      "\"" + (if (isM) base + 7L else e) + "\""
+    }
+    val header = (vars ++ Seq("state", "county", "tract"))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rows = (1 to tractsPerCounty).map { t =>
+      (vars.map(cellOf(_, t)) ++
+        Seq("\"36\"", "\"" + county + "\"", "\"%06d\"".format(t)))
+        .mkString("[", ",", "]")
+    }
+    (header +: rows).mkString("[", ",", "]")
+  }
+
+  /** download→melt end to end from canned responses: CensusApi.fetchWide
+    * (URL build, 48-var chunking, chunk/dataset NAME merges, 5-county
+    * fan-out) → Ingest.meltWide (census_geoid assembly, E/M melt,
+    * outlierClean scrub) — the last reference surface that was outside
+    * the gate (download.py:14-121). Tract count scales with the corpus
+    * (documents/25 per county) so rows grow with SF. */
+  def qDownloadAcs(spark: SparkSession, dir: String): DataFrame = {
+    val tracts = (Tables(spark, dir).documents.count() / 25L).toInt
+    val v = graft.meta.Variable("dl_mix", DlVars, None)
+    graft.sources.Ingest.meltWide(
+      graft.sources.CensusApi.fetchWide(
+        spark, cannedFetch(tracts), v, 2019, "tract"),
+      v, "tract")
+  }
+
+  val qDownloadAcsSql: String = {
+    val varValues = DlVars
+      .map(cv => s"('$cv', ${dlKey(cv)})").mkString(", ")
+    s"""WITH n AS (SELECT CAST(count(*) // 25 AS INT) AS tpc FROM documents),
+       |c AS (SELECT unnest(['005', '081', '085', '047', '061']) AS county),
+       |t AS (SELECT unnest(generate_series(1, (SELECT tpc FROM n))) AS t),
+       |v AS (SELECT * FROM (VALUES $varValues) AS v(cv, k)),
+       |g AS (SELECT c.county, t.t, v.cv, v.k,
+       |    v.k * 100000 + CAST(c.county AS INT) * 1000 + t.t AS base
+       |  FROM c, t, v),
+       |e0 AS (SELECT county, t, cv,
+       |    CASE WHEN k % 1000 = 1 AND t % 13 = 0 THEN -666666666
+       |         WHEN k % 1000 = 2 AND t % 11 = 0 THEN 0
+       |         ELSE base END AS e_raw,
+       |    base + 7 AS m_raw
+       |  FROM g)
+       |SELECT '36' || county || lpad(CAST(t AS VARCHAR), 6, '0') AS census_geoid,
+       |  'tract' AS geotype, cv AS census_variable,
+       |  CAST(CASE WHEN e_raw = -666666666 THEN NULL ELSE e_raw END AS DOUBLE) AS e,
+       |  CAST(CASE WHEN e_raw = -666666666 THEN NULL
+       |       WHEN e_raw = 0 THEN 0 ELSE m_raw END AS DOUBLE) AS m
+       |FROM e0""".stripMargin
+  }
 }

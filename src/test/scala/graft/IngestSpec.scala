@@ -116,6 +116,37 @@ class IngestSpec extends SparkSpec {
     assert(CensusApi.chunked((1 to 100).map(i => s"V$i")).map(_.length) === Seq(48, 48, 4))
   }
 
+  test("fetchWide request economics: chunks x datasets x counties, no double fetch") {
+    import graft.sources.CensusApi
+    import graft.meta.Variable
+    // 50 detailed vars (100 E/M api cols -> 3 chunks at the 48 cap) +
+    // 2 profile vars (1 request) over 5 tract geoqueries = 20 GETs
+    val v = Variable("mix",
+      (1 to 50).map(i => f"B01001_$i%03d") ++ Seq("DP05_0001", "DP05_0002"), None)
+    val urls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fetch(url: String): String = {
+      urls += url
+      val q = url.substring(url.indexOf('?') + 1)
+      val get = q.split("&").collectFirst {
+        case kv if kv.startsWith("get=") =>
+          java.net.URLDecoder.decode(kv.substring(4), "UTF-8")
+      }.get.split(",")
+      val header = (get.toSeq ++ Seq("state", "county", "tract"))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val row = (get.toSeq.map(c => "\"" + (if (c == "NAME") "n1" else "1") + "\"") ++
+        Seq("\"36\"", "\"005\"", "\"000100\"")).mkString("[", ",", "]")
+      s"[$header,$row]"
+    }
+    val wide = CensusApi.fetchWide(spark, fetch, v, 2019, "tract")
+    assert(urls.size === 20, s"expected 20 requests, got ${urls.size}")
+    assert(urls.forall(_.contains("get=NAME,")), "every request leads with NAME")
+    assert(urls.count(_.contains("/acs/acs5/profile?")) === 5)
+    // every api column lands exactly once in the merged frame
+    val cols = wide.columns.toSet
+    assert((v.eVariables ++ v.mVariables).forall(cols.contains))
+    assert(wide.columns.count(_ == "NAME") === 1, "NAME merged, not duplicated")
+  }
+
   test("CensusApi.parseResponse: header row, nulls, string cells") {
     import graft.sources.CensusApi
     val df = CensusApi.parseResponse(spark,
