@@ -1011,13 +1011,23 @@ object Dedup {
     * scale both sides shuffle once on id (or co-bucket and skip it).
     * The summary is a map-side-partial count over the verdict. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
-                   id: String = "doc_id", text: String = "text"): DataFrame = {
+                   id: String = "doc_id", text: String = "text"): DataFrame =
+    snapshotDiffFromHashes(
+      oldDocs.select(col(id), md5(col(text)).as("__h")),
+      newDocs.select(col(id), md5(col(text)).as("__h")), id)
+
+  /** [[snapshotDiff]] over pre-computed (id, __h) hash frames — the
+    * shared core that lets [[snapshotDiffWithMoves]] hash each side's
+    * text ONCE for both the diff and the move matching. */
+  private def snapshotDiffFromHashes(oldHashes: DataFrame,
+                                     newHashes: DataFrame,
+                                     id: String): DataFrame = {
     // explicit presence flags: a doc PRESENT with NULL text must not
     // read as absent (its md5 is NULL too), and two NULL-text
     // snapshots compare unchanged via the null-safe <=>
-    val o = oldDocs.select(col(id), md5(col(text)).as("__ho"),
+    val o = oldHashes.select(col(id), col("__h").as("__ho"),
       lit(true).as("__po"))
-    val n = newDocs.select(col(id), md5(col(text)).as("__hn"),
+    val n = newHashes.select(col(id), col("__h").as("__hn"),
       lit(true).as("__pn"))
     o.join(n, Seq(id), "full_outer")
       .select(col(id),
@@ -1037,25 +1047,30 @@ object Dedup {
     * added/removed) — never the K×L cross join a bare hash join would
     * emit over duplicated content. NULL-text docs never match moves
     * (md5 NULL drops from the inner join) and keep their plain diff
-    * class. Two narrow hash frames + rank windows over near-unique md5
-    * partitions; everything else rides [[snapshotDiff]]. */
+    * class. Two narrow PERSISTED (id, md5) hash frames feed the
+    * full-outer diff AND both anti-join move sides, so each side's
+    * text column is read and hashed exactly ONCE (r15 finding; the
+    * caches are 2-column projections, released via [[releaseCaches]]);
+    * rank windows run over near-unique md5 partitions. */
   def snapshotDiffWithMoves(oldDocs: DataFrame, newDocs: DataFrame,
                             id: String = "doc_id",
                             text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = snapshotDiff(oldDocs, newDocs, id, text)
+    val oh = oldDocs.select(col(id), md5(col(text)).as("__h")).trackedPersist
+    val nh = newDocs.select(col(id), md5(col(text)).as("__h")).trackedPersist
+    val base = snapshotDiffFromHashes(oh, nh, id)
     val w = Window.partitionBy(col("__h")).orderBy(col(id).asc)
     // removed/added sides via DIRECT anti-joins on the id sets — never
     // by filtering `base`, which would re-execute the full-outer diff
     // once per side (3x the corpus-sized join at scale)
-    def side(docs: DataFrame, others: DataFrame) =
-      docs.select(col(id), md5(col(text)).as("__h"))
+    def side(hashes: DataFrame, others: DataFrame) =
+      hashes
         .join(others.select(col(id)), Seq(id), "left_anti")
         .where(col("__h").isNotNull)
         .withColumn("__rn", row_number().over(w))
-    val moves = side(oldDocs, newDocs)
+    val moves = side(oh, nh)
       .select(col(id).as("__old"), col("__h"), col("__rn"))
-      .join(side(newDocs, oldDocs)
+      .join(side(nh, oh)
         .select(col(id).as("__new"), col("__h"), col("__rn")),
         Seq("__h", "__rn"))
     base

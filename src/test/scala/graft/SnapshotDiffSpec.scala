@@ -77,4 +77,24 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(out(109L) === (("added", -1L)))
     assert(out(108L) === (("added", -1L)))
   }
+
+  test("moves: each side's text is read and hashed exactly once (shared hash caches)") {
+    val accO = spark.sparkContext.longAccumulator("old-rows")
+    val accN = spark.sparkContext.longAccumulator("new-rows")
+    val old = (0L until 100L).map(i => (i, s"t $i")).toDF("doc_id", "text")
+      .filter((r: org.apache.spark.sql.Row) => { accO.add(1); true })
+    val neu = (50L until 150L).map(i => (i, s"t ${i % 120}")).toDF("doc_id", "text")
+      .filter((r: org.apache.spark.sql.Row) => { accN.add(1); true })
+    val n = Dedup.snapshotDiffWithMoves(old, neu).count()
+    assert(n === 150L)
+    // the diff + both anti-join move sides all consume the ONE cached
+    // (id, md5) projection per side — the r15 double-hash finding
+    assert(accO.value === 100L,
+      s"old side visited ${accO.value} rows for 100 — text must hash once")
+    assert(accN.value === 100L,
+      s"new side visited ${accN.value} rows for 100 — text must hash once")
+    // release the tracked hash caches (count not asserted: suites
+    // share one session and another suite's release can race ours)
+    Dedup.releaseCaches(spark)
+  }
 }
