@@ -150,6 +150,8 @@ object SparkEntry {
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
+    // HITS hubs/authorities — the PageRank-orthogonal two-sided prior
+    "q_hits" -> (L.qHits _),
     "q_host_components" -> (L.qHostComponents _),
     "q_domain_prior" -> (L.qDomainPrior _),
     "q_url_canon" -> (L.qUrlCanon _),
@@ -403,6 +405,7 @@ object SparkEntry {
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_domain_rank" -> L.qDomainRankSql,
+    "q_hits" -> L.qHitsSql,
     "q_host_components" -> L.qHostComponentsSql,
     "q_domain_prior" -> L.qDomainPriorSql,
     "q_url_canon" -> L.qUrlCanonSql,

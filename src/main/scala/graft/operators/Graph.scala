@@ -96,6 +96,68 @@ object Graph {
     ranks.select(col("host"), col("out_deg"), col("r").as("rank_fp"))
   }
 
+  /** HITS hub scale: hub/authority vectors are longs L1-summing to
+    * ~HitsScale (floor losses only). The L1 grid is the overflow
+    * armor: after each normalization Σx = Scale, so ANY node's raw
+    * next-round sum is a subset sum ≤ Scale (10⁹) and the
+    * normalization product ≤ 10¹⁸ < 2⁶³ — web-scale safe with no
+    * degree bound, unlike a per-value scale. */
+  val HitsScale: Long = 1000000000L
+
+  /** Fixed-point HITS (Kleinberg 1999, the public hubs-and-authorities
+    * algorithm) over a (src, dst) edge frame: `iters` rounds of
+    * a'(v) = Σ_{u→v} h(u) and h'(u) = Σ_{u→v} a'(v), each vector
+    * re-normalized onto the [[HitsScale]] L1 grid
+    * (x · Scale div Σx — the classic presentation normalizes by L2,
+    * but any positive scalar normalization has the same ranking fixed
+    * point, and L1 keeps every step on the integer grid). All
+    * arithmetic integer `div`, so the k-round trajectory replays
+    * bit-identically as chained CTEs (the [[pageRank]] precedent).
+    * Returns (host, hub_fp, auth_fp): crawl frontiers use hub scores
+    * to find index pages worth re-crawling and authority scores as a
+    * quality prior orthogonal to PageRank's.
+    *
+    * Scale shape: two shuffles per round (contribution sums grouped by
+    * dst then src); the L1 sums enter as broadcast 1-row aggregates,
+    * never driver jobs; h/a frames localCheckpoint per round (each is
+    * consumed twice — the 2^iters lineage lesson). */
+  def hits(edges: DataFrame, iters: Int,
+           edgesDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"hits iters out of range: $iters")
+    val eRaw = edges.select(col("src"), col("dst"))
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+      .localCheckpoint(true)
+    val nn = broadcast(nodes.agg(count(lit(1)).cast("long").as("__n")))
+    // the zero-guard rule: every staged div carries its s=0 branch
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val s = broadcast(raw.agg(
+        coalesce(sum(col("__raw")), lit(0L)).as("__s")))
+      nodes.join(raw, Seq("host"), "left").crossJoin(s)
+        .select(col("host"),
+          when(col("__s") === 0L, lit(0L))
+            .otherwise(expr(s"(coalesce(__raw, 0L) * ${HitsScale}L) div __s"))
+            .as(out))
+        .localCheckpoint(true)
+    }
+    var h = nodes.crossJoin(nn)
+      .select(col("host"), expr(s"${HitsScale}L div __n").as("h"))
+      .localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 0 until iters) {
+      a = normalized(
+        e.join(h.select(col("host").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("host")).agg(sum(col("h")).as("__raw")), "a")
+      h = normalized(
+        e.join(a.select(col("host").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("host")).agg(sum(col("a")).as("__raw")), "h")
+    }
+    h.join(a, Seq("host"))
+      .select(col("host"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+  }
+
   /** The APPLY half of the train/apply split: score documents by
     * their host's trained rank — (doc_id, host) ⋈ the rank frame.
     * The rank frame is the writable trained model ([[pageRank]]'s

@@ -3509,6 +3509,25 @@ object LlmQueries {
       Portable.roundp(col("rank_fp").cast("double") / lit(1e12), 9).as("rank"))
   }
 
+  /** The closed-form host-graph CTE prefix (docs → edge list → distinct
+    * edges → nodes → node count) shared by the PageRank and HITS
+    * chains — one edge-fixture definition, every graph oracle reads
+    * it. Declared ABOVE its consumers (the object-init order rule). */
+  private val domainEdgesSql: String =
+    """d AS (SELECT doc_id, source, CAST(doc_id % 7 AS VARCHAR) AS k,
+      |    CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 END AS tr,
+      |    CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS cdn
+      |  FROM documents),
+      |el AS (
+      |  SELECT source || '.example.org' AS src, 'site' || k || '.example.com' AS dst FROM d
+      |  UNION ALL
+      |  SELECT source || '.example.org', 'ads-tracker.net' FROM d WHERE tr = 1
+      |  UNION ALL
+      |  SELECT source || '.example.org', 'cdn.site' || k || '.example.com' FROM d WHERE cdn = 1),
+      |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM el),
+      |nodes AS MATERIALIZED (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""".stripMargin
+
   /** The shared CTE chain (closed-form edges + the full PrIters
     * trajectory) — qDomainRankSql reads the rank table off it,
     * qDomainPriorSql extends it with the per-doc join (the
@@ -3524,22 +3543,10 @@ object LlmQueries {
          |    CAST($base + ($PrDamp * (COALESCE(c.contrib, 0) + (g.dang // nn.n))) // 1000000 AS BIGINT) AS r
          |  FROM od o LEFT JOIN c$i c ON o.host = c.host, g$i g, nn)""".stripMargin
     }.mkString(",\n")
-    s"""d AS (SELECT doc_id, source, CAST(doc_id % 7 AS VARCHAR) AS k,
-       |    CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 END AS tr,
-       |    CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS cdn
-       |  FROM documents),
-       |el AS (
-       |  SELECT source || '.example.org' AS src, 'site' || k || '.example.com' AS dst FROM d
-       |  UNION ALL
-       |  SELECT source || '.example.org', 'ads-tracker.net' FROM d WHERE tr = 1
-       |  UNION ALL
-       |  SELECT source || '.example.org', 'cdn.site' || k || '.example.com' FROM d WHERE cdn = 1),
-       |edges AS (SELECT DISTINCT src, dst FROM el),
-       |nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+    s"""$domainEdgesSql,
        |od AS (SELECT n.host, CAST(COALESCE(c.c, 0) AS BIGINT) AS out_deg FROM nodes n
        |  LEFT JOIN (SELECT src, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY 1) c
        |    ON n.host = c.src),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |r0 AS (SELECT host, out_deg, CAST($S // nn.n AS BIGINT) AS r FROM od, nn),
        |$rounds""".stripMargin
   }
@@ -3573,6 +3580,53 @@ object LlmQueries {
        |  floor((CAST(r.r AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9 AS prior
        |FROM documents dd
        |LEFT JOIN r$PrIters r ON dd.source || '.example.org' = r.host""".stripMargin
+
+  // ---- HITS hubs & authorities (the PageRank-orthogonal prior) ----
+
+  private val HitsIters = 5
+
+  /** Fixed-point HITS over the same closed-form host graph as
+    * q_domain_rank (Graph.hits): origins earn HUB mass (they only
+    * link out), content/CDN/tracker hosts earn AUTHORITY mass (they
+    * only receive) — the two-sided ranking PageRank's single score
+    * conflates. Every round is integer L1-grid renormalization, so
+    * the oracle replays the 5-round trajectory as chained CTEs off
+    * the shared edge fixture. */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = domainLinkedDocs(Tables(spark, dir).documents)
+    graft.operators.Graph.hits(graft.operators.Graph.linkEdges(docs),
+        HitsIters, edgesDistinct = true)
+      .select(col("host"), col("hub_fp"), col("auth_fp"),
+        Portable.roundp(col("hub_fp").cast("double") / lit(1e9), 9).as("hub"),
+        Portable.roundp(col("auth_fp").cast("double") / lit(1e9), 9).as("auth"))
+  }
+
+  val qHitsSql: String = {
+    val S = graft.operators.Graph.HitsScale
+    val rounds = (0 until HitsIters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS host, CAST(sum(h.h) AS BIGINT) AS raw
+         |  FROM edges e JOIN h$i h ON e.src = h.host GROUP BY 1),
+         |sa$i AS (SELECT CAST(COALESCE(sum(raw), 0) AS BIGINT) AS s FROM ar$i),
+         |a${i + 1} AS (SELECT n.host,
+         |    CAST(CASE WHEN s.s = 0 THEN 0
+         |         ELSE (COALESCE(ar.raw, 0) * $S) // s.s END AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$i ar ON n.host = ar.host, sa$i s),
+         |hr$i AS (SELECT e.src AS host, CAST(sum(a.a) AS BIGINT) AS raw
+         |  FROM edges e JOIN a${i + 1} a ON e.dst = a.host GROUP BY 1),
+         |sh$i AS (SELECT CAST(COALESCE(sum(raw), 0) AS BIGINT) AS s FROM hr$i),
+         |h${i + 1} AS (SELECT n.host,
+         |    CAST(CASE WHEN s.s = 0 THEN 0
+         |         ELSE (COALESCE(hr.raw, 0) * $S) // s.s END AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$i hr ON n.host = hr.host, sh$i s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $domainEdgesSql,
+       |h0 AS (SELECT host, CAST($S // nn.n AS BIGINT) AS h FROM nodes, nn),
+       |$rounds
+       |SELECT h.host, h.h AS hub_fp, a.a AS auth_fp,
+       |  floor((CAST(h.h AS DOUBLE) / 1e9) * 1e9 + 0.5) / 1e9 AS hub,
+       |  floor((CAST(a.a AS DOUBLE) / 1e9) * 1e9 + 0.5) / 1e9 AS auth
+       |FROM h$HitsIters h JOIN a$HitsIters a ON h.host = a.host""".stripMargin
+  }
 
   // ---- host-graph connected components (link-farm detection) ----
 

@@ -91,6 +91,32 @@ class GraphSpec extends SparkSpec {
       s"fast path did not shed the distinct exchange: fast=$sFast slow=$sSlow")
   }
 
+  test("hits: hubs link out, authorities collect in; L1 mass conserved; layout-invariant") {
+    // h1 links three authorities, h2 links one; a1 is doubly cited
+    val edges = Seq(
+      ("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+      ("h2", "a1")).toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 5)
+    // pure hubs carry zero authority; pure authorities carry zero hub
+    assert(out("h1")._2 === 0L && out("h2")._2 === 0L)
+    assert(out("a1")._1 === 0L && out("a2")._1 === 0L && out("a3")._1 === 0L)
+    // h1 out-links more mass than h2; a1 is cited by both hubs
+    assert(out("h1")._1 > out("h2")._1)
+    assert(out("a1")._2 > out("a2")._2)
+    assert(out("a2")._2 === out("a3")._2, "symmetric authorities tie exactly")
+    // L1 grid: each vector sums to HitsScale up to floor losses
+    val hubSum = out.values.map(_._1).sum
+    val authSum = out.values.map(_._2).sum
+    assert(hubSum > Graph.HitsScale - 10 && hubSum <= Graph.HitsScale)
+    assert(authSum > Graph.HitsScale - 10 && authSum <= Graph.HitsScale)
+    // deterministic across partition layouts (fixed-point integers)
+    val b = Graph.hits(edges.repartition(7), 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(b === out)
+  }
+
   test("linkEdges extracts normalized distinct host edges") {
     val docs = Seq(
       ("h1.org", "see https://WWW.Target.com/a and http://other.net/b"),
