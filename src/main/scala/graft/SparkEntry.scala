@@ -148,6 +148,8 @@ object SparkEntry {
     "q_robots_rules" -> (L.qRobotsRules _),
     "q_robots_verdict" -> (L.qRobotsVerdict _),
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
+    // sitemap XML parsing via the built-in from_xml (politeness leg 3)
+    "q_sitemap_parse" -> (L.qSitemapParse _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
     // HITS hubs/authorities — the PageRank-orthogonal two-sided prior
@@ -404,6 +406,7 @@ object SparkEntry {
     "q_robots_rules" -> L.qRobotsRulesSql,
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
+    "q_sitemap_parse" -> L.qSitemapParseSql,
     "q_domain_rank" -> L.qDomainRankSql,
     "q_hits" -> L.qHitsSql,
     "q_host_components" -> L.qHostComponentsSql,

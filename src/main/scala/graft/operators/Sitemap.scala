@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Sitemap parsing (sitemaps.org protocol, the public XML format) —
+  * the third leg of crawl politeness next to [[Robots]]: robots.txt's
+  * `Sitemap:` rows point at these files, and a crawl frontier seeds
+  * itself from the `<urlset>` entries (plain sitemaps) and recurses
+  * into `<sitemapindex>` children (sitemap-of-sitemaps, the layout
+  * large sites ship).
+  *
+  * Spark-first altitude: the XML itself parses with the BUILT-IN
+  * `from_xml` expression (Spark 4's native XML support — no custom
+  * byte-walker where a codegen'd built-in exists; contrast the WARC/
+  * tar/JPEG kernels, which have no Catalyst equivalent). This
+  * operator contributes the sitemap-shaped part only: root-tag
+  * dispatch (urlset vs sitemapindex vs neither), the per-entry
+  * explode, and the long normalized output.
+  *
+  * Output: (host, kind, pos, loc, lastmod, changefreq, priority) —
+  * kind `urlset` (one row per `<url>`), `index` (one row per child
+  * `<sitemap>`, changefreq/priority NULL), `corrupt` (no recognized
+  * root; pos -1, payload columns NULL). Malformed-but-rooted XML
+  * yields a kind-correct row with NULL loc (posexplode_outer keeps
+  * the host visible). Pure per-row projection + explode — zero
+  * shuffle; the streaming twin is a stateless replay. */
+object Sitemap {
+
+  private val urlEntry = StructType(Seq(
+    StructField("loc", StringType),
+    StructField("lastmod", StringType),
+    StructField("changefreq", StringType),
+    StructField("priority", StringType)))
+
+  private val urlsetSchema = StructType(Seq(
+    StructField("url", ArrayType(urlEntry))))
+
+  private val indexEntry = StructType(Seq(
+    StructField("loc", StringType),
+    StructField("lastmod", StringType)))
+
+  private val indexSchema = StructType(Seq(
+    StructField("sitemap", ArrayType(indexEntry))))
+
+  def parseSitemaps(docs: DataFrame, hostCol: String = "host",
+                    xmlCol: String = "xml"): DataFrame = {
+    val host = col(hostCol)
+    val root = regexp_extract(col(xmlCol), "<\\s*(urlset|sitemapindex)[\\s>]", 1)
+    val us = docs.where(root === "urlset")
+      .select(host.as("host"),
+        posexplode_outer(from_xml(col(xmlCol), urlsetSchema).getField("url"))
+          .as(Seq("pos", "u")))
+      .select(col("host"), lit("urlset").as("kind"),
+        coalesce(col("pos").cast("long"), lit(-1L)).as("pos"),
+        col("u.loc").as("loc"), col("u.lastmod").as("lastmod"),
+        col("u.changefreq").as("changefreq"), col("u.priority").as("priority"))
+    val ix = docs.where(root === "sitemapindex")
+      .select(host.as("host"),
+        posexplode_outer(from_xml(col(xmlCol), indexSchema).getField("sitemap"))
+          .as(Seq("pos", "s")))
+      .select(col("host"), lit("index").as("kind"),
+        coalesce(col("pos").cast("long"), lit(-1L)).as("pos"),
+        col("s.loc").as("loc"), col("s.lastmod").as("lastmod"),
+        lit(null).cast("string").as("changefreq"),
+        lit(null).cast("string").as("priority"))
+    val bad = docs.where(root === "")
+      .select(host.as("host"), lit("corrupt").as("kind"), lit(-1L).as("pos"),
+        lit(null).cast("string").as("loc"),
+        lit(null).cast("string").as("lastmod"),
+        lit(null).cast("string").as("changefreq"),
+        lit(null).cast("string").as("priority"))
+    us.unionByName(ix).unionByName(bad)
+  }
+}

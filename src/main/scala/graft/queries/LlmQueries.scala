@@ -2112,6 +2112,68 @@ object LlmQueries {
        |  delay_ms * slot_idx AS fetch_at_ms
        |FROM r""".stripMargin
 
+  // ---- sitemap parsing (the third crawl-politeness leg) ----
+
+  /** Sitemap fixture + gate (operators/Sitemap over Spark's built-in
+    * from_xml): one synthesized sitemap per host — v=0 a `<urlset>`
+    * with 1-3 `<url>` entries (count, lastmod day, priority digit all
+    * closed-form in doc_id; changefreq only on the first entry, and
+    * the xml declaration + protocol xmlns present, as real files
+    * ship), v=1 a `<sitemapindex>` with two children (the second
+    * missing lastmod — the optional-element path), v=2 HTML served
+    * where a sitemap should be (the corrupt row every crawler meets).
+    * The oracle emits the expected rows closed-form and never parses
+    * a byte of XML — any dispatch, explode, field-mapping or
+    * missing-element bug bends a row. */
+  def qSitemapParse(spark: SparkSession, dir: String): DataFrame = {
+    val base = robotsBase(spark, dir) // (i, host, v %5, k %7) — reuse
+    val i = col("i"); val host = col("host")
+    val v = (i % 3).cast("int")
+    val n = (lit(1) + (i % 7) % 3).cast("int")
+    def urlSeg(j: Int) = when(lit(j) < n, concat(
+      lit(s"<url><loc>https://"), host, lit(s"/p/$j</loc><lastmod>2026-02-"),
+      (lit(10) + (i + lit(j)) % 18).cast("string"),
+      lit("</lastmod>"),
+      if (j == 0) lit("<changefreq>daily</changefreq>") else lit(""),
+      lit("<priority>0."), ((i + lit(j)) % 10).cast("string"),
+      lit("</priority></url>"))).otherwise(lit(""))
+    val xml = when(v === 0, concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlSeg(0), urlSeg(1), urlSeg(2), lit("</urlset>")))
+      .when(v === 1, concat(
+        lit("<?xml version=\"1.0\"?>" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<sitemap><loc>https://"), host,
+        lit("/sitemap-1.xml</loc><lastmod>2026-01-15</lastmod></sitemap>" +
+          "<sitemap><loc>https://"), host,
+        lit("/sitemap-2.xml</loc></sitemap></sitemapindex>")))
+      .otherwise(lit("<html><body>not a sitemap</body></html>"))
+    graft.operators.Sitemap.parseSitemaps(
+      base.select(host.as("host"), xml.as("xml")))
+  }
+
+  val qSitemapParseSql: String =
+    s"""WITH h AS (SELECT doc_id AS i,
+       |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       |    doc_id % 3 AS v, 1 + (doc_id % 7) % 3 AS n
+       |  FROM documents)
+       |SELECT host, 'urlset' AS kind, CAST(t.j AS BIGINT) AS pos,
+       |  'https://' || host || '/p/' || CAST(t.j AS VARCHAR) AS loc,
+       |  '2026-02-' || CAST(10 + (i + t.j) % 18 AS VARCHAR) AS lastmod,
+       |  CASE WHEN t.j = 0 THEN 'daily' END AS changefreq,
+       |  '0.' || CAST((i + t.j) % 10 AS VARCHAR) AS priority
+       |FROM h, unnest(generate_series(0, 2)) t(j)
+       |WHERE v = 0 AND t.j < n
+       |UNION ALL
+       |SELECT host, 'index', CAST(t.s AS BIGINT),
+       |  'https://' || host || '/sitemap-' || CAST(t.s + 1 AS VARCHAR) || '.xml',
+       |  CASE WHEN t.s = 0 THEN '2026-01-15' END, NULL, NULL
+       |FROM h, unnest([0, 1]) t(s) WHERE v = 1
+       |UNION ALL
+       |SELECT host, 'corrupt', -1, NULL, NULL, NULL, NULL
+       |FROM h WHERE v = 2""".stripMargin
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's

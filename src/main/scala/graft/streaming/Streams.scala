@@ -335,6 +335,19 @@ object Streams {
     }
   }
 
+  /** Streaming twin of sitemap parsing (operators/Sitemap
+    * .parseSitemaps): stateless per document — fetched sitemap files
+    * parse as they arrive on the crawl cadence. Parity pinned in
+    * StreamingSpec. */
+  def sitemapParseStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "sitemapParseStream is streaming-only: use Sitemap.parseSitemaps for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Sitemap.parseSitemaps(batch), batchId)
+    }
+  }
+
   /** Streaming twin of BPE encoding (operators/TextAnalysis.bpeEncode)
     * from a WRITABLE merge model frame: the tokenizer model is STATIC
     * (trained offline, shipped as parquet — the train/apply doctrine),

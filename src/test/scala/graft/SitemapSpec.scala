@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Sitemap
+
+/** Sitemap parsing edges the gated fixture doesn't reach: formatted
+  * XML, missing optional fields, truncated-but-rooted files, empty
+  * urlsets. Cross-engine row parity is q_sitemap_parse's oracle. */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(rows: (String, String)*) =
+    Sitemap.parseSitemaps(rows.toDF("host", "xml")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)),
+        Option(r.getString(5)), Option(r.getString(6))))
+
+  test("pretty-printed urlset with namespace + attributes parses; optional fields NULL") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>https://a.com/1</loc>
+        |    <lastmod>2026-03-01</lastmod>
+        |  </url>
+        |  <url><loc>https://a.com/2</loc><priority>0.5</priority></url>
+        |</urlset>""".stripMargin
+    val out = parse(("a.com", xml)).sortBy(_._3)
+    assert(out.length === 2)
+    assert(out(0) === (("a.com", "urlset", 0L, Some("https://a.com/1"),
+      Some("2026-03-01"), None, None)))
+    assert(out(1) === (("a.com", "urlset", 1L, Some("https://a.com/2"),
+      None, None, Some("0.5"))))
+  }
+
+  test("single-entry urlset still lands as a 1-element array row") {
+    val out = parse(("s.com", "<urlset><url><loc>https://s.com/only</loc></url></urlset>"))
+    assert(out.toSeq === Seq(("s.com", "urlset", 0L,
+      Some("https://s.com/only"), None, None, None)))
+  }
+
+  test("sitemapindex rows carry NULL changefreq/priority") {
+    val xml = "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>" +
+      "<lastmod>2026-01-01</lastmod></sitemap></sitemapindex>"
+    val out = parse(("b.com", xml))
+    assert(out.toSeq === Seq(("b.com", "index", 0L,
+      Some("https://b.com/s1.xml"), Some("2026-01-01"), None, None)))
+  }
+
+  test("no recognized root -> corrupt; rooted-but-empty keeps the host visible") {
+    val out = parse(
+      ("c.com", "<html><body>404</body></html>"),
+      ("d.com", "<urlset></urlset>"))
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(out(("c.com", "corrupt", -1L, None)))
+    // posexplode_outer on the absent url array: host stays visible
+    assert(out(("d.com", "urlset", -1L, None)))
+  }
+}

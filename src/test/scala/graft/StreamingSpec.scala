@@ -467,6 +467,29 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("sitemapParseStream parses sitemap batches like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      ("a.com", "<urlset><url><loc>https://a.com/1</loc></url>" +
+        "<url><loc>https://a.com/2</loc><priority>0.3</priority></url></urlset>"),
+      ("b.com", "<sitemapindex><sitemap><loc>https://b.com/s.xml</loc></sitemap></sitemapindex>"),
+      ("c.com", "not xml at all"))
+    val input = MemoryStream[(String, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.sitemapParseStream(input.toDF().toDF("host", "xml")) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Sitemap.parseSitemaps(docs.toDF("host", "xml"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("bpeEncodeStream encodes batches from the static merge model like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
