@@ -145,6 +145,8 @@ object SparkEntry {
     "q_url_filter" -> (L.qUrlFilter _),
     "q_quality_curve" -> (L.qQualityCurve _),
     "q_chat_validate" -> (L.qChatValidate _),
+    // DPO preference-pair hygiene census (length bias, echo, identicals)
+    "q_pref_pairs" -> (L.qPrefPairs _),
     "q_robots_rules" -> (L.qRobotsRules _),
     "q_robots_verdict" -> (L.qRobotsVerdict _),
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
@@ -403,6 +405,7 @@ object SparkEntry {
     "q_url_filter" -> L.qUrlFilterSql,
     "q_quality_curve" -> L.qQualityCurveSql,
     "q_chat_validate" -> L.qChatValidateSql,
+    "q_pref_pairs" -> L.qPrefPairsSql,
     "q_robots_rules" -> L.qRobotsRulesSql,
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,

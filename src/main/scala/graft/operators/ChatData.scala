@@ -111,4 +111,59 @@ object ChatData {
       md5(array_join(tpl, " ")).as("render_md5"),
       md5(array_join(mask, "")).as("mask_md5"))
   }
+
+  /** Preference-pair (DPO/RLHF) data census — the hygiene gate the
+    * post-training pair corpus needs before reward/DPO training, where
+    * each defect class poisons training differently:
+    *   - `drop_empty`     — either response blank (no comparison);
+    *   - `drop_identical` — chosen == rejected byte-for-byte (label
+    *     noise: the pair gradient is exactly zero);
+    *   - otherwise `keep`, with the diagnostics that catch the famous
+    *     failure modes as ppm integers: `len_ratio_ppm` +
+    *     `chosen_longer` (LENGTH BIAS — a reward model trained on
+    *     longer-is-chosen pairs learns verbosity, so the corpus-level
+    *     chosen_longer rate is the first thing to audit),
+    *     `overlap_ppm` (distinct-word jaccard between the two
+    *     responses — near-identical pairs carry ~zero signal),
+    *     `prompt_echo` (a response that opens by restating the prompt
+    *     — the degenerate completion mode).
+    * Pure per-row column algebra, zero shuffle, no UDF; every number
+    * integer DIV ppm with the zero-guard on both denominators. */
+  def preferencePairCensus(pairs: DataFrame, id: String = "pair_id",
+                           promptCol: String = "prompt",
+                           chosenCol: String = "chosen",
+                           rejectedCol: String = "rejected"): DataFrame = {
+    def wordSet(c: Column): Column =
+      array_distinct(filter(Portable.words(coalesce(c, lit(""))),
+        w => length(w) > 0))
+    val cw = wordsOf(col(chosenCol))
+    val rw = wordsOf(col(rejectedCol))
+    val blank = (c: Column) => c.isNull || length(trim(c)) === 0
+    val cs = wordSet(col(chosenCol))
+    val rs = wordSet(col(rejectedCol))
+    val inter = size(array_intersect(cs, rs))
+    val uni = size(cs) + size(rs) - inter
+    val echo = (c: Column) => c.isNotNull && col(promptCol).isNotNull &&
+      length(col(promptCol)) > 0 && c.startsWith(col(promptCol))
+    pairs
+      .withColumn("__cw", cw.cast(LongType))
+      .withColumn("__rw", rw.cast(LongType))
+      .withColumn("__in", inter.cast(LongType))
+      .withColumn("__un", uni.cast(LongType))
+      .select(col(id),
+        when(blank(col(chosenCol)) || blank(col(rejectedCol)), "drop_empty")
+          .when(col(chosenCol) === col(rejectedCol), "drop_identical")
+          .otherwise("keep").as("verdict"),
+        col("__cw").as("chosen_words"),
+        col("__rw").as("rejected_words"),
+        // integer DIV, never double /: a nearest-rounded double quotient
+        // can cross an integer boundary and bend the floor
+        expr("CAST(CASE WHEN __rw = 0 THEN NULL" +
+          " ELSE (__cw * 1000000) DIV __rw END AS BIGINT)").as("len_ratio_ppm"),
+        expr("CAST(CASE WHEN __un = 0 THEN NULL" +
+          " ELSE (__in * 1000000) DIV __un END AS BIGINT)").as("overlap_ppm"),
+        (col("__cw") > col("__rw")).cast(LongType).as("chosen_longer"),
+        (echo(col(chosenCol)) || echo(col(rejectedCol)))
+          .cast(LongType).as("prompt_echo"))
+  }
 }

@@ -1301,6 +1301,69 @@ object LlmQueries {
        |       WHEN doc_id % 6 = 4 THEN 'empty-content' END AS reason
        |FROM documents""".stripMargin
 
+  // ---- preference-pair (DPO) data census (ChatData) ----
+
+  /** DPO pair census over synthesized preference pairs: one pair per
+    * document, doc_id%5 variants covering the defect classes — normal
+    * (v=0), identical responses (v=1, zero pair gradient), blank
+    * rejected (v=2), prompt-echoing chosen (v=3), rejected-longer
+    * (v=4, the length-bias audit row). The oracle replays the SAME
+    * pair construction and census algebra (portable word split,
+    * distinct-word jaccard, integer DIV ppm, starts_with echo), so
+    * any verdict-precedence, zero-guard or set-overlap bug bends a
+    * row. */
+  def qPrefPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val t = col("text"); val v = col("doc_id") % 5
+    val prompt = concat(lit("Summarize: "), substring(t, 1, 64))
+    val pairs = d.select(col("doc_id").as("pair_id"), prompt.as("prompt"),
+      when(v === 3, concat(prompt, lit(" "), t))
+        .when(v === 4, substring(t, 1, 80))
+        .otherwise(t).as("chosen"),
+      when(v === 1, t)
+        .when(v === 2, lit(""))
+        .when(v === 3, substring(t, 1, 60))
+        .when(v === 4, t)
+        .otherwise(substring(t, 1, 40)).as("rejected"))
+    graft.operators.ChatData.preferencePairCensus(pairs)
+  }
+
+  val qPrefPairsSql: String = {
+    def wc(c: String) =
+      s"len(list_filter(${wordsSql(c)}, w -> len(w) > 0))"
+    def ws(c: String) =
+      s"list_distinct(list_filter(${wordsSql(c)}, w -> len(w) > 0))"
+    s"""WITH p AS (SELECT doc_id AS pair_id, doc_id % 5 AS v,
+       |    'Summarize: ' || substr(text, 1, 64) AS prompt,
+       |    CASE WHEN doc_id % 5 = 3 THEN 'Summarize: ' || substr(text, 1, 64) || ' ' || text
+       |         WHEN doc_id % 5 = 4 THEN substr(text, 1, 80)
+       |         ELSE text END AS chosen,
+       |    CASE WHEN doc_id % 5 = 1 THEN text
+       |         WHEN doc_id % 5 = 2 THEN ''
+       |         WHEN doc_id % 5 = 3 THEN substr(text, 1, 60)
+       |         WHEN doc_id % 5 = 4 THEN text
+       |         ELSE substr(text, 1, 40) END AS rejected
+       |  FROM documents),
+       |c AS (SELECT pair_id, prompt, chosen, rejected,
+       |    CAST(${wc("chosen")} AS BIGINT) AS cw,
+       |    CAST(${wc("rejected")} AS BIGINT) AS rw,
+       |    CAST(len(list_intersect(${ws("chosen")}, ${ws("rejected")})) AS BIGINT) AS inter,
+       |    CAST(len(${ws("chosen")}) + len(${ws("rejected")})
+       |      - len(list_intersect(${ws("chosen")}, ${ws("rejected")})) AS BIGINT) AS un
+       |  FROM p)
+       |SELECT pair_id,
+       |  CASE WHEN len(trim(chosen)) = 0 OR len(trim(rejected)) = 0 THEN 'drop_empty'
+       |       WHEN chosen = rejected THEN 'drop_identical'
+       |       ELSE 'keep' END AS verdict,
+       |  cw AS chosen_words, rw AS rejected_words,
+       |  CAST(CASE WHEN rw = 0 THEN NULL ELSE (cw * 1000000) // rw END AS BIGINT) AS len_ratio_ppm,
+       |  CAST(CASE WHEN un = 0 THEN NULL ELSE (inter * 1000000) // un END AS BIGINT) AS overlap_ppm,
+       |  CAST(CASE WHEN cw > rw THEN 1 ELSE 0 END AS BIGINT) AS chosen_longer,
+       |  CAST(CASE WHEN len(prompt) > 0 AND (starts_with(chosen, prompt)
+       |       OR starts_with(rejected, prompt)) THEN 1 ELSE 0 END AS BIGINT) AS prompt_echo
+       |FROM c""".stripMargin
+  }
+
   // ---- SFT loss-mask rendering (operators/ChatData.lossMask) ----
 
   /** Loss-mask census over the shared chat fixture: the Spark side

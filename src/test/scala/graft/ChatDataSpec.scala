@@ -80,4 +80,31 @@ class ChatDataSpec extends SparkSpec {
     assert(r4.getLong(1) === 0L && r4.getLong(2) === 0L)
     assert(r4.getString(4) === md5hex(""))
   }
+
+  test("preferencePairCensus: verdict precedence, ppm floors, echo, length bias") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "Q", "alpha beta gamma", "alpha beta"),       // keep, chosen longer
+      (2L, "Q", "same words here", "same words here"),   // identical
+      (3L, "Q", "fine answer", "   "),                   // blank rejected
+      (4L, "Q one", "Q one restated fully", "short reply"), // echo in chosen
+      (5L, "Q", "tiny", "much longer rejected answer"),  // rejected longer
+      (6L, "", "x", "y"))                                // empty prompt: no echo
+      .toDF("pair_id", "prompt", "chosen", "rejected")
+    val out = graft.operators.ChatData.preferencePairCensus(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "keep")
+    assert(out(1L).getLong(2) === 3L && out(1L).getLong(3) === 2L)
+    assert(out(1L).getLong(4) === 1500000L, "3/2 words = 1.5e6 ppm exactly")
+    // distinct-word jaccard: {alpha,beta,gamma} vs {alpha,beta} = 2/3
+    assert(out(1L).getLong(5) === 666666L, "integer DIV floors, never rounds")
+    assert(out(1L).getLong(6) === 1L)
+    assert(out(2L).getString(1) === "drop_identical")
+    assert(out(3L).getString(1) === "drop_empty")
+    assert(out(3L).isNullAt(4), "zero rejected words -> NULL ratio, not an error")
+    assert(out(4L).getString(1) === "keep" && out(4L).getLong(7) === 1L,
+      "prompt echo is a flag, not a drop")
+    assert(out(5L).getLong(6) === 0L, "rejected-longer rows flag chosen_longer 0")
+    assert(out(6L).getLong(7) === 0L, "an empty prompt can never 'echo'")
+  }
 }
