@@ -113,6 +113,8 @@ object SparkEntry {
     "q_dedup_embed" -> (L.qDedupEmbed _),
     "q_lang_id" -> (L.qLangId _),
     "q_text_quality" -> (L.qTextQuality _),
+    // Flesch-Kincaid readability census (integer syllable heuristic)
+    "q_readability" -> (L.qReadability _),
     "q_quality_filter" -> (L.qQualityFilter _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
     // learned linear classifier next to the rule- and LM-based signals
@@ -382,6 +384,7 @@ object SparkEntry {
     "q_dedup_embed" -> L.qDedupEmbedSql,
     "q_lang_id" -> L.qLangIdSql,
     "q_text_quality" -> L.qTextQualitySql,
+    "q_readability" -> L.qReadabilitySql,
     "q_quality_filter" -> L.qQualityFilterSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,

@@ -111,6 +111,53 @@ object TextAnalysis {
         (lit(1.0) - safe(nPunct.cast("double"), nChars)), 6).as("quality"))
   }
 
+  /** Readability census (Flesch-Kincaid grade, the public formula,
+    * over an INTEGER syllable heuristic) — the quality signal that
+    * separates encyclopedic from conversational register, which the
+    * punctuation/stopword metrics in [[quality]] can't see.
+    *
+    * All counts are integer and regex-portable:
+    *  - sentences: non-blank [.!?]+ segments (min 1 enforced by the
+    *    zero-guard: terminator-free text is one sentence);
+    *  - syllables: vowel-group runs ([aeiouy]+ in lowercased text —
+    *    runs never span whitespace or punctuation, so the WHOLE-TEXT
+    *    run count equals the per-word sum with no per-word loop),
+    *    plus one per vowel-less word (the max(1,·) floor, counted as
+    *    n_words − words-containing-a-vowel via one `\S*[aeiouy]\S*`
+    *    extraction — each token matches at most once);
+    *  - wps_ppm / spw_ppm: integer DIV ppm (the gate-bearing columns);
+    *  - fk_grade: the terminal double view 0.39·wps + 11.8·spw − 15.59
+    *    computed from the SAME ppm integers in the same IEEE order on
+    *    both engines, roundp(6).
+    * Pure per-row regex projection — zero shuffle. */
+  def readability(docs: DataFrame): DataFrame = {
+    val lower9 = lower(col("text"))
+    val ws = filter(Portable.words(col("text")), w => length(w) > 0)
+    val sentences = size(filter(
+      split(col("text"), "[.!?]+"), s => length(trim(s)) > 0))
+    val vg = size(regexp_extract_all(lower9, lit("[aeiouy]+"), lit(0)))
+    val withVowel = size(regexp_extract_all(lower9,
+      lit("\\S*[aeiouy]\\S*"), lit(0)))
+    docs
+      .withColumn("__w", size(ws).cast("long"))
+      .withColumn("__s", sentences.cast("long"))
+      .withColumn("__syl",
+        (vg.cast("long") + greatest(col("__w") - withVowel.cast("long"), lit(0L))))
+      .select(col("doc_id"),
+        col("__w").as("n_words"), col("__s").as("n_sentences"),
+        col("__syl").as("n_syllables"),
+        expr("CAST(CASE WHEN __s = 0 THEN NULL" +
+          " ELSE (__w * 1000000) DIV __s END AS BIGINT)").as("wps_ppm"),
+        expr("CAST(CASE WHEN __w = 0 THEN NULL" +
+          " ELSE (__syl * 1000000) DIV __w END AS BIGINT)").as("spw_ppm"),
+        Portable.roundp(
+          when(col("__s") === 0 || col("__w") === 0, lit(null))
+            .otherwise(
+              lit(0.39) * (expr("(__w * 1000000) DIV __s").cast("double") / lit(1e6)) +
+                lit(11.8) * (expr("(__syl * 1000000) DIV __w").cast("double") / lit(1e6)) -
+                lit(15.59)), 6).as("fk_grade"))
+  }
+
   /** Compression-ratio quality signal (deflated bytes / raw bytes):
     * highly repetitive or templated text compresses far below prose —
     * the Gopher-style "too compressible" filter. Partition-local

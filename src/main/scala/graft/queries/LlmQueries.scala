@@ -2729,6 +2729,38 @@ object LlmQueries {
        |FROM b""".stripMargin
   }
 
+  // ---- readability census (Flesch-Kincaid, integer syllables) ----
+
+  /** Readability over the corpus (TextAnalysis.readability): integer
+    * sentence/word/syllable censuses with ppm DIVs as the gate-bearing
+    * columns and the FK grade as a terminal roundp double from the
+    * SAME ppm integers. The oracle replays the identical regex
+    * algebra (vowel-run counting, the \\S-token vowel-presence trick,
+    * sentence segmentation) under RE2. */
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables(spark, dir).documents)
+
+  val qReadabilitySql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    CAST(len(list_filter(${wordsSql("text")}, w -> len(w) > 0)) AS BIGINT) AS w,
+       |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+       |      s -> len(trim(s)) > 0)) AS BIGINT) AS s,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg,
+       |    CAST(len(regexp_extract_all(lower(text), '\\S*[aeiouy]\\S*')) AS BIGINT) AS wv
+       |  FROM documents),
+       |y AS (SELECT doc_id, w, s,
+       |    vg + CASE WHEN w - wv > 0 THEN w - wv ELSE 0 END AS syl
+       |  FROM c)
+       |SELECT doc_id, w AS n_words, s AS n_sentences,
+       |  CAST(syl AS BIGINT) AS n_syllables,
+       |  CAST(CASE WHEN s = 0 THEN NULL ELSE (w * 1000000) // s END AS BIGINT) AS wps_ppm,
+       |  CAST(CASE WHEN w = 0 THEN NULL ELSE (syl * 1000000) // w END AS BIGINT) AS spw_ppm,
+       |  CASE WHEN s = 0 OR w = 0 THEN NULL ELSE
+       |    floor((CAST(0.39 AS DOUBLE) * (CAST((w * 1000000) // s AS DOUBLE) / 1e6)
+       |      + CAST(11.8 AS DOUBLE) * (CAST((syl * 1000000) // w AS DOUBLE) / 1e6)
+       |      - CAST(15.59 AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS fk_grade
+       |FROM y""".stripMargin
+
   // ---- #32 token counts ----
 
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =

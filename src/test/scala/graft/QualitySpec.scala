@@ -357,6 +357,29 @@ class QualitySpec extends SparkSpec {
     assert(m2.length < 50 && m2.nonEmpty)
   }
 
+  test("readability: hand-traced sentences, vowel-run syllables, ppm floors, empty guard") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "The cat sat. It ran! Done?"),
+      (2L, "xyz 123"), // 'y' is a vowel run; '123' takes the 1-syllable floor
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 6L && r1.getLong(2) === 3L && r1.getLong(3) === 7L,
+      "6 words / 3 sentences / 7 vowel runs (done = 2)")
+    assert(r1.getLong(4) === 2000000L)
+    assert(r1.getLong(5) === 1166666L, "7e6 DIV 6 floors")
+    val r2 = out(2L)
+    assert(r2.getLong(1) === 2L && r2.getLong(2) === 1L,
+      "terminator-free text is one sentence")
+    assert(r2.getLong(3) === 2L, "xyz's y-run + 123's vowel-less floor")
+    val r3 = out(3L)
+    assert(r3.getLong(1) === 0L && r3.isNullAt(4) && r3.isNullAt(6),
+      "empty text: NULL ratios, never a division error")
+  }
+
   test("BPE merge model frame: parquet round-trip, frame path == Seq path, stream twin") {
     import spark.implicits._
     import graft.operators.TextAnalysis
