@@ -37,7 +37,11 @@ object PlanDump {
       "q_gopher_rules", "q_length_buckets", "q_skew_census", "q_data_card",
       "q_format_detect", "q_card_scan", "q_dedup_fuzzy", "q_zipf_fit",
       "q_funnel", "q_lang_segments", "q_anchor_text", "q_snapshot_moves",
-      "q_quality_drift", "q_release_manifest")
+      "q_quality_drift", "q_release_manifest",
+      // round-16 families
+      "q_robots_verdict", "q_crawl_schedule", "q_varint_postings_blocked",
+      "q_dedup_index_merge", "q_retention", "q_download_acs", "q_hits",
+      "q_sitemap_parse", "q_pref_pairs", "q_readability")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
