@@ -154,6 +154,8 @@ object SparkEntry {
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
     // sitemap XML parsing via the built-in from_xml (politeness leg 3)
     "q_sitemap_parse" -> (L.qSitemapParse _),
+    // longest-prefix-match IP->route lookup (per-length bucket joins)
+    "q_cidr_lookup" -> (L.qCidrLookup _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
     // HITS hubs/authorities — the PageRank-orthogonal two-sided prior
@@ -413,6 +415,7 @@ object SparkEntry {
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_sitemap_parse" -> L.qSitemapParseSql,
+    "q_cidr_lookup" -> L.qCidrLookupSql,
     "q_domain_rank" -> L.qDomainRankSql,
     "q_hits" -> L.qHitsSql,
     "q_host_components" -> L.qHostComponentsSql,

@@ -2237,6 +2237,66 @@ object LlmQueries {
        |SELECT host, 'corrupt', -1, NULL, NULL, NULL, NULL
        |FROM h WHERE v = 2""".stripMargin
 
+  // ---- longest-prefix-match IP lookup (operators/Net) ----
+
+  /** The route fixture: overlapping prefixes at five lengths so the
+    * LONGEST-match rule decides, plus the /0 default. (prefix, plen,
+    * label) with prefixes as u32 longs. */
+  private val CidrRoutes: Seq[(Long, Int, String)] = Seq(
+    (10L * 16777216L, 8, "corp"),
+    (10L * 16777216L + 128L * 65536L, 9, "corp-hi"),
+    (11L * 16777216L + 5L * 65536L, 16, "edge"),
+    (11L * 16777216L + 5L * 65536L + 77L * 256L, 24, "edge-pop"),
+    (12L * 16777216L, 8, "cdn"),
+    (0L, 0, "default"))
+
+  /** Longest-prefix-match join inside the gate (Net.cidrLookup over
+    * Net.ipToU32): per-doc closed-form dotted quads probe a route
+    * table whose prefixes NEST (10/8 under 10.128/9; 11.5/16 under
+    * 11.5.77/24) so the most-specific rule is load-bearing, with the
+    * /0 default proving total coverage. Oracle = closed-form expected
+    * rows (the q_url_canon doctrine): the oracle never runs prefix
+    * logic — any bucket-key, per-length-join or rank bug bends a
+    * row. */
+  def qCidrLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+    val i = col("doc_id")
+    val ipStr = concat_ws(".",
+      (lit(10) + i % 3).cast("string"), (i % 256).cast("string"),
+      ((i * 7) % 256).cast("string"), (i % 250).cast("string"))
+    val probes = d.select(i.as("id"), graft.operators.Net.ipToU32(ipStr).as("ip_u32"))
+    val routes = CidrRoutes.toDF("prefix", "plen", "label")
+    graft.operators.Net.cidrLookup(probes, routes)
+  }
+
+  val qCidrLookupSql: String =
+    s"""WITH p AS (SELECT doc_id AS id,
+       |    10 + doc_id % 3 AS a, doc_id % 256 AS b,
+       |    (doc_id * 7) % 256 AS c, doc_id % 250 AS dd
+       |  FROM documents)
+       |SELECT id,
+       |  CAST(a * 16777216 + b * 65536 + c * 256 + dd AS BIGINT) AS ip_u32,
+       |  CAST(CASE WHEN a = 10 AND b >= 128 THEN 9
+       |       WHEN a = 10 THEN 8
+       |       WHEN a = 12 THEN 8
+       |       WHEN a = 11 AND b = 5 AND c = 77 THEN 24
+       |       WHEN a = 11 AND b = 5 THEN 16
+       |       ELSE 0 END AS BIGINT) AS plen,
+       |  CAST(CASE WHEN a = 10 AND b >= 128 THEN ${10L * 16777216L + 128L * 65536L}
+       |       WHEN a = 10 THEN ${10L * 16777216L}
+       |       WHEN a = 12 THEN ${12L * 16777216L}
+       |       WHEN a = 11 AND b = 5 AND c = 77 THEN ${11L * 16777216L + 5L * 65536L + 77L * 256L}
+       |       WHEN a = 11 AND b = 5 THEN ${11L * 16777216L + 5L * 65536L}
+       |       ELSE 0 END AS BIGINT) AS prefix,
+       |  CASE WHEN a = 10 AND b >= 128 THEN 'corp-hi'
+       |       WHEN a = 10 THEN 'corp'
+       |       WHEN a = 12 THEN 'cdn'
+       |       WHEN a = 11 AND b = 5 AND c = 77 THEN 'edge-pop'
+       |       WHEN a = 11 AND b = 5 THEN 'edge'
+       |       ELSE 'default' END AS label
+       |FROM p""".stripMargin
+
   // ---- mixture planning (mixing-config stage) ----
 
   /** Mixture targets: src0 down-samples hard, src1 mildly, src2's

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Net
+import org.apache.spark.sql.functions._
+
+/** Longest-prefix-match lookup edges: nesting, /0 and /32 extremes,
+  * uncovered probes, malformed addresses, tie determinism. The
+  * cross-engine value parity is q_cidr_lookup's closed-form oracle. */
+class NetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u32(a: Int, b: Int, c: Int, d: Int): Long =
+    a.toLong * 16777216L + b * 65536L + c * 256L + d
+
+  test("ipToU32: dotted quads to unsigned 32-bit longs; malformed -> NULL") {
+    val out = Seq("0.0.0.0", "255.255.255.255", "10.5.77.9", "nonsense", "1.2.3")
+      .toDF("ip").select(Net.ipToU32(col("ip"))).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0) === Some(0L))
+    assert(out(1) === Some(4294967295L))
+    assert(out(2) === Some(u32(10, 5, 77, 9)))
+    assert(out(3) === None)
+    assert(out(4) === None, "three octets leave the 4th term NULL")
+  }
+
+  test("longest match wins across nested prefixes; /32 beats everything; no default -> NULL") {
+    val routes = Seq(
+      (u32(10, 0, 0, 0), 8, "eight"),
+      (u32(10, 1, 0, 0), 16, "sixteen"),
+      (u32(10, 1, 2, 0), 24, "twentyfour"),
+      (u32(10, 1, 2, 3), 32, "exact")).toDF("prefix", "plen", "label")
+    val probes = Seq(
+      (1L, u32(10, 9, 9, 9)),   // only /8
+      (2L, u32(10, 1, 9, 9)),   // /16
+      (3L, u32(10, 1, 2, 9)),   // /24
+      (4L, u32(10, 1, 2, 3)),   // /32 exact host route
+      (5L, u32(11, 0, 0, 1)))   // uncovered
+      .toDF("id", "ip_u32")
+    val out = Net.cidrLookup(probes, routes).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out === Map(1L -> Some("eight"), 2L -> Some("sixteen"),
+      3L -> Some("twentyfour"), 4L -> Some("exact"), 5L -> None))
+  }
+
+  test("/0 default covers everything incl. 255.255.255.255; dup routes break ties by label") {
+    val routes = Seq(
+      (0L, 0, "default"),
+      (u32(9, 0, 0, 0), 8, "zzz"),
+      (u32(9, 0, 0, 0), 8, "aaa")).toDF("prefix", "plen", "label")
+    val probes = Seq((1L, 4294967295L), (2L, u32(9, 1, 1, 1)))
+      .toDF("id", "ip_u32")
+    val out = Net.cidrLookup(probes, routes).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(4)),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) === ((Some("default"), 0L)))
+    assert(out(2L) === ((Some("aaa"), 8L)), "label asc is the deterministic tiebreak")
+  }
+
+  test("NULL ip probes keep their row with a NULL match; layout-invariant") {
+    val routes = Seq((0L, 0, "default")).toDF("prefix", "plen", "label")
+    val probes = Seq((1L, Some(5L)), (2L, None))
+      .toDF("id", "ip_u32")
+    val out = Net.cidrLookup(probes, routes).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out === Map(1L -> Some("default"), 2L -> None))
+    val big = (0L until 300L).map(i => (i, u32(10, (i % 200).toInt, 0, 1)))
+      .toDF("id", "ip_u32")
+    val r2 = Seq((u32(10, 0, 0, 0), 8, "x"), (u32(10, 128, 0, 0), 9, "y"))
+      .toDF("prefix", "plen", "label")
+    val a = Net.cidrLookup(big, r2).collect().map(_.toString).sorted.toSeq
+    val b = Net.cidrLookup(big.repartition(7), r2).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}
