@@ -156,6 +156,8 @@ object SparkEntry {
     "q_sitemap_parse" -> (L.qSitemapParse _),
     // longest-prefix-match IP->route lookup (per-length bucket joins)
     "q_cidr_lookup" -> (L.qCidrLookup _),
+    // bucket-tiled interval-overlap join (span algebra primitive)
+    "q_interval_join" -> (L.qIntervalJoin _),
     // link-graph PageRank domain prior
     "q_domain_rank" -> (L.qDomainRank _),
     // HITS hubs/authorities — the PageRank-orthogonal two-sided prior
@@ -416,6 +418,7 @@ object SparkEntry {
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_sitemap_parse" -> L.qSitemapParseSql,
     "q_cidr_lookup" -> L.qCidrLookupSql,
+    "q_interval_join" -> L.qIntervalJoinSql,
     "q_domain_rank" -> L.qDomainRankSql,
     "q_hits" -> L.qHitsSql,
     "q_host_components" -> L.qHostComponentsSql,

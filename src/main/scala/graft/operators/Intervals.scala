@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join — the span-algebra primitive training-data
+  * pipelines keep reinventing: PII spans × chunk boundaries (which
+  * chunks need re-masking), loss-mask spans × packing windows, ad/
+  * boilerplate spans × extracted-text offsets, session intervals ×
+  * incident windows. Spark has no native interval join; a raw
+  * `a.s < b.e AND b.s < a.e` theta-join is a cartesian.
+  *
+  * Shape: BUCKET TILING — each half-open interval [s, e) explodes to
+  * the `bucketW`-wide buckets it touches (`s div W .. (e-1) div W`),
+  * candidates meet in ONE hash equi-join on the bucket id (both
+  * sides co-partition; no cartesian anywhere), the true-overlap
+  * predicate filters, and multi-bucket double-meets drop with one
+  * distinct. Candidate volume is (per-bucket density)² per bucket —
+  * size W near the median interval length. A row whose interval
+  * spans more than `maxTiles` buckets fails fast via the row-level
+  * raise_error guard (the packedChunkId idiom: zero cost until it
+  * fires, and it rides INSIDE the sequence bound so pruning can't
+  * drop it) — a degenerate [0, 2⁶³) interval would otherwise
+  * materialize a 10¹⁸-element tile array in one row.
+  *
+  * Inputs: two (id, s, e) frames, integer bounds, half-open; rows
+  * with e <= s drop (empty intervals overlap nothing). Output:
+  * (a_id, a_s, a_e, b_id, b_s, b_e, overlap) with overlap =
+  * least(a_e, b_e) − greatest(a_s, b_s) > 0 by construction. */
+object Intervals {
+
+  def overlapJoin(a: DataFrame, b: DataFrame, bucketW: Long,
+                  maxTiles: Long = 4096L): DataFrame = {
+    require(bucketW >= 1L, "overlapJoin: bucketW must be positive")
+    require(maxTiles >= 1L, "overlapJoin: maxTiles must be positive")
+    def tiled(df: DataFrame, p: String): DataFrame = {
+      val s = col(s"${p}_s"); val e = col(s"${p}_e")
+      val lo = expr(s"${p}_s div ${bucketW}L")
+      val hi = expr(s"(${p}_e - 1) div ${bucketW}L")
+      df.select(col("id").cast("long").as(s"${p}_id"),
+          col("s").cast("long").as(s"${p}_s"),
+          col("e").cast("long").as(s"${p}_e"))
+        .where(e > s)
+        .withColumn("__bk", explode(sequence(lo,
+          when(hi - lo >= maxTiles, raise_error(concat(
+            lit(s"overlapJoin: interval spans >= $maxTiles buckets at id="),
+            col(s"${p}_id").cast("string"),
+            lit(s" — raise bucketW ($bucketW) or maxTiles"))))
+            .otherwise(hi))))
+    }
+    tiled(a, "a").join(tiled(b, "b"), Seq("__bk"))
+      .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("a_s"), col("a_e"),
+        col("b_id"), col("b_s"), col("b_e"))
+      .distinct()
+      .withColumn("overlap",
+        least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+  }
+}

@@ -2237,6 +2237,44 @@ object LlmQueries {
        |SELECT host, 'corrupt', -1, NULL, NULL, NULL, NULL
        |FROM h WHERE v = 2""".stripMargin
 
+  // ---- interval-overlap join (operators/Intervals) ----
+
+  /** Bucket-tiled interval join inside the gate: two closed-form
+    * interval sets laid along a corpus-GROWING axis (starts stride 20
+    * per doc, lengths bounded at 45/33), so each interval overlaps a
+    * bounded neighborhood and pair output stays LINEAR in corpus size
+    * (the fixture-entropy lesson: pair queries must bound bucket
+    * density by construction). Spark runs the tiling + equi-join +
+    * distinct machinery; the oracle replays the overlap predicate as
+    * a direct range join — any tiling boundary, dedup or predicate
+    * bug bends a pair. */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val i = col("doc_id")
+    val a = d.select(i.as("id"),
+      (i * 20L + i % 7).as("s"),
+      (i * 20L + i % 7 + 5L + (i * 3L) % 40).as("e"))
+    val b = d.select(i.as("id"),
+      (i * 20L + 10L + i % 11).as("s"),
+      (i * 20L + 10L + i % 11 + 3L + (i * 5L) % 30).as("e"))
+    graft.operators.Intervals.overlapJoin(a, b, bucketW = 32L)
+  }
+
+  val qIntervalJoinSql: String =
+    s"""WITH a AS (SELECT doc_id AS a_id,
+       |    doc_id * 20 + doc_id % 7 AS a_s,
+       |    doc_id * 20 + doc_id % 7 + 5 + (doc_id * 3) % 40 AS a_e
+       |  FROM documents),
+       |b AS (SELECT doc_id AS b_id,
+       |    doc_id * 20 + 10 + doc_id % 11 AS b_s,
+       |    doc_id * 20 + 10 + doc_id % 11 + 3 + (doc_id * 5) % 30 AS b_e
+       |  FROM documents)
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(a_s AS BIGINT) AS a_s,
+       |  CAST(a_e AS BIGINT) AS a_e, CAST(b_id AS BIGINT) AS b_id,
+       |  CAST(b_s AS BIGINT) AS b_s, CAST(b_e AS BIGINT) AS b_e,
+       |  CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap
+       |FROM a JOIN b ON a_s < b_e AND b_s < a_e""".stripMargin
+
   // ---- longest-prefix-match IP lookup (operators/Net) ----
 
   /** The route fixture: overlapping prefixes at five lengths so the

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Intervals
+
+/** Bucket-tiled interval join: half-open semantics, multi-bucket
+  * dedup, the degenerate-span guard, and the no-cartesian plan shape.
+  * Cross-engine pair parity is q_interval_join's range-join oracle. */
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def iv(rows: (Long, Long, Long)*) = rows.toDF("id", "s", "e")
+
+  test("half-open semantics: touching endpoints do not overlap; containment does") {
+    val a = iv((1L, 0L, 5L), (2L, 10L, 20L))
+    val b = iv((10L, 5L, 8L),   // touches a1 at 5: NO overlap
+      (11L, 4L, 6L),            // crosses a1's right edge
+      (12L, 12L, 14L),          // contained in a2
+      (13L, 0L, 100L))          // contains everything
+    val out = Intervals.overlapJoin(a, b, bucketW = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(6)).toMap
+    assert(!out.contains((1L, 10L)), "[0,5) and [5,8) are disjoint (half-open)")
+    assert(out((1L, 11L)) === 1L)
+    assert(out((2L, 12L)) === 2L)
+    assert(out((1L, 13L)) === 5L && out((2L, 13L)) === 10L)
+    assert(out.size === 4)
+  }
+
+  test("multi-bucket intervals pair exactly once; empty intervals drop") {
+    val a = iv((1L, 0L, 100L)) // spans 25 buckets at W=4
+    val b = iv((10L, 50L, 60L), (11L, 7L, 7L)) // 11 is empty: e == s
+    val out = Intervals.overlapJoin(a, b, 4L).collect()
+    assert(out.length === 1, "tile double-meets must dedup to one pair")
+    assert(out.head.getLong(6) === 10L)
+  }
+
+  test("degenerate spans fail fast via the row guard, not an OOM") {
+    val a = iv((1L, 0L, 1L << 40))
+    val b = iv((10L, 5L, 6L))
+    val ex = intercept[Exception](
+      Intervals.overlapJoin(a, b, 4L, maxTiles = 1000L).collect())
+    assert(ex.getMessage != null)
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert((msg + ex.getMessage).contains("overlapJoin"),
+      s"expected the guard message, got: $msg")
+  }
+
+  test("no cartesian in the plan; layout-invariant output") {
+    val a = iv((0L until 200L).map(i => (i, i * 10L, i * 10L + 15L)): _*)
+    val b = iv((0L until 200L).map(i => (i, i * 10L + 5L, i * 10L + 12L)): _*)
+    val plan = Intervals.overlapJoin(a, b, 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the tiling must make this a hash equi-join")
+    val x = Intervals.overlapJoin(a, b, 16L).collect().map(_.toString).sorted.toSeq
+    val y = Intervals.overlapJoin(a.repartition(7), b.coalesce(1), 16L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(x === y && x.nonEmpty)
+    // bucket width must not change the pair set, only the plan economics
+    val z = Intervals.overlapJoin(a, b, 128L).collect().map(_.toString).sorted.toSeq
+    assert(z === x)
+  }
+}
