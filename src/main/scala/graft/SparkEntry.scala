@@ -154,6 +154,8 @@ object SparkEntry {
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
     // sitemap XML parsing via the built-in from_xml (politeness leg 3)
     "q_sitemap_parse" -> (L.qSitemapParse _),
+    // robots + sitemap + verdict + schedule composed in one DAG
+    "q_politeness_e2e" -> (L.qPolitenessE2e _),
     // longest-prefix-match IP->route lookup (per-length bucket joins)
     "q_cidr_lookup" -> (L.qCidrLookup _),
     // bucket-tiled interval-overlap join (span algebra primitive)
@@ -417,6 +419,7 @@ object SparkEntry {
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_sitemap_parse" -> L.qSitemapParseSql,
+    "q_politeness_e2e" -> L.qPolitenessE2eSql,
     "q_cidr_lookup" -> L.qCidrLookupSql,
     "q_interval_join" -> L.qIntervalJoinSql,
     "q_domain_rank" -> L.qDomainRankSql,

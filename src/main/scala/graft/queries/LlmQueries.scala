@@ -2188,8 +2188,9 @@ object LlmQueries {
     * The oracle emits the expected rows closed-form and never parses
     * a byte of XML — any dispatch, explode, field-mapping or
     * missing-element bug bends a row. */
-  def qSitemapParse(spark: SparkSession, dir: String): DataFrame = {
-    val base = robotsBase(spark, dir) // (i, host, v %5, k %7) — reuse
+  /** (host, xml) sitemap bodies off the robots fixture base — shared
+    * by the parse gate and the politeness e2e chain. */
+  private def sitemapBodies(base: DataFrame): DataFrame = {
     val i = col("i"); val host = col("host")
     val v = (i % 3).cast("int")
     val n = (lit(1) + (i % 7) % 3).cast("int")
@@ -2212,9 +2213,12 @@ object LlmQueries {
           "<sitemap><loc>https://"), host,
         lit("/sitemap-2.xml</loc></sitemap></sitemapindex>")))
       .otherwise(lit("<html><body>not a sitemap</body></html>"))
-    graft.operators.Sitemap.parseSitemaps(
-      base.select(host.as("host"), xml.as("xml")))
+    base.select(host.as("host"), xml.as("xml"))
   }
+
+  def qSitemapParse(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sitemap.parseSitemaps(
+      sitemapBodies(robotsBase(spark, dir)))
 
   val qSitemapParseSql: String =
     s"""WITH h AS (SELECT doc_id AS i,
@@ -2238,6 +2242,51 @@ object LlmQueries {
        |FROM h WHERE v = 2""".stripMargin
 
   // ---- interval-overlap join (operators/Intervals) ----
+
+  /** The WHOLE politeness pipeline in one DAG — the composition a real
+    * crawler runs per snapshot: parse each host's robots.txt
+    * (Robots.parseRules), seed the frontier from its sitemap's urlset
+    * entries (Sitemap.parseSitemaps → paths stripped from the locs),
+    * judge the frontier against the rules (RFC 9309 wildcards
+    * included) and emit the per-host fetch timeline
+    * (Robots.crawlSchedule). The oracle replays the closed-form
+    * composition: urlset hosts' /p/j paths are all allowed under
+    * every robots variant BY FIXTURE DESIGN, so what the gate bites
+    * on is the plumbing — frontier extraction, per-variant delay
+    * resolution (incl. v=4's crawl-delay-only group), and the md5
+    * ring slots. */
+  def qPolitenessE2e(spark: SparkSession, dir: String): DataFrame = {
+    val base = robotsBase(spark, dir)
+    val rules = graft.operators.Robots.parseRules(robotsBodies(base))
+      .localCheckpoint(true)
+    val frontier = graft.operators.Sitemap.parseSitemaps(sitemapBodies(base))
+      .where(col("kind") === "urlset" && col("loc").isNotNull)
+      .select(col("host"),
+        regexp_replace(col("loc"), "^https://[^/]*", "").as("url_path"))
+    graft.operators.Robots.crawlSchedule(frontier, rules, "graftbot")
+  }
+
+  val qPolitenessE2eSql: String =
+    s"""WITH h AS (SELECT doc_id AS i,
+       |    'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+       |    doc_id % 5 AS v5, doc_id % 3 AS v3, 1 + (doc_id % 7) % 3 AS n
+       |  FROM documents),
+       |p AS (SELECT i, host, v5, '/p/' || CAST(t.j AS VARCHAR) AS url_path
+       |  FROM h, unnest(generate_series(0, 2)) t(j)
+       |  WHERE v3 = 0 AND t.j < n),
+       |d AS (SELECT host, url_path,
+       |    CAST(CASE WHEN v5 = 0 THEN (i % 7) * 1000
+       |         WHEN v5 = 1 THEN 2000
+       |         WHEN v5 = 4 THEN 7000 ELSE 1000 END AS BIGINT) AS delay_ms
+       |  FROM p),
+       |r AS (SELECT host, url_path, delay_ms,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY
+       |      ${h60Sql("'sched' || ':' || host || ':' || url_path")}, url_path) - 1
+       |      AS BIGINT) AS slot_idx
+       |  FROM d)
+       |SELECT host, url_path, delay_ms, slot_idx,
+       |  delay_ms * slot_idx AS fetch_at_ms
+       |FROM r""".stripMargin
 
   /** Bucket-tiled interval join inside the gate: two closed-form
     * interval sets laid along a corpus-GROWING axis (starts stride 20

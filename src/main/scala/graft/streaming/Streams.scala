@@ -335,6 +335,21 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the longest-prefix-match lookup (operators/
+    * Net.cidrLookup): the route table is a STATIC model (BGP/ASN
+    * snapshots refresh on their own cadence, not per batch); each
+    * probe micro-batch resolves against the identical batch operator.
+    * Parity pinned in StreamingSpec. */
+  def cidrLookupStream(probes: DataFrame, routes: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(probes.isStreaming,
+      "cidrLookupStream is streaming-only: use Net.cidrLookup for batch frames")
+    require(!routes.isStreaming, "the route table must be a static model")
+    probes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Net.cidrLookup(batch, routes), batchId)
+    }
+  }
+
   /** Streaming twin of sitemap parsing (operators/Sitemap
     * .parseSitemaps): stateless per document — fetched sitemap files
     * parse as they arrive on the crawl cadence. Parity pinned in

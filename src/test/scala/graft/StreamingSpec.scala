@@ -467,6 +467,33 @@ class StreamingSpec extends SparkSpec {
     assert(acc.map(_.toString).sorted.toSeq === expected)
   }
 
+  test("cidrLookupStream resolves probe batches against the static routes like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def u32(a: Int, b: Int, c: Int, d: Int): Long =
+      a.toLong * 16777216L + b * 65536L + c * 256L + d
+    val routes = Seq((u32(10, 0, 0, 0), 8, "corp"),
+      (u32(10, 128, 0, 0), 9, "corp-hi"), (0L, 0, "default"))
+      .toDF("prefix", "plen", "label")
+    val probes = Seq((1L, u32(10, 5, 0, 1)), (2L, u32(10, 200, 0, 1)),
+      (3L, u32(99, 0, 0, 1)))
+    val input = MemoryStream[(Long, Long)]
+    input.addData(probes.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.cidrLookupStream(
+        input.toDF().toDF("id", "ip_u32"), routes) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(probes.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Net.cidrLookup(
+        probes.toDF("id", "ip_u32"), routes)
+      .collect().map(_.toString).sorted.toSeq
+    assert(acc.map(_.toString).sorted.toSeq === expected)
+  }
+
   test("sitemapParseStream parses sitemap batches like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
