@@ -156,6 +156,8 @@ object SparkEntry {
     "q_sitemap_parse" -> (L.qSitemapParse _),
     // robots + sitemap + verdict + schedule composed in one DAG
     "q_politeness_e2e" -> (L.qPolitenessE2e _),
+    // per-url greedy revisit-interval fetch plan (recursive-CTE oracle)
+    "q_revisit_policy" -> (L.qRevisitPolicy _),
     // longest-prefix-match IP->route lookup (per-length bucket joins)
     "q_cidr_lookup" -> (L.qCidrLookup _),
     // bucket-tiled interval-overlap join (span algebra primitive)
@@ -420,6 +422,7 @@ object SparkEntry {
     "q_crawl_schedule" -> L.qCrawlScheduleSql,
     "q_sitemap_parse" -> L.qSitemapParseSql,
     "q_politeness_e2e" -> L.qPolitenessE2eSql,
+    "q_revisit_policy" -> L.qRevisitPolicySql,
     "q_cidr_lookup" -> L.qCidrLookupSql,
     "q_interval_join" -> L.qIntervalJoinSql,
     "q_domain_rank" -> L.qDomainRankSql,

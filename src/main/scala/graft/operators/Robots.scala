@@ -149,6 +149,54 @@ object Robots {
       when(m, won.getField("path")).as("matched_path"))
   }
 
+  /** Crawl REVISIT policy — the freshness-vs-politeness decision a
+    * recrawler makes per sighting: fetch a url again only when at
+    * least `minIntervalS` has passed since the LAST FETCH (not the
+    * last sighting — skipped sightings must not reset the clock, so
+    * acceptance is a per-url GREEDY CHAIN, not a window function:
+    * each verdict depends on the previous ACCEPTED timestamp, which
+    * no fixed-frame window expresses).
+    *
+    * Shape: distinct (url, sec) sightings repartition BY URL and sort
+    * WITHIN partitions on (url, sec); one streaming mapPartitions
+    * pass carries O(1) state (current url + last accepted sec) — no
+    * per-url array ever materializes, so a url with 10⁹ sightings
+    * costs memory O(1) (contrast a groupByKey/flatMapGroups form,
+    * which buffers the group). The kernel altitude is justified the
+    * phraseFilter way: a value-dependent greedy chain has no Catalyst
+    * equivalent. First sighting of a url always fetches. The oracle
+    * replays the chain as a per-url recursive CTE (the q_bpe_train
+    * iterative-replay doctrine). Output: (url, sec, fetched 0/1). */
+  def revisitPlan(visits: DataFrame, minIntervalS: Long,
+                  urlCol: String = "url", secCol: String = "sec"): DataFrame = {
+    require(minIntervalS >= 0, "revisitPlan: minIntervalS must be >= 0")
+    val in = visits
+      .select(col(urlCol).cast("string").as("url"),
+        col(secCol).cast("long").as("sec"))
+      .where(col("url").isNotNull && col("sec").isNotNull)
+      .distinct()
+      .repartition(col("url"))
+      .sortWithinPartitions(col("url"), col("sec"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("sec",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fetched",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    in.mapPartitions { it =>
+      var curUrl: String = null
+      var lastAcc: Long = 0L
+      it.map { r =>
+        val u = r.getString(0); val s = r.getLong(1)
+        val accept = (u != curUrl) || (s >= lastAcc + minIntervalS)
+        if (accept) { curUrl = u; lastAcc = s }
+        org.apache.spark.sql.Row(u, s, if (accept) 1L else 0L)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF("url", "sec", "fetched")
+  }
+
   /** Politeness scheduling — the actionable stage after the verdict:
     * assign every ALLOWED frontier URL a per-host fetch slot honoring
     * the host's crawl-delay. Slot order is the deterministic md5 ring

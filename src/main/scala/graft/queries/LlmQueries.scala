@@ -2175,6 +2175,46 @@ object LlmQueries {
        |  delay_ms * slot_idx AS fetch_at_ms
        |FROM r""".stripMargin
 
+  // ---- crawl revisit policy (per-url greedy fetch chain) ----
+
+  private val RevisitIntervalS = 50000L
+
+  /** Revisit plan over the event stream (Robots.revisitPlan): each
+    * user's event timeline plays a url's sighting log; the 50ks
+    * interval sits inside the inter-event gap IQR so chains mix
+    * fetches and skips. The greedy accepted-timestamp chain has no
+    * window-function form — Spark runs the O(1)-state sorted
+    * partition scan, the oracle replays the chain as a per-url
+    * RECURSIVE CTE (the q_bpe_train iterative-replay doctrine): any
+    * clock-reset bug (skips must NOT reset the interval) bends a
+    * verdict. */
+  def qRevisitPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val visits = Tables(spark, dir).events.select(
+      concat(lit("u"), col("user_id").cast("string")).as("url"),
+      unix_timestamp(col("ts")).as("sec"))
+    graft.operators.Robots.revisitPlan(visits, RevisitIntervalS)
+  }
+
+  val qRevisitPolicySql: String =
+    s"""WITH RECURSIVE dv AS (SELECT DISTINCT
+       |    'u' || CAST(user_id AS VARCHAR) AS url,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |v AS (SELECT url, sec,
+       |    row_number() OVER (PARTITION BY url ORDER BY sec) AS rn
+       |  FROM dv),
+       |r AS (
+       |  SELECT url, sec, rn, CAST(1 AS BIGINT) AS fetched, sec AS last_acc
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.url, v.sec, v.rn,
+       |    CAST(CASE WHEN v.sec >= r.last_acc + $RevisitIntervalS
+       |         THEN 1 ELSE 0 END AS BIGINT),
+       |    CASE WHEN v.sec >= r.last_acc + $RevisitIntervalS
+       |         THEN v.sec ELSE r.last_acc END
+       |  FROM r JOIN v ON v.url = r.url AND v.rn = r.rn + 1)
+       |SELECT url, sec, fetched FROM r""".stripMargin
+
   // ---- sitemap parsing (the third crawl-politeness leg) ----
 
   /** Sitemap fixture + gate (operators/Sitemap over Spark's built-in

@@ -41,7 +41,8 @@ object PlanDump {
       // round-16 families
       "q_robots_verdict", "q_crawl_schedule", "q_varint_postings_blocked",
       "q_dedup_index_merge", "q_retention", "q_download_acs", "q_hits",
-      "q_sitemap_parse", "q_pref_pairs", "q_readability")
+      "q_sitemap_parse", "q_pref_pairs", "q_readability",
+      "q_cidr_lookup", "q_interval_join", "q_politeness_e2e")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")

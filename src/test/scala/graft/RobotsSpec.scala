@@ -174,6 +174,30 @@ class RobotsSpec extends SparkSpec {
       "one group applies wholesale: *'s delay must not mix into the agent group")
   }
 
+  test("revisitPlan: greedy chain, skips never reset the clock, dedup, layout-invariant") {
+    import spark.implicits._
+    val visits = Seq(
+      ("a", 0L), ("a", 30L), ("a", 60L), ("a", 90L),
+      ("b", 0L), ("b", 49L), ("b", 98L),
+      ("b", 98L), // duplicate sighting dedups
+      ("c", 7L)).toDF("url", "sec")
+    val out = Robots.revisitPlan(visits, 50L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.size === 8)
+    assert(out(("a", 0L)) === 1L && out(("a", 30L)) === 0L)
+    assert(out(("a", 60L)) === 1L, "60 >= 0+50: interval from the last FETCH")
+    assert(out(("a", 90L)) === 0L, "90 < 60+50")
+    assert(out(("b", 49L)) === 0L)
+    assert(out(("b", 98L)) === 1L,
+      "98 >= 0+50 — the SKIPPED sighting at 49 must not reset the clock")
+    assert(out(("c", 7L)) === 1L, "first sighting always fetches")
+    val big = (0L until 2000L).map(i => (s"u${i % 37}", i * 13L)).toDF("url", "sec")
+    val x = Robots.revisitPlan(big, 400L).collect().map(_.toString).sorted.toSeq
+    val y = Robots.revisitPlan(big.repartition(11), 400L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(x === y)
+  }
+
   test("CRLF and tab-separated robots files parse identically to LF") {
     val lf = "User-agent: *\nDisallow: /x\nAllow:\t/x/ok\nCrawl-delay: 4"
     val crlf = lf.replace("\n", "\r\n")
