@@ -46,4 +46,11 @@ class ScaleLinearitySpec extends SparkSpec {
   test("q_dedup_incremental verdicts grow linearly with the batch") {
     assertLinear("q_dedup_incremental")
   }
+
+  test("q_interval_join pairs grow linearly with the corpus (growing-axis fixture)") {
+    // the r16 pair query: intervals stride 20 per doc with bounded
+    // lengths, so density — and pairs per doc — stays constant as the
+    // corpus grows; a range-shared fixture would go quadratic here
+    assertLinear("q_interval_join")
+  }
 }
