@@ -139,17 +139,22 @@ object ChatData {
     val cw = wordsOf(col(chosenCol))
     val rw = wordsOf(col(rejectedCol))
     val blank = (c: Column) => c.isNull || length(trim(c)) === 0
-    val cs = wordSet(col(chosenCol))
-    val rs = wordSet(col(rejectedCol))
-    val inter = size(array_intersect(cs, rs))
-    val uni = size(cs) + size(rs) - inter
     val echo = (c: Column) => c.isNotNull && col(promptCol).isNotNull &&
       length(col(promptCol)) > 0 && c.startsWith(col(promptCol))
     pairs
+      // stage the word-set arrays ONCE: `inter` and both `size()` terms of
+      // `uni` reference them, and CollapseProject only keeps
+      // withColumn-staged columns staged — unstaged, the whole
+      // split/filter/array_distinct chain expands 3x per side in one
+      // projection (r16 plan dump)
+      .withColumn("__cs", wordSet(col(chosenCol)))
+      .withColumn("__rs", wordSet(col(rejectedCol)))
       .withColumn("__cw", cw.cast(LongType))
       .withColumn("__rw", rw.cast(LongType))
-      .withColumn("__in", inter.cast(LongType))
-      .withColumn("__un", uni.cast(LongType))
+      .withColumn("__in",
+        size(array_intersect(col("__cs"), col("__rs"))).cast(LongType))
+      .withColumn("__un",
+        (size(col("__cs")) + size(col("__rs"))).cast(LongType) - col("__in"))
       .select(col(id),
         when(blank(col(chosenCol)) || blank(col(rejectedCol)), "drop_empty")
           .when(col(chosenCol) === col(rejectedCol), "drop_identical")

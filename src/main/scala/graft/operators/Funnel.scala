@@ -5,7 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Ordered-funnel analysis over an event stream — the classic
+/** EAGER operator: `funnel()` executes at CALL time (k+1 count jobs,
+  * persist/unpersist inside the call) and returns a literal-built
+  * k-row frame — do not embed it in lazy DAG builders expecting
+  * deferred execution.
+  *
+  * Ordered-funnel analysis over an event stream — the classic
   * sequential-analytics operator (how many users progress
   * view → click → purchase, within a conversion window measured from
   * the FIRST step): per user, step k's entry time is the earliest

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * materialize a 10¹⁸-element tile array in one row.
   *
   * Inputs: two (id, s, e) frames, integer bounds, half-open; rows
-  * with e <= s drop (empty intervals overlap nothing). Output:
+  * with e <= s drop (empty intervals overlap nothing). Bounds are
+  * assumed NON-NEGATIVE: Spark `div` truncates toward zero, so for
+  * negative coordinates bucket 0 spans (-bucketW, bucketW) — double
+  * width. Pairing stays CORRECT for negative bounds (bucket(x) is
+  * still monotone, so overlapping intervals always share a tile),
+  * but candidate density near the origin doubles; shift negative
+  * coordinate systems by an offset before joining. Output:
   * (a_id, a_s, a_e, b_id, b_s, b_e, overlap) with overlap =
   * least(a_e, b_e) − greatest(a_s, b_s) > 0 by construction. */
 object Intervals {

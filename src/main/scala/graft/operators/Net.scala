@@ -19,12 +19,16 @@ object Net {
     * inet type needed). Malformed input yields NULL — octets are
     * digit-checked and range-checked BEFORE the cast (ANSI casts
     * error on garbage; a rlike-guarded CASE branch never evaluates
-    * it), and 0-based `get()` never throws on short splits. */
+    * it), and 0-based `get()` never throws on short splits. Strict
+    * dotted-quad form: leading-zero octets ('010.001.2.3') are
+    * REJECTED (NULL) — many inet parsers treat them as octal or
+    * refuse them, so accepting them silently would make the decimal
+    * reading a guess. */
   def ipToU32(ip: Column): Column = {
     val p = split(ip, "\\.")
     def oct(i: Int): Column = {
       val s = get(p, lit(i))
-      val v = when(s.rlike("^[0-9]{1,3}$"), s.cast("long"))
+      val v = when(s.rlike("^(0|[1-9][0-9]{0,2})$"), s.cast("long"))
       when(v <= 255L, v) // NULL when missing, non-numeric, or > 255
     }
     when(size(p) === 4,

@@ -47,7 +47,12 @@ object Sitemap {
   def parseSitemaps(docs: DataFrame, hostCol: String = "host",
                     xmlCol: String = "xml"): DataFrame = {
     val host = col(hostCol)
-    val root = regexp_extract(col(xmlCol), "<\\s*(urlset|sitemapindex)[\\s>]", 1)
+    // coalesce: regexp_extract(NULL) is NULL (not ''), and a NULL root
+    // would match none of the three branches — NULL payloads must
+    // surface as corrupt rows, not vanish
+    val root = coalesce(
+      regexp_extract(col(xmlCol), "<\\s*(urlset|sitemapindex)[\\s>]", 1),
+      lit(""))
     val us = docs.where(root === "urlset")
       .select(host.as("host"),
         posexplode_outer(from_xml(col(xmlCol), urlsetSchema).getField("url"))

@@ -23,6 +23,16 @@ class NetSpec extends SparkSpec {
     assert(out(4) === None, "three octets leave the 4th term NULL")
   }
 
+  test("ipToU32: leading-zero octets are rejected (octal-ambiguous forms)") {
+    val out = Seq("010.001.2.3", "10.1.2.03", "0.1.2.3", "10.0.2.3")
+      .toDF("ip").select(Net.ipToU32(col("ip"))).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0) === None, "'010' could be octal — reject, don't guess")
+    assert(out(1) === None)
+    assert(out(2) === Some(u32(0, 1, 2, 3)), "a bare '0' octet is valid")
+    assert(out(3) === Some(u32(10, 0, 2, 3)))
+  }
+
   test("longest match wins across nested prefixes; /32 beats everything; no default -> NULL") {
     val routes = Seq(
       (u32(10, 0, 0, 0), 8, "eight"),

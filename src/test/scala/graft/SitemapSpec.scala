@@ -55,4 +55,12 @@ class SitemapSpec extends SparkSpec {
     // posexplode_outer on the absent url array: host stays visible
     assert(out(("d.com", "urlset", -1L, None)))
   }
+
+  test("NULL xml payload surfaces as a corrupt row, not a vanished host") {
+    // regexp_extract(NULL) is NULL (not ''): without the coalesce in the
+    // root dispatch the row matched no branch and the host disappeared
+    val out = parse(("n.com", null: String))
+      .map(r => (r._1, r._2, r._3, r._4))
+    assert(out.toSeq === Seq(("n.com", "corrupt", -1L, None)))
+  }
 }
