@@ -293,6 +293,8 @@ object SparkEntry {
     "q_format_detect" -> (L.qFormatDetect _),
     // Luhn-validated card detection (high-precision PII verdicts)
     "q_card_scan" -> (L.qCardScan _),
+    // secrets/credential scan: AWS/GitHub/PEM/JWT + entropy-gated literals
+    "q_secret_scan" -> (L.qSecretScan _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -508,6 +510,7 @@ object SparkEntry {
     "q_data_card" -> L.qDataCardSql,
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,
+    "q_secret_scan" -> L.qSecretScanSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

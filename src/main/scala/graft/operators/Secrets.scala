@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Secrets/credential scanning — the curation gate every code/web
+  * corpus ships before training: documents carrying live credentials
+  * (cloud keys, API tokens, private-key material, signed session
+  * tokens) must be DROPPED, not masked — a model that memorizes a key
+  * can emit it, and masking leaves the surrounding context that makes
+  * the next leaked key recognizable. Reference behavior modeled on
+  * the public gitleaks/trufflehog rule families; detection here is a
+  * per-doc census + verdict, pure codegen'd regexp projection with
+  * ZERO shuffle — at 100 TB the scan rides the same single corpus
+  * pass as the rest of the quality gates (no join, no aggregation,
+  * embarrassingly parallel).
+  *
+  * Two detector classes:
+  *   - STRUCTURED families, each a fixed-prefix pattern with
+  *     near-zero false-positive rate (the gitleaks doctrine: anchor
+  *     on the issuer-chosen prefix, never on raw entropy alone):
+  *     AWS access-key ids (`AKIA` + 16 upper/digit), GitHub personal
+  *     tokens (`ghp_`/`gho_` + 36 alnum), PEM private-key headers
+  *     (any `-----BEGIN … PRIVATE KEY-----` block opener, the
+  *     RSA/EC/DSA/OPENSSH/ENCRYPTED variants), JWTs (three dotted
+  *     base64url segments opening with the `eyJ` JSON-object mark).
+  *   - GENERIC high-entropy literal: a quoted unbroken >=20-char
+  *     base64ish run is only a secret if its codepoint Shannon
+  *     entropy clears [[EntropyGate]] — natural-language words and
+  *     repeated-char filler stay below it, random key material sits
+  *     far above. The gate runs on [[graft.functions.CharEntropy]]'s
+  *     quantized 1e-6 grid, so the >= comparison is engine-exact
+  *     (both engines compute the identical quantized double; the
+  *     threshold never lands between two readings of the same value).
+  *
+  * All patterns are RE2-safe (no lookahead, no \uXXXX — the r14/r15
+  * cross-engine regex rules) so the DuckDB oracle replays extraction
+  * verbatim; entropy replays via the q_char_entropy census idiom.
+  */
+object Secrets {
+
+  /** AWS access-key id: issuer prefix + exactly 16 [0-9A-Z]. */
+  val AwsKeyPattern = "\\bAKIA[0-9A-Z]{16}\\b"
+
+  /** GitHub personal/oauth token: ghp_/gho_ + exactly 36 alnum. */
+  val GithubTokenPattern = "\\bgh[po]_[A-Za-z0-9]{36}\\b"
+
+  /** PEM private-key block opener (the header alone convicts: key
+    * bodies can be wrapped/truncated, the header never is). */
+  val PemKeyPattern =
+    "-----BEGIN ((RSA|EC|DSA|OPENSSH|ENCRYPTED) )?PRIVATE KEY-----"
+
+  /** JWT: three dotted base64url segments; `eyJ` is base64url of
+    * `{"` — every JSON-header JWT opens with it. Segments >=6 chars
+    * cut accidental dotted-word matches; no trailing \b (the last
+    * char may be `-`/`_`, where a word boundary never holds). */
+  val JwtPattern =
+    "\\beyJ[A-Za-z0-9_-]{6,}\\.[A-Za-z0-9_-]{6,}\\.[A-Za-z0-9_-]{6,}"
+
+  /** Generic candidate: a quoted unbroken >=20-char base64ish run
+    * (alnum + / = _ -). Candidates are CHEAP; the entropy gate does
+    * the convicting. */
+  val QuotedLiteralPattern = "['\"][A-Za-z0-9+/=_-]{20,}['\"]"
+
+  /** Natural-log entropy gate for quoted literals, on CharEntropy's
+    * 1e-6 quantized grid. Random 20+-char key material sits near
+    * ln(distinct) ~ 3.0; English words/repeated filler sit well under
+    * 2.0 (a 20-char run of one char is 0.0). */
+  val EntropyGate = 2.0
+
+  /** Per-doc secrets census + keep verdict. One row per input row:
+    * per-family match counts (longs), the generic-literal candidate
+    * and gated-hit counts, `n_secrets` (sum of convicting counts —
+    * candidates do NOT convict), and `verdict` drop/keep. Columns
+    * other than `id` and `textCol` are dropped (the census is the
+    * gate's interface, not a decoration). */
+  def secretScan(docs: DataFrame, id: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    def hits(p: String): Column =
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast(LongType)
+    val h = graft.functions.CharEntropy.of _
+    docs
+      .withColumn("n_aws", hits(AwsKeyPattern))
+      .withColumn("n_github", hits(GithubTokenPattern))
+      .withColumn("n_pem", hits(PemKeyPattern))
+      .withColumn("n_jwt", hits(JwtPattern))
+      // stage the candidate array ONCE (referenced by cand count and
+      // the gated filter — the CollapseProject staging rule)
+      .withColumn("__lits",
+        regexp_extract_all(col(textCol), lit(QuotedLiteralPattern), lit(0)))
+      .withColumn("n_entropy_cand", size(col("__lits")).cast(LongType))
+      .withColumn("n_entropy_hits",
+        size(filter(col("__lits"), c =>
+          h(substr(c, lit(2), length(c) - 2)) >= EntropyGate))
+          .cast(LongType))
+      .withColumn("n_secrets",
+        col("n_aws") + col("n_github") + col("n_pem") + col("n_jwt") +
+          col("n_entropy_hits"))
+      .select(col(id),
+        col("n_aws"), col("n_github"), col("n_pem"), col("n_jwt"),
+        col("n_entropy_cand"), col("n_entropy_hits"), col("n_secrets"),
+        when(col("n_secrets") > 0, "drop").otherwise("keep").as("verdict"))
+  }
+}

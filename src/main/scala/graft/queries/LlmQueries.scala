@@ -1797,6 +1797,85 @@ object LlmQueries {
        |FROM v""".stripMargin
   }
 
+  // ---- secrets/credential scanning (operators/Secrets) ----
+
+  /** Secrets scan over closed-form injections: doc_id%7 plants one
+    * family per residue — AWS key (0), GitHub token (1), PEM header
+    * (2, alternating RSA/plain variants by %14), JWT (3), a
+    * high-entropy quoted literal (4), and the NEAR-MISS a bare-regex
+    * scanner would convict: a 24-char low-entropy quoted run (5 —
+    * candidate counted, entropy gate holds it at zero hits). Residue
+    * 6 stays clean. The oracle replays extraction with the same
+    * RE2-safe patterns AND the quantized entropy census (the
+    * q_char_entropy idiom per candidate), so a pattern slip, a
+    * quantization drift, or a broken gate each bend a count. */
+  def qSecretScan(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    def pad(n: Int, c: Column = col("doc_id")): Column =
+      lpad(c.cast("string"), n, "0")
+    val tail = when(i % 7 === 0,
+        concat(lit(" key=AKIA"), pad(16), lit(" used")))
+      .when(i % 7 === 1,
+        concat(lit(" token ghp_"), pad(36), lit(" sent")))
+      .when(i % 7 === 2,
+        concat(lit(" -----BEGIN "),
+          when(i % 14 === 2, "RSA ").otherwise(""), lit("PRIVATE KEY-----")))
+      .when(i % 7 === 3,
+        concat(lit(" bearer eyJhb"), pad(8), lit(".eyJzd"), pad(8),
+          lit(".SgnKx"), pad(8), lit(" ok")))
+      .when(i % 7 === 4,
+        concat(lit(" secret=\"q8Zw3Xv6Kp2RtYu4Mn7J"), pad(4, i % 1000),
+          lit("\" set")))
+      .when(i % 7 === 5, lit(" note=\"aaaaaaaaaaaaaaaaaaaaaaaa\" end"))
+      .otherwise(lit(""))
+    graft.operators.Secrets.secretScan(Tables(spark, dir).documents
+      .select(i, concat(col("text"), tail).as("text")))
+  }
+
+  val qSecretScanSql: String = {
+    import graft.operators.Secrets._
+    // DuckDB single-quoted literals keep backslashes verbatim (the
+    // Scala pattern drops in unchanged); only the quote chars in the
+    // literal-candidate pattern need SQL doubling
+    def q(p: String): String = p.replace("'", "''")
+    s"""WITH d AS (SELECT doc_id, text || CASE doc_id % 7
+       |    WHEN 0 THEN ' key=AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') || ' used'
+       |    WHEN 1 THEN ' token ghp_' || lpad(CAST(doc_id AS VARCHAR), 36, '0') || ' sent'
+       |    WHEN 2 THEN ' -----BEGIN ' || CASE WHEN doc_id % 14 = 2 THEN 'RSA ' ELSE '' END || 'PRIVATE KEY-----'
+       |    WHEN 3 THEN ' bearer eyJhb' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.eyJzd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.SgnKx' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ' ok'
+       |    WHEN 4 THEN ' secret="q8Zw3Xv6Kp2RtYu4Mn7J' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || '" set'
+       |    WHEN 5 THEN ' note="aaaaaaaaaaaaaaaaaaaaaaaa" end'
+       |    ELSE '' END AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${q(AwsKeyPattern)}')) AS BIGINT) AS n_aws,
+       |    CAST(len(regexp_extract_all(text, '${q(GithubTokenPattern)}')) AS BIGINT) AS n_github,
+       |    CAST(len(regexp_extract_all(text, '${q(PemKeyPattern)}')) AS BIGINT) AS n_pem,
+       |    CAST(len(regexp_extract_all(text, '${q(JwtPattern)}')) AS BIGINT) AS n_jwt,
+       |    regexp_extract_all(text, '${q(QuotedLiteralPattern)}') AS lits
+       |  FROM d),
+       |l AS (SELECT doc_id, t.i AS li,
+       |    substr(lits[t.i], 2, len(lits[t.i]) - 2) AS s
+       |  FROM c, unnest(generate_series(1, len(lits))) t(i)),
+       |ch AS (SELECT doc_id, li,
+       |    unnest(regexp_extract_all(s, '(?s).', 0)) AS cc FROM l),
+       |cnt AS (SELECT doc_id, li, cc, CAST(count(*) AS BIGINT) AS k
+       |  FROM ch GROUP BY 1, 2, 3),
+       |hq AS (SELECT doc_id, li, CAST(sum(k) AS BIGINT) AS n_cp,
+       |    CAST(sum(CAST(floor(k * ln(k) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM cnt GROUP BY 1, 2),
+       |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh FROM hq
+       |  WHERE floor((ln(n_cp) - sq / 1e6 / n_cp) * 1e6 + 0.5) / 1e6 >= $EntropyGate
+       |  GROUP BY 1)
+       |SELECT c.doc_id, n_aws, n_github, n_pem, n_jwt,
+       |  CAST(len(lits) AS BIGINT) AS n_entropy_cand,
+       |  coalesce(nh, 0) AS n_entropy_hits,
+       |  n_aws + n_github + n_pem + n_jwt + coalesce(nh, 0) AS n_secrets,
+       |  CASE WHEN n_aws + n_github + n_pem + n_jwt + coalesce(nh, 0) > 0
+       |    THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM c LEFT JOIN hit ON c.doc_id = hit.doc_id""".stripMargin
+  }
+
   // ---- content-type dispatch by magic bytes (sources/Magic) ----
 
   /** Format autodetection over a genuinely mixed bucket: every payload
