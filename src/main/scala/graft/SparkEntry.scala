@@ -295,6 +295,9 @@ object SparkEntry {
     "q_card_scan" -> (L.qCardScan _),
     // secrets/credential scan: AWS/GitHub/PEM/JWT + entropy-gated literals
     "q_secret_scan" -> (L.qSecretScan _),
+    // unigram-LM (SentencePiece-style) tokenizer: trainer trajectory + encoder
+    "q_unigram_train" -> (L.qUnigramTrain _),
+    "q_unigram_encode" -> (L.qUnigramEncode _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -511,6 +514,8 @@ object SparkEntry {
     "q_format_detect" -> L.qFormatDetectSql,
     "q_card_scan" -> L.qCardScanSql,
     "q_secret_scan" -> L.qSecretScanSql,
+    "q_unigram_train" -> L.qUnigramTrainSql,
+    "q_unigram_encode" -> L.qUnigramEncodeSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram-LM (SentencePiece-style) tokenizer trainer + encoder — the
+  * OTHER production tokenizer family next to BPE: a vocabulary of
+  * variable-length pieces with log-probability scores, where encoding
+  * is the max-likelihood (Viterbi) segmentation of each word rather
+  * than BPE's greedy merge replay. Pipelines shipping T5/Llama-style
+  * tokenizers train exactly this shape.
+  *
+  * The trainer here is the word-bounded variant with VITERBI E-steps
+  * (hard EM): seed a candidate vocabulary from frequent substrings,
+  * then per round segment every distinct word under the current
+  * scores and re-estimate scores from the winning segmentations'
+  * piece counts (add-1 smoothed), finally prune to the target size.
+  * SentencePiece's soft EM (forward-backward expected counts) and
+  * sentence-level pieces are deliberately out of scope — hard EM on
+  * word-bounded pieces keeps every E-step value an INTEGER, which is
+  * what makes the whole k-round trajectory replay cross-engine (the
+  * perceptron sigmoid-free doctrine).
+  *
+  * Determinism contract (every step engine-exact):
+  *   - scores live on a fixed-point long grid:
+  *     floor(ln(c+1 / C+V)·1e6 + 0.5) — the unigramLogprob idiom;
+  *     DP totals are integer SUMS of those longs;
+  *   - the DP argmax tie-break is total: highest total, then LONGEST
+  *     piece (candidates scanned longest-first with strict >);
+  *   - seeding and pruning use total orders (weight/count desc,
+  *     piece asc) — the top-k census rule;
+  *   - unknown characters (absent from the vocab) segment as
+  *     single-char pieces at [[UnknownScore]] — a floor low enough
+  *     that any in-vocab alternative wins, high enough that a
+  *     9M-char pathological "word" stays inside long range.
+  *
+  * Scale shape: training operates on the DISTINCT-WORD frequency
+  * table (one corpus tokenize + aggregate — vocabulary-scale, never
+  * corpus-scale, persisted across rounds); each E-step is ONE
+  * distributed mapPartitions pass over that table with the
+  * model-sized score map broadcast (the k-means codebook pattern);
+  * every collect is model-sized. Words longer than `maxWordLen` are
+  * EXCLUDED from training (rare garbage dominates long tails;
+  * SentencePiece's max-sentence-length plays the same role) — the
+  * encoder still handles any length. The per-word DP is a genuine
+  * sequential recurrence over positions with no Catalyst equivalent
+  * (the bpeEncode/phraseFilter kernel-altitude justification); the
+  * oracle replays it as a recursive-CTE DP + backpointer walk.
+  */
+object Unigram {
+
+  /** Score assumed for a piece absent from the vocabulary (unknown
+    * single chars): low enough that in-vocab candidates always win a
+    * position, high enough that ~9M consecutive unknown chars stay
+    * inside long range. */
+  val UnknownScore: Long = -1000000000000L
+
+  /** Viterbi-best segmentation of `word` under quantized piece
+    * scores. Returns pieces in order. Shared by the trainer's E-step
+    * and [[unigramEncode]] — composition parity by construction. */
+  def viterbiSegment(word: String, scores: java.util.HashMap[String, java.lang.Long],
+                     maxPieceLen: Int): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bestT = Long.MinValue
+      var bestI = j - 1
+      // longest candidate first + strict > == highest total then
+      // longest piece (must match the oracle's CASE order exactly)
+      var len = math.min(maxPieceLen, j)
+      while (len >= 1) {
+        val i = j - len
+        val s = scores.get(word.substring(i, j))
+        // unknown fallback exists ONLY at len 1 (a multi-char piece
+        // absent from the vocab is not a candidate) — unknown runs
+        // segment as single chars, matching the oracle's NULL t2/t3
+        if (s != null || len == 1) {
+          val t = best(i) + (if (s == null) UnknownScore else s.longValue())
+          if (t > bestT) { bestT = t; bestI = i }
+        }
+        len -= 1
+      }
+      best(j) = bestT; bp(j) = bestI
+      j += 1
+    }
+    var pos = n
+    var k = 0
+    while (pos > 0) { k += 1; pos = bp(pos) }
+    val out = new Array[String](k)
+    pos = n
+    while (pos > 0) { k -= 1; out(k) = word.substring(bp(pos), pos); pos = bp(pos) }
+    out
+  }
+
+  /** floor(ln((c+1)/(C+V))·1e6+0.5) — the quantized add-1 M-step
+    * score. Both engines: one IEEE double division, one libm ln, one
+    * quantization (ln parity at the 1e-6 grid is the validated
+    * unigramLogprob precedent). */
+  private def mScore(c: Long, total: Long, vocabSize: Long): Long =
+    math.floor(math.log((c + 1).toDouble / (total + vocabSize).toDouble) * 1e6 + 0.5).toLong
+
+  /** Distinct-word frequency table of the corpus, bounded to
+    * training-eligible lengths. */
+  private def wordFreqs(docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
+    docs.select(explode(graft.functions.Portable.words(col(textCol))).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** One distributed Viterbi E-step: segment every distinct word
+    * under `scores`, return freq-weighted piece counts (model-sized
+    * collect). */
+  private def eStep(words: DataFrame, scores: Map[String, Long],
+                    maxPieceLen: Int): Map[String, Long] = {
+    val spark = words.sparkSession
+    val bc = spark.sparkContext.broadcast(scores)
+    val schema = StructType(Seq(
+      StructField("piece", StringType), StructField("n", LongType)))
+    val pieces = spark.createDataFrame(
+      words.select(col("word"), col("freq")).rdd.mapPartitions { rows =>
+        val m = new java.util.HashMap[String, java.lang.Long]()
+        bc.value.foreach { case (k, v) => m.put(k, v) }
+        rows.flatMap { r =>
+          val f = r.getLong(1)
+          viterbiSegment(r.getString(0), m, maxPieceLen).iterator
+            .map(p => Row(p, f))
+        }
+      }, schema)
+    pieces.groupBy("piece").agg(sum(col("n")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Train a unigram-LM vocabulary. Returns the writable MODEL FRAME
+    * (rank, piece, cnt, score_q): all single characters of the
+    * training words plus the top `targetMulti` multi-char pieces by
+    * final E-step count; scores are the add-1 quantized estimates
+    * over the PRUNED set (one final renormalizing M-step). `rank` is
+    * the (cnt desc, piece asc) total order. */
+  def unigramTrain(docs: DataFrame, seedMulti: Int, targetMulti: Int,
+                   emIters: Int, maxPieceLen: Int = 3, maxWordLen: Int = 10,
+                   textCol: String = "text"): DataFrame = {
+    require(emIters >= 1 && seedMulti >= targetMulti && maxPieceLen >= 2)
+    val spark = docs.sparkSession
+    val words = wordFreqs(docs, textCol, maxWordLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- seed: all single chars + top multi-char substrings ----
+      val subs = words
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("s"))
+        .select(col("word"), col("freq"), col("s"),
+          explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+        .where(col("s") + col("l") - 1 <= length(col("word")))
+        .select(expr("substr(word, s, l)").as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val chars: Seq[(String, Long)] = subs.where(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val multiSeed: Seq[(String, Long)] = subs.where(length(col("piece")) >= 2)
+        .orderBy(col("w").desc, col("piece").asc).limit(seedMulti)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      subs.unpersist(blocking = false)
+      val charSet = chars.map(_._1).toSet
+      val seedW = chars ++ multiSeed
+      val totW = seedW.map(_._2).sum
+      var scores: Map[String, Long] = seedW.map { case (p, w) =>
+        p -> math.floor(math.log(w.toDouble / totW.toDouble) * 1e6 + 0.5).toLong
+      }.toMap
+      // ---- hard-EM rounds ----
+      var counts: Map[String, Long] = Map.empty
+      var r = 1
+      while (r <= emIters) {
+        counts = eStep(words, scores, maxPieceLen)
+        if (r < emIters) {
+          // retained = every single char (count or 0) + counted multi
+          val retained = chars.map { case (p, _) => p -> counts.getOrElse(p, 0L) } ++
+            counts.toSeq.filter { case (p, _) => p.length >= 2 }
+          val c = retained.map(_._2).sum
+          val v = retained.size.toLong
+          scores = retained.map { case (p, n) => p -> mScore(n, c, v) }.toMap
+        }
+        r += 1
+      }
+      // ---- prune to target + final renormalizing M-step ----
+      val multiFinal = counts.toSeq
+        .filter { case (p, _) => p.length >= 2 }
+        .sortWith { case ((p1, c1), (p2, c2)) =>
+          if (c1 != c2) c1 > c2 else TextAnalysis.utf8Less(p1, p2) }
+        .take(targetMulti)
+      val fin = chars.map { case (p, _) => p -> counts.getOrElse(p, 0L) } ++ multiFinal
+      val cf = fin.map(_._2).sum
+      val vf = fin.size.toLong
+      val model = fin.map { case (p, n) => (p, n, mScore(n, cf, vf)) }
+        .sortWith { case ((p1, c1, _), (p2, c2, _)) =>
+          if (c1 != c2) c1 > c2 else TextAnalysis.utf8Less(p1, p2) }
+        .zipWithIndex
+        .map { case ((p, n, s), i) => (i.toLong + 1, p, n, s) }
+      import spark.implicits._
+      model.toDF("rank", "piece", "cnt", "score_q")
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** Rebuild the score map from a model frame (model-sized collect —
+    * the mergesFromFrame precedent). */
+  def scoresFromFrame(frame: DataFrame): Map[String, Long] =
+    frame.select(col("piece"), col("score_q").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Viterbi-encode the corpus under a trained model frame: one row
+    * per (doc_id, pos, piece), pos the per-doc running piece index.
+    * The model broadcasts; the corpus side is one partition-local
+    * pass with a per-partition DISTINCT-WORD memo (corpora are
+    * Zipfian — the bpeEncode lesson), no shuffle. Words of ANY length
+    * encode (the training length bound does not apply); unknown
+    * characters come out as single-char pieces. */
+  def unigramEncode(docs: DataFrame, modelFrame: DataFrame,
+                    id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val scores = scoresFromFrame(modelFrame)
+    val maxPieceLen = math.max(1, scores.keysIterator.map(_.length).max)
+    val bc = spark.sparkContext.broadcast(scores)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("pos", LongType),
+      StructField("piece", StringType)))
+    spark.createDataFrame(
+      docs.select(col(id).cast("long"), graft.functions.Portable.words(col(textCol)).as("w"))
+        .where(col("w").isNotNull)
+        .rdd.mapPartitions { rows =>
+          val m = new java.util.HashMap[String, java.lang.Long]()
+          bc.value.foreach { case (k, v) => m.put(k, v) }
+          val memo = new java.util.HashMap[String, Array[String]]()
+          rows.flatMap { r =>
+            val docId = r.getLong(0)
+            var pos = -1L
+            r.getSeq[String](1).iterator.filter(_.nonEmpty).flatMap { w =>
+              var enc = memo.get(w)
+              if (enc == null) { enc = viterbiSegment(w, m, maxPieceLen); memo.put(w, enc) }
+              enc.iterator.map { p => pos += 1; Row(docId, pos, p) }
+            }
+          }
+        }, schema)
+  }
+}

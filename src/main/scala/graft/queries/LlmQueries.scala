@@ -3525,6 +3525,170 @@ object LlmQueries {
   /** Same expected output as the local path — the whole point. */
   val qBpeTrainDistSql: String = qBpeTrainSql
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer, train + encode ----
+
+  /** Generates the recursive-CTE Viterbi replay over `wordsCte`(word)
+    * under `vocabCte`(piece, sc): DP blocks `{p}dp`/`{p}df` and the
+    * backpointer walk `{p}wk`(word, pos, st, piece) whose non-NULL
+    * piece rows are the max-likelihood segmentation (st = 1-based
+    * char start). Mirrors Unigram.viterbiSegment EXACTLY: candidates
+    * longest-first with >= (== the kernel's longest-first strict >),
+    * multi-char pieces absent from the vocab are NOT candidates
+    * (t2/t3 NULL), unknown single chars score UnknownScore. One
+    * generator serves the trainer (one call per EM round) and the
+    * encoder — the Percentile.refined one-block-per-round doctrine.
+    * maxPieceLen is fixed at 3 (the gated queries' setting). */
+  private def viterbiSqlBlocks(p: String, wordsCte: String, vocabCte: String): String = {
+    val neg = graft.operators.Unigram.UnknownScore
+    s"""${p}dp(word, j, bests, bps) AS (
+       |  SELECT word, 0, [CAST(0 AS BIGINT)], [CAST(0 AS INT)] FROM $wordsCte
+       |  UNION ALL
+       |  SELECT word, j + 1,
+       |    list_append(bests, CASE
+       |      WHEN t3 IS NOT NULL AND (t2 IS NULL OR t3 >= t2) AND t3 >= t1 THEN t3
+       |      WHEN t2 IS NOT NULL AND t2 >= t1 THEN t2 ELSE t1 END),
+       |    list_append(bps, CASE
+       |      WHEN t3 IS NOT NULL AND (t2 IS NULL OR t3 >= t2) AND t3 >= t1 THEN j - 2
+       |      WHEN t2 IS NOT NULL AND t2 >= t1 THEN j - 1 ELSE j END)
+       |  FROM (
+       |    SELECT d.word, d.j, d.bests, d.bps,
+       |      d.bests[d.j + 1] + coalesce(s1.sc, $neg) AS t1,
+       |      CASE WHEN d.j >= 1 AND s2.sc IS NOT NULL
+       |        THEN d.bests[d.j] + s2.sc END AS t2,
+       |      CASE WHEN d.j >= 2 AND s3.sc IS NOT NULL
+       |        THEN d.bests[d.j - 1] + s3.sc END AS t3
+       |    FROM ${p}dp d
+       |    LEFT JOIN $vocabCte s1 ON s1.piece = substr(d.word, d.j + 1, 1)
+       |    LEFT JOIN $vocabCte s2 ON d.j >= 1 AND s2.piece = substr(d.word, d.j, 2)
+       |    LEFT JOIN $vocabCte s3 ON d.j >= 2 AND s3.piece = substr(d.word, d.j - 1, 3)
+       |    WHERE d.j < length(d.word)
+       |  )
+       |),
+       |${p}df AS (SELECT word, bps FROM ${p}dp WHERE j = length(word)),
+       |${p}wk(word, pos, st, piece) AS (
+       |  SELECT word, length(word), CAST(NULL AS INT), CAST(NULL AS VARCHAR) FROM ${p}df
+       |  UNION ALL
+       |  SELECT w.word, d.bps[w.pos + 1], d.bps[w.pos + 1] + 1,
+       |    substr(w.word, d.bps[w.pos + 1] + 1, w.pos - d.bps[w.pos + 1])
+       |  FROM ${p}wk w JOIN ${p}df d USING (word) WHERE w.pos > 0
+       |)""".stripMargin
+  }
+
+  private val UnigramSeedMulti = 40
+  private val UnigramTargetMulti = 24
+  private val UnigramEmIters = 2
+  private val UnigramMaxWordLen = 10
+
+  /** The unigram-LM TRAINER inside the oracle gate: seed vocabulary
+    * from frequent substrings (all single chars + the top
+    * [[UnigramSeedMulti]] multi-char pieces, weight desc / piece asc),
+    * two hard-EM rounds (Viterbi segment every distinct word, re-score
+    * from add-1-smoothed winning-piece counts on the quantized-long
+    * grid), prune to [[UnigramTargetMulti]] multi pieces, final
+    * renormalizing M-step. The oracle replays the WHOLE trajectory —
+    * substring census, QUALIFY seed cut, one recursive DP+walk per EM
+    * round, the smoothed re-scoring, the pruning total order — so a
+    * tie-break slip, a smoothing drift, or an unknown-piece leak
+    * anywhere in the loop changes the emitted vocabulary. */
+  def qUnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.unigramTrain(Tables(spark, dir).documents,
+      seedMulti = UnigramSeedMulti, targetMulti = UnigramTargetMulti,
+      emIters = UnigramEmIters, maxPieceLen = 3, maxWordLen = UnigramMaxWordLen)
+
+  val qUnigramTrainSql: String =
+    s"""WITH RECURSIVE
+       |ws AS (SELECT ${wordsSql("text")} AS w FROM documents),
+       |tok AS (SELECT unnest(w) AS word FROM ws),
+       |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
+       |  WHERE length(word) BETWEEN 1 AND $UnigramMaxWordLen GROUP BY 1),
+       |uw AS (SELECT word FROM wf),
+       |sub AS (SELECT substr(word, t.s, u.l) AS piece, CAST(sum(freq) AS BIGINT) AS w
+       |  FROM wf, unnest(generate_series(1, length(word))) t(s),
+       |       unnest(generate_series(1, 3)) u(l)
+       |  WHERE t.s + u.l - 1 <= length(word) GROUP BY 1),
+       |ch AS MATERIALIZED (SELECT piece, w FROM sub WHERE length(piece) = 1),
+       |mseed AS (SELECT piece, w FROM sub WHERE length(piece) >= 2
+       |  QUALIFY row_number() OVER (ORDER BY w DESC, piece ASC) <= $UnigramSeedMulti),
+       |seed AS (SELECT piece, w FROM ch UNION ALL SELECT piece, w FROM mseed),
+       |v0 AS MATERIALIZED (SELECT piece,
+       |    CAST(floor(ln(w / tw) * 1e6 + 0.5) AS BIGINT) AS sc
+       |  FROM seed, (SELECT CAST(sum(w) AS BIGINT) AS tw FROM seed)),
+       |${viterbiSqlBlocks("a", "uw", "v0")},
+       |c1 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM awk k JOIN wf USING (word) WHERE k.piece IS NOT NULL GROUP BY 1),
+       |r1 AS MATERIALIZED (SELECT ch.piece, coalesce(c1.c, 0) AS c
+       |    FROM ch LEFT JOIN c1 ON ch.piece = c1.piece
+       |  UNION ALL SELECT piece, c FROM c1 WHERE length(piece) >= 2),
+       |v1 AS MATERIALIZED (SELECT piece,
+       |    CAST(floor(ln((c + 1) / (ct + nv)) * 1e6 + 0.5) AS BIGINT) AS sc
+       |  FROM r1, (SELECT CAST(sum(c) AS BIGINT) AS ct,
+       |            CAST(count(*) AS BIGINT) AS nv FROM r1)),
+       |${viterbiSqlBlocks("b", "uw", "v1")},
+       |c2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM bwk k JOIN wf USING (word) WHERE k.piece IS NOT NULL GROUP BY 1),
+       |fin AS MATERIALIZED (SELECT ch.piece, coalesce(c2.c, 0) AS c
+       |    FROM ch LEFT JOIN c2 ON ch.piece = c2.piece
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+       |    FROM c2 WHERE length(piece) >= 2) WHERE rk <= $UnigramTargetMulti)
+       |SELECT CAST(row_number() OVER (ORDER BY f.c DESC, f.piece ASC) AS BIGINT) AS rank,
+       |  f.piece, f.c AS cnt,
+       |  CAST(floor(ln((f.c + 1) / (t.ct + t.nv)) * 1e6 + 0.5) AS BIGINT) AS score_q
+       |FROM fin f, (SELECT CAST(sum(c) AS BIGINT) AS ct,
+       |             CAST(count(*) AS BIGINT) AS nv FROM fin) t""".stripMargin
+
+  /** Fixed unigram vocabulary for the ENCODE gate (the BpeMerges
+    * pattern: a hand-built model so the gate isolates the ENCODER).
+    * Lowercase letters (closed-form score ramp) + common English
+    * pieces whose scores make multi-char wins genuinely contested
+    * ('the' beats 'th'+'e' beats 't'+'h'+'e'; 'ing' beats 'in'+'g').
+    * Uppercase/digits/punctuation are deliberately ABSENT — unknown
+    * chars must come out as single-char UnknownScore pieces. */
+  val UnigramFixedVocab: Seq[(String, Long)] =
+    ('a' to 'z').zipWithIndex.map { case (c, k) =>
+      c.toString -> (-2600000L - 40000L * k)
+    } ++ Seq(
+      "th" -> -4000000L, "the" -> -4500000L, "er" -> -4100000L,
+      "in" -> -4300000L, "an" -> -4200000L, "re" -> -5200000L,
+      "on" -> -4400000L, "at" -> -4500000L, "en" -> -4600000L,
+      "ing" -> -5200000L, "ion" -> -5300000L, "ed" -> -4700000L,
+      "es" -> -4800000L, "nd" -> -4900000L, "st" -> -5000000L)
+
+  /** Viterbi ENCODE of the corpus under [[UnigramFixedVocab]], routed
+    * through the writable model frame (the qBpeEncode shippable-model
+    * path): one row per (doc, piece position). The oracle replays the
+    * DP + walk over the distinct-word table and joins segmentations
+    * back to word occurrences — any kernel slip (tie-break, unknown
+    * handling, memo aliasing) bends a piece somewhere in the corpus. */
+  def qUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frame = UnigramFixedVocab.zipWithIndex
+      .map { case ((p, s), i) => (i.toLong + 1, p, 0L, s) }
+      .toDF("rank", "piece", "cnt", "score_q")
+    graft.operators.Unigram.unigramEncode(Tables(spark, dir).documents, frame)
+  }
+
+  val qUnigramEncodeSql: String = {
+    val values = UnigramFixedVocab
+      .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |v(piece, sc) AS MATERIALIZED (SELECT * FROM (VALUES $values) t(piece, sc)),
+       |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS wi FROM ws),
+       |dw AS (SELECT doc_id, wi, w[wi] AS word FROM ix WHERE length(w[wi]) > 0),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |${viterbiSqlBlocks("e", "uw", "v")},
+       |seg AS (SELECT word, piece,
+       |    row_number() OVER (PARTITION BY word ORDER BY st) AS si
+       |  FROM ewk WHERE piece IS NOT NULL)
+       |SELECT d.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.si) - 1
+       |    AS BIGINT) AS pos,
+       |  s.piece
+       |FROM dw d JOIN seg s USING (word)""".stripMargin
+  }
+
   // ---- PII scrubbing (Dolma-style masking) ----
 
   /** PII masking, oracle-gated like qImageDecode: the corpus carries no

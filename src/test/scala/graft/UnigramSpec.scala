@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM trainer/encoder edges beyond the gated fixtures:
+  * Viterbi tie-breaks, unknown-char handling, trainer invariants
+  * (char coverage, prune bound, rank total order), and the
+  * shippable-model contract (parquet round-trip byte parity).
+  * Cross-engine trajectory parity is q_unigram_train's oracle. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def m(kv: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+    val h = new java.util.HashMap[String, java.lang.Long]()
+    kv.foreach { case (k, v) => h.put(k, v) }
+    h
+  }
+
+  test("viterbi picks the max-score segmentation, not greedy longest") {
+    // 'the' as one piece wins when its score beats the compositions
+    val best = m("t" -> -3L, "h" -> -4L, "e" -> -2L, "th" -> -5L, "the" -> -6L)
+    assert(Unigram.viterbiSegment("the", best, 3).toSeq === Seq("the"))
+    // make the composition cheaper: th+e (-5 + -2 = -7) beats the (-8)
+    val comp = m("t" -> -3L, "h" -> -4L, "e" -> -2L, "th" -> -5L, "the" -> -8L)
+    assert(Unigram.viterbiSegment("the", comp, 3).toSeq === Seq("th", "e"))
+  }
+
+  test("equal totals break toward the LONGEST piece (the oracle's CASE order)") {
+    // 'ab' as one piece vs 'a'+'b': both total -6
+    val v = m("a" -> -3L, "b" -> -3L, "ab" -> -6L)
+    assert(Unigram.viterbiSegment("ab", v, 3).toSeq === Seq("ab"))
+  }
+
+  test("unknown chars segment as single chars; unknown MULTI pieces are not candidates") {
+    val v = m("a" -> -3L, "b" -> -3L)
+    // 'xy' entirely unknown -> two single-char pieces, never one 'xy'
+    assert(Unigram.viterbiSegment("xy", v, 3).toSeq === Seq("x", "y"))
+    // mixed: known chars still win around the unknown
+    assert(Unigram.viterbiSegment("axb", v, 3).toSeq === Seq("a", "x", "b"))
+    // a long unknown run stays within long range (no overflow)
+    assert(Unigram.viterbiSegment("z" * 500, v, 3).length === 500)
+  }
+
+  test("trainer: char coverage is total, multi pieces respect the prune bound, rank is a total order") {
+    val docs = Seq.fill(40)("the cat sat on the mat the end") ++
+      Seq.fill(10)("dogs and cats and dogs")
+    val model = Unigram.unigramTrain(docs.zipWithIndex.map(_.swap).toDF("doc_id", "text"),
+      seedMulti = 20, targetMulti = 8, emIters = 2)
+    val rows = model.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pieces = rows.map(_._2)
+    val chars = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .flatMap(_.toCharArray.map(_.toString)).toSet
+    assert(chars.subsetOf(pieces.toSet), "every corpus char survives pruning")
+    assert(pieces.count(_.length >= 2) <= 8)
+    // rank = (cnt desc, piece asc), 1-based, dense
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    assert(rows.sortBy(r => (-r._3, r._2)).map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    // frequent corpus pieces actually got learned
+    assert(pieces.contains("the"), s"expected 'the' in ${pieces.mkString(",")}")
+  }
+
+  test("model frame round-trips through parquet; encode is byte-identical (shippable model)") {
+    val train = Seq((1L, "the cat sat"), (2L, "dogs and cats")).toDF("doc_id", "text")
+    val docs = Seq((1L, "the cat sat"), (2L, "dogs and cats"), (3L, "THE Cat 99"))
+      .toDF("doc_id", "text")
+    val model = Unigram.unigramTrain(train, seedMulti = 12, targetMulti = 6, emIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    model.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val a = Unigram.unigramEncode(docs, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    val b = Unigram.unigramEncode(docs, back).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    // uppercase/digits are unknown to a lowercase-corpus model ->
+    // they surface as single-char pieces, never vanish
+    val doc3 = a.filter(_._1 == 3L).map(_._3)
+    assert(doc3.contains("T") && doc3.contains("9"))
+  }
+
+  test("encode positions are a dense per-doc 0-based sequence in word order") {
+    val v = ('a' to 'z').map(c => c.toString -> -3000000L) ++
+      Seq("he" -> -5000000L, "the" -> -6000000L)
+    val frame = v.zipWithIndex.map { case ((p, s), i) => (i.toLong, p, 0L, s) }
+      .toDF("rank", "piece", "cnt", "score_q")
+    val out = Unigram.unigramEncode(
+      Seq((7L, "the he ab")).toDF("doc_id", "text"), frame).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(0L -> "the", 1L -> "he", 2L -> "a", 3L -> "b"))
+  }
+}
