@@ -298,6 +298,8 @@ object SparkEntry {
     // unigram-LM (SentencePiece-style) tokenizer: trainer trajectory + encoder
     "q_unigram_train" -> (L.qUnigramTrain _),
     "q_unigram_encode" -> (L.qUnigramEncode _),
+    // mergeable IVF index: merge(half, half) replays the whole-corpus SemDedup
+    "q_ivf_index_merge" -> (L.qIvfIndexMerge _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -516,6 +518,7 @@ object SparkEntry {
     "q_secret_scan" -> L.qSecretScanSql,
     "q_unigram_train" -> L.qUnigramTrainSql,
     "q_unigram_encode" -> L.qUnigramEncodeSql,
+    "q_ivf_index_merge" -> L.qIvfIndexMergeSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

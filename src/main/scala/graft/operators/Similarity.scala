@@ -211,11 +211,25 @@ object Similarity {
     * k so corpus_size/k stays in the 10³-10⁴ range and each bucket's
     * O(b²) verify stays bounded. */
   def semanticDedup(vectors: DataFrame, centroids: Seq[Array[Float]],
-                    threshold: Double): DataFrame = {
+                    threshold: Double): DataFrame =
+    semanticVerdicts(
+      ivfAssign(vectors, "embedding", centroids)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+          col("embedding")),
+      threshold)
+
+  /** The within-bucket pair census + keep verdict over an ALREADY
+    * ASSIGNED (vec_id, bucket, embedding) frame — shared by
+    * [[semanticDedup]] (assigns inline) and [[semanticDedupIndexed]]
+    * (reads a persisted [[IvfIndex]]), so index-path output is
+    * byte-identical to the inline path by construction. */
+  private def semanticVerdicts(assignments: DataFrame,
+                               threshold: Double): DataFrame = {
     // persisted: both self-join sides and the verdict join scan the
     // assignment (cache lifecycle owned by the caller, like Dedup's)
-    val assigned = ivfAssign(vectors, "embedding", centroids)
-      .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("embedding"))
+    val assigned = assignments
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.select(col("vec_id"), col("bucket"), col("embedding").as("emb_a"))
       .join(assigned.select(col("vec_id").as("nbr"), col("bucket"), col("embedding").as("emb_b")),
@@ -229,6 +243,80 @@ object Similarity {
         when(col("dup_of").isNull, 1L).otherwise(0L).as("keep"),
         col("dup_of"))
   }
+
+  /** Writable/mergeable IVF (semantic) index under a FIXED coarse
+    * codebook — the persisted half the ANN/SemDedup family was
+    * missing (MinHash and span indexes already merge; this closes the
+    * ingest loop for embeddings). Two frames, both parquet-writable:
+    *
+    *   - `assignments` (vec_id, bucket, embedding): one row per
+    *     indexed vector, bucket from [[ivfAssign]] under the shared
+    *     codebook. In production this is the partition key — write
+    *     bucketed by `bucket` and probes co-locate without a shuffle.
+    *   - `stats` (bucket, qsum array<long>, n): per-bucket
+    *     FIXED-POINT element sums ([[FloatVecQuantSumAgg]]) + counts.
+    *     Keeping the integer sums (not the float means) is what makes
+    *     the MERGE exact: sums re-aggregate by elementwise long
+    *     addition — commutative, layout-independent, bit-identical to
+    *     a rebuild — and refreshed centroid means derive from the
+    *     merged sums via the same one-division chain Lloyd's uses.
+    *
+    * The mergeable-index doctrine (r16): assignments merge by
+    * DISJOINT-ID APPEND, stats by re-aggregation — so
+    * merge(build(A), build(B)) == build(A ∪ B) frame-for-frame, and
+    * the gated proof replays q_dedup_semantic's oracle verbatim
+    * against merge(half, half). */
+  case class IvfIndex(assignments: DataFrame, stats: DataFrame)
+
+  /** Build an [[IvfIndex]] for a batch of vectors under a fixed
+    * codebook. One corpus pass: assignment is zero-shuffle codegen
+    * probes; stats is ONE map-side-combinable shuffle of k×partitions
+    * long[dim] buffers (the kmeansIterate aggregate, kept as a frame
+    * instead of collected). */
+  def buildIvfIndex(vectors: DataFrame, centroids: Seq[Array[Float]]): IvfIndex = {
+    val assigned = ivfAssign(vectors, "embedding", centroids)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("embedding"))
+    IvfIndex(
+      assignments = assigned,
+      stats = assigned.groupBy(col("bucket"))
+        .agg(FloatVecQuantSumAgg.of(col("embedding")).as("qsum"),
+          count(lit(1)).as("n")))
+  }
+
+  /** Merge two indexes built under the SAME codebook over disjoint
+    * vec_id sets: append assignments, re-aggregate stats (elementwise
+    * long sums — exact, order-free). The stats side folds the ≤2
+    * per-bucket rows with a zip_with reduce; the frame is
+    * codebook-sized, so the HOF cost is nil. */
+  def mergeIvfIndexes(a: IvfIndex, b: IvfIndex): IvfIndex =
+    IvfIndex(
+      assignments = a.assignments.unionByName(b.assignments),
+      stats = a.stats.unionByName(b.stats)
+        .groupBy(col("bucket"))
+        .agg(collect_list(col("qsum")).as("__qs"), sum(col("n")).as("n"))
+        .select(col("bucket"),
+          aggregate(col("__qs"),
+            transform(element_at(col("__qs"), 1), _ => lit(0L)),
+            (acc, arr) => zip_with(acc, arr, _ + _)).as("qsum"),
+          col("n")))
+
+  /** Refreshed centroid means from index stats — the drift-tracking /
+    * codebook-refresh read: exactly Lloyd's mean step ((qsum/n)/Scale,
+    * 6-digit-rounded floats), so one more k-means round after an
+    * ingest merge starts from bit-identical state to a full retrain's
+    * aggregate. */
+  def ivfCentroidMeans(stats: DataFrame): DataFrame =
+    stats.select(col("bucket"),
+      transform(col("qsum"), q => Portable.roundp(
+        q.cast("double") / col("n").cast("double") / lit(FloatVecQuantSumAgg.Scale),
+        6).cast("float")).as("centroid"))
+
+  /** SemDedup verdicts straight off a persisted [[IvfIndex]] — the
+    * index-backed twin of [[semanticDedup]], byte-identical by shared
+    * implementation. */
+  def semanticDedupIndexed(index: IvfIndex, threshold: Double): DataFrame =
+    semanticVerdicts(index.assignments, threshold)
 
   /** Embedding near-dup for UNBLOCKED corpora: hyperplane-LSH buckets
     * play the block role. Near-duplicate vectors (cosine near 1) agree

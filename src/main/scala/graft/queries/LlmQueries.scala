@@ -2856,6 +2856,29 @@ object LlmQueries {
        |FROM fin LEFT JOIN du ON fin.vec_id = du.vec_id""".stripMargin
   }
 
+  /** The IVF-index MERGE half inside the gate (the q_dedup_index_merge
+    * doctrine applied to the semantic family): train ONE codebook on
+    * the whole corpus, build per-half [[Similarity.IvfIndex]]es over a
+    * disjoint vec_id split, MERGE them (assignment append + exact
+    * fixed-point stats re-aggregation), and run SemDedup off the
+    * merged index. The oracle is q_dedup_semantic's replay VERBATIM
+    * (whole-corpus inline assignment), so the hash gate IS the proof
+    * that merging semantic indexes equals rebuilding from the union —
+    * a dropped assignment row, a bucket bent in either half, or a
+    * duplicate from a non-disjoint append bends a verdict. The exact
+    * stats merge (qsum/n, refreshed means) is additionally spec-pinned
+    * bit-for-bit in IvfIndexSpec. */
+  def qIvfIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+    val codebook = Similarity.kmeansFit(v, k = KmeansK, iters = KmeansIters)
+    val merged = Similarity.mergeIvfIndexes(
+      Similarity.buildIvfIndex(v.where(col("vec_id") % 2 === 0), codebook),
+      Similarity.buildIvfIndex(v.where(col("vec_id") % 2 =!= 0), codebook))
+    Similarity.semanticDedupIndexed(merged, SemDedupThreshold)
+  }
+
+  lazy val qIvfIndexMergeSql: String = qDedupSemanticSql
+
   // ---- #31b Gopher-style repetition metrics ----
 
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame =

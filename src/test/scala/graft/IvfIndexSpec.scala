@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.FloatVecQuantSumAgg
+import org.apache.spark.sql.functions._
+
+/** Mergeable-IVF-index doctrine pins: merge(build(A), build(B)) must
+  * equal build(A ∪ B) BIT-FOR-BIT on both frames (assignments append,
+  * stats integer re-aggregation), refreshed means must match Lloyd's
+  * mean step, and the index must survive a parquet round-trip.
+  * The verdict-level merge==rebuild proof is q_ivf_index_merge's
+  * oracle (q_dedup_semantic replayed verbatim). */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic fixture: 3 tight groups around orthogonal-ish axes
+  private lazy val vectors = (0L until 60L).map { i =>
+    val g = (i % 3).toInt
+    val base = Array.fill(8)(0.05f * ((i % 7) - 3))
+    base(g * 2) = 1.0f + 0.01f * (i % 5)
+    (i, base.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  private lazy val codebook = Similarity.kmeansFit(vectors, k = 3, iters = 2)
+
+  private def statsMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+
+  test("merge(build(even), build(odd)) == build(all): assignments and stats bit-exact") {
+    val whole = Similarity.buildIvfIndex(vectors, codebook)
+    val merged = Similarity.mergeIvfIndexes(
+      Similarity.buildIvfIndex(vectors.where(col("vec_id") % 2 === 0), codebook),
+      Similarity.buildIvfIndex(vectors.where(col("vec_id") % 2 =!= 0), codebook))
+    val aw = whole.assignments.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val am = merged.assignments.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(am.toSeq === aw.toSeq, "disjoint-id append must reproduce every assignment")
+    assert(statsMap(merged.stats) === statsMap(whole.stats),
+      "fixed-point sums re-aggregate exactly — no float drift, any split")
+  }
+
+  test("refreshed centroid means off merged stats == Lloyd's mean step") {
+    val merged = Similarity.mergeIvfIndexes(
+      Similarity.buildIvfIndex(vectors.where(col("vec_id") % 2 === 0), codebook),
+      Similarity.buildIvfIndex(vectors.where(col("vec_id") % 2 =!= 0), codebook))
+    val means = Similarity.ivfCentroidMeans(merged.stats).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val lloyd = Similarity.kmeansIterate(vectors, codebook, 1)
+    for ((bucket, m) <- means)
+      assert(m === lloyd(bucket.toInt).toList,
+        s"bucket $bucket mean must equal the retrain aggregate bit-for-bit")
+  }
+
+  test("index survives parquet; indexed SemDedup == inline semanticDedup") {
+    val idx = Similarity.buildIvfIndex(vectors, codebook)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index")
+    idx.assignments.write.mode("overwrite").parquet(s"$dir/assign")
+    idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val back = Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/assign"), spark.read.parquet(s"$dir/stats"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1)
+    val inline = rows(Similarity.semanticDedup(vectors, codebook, 0.8))
+    val indexed = rows(Similarity.semanticDedupIndexed(back, 0.8))
+    assert(indexed.toSeq === inline.toSeq)
+    assert(inline.exists(_._3 == 0L), "fixture must actually produce duplicates")
+    assert(statsMap(back.stats) === statsMap(idx.stats))
+  }
+
+  test("merge where a bucket exists in only one half keeps that half's stats") {
+    // even half only: buckets of odd-only vectors must pass through
+    val even = Similarity.buildIvfIndex(vectors.where(col("vec_id") % 2 === 0), codebook)
+    val emptyIdx = Similarity.buildIvfIndex(vectors.where(lit(false)), codebook)
+    val merged = Similarity.mergeIvfIndexes(even, emptyIdx)
+    assert(statsMap(merged.stats) === statsMap(even.stats))
+    assert(merged.assignments.count() === even.assignments.count())
+  }
+}
