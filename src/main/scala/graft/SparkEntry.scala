@@ -300,6 +300,8 @@ object SparkEntry {
     "q_unigram_encode" -> (L.qUnigramEncode _),
     // mergeable IVF index: merge(half, half) replays the whole-corpus SemDedup
     "q_ivf_index_merge" -> (L.qIvfIndexMerge _),
+    // structured HTML table extraction (colspan grid + quarantine rows)
+    "q_table_extract" -> (L.qTableExtract _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -519,6 +521,7 @@ object SparkEntry {
     "q_unigram_train" -> L.qUnigramTrainSql,
     "q_unigram_encode" -> L.qUnigramEncodeSql,
     "q_ivf_index_merge" -> L.qIvfIndexMergeSql,
+    "q_table_extract" -> L.qTableExtractSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured HTML TABLE extraction — the standard path for tabular
+  * training data (extractHtmlText deliberately flattens `<table>` to
+  * prose; this operator keeps the grid): one output row per
+  * (doc, table, row, cell) with COLSPAN-aware grid columns, plus
+  * quarantine rows for tables the parser refuses (unclosed at EOF,
+  * nested deeper than the cap) — the Tar/BMFF quarantine-as-rows
+  * contract, so malformed markup is data, never an exception.
+  *
+  * Parsing contract (the subset real extractors agree on):
+  *   - `<table>` opens a context; table_idx is DOCUMENT ORDER of the
+  *     opening tags, depth the nesting level. Tables nested deeper
+  *     than `depthCap` parse (so their close is found) but emit ONLY
+  *     a `too_deep` quarantine row — the r15 recursion-cap lesson
+  *     (markup can nest a context per few bytes; the cap is
+  *     structural armor, sized far above real pages).
+  *   - `<tr>` advances the row (implicitly closing an open cell);
+  *     `<td>`/`<th>` open a cell at the current grid column; closing
+  *     tags are OPTIONAL (HTML's own rule) — a cell ends at the next
+  *     cell/row/table boundary. A cell before any `<tr>` lands in
+  *     row 0 (browser behavior).
+  *   - `colspan="n"` advances the grid cursor by n (clamped to
+  *     [1, 1000]), so col_start is the true grid column, not the
+  *     cell ordinal — what a table-to-text model needs for alignment.
+  *   - Cell text is the cell's character content with non-table tags
+  *     acting as whitespace, whitespace-collapsed and trimmed; a
+  *     NESTED table's content belongs to the nested table, never to
+  *     the enclosing cell's text.
+  *   - A table still open at EOF emits one `unclosed` quarantine row
+  *     and DISCARDS its cells (a truncated table is corrupt evidence,
+  *     not data); already-closed inner tables keep their rows.
+  *
+  * Scale shape: one partition-local pass per document, zero shuffle,
+  * state bounded by nesting depth × table size (document-local).
+  * A nesting-sensitive grammar with optional closing tags has no
+  * Catalyst equivalent (the codec/automaton altitude — regexp can't
+  * pair nested `<table>` scopes); the oracle replays CLOSED-FORM
+  * EXPECTED rows from injected markup (the q_url_canon doctrine), so
+  * any walker slip — colspan cursor, nesting leak, quarantine rule —
+  * bends an emitted row. */
+object Html {
+
+  val DefaultDepthCap = 8
+
+  private val ColspanRe = "(?i)colspan\\s*=\\s*[\"']?([0-9]{1,4})".r
+
+  private def normalize(s: String): String =
+    s.replaceAll("\\s+", " ").trim
+
+  private final class TableCtx(val idx: Int, val depth: Int, val skipped: Boolean) {
+    var rowIdx: Int = -1
+    var colCursor: Int = 0
+    var cellOpen: Boolean = false
+    var cellColStart: Int = 0
+    var cellColspan: Int = 1
+    var cellHeader: Boolean = false
+    val cellBuf = new StringBuilder
+    val cells = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Boolean, String)]
+    def closeCell(): Unit = if (cellOpen) {
+      cells += ((rowIdx, cellColStart, cellColspan, cellHeader,
+        normalize(cellBuf.toString)))
+      colCursor += cellColspan
+      cellOpen = false
+    }
+  }
+
+  /** (table_idx, depth, row_idx, col_start, colspan, is_header, cell,
+    * kind) tuples for one document; quarantine rows carry -1 sentinels
+    * in the per-cell fields (mapped to NULL at the frame layer). */
+  private[graft] def walkTables(html: String, depthCap: Int)
+      : Seq[(Int, Int, Int, Int, Int, Boolean, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Int, Boolean, String, String)]
+    val stack = scala.collection.mutable.Stack.empty[TableCtx]
+    var nextIdx = 0
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val gt = html.indexOf('>', i + 1)
+        if (gt < 0) {
+          // unclosed tag fragment: literal text to EOF (extraction
+          // never invents structure — the extractHtmlText rule)
+          if (stack.nonEmpty && stack.top.cellOpen)
+            stack.top.cellBuf.append(html.substring(i))
+          i = n
+        } else {
+          val inner = html.substring(i + 1, gt).trim
+          val closing = inner.startsWith("/")
+          val body = if (closing) inner.substring(1).trim else inner
+          val name = body.takeWhile(Character.isLetterOrDigit).toLowerCase
+          name match {
+            case "table" if !closing =>
+              stack.push(new TableCtx(nextIdx, stack.size,
+                skipped = stack.size >= depthCap))
+              nextIdx += 1
+            case "table" if closing && stack.nonEmpty =>
+              val ctx = stack.pop()
+              ctx.closeCell()
+              if (ctx.skipped)
+                out += ((ctx.idx, ctx.depth, -1, -1, -1, false, null, "too_deep"))
+              else ctx.cells.foreach { case (r, cs, sp, h, t) =>
+                out += ((ctx.idx, ctx.depth, r, cs, sp, h, t, "cell"))
+              }
+            case "tr" if stack.nonEmpty =>
+              val ctx = stack.top
+              ctx.closeCell()
+              if (!closing) { ctx.rowIdx += 1; ctx.colCursor = 0 }
+            case "td" | "th" if stack.nonEmpty =>
+              val ctx = stack.top
+              ctx.closeCell()
+              if (!closing) {
+                if (ctx.rowIdx < 0) ctx.rowIdx = 0
+                ctx.cellOpen = true
+                ctx.cellColStart = ctx.colCursor
+                ctx.cellColspan = ColspanRe.findFirstMatchIn(body)
+                  .map(m => math.min(1000, math.max(1, m.group(1).toInt)))
+                  .getOrElse(1)
+                ctx.cellHeader = name == "th"
+                ctx.cellBuf.clear()
+              }
+            case _ =>
+              // any other tag is whitespace inside an open cell
+              if (stack.nonEmpty && stack.top.cellOpen)
+                stack.top.cellBuf.append(' ')
+          }
+          i = gt + 1
+        }
+      } else {
+        if (stack.nonEmpty && stack.top.cellOpen) stack.top.cellBuf.append(c)
+        i += 1
+      }
+    }
+    // EOF with open tables: quarantine each (cells discarded); inner
+    // tables that DID close kept their rows above
+    while (stack.nonEmpty) {
+      val ctx = stack.pop()
+      out += ((ctx.idx, ctx.depth, -1, -1, -1, false, null, "unclosed"))
+    }
+    out.toSeq
+  }
+
+  /** One row per (doc, table, row, cell) + quarantine rows; docs with
+    * no tables are absent. */
+  def extractTables(docs: DataFrame, htmlCol: String = "html",
+                    id: String = "doc_id",
+                    depthCap: Int = DefaultDepthCap): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("table_idx", LongType),
+      StructField("depth", LongType),
+      StructField("row_idx", LongType),
+      StructField("col_start", LongType),
+      StructField("colspan", LongType),
+      StructField("is_header", LongType),
+      StructField("cell", StringType),
+      StructField("kind", StringType)))
+    spark.createDataFrame(
+      docs.select(col(id).cast("long"), col(htmlCol))
+        .where(col(htmlCol).isNotNull)
+        .rdd.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val docId = r.getLong(0)
+            walkTables(r.getString(1), depthCap).iterator.map {
+              case (ti, dp, ri, cs, sp, h, t, k) =>
+                if (k == "cell")
+                  Row(docId, ti.toLong, dp.toLong, ri.toLong, cs.toLong,
+                    sp.toLong, if (h) 1L else 0L, t, k)
+                else Row(docId, ti.toLong, dp.toLong, null, null, null,
+                  null, null, k)
+            }
+          }
+        }, schema)
+  }
+}

@@ -3822,6 +3822,76 @@ object LlmQueries {
       |  trim(regexp_replace(raw, '\s+', ' ', 'g')) AS text
       |FROM m""".stripMargin
 
+  // ---- structured HTML TABLE extraction (operators/Html) ----
+
+  /** Table extraction over closed-form markup injections: doc_id%5
+    * plants one shape per residue — a plain 2×2 header+data table (0),
+    * a colspan grid where col_start must step by the SPAN (1), a
+    * nested table whose inner content must NOT leak into the outer
+    * cell's text (2), an unclosed table that must quarantine with its
+    * cells DISCARDED (3), and no table at all (4 — absent from the
+    * output). The oracle emits the EXPECTED rows directly (the
+    * q_url_canon closed-form doctrine — DuckDB never parses HTML), so
+    * any walker slip — colspan cursor, nesting leak, implicit-close
+    * rule, quarantine handling — bends a row. Corpus text rides along
+    * inside a `<p>` wrapper and is tag-free by construction (the
+    * q_html_extract precedent). */
+  def qTableExtract(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val is = i.cast("string")
+    val table = when(i % 5 === 0, concat(
+        lit("<table><tr><th>h"), is, lit("a</th><th>h"), is,
+        lit("b</th></tr><tr><td>v"), is, lit("a</td><td>v"), is,
+        lit("b</td></tr></table>")))
+      .when(i % 5 === 1, concat(
+        lit("<table><tr><td colspan=\"2\">w"), is, lit("</td><td>x"), is,
+        lit("</td></tr><tr><td>y"), is, lit("a</td><td>y"), is,
+        lit("b</td><td>y"), is, lit("c</td></tr></table>")))
+      .when(i % 5 === 2, concat(
+        lit("<table><tr><td>out"), is,
+        lit(" <table><tr><td>in"), is, lit("a</td><td>in"), is,
+        lit("b</td></tr></table> side"), is,
+        lit("</td><td>end"), is, lit("</td></tr></table>")))
+      .when(i % 5 === 3, concat(lit("<table><tr><td>lost"), is, lit("</td>")))
+      .otherwise(lit(""))
+    graft.operators.Html.extractTables(Tables(spark, dir).documents
+      .select(i, concat(lit("<p>"), col("text"), lit("</p>"), table).as("html")))
+  }
+
+  val qTableExtractSql: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents),
+      |plain AS (SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+      |    CAST(0 AS BIGINT) AS depth, CAST(t.r AS BIGINT) AS row_idx,
+      |    CAST(t.c AS BIGINT) AS col_start, CAST(1 AS BIGINT) AS colspan,
+      |    CAST(t.h AS BIGINT) AS is_header, t.p || s || t.x AS cell,
+      |    'cell' AS kind
+      |  FROM d, (VALUES (0, 0, 1, 'h', 'a'), (0, 1, 1, 'h', 'b'),
+      |                  (1, 0, 0, 'v', 'a'), (1, 1, 0, 'v', 'b')) t(r, c, h, p, x)
+      |  WHERE doc_id % 5 = 0),
+      |spans AS (SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(t.r AS BIGINT), CAST(t.c AS BIGINT), CAST(t.sp AS BIGINT),
+      |    CAST(0 AS BIGINT), t.p || s || t.x, 'cell'
+      |  FROM d, (VALUES (0, 0, 2, 'w', ''), (0, 2, 1, 'x', ''),
+      |                  (1, 0, 1, 'y', 'a'), (1, 1, 1, 'y', 'b'),
+      |                  (1, 2, 1, 'y', 'c')) t(r, c, sp, p, x)
+      |  WHERE doc_id % 5 = 1),
+      |nested AS (SELECT doc_id, CAST(t.tb AS BIGINT), CAST(t.dp AS BIGINT),
+      |    CAST(t.r AS BIGINT), CAST(t.c AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(0 AS BIGINT),
+      |    CASE t.w WHEN 'o' THEN 'out' || s || ' side' || s
+      |             WHEN 'e' THEN 'end' || s
+      |             WHEN 'a' THEN 'in' || s || 'a'
+      |             ELSE 'in' || s || 'b' END, 'cell'
+      |  FROM d, (VALUES (0, 0, 0, 0, 'o'), (0, 0, 0, 1, 'e'),
+      |                  (1, 1, 0, 0, 'a'), (1, 1, 0, 1, 'b')) t(tb, dp, r, c, w)
+      |  WHERE doc_id % 5 = 2),
+      |lost AS (SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'unclosed'
+      |  FROM d WHERE doc_id % 5 = 3)
+      |SELECT * FROM plain UNION ALL SELECT * FROM spans
+      |UNION ALL SELECT * FROM nested UNION ALL SELECT * FROM lost""".stripMargin
+
   // ---- line-level dedup (CCNet/RefinedWeb boilerplate removal) ----
 
   /** Line-level corpus dedup, gated by a REAL dual implementation (both

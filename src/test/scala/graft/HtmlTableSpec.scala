@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Html
+
+/** Table-walker edges beyond the gated fixtures: colspan cursors,
+  * implicit closes, deep nesting at the cap, unclosed quarantine
+  * semantics, attribute noise. Cross-engine row parity is
+  * q_table_extract's closed-form oracle. */
+class HtmlTableSpec extends SparkSpec {
+
+  private def walk(html: String, cap: Int = Html.DefaultDepthCap) =
+    Html.walkTables(html, cap)
+
+  test("plain 2x2 with th header row; optional closing tags") {
+    val out = walk("<table><tr><th>A</th><th>B</th></tr>" +
+      "<tr><td>1<td>2</table>") // td and tr left unclosed: HTML's rule
+    assert(out.toSeq === Seq(
+      (0, 0, 0, 0, 1, true, "A", "cell"), (0, 0, 0, 1, 1, true, "B", "cell"),
+      (0, 0, 1, 0, 1, false, "1", "cell"), (0, 0, 1, 1, 1, false, "2", "cell")))
+  }
+
+  test("colspan advances the grid cursor; clamped to >= 1; quoted/unquoted/garbage forms") {
+    val out = walk("<table><tr><td colspan=3>a</td><td>b</td></tr>" +
+      "<tr><td colspan='2'>c</td><td colspan=\"0\">d</td>" +
+      "<td colspan=zap>e</td></tr></table>")
+    assert(out.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((0, 0, 3), (0, 3, 1), (1, 0, 2), (1, 2, 1), (1, 3, 1)),
+      "col_start steps by span; colspan=0 and garbage clamp to 1")
+  }
+
+  test("nested table content never leaks into the enclosing cell; table order is open order") {
+    val out = walk("<table><tr><td>out <table><tr><td>IN</td></tr></table> er</td></tr></table>")
+    val byTable = out.groupBy(_._1)
+    assert(byTable(0).map(_._7).toSeq === Seq("out er"))
+    assert(byTable(1).map(_._7).toSeq === Seq("IN"))
+    assert(byTable(1).head._2 === 1, "inner table at depth 1")
+  }
+
+  test("tables past the depth cap emit too_deep only; their text stays out of ancestors") {
+    val deep = (1 to 10).map(_ => "<table><tr><td>x").mkString("") +
+      (1 to 10).map(_ => "</td></tr></table>").mkString("")
+    val out = walk(deep, cap = 3)
+    val kinds = out.groupBy(_._8).view.mapValues(_.size).toMap
+    assert(kinds("too_deep") === 7, "depths 3..9 are capped")
+    assert(kinds("cell") === 3)
+    assert(out.filter(_._8 == "cell").forall(r => r._7.startsWith("x")),
+      "capped tables' text never merges into kept ancestors")
+  }
+
+  test("unclosed table quarantines and discards its cells; closed inner survives") {
+    val out = walk("<table><tr><td>gone</td><td>" +
+      "<table><tr><td>kept</td></tr></table>")
+    assert(out.toSeq === Seq(
+      (1, 1, 0, 0, 1, false, "kept", "cell"),
+      (0, 0, -1, -1, -1, false, null, "unclosed")))
+  }
+
+  test("markup noise: inner tags act as spaces, stray closers ignored, attr-laden tags parse") {
+    val out = walk("</td></table><table class=\"z\" id='t'>" +
+      "<tr><td>a<b>bold</b>c<br/>d</td></tr></table>")
+    assert(out.toSeq === Seq((0, 0, 0, 0, 1, false, "a bold c d", "cell")))
+  }
+
+  test("no tables -> no rows; tag fragment without '>' is literal cell text") {
+    assert(walk("<p>plain prose</p>").isEmpty)
+    val out = walk("<table><tr><td>end <b")
+    // the fragment is text, the table never closes -> quarantined
+    assert(out.toSeq === Seq((0, 0, -1, -1, -1, false, null, "unclosed")))
+  }
+}
