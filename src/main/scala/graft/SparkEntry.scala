@@ -302,6 +302,8 @@ object SparkEntry {
     "q_ivf_index_merge" -> (L.qIvfIndexMerge _),
     // structured HTML table extraction (colspan grid + quarantine rows)
     "q_table_extract" -> (L.qTableExtract _),
+    // minimal-PDF source: synthesize-decode with xref validation
+    "q_pdf_extract" -> (L.qPdfExtract _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -522,6 +524,7 @@ object SparkEntry {
     "q_unigram_encode" -> L.qUnigramEncodeSql,
     "q_ivf_index_merge" -> L.qIvfIndexMergeSql,
     "q_table_extract" -> L.qTableExtractSql,
+    "q_pdf_extract" -> L.qPdfExtractSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

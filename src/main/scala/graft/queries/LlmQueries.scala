@@ -5648,6 +5648,59 @@ object LlmQueries {
     * every output from first principles without touching a tar byte —
     * a bent header offset, checksum, longname or payload byte bends a
     * count and fails the hash gate. */
+  /** PDF text extraction, synthesize-decode gated (the WKB/WAV/tar
+    * doctrine): every doc becomes a REAL minimal PDF written by
+    * Pdf.write — correct xref byte offsets, /Length-sized streams,
+    * escaped `(text) Tj` ops — whose text is a closed-form function
+    * of doc_id (1-2 pages, 2 ops each; every third doc's second op
+    * carries literal parens so the escape round-trip is inside the
+    * gate). doc_id%13 bends the magic (corrupt quarantine row);
+    * doc_id%11 bends startxref by one byte (file parses, xref_ok
+    * drops). The oracle replays the closed form only — any writer
+    * offset slip, /Length drift, or parser escape bug bends a row. */
+  def qPdfExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = Tables(spark, dir).documents
+      .select(col("doc_id").cast("long")).as[Long].map { id =>
+        val np = (1 + id % 2).toInt
+        val pages = (0 until np).map { p =>
+          Seq(s"T${id}p${p}a",
+            if (id % 3 == 0) s"x(${id})y" else s"b${id}p$p")
+        }
+        val bytes = graft.sources.Pdf.write(pages,
+          xrefBend = if (id % 11 == 0) 1L else 0L)
+        if (id % 13 == 0) bytes(0) = '#'.toByte
+        (id, bytes)
+      }.toDF("doc_id", "bytes")
+    graft.sources.Pdf.extract(synth)
+  }
+
+  val qPdfExtractSql: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+      |    1 + doc_id % 2 AS np FROM documents),
+      |t AS (SELECT doc_id, np,
+      |    'T' || s || 'p0a ' || CASE WHEN doc_id % 3 = 0
+      |      THEN 'x(' || s || ')y' ELSE 'b' || s || 'p0' END AS b0,
+      |    'T' || s || 'p1a ' || CASE WHEN doc_id % 3 = 0
+      |      THEN 'x(' || s || ')y' ELSE 'b' || s || 'p1' END AS b1
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |    ELSE CAST(2 + 2 * np AS BIGINT) END AS n_objects,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |    ELSE CAST(np AS BIGINT) END AS n_pages,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |    ELSE CAST(np AS BIGINT) END AS n_streams,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |    ELSE CAST(2 * np AS BIGINT) END AS n_text_ops,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |    ELSE b0 || CASE WHEN np = 2 THEN ' ' || b1 ELSE '' END END AS text,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |    WHEN doc_id % 11 = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(1 AS BIGINT) END AS xref_ok,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'pdf' END AS kind
+      |FROM t""".stripMargin
+
   def qTarExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val synth = Tables(spark, dir).documents

@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal-PDF text extraction — the most common DOCUMENT container
+  * the codec family (WARC/tar/JPEG/BMFF/WAV/PNG/WKB) was missing.
+  * Scope: classic-PDF structure with UNCOMPRESSED content streams —
+  * `N 0 obj` bodies, balanced `<< >>` dictionaries, `/Length`-sized
+  * `stream … endstream` payloads, `(string) Tj` text-show operators
+  * with the `\( \) \\` escapes, and the xref/startxref trailer.
+  * Compressed streams (/FlateDecode) are out of scope by the same
+  * contract that keeps deflate out of the hash gate (codec-specific
+  * bytes) — a real corpus routes those through a decompress stage
+  * first.
+  *
+  * Parser discipline (the Tar/BMFF doctrine):
+  *   - malformed files are DATA: a file without the `%PDF-` magic
+  *     emits one `corrupt` quarantine row, never an exception;
+  *   - stream payloads are skipped via the declared /Length — the
+  *     parser NEVER scans for `endstream` inside data (payload bytes
+  *     may contain any token), which also makes the gate bite on a
+  *     writer whose /Length is off by one;
+  *   - `startxref` is VALIDATED: xref_ok=1 iff the trailing offset
+  *     lands on the literal `xref` table — the synthesize-decode
+  *     proof that the writer's byte offsets are real;
+  *   - `obj` keywords are recognized only after `<digits> <digits> `
+  *     (so `endobj` never double-counts, and stream payloads are
+  *     never keyword-scanned at all).
+  *
+  * Scale shape: one partition-local pass per blob, zero shuffle,
+  * state O(dictionary nesting). Byte-offset grammar — no Catalyst
+  * equivalent (the WARC/tar justification). Gated by q_pdf_extract's
+  * closed-form synthesize-decode oracle: payload text is an integer
+  * function of doc_id, so any bent byte, escape slip, or offset
+  * drift fails the hash. */
+object Pdf {
+
+  private val Latin1 = "ISO-8859-1"
+  private val LenRe = "/Length\\s+([0-9]+)".r
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** Build a real minimal PDF: one catalog, one pages node, per page
+    * a page object + an uncompressed content stream whose ops are
+    * `(text) Tj` shows. xref offsets are REAL byte offsets;
+    * `xrefBend` shifts the startxref value (a bent-trailer fixture
+    * knob — the file stays parseable, xref_ok drops to 0). */
+  def write(pages: Seq[Seq[String]], xrefBend: Long = 0L): Array[Byte] = {
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sb.append("%PDF-1.4\n")
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(body)
+    }
+    val n = pages.size
+    obj("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = (0 until n).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    obj(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pages.zipWithIndex.foreach { case (ops, p) =>
+      val pid = 3 + 2 * p; val cid = 4 + 2 * p
+      obj(s"$pid 0 obj << /Type /Page /Parent 2 0 R /Contents $cid 0 R" +
+        " /MediaBox [0 0 612 792] >> endobj\n")
+      val body = "BT /F1 12 Tf 72 720 Td " +
+        ops.map(o => s"(${esc(o)}) Tj ").mkString + "ET"
+      obj(s"$cid 0 obj << /Length ${body.length} >> stream\n$body\nendstream endobj\n")
+    }
+    val xrefOff = sb.length
+    val total = 2 + 2 * n + 1
+    sb.append(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer << /Size $total /Root 1 0 R >>\n")
+    sb.append(s"startxref\n${xrefOff + xrefBend}\n%%EOF")
+    sb.toString.getBytes(Latin1)
+  }
+
+  /** Decode one blob. (n_objects, n_pages, n_streams, n_text_ops,
+    * text, xref_ok) or None for a non-PDF payload. */
+  private[graft] def decode(bytes: Array[Byte])
+      : Option[(Long, Long, Long, Long, String, Long)] = {
+    val s = new String(bytes, Latin1)
+    if (!s.startsWith("%PDF-")) return None
+    var nObjects = 0L; var nPages = 0L; var nStreams = 0L; var nOps = 0L
+    val text = new StringBuilder
+    var i = 0
+    var done = false
+    while (!done) {
+      val oi = s.indexOf("obj", i)
+      // keyword guard: must follow "<digits> <digits> " — endobj and
+      // any 'obj' inside a (skipped) payload never match
+      if (oi < 0) done = true
+      else if (oi < 4 || s.charAt(oi - 1) != ' ' ||
+               !Character.isDigit(s.charAt(oi - 2))) i = oi + 3
+      else {
+        nObjects += 1
+        val ds = s.indexOf("<<", oi)
+        if (ds < 0) { done = true }
+        else {
+          // balanced << >> scan (nested dicts)
+          var depth = 1; var j = ds + 2
+          while (depth > 0 && j < s.length - 1) {
+            if (s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+            else if (s.charAt(j) == '>' && s.charAt(j + 1) == '>') { depth -= 1; j += 2 }
+            else j += 1
+          }
+          val dict = s.substring(ds, j)
+          val pg = dict.indexOf("/Type /Page")
+          if (pg >= 0 && (pg + 11 >= dict.length || dict.charAt(pg + 11) != 's'))
+            nPages += 1
+          var k = j
+          while (k < s.length && (s.charAt(k) == ' ' || s.charAt(k) == '\n' ||
+                 s.charAt(k) == '\r')) k += 1
+          if (s.startsWith("stream", k)) {
+            nStreams += 1
+            val len = LenRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+            var cs = k + 6
+            if (cs < s.length && s.charAt(cs) == '\r') cs += 1
+            if (cs < s.length && s.charAt(cs) == '\n') cs += 1
+            val ce = math.min(cs + len, s.length)
+            val content = s.substring(cs, ce)
+            // (string) Tj scan with escape handling
+            var p = content.indexOf('(')
+            while (p >= 0) {
+              val raw = new StringBuilder
+              var q = p + 1
+              var closed = -1
+              while (closed < 0 && q < content.length) {
+                val c = content.charAt(q)
+                if (c == '\\' && q + 1 < content.length) {
+                  raw.append(content.charAt(q + 1)); q += 2
+                } else if (c == ')') closed = q
+                else { raw.append(c); q += 1 }
+              }
+              if (closed >= 0) {
+                var t = closed + 1
+                while (t < content.length && content.charAt(t) == ' ') t += 1
+                if (content.startsWith("Tj", t)) {
+                  nOps += 1
+                  if (text.nonEmpty) text.append(' ')
+                  text.append(raw)
+                }
+                p = content.indexOf('(', closed + 1)
+              } else p = -1
+            }
+            i = ce
+          } else i = j
+        }
+      }
+    }
+    // startxref validation: the trailing offset must land on 'xref'
+    val sx = s.lastIndexOf("startxref")
+    val xrefOk =
+      if (sx < 0) 0L
+      else {
+        val rest = s.substring(sx + 9).trim.takeWhile(Character.isDigit)
+        val off = if (rest.isEmpty) -1L else rest.toLong
+        if (off >= 0 && off + 4 <= s.length &&
+            s.regionMatches(off.toInt, "xref", 0, 4)) 1L else 0L
+      }
+    Some((nObjects, nPages, nStreams, nOps, text.toString, xrefOk))
+  }
+
+  /** One row per blob: counts + extracted text + xref verdict, or a
+    * `corrupt` quarantine row (NULL metrics) for non-PDF payloads. */
+  def extract(docs: DataFrame, bytesCol: String = "bytes",
+              id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_objects", LongType),
+      StructField("n_pages", LongType),
+      StructField("n_streams", LongType),
+      StructField("n_text_ops", LongType),
+      StructField("text", StringType),
+      StructField("xref_ok", LongType),
+      StructField("kind", StringType)))
+    spark.createDataFrame(
+      docs.select(col(id).cast("long"), col(bytesCol))
+        .rdd.mapPartitions { rows =>
+          rows.map { r =>
+            val docId = r.getLong(0)
+            decode(r.getAs[Array[Byte]](1)) match {
+              case Some((o, p, st, ops, t, x)) =>
+                Row(docId, o, p, st, ops, t, x, "pdf")
+              case None =>
+                Row(docId, null, null, null, null, null, null, "corrupt")
+            }
+          }
+        }, schema)
+  }
+}

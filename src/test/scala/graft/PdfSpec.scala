@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.Pdf
+
+/** PDF writer/extractor edges beyond the gated fixture: payloads
+  * carrying parser keywords, escape round-trips, /Length trust,
+  * xref validation, and bent bytes. Cross-engine row parity is
+  * q_pdf_extract's closed-form synthesize-decode oracle. */
+class PdfSpec extends SparkSpec {
+
+  private def one(pages: Seq[Seq[String]], bend: Long = 0L) =
+    Pdf.decode(Pdf.write(pages, bend)).get
+
+  test("multi-page counts and in-order text concatenation") {
+    val (o, p, st, ops, text, x) =
+      one(Seq(Seq("a1", "a2"), Seq("b1"), Seq("c1", "c2", "c3")))
+    assert((o, p, st, ops) === ((8L, 3L, 3L, 6L)))
+    assert(text === "a1 a2 b1 c1 c2 c3")
+    assert(x === 1L, "writer offsets must satisfy the parser's xref check")
+  }
+
+  test("paren/backslash escapes round-trip through the text ops") {
+    val (_, _, _, ops, text, _) = one(Seq(Seq("x(y)z", "a\\b(", ")lead")))
+    assert(ops === 3L)
+    assert(text === "x(y)z a\\b( )lead")
+  }
+
+  test("payload text containing parser keywords never derails the walk") {
+    // '1 0 obj', 'endstream', 'xref' INSIDE a Tj string are data:
+    // the stream is skipped via /Length, never keyword-scanned
+    val (o, p, st, ops, text, x) =
+      one(Seq(Seq("fake 1 0 obj endstream", "xref startxref")))
+    assert((o, p, st, ops) === ((4L, 1L, 1L, 2L)))
+    assert(text === "fake 1 0 obj endstream xref startxref")
+    assert(x === 1L)
+  }
+
+  test("bent startxref fails validation; the document still extracts") {
+    val (o, p, _, ops, text, x) = one(Seq(Seq("t1")), bend = 1L)
+    assert(x === 0L)
+    assert((o, p, ops, text) === ((4L, 1L, 1L, "t1")))
+  }
+
+  test("non-PDF magic quarantines as None (the corrupt row)") {
+    val bytes = Pdf.write(Seq(Seq("t")))
+    bytes(0) = '#'.toByte
+    assert(Pdf.decode(bytes).isEmpty)
+    assert(Pdf.decode("not a pdf at all".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("a short /Length truncates extraction deterministically (parser trusts the header)") {
+    val clean = new String(Pdf.write(Seq(Seq("hello", "world"))), "ISO-8859-1")
+    // shrink the declared length so the second op falls outside the stream
+    val m = "/Length ([0-9]+)".r.findFirstMatchIn(clean).get
+    val bent = clean.replace(s"/Length ${m.group(1)}", s"/Length ${m.group(1).toInt - 11}")
+    val Some((_, _, _, ops, text, _)) = Pdf.decode(bent.getBytes("ISO-8859-1"))
+    assert(ops === 1L && text === "hello",
+      "declared length governs — endstream scanning inside data is forbidden")
+  }
+}
