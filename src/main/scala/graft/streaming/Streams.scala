@@ -786,4 +786,56 @@ object Streams {
           out.iterator
       }
   }
+
+  case class RevisitState(lastSeen: Long, lastAcc: Long)
+  case class RevisitVerdict(url: String, sec: Long, fetched: Long)
+
+  /** Streaming twin of the crawl revisit policy (operators/Robots
+    * .revisitPlan): fetch a url again only when `minIntervalS` has
+    * passed since the last FETCH — a per-url greedy chain whose state
+    * is one (lastSeen, lastAccepted) pair, which is exactly the
+    * flatMapGroupsWithState shape (NOT a foreachBatch per-row twin:
+    * the verdict depends on history across batches).
+    *
+    * Delivery contract (documented, spec-pinned): sightings arrive in
+    * NONDECREASING `sec` order per url across micro-batches — the
+    * crawler's own frontier emits them in time order. Within a batch
+    * the group sorts; a row at or before the url's last seen second
+    * (a duplicate or a late straggler) is DROPPED, which keeps the
+    * emitted set equal to the batch operator's one-row-per-distinct-
+    * sighting output under the contract. First sighting always
+    * fetches; state is O(1) per live url (the same constant-memory
+    * argument as the batch kernel). Batch-boundary invisibility —
+    * any split of the same sequence yields identical verdicts — is
+    * pinned in StreamingSpec against revisitPlan as the oracle. */
+  def revisitPlanStream(visits: DataFrame, minIntervalS: Long,
+                        urlCol: String = "url", secCol: String = "sec")
+      : Dataset[RevisitVerdict] = {
+    require(visits.isStreaming,
+      "revisitPlanStream is streaming-only: use Robots.revisitPlan for batch frames")
+    require(minIntervalS >= 0, "revisitPlanStream: minIntervalS must be >= 0")
+    import visits.sparkSession.implicits._
+    visits
+      .select(col(urlCol).cast("string").as("url"),
+        col(secCol).cast("long").as("sec"))
+      .where(col("url").isNotNull && col("sec").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RevisitState, RevisitVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[(String, Long)],
+         state: GroupState[RevisitState]) =>
+          var st = state.getOption.getOrElse(RevisitState(Long.MinValue, Long.MinValue))
+          val out = rows.map(_._2).toArray.sorted.iterator.flatMap { s =>
+            if (st.lastSeen != Long.MinValue && s <= st.lastSeen) None
+            else {
+              val accept = st.lastAcc == Long.MinValue || s >= st.lastAcc + minIntervalS
+              st = RevisitState(s, if (accept) s else st.lastAcc)
+              Some(RevisitVerdict(url, s, if (accept) 1L else 0L))
+            }
+          }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -1285,4 +1285,41 @@ class StreamingSpec extends SparkSpec {
           "doc_id", "payload")
         .collect().map(_.toString).sorted.toSeq)
   }
+
+  test("revisitPlanStream matches batch revisitPlan across any micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-url in-order sightings; url b's cadence forces skips whose
+    // clock must NOT reset (the skip-resets-the-clock bug), url c has
+    // an exact-boundary revisit, url d a within-batch duplicate
+    val sightings = Seq(
+      ("a", 100L), ("b", 100L), ("b", 105L), ("c", 100L),
+      ("b", 109L), ("c", 110L), ("d", 50L), ("d", 50L),
+      ("b", 111L), ("a", 104L), ("d", 70L), ("b", 120L))
+    val input = MemoryStream[(String, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val q = Streams.revisitPlanStream(input.toDF().toDF("url", "sec"), 10L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.RevisitVerdict], _: Long) =>
+        acc.synchronized {
+          acc ++= b.collect().map(v => (v.url, v.sec, v.fetched))
+        }
+        ()
+      }.trigger(Trigger.ProcessingTime(0)).start()
+    // split the sequence at arbitrary boundaries (per-url order kept)
+    for (chunk <- sightings.grouped(5)) {
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val expected = graft.operators.Robots.revisitPlan(
+        sightings.toDF("url", "sec"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(acc.sortBy(x => (x._1, x._2)).toSeq === expected.toSeq)
+    // the chain actually skipped and resumed: b at 105/109 skipped,
+    // 111 fetched (>= 100+10 with the clock NOT reset by skips)
+    val b = expected.filter(_._1 == "b").map(x => x._2 -> x._3).toMap
+    assert(b === Map(100L -> 1L, 105L -> 0L, 109L -> 0L, 111L -> 1L, 120L -> 0L))
+  }
 }
