@@ -35,31 +35,63 @@ import org.apache.spark.sql.functions._
   * least(a_e, b_e) − greatest(a_s, b_s) > 0 by construction. */
 object Intervals {
 
+  private def tiled(df: DataFrame, p: String, bucketW: Long,
+                    maxTiles: Long): DataFrame = {
+    val s = col(s"${p}_s"); val e = col(s"${p}_e")
+    val lo = expr(s"${p}_s div ${bucketW}L")
+    val hi = expr(s"(${p}_e - 1) div ${bucketW}L")
+    df.select(col("id").cast("long").as(s"${p}_id"),
+        col("s").cast("long").as(s"${p}_s"),
+        col("e").cast("long").as(s"${p}_e"))
+      .where(e > s)
+      .withColumn("__bk", explode(sequence(lo,
+        when(hi - lo >= maxTiles, raise_error(concat(
+          lit(s"overlapJoin: interval spans >= $maxTiles buckets at id="),
+          col(s"${p}_id").cast("string"),
+          lit(s" — raise bucketW ($bucketW) or maxTiles"))))
+          .otherwise(hi))))
+  }
+
   def overlapJoin(a: DataFrame, b: DataFrame, bucketW: Long,
                   maxTiles: Long = 4096L): DataFrame = {
     require(bucketW >= 1L, "overlapJoin: bucketW must be positive")
     require(maxTiles >= 1L, "overlapJoin: maxTiles must be positive")
-    def tiled(df: DataFrame, p: String): DataFrame = {
-      val s = col(s"${p}_s"); val e = col(s"${p}_e")
-      val lo = expr(s"${p}_s div ${bucketW}L")
-      val hi = expr(s"(${p}_e - 1) div ${bucketW}L")
-      df.select(col("id").cast("long").as(s"${p}_id"),
-          col("s").cast("long").as(s"${p}_s"),
-          col("e").cast("long").as(s"${p}_e"))
-        .where(e > s)
-        .withColumn("__bk", explode(sequence(lo,
-          when(hi - lo >= maxTiles, raise_error(concat(
-            lit(s"overlapJoin: interval spans >= $maxTiles buckets at id="),
-            col(s"${p}_id").cast("string"),
-            lit(s" — raise bucketW ($bucketW) or maxTiles"))))
-            .otherwise(hi))))
-    }
-    tiled(a, "a").join(tiled(b, "b"), Seq("__bk"))
+    tiled(a, "a", bucketW, maxTiles).join(tiled(b, "b", bucketW, maxTiles), Seq("__bk"))
       .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
       .select(col("a_id"), col("a_s"), col("a_e"),
         col("b_id"), col("b_s"), col("b_e"))
       .distinct()
       .withColumn("overlap",
         least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+  }
+
+  /** Hot-bucket DIAGNOSTIC for [[overlapJoin]] — the no-silent-caps
+    * rule applied to the tiling: candidate volume is per-bucket
+    * densityA × densityB, so a corpus where every span crosses one
+    * region is quadratic in that bucket with no warning from the join
+    * itself. Run this (same tiling, same maxTiles guard) BEFORE a big
+    * join to pick `bucketW`: it returns the top `topK` buckets by
+    * candidate volume — (bucket, n_a, n_b, candidates) under the
+    * (candidates desc, bucket asc) total order. The top-k is
+    * orderBy+limit (TakeOrderedAndProject — map-side partial top-k,
+    * never a global sort), and the per-side counts are map-side-
+    * combinable aggregates; the census costs two tile passes and one
+    * bucket-keyed shuffle, a rounding error next to the join it
+    * protects. */
+  def bucketCensus(a: DataFrame, b: DataFrame, bucketW: Long,
+                   maxTiles: Long = 4096L, topK: Int = 20): DataFrame = {
+    require(bucketW >= 1L, "bucketCensus: bucketW must be positive")
+    require(maxTiles >= 1L && topK >= 1, "bucketCensus: maxTiles/topK must be positive")
+    val ca = tiled(a, "a", bucketW, maxTiles)
+      .groupBy(col("__bk")).agg(count(lit(1)).as("n_a"))
+    val cb = tiled(b, "b", bucketW, maxTiles)
+      .groupBy(col("__bk")).agg(count(lit(1)).as("n_b"))
+    ca.join(cb, Seq("__bk"), "full_outer")
+      .select(col("__bk").as("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("candidates", col("n_a") * col("n_b"))
+      .orderBy(col("candidates").desc, col("bucket").asc)
+      .limit(topK)
   }
 }
