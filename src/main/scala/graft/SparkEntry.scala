@@ -304,6 +304,8 @@ object SparkEntry {
     "q_table_extract" -> (L.qTableExtract _),
     // minimal-PDF source: synthesize-decode with xref validation
     "q_pdf_extract" -> (L.qPdfExtract _),
+    // mergeable BM25 index: merge(half, half) replays the whole-corpus top-k
+    "q_bm25_index_merge" -> (L.qBm25IndexMerge _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -525,6 +527,7 @@ object SparkEntry {
     "q_ivf_index_merge" -> L.qIvfIndexMergeSql,
     "q_table_extract" -> L.qTableExtractSql,
     "q_pdf_extract" -> L.qPdfExtractSql,
+    "q_bm25_index_merge" -> L.qBm25IndexMergeSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

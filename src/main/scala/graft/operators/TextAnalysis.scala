@@ -1214,6 +1214,24 @@ object TextAnalysis {
     Bm25Index(tf, lens, dfreq, stats)
   }
 
+  /** Merge two BM25 indexes built over DISJOINT doc-id sets — the
+    * ingest-loop half (the mergeable-index doctrine: every frame is
+    * either a doc-keyed append under disjoint ids or re-aggregable):
+    * postings and lens APPEND (doc-keyed, disjoint), document
+    * frequencies and the corpus scalars RE-AGGREGATE by integer sums —
+    * exact, so merge(build(A), build(B)) == build(A ∪ B) frame for
+    * frame, and avgdl (computed at score time as __sl/__nd) is the
+    * identical double. Gated by q_bm25_index_merge replaying the
+    * whole-corpus q_bm25_topk oracle verbatim. */
+  def mergeBm25Indexes(a: Bm25Index, b: Bm25Index): Bm25Index =
+    Bm25Index(
+      postings = a.postings.unionByName(b.postings),
+      lens = a.lens.unionByName(b.lens),
+      dfreq = a.dfreq.unionByName(b.dfreq)
+        .groupBy(col("word")).agg(sum(col("df")).as("df")),
+      stats = a.stats.unionByName(b.stats)
+        .agg(sum(col("__nd")).as("__nd"), sum(col("__sl")).as("__sl")))
+
   /** The QUERY half: score a bounded query set against a built (or
     * written-and-reloaded) index. Per-row + broadcast/key-join only,
     * so the streaming twin (Streams.bm25ScoreStream) is a trivial

@@ -217,9 +217,16 @@ object Unigram {
     * encode (the training length bound does not apply); unknown
     * characters come out as single-char pieces. */
   def unigramEncode(docs: DataFrame, modelFrame: DataFrame,
-                    id: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    id: String = "doc_id", textCol: String = "text"): DataFrame =
+    unigramEncode(docs, scoresFromFrame(modelFrame), id, textCol)
+
+  /** [[unigramEncode]] from an already-resolved score map (the
+    * streaming twin resolves the static model ONCE at setup, not per
+    * micro-batch). */
+  def unigramEncode(docs: DataFrame, scores: Map[String, Long],
+                    id: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val scores = scoresFromFrame(modelFrame)
+    require(scores.nonEmpty, "unigramEncode: empty model")
     val maxPieceLen = math.max(1, scores.keysIterator.map(_.length).max)
     val bc = spark.sparkContext.broadcast(scores)
     val schema = StructType(Seq(

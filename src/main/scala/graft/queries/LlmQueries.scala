@@ -4471,6 +4471,23 @@ object LlmQueries {
 
   val qBm25TopkSql: String = bm25SqlFrom("documents", Bm25Queries, Bm25K)
 
+  /** The BM25-index MERGE half inside the gate (the mergeable-index
+    * doctrine applied to sparse retrieval): build per-half indexes
+    * over a disjoint doc-id split, merge (postings/lens append, df
+    * and corpus scalars re-aggregate), score the standard query set
+    * off the merged index. Oracle = q_bm25_topk's whole-corpus replay
+    * VERBATIM — a lost posting, a double-counted df, or a bent corpus
+    * scalar (avgdl derives from the merged sums) bends a rank. */
+  def qBm25IndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merged = TextAnalysis.mergeBm25Indexes(
+      TextAnalysis.bm25BuildIndex(docs.where(col("doc_id") % 2 === 0)),
+      TextAnalysis.bm25BuildIndex(docs.where(col("doc_id") % 2 =!= 0)))
+    TextAnalysis.bm25Score(merged, Bm25Queries, Bm25K)
+  }
+
+  lazy val qBm25IndexMergeSql: String = qBm25TopkSql
+
   /** Mixed-script query set for [[qBm25TopkCjk]]: a Chinese compound
     * that MUST segment per-ideograph to match the corpus tokens, a
     * katakana run + Latin corpus word (cross-script query), the full

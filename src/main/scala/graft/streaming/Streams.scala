@@ -380,6 +380,40 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the secrets/credential scan (operators/
+    * Secrets.secretScan): every detector is a per-document function
+    * (pattern census + per-candidate quantized entropy), so verdicts
+    * never depend on the rest of the stream — the foreachBatch replay
+    * of the identical batch operator, the production crawl-ingest
+    * gate shape. Parity pinned in StreamingSpec. */
+  def secretScanStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "secretScanStream is streaming-only: use Secrets.secretScan for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Secrets.secretScan(batch), batchId)
+    }
+  }
+
+  /** Streaming twin of the unigram-LM encoder (operators/
+    * Unigram.unigramEncode): the model frame is STATIC (trained
+    * offline — the train/apply doctrine), encoding is per-document,
+    * so micro-batch boundaries are invisible; the score map resolves
+    * ONCE at setup (model-sized collect), not per batch. Parity
+    * pinned in StreamingSpec. */
+  def unigramEncodeStream(docs: DataFrame, modelFrame: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "unigramEncodeStream is streaming-only: use Unigram.unigramEncode for batch frames")
+    require(!modelFrame.isStreaming, "the unigram model frame must be static")
+    val scores = graft.operators.Unigram.scoresFromFrame(modelFrame)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(
+        graft.operators.Unigram.unigramEncode(batch, scores, "doc_id", "text"),
+        batchId)
+    }
+  }
+
   /** Streaming twin of the robots crawl verdict (operators/
     * Robots.crawlVerdict): the rules frame is a STATIC parsed model
     * (Robots.parseRules over the crawl snapshot's robots files —

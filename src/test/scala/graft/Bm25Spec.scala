@@ -115,4 +115,31 @@ class Bm25Spec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("mergeBm25Indexes: merge(build(even), build(odd)) == build(all) frame for frame") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "beta delta"),
+      (3L, "alpha epsilon zeta eta theta"), (4L, "gamma gamma beta"),
+      (5L, "solo words here")).toDF("doc_id", "text")
+    val whole = TextAnalysis.bm25BuildIndex(docs)
+    val merged = TextAnalysis.mergeBm25Indexes(
+      TextAnalysis.bm25BuildIndex(docs.where($"doc_id" % 2 === 0)),
+      TextAnalysis.bm25BuildIndex(docs.where($"doc_id" % 2 =!= 0)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(merged.postings) === rows(whole.postings))
+    assert(rows(merged.lens) === rows(whole.lens))
+    assert(rows(merged.dfreq) === rows(whole.dfreq),
+      "df must re-aggregate, never double-count")
+    assert(rows(merged.stats) === rows(whole.stats),
+      "corpus scalars (__nd, __sl) must sum exactly — avgdl derives from them")
+    // and the scores off the merged index equal the whole-corpus scores
+    val qs = Seq("q1" -> "alpha beta", "q2" -> "gamma")
+    assert(
+      TextAnalysis.bm25Score(merged, qs, 5).orderBy("query_id", "rank")
+        .collect().toSeq ===
+      TextAnalysis.bm25Score(whole, qs, 5).orderBy("query_id", "rank")
+        .collect().toSeq)
+  }
 }

@@ -42,7 +42,10 @@ object PlanDump {
       "q_robots_verdict", "q_crawl_schedule", "q_varint_postings_blocked",
       "q_dedup_index_merge", "q_retention", "q_download_acs", "q_hits",
       "q_sitemap_parse", "q_pref_pairs", "q_readability",
-      "q_cidr_lookup", "q_interval_join", "q_politeness_e2e")
+      "q_cidr_lookup", "q_interval_join", "q_politeness_e2e",
+      // round-17 families
+      "q_secret_scan", "q_unigram_train", "q_unigram_encode",
+      "q_ivf_index_merge", "q_table_extract", "q_pdf_extract")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
