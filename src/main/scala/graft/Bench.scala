@@ -103,7 +103,33 @@ object Bench {
     "q_quality_curve" -> 0.64,
     "q_vocab_coverage" -> 0.45,
     "q_incremental_gain" -> 1.49,
-    "q_host_components" -> 2.31)
+    "q_host_components" -> 2.31,
+    // r17 re-pin pass: the 34 rows that rode unpinned since r15/r16
+    // plus the 7 new r17 rows — quiet-host session (calib series
+    // min/med/max pos>0 = 0.20/0.27/0.36, calib_norm 1.37, zero
+    // flags), pin = min(isolated SPARK_GRAFT_BENCH_ONLY min-of-3,
+    // full-suite min-of-3) from that session
+    "q_anchor_text" -> 0.19, "q_bm25_index_merge" -> 0.74,
+    "q_card_scan" -> 0.31, "q_cidr_lookup" -> 0.74,
+    "q_data_card" -> 1.21, "q_dedup_fuzzy" -> 0.64,
+    "q_dedup_index_merge" -> 0.85, "q_download_acs" -> 0.74,
+    "q_exif_meta" -> 0.14, "q_format_detect" -> 0.33,
+    "q_funnel" -> 0.70, "q_gopher_rules" -> 0.44,
+    "q_hits" -> 1.57, "q_interval_join" -> 0.23,
+    "q_ivf_index_merge" -> 0.50, "q_jpeg_meta" -> 0.18,
+    "q_lang_segments" -> 0.52, "q_length_buckets" -> 0.23,
+    "q_loss_mask" -> 0.33, "q_mojibake_fix" -> 0.16,
+    "q_pdf_extract" -> 0.20, "q_politeness_e2e" -> 0.99,
+    "q_pref_pairs" -> 0.26, "q_quality_drift" -> 1.03,
+    "q_readability" -> 0.30, "q_release_manifest" -> 0.16,
+    "q_retention" -> 0.23, "q_revisit_policy" -> 0.38,
+    "q_secret_scan" -> 0.19, "q_sitemap_parse" -> 0.19,
+    "q_skew_census" -> 0.21, "q_snapshot_moves" -> 0.32,
+    "q_span_corrupt" -> 0.70, "q_table_extract" -> 0.16,
+    "q_tar_extract" -> 0.29, "q_unigram_encode" -> 0.46,
+    "q_unigram_train" -> 0.53, "q_utf8_census" -> 0.09,
+    "q_varint_postings" -> 0.48, "q_varint_postings_blocked" -> 0.60,
+    "q_zipf_fit" -> 0.16)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -306,6 +306,8 @@ object SparkEntry {
     "q_pdf_extract" -> (L.qPdfExtract _),
     // mergeable BM25 index: merge(half, half) replays the whole-corpus top-k
     "q_bm25_index_merge" -> (L.qBm25IndexMerge _),
+    // registrable domain (eTLD+1) under the PSL prevailing-rule algorithm
+    "q_registrable_domain" -> (L.qRegistrableDomain _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -528,6 +530,7 @@ object SparkEntry {
     "q_table_extract" -> L.qTableExtractSql,
     "q_pdf_extract" -> L.qPdfExtractSql,
     "q_bm25_index_merge" -> L.qBm25IndexMergeSql,
+    "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

@@ -85,4 +85,82 @@ object Net {
       .select(col(id), col("__ip").as("ip_u32"), col("__plen").as("plen"),
         col("__prefix").as("prefix"), col("__label").as("label"))
   }
+
+  /** Registrable domain (eTLD+1) under the PUBLIC-SUFFIX-LIST
+    * algorithm (publicsuffix.org/list/ — the rules format every real
+    * crawl pipeline groups hosts by: news.bbc.co.uk and www.bbc.co.uk
+    * are ONE site, a.github.io and b.github.io are TWO): given
+    * PSL-syntax rules (`com`, `*.ck` wildcards, `!www.ck` exceptions),
+    * the prevailing rule is any matching EXCEPTION, else the matching
+    * rule with the most labels, else the implicit `*` default; the
+    * public suffix is the prevailing rule's span (one label shorter
+    * for exceptions), and the registrable domain is the suffix plus
+    * one preceding label — NULL when the host IS a public suffix.
+    *
+    * Shape (the cidrLookup recipe on domain labels): each DISTINCT
+    * host explodes to its <=16 label-suffix candidates, candidates
+    * meet the broadcast rule table in equi-joins (normal/exception on
+    * the candidate itself, wildcard on the candidate's tail — the
+    * wildcard consumes the extra label), ONE min-of-struct aggregate
+    * picks the winner ((exception, labels desc) total order,
+    * map-side combinable, no rank window), and results join back to
+    * the input host-keyed. Rules are model-sized (the full PSL is
+    * ~10k rows) — the registry-metadata broadcast doctrine. Hosts are
+    * lowercased internally; output columns `public_suffix` and
+    * `registrable` append to the input. */
+  def registrableDomain(df: DataFrame, rules: Seq[String],
+                        hostCol: String = "host"): DataFrame = {
+    require(rules.nonEmpty, "registrableDomain: empty rule set")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parsed = rules.map(_.trim.toLowerCase).filter(_.nonEmpty).map { r =>
+      if (r.startsWith("!")) (r.substring(1), "exception")
+      else if (r.startsWith("*.")) (r.substring(2), "wildcard")
+      else (r, "normal")
+    }
+    val ruleNe = broadcast(parsed.filter(_._2 != "wildcard")
+      .toDF("__key", "__kind"))
+    val ruleW = broadcast(parsed.filter(_._2 == "wildcard")
+      .map(_._1).toDF("__wkey"))
+    val hosts = df.select(lower(col(hostCol)).as("__h"))
+      .where(col("__h").isNotNull).distinct()
+      .withColumn("__lab", split(col("__h"), "\\."))
+      .withColumn("__n", size(col("__lab")))
+    val cands = hosts
+      .withColumn("__k", explode(sequence(lit(1), least(col("__n"), lit(16)))))
+      .withColumn("__cand",
+        array_join(slice(col("__lab"), -col("__k"), col("__k")), "."))
+    // normal + exception rules match the candidate itself; an
+    // exception's public suffix is one label SHORTER than the rule
+    val ne = cands.join(ruleNe, col("__cand") === col("__key"))
+      .select(col("__h"),
+        when(col("__kind") === "exception", 1L).otherwise(0L).as("__exc"),
+        when(col("__kind") === "exception", col("__k") - 1)
+          .otherwise(col("__k")).cast("long").as("__ps"))
+    // a wildcard rule matches when the candidate's TAIL equals the
+    // rule key — the * consumes the candidate's leading label
+    val wc = cands.where(col("__k") >= 2)
+      .withColumn("__tail",
+        array_join(slice(col("__lab"), -(col("__k") - 1), col("__k") - 1), "."))
+      .join(ruleW, col("__tail") === col("__wkey"))
+      .select(col("__h"), lit(0L).as("__exc"), col("__k").cast("long").as("__ps"))
+    val best = ne.unionByName(wc)
+      .groupBy(col("__h"))
+      // min of (1-exc, -ps): exceptions beat everything, then most
+      // labels — the PSL prevailing-rule order, sort-free
+      .agg(min(struct((lit(1L) - col("__exc")).as("x"), (-col("__ps")).as("p")))
+        .as("__b"))
+      .select(col("__h"), (-col("__b.p")).as("__ps"))
+    val resolved = hosts.join(best, Seq("__h"), "left")
+      // the implicit `*` default rule: unmatched hosts get a 1-label suffix
+      .withColumn("__psf", coalesce(col("__ps"), lit(1L)).cast("int"))
+      .select(col("__h"),
+        array_join(slice(col("__lab"), -col("__psf"), col("__psf")), ".")
+          .as("public_suffix"),
+        when(col("__n") > col("__psf"),
+          array_join(slice(col("__lab"), -(col("__psf") + 1), col("__psf") + 1), "."))
+          .as("registrable"))
+    df.join(resolved, lower(df(hostCol)) === resolved("__h"), "left")
+      .drop("__h")
+  }
 }

@@ -2443,6 +2443,76 @@ object LlmQueries {
        |  CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap
        |FROM a JOIN b ON a_s < b_e AND b_s < a_e""".stripMargin
 
+  // ---- registrable domain / eTLD+1 (operators/Net) ----
+
+  /** PSL rule fixture exercising all three rule kinds: plain suffixes
+    * (com, uk, co.uk), a PRIVATE-section-style suffix (github.io — a
+    * multi-tenant host where each subdomain is its own site), a
+    * wildcard family with its exception (*.ck / !www.ck — the real
+    * PSL's Cook Islands shape), and the kawasaki.jp wildcard+exception
+    * pair. */
+  val PslRules: Seq[String] = Seq(
+    "com", "uk", "co.uk", "github.io", "jp",
+    "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck")
+
+  /** Registrable-domain resolution over closed-form host injections:
+    * doc_id%8 plants one PSL decision shape per residue — plain TLD
+    * (0), multi-label suffix beating its shorter prefix (1: co.uk
+    * over uk), a multi-tenant suffix where the subdomain IS the site
+    * (2: github.io), the exception beating its wildcard (3: www.ck),
+    * the wildcard consuming a label (4: *.ck), the deeper
+    * exception/wildcard pair (5: city.kawasaki.jp), a host that IS a
+    * public suffix (6: NULL registrable), and an unknown TLD falling
+    * to the implicit `*` default (7). The oracle emits EXPECTED
+    * strings only (the q_url_canon doctrine — DuckDB never runs the
+    * PSL algorithm), so any prevailing-rule slip bends a row. */
+  def qRegistrableDomain(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val host = when(i % 8 === 0, concat(lit("a"), s, lit(".example.com")))
+      .when(i % 8 === 1, concat(lit("b"), s, lit(".news.bbc.co.uk")))
+      .when(i % 8 === 2, concat(lit("c"), s, lit(".github.io")))
+      .when(i % 8 === 3, lit("www.ck"))
+      .when(i % 8 === 4, concat(lit("x"), s, lit(".web.ck")))
+      .when(i % 8 === 5, concat(lit("sub"), s, lit(".city.kawasaki.jp")))
+      .when(i % 8 === 6, lit("com"))
+      .otherwise(concat(lit("internal.zz"), (i % 5).cast("string"), lit("box")))
+    graft.operators.Net.registrableDomain(
+        Tables(spark, dir).documents.select(i, host.as("host")), PslRules)
+      .select(col("doc_id"), col("host"), col("public_suffix"), col("registrable"))
+  }
+
+  val qRegistrableDomainSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 8
+      |    WHEN 0 THEN 'a' || s || '.example.com'
+      |    WHEN 1 THEN 'b' || s || '.news.bbc.co.uk'
+      |    WHEN 2 THEN 'c' || s || '.github.io'
+      |    WHEN 3 THEN 'www.ck'
+      |    WHEN 4 THEN 'x' || s || '.web.ck'
+      |    WHEN 5 THEN 'sub' || s || '.city.kawasaki.jp'
+      |    WHEN 6 THEN 'com'
+      |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS host,
+      |  CASE doc_id % 8
+      |    WHEN 0 THEN 'com'
+      |    WHEN 1 THEN 'co.uk'
+      |    WHEN 2 THEN 'github.io'
+      |    WHEN 3 THEN 'ck'
+      |    WHEN 4 THEN 'web.ck'
+      |    WHEN 5 THEN 'kawasaki.jp'
+      |    WHEN 6 THEN 'com'
+      |    ELSE 'zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS public_suffix,
+      |  CASE doc_id % 8
+      |    WHEN 0 THEN 'example.com'
+      |    WHEN 1 THEN 'bbc.co.uk'
+      |    WHEN 2 THEN 'c' || s || '.github.io'
+      |    WHEN 3 THEN 'www.ck'
+      |    WHEN 4 THEN 'x' || s || '.web.ck'
+      |    WHEN 5 THEN 'city.kawasaki.jp'
+      |    WHEN 6 THEN NULL
+      |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS registrable
+      |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents)""".stripMargin
+
   // ---- longest-prefix-match IP lookup (operators/Net) ----
 
   /** The route fixture: overlapping prefixes at five lengths so the

@@ -81,4 +81,56 @@ class NetSpec extends SparkSpec {
     val b = Net.cidrLookup(big.repartition(7), r2).collect().map(_.toString).sorted.toSeq
     assert(a === b)
   }
+
+  private val Psl = Seq("com", "uk", "co.uk", "github.io",
+    "jp", "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck")
+
+  private def rd(hosts: String*): Map[String, (Option[String], Option[String])] = {
+    import spark.implicits._
+    Net.registrableDomain(
+        hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host"),
+        Psl)
+      .collect().map(r => r.getString(1) ->
+        ((Option(r.getString(2)), Option(r.getString(3))))).toMap
+  }
+
+  test("PSL prevailing rule: longest suffix wins, multi-tenant suffixes split sites") {
+    val out = rd("news.bbc.co.uk", "www.bbc.co.uk", "a.github.io", "b.github.io",
+      "deep.a.github.io")
+    assert(out("news.bbc.co.uk") === ((Some("co.uk"), Some("bbc.co.uk"))))
+    assert(out("www.bbc.co.uk")._2 === Some("bbc.co.uk"),
+      "two subdomains of one registrable domain are ONE site")
+    assert(out("a.github.io")._2 === Some("a.github.io"))
+    assert(out("b.github.io")._2 === Some("b.github.io"),
+      "multi-tenant suffix: each subdomain is its own site")
+    assert(out("deep.a.github.io")._2 === Some("a.github.io"))
+  }
+
+  test("PSL wildcard consumes a label; its exception beats it") {
+    val out = rd("x.web.ck", "web.ck", "www.ck", "a.www.ck",
+      "s.city.kawasaki.jp", "other.kawasaki.jp")
+    assert(out("x.web.ck") === ((Some("web.ck"), Some("x.web.ck"))))
+    assert(out("web.ck") === ((Some("web.ck"), None)),
+      "a host that IS a wildcard-made suffix has no registrable domain")
+    assert(out("www.ck") === ((Some("ck"), Some("www.ck"))),
+      "!www.ck: the exception shortens the suffix to ck")
+    assert(out("a.www.ck")._2 === Some("www.ck"))
+    assert(out("s.city.kawasaki.jp") === ((Some("kawasaki.jp"), Some("city.kawasaki.jp"))))
+    assert(out("other.kawasaki.jp") === ((Some("other.kawasaki.jp"), None)))
+  }
+
+  test("default rule, suffix-only hosts, case folding, NULL pass-through") {
+    import spark.implicits._
+    val out = rd("com", "unknown.tld", "only")
+    assert(out("com") === ((Some("com"), None)))
+    assert(out("unknown.tld") === ((Some("tld"), Some("unknown.tld"))),
+      "the implicit * default makes the last label the suffix")
+    assert(out("only") === ((Some("only"), None)))
+    val mixed = Net.registrableDomain(
+      Seq((1L, Some("A.Example.COM")), (2L, None: Option[String]))
+        .toDF("id", "host"), Psl).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(mixed(1L) === Some("example.com"), "hosts fold to lowercase")
+    assert(mixed(2L) === None, "NULL hosts keep their row")
+  }
 }
