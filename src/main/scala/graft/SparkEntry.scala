@@ -308,6 +308,8 @@ object SparkEntry {
     "q_bm25_index_merge" -> (L.qBm25IndexMerge _),
     // registrable domain (eTLD+1) under the PSL prevailing-rule algorithm
     "q_registrable_domain" -> (L.qRegistrableDomain _),
+    // FIM transform: md5-deterministic cuts + sentinel re-serialization
+    "q_fim_transform" -> (L.qFimTransform _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -531,6 +533,7 @@ object SparkEntry {
     "q_pdf_extract" -> L.qPdfExtractSql,
     "q_bm25_index_merge" -> L.qBm25IndexMergeSql,
     "q_registrable_domain" -> L.qRegistrableDomainSql,
+    "q_fim_transform" -> L.qFimTransformSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

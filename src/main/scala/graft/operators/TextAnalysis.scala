@@ -1795,6 +1795,68 @@ object TextAnalysis {
       .drop("__t_md5")
   }
 
+  /** FIM (fill-in-the-middle) transform — the code-model pretraining
+    * data op (Bavarian et al. 2022; the StarCoder/DeepSeek-Coder
+    * pipelines apply it to ~half the corpus): split a document at two
+    * deterministic CHAR cut points into (prefix, middle, suffix) and
+    * re-serialize with sentinel tokens so the model learns infilling.
+    * Two emission orders ship: PSM
+    * `<|fim_pre|>P<|fim_suf|>S<|fim_mid|>M` and the SPM variant
+    * `<|fim_suf|>S<|fim_pre|>P<|fim_mid|>M` (suffix-first — trains
+    * the serve-time cache-friendly order), chosen per doc.
+    *
+    * Selection, mode, and both cut points are md5-derived from
+    * (salt, doc_id) — the md5-sampling doctrine: a retried job,
+    * another layout, or another ENGINE transforms the identical docs
+    * at the identical cuts, which is what lets the oracle replay the
+    * whole transform. Docs shorter than 3 chars (or outside the
+    * `ratePpm` draw) pass through as mode='plain'. Pure column
+    * algebra, zero shuffle; output carries the piece lengths and the
+    * md5 of the re-serialized text (one bent cut or a swapped
+    * sentinel bends the hash). */
+  def fimTransform(docs: DataFrame, ratePpm: Long = 500000L,
+                   spmPpm: Long = 500000L, salt: String = "fim",
+                   id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(ratePpm >= 0 && ratePpm <= 1000000L && spmPpm >= 0 && spmPpm <= 1000000L)
+    def h(kind: String): Column = Portable.h60(
+      concat_ws(":", lit(salt), lit(kind), col(id).cast("string")))
+    val n = length(col(textCol)).cast("long")
+    // guard the modulus: unselected short docs still evaluate the
+    // column, and ANSI long % 0 errors
+    val span = greatest(n - 1L, lit(1L))
+    docs
+      .withColumn("__n", n)
+      .withColumn("__sel",
+        col("__n") >= 3L && h("sel") % 1000000L < ratePpm)
+      .withColumn("__a", lit(1L) + h("a") % span)
+      .withColumn("__b", lit(1L) + h("b") % span)
+      .withColumn("__lo", least(col("__a"), col("__b")))
+      .withColumn("__hi", greatest(col("__a"), col("__b")))
+      .withColumn("__pre", col(textCol).substr(lit(1), col("__lo").cast("int")))
+      .withColumn("__mid", col(textCol).substr((col("__lo") + 1L).cast("int"),
+        (col("__hi") - col("__lo")).cast("int")))
+      .withColumn("__suf", col(textCol).substr((col("__hi") + 1L).cast("int"),
+        (col("__n") - col("__hi")).cast("int")))
+      .withColumn("mode",
+        when(!col("__sel"), "plain")
+          .when(h("mode") % 1000000L < spmPpm, "spm")
+          .otherwise("psm"))
+      .select(col(id),
+        col("mode"),
+        col("__n").as("n_chars"),
+        when(col("__sel"), col("__lo")).as("pre_len"),
+        when(col("__sel"), col("__hi") - col("__lo")).as("mid_len"),
+        when(col("__sel"), col("__n") - col("__hi")).as("suf_len"),
+        md5(when(col("mode") === "plain", col(textCol))
+          .when(col("mode") === "spm", concat(
+            lit("<|fim_suf|>"), col("__suf"), lit("<|fim_pre|>"),
+            col("__pre"), lit("<|fim_mid|>"), col("__mid")))
+          .otherwise(concat(
+            lit("<|fim_pre|>"), col("__pre"), lit("<|fim_suf|>"),
+            col("__suf"), lit("<|fim_mid|>"), col("__mid"))))
+          .as("fim_md5"))
+  }
+
   /** Top-k collocations by pointwise mutual information over adjacent
     * word pairs — the corpus-analysis view (Wimbd-flavor) that
     * surfaces multiword expressions and boilerplate phrases:

@@ -2443,6 +2443,46 @@ object LlmQueries {
        |  CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap
        |FROM a JOIN b ON a_s < b_e AND b_s < a_e""".stripMargin
 
+  // ---- FIM (fill-in-the-middle) transform ----
+
+  /** FIM over the natural corpus — a REAL dual implementation: both
+    * engines draw the same md5 selection/mode/cut points and
+    * re-serialize the same pieces, so the md5 gate bites on any cut
+    * arithmetic, sentinel order, or selection slip. Rates 50%/50%
+    * exercise plain, psm, and spm rows at every scale. */
+  def qFimTransform(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fimTransform(Tables(spark, dir).documents)
+
+  val qFimTransformSql: String = {
+    def h(kind: String) = h60Sql(s"'fim' || ':' || '$kind' || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+       |    ${h("sel")} % 1000000 AS hsel, ${h("mode")} % 1000000 AS hmode,
+       |    1 + ${h("a")} % greatest(CAST(length(text) AS BIGINT) - 1, 1) AS a,
+       |    1 + ${h("b")} % greatest(CAST(length(text) AS BIGINT) - 1, 1) AS b
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, n,
+       |    (n >= 3 AND hsel < 500000) AS sel,
+       |    CASE WHEN NOT (n >= 3 AND hsel < 500000) THEN 'plain'
+       |         WHEN hmode < 500000 THEN 'spm' ELSE 'psm' END AS mode,
+       |    least(a, b) AS lo, greatest(a, b) AS hi
+       |  FROM d),
+       |p AS (SELECT doc_id, mode, n, sel, lo, hi,
+       |    substr(text, 1, CAST(lo AS INT)) AS pre,
+       |    substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS mid,
+       |    substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) AS suf,
+       |    text
+       |  FROM c)
+       |SELECT doc_id, mode, n AS n_chars,
+       |  CASE WHEN sel THEN lo END AS pre_len,
+       |  CASE WHEN sel THEN hi - lo END AS mid_len,
+       |  CASE WHEN sel THEN n - hi END AS suf_len,
+       |  md5(CASE mode WHEN 'plain' THEN text
+       |      WHEN 'spm' THEN '<|fim_suf|>' || suf || '<|fim_pre|>' || pre || '<|fim_mid|>' || mid
+       |      ELSE '<|fim_pre|>' || pre || '<|fim_suf|>' || suf || '<|fim_mid|>' || mid END)
+       |    AS fim_md5
+       |FROM p""".stripMargin
+  }
+
   // ---- registrable domain / eTLD+1 (operators/Net) ----
 
   /** PSL rule fixture exercising all three rule kinds: plain suffixes

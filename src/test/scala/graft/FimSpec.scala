@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** FIM-transform edges: piece-length algebra, rate knobs, short-doc
+  * pass-through, determinism. Cross-engine md5 parity is
+  * q_fim_transform's dual-implementation oracle. */
+class FimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 200L)
+    .map(i => (i, s"doc$i " + ("abcdefghij" * 3))).toDF("doc_id", "text")
+
+  test("piece lengths partition the doc exactly; sentinel order differs by mode") {
+    val out = TextAnalysis.fimTransform(docs, ratePpm = 1000000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(out.forall { case (_, m, _, _, _, _, _) => m == "psm" || m == "spm" })
+    assert(out.forall { case (_, _, n, p, mid, s, _) => p + mid + s == n })
+    assert(out.forall { case (_, _, _, p, mid, s, _) => p >= 1 && s >= 0 && mid >= 0 })
+    val modes = out.map(_._2).toSet
+    assert(modes === Set("psm", "spm"), "both orders fire at spmPpm=50%")
+  }
+
+  test("rate 0 passes everything through as plain with NULL piece lengths") {
+    val out = TextAnalysis.fimTransform(docs, ratePpm = 0L)
+    assert(out.where(col("mode") =!= "plain").count() === 0)
+    assert(out.where(col("pre_len").isNotNull).count() === 0)
+    // plain md5 == md5 of the unchanged text
+    val got = out.select(col("doc_id"), col("fim_md5"))
+      .join(docs.select(col("doc_id"), md5(col("text")).as("want")), Seq("doc_id"))
+    assert(got.where(col("fim_md5") =!= col("want")).count() === 0)
+  }
+
+  test("docs under 3 chars never transform even at rate 1") {
+    val tiny = Seq((1L, "ab"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.fimTransform(tiny, ratePpm = 1000000L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "plain" && out(2L) === "plain")
+    assert(out(3L) !== "plain")
+  }
+
+  test("md5-deterministic: layout-invariant, and the salt changes the draw") {
+    val a = TextAnalysis.fimTransform(docs).collect().map(_.toString).sorted.toSeq
+    val b = TextAnalysis.fimTransform(docs.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+    val other = TextAnalysis.fimTransform(docs, salt = "fim2").collect()
+      .map(_.toString).sorted.toSeq
+    assert(other !== a, "a different salt draws different cuts")
+  }
+}
