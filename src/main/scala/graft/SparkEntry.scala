@@ -310,6 +310,8 @@ object SparkEntry {
     "q_registrable_domain" -> (L.qRegistrableDomain _),
     // FIM transform: md5-deterministic cuts + sentinel re-serialization
     "q_fim_transform" -> (L.qFimTransform _),
+    // BLEU-family clipped n-gram pair census (gateable decomposition)
+    "q_bleu_pairs" -> (L.qBleuPairs _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -534,6 +536,7 @@ object SparkEntry {
     "q_bm25_index_merge" -> L.qBm25IndexMergeSql,
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,
+    "q_bleu_pairs" -> L.qBleuPairsSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Pairwise text-overlap metrics in the BLEU family (Papineni et al.
+  * 2002) — what eval-contamination analysis and generation-diversity
+  * audits actually compute: for (candidate, reference) pairs, the
+  * CLIPPED n-gram matches (a candidate n-gram counts at most as often
+  * as the reference contains it) for n = 1..4, plus the pieces a
+  * hash-gateable BLEU decomposes into. The libm-bound parts stay OUT
+  * of the gate by construction (the sqrt-not-pow doctrine): instead
+  * of BLEU = BP·exp(Σ ln p_n / 4) — whose exp can never hash-match —
+  * the census emits
+  *   - the integer match/denominator pairs per n,
+  *   - `slp_q`: Σ_n floor(ln(m_n/d_n)·1e6+0.5) as ONE long (NULL when
+  *     any precision is zero — BLEU is 0 there and the log diverges),
+  *   - `bp_log`: the brevity-penalty EXPONENT 1 − r/c (≤ 0 when the
+  *     candidate is short, else 0), 6-digit-rounded —
+  * from which BLEU is one driver-side exp away, while every emitted
+  * column is engine-exact (quantized-ln grid, integer counts, one
+  * IEEE division).
+  *
+  * Scale shape: ONE tokenize per side; n-grams 1..4 come from three
+  * `lead()` calls over a single (pair, pos) window — no per-n
+  * re-tokenize — then one unpivot explode and ONE (pair, n, gram)
+  * equi-join between the sides; everything pair-keyed, linear in
+  * tokens, no self-join. */
+object Eval {
+
+  private val MaxN = 4
+
+  /** One row per pair: len_c, len_r, m1..m4 / d1..d4 (clipped matches
+    * and denominators, longs), slp_q, bp_log. Pairs whose candidate
+    * is empty emit NULL metrics (nothing to score). */
+  def bleuCensus(pairs: DataFrame, id: String = "pair_id",
+                 candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    def grams(side: String, textCol: String): DataFrame = {
+      val toks = pairs.select(col(id),
+          posexplode(filter(graft.functions.Portable.words(col(textCol)),
+            w => length(w) > 0)).as(Seq("pos", "w1")))
+      val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      val led = (2 to MaxN).foldLeft(toks) { (df, k) =>
+        df.withColumn(s"w$k", lead(col("w1"), k - 1).over(w))
+      }
+      // unpivot: n-gram n exists when its last word is non-null
+      led.select(col(id), explode(array((1 to MaxN).map { n =>
+          struct(lit(n).as("n"),
+            when((1 to n).map(k => col(s"w$k").isNotNull).reduce(_ && _),
+              concat_ws(" ", (1 to n).map(k => col(s"w$k")): _*)).as("gram"))
+        }: _*)).as("g"))
+        .select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
+        .where(col("gram").isNotNull)
+        .groupBy(col(id), col("n"), col("gram"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    val cc = grams("cand", candCol)
+    val cr = grams("ref", refCol)
+    val matched = cc.join(cr, Seq(id, "n", "gram"))
+      .groupBy(col(id), col("n"))
+      .agg(sum(least(col("c_cand"), col("c_ref"))).as("m"))
+    val denoms = cc.groupBy(col(id), col("n")).agg(sum(col("c_cand")).as("d"))
+    val perN = denoms.join(matched, Seq(id, "n"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    val aggs = (1 to MaxN).flatMap { n =>
+      Seq(sum(when(col("n") === n, col("m"))).as(s"m$n"),
+        sum(when(col("n") === n, col("d"))).as(s"d$n"))
+    }
+    val wide = perN.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val refLen = cr.where(col("n") === 1)
+      .groupBy(col(id)).agg(sum(col("c_ref")).as("len_r"))
+    val lens = wide.join(refLen, Seq(id), "full_outer")
+    val allPos = (1 to MaxN).map(n => col(s"m$n") > 0 && col(s"d$n") > 0)
+      .reduce(_ && _)
+    val slp = (1 to MaxN).map(n =>
+      floor(log(col(s"m$n").cast("double") / col(s"d$n").cast("double"))
+        * 1e6 + 0.5).cast(LongType)).reduce(_ + _)
+    pairs.select(col(id)).distinct()
+      .join(lens, Seq(id), "left")
+      .select(Seq(col(id),
+        coalesce(col("d1"), lit(0L)).as("len_c"),
+        coalesce(col("len_r"), lit(0L)).as("len_r")) ++
+        (1 to MaxN).flatMap(n => Seq(
+          coalesce(col(s"m$n"), lit(0L)).as(s"m$n"),
+          coalesce(col(s"d$n"), lit(0L)).as(s"d$n"))) ++
+        Seq(when(allPos, slp).as("slp_q"),
+          when(coalesce(col("d1"), lit(0L)) > 0,
+            graft.functions.Portable.roundp(
+              when(col("d1") >= coalesce(col("len_r"), lit(0L)), lit(0.0))
+                .otherwise(lit(1.0) - coalesce(col("len_r"), lit(0L)).cast("double")
+                  / col("d1").cast("double")), 6)).as("bp_log")): _*)
+  }
+}

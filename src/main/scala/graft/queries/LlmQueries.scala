@@ -2443,6 +2443,80 @@ object LlmQueries {
        |  CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap
        |FROM a JOIN b ON a_s < b_e AND b_s < a_e""".stripMargin
 
+  // ---- BLEU-family pair overlap census (operators/Eval) ----
+
+  /** BLEU census over derived (cand, ref) pairs — a REAL dual
+    * implementation: cand = the doc's first 30 words; ref by residue
+    * exercises the metric's whole behavior space — identical (every
+    * precision 1, slp_q 0), a LONGER ref (brevity penalty fires),
+    * a 15-word-shifted window (partial overlap at every n), and the
+    * REVERSED candidate (unigram precision 1 while higher-n
+    * precisions collapse — the word-order sensitivity that separates
+    * BLEU from bag-of-words overlap). Both engines run the clipped
+    * n-gram counting and the quantized-ln sum, so a clipping, lead-
+    * window, or log-grid slip bends a value. */
+  def qBleuPairs(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val ws = filter(Portable.words(col("text")), w => length(w) > 0)
+    val cand = array_join(slice(ws, 1, 30), " ")
+    val ref = when(i % 4 === 0, cand)
+      .when(i % 4 === 1, array_join(slice(ws, 1, 40), " "))
+      .when(i % 4 === 2, array_join(slice(ws, 16, 30), " "))
+      .otherwise(array_join(reverse(slice(ws, 1, 30)), " "))
+    graft.operators.Eval.bleuCensus(Tables(spark, dir).documents
+      .select(i.as("pair_id"), cand.as("cand"), ref.as("ref")))
+  }
+
+  val qBleuPairsSql: String = {
+    val mcols = (1 to 4).map(n =>
+      s"coalesce(max(CASE WHEN d.n = $n THEN m.m END), 0) AS m$n,\n" +
+      s"    coalesce(max(CASE WHEN d.n = $n THEN d.d END), 0) AS d$n").mkString(",\n    ")
+    val allPos = (1 to 4).map(n => s"m$n > 0 AND d$n > 0").mkString(" AND ")
+    val slp = (1 to 4).map(n =>
+      s"CAST(floor(ln(m$n / CAST(d$n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id AS pair_id,
+       |    list_filter(${wordsSql("text")}, x -> length(x) > 0) AS w
+       |  FROM documents),
+       |pr AS (SELECT pair_id, w[1:30] AS cw,
+       |    CASE pair_id % 4 WHEN 0 THEN w[1:30] WHEN 1 THEN w[1:40]
+       |      WHEN 2 THEN w[16:45] ELSE list_reverse(w[1:30]) END AS rw
+       |  FROM base),
+       |cg AS (SELECT pair_id, n.n AS n,
+       |    array_to_string(cw[i.i:i.i+n.n-1], ' ') AS gram
+       |  FROM pr, unnest(generate_series(1, 4)) n(n),
+       |       unnest(generate_series(1, len(cw) - n.n + 1)) i(i)),
+       |rg AS (SELECT pair_id, n.n AS n,
+       |    array_to_string(rw[i.i:i.i+n.n-1], ' ') AS gram
+       |  FROM pr, unnest(generate_series(1, 4)) n(n),
+       |       unnest(generate_series(1, len(rw) - n.n + 1)) i(i)),
+       |cgc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS cc
+       |  FROM cg GROUP BY 1, 2, 3),
+       |rgc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS rc
+       |  FROM rg GROUP BY 1, 2, 3),
+       |m AS (SELECT pair_id, n, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+       |  FROM cgc JOIN rgc USING (pair_id, n, gram) GROUP BY 1, 2),
+       |d AS (SELECT pair_id, n, CAST(sum(cc) AS BIGINT) AS d
+       |  FROM cgc GROUP BY 1, 2),
+       |wide AS (SELECT d.pair_id,
+       |    $mcols
+       |  FROM d LEFT JOIN m ON d.pair_id = m.pair_id AND d.n = m.n
+       |  GROUP BY 1)
+       |SELECT p.pair_id,
+       |  coalesce(w.d1, 0) AS len_c,
+       |  CAST(len(p.rw) AS BIGINT) AS len_r,
+       |  coalesce(w.m1, 0) AS m1, coalesce(w.d1, 0) AS d1,
+       |  coalesce(w.m2, 0) AS m2, coalesce(w.d2, 0) AS d2,
+       |  coalesce(w.m3, 0) AS m3, coalesce(w.d3, 0) AS d3,
+       |  coalesce(w.m4, 0) AS m4, coalesce(w.d4, 0) AS d4,
+       |  CASE WHEN $allPos THEN $slp END AS slp_q,
+       |  CASE WHEN coalesce(w.d1, 0) > 0 THEN
+       |    floor((CASE WHEN w.d1 >= len(p.rw) THEN 0.0
+       |      ELSE 1.0 - len(p.rw) / CAST(w.d1 AS DOUBLE) END) * 1e6 + 0.5) / 1e6
+       |  END AS bp_log
+       |FROM pr p LEFT JOIN wide w ON p.pair_id = w.pair_id""".stripMargin
+  }
+
   // ---- FIM (fill-in-the-middle) transform ----
 
   /** FIM over the natural corpus — a REAL dual implementation: both

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Eval
+
+/** BLEU-census edges with hand-computed values: clipping, word-order
+  * sensitivity, brevity penalty, degenerate pairs. Cross-engine
+  * parity is q_bleu_pairs' dual-implementation oracle. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(rows: (Long, String, String)*) =
+    Eval.bleuCensus(rows.toDF("pair_id", "cand", "ref")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+  test("identical pair: every precision 1, slp_q 0, bp_log 0") {
+    val r = census((1L, "a b c d", "a b c d"))(1L)
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 4L)))
+    assert((3 to 10 by 2).map(r.getLong).toSeq === Seq(4L, 3L, 2L, 1L),
+      "matches: 4 unigrams, 3 bigrams, 2 trigrams, 1 four-gram")
+    assert(r.getLong(11) === 0L, "slp_q: ln(1) four times")
+    assert(r.getDouble(12) === 0.0)
+  }
+
+  test("clipping: a repeated candidate word counts at most its reference count") {
+    // cand 'the the the cat', ref 'the cat': m1 = min(3,1) + min(1,1) = 2
+    val r = census((1L, "the the the cat", "the cat"))(1L)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 4L)
+    // bigrams: cand {the the x2, the cat}; ref {the cat} -> m2 = 1
+    assert(r.getLong(5) === 1L && r.getLong(6) === 3L)
+  }
+
+  test("reversed reference: unigram precision 1, four-gram precision 0 -> slp_q NULL") {
+    val r = census((1L, "a b c d e", "e d c b a"))(1L)
+    assert(r.getLong(3) === 5L, "bag-of-words can't see the reversal")
+    assert(r.getLong(9) === 0L, "no four-gram survives reversal")
+    assert(r.isNullAt(11), "a zero precision sends BLEU to 0: slp_q NULL")
+  }
+
+  test("brevity penalty: short candidate gets bp_log = 1 - r/c; long candidate 0") {
+    val short = census((1L, "a b", "a b c d"))(1L)
+    assert(short.getDouble(12) === -1.0, "1 - 4/2")
+    val long = census((2L, "a b c d e f", "a b"))(2L)
+    assert(long.getDouble(12) === 0.0)
+  }
+
+  test("degenerate pairs: empty candidate yields zero counts and NULL logs") {
+    val out = census((1L, "", "a b"), (2L, "a b", ""), (3L, "  ", "x"))
+    assert(out(1L).getLong(1) === 0L && out(1L).isNullAt(11) && out(1L).isNullAt(12))
+    assert(out(2L).getLong(2) === 0L && out(2L).isNullAt(11),
+      "empty ref: nothing matches, slp_q NULL")
+    assert(out(2L).getDouble(12) === 0.0, "cand longer than empty ref: no penalty")
+    assert(out(3L).getLong(1) === 0L, "whitespace-only cand has no tokens")
+  }
+}
