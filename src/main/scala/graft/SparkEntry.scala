@@ -312,6 +312,8 @@ object SparkEntry {
     "q_fim_transform" -> (L.qFimTransform _),
     // BLEU-family clipped n-gram pair census (gateable decomposition)
     "q_bleu_pairs" -> (L.qBleuPairs _),
+    // per-domain quota: registrableDomain composed with capPerKey
+    "q_domain_cap" -> (L.qDomainCap _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
     "q_dedup_fuzzy" -> (L.qDedupFuzzy _),
     "q_mojibake_fix" -> (L.qMojibakeFix _),
@@ -537,6 +539,7 @@ object SparkEntry {
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
+    "q_domain_cap" -> L.qDomainCapSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,
     "q_wkb_decode" -> G.qWkbDecodeSql,

@@ -553,4 +553,30 @@ object Sampling {
         Portable.roundp(greatest(col("__w").cast("double"),
           coalesce(col("__tau"), lit(0.0))), 4).as("est_weight"))
   }
+
+  /** Per-key document CAP — the Gopher-style domain quota: no single
+    * key (registrable domain, source, license bucket) may contribute
+    * more than `cap` rows, with the kept subset a deterministic
+    * UNIFORM sample of the key's rows (md5 rank — a boilerplate farm
+    * can't bias which of its pages survive, and a retried job keeps
+    * the identical set). Composes with Net.registrableDomain: resolve
+    * hosts to eTLD+1, cap per registrable domain.
+    *
+    * Emits EVERY input row with its within-key `cap_rank` and a
+    * `keep` verdict (the census shape — callers filter keep=1 for the
+    * production cut, which then compiles to WindowGroupLimit). One
+    * key-partitioned window; md5 ranks are near-unique so the
+    * partition sort is trivial (the r16 window-census lesson); NULL
+    * keys form their own capped group (unattributed rows must not
+    * ride in uncapped). */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, cap: Int,
+                salt: String = "dcap"): DataFrame = {
+    require(cap >= 1, "capPerKey: cap must be >= 1")
+    val rank = row_number().over(
+      Window.partitionBy(col(keyCol)).orderBy(
+        Portable.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))),
+        col(idCol)))
+    df.withColumn("cap_rank", rank.cast("long"))
+      .withColumn("keep", when(col("cap_rank") <= cap, 1L).otherwise(0L))
+  }
 }

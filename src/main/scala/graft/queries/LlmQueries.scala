@@ -2517,6 +2517,67 @@ object LlmQueries {
        |FROM pr p LEFT JOIN wide w ON p.pair_id = w.pair_id""".stripMargin
   }
 
+  // ---- per-domain cap (registrableDomain ∘ capPerKey) ----
+
+  /** The Gopher-style per-domain quota, composed end to end: the
+    * q_registrable_domain host fixture resolves to eTLD+1 and
+    * Sampling.capPerKey caps each registrable domain at 10 docs with
+    * a deterministic-uniform md5 rank. Residues whose registrable is
+    * SHARED (example.com, bbc.co.uk, the kawasaki exception) exceed
+    * the cap at every scale; multi-tenant residues (c{i}.github.io)
+    * are singleton keys the cap never touches; the NULL-registrable
+    * residue (bare `com`) forms its own capped group. The oracle
+    * replays the residue→registrable closed form + the identical
+    * h60 rank window. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val host = when(i % 8 === 0, concat(lit("a"), s, lit(".example.com")))
+      .when(i % 8 === 1, concat(lit("b"), s, lit(".news.bbc.co.uk")))
+      .when(i % 8 === 2, concat(lit("c"), s, lit(".github.io")))
+      .when(i % 8 === 3, lit("www.ck"))
+      .when(i % 8 === 4, concat(lit("x"), s, lit(".web.ck")))
+      .when(i % 8 === 5, concat(lit("sub"), s, lit(".city.kawasaki.jp")))
+      .when(i % 8 === 6, lit("com"))
+      .otherwise(concat(lit("internal.zz"), (i % 5).cast("string"), lit("box")))
+    val resolved = graft.operators.Net.registrableDomain(
+      Tables(spark, dir).documents.select(i, host.as("host")), PslRules)
+    Sampling.capPerKey(resolved, "doc_id", "registrable", cap = 10)
+      .select(col("doc_id"), col("host"), col("registrable"),
+        col("cap_rank"), col("keep"))
+  }
+
+  val qDomainCapSql: String = {
+    val rank = h60Sql("'dcap' || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents),
+       |r AS (SELECT doc_id,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN 'a' || s || '.example.com'
+       |    WHEN 1 THEN 'b' || s || '.news.bbc.co.uk'
+       |    WHEN 2 THEN 'c' || s || '.github.io'
+       |    WHEN 3 THEN 'www.ck'
+       |    WHEN 4 THEN 'x' || s || '.web.ck'
+       |    WHEN 5 THEN 'sub' || s || '.city.kawasaki.jp'
+       |    WHEN 6 THEN 'com'
+       |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS host,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN 'example.com'
+       |    WHEN 1 THEN 'bbc.co.uk'
+       |    WHEN 2 THEN 'c' || s || '.github.io'
+       |    WHEN 3 THEN 'www.ck'
+       |    WHEN 4 THEN 'x' || s || '.web.ck'
+       |    WHEN 5 THEN 'city.kawasaki.jp'
+       |    WHEN 6 THEN NULL
+       |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS registrable
+       |  FROM d)
+       |SELECT doc_id, host, registrable,
+       |  CAST(row_number() OVER (PARTITION BY registrable
+       |    ORDER BY $rank, doc_id) AS BIGINT) AS cap_rank,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY registrable
+       |    ORDER BY $rank, doc_id) <= 10 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r""".stripMargin
+  }
+
   // ---- FIM (fill-in-the-middle) transform ----
 
   /** FIM over the natural corpus — a REAL dual implementation: both

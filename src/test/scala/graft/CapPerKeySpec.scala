@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Per-key cap edges: binding/non-binding keys, NULL-key grouping,
+  * determinism, dense in-key ranks. Cross-engine parity is
+  * q_domain_cap's h60-rank replay. */
+class CapPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = ((0L until 40L).map(i => (i, "big.com")) ++
+    (40L until 44L).map(i => (i, "small.org")) ++
+    (44L until 48L).map(i => (i, null: String))).toDF("doc_id", "key")
+
+  test("cap binds per key; small and NULL keys keep everything under the cap") {
+    val out = Sampling.capPerKey(rows, "doc_id", "key", cap = 5)
+    val kept = out.where(col("keep") === 1).groupBy(col("key")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(kept === Map(Some("big.com") -> 5L, Some("small.org") -> 4L, None -> 4L),
+      "NULL keys form their OWN capped group — unattributed rows never ride uncapped")
+    // ranks are dense 1..n within each key
+    val ranks = out.where(col("key") === "big.com")
+      .select(col("cap_rank")).collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === (1L to 40L).toSeq)
+  }
+
+  test("deterministic and layout-invariant: same kept set on any partitioning") {
+    val a = Sampling.capPerKey(rows, "doc_id", "key", cap = 5)
+      .where(col("keep") === 1).collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.capPerKey(rows.repartition(7), "doc_id", "key", cap = 5)
+      .where(col("keep") === 1).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    val c = Sampling.capPerKey(rows, "doc_id", "key", cap = 5, salt = "other")
+      .where(col("keep") === 1).collect().map(_.getLong(0)).sorted.toSeq
+    assert(c !== a, "a different salt keeps a different uniform subset")
+  }
+
+  test("the kept subset is hash-uniform, not prefix-biased") {
+    val big = (0L until 400L).map(i => (i, "k")).toDF("doc_id", "key")
+    val kept = Sampling.capPerKey(big, "doc_id", "key", cap = 100)
+      .where(col("keep") === 1).collect().map(_.getLong(0))
+    // a doc_id-ordered cut would keep exactly 0..99; the md5 rank must not
+    assert(kept.count(_ < 100L) < 60, "md5 rank, not insertion order")
+    assert(kept.length === 100)
+  }
+}
