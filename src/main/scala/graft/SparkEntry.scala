@@ -312,6 +312,8 @@ object SparkEntry {
     "q_fim_transform" -> (L.qFimTransform _),
     // BLEU-family clipped n-gram pair census (gateable decomposition)
     "q_bleu_pairs" -> (L.qBleuPairs _),
+    // ROUGE-L pair census: real DP kernel vs closed-form exact LCS oracle
+    "q_rouge_pairs" -> (L.qRougePairs _),
     // per-domain quota: registrableDomain composed with capPerKey
     "q_domain_cap" -> (L.qDomainCap _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
@@ -539,6 +541,7 @@ object SparkEntry {
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
+    "q_rouge_pairs" -> L.qRougePairsSql,
     "q_domain_cap" -> L.qDomainCapSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.functions.Portable
 
 /** Pairwise text-overlap metrics in the BLEU family (Papineni et al.
   * 2002) — what eval-contamination analysis and generation-diversity
@@ -31,6 +32,77 @@ import org.apache.spark.sql.types.LongType
 object Eval {
 
   private val MaxN = 4
+
+  /** Word-level LCS length — the ROUGE-L core. O(m·n) time, O(n)
+    * space (one rolling row); callers bound m, n. */
+  private[graft] def lcsLen(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val row = new Array[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      var prev = 0 // dp[i-1][j-1]
+      var j = 0
+      while (j < b.length) {
+        val tmp = row(j + 1) // dp[i-1][j]
+        row(j + 1) =
+          if (a(i) == b(j)) prev + 1
+          else math.max(row(j + 1), row(j))
+        prev = tmp
+        j += 1
+      }
+      i += 1
+    }
+    row(b.length)
+  }
+
+  /** ROUGE-L census (Lin 2004) — the LCS-based summary/contamination
+    * metric next to [[bleuCensus]]: per pair, the word-level LCS
+    * length plus precision/recall/F1. At β=1 the F-score collapses to
+    * 2·LCS/(len_c+len_r) — ONE division, so P/R/F are all gateable as
+    * roundp(6) ratios of integers (no libm anywhere). Both sides
+    * truncate at `maxWords` (the quadratic DP needs a documented
+    * bound — ROUGE implementations cap sequence length the same way).
+    *
+    * Scale shape: one partition-local DP per pair (mapPartitions — a
+    * two-sequence DP has no Catalyst equivalent; the bpeEncode kernel
+    * altitude), zero shuffle, O(maxWords) state. The oracle holds
+    * closed-form EXPECTED LCS values from constructed pairs (deletion
+    * / substitution / insertion shapes whose LCS is exact by the
+    * subsequence-bound argument), so the kernel DP is gated without a
+    * SQL DP replay. */
+  def rougeLCensus(pairs: DataFrame, id: String = "pair_id",
+                   candCol: String = "cand", refCol: String = "ref",
+                   maxWords: Int = 256): DataFrame = {
+    require(maxWords >= 1, "rougeLCensus: maxWords must be positive")
+    val spark = pairs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pair_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len_c",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("len_r",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lcs",
+        org.apache.spark.sql.types.LongType)))
+    def toks(s: String): Array[String] =
+      if (s == null) Array.empty
+      else s.trim.split("\\s+").filter(_.nonEmpty).take(maxWords)
+    val base = spark.createDataFrame(
+      pairs.select(col(id).cast("long"), col(candCol), col(refCol))
+        .rdd.mapPartitions { rows =>
+          rows.map { r =>
+            val c = toks(r.getString(1)); val f = toks(r.getString(2))
+            org.apache.spark.sql.Row(r.getLong(0),
+              c.length.toLong, f.length.toLong, lcsLen(c, f).toLong)
+          }
+        }, schema)
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, Portable.roundp(num.cast("double") / den.cast("double"), 6))
+    base.select(col("pair_id"), col("len_c"), col("len_r"), col("lcs"),
+      ratio(col("lcs"), col("len_c")).as("rouge_p"),
+      ratio(col("lcs"), col("len_r")).as("rouge_r"),
+      ratio(col("lcs") * 2L, col("len_c") + col("len_r")).as("rouge_f"))
+  }
 
   /** One row per pair: len_c, len_r, m1..m4 / d1..d4 (clipped matches
     * and denominators, longs), slp_q, bp_log. Pairs whose candidate

@@ -2517,6 +2517,52 @@ object LlmQueries {
        |FROM pr p LEFT JOIN wide w ON p.pair_id = w.pair_id""".stripMargin
   }
 
+  // ---- ROUGE-L pair census (operators/Eval) ----
+
+  /** ROUGE-L over constructed pairs whose LCS is EXACT by the
+    * subsequence-bound argument (the closed-form doctrine — the
+    * kernel runs the real O(m·n) DP, the oracle never does): cand =
+    * the doc's first 24 words; ref by residue — identical (LCS = n),
+    * every 3rd word DELETED (LCS = n − n div 3: the survivors are a
+    * common subsequence and LCS ≤ min-length), every 3rd word
+    * SUBSTITUTED with a position-unique OOV token (LCS = n −
+    * (n+2) div 3: OOV matches nothing, non-OOV count bounds from
+    * above), and an OOV INSERTED after every word (LCS = n: cand is a
+    * subsequence of ref). Any DP slip — rolling-row aliasing, an
+    * off-by-one in either dimension — bends an integer. */
+  def qRougePairs(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val ws = slice(filter(Portable.words(col("text")), w => length(w) > 0), 1, 24)
+    val oov = (k: Column) => concat(lit("zzq"), i.cast("string"), lit("x"), k.cast("string"))
+    val ref = when(i % 4 === 0, ws)
+      .when(i % 4 === 1, filter(ws, (_, idx) => idx % 3 =!= 2))
+      .when(i % 4 === 2, zip_with(ws, sequence(lit(0), size(ws) - 1),
+        (w, idx) => when(idx % 3 === 0, oov(idx)).otherwise(w)))
+      .otherwise(flatten(zip_with(ws, sequence(lit(0), size(ws) - 1),
+        (w, idx) => array(w, oov(idx)))))
+    graft.operators.Eval.rougeLCensus(Tables(spark, dir).documents
+      .select(i.as("pair_id"), array_join(ws, " ").as("cand"),
+        array_join(ref, " ").as("ref")))
+  }
+
+  val qRougePairsSql: String =
+    s"""WITH base AS (SELECT doc_id AS pair_id,
+       |    CAST(least(24, len(list_filter(${wordsSql("text")},
+       |      x -> length(x) > 0))) AS BIGINT) AS n
+       |  FROM documents),
+       |m AS (SELECT pair_id, n,
+       |    CASE pair_id % 4 WHEN 0 THEN n WHEN 1 THEN n - n // 3
+       |      WHEN 2 THEN n ELSE 2 * n END AS len_r,
+       |    CASE pair_id % 4 WHEN 0 THEN n WHEN 1 THEN n - n // 3
+       |      WHEN 2 THEN n - (n + 2) // 3 ELSE n END AS lcs
+       |  FROM base)
+       |SELECT pair_id, n AS len_c, len_r, lcs,
+       |  CASE WHEN n > 0 THEN floor(lcs / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rouge_p,
+       |  CASE WHEN len_r > 0 THEN floor(lcs / CAST(len_r AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rouge_r,
+       |  CASE WHEN n + len_r > 0 THEN
+       |    floor(2 * lcs / CAST(n + len_r AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rouge_f
+       |FROM m""".stripMargin
+
   // ---- per-domain cap (registrableDomain ∘ capPerKey) ----
 
   /** The Gopher-style per-domain quota, composed end to end: the

@@ -43,6 +43,30 @@ class EvalSpec extends SparkSpec {
     assert(long.getDouble(12) === 0.0)
   }
 
+  test("lcsLen: textbook cases the closed-form fixture can't produce") {
+    def l(a: String, b: String) =
+      Eval.lcsLen(a.split(" "), b.split(" "))
+    assert(l("a b c b d a b", "b d c a b a") === 4, "the CLRS example")
+    assert(l("a b c", "c b a") === 1)
+    assert(l("a a b a a", "a a a") === 3, "repeated symbols")
+    assert(l("x y z", "p q r") === 0)
+    assert(Eval.lcsLen(Array.empty[String], Array("a")) === 0)
+  }
+
+  test("rougeLCensus: ratios from the integer triple; truncation bound holds") {
+    val out = Eval.rougeLCensus(
+      Seq((1L, "a b c d", "a x b y"), (2L, "", "a"),
+        (3L, ("w " * 300).trim, ("w " * 300).trim))
+        .toDF("pair_id", "cand", "ref"), maxWords = 256).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((4L, 4L, 2L)))
+    assert(r1.getDouble(4) === 0.5 && r1.getDouble(6) === 0.5)
+    assert(out(2L).getLong(3) === 0L && out(2L).isNullAt(4),
+      "empty candidate: zero LCS, NULL precision")
+    assert(out(3L).getLong(1) === 256L, "both sides truncate at maxWords")
+  }
+
   test("degenerate pairs: empty candidate yields zero counts and NULL logs") {
     val out = census((1L, "", "a b"), (2L, "a b", ""), (3L, "  ", "x"))
     assert(out(1L).getLong(1) === 0L && out(1L).isNullAt(11) && out(1L).isNullAt(12))
