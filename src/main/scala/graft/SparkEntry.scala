@@ -314,6 +314,8 @@ object SparkEntry {
     "q_bleu_pairs" -> (L.qBleuPairs _),
     // ROUGE-L pair census: real DP kernel vs closed-form exact LCS oracle
     "q_rouge_pairs" -> (L.qRougePairs _),
+    // length-grouped batching with padding-waste accounting
+    "q_length_batch" -> (L.qLengthBatch _),
     // per-domain quota: registrableDomain composed with capPerKey
     "q_domain_cap" -> (L.qDomainCap _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
@@ -542,6 +544,7 @@ object SparkEntry {
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
     "q_rouge_pairs" -> L.qRougePairsSql,
+    "q_length_batch" -> L.qLengthBatchSql,
     "q_domain_cap" -> L.qDomainCapSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,

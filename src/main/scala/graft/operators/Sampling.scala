@@ -579,4 +579,45 @@ object Sampling {
     df.withColumn("cap_rank", rank.cast("long"))
       .withColumn("keep", when(col("cap_rank") <= cap, 1L).otherwise(0L))
   }
+
+  /** Length-grouped batching — the padding-waste minimizer every
+    * trainer's data loader ships (HF's group_by_length): batches of
+    * `batchSize` docs pad every member to the batch max, so batching
+    * SIMILAR lengths together is pure saved compute; random batching
+    * of a long-tailed corpus wastes most of each batch on pad tokens.
+    *
+    * Shape: docs hash-shard (md5 — deterministic, layout/retry-
+    * stable, the corpus_shuffle idiom) into `shards` independent
+    * loader streams — the production reality, where each worker
+    * batches its own shard and NO global sort exists — then each
+    * shard orders by (n_tokens desc, id) and cuts consecutive runs of
+    * `batchSize` into batches. Per-shard windows only — nothing
+    * global, nothing quadratic: one (shard)-keyed rank exchange, then
+    * one (shard, batch)-keyed max exchange over the already-narrow
+    * (id, shard, len, batch) rows. Emits per doc: shard, n_tokens,
+    * batch_idx, and
+    * pad_waste = batch_max − n_tokens (the tokens the accelerator
+    * burns on padding for this doc — Σ pad_waste is the cost a random
+    * batcher would multiply). */
+  def lengthGroupedBatches(docs: DataFrame, batchSize: Int, shards: Int,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           salt: String = "lgb"): DataFrame = {
+    require(batchSize >= 1 && shards >= 1,
+      "lengthGroupedBatches: batchSize and shards must be positive")
+    val n = size(filter(Portable.words(col(textCol)), w => length(w) > 0))
+      .cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val base = docs.select(col(idCol),
+        (Portable.h60(concat_ws(":", lit(salt), col(idCol).cast("string")))
+          % shards).as("shard"),
+        n.as("n_tokens"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // integer div, never double /: the floor must be exact (r16 rule)
+      .withColumn("batch_idx", expr(s"(__rn - 1) div ${batchSize}L"))
+      .drop("__rn")
+    val wb = Window.partitionBy(col("shard"), col("batch_idx"))
+    base.withColumn("pad_waste",
+      max(col("n_tokens")).over(wb) - col("n_tokens"))
+  }
 }

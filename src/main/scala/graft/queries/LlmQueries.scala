@@ -2517,6 +2517,34 @@ object LlmQueries {
        |FROM pr p LEFT JOIN wide w ON p.pair_id = w.pair_id""".stripMargin
   }
 
+  // ---- length-grouped batching (operators/Sampling) ----
+
+  /** Length-grouped batching over the natural corpus — a REAL dual
+    * implementation: 4 md5 shards, batches of 8 by (n_tokens desc,
+    * id), per-doc padding waste against the batch max. The oracle
+    * replays the shard hash, the rank, and the per-batch max — a
+    * tie-break slip or a batch-boundary off-by-one bends a waste
+    * value somewhere in every shard. */
+  def qLengthBatch(spark: SparkSession, dir: String): DataFrame =
+    Sampling.lengthGroupedBatches(Tables(spark, dir).documents,
+      batchSize = 8, shards = 4)
+
+  val qLengthBatchSql: String = {
+    val h = h60Sql("'lgb' || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, $h % 4 AS shard,
+       |    CAST(len(list_filter(${wordsSql("text")}, x -> length(x) > 0))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (SELECT doc_id, shard, n_tokens,
+       |    (row_number() OVER (PARTITION BY shard
+       |      ORDER BY n_tokens DESC, doc_id) - 1) // 8 AS batch_idx
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens, CAST(batch_idx AS BIGINT) AS batch_idx,
+       |  CAST(max(n_tokens) OVER (PARTITION BY shard, batch_idx)
+       |    - n_tokens AS BIGINT) AS pad_waste
+       |FROM r""".stripMargin
+  }
+
   // ---- ROUGE-L pair census (operators/Eval) ----
 
   /** ROUGE-L over constructed pairs whose LCS is EXACT by the

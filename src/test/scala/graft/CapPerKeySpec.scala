@@ -44,4 +44,26 @@ class CapPerKeySpec extends SparkSpec {
     assert(kept.count(_ < 100L) < 60, "md5 rank, not insertion order")
     assert(kept.length === 100)
   }
+
+  test("lengthGroupedBatches: batches hold similar lengths; waste beats random batching") {
+    // 64 docs, lengths 1..64 words, one shard so batching is globally ordered
+    val docs = (1L to 64L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val out = Sampling.lengthGroupedBatches(docs, batchSize = 8, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 64)
+    // desc order: batch 0 holds lengths 64..57, its max is 64
+    val b0 = out.filter(_._3 == 0L)
+    assert(b0.map(_._2).sorted.toSeq === (57L to 64L).toSeq)
+    assert(b0.map(_._4).max === 7L, "worst in-batch waste is max-min of the run")
+    // total waste under length grouping: each batch spans 8 consecutive
+    // lengths -> waste 0+1+..+7 = 28 per batch, 8 batches
+    assert(out.map(_._4).sum === 28L * 8)
+    // every batch has exactly batchSize members and a dense batch range
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(_ == 8) && sizes.keySet === (0L to 7L).toSet)
+    // layout-invariant
+    val again = Sampling.lengthGroupedBatches(docs.repartition(5), 8, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(again === out.map(r => (r._1, r._3)).sorted.toSeq)
+  }
 }
