@@ -129,7 +129,11 @@ object Bench {
     "q_tar_extract" -> 0.29, "q_unigram_encode" -> 0.46,
     "q_unigram_train" -> 0.53, "q_utf8_census" -> 0.09,
     "q_varint_postings" -> 0.48, "q_varint_postings_blocked" -> 0.60,
-    "q_zipf_fit" -> 0.16)
+    "q_zipf_fit" -> 0.16,
+    // r17 late additions (isolated min-of-3, q_cv companion 0.23-0.30)
+    "q_registrable_domain" -> 0.43, "q_fim_transform" -> 0.23,
+    "q_bleu_pairs" -> 1.90, "q_domain_cap" -> 0.70,
+    "q_rouge_pairs" -> 0.38, "q_length_batch" -> 0.28)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -130,20 +130,22 @@ object Eval {
     }
     val cc = grams("cand", candCol)
     val cr = grams("ref", refCol)
-    val matched = cc.join(cr, Seq(id, "n", "gram"))
-      .groupBy(col(id), col("n"))
-      .agg(sum(least(col("c_cand"), col("c_ref"))).as("m"))
-    val denoms = cc.groupBy(col(id), col("n")).agg(sum(col("c_cand")).as("d"))
-    val perN = denoms.join(matched, Seq(id, "n"), "left")
-      .withColumn("m", coalesce(col("m"), lit(0L)))
+    // ONE full-outer join, ONE aggregate: matches, denominators, and
+    // the ref length all come off the same joined frame, so each
+    // side's gram pipeline is consumed exactly once (the r13 fan-out
+    // lesson — a second consumer silently re-executes the whole
+    // tokenize/window chain). Spark's least() SKIPS nulls, so the
+    // clipped match must gate on both sides being present.
+    val joined = cc.join(cr, Seq(id, "n", "gram"), "full_outer")
     val aggs = (1 to MaxN).flatMap { n =>
-      Seq(sum(when(col("n") === n, col("m"))).as(s"m$n"),
-        sum(when(col("n") === n, col("d"))).as(s"d$n"))
-    }
-    val wide = perN.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
-    val refLen = cr.where(col("n") === 1)
-      .groupBy(col(id)).agg(sum(col("c_ref")).as("len_r"))
-    val lens = wide.join(refLen, Seq(id), "full_outer")
+      Seq(
+        sum(when(col("n") === n && col("c_cand").isNotNull && col("c_ref").isNotNull,
+          least(col("c_cand"), col("c_ref"))).otherwise(0L)).as(s"m$n"),
+        sum(when(col("n") === n, coalesce(col("c_cand"), lit(0L)))
+          .otherwise(0L)).as(s"d$n"))
+    } :+ sum(when(col("n") === 1, coalesce(col("c_ref"), lit(0L)))
+      .otherwise(0L)).as("len_r")
+    val lens = joined.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
     val allPos = (1 to MaxN).map(n => col(s"m$n") > 0 && col(s"d$n") > 0)
       .reduce(_ && _)
     val slp = (1 to MaxN).map(n =>
