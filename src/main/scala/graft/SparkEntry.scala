@@ -316,6 +316,8 @@ object SparkEntry {
     "q_rouge_pairs" -> (L.qRougePairs _),
     // length-grouped batching with padding-waste accounting
     "q_length_batch" -> (L.qLengthBatch _),
+    // decontamination pipeline e2e: shingle flag -> BLEU-bigram confirm
+    "q_contam_e2e" -> (L.qContamE2e _),
     // per-domain quota: registrableDomain composed with capPerKey
     "q_domain_cap" -> (L.qDomainCap _),
     // fuzzy-exact dedup: NFD+casefold+collapse key, first-id keep
@@ -545,6 +547,7 @@ object SparkEntry {
     "q_bleu_pairs" -> L.qBleuPairsSql,
     "q_rouge_pairs" -> L.qRougePairsSql,
     "q_length_batch" -> L.qLengthBatchSql,
+    "q_contam_e2e" -> L.qContamE2eSql,
     "q_domain_cap" -> L.qDomainCapSql,
     "q_dedup_fuzzy" -> L.qDedupFuzzySql,
     "q_mojibake_fix" -> L.qMojibakeFixSql,

@@ -2517,6 +2517,88 @@ object LlmQueries {
        |FROM pr p LEFT JOIN wide w ON p.pair_id = w.pair_id""".stripMargin
   }
 
+  // ---- contamination pipeline e2e: flag -> confirm -> verdict ----
+
+  /** The decontamination pipeline composed end to end (the
+    * q_crawl_e2e doctrine for this family): STAGE 1 flags
+    * (train, benchmark) pairs by shared shingles — cheap, corpus-wide
+    * (Dedup.decontaminate, q_decontaminate's exact split) — and
+    * STAGE 2 confirms each flagged pair with the clipped BIGRAM
+    * precision from the BLEU census over both docs' first 24 words
+    * (Eval.bleuCensus — computed ONLY for flagged pairs, the
+    * two-stage economics every production decontaminator uses:
+    * n-gram index first, alignment metric on the survivors).
+    * Verdict: `drop` when at least half the candidate bigrams are
+    * clipped-matched (integer DIV ppm), else `review`. The oracle
+    * composes q_decontaminate's shingle CTEs with the bigram count
+    * replay — a flag, join-back, clipping, or DIV slip bends a row. */
+  def qContamE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val flagged = Dedup.decontaminate(
+      docs.where(col("doc_id") >= 15), docs.where(col("doc_id") < 15),
+      DecontaminateMinCommon)
+    val cut = docs.select(col("doc_id"),
+      array_join(slice(filter(Portable.words(col("text")),
+        w => length(w) > 0), 1, 24), " ").as("__cut"))
+    releaseStageCaches("contam_e2e") // BEFORE the persist (see stageCacheReg)
+    val pairs = flagged
+      .withColumn("pair_id", col("doc_id") * 16L + col("bench_id"))
+      .join(cut.select(col("doc_id"), col("__cut").as("cand")), Seq("doc_id"))
+      .join(cut.select(col("doc_id").as("bench_id"), col("__cut").as("ref")),
+        Seq("bench_id"))
+      // fan-out point: the census AND the meta join both read the
+      // flagged-pair frame — uncached, the whole shingle-join chain
+      // re-executes per consumer (the r13 lesson)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStageCaches("contam_e2e", List(pairs))
+    val census = graft.operators.Eval.bleuCensus(
+      pairs.select(col("pair_id"), col("cand"), col("ref")))
+    pairs.select(col("pair_id"), col("doc_id"), col("bench_id"), col("n_common"))
+      .join(census.select(col("pair_id"), col("m2"), col("d2")), Seq("pair_id"))
+      .withColumn("bigram_prec_ppm",
+        expr("CASE WHEN d2 = 0 THEN NULL ELSE (m2 * 1000000) DIV d2 END"))
+      .withColumn("verdict",
+        when(col("bigram_prec_ppm") >= 500000L, "drop").otherwise("review"))
+  }
+
+  val qContamE2eSql: String =
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM ws),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |tr AS (SELECT doc_id, shingle FROM ex WHERE doc_id >= 15),
+       |be AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id < 15),
+       |fl AS (SELECT tr.doc_id, be.bench_id, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM tr JOIN be ON tr.shingle = be.shingle
+       |  GROUP BY 1, 2 HAVING count(*) >= $DecontaminateMinCommon),
+       |wl AS MATERIALIZED (SELECT doc_id,
+       |    (list_filter(w, x -> length(x) > 0))[1:24] AS cw FROM ws),
+       |pr AS MATERIALIZED (SELECT fl.doc_id * 16 + fl.bench_id AS pair_id,
+       |    fl.doc_id, fl.bench_id, fl.n_common, a.cw AS cw, b.cw AS rw
+       |  FROM fl JOIN wl a ON fl.doc_id = a.doc_id
+       |  JOIN wl b ON fl.bench_id = b.doc_id),
+       |cg AS (SELECT pair_id, array_to_string(cw[i.i:i.i+1], ' ') AS gram
+       |  FROM pr, unnest(generate_series(1, len(cw) - 1)) i(i)),
+       |rg AS (SELECT pair_id, array_to_string(rw[i.i:i.i+1], ' ') AS gram
+       |  FROM pr, unnest(generate_series(1, len(rw) - 1)) i(i)),
+       |cgc AS (SELECT pair_id, gram, CAST(count(*) AS BIGINT) AS cc
+       |  FROM cg GROUP BY 1, 2),
+       |rgc AS (SELECT pair_id, gram, CAST(count(*) AS BIGINT) AS rc
+       |  FROM rg GROUP BY 1, 2),
+       |agg AS (SELECT c.pair_id,
+       |    CAST(sum(CASE WHEN r.rc IS NOT NULL THEN least(c.cc, r.rc)
+       |      ELSE 0 END) AS BIGINT) AS m2,
+       |    CAST(sum(c.cc) AS BIGINT) AS d2
+       |  FROM cgc c LEFT JOIN rgc r ON c.pair_id = r.pair_id AND c.gram = r.gram
+       |  GROUP BY 1)
+       |SELECT p.pair_id, p.doc_id, p.bench_id, p.n_common,
+       |  coalesce(a.m2, 0) AS m2, coalesce(a.d2, 0) AS d2,
+       |  CASE WHEN coalesce(a.d2, 0) = 0 THEN NULL
+       |    ELSE (coalesce(a.m2, 0) * 1000000) // coalesce(a.d2, 0) END
+       |    AS bigram_prec_ppm,
+       |  CASE WHEN coalesce(a.m2, 0) * 1000000 >= 500000 * coalesce(a.d2, 0)
+       |    AND coalesce(a.d2, 0) > 0 THEN 'drop' ELSE 'review' END AS verdict
+       |FROM pr p LEFT JOIN agg a ON p.pair_id = a.pair_id""".stripMargin
+
   // ---- length-grouped batching (operators/Sampling) ----
 
   /** Length-grouped batching over the natural corpus — a REAL dual
