@@ -298,6 +298,7 @@ object SparkEntry {
     // unigram-LM (SentencePiece-style) tokenizer: trainer trajectory + encoder
     "q_unigram_train" -> (L.qUnigramTrain _),
     "q_unigram_encode" -> (L.qUnigramEncode _),
+    "q_unigram_train_cjk" -> (L.qUnigramTrainCjk _),
     // mergeable IVF index: merge(half, half) replays the whole-corpus SemDedup
     "q_ivf_index_merge" -> (L.qIvfIndexMerge _),
     // structured HTML table extraction (colspan grid + quarantine rows)
@@ -538,6 +539,7 @@ object SparkEntry {
     "q_secret_scan" -> L.qSecretScanSql,
     "q_unigram_train" -> L.qUnigramTrainSql,
     "q_unigram_encode" -> L.qUnigramEncodeSql,
+    "q_unigram_train_cjk" -> L.qUnigramTrainCjkSql,
     "q_ivf_index_merge" -> L.qIvfIndexMergeSql,
     "q_table_extract" -> L.qTableExtractSql,
     "q_pdf_extract" -> L.qPdfExtractSql,

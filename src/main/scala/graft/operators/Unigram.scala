@@ -104,9 +104,12 @@ object Unigram {
     math.floor(math.log((c + 1).toDouble / (total + vocabSize).toDouble) * 1e6 + 0.5).toLong
 
   /** Distinct-word frequency table of the corpus, bounded to
-    * training-eligible lengths. */
-  private def wordFreqs(docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
-    docs.select(explode(graft.functions.Portable.words(col(textCol))).as("word"))
+    * training-eligible lengths. `scripted` switches to the CJK-aware
+    * segmenter (per-ideograph Han, same-script kana/Thai runs) — the
+    * corpus class unigram-LM tokenizers were invented for. */
+  private def wordFreqs(docs: DataFrame, textCol: String, maxWordLen: Int,
+                        scripted: Boolean): DataFrame =
+    docs.select(explode(TextAnalysis.tokensOf(col(textCol), scripted)).as("word"))
       .where(length(col("word")).between(1, maxWordLen))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
@@ -141,10 +144,10 @@ object Unigram {
     * the (cnt desc, piece asc) total order. */
   def unigramTrain(docs: DataFrame, seedMulti: Int, targetMulti: Int,
                    emIters: Int, maxPieceLen: Int = 3, maxWordLen: Int = 10,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text", scripted: Boolean = false): DataFrame = {
     require(emIters >= 1 && seedMulti >= targetMulti && maxPieceLen >= 2)
     val spark = docs.sparkSession
-    val words = wordFreqs(docs, textCol, maxWordLen)
+    val words = wordFreqs(docs, textCol, maxWordLen, scripted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ---- seed: all single chars + top multi-char substrings ----

@@ -4020,8 +4020,13 @@ object LlmQueries {
       emIters = UnigramEmIters, maxPieceLen = 3, maxWordLen = UnigramMaxWordLen)
 
   val qUnigramTrainSql: String =
+    unigramTrainSqlFrom("documents", wordsSql("text"))
+
+  /** The trainer oracle, parameterized by doc source + tokenizer (the
+    * plain and CJK twins share every CTE below the word table). */
+  private def unigramTrainSqlFrom(src: String, wordsExpr: String): String =
     s"""WITH RECURSIVE
-       |ws AS (SELECT ${wordsSql("text")} AS w FROM documents),
+       |ws AS (SELECT $wordsExpr AS w FROM $src),
        |tok AS (SELECT unnest(w) AS word FROM ws),
        |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
        |  WHERE length(word) BETWEEN 1 AND $UnigramMaxWordLen GROUP BY 1),
@@ -4061,6 +4066,35 @@ object LlmQueries {
        |  CAST(floor(ln((f.c + 1) / (t.ct + t.nv)) * 1e6 + 0.5) AS BIGINT) AS score_q
        |FROM fin f, (SELECT CAST(sum(c) AS BIGINT) AS ct,
        |             CAST(count(*) AS BIGINT) AS nv FROM fin) t""".stripMargin
+
+  /** The CJK twin of [[qUnigramTrain]] — the corpus class unigram-LM
+    * tokenizers were invented for (SentencePiece's original target):
+    * the SAME trainer trajectory over the mixed-script cjkDocs corpus
+    * under the scripted segmenter (per-ideograph Han, same-script
+    * kana/Thai runs), so the learned pieces include multi-ideograph
+    * units. All CTEs below the word table are shared with the plain
+    * oracle verbatim — only the tokenizer and doc source differ. */
+  def qUnigramTrainCjk(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    // the PURE script strings (no English rider): Latin volume would
+    // drown the kana/Thai runs out of the top-k multi cut and the row
+    // would only exercise the segmenter, not CJK piece learning
+    val cjkOnly = Tables(spark, dir).documents.select(i,
+      when(i % 4 === 0, lit(MixZh)).when(i % 4 === 1, lit(MixJa))
+        .when(i % 4 === 2, lit(MixTh)).otherwise(lit(MixMx)).as("text"))
+    graft.operators.Unigram.unigramTrain(cjkOnly,
+      seedMulti = UnigramSeedMulti, targetMulti = UnigramTargetMulti,
+      emIters = UnigramEmIters, maxPieceLen = 3,
+      maxWordLen = UnigramMaxWordLen, scripted = true)
+  }
+
+  lazy val qUnigramTrainCjkSql: String =
+    unigramTrainSqlFrom(
+      s"""(SELECT doc_id, CASE doc_id % 4
+         |      WHEN 0 THEN '$MixZh' WHEN 1 THEN '$MixJa'
+         |      WHEN 2 THEN '$MixTh' ELSE '$MixMx' END AS text
+         |    FROM documents)""".stripMargin,
+      scriptedWordsSql("text"))
 
   /** Fixed unigram vocabulary for the ENCODE gate (the BpeMerges
     * pattern: a hand-built model so the gate isolates the ENCODER).

@@ -45,7 +45,10 @@ object PlanDump {
       "q_cidr_lookup", "q_interval_join", "q_politeness_e2e",
       // round-17 families
       "q_secret_scan", "q_unigram_train", "q_unigram_encode",
-      "q_ivf_index_merge", "q_table_extract", "q_pdf_extract")
+      "q_ivf_index_merge", "q_table_extract", "q_pdf_extract",
+      "q_bm25_index_merge", "q_registrable_domain", "q_fim_transform",
+      "q_bleu_pairs", "q_domain_cap", "q_rouge_pairs", "q_length_batch",
+      "q_contam_e2e")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")

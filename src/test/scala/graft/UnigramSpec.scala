@@ -61,6 +61,22 @@ class UnigramSpec extends SparkSpec {
     assert(pieces.contains("the"), s"expected 'the' in ${pieces.mkString(",")}")
   }
 
+  test("scripted mode learns multi-kana pieces; Han segments per ideograph") {
+    val docs = Seq.fill(20)("モデルはデータでモデルを学習する")
+      .zipWithIndex.map(_.swap).map { case (i, t) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Unigram.unigramTrain(docs, seedMulti = 12, targetMulti = 6,
+      emIters = 1, scripted = true)
+    val pieces = model.collect().map(_.getString(1)).toSet
+    assert(pieces.exists(p => p.length >= 2 && p.forall(c => c >= 'ァ' && c <= 'ー')),
+      s"expected a multi-kana piece in ${pieces.mkString(",")}")
+    // Han ideographs arrive as single-char words (per-ideograph
+    // segmentation), so they can only ever be single-char pieces
+    assert(pieces.contains("学") && pieces.contains("習"))
+    assert(!pieces.exists(p => p.length >= 2 && p.exists(c => c >= '一' && c <= '龥')),
+      "no multi-char piece may span the per-ideograph segmentation")
+  }
+
   test("model frame round-trips through parquet; encode is byte-identical (shippable model)") {
     val train = Seq((1L, "the cat sat"), (2L, "dogs and cats")).toDF("doc_id", "text")
     val docs = Seq((1L, "the cat sat"), (2L, "dogs and cats"), (3L, "THE Cat 99"))
