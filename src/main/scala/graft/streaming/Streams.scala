@@ -414,6 +414,24 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the FIM transform (operators/TextAnalysis
+    * .fimTransform): selection, mode, and cuts are md5 functions of
+    * (salt, doc_id) — STATELESS per doc, so the identical batch
+    * operator replays per micro-batch and a restarted stream
+    * transforms the identical docs at the identical cuts (the
+    * rand()-free idiom's whole point). Parity pinned in
+    * StreamingSpec. */
+  def fimTransformStream(docs: DataFrame, ratePpm: Long = 500000L,
+                         spmPpm: Long = 500000L, salt: String = "fim")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "fimTransformStream is streaming-only: use TextAnalysis.fimTransform for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.fimTransform(
+        batch, ratePpm, spmPpm, salt), batchId)
+    }
+  }
+
   /** Streaming twin of the robots crawl verdict (operators/
     * Robots.crawlVerdict): the rules frame is a STATIC parsed model
     * (Robots.parseRules over the crawl snapshot's robots files —

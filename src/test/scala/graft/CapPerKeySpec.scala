@@ -45,6 +45,14 @@ class CapPerKeySpec extends SparkSpec {
     assert(kept.length === 100)
   }
 
+  test("the production cut (cap_rank <= cap filter) compiles to WindowGroupLimit") {
+    val plan = Sampling.capPerKey(rows, "doc_id", "key", cap = 5)
+      .where(col("cap_rank") <= 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "map tasks must forward <= cap rows per key, never a full per-key sort")
+  }
+
   test("lengthGroupedBatches: batches hold similar lengths; waste beats random batching") {
     // 64 docs, lengths 1..64 words, one shard so batching is globally ordered
     val docs = (1L to 64L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")

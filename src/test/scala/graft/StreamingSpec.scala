@@ -1335,6 +1335,26 @@ class StreamingSpec extends SparkSpec {
     assert(acc.sortBy(r => (r.getLong(0), r.getLong(1))).toSeq === expected)
   }
 
+  test("fimTransformStream matches batch across splits (md5 cuts are batch-blind)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 20L).map(i => (i, s"doc$i " + "abcdefghij" * 2))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(7): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.fimTransformStream(input.toDF().toDF("doc_id", "text")) {
+      (batch, _) => acc.synchronized { acc ++= batch.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(7): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis.fimTransform(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getLong(0)).toSeq === expected)
+    assert(expected.exists(_.getString(1) != "plain"), "fixture must transform some docs")
+  }
+
   test("revisitPlanStream matches batch revisitPlan across any micro-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
