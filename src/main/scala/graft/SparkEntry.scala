@@ -315,6 +315,8 @@ object SparkEntry {
     "q_bleu_pairs" -> (L.qBleuPairs _),
     // ROUGE-L pair census: real DP kernel vs closed-form exact LCS oracle
     "q_rouge_pairs" -> (L.qRougePairs _),
+    // MMR diverse selection: k-round greedy trajectory, all-integer scoring
+    "q_mmr_select" -> (L.qMmrSelect _),
     // length-grouped batching with padding-waste accounting
     "q_length_batch" -> (L.qLengthBatch _),
     // decontamination pipeline e2e: shingle flag -> BLEU-bigram confirm
@@ -548,6 +550,7 @@ object SparkEntry {
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
     "q_rouge_pairs" -> L.qRougePairsSql,
+    "q_mmr_select" -> L.qMmrSelectSql,
     "q_length_batch" -> L.qLengthBatchSql,
     "q_contam_e2e" -> L.qContamE2eSql,
     "q_domain_cap" -> L.qDomainCapSql,

@@ -318,6 +318,74 @@ object Similarity {
   def semanticDedupIndexed(index: IvfIndex, threshold: Double): DataFrame =
     semanticVerdicts(index.assignments, threshold)
 
+  /** EAGER operator: `mmrSelect` executes at CALL time (k bounded
+    * argmax jobs over a persisted relevance frame, released before
+    * returning) and returns a literal-built k-row frame — the Funnel
+    * eager-operator contract.
+    *
+    * Maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998) — the diversity rerank every RAG pipeline ships: greedily
+    * pick k candidates maximizing λ·rel(q, c) − (1−λ)·max_{s∈S}
+    * sim(c, s), so near-duplicates of an already-picked passage lose
+    * to fresh material. All-integer scoring (the sigmoid-free
+    * doctrine): relevance and diversity cosines quantize ONCE to
+    * fixed-point longs (floor(cos·1e6+0.5) — the q_embed_cosine_topk
+    * grid), λ enters as ppm, and each round's winner is the
+    * (mmr_q desc, vec_id asc) total order — so the k-round greedy
+    * trajectory replays as chained CTEs cross-engine. Zero-norm
+    * candidates (undefined cosine) are excluded up front.
+    *
+    * Scale shape: the relevance frame computes once and persists;
+    * each round is ONE argmax job (TakeOrderedAndProject, map-side
+    * top-1) with the ≤k selected vectors as codegen literal probes
+    * (the ivfAssign idiom) — k bounded 1-row collects, the
+    * bpeTrainDistributed pattern. Production callers prefilter
+    * candidates to an ANN top-N; the operator never self-joins. */
+  def mmrSelect(query: Array[Float], candidates: DataFrame, k: Int,
+                lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1, "mmrSelect: k must be positive")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      "mmrSelect: lambdaPpm must be in [0, 1000000]")
+    val spark = candidates.sparkSession
+    def cosQ(a: Column, v: Array[Float]): Column =
+      floor(graft.functions.VectorOps.floatCosine(a, lit(v)) * 1e6 + 0.5)
+        .cast("long")
+    val base = candidates
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .withColumn("__rel_q", cosQ(col("embedding"), query))
+      .where(col("__rel_q").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      var t = 1
+      var exhausted = false
+      while (t <= k && !exhausted) {
+        val div: Column =
+          if (pickedVecs.isEmpty) lit(0L)
+          else pickedVecs.map(v => cosQ(col("embedding"), v))
+            .reduce((a, b) => greatest(a, b))
+        val top = base
+          .where(!col("vec_id").isin(picked.map(_._2).toSeq: _*))
+          .withColumn("__mmr_q",
+            lit(lambdaPpm) * col("__rel_q") - lit(1000000L - lambdaPpm) * div)
+          .orderBy(col("__mmr_q").desc, col("vec_id").asc)
+          .limit(1).select(col("vec_id"), col("__rel_q"), col("__mmr_q"),
+            col("embedding"))
+          .collect() // bounded: ONE row per round
+        if (top.isEmpty) exhausted = true
+        else {
+          val r = top.head
+          picked += ((t.toLong, r.getLong(0), r.getLong(1), r.getLong(2)))
+          pickedVecs += r.getSeq[Float](3).toArray
+        }
+        t += 1
+      }
+      import spark.implicits._
+      picked.toSeq.toDF("rank", "vec_id", "rel_q", "mmr_q")
+    } finally base.unpersist(blocking = false)
+  }
+
   /** Embedding near-dup for UNBLOCKED corpora: hyperplane-LSH buckets
     * play the block role. Near-duplicate vectors (cosine near 1) agree
     * on almost every hyperplane sign, so they land in the same bucket

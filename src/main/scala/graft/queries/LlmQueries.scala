@@ -786,6 +786,57 @@ object LlmQueries {
        |  FROM s)
        |SELECT query_id, rank, cand_id, cos FROM r WHERE rank <= $TopK""".stripMargin
 
+  // ---- MMR diverse selection (operators/Similarity.mmrSelect) ----
+
+  private val MmrK = 6
+  private val MmrLambdaPpm = 700000L
+
+  /** MMR over the embeddings table with vec 0's own embedding as the
+    * query: greedy k-round selection where every round's winner is
+    * the all-integer (λ·rel_q − (1−λ)·max-div_q) argmax under a
+    * total order. The oracle replays the WHOLE greedy trajectory as
+    * chained 1-row CTEs (the q_bpe_train iterative-replay doctrine) —
+    * each round joins the prior winners' VECTORS back in and takes
+    * the max diversity cosine, so a tie-break, exclusion, or
+    * quantization slip anywhere in the chain changes a pick. */
+  def qMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray // 1-row bounded fetch
+    Similarity.mmrSelect(q, emb, MmrK, MmrLambdaPpm)
+  }
+
+  val qMmrSelectSql: String = {
+    val L = MmrLambdaPpm
+    val M = 1000000L - MmrLambdaPpm
+    def cq(a: String, b: String) =
+      s"CAST(floor((list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))) * 1e6 + 0.5) AS BIGINT)"
+    val rounds = (1 to MmrK).map { t =>
+      if (t == 1)
+        s"""sel1 AS MATERIALIZED (SELECT vec_id, e, rel_q, $L * rel_q AS mmr_q
+           |  FROM b ORDER BY $L * rel_q DESC, vec_id ASC LIMIT 1)""".stripMargin
+      else {
+        val prev = (1 until t).map(i => s"sel$i s$i").mkString(", ")
+        val excl = (1 until t).map(i => s"b.vec_id <> s$i.vec_id").mkString(" AND ")
+        val divs = (1 until t).map(i => cq("b.e", s"s$i.e")).mkString(", ")
+        s"""sel$t AS MATERIALIZED (SELECT vec_id, e, rel_q, mmr_q FROM (
+           |  SELECT b.vec_id, b.e, b.rel_q,
+           |    $L * b.rel_q - $M * greatest($divs) AS mmr_q
+           |  FROM b, $prev WHERE $excl)
+           |  ORDER BY mmr_q DESC, vec_id ASC LIMIT 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, vec_id, rel_q, mmr_q FROM sel$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |b AS MATERIALIZED (SELECT vec_id, e, ${cq("e", "qe")} AS rel_q
+       |  FROM v, q WHERE ${cq("e", "qe")} IS NOT NULL),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   // ---- #28 hyperplane-LSH bucketed ANN ----
 
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Similarity
+
+/** MMR selection semantics: diversity must actually change picks vs
+  * pure relevance, lambda extremes, exhaustion, zero-norm exclusion.
+  * Cross-engine trajectory parity is q_mmr_select's chained-CTE
+  * oracle. */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // query axis = x; a,b nearly collinear with q (b slightly behind a);
+  // c orthogonal-ish but still relevant
+  private val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.05f, 0f, 0f)),   // a: top relevance
+    (2L, Seq(1.0f, 0.06f, 0f, 0f)),   // b: near-dup of a
+    (3L, Seq(0.6f, 0.8f, 0f, 0f)),    // c: diverse, decent relevance
+    (4L, Seq(0.5f, 0f, 0.87f, 0f)))   // d: diverse, lower relevance
+  private def df = vecs.toDF("vec_id", "embedding")
+
+  private def pick(k: Int, lambdaPpm: Long) =
+    Similarity.mmrSelect(q, df, k, lambdaPpm).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+
+  test("diversity demotes the near-duplicate: MMR != relevance order") {
+    // pure relevance would give 1, 2 (near-dups) first
+    assert(pick(3, 1000000L) === Seq(1L, 2L, 3L),
+      "lambda=1 is pure relevance ranking")
+    val mmr = pick(3, 500000L)
+    assert(mmr.head === 1L)
+    assert(mmr(1) !== 2L, "the near-dup of pick 1 must lose round 2")
+    // hand computation: round 2 mmr(d) = +0.0003 beats mmr(c) = -0.0196
+    // (c pays its 0.639 similarity to a); round 3 the near-dup b
+    // (-0.0009) beats c (-0.0196) — diversity penalties are RELATIVE
+    assert(mmr === Seq(1L, 4L, 2L))
+  }
+
+  test("k beyond the candidate pool exhausts gracefully; ranks stay dense") {
+    val out = Similarity.mmrSelect(q, df, k = 10, lambdaPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 4)
+    assert(out.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("zero-norm candidates are excluded; scores are fixed-point integers") {
+    val withZero = (vecs :+ (9L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(q, withZero, k = 5, lambdaPpm = 500000L)
+      .collect()
+    assert(!out.map(_.getLong(1)).contains(9L))
+    // rel of pick 1 is cos(q, a) on the 1e-6 grid
+    val rel1 = out.find(_.getLong(0) == 1L).get.getLong(2)
+    val want = math.floor(1.0 / math.sqrt(1.0 + 0.05 * 0.05) * 1e6 + 0.5).toLong
+    assert(rel1 === want)
+  }
+}
