@@ -149,6 +149,8 @@ object SparkEntry {
     "q_chat_validate" -> (L.qChatValidate _),
     // DPO preference-pair hygiene census (length bias, echo, identicals)
     "q_pref_pairs" -> (L.qPrefPairs _),
+    // conversation-tree flattening: root-to-leaf paths + cycle quarantine
+    "q_chat_tree" -> (L.qChatTree _),
     "q_robots_rules" -> (L.qRobotsRules _),
     "q_robots_verdict" -> (L.qRobotsVerdict _),
     "q_crawl_schedule" -> (L.qCrawlSchedule _),
@@ -447,6 +449,7 @@ object SparkEntry {
     "q_quality_curve" -> L.qQualityCurveSql,
     "q_chat_validate" -> L.qChatValidateSql,
     "q_pref_pairs" -> L.qPrefPairsSql,
+    "q_chat_tree" -> L.qChatTreeSql,
     "q_robots_rules" -> L.qRobotsRulesSql,
     "q_robots_verdict" -> L.qRobotsVerdictSql,
     "q_crawl_schedule" -> L.qCrawlScheduleSql,

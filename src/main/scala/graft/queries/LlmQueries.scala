@@ -1415,6 +1415,53 @@ object LlmQueries {
        |FROM c""".stripMargin
   }
 
+  // ---- conversation-tree flattening (ChatData.flattenChatTrees) ----
+
+  /** Tree flattening over a closed-form message tree: parent(i) =
+    * (i−1) div 8 (one 8-ary conversation tree rooted at 0 — wide and
+    * shallow like real crowd-chat trees, depth log₈ N) EXCEPT
+    * i%97==13, whose parent is ITSELF — a self-cycle planted mid-tree,
+    * so every leaf under such a node walks up into the loop and must
+    * quarantine at the cap while the rest of the tree flattens
+    * normally. The oracle replays the same parent formula with a
+    * WITH RECURSIVE up-walk (depth-guarded, the same cap) — a leaf
+    * census slip, a hop off-by-one, or a cycle leak bends a row. */
+  def qChatTree(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val msgs = Tables(spark, dir).documents.select(
+      i.as("msg_id"),
+      when(i === 0, lit(null).cast("long"))
+        .when(i % 97 === 13, i)
+        .otherwise(expr("(doc_id - 1) div 8")).as("parent_id"))
+    graft.operators.ChatData.flattenChatTrees(msgs, maxDepth = 32)
+  }
+
+  val qChatTreeSql: String =
+    """WITH RECURSIVE
+      |e AS MATERIALIZED (SELECT doc_id AS id,
+      |    CASE WHEN doc_id = 0 THEN NULL
+      |         WHEN doc_id % 97 = 13 THEN doc_id
+      |         ELSE (doc_id - 1) // 8 END AS parent
+      |  FROM documents),
+      |lv AS (SELECT id FROM e WHERE id NOT IN
+      |    (SELECT parent FROM e WHERE parent IS NOT NULL AND parent <> id)),
+      |wk(leaf, cur, path, d) AS (
+      |  SELECT id, id, CAST(id AS VARCHAR), CAST(0 AS BIGINT) FROM lv
+      |  UNION ALL
+      |  SELECT w.leaf, e.parent,
+      |    CAST(e.parent AS VARCHAR) || '/' || w.path, w.d + 1
+      |  FROM wk w JOIN e ON w.cur = e.id
+      |  WHERE e.parent IS NOT NULL AND w.d < 32
+      |    AND NOT '/' || w.path || '/' LIKE '%/' || CAST(e.parent AS VARCHAR) || '/%'),
+      |com AS (SELECT w.leaf, w.cur AS root, w.d, w.path
+      |  FROM wk w JOIN e ON w.cur = e.id WHERE e.parent IS NULL)
+      |SELECT leaf AS leaf_id, root AS root_id, d AS depth,
+      |  md5(path) AS path_md5, 'path' AS kind
+      |FROM com
+      |UNION ALL
+      |SELECT id, NULL, NULL, NULL, 'cycle_or_deep'
+      |FROM lv WHERE id NOT IN (SELECT leaf FROM com)""".stripMargin
+
   // ---- SFT loss-mask rendering (operators/ChatData.lossMask) ----
 
   /** Loss-mask census over the shared chat fixture: the Spark side

@@ -107,4 +107,47 @@ class ChatDataSpec extends SparkSpec {
     assert(out(5L).getLong(6) === 0L, "rejected-longer rows flag chosen_longer 0")
     assert(out(6L).getLong(7) === 0L, "an empty prompt can never 'echo'")
   }
+
+  private def flatten(rows: (Long, Option[Long])*) = {
+    import spark.implicits._
+    ChatData.flattenChatTrees(rows.toDF("msg_id", "parent_id"), maxDepth = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(4)))).toMap
+  }
+
+  test("tree flattening: one path per leaf, branching preserved, multi-root forests") {
+    //     0           10
+    //    / \           |
+    //   1   2         11
+    //       |
+    //       3
+    val out = flatten((0L, None), (1L, Some(0L)), (2L, Some(0L)),
+      (3L, Some(2L)), (10L, None), (11L, Some(10L)))
+    assert(out.keySet === Set(1L, 3L, 11L), "exactly the leaves")
+    assert(out(1L) === ((0L, 1L, "path")))
+    assert(out(3L) === ((0L, 2L, "path")), "depth counts hops, not nodes")
+    assert(out(11L) === ((10L, 1L, "path")), "second root handled independently")
+  }
+
+  test("tree flattening: cycles quarantine at the cap; a lone root is its own path") {
+    val out = flatten((0L, None), (5L, Some(6L)), (6L, Some(5L)), (7L, Some(6L)))
+    // 0 has no children -> a degenerate single-message path
+    assert(out(0L) === ((0L, 0L, "path")))
+    // 7 walks into the 5<->6 cycle and never reaches a root
+    assert(out(7L)._3 === "cycle_or_deep")
+    assert(out(7L)._1 === -1L && out(7L)._2 === -1L, "quarantine carries NULLs")
+    // 5 and 6 are mutual parents -> each has a child, so NEITHER is a
+    // leaf: cycle interiors never emit rows; only paths INTO them do
+    assert(!out.contains(5L) && !out.contains(6L))
+  }
+
+  test("tree flattening: path md5 distinguishes sibling branches") {
+    import spark.implicits._
+    val out = ChatData.flattenChatTrees(
+      Seq((0L, None: Option[Long]), (1L, Some(0L)), (2L, Some(0L)))
+        .toDF("msg_id", "parent_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) !== out(2L), "each branch is its own conversation")
+  }
 }
