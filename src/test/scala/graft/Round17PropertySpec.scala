@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{ChatData, Eval, Html, Similarity, Unigram}
+import graft.sources.Pdf
+import org.apache.spark.sql.functions._
+
+/** Adversarial/property pins for the round-17 components: byte-fuzzed
+  * codecs never throw (quarantine-as-rows), walkers are total, the
+  * Viterbi partition property, MMR layout invariance, and tree
+  * flattening's every-leaf-accounted-once invariant. Deterministic
+  * seeds — failures reproduce. */
+class Round17PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(0xC0FFEE17)
+
+  test("Pdf.decode is total under random byte corruption (quarantine, never throw)") {
+    val clean = Pdf.write(Seq(Seq("alpha", "beta"), Seq("gamma")))
+    for (_ <- 1 to 300) {
+      val bytes = clean.clone()
+      val flips = 1 + rng.nextInt(8)
+      for (_ <- 1 to flips)
+        bytes(rng.nextInt(bytes.length)) = rng.nextInt(256).toByte
+      Pdf.decode(bytes) // Some or None — anything but a throw
+    }
+    // truncations at every boundary class
+    for (cut <- Seq(0, 1, 4, 8, 64, clean.length / 2, clean.length - 1))
+      Pdf.decode(java.util.Arrays.copyOf(clean, cut))
+  }
+
+  test("Html.walkTables is total on random tag soup; repeated walks agree") {
+    val atoms = Seq("<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+      "<th colspan=2>", "text ", "<td colspan='", "<", ">", "</", "x&y",
+      "<table", "<b>", "</b>", "\n")
+    for (_ <- 1 to 200) {
+      val soup = Seq.fill(2 + rng.nextInt(30))(atoms(rng.nextInt(atoms.size))).mkString
+      val a = Html.walkTables(soup, 4)
+      val b = Html.walkTables(soup, 4)
+      assert(a === b, s"non-deterministic walk on: $soup")
+      assert(a.forall(r => r._8 == "cell" || r._8 == "unclosed" || r._8 == "too_deep"))
+    }
+  }
+
+  test("Viterbi partition property: pieces concatenate back to the word, any vocab") {
+    val alphabet = "abcde"
+    for (_ <- 1 to 200) {
+      val word = Seq.fill(1 + rng.nextInt(14))(alphabet(rng.nextInt(5))).mkString
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      // random sparse vocab over substrings; chars NOT guaranteed present
+      for (_ <- 0 until rng.nextInt(10)) {
+        val s = rng.nextInt(word.length)
+        val l = 1 + rng.nextInt(math.min(3, word.length - s))
+        m.put(word.substring(s, s + l), -(1L + rng.nextInt(1000000)))
+      }
+      val pieces = Unigram.viterbiSegment(word, m, 3)
+      assert(pieces.mkString === word,
+        s"segmentation must partition '$word', got ${pieces.mkString("|")}")
+    }
+  }
+
+  test("tree flattening accounts for every leaf exactly once, any random forest") {
+    for (trial <- 1 to 5) {
+      val r = new scala.util.Random(trial)
+      val n = 60
+      // random parent: ~15% roots, ~10% forward refs (cycles possible)
+      val rows = (0L until n).map { i =>
+        val p = r.nextInt(100) match {
+          case x if x < 15 => None
+          case x if x < 25 => Some(r.nextInt(n).toLong) // may cycle
+          case _ if i == 0 => None
+          case _ => Some(r.nextInt(i.toInt).toLong)     // acyclic back-ref
+        }
+        (i, p)
+      }
+      val out = ChatData.flattenChatTrees(rows.toDF("msg_id", "parent_id"),
+        maxDepth = 16).collect()
+      val children = rows.collect { case (i, Some(p)) if p != i => p }.toSet
+      val leaves = rows.map(_._1).filterNot(children.contains).toSet
+      assert(out.map(_.getLong(0)).toSeq.sorted === leaves.toSeq.sorted.map(identity),
+        s"trial $trial: every leaf exactly once, path or quarantine")
+      out.filter(_.getString(4) == "path").foreach { row =>
+        assert(!row.isNullAt(1) && !row.isNullAt(3))
+      }
+    }
+  }
+
+  test("MMR selection is layout-invariant") {
+    val q = Array(1.0f, 0.2f, 0f, 0f)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq(1.0f + (i % 7) * 0.1f, (i % 5) * 0.3f, (i % 3) * 0.2f, 0.1f))
+    }
+    val a = Similarity.mmrSelect(q, vecs.toDF("vec_id", "embedding"), 5, 600000L)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.mmrSelect(q, vecs.toDF("vec_id", "embedding").repartition(7),
+        5, 600000L)
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("LCS kernel invariants: symmetry, bounds, concatenation monotonicity") {
+    for (_ <- 1 to 150) {
+      val a = Array.fill(rng.nextInt(10))(('a' + rng.nextInt(3)).toChar.toString)
+      val b = Array.fill(rng.nextInt(10))(('a' + rng.nextInt(3)).toChar.toString)
+      val l = Eval.lcsLen(a, b)
+      assert(l === Eval.lcsLen(b, a), "LCS is symmetric")
+      assert(l <= math.min(a.length, b.length))
+      assert(Eval.lcsLen(a ++ b, b) >= b.length, "b is a subsequence of a++b")
+    }
+  }
+}
