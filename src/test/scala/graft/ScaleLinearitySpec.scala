@@ -53,4 +53,14 @@ class ScaleLinearitySpec extends SparkSpec {
     // corpus grows; a range-shared fixture would go quadratic here
     assertLinear("q_interval_join")
   }
+
+  test("q_chat_tree paths grow linearly with the corpus (leaves of an 8-ary tree)") {
+    assertLinear("q_chat_tree")
+  }
+
+  test("q_contam_e2e flagged pairs grow linearly with the train side (fixed benchmark)") {
+    // the benchmark side is the FIXED doc_id < 15 set at every scale,
+    // so flagged pairs grow with the train side only — never train²
+    assertLinear("q_contam_e2e")
+  }
 }
