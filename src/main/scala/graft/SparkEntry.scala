@@ -315,6 +315,8 @@ object SparkEntry {
     "q_fim_transform" -> (L.qFimTransform _),
     // BLEU-family clipped n-gram pair census (gateable decomposition)
     "q_bleu_pairs" -> (L.qBleuPairs _),
+    // chrF: character n-gram F-score (typo/morphology-robust eval metric)
+    "q_chrf_pairs" -> (L.qChrfPairs _),
     // ROUGE-L pair census: real DP kernel vs closed-form exact LCS oracle
     "q_rouge_pairs" -> (L.qRougePairs _),
     // MMR diverse selection: k-round greedy trajectory, all-integer scoring
@@ -552,6 +554,7 @@ object SparkEntry {
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
+    "q_chrf_pairs" -> L.qChrfPairsSql,
     "q_rouge_pairs" -> L.qRougePairsSql,
     "q_mmr_select" -> L.qMmrSelectSql,
     "q_length_batch" -> L.qLengthBatchSql,

@@ -33,6 +33,76 @@ object Eval {
 
   private val MaxN = 4
 
+  /** chrF census (Popović 2015, β=2) — the CHARACTER-n-gram F-score
+    * that survives what kills word-level metrics: typos, morphology,
+    * and segmentation-free scripts still earn partial credit because
+    * matching happens on char n-grams (n = 1..6) over the
+    * whitespace-stripped text. Per pair: clipped char-n-gram matches
+    * against candidate and reference totals, averaged precisions and
+    * recalls over the CONTRIBUTING orders (both sides non-empty at
+    * that n), and chrF = 5·P̄·R̄/(4·P̄+R̄). Engine-exact: counts are
+    * integers, P̄/R̄/chrF are ONE fixed-shape expression tree of
+    * integer ratios (left-assoc six-term sums — both engines evaluate
+    * the identical IEEE chain, the Census-formula discipline), one
+    * terminal roundp(6). Pairs with no contributing order emit NULL.
+    *
+    * Scale shape: the bleuCensus recipe at char altitude — one
+    * char-explode per side, n = 1..6 from five lead() calls over one
+    * pair-keyed window, ONE full-outer gram join feeding ONE
+    * aggregate. Callers bound text length (chars explode 1:1). */
+  def chrfCensus(pairs: DataFrame, id: String = "pair_id",
+                 candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    val N = 6
+    def grams(side: String, textCol: String): DataFrame = {
+      val toks = pairs.select(col(id),
+        posexplode(split(regexp_replace(col(textCol), "\\s+", ""), ""))
+          .as(Seq("pos", "c1")))
+        .where(length(col("c1")) > 0)
+      val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      val led = (2 to N).foldLeft(toks) { (df, k) =>
+        df.withColumn(s"c$k", lead(col("c1"), k - 1).over(w))
+      }
+      led.select(col(id), explode(array((1 to N).map { n =>
+          struct(lit(n).as("n"),
+            when((1 to n).map(k => col(s"c$k").isNotNull).reduce(_ && _),
+              concat((1 to n).map(k => col(s"c$k")): _*)).as("gram"))
+        }: _*)).as("g"))
+        .select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
+        .where(col("gram").isNotNull)
+        .groupBy(col(id), col("n"), col("gram"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    val joined = grams("cand", candCol)
+      .join(grams("ref", refCol), Seq(id, "n", "gram"), "full_outer")
+    val aggs = (1 to N).flatMap { n =>
+      Seq(
+        sum(when(col("n") === n && col("c_cand").isNotNull && col("c_ref").isNotNull,
+          least(col("c_cand"), col("c_ref"))).otherwise(0L)).as(s"m$n"),
+        sum(when(col("n") === n, coalesce(col("c_cand"), lit(0L)))
+          .otherwise(0L)).as(s"dc$n"),
+        sum(when(col("n") === n, coalesce(col("c_ref"), lit(0L)))
+          .otherwise(0L)).as(s"dr$n"))
+    }
+    val wide = joined.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    def contrib(n: Int) = col(s"dc$n") > 0 && col(s"dr$n") > 0
+    val nContrib = (1 to N).map(n => when(contrib(n), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def avg(den: Int => Column): Column =
+      (1 to N).map(n => when(contrib(n),
+        col(s"m$n").cast("double") / den(n).cast("double")).otherwise(lit(0.0)))
+        .reduce(_ + _) / nContrib.cast("double")
+    val p = avg(n => col(s"dc$n"))
+    val r = avg(n => col(s"dr$n"))
+    pairs.select(col(id)).distinct()
+      .join(wide, Seq(id), "left")
+      .select(col(id),
+        coalesce(nContrib, lit(0L)).as("n_contrib"),
+        when(nContrib > 0,
+          when(lit(4.0) * p + r > 0.0,
+            Portable.roundp(lit(5.0) * p * r / (lit(4.0) * p + r), 6))
+            .otherwise(lit(0.0))).as("chrf"))
+  }
+
   /** Word-level LCS length — the ROUGE-L core. O(m·n) time, O(n)
     * space (one rolling row); callers bound m, n. */
   private[graft] def lcsLen(a: Array[String], b: Array[String]): Int = {

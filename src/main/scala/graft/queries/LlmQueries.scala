@@ -2832,6 +2832,91 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
+  // ---- chrF pair census (operators/Eval.chrfCensus) ----
+
+  /** chrF over derived pairs — a REAL dual implementation at char
+    * altitude: cand = the doc's first 15 words; refs exercise what
+    * chrF exists FOR — identical (chrF 1), leet-typo substitution
+    * (e→3: word metrics die, char n-grams keep partial credit),
+    * reversed word order (char grams inside words survive), and a
+    * longer ref (recall penalty). Both engines run the clipped
+    * char-n-gram counting and the identical fixed-shape F
+    * expression tree. */
+  def qChrfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val ws = slice(filter(Portable.words(col("text")), w => length(w) > 0), 1, 15)
+    val cand = array_join(ws, " ")
+    val ref = when(i % 4 === 0, cand)
+      .when(i % 4 === 1, regexp_replace(cand, "e", "3"))
+      .when(i % 4 === 2, array_join(reverse(ws), " "))
+      .otherwise(array_join(slice(filter(Portable.words(col("text")),
+        w => length(w) > 0), 1, 25), " "))
+    graft.operators.Eval.chrfCensus(Tables(spark, dir).documents
+      .select(i.as("pair_id"), cand.as("cand"), ref.as("ref")))
+  }
+
+  val qChrfPairsSql: String = {
+    val N = 6
+    val mcols = (1 to N).map(n =>
+      s"coalesce(max(CASE WHEN d.n = $n THEN m.m END), 0) AS m$n,\n" +
+      s"    coalesce(max(CASE WHEN d.n = $n THEN d.dc END), 0) AS dc$n,\n" +
+      s"    coalesce(max(CASE WHEN d.n = $n THEN d.dr END), 0) AS dr$n")
+      .mkString(",\n    ")
+    val nc = (1 to N).map(n =>
+      s"CASE WHEN dc$n > 0 AND dr$n > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    def terms(den: String) = (1 to N).map(n =>
+      s"CASE WHEN dc$n > 0 AND dr$n > 0 THEN m$n / CAST($den$n AS DOUBLE) ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id AS pair_id,
+       |    list_filter(${wordsSql("text")}, x -> length(x) > 0) AS w
+       |  FROM documents),
+       |pr AS (SELECT pair_id,
+       |    replace(array_to_string(w[1:15], ' '), ' ', '') AS cs,
+       |    replace(CASE pair_id % 4
+       |      WHEN 0 THEN array_to_string(w[1:15], ' ')
+       |      WHEN 1 THEN replace(array_to_string(w[1:15], ' '), 'e', '3')
+       |      WHEN 2 THEN array_to_string(list_reverse(w[1:15]), ' ')
+       |      ELSE array_to_string(w[1:25], ' ') END, ' ', '') AS rs
+       |  FROM base),
+       |cg AS (SELECT pair_id, n.n AS n, substr(cs, i.i, n.n) AS gram
+       |  FROM pr, unnest(generate_series(1, $N)) n(n),
+       |       unnest(generate_series(1, length(cs) - n.n + 1)) i(i)),
+       |rg AS (SELECT pair_id, n.n AS n, substr(rs, i.i, n.n) AS gram
+       |  FROM pr, unnest(generate_series(1, $N)) n(n),
+       |       unnest(generate_series(1, length(rs) - n.n + 1)) i(i)),
+       |cgc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS cc
+       |  FROM cg GROUP BY 1, 2, 3),
+       |rgc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS rc
+       |  FROM rg GROUP BY 1, 2, 3),
+       |m AS (SELECT pair_id, n, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+       |  FROM cgc JOIN rgc USING (pair_id, n, gram) GROUP BY 1, 2),
+       |d AS (SELECT coalesce(c.pair_id, r.pair_id) AS pair_id,
+       |    coalesce(c.n, r.n) AS n,
+       |    CAST(coalesce(c.dc, 0) AS BIGINT) AS dc,
+       |    CAST(coalesce(r.dr, 0) AS BIGINT) AS dr
+       |  FROM (SELECT pair_id, n, sum(cc) AS dc FROM cgc GROUP BY 1, 2) c
+       |  FULL OUTER JOIN (SELECT pair_id, n, sum(rc) AS dr FROM rgc GROUP BY 1, 2) r
+       |    ON c.pair_id = r.pair_id AND c.n = r.n),
+       |wide AS (SELECT d.pair_id,
+       |    $mcols
+       |  FROM d LEFT JOIN m ON d.pair_id = m.pair_id AND d.n = m.n
+       |  GROUP BY 1),
+       |f AS (SELECT pair_id,
+       |    CAST($nc AS BIGINT) AS nc,
+       |    (${terms("dc")}) AS ps,
+       |    (${terms("dr")}) AS rs
+       |  FROM wide)
+       |SELECT p.pair_id,
+       |  coalesce(f.nc, 0) AS n_contrib,
+       |  CASE WHEN f.nc > 0 THEN
+       |    CASE WHEN 4.0 * (ps / CAST(nc AS DOUBLE)) + (rs / CAST(nc AS DOUBLE)) > 0.0
+       |      THEN floor((5.0 * (ps / CAST(nc AS DOUBLE)) * (rs / CAST(nc AS DOUBLE))
+       |        / (4.0 * (ps / CAST(nc AS DOUBLE)) + (rs / CAST(nc AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+       |      ELSE 0.0 END
+       |  END AS chrf
+       |FROM (SELECT pair_id FROM pr) p LEFT JOIN f ON p.pair_id = f.pair_id""".stripMargin
+  }
+
   // ---- FIM (fill-in-the-middle) transform ----
 
   /** FIM over the natural corpus — a REAL dual implementation: both

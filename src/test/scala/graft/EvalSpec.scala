@@ -43,6 +43,34 @@ class EvalSpec extends SparkSpec {
     assert(long.getDouble(12) === 0.0)
   }
 
+  test("chrF: identical = 1; typos keep partial credit where BLEU dies; asymmetric β=2") {
+    def chrf(rows: (Long, String, String)*) =
+      Eval.chrfCensus(rows.toDF("pair_id", "cand", "ref")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    val out = chrf(
+      (1L, "the quick brown fox", "the quick brown fox"),
+      (2L, "the quick brown fox", "th3 quick brown fox"),   // one typo
+      (3L, "the quick brown fox", "nothing shared at all!"),
+      (4L, "ab", "xyzw"),                                    // no match, short
+      (5L, "", "something"))                                 // empty cand
+    assert(out(1L) === ((6L, 1.0)))
+    val typo = out(2L)._2
+    assert(typo > 0.6 && typo < 1.0,
+      s"single-char typo must keep most char-gram credit, got $typo")
+    assert(out(3L)._2 < typo && out(3L)._2 < 0.2)
+    assert(out(4L)._2 === 0.0, "zero matches with contributing orders -> chrF 0")
+    assert(out(5L)._2.isNaN && out(5L)._1 === 0L,
+      "no contributing order -> NULL chrF")
+    // beta=2 weighs recall: a ref-superset (recall<1, precision=1 per
+    // gram) scores differently from a cand-superset of the same pair
+    val asym = chrf((1L, "abcd", "abcdefgh"), (2L, "abcdefgh", "abcd"))
+    assert(asym(1L)._2 !== asym(2L)._2, "F_beta=2 is not symmetric")
+    assert(asym(2L)._2 > asym(1L)._2,
+      "recall-weighted: COVERING the reference outweighs precision — the" +
+        " candidate that contains the whole ref scores higher")
+  }
+
   test("lcsLen: textbook cases the closed-form fixture can't produce") {
     def l(a: String, b: String) =
       Eval.lcsLen(a.split(" "), b.split(" "))
