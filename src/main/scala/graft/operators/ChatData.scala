@@ -220,16 +220,26 @@ object ChatData {
       var round = 0
       var live = true
       while (round < maxDepth && live) {
+        // LEFT join + presence flag: a cur with NO edge row is an
+        // ORPHAN (its parent id never appeared in the dump — routine
+        // in real crowd-data exports) and must quarantine, not vanish
+        // through an inner join
         val stepped = frontier
-          .join(edges.withColumnRenamed("id", "cur"), Seq("cur"))
-          .localCheckpoint(true) // consumed thrice below; lineage stays flat
-        done += stepped.where(col("parent").isNull)
+          .join(edges.withColumnRenamed("id", "cur")
+              .withColumn("__present", lit(true)),
+            Seq("cur"), "left")
+          .localCheckpoint(true) // consumed four ways below; lineage flat
+        done += stepped.where(col("__present").isNotNull && col("parent").isNull)
           .select(col("leaf"), col("cur").as("root"), col("d"), col("path"))
-        stuck += stepped.where(col("parent").isNotNull && revisit)
-          .select(col("leaf"))
+        stuck += stepped.where(col("__present").isNull ||
+            (col("parent").isNotNull && revisit))
+          .select(col("leaf"),
+            when(col("__present").isNull, "orphan")
+              .otherwise("cycle_or_deep").as("kind"))
         // no second checkpoint: frontier is a narrow filter of the
         // already-materialized step, so lineage stays one hop deep
-        frontier = stepped.where(col("parent").isNotNull && !revisit)
+        frontier = stepped.where(col("__present").isNotNull &&
+            col("parent").isNotNull && !revisit)
           .select(col("leaf"), col("parent").as("cur"),
             concat(col("parent").cast("string"), lit("/"), col("path")).as("path"),
             (col("d") + 1L).as("d"))
@@ -240,12 +250,14 @@ object ChatData {
         .select(col("leaf").as("leaf_id"), col("root").as("root_id"),
           col("d").as("depth"), md5(col("path")).as("path_md5"),
           lit("path").as("kind"))
-      // cycles (first revisit) + anything past maxDepth hops (over-deep)
-      val quarantined = (stuck :+ frontier.select(col("leaf")))
-        .reduce(_ unionByName _)
-        .select(col("leaf").as("leaf_id"),
-          lit(null).cast("long").as("root_id"), lit(null).cast("long").as("depth"),
-          lit(null).cast("string").as("path_md5"), lit("cycle_or_deep").as("kind"))
+      // orphans (missing parent row) + cycles (first revisit) +
+      // anything past maxDepth hops (over-deep)
+      val quarantined =
+        (stuck :+ frontier.select(col("leaf"), lit("cycle_or_deep").as("kind")))
+          .reduce(_ unionByName _)
+          .select(col("leaf").as("leaf_id"),
+            lit(null).cast("long").as("root_id"), lit(null).cast("long").as("depth"),
+            lit(null).cast("string").as("path_md5"), col("kind"))
       paths.unionByName(quarantined)
     } finally edges.unpersist(blocking = false)
   }

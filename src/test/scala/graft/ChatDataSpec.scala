@@ -142,6 +142,15 @@ class ChatDataSpec extends SparkSpec {
     assert(!out.contains(5L) && !out.contains(6L))
   }
 
+  test("tree flattening: a parent id absent from the dump quarantines as 'orphan'") {
+    // 2's parent 99 has no row — routine in real crowd-data exports;
+    // an inner-join walk would silently drop the leaf
+    val out = flatten((0L, None), (1L, Some(0L)), (2L, Some(99L)))
+    assert(out(2L)._3 === "orphan")
+    assert(out(1L)._3 === "path")
+    assert(out.keySet === Set(1L, 2L), "every leaf accounted for")
+  }
+
   test("tree flattening: path md5 distinguishes sibling branches") {
     import spark.implicits._
     val out = ChatData.flattenChatTrees(
