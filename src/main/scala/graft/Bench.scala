@@ -136,7 +136,7 @@ object Bench {
     "q_rouge_pairs" -> 0.38, "q_length_batch" -> 0.28,
     "q_contam_e2e" -> 1.69, "q_unigram_train_cjk" -> 0.96,
     "q_mmr_select" -> 0.85, "q_chat_tree" -> 1.86,
-    "q_chrf_pairs" -> 2.95)
+    "q_chrf_pairs" -> 2.95, "q_markdown_extract" -> 0.58)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

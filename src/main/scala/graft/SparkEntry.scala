@@ -317,6 +317,8 @@ object SparkEntry {
     "q_bleu_pairs" -> (L.qBleuPairs _),
     // chrF: character n-gram F-score (typo/morphology-robust eval metric)
     "q_chrf_pairs" -> (L.qChrfPairs _),
+    // markdown text extraction (the GitHub-corpus extractHtmlText sibling)
+    "q_markdown_extract" -> (L.qMarkdownExtract _),
     // ROUGE-L pair census: real DP kernel vs closed-form exact LCS oracle
     "q_rouge_pairs" -> (L.qRougePairs _),
     // MMR diverse selection: k-round greedy trajectory, all-integer scoring
@@ -555,6 +557,7 @@ object SparkEntry {
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
     "q_chrf_pairs" -> L.qChrfPairsSql,
+    "q_markdown_extract" -> L.qMarkdownExtractSql,
     "q_rouge_pairs" -> L.qRougePairsSql,
     "q_mmr_select" -> L.qMmrSelectSql,
     "q_length_batch" -> L.qLengthBatchSql,

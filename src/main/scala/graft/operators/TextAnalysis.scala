@@ -1795,6 +1795,47 @@ object TextAnalysis {
       .drop("__t_md5")
   }
 
+  /** Markdown boilerplate stripping — the extractHtmlText sibling for
+    * the OTHER big documentation corpus (GitHub READMEs/docs are a
+    * standard LLM pretraining source): fenced code blocks drop WHOLE
+    * (the script/style analog — code is boilerplate to a text LM and
+    * belongs in a code pipeline), inline code keeps its content,
+    * images collapse to their alt text, links to their anchor text
+    * (the URL is metadata, not prose), headers/emphasis/blockquote/
+    * list markers/table pipes/horizontal rules strip, whitespace
+    * collapses. Rule ORDER is load-bearing: fences before inline code
+    * (a fence is not N inline spans), images BEFORE links (`![a](u)`
+    * contains `[a](u)`). Pure codegen'd regexp chain, RE2-safe (no
+    * lookahead — multiline/dotall flags only), zero shuffle. Emits
+    * the extracted text plus the structural counts (fences, links,
+    * images) a data card wants. */
+  def extractMarkdown(docs: DataFrame, mdCol: String = "md"): DataFrame = {
+    val fence = "(?s)```.*?```"
+    val image = "!\\[([^\\]]*)\\]\\([^)]*\\)"
+    val link = "\\[([^\\]]*)\\]\\([^)]*\\)"
+    val chain: Seq[(String, String)] = Seq(
+      fence -> " ",
+      image -> " $1 ",
+      link -> " $1 ",
+      "(?m)^#{1,6}[ \\t]+" -> "",      // headers
+      "(?m)^[ \\t]*>[ \\t]?" -> "",    // blockquotes
+      "(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+" -> "", // list markers
+      "(?m)^[ \\t]*([-*_][ \\t]*){3,}$" -> " ",     // horizontal rules
+      "`([^`]*)`" -> "$1",             // inline code keeps content
+      "(\\*\\*|__|~~)" -> "",          // strong/strike markers
+      "([*_])" -> "",                  // emphasis markers
+      "\\|" -> " ")                    // table pipes
+    val stripped = chain.foldLeft(col(mdCol)) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    docs.select(col("doc_id"),
+      regexp_count(col(mdCol), lit(fence)).cast(LongType).as("n_fences"),
+      regexp_count(col(mdCol), lit(image)).cast(LongType).as("n_images"),
+      regexp_count(regexp_replace(col(mdCol), image, " "), lit(link))
+        .cast(LongType).as("n_links"),
+      trim(regexp_replace(stripped, "\\s+", " ")).as("text"))
+  }
+
   /** FIM (fill-in-the-middle) transform — the code-model pretraining
     * data op (Bavarian et al. 2022; the StarCoder/DeepSeek-Coder
     * pipelines apply it to ~half the corpus): split a document at two

@@ -2832,6 +2832,51 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
+  // ---- markdown text extraction (TextAnalysis.extractMarkdown) ----
+
+  /** Markdown stripping over closed-form constructs: doc_id%4 wraps
+    * the (markdown-char-free, the q_html_extract assumption) corpus
+    * text in one construct family per residue — header+emphasis,
+    * link+image (image FIRST in the chain or its alt leaks as a
+    * link), fenced+inline code (the fence DROPS whole, inline keeps
+    * content), and blockquote+list+table+rule. The oracle emits the
+    * EXPECTED extracted strings and counts (the q_url_canon closed-
+    * form doctrine — DuckDB never runs a markdown rule), so any rule
+    * order slip or marker leak bends a row. */
+  def qMarkdownExtract(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val md = when(i % 4 === 0, concat(
+        lit("## Title "), s, lit("\n"), col("text"),
+        lit(" **bold"), s, lit("** and *it"), s, lit("* end")))
+      .when(i % 4 === 1, concat(
+        col("text"), lit(" [click"), s, lit("](http://x/"), s,
+        lit(") ![alt"), s, lit("](img.png) tail")))
+      .when(i % 4 === 2, concat(
+        lit("intro"), s, lit("\n```\ncode "), s, lit(" stuff\n```\n"),
+        col("text"), lit(" use `cmd"), s, lit("` now")))
+      .otherwise(concat(
+        lit("> quote"), s, lit("\n- item"), s, lit("\n1. num"), s,
+        lit("\n---\n| a"), s, lit(" | b"), s, lit(" |\n"), col("text")))
+    TextAnalysis.extractMarkdown(Tables(spark, dir).documents
+      .select(i, md.as("md")))
+  }
+
+  val qMarkdownExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_fences,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_images,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'Title ' || s || ' ' || text || ' bold' || s
+      |      || ' and it' || s || ' end'
+      |    WHEN 1 THEN text || ' click' || s || ' alt' || s || ' tail'
+      |    WHEN 2 THEN 'intro' || s || ' ' || text || ' use cmd' || s || ' now'
+      |    ELSE 'quote' || s || ' item' || s || ' num' || s
+      |      || ' a' || s || ' b' || s || ' ' || text
+      |  END AS text
+      |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, text FROM documents)""".stripMargin
+
   // ---- chrF pair census (operators/Eval.chrfCensus) ----
 
   /** chrF over derived pairs — a REAL dual implementation at char

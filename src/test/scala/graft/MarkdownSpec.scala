@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Markdown-stripping edges beyond the gated fixture: rule order,
+  * unterminated fences, multiple constructs, marker-free survival.
+  * Cross-engine parity is q_markdown_extract's closed-form oracle. */
+class MarkdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ex(md: String): (Long, Long, Long, String) = {
+    val r = TextAnalysis.extractMarkdown(Seq((1L, md)).toDF("doc_id", "md"))
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+  }
+
+  test("image before link: ![a](u) never leaks its alt as a link anchor") {
+    val (_, img, lnk, text) = ex("see ![pic](i.png) and [go](http://x)")
+    assert((img, lnk) === ((1L, 1L)))
+    assert(text === "see pic and go")
+  }
+
+  test("fences drop whole (including inner markdown); inline code keeps content") {
+    val (f, _, _, text) = ex("pre\n```\n# not a header\n[not](a-link)\n```\npost `kept` end")
+    assert(f === 1L)
+    assert(text === "pre post kept end")
+  }
+
+  test("an unterminated fence is literal text, not an everything-eater") {
+    val (f, _, _, text) = ex("start\n```\nrest of doc stays")
+    assert(f === 0L)
+    assert(text.contains("rest of doc stays"))
+  }
+
+  test("list/quote/header markers strip only at line starts; mid-line survives") {
+    val (_, _, _, text) = ex("# H1\n- item one\n> quoted\nmid - dash # hash stays")
+    assert(text === "H1 item one quoted mid - dash # hash stays")
+  }
+
+  test("tables flatten to cell text; rules vanish; emphasis unwraps across words") {
+    val (_, _, _, text) = ex("| a | b |\n| - | - |\n***\n**two words** _x_")
+    assert(text === "a b - - two words x",
+      "the |-|-| separator row's dashes survive as text (not a list, not an hr)")
+  }
+
+  test("plain prose with no markdown passes through (whitespace-collapsed)") {
+    val (f, i, l, text) = ex("just  plain\tprose with. punctuation!")
+    assert((f, i, l) === ((0L, 0L, 0L)))
+    assert(text === "just plain prose with. punctuation!")
+  }
+}
