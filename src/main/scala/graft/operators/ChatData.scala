@@ -197,8 +197,17 @@ object ChatData {
                        parentCol: String = "parent_id",
                        maxDepth: Int = 64): DataFrame = {
     require(maxDepth >= 1, "flattenChatTrees: maxDepth must be positive")
+    // dirty exports list messages twice: dedupe to ONE edge per id or
+    // every walk through a duplicated id fans out per round. The
+    // deterministic pick is root-first then smallest parent (a
+    // min-of-struct, no sort) — arbitrary-first would be layout-bound.
     val edges = messages.select(col(idCol).cast("long").as("id"),
         col(parentCol).cast("long").as("parent"))
+      .groupBy(col("id"))
+      .agg(min(struct(
+        when(col("parent").isNull, 0L).otherwise(1L).as("o"),
+        col("parent").as("p"))).as("__m"))
+      .select(col("id"), col("__m.p").as("parent"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // a leaf has no child OTHER THAN ITSELF (self-parent rows are

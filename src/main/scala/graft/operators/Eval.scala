@@ -33,6 +33,53 @@ object Eval {
 
   private val MaxN = 4
 
+  /** Shared clipped-n-gram census machinery (the load-bearing half of
+    * BOTH [[bleuCensus]] and [[chrfCensus]] — one copy of the
+    * null-gated clipped match, the lead-window unpivot, and the
+    * coalesce-0 aggregate): `toks` produces the (id, pos, w1) token
+    * rows for one side, `gram` fuses k token columns into an n-gram
+    * string. Returns one row per pair with m$n (clipped matches),
+    * dc$n (candidate totals), dr$n (reference totals) for n=1..maxN.
+    * ONE full-outer gram join feeds ONE aggregate — each side's token
+    * pipeline is consumed exactly once (the r13 fan-out lesson). */
+  private def gramCensus(pairs: DataFrame, id: String,
+                         candCol: String, refCol: String, maxN: Int,
+                         toks: Column => Column,
+                         gram: Seq[Column] => Column): DataFrame = {
+    def grams(side: String, textCol: String): DataFrame = {
+      val t = pairs.select(col(id), posexplode(toks(col(textCol)))
+        .as(Seq("pos", "w1")))
+        .where(length(col("w1")) > 0)
+      val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      val led = (2 to maxN).foldLeft(t) { (df, k) =>
+        df.withColumn(s"w$k", lead(col("w1"), k - 1).over(w))
+      }
+      led.select(col(id), explode(array((1 to maxN).map { n =>
+          struct(lit(n).as("n"),
+            when((1 to n).map(k => col(s"w$k").isNotNull).reduce(_ && _),
+              gram((1 to n).map(k => col(s"w$k")))).as("gram"))
+        }: _*)).as("g"))
+        .select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
+        .where(col("gram").isNotNull)
+        .groupBy(col(id), col("n"), col("gram"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    val joined = grams("cand", candCol)
+      .join(grams("ref", refCol), Seq(id, "n", "gram"), "full_outer")
+    // Spark's least() SKIPS nulls: the clipped match must gate on both
+    // sides being present or unmatched grams count as matched
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(
+        sum(when(col("n") === n && col("c_cand").isNotNull && col("c_ref").isNotNull,
+          least(col("c_cand"), col("c_ref"))).otherwise(0L)).as(s"m$n"),
+        sum(when(col("n") === n, coalesce(col("c_cand"), lit(0L)))
+          .otherwise(0L)).as(s"dc$n"),
+        sum(when(col("n") === n, coalesce(col("c_ref"), lit(0L)))
+          .otherwise(0L)).as(s"dr$n"))
+    }
+    joined.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** chrF census (Popović 2015, β=2) — the CHARACTER-n-gram F-score
     * that survives what kills word-level metrics: typos, morphology,
     * and segmentation-free scripts still earn partial credit because
@@ -53,37 +100,9 @@ object Eval {
   def chrfCensus(pairs: DataFrame, id: String = "pair_id",
                  candCol: String = "cand", refCol: String = "ref"): DataFrame = {
     val N = 6
-    def grams(side: String, textCol: String): DataFrame = {
-      val toks = pairs.select(col(id),
-        posexplode(split(regexp_replace(col(textCol), "\\s+", ""), ""))
-          .as(Seq("pos", "c1")))
-        .where(length(col("c1")) > 0)
-      val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-      val led = (2 to N).foldLeft(toks) { (df, k) =>
-        df.withColumn(s"c$k", lead(col("c1"), k - 1).over(w))
-      }
-      led.select(col(id), explode(array((1 to N).map { n =>
-          struct(lit(n).as("n"),
-            when((1 to n).map(k => col(s"c$k").isNotNull).reduce(_ && _),
-              concat((1 to n).map(k => col(s"c$k")): _*)).as("gram"))
-        }: _*)).as("g"))
-        .select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
-        .where(col("gram").isNotNull)
-        .groupBy(col(id), col("n"), col("gram"))
-        .agg(count(lit(1)).as(s"c_$side"))
-    }
-    val joined = grams("cand", candCol)
-      .join(grams("ref", refCol), Seq(id, "n", "gram"), "full_outer")
-    val aggs = (1 to N).flatMap { n =>
-      Seq(
-        sum(when(col("n") === n && col("c_cand").isNotNull && col("c_ref").isNotNull,
-          least(col("c_cand"), col("c_ref"))).otherwise(0L)).as(s"m$n"),
-        sum(when(col("n") === n, coalesce(col("c_cand"), lit(0L)))
-          .otherwise(0L)).as(s"dc$n"),
-        sum(when(col("n") === n, coalesce(col("c_ref"), lit(0L)))
-          .otherwise(0L)).as(s"dr$n"))
-    }
-    val wide = joined.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val wide = gramCensus(pairs, id, candCol, refCol, N,
+      t => split(regexp_replace(t, "\\s+", ""), ""),
+      cs => concat(cs: _*))
     def contrib(n: Int) = col(s"dc$n") > 0 && col(s"dr$n") > 0
     val nContrib = (1 to N).map(n => when(contrib(n), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -102,6 +121,7 @@ object Eval {
             Portable.roundp(lit(5.0) * p * r / (lit(4.0) * p + r), 6))
             .otherwise(lit(0.0))).as("chrf"))
   }
+
 
   /** Word-level LCS length — the ROUGE-L core. O(m·n) time, O(n)
     * space (one rolling row); callers bound m, n. */
@@ -179,61 +199,27 @@ object Eval {
     * is empty emit NULL metrics (nothing to score). */
   def bleuCensus(pairs: DataFrame, id: String = "pair_id",
                  candCol: String = "cand", refCol: String = "ref"): DataFrame = {
-    def grams(side: String, textCol: String): DataFrame = {
-      val toks = pairs.select(col(id),
-          posexplode(filter(graft.functions.Portable.words(col(textCol)),
-            w => length(w) > 0)).as(Seq("pos", "w1")))
-      val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-      val led = (2 to MaxN).foldLeft(toks) { (df, k) =>
-        df.withColumn(s"w$k", lead(col("w1"), k - 1).over(w))
-      }
-      // unpivot: n-gram n exists when its last word is non-null
-      led.select(col(id), explode(array((1 to MaxN).map { n =>
-          struct(lit(n).as("n"),
-            when((1 to n).map(k => col(s"w$k").isNotNull).reduce(_ && _),
-              concat_ws(" ", (1 to n).map(k => col(s"w$k")): _*)).as("gram"))
-        }: _*)).as("g"))
-        .select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
-        .where(col("gram").isNotNull)
-        .groupBy(col(id), col("n"), col("gram"))
-        .agg(count(lit(1)).as(s"c_$side"))
-    }
-    val cc = grams("cand", candCol)
-    val cr = grams("ref", refCol)
-    // ONE full-outer join, ONE aggregate: matches, denominators, and
-    // the ref length all come off the same joined frame, so each
-    // side's gram pipeline is consumed exactly once (the r13 fan-out
-    // lesson — a second consumer silently re-executes the whole
-    // tokenize/window chain). Spark's least() SKIPS nulls, so the
-    // clipped match must gate on both sides being present.
-    val joined = cc.join(cr, Seq(id, "n", "gram"), "full_outer")
-    val aggs = (1 to MaxN).flatMap { n =>
-      Seq(
-        sum(when(col("n") === n && col("c_cand").isNotNull && col("c_ref").isNotNull,
-          least(col("c_cand"), col("c_ref"))).otherwise(0L)).as(s"m$n"),
-        sum(when(col("n") === n, coalesce(col("c_cand"), lit(0L)))
-          .otherwise(0L)).as(s"d$n"))
-    } :+ sum(when(col("n") === 1, coalesce(col("c_ref"), lit(0L)))
-      .otherwise(0L)).as("len_r")
-    val lens = joined.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
-    val allPos = (1 to MaxN).map(n => col(s"m$n") > 0 && col(s"d$n") > 0)
+    val lens = gramCensus(pairs, id, candCol, refCol, MaxN,
+      t => graft.functions.Portable.words(t),
+      cs => concat_ws(" ", cs: _*))
+    val allPos = (1 to MaxN).map(n => col(s"m$n") > 0 && col(s"dc$n") > 0)
       .reduce(_ && _)
     val slp = (1 to MaxN).map(n =>
-      floor(log(col(s"m$n").cast("double") / col(s"d$n").cast("double"))
+      floor(log(col(s"m$n").cast("double") / col(s"dc$n").cast("double"))
         * 1e6 + 0.5).cast(LongType)).reduce(_ + _)
     pairs.select(col(id)).distinct()
       .join(lens, Seq(id), "left")
       .select(Seq(col(id),
-        coalesce(col("d1"), lit(0L)).as("len_c"),
-        coalesce(col("len_r"), lit(0L)).as("len_r")) ++
+        coalesce(col("dc1"), lit(0L)).as("len_c"),
+        coalesce(col("dr1"), lit(0L)).as("len_r")) ++
         (1 to MaxN).flatMap(n => Seq(
           coalesce(col(s"m$n"), lit(0L)).as(s"m$n"),
-          coalesce(col(s"d$n"), lit(0L)).as(s"d$n"))) ++
+          coalesce(col(s"dc$n"), lit(0L)).as(s"d$n"))) ++
         Seq(when(allPos, slp).as("slp_q"),
-          when(coalesce(col("d1"), lit(0L)) > 0,
+          when(coalesce(col("dc1"), lit(0L)) > 0,
             graft.functions.Portable.roundp(
-              when(col("d1") >= coalesce(col("len_r"), lit(0L)), lit(0.0))
-                .otherwise(lit(1.0) - coalesce(col("len_r"), lit(0L)).cast("double")
-                  / col("d1").cast("double")), 6)).as("bp_log")): _*)
+              when(col("dc1") >= coalesce(col("dr1"), lit(0L)), lit(0.0))
+                .otherwise(lit(1.0) - coalesce(col("dr1"), lit(0L)).cast("double")
+                  / col("dc1").cast("double")), 6)).as("bp_log")): _*)
   }
 }

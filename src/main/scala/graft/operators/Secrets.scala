@@ -77,8 +77,12 @@ object Secrets {
     * gate's interface, not a decoration). */
   def secretScan(docs: DataFrame, id: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    // NULL text scans as EMPTY: without the coalesce every count comes
+    // out NULL and the verdict silently reads 'keep' for a row the
+    // scanner never looked at
+    val t = coalesce(col(textCol), lit(""))
     def hits(p: String): Column =
-      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast(LongType)
+      size(regexp_extract_all(t, lit(p), lit(0))).cast(LongType)
     val h = graft.functions.CharEntropy.of _
     docs
       .withColumn("n_aws", hits(AwsKeyPattern))
@@ -88,7 +92,7 @@ object Secrets {
       // stage the candidate array ONCE (referenced by cand count and
       // the gated filter — the CollapseProject staging rule)
       .withColumn("__lits",
-        regexp_extract_all(col(textCol), lit(QuotedLiteralPattern), lit(0)))
+        regexp_extract_all(t, lit(QuotedLiteralPattern), lit(0)))
       .withColumn("n_entropy_cand", size(col("__lits")).cast(LongType))
       .withColumn("n_entropy_hits",
         size(filter(col("__lits"), c =>

@@ -1867,8 +1867,11 @@ object TextAnalysis {
     val span = greatest(n - 1L, lit(1L))
     docs
       .withColumn("__n", n)
+      // coalesce: NULL text makes the conjunction NULL, and a NULL
+      // __sel would fall through when(!__sel) into a bogus psm/spm —
+      // null docs must pass through as plain
       .withColumn("__sel",
-        col("__n") >= 3L && h("sel") % 1000000L < ratePpm)
+        coalesce(col("__n") >= 3L && h("sel") % 1000000L < ratePpm, lit(false)))
       .withColumn("__a", lit(1L) + h("a") % span)
       .withColumn("__b", lit(1L) + h("b") % span)
       .withColumn("__lo", least(col("__a"), col("__b")))

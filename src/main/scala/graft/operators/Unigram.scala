@@ -220,14 +220,18 @@ object Unigram {
     * encode (the training length bound does not apply); unknown
     * characters come out as single-char pieces. */
   def unigramEncode(docs: DataFrame, modelFrame: DataFrame,
-                    id: String = "doc_id", textCol: String = "text"): DataFrame =
-    unigramEncode(docs, scoresFromFrame(modelFrame), id, textCol)
+                    id: String = "doc_id", textCol: String = "text",
+                    scripted: Boolean = false): DataFrame =
+    unigramEncode(docs, scoresFromFrame(modelFrame), id, textCol, scripted)
 
   /** [[unigramEncode]] from an already-resolved score map (the
     * streaming twin resolves the static model ONCE at setup, not per
-    * micro-batch). */
+    * micro-batch). `scripted` MUST match the trainer's mode — the
+    * r15 tokenizer-composition rule: corpus and apply segmentation
+    * stay provably identical through ONE tokensOf selector. */
   def unigramEncode(docs: DataFrame, scores: Map[String, Long],
-                    id: String, textCol: String): DataFrame = {
+                    id: String, textCol: String,
+                    scripted: Boolean): DataFrame = {
     val spark = docs.sparkSession
     require(scores.nonEmpty, "unigramEncode: empty model")
     val maxPieceLen = math.max(1, scores.keysIterator.map(_.length).max)
@@ -236,7 +240,8 @@ object Unigram {
       StructField("doc_id", LongType), StructField("pos", LongType),
       StructField("piece", StringType)))
     spark.createDataFrame(
-      docs.select(col(id).cast("long"), graft.functions.Portable.words(col(textCol)).as("w"))
+      docs.select(col(id).cast("long"),
+          TextAnalysis.tokensOf(col(textCol), scripted).as("w"))
         .where(col("w").isNotNull)
         .rdd.mapPartitions { rows =>
           val m = new java.util.HashMap[String, java.lang.Long]()

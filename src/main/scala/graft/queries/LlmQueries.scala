@@ -1451,7 +1451,7 @@ object LlmQueries {
       |  SELECT w.leaf, e.parent,
       |    CAST(e.parent AS VARCHAR) || '/' || w.path, w.d + 1
       |  FROM wk w JOIN e ON w.cur = e.id
-      |  WHERE e.parent IS NOT NULL AND w.d < 32
+      |  WHERE e.parent IS NOT NULL AND w.d < 31
       |    AND NOT '/' || w.path || '/' LIKE '%/' || CAST(e.parent AS VARCHAR) || '/%'),
       |com AS (SELECT w.leaf, w.cur AS root, w.d, w.path
       |  FROM wk w JOIN e ON w.cur = e.id WHERE e.parent IS NULL)
@@ -2742,12 +2742,16 @@ object LlmQueries {
     val i = col("doc_id")
     val ws = slice(filter(Portable.words(col("text")), w => length(w) > 0), 1, 24)
     val oov = (k: Column) => concat(lit("zzq"), i.cast("string"), lit("x"), k.cast("string"))
-    val ref = when(i % 4 === 0, ws)
+    // the empty-doc guard: sequence(0, -1) DESCENDS ([0,-1]) and
+    // zip_with null-pads, so an empty word list would fabricate
+    // OOV-only refs the closed-form oracle (len_r = 0) never has
+    val refRaw = when(i % 4 === 0, ws)
       .when(i % 4 === 1, filter(ws, (_, idx) => idx % 3 =!= 2))
       .when(i % 4 === 2, zip_with(ws, sequence(lit(0), size(ws) - 1),
         (w, idx) => when(idx % 3 === 0, oov(idx)).otherwise(w)))
       .otherwise(flatten(zip_with(ws, sequence(lit(0), size(ws) - 1),
         (w, idx) => array(w, oov(idx)))))
+    val ref = when(size(ws) === 0, array().cast("array<string>")).otherwise(refRaw)
     graft.operators.Eval.rougeLCensus(Tables(spark, dir).documents
       .select(i.as("pair_id"), array_join(ws, " ").as("cand"),
         array_join(ref, " ").as("ref")))
@@ -2784,45 +2788,20 @@ object LlmQueries {
     * replays the residue→registrable closed form + the identical
     * h60 rank window. */
   def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
-    val i = col("doc_id")
-    val s = i.cast("string")
-    val host = when(i % 8 === 0, concat(lit("a"), s, lit(".example.com")))
-      .when(i % 8 === 1, concat(lit("b"), s, lit(".news.bbc.co.uk")))
-      .when(i % 8 === 2, concat(lit("c"), s, lit(".github.io")))
-      .when(i % 8 === 3, lit("www.ck"))
-      .when(i % 8 === 4, concat(lit("x"), s, lit(".web.ck")))
-      .when(i % 8 === 5, concat(lit("sub"), s, lit(".city.kawasaki.jp")))
-      .when(i % 8 === 6, lit("com"))
-      .otherwise(concat(lit("internal.zz"), (i % 5).cast("string"), lit("box")))
     val resolved = graft.operators.Net.registrableDomain(
-      Tables(spark, dir).documents.select(i, host.as("host")), PslRules)
+      Tables(spark, dir).documents
+        .select(col("doc_id"), pslFixtureHost.as("host")), PslRules)
     Sampling.capPerKey(resolved, "doc_id", "registrable", cap = 10)
       .select(col("doc_id"), col("host"), col("registrable"),
         col("cap_rank"), col("keep"))
   }
 
-  val qDomainCapSql: String = {
+  lazy val qDomainCapSql: String = {
     val rank = h60Sql("'dcap' || ':' || CAST(doc_id AS VARCHAR)")
     s"""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents),
        |r AS (SELECT doc_id,
-       |  CASE doc_id % 8
-       |    WHEN 0 THEN 'a' || s || '.example.com'
-       |    WHEN 1 THEN 'b' || s || '.news.bbc.co.uk'
-       |    WHEN 2 THEN 'c' || s || '.github.io'
-       |    WHEN 3 THEN 'www.ck'
-       |    WHEN 4 THEN 'x' || s || '.web.ck'
-       |    WHEN 5 THEN 'sub' || s || '.city.kawasaki.jp'
-       |    WHEN 6 THEN 'com'
-       |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS host,
-       |  CASE doc_id % 8
-       |    WHEN 0 THEN 'example.com'
-       |    WHEN 1 THEN 'bbc.co.uk'
-       |    WHEN 2 THEN 'c' || s || '.github.io'
-       |    WHEN 3 THEN 'www.ck'
-       |    WHEN 4 THEN 'x' || s || '.web.ck'
-       |    WHEN 5 THEN 'city.kawasaki.jp'
-       |    WHEN 6 THEN NULL
-       |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS registrable
+       |  $pslFixtureHostSql AS host,
+       |  $pslFixtureRegistrableSql AS registrable
        |  FROM d)
        |SELECT doc_id, host, registrable,
        |  CAST(row_number() OVER (PARTITION BY registrable
@@ -3014,6 +2993,46 @@ object LlmQueries {
     "com", "uk", "co.uk", "github.io", "jp",
     "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck")
 
+  /** The shared residue→host fixture (Spark Column) used by BOTH
+    * q_registrable_domain and q_domain_cap — one copy, or an edit to
+    * one query silently decouples the other's closed-form oracle. */
+  private def pslFixtureHost: Column = {
+    val i = col("doc_id"); val s = i.cast("string")
+    when(i % 8 === 0, concat(lit("a"), s, lit(".example.com")))
+      .when(i % 8 === 1, concat(lit("b"), s, lit(".news.bbc.co.uk")))
+      .when(i % 8 === 2, concat(lit("c"), s, lit(".github.io")))
+      .when(i % 8 === 3, lit("www.ck"))
+      .when(i % 8 === 4, concat(lit("x"), s, lit(".web.ck")))
+      .when(i % 8 === 5, concat(lit("sub"), s, lit(".city.kawasaki.jp")))
+      .when(i % 8 === 6, lit("com"))
+      .otherwise(concat(lit("internal.zz"), (i % 5).cast("string"), lit("box")))
+  }
+
+  /** SQL duals of [[pslFixtureHost]] and its closed-form resolution
+    * (columns `host` and `registrable` over a source exposing doc_id
+    * and s = CAST(doc_id AS VARCHAR)). */
+  private val pslFixtureHostSql: String =
+    """CASE doc_id % 8
+      |    WHEN 0 THEN 'a' || s || '.example.com'
+      |    WHEN 1 THEN 'b' || s || '.news.bbc.co.uk'
+      |    WHEN 2 THEN 'c' || s || '.github.io'
+      |    WHEN 3 THEN 'www.ck'
+      |    WHEN 4 THEN 'x' || s || '.web.ck'
+      |    WHEN 5 THEN 'sub' || s || '.city.kawasaki.jp'
+      |    WHEN 6 THEN 'com'
+      |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END""".stripMargin
+
+  private val pslFixtureRegistrableSql: String =
+    """CASE doc_id % 8
+      |    WHEN 0 THEN 'example.com'
+      |    WHEN 1 THEN 'bbc.co.uk'
+      |    WHEN 2 THEN 'c' || s || '.github.io'
+      |    WHEN 3 THEN 'www.ck'
+      |    WHEN 4 THEN 'x' || s || '.web.ck'
+      |    WHEN 5 THEN 'city.kawasaki.jp'
+      |    WHEN 6 THEN NULL
+      |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END""".stripMargin
+
   /** Registrable-domain resolution over closed-form host injections:
     * doc_id%8 plants one PSL decision shape per residue — plain TLD
     * (0), multi-label suffix beating its shorter prefix (1: co.uk
@@ -3025,52 +3044,26 @@ object LlmQueries {
     * to the implicit `*` default (7). The oracle emits EXPECTED
     * strings only (the q_url_canon doctrine — DuckDB never runs the
     * PSL algorithm), so any prevailing-rule slip bends a row. */
-  def qRegistrableDomain(spark: SparkSession, dir: String): DataFrame = {
-    val i = col("doc_id")
-    val s = i.cast("string")
-    val host = when(i % 8 === 0, concat(lit("a"), s, lit(".example.com")))
-      .when(i % 8 === 1, concat(lit("b"), s, lit(".news.bbc.co.uk")))
-      .when(i % 8 === 2, concat(lit("c"), s, lit(".github.io")))
-      .when(i % 8 === 3, lit("www.ck"))
-      .when(i % 8 === 4, concat(lit("x"), s, lit(".web.ck")))
-      .when(i % 8 === 5, concat(lit("sub"), s, lit(".city.kawasaki.jp")))
-      .when(i % 8 === 6, lit("com"))
-      .otherwise(concat(lit("internal.zz"), (i % 5).cast("string"), lit("box")))
+  def qRegistrableDomain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Net.registrableDomain(
-        Tables(spark, dir).documents.select(i, host.as("host")), PslRules)
+        Tables(spark, dir).documents
+          .select(col("doc_id"), pslFixtureHost.as("host")), PslRules)
       .select(col("doc_id"), col("host"), col("public_suffix"), col("registrable"))
-  }
 
-  val qRegistrableDomainSql: String =
-    """SELECT doc_id,
-      |  CASE doc_id % 8
-      |    WHEN 0 THEN 'a' || s || '.example.com'
-      |    WHEN 1 THEN 'b' || s || '.news.bbc.co.uk'
-      |    WHEN 2 THEN 'c' || s || '.github.io'
-      |    WHEN 3 THEN 'www.ck'
-      |    WHEN 4 THEN 'x' || s || '.web.ck'
-      |    WHEN 5 THEN 'sub' || s || '.city.kawasaki.jp'
-      |    WHEN 6 THEN 'com'
-      |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS host,
-      |  CASE doc_id % 8
-      |    WHEN 0 THEN 'com'
-      |    WHEN 1 THEN 'co.uk'
-      |    WHEN 2 THEN 'github.io'
-      |    WHEN 3 THEN 'ck'
-      |    WHEN 4 THEN 'web.ck'
-      |    WHEN 5 THEN 'kawasaki.jp'
-      |    WHEN 6 THEN 'com'
-      |    ELSE 'zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS public_suffix,
-      |  CASE doc_id % 8
-      |    WHEN 0 THEN 'example.com'
-      |    WHEN 1 THEN 'bbc.co.uk'
-      |    WHEN 2 THEN 'c' || s || '.github.io'
-      |    WHEN 3 THEN 'www.ck'
-      |    WHEN 4 THEN 'x' || s || '.web.ck'
-      |    WHEN 5 THEN 'city.kawasaki.jp'
-      |    WHEN 6 THEN NULL
-      |    ELSE 'internal.zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS registrable
-      |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents)""".stripMargin
+  lazy val qRegistrableDomainSql: String =
+    s"""SELECT doc_id,
+       |  $pslFixtureHostSql AS host,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN 'com'
+       |    WHEN 1 THEN 'co.uk'
+       |    WHEN 2 THEN 'github.io'
+       |    WHEN 3 THEN 'ck'
+       |    WHEN 4 THEN 'web.ck'
+       |    WHEN 5 THEN 'kawasaki.jp'
+       |    WHEN 6 THEN 'com'
+       |    ELSE 'zz' || CAST(doc_id % 5 AS VARCHAR) || 'box' END AS public_suffix,
+       |  $pslFixtureRegistrableSql AS registrable
+       |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents)""".stripMargin
 
   // ---- longest-prefix-match IP lookup (operators/Net) ----
 

@@ -401,7 +401,8 @@ object Streams {
     * so micro-batch boundaries are invisible; the score map resolves
     * ONCE at setup (model-sized collect), not per batch. Parity
     * pinned in StreamingSpec. */
-  def unigramEncodeStream(docs: DataFrame, modelFrame: DataFrame)(
+  def unigramEncodeStream(docs: DataFrame, modelFrame: DataFrame,
+                          scripted: Boolean = false)(
       writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(docs.isStreaming,
       "unigramEncodeStream is streaming-only: use Unigram.unigramEncode for batch frames")
@@ -409,7 +410,8 @@ object Streams {
     val scores = graft.operators.Unigram.scoresFromFrame(modelFrame)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       writeBatch(
-        graft.operators.Unigram.unigramEncode(batch, scores, "doc_id", "text"),
+        graft.operators.Unigram.unigramEncode(batch, scores, "doc_id", "text",
+          scripted),
         batchId)
     }
   }

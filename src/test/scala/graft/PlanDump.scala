@@ -49,7 +49,7 @@ object PlanDump {
       "q_bm25_index_merge", "q_registrable_domain", "q_fim_transform",
       "q_bleu_pairs", "q_domain_cap", "q_rouge_pairs", "q_length_batch",
       "q_contam_e2e", "q_mmr_select", "q_chat_tree",
-      "q_unigram_train_cjk")
+      "q_unigram_train_cjk", "q_chrf_pairs", "q_markdown_extract")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
