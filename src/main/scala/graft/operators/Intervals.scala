@@ -90,7 +90,9 @@ object Intervals {
       .select(col("__bk").as("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .withColumn("candidates", col("n_a") * col("n_b"))
+      // DOUBLE product: hot buckets can exceed 2^63 as a raw long product
+      // (ordering/reporting only, so the double's 53-bit precision is fine)
+      .withColumn("candidates", col("n_a").cast("double") * col("n_b").cast("double"))
       .orderBy(col("candidates").desc, col("bucket").asc)
       .limit(topK)
   }

@@ -166,7 +166,6 @@ object Unigram {
         .orderBy(col("w").desc, col("piece").asc).limit(seedMulti)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       subs.unpersist(blocking = false)
-      val charSet = chars.map(_._1).toSet
       val seedW = chars ++ multiSeed
       val totW = seedW.map(_._2).sum
       var scores: Map[String, Long] = seedW.map { case (p, w) =>

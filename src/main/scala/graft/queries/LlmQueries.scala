@@ -2617,6 +2617,19 @@ object LlmQueries {
 
   // ---- contamination pipeline e2e: flag -> confirm -> verdict ----
 
+  /** Collision-guarded (doc, bench) pair packing — the [[packedChunkId]]
+    * idiom: a benchmark suite with ≥16 docs would silently ALIAS pair
+    * ids, so the pack raises per-row instead of wrapping. Same
+    * projection, no extra scan; the fixture (bench = doc_id < 15)
+    * never triggers it. */
+  private[graft] def packedPairId(docId: Column, benchId: Column): Column =
+    docId * 16L +
+      when(benchId >= 16L,
+        raise_error(concat(lit("packedPairId: bench_id "),
+          benchId.cast("string"),
+          lit(" >= 16 aliases another pair_id — widen the pack"))))
+        .otherwise(benchId)
+
   /** The decontamination pipeline composed end to end (the
     * q_crawl_e2e doctrine for this family): STAGE 1 flags
     * (train, benchmark) pairs by shared shingles — cheap, corpus-wide
@@ -2640,7 +2653,7 @@ object LlmQueries {
         w => length(w) > 0), 1, 24), " ").as("__cut"))
     releaseStageCaches("contam_e2e") // BEFORE the persist (see stageCacheReg)
     val pairs = flagged
-      .withColumn("pair_id", col("doc_id") * 16L + col("bench_id"))
+      .withColumn("pair_id", packedPairId(col("doc_id"), col("bench_id")))
       .join(cut.select(col("doc_id"), col("__cut").as("cand")), Seq("doc_id"))
       .join(cut.select(col("doc_id").as("bench_id"), col("__cut").as("ref")),
         Seq("bench_id"))
@@ -2959,8 +2972,8 @@ object LlmQueries {
        |    1 + ${h("b")} % greatest(CAST(length(text) AS BIGINT) - 1, 1) AS b
        |  FROM documents),
        |c AS (SELECT doc_id, text, n,
-       |    (n >= 3 AND hsel < 500000) AS sel,
-       |    CASE WHEN NOT (n >= 3 AND hsel < 500000) THEN 'plain'
+       |    coalesce(n >= 3 AND hsel < 500000, FALSE) AS sel,
+       |    CASE WHEN NOT coalesce(n >= 3 AND hsel < 500000, FALSE) THEN 'plain'
        |         WHEN hmode < 500000 THEN 'spm' ELSE 'psm' END AS mode,
        |    least(a, b) AS lo, greatest(a, b) AS hi
        |  FROM d),

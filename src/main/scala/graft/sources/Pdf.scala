@@ -115,7 +115,12 @@ object Pdf {
                  s.charAt(k) == '\r')) k += 1
           if (s.startsWith("stream", k)) {
             nStreams += 1
-            val len = LenRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+            // >9-digit /Length is malformed; clamp to blob end (quarantine
+            // contract: malformed files are DATA, never an exception)
+            val len = LenRe.findFirstMatchIn(dict).map { m =>
+              val g = m.group(1)
+              if (g.length > 9) s.length else g.toInt
+            }.getOrElse(0)
             var cs = k + 6
             if (cs < s.length && s.charAt(cs) == '\r') cs += 1
             if (cs < s.length && s.charAt(cs) == '\n') cs += 1
@@ -156,7 +161,8 @@ object Pdf {
       if (sx < 0) 0L
       else {
         val rest = s.substring(sx + 9).trim.takeWhile(Character.isDigit)
-        val off = if (rest.isEmpty) -1L else rest.toLong
+        // >18 digits overflows Long — treat as an invalid offset, not a throw
+        val off = if (rest.isEmpty || rest.length > 18) -1L else rest.toLong
         if (off >= 0 && off + 4 <= s.length &&
             s.regionMatches(off.toInt, "xref", 0, 4)) 1L else 0L
       }

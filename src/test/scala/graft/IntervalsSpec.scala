@@ -69,17 +69,17 @@ class IntervalsSpec extends SparkSpec {
     val b = iv((0L until 40L).map(i => (100 + i, 2L, 9L)) ++
       (50L until 60L).map(i => (100 + i, i * 100L, i * 100L + 5L)): _*)
     val top = Intervals.bucketCensus(a, b, 10L, topK = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(top.head === ((0L, 50L, 40L, 2000L)),
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(top.head === ((0L, 50L, 40L, 2000.0)),
       "the hot bucket leads the census with its full density product")
-    assert(top.tail.forall(_._4 === 1L), "uniform buckets stay at 1x1")
+    assert(top.tail.forall(_._4 === 1.0), "uniform buckets stay at 1x1")
     // total order: candidates desc, bucket asc
     assert(top.tail.map(_._1).toSeq === top.tail.map(_._1).sorted.toSeq)
     // a one-sided bucket still shows (full outer, zero partner side)
     val lone = Intervals.bucketCensus(
       iv((1L, 1000L, 1005L)), iv((2L, 5000L, 5005L)), 10L, topK = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(lone === Set((100L, 1L, 0L, 0L), (500L, 0L, 1L, 0L)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(lone === Set((100L, 1L, 0L, 0.0), (500L, 0L, 1L, 0.0)))
     // the census must be map-side top-k, not a global sort-all
     val plan = Intervals.bucketCensus(a, b, 10L)
       .queryExecution.executedPlan.toString

@@ -48,6 +48,22 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.decode("not a pdf at all".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("oversized /Length and startxref digit runs stay data, not exceptions") {
+    val clean = new String(Pdf.write(Seq(Seq("hello", "world"))), "ISO-8859-1")
+    // an 11-digit /Length overflows Int.parseInt — must clamp to blob
+    // end (stream swallows the tail), never throw
+    val m = "/Length ([0-9]+)".r.findFirstMatchIn(clean).get
+    val bigLen = clean.replace(s"/Length ${m.group(1)}", "/Length 99999999999")
+    val Some((_, _, st, _, _, _)) = Pdf.decode(bigLen.getBytes("ISO-8859-1"))
+    assert(st === 1L, "the stream is still counted; the walk survives")
+    // a 20-digit startxref offset overflows Long.parseLong — invalid, x=0
+    val sx = "startxref\\n([0-9]+)".r.findFirstMatchIn(clean).get
+    val bigSx = clean.replace(s"startxref\n${sx.group(1)}",
+      "startxref\n99999999999999999999")
+    val Some((_, _, _, ops, text, x)) = Pdf.decode(bigSx.getBytes("ISO-8859-1"))
+    assert(x === 0L && ops === 2L && text === "hello world")
+  }
+
   test("a short /Length truncates extraction deterministically (parser trusts the header)") {
     val clean = new String(Pdf.write(Seq(Seq("hello", "world"))), "ISO-8859-1")
     // shrink the declared length so the second op falls outside the stream
