@@ -194,6 +194,9 @@ object SparkEntry {
     // corpus bigram-LM quality score (smoothed, same integer idiom)
     "q_bigram_logprob" -> (L.qBigramLogprob _),
     "q_trigram_logprob" -> (L.qTrigramLogprob _),
+    // interpolated Kneser-Ney bigram LM (the real CCNet/KenLM smoothing)
+    "q_kn_logprob" -> (L.qKnLogprob _),
+    "q_kn_buckets" -> (L.qKnBuckets _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
@@ -481,6 +484,8 @@ object SparkEntry {
     "q_unigram_logprob" -> L.qUnigramLogprobSql,
     "q_bigram_logprob" -> L.qBigramLogprobSql,
     "q_trigram_logprob" -> L.qTrigramLogprobSql,
+    "q_kn_logprob" -> L.qKnLogprobSql,
+    "q_kn_buckets" -> L.qKnBucketsSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,

@@ -1485,6 +1485,137 @@ object TextAnalysis {
     trigramLmApply(trigramLmTrain(docs, textCol, scripted), docs, id, textCol,
       scripted)
 
+  // ---- interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; ----
+  // ---- Chen & Goodman 1999 interpolated form)                 ----
+
+  /** Train an INTERPOLATED KNESER-NEY bigram model — the smoothing the
+    * real CCNet/KenLM perplexity filter uses (where [[trigramLmTrain]]
+    * is the stupid-backoff web-scale shortcut). For a seen bigram:
+    *
+    *   p(w2|w1) = (c(w1w2) − D)/c(w1·) + λ(w1)·p_cont(w2)
+    *   λ(w1)    = D·N1+(w1·)/c(w1·)          (the discount mass)
+    *   p_cont(w2) = N1+(·w2)/N1+(··)          (continuation probability
+    *     — how many distinct CONTEXTS w2 follows, not how often: the
+    *     "San Francisco" correction that makes KN different from
+    *     every count-ratio smoothing)
+    *
+    * with D estimated from the count-of-counts (Ries' rule of thumb,
+    * Chen & Goodman eq. 26): D = n1/(n1 + 2·n2), clamped to 0.5 when
+    * the corpus has no singleton bigrams (degenerate fixtures).
+    *
+    * Everything is ratios of INTEGER counts plus one ln per model row,
+    * quantized ONCE to the 1e-6 grid — the [[unigramLogprob]] gate
+    * idiom — so the whole trained model replays exactly in SQL.
+    *
+    * The model is ONE writable long-form frame (ord, gram, q):
+    *   ord 2: seen bigram → q(ln of the full interpolated p)
+    *   ord 1: context w1 → q(ln λ(w1))  — the backoff log-weight
+    *   ord 0: word w2    → q(ln p_cont(w2))
+    *   ord −1: the OOV floor q(ln(1/N1+(··))) (uniform over bigram
+    *     types — the mass an unseen continuation gets)
+    * Unseen bigrams score q1(w1) + q0(w2) by INTEGER addition of the
+    * quantized logs (ln(λ·p_cont) = ln λ + ln p_cont — exact on the
+    * grid up to one quantization step, and engine-free).
+    *
+    * Scale shape: ONE bigram shingle census (native WordShingles, no
+    * token shuffle); contexts/continuations/count-of-counts all
+    * regroup the model-sized census frame, never the corpus; the
+    * discount constants ride a broadcast 1-row cross join. Train/apply
+    * split is the production shape (train on held reference, apply to
+    * the crawl); [[knLmApply]] is per-row + key-join only, so the
+    * streaming twin is a trivial foreachBatch replay. */
+  def knLmTrain(docs: DataFrame, textCol: String = "text",
+                scripted: Boolean = false): DataFrame = {
+    val cb = docs.select(explode(
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false,
+          scripted = scripted)).as("big"))
+      .groupBy(col("big")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+      .withColumn("w2", substring_index(col("big"), " ", -1))
+    val ctx = cb.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("t1"))
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("tc"))
+    // T (total bigram types), D (absolute discount) — one bounded row
+    val g = cb.agg(
+        count(lit(1)).cast(DoubleType).as("__t"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("c2") === 2, 1L).otherwise(0L)).as("__n2"))
+      .select(col("__t"),
+        when(col("__n1") === 0, lit(0.5))
+          .otherwise(col("__n1").cast(DoubleType) /
+            (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType)).as("__d"))
+    val m2 = cb.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(g))
+      .select(lit(2L).as("ord"), col("big").as("gram"),
+        floor(log((col("c2") - col("__d")) / col("c1") +
+            ((col("__d") * col("t1")) / col("c1")) * (col("tc") / col("__t")))
+          * 1e6 + 0.5).cast(LongType).as("q"))
+    val m1 = ctx.crossJoin(broadcast(g))
+      .select(lit(1L).as("ord"), col("w1").as("gram"),
+        floor(log((col("__d") * col("t1")) / col("c1")) * 1e6 + 0.5)
+          .cast(LongType).as("q"))
+    val m0 = cont.crossJoin(broadcast(g))
+      .select(lit(0L).as("ord"), col("w2").as("gram"),
+        floor(log(col("tc") / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
+    val mf = g.select(lit(-1L).as("ord"), lit("").as("gram"),
+      floor(log(lit(1.0) / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
+    m2.unionByName(m1).unionByName(m0).unionByName(mf)
+  }
+
+  /** Score a corpus under a trained interpolated-KN bigram model:
+    * per document, the integer-exact mean quantized log-probability
+    * over bigram positions. Seen bigrams read their single quantized
+    * ord-2 score; unseen bigrams INTEGER-ADD the context's quantized
+    * ln λ (0 when the context itself is unseen — weight-1 backoff
+    * straight to the continuation distribution) and the word's
+    * quantized ln p_cont (the ord −1 uniform floor when the word was
+    * never a continuation). `n_backed_off` counts positions below
+    * ord 2 — the out-of-domain signal. Docs with < 2 words have no
+    * bigrams and are absent (the [[bigramLogprob]] contract).
+    *
+    * Scale shape: ONE bigram census over the apply corpus, three
+    * key-joins against model-sized frames (auto-broadcast when the
+    * model fits) and the floor as a broadcast 1-row cross join. */
+  def knLmApply(model: DataFrame, docs: DataFrame,
+                id: String = "doc_id", textCol: String = "text",
+                scripted: Boolean = false): DataFrame = {
+    val tf = docs.select(col(id), explode(
+        graft.functions.WordShingles.of(col(textCol), 2, distinct = false,
+          scripted = scripted)).as("big"))
+      .groupBy(col(id), col("big")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+      .withColumn("w2", substring_index(col("big"), " ", -1))
+    val m2 = model.where(col("ord") === 2)
+      .select(col("gram").as("big"), col("q").as("q2"))
+    val m1 = model.where(col("ord") === 1)
+      .select(col("gram").as("w1"), col("q").as("ql"))
+    val m0 = model.where(col("ord") === 0)
+      .select(col("gram").as("w2"), col("q").as("qc"))
+    val mf = model.where(col("ord") === -1).select(col("q").as("q0"))
+    tf.join(m2, Seq("big"), "left")
+      .join(m1, Seq("w1"), "left")
+      .join(m0, Seq("w2"), "left")
+      .crossJoin(broadcast(mf))
+      .withColumn("__q", coalesce(col("q2"),
+        coalesce(col("ql"), lit(0L)) + coalesce(col("qc"), col("q0"))))
+      .withColumn("__bo", when(col("q2").isNull, col("tf")).otherwise(lit(0L)))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("__q")).as("__sq"),
+        sum(col("__bo")).as("n_backed_off"))
+      .select(col(id), col("n_bigrams"), col("n_backed_off"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_bigrams"), 6)
+          .as("mean_logprob"))
+  }
+
+  /** Whole-corpus convenience: train on `docs` and score `docs`
+    * (composition parity with the split is spec-pinned; on its own
+    * training corpus every bigram is seen, so n_backed_off = 0). */
+  def knLogprob(docs: DataFrame,
+                id: String = "doc_id", textCol: String = "text",
+                scripted: Boolean = false): DataFrame =
+    knLmApply(knLmTrain(docs, textCol, scripted), docs, id, textCol, scripted)
+
   /** Content-defined chunking (the FastCDC/rsync family): chunk
     * boundaries fall where the rolling trigram hash ≡ 0 (mod divisor)
     * — a pure function of LOCAL content, so inserting or deleting

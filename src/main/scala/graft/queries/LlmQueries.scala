@@ -5942,6 +5942,120 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  // ---- interpolated Kneser-Ney bigram LM (the real CCNet filter) ----
+
+  /** Interpolated Kneser-Ney LM in the production train/apply shape:
+    * the model trains on HALF the corpus (even doc_ids — the
+    * q_trigram_logprob held-reference pattern) and scores ALL
+    * documents, so odd docs' unseen bigrams genuinely exercise the
+    * discount-mass backoff (λ·p_cont) and the continuation floor.
+    * The oracle replays the full model: discount D from the
+    * count-of-counts, contexts' λ, continuation counts, and the
+    * per-order quantized-log coalesce cascade. */
+  def qKnLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0))
+    TextAnalysis.knLmApply(model, docs)
+  }
+
+  /** The KN model + apply replay as shared CTE text (parameterized so
+    * the buckets row reuses every CTE below the score table verbatim —
+    * the unigramTrainSqlFrom doctrine). Ends with CTE `d` =
+    * (doc_id, n_bigrams, n_backed_off, mean_logprob). */
+  private def knScoreCtes: String = {
+    def bigList(w: String) =
+      s"""CASE WHEN len($w) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len($w)-1),
+         |      i -> $w[i] || ' ' || $w[i+1]) END""".stripMargin
+    s"""ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
+       |cb AS (SELECT big, CAST(count(*) AS BIGINT) AS c2,
+       |    split_part(big, ' ', 1) AS w1, split_part(big, ' ', 2) AS w2
+       |  FROM (SELECT unnest(${bigList("w")}) AS big FROM trws) GROUP BY 1),
+       |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS t1 FROM cb GROUP BY 1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS tc FROM cb GROUP BY 1),
+       |gc AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+       |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM cb),
+       |gd AS (SELECT t, CASE WHEN n1 = 0 THEN CAST(0.5 AS DOUBLE)
+       |    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+       |  FROM gc),
+       |m2 AS (SELECT big, CAST(floor(ln((c2 - d) / c1 +
+       |      ((d * t1) / c1) * (tc / t)) * 1e6 + 0.5) AS BIGINT) AS q2
+       |  FROM cb JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN gd),
+       |m1 AS (SELECT w1, CAST(floor(ln((d * t1) / c1) * 1e6 + 0.5) AS BIGINT) AS ql
+       |  FROM ctx CROSS JOIN gd),
+       |m0 AS (SELECT w2, CAST(floor(ln(tc / t) * 1e6 + 0.5) AS BIGINT) AS qc
+       |  FROM cont CROSS JOIN gd),
+       |mf AS (SELECT CAST(floor(ln(CAST(1.0 AS DOUBLE) / t) * 1e6 + 0.5)
+       |    AS BIGINT) AS q0 FROM gd),
+       |atf AS (SELECT doc_id, big, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(${bigList("w")}) AS big FROM ws) GROUP BY 1, 2),
+       |atw AS (SELECT doc_id, big, tf,
+       |    split_part(big, ' ', 1) AS w1, split_part(big, ' ', 2) AS w2
+       |  FROM atf),
+       |j AS (SELECT doc_id, tf,
+       |    coalesce(m2.q2, coalesce(m1.ql, CAST(0 AS BIGINT)) +
+       |      coalesce(m0.qc, mf.q0)) AS q,
+       |    CASE WHEN m2.q2 IS NULL THEN tf ELSE CAST(0 AS BIGINT) END AS bo
+       |  FROM atw
+       |  LEFT JOIN m2 USING (big)
+       |  LEFT JOIN m1 USING (w1)
+       |  LEFT JOIN m0 ON atw.w2 = m0.w2
+       |  CROSS JOIN mf),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(bo) AS BIGINT) AS n_backed_off,
+       |    floor((CAST(sum(tf * q) AS BIGINT) / 1e6 /
+       |           CAST(sum(tf) AS BIGINT)) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |  FROM j GROUP BY 1)""".stripMargin
+  }
+
+  val qKnLogprobSql: String =
+    s"""WITH $knScoreCtes
+       |SELECT doc_id, n_bigrams, n_backed_off, mean_logprob FROM d""".stripMargin
+
+  /** The CCNet bucket-apply half under the KN model: tertile cut
+    * points estimated from the TRAIN half's self-scores only (new data
+    * never shifts the cuts — the lmBucketsApply doctrine) via the
+    * binned percentile estimator, labels on every scored doc. */
+  def qKnBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0))
+    releaseStageCaches("kn_buckets") // BEFORE the persist (see stageCacheReg)
+    // fan-out point: thresholds AND the label join both read the score
+    // frame — uncached, the whole train+apply chain re-executes per
+    // consumer (the r13 lesson)
+    val scores = TextAnalysis.knLmApply(model, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStageCaches("kn_buckets", List(scores))
+    val th = graft.operators.Percentile.binned(
+      scores.where(col("doc_id") % 2 === 0), lit(0L), col("mean_logprob"),
+      Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)))
+    scores.crossJoin(broadcast(th.select(col("t_lo"), col("t_hi"))))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backed_off"),
+        col("mean_logprob"),
+        when(col("mean_logprob") >= col("t_hi"), lit("head"))
+          .when(col("mean_logprob") >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  val qKnBucketsSql: String = {
+    val (pctCtes, pctSel) = graft.operators.Percentile.binnedSql(
+      "trsc", "0", "mean_logprob",
+      Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)))
+    s"""WITH $knScoreCtes,
+       |trsc AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+       |$pctCtes,
+       |th AS ($pctSel)
+       |SELECT d.doc_id, d.n_bigrams, d.n_backed_off, d.mean_logprob,
+       |  CASE WHEN d.mean_logprob >= th.t_hi THEN 'head'
+       |       WHEN d.mean_logprob >= th.t_lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM d CROSS JOIN th""".stripMargin
+  }
+
   // ---- crawl-stitching detection (tail/head overlap) ----
 
   private val StitchK = 4

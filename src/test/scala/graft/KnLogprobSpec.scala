@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Interpolated Kneser-Ney bigram LM (TextAnalysis.knLmTrain/Apply).
+  * The load-bearing property is NORMALIZATION: interpolated KN is a
+  * proper probability model (Σ_w2 p(w2|w1) = 1 for every context) —
+  * the identity that distinguishes it from stupid backoff and that any
+  * discount/λ/continuation slip breaks. */
+class KnLogprobSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus "a b a b a c": bigrams "a b"x2, "b a"x2, "a c"x1
+  //   ctx a: c1=3, t1=2;  ctx b: c1=2, t1=1
+  //   cont: a,b,c each tc=1;  T=3 types;  n1=1, n2=2 -> D = 1/5
+  private val tiny = Seq((0L, "a b a b a c"))
+
+  test("hand-computed discount, lambda, continuation and floor on a tiny corpus") {
+    val model = TextAnalysis.knLmTrain(tiny.toDF("doc_id", "text"))
+    val mq = model.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val D = 0.2
+    def q(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // seen bigram: p(b|a) = (2-D)/3 + (D*2/3)*(1/3)
+    assert(mq((2L, "a b")) === q((2 - D) / 3.0 + ((D * 2) / 3.0) * (1.0 / 3)))
+    assert(mq((2L, "a c")) === q((1 - D) / 3.0 + ((D * 2) / 3.0) * (1.0 / 3)))
+    assert(mq((2L, "b a")) === q((2 - D) / 2.0 + ((D * 1) / 2.0) * (1.0 / 3)))
+    // context lambdas
+    assert(mq((1L, "a")) === q((D * 2) / 3.0))
+    assert(mq((1L, "b")) === q((D * 1) / 2.0))
+    // continuation probs and the uniform-over-types floor
+    assert(mq((0L, "a")) === q(1.0 / 3))
+    assert(mq((-1L, "")) === q(1.0 / 3))
+  }
+
+  test("interpolated KN is normalized: sum_w2 p(w2|w1) == 1 per context") {
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.knLmTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val q2 = model.collect { case (2L, g, q) => g -> q }.toMap
+    val ql = model.collect { case (1L, g, q) => g -> q }.toMap
+    val qc = model.collect { case (0L, g, q) => g -> q }.toMap
+    val contexts = ql.keySet
+    val vocab = qc.keySet
+    contexts.foreach { w1 =>
+      val s = vocab.toSeq.map { w2 =>
+        q2.get(s"$w1 $w2") match {
+          case Some(q) => math.exp(q / 1e6)
+          case None    => math.exp(ql(w1) / 1e6) * math.exp(qc(w2) / 1e6)
+        }
+      }.sum
+      // each quantized log is off by <= 5e-7, so the product/sum sits
+      // within a few ppm of the exact mass
+      assert(math.abs(s - 1.0) < 1e-3, s"context $w1: mass $s != 1")
+    }
+  }
+
+  test("composition parity: apply(train(c), c) == knLogprob(c), zero backoff") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val whole = TextAnalysis.knLogprob(docs).orderBy("doc_id").collect().toSeq
+    val split = TextAnalysis.knLmApply(TextAnalysis.knLmTrain(docs), docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(whole === split)
+    assert(whole.forall(_.getLong(2) === 0L))
+  }
+
+  test("backoff cascade: seen / unseen-bigram / unseen-context / OOV floor") {
+    val model = TextAnalysis.knLmTrain(tiny.toDF("doc_id", "text"))
+    val probe = Seq(
+      (10L, "a b"),   // seen bigram
+      (11L, "b b"),   // unseen bigram, seen context: ql(b) + qc(b)
+      (12L, "c a"),   // unseen CONTEXT c: weight-1 backoff, 0 + qc(a)
+      (13L, "a zz")   // unseen continuation: ql(a) + floor
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knLmApply(model, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val D = 0.2
+    def qd(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    def qi(x: Double) = math.floor(math.log(x) * 1e6 + 0.5)
+    assert(out(10L) === ((0L, qd((2 - D) / 3.0 + ((D * 2) / 3.0) * (1.0 / 3)))))
+    assert(out(11L) === ((1L, (qi((D * 1) / 2.0) + qi(1.0 / 3)) / 1e6)))
+    assert(out(12L) === ((1L, qi(1.0 / 3) / 1e6)))
+    assert(out(13L) === ((1L, (qi((D * 2) / 3.0) + qi(1.0 / 3)) / 1e6)))
+  }
+
+  test("deterministic across partition layouts") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0))
+    val a = TextAnalysis.knLmApply(model, docs).orderBy("doc_id").collect().toSeq
+    val model2 = TextAnalysis.knLmTrain(
+      docs.repartition(11).where(col("doc_id") % 2 === 0))
+    val b = TextAnalysis.knLmApply(model2, docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("degenerate corpus with no singleton bigrams clamps D to 0.5 (no ln(0))") {
+    // every bigram occurs exactly twice -> n1 = 0
+    val docs = Seq((0L, "x y x y"), (1L, "x y x y")).toDF("doc_id", "text")
+    val model = TextAnalysis.knLmTrain(docs)
+    val mq = model.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // bigrams: "x y"x4? no: per doc "x y","y x","x y" -> x y:4, y x:2; n1=0 -> D=0.5
+    val D = 0.5
+    def q(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // ctx x: c1=4, t1=1; cont y: tc=1; T=2
+    assert(mq((2L, "x y")) === q((4 - D) / 4.0 + ((D * 1) / 4.0) * (1.0 / 2)))
+    assert(mq((1L, "x")) === q((D * 1) / 4.0))
+  }
+}
