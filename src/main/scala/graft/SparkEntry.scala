@@ -310,6 +310,8 @@ object SparkEntry {
     "q_table_extract" -> (L.qTableExtract _),
     // minimal-PDF source: synthesize-decode with xref validation
     "q_pdf_extract" -> (L.qPdfExtract _),
+    // Jupyter notebook extraction (variant parse, dual source forms)
+    "q_notebook_extract" -> (L.qNotebookExtract _),
     // mergeable BM25 index: merge(half, half) replays the whole-corpus top-k
     "q_bm25_index_merge" -> (L.qBm25IndexMerge _),
     // registrable domain (eTLD+1) under the PSL prevailing-rule algorithm
@@ -557,6 +559,7 @@ object SparkEntry {
     "q_ivf_index_merge" -> L.qIvfIndexMergeSql,
     "q_table_extract" -> L.qTableExtractSql,
     "q_pdf_extract" -> L.qPdfExtractSql,
+    "q_notebook_extract" -> L.qNotebookExtractSql,
     "q_bm25_index_merge" -> L.qBm25IndexMergeSql,
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,

@@ -6501,6 +6501,47 @@ object LlmQueries {
       |  CASE WHEN doc_id % 13 = 0 THEN 'corrupt' ELSE 'pdf' END AS kind
       |FROM t""".stripMargin
 
+  // ---- #34g Jupyter notebook (nbformat JSON) extraction ----
+
+  /** REAL nbformat parsing, oracle-gated end-to-end (the q_pdf_extract
+    * synthesize-decode precedent): synthesize a genuine .ipynb JSON
+    * per document whose every field is a closed-form integer function
+    * of (doc_id, cell_idx) — exercising BOTH legal `source` encodings
+    * (plain string and line list), stream outputs, execution counts,
+    * a missing-cell_type quarantine (doc%11) and a truncated-JSON
+    * quarantine (doc%13) — decode through the variant-based extractor,
+    * and compare against the pure closed-form replay (the oracle never
+    * parses JSON; any variant-cast, coalesce-order, join or
+    * quarantine slip bends a row). */
+  def qNotebookExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Notebook.extract(
+      graft.sources.Notebook.synth(
+        Tables(spark, dir).documents.select(col("doc_id"))))
+
+  val qNotebookExtractSql: String =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |good AS (SELECT doc_id, i.i AS cell_idx
+      |  FROM ids, unnest(generate_series(0, doc_id % 4)) i(i)
+      |  WHERE doc_id % 13 <> 0),
+      |cells AS (SELECT doc_id, CAST(cell_idx AS BIGINT) AS cell_idx,
+      |    CASE WHEN doc_id % 11 = 0 AND cell_idx = 0 THEN 'corrupt_cell'
+      |         WHEN (doc_id + cell_idx) % 3 = 0 THEN 'markdown'
+      |         ELSE 'code' END AS kind,
+      |    CASE WHEN (doc_id + cell_idx) % 3 = 0
+      |         THEN '# h' || CAST(doc_id * 31 + cell_idx AS VARCHAR)
+      |         ELSE 'x=' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |              'y=' || CAST(cell_idx AS VARCHAR) END AS source,
+      |    CASE WHEN (doc_id + cell_idx) % 3 = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST((doc_id + cell_idx) % 3 AS BIGINT) END AS n_outputs,
+      |    CASE WHEN (doc_id + cell_idx) % 3 = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(cell_idx + 1 AS BIGINT) END AS exec_count
+      |  FROM good),
+      |corr AS (SELECT doc_id, CAST(-1 AS BIGINT) AS cell_idx,
+      |    'corrupt' AS kind, CAST(NULL AS VARCHAR) AS source,
+      |    CAST(0 AS BIGINT) AS n_outputs, CAST(NULL AS BIGINT) AS exec_count
+      |  FROM ids WHERE doc_id % 13 = 0)
+      |SELECT * FROM cells UNION ALL SELECT * FROM corr""".stripMargin
+
   def qTarExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val synth = Tables(spark, dir).documents

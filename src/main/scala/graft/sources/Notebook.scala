@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Jupyter notebook (.ipynb / nbformat JSON) extraction — the format
+  * every code corpus ships. nbformat's one genuinely awkward edge is
+  * that a cell's `source` may be EITHER a plain string OR a list of
+  * line strings (both are valid nbformat 4); everything else is plain
+  * JSON structure.
+  *
+  * Spark-first shape: the notebook parses ONCE via `try_parse_json`
+  * into a VARIANT (Spark 4's semi-structured type — exactly the
+  * heterogeneous-JSON case variant exists for), cells explode as
+  * `array<variant>`, and the string-or-list source resolves with one
+  * coalesce: the `array<string>` cast is tried FIRST (a variant
+  * string→string cast would otherwise stringify a list to its JSON
+  * text and mask the list form), falling back to the string cast.
+  * Outputs are STRIPPED (counted, never carried — training corpora
+  * drop outputs; they dominate notebook bytes).
+  *
+  * Quarantine contract (the Pdf/Tar doctrine — malformed files are
+  * DATA, never an exception):
+  *   - unparseable JSON, or JSON without a `cells` array → ONE
+  *     `corrupt` row (cell_idx −1, NULL source);
+  *   - a parseable notebook with an empty cells list → one `empty`
+  *     row (the "notebook exists but has nothing" signal);
+  *   - a cell missing `cell_type` → a `corrupt_cell` row that KEEPS
+  *     its source (quarantined, not destroyed).
+  *
+  * Scale shape: pure narrow projection + one Generate per doc — zero
+  * shuffle, no UDF (variant functions are native Catalyst
+  * expressions); the cells-count scalar is staged BELOW the Generate
+  * so the array never rides exploded rows. Gated by
+  * q_notebook_extract's closed-form synthesize-decode oracle
+  * (source text is an integer function of doc_id — any parse, escape,
+  * join or quarantine slip fails the hash). */
+object Notebook {
+
+  /** One row per cell (plus doc-level quarantine rows):
+    * (doc_id, cell_idx, kind, source, n_outputs, exec_count). */
+  def extract(docs: DataFrame, jsonCol: String = "payload",
+              id: String = "doc_id"): DataFrame = {
+    val parsed = docs.select(col(id),
+        try_parse_json(col(jsonCol)).as("__v"))
+      .select(col(id),
+        try_variant_get(col("__v"), "$.cells", "array<variant>").as("__cells"))
+      // scalar staged below the Generate (the r7 size-vs-explode rule)
+      .select(col(id), col("__cells"), size(col("__cells")).as("__nc"))
+    val ex = parsed.select(col(id), col("__nc"),
+      posexplode_outer(col("__cells")).as(Seq("__idx", "__cell")))
+    val ct = try_variant_get(col("__cell"), "$.cell_type", "string")
+    // array<string> FIRST: the string cast would stringify a list
+    val src = coalesce(
+      array_join(try_variant_get(col("__cell"), "$.source", "array<string>"),
+        ""),
+      try_variant_get(col("__cell"), "$.source", "string"))
+    val kind = when(col("__nc").isNull, lit("corrupt"))
+      .when(col("__nc") === 0, lit("empty"))
+      .when(ct.isNull, lit("corrupt_cell"))
+      .otherwise(ct)
+    ex.select(col(id),
+      coalesce(col("__idx").cast("long"), lit(-1L)).as("cell_idx"),
+      kind.as("kind"),
+      when(col("__cell").isNotNull, src).as("source"),
+      coalesce(
+        size(try_variant_get(col("__cell"), "$.outputs", "array<variant>"))
+          .cast("long"),
+        lit(0L)).as("n_outputs"),
+      try_variant_get(col("__cell"), "$.execution_count", "bigint")
+        .as("exec_count"))
+  }
+
+  /** Synthesize a closed-form nbformat-4 notebook per id — every field
+    * an integer function of (doc_id, cell_idx), so the DuckDB oracle
+    * replays expected rows WITHOUT parsing any JSON:
+    *   - doc_id % 4 + 1 cells;
+    *   - cell i is markdown iff (doc_id+i) % 3 == 0, with a plain
+    *     STRING source "# h<doc_id*31+i>"; else a code cell with a
+    *     LIST source ["x=<doc_id>\n", "y=<i>"], (doc_id+i)%3 stream
+    *     outputs (∈ {1,2} — never 0 for code) and execution_count i+1;
+    *   - every 11th doc omits cell 0's cell_type (corrupt_cell);
+    *   - every 13th doc truncates the JSON (corrupt notebook).
+    * Both the string and list source forms are exercised at every
+    * scale, so the coalesce order in [[extract]] is gate-covered. */
+  def synth(ids: DataFrame, id: String = "doc_id"): DataFrame = {
+    val d = col(id)
+    def cellJson(i: Column): Column = {
+      val isMd = (d + i) % 3 === 0
+      val noType = d % 11 === 0 && i === 0
+      val mdCell = concat(
+        lit("{\"cell_type\":\"markdown\",\"source\":\"# h"),
+        (d * 31 + i).cast("string"), lit("\",\"metadata\":{}}"))
+      val outs = array_join(
+        transform(sequence(lit(1L), (d + i) % 3),
+          _ => lit("{\"output_type\":\"stream\"}")), ",")
+      val codeCell = concat(
+        lit("{\"cell_type\":\"code\",\"source\":[\"x="), d.cast("string"),
+        lit("\\n\",\"y="), i.cast("string"),
+        lit("\"],\"outputs\":["), outs,
+        lit("],\"execution_count\":"), (i + 1).cast("string"),
+        lit(",\"metadata\":{}}"))
+      val cell = when(isMd, mdCell).otherwise(codeCell)
+      // the corrupt_cell knob: drop the cell_type key, keep the rest
+      when(noType, regexp_replace(cell, "^\\{\"cell_type\":\"[a-z]+\",", "{"))
+        .otherwise(cell)
+    }
+    // per-doc cell list via ONE nested transform — no explode, no
+    // shuffle; the fixture is ≤5 cells so the interpreted HOF is free
+    val nb = concat(
+      lit("{\"nbformat\":4,\"nbformat_minor\":5,\"metadata\":{},\"cells\":["),
+      array_join(transform(sequence(lit(0L), d % 4), cellJson(_)), ","),
+      lit("]}"))
+    ids.select(d,
+      when(d % 13 === 0, substring(nb, 1, 17)).otherwise(nb).as("payload"))
+  }
+}

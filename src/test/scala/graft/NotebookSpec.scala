@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Notebook
+
+/** Notebook extractor edges beyond the gated fixture: real nbformat
+  * shapes (string vs list source, missing fields), quarantine rows,
+  * and the variant coalesce-order trap. Cross-engine row parity is
+  * q_notebook_extract's closed-form oracle. */
+class NotebookSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ex(rows: (Long, String)*) =
+    Notebook.extract(rows.toSeq.toDF("doc_id", "payload"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)).orNull,
+        r.getLong(4),
+        if (r.isNullAt(5)) -99L else r.getLong(5)))
+      .toSeq
+
+  test("string source, list source, outputs stripped, exec_count carried") {
+    val nb = """{"nbformat":4,"cells":[
+      {"cell_type":"code","source":["import x\n","x.go()"],
+       "outputs":[{"output_type":"stream"},{"output_type":"error"}],
+       "execution_count":7,"metadata":{}},
+      {"cell_type":"markdown","source":"# Title","metadata":{}}]}"""
+    assert(ex((1L, nb)) === Seq(
+      (1L, 0L, "code", "import x\nx.go()", 2L, 7L),
+      (1L, 1L, "markdown", "# Title", 0L, -99L)))
+  }
+
+  test("a cell missing cell_type quarantines but KEEPS its source") {
+    val nb = """{"cells":[{"source":"orphan text"}]}"""
+    assert(ex((2L, nb)) === Seq((2L, 0L, "corrupt_cell", "orphan text", 0L, -99L)))
+  }
+
+  test("unparseable JSON and missing cells array emit one corrupt row each") {
+    assert(ex((3L, "{\"nbformat\":4, oops")) ===
+      Seq((3L, -1L, "corrupt", null, 0L, -99L)))
+    assert(ex((4L, "{\"nbformat\":4}")) ===
+      Seq((4L, -1L, "corrupt", null, 0L, -99L)))
+  }
+
+  test("an empty cells list is 'empty', not corrupt") {
+    assert(ex((5L, "{\"cells\":[]}")) === Seq((5L, -1L, "empty", null, 0L, -99L)))
+  }
+
+  test("null execution_count (never-run cell) maps to NULL, not 0") {
+    val nb = """{"cells":[{"cell_type":"code","source":["a"],
+      "outputs":[],"execution_count":null}]}"""
+    assert(ex((6L, nb)) === Seq((6L, 0L, "code", "a", 0L, -99L)))
+  }
+
+  test("synth round-trip matches the closed form the oracle replays") {
+    val out = Notebook.extract(Notebook.synth(
+        spark.range(0, 60).select(col("id").as("doc_id"))))
+      .orderBy("doc_id", "cell_idx").collect()
+    out.foreach { r =>
+      val d = r.getLong(0); val i = r.getLong(1); val kind = r.getString(2)
+      if (d % 13 == 0) {
+        assert(i === -1L && kind === "corrupt" && r.isNullAt(3))
+      } else if (d % 11 == 0 && i == 0) {
+        assert(kind === "corrupt_cell")
+      } else if ((d + i) % 3 == 0) {
+        assert(kind === "markdown" && r.getString(3) === s"# h${d * 31 + i}")
+        assert(r.getLong(4) === 0L && r.isNullAt(5))
+      } else {
+        assert(kind === "code" && r.getString(3) === s"x=$d\ny=$i")
+        assert(r.getLong(4) === (d + i) % 3 && r.getLong(5) === i + 1)
+      }
+    }
+    // every non-corrupt doc emits exactly doc_id % 4 + 1 cells
+    val counts = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    (0L until 60L).foreach { d =>
+      assert(counts(d) === (if (d % 13 == 0) 1 else (d % 4 + 1).toInt))
+    }
+  }
+}
