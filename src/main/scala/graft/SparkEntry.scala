@@ -278,6 +278,8 @@ object SparkEntry {
     "q_utf8_census" -> (L.qUtf8Census _),
     // Gopher document-shape quality rules (integer cross-multiply verdicts)
     "q_gopher_rules" -> (L.qGopherRules _),
+    // StarCoder-style code-quality gates (line shape, blobs, autogen)
+    "q_code_rules" -> (L.qCodeRules _),
     // power-of-two length buckets: the padding-efficiency report
     "q_length_buckets" -> (L.qLengthBuckets _),
     // Zipf power-law fit over the vocabulary (quantized-ln regression)
@@ -542,6 +544,7 @@ object SparkEntry {
     "q_loss_mask" -> L.qLossMaskSql,
     "q_utf8_census" -> L.qUtf8CensusSql,
     "q_gopher_rules" -> L.qGopherRulesSql,
+    "q_code_rules" -> L.qCodeRulesSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_zipf_fit" -> L.qZipfFitSql,
     "q_lang_segments" -> L.qLangSegmentsSql,

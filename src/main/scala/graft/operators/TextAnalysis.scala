@@ -1876,6 +1876,56 @@ object TextAnalysis {
       verdict(ruleCols.map(c => col(c) === 1L).reduce(_ && _)))
   }
 
+  /** The StarCoder/The-Stack code-quality rule set (Kocetkov et al.
+    * 2022, Li et al. 2023 §3 flavor) — the code-corpus siblings of
+    * [[gopherRules]]' prose gates: max line length ≤ 1000, mean line
+    * length ≤ 100, alphanumeric fraction ≥ 0.25, ≤40% of characters in
+    * long hex runs (≥16 contiguous hex chars — generated digests /
+    * embedded binaries), ≤40% in base64 blobs (≥64 contiguous base64
+    * chars), and no auto-generated marker in the first 5 lines
+    * ("auto-generated" / "generated by" / "do not edit",
+    * case-insensitive — the header every codegen tool stamps).
+    *
+    * Every verdict is an INTEGER CROSS-MULTIPLY over the emitted
+    * censuses (n_chars ≤ 100·n_lines, 4·n_alnum ≥ n_chars,
+    * 5·n_hex ≤ 2·n_chars, …) — never a float threshold, so the whole
+    * frame hash-gates cross-engine. Zero shuffle; one projection pair
+    * (counts staged as columns, verdicts derived). NULL text is
+    * coalesced to "" BEFORE any count (the r17 NULL-census rule). */
+  def codeRules(docs: DataFrame, id: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val counts = docs.select(col(id),
+      size(lines).cast(LongType).as("n_lines"),
+      length(t).cast(LongType).as("n_chars"),
+      array_max(transform(lines, l => length(l))).cast(LongType)
+        .as("max_line_len"),
+      length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast(LongType)
+        .as("n_alnum"),
+      (length(t) - length(regexp_replace(t, "[0-9a-fA-F]{16,}", "")))
+        .cast(LongType).as("n_hex_chars"),
+      (length(t) - length(regexp_replace(t, "[A-Za-z0-9+/=]{64,}", "")))
+        .cast(LongType).as("n_b64_chars"),
+      when({
+        val head5 = lower(array_join(slice(lines, 1, 5), "\n"))
+        head5.contains("auto-generated") || head5.contains("generated by") ||
+          head5.contains("do not edit")
+      }, 1L).otherwise(0L).as("autogen"))
+    def verdict(cond: Column): Column = when(cond, 1L).otherwise(0L)
+    val withRules = counts
+      .withColumn("r_maxline", verdict(col("max_line_len") <= 1000))
+      .withColumn("r_avgline", verdict(col("n_chars") <= lit(100) * col("n_lines")))
+      .withColumn("r_alnum", verdict(lit(4) * col("n_alnum") >= col("n_chars")))
+      .withColumn("r_hex", verdict(lit(5) * col("n_hex_chars") <= lit(2) * col("n_chars")))
+      .withColumn("r_b64", verdict(lit(5) * col("n_b64_chars") <= lit(2) * col("n_chars")))
+      .withColumn("r_autogen", verdict(col("autogen") === 0))
+    val ruleCols = Seq("r_maxline", "r_avgline", "r_alnum", "r_hex",
+      "r_b64", "r_autogen")
+    withRules.withColumn("keep",
+      verdict(ruleCols.map(c => col(c) === 1L).reduce(_ && _)))
+  }
+
   /** T5-style span corruption (the denoising-pretraining data
     * transform), deterministic block-local variant: token positions
     * partition into fixed blocks of `blockSize`; each (doc, block)

@@ -1820,6 +1820,77 @@ object LlmQueries {
       |    ELSE '' END AS text
       |  FROM documents)""".stripMargin)
 
+  // ---- StarCoder-style code-quality rules ----
+
+  /** Code-quality census over the corpus with closed-form injections
+    * exercising every rule at every scale (the qGopherRules pattern):
+    * doc%7=0 appends a 1200-char line (max-line drop), %7=1 appends 32
+    * lines of 64-char hex runs (hex-blob drop), %7=2 appends 25 lines
+    * of 128-char base64 runs (b64-blob drop), %7=3 PREPENDS the
+    * auto-generated header (first-5-lines marker drop), %7=4 appends
+    * 30 short lines (a keep-side near-miss). The oracle replays the
+    * injections and the full integer cross-multiply census. */
+  def qCodeRules(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val hexLine = "\n" + "deadbeef" * 8
+    val b64Line = "\n" + "QUJD" * 32
+    val tail = when(i % 7 === 0, concat(lit("\n"), lit("a" * 1200)))
+      .when(i % 7 === 1, repeat(lit(hexLine), 32))
+      .when(i % 7 === 2, repeat(lit(b64Line), 25))
+      .when(i % 7 === 4, repeat(lit("\nok xy"), 30))
+      .otherwise(lit(""))
+    val text2 = when(i % 7 === 3,
+      concat(lit("// Auto-Generated by graft. DO NOT EDIT.\n"), col("text")))
+      .otherwise(concat(col("text"), tail))
+    TextAnalysis.codeRules(Tables(spark, dir).documents
+      .select(i, text2.as("text")))
+  }
+
+  val qCodeRulesSql: String =
+    """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3
+      |    THEN '// Auto-Generated by graft. DO NOT EDIT.' || chr(10) || text
+      |    ELSE text || CASE doc_id % 7
+      |      WHEN 0 THEN chr(10) || repeat('a', 1200)
+      |      WHEN 1 THEN repeat(chr(10) || repeat('deadbeef', 8), 32)
+      |      WHEN 2 THEN repeat(chr(10) || repeat('QUJD', 32), 25)
+      |      WHEN 4 THEN repeat(chr(10) || 'ok xy', 30)
+      |      ELSE '' END END AS text
+      |  FROM documents),
+      |d AS (SELECT doc_id, coalesce(text, '') AS text FROM src),
+      |c AS (SELECT doc_id,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(list_max(list_transform(string_split(text, chr(10)),
+      |      x -> length(x))) AS BIGINT) AS max_line_len,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+      |      AS BIGINT) AS n_alnum,
+      |    CAST(length(text) - length(regexp_replace(text,
+      |      '[0-9a-fA-F]{16,}', '', 'g')) AS BIGINT) AS n_hex_chars,
+      |    CAST(length(text) - length(regexp_replace(text,
+      |      '[A-Za-z0-9+/=]{64,}', '', 'g')) AS BIGINT) AS n_b64_chars,
+      |    lower(array_to_string((string_split(text, chr(10)))[1:5],
+      |      chr(10))) AS head5
+      |  FROM d),
+      |v AS (SELECT *,
+      |    CASE WHEN contains(head5, 'auto-generated')
+      |      OR contains(head5, 'generated by')
+      |      OR contains(head5, 'do not edit') THEN 1 ELSE 0 END AS ag,
+      |    CASE WHEN max_line_len <= 1000 THEN 1 ELSE 0 END AS rm,
+      |    CASE WHEN n_chars <= 100 * n_lines THEN 1 ELSE 0 END AS rv,
+      |    CASE WHEN 4 * n_alnum >= n_chars THEN 1 ELSE 0 END AS rn,
+      |    CASE WHEN 5 * n_hex_chars <= 2 * n_chars THEN 1 ELSE 0 END AS rh,
+      |    CASE WHEN 5 * n_b64_chars <= 2 * n_chars THEN 1 ELSE 0 END AS rb
+      |  FROM c)
+      |SELECT doc_id, n_lines, n_chars, max_line_len, n_alnum,
+      |  n_hex_chars, n_b64_chars, CAST(ag AS BIGINT) AS autogen,
+      |  CAST(rm AS BIGINT) AS r_maxline, CAST(rv AS BIGINT) AS r_avgline,
+      |  CAST(rn AS BIGINT) AS r_alnum, CAST(rh AS BIGINT) AS r_hex,
+      |  CAST(rb AS BIGINT) AS r_b64,
+      |  CAST(1 - ag AS BIGINT) AS r_autogen,
+      |  CAST(CASE WHEN rm + rv + rn + rh + rb + (1 - ag) = 6
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM v""".stripMargin
+
   // ---- fuzzy-exact dedup (normalize-then-hash) ----
 
   /** Fuzzy-exact dedup inside the gate: each corpus doc explodes into
