@@ -326,6 +326,8 @@ object SparkEntry {
     "q_chrf_pairs" -> (L.qChrfPairs _),
     // markdown text extraction (the GitHub-corpus extractHtmlText sibling)
     "q_markdown_extract" -> (L.qMarkdownExtract _),
+    // LaTeX/TeX text extraction (arXiv corpora; order-pinned rule chain)
+    "q_latex_extract" -> (L.qLatexExtract _),
     // ROUGE-L pair census: real DP kernel vs closed-form exact LCS oracle
     "q_rouge_pairs" -> (L.qRougePairs _),
     // MMR diverse selection: k-round greedy trajectory, all-integer scoring
@@ -569,6 +571,7 @@ object SparkEntry {
     "q_bleu_pairs" -> L.qBleuPairsSql,
     "q_chrf_pairs" -> L.qChrfPairsSql,
     "q_markdown_extract" -> L.qMarkdownExtractSql,
+    "q_latex_extract" -> L.qLatexExtractSql,
     "q_rouge_pairs" -> L.qRougePairsSql,
     "q_mmr_select" -> L.qMmrSelectSql,
     "q_length_batch" -> L.qLengthBatchSql,

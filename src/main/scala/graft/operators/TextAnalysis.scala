@@ -2017,6 +2017,82 @@ object TextAnalysis {
       trim(regexp_replace(stripped, "\\s+", " ")).as("text"))
   }
 
+  /** LaTeX/TeX text extraction — the arXiv-corpus sibling of
+    * [[extractMarkdown]] (scientific text is a standard pretraining
+    * source and ships as .tex): comments strip to end-of-line (with
+    * `\%` escaped percents staged through a control sentinel so they
+    * survive as literal %), display and inline math collapse to a
+    * single `[MATH]` placeholder (the LM sees that math happened, not
+    * its spelling — the unarXive convention), opaque environments
+    * (verbatim/equation/align/table/figure/tikzpicture) DROP WHOLE
+    * (the fenced-code analog), structure/emphasis commands keep their
+    * argument (`\section{X}` → X), reference-ish commands drop with
+    * their argument (`\cite{..}`, `\label{..}`, preamble commands),
+    * leftover `\begin/\end` wrappers, `\item`, line breaks, bare
+    * commands, braces and ties strip, whitespace collapses.
+    *
+    * Rule ORDER is load-bearing: escaped-% staging before comment
+    * strip; comments before environment drops; environment drops
+    * before math (an equation env is not N math spans); display math
+    * before inline (`$$` contains `$`); keep-commands before the
+    * drop-command and bare-command sweeps (or their arguments leak).
+    * Pure codegen'd regexp chain, RE2-safe (no lookahead/backrefs —
+    * drop-environments are enumerated, not back-referenced), zero
+    * shuffle. Emits the structural counts (comments, math spans,
+    * environments) a data card wants. */
+  def extractLatex(docs: DataFrame, texCol: String = "tex"): DataFrame = {
+    // staged \% sentinel: a control char the corpus cannot contain,
+    // kept in source as an ESCAPE (the r15 invisible-byte rule)
+    val esc = "\u0001"
+    val dropEnvs = Seq("verbatim", "equation", "align", "table", "figure",
+      "tikzpicture")
+    val keepCmds = "section|subsection|subsubsection|paragraph|title|" +
+      "author|textbf|textit|emph|texttt|caption|footnote"
+    val dropCmds = "label|cite|eqref|ref|usepackage|documentclass|" +
+      "includegraphics|bibliographystyle|bibliography|input|include"
+    val display = "(?s)\\$\\$.*?\\$\\$"
+    val inline = "\\$[^$\\n]*\\$"
+    val tail: Seq[(String, String)] = Seq(
+      display -> " [MATH] ",
+      inline -> " [MATH] ",
+      s"\\\\($keepCmds)\\*?\\{([^{}]*)\\}" -> " $2 ",
+      s"\\\\($dropCmds)(\\[[^\\]]*\\])?\\{[^{}]*\\}" -> " ",
+      "\\\\(begin|end)\\{[^{}]*\\}" -> " ",
+      "\\\\item\\b" -> " ",
+      "\\\\\\\\" -> " ",
+      "\\\\[a-zA-Z]+\\*?" -> " ",
+      "[{}~]" -> " ",
+      esc -> "%")
+    // staged intermediates: comment-stripped (s1), env-dropped (s2) —
+    // multi-referenced non-cheap expressions stay columns
+    val staged = docs
+      .withColumn("__s0", regexp_replace(col(texCol), "\\\\%", esc))
+      .withColumn("__s1", regexp_replace(col("__s0"), "(?m)%.*$", " "))
+      .withColumn("__s2", dropEnvs.foldLeft(col("__s1")) { (c, e) =>
+        regexp_replace(c,
+          s"(?s)\\\\begin\\{$e\\*?\\}.*?\\\\end\\{$e\\*?\\}", " ")
+      })
+    val stripped = tail.foldLeft(col("__s2")) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    staged.select(col("doc_id"),
+      regexp_count(col("__s0"), lit("(?m)%.*$")).cast(LongType)
+        .as("n_comments"),
+      (regexp_count(col("__s2"), lit(display)) +
+        regexp_count(regexp_replace(col("__s2"), display, " "), lit(inline)))
+        .cast(LongType).as("n_math"),
+      regexp_count(col("__s1"), lit("\\\\begin\\{")).cast(LongType)
+        .as("n_envs"),
+      // unterminated-environment diagnostic: an unmatched \begin makes
+      // the drop-env regex a no-op (content PASSES THROUGH with the
+      // wrapper stripped — never silently dropped to end-of-doc); this
+      // count is the signal a curation filter quarantines on
+      (regexp_count(col("__s1"), lit("\\\\begin\\{")) -
+        regexp_count(col("__s1"), lit("\\\\end\\{"))).cast(LongType)
+        .as("n_unclosed"),
+      trim(regexp_replace(stripped, "\\s+", " ")).as("text"))
+  }
+
   /** FIM (fill-in-the-middle) transform — the code-model pretraining
     * data op (Bavarian et al. 2022; the StarCoder/DeepSeek-Coder
     * pipelines apply it to ~half the corpus): split a document at two

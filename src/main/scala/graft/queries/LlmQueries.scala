@@ -2940,6 +2940,52 @@ object LlmQueries {
       |  END AS text
       |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, text FROM documents)""".stripMargin
 
+  // ---- LaTeX text extraction (TextAnalysis.extractLatex) ----
+
+  /** LaTeX stripping over closed-form constructs (the
+    * qMarkdownExtract doctrine on the arXiv format): doc_id%4 wraps
+    * the latex-char-free corpus text in one construct family per
+    * residue — section+emphasis commands (arguments KEEP), comments
+    * with an escaped `\%` rider (the sentinel round-trip is inside the
+    * gate), inline+display math (both collapse to [MATH]) with a
+    * \cite that must vanish, and kept-vs-dropped environments with an
+    * \item. The oracle emits the EXPECTED extracted strings and counts
+    * — DuckDB never runs a TeX rule, so any rule-order slip, marker
+    * leak, or sentinel bug bends a row. */
+  def qLatexExtract(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val tex = when(i % 4 === 0, concat(
+        lit("\\section{Intro "), s, lit("}\n"), col("text"),
+        lit(" \\textbf{b"), s, lit("} and \\emph{e"), s, lit("} \\\\ done")))
+      .when(i % 4 === 1, concat(
+        col("text"), lit(" % note "), s, lit("\nrate 10\\% ok % tail")))
+      .when(i % 4 === 2, concat(
+        lit("before "), s, lit(" $x_"), s, lit("+1$ mid $$E=mc^2$$ "),
+        col("text"), lit(" \\cite{k"), s, lit("} end")))
+      .otherwise(concat(
+        lit("\\begin{abstract}"), col("text"), lit("\\end{abstract}\n"),
+        lit("\\begin{verbatim}drop "), s, lit(" stuff\\end{verbatim}\n"),
+        lit("\\begin{itemize}\\item go"), s, lit("\\end{itemize}")))
+    TextAnalysis.extractLatex(Tables(spark, dir).documents
+      .select(i, tex.as("tex")))
+  }
+
+  val qLatexExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END AS BIGINT) AS n_comments,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_math,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 0 END AS BIGINT) AS n_envs,
+      |  CAST(0 AS BIGINT) AS n_unclosed,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'Intro ' || s || ' ' || text || ' b' || s
+      |      || ' and e' || s || ' done'
+      |    WHEN 1 THEN text || ' rate 10% ok'
+      |    WHEN 2 THEN 'before ' || s || ' [MATH] mid [MATH] ' || text || ' end'
+      |    ELSE text || ' go' || s
+      |  END AS text
+      |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, text FROM documents)""".stripMargin
+
   // ---- chrF pair census (operators/Eval.chrfCensus) ----
 
   /** chrF over derived pairs — a REAL dual implementation at char

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** LaTeX extractor edges beyond the gated fixture: rule-order pins,
+  * the escaped-percent sentinel round-trip, unterminated environments,
+  * nested-brace behavior, and math/comment interactions. Cross-engine
+  * row parity is q_latex_extract's closed-form expected-string oracle. */
+class LatexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(tex: String): (Long, Long, Long, Long, String) = {
+    val r = TextAnalysis.extractLatex(Seq((0L, tex)).toDF("doc_id", "tex"))
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+  }
+
+  test("keep-commands keep arguments; drop-commands drop them") {
+    assert(one("\\section{Top}\\cite{ref1}\\footnote{note it}\\label{l1} end")
+      === ((0L, 0L, 0L, 0L, "Top note it end")))
+  }
+
+  test("escaped percent survives; comments strip to EOL") {
+    assert(one("a 10\\% rise % but this goes\nb") === ((1L, 0L, 0L, 0L, "a 10% rise b")))
+    // a comment at end-of-input (no trailing newline)
+    assert(one("keep % drop") === ((1L, 0L, 0L, 0L, "keep")))
+  }
+
+  test("display math before inline: $$ never parses as two empty $ spans") {
+    assert(one("x $$a+b$$ y $c$ z") === ((0L, 2L, 0L, 0L, "x [MATH] y [MATH] z")))
+  }
+
+  test("opaque environments drop whole, including inner commands and math") {
+    val (nc, nm, ne, nu, t) =
+      one("pre \\begin{equation}E=mc^2 \\cite{x} $y$\\end{equation} post")
+    assert((nc, nm, ne, nu, t) === ((0L, 0L, 1L, 0L, "pre post")))
+  }
+
+  test("comments strip BEFORE environment drops (a commented \\end stays dead)") {
+    // the \end on the comment line is stripped with the comment, so the
+    // environment becomes unterminated -> content passes through
+    val (_, _, _, nu, t) = one("\\begin{verbatim}v1 % \\end{verbatim}\nv2")
+    assert(nu === 1L, "commented-out \\end leaves the env unclosed")
+    assert(t.contains("v1") && t.contains("v2"))
+  }
+
+  test("unterminated environment: wrapper strips, content passes through, diagnostic fires") {
+    val (_, _, ne, nu, t) = one("\\begin{verbatim}not dropped words")
+    assert(ne === 1L && nu === 1L)
+    assert(t === "not dropped words",
+      "an unmatched begin must NEVER silently drop to end-of-document")
+  }
+
+  test("starred variants and preamble commands strip") {
+    assert(one("\\documentclass[11pt]{article}\\usepackage[utf8]{inputenc}" +
+      "\\section*{S} body \\maketitle \\noindent tail")
+      === ((0L, 0L, 0L, 0L, "S body tail")))
+  }
+
+  test("nested braces: the outer command strips bare, inner content survives") {
+    // {([^{}]*)} is one-level by design; \textbf{a {b} c} leaves a b c
+    val (_, _, _, _, t) = one("\\textbf{a {b} c} end")
+    assert(t === "a b c end")
+  }
+
+  test("ties, line breaks and leftover braces collapse to spaces") {
+    assert(one("Knuth~Plass \\\\ {grouped}")._5 === "Knuth Plass grouped")
+  }
+}
