@@ -314,6 +314,8 @@ object SparkEntry {
     "q_pdf_extract" -> (L.qPdfExtract _),
     // Jupyter notebook extraction (variant parse, dual source forms)
     "q_notebook_extract" -> (L.qNotebookExtract _),
+    // per-language tokenizer fertility (langID ∘ unigram encode)
+    "q_tokenizer_fertility" -> (L.qTokenizerFertility _),
     // mergeable BM25 index: merge(half, half) replays the whole-corpus top-k
     "q_bm25_index_merge" -> (L.qBm25IndexMerge _),
     // registrable domain (eTLD+1) under the PSL prevailing-rule algorithm
@@ -565,6 +567,7 @@ object SparkEntry {
     "q_table_extract" -> L.qTableExtractSql,
     "q_pdf_extract" -> L.qPdfExtractSql,
     "q_notebook_extract" -> L.qNotebookExtractSql,
+    "q_tokenizer_fertility" -> L.qTokenizerFertilitySql,
     "q_bm25_index_merge" -> L.qBm25IndexMergeSql,
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,

@@ -4498,6 +4498,125 @@ object LlmQueries {
        |FROM dw d JOIN seg s USING (word)""".stripMargin
   }
 
+  // ---- tokenizer fertility census (the pre-training diagnostic) ----
+
+  /** Per-language tokenizer fertility under a FIXED (Latin-trained)
+    * unigram vocabulary — the standard "how badly does this tokenizer
+    * treat language X" diagnostic run before any pre-training mix is
+    * frozen: pieces-per-word and pieces-per-100-bytes, grouped by the
+    * PREDICTED language (composition through the scripted langID — the
+    * production chain, where ground-truth labels don't exist). The
+    * mixed-script corpus (the qLangIdCjk fixture) makes the diagnostic
+    * tell its real story: kana/Thai runs hit the unknown fallback and
+    * fragment per char (high fertility), han pre-segments to
+    * single-char words (fertility exactly 1), Latin text rides the
+    * multi-char vocab pieces. All counts integer; the two ratios are
+    * terminal roundp divisions — the oracle replays langID, the
+    * recursive-CTE Viterbi segmentation, and the census. */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val reps = (id % 7 + 3).cast("int")
+    val text2 = when(id % 5 === 1, repeat(lit(MixZh + " "), reps))
+      .when(id % 5 === 2, repeat(lit(MixJa + " "), reps))
+      .when(id % 5 === 3, repeat(lit(MixTh + " "), reps))
+      .when(id % 5 === 4, concat(col("text"), lit(" " + MixMx)))
+      .otherwise(col("text"))
+    val docs = Tables(spark, dir).documents
+      .select(id, col("lang"), text2.as("text"))
+    val pred = TextAnalysis.langIdScripted(docs)
+      .select(col("doc_id"), col("pred_lang"))
+    val stats = docs.select(col("doc_id"),
+      size(filter(TextAnalysis.tokensOf(col("text"), scripted = true),
+        w => length(w) > 0)).cast("long").as("n_words"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+    val frame = UnigramFixedVocab.zipWithIndex
+      .map { case ((p, s), i) => (i.toLong + 1, p, 0L, s) }
+      .toDF("rank", "piece", "cnt", "score_q")
+    val pieces = graft.operators.Unigram
+      .unigramEncode(docs, frame, scripted = true)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pieces"))
+    stats.join(pieces, Seq("doc_id")).join(pred, Seq("doc_id"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("pred_lang"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_bytes"),
+        Portable.roundp(when(col("n_words") === 0, lit(null))
+          .otherwise(col("n_pieces") / col("n_words")), 6)
+          .as("pieces_per_word"),
+        Portable.roundp(when(col("n_bytes") === 0, lit(null))
+          .otherwise((col("n_pieces") * 100) / col("n_bytes")), 6)
+          .as("pieces_per_100_bytes"))
+  }
+
+  lazy val qTokenizerFertilitySql: String = {
+    val P = graft.functions.Portable
+    val codes = Config.Stopwords.map(_._1)
+    val scoreCols = Config.Stopwords.map { case (code, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(pw, x -> list_contains([$lst], x))) AS score_$code"
+    }.mkString(",\n    ")
+    val stopChain = codes.map { code =>
+      val conds = codes.map(o => s"score_$code >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$code'"
+    }.mkString("\n      ")
+    val values = UnigramFixedVocab
+      .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |v(piece, sc) AS MATERIALIZED (SELECT * FROM (VALUES $values) t(piece, sc)),
+       |dd AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 1 THEN repeat('$MixZh ', CAST(doc_id % 7 + 3 AS INT))
+       |         WHEN doc_id % 5 = 2 THEN repeat('$MixJa ', CAST(doc_id % 7 + 3 AS INT))
+       |         WHEN doc_id % 5 = 3 THEN repeat('$MixTh ', CAST(doc_id % 7 + 3 AS INT))
+       |         WHEN doc_id % 5 = 4 THEN text || ' $MixMx'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |sc AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${P.hanTokenPattern}')) AS BIGINT) AS n_han,
+       |    CAST(len(regexp_extract_all(text, '${P.kanaCharPattern}')) AS BIGINT) AS n_kana,
+       |    CAST(len(regexp_extract_all(text, '${P.seaCharPattern}')) AS BIGINT) AS n_sea,
+       |    CAST(length(text) - len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_nonspace,
+       |    $scoreCols
+       |  FROM (SELECT doc_id, text, ${wordsSql("text")} AS pw FROM dd)),
+       |pl AS (SELECT doc_id,
+       |    CASE WHEN n_kana > 0 AND (n_han + n_kana) * 10 >= n_nonspace * 3 THEN 'ja'
+       |         WHEN n_han > 0 AND n_han * 10 >= n_nonspace * 3 THEN 'zh'
+       |         WHEN n_sea > 0 AND n_sea * 10 >= n_nonspace * 3 THEN 'th'
+       |         ELSE (CASE $stopChain END) END AS pred_lang
+       |  FROM sc),
+       |ws AS (SELECT doc_id, ${scriptedWordsSql("text")} AS w FROM dd),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+       |tk AS MATERIALIZED (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM tk GROUP BY 1),
+       |byt AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM dd),
+       |uw AS MATERIALIZED (SELECT DISTINCT word FROM tk),
+       |${viterbiSqlBlocks("f", "uw", "v")},
+       |sl AS (SELECT word, CAST(count(*) AS BIGINT) AS plen
+       |  FROM fwk WHERE piece IS NOT NULL GROUP BY 1),
+       |pp AS (SELECT t.doc_id, CAST(sum(sl.plen) AS BIGINT) AS n_pieces
+       |  FROM tk t JOIN sl USING (word) GROUP BY 1),
+       |j AS (SELECT pl.pred_lang, st.n_words, pp.n_pieces, byt.n_bytes
+       |  FROM st JOIN pp USING (doc_id) JOIN pl USING (doc_id)
+       |  JOIN byt USING (doc_id)),
+       |ag AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_words) AS BIGINT) AS n_words,
+       |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+       |  FROM j GROUP BY 1)
+       |SELECT pred_lang, n_docs, n_words, n_pieces, n_bytes,
+       |  CASE WHEN n_words = 0 THEN NULL
+       |    ELSE floor((n_pieces / CAST(n_words AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |    END AS pieces_per_word,
+       |  CASE WHEN n_bytes = 0 THEN NULL
+       |    ELSE floor(((n_pieces * 100) / CAST(n_bytes AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |    END AS pieces_per_100_bytes
+       |FROM ag""".stripMargin
+  }
+
   // ---- PII scrubbing (Dolma-style masking) ----
 
   /** PII masking, oracle-gated like qImageDecode: the corpus carries no

@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.LlmQueries
+
+/** Tokenizer fertility census: the diagnostic must tell its real
+  * story on the mixed-script corpus — a Latin-trained vocabulary
+  * treats languages unequally, and the census quantifies exactly how.
+  * Cross-engine parity is q_tokenizer_fertility's oracle (langID +
+  * recursive-CTE Viterbi replay). */
+class TokenizerFertilitySpec extends SparkSpec {
+
+  private lazy val rows =
+    LlmQueries.qTokenizerFertility(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+
+  test("all script families surface under the PREDICTED lang") {
+    assert(Set("zh", "ja", "th").subsetOf(rows.keySet))
+    assert(rows.keySet.exists(l => l != "zh" && l != "ja" && l != "th"),
+      "the stopword path must label the Latin docs")
+  }
+
+  test("han pre-segmentation makes zh fertility exactly 1.0") {
+    val (_, nWords, nPieces, _, ppw, _) = rows("zh")
+    assert(nPieces === nWords)
+    assert(ppw === 1.0)
+  }
+
+  test("unknown-fallback fragmentation: thai runs cost more pieces per word than latin") {
+    val latin = rows.collect {
+      case (l, v) if l != "zh" && l != "ja" && l != "th" => v._5
+    }.max
+    assert(rows("th")._5 > latin,
+      "a Latin vocab must show WORSE fertility on Thai runs than on Latin text")
+  }
+
+  test("per-100-bytes normalization flips the story: multi-byte scripts look cheap") {
+    // han/kana chars are 3 UTF-8 bytes: per-byte fertility is LOWER for
+    // CJK even when per-word fertility is worse — the census must
+    // carry both columns because each alone misleads
+    val latinB = rows.collect {
+      case (l, v) if l != "zh" && l != "ja" && l != "th" => v._6
+    }.min
+    assert(rows("zh")._6 < latinB && rows("ja")._6 < latinB)
+  }
+}
