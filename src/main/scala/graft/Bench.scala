@@ -169,6 +169,21 @@ object Bench {
     // Full-suite runs (the driver's) leave it unset.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Untimed JIT warmup: run the first few queries of the timed order
+    // once and DISCARD. entry() above warms session/parquet machinery,
+    // but the first timed queries still absorbed janino/JIT compilation
+    // for 4 rounds running (the chronic q_chunk_sentence/q_cidr_lookup/
+    // q_cleaning/q_contam_e2e start-of-suite flags, r14-r17) — their
+    // end-of-suite reruns always measured 0.55-0.86x pin. Warming the
+    // exact head of the sweep retires that adjudication noise.
+    val WarmupN = 5
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .take(WarmupN).foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache()
     var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
