@@ -694,6 +694,60 @@ object Dedup {
       .where(col("n_common") >= minCommon)
   }
 
+  /** Collision-guarded (doc, bench) pair packing for the contamination
+    * pipeline — the packedChunkId idiom: a benchmark suite with ≥16
+    * docs would silently ALIAS pair ids, so the pack raises per-row
+    * instead of wrapping. Same projection, no extra scan. */
+  private[graft] def contamPairId(docId: Column, benchId: Column): Column =
+    docId * 16L +
+      when(benchId >= 16L,
+        raise_error(concat(lit("contamPairId: bench_id "),
+          benchId.cast("string"),
+          lit(" >= 16 aliases another pair_id — widen the pack"))))
+        .otherwise(benchId)
+
+  /** STAGE 1+join of the contamination pipeline: flag (train, bench)
+    * pairs sharing ≥ `minCommon` shingles ([[decontaminate]] — cheap,
+    * corpus-wide) and attach both docs' first `cutWords` words as the
+    * confirm-stage inputs. Emits (pair_id, doc_id, bench_id, n_common,
+    * cand, ref) — the frame [[contamVerdicts]] confirms. This frame is
+    * the pipeline's FAN-OUT point (the census and the meta join both
+    * read it): batch callers persist it across the two consumers; the
+    * streaming twin persists per micro-batch inside the closure. */
+  def contamPairs(train: DataFrame, benchmark: DataFrame,
+                  minCommon: Int = 1, cutWords: Int = 24): DataFrame = {
+    def cutOf(df: DataFrame) = df.select(col("doc_id"),
+      array_join(slice(filter(Portable.words(col("text")),
+        w => length(w) > 0), 1, cutWords), " ").as("__cut"))
+    decontaminate(train, benchmark, minCommon)
+      .withColumn("pair_id", contamPairId(col("doc_id"), col("bench_id")))
+      .join(cutOf(train).select(col("doc_id"), col("__cut").as("cand")),
+        Seq("doc_id"))
+      .join(cutOf(benchmark)
+        .select(col("doc_id").as("bench_id"), col("__cut").as("ref")),
+        Seq("bench_id"))
+  }
+
+  /** STAGE 2 of the contamination pipeline: confirm each flagged pair
+    * with the clipped BIGRAM precision from the BLEU census over the
+    * pair cuts (computed ONLY for flagged pairs — the two-stage
+    * economics every production decontaminator uses). Verdict `drop`
+    * when at least half the candidate bigrams are clipped-matched
+    * (integer DIV ppm — no float threshold), else `review`. Every
+    * verdict derives from its own pair alone (per-row + key-join), so
+    * the streaming twin is a trivial foreachBatch replay. */
+  def contamVerdicts(pairs: DataFrame): DataFrame = {
+    val census = Eval.bleuCensus(
+      pairs.select(col("pair_id"), col("cand"), col("ref")))
+    pairs.select(col("pair_id"), col("doc_id"), col("bench_id"),
+        col("n_common"))
+      .join(census.select(col("pair_id"), col("m2"), col("d2")), Seq("pair_id"))
+      .withColumn("bigram_prec_ppm",
+        expr("CASE WHEN d2 = 0 THEN NULL ELSE (m2 * 1000000) DIV d2 END"))
+      .withColumn("verdict",
+        when(col("bigram_prec_ppm") >= 500000L, "drop").otherwise("review"))
+  }
+
   /** Per-document contamination SCORE — the graded companion of
     * [[decontaminate]]'s pair report (Dolma-style): what FRACTION of a
     * training doc's distinct shingles appear anywhere in the benchmark

@@ -2688,19 +2688,6 @@ object LlmQueries {
 
   // ---- contamination pipeline e2e: flag -> confirm -> verdict ----
 
-  /** Collision-guarded (doc, bench) pair packing — the [[packedChunkId]]
-    * idiom: a benchmark suite with ≥16 docs would silently ALIAS pair
-    * ids, so the pack raises per-row instead of wrapping. Same
-    * projection, no extra scan; the fixture (bench = doc_id < 15)
-    * never triggers it. */
-  private[graft] def packedPairId(docId: Column, benchId: Column): Column =
-    docId * 16L +
-      when(benchId >= 16L,
-        raise_error(concat(lit("packedPairId: bench_id "),
-          benchId.cast("string"),
-          lit(" >= 16 aliases another pair_id — widen the pack"))))
-        .otherwise(benchId)
-
   /** The decontamination pipeline composed end to end (the
     * q_crawl_e2e doctrine for this family): STAGE 1 flags
     * (train, benchmark) pairs by shared shingles — cheap, corpus-wide
@@ -2716,31 +2703,16 @@ object LlmQueries {
     * replay — a flag, join-back, clipping, or DIV slip bends a row. */
   def qContamE2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val flagged = Dedup.decontaminate(
-      docs.where(col("doc_id") >= 15), docs.where(col("doc_id") < 15),
-      DecontaminateMinCommon)
-    val cut = docs.select(col("doc_id"),
-      array_join(slice(filter(Portable.words(col("text")),
-        w => length(w) > 0), 1, 24), " ").as("__cut"))
     releaseStageCaches("contam_e2e") // BEFORE the persist (see stageCacheReg)
-    val pairs = flagged
-      .withColumn("pair_id", packedPairId(col("doc_id"), col("bench_id")))
-      .join(cut.select(col("doc_id"), col("__cut").as("cand")), Seq("doc_id"))
-      .join(cut.select(col("doc_id").as("bench_id"), col("__cut").as("ref")),
-        Seq("bench_id"))
-      // fan-out point: the census AND the meta join both read the
-      // flagged-pair frame — uncached, the whole shingle-join chain
-      // re-executes per consumer (the r13 lesson)
+    // fan-out point: the census AND the meta join both read the
+    // flagged-pair frame — uncached, the whole shingle-join chain
+    // re-executes per consumer (the r13 lesson)
+    val pairs = Dedup.contamPairs(
+        docs.where(col("doc_id") >= 15), docs.where(col("doc_id") < 15),
+        DecontaminateMinCommon)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     registerStageCaches("contam_e2e", List(pairs))
-    val census = graft.operators.Eval.bleuCensus(
-      pairs.select(col("pair_id"), col("cand"), col("ref")))
-    pairs.select(col("pair_id"), col("doc_id"), col("bench_id"), col("n_common"))
-      .join(census.select(col("pair_id"), col("m2"), col("d2")), Seq("pair_id"))
-      .withColumn("bigram_prec_ppm",
-        expr("CASE WHEN d2 = 0 THEN NULL ELSE (m2 * 1000000) DIV d2 END"))
-      .withColumn("verdict",
-        when(col("bigram_prec_ppm") >= 500000L, "drop").otherwise("review"))
+    Dedup.contamVerdicts(pairs)
   }
 
   val qContamE2eSql: String =

@@ -499,6 +499,30 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the contamination pipeline END TO END
+    * (flag → bigram confirm → verdict; operators/Dedup.contamPairs +
+    * contamVerdicts — q_contam_e2e's exact chain): the benchmark is a
+    * STATIC frame (the Dedup.buildIndex precedent — trained offline,
+    * never touched per micro-batch); every verdict derives from its
+    * (batch doc, bench doc) pair alone, so batch boundaries are
+    * invisible. The mid-chain fan-out (census + meta join both read
+    * the flagged-pair frame) persists PER BATCH with its lifecycle
+    * bounded by the foreachBatch closure — no cache leak across
+    * batches. Parity pinned in StreamingSpec. */
+  def contamE2eStream(docs: DataFrame, benchmark: DataFrame,
+                      minCommon: Int = 1)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "contamE2eStream is streaming-only: use Dedup.contamPairs/contamVerdicts for batch frames")
+    require(!benchmark.isStreaming, "the benchmark corpus must be a static frame")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val pairs = graft.operators.Dedup.contamPairs(batch, benchmark, minCommon)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try writeBatch(graft.operators.Dedup.contamVerdicts(pairs), batchId)
+      finally { pairs.unpersist(blocking = false); () }
+    }
+  }
+
   /** Streaming twin of the ISO-BMFF metadata parser (operators/
     * Video.parseMp4): a stateless partition-local atom walk per
     * payload — malformed containers quarantine as ok=0 rows in the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.LlmQueries
+import graft.operators.Dedup
 
 /** Round-18 edge contracts: guards and boundary behaviors added this
   * round that no oracle fixture exercises (the fixtures are built NOT
@@ -9,14 +9,14 @@ import graft.queries.LlmQueries
 class Round18EdgeCasesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("packedPairId raises on a >=16-doc benchmark instead of aliasing") {
+  test("contamPairId raises on a >=16-doc benchmark instead of aliasing") {
     val ok = Seq((20L, 3L), (21L, 15L)).toDF("doc_id", "bench_id")
-      .select(LlmQueries.packedPairId(col("doc_id"), col("bench_id")).as("p"))
+      .select(Dedup.contamPairId(col("doc_id"), col("bench_id")).as("p"))
       .collect().map(_.getLong(0)).toSet
     assert(ok === Set(20L * 16 + 3, 21L * 16 + 15))
     val e = intercept[Exception] {
       Seq((20L, 16L)).toDF("doc_id", "bench_id")
-        .select(LlmQueries.packedPairId(col("doc_id"), col("bench_id")).as("p"))
+        .select(Dedup.contamPairId(col("doc_id"), col("bench_id")).as("p"))
         .collect()
     }
     assert(e.getMessage.contains("aliases another pair_id"),

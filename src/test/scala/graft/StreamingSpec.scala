@@ -1391,4 +1391,46 @@ class StreamingSpec extends SparkSpec {
     val b = expected.filter(_._1 == "b").map(x => x._2 -> x._3).toMap
     assert(b === Map(100L -> 1L, 105L -> 0L, 109L -> 0L, 111L -> 1L, 120L -> 0L))
   }
+
+  test("contamE2eStream: flag->confirm->verdict matches batch across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (2L, "the capital of france is paris and the capital of spain is madrid"),
+      (3L, "water boils at one hundred degrees celsius at sea level pressure"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // near-verbatim benchmark copy -> flag AND bigram-confirm (drop)
+      (20L, "the capital of france is paris and the capital of spain is madrid today"),
+      // shares shingles but scrambled tail -> flagged, weaker precision
+      (21L, "the capital of france is paris yet tomatoes grow in madrid gardens of spain"),
+      (22L, "a completely unrelated document about growing tomatoes in a garden"),
+      (23L, "it is known that water boils at one hundred degrees celsius at sea level pressure"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val q = Streams.contamE2eStream(
+        input.toDF().toDF("doc_id", "text"), bench, minCommon = 3) {
+      (verdicts, _) => acc.synchronized {
+        acc ++= verdicts.collect().map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(7)))
+      }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    // batch-boundary invisibility: feed in two arbitrary splits
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = graft.operators.Dedup.contamPairs(
+      docs.toDF("doc_id", "text"), bench, minCommon = 3)
+    val batch = graft.operators.Dedup.contamVerdicts(pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(7)))
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+    // the two-stage economics did their job: the verbatim copy drops,
+    // the scrambled-tail doc survives as review
+    val verdicts = acc.map(x => x._1 -> x._4).toMap
+    assert(verdicts(20L) === "drop" && verdicts(23L) === "drop")
+    assert(verdicts(21L) === "review")
+    assert(!verdicts.contains(22L), "unflagged docs never reach stage 2")
+  }
 }
