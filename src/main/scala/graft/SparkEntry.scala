@@ -137,6 +137,9 @@ object SparkEntry {
     // the BPE TRAINER gated by merge-trajectory replay
     "q_bpe_train" -> (L.qBpeTrain _),
     "q_bpe_train_dist" -> (L.qBpeTrainDist _),
+    // WordPiece trainer (likelihood-scored merges) + greedy encoder
+    "q_wordpiece_train" -> (L.qWordpieceTrain _),
+    "q_wordpiece_encode" -> (L.qWordpieceEncode _),
     // Dolma-style PII masking (emails/phones/IPs -> mask tokens)
     "q_pii_scrub" -> (L.qPiiScrub _),
     // crawl-pipeline HTML text extraction (script/style, tags, entities)
@@ -457,6 +460,8 @@ object SparkEntry {
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_bpe_train" -> L.qBpeTrainSql,
     "q_bpe_train_dist" -> L.qBpeTrainDistSql,
+    "q_wordpiece_train" -> L.qWordpieceTrainSql,
+    "q_wordpiece_encode" -> L.qWordpieceEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_line_dedup" -> L.qLineDedupSql,

@@ -734,6 +734,267 @@ object TextAnalysis {
     spark.createDataFrame(out, schema)
   }
 
+  // ---- WordPiece trainer + encoder (Schuster & Nakajima 2012; ----
+  // ---- the BERT tokenizer — completes the trio next to BPE and ----
+  // ---- the unigram LM)                                         ----
+
+  /** Strip the continuation marker: "##af" → "af", "un" → "un". */
+  private def wpStrip(s: String): String =
+    if (s.startsWith("##")) s.substring(2) else s
+
+  /** One left-to-right pass merging every adjacent (a, b) into
+    * `merged` — [[mergeOnce]] generalized for WordPiece, where the
+    * merged symbol is a + b-without-## (never the raw concat). */
+  private[operators] def mergeOnceAs(symbols: Seq[String], a: String,
+                                     b: String, merged: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = symbols.length
+    while (i < n) {
+      if (i + 1 < n && symbols(i) == a && symbols(i + 1) == b) {
+        out += merged; i += 2
+      } else { out += symbols(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The unique-word table with WordPiece initial symbols: first char
+    * plain, continuations ##-prefixed (the BERT convention; no end
+    * marker). */
+  private def uniqueWordWpFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(Portable.words(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), {
+        // slice length must be a computed column: a huge int literal
+        // overflows start+length inside slice and yields EMPTY
+        val chars = split(col("word"), "")
+        concat(slice(chars, lit(1), lit(1)),
+          transform(slice(chars, lit(2), size(chars) - 1),
+            c => concat(lit("##"), c))).as("symbols")
+      })
+
+  /** Train a WordPiece vocabulary: greedy merges like BPE, but scored
+    * by LIKELIHOOD GAIN — merge the pair maximizing
+    * count(ab) / (count(a)·count(b)) (Schuster & Nakajima 2012 §III:
+    * the pair whose merge most increases corpus likelihood under a
+    * unigram model), not raw pair count. The distinction is the gate:
+    * a frequent-but-expected pair (two ubiquitous symbols) loses to a
+    * rarer-but-sticky pair. Counts stay exact integers; the score is
+    * ONE double division with the product computed in DOUBLE on both
+    * engines (BIGINT·BIGINT silently widens to HUGEINT in DuckDB and
+    * wraps in Spark — the r16 pmiTopK rule). Tie-break (score desc,
+    * pair asc by UTF-8 bytes) — a total order, both paths and the SQL
+    * replay share it. Stop when the best pair's COUNT < 2 (a
+    * singleton pair's score can be huge; count keeps the stop rule on
+    * the integer grid — spec-pinned).
+    *
+    * Same two-path shape as [[bpeTrain]]: collect the unique-word
+    * table when it fits the driver budget (exact incremental
+    * in-memory algorithm, zero jobs per merge), else the distributed
+    * per-round argmax loop. Path parity spec-pinned; the learned
+    * trajectory is oracle-gated (q_wordpiece_train). */
+  def wordpieceTrain(docs: DataFrame, numMerges: Int,
+                     maxLocalWords: Long = 1000000L): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    val words = uniqueWordWpFreqs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (words.count() <= maxLocalWords) {
+        val table = words.collect().map(r =>
+          (r.getLong(0), r.getSeq[String](1)))
+        wordpieceTrainLocal(table, numMerges)
+      } else wordpieceTrainDistributed(words, numMerges)
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** Exact in-memory WordPiece trainer — the [[bpeTrainLocal]]
+    * incremental algorithm plus a unit-count table (symbol occurrence
+    * mass, maintained by the same per-word deltas) for the likelihood
+    * denominator. */
+  private[operators] def wordpieceTrainLocal(
+      table: Seq[(Long, Seq[String])], numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val freqs = table.map(_._1).toArray
+    val syms = table.map(_._2.toArray).toArray
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val unitCounts = mutable.HashMap.empty[String, Long]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length) {
+        val u = unitCounts.getOrElse(s(i), 0L) + sign * freqs(wi)
+        if (u == 0L) unitCounts.remove(s(i)) else unitCounts(s(i)) = u
+        if (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          val c = pairCounts.getOrElse(p, 0L) + sign * freqs(wi)
+          if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+          if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        }
+        i += 1
+      }
+    }
+    syms.indices.foreach(addWord(_, 1L))
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestS = 0.0
+      var bestC = 0L
+      for ((p, c) <- pairCounts if c >= 2L) {
+        // the DOUBLE product rule: both engines compute the identical
+        // double score, so the argmax replays exactly
+        val s = c.toDouble / (unitCounts(p._1).toDouble * unitCounts(p._2).toDouble)
+        if (best == null || s > bestS || (s == bestS &&
+            (utf8Less(p._1, best._1) ||
+              (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+          best = p; bestS = s; bestC = c
+        }
+      }
+      if (best == null || bestC < 2L) exhausted = true
+      else {
+        merges += best
+        val merged = best._1 + wpStrip(best._2)
+        val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray
+        for (wi <- affected) {
+          addWord(wi, -1L)
+          syms(wi) = mergeOnceAs(syms(wi).toSeq, best._1, best._2, merged).toArray
+          addWord(wi, 1L)
+        }
+        pairCounts.remove(best)
+        pairWords.remove(best)
+      }
+      m += 1
+    }
+    merges.result()
+  }
+
+  /** The distributed WordPiece loop — [[bpeTrainDistributed]] with the
+    * likelihood argmax: per round, ONE pair census + ONE unit census
+    * (both map-side combinable over the model-sized symbol frame), a
+    * bounded top-1 collect, and a partition-local merge pass. */
+  private[operators] def wordpieceTrainDistributed(
+      wordFreqs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = wordFreqs.sparkSession
+    val wfSchema = StructType(Seq(
+      StructField("freq", LongType),
+      StructField("symbols", ArrayType(StringType, containsNull = false))))
+    var words = wordFreqs
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val units = words
+        .select(col("freq"), explode(col("symbols")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("c"))
+      val top = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("symbols"), lit(1), size(col("symbols")) - 1),
+          slice(col("symbols"), lit(2), size(col("symbols")) - 1)).cast(
+            "array<struct<a:string,b:string>>")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .where(col("n") >= 2)
+        .join(units.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+        .join(units.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+        .withColumn("score",
+          col("n").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(1).select(col("a"), col("b")).collect() // bounded: ONE row
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        val merged = a + wpStrip(b)
+        val next = spark.createDataFrame(
+          words.select(col("freq"), col("symbols")).rdd.map { r =>
+            Row(r.getLong(0), mergeOnceAs(r.getSeq[String](1), a, b, merged))
+          }, wfSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fresh = next.localCheckpoint(true)
+        words.unpersist(blocking = false)
+        next.unpersist(blocking = false)
+        words = fresh
+      }
+      i += 1
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** The WordPiece vocabulary as a WRITABLE one-column model frame —
+    * the shippable artifact (the bpeMergesFrame doctrine). */
+  def wordpieceVocabFrame(spark: org.apache.spark.sql.SparkSession,
+                          pieces: Seq[String]): DataFrame = {
+    import spark.implicits._
+    pieces.toDF("piece")
+  }
+
+  /** Greedy longest-match-first WordPiece ENCODE (the BERT
+    * WordpieceTokenizer): per word, take the longest vocab prefix
+    * (##-prefixed after the first piece); if ANY position fails to
+    * match even a single char, the WHOLE word becomes `[UNK]` (BERT's
+    * is_bad semantics — never a partial segmentation). Vocabulary
+    * broadcasts; the corpus side is one partition-local pass with the
+    * Zipfian per-word memo, no shuffle. Output: one row per
+    * (doc_id, piece position). */
+  def wordpieceEncode(docs: DataFrame, vocabFrame: DataFrame,
+                      maxPieceLen: Int = 3, unk: String = "[UNK]",
+                      id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val vocab = vocabFrame.select(col("piece")).collect()
+      .map(_.getString(0)).toSet // model-sized collect (the codebook rule)
+    require(vocab.nonEmpty, "wordpieceEncode: empty vocabulary")
+    val bc = spark.sparkContext.broadcast(vocab)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pos", LongType),
+      StructField("piece", StringType)))
+    val out = docs.select(col(id).cast("long"), Portable.words(col(textCol)).as("w"))
+      .where(col("w").isNotNull)
+      .rdd.mapPartitions { rows =>
+        val v = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def segment(word: String): Array[String] = {
+          val hit = memo.get(word)
+          if (hit != null) return hit
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var pos = 0
+          var bad = false
+          while (pos < word.length && !bad) {
+            var l = math.min(maxPieceLen, word.length - pos)
+            var taken = false
+            while (l >= 1 && !taken) {
+              val sub = word.substring(pos, pos + l)
+              val cand = if (pos == 0) sub else "##" + sub
+              if (v.contains(cand)) { out += cand; pos += l; taken = true }
+              l -= 1
+            }
+            if (!taken) bad = true
+          }
+          val res = if (bad) Array(unk) else out.toArray
+          if (memo.size < (1 << 20)) memo.put(word, res)
+          res
+        }
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          var pos = -1L
+          r.getSeq[String](1).filter(_.nonEmpty).flatMap { word =>
+            segment(word).map { p => pos += 1; Row(docId, pos, p) }
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Composed C4/Gopher-style keep/drop verdict per document: length
     * band, punctuation ceiling, stopword floor, repetition ceilings,
     * language gate — each rule's flag emitted so a corpus report can

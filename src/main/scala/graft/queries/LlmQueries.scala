@@ -4272,6 +4272,149 @@ object LlmQueries {
   /** Same expected output as the local path — the whole point. */
   val qBpeTrainDistSql: String = qBpeTrainSql
 
+  // ---- WordPiece trainer + encoder (the BERT tokenizer) ----
+
+  private val WordpieceTrainMerges = 8
+
+  /** The WordPiece TRAINER inside the oracle gate
+    * (TextAnalysis.wordpieceTrain): learn 8 likelihood-scored merges
+    * from the natural corpus and emit the trajectory. The oracle
+    * replays each round as chained CTEs — the q_bpe_train machinery
+    * with TWO censuses per round (pairs AND unit masses), the
+    * score = n/(ca·cb) argmax computed with the DOUBLE product on both
+    * engines, and the ##-stripping merge concat. Any scoring,
+    * tie-break, or continuation-marker slip changes a merge and fails
+    * the hash. */
+  def qWordpieceTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.wordpieceTrain(Tables(spark, dir).documents, WordpieceTrainMerges)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_idx", "sym_a", "sym_b")
+  }
+
+  val qWordpieceTrainSql: String = {
+    val rounds = (0 until WordpieceTrainMerges).map { i =>
+      s"""u$i AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, unnest(s) AS sym FROM w$i) GROUP BY 1),
+         |m$i AS (SELECT a, b FROM (
+         |    SELECT p.a, p.b, p.n,
+         |      p.n / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS score
+         |    FROM (
+         |      SELECT s[j] AS a, s[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |      FROM w$i, unnest(generate_series(1, len(s) - 1)) AS t(j)
+         |      GROUP BY 1, 2) p
+         |    JOIN u$i ua ON ua.sym = p.a
+         |    JOIN u$i ub ON ub.sym = p.b
+         |    WHERE p.n >= 2)
+         |  ORDER BY score DESC, a ASC, b ASC LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT wid, freq, list(CASE WHEN sf THEN a ||
+         |      (CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END)
+         |    ELSE sym END ORDER BY j) AS s
+         |  FROM (
+         |    SELECT wid, freq, j, sym, a, b, sf,
+         |      COALESCE(lag(sf) OVER (PARTITION BY wid ORDER BY j), false) AS consumed
+         |    FROM (
+         |      SELECT wid, freq, j, sym, a, b,
+         |        (a IS NOT NULL AND sym = a AND nxt = b AND
+         |         (a <> b OR (j - (COALESCE(lastnota, 0) + 1)) % 2 = 0)) AS sf
+         |      FROM (
+         |        SELECT e.wid, e.freq, e.j, e.sym, m.a, m.b,
+         |          lead(e.sym) OVER (PARTITION BY e.wid ORDER BY e.j) AS nxt,
+         |          max(CASE WHEN e.sym <> m.a THEN e.j END) OVER (
+         |            PARTITION BY e.wid ORDER BY e.j
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastnota
+         |        FROM (SELECT wid, freq, j, s[j] AS sym
+         |              FROM w$i, unnest(generate_series(1, len(s))) AS t(j)) e
+         |        LEFT JOIN m$i m ON TRUE)))
+         |  WHERE NOT consumed GROUP BY wid, freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until WordpieceTrainMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS sym_a, b AS sym_b FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word AS wid, CAST(count(*) AS BIGINT) AS freq,
+       |    list_concat([substr(word, 1, 1)],
+       |      list_transform(string_split(word, '')[2:], c -> '##' || c)) AS s
+       |  FROM (SELECT unnest(${wordsSql("text")}) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |$rounds
+       |$out""".stripMargin
+  }
+
+  /** Fixed WordPiece vocabulary for the ENCODE gate (the
+    * UnigramFixedVocab doctrine: hand-built so the gate isolates the
+    * ENCODER): all single letters in both plain and continuation form,
+    * plus contested multi-char pieces in both forms. Digits absent —
+    * the injected 'ab9cd' word must become a whole-word [UNK]. */
+  val WordpieceFixedVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+      Seq("th", "the", "in", "an", "re", "un", "on", "at", "st", "wi",
+        "##the", "##ing", "##ed", "##er", "##es", "##on", "##at",
+        "##in", "##nd", "##st")
+
+  /** Greedy longest-match WordPiece encode under [[WordpieceFixedVocab]]
+    * (TextAnalysis.wordpieceEncode — the BERT WordpieceTokenizer with
+    * whole-word [UNK] semantics). doc%9 injects a digit-bearing word so
+    * the is_bad path is gate-covered at every scale. The oracle replays
+    * the greedy walk as a recursive CTE (longest candidate first,
+    * ##-prefix after the first piece) and collapses failed words to ONE
+    * [UNK] row. */
+  def qWordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(" ab9cd")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.wordpieceEncode(docs,
+      TextAnalysis.wordpieceVocabFrame(spark, WordpieceFixedVocab))
+  }
+
+  val qWordpieceEncodeSql: String = {
+    val values = WordpieceFixedVocab.map(p => s"('$p')").mkString(", ")
+    def cand(l: Int) =
+      s"""CASE WHEN w.pos = 0 THEN substr(w.word, w.pos + 1, $l)
+         |         ELSE '##' || substr(w.word, w.pos + 1, $l) END""".stripMargin
+    s"""WITH RECURSIVE
+       |v(piece) AS MATERIALIZED (SELECT * FROM (VALUES $values) t(piece)),
+       |dd AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' ab9cd' ELSE '' END AS text
+       |  FROM documents),
+       |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM dd),
+       |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS wi FROM ws),
+       |dw AS MATERIALIZED (SELECT doc_id, wi, w[wi] AS word FROM ix
+       |  WHERE length(w[wi]) > 0),
+       |uw AS MATERIALIZED (SELECT DISTINCT word FROM dw),
+       |wgk(word, pos, piece, ok) AS (
+       |  SELECT word, 0, CAST(NULL AS VARCHAR), true FROM uw
+       |  UNION ALL
+       |  SELECT w.word,
+       |    w.pos + CASE WHEN s3.piece IS NOT NULL THEN 3
+       |                 WHEN s2.piece IS NOT NULL THEN 2
+       |                 WHEN s1.piece IS NOT NULL THEN 1
+       |                 ELSE length(w.word) - w.pos END,
+       |    coalesce(s3.piece, s2.piece, s1.piece),
+       |    (s3.piece IS NOT NULL OR s2.piece IS NOT NULL OR s1.piece IS NOT NULL)
+       |  FROM wgk w
+       |  LEFT JOIN v s3 ON w.pos + 3 <= length(w.word) AND s3.piece = ${cand(3)}
+       |  LEFT JOIN v s2 ON w.pos + 2 <= length(w.word) AND s2.piece = ${cand(2)}
+       |  LEFT JOIN v s1 ON s1.piece = ${cand(1)}
+       |  WHERE w.pos < length(w.word) AND w.ok
+       |),
+       |bad AS (SELECT word, bool_or(NOT ok) AS is_bad FROM wgk GROUP BY 1),
+       |seg AS (
+       |  SELECT word, piece, row_number() OVER (PARTITION BY word ORDER BY pos) AS si
+       |  FROM wgk WHERE piece IS NOT NULL
+       |    AND word IN (SELECT word FROM bad WHERE NOT is_bad)
+       |  UNION ALL
+       |  SELECT word, '[UNK]', 1 FROM bad WHERE is_bad)
+       |SELECT d.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.si) - 1
+       |    AS BIGINT) AS pos,
+       |  s.piece
+       |FROM dw d JOIN seg s USING (word)""".stripMargin
+  }
+
   // ---- unigram-LM (SentencePiece-style) tokenizer, train + encode ----
 
   /** Generates the recursive-CTE Viterbi replay over `wordsCte`(word)

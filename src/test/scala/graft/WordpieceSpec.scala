@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.queries.LlmQueries
+
+/** WordPiece trainer + encoder. The load-bearing distinction from BPE
+  * is the LIKELIHOOD argmax — a fixture where the most-frequent pair
+  * loses to a rarer-but-sticky pair pins it. Cross-engine parity is
+  * q_wordpiece_train/_encode's trajectory + greedy-walk oracles. */
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(words: (String, Int)*) =
+    words.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, Seq.fill(n)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("likelihood argmax beats raw count: sticky rare pair merges first") {
+    // ab x9, cb x1, cd x5: BPE would merge (a,##b) (count 9); WordPiece
+    // scores (c,##d) = 5/(6*5) highest. After that merge, (a,##b) and
+    // (c,##b) TIE at 0.1 -> pair-asc tie-break picks (a,##b). Then
+    // (c,##b) has count 1 -> stop.
+    val docs = docsOf("ab" -> 9, "cb" -> 1, "cd" -> 5)
+    val merges = TextAnalysis.wordpieceTrain(docs, 8)
+    assert(merges === Seq(("c", "##d"), ("a", "##b")))
+  }
+
+  test("merged symbols strip the continuation marker correctly") {
+    // 'abc' x5: merge 1 joins the best pair; the merged symbol must be
+    // '##'-correct on both sides (a+##b = ab, ##b+##c = ##bc)
+    val docs = docsOf("abc" -> 5, "xbc" -> 3)
+    val merges = TextAnalysis.wordpieceTrain(docs, 2)
+    // units: a:5, x:3, ##b:8, ##c:8; pairs: (a,##b):5 -> 5/40=.125,
+    // (x,##b):3 -> 3/24=.125, (##b,##c):8 -> 8/64=.125 -> tie, pair asc:
+    // '##b' < 'a' < 'x' -> (##b,##c) first; merged symbol '##bc'
+    assert(merges.head === (("##b", "##c")))
+    // round 2: pairs (a,##bc):5 -> 5/(5*8)=.125, (x,##bc):3 -> 3/24=.125
+    // -> tie, 'a' < 'x'
+    assert(merges(1) === (("a", "##bc")))
+  }
+
+  test("stop rule is on the integer COUNT, not the score") {
+    // a singleton pair can have a huge score (1/(1*1)) — it must not merge
+    val docs = docsOf("qz" -> 1)
+    assert(TextAnalysis.wordpieceTrain(docs, 4) === Seq.empty)
+  }
+
+  test("local and distributed paths learn the identical trajectory") {
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"w${i % 7}x w${i % 5}yz ab${i % 3}")
+    }.toDF("doc_id", "text")
+    val local = TextAnalysis.wordpieceTrain(docs, 6)
+    val dist = TextAnalysis.wordpieceTrain(docs, 6, maxLocalWords = 0L)
+    assert(local === dist)
+    assert(local.size === 6)
+  }
+
+  private def enc(word: String): Seq[String] = {
+    val out = TextAnalysis.wordpieceEncode(
+      Seq((0L, word)).toDF("doc_id", "text"),
+      TextAnalysis.wordpieceVocabFrame(spark, LlmQueries.WordpieceFixedVocab))
+    out.orderBy("pos").collect().map(_.getString(2)).toSeq
+  }
+
+  test("greedy longest-match with continuation prefixes") {
+    assert(enc("the") === Seq("the"))
+    assert(enc("thing") === Seq("th", "##ing"))
+    assert(enc("unrest") === Seq("un", "##r", "##es", "##t"))
+  }
+
+  test("whole-word [UNK]: a single unmatchable char kills the word's pieces") {
+    assert(enc("ab9cd") === Seq("[UNK]"))
+    // even after a successful prefix — BERT's is_bad semantics
+    assert(enc("the9") === Seq("[UNK]"))
+  }
+
+  test("vocab frame round-trips through parquet (the shippable model)") {
+    val dir = java.nio.file.Files.createTempDirectory("wpv").toString
+    TextAnalysis.wordpieceVocabFrame(spark, LlmQueries.WordpieceFixedVocab)
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val a = TextAnalysis.wordpieceEncode(
+      Seq((0L, "the thing unrest")).toDF("doc_id", "text"), back)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(a === Seq("the", "th", "##ing", "un", "##r", "##es", "##t"))
+  }
+}
