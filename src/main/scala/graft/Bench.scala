@@ -136,7 +136,13 @@ object Bench {
     "q_rouge_pairs" -> 0.38, "q_length_batch" -> 0.28,
     "q_contam_e2e" -> 1.69, "q_unigram_train_cjk" -> 0.96,
     "q_mmr_select" -> 0.85, "q_chat_tree" -> 1.86,
-    "q_chrf_pairs" -> 2.95, "q_markdown_extract" -> 0.58)
+    "q_chrf_pairs" -> 2.95, "q_markdown_extract" -> 0.58,
+    // r18 additions (min of isolated and full-suite min-of-3; q_cv
+    // companion 0.19 isolated, calib_norm 1.54 on the full run)
+    "q_kn_logprob" -> 0.87, "q_kn_buckets" -> 1.93,
+    "q_notebook_extract" -> 0.21, "q_code_rules" -> 1.18,
+    "q_latex_extract" -> 0.50, "q_tokenizer_fertility" -> 0.74,
+    "q_wordpiece_train" -> 0.28, "q_wordpiece_encode" -> 0.43)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
