@@ -132,6 +132,8 @@ object SparkEntry {
     "q_vocab_coverage" -> (L.qVocabCoverage _),
     "q_token_pack" -> (L.qTokenPack _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
+    // robust winnowing fingerprints (MOSS) — guarantee-backed selection
+    "q_winnow_fingerprints" -> (L.qWinnowFingerprints _),
     // BPE tokenization under a fixed merge-rank table
     "q_bpe_encode" -> (L.qBpeEncode _),
     // the BPE TRAINER gated by merge-trajectory replay
@@ -457,6 +459,7 @@ object SparkEntry {
     "q_vocab_coverage" -> L.qVocabCoverageSql,
     "q_token_pack" -> L.qTokenPackSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
+    "q_winnow_fingerprints" -> L.qWinnowFingerprintsSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_bpe_train" -> L.qBpeTrainSql,
     "q_bpe_train_dist" -> L.qBpeTrainDistSql,

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Robust-winnowing fingerprint selection (Schleimer et al. 2003) as
+  * ONE native expression: normalize (lowercase, collapse whitespace),
+  * hash every char k-gram with the portable 31-bit md5 hash
+  * (bit-equal to Portable.h31 / the oracle's
+  * `('0x' || substr(md5(g),1,7))::BIGINT % 2147483647`), and select
+  * each w-window's rightmost minimum via a monotonic min-queue —
+  * O(n) per document, per-row local, ZERO shuffle (the composed
+  * Column form needs a doc-keyed window exchange over ~n rows per
+  * doc; measured 3.6 s → this form replaces the exchange with a
+  * Generate). Code-point altitude matches Spark/DuckDB substr
+  * semantics (never UTF-16 code units). Emits
+  * array<struct<pos,hash>> in position order, deduped across
+  * windows; empty array when the text has fewer than k chars.
+  * CodegenFallback keeps surrounding operators in whole-stage
+  * codegen. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "winnow_fingerprints: need k >= 2, w >= 1")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", LongType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val s = Winnow.normalize(t.asInstanceOf[UTF8String])
+    val cps = s.codePoints().toArray
+    val n = cps.length - (k - 1)
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val md = Winnow.md.get()
+    val hs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      hs(p) = Winnow.h31(md, new String(cps, p, k))
+      p += 1
+    }
+    val weff = math.min(w, n)
+    // monotonic min-queue over 1-based positions; popping EQUAL hashes
+    // on insert makes the front the RIGHTMOST minimum (robust winnow)
+    val qp = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail) holds 0-based indices
+    val outP = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val outH = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(qp(tail - 1)) >= hs(i)) tail -= 1
+      qp(tail) = i; tail += 1
+      if (qp(head) <= i - weff) head += 1
+      if (i >= weff - 1) {
+        val sel = qp(head)
+        if (outP.isEmpty || outP.last != sel + 1L) {
+          outP += sel + 1L; outH += hs(sel)
+        }
+      }
+      i += 1
+    }
+    val rows = new Array[Any](outP.length)
+    var j = 0
+    while (j < outP.length) {
+      rows(j) = new GenericInternalRow(Array[Any](outP(j), outH(j)))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Winnow {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Expressions can be shared across tasks — the digest is per-thread. */
+  private[functions] val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[functions] def normalize(u: UTF8String): String =
+    Whitespace.matcher(u.toLowerCase.toString).replaceAll(" ")
+
+  /** First 7 hex chars of md5, parsed base-16, mod 2^31−1 — bit-equal
+    * to Portable.h31 and the DuckDB oracle form. */
+  private[functions] def h31(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 7 hex chars = 3.5 bytes: bytes 0..2 fully, high nibble of byte 3
+    var v = 0L
+    var i = 0
+    while (i < 3) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((d(3) & 0xf0L) >> 4)
+    v % 2147483647L
+  }
+
+  /** Column API. */
+  def of(text: Column, k: Int, w: Int): Column =
+    GraftShim.column(WinnowFingerprints(GraftShim.expression(text), k, w))
+}

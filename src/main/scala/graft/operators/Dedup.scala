@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Config
@@ -671,6 +672,64 @@ object Dedup {
         s"star contraction did not converge in $maxIters rounds")
     // labels materialize ONCE, from the contracted star edges
     labelsOf(edges)
+  }
+
+  /** ROBUST WINNOWING document fingerprints (Schleimer, Wilkerson &
+    * Aiken 2003 — the MOSS algorithm): hash every char k-gram of the
+    * normalized text (lowercase, whitespace collapsed), slide a window
+    * of `w` consecutive k-gram hashes, and select each window's
+    * MINIMUM hash — RIGHTMOST occurrence on ties (robust winnowing, so
+    * runs of equal hashes contribute one fingerprint per run, not per
+    * window). The selected (pos, hash) set carries the paper's
+    * guarantee: any shared substring of length ≥ w+k−1 between two
+    * documents shares at least one selected HASH — the property that
+    * makes it the standard code-clone/plagiarism fingerprint, and a
+    * smaller, guarantee-backed alternative to every-k-gram indexes.
+    * Expected density 2/(w+1) (paper §3; spec-bounded).
+    *
+    * Documents shorter than k chars have no grams and are absent;
+    * documents with fewer than w grams winnow one window spanning all
+    * grams (the effective window size is min(w, n_grams)).
+    *
+    * Scale shape: ZERO shuffle — selection is per-document local, so
+    * the whole pipeline is ONE native expression
+    * (functions.WinnowFingerprints: normalize + k-gram md5 hashes + a
+    * monotonic min-queue, O(n) per doc) and a Generate. The composed
+    * Column alternatives both lose: explode-to-window-tiles costs a
+    * w×-inflated (doc, window) shuffle (measured 5.5 s at sf0.1), a
+    * min-of-struct window frame still costs a doc-keyed exchange +
+    * sort over every gram row (3.6 s); the expression form is 1.3 s.
+    * Emits the selected fingerprints (doc_id, pos, hash). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         id: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(id),
+        explode(graft.functions.Winnow.of(
+          coalesce(col(textCol), lit("")), k, w)).as("__f"))
+      .select(col(id), col("__f.pos").as("pos"), col("__f.hash").as("hash"))
+
+  /** Per-document winnowing CENSUS — the gate-friendly one-row view:
+    * gram and fingerprint counts, the selected density (→ 2/(w+1) on
+    * random text), and an md5 over the ORDERED "pos:hash" fingerprint
+    * list, so one mis-selected window anywhere bends the hash. */
+  def winnowCensus(docs: DataFrame, k: Int = 5, w: Int = 4,
+                   id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(coalesce(col(textCol), lit(""))),
+      "\\s+", " ")
+    val ng = docs
+      .select(col(id), (length(norm) - (k - 1)).cast(LongType).as("n_grams"))
+      .where(col("n_grams") >= 1)
+    val sel = winnowFingerprints(docs, k, w, id, textCol)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_selected"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            concat_ws(":", col("pos"), col("hash")).as("s")))),
+          x => x.getField("s")))).as("fp_md5"))
+    ng.join(sel, Seq(id))
+      .select(col(id), col("n_grams"), col("n_selected"),
+        Portable.roundp(col("n_selected") / col("n_grams"), 6).as("density"),
+        col("fp_md5"))
   }
 
   /** Benchmark decontamination: flag training documents that share at

@@ -4124,6 +4124,43 @@ object LlmQueries {
        |  FROM ix)
        |SELECT doc_id, bit_xor(h) AS fingerprint FROM hx GROUP BY doc_id""".stripMargin
 
+  // ---- robust winnowing fingerprints (MOSS; Schleimer et al. 2003) ----
+
+  /** Winnowing census over the corpus (Dedup.winnowCensus, k=5 w=4):
+    * char-5-gram hashes, rightmost-min-of-4-window selection, per-doc
+    * fingerprint count + density + an md5 of the ORDERED pos:hash
+    * list — a REAL dual implementation: the oracle re-runs the gram
+    * hashing, the window tiling, and the (h asc, p desc) selection
+    * order, so any tie-break, boundary-window, or normalization slip
+    * bends a hash somewhere in the corpus. */
+  def qWinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowCensus(Tables(spark, dir).documents)
+
+  val qWinnowFingerprintsSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |b AS MATERIALIZED (SELECT doc_id, t, CAST(length(t) - 4 AS BIGINT) AS ng
+       |  FROM d WHERE length(t) - 4 >= 1),
+       |g AS MATERIALIZED (SELECT doc_id, ng, p.p AS p,
+       |    ${h31Sql("substr(t, CAST(p.p AS INT), 5)")} AS h
+       |  FROM b, unnest(generate_series(1, ng)) p(p)),
+       |ti AS (SELECT doc_id, p, h, e.e AS e
+       |  FROM g, unnest(generate_series(greatest(p, least(4, ng)),
+       |    least(p + least(4, ng) - 1, ng))) e(e)),
+       |r AS (SELECT doc_id, e, p, h,
+       |    row_number() OVER (PARTITION BY doc_id, e ORDER BY h ASC, p DESC) AS rn
+       |  FROM ti),
+       |sel AS (SELECT DISTINCT doc_id, p, h FROM r WHERE rn = 1),
+       |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+       |    md5(string_agg(CAST(p AS VARCHAR) || ':' || CAST(h AS VARCHAR),
+       |      ' ' ORDER BY p)) AS fp_md5
+       |  FROM sel GROUP BY 1)
+       |SELECT b.doc_id, b.ng AS n_grams, c.n_selected,
+       |  floor((c.n_selected / CAST(b.ng AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS density,
+       |  c.fp_md5
+       |FROM b JOIN c USING (doc_id)""".stripMargin
+
   // ---- BPE encoding with a fixed merge table ----
 
   /** Fixed merge-rank table for the oracle-gated BPE encode. Well-formed

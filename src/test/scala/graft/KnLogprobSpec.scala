@@ -100,6 +100,21 @@ class KnLogprobSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("apply-side ord filters PRUNE the other model-union branches") {
+    // knLmApply filters the 4-branch union model 4 times; each filter
+    // must constant-fold the non-matching branches away (lit(ord)===k
+    // folds false -> PropagateEmptyRelation drops the branch), or every
+    // model read would re-run all four training aggregation chains
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val docs = (0 until 50).map { i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val m2 = TextAnalysis.knLmTrain(docs).where(col("ord") === 2)
+    val unions = m2.queryExecution.optimizedPlan.collect { case u: Union => u }
+    assert(unions.isEmpty,
+      "the ord filter must collapse the model union to its one live branch")
+  }
+
   test("degenerate corpus with no singleton bigrams clamps D to 0.5 (no ln(0))") {
     // every bigram occurs exactly twice -> n1 = 0
     val docs = Seq((0L, "x y x y"), (1L, "x y x y")).toDF("doc_id", "text")

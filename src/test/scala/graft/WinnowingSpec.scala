@@ -1,0 +1,91 @@
+package graft
+
+import java.security.MessageDigest
+import graft.operators.Dedup
+
+/** Robust winnowing (Schleimer et al. 2003). Pinned against a direct
+  * 15-line reference implementation of the paper's algorithm (window
+  * scan, rightmost min), plus the paper's two load-bearing properties:
+  * the detection GUARANTEE (shared substring ≥ w+k−1 ⇒ shared
+  * fingerprint hash) and the 2/(w+1) expected density. Cross-engine
+  * parity is q_winnow_fingerprints' dual-implementation oracle. */
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5
+  private val W = 4
+
+  /** The same 31-bit md5 hash Portable.h31 computes. */
+  private def h31(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 7)
+    java.lang.Long.parseLong(hex, 16) % 2147483647L
+  }
+
+  /** Direct transcription of robust winnowing: slide the window, keep
+    * the previous selection when it is still in-window and no NEW
+    * strictly-smaller hash entered; ties select rightmost. */
+  private def reference(text: String): Seq[(Long, Long)] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val n = t.length - (K - 1)
+    if (n < 1) return Seq.empty
+    val hs = (1 to n).map(p => h31(t.substring(p - 1, p - 1 + K)))
+    val w = math.min(W, n)
+    val sel = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    for (e <- w to n) {
+      // rightmost min of window [e-w+1, e] (1-based)
+      var bp = e; var bh = hs(e - 1)
+      for (p <- (e - w + 1) to e; if hs(p - 1) < bh || (hs(p - 1) == bh && p > bp)) {
+        bp = p; bh = hs(p - 1)
+      }
+      sel += ((bp.toLong, bh))
+    }
+    sel.toSeq
+  }
+
+  private def run(rows: (Long, String)*): Map[Long, Set[(Long, Long)]] =
+    Dedup.winnowFingerprints(rows.toSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("matches the paper's algorithm exactly, ties and boundaries included") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abababababab"),               // periodic: equal hashes, rightmost rule
+      (3L, "aaaaaaaaaaaa"),               // one distinct gram everywhere
+      (4L, "short"),                      // exactly k chars: one gram
+      (5L, "sevench"),                    // n_grams=3 < w: one shrunken window
+      (6L, "Mixed   CASE\nand   spaces here")) // normalization
+    val got = run(docs: _*)
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) === reference(text).toSet,
+        s"doc $id diverges from the reference algorithm")
+    }
+  }
+
+  test("docs shorter than k chars are absent") {
+    assert(run((9L, "tiny")).isEmpty)
+  }
+
+  test("detection guarantee: shared substring >= w+k-1 shares a fingerprint hash") {
+    // 20 pairs of unrelated texts with one planted common substring of
+    // exactly w+k-1 = 8 chars — every pair MUST share a selected hash
+    (0 until 20).foreach { i =>
+      val common = s"zq${i}xv${(i * 7) % 10}ab".take(8)
+      val a = s"first document $i body " + common + " tail alpha"
+      val b = s"unrelated ${i * 13} text " + common + s" other omega $i"
+      val got = run((1L, a), (2L, b))
+      val shared = got(1L).map(_._2) intersect got(2L).map(_._2)
+      assert(shared.nonEmpty, s"pair $i: guarantee violated ($common)")
+    }
+  }
+
+  test("density approaches 2/(w+1) on hash-random text") {
+    val text = (0 until 4000).map(i => ('a' + (i * 2654435761L % 26).toInt).toChar).mkString
+    val n = text.length - (K - 1)
+    val density = run((1L, text))(1L).size.toDouble / n
+    assert(math.abs(density - 2.0 / (W + 1)) < 0.05,
+      s"density $density far from ${2.0 / (W + 1)}")
+  }
+}
