@@ -143,7 +143,7 @@ object Bench {
     "q_notebook_extract" -> 0.21, "q_code_rules" -> 1.18,
     "q_latex_extract" -> 0.50, "q_tokenizer_fertility" -> 0.74,
     "q_wordpiece_train" -> 0.28, "q_wordpiece_encode" -> 0.43,
-    "q_winnow_fingerprints" -> 1.45)
+    "q_winnow_fingerprints" -> 1.45, "q_license_scan" -> 0.23)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -285,6 +285,8 @@ object SparkEntry {
     "q_gopher_rules" -> (L.qGopherRules _),
     // StarCoder-style code-quality gates (line shape, blobs, autogen)
     "q_code_rules" -> (L.qCodeRules _),
+    // SPDX + phrase license detection (the permissive-only gate)
+    "q_license_scan" -> (L.qLicenseScan _),
     // power-of-two length buckets: the padding-efficiency report
     "q_length_buckets" -> (L.qLengthBuckets _),
     // Zipf power-law fit over the vocabulary (quantized-ln regression)
@@ -557,6 +559,7 @@ object SparkEntry {
     "q_utf8_census" -> L.qUtf8CensusSql,
     "q_gopher_rules" -> L.qGopherRulesSql,
     "q_code_rules" -> L.qCodeRulesSql,
+    "q_license_scan" -> L.qLicenseScanSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_zipf_fit" -> L.qZipfFitSql,
     "q_lang_segments" -> L.qLangSegmentsSql,

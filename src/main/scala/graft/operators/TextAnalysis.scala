@@ -2187,6 +2187,66 @@ object TextAnalysis {
       verdict(ruleCols.map(c => col(c) === 1L).reduce(_ && _)))
   }
 
+  /** Header phrase fingerprints for [[licenseScan]] — ORDER is
+    * load-bearing: AGPL/LGPL before GPL would not matter textually
+    * (neither contains the GPL phrase verbatim) but priority must be
+    * pinned for files quoting several licenses. Shared with the spec
+    * so the two cannot drift. */
+  val LicensePhrases: Seq[(String, String)] = Seq(
+    "permission is hereby granted, free of charge" -> "MIT",
+    "apache license, version 2.0" -> "Apache-2.0",
+    "redistribution and use in source and binary forms" -> "BSD-3-Clause",
+    "mozilla public license" -> "MPL-2.0",
+    "gnu affero general public license" -> "AGPL-3.0",
+    "gnu lesser general public license" -> "LGPL-3.0",
+    "gnu general public license" -> "GPL-3.0")
+
+  private val PermissiveIds =
+    Seq("MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+      "Unlicense", "Zlib", "0BSD")
+
+  /** License detection for code corpora — the gate The Stack/StarCoder
+    * pipelines run before anything else (only permissive-licensed code
+    * trains): (1) an `SPDX-License-Identifier:` tag anywhere in the
+    * file (the machine-readable standard — always wins), else (2) a
+    * phrase fingerprint from the classic license headers, checked
+    * case-insensitively in the first `headChars` chars (headers live
+    * at the top; a quoted phrase deep in a string literal must NOT
+    * relicense the file). The verdict column maps ids to the family a
+    * filter thresholds on: permissive / copyleft (GPL, AGPL) /
+    * weak-copyleft (LGPL, MPL, EPL) / unknown-id (an SPDX tag the
+    * table doesn't know — surfaced, never silently permissive) /
+    * unknown (no detection).
+    *
+    * Pure codegen'd projection, zero shuffle, NULL text coalesced.
+    * The phrase chain is 7 entries — a when-chain, not a broadcast
+    * join (the registry CASE-bomb rule starts mattering at hundreds). */
+  def licenseScan(docs: DataFrame, headChars: Int = 600,
+                  id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val spdxRaw = regexp_extract(t,
+      "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+\\-]+)", 1)
+    val head = lower(substring(t, 1, headChars))
+    val phrase = LicensePhrases.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (p, lic)) => acc.when(head.contains(p), lit(lic))
+    }
+    val staged = docs.select(col(id),
+      when(spdxRaw =!= "", spdxRaw).as("spdx"), phrase.as("__ph"))
+    val license = coalesce(col("spdx"), col("__ph"))
+    val family = when(license.isNull, lit("unknown"))
+      .when(license.isin(PermissiveIds.map(x => x: Any): _*), lit("permissive"))
+      .when(license.startsWith("GPL") || license.startsWith("AGPL"),
+        lit("copyleft"))
+      .when(license.startsWith("LGPL") || license.startsWith("MPL") ||
+        license.startsWith("EPL"), lit("weak-copyleft"))
+      .otherwise(lit("unknown-id"))
+    staged.select(col(id), col("spdx"), license.as("license"),
+      when(col("spdx").isNotNull, lit("spdx"))
+        .when(col("__ph").isNotNull, lit("phrase"))
+        .otherwise(lit("none")).as("detector"),
+      family.as("family"))
+  }
+
   /** T5-style span corruption (the denoising-pretraining data
     * transform), deterministic block-local variant: token positions
     * partition into fixed blocks of `blockSize`; each (doc, block)

@@ -1891,6 +1891,44 @@ object LlmQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM v""".stripMargin
 
+  // ---- license detection (The Stack's permissive-only gate) ----
+
+  /** License scan over closed-form header injections (the q_url_canon
+    * expected-output doctrine — the oracle never runs a regex or a
+    * phrase match): doc%6 prepends an SPDX MIT tag, an SPDX
+    * GPL-3.0-only tag, the MIT grant phrase (mixed case — the
+    * case-fold is inside the gate), the GPL header phrase, the BSD
+    * redistribution phrase, or nothing. Any extraction, priority,
+    * case, or family-mapping slip bends a row. */
+  def qLicenseScan(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val header = when(i % 6 === 0, lit("// SPDX-License-Identifier: MIT\n"))
+      .when(i % 6 === 1, lit("# SPDX-License-Identifier: GPL-3.0-only\n"))
+      .when(i % 6 === 2,
+        lit("/* Permission is hereby granted, free of charge, to anyone */\n"))
+      .when(i % 6 === 3,
+        lit("// under the terms of the GNU General Public License\n"))
+      .when(i % 6 === 4,
+        lit("' Redistribution and use in source and binary forms, with mods\n"))
+      .otherwise(lit(""))
+    TextAnalysis.licenseScan(Tables(spark, dir).documents
+      .select(i, concat(header, col("text")).as("text")))
+  }
+
+  val qLicenseScanSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 6 WHEN 0 THEN 'MIT' WHEN 1 THEN 'GPL-3.0-only' END AS spdx,
+      |  CASE doc_id % 6 WHEN 0 THEN 'MIT' WHEN 1 THEN 'GPL-3.0-only'
+      |    WHEN 2 THEN 'MIT' WHEN 3 THEN 'GPL-3.0'
+      |    WHEN 4 THEN 'BSD-3-Clause' END AS license,
+      |  CASE doc_id % 6 WHEN 0 THEN 'spdx' WHEN 1 THEN 'spdx'
+      |    WHEN 2 THEN 'phrase' WHEN 3 THEN 'phrase' WHEN 4 THEN 'phrase'
+      |    ELSE 'none' END AS detector,
+      |  CASE doc_id % 6 WHEN 0 THEN 'permissive' WHEN 1 THEN 'copyleft'
+      |    WHEN 2 THEN 'permissive' WHEN 3 THEN 'copyleft'
+      |    WHEN 4 THEN 'permissive' ELSE 'unknown' END AS family
+      |FROM documents""".stripMargin
+
   // ---- fuzzy-exact dedup (normalize-then-hash) ----
 
   /** Fuzzy-exact dedup inside the gate: each corpus doc explodes into

@@ -249,6 +249,23 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the interpolated Kneser-Ney scorer (operators/
+    * TextAnalysis.knLmApply): the long-form (ord, gram, q) model frame
+    * is STATIC (trained offline on the held reference — the CCNet
+    * shape); each micro-batch scores through the identical batch
+    * operator — per-doc output depends only on the doc's own bigrams
+    * and the model, so batch boundaries are invisible. Parity pinned
+    * in StreamingSpec. */
+  def knScoreStream(docs: DataFrame, model: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "knScoreStream is streaming-only: use TextAnalysis.knLmApply for batch frames")
+    require(!model.isStreaming, "the KN model frame must be static")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.knLmApply(model, batch), batchId)
+    }
+  }
+
   /** Streaming twin of the linear quality classifier (operators/
     * TextAnalysis.hashedLinearScore): the hashed-ngram weight frame is
     * STATIC (a trained model loaded offline), each micro-batch scores

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** License detection edges beyond the gated fixture: SPDX-vs-phrase
+  * priority, phrase priority order, the head window, unknown SPDX
+  * ids, and compound expressions. Cross-engine parity is
+  * q_license_scan's closed-form oracle. */
+class LicenseScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String): (String, String, String, String) = {
+    val r = TextAnalysis.licenseScan(Seq((0L, text)).toDF("doc_id", "text"))
+      .collect().head
+    (Option(r.getString(1)).orNull, Option(r.getString(2)).orNull,
+      r.getString(3), r.getString(4))
+  }
+
+  test("an SPDX tag beats a contradicting header phrase") {
+    val t = "// SPDX-License-Identifier: Apache-2.0\n" +
+      "// Permission is hereby granted, free of charge, whatever\ncode()"
+    assert(one(t) === (("Apache-2.0", "Apache-2.0", "spdx", "permissive")))
+  }
+
+  test("phrase priority: AGPL and LGPL never classify as plain GPL") {
+    val a = "under the GNU Affero General Public License as published\nx"
+    val l = "under the GNU Lesser General Public License v2.1\nx"
+    assert(one(a) === ((null, "AGPL-3.0", "phrase", "copyleft")))
+    assert(one(l) === ((null, "LGPL-3.0", "phrase", "weak-copyleft")))
+  }
+
+  test("a license phrase quoted DEEP in the file does not relicense it") {
+    val deep = ("x " * 400) + "permission is hereby granted, free of charge"
+    assert(one(deep) === ((null, null, "none", "unknown")))
+    // but an SPDX tag anywhere in the file counts (the standard's intent)
+    val deepSpdx = ("y " * 400) + "// SPDX-License-Identifier: ISC"
+    assert(one(deepSpdx) === (("ISC", "ISC", "spdx", "permissive")))
+  }
+
+  test("unknown SPDX ids surface as unknown-id, never silently permissive") {
+    assert(one("// SPDX-License-Identifier: MyCorp-Proprietary-1.2\nz")
+      === (("MyCorp-Proprietary-1.2", "MyCorp-Proprietary-1.2", "spdx", "unknown-id")))
+  }
+
+  test("or-later and compound ids keep their family") {
+    assert(one("// SPDX-License-Identifier: GPL-2.0-or-later\n")._4 === "copyleft")
+    assert(one("// SPDX-License-Identifier: LGPL-2.1-only\n")._4 === "weak-copyleft")
+  }
+
+  test("NULL and empty text scan as unknown") {
+    val out = TextAnalysis.licenseScan(
+        Seq((0L, null: String), (1L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out === Map(0L -> "unknown", 1L -> "unknown"))
+  }
+}

@@ -1392,6 +1392,34 @@ class StreamingSpec extends SparkSpec {
     assert(b === Map(100L -> 1L, 105L -> 0L, 109L -> 0L, 111L -> 1L, 120L -> 0L))
   }
 
+  test("knScoreStream: static KN model scores a stream with exact batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0 until 60).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}")
+    }.toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.knLmTrain(ref)
+      .localCheckpoint(true) // a static trained frame, the shipped shape
+    val docs = Seq(
+      (100L, "w0 w0 w1 w2"),     // mix of seen + unseen bigrams
+      (101L, "zz qq w1"),        // unseen context path
+      (102L, "w1 w4 w2 w1 w4"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Streams.knScoreStream(input.toDF().toDF("doc_id", "text"), model) {
+      (scores, _) => acc.synchronized { acc ++= scores.collect().map(_.toString) }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.knLmApply(model, docs.toDF("doc_id", "text"))
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+    assert(acc.size === 3)
+  }
+
   test("contamE2eStream: flag->confirm->verdict matches batch across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
