@@ -2156,23 +2156,19 @@ object TextAnalysis {
   def codeRules(docs: DataFrame, id: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val lines = split(t, "\n")
-    val counts = docs.select(col(id),
-      size(lines).cast(LongType).as("n_lines"),
-      length(t).cast(LongType).as("n_chars"),
-      array_max(transform(lines, l => length(l))).cast(LongType)
-        .as("max_line_len"),
-      length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast(LongType)
-        .as("n_alnum"),
-      (length(t) - length(regexp_replace(t, "[0-9a-fA-F]{16,}", "")))
-        .cast(LongType).as("n_hex_chars"),
-      (length(t) - length(regexp_replace(t, "[A-Za-z0-9+/=]{64,}", "")))
-        .cast(LongType).as("n_b64_chars"),
-      when({
-        val head5 = lower(array_join(slice(lines, 1, 5), "\n"))
-        head5.contains("auto-generated") || head5.contains("generated by") ||
-          head5.contains("do not edit")
-      }, 1L).otherwise(0L).as("autogen"))
+    // ONE code-point pass (functions.CodeCensus) instead of six
+    // regex/split/transform passes — bit-equal to the composed form
+    // (CodeRulesSpec pins it against independent regex references)
+    val counts = docs
+      .select(col(id), graft.functions.CodeCensus.of(t).as("__c"))
+      .select(col(id),
+        col("__c.n_lines").as("n_lines"),
+        col("__c.n_chars").as("n_chars"),
+        col("__c.max_line_len").as("max_line_len"),
+        col("__c.n_alnum").as("n_alnum"),
+        col("__c.n_hex").as("n_hex_chars"),
+        col("__c.n_b64").as("n_b64_chars"),
+        col("__c.autogen").as("autogen"))
     def verdict(cond: Column): Column = when(cond, 1L).otherwise(0L)
     val withRules = counts
       .withColumn("r_maxline", verdict(col("max_line_len") <= 1000))
