@@ -146,7 +146,8 @@ object Bench {
     "q_code_rules" -> 0.43,
     "q_latex_extract" -> 0.50, "q_tokenizer_fertility" -> 0.74,
     "q_wordpiece_train" -> 0.28, "q_wordpiece_encode" -> 0.43,
-    "q_winnow_fingerprints" -> 1.45, "q_license_scan" -> 0.23)
+    "q_winnow_fingerprints" -> 1.45, "q_license_scan" -> 0.23,
+    "q_winnow_pairs" -> 1.28)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -708,6 +708,41 @@ object Dedup {
           coalesce(col(textCol), lit("")), k, w)).as("__f"))
       .select(col(id), col("__f.pos").as("pos"), col("__f.hash").as("hash"))
 
+  /** Winnowing-fingerprint overlap pairs — the dedup USE of
+    * [[winnowFingerprints]] (what MOSS actually reports): document
+    * pairs sharing at least `minCommon` distinct selected hashes.
+    * Same df-cap defense as [[ngramJaccardPairs]] (a fingerprint in d
+    * docs emits O(d²) join rows, so hashes with df > dfCap — corpus
+    * boilerplate — are dropped from the join AND the per-doc counts).
+    * The winnowing guarantee transfers: two docs sharing a substring
+    * ≥ w+k−1 chars share a selected hash, so a ONE-fingerprint overlap
+    * already witnesses a real shared span (modulo md5 collisions) —
+    * n_common is a lower-bound span census, not a similarity guess.
+    * Emits (id_a, id_b, n_common, n_a, n_b) over the capped universe. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                  minCommon: Int = 2,
+                  dfCap: Int = graft.Config.ShingleDfCap,
+                  id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w, id, textCol)
+      .select(col(id), col("hash")).distinct()
+      .trackedPersist
+    val rare = fp.groupBy(col("hash")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("hash")
+    val kept = fp.join(rare, Seq("hash")).trackedPersist
+    val cnt = kept.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = kept.select(col(id).as("id_a"), col("hash"))
+    val b = kept.select(col(id).as("id_b"), col("hash"))
+    a.join(b, Seq("hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+      .join(cnt.select(col(id).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col(id).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      // canonical column order (each USING join moved its key first)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"))
+  }
+
   /** Per-document winnowing CENSUS — the gate-friendly one-row view:
     * gram and fingerprint counts, the selected density (→ 2/(w+1) on
     * random text), and an md5 over the ORDERED "pos:hash" fingerprint

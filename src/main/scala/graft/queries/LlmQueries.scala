@@ -4174,10 +4174,13 @@ object LlmQueries {
   def qWinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowCensus(Tables(spark, dir).documents)
 
-  val qWinnowFingerprintsSql: String =
-    s"""WITH d AS (SELECT doc_id,
+  /** The winnow selection replay as shared CTE text over `from`
+    * (doc_id, text): ends with `sel`(doc_id, p, h) — the selected
+    * fingerprints — and `b`(doc_id, ng). */
+  private def winnowSelCtes(from: String): String =
+    s"""d AS (SELECT doc_id,
        |    regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
-       |  FROM documents),
+       |  FROM $from),
        |b AS MATERIALIZED (SELECT doc_id, t, CAST(length(t) - 4 AS BIGINT) AS ng
        |  FROM d WHERE length(t) - 4 >= 1),
        |g AS MATERIALIZED (SELECT doc_id, ng, p.p AS p,
@@ -4189,7 +4192,10 @@ object LlmQueries {
        |r AS (SELECT doc_id, e, p, h,
        |    row_number() OVER (PARTITION BY doc_id, e ORDER BY h ASC, p DESC) AS rn
        |  FROM ti),
-       |sel AS (SELECT DISTINCT doc_id, p, h FROM r WHERE rn = 1),
+       |sel AS MATERIALIZED (SELECT DISTINCT doc_id, p, h FROM r WHERE rn = 1)""".stripMargin
+
+  val qWinnowFingerprintsSql: String =
+    s"""WITH ${winnowSelCtes("documents")},
        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
        |    md5(string_agg(CAST(p AS VARCHAR) || ':' || CAST(h AS VARCHAR),
        |      ' ' ORDER BY p)) AS fp_md5
@@ -4198,6 +4204,61 @@ object LlmQueries {
        |  floor((c.n_selected / CAST(b.ng AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS density,
        |  c.fp_md5
        |FROM b JOIN c USING (doc_id)""".stripMargin
+
+  /** Winnow-overlap PAIRS over planted duplicates (the fixture
+    * discipline: pair outputs must be linear BY CONSTRUCTION — r7):
+    * every corpus doc spawns two variants sharing an 8-word head whose
+    * every word is SALTED with the doc id (each shared gram's df is
+    * exactly 2 — never capped, never colliding across pairs) plus
+    * divergent tails whose grams repeat corpus-wide (df ≫ cap — the
+    * df-cap defense is inside the gate: uncapped, every a-variant
+    * would pair with every other via 'alpha end'). Every planted pair
+    * is recalled at every scale (probed 500/500, 500/500, 5000/5000);
+    * incidental pairs from rare word grams past the salt prefix ride
+    * along, bounded by C(dfCap,2) per gram — the ngramJaccardPairs
+    * contract (probed ~linear: 3.8k/4.2k/18k rows at 1×/1×/10× docs).
+    * The oracle replays selection, the df cap, and the hash
+    * self-join. */
+  def qWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val saltedHead = array_join(transform(
+      slice(filter(Portable.words(col("text")), w => length(w) > 0), 1, 8),
+      w => concat(lit("u"), s, w)), " ")
+    val variants = Tables(spark, dir).documents
+      .select(i, saltedHead.as("__h8"), explode(sequence(lit(0L), lit(1L))).as("v"))
+      .select((i * 2 + col("v")).as("doc_id"),
+        concat(col("__h8"),
+          when(col("v") === 0, lit(" alpha end marker"))
+            .otherwise(lit(" omega tail marker"))).as("text"))
+    Dedup.winnowPairs(variants, minCommon = 3)
+  }
+
+  val qWinnowPairsSql: String = {
+    val fixture =
+      """(SELECT doc_id * 2 + v.v AS doc_id,
+        |    array_to_string(list_transform(
+        |      (list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> length(x) > 0))[1:8],
+        |      x -> 'u' || CAST(doc_id AS VARCHAR) || x), ' ') ||
+        |    CASE WHEN v.v = 0 THEN ' alpha end marker'
+        |         ELSE ' omega tail marker' END AS text
+        |  FROM documents, unnest(generate_series(0, 1)) v(v))""".stripMargin
+    s"""WITH ${winnowSelCtes(fixture)},
+       |fpd AS (SELECT DISTINCT doc_id, h FROM sel),
+       |rare AS (SELECT h FROM fpd GROUP BY h
+       |  HAVING count(*) <= ${graft.Config.ShingleDfCap}),
+       |kept AS MATERIALIZED (SELECT fpd.doc_id, fpd.h
+       |  FROM fpd JOIN rare USING (h)),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM kept a JOIN kept bb ON a.h = bb.h AND a.doc_id < bb.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT pr.id_a, pr.id_b, pr.n_common, na.n AS n_a, nb.n AS n_b
+       |FROM pr JOIN cnt na ON pr.id_a = na.doc_id
+       |JOIN cnt nb ON pr.id_b = nb.doc_id""".stripMargin
+  }
 
   // ---- BPE encoding with a fixed merge table ----
 

@@ -81,6 +81,25 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: planted clones pair; boilerplate is df-capped away") {
+    // 30 docs share the 'common boilerplate header' tail (df=30 > cap=8)
+    // while docs 0/1 and 2/3 share unique long spans; solo docs carry
+    // md5-unique bodies (digit-tagged bodies would legitimately pair
+    // on digit-adjacent grams — caught live)
+    def hex(i: Int) = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array(i.toByte)).map("%02x".format(_)).mkString
+    val docs = (0 until 30).map { i =>
+      val span = if (i < 2) "zz unique shared span qq xy"
+        else if (i < 4) "ww other planted overlap kk jh"
+        else s"solo ${hex(i)} body"
+      (i.toLong, s"$span common boilerplate header for all docs")
+    }
+    val pairs = Dedup.winnowPairs(docs.toDF("doc_id", "text"), dfCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)),
+      s"expected exactly the planted pairs, got $pairs")
+  }
+
   test("density approaches 2/(w+1) on hash-random text") {
     val text = (0 until 4000).map(i => ('a' + (i * 2654435761L % 26).toInt).toChar).mkString
     val n = text.length - (K - 1)
