@@ -147,7 +147,10 @@ object Bench {
     "q_latex_extract" -> 0.50, "q_tokenizer_fertility" -> 0.74,
     "q_wordpiece_train" -> 0.28, "q_wordpiece_encode" -> 0.43,
     "q_winnow_fingerprints" -> 1.45, "q_license_scan" -> 0.23,
-    "q_winnow_pairs" -> 1.28)
+    "q_winnow_pairs" -> 1.28,
+    // order-3 interpolated KN: 6 model-sized censuses + 5 apply joins
+    // (min-of-3 on a 1.6-1.8x loaded host — conservative)
+    "q_kn3_logprob" -> 3.08)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -203,6 +203,7 @@ object SparkEntry {
     // interpolated Kneser-Ney bigram LM (the real CCNet/KenLM smoothing)
     "q_kn_logprob" -> (L.qKnLogprob _),
     "q_kn_buckets" -> (L.qKnBuckets _),
+    "q_kn3_logprob" -> (L.qKn3Logprob _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
@@ -506,6 +507,7 @@ object SparkEntry {
     "q_trigram_logprob" -> L.qTrigramLogprobSql,
     "q_kn_logprob" -> L.qKnLogprobSql,
     "q_kn_buckets" -> L.qKnBucketsSql,
+    "q_kn3_logprob" -> L.qKn3LogprobSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,

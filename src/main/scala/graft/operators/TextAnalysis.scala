@@ -1877,6 +1877,137 @@ object TextAnalysis {
                 scripted: Boolean = false): DataFrame =
     knLmApply(knLmTrain(docs, textCol, scripted), docs, id, textCol, scripted)
 
+  /** ORDER-3 interpolated Kneser-Ney — the full KenLM-class model
+    * (Chen & Goodman 1999 eq. 18-20 at n=3): the top order uses RAW
+    * trigram counts; every lower order uses CONTINUATION counts (how
+    * many distinct contexts the n-gram completes — computed from the
+    * trigram TYPE table, never the raw censuses):
+    *
+    *   p3(w3|w1w2) = (c123 − D3)/c12 + λ3(w1w2)·p2'(w3|w2)
+    *   p2'(w3|w2)  = (ct(w2w3) − D2)/mid(w2) + λ2'(w2)·p1'(w3)
+    *   p1'(w3)     = c1t(w3)/T
+    *
+    * with ct(w2w3) = |{w1 : c(w1w2w3)>0}|, mid(w2) = Σ_w3 ct,
+    * c1t(w3) = |{w2 : ct(w2w3)>0}|, T = Σ c1t, λ = discount mass, and
+    * each order's D from its own count-of-counts (D3 over c123, D2
+    * over ct — counts OF continuation counts), clamped 0.5 when the
+    * level has no singletons.
+    *
+    * Model frame (ord, gram, q) on the 1e-6 quantized-log grid:
+    *   ord 3: seen trigram → full interpolated ln p3
+    *   ord 2: (w2 w3) suffix type → ln p2'
+    *   ord 1: context (w1 w2) → ln λ3     (discount mass)
+    *   ord 0: context w2 → ln λ2'
+    *   ord −1: w3 → ln p1'
+    *   ord −2: the OOV floor ln(1/T)
+    * Unseen grams INTEGER-ADD quantized logs down the cascade
+    * (q = q3 ∥ l3+(q2 ∥ l2+(qc ∥ qf)) — [[knLmApply]]'s rule one
+    * level deeper).
+    *
+    * Scale shape: ONE trigram shingle census; every other table
+    * (suffix continuation counts, middles, contexts, count-of-counts)
+    * regroups the model-sized TYPE table, never the corpus; discount
+    * constants ride a broadcast 1-row cross join. */
+  def knTrigramTrain(docs: DataFrame, textCol: String = "text",
+                     scripted: Boolean = false): DataFrame = {
+    val t3 = docs.select(explode(
+        graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
+          scripted = scripted)).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      .withColumn("w12", substring_index(col("tri"), " ", 2))
+      .withColumn("w23", substring_index(col("tri"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tri"), " ", -1))
+    val ctx12 = t3.groupBy(col("w12"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("t12"))
+    // continuation table: one row per (w2, w3) suffix TYPE
+    val cc = t3.groupBy(col("w23"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+    val mid = cc.groupBy(col("w2"))
+      .agg(sum(col("ct")).as("mid"), count(lit(1)).as("t2"))
+    val c1t = cc.groupBy(col("w3")).agg(count(lit(1)).as("c1t"))
+    def disc(cnts: DataFrame, c: String): DataFrame = cnts.agg(
+        sum(when(col(c) === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col(c) === 2, 1L).otherwise(0L)).as("__n2"))
+      .select(when(col("__n1") === 0, lit(0.5))
+        .otherwise(col("__n1").cast(DoubleType) /
+          (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType)).as("__d"))
+    val g = disc(t3, "c3").withColumnRenamed("__d", "__d3")
+      .crossJoin(disc(cc, "ct").withColumnRenamed("__d", "__d2"))
+      .crossJoin(cc.agg(count(lit(1)).cast(DoubleType).as("__t")))
+    // p2' per (w2,w3) suffix type — staged: m3 re-reads it
+    val p2 = cc.join(mid, Seq("w2")).join(c1t, Seq("w3"))
+      .crossJoin(broadcast(g))
+      .withColumn("__p2",
+        (col("ct") - col("__d2")) / col("mid") +
+          ((col("__d2") * col("t2")) / col("mid")) *
+          (col("c1t") / col("__t")))
+    val m2 = p2.select(lit(2L).as("ord"), col("w23").as("gram"),
+      floor(log(col("__p2")) * 1e6 + 0.5).cast(LongType).as("q"))
+    val m3 = t3.join(ctx12, Seq("w12"))
+      .join(p2.select(col("w23"), col("__p2")), Seq("w23"))
+      .crossJoin(broadcast(g))
+      .select(lit(3L).as("ord"), col("tri").as("gram"),
+        floor(log((col("c3") - col("__d3")) / col("c12") +
+            ((col("__d3") * col("t12")) / col("c12")) * col("__p2"))
+          * 1e6 + 0.5).cast(LongType).as("q"))
+    val l3 = ctx12.crossJoin(broadcast(g))
+      .select(lit(1L).as("ord"), col("w12").as("gram"),
+        floor(log((col("__d3") * col("t12")) / col("c12")) * 1e6 + 0.5)
+          .cast(LongType).as("q"))
+    val l2 = mid.crossJoin(broadcast(g))
+      .select(lit(0L).as("ord"), col("w2").as("gram"),
+        floor(log((col("__d2") * col("t2")) / col("mid")) * 1e6 + 0.5)
+          .cast(LongType).as("q"))
+    val m1 = c1t.crossJoin(broadcast(g))
+      .select(lit(-1L).as("ord"), col("w3").as("gram"),
+        floor(log(col("c1t") / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
+    val mf = g.select(lit(-2L).as("ord"), lit("").as("gram"),
+      floor(log(lit(1.0) / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
+    m3.unionByName(m2).unionByName(l3).unionByName(l2)
+      .unionByName(m1).unionByName(mf)
+  }
+
+  /** Score a corpus under a trained order-3 interpolated-KN model —
+    * [[knLmApply]] one level deeper: seen trigrams read their single
+    * quantized score; the cascade integer-adds discount-mass logs at
+    * each unseen level (0 when the context itself is unseen — weight-1
+    * backoff). `n_backed_off` counts positions below ord 3. Docs with
+    * < 3 words are absent. One trigram census, five model-sized
+    * key-joins, the floor broadcast. */
+  def knTrigramApply(model: DataFrame, docs: DataFrame,
+                     id: String = "doc_id", textCol: String = "text",
+                     scripted: Boolean = false): DataFrame = {
+    val tf = docs.select(col(id), explode(
+        graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
+          scripted = scripted)).as("tri"))
+      .groupBy(col(id), col("tri")).agg(count(lit(1)).as("tf"))
+      .withColumn("w12", substring_index(col("tri"), " ", 2))
+      .withColumn("w23", substring_index(col("tri"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tri"), " ", -1))
+    def part(ord: Long, key: String, as: String) = model
+      .where(col("ord") === ord).select(col("gram").as(key), col("q").as(as))
+    val mf = model.where(col("ord") === -2).select(col("q").as("qf"))
+    tf.join(part(3L, "tri", "q3"), Seq("tri"), "left")
+      .join(part(2L, "w23", "q2"), Seq("w23"), "left")
+      .join(part(1L, "w12", "l3"), Seq("w12"), "left")
+      .join(part(0L, "w2", "l2"), Seq("w2"), "left")
+      .join(part(-1L, "w3", "qc"), Seq("w3"), "left")
+      .crossJoin(broadcast(mf))
+      .withColumn("__q", coalesce(col("q3"),
+        coalesce(col("l3"), lit(0L)) + coalesce(col("q2"),
+          coalesce(col("l2"), lit(0L)) + coalesce(col("qc"), col("qf")))))
+      .withColumn("__bo", when(col("q3").isNull, col("tf")).otherwise(lit(0L)))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf") * col("__q")).as("__sq"),
+        sum(col("__bo")).as("n_backed_off"))
+      .select(col(id), col("n_trigrams"), col("n_backed_off"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_trigrams"), 6)
+          .as("mean_logprob"))
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family): chunk
     * boundaries fall where the rolling trigram hash ≡ 0 (mod divisor)
     * — a pure function of LOCAL content, so inserting or deleting

@@ -6503,6 +6503,92 @@ object LlmQueries {
     s"""WITH $knScoreCtes
        |SELECT doc_id, n_bigrams, n_backed_off, mean_logprob FROM d""".stripMargin
 
+  /** Order-3 interpolated Kneser-Ney — the full KenLM-class model
+    * (top order raw counts, lower orders CONTINUATION counts, per-level
+    * discounts from each level's own count-of-counts): train on even
+    * docs, score all. The oracle rebuilds the trigram TYPE table, the
+    * continuation/middle/context censuses, both discounts, the staged
+    * p2' column, and the 6-part quantized-log cascade. */
+  def qKn3Logprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = TextAnalysis.knTrigramTrain(docs.where(col("doc_id") % 2 === 0))
+    TextAnalysis.knTrigramApply(model, docs)
+  }
+
+  val qKn3LogprobSql: String = {
+    def triList(w: String) =
+      s"""CASE WHEN len($w) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($w)-2),
+         |      i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) END""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
+       |t3 AS MATERIALIZED (SELECT tri, CAST(count(*) AS BIGINT) AS c3,
+       |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+       |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+       |    split_part(tri, ' ', 2) AS w2, split_part(tri, ' ', 3) AS w3
+       |  FROM (SELECT unnest(${triList("w")}) AS tri FROM trws) GROUP BY 1),
+       |ctx12 AS (SELECT w12, CAST(sum(c3) AS BIGINT) AS c12,
+       |    CAST(count(*) AS BIGINT) AS t12 FROM t3 GROUP BY 1),
+       |cc AS MATERIALIZED (SELECT w23, w2, w3, CAST(count(*) AS BIGINT) AS ct
+       |  FROM t3 GROUP BY 1, 2, 3),
+       |mid AS (SELECT w2, CAST(sum(ct) AS BIGINT) AS mid,
+       |    CAST(count(*) AS BIGINT) AS t2 FROM cc GROUP BY 1),
+       |c1t AS (SELECT w3, CAST(count(*) AS BIGINT) AS c1t FROM cc GROUP BY 1),
+       |gd3 AS (SELECT CASE WHEN n1 = 0 THEN CAST(0.5 AS DOUBLE)
+       |    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d3
+       |  FROM (SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |      CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM t3)),
+       |gd2 AS (SELECT CASE WHEN n1 = 0 THEN CAST(0.5 AS DOUBLE)
+       |    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d2
+       |  FROM (SELECT CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |      CAST(sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM cc)),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cc),
+       |p2 AS MATERIALIZED (SELECT cc.w23, cc.w2, cc.w3,
+       |    (ct - d2) / mid + ((d2 * t2) / mid) * (c1t / t) AS p2
+       |  FROM cc JOIN mid USING (w2) JOIN c1t USING (w3)
+       |  CROSS JOIN gd2 CROSS JOIN tt),
+       |m3 AS (SELECT tri, CAST(floor(ln((c3 - d3) / c12 +
+       |      ((d3 * t12) / c12) * p2.p2) * 1e6 + 0.5) AS BIGINT) AS q3
+       |  FROM t3 JOIN ctx12 USING (w12) JOIN p2 ON t3.w23 = p2.w23
+       |  CROSS JOIN gd3),
+       |m2 AS (SELECT w23, CAST(floor(ln(p2) * 1e6 + 0.5) AS BIGINT) AS q2
+       |  FROM p2),
+       |l3 AS (SELECT w12, CAST(floor(ln((d3 * t12) / c12) * 1e6 + 0.5)
+       |    AS BIGINT) AS l3 FROM ctx12 CROSS JOIN gd3),
+       |l2 AS (SELECT w2, CAST(floor(ln((d2 * t2) / mid) * 1e6 + 0.5)
+       |    AS BIGINT) AS l2 FROM mid CROSS JOIN gd2),
+       |m1 AS (SELECT w3, CAST(floor(ln(c1t / t) * 1e6 + 0.5) AS BIGINT) AS qc
+       |  FROM c1t CROSS JOIN tt),
+       |mf AS (SELECT CAST(floor(ln(CAST(1.0 AS DOUBLE) / t) * 1e6 + 0.5)
+       |    AS BIGINT) AS qf FROM tt),
+       |atf AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(${triList("w")}) AS tri FROM ws) GROUP BY 1, 2),
+       |atw AS (SELECT doc_id, tri, tf,
+       |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+       |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+       |    split_part(tri, ' ', 2) AS w2, split_part(tri, ' ', 3) AS w3
+       |  FROM atf),
+       |j AS (SELECT doc_id, tf,
+       |    coalesce(m3.q3, coalesce(l3.l3, CAST(0 AS BIGINT)) +
+       |      coalesce(m2.q2, coalesce(l2.l2, CAST(0 AS BIGINT)) +
+       |        coalesce(m1.qc, mf.qf))) AS q,
+       |    CASE WHEN m3.q3 IS NULL THEN tf ELSE CAST(0 AS BIGINT) END AS bo
+       |  FROM atw
+       |  LEFT JOIN m3 USING (tri)
+       |  LEFT JOIN m2 ON atw.w23 = m2.w23
+       |  LEFT JOIN l3 ON atw.w12 = l3.w12
+       |  LEFT JOIN l2 ON atw.w2 = l2.w2
+       |  LEFT JOIN m1 ON atw.w3 = m1.w3
+       |  CROSS JOIN mf),
+       |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(bo) AS BIGINT) AS n_backed_off,
+       |    CAST(sum(tf * q) AS BIGINT) AS sq
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, n_trigrams, n_backed_off,
+       |  floor((sq / 1e6 / n_trigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |FROM d""".stripMargin
+  }
+
   /** The CCNet bucket-apply half under the KN model: tertile cut
     * points estimated from the TRAIN half's self-scores only (new data
     * never shifts the cuts — the lmBucketsApply doctrine) via the

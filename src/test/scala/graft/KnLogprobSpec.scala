@@ -115,6 +115,53 @@ class KnLogprobSpec extends SparkSpec {
       "the ord filter must collapse the model union to its one live branch")
   }
 
+  test("ORDER-3: interpolated KN is normalized at every level") {
+    val docs = (0 until 150).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2} w${i % 3}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.knTrigramTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def part(o: Long) = model.collect { case (`o`, g, q) => g -> q }.toMap
+    val q3 = part(3L); val q2 = part(2L); val l3 = part(1L)
+    val l2 = part(0L); val qc = part(-1L)
+    val vocab = qc.keySet
+    def e(q: Long) = math.exp(q / 1e6)
+    def p2of(w2: String, w3: String): Double =
+      q2.get(s"$w2 $w3").map(e)
+        .getOrElse(e(l2(w2)) * e(qc(w3)))
+    // level 2: sum_w3 p2'(w3|w2) == 1 per middle context
+    l2.keySet.foreach { w2 =>
+      val s = vocab.toSeq.map(w3 => p2of(w2, w3)).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"p2' context $w2: mass $s")
+    }
+    // level 3: sum_w3 p3(w3|w1w2) == 1 per seen trigram context
+    l3.keySet.foreach { w12 =>
+      val w2 = w12.split(" ")(1)
+      val s = vocab.toSeq.map { w3 =>
+        q3.get(s"$w12 $w3").map(e)
+          .getOrElse(e(l3(w12)) * p2of(w2, w3))
+      }.sum
+      assert(math.abs(s - 1.0) < 1e-3, s"p3 context $w12: mass $s")
+    }
+  }
+
+  test("ORDER-3: cascade levels and composition parity") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.knTrigramTrain(docs)
+    val self = TextAnalysis.knTrigramApply(model, docs).collect()
+    assert(self.forall(_.getLong(2) === 0L), "own corpus: zero backoff")
+    // every cascade level exercised by probes
+    val probe = Seq(
+      (11L, "w1 w1 zz"),     // unseen w3 -> the floor path
+      (12L, "zz qq w1")      // unseen contexts -> continuation only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knTrigramApply(model, probe).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(11L) === 1L && out(12L) === 1L)
+  }
+
   test("degenerate corpus with no singleton bigrams clamps D to 0.5 (no ln(0))") {
     // every bigram occurs exactly twice -> n1 = 0
     val docs = Seq((0L, "x y x y"), (1L, "x y x y")).toDF("doc_id", "text")
