@@ -23,40 +23,16 @@ import graft.functions.Portable
   */
 object Dedup {
 
-  /** Intermediates persisted by the multi-scan operators below
-    * (minhashLshPairs, ngramJaccardPairs/ContainmentPairs, buildIndex,
-    * dedupAgainstIndex, bandedHammingPairs), tracked per session so a
-    * library caller can release them without nuking unrelated caches
-    * via `spark.catalog.clearCache()`. The results are LAZY frames, so
-    * the operators themselves can never unpersist — the caller owns
-    * the lifecycle: materialize the result, then [[releaseCaches]]. */
-  private val trackedCaches =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      java.util.Set[DataFrame]]()
+  import TrackedCaches.TrackedPersist
 
-  private implicit class TrackedPersist(private val df: DataFrame) {
-    def trackedPersist: DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      trackedCaches.computeIfAbsent(p.sparkSession,
-        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()).add(p)
-      p
-    }
-  }
-
-  /** Unpersist every intermediate a Dedup operator has persisted in
-    * `spark` (non-blocking) and return how many frames were released.
-    * Call after materializing operator results; repeated calls are
-    * no-ops. Unlike `clearCache()` this leaves caller-owned caches
-    * (and other operators') untouched. */
-  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Int = {
-    val set = trackedCaches.remove(spark)
-    if (set == null) 0
-    else {
-      var n = 0
-      set.forEach { df => df.unpersist(blocking = false); n += 1 }
-      n
-    }
-  }
+  /** Unpersist every intermediate the multi-scan operators have
+    * persisted in `spark` — the [[TrackedCaches.release]] alias kept
+    * for API stability (the registry is shared across operator
+    * objects since r18: Dedup's shingle/signature frames and
+    * TextAnalysis's KN type tables live in one registry; a caller
+    * releasing "dedup caches" wants the lot). */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Int =
+    TrackedCaches.release(spark)
 
   /** Exact dedup: group by content hash, keep the smallest id.
     * One shuffle on md5(text) — uniformly distributed by construction. */

@@ -1909,20 +1909,33 @@ object TextAnalysis {
     * regroups the model-sized TYPE table, never the corpus; discount
     * constants ride a broadcast 1-row cross join. */
   def knTrigramTrain(docs: DataFrame, textCol: String = "text",
-                     scripted: Boolean = false): DataFrame = {
-    val t3 = docs.select(explode(
+                     scripted: Boolean = false,
+                     cacheTypeTables: Boolean = false): DataFrame = {
+    import TrackedCaches.TrackedPersist
+    // the TYPE tables are multi-referenced (t3 by 4 branches, cc by 5)
+    // and per-branch column pruning differentiates their exchanges, so
+    // AQE reuse can NOT dedup them (probed: 0 ReusedExchange — every
+    // branch re-scans the train corpus). cacheTypeTables trackedPersists
+    // both (released via Dedup.releaseCaches): at 100 TB the
+    // model-sized type tables on disk beat six corpus scans decisively;
+    // at bench scale idle cores hide the duplicate scans and the
+    // persist's stage barriers LOSE (measured 3.1 s → 4.4 s at sf0.1)
+    // — the kmeansFit cacheInput trade-off, same default: off.
+    def maybeCache(df: DataFrame): DataFrame =
+      if (cacheTypeTables) df.trackedPersist else df
+    val t3 = maybeCache(docs.select(explode(
         graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
           scripted = scripted)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("c3"))
       .withColumn("w12", substring_index(col("tri"), " ", 2))
       .withColumn("w23", substring_index(col("tri"), " ", -2))
       .withColumn("w2", substring_index(col("w23"), " ", 1))
-      .withColumn("w3", substring_index(col("tri"), " ", -1))
+      .withColumn("w3", substring_index(col("tri"), " ", -1)))
     val ctx12 = t3.groupBy(col("w12"))
       .agg(sum(col("c3")).as("c12"), count(lit(1)).as("t12"))
     // continuation table: one row per (w2, w3) suffix TYPE
-    val cc = t3.groupBy(col("w23"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("ct"))
+    val cc = maybeCache(t3.groupBy(col("w23"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct")))
     val mid = cc.groupBy(col("w2"))
       .agg(sum(col("ct")).as("mid"), count(lit(1)).as("t2"))
     val c1t = cc.groupBy(col("w3")).agg(count(lit(1)).as("c1t"))

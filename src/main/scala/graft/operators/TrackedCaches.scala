@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of intermediates persisted by MULTI-SCAN
+  * operators (Dedup's shingle/signature frames, the KN trigram type
+  * tables, …), so a library caller can release every operator cache
+  * without nuking unrelated caches via `spark.catalog.clearCache()`.
+  * Operator results are LAZY frames, so the operators themselves can
+  * never unpersist — the caller owns the lifecycle: materialize the
+  * result, then [[release]] (or the [[Dedup.releaseCaches]] alias).
+  * Repeated release calls are no-ops. */
+object TrackedCaches {
+
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.Set[DataFrame]]()
+
+  private[operators] implicit class TrackedPersist(private val df: DataFrame)
+      extends AnyVal {
+    def trackedPersist: DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      reg.computeIfAbsent(p.sparkSession,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()).add(p)
+      p
+    }
+  }
+
+  /** Unpersist every tracked operator intermediate in `spark`
+    * (non-blocking); returns how many frames were released. */
+  def release(spark: SparkSession): Int = {
+    val set = reg.remove(spark)
+    if (set == null) 0
+    else {
+      var n = 0
+      set.forEach { df => df.unpersist(blocking = false); n += 1 }
+      n
+    }
+  }
+}

@@ -162,6 +162,18 @@ class KnLogprobSpec extends SparkSpec {
     assert(out(11L) === 1L && out(12L) === 1L)
   }
 
+  test("ORDER-3: cacheTypeTables is a pure execution knob (identical model)") {
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7}")
+    }.toDF("doc_id", "text")
+    val plain = TextAnalysis.knTrigramTrain(docs)
+      .collect().map(_.toString).sorted.toSeq
+    val cached = TextAnalysis.knTrigramTrain(docs, cacheTypeTables = true)
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(plain === cached)
+  }
+
   test("degenerate corpus with no singleton bigrams clamps D to 0.5 (no ln(0))") {
     // every bigram occurs exactly twice -> n1 = 0
     val docs = Seq((0L, "x y x y"), (1L, "x y x y")).toDF("doc_id", "text")
