@@ -249,6 +249,25 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the WordPiece encoder (operators/TextAnalysis
+    * .wordpieceEncode): the vocabulary frame is STATIC and resolved
+    * ONCE at stream setup (the unigramEncodeStream convention — never
+    * a per-micro-batch collect); encoding is per-word local, so batch
+    * boundaries are invisible. Parity pinned in StreamingSpec. */
+  def wordpieceEncodeStream(docs: DataFrame, vocabFrame: DataFrame,
+                            maxPieceLen: Int = 3, unk: String = "[UNK]")(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "wordpieceEncodeStream is streaming-only: use TextAnalysis.wordpieceEncode for batch frames")
+    require(!vocabFrame.isStreaming, "the WordPiece vocab frame must be static")
+    // resolve the model once (localCheckpoint pins the static snapshot)
+    val vocab = vocabFrame.localCheckpoint(true)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.wordpieceEncode(batch, vocab,
+        maxPieceLen, unk), batchId)
+    }
+  }
+
   /** Streaming twin of the interpolated Kneser-Ney scorer (operators/
     * TextAnalysis.knLmApply): the long-form (ord, gram, q) model frame
     * is STATIC (trained offline on the held reference — the CCNet

@@ -39,6 +39,29 @@ class ScaleLinearitySpec extends SparkSpec {
     assertLinear("q_image_phash")
   }
 
+  test("q_winnow_pairs: planted recall exact, incidental share bounded") {
+    // planted pairs are id-salted (df=2 by construction) — EXACTLY one
+    // per corpus doc at every scale; incidental rare-gram pairs ride
+    // along but must stay a bounded multiple (df-cap squeezes them
+    // HARDER as the corpus grows, so they cannot go quadratic)
+    assume(new java.io.File("/root/testdata/sf0.1/documents.parquet").exists())
+    import org.apache.spark.sql.functions.expr
+    val rates = Seq("0.01" -> 500L, "0.1" -> 5000L).map { case (sf, nDocs) =>
+      spark.catalog.clearCache()
+      val df = graft.queries.LlmQueries.qWinnowPairs(spark, s"/root/testdata/sf$sf")
+      val planted = df.where(expr("id_b = id_a + 1 AND id_a % 2 = 0")).count()
+      val total = df.count()
+      assert(planted === nDocs, s"sf$sf: planted recall $planted != $nDocs")
+      assert(total < 12 * nDocs,
+        s"sf$sf: $total pairs for $nDocs docs — incidental share blew up")
+      total.toDouble / nDocs
+    }
+    // the df-cap squeezes incidental rare-gram pairs HARDER as the
+    // corpus grows: the per-doc pair rate must not increase at 10x
+    assert(rates(1) <= rates(0),
+      s"per-doc pair rate grew with the corpus: ${rates(0)} -> ${rates(1)}")
+  }
+
   test("q_audio_fingerprint pairs grow linearly with the corpus") {
     assertLinear("q_audio_fingerprint")
   }

@@ -1392,6 +1392,50 @@ class StreamingSpec extends SparkSpec {
     assert(b === Map(100L -> 1L, 105L -> 0L, 109L -> 0L, 111L -> 1L, 120L -> 0L))
   }
 
+  test("license scan runs unchanged on a document stream (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\ncode()"),
+      (2L, "under the GNU General Public License\nbody"),
+      (3L, "plain unlicensed text"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = graft.operators.TextAnalysis.licenseScan(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lic_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lic_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextAnalysis.licenseScan(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_.getString(4)) === Seq("permissive", "copyleft", "unknown"))
+  }
+
+  test("wordpieceEncodeStream: static vocab encodes a stream with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = graft.operators.TextAnalysis.wordpieceVocabFrame(spark,
+      graft.queries.LlmQueries.WordpieceFixedVocab)
+    val docs = Seq((1L, "the thing"), (2L, "ab9cd unrest"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Streams.wordpieceEncodeStream(
+        input.toDF().toDF("doc_id", "text"), vocab) {
+      (pieces, _) => acc.synchronized { acc ++= pieces.collect().map(_.toString) }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.wordpieceEncode(
+        docs.toDF("doc_id", "text"), vocab)
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+  }
+
   test("knScoreStream: static KN model scores a stream with exact batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
