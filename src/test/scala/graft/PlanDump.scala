@@ -49,7 +49,12 @@ object PlanDump {
       "q_bm25_index_merge", "q_registrable_domain", "q_fim_transform",
       "q_bleu_pairs", "q_domain_cap", "q_rouge_pairs", "q_length_batch",
       "q_contam_e2e", "q_mmr_select", "q_chat_tree",
-      "q_unigram_train_cjk", "q_chrf_pairs", "q_markdown_extract")
+      "q_unigram_train_cjk", "q_chrf_pairs", "q_markdown_extract",
+      // round-18 families
+      "q_kn_logprob", "q_kn_buckets", "q_kn3_logprob",
+      "q_notebook_extract", "q_code_rules", "q_latex_extract",
+      "q_tokenizer_fertility", "q_wordpiece_train", "q_wordpiece_encode",
+      "q_winnow_fingerprints", "q_winnow_pairs", "q_license_scan")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
