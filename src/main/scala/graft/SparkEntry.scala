@@ -135,6 +135,7 @@ object SparkEntry {
     // robust winnowing fingerprints (MOSS) — guarantee-backed selection
     "q_winnow_fingerprints" -> (L.qWinnowFingerprints _),
     "q_winnow_pairs" -> (L.qWinnowPairs _),
+    "q_winnow_index_merge" -> (L.qWinnowIndexMerge _),
     // BPE tokenization under a fixed merge-rank table
     "q_bpe_encode" -> (L.qBpeEncode _),
     // the BPE TRAINER gated by merge-trajectory replay
@@ -465,6 +466,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_winnow_fingerprints" -> L.qWinnowFingerprintsSql,
     "q_winnow_pairs" -> L.qWinnowPairsSql,
+    "q_winnow_index_merge" -> L.qWinnowIndexMergeSql,
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_bpe_train" -> L.qBpeTrainSql,
     "q_bpe_train_dist" -> L.qBpeTrainDistSql,

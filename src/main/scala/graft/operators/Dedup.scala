@@ -698,10 +698,33 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
                   minCommon: Int = 2,
                   dfCap: Int = graft.Config.ShingleDfCap,
-                  id: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w, id, textCol)
+                  id: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowPairsFrom(buildWinnowIndex(docs, k, w, id, textCol), minCommon,
+      dfCap, id)
+
+  /** The winnow fingerprint INDEX — the per-doc distinct selected-hash
+    * set as a WRITABLE (doc_id, hash) frame (the train/apply doctrine:
+    * fingerprint the corpus offline, store, merge shard indexes, pair
+    * against the merged frame). Doc-keyed APPEND-ONLY rows, so merging
+    * indexes over disjoint ids is exact by construction — the
+    * mergeable-index doctrine's case (b); q_winnow_index_merge proves
+    * it by replaying the whole-corpus pair oracle verbatim against a
+    * merged-halves index. */
+  def buildWinnowIndex(docs: DataFrame, k: Int = 5, w: Int = 4,
+                       id: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    winnowFingerprints(docs, k, w, id, textCol)
       .select(col(id), col("hash")).distinct()
-      .trackedPersist
+
+  /** [[winnowPairs]] from an already-built fingerprint index frame
+    * (e.g. re-read from parquet, or a union of shard indexes). The
+    * df cap is computed over THIS frame's universe — pair semantics
+    * are a pure function of the index, which is what makes
+    * merge == rebuild provable. */
+  def winnowPairsFrom(index: DataFrame, minCommon: Int = 2,
+                      dfCap: Int = graft.Config.ShingleDfCap,
+                      id: String = "doc_id"): DataFrame = {
+    val fp = index.select(col(id), col("hash")).distinct().trackedPersist
     val rare = fp.groupBy(col("hash")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("hash")
     val kept = fp.join(rare, Seq("hash")).trackedPersist

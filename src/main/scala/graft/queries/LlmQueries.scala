@@ -4219,20 +4219,8 @@ object LlmQueries {
     * contract (probed ~linear: 3.8k/4.2k/18k rows at 1×/1×/10× docs).
     * The oracle replays selection, the df cap, and the hash
     * self-join. */
-  def qWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val i = col("doc_id")
-    val s = i.cast("string")
-    val saltedHead = array_join(transform(
-      slice(filter(Portable.words(col("text")), w => length(w) > 0), 1, 8),
-      w => concat(lit("u"), s, w)), " ")
-    val variants = Tables(spark, dir).documents
-      .select(i, saltedHead.as("__h8"), explode(sequence(lit(0L), lit(1L))).as("v"))
-      .select((i * 2 + col("v")).as("doc_id"),
-        concat(col("__h8"),
-          when(col("v") === 0, lit(" alpha end marker"))
-            .otherwise(lit(" omega tail marker"))).as("text"))
-    Dedup.winnowPairs(variants, minCommon = 3)
-  }
+  def qWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(winnowVariants(spark, dir), minCommon = 3)
 
   val qWinnowPairsSql: String = {
     val fixture =
@@ -4259,6 +4247,40 @@ object LlmQueries {
        |FROM pr JOIN cnt na ON pr.id_a = na.doc_id
        |JOIN cnt nb ON pr.id_b = nb.doc_id""".stripMargin
   }
+
+  /** The winnow-pair fixture variants as a reusable frame (shared by
+    * q_winnow_pairs and the index-merge row — one copy, or an edit to
+    * one silently decouples the other's oracle). */
+  private def winnowVariants(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val saltedHead = array_join(transform(
+      slice(filter(Portable.words(col("text")), w => length(w) > 0), 1, 8),
+      w => concat(lit("u"), s, w)), " ")
+    Tables(spark, dir).documents
+      .select(i, saltedHead.as("__h8"), explode(sequence(lit(0L), lit(1L))).as("v"))
+      .select((i * 2 + col("v")).as("doc_id"),
+        concat(col("__h8"),
+          when(col("v") === 0, lit(" alpha end marker"))
+            .otherwise(lit(" omega tail marker"))).as("text"))
+  }
+
+  /** MERGEABLE winnow index, gated by the rebuilt-index replay
+    * VERBATIM (the q_dedup_index_merge doctrine): build two shard
+    * indexes over disjoint doc-id halves, merge by union, pair against
+    * the merged frame — the oracle is qWinnowPairsSql unchanged, so
+    * any merge-vs-rebuild divergence (a lost row, a df drift, a
+    * double-counted hash) fails the hash gate. */
+  def qWinnowIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = winnowVariants(spark, dir)
+    val ixA = Dedup.buildWinnowIndex(docs.where(col("doc_id") % 4 < 2))
+    val ixB = Dedup.buildWinnowIndex(docs.where(col("doc_id") % 4 >= 2))
+    Dedup.winnowPairsFrom(ixA.unionByName(ixB), minCommon = 3)
+  }
+
+  /** Same expected output as the whole-corpus pair replay — the whole
+    * point (merge == rebuild, proven inside the gate). */
+  lazy val qWinnowIndexMergeSql: String = qWinnowPairsSql
 
   // ---- BPE encoding with a fixed merge table ----
 

@@ -100,6 +100,28 @@ class WinnowingSpec extends SparkSpec {
       s"expected exactly the planted pairs, got $pairs")
   }
 
+  test("winnow index merge == rebuild (doc-keyed append under disjoint ids)") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"document $i with shared words and tag${i % 5} body")
+    }.toDF("doc_id", "text")
+    val whole = Dedup.buildWinnowIndex(docs)
+      .collect().map(_.toString).sorted.toSeq
+    val merged = Dedup.buildWinnowIndex(docs.where($"doc_id" < 20))
+      .unionByName(Dedup.buildWinnowIndex(docs.where($"doc_id" >= 20)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(whole === merged)
+    // and pairing from the merged index equals pairing from the docs
+    val a = Dedup.winnowPairs(docs, minCommon = 2, dfCap = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Dedup.winnowPairsFrom(
+        Dedup.buildWinnowIndex(docs.where($"doc_id" < 20))
+          .unionByName(Dedup.buildWinnowIndex(docs.where($"doc_id" >= 20))),
+        minCommon = 2, dfCap = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("density approaches 2/(w+1) on hash-random text") {
     val text = (0 until 4000).map(i => ('a' + (i * 2654435761L % 26).toInt).toChar).mkString
     val n = text.length - (K - 1)
