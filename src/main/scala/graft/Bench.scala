@@ -150,7 +150,8 @@ object Bench {
     "q_winnow_pairs" -> 1.28,
     // order-3 interpolated KN: 6 model-sized censuses + 5 apply joins
     // (min-of-3 on a 1.6-1.8x loaded host — conservative)
-    "q_kn3_logprob" -> 3.08, "q_winnow_index_merge" -> 1.91)
+    "q_kn3_logprob" -> 3.08, "q_winnow_index_merge" -> 1.91,
+    "q_kn_logprob_cjk" -> 1.80)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

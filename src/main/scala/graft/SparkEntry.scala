@@ -205,6 +205,7 @@ object SparkEntry {
     "q_kn_logprob" -> (L.qKnLogprob _),
     "q_kn_buckets" -> (L.qKnBuckets _),
     "q_kn3_logprob" -> (L.qKn3Logprob _),
+    "q_kn_logprob_cjk" -> (L.qKnLogprobCjk _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
     // delta dedup of a new batch against a pre-built corpus index
@@ -510,6 +511,7 @@ object SparkEntry {
     "q_kn_logprob" -> L.qKnLogprobSql,
     "q_kn_buckets" -> L.qKnBucketsSql,
     "q_kn3_logprob" -> L.qKn3LogprobSql,
+    "q_kn_logprob_cjk" -> L.qKnLogprobCjkSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,

@@ -6467,16 +6467,20 @@ object LlmQueries {
     TextAnalysis.knLmApply(model, docs)
   }
 
-  /** The KN model + apply replay as shared CTE text (parameterized so
-    * the buckets row reuses every CTE below the score table verbatim —
-    * the unigramTrainSqlFrom doctrine). Ends with CTE `d` =
+  /** The KN model + apply replay as shared CTE text, parameterized by
+    * (source table, tokenizer mode) — the r17 day-one doctrine: the
+    * buckets row and the CJK twin reuse every CTE below the score
+    * table verbatim. Ends with CTE `d` =
     * (doc_id, n_bigrams, n_backed_off, mean_logprob). */
-  private def knScoreCtes: String = {
+  private def knScoreCtes: String = knScoreCtesFrom("documents")
+
+  private def knScoreCtesFrom(t: String, scripted: Boolean = false): String = {
+    val words = if (scripted) scriptedWordsSql("text") else wordsSql("text")
     def bigList(w: String) =
       s"""CASE WHEN len($w) < 2 THEN []
          |    ELSE list_transform(generate_series(1, len($w)-1),
          |      i -> $w[i] || ' ' || $w[i+1]) END""".stripMargin
-    s"""ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+    s"""ws AS (SELECT doc_id, $words AS w FROM $t),
        |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
        |cb AS (SELECT big, CAST(count(*) AS BIGINT) AS c2,
        |    split_part(big, ' ', 1) AS w1, split_part(big, ' ', 2) AS w2
@@ -6523,6 +6527,25 @@ object LlmQueries {
 
   val qKnLogprobSql: String =
     s"""WITH $knScoreCtes
+       |SELECT doc_id, n_bigrams, n_backed_off, mean_logprob FROM d""".stripMargin
+
+  /** KN over the mixed-script corpus under the SCRIPTED tokenizer —
+    * the composition row proving the CJK segmenter reaches the KN
+    * family end to end (the qUnigramLogprobCjk story at order 2 with
+    * real smoothing): under whitespace tokenization every zh tail is
+    * ONE rare context; scripted, the tails decompose into
+    * per-ideograph/per-run tokens whose continuation counts the model
+    * actually estimates. Train on even docs, apply to all — the mode
+    * flag threads through BOTH halves (the r17 model-pair rule). */
+  def qKnLogprobCjk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cjkDocs(spark, dir)
+    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0),
+      scripted = true)
+    TextAnalysis.knLmApply(model, docs, scripted = true)
+  }
+
+  lazy val qKnLogprobCjkSql: String =
+    s"""WITH ${knScoreCtesFrom(s"($cjkDocsSql)", scripted = true)}
        |SELECT doc_id, n_bigrams, n_backed_off, mean_logprob FROM d""".stripMargin
 
   /** Order-3 interpolated Kneser-Ney — the full KenLM-class model
