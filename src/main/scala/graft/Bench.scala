@@ -151,7 +151,7 @@ object Bench {
     // order-3 interpolated KN: 6 model-sized censuses + 5 apply joins
     // (min-of-3 on a 1.6-1.8x loaded host — conservative)
     "q_kn3_logprob" -> 3.08, "q_winnow_index_merge" -> 1.91,
-    "q_kn_logprob_cjk" -> 1.80)
+    "q_kn_logprob_cjk" -> 1.80, "q_code_strip" -> 0.31)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

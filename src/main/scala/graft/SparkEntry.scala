@@ -291,6 +291,8 @@ object SparkEntry {
     "q_code_rules" -> (L.qCodeRules _),
     // SPDX + phrase license detection (the permissive-only gate)
     "q_license_scan" -> (L.qLicenseScan _),
+    // string-aware comment stripping (code dedup pre-pass)
+    "q_code_strip" -> (L.qCodeStrip _),
     // power-of-two length buckets: the padding-efficiency report
     "q_length_buckets" -> (L.qLengthBuckets _),
     // Zipf power-law fit over the vocabulary (quantized-ln regression)
@@ -568,6 +570,7 @@ object SparkEntry {
     "q_gopher_rules" -> L.qGopherRulesSql,
     "q_code_rules" -> L.qCodeRulesSql,
     "q_license_scan" -> L.qLicenseScanSql,
+    "q_code_strip" -> L.qCodeStripSql,
     "q_length_buckets" -> L.qLengthBucketsSql,
     "q_zipf_fit" -> L.qZipfFitSql,
     "q_lang_segments" -> L.qLangSegmentsSql,

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Comment stripping for code corpora with STRING-LITERAL awareness —
+  * the step code dedup pipelines run before hashing bodies (license
+  * headers and comment churn otherwise split identical code into
+  * distinct hash groups). A regex cannot do this: `// not a comment`
+  * inside a string literal must survive, `"not a string` inside a
+  * comment must not open one — so this is a 5-state machine (code /
+  * line comment / block comment / double- / single-quoted string with
+  * backslash escapes), one code-point pass per document, no shuffle
+  * (the Pdf/Tar kernel altitude — byte-level grammar with no Catalyst
+  * equivalent).
+  *
+  * Semantics: line comments (`//`, `#`) strip to end-of-line (the
+  * newline SURVIVES — line structure is data); block comments
+  * (slash-star to star-slash, non-nesting, the C family rule — written
+  * out in words here because Scala block comments NEST) collapse to ONE space
+  * so token boundaries survive; strings pass through verbatim.
+  * An unterminated block comment strips to end-of-file AND raises the
+  * `unterminated` flag — data, never an exception (the quarantine
+  * doctrine). Emits struct(text, n_line, n_block, n_comment_chars,
+  * unterminated); n_comment_chars counts code points INSIDE comments
+  * (markers included) — the "how much of this file is prose" signal. */
+case class CodeStrip(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_line", LongType, nullable = false),
+    StructField("n_block", LongType, nullable = false),
+    StructField("n_comment_chars", LongType, nullable = false),
+    StructField("unterminated", LongType, nullable = false)))
+  override def prettyName: String = "code_strip"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val out = new java.lang.StringBuilder(s.length)
+    var nLine = 0L; var nBlock = 0L; var nCc = 0L
+    var unterminated = 0L
+    // states: 0 code, 1 line comment, 2 block comment, 3 "str, 4 'str
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      st match {
+        case 0 =>
+          if (c == '/' && i + 1 < n && s.charAt(i + 1) == '/') {
+            st = 1; nLine += 1; nCc += 2; i += 2
+          } else if (c == '#') {
+            st = 1; nLine += 1; nCc += 1; i += 1
+          } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+            st = 2; nBlock += 1; nCc += 2; i += 2
+          } else if (c == '"') { st = 3; out.append(c); i += 1 }
+          else if (c == '\'') { st = 4; out.append(c); i += 1 }
+          else { out.append(c); i += 1 }
+        case 1 =>
+          if (c == '\n') { st = 0; out.append(c) } else nCc += 1
+          i += 1
+        case 2 =>
+          if (c == '*' && i + 1 < n && s.charAt(i + 1) == '/') {
+            st = 0; nCc += 2; i += 2; out.append(' ')
+          } else { nCc += 1; i += 1 }
+        case q => // 3 or 4: inside a string; backslash escapes pass
+          if (c == '\\' && i + 1 < n) {
+            out.append(c).append(s.charAt(i + 1)); i += 2
+          } else {
+            out.append(c); i += 1
+            if ((q == 3 && c == '"') || (q == 4 && c == '\'')) st = 0
+          }
+      }
+    }
+    if (st == 2) unterminated = 1L
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString), nLine, nBlock, nCc, unterminated))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CodeStrip {
+  def of(text: Column): Column =
+    GraftShim.column(CodeStrip(GraftShim.expression(text)))
+}

@@ -2387,6 +2387,25 @@ object TextAnalysis {
       family.as("family"))
   }
 
+  /** Comment stripping for code corpora (functions.CodeStrip — a
+    * 5-state machine with string-literal awareness; a regex cannot
+    * keep `// x` alive inside a string while killing it outside).
+    * The step code dedup runs before hashing bodies: license headers
+    * and comment churn otherwise split identical code into distinct
+    * hash groups. Emits the stripped text plus the comment censuses
+    * and the unterminated-block quarantine flag. Zero shuffle. */
+  def stripCodeComments(docs: DataFrame, id: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(id),
+        graft.functions.CodeStrip.of(coalesce(col(textCol), lit("")))
+          .as("__c"))
+      .select(col(id),
+        col("__c.text").as("text"),
+        col("__c.n_line").as("n_line_comments"),
+        col("__c.n_block").as("n_block_comments"),
+        col("__c.n_comment_chars").as("n_comment_chars"),
+        col("__c.unterminated").as("unterminated"))
+
   /** T5-style span corruption (the denoising-pretraining data
     * transform), deterministic block-local variant: token positions
     * partition into fixed blocks of `blockSize`; each (doc, block)

@@ -1929,6 +1929,56 @@ object LlmQueries {
       |    WHEN 4 THEN 'permissive' ELSE 'unknown' END AS family
       |FROM documents""".stripMargin
 
+  // ---- code comment stripping (string-aware state machine) ----
+
+  /** Comment stripping over closed-form code constructs (the
+    * q_url_canon expected-output doctrine — the oracle never runs the
+    * state machine): doc%5 wraps the code-char-free corpus text with a
+    * trailing // comment (newline survives), a /* block */ mid-line
+    * (collapses to one space), a STRING containing a // marker (must
+    * pass verbatim — the property a regex cannot deliver), a # comment
+    * at end-of-file, or an UNTERMINATED block (strips to EOF, raises
+    * the quarantine flag). Any state-transition, count, or escape slip
+    * bends an expected string. */
+  def qCodeStrip(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val s = i.cast("string")
+    val src = when(i % 5 === 0, concat(
+        lit("x = "), s, lit(" // note "), s, lit("\n"), col("text")))
+      .when(i % 5 === 1, concat(
+        lit("a"), s, lit(" /* hidden "), s, lit(" */ b"), s, lit(" "),
+        col("text")))
+      .when(i % 5 === 2, concat(
+        lit("v = \"lit // not "), s, lit("\" tail "), col("text")))
+      .when(i % 5 === 3, concat(col("text"), lit(" # end "), s))
+      .otherwise(concat(
+        lit("y"), s, lit(" /* runaway "), s, lit(" "), col("text")))
+    TextAnalysis.stripCodeComments(Tables(spark, dir).documents
+      .select(i, src.as("text")))
+  }
+
+  val qCodeStripSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'x = ' || s || ' ' || chr(10) || text
+      |    WHEN 1 THEN 'a' || s || '   b' || s || ' ' || text
+      |    WHEN 2 THEN 'v = "lit // not ' || s || '" tail ' || text
+      |    WHEN 3 THEN text || ' '
+      |    ELSE 'y' || s || ' ' END AS text,
+      |  CAST(CASE WHEN doc_id % 5 IN (0, 3) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_line_comments,
+      |  CAST(CASE WHEN doc_id % 5 IN (1, 4) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_block_comments,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 0 THEN 8 + length(s)
+      |    WHEN 1 THEN 13 + length(s)
+      |    WHEN 3 THEN 6 + length(s)
+      |    WHEN 4 THEN 12 + length(s) + length(text)
+      |    ELSE 0 END AS BIGINT) AS n_comment_chars,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS unterminated
+      |FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, text FROM documents)""".stripMargin
+
   // ---- fuzzy-exact dedup (normalize-then-hash) ----
 
   /** Fuzzy-exact dedup inside the gate: each corpus doc explodes into

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** String-aware comment stripping: the state-machine edges the gated
+  * fixture doesn't cover — escapes, markers-inside-markers, adjacent
+  * comments, and the quarantine flag. Cross-engine row parity is
+  * q_code_strip's closed-form expected-output oracle. */
+class CodeStripSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(src: String): (String, Long, Long, Long, Long) = {
+    val r = TextAnalysis.stripCodeComments(Seq((0L, src)).toDF("doc_id", "text"))
+      .collect().head
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  test("comment markers inside strings are data; quotes inside comments are not") {
+    assert(one("""a = "// not" + '/*also not*/'""") ===
+      (("""a = "// not" + '/*also not*/'""", 0L, 0L, 0L, 0L)))
+    assert(one("code /* a \" quote ' inside */ more") ===
+      (("code   more", 0L, 1L, 24L, 0L)))
+  }
+
+  test("escaped quotes do not close a string") {
+    assert(one("""s = "he said \" // x" y""") ===
+      (("""s = "he said \" // x" y""", 0L, 0L, 0L, 0L)))
+  }
+
+  test("line comments strip to EOL, newline survives; # and // both fire") {
+    assert(one("a // one\nb # two\nc") === (("a \nb \nc", 2L, 0L, 11L, 0L)))
+  }
+
+  test("block comments do not nest (the C rule): first */ closes") {
+    val (t, _, nb, _, unt) = one("x /* outer /* inner */ y")
+    // pre-space + the block's one space + post-space: three spaces
+    assert(t === "x   y")
+    assert(nb === 1L && unt === 0L)
+  }
+
+  test("unterminated block quarantines (flag, not exception); unterminated string passes through") {
+    val (t, _, nb, _, unt) = one("a /* runs off")
+    assert(t === "a " && nb === 1L && unt === 1L)
+    val (t2, _, _, _, unt2) = one("a \"never closed // still string")
+    assert(t2 === "a \"never closed // still string" && unt2 === 0L)
+  }
+
+  test("division and glob stars never open comments") {
+    assert(one("x = a / b / c")._1 === "x = a / b / c")
+    assert(one("y = 2 * 3 / 4")._1 === "y = 2 * 3 / 4")
+  }
+
+  test("adjacent and empty comments") {
+    assert(one("a /**/ b //") === (("a   b ", 1L, 1L, 6L, 0L)))
+  }
+
+  test("NULL and empty text") {
+    val out = TextAnalysis.stripCodeComments(
+        Seq((0L, null: String), (1L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(0L -> "", 1L -> ""))
+  }
+}
