@@ -63,12 +63,22 @@ case class CodeStrip(child: Expression)
           else if (c == '\'') { st = 4; out.append(c); i += 1 }
           else { out.append(c); i += 1 }
         case 1 =>
-          if (c == '\n') { st = 0; out.append(c) } else nCc += 1
-          i += 1
+          if (c == '\n') { st = 0; out.append(c); i += 1 }
+          else {
+            // count CODE POINTS (the doc'd contract): a surrogate pair
+            // inside a comment is one comment character, not two
+            nCc += 1
+            i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+              Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+          }
         case 2 =>
           if (c == '*' && i + 1 < n && s.charAt(i + 1) == '/') {
             st = 0; nCc += 2; i += 2; out.append(' ')
-          } else { nCc += 1; i += 1 }
+          } else {
+            nCc += 1
+            i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+              Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+          }
         case q => // 3 or 4: inside a string; backslash escapes pass
           if (c == '\\' && i + 1 < n) {
             out.append(c).append(s.charAt(i + 1)); i += 2

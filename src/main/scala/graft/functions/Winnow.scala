@@ -80,7 +80,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 object Winnow {
-  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  // Explicit whitespace class shared with the oracle SQL (the r14
+  // literal-char-class rule): Java \s is [ \t\n\x0B\f\r] but RE2 \s is
+  // [\t\n\f\r ] — a vertical tab would collapse on one side only and
+  // shift every downstream k-gram. Both engines now run this class.
+  private val Whitespace = java.util.regex.Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
 
   /** Expressions can be shared across tasks — the digest is per-thread. */
   private[functions] val md = new ThreadLocal[java.security.MessageDigest] {

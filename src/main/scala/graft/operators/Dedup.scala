@@ -650,18 +650,23 @@ object Dedup {
     labelsOf(edges)
   }
 
-  /** ROBUST WINNOWING document fingerprints (Schleimer, Wilkerson &
-    * Aiken 2003 — the MOSS algorithm): hash every char k-gram of the
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): hash every char k-gram of the
     * normalized text (lowercase, whitespace collapsed), slide a window
     * of `w` consecutive k-gram hashes, and select each window's
-    * MINIMUM hash — RIGHTMOST occurrence on ties (robust winnowing, so
-    * runs of equal hashes contribute one fingerprint per run, not per
-    * window). The selected (pos, hash) set carries the paper's
-    * guarantee: any shared substring of length ≥ w+k−1 between two
-    * documents shares at least one selected HASH — the property that
-    * makes it the standard code-clone/plagiarism fingerprint, and a
-    * smaller, guarantee-backed alternative to every-k-gram indexes.
-    * Expected density 2/(w+1) (paper §3; spec-bounded).
+    * MINIMUM hash — RIGHTMOST occurrence on ties. NOTE: this is the
+    * rightmost-min variant, not the paper's "robust" tie rule (which
+    * KEEPS the previous window's selection when the min ties — a
+    * stateful rule with no window-function replay); on distinct-hash
+    * text the two coincide, but on degenerate low-entropy text (long
+    * equal-hash runs) rightmost-min selects a NEW position per window,
+    * so n_selected approaches n_grams there instead of the 2/(w+1)
+    * density. The guarantee both variants share is what dedup needs:
+    * any shared substring of length ≥ w+k−1 between two documents
+    * shares at least one selected HASH — the property that makes it
+    * the standard code-clone/plagiarism fingerprint, and a smaller,
+    * guarantee-backed alternative to every-k-gram indexes. Expected
+    * density on distinct-hash text 2/(w+1) (paper §3; spec-bounded).
     *
     * Documents shorter than k chars have no grams and are absent;
     * documents with fewer than w grams winnow one window spanning all

@@ -967,13 +967,18 @@ object TextAnalysis {
           val hit = memo.get(word)
           if (hit != null) return hit
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          // CODE-POINT indexing (not UTF-16 units): maxPieceLen and the
+          // oracle's substr/length replay both count code points, so a
+          // non-BMP vocab piece must match the same prefixes on both
+          // engines (the WinnowFingerprints precedent)
+          val cps = word.codePoints().toArray
           var pos = 0
           var bad = false
-          while (pos < word.length && !bad) {
-            var l = math.min(maxPieceLen, word.length - pos)
+          while (pos < cps.length && !bad) {
+            var l = math.min(maxPieceLen, cps.length - pos)
             var taken = false
             while (l >= 1 && !taken) {
-              val sub = word.substring(pos, pos + l)
+              val sub = new String(cps, pos, l)
               val cand = if (pos == 0) sub else "##" + sub
               if (v.contains(cand)) { out += cand; pos += l; taken = true }
               l -= 1

@@ -4229,7 +4229,7 @@ object LlmQueries {
     * fingerprints — and `b`(doc_id, ng). */
   private def winnowSelCtes(from: String): String =
     s"""d AS (SELECT doc_id,
-       |    regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+       |    regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS t
        |  FROM $from),
        |b AS MATERIALIZED (SELECT doc_id, t, CAST(length(t) - 4 AS BIGINT) AS ng
        |  FROM d WHERE length(t) - 4 >= 1),

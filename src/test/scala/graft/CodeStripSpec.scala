@@ -54,6 +54,17 @@ class CodeStripSpec extends SparkSpec {
     assert(one("a /**/ b //") === (("a   b ", 1L, 1L, 6L, 0L)))
   }
 
+  test("non-BMP characters inside comments count as ONE code point") {
+    // U+1F600 (😀) is a surrogate pair in UTF-16; the contract counts
+    // code points, so "// 😀x" is 5 comment chars (//, space, 😀, x)
+    val (t, nl, _, ncc, _) = one("a // 😀x\nb")
+    assert(t === "a \nb")
+    assert(nl === 1L && ncc === 5L)
+    val (t2, _, nb2, ncc2, _) = one("a /*😀*/b")
+    assert(t2 === "a  b")
+    assert(nb2 === 1L && ncc2 === 5L) // /*, 😀, */
+  }
+
   test("NULL and empty text") {
     val out = TextAnalysis.stripCodeComments(
         Seq((0L, null: String), (1L, "")).toDF("doc_id", "text"))

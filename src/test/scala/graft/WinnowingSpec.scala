@@ -49,7 +49,7 @@ class WinnowingSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
-  test("matches the paper's algorithm exactly, ties and boundaries included") {
+  test("matches the rightmost-min reference algorithm, ties and boundaries included") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "abababababab"),               // periodic: equal hashes, rightmost rule
@@ -120,6 +120,14 @@ class WinnowingSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a === b)
     graft.operators.Dedup.releaseCaches(spark)
+  }
+
+  test("vertical tab collapses like every other whitespace (the shared explicit class)") {
+    // Java \s includes \x0B but RE2's \s does not — the kernel and the
+    // oracle now share the explicit class [ \t\n\x0B\f\r], so a VT doc
+    // must fingerprint identically to its space-separated twin
+    val got = run((1L, "alpha\u000Bbeta gamma"), (2L, "alpha beta gamma"))
+    assert(got(1L) === got(2L))
   }
 
   test("density approaches 2/(w+1) on hash-random text") {

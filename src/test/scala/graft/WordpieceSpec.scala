@@ -75,6 +75,17 @@ class WordpieceSpec extends SparkSpec {
     assert(enc("the9") === Seq("[UNK]"))
   }
 
+  test("non-BMP vocab pieces match by CODE POINTS, not UTF-16 units") {
+    // 𝕏 (U+1D54F) is 2 UTF-16 units but ONE code point: "𝕏𝕏a" must
+    // probe the 3-code-point prefix (maxPieceLen=3) and segment — a
+    // unit-indexed walk would never try pieces past 1 surrogate pair
+    val vocab = TextAnalysis.wordpieceVocabFrame(spark, Seq("𝕏𝕏a", "𝕏", "##𝕏", "##a"))
+    val out = TextAnalysis.wordpieceEncode(
+      Seq((0L, "𝕏𝕏a 𝕏a")).toDF("doc_id", "text"), vocab)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(out === Seq("𝕏𝕏a", "𝕏", "##a"))
+  }
+
   test("vocab frame round-trips through parquet (the shippable model)") {
     val dir = java.nio.file.Files.createTempDirectory("wpv").toString
     TextAnalysis.wordpieceVocabFrame(spark, LlmQueries.WordpieceFixedVocab)
