@@ -141,6 +141,8 @@ object SparkEntry {
     // the BPE TRAINER gated by merge-trajectory replay
     "q_bpe_train" -> (L.qBpeTrain _),
     "q_bpe_train_dist" -> (L.qBpeTrainDist _),
+    // byte-level (GPT-2-class) BPE: bytes-to-unicode + pretokenizer
+    "q_bpe_byte_encode" -> (L.qBpeByteEncode _),
     // WordPiece trainer (likelihood-scored merges) + greedy encoder
     "q_wordpiece_train" -> (L.qWordpieceTrain _),
     "q_wordpiece_encode" -> (L.qWordpieceEncode _),
@@ -473,6 +475,7 @@ object SparkEntry {
     "q_bpe_encode" -> L.qBpeEncodeSql,
     "q_bpe_train" -> L.qBpeTrainSql,
     "q_bpe_train_dist" -> L.qBpeTrainDistSql,
+    "q_bpe_byte_encode" -> L.qBpeByteEncodeSql,
     "q_wordpiece_train" -> L.qWordpieceTrainSql,
     "q_wordpiece_encode" -> L.qWordpieceEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,

@@ -632,7 +632,7 @@ object TextAnalysis {
   }
 
   /** One left-to-right pass merging every adjacent (a, b) occurrence. */
-  private[operators] def mergeOnce(symbols: Seq[String], a: String, b: String): Seq[String] = {
+  private[graft] def mergeOnce(symbols: Seq[String], a: String, b: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     val n = symbols.length
@@ -734,6 +734,147 @@ object TextAnalysis {
     spark.createDataFrame(out, schema)
   }
 
+  // ---- byte-level BPE (Radford et al. 2019 — the GPT-2/Llama ----
+  // ---- tokenizer class: bytes-to-unicode table + regex        ----
+  // ---- pretokenizer + byte-fallback encode; no OOV by         ----
+  // ---- construction)                                          ----
+
+  /** The GPT-2 bytes→unicode table (Radford et al. 2019,
+    * `bytes_to_unicode`): the 188 printable single-byte code points
+    * map to themselves ('!'..'~', '¡'..'¬', '®'..'ÿ'); the other 68
+    * bytes (controls, space, DEL, 0x80-0xA0, soft hyphen 0xAD) map to
+    * U+0100+n in ascending byte order — so space is Ġ (U+0120) and
+    * newline Ċ (U+010A), the signature GPT-2 vocab characters. A
+    * bijection byte↔char, which is what makes byte-level BPE lossless
+    * and OOV-free: any UTF-8 (or even invalid-UTF-8) byte sequence has
+    * an encoding, and detokenization is exact. */
+  private[graft] lazy val byteBpeTable: Array[Char] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** char → byte inverse of [[byteBpeTable]] (detokenization). */
+  private[graft] lazy val byteBpeInverse: Map[Char, Int] =
+    byteBpeTable.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** The GPT-2 pretokenizer regex (published verbatim in the GPT-2
+    * code release): contractions, optionally-space-prefixed letter /
+    * digit / punctuation runs, and whitespace with a trailing-space
+    * holdback (`\s+(?!\S)` keeps the last space attached to the NEXT
+    * word — the reason GPT-2 tokens carry leading Ġ). Runs under Java
+    * regex in the partition-local kernel — never in generated SQL
+    * (RE2 has no lookahead; the oracle is closed-form instead). */
+  val ByteBpePretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Pretokenize one text — the kernel's split, exposed for specs. */
+  private[graft] def byteBpePretokenize(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(ByteBpePretokenPattern).matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Exact inverse of [[byteBpeEncode]]: map each token char back to
+    * its byte and decode UTF-8 — concatenating a doc's tokens in pos
+    * order reproduces the original text byte-for-byte (spec-pinned).
+    * Driver-side model-scale utility (vocab rendering, debugging);
+    * the distributed inverse is a trivial map over the same table. */
+  def byteBpeDetokenize(tokens: Seq[String]): String = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    tokens.foreach(_.foreach(c => bytes.write(byteBpeInverse(c))))
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** [[byteBpeEncode]] from a merge MODEL FRAME — the same writable
+    * (rank, left, right) shape as [[bpeEncode]]'s, so byte-level
+    * models ship through the identical parquet plumbing. */
+  def byteBpeEncode(docs: DataFrame, mergesFrame: DataFrame): DataFrame =
+    byteBpeEncode(docs, mergesFromFrame(mergesFrame))
+
+  /** Byte-level BPE encode (the GPT-2/Llama tokenizer): pretokenize
+    * with [[ByteBpePretokenPattern]], map each pretoken's UTF-8 bytes
+    * through [[byteBpeTable]] to initial one-char symbols (no end
+    * marker — byte-level merges carry the Ġ prefix instead), then
+    * repeatedly apply the LOWEST-rank applicable merge (the
+    * [[bpeEncode]] loop). Un-merged symbols remain as single-byte
+    * tokens — the byte fallback that makes the tokenizer total: any
+    * text, any script, any binary garbage encodes, and
+    * [[byteBpeDetokenize]] inverts exactly.
+    *
+    * Scale shape: merge table broadcast (model-sized); ONE
+    * partition-local pass over the corpus, zero shuffle; per-partition
+    * memo on the pretoken (Zipfian corpora pay the merge loop once per
+    * distinct pretoken per partition — the r12 bpe_encode lesson).
+    * Output: one row per (doc_id, token position). */
+  def byteBpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                    id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val rank = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pos", LongType),
+      StructField("token", StringType)))
+    val out = docs.select(col(id).cast("long"), col(textCol))
+      .where(col(textCol).isNotNull)
+      .rdd.mapPartitions { rows =>
+        val ranks = bc.value
+        val table = byteBpeTable
+        val pat = java.util.regex.Pattern.compile(ByteBpePretokenPattern)
+        val memo = new java.util.HashMap[String, Array[String]]()
+        def encode(pretoken: String): Array[String] = {
+          val hit = memo.get(pretoken)
+          if (hit != null) return hit
+          val bytes = pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var syms = new Array[String](bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            syms(i) = String.valueOf(table(bytes(i) & 0xff)); i += 1
+          }
+          var done = syms.length < 2
+          while (!done) {
+            var bestRank = Int.MaxValue
+            var bi = -1
+            var j = 0
+            while (j + 1 < syms.length) {
+              val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+              if (r < bestRank) { bestRank = r; bi = j }
+              j += 1
+            }
+            if (bi < 0) done = true
+            else {
+              syms = mergeOnce(syms.toSeq, syms(bi), syms(bi + 1)).toArray
+              if (syms.length < 2) done = true
+            }
+          }
+          if (memo.size < (1 << 20)) memo.put(pretoken, syms)
+          syms
+        }
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val m = pat.matcher(r.getString(1))
+          var pos = -1L
+          val toks = Seq.newBuilder[Row]
+          while (m.find()) {
+            encode(m.group()).foreach { t => pos += 1; toks += Row(docId, pos, t) }
+          }
+          toks.result()
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
   // ---- WordPiece trainer + encoder (Schuster & Nakajima 2012; ----
   // ---- the BERT tokenizer — completes the trio next to BPE and ----
   // ---- the unigram LM)                                         ----
@@ -745,7 +886,7 @@ object TextAnalysis {
   /** One left-to-right pass merging every adjacent (a, b) into
     * `merged` — [[mergeOnce]] generalized for WordPiece, where the
     * merged symbol is a + b-without-## (never the raw concat). */
-  private[operators] def mergeOnceAs(symbols: Seq[String], a: String,
+  private[graft] def mergeOnceAs(symbols: Seq[String], a: String,
                                      b: String, merged: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
@@ -2023,6 +2164,159 @@ object TextAnalysis {
         sum(col("__bo")).as("n_backed_off"))
       .select(col(id), col("n_trigrams"), col("n_backed_off"),
         Portable.roundp(col("__sq") / lit(1e6) / col("n_trigrams"), 6)
+          .as("mean_logprob"))
+  }
+
+  // ---- GENERIC order-N interpolated Kneser-Ney (Chen & Goodman ----
+  // ---- 1999 eq. 18-20 at any n — order 5 is the published      ----
+  // ---- CCNet/KenLM setting; [[knTrigramTrain]] is the same     ----
+  // ---- recursion hand-rolled at n=3 and kept for its gate)     ----
+
+  /** Word-prefix of a space-joined gram column. */
+  private def gramPrefix(g: Column, k: Int): Column = substring_index(g, " ", k)
+  /** Word-suffix of a space-joined gram column. */
+  private def gramSuffix(g: Column, k: Int): Column = substring_index(g, " ", -k)
+
+  /** The count-of-counts absolute discount for one level's count
+    * column: D = n1/(n1 + 2·n2), clamped to 0.5 when the level has no
+    * singletons (Ries' rule, Chen & Goodman eq. 26). One bounded row. */
+  private def knDiscount(counts: DataFrame, c: String, as: String): DataFrame =
+    counts.agg(
+        sum(when(col(c) === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col(c) === 2, 1L).otherwise(0L)).as("__n2"))
+      .select(when(col("__n1") === 0, lit(0.5))
+        .otherwise(col("__n1").cast(DoubleType) /
+          (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType)).as(as))
+
+  /** Train an order-`order` interpolated Kneser-Ney model — the
+    * [[knTrigramTrain]] recursion generalized to a loop over levels
+    * (the published CCNet/KenLM filter runs order 5): the TOP level
+    * uses raw n-gram counts; each lower level k uses CONTINUATION
+    * counts derived by suffix-marginalizing the level-(k+1) TYPE
+    * table (cc_k(g) = |{w : type (w·g) at level k+1}| — never a raw
+    * census); each level's discount comes from its own
+    * count-of-counts.
+    *
+    * Model frame (ord, gram, q) on the 1e-6 quantized-log grid:
+    *   ord k (2..order): seen k-gram / k-suffix type → ln p_k
+    *     (interpolated; top level raw, lower levels continuation)
+    *   ord 1: word → ln p1' (continuation unigram c1t/T)
+    *   ord −k (2..order): the (k−1)-word context → ln λ_k (the
+    *     discount mass — the backoff log-weight at level k)
+    *   ord 0: the OOV floor ln(1/T)
+    * Unseen grams INTEGER-ADD quantized logs down the cascade
+    * exactly as [[knTrigramApply]] does, one coalesce per level.
+    *
+    * Scale shape: ONE n-gram shingle census touches the corpus; every
+    * level's type/context/count-of-count table regroups the
+    * model-sized table above it; all 2(order−1) discount/total
+    * scalars ride ONE broadcast 1-row cross join. */
+  def knNgramTrain(docs: DataFrame, order: Int, textCol: String = "text",
+                   scripted: Boolean = false): DataFrame = {
+    require(order >= 2 && order <= 8, "knNgramTrain: order in [2, 8]")
+    // per-level type tables, top down: level `order` is the raw census
+    val tables = new Array[DataFrame](order + 1)
+    tables(order) = docs.select(explode(
+        graft.functions.WordShingles.of(col(textCol), order, distinct = false,
+          scripted = scripted)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    for (k <- (order - 1) to 1 by -1)
+      tables(k) = tables(k + 1)
+        .select(gramSuffix(col("gram"), k).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    // per-level context tables (prefix k−1): total mass + type count
+    def ctxOf(k: Int): DataFrame = tables(k)
+      .groupBy(gramPrefix(col("gram"), k - 1).as("ctx"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("typ"))
+    val ctx = (2 to order).map(k => k -> ctxOf(k)).toMap
+    // ONE broadcast scalar row: every level's D plus T (level-2 types)
+    val g = (2 to order)
+      .map(k => knDiscount(tables(k), "cnt", s"__d$k"))
+      .reduce(_.crossJoin(_))
+      .crossJoin(tables(2).agg(count(lit(1)).cast(DoubleType).as("__t")))
+    def qlog(c: Column): Column =
+      floor(log(c) * 1e6 + 0.5).cast(LongType).as("q")
+    // probability frames bottom-up; each level's __p feeds the next
+    val pFrames = new Array[DataFrame](order + 1)
+    pFrames(1) = tables(1).crossJoin(broadcast(g))
+      .select(col("gram"), (col("cnt") / col("__t")).as("__p"))
+    for (k <- 2 to order) {
+      val d = col(s"__d$k")
+      pFrames(k) = tables(k)
+        .withColumn("__pfx", gramPrefix(col("gram"), k - 1))
+        .withColumn("__sfx", gramSuffix(col("gram"), k - 1))
+        .join(ctx(k).withColumnRenamed("ctx", "__pfx"), Seq("__pfx"))
+        .join(pFrames(k - 1).select(col("gram").as("__sfx"),
+          col("__p").as("__cp")), Seq("__sfx"))
+        .crossJoin(broadcast(g))
+        .select(col("gram"),
+          ((col("cnt") - d) / col("tot") +
+            ((d * col("typ")) / col("tot")) * col("__cp")).as("__p"))
+    }
+    val pRows = (2 to order).map { k =>
+      pFrames(k).select(lit(k.toLong).as("ord"), col("gram"), qlog(col("__p")))
+    }
+    val p1Row = pFrames(1)
+      .select(lit(1L).as("ord"), col("gram"), qlog(col("__p")))
+    val lRows = (2 to order).map { k =>
+      val d = col(s"__d$k")
+      ctx(k).crossJoin(broadcast(g))
+        .select(lit(-k.toLong).as("ord"), col("ctx").as("gram"),
+          qlog((d * col("typ")) / col("tot")))
+    }
+    val floorRow = g.select(lit(0L).as("ord"), lit("").as("gram"),
+      qlog(lit(1.0) / col("__t")))
+    (pRows ++ Seq(p1Row) ++ lRows ++ Seq(floorRow)).reduce(_.unionByName(_))
+  }
+
+  /** Score a corpus under an order-N interpolated-KN model — the
+    * [[knTrigramApply]] cascade generalized: the level-k gram is the
+    * k-suffix of each corpus n-gram, its backoff context that gram's
+    * own (k−1)-prefix; one coalesce per level integer-adds λ logs on
+    * the way down (0 when the context itself is unseen — weight-1
+    * backoff). `n_backed_off` counts positions below the top level.
+    * Docs with < order words are absent. ONE n-gram census, 2·order−1
+    * model-sized key-joins, the floor broadcast. */
+  def knNgramApply(model: DataFrame, docs: DataFrame, order: Int,
+                   id: String = "doc_id", textCol: String = "text",
+                   scripted: Boolean = false): DataFrame = {
+    require(order >= 2 && order <= 8, "knNgramApply: order in [2, 8]")
+    var tf = docs.select(col(id), explode(
+        graft.functions.WordShingles.of(col(textCol), order, distinct = false,
+          scripted = scripted)).as("gram"))
+      .groupBy(col(id), col("gram")).agg(count(lit(1)).as("tf"))
+    // stage the level-gram and context keys once (multi-referenced)
+    for (k <- (order - 1) to 1 by -1)
+      tf = tf.withColumn(s"__s$k", gramSuffix(col("gram"), k))
+    def levelGram(k: Int): Column =
+      if (k == order) col("gram") else col(s"__s$k")
+    def part(ord: Long, key: String, as: String) = model
+      .where(col("ord") === ord).select(col("gram").as(key), col("q").as(as))
+    var j = tf
+    for (k <- order to 1 by -1) {
+      j = j.withColumn(s"__gk$k", levelGram(k))
+        .join(part(k.toLong, s"__gk$k", s"__q$k"), Seq(s"__gk$k"), "left")
+    }
+    for (k <- order to 2 by -1) {
+      j = j.withColumn(s"__ck$k", gramPrefix(levelGram(k), k - 1))
+        .join(part(-k.toLong, s"__ck$k", s"__l$k"), Seq(s"__ck$k"), "left")
+    }
+    val mf = model.where(col("ord") === 0).select(col("q").as("__qf"))
+    // cascade: q = qN ∥ lN+(q(N-1) ∥ ... l2+(q1 ∥ floor))
+    val cascade = (2 to order).foldLeft(
+      coalesce(col("__q1"), col("__qf"))) { (child, k) =>
+      coalesce(col(s"__q$k"), coalesce(col(s"__l$k"), lit(0L)) + child)
+    }
+    j.crossJoin(broadcast(mf))
+      .withColumn("__q", cascade)
+      .withColumn("__bo",
+        when(col(s"__q$order").isNull, col("tf")).otherwise(lit(0L)))
+      .groupBy(col(id))
+      .agg(sum(col("tf")).as("n_ngrams"),
+        sum(col("tf") * col("__q")).as("__sq"),
+        sum(col("__bo")).as("n_backed_off"))
+      .select(col(id), col("n_ngrams"), col("n_backed_off"),
+        Portable.roundp(col("__sq") / lit(1e6) / col("n_ngrams"), 6)
           .as("mean_logprob"))
   }
 

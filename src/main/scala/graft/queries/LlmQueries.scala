@@ -4480,6 +4480,93 @@ object LlmQueries {
   /** Same expected output as the local path — the whole point. */
   val qBpeTrainDistSql: String = qBpeTrainSql
 
+  // ---- byte-level BPE encode (the GPT-2/Llama tokenizer) ----
+
+  /** Fixture chunks for the byte-level gate. Every chunk starts with
+    * whitespace (space or newline), so chunk boundaries are always
+    * pretoken boundaries and a document's token sequence is exactly
+    * the concatenation of its chunks' — the property the closed-form
+    * oracle rides. The inventory exercises each byte-level behavior:
+    * the Ġ space prefix and merge chains (c0/c7), merged-symbol
+    * merges (c1), byte fallback on unmerged letters (c2/c5), the 's
+    * contraction split (c2), multi-byte UTF-8 both printable-mapped
+    * (é → Ã©, c3) and remapped (中's 0xAD byte → Ń, c4), the
+    * letter/digit pretoken split (c3), punctuation (c4), and the
+    * newline byte token Ċ under the trailing-space lookahead (c6). */
+  private val ByteBpeChunks: Seq[String] =
+    Seq(" the", " at", " cat's", " é12", " 中!", " that", "\n", " athe")
+
+  /** Fixed merge table (rank order). Exercises chained merges
+    * (Ġ+the from three steps), rank priority (r1 h+e fires before r6
+    * Ġa+t in " athe"), digit and multi-byte merges, and the
+    * contraction. */
+  private val ByteBpeMerges: Seq[(String, String)] = Seq(
+    "Ġ" -> "a", "h" -> "e", "t" -> "he", "Ġ" -> "the",
+    "1" -> "2", "Ã" -> "©", "Ġa" -> "t", "'" -> "s")
+
+  /** HAND-DERIVED expected token sequences per chunk — the closed
+    * form. Never computed by the encoder (that would be circular):
+    * each list is the paper algorithm walked by hand over
+    * [[ByteBpeMerges]], and ByteBpeSpec re-derives them against an
+    * independent reference implementation. */
+  private val ByteBpeExpected: Seq[Seq[String]] = Seq(
+    Seq("Ġthe"),
+    Seq("Ġat"),
+    Seq("Ġ", "c", "a", "t", "'s"),
+    Seq("Ġ", "Ã©", "12"),
+    Seq("Ġ", "ä", "¸", "Ń", "!"),
+    Seq("Ġ", "t", "h", "a", "t"),
+    Seq("Ċ"),
+    Seq("Ġa", "the"))
+
+  /** Chunk index for (doc, position-in-doc) — stride 3 mod 8 cycles
+    * the whole inventory; docs carry 4-6 chunks. */
+  private def byteBpeDocText(id: org.apache.spark.sql.Column) = {
+    val chunkArr = array(ByteBpeChunks.map(lit): _*)
+    val nChunks = (id % 3) + 4
+    concat((0 until 6).map { j =>
+      when(lit(j.toLong) < nChunks,
+        element_at(chunkArr, (((id * 7 + j * 3) % 8) + 1).cast("int")))
+        .otherwise(lit(""))
+    }: _*)
+  }
+
+  /** Byte-level (GPT-2-class) BPE inside the oracle gate — the
+    * closed-form-expected-output pattern (q_url_canon/q_image_decode):
+    * documents are synthesized as chunk sequences by id arithmetic,
+    * the REAL encoder ([[TextAnalysis.byteBpeEncode]] — bytes→unicode
+    * table, regex pretokenizer, lowest-rank merge loop, byte
+    * fallback) tokenizes them, and the oracle replays the id
+    * arithmetic against hand-derived per-chunk token lists. Any
+    * encoder divergence — a pretokenizer slip, a wrong byte mapping,
+    * merge-rank inversion, a lost fallback byte — changes a token and
+    * fails the hash. The merge table threads through the writable
+    * model-frame plumbing (bpeMergesFrame), so the gate also covers
+    * the shippable-model path. */
+  def qBpeByteEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
+    TextAnalysis.byteBpeEncode(docs,
+      TextAnalysis.bpeMergesFrame(spark, ByteBpeMerges))
+  }
+
+  val qBpeByteEncodeSql: String = {
+    def q(s: String) = s.replace("'", "''")
+    val values = ByteBpeExpected.zipWithIndex.flatMap { case (toks, ci) =>
+      toks.zipWithIndex.map { case (t, ti) => s"($ci, $ti, '${q(t)}')" }
+    }.mkString(", ")
+    s"""WITH t(ci, ti, token) AS (VALUES $values),
+       |d AS (SELECT doc_id, j.j AS j, (doc_id * 7 + j.j * 3) % 8 AS ci
+       |  FROM documents,
+       |    unnest(generate_series(0, CAST(doc_id % 3 + 3 AS BIGINT))) j(j)),
+       |e AS (SELECT doc_id, j, ti, token FROM d JOIN t USING (ci))
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j, ti) - 1
+       |    AS BIGINT) AS pos,
+       |  token
+       |FROM e""".stripMargin
+  }
+
   // ---- WordPiece trainer + encoder (the BERT tokenizer) ----
 
   private val WordpieceTrainMerges = 8

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Byte-level (GPT-2-class) BPE: the bytes→unicode table, the regex
+  * pretokenizer's signature behaviors, a direct reference
+  * implementation of the merge loop, losslessness (round-trip through
+  * detokenize), and the fertility composition. Cross-engine parity is
+  * q_bpe_byte_encode's closed-form oracle. */
+class ByteBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+    TextAnalysis.byteBpeEncode(Seq((0L, text)).toDF("doc_id", "text"), merges)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+
+  test("bytes→unicode table is the published GPT-2 bijection") {
+    val t = TextAnalysis.byteBpeTable
+    assert(t.length === 256)
+    assert(t.toSet.size === 256, "must be a bijection")
+    // printable single-byte ranges map to themselves
+    assert(t('A'.toInt) === 'A' && t('!'.toInt) === '!' && t(0xFF) === 'ÿ')
+    // the signature remappings: space→Ġ, newline→Ċ, tab→ĉ, NUL→Ā
+    assert(t(32) === 'Ġ' && t(10) === 'Ċ' && t(9) === 'ĉ' && t(0) === 'Ā')
+    // soft hyphen (0xAD, the one remapped byte above 0xA0)
+    assert(t(0xAD) === 'Ń')
+    // every remapped char is >= U+0100 (printable by construction)
+    (0 until 256).foreach { b =>
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+      if (!printable) assert(t(b) >= 0x100.toChar, s"byte $b")
+    }
+  }
+
+  test("pretokenizer: contractions, Ġ-style leading spaces, the trailing-space holdback") {
+    def pre(s: String) = TextAnalysis.byteBpePretokenize(s)
+    assert(pre("it's the cat") === Seq("it", "'s", " the", " cat"))
+    // letters/digits/punct split; leading space rides the run
+    assert(pre(" é12!?x") === Seq(" é", "12", "!?", "x"))
+    // double space: first space is its own pretoken, second leads the word
+    assert(pre("a  b") === Seq("a", " ", " b"))
+    // newline before a space-led word stays alone (the (?!\S) holdback)
+    assert(pre("a\n b") === Seq("a", "\n", " b"))
+    // trailing whitespace at EOS
+    assert(pre("a \n") === Seq("a", " \n"))
+  }
+
+  /** Direct reference: map bytes, then exhaustively apply the
+    * globally-lowest-rank merge — O(n²·m) and obviously correct. */
+  private def reference(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    TextAnalysis.byteBpePretokenize(text).flatMap { pt =>
+      var syms: Vector[String] = pt.getBytes("UTF-8")
+        .map(b => TextAnalysis.byteBpeTable(b & 0xff).toString).toVector
+      var changed = true
+      while (changed) {
+        val cands = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        if (cands.isEmpty) changed = false
+        else {
+          val best = cands.minBy(_._1)._1
+          val (a, b) = merges(best)
+          syms = TextAnalysis.mergeOnce(syms, a, b).toVector
+        }
+      }
+      syms
+    }
+  }
+
+  test("matches the reference algorithm on varied unicode text") {
+    val merges = Seq("Ġ" -> "a", "h" -> "e", "t" -> "he", "Ġ" -> "the",
+      "1" -> "2", "Ã" -> "©", "Ġa" -> "t", "'" -> "s")
+    val texts = Seq(
+      " the cat's athe that", " é12 中!\n the", "no leading space",
+      "tabs\tand\nnewlines  doubled", "emoji 😀 survives", "")
+    texts.foreach { t =>
+      assert(enc(t, merges) === reference(t, merges), s"text: [$t]")
+    }
+  }
+
+  test("lossless round-trip: detokenize(encode(text)) == text, byte for byte") {
+    val merges = Seq("Ġ" -> "t", "h" -> "e", "Ġt" -> "he")
+    Seq(" the theory\n\nof θ and 中文 😀 x\ty ", "éàü", " '''s", "a\u0000b")
+      .foreach { t =>
+        assert(TextAnalysis.byteBpeDetokenize(enc(t, merges)) === t)
+      }
+  }
+
+  test("byte fallback: unmerged non-ASCII fragments to per-byte tokens, never OOV") {
+    // 😀 is 4 UTF-8 bytes; with no merges it must emit 4 byte tokens
+    val toks = enc("😀", Nil)
+    assert(toks.length === 4)
+    assert(TextAnalysis.byteBpeDetokenize(toks) === "😀")
+  }
+
+  test("merge-rank priority: the lowest rank fires first across the pretoken") {
+    // with (a,b) at rank 0 and (b,c) at rank 1, "abc" must become (ab, c)
+    assert(enc("abc", Seq("a" -> "b", "b" -> "c")) === Seq("ab", "c"))
+    // reversed ranks: (b,c) wins and blocks (a,b)
+    assert(enc("abc", Seq("b" -> "c", "a" -> "b")) === Seq("a", "bc"))
+  }
+
+  test("model frame round-trips through parquet (the shippable tokenizer)") {
+    val merges = Seq("Ġ" -> "t", "h" -> "e", "Ġt" -> "he")
+    val dir = java.nio.file.Files.createTempDirectory("bbpe").toString
+    TextAnalysis.bpeMergesFrame(spark, merges).write.mode("overwrite").parquet(dir)
+    val viaFrame = TextAnalysis.byteBpeEncode(
+        Seq((0L, " the he")).toDF("doc_id", "text"), spark.read.parquet(dir))
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(viaFrame === enc(" the he", merges))
+  }
+
+  test("fertility composition: byte-level pieces census joins the word census") {
+    // pieces-per-word under byte BPE — the diagnostic the fertility
+    // row runs for the unigram tokenizer, composed with byteBpeEncode
+    val docs = Seq((0L, "the the x"), (1L, "zz")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val pieces = TextAnalysis.byteBpeEncode(docs, merges)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: "the"→[the], " the"→[Ġ,the], " x"→[Ġ,x] = 5 pieces
+    assert(pieces === Map(0L -> 5L, 1L -> 2L))
+  }
+}
