@@ -192,6 +192,8 @@ object SparkEntry {
     "q_domain_stats" -> (L.qDomainStats _),
     // Unicode NFC normalization through the real JVM Normalizer
     "q_unicode_nfc" -> (L.qUnicodeNfc _),
+    // NFKC compatibility folding (ligatures, fullwidth, superscripts)
+    "q_unicode_nfkc" -> (L.qUnicodeNfkc _),
     // budgeted best-first selection (binned threshold, no global sort)
     "q_quality_select" -> (L.qQualitySelect _),
     // deterministic global shuffle + sharding (replay-stable training order)
@@ -207,6 +209,8 @@ object SparkEntry {
     "q_kn_logprob" -> (L.qKnLogprob _),
     "q_kn_buckets" -> (L.qKnBuckets _),
     "q_kn3_logprob" -> (L.qKn3Logprob _),
+    // order-5 interpolated KN via the generic per-level loop
+    "q_kn5_logprob" -> (L.qKn5Logprob _),
     "q_kn_logprob_cjk" -> (L.qKnLogprobCjk _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
@@ -507,6 +511,7 @@ object SparkEntry {
     "q_dedup_cluster_sizes" -> L.qDedupClusterSizesSql,
     "q_domain_stats" -> L.qDomainStatsSql,
     "q_unicode_nfc" -> L.qUnicodeNfcSql,
+    "q_unicode_nfkc" -> L.qUnicodeNfkcSql,
     "q_quality_select" -> L.qQualitySelectSql,
     "q_corpus_shuffle" -> L.qCorpusShuffleSql,
     "q_interleave" -> L.qInterleaveSql,
@@ -516,6 +521,7 @@ object SparkEntry {
     "q_kn_logprob" -> L.qKnLogprobSql,
     "q_kn_buckets" -> L.qKnBucketsSql,
     "q_kn3_logprob" -> L.qKn3LogprobSql,
+    "q_kn5_logprob" -> L.qKn5LogprobSql,
     "q_kn_logprob_cjk" -> L.qKnLogprobCjkSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,

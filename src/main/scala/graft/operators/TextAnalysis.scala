@@ -1452,12 +1452,23 @@ object TextAnalysis {
     * text plus a changed flag and code-point counts (code points, not
     * UTF-16 units, so the counts are engine-comparable). */
   def normalizeNfc(docs: DataFrame, id: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    normalizeUnicode(docs, java.text.Normalizer.Form.NFC, id, textCol)
+
+  /** [[normalizeNfc]] with the Form as a parameter — NFKC is the
+    * mC4-class pipelines' choice (compatibility folding: ligatures,
+    * fullwidth forms, superscripts and circled digits map to their
+    * plain equivalents, which canonical NFC deliberately preserves).
+    * On composition-only input NFKC and NFC agree byte-for-byte
+    * (spec-pinned); NFD/NFKD complete the set for free. */
+  def normalizeUnicode(docs: DataFrame, form: java.text.Normalizer.Form,
+                       id: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(id).cast(LongType), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (i, t) =>
-        val n = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        val n = java.text.Normalizer.normalize(t, form)
         (i, n, if (n == t) 0L else 1L,
           t.codePointCount(0, t.length).toLong,
           n.codePointCount(0, n.length).toLong)

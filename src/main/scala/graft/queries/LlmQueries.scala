@@ -5766,6 +5766,42 @@ object LlmQueries {
       |    + (CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 0 END) AS BIGINT) AS n_after
       |FROM documents""".stripMargin
 
+  /** NFKC compatibility normalization (the mC4-style fixup) through
+    * the same closed-form gate: a ﬁ ligature, a fullwidth digit + a
+    * superscript, and a decomposed accent are injected as functions
+    * of doc_id; the oracle constructs the folded text (file / 22 /
+    * café) and code-point counts directly. Canonical NFC would leave
+    * the ligature and fullwidth forms alone — so this row also proves
+    * the Form parameter reaches the kernel. */
+  def qUnicodeNfkc(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val withCompat = concat(
+      col("text"),
+      when(id % 3 === 0, lit(" \uFB01le")).otherwise(lit("")),
+      when(id % 4 === 1, lit(" \uFF12\u00B2")).otherwise(lit("")),
+      when(id % 5 === 2, lit(" cafe\u0301")).otherwise(lit("")))
+    TextAnalysis.normalizeUnicode(
+      Tables(spark, dir).documents.select(id, withCompat.as("text")),
+      java.text.Normalizer.Form.NFKC)
+  }
+
+  val qUnicodeNfkcSql: String =
+    s"""SELECT doc_id,
+      |  text || (CASE WHEN doc_id % 3 = 0 THEN ' file' ELSE '' END)
+      |       || (CASE WHEN doc_id % 4 = 1 THEN ' 22' ELSE '' END)
+      |       || (CASE WHEN doc_id % 5 = 2 THEN ' café' ELSE '' END) AS text,
+      |  CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 1 OR doc_id % 5 = 2
+      |    THEN 1 ELSE 0 END AS BIGINT) AS changed,
+      |  CAST(length(text)
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 5 = 2 THEN 6 ELSE 0 END) AS BIGINT) AS n_before,
+      |  CAST(length(text)
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 5 = 2 THEN 5 ELSE 0 END) AS BIGINT) AS n_after
+      |FROM documents""".stripMargin
+
   // ---- BM25 sparse retrieval ----
 
   private val Bm25K = 10
@@ -6770,6 +6806,113 @@ object LlmQueries {
        |  floor((sq / 1e6 / n_trigrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
        |FROM d""".stripMargin
   }
+
+  /** Order-5 interpolated Kneser-Ney — the published CCNet/KenLM
+    * setting, through the GENERIC per-level loop
+    * (TextAnalysis.knNgramTrain/[[TextAnalysis.knNgramApply]]; the
+    * loop reproduces knTrigramTrain bit-for-bit at order 3 —
+    * KnLogprobSpec). Train on even docs, score all. The oracle
+    * generates one CTE block per level from the same loop: the 5-gram
+    * type census, four suffix-marginalized continuation tables, four
+    * context tables, four per-level discounts, the staged p-cascade
+    * and the 10-part quantized-log model. */
+  def qKn5Logprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = TextAnalysis.knNgramTrain(docs.where(col("doc_id") % 2 === 0), 5)
+    TextAnalysis.knNgramApply(model, docs, 5)
+  }
+
+  /** The order-N KN train+apply replay, generated per level. */
+  private def knNgramSqlFrom(order: Int, t: String): String = {
+    // word-window helpers over a space-joined m-word gram string
+    def parts(g: String, from: Int, to: Int): String =
+      (from to to).map(i => s"split_part($g, ' ', $i)").mkString(" || ' ' || ")
+    def sfx(g: String, m: Int, k: Int): String = parts(g, m - k + 1, m)
+    def pfx(g: String, k: Int): String = parts(g, 1, k)
+    def gramList(w: String): String =
+      s"""CASE WHEN len($w) < $order THEN []
+         |    ELSE list_transform(generate_series(1, len($w)-${order - 1}),
+         |      i -> ${(0 until order).map(o => s"$w[i+$o]").mkString(" || ' ' || ")}) END""".stripMargin
+    def disc(src: String) =
+      s"""(SELECT CASE WHEN n1 = 0 THEN CAST(0.5 AS DOUBLE)
+         |    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+         |  FROM (SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |      CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM $src))""".stripMargin
+    val q = "CAST(floor(ln(%s) * 1e6 + 0.5) AS BIGINT) AS q"
+    // per-level type censuses: tb5 = raw census, tb_k = suffix regroup
+    val censuses = (
+      s"""tb$order AS MATERIALIZED (SELECT gram, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(${gramList("w")}) AS gram FROM trws) GROUP BY 1)""".stripMargin
+      +: ((order - 1) to 1 by -1).map { k =>
+        s"""tb$k AS MATERIALIZED (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT ${sfx("gram", k + 1, k)} AS gram FROM tb${k + 1}) GROUP BY 1)""".stripMargin
+      })
+    val ctxs = (2 to order).map { k =>
+      s"""cx$k AS (SELECT ${pfx("gram", k - 1)} AS ctx,
+         |    CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS typ
+         |  FROM tb$k GROUP BY 1)""".stripMargin
+    }
+    val discs = (2 to order).map(k => s"dd$k AS ${disc(s"tb$k")}")
+    val ps = (
+      s"""tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tb2),
+         |p1 AS MATERIALIZED (SELECT gram, c / t AS p FROM tb1 CROSS JOIN tt)""".stripMargin
+      +: (2 to order).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT b.gram,
+           |    (c - d) / tot + ((d * typ) / tot) * p${k - 1}.p AS p
+           |  FROM (SELECT gram, c, ${pfx("gram", k - 1)} AS pfx,
+           |      ${sfx("gram", k, k - 1)} AS sfx FROM tb$k) b
+           |  JOIN cx$k ON b.pfx = cx$k.ctx
+           |  JOIN p${k - 1} ON b.sfx = p${k - 1}.gram
+           |  CROSS JOIN dd$k)""".stripMargin
+      })
+    val ms = (1 to order).map { k =>
+      s"m$k AS (SELECT gram, ${q.format("p")} FROM p$k)"
+    }
+    val ls = (2 to order).map { k =>
+      s"""l$k AS (SELECT ctx, ${q.format("(d * typ) / tot")}
+         |  FROM cx$k CROSS JOIN dd$k)""".stripMargin
+    }
+    val mf = s"mf AS (SELECT ${q.format("CAST(1.0 AS DOUBLE) / t")} FROM tt)"
+    // apply side: stage level grams (suffixes) and their contexts
+    val sfxCols = (1 until order).map(k => s"${sfx("gram", order, k)} AS s$k")
+    val ctxCols = (s"${pfx("gram", order - 1)} AS ct$order" +:
+      (2 until order).map(k => s"${parts("gram", order - k + 1, order - 1)} AS ct$k"))
+    def lvlGram(k: Int) = if (k == order) "gram" else s"s$k"
+    val joins = (
+      (order to 1 by -1).map(k => s"LEFT JOIN m$k ON atw.${lvlGram(k)} = m$k.gram") ++
+      (order to 2 by -1).map(k => s"LEFT JOIN l$k ON atw.ct$k = l$k.ctx")).mkString("\n  ")
+    val cascade = (2 to order).foldLeft("coalesce(m1.q, mf.q)") { (child, k) =>
+      s"coalesce(m$k.q, coalesce(l$k.q, CAST(0 AS BIGINT)) + $child)"
+    }
+    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $t),
+       |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
+       |${censuses.mkString(",\n")},
+       |${ctxs.mkString(",\n")},
+       |${discs.mkString(",\n")},
+       |${ps.mkString(",\n")},
+       |${ms.mkString(",\n")},
+       |${ls.mkString(",\n")},
+       |$mf,
+       |atf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(${gramList("w")}) AS gram FROM ws) GROUP BY 1, 2),
+       |atw AS (SELECT doc_id, gram, tf,
+       |    ${(sfxCols ++ ctxCols).mkString(",\n    ")}
+       |  FROM atf),
+       |j AS (SELECT doc_id, tf, $cascade AS q,
+       |    CASE WHEN m$order.q IS NULL THEN tf ELSE CAST(0 AS BIGINT) END AS bo
+       |  FROM atw
+       |  $joins
+       |  CROSS JOIN mf),
+       |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams,
+       |    CAST(sum(bo) AS BIGINT) AS n_backed_off,
+       |    CAST(sum(tf * q) AS BIGINT) AS sq
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, n_ngrams, n_backed_off,
+       |  floor((sq / 1e6 / n_ngrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |FROM agg""".stripMargin
+  }
+
+  val qKn5LogprobSql: String = knNgramSqlFrom(5, "documents")
 
   /** The CCNet bucket-apply half under the KN model: tertile cut
     * points estimated from the TRAIN half's self-scores only (new data

@@ -174,6 +174,88 @@ class KnLogprobSpec extends SparkSpec {
     assert(plain === cached)
   }
 
+  test("GENERIC order-3 trainer reproduces knTrigramTrain bit-for-bit") {
+    // the generic loop and the hand-rolled order-3 build share every
+    // formula with identical operand order, so the quantized logs must
+    // be IDENTICAL, not merely close (ord encodings differ: generic
+    // p1'→1, λ3→-3, λ2'→-2, floor→0 vs KN3's -1/1/0/-2)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}")
+    }.toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val kn3 = toMapOf(TextAnalysis.knTrigramTrain(docs))
+    val gen = toMapOf(TextAnalysis.knNgramTrain(docs, 3))
+    val ordMap = Map[Long, Long](3L -> 3L, 2L -> 2L, 1L -> -1L,
+      -3L -> 1L, -2L -> 0L, 0L -> -2L)
+    assert(gen.size === kn3.size)
+    gen.foreach { case ((o, g2), q) =>
+      assert(kn3(((ordMap(o), g2))) === q, s"ord $o gram [$g2]")
+    }
+  }
+
+  test("GENERIC apply at order 3 == knTrigramApply (values, modulo column names)") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val m3 = TextAnalysis.knTrigramTrain(docs.where(col("doc_id") % 2 === 0))
+    val mg = TextAnalysis.knNgramTrain(docs.where(col("doc_id") % 2 === 0), 3)
+    val a = TextAnalysis.knTrigramApply(m3, docs)
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = TextAnalysis.knNgramApply(mg, docs, 3)
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(a === b)
+  }
+
+  test("ORDER-5: normalized at every level (the KN identity, three levels deep)") {
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 2} w${i % 5} w${i % 3} w${i % 4} w${i % 2}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.knNgramTrain(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def part(o: Long) = model.collect { case (`o`, g, q) => g -> q }.toMap
+    val p = (1 to 5).map(k => k -> part(k.toLong)).toMap
+    val l = (2 to 5).map(k => k -> part(-k.toLong)).toMap
+    val vocab = p(1).keySet
+    def e(q: Long) = math.exp(q / 1e6)
+    // p_k'(w | ctx) with the cascade fallback, recursively
+    def pOf(k: Int, ctx: String, w: String): Double =
+      if (k == 1) e(p(1)(w))
+      else {
+        val gram = if (ctx.isEmpty) w else s"$ctx $w"
+        p(k).get(gram).map(e).getOrElse {
+          val lam = l(k).get(ctx).map(e).getOrElse(1.0)
+          val childCtx = ctx.split(" ").drop(1).mkString(" ")
+          lam * pOf(k - 1, if (k == 2) "" else childCtx, w)
+        }
+      }
+    for (k <- 2 to 5) {
+      l(k).keySet.take(12).foreach { ctx =>
+        val mass = vocab.toSeq.map(w => pOf(k, ctx, w)).sum
+        assert(math.abs(mass - 1.0) < 2e-3, s"level $k ctx [$ctx]: mass $mass")
+      }
+    }
+  }
+
+  test("ORDER-5: composition parity and the backoff cascade probes") {
+    val docs = (0 until 150).map { i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 2} w${i % 5} w${i % 3} w${i % 4}")
+    }.toDF("doc_id", "text")
+    val model = TextAnalysis.knNgramTrain(docs, 5)
+    val self = TextAnalysis.knNgramApply(model, docs, 5).collect()
+    assert(self.nonEmpty && self.forall(_.getLong(2) === 0L),
+      "own corpus: zero backoff")
+    val probe = Seq(
+      (900L, "w1 w3 w2 w1 zz"),   // unseen last word -> floor path
+      (901L, "zz qq rr ss w1"))   // all contexts unseen -> continuation only
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knNgramApply(model, probe, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(900L) === 1L && out(901L) === 1L)
+  }
+
   test("degenerate corpus with no singleton bigrams clamps D to 0.5 (no ln(0))") {
     // every bigram occurs exactly twice -> n1 = 0
     val docs = Seq((0L, "x y x y"), (1L, "x y x y")).toDF("doc_id", "text")

@@ -33,6 +33,42 @@ class NfcSpec extends SparkSpec {
     assert(again.where($"changed" === 1L).count() === 0L)
   }
 
+  test("NFKC folds compatibility characters that NFC preserves") {
+    val docs = Seq(
+      (1L, "\uFB01le"),                 // fi ligature
+      (2L, "\uFF11\uFF12\uFF13"),       // fullwidth 123
+      (3L, "x\u00B2 \u2460"),           // superscript 2, circled 1
+      (4L, "cafe\u0301"),               // decomposed: NFKC composes too
+      (5L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val nfkc = TextAnalysis
+      .normalizeUnicode(docs, java.text.Normalizer.Form.NFKC)
+      .orderBy("doc_id").collect()
+    assert(nfkc(0).getAs[String]("text") === "file")
+    assert(nfkc(1).getAs[String]("text") === "123")
+    assert(nfkc(2).getAs[String]("text") === "x2 1")
+    assert(nfkc(3).getAs[String]("text") === s"caf$eAcute")
+    assert(nfkc(4).getAs[Long]("changed") === 0L)
+    // NFC must LEAVE the compatibility chars alone (the forms differ)
+    val nfc = TextAnalysis.normalizeNfc(docs).orderBy("doc_id").collect()
+    assert(nfc(0).getAs[String]("text") === "\uFB01le")
+    assert(nfc(1).getAs[Long]("changed") === 0L)
+  }
+
+  test("NFKC == NFC byte-for-byte on composition-only input") {
+    val docs = Seq(
+      (1L, "cafe\u0301 man\u0303ana"),
+      (2L, s"caf$eAcute d\u00E9j\u00E0"),
+      (3L, "plain ascii and x\u0302"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.normalizeNfc(docs).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val b = TextAnalysis
+      .normalizeUnicode(docs, java.text.Normalizer.Form.NFKC)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("fuzzyDedupKey merges case/accent/punct variants, splits real edits") {
     import spark.implicits._
     val composed = "café nice"        // precomposed é
