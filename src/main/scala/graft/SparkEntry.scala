@@ -116,6 +116,8 @@ object SparkEntry {
     // Flesch-Kincaid readability census (integer syllable heuristic)
     "q_readability" -> (L.qReadability _),
     "q_quality_filter" -> (L.qQualityFilter _),
+    // declarative tagger/mixer: config frame compiled to one verdict DAG
+    "q_tagger_mix" -> (L.qTaggerMix _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
     // learned linear classifier next to the rule- and LM-based signals
     "q_quality_classifier" -> (L.qQualityClassifier _),
@@ -131,6 +133,8 @@ object SparkEntry {
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_vocab_coverage" -> (L.qVocabCoverage _),
     "q_token_pack" -> (L.qTokenPack _),
+    // the per-pack segment/attention-mask view of packSequences
+    "q_pack_segments" -> (L.qPackSegments _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     // robust winnowing fingerprints (MOSS) — guarantee-backed selection
     "q_winnow_fingerprints" -> (L.qWinnowFingerprints _),
@@ -143,6 +147,9 @@ object SparkEntry {
     "q_bpe_train_dist" -> (L.qBpeTrainDist _),
     // byte-level (GPT-2-class) BPE: bytes-to-unicode + pretokenizer
     "q_bpe_byte_encode" -> (L.qBpeByteEncode _),
+    // the byte-level TRAINER, gated by merge-trajectory replay
+    "q_bpe_byte_train" -> (L.qBpeByteTrain _),
+    "q_bpe_byte_train_dist" -> (L.qBpeByteTrainDist _),
     // WordPiece trainer (likelihood-scored merges) + greedy encoder
     "q_wordpiece_train" -> (L.qWordpieceTrain _),
     "q_wordpiece_encode" -> (L.qWordpieceEncode _),
@@ -460,6 +467,7 @@ object SparkEntry {
     "q_text_quality" -> L.qTextQualitySql,
     "q_readability" -> L.qReadabilitySql,
     "q_quality_filter" -> L.qQualityFilterSql,
+    "q_tagger_mix" -> L.qTaggerMixSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_classifier_train" -> L.qClassifierTrainSql,
@@ -472,6 +480,7 @@ object SparkEntry {
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_vocab_coverage" -> L.qVocabCoverageSql,
     "q_token_pack" -> L.qTokenPackSql,
+    "q_pack_segments" -> L.qPackSegmentsSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_winnow_fingerprints" -> L.qWinnowFingerprintsSql,
     "q_winnow_pairs" -> L.qWinnowPairsSql,
@@ -480,6 +489,8 @@ object SparkEntry {
     "q_bpe_train" -> L.qBpeTrainSql,
     "q_bpe_train_dist" -> L.qBpeTrainDistSql,
     "q_bpe_byte_encode" -> L.qBpeByteEncodeSql,
+    "q_bpe_byte_train" -> L.qBpeByteTrainSql,
+    "q_bpe_byte_train_dist" -> L.qBpeByteTrainDistSql,
     "q_wordpiece_train" -> L.qWordpieceTrainSql,
     "q_wordpiece_encode" -> L.qWordpieceEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,

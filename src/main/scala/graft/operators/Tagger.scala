@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Declarative tagger/mixer configuration (the Dolma-style surface):
+  * every rule census in this repo exists as an operator; this is the
+  * CONFIG-DRIVEN composition — a rule-spec frame (attribute, op,
+  * threshold, action) compiled into ONE verdict DAG over any doc-keyed
+  * attribute frame, so a pipeline ships JSON/parquet config instead of
+  * Scala. Cite: the public Dolma toolkit's tagger/mixer split
+  * (attributes computed once, mixers filter on them declaratively);
+  * the reference's pipelines directory carries the same censuses
+  * hand-composed.
+  *
+  * Contract:
+  *  - `attributes`: one row per document, numeric columns (LONG counts
+  *    or roundp(6) DOUBLE ratios — the repo's cross-engine-stable
+  *    attribute grammar).
+  *  - rules: (rule_id, attribute, op ∈ lt/le/gt/ge/eq/ne,
+  *    threshold_ppm, action ∈ drop/tag). Thresholds are INTEGER ppm
+  *    (50 words = 50e6 ppm) — the mixture-plan idiom — materialized to
+  *    a double as ppm/1e6 identically on both engines.
+  *  - a NULL attribute value fires NO rule (guarded ratios stay
+  *    neutral; pair a `lt` length rule to catch empty docs instead —
+  *    the r17 NULL-boolean rule applied declaratively).
+  *  - verdict: 'drop' when ANY fired rule has action drop, else
+  *    'keep'; tag-action rule ids collect into `tags`; every fired
+  *    rule id into `fired_rules` (comma-joined, sorted — the census
+  *    report that attributes drops).
+  *
+  * Scale shape: the attribute frame unpivots to (doc, attribute,
+  * value) rows for REFERENCED attributes only (pruned at compile
+  * time — the calculateAll pruning doctrine), the rule table
+  * broadcast-joins on the attribute name (the r12 "broadcast a
+  * metadata join, never a per-variable CASE chain" lesson — config
+  * size never inflates codegen), and ONE doc-keyed aggregate builds
+  * the verdict. No shuffle beyond that aggregate. */
+object Tagger {
+
+  case class Rule(ruleId: String, attribute: String, op: String,
+                  thresholdPpm: Long, action: String)
+
+  val Ops: Set[String] = Set("lt", "le", "gt", "ge", "eq", "ne")
+  val Actions: Set[String] = Set("drop", "tag")
+
+  /** The config as a WRITABLE frame — the shippable artifact (the
+    * bpeMergesFrame doctrine: a mixer config is pipeline state). */
+  def rulesFrame(spark: SparkSession, rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    rules.map(r => (r.ruleId, r.attribute, r.op, r.thresholdPpm, r.action))
+      .toDF("rule_id", "attribute", "op", "threshold_ppm", "action")
+  }
+
+  /** Rebuild the rule seq from a config frame (model-sized collect). */
+  def rulesFromFrame(frame: DataFrame): Seq[Rule] =
+    frame.select(col("rule_id"), col("attribute"), col("op"),
+        col("threshold_ppm").cast(LongType), col("action"))
+      .orderBy(col("rule_id"))
+      .collect()
+      .map(r => Rule(r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+      .toSeq
+
+  /** [[tagAndMix]] from a config FRAME (e.g. re-read from parquet). */
+  def tagAndMix(attributes: DataFrame, rulesFrame: DataFrame): DataFrame =
+    tagAndMix(attributes, rulesFromFrame(rulesFrame))
+
+  /** Compile the config into one verdict DAG over the attribute frame.
+    * Output: (doc_id, n_fired, fired_rules, tags, verdict) — one row
+    * per input document, config order irrelevant (sorted censuses). */
+  def tagAndMix(attributes: DataFrame, rules: Seq[Rule],
+                id: String = "doc_id"): DataFrame = {
+    require(rules.nonEmpty, "tagAndMix: empty rule config")
+    rules.foreach { r =>
+      require(Ops(r.op), s"tagAndMix: unknown op '${r.op}' (${r.ruleId})")
+      require(Actions(r.action),
+        s"tagAndMix: unknown action '${r.action}' (${r.ruleId})")
+      require(attributes.columns.contains(r.attribute),
+        s"tagAndMix: rule ${r.ruleId} references absent attribute '${r.attribute}'")
+    }
+    val spark = attributes.sparkSession
+    val referenced = rules.map(_.attribute).distinct.sorted
+    // unpivot ONLY referenced attributes: (id, attribute, value)
+    val up = referenced.map { a =>
+      attributes.select(col(id), lit(a).as("attribute"),
+        col(a).cast(DoubleType).as("value"))
+    }.reduce(_.unionByName(_))
+    val t = col("threshold_ppm").cast(DoubleType) / lit(1e6)
+    val fired = coalesce(
+      when(col("op") === "lt", col("value") < t)
+        .when(col("op") === "le", col("value") <= t)
+        .when(col("op") === "gt", col("value") > t)
+        .when(col("op") === "ge", col("value") >= t)
+        .when(col("op") === "eq", col("value") === t)
+        .when(col("op") === "ne", col("value") =!= t),
+      lit(false))
+    up.join(broadcast(rulesFrame(spark, rules)), Seq("attribute"))
+      .withColumn("__fired", fired)
+      .groupBy(col(id))
+      .agg(
+        sum(when(col("__fired"), 1L).otherwise(0L)).as("n_fired"),
+        concat_ws(",", array_sort(collect_set(
+          when(col("__fired"), col("rule_id"))))).as("fired_rules"),
+        concat_ws(",", array_sort(collect_set(
+          when(col("__fired") && col("action") === "tag", col("rule_id")))))
+          .as("tags"),
+        max(when(col("__fired") && col("action") === "drop", 1L)
+          .otherwise(0L)).as("__drop"))
+      .select(col(id), col("n_fired"), col("fired_rules"), col("tags"),
+        when(col("__drop") === 1, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+  }
+}

@@ -337,6 +337,49 @@ object TextAnalysis {
         (col("cum_before") % lit(budget)).as("pack_offset"))
   }
 
+  /** The SEGMENT view of [[packSequences]] — what a training stack
+    * actually consumes: one row per (shard, pack, document slice),
+    * with in-pack offsets and boundary flags, so per-pack attention
+    * masks (tokens attend within their own document segment only) and
+    * per-pack segment ids come straight off the frame. A document
+    * straddling pack boundaries contributes one segment per pack it
+    * touches (`continues_prev`/`continues_next` mark the splits — the
+    * cross-document-attention mask needs exactly these). Segments
+    * tile each pack exactly: Σ seg_len per pack = budget for every
+    * non-final pack, and Σ seg_len per doc = n_tokens (spec-pinned
+    * conservation). Zero-token docs are absent (nothing to attend to).
+    *
+    * All arithmetic integer (`div`, never `/` — the r16 floor rule).
+    * Scale shape: the [[packSequences]] shard window, an explode
+    * bounded by ceil(n_tokens/budget) rows per doc, and one narrow
+    * (shard, pack) rank window for seg_idx (a second exchange, but
+    * over doc-count rows with no payload). */
+  def packSegments(docs: DataFrame, budget: Long = 1024, shards: Int = 8,
+                   scripted: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "packSegments: budget must be positive")
+    val base = packSequences(docs, budget, shards, scripted)
+      .where(col("n_tokens") > 0)
+      .withColumn("__cum", col("pack_id") * budget + col("pack_offset"))
+      .withColumn("__lastp",
+        expr(s"(__cum + n_tokens - 1) div $budget"))
+    val w = Window.partitionBy(col("shard"), col("pack_id"))
+      .orderBy(col("doc_id"))
+    base.withColumn("pack_id", explode(sequence(col("pack_id"), col("__lastp"))))
+      .withColumn("seg_start",
+        greatest(lit(0L), col("__cum") - col("pack_id") * budget))
+      .withColumn("seg_len",
+        least(lit(budget), col("__cum") + col("n_tokens") - col("pack_id") * budget)
+          - col("seg_start"))
+      .withColumn("seg_idx", (row_number().over(w) - 1).cast(LongType))
+      .select(col("shard"), col("pack_id"), col("seg_idx"), col("doc_id"),
+        col("seg_start"), col("seg_len"),
+        when(col("__cum") < col("pack_id") * budget, 1L).otherwise(0L)
+          .as("continues_prev"),
+        when(col("__cum") + col("n_tokens") > (col("pack_id") + 1) * budget, 1L)
+          .otherwise(0L).as("continues_next"))
+  }
+
   /** Fixed-window token chunking of long documents — the complement of
     * [[packSequences]] (packing joins short docs; chunking splits long
     * ones): chunk `i` carries words `[i·stride, i·stride + maxTokens)`,
@@ -873,6 +916,63 @@ object TextAnalysis {
         }
       }
     spark.createDataFrame(out, schema)
+  }
+
+  /** The unique-PRETOKEN frequency table with byte-mapped initial
+    * symbols — the byte-level analog of the word table behind
+    * [[bpeTrain]] (no `</w>` end marker: the Ġ space prefix plays the
+    * boundary role at byte level). One corpus pass through the
+    * pretokenizer kernel, one census aggregate; the symbol expansion
+    * runs over the CENSUS (vocabulary-sized), never the corpus. */
+  private def uniquePretokenByteFreqs(docs: DataFrame,
+                                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("pretoken", StringType)))
+    val pre = docs.select(col(textCol)).where(col(textCol).isNotNull)
+      .rdd.mapPartitions { rows =>
+        val pat = java.util.regex.Pattern.compile(ByteBpePretokenPattern)
+        rows.flatMap { r =>
+          val m = pat.matcher(r.getString(0))
+          val out = Seq.newBuilder[Row]
+          while (m.find()) out += Row(m.group())
+          out.result()
+        }
+      }
+    spark.createDataFrame(pre, schema)
+      .groupBy(col("pretoken")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (p, f) =>
+        (f, p.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+          .map(b => String.valueOf(byteBpeTable(b & 0xff))))
+      }
+      .toDF("freq", "symbols")
+  }
+
+  /** Byte-level BPE TRAINING — the Sennrich algorithm over the
+    * byte-mapped pretoken table (how GPT-2-class vocabularies are
+    * actually learned): same two-path shape, same (freq desc, pair
+    * asc by UTF-8 bytes) tie-break and count≥2 stop rule as
+    * [[bpeTrain]] — both paths REUSE its trainers verbatim, only the
+    * table construction differs (pretokens + byte mapping instead of
+    * whitespace words + `</w>`). The learned merges feed
+    * [[byteBpeEncode]] directly (train→encode composition
+    * spec-pinned); the trajectory is oracle-gated (q_bpe_byte_train). */
+  def byteBpeTrain(docs: DataFrame, numMerges: Int,
+                   maxLocalWords: Long = 1000000L,
+                   textCol: String = "text"): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    val words = uniquePretokenByteFreqs(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (words.count() <= maxLocalWords) {
+        val table = words.collect().map(r =>
+          (r.getLong(0), r.getSeq[String](1)))
+        bpeTrainLocal(table, numMerges)
+      } else bpeTrainDistributed(words, numMerges)
+    } finally words.unpersist(blocking = false)
   }
 
   // ---- WordPiece trainer + encoder (Schuster & Nakajima 2012; ----

@@ -4199,6 +4199,46 @@ object LlmQueries {
        |  CAST(cum_before % 1024 AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
 
+  /** Segment-mask packing inside the gate: the packSequences cum-sum
+    * replay extended with the per-pack segment explosion — pack-span
+    * integer division (// both sides — the r16 floor rule), in-pack
+    * offsets, lengths and the continuation flags the attention mask
+    * consumes. Any straddle arithmetic slip (an off-by-one pack span,
+    * a bent boundary offset) changes a row and fails the hash. */
+  def qPackSegments(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSegments(Tables(spark, dir).documents)
+
+  val qPackSegmentsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ${h60Sql("'pack' || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM t),
+       |b AS (SELECT doc_id, shard, n_tokens, cum,
+       |    cum // 1024 AS first_pack,
+       |    (cum + n_tokens - 1) // 1024 AS last_pack
+       |  FROM c WHERE n_tokens > 0),
+       |e AS (SELECT doc_id, shard, n_tokens, cum, p.p AS pack_id
+       |  FROM b, unnest(generate_series(first_pack, last_pack)) p(p)),
+       |s AS (SELECT shard, pack_id, doc_id,
+       |    greatest(CAST(0 AS BIGINT), cum - pack_id * 1024) AS seg_start,
+       |    least(CAST(1024 AS BIGINT), cum + n_tokens - pack_id * 1024)
+       |      - greatest(CAST(0 AS BIGINT), cum - pack_id * 1024) AS seg_len,
+       |    CAST(CASE WHEN cum < pack_id * 1024 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS continues_prev,
+       |    CAST(CASE WHEN cum + n_tokens > (pack_id + 1) * 1024 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS continues_next
+       |  FROM e)
+       |SELECT shard, pack_id,
+       |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) - 1
+       |    AS BIGINT) AS seg_idx,
+       |  doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+       |  CAST(seg_len AS BIGINT) AS seg_len, continues_prev, continues_next
+       |FROM s""".stripMargin
+
   // ---- #33 positional rolling-hash fingerprint ----
 
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -4398,6 +4438,77 @@ object LlmQueries {
        |FROM expl""".stripMargin
   }
 
+  // ---- byte-level BPE TRAINER, gated by trajectory replay ----
+
+  /** Per-chunk pretokens with HAND-DERIVED byte-mapped initial symbol
+    * sequences — the closed form for the trainer gate (the encoder
+    * gate's chunk inventory walked through the pretokenizer + byte
+    * map by hand; ByteBpeSpec cross-checks both against the real
+    * kernel). */
+  private val ByteBpePretokens: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("Ġ", "t", "h", "e")),
+    Seq(Seq("Ġ", "a", "t")),
+    Seq(Seq("Ġ", "c", "a", "t"), Seq("'", "s")),
+    Seq(Seq("Ġ", "Ã", "©"), Seq("1", "2")),
+    Seq(Seq("Ġ", "ä", "¸", "Ń"), Seq("!")),
+    Seq(Seq("Ġ", "t", "h", "a", "t")),
+    Seq(Seq("Ċ")),
+    Seq(Seq("Ġ", "a", "t", "h", "e")))
+
+  private val ByteBpeTrainMerges = 8
+
+  /** The byte-level BPE TRAINER inside the gate: learn 8 merges from
+    * the synthesized chunk corpus (TextAnalysis.byteBpeTrain — the
+    * Sennrich algorithm over the byte-mapped pretoken table) and emit
+    * the trajectory. The oracle rebuilds the pretoken frequency table
+    * from the id arithmetic + the hand-derived symbol VALUES, then
+    * replays the SAME round CTEs as q_bpe_train (the machinery is
+    * tokenizer-agnostic). Any pretoken-census, byte-symbol, argmax or
+    * merge slip changes a merge and fails the hash. */
+  def qBpeByteTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
+    TextAnalysis.byteBpeTrain(docs, ByteBpeTrainMerges)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_idx", "sym_a", "sym_b")
+  }
+
+  val qBpeByteTrainSql: String = {
+    def q(s: String) = s.replace("'", "''")
+    val values = ByteBpePretokens.zipWithIndex.flatMap { case (pts, ci) =>
+      pts.map { syms =>
+        val wid = q(syms.mkString)
+        val lst = syms.map(x => s"'${q(x)}'").mkString(", ")
+        s"($ci, '$wid', [$lst])"
+      }
+    }.mkString(", ")
+    s"""WITH pv(ci, wid, s) AS (VALUES $values),
+       |d AS (SELECT doc_id, j.j AS j, (doc_id * 7 + j.j * 3) % 8 AS ci
+       |  FROM documents,
+       |    unnest(generate_series(0, CAST(doc_id % 3 + 3 AS BIGINT))) j(j)),
+       |w0 AS (SELECT wid, CAST(count(*) AS BIGINT) AS freq, s
+       |  FROM d JOIN pv USING (ci) GROUP BY wid, s),
+       |${bpeTrainRoundsSql(ByteBpeTrainMerges)}
+       |${bpeTrainOutSql(ByteBpeTrainMerges)}""".stripMargin
+  }
+
+  /** The DISTRIBUTED byte-trainer path against the SAME oracle (the
+    * q_bpe_train_dist doctrine: both paths green proves trajectory
+    * equality inside the gate). */
+  def qBpeByteTrainDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
+    TextAnalysis.byteBpeTrain(docs, ByteBpeTrainMerges, maxLocalWords = 0L)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_idx", "sym_a", "sym_b")
+  }
+
+  val qBpeByteTrainDistSql: String = qBpeByteTrainSql
+
   // ---- BPE TRAINING, oracle-gated by merge-trajectory replay ----
 
   private val BpeTrainMerges = 8
@@ -4422,8 +4533,12 @@ object LlmQueries {
       .toDF("merge_idx", "sym_a", "sym_b")
   }
 
-  val qBpeTrainSql: String = {
-    val rounds = (0 until BpeTrainMerges).map { i =>
+  /** The per-round merge-trajectory CTE blocks over a `w0(wid, freq,
+    * s)` symbol table — shared by the word-level and byte-level
+    * trainer gates (the machinery is tokenizer-agnostic: pair census,
+    * (n desc, pair asc) argmax, run-parity greedy merge). */
+  private def bpeTrainRoundsSql(numMerges: Int): String =
+    (0 until numMerges).map { i =>
       s"""m$i AS (SELECT a, b FROM (
          |    SELECT s[j] AS a, s[j+1] AS b, CAST(sum(freq) AS BIGINT) AS n
          |    FROM w$i, unnest(generate_series(1, len(s) - 1)) AS t(j) GROUP BY 1, 2)
@@ -4448,17 +4563,21 @@ object LlmQueries {
          |        LEFT JOIN m$i m ON TRUE)))
          |  WHERE NOT consumed GROUP BY wid, freq)""".stripMargin
     }.mkString(",\n")
-    val out = (0 until BpeTrainMerges)
+
+  /** The trajectory output union over the round argmaxes. */
+  private def bpeTrainOutSql(numMerges: Int): String =
+    (0 until numMerges)
       .map(i => s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS sym_a, b AS sym_b FROM m$i")
       .mkString("\nUNION ALL\n")
+
+  val qBpeTrainSql: String =
     s"""WITH w0 AS (
        |  SELECT word AS wid, CAST(count(*) AS BIGINT) AS freq,
        |    list_concat(string_split(word, ''), ['</w>']) AS s
        |  FROM (SELECT unnest(${wordsSql("text")}) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
-       |$rounds
-       |$out""".stripMargin
-  }
+       |${bpeTrainRoundsSql(BpeTrainMerges)}
+       |${bpeTrainOutSql(BpeTrainMerges)}""".stripMargin
 
   /** The DISTRIBUTED BPE-trainer path inside the oracle gate: the
     * identical merge trajectory with maxLocalWords = 0, forcing
@@ -7748,6 +7867,70 @@ object LlmQueries {
        |    AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.afp, b.afp)) <= $AfpMaxHamming
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- declarative tagger/mixer (the Dolma-style config surface) ----
+
+  /** The fixture config: drop/tag rules over the quality census
+    * attributes, ALL SIX ops exercised on counts and roundp ratios,
+    * both actions, plus one rule that never fires on this corpus
+    * (r_punct — the no-false-fire direction of the gate) and one that
+    * always does (r_nopunct via eq on the all-zero punct column).
+    * Thresholds in INTEGER ppm. */
+  private val TaggerRules: Seq[graft.operators.Tagger.Rule] = Seq(
+    graft.operators.Tagger.Rule("r_minlen", "n_words", "lt", 50000000L, "drop"),
+    graft.operators.Tagger.Rule("r_punct", "punct_ratio", "gt", 120000L, "drop"),
+    graft.operators.Tagger.Rule("r_lowstop", "stopword_ratio", "lt", 20000L, "tag"),
+    graft.operators.Tagger.Rule("r_hiqual", "quality", "ge", 800000L, "tag"),
+    graft.operators.Tagger.Rule("r_long", "n_chars", "ge", 300000000L, "tag"),
+    graft.operators.Tagger.Rule("r_short", "n_words", "le", 55000000L, "tag"),
+    graft.operators.Tagger.Rule("r_nopunct", "punct_ratio", "eq", 0L, "tag"),
+    graft.operators.Tagger.Rule("r_hasstop", "stopword_ratio", "ne", 0L, "tag"))
+
+  /** Config-driven tagger/mixer inside the gate: the quality census
+    * feeds [[graft.operators.Tagger.tagAndMix]] under [[TaggerRules]]
+    * threaded through the WRITABLE config frame (the shippable-config
+    * path). The oracle replays the census (qTextQualitySql verbatim),
+    * unpivots the referenced attributes, joins the config as a VALUES
+    * CTE and rebuilds the same sorted fired/tags censuses — any op
+    * dispatch, ppm materialization, NULL-neutrality or action slip
+    * changes a verdict and fails the hash. TaggerSpec pins
+    * config == hand-composed-DAG parity. */
+  def qTaggerMix(spark: SparkSession, dir: String): DataFrame = {
+    val attrs = TextAnalysis.quality(Tables(spark, dir).documents)
+    graft.operators.Tagger.tagAndMix(attrs,
+      graft.operators.Tagger.rulesFrame(spark, TaggerRules))
+  }
+
+  val qTaggerMixSql: String = {
+    val values = TaggerRules.map { r =>
+      s"('${r.ruleId}', '${r.attribute}', '${r.op}', ${r.thresholdPpm}, '${r.action}')"
+    }.mkString(", ")
+    val referenced = TaggerRules.map(_.attribute).distinct.sorted
+    val unpivot = referenced.map { a =>
+      s"SELECT doc_id, '$a' AS attribute, CAST($a AS DOUBLE) AS value FROM q0"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q0 AS ($qTextQualitySql),
+       |rules(rule_id, attribute, op, threshold_ppm, action) AS (VALUES $values),
+       |up AS ($unpivot),
+       |j AS (SELECT doc_id, rule_id, action,
+       |    COALESCE(CASE op
+       |      WHEN 'lt' THEN value < t WHEN 'le' THEN value <= t
+       |      WHEN 'gt' THEN value > t WHEN 'ge' THEN value >= t
+       |      WHEN 'eq' THEN value = t WHEN 'ne' THEN value <> t END,
+       |      false) AS fired
+       |  FROM (SELECT up.doc_id, up.value, rules.rule_id, rules.op,
+       |      rules.action, CAST(threshold_ppm AS DOUBLE) / 1e6 AS t
+       |    FROM up JOIN rules USING (attribute)))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT) AS n_fired,
+       |  COALESCE(string_agg(CASE WHEN fired THEN rule_id END, ','
+       |    ORDER BY rule_id), '') AS fired_rules,
+       |  COALESCE(string_agg(CASE WHEN fired AND action = 'tag' THEN rule_id END,
+       |    ',' ORDER BY rule_id), '') AS tags,
+       |  CASE WHEN max(CASE WHEN fired AND action = 'drop' THEN 1 ELSE 0 END) = 1
+       |    THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM j GROUP BY 1""".stripMargin
   }
 
   // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----

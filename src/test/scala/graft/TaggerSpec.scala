@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tagger
+import graft.operators.Tagger.Rule
+
+/** Declarative tagger/mixer (operators/Tagger): the load-bearing
+  * property is config == hand-composed-DAG parity — a rule-spec frame
+  * must compile to exactly the verdicts a hand-written when() chain
+  * produces. Cross-engine parity is q_tagger_mix's oracle. */
+class TaggerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val attrs = Seq(
+    // (id, n_words, punct_ratio, quality)
+    (1L, 100L, Some(0.05), Some(0.9)),  // clean long doc
+    (2L, 5L, Some(0.05), Some(0.1)),    // too short
+    (3L, 100L, Some(0.40), Some(0.5)),  // too punctuated
+    (4L, 100L, None, None),             // NULL ratios (guarded /0)
+    (5L, 30L, Some(0.35), Some(0.2)))   // fails both drop rules
+    .toDF("doc_id", "n_words", "punct_ratio", "quality")
+
+  private val rules = Seq(
+    Rule("r_short", "n_words", "lt", 50000000L, "drop"),      // < 50
+    Rule("r_punct", "punct_ratio", "gt", 300000L, "drop"),    // > 0.3
+    Rule("r_good", "quality", "ge", 800000L, "tag"))          // >= 0.8
+
+  test("verdicts, fired censuses and tags match the hand walk") {
+    val out = Tagger.tagAndMix(attrs, rules).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out(1L) === ((1L, "r_good", "r_good", "keep")))
+    assert(out(2L) === ((1L, "r_short", "", "drop")))
+    assert(out(3L) === ((1L, "r_punct", "", "drop")))
+    // NULL attributes fire nothing — doc 4 keeps with no tags
+    assert(out(4L) === ((0L, "", "", "keep")))
+    // both drop rules fire: sorted census, single drop verdict
+    assert(out(5L) === ((2L, "r_punct,r_short", "", "drop")))
+  }
+
+  test("config frame == Seq config == hand-composed when() DAG") {
+    val viaFrame = Tagger.tagAndMix(attrs, Tagger.rulesFrame(spark, rules))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaSeq = Tagger.tagAndMix(attrs, rules)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaFrame === viaSeq)
+    // the hand-composed DAG a user would write without the config
+    val hand = attrs.select(col("doc_id"),
+        coalesce(col("n_words") < 50.0, lit(false)).as("f_short"),
+        coalesce(col("punct_ratio") > 0.3, lit(false)).as("f_punct"),
+        coalesce(col("quality") >= 0.8, lit(false)).as("f_good"))
+      .select(col("doc_id"),
+        when(col("f_short") || col("f_punct"), "drop").otherwise("keep")
+          .as("verdict"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Tagger.tagAndMix(attrs, rules).collect().foreach { r =>
+      assert(r.getString(4) === hand(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("config round-trips through parquet (the shippable mixer)") {
+    val dir = java.nio.file.Files.createTempDirectory("tagger").toString
+    Tagger.rulesFrame(spark, rules).write.mode("overwrite").parquet(dir)
+    val back = Tagger.rulesFromFrame(spark.read.parquet(dir))
+    assert(back.toSet === rules.toSet)
+  }
+
+  test("unknown ops, actions and absent attributes are config errors, not row noise") {
+    intercept[IllegalArgumentException] {
+      Tagger.tagAndMix(attrs, Seq(Rule("r", "n_words", "between", 1L, "drop")))
+    }
+    intercept[IllegalArgumentException] {
+      Tagger.tagAndMix(attrs, Seq(Rule("r", "n_words", "lt", 1L, "mask")))
+    }
+    intercept[IllegalArgumentException] {
+      Tagger.tagAndMix(attrs, Seq(Rule("r", "no_such_col", "lt", 1L, "drop")))
+    }
+  }
+
+  test("every op comparison direction against the ppm grid") {
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "x")
+    def fired(op: String, ppm: Long): Set[Long] =
+      Tagger.tagAndMix(a, Seq(Rule("r", "x", op, ppm, "tag")))
+        .where(col("n_fired") === 1).collect().map(_.getLong(0)).toSet
+    assert(fired("lt", 20000000L) === Set(1L))
+    assert(fired("le", 20000000L) === Set(1L, 2L))
+    assert(fired("gt", 20000000L) === Set(3L))
+    assert(fired("ge", 20000000L) === Set(2L, 3L))
+    assert(fired("eq", 20000000L) === Set(2L))
+    assert(fired("ne", 20000000L) === Set(1L, 3L))
+  }
+}
