@@ -2322,19 +2322,34 @@ object TextAnalysis {
     * level's type/context/count-of-count table regroups the
     * model-sized table above it; all 2(order−1) discount/total
     * scalars ride ONE broadcast 1-row cross join. */
+  /** `materialize = true` eagerly localCheckpoints every per-level
+    * type table and p-frame (all MODEL-sized — the 5-gram TYPE census,
+    * never the corpus): the order-5 model union otherwise re-executes
+    * the n-gram census across ~10 branches × a per-level join chain
+    * (measured 10.7 s at sf0.1; a lazy persist was WORSE at 15.1 s —
+    * per-branch stage barriers plus per-run re-materialization under
+    * the stage-cache release protocol, the r13 zipWithIndex lesson in
+    * aggregate form). Eager checkpoints cut it to one census + small
+    * downstream jobs, no cache lifecycle to manage (blocks free on
+    * GC). Default OFF: at order 2-3 the duplicate scans are hidden by
+    * idle cores and the checkpoint barrier loses (the kmeansFit
+    * cacheInput trade-off). */
   def knNgramTrain(docs: DataFrame, order: Int, textCol: String = "text",
-                   scripted: Boolean = false): DataFrame = {
+                   scripted: Boolean = false,
+                   materialize: Boolean = false): DataFrame = {
     require(order >= 2 && order <= 8, "knNgramTrain: order in [2, 8]")
+    def maybeCache(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     // per-level type tables, top down: level `order` is the raw census
     val tables = new Array[DataFrame](order + 1)
-    tables(order) = docs.select(explode(
+    tables(order) = maybeCache(docs.select(explode(
         graft.functions.WordShingles.of(col(textCol), order, distinct = false,
           scripted = scripted)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt")))
     for (k <- (order - 1) to 1 by -1)
-      tables(k) = tables(k + 1)
+      tables(k) = maybeCache(tables(k + 1)
         .select(gramSuffix(col("gram"), k).as("gram"))
-        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt")))
     // per-level context tables (prefix k−1): total mass + type count
     def ctxOf(k: Int): DataFrame = tables(k)
       .groupBy(gramPrefix(col("gram"), k - 1).as("ctx"))
@@ -2349,11 +2364,11 @@ object TextAnalysis {
       floor(log(c) * 1e6 + 0.5).cast(LongType).as("q")
     // probability frames bottom-up; each level's __p feeds the next
     val pFrames = new Array[DataFrame](order + 1)
-    pFrames(1) = tables(1).crossJoin(broadcast(g))
-      .select(col("gram"), (col("cnt") / col("__t")).as("__p"))
+    pFrames(1) = maybeCache(tables(1).crossJoin(broadcast(g))
+      .select(col("gram"), (col("cnt") / col("__t")).as("__p")))
     for (k <- 2 to order) {
       val d = col(s"__d$k")
-      pFrames(k) = tables(k)
+      val pk = tables(k)
         .withColumn("__pfx", gramPrefix(col("gram"), k - 1))
         .withColumn("__sfx", gramSuffix(col("gram"), k - 1))
         .join(ctx(k).withColumnRenamed("ctx", "__pfx"), Seq("__pfx"))
@@ -2363,6 +2378,8 @@ object TextAnalysis {
         .select(col("gram"),
           ((col("cnt") - d) / col("tot") +
             ((d * col("typ")) / col("tot")) * col("__cp")).as("__p"))
+      // the top level's p-frame has a single consumer (its model row)
+      pFrames(k) = if (k < order) maybeCache(pk) else pk
     }
     val pRows = (2 to order).map { k =>
       pFrames(k).select(lit(k.toLong).as("ord"), col("gram"), qlog(col("__p")))

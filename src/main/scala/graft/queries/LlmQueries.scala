@@ -6937,7 +6937,12 @@ object LlmQueries {
     * and the 10-part quantized-log model. */
   def qKn5Logprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val model = TextAnalysis.knNgramTrain(docs.where(col("doc_id") % 2 === 0), 5)
+    // materialize=true: the ~10-branch model union otherwise
+    // re-executes the 5-gram census per branch (measured 10.7 s at
+    // sf0.1; lazy persist 15.1 s; eager checkpoints win — see
+    // knNgramTrain's doc)
+    val model = TextAnalysis.knNgramTrain(
+      docs.where(col("doc_id") % 2 === 0), 5, materialize = true)
     TextAnalysis.knNgramApply(model, docs, 5)
   }
 

@@ -239,6 +239,17 @@ class KnLogprobSpec extends SparkSpec {
     }
   }
 
+  test("ORDER-5: materialize is a pure execution knob (identical model)") {
+    val docs = (0 until 100).map { i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 2} w${i % 5} w${i % 3} w${i % 4}")
+    }.toDF("doc_id", "text")
+    val plain = TextAnalysis.knNgramTrain(docs, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val mat = TextAnalysis.knNgramTrain(docs, 5, materialize = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(plain === mat)
+  }
+
   test("ORDER-5: composition parity and the backoff cascade probes") {
     val docs = (0 until 150).map { i =>
       (i.toLong, s"w${i % 5} w${i % 3} w${i % 2} w${i % 5} w${i % 3} w${i % 4}")
