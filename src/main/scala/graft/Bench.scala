@@ -148,10 +148,21 @@ object Bench {
     "q_wordpiece_train" -> 0.28, "q_wordpiece_encode" -> 0.43,
     "q_winnow_fingerprints" -> 1.45, "q_license_scan" -> 0.23,
     "q_winnow_pairs" -> 1.28,
-    // order-3 interpolated KN: 6 model-sized censuses + 5 apply joins
-    // (min-of-3 on a 1.6-1.8x loaded host — conservative)
-    "q_kn3_logprob" -> 3.08, "q_winnow_index_merge" -> 1.91,
-    "q_kn_logprob_cjk" -> 1.80, "q_code_strip" -> 0.31)
+    // r19 re-pin of the four r18 loaded-host-conservative rows (the
+    // r18 verdict's quiet-window ask; min of two isolated runs on a
+    // ~1.5x-loaded host — still upper bounds)
+    "q_kn3_logprob" -> 2.33, "q_winnow_index_merge" -> 0.93,
+    "q_kn_logprob_cjk" -> 1.25, "q_code_strip" -> 0.11,
+    // r19 additions (min of two isolated min-of-3 runs AND the
+    // 239-query full-suite run — 158.2 s total, calib_norm 1.44,
+    // zero flags; conservative on a loaded host)
+    "q_bpe_byte_encode" -> 0.20, "q_bpe_byte_train" -> 0.33,
+    "q_bpe_byte_train_dist" -> 1.25,
+    // order-5 KN after the materialize fix (10.7 lazy / 15.1 lazy
+    // persist / 5.3-5.6 eager localCheckpoint — see knNgramTrain)
+    "q_kn5_logprob" -> 5.30,
+    "q_unicode_nfkc" -> 0.10, "q_tagger_mix" -> 0.69,
+    "q_pack_segments" -> 0.19)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
