@@ -162,7 +162,10 @@ object Bench {
     // persist / 5.3-5.6 eager localCheckpoint — see knNgramTrain)
     "q_kn5_logprob" -> 5.30,
     "q_unicode_nfkc" -> 0.10, "q_tagger_mix" -> 0.69,
-    "q_pack_segments" -> 0.19)
+    "q_pack_segments" -> 0.19,
+    // nine n-gram orders in ONE tokenize pass (isolated min-of-3 on
+    // a ~1.4x-loaded window; the BLEU-census family cost)
+    "q_gopher_repetition" -> 2.44)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

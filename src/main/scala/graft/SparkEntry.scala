@@ -118,6 +118,8 @@ object SparkEntry {
     "q_quality_filter" -> (L.qQualityFilter _),
     // declarative tagger/mixer: config frame compiled to one verdict DAG
     "q_tagger_mix" -> (L.qTaggerMix _),
+    // the full Gopher repetition signal set (lines/paras/n-grams)
+    "q_gopher_repetition" -> (L.qGopherRepetition _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
     // learned linear classifier next to the rule- and LM-based signals
     "q_quality_classifier" -> (L.qQualityClassifier _),
@@ -468,6 +470,7 @@ object SparkEntry {
     "q_readability" -> L.qReadabilitySql,
     "q_quality_filter" -> L.qQualityFilterSql,
     "q_tagger_mix" -> L.qTaggerMixSql,
+    "q_gopher_repetition" -> L.qGopherRepetitionSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_classifier_train" -> L.qClassifierTrainSql,

@@ -256,6 +256,92 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** The Gopher REPETITION signal set (Rae et al. 2022 Table A1 —
+    * the rows [[repetition]]'s word/bigram pair doesn't cover):
+    * duplicate LINE and PARAGRAPH fractions by count and by
+    * character mass, the top-n-gram character occupancy for n=2..4,
+    * and the duplicated-n-gram character occupancy for n=5..10.
+    * Conventions (the ones the public reimplementations use, stated
+    * here because the paper leaves them open): units are trimmed and
+    * empty units drop; character occupancy is count×len(gram) over
+    * length(text) — overlaps are NOT deduplicated; the top n-gram is
+    * chosen by (count desc, gram asc) — a total order, so the argmax
+    * is engine-exact (min-of-struct, the r16 sort-free top-1). Docs
+    * with no units are absent; a doc too short for order n reads 0
+    * for that column.
+    *
+    * Scale shape: two narrow unit censuses (lines, paragraphs — one
+    * scan each, map-side partials), and ONE tokenize pass for all
+    * nine n-gram orders (nine lead() calls over a single doc-keyed
+    * window — the BLEU census trick — then one unpivot, one census
+    * aggregate, one per-(doc, order) rollup, one pivot; never a scan
+    * per order). */
+  def gopherRepetition(docs: DataFrame, id: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def unitFracs(sep: String, pfx: String): DataFrame =
+      docs.select(col(id), explode(split(t, sep)).as("__u"))
+        .select(col(id), trim(col("__u")).as("__u"))
+        .where(length(col("__u")) > 0)
+        .groupBy(col(id), col("__u"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(id))
+        .agg(sum(col("__c")).as("__n"),
+          sum(col("__c") - 1).as("__dup"),
+          sum(col("__c") * length(col("__u"))).as("__chars"),
+          sum((col("__c") - 1) * length(col("__u"))).as("__dupch"))
+        .select(col(id), col("__n").as(s"n_${pfx}s"),
+          Portable.roundp(col("__dup") / col("__n").cast(DoubleType), 6)
+            .as(s"dup_${pfx}_frac"),
+          Portable.roundp(col("__dupch") / col("__chars").cast(DoubleType), 6)
+            .as(s"dup_${pfx}_char_frac"))
+    val tok = docs
+      .select(col(id), length(t).cast(LongType).as("__nchars"),
+        posexplode(Portable.words(t)).as(Seq("__pos", "__w")))
+      .where(length(col("__w")) > 0)
+    val w = Window.partitionBy(col(id)).orderBy(col("__pos"))
+    val led = (1 to 9).foldLeft(tok) { (df, k) =>
+      df.withColumn(s"__w$k", lead(col("__w"), k).over(w))
+    }
+    val gramStructs = array((2 to 10).map { n =>
+      struct(lit(n.toLong).as("n"),
+        when(col(s"__w${n - 1}").isNotNull,
+          concat_ws(" ", (col("__w") +: (1 until n).map(k => col(s"__w$k"))): _*))
+          .as("gram"))
+    }: _*)
+    val cen = led.select(col(id), col("__nchars"), explode(gramStructs).as("__g"))
+      .select(col(id), col("__nchars"),
+        col("__g.n").as("__n"), col("__g.gram").as("__gram"))
+      .where(col("__gram").isNotNull)
+      .groupBy(col(id), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__c"), max(col("__nchars")).as("__nchars"))
+    val perN = cen.groupBy(col(id), col("__n"))
+      .agg(max(col("__nchars")).as("__nchars"),
+        min(struct((-col("__c")).as("nc"), col("__gram").as("g"))).as("__top"),
+        sum(when(col("__c") >= 2, col("__c") * length(col("__gram")))
+          .otherwise(0L)).as("__dupch"))
+      .select(col(id), col("__n"),
+        Portable.roundp(((-col("__top.nc")) * length(col("__top.g")))
+          / col("__nchars").cast(DoubleType), 6).as("__topfrac"),
+        Portable.roundp(col("__dupch") / col("__nchars").cast(DoubleType), 6)
+          .as("__dupfrac"))
+    val aggCols = (2 to 4).map(n => max(when(col("__n") === n, col("__topfrac")))
+      .as(s"top_${n}gram_char_frac")) ++
+      (5 to 10).map(n => max(when(col("__n") === n, col("__dupfrac")))
+        .as(s"dup_${n}gram_char_frac"))
+    val pivoted = perN.groupBy(col(id)).agg(aggCols.head, aggCols.tail: _*)
+    val nCols = (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    val outCols = (col(id) +: Seq("n_lines", "dup_line_frac",
+      "dup_line_char_frac", "n_paras", "dup_para_frac",
+      "dup_para_char_frac").map(col)) ++
+      nCols.map(c => coalesce(col(c), lit(0.0)).as(c))
+    unitFracs("\n", "line")
+      .join(unitFracs("\n\n", "para"), Seq(id))
+      .join(pivoted, Seq(id), "left")
+      .select(outCols: _*)
+  }
+
   /** Corpus vocabulary: whitespace token -> count, top `k` by
     * (count desc, token asc — a total order, so the cut is
     * deterministic). The plan is the scale shape for frequency tables:

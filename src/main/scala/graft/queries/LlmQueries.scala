@@ -7874,6 +7874,92 @@ object LlmQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---- Gopher repetition censuses (lines / paragraphs / n-grams) ----
+
+  /** The Gopher repetition signal set over a lined fixture: documents
+    * gain real line/paragraph structure with WITHIN-DOC duplicates (a
+    * promo line ×3, the lead chunk repeated, and a whole duplicate
+    * paragraph on even ids — boilerplate shapes). The oracle is a full
+    * dual implementation: unit splits + censuses for lines and
+    * paragraphs, the chained-lateral n-gram census for all nine
+    * orders, the (count desc, gram asc) top-1 and the count×len
+    * duplicated-mass sums — any split, trim, tie-break or occupancy
+    * slip bends a fraction and fails the hash. */
+  def qGopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val n = length(col("text"))
+    val p = (lit(1) + (id % greatest(n.cast("long") - 1L, lit(1L)))).cast("int")
+    val a = col("text").substr(lit(1), p)
+    val b = col("text").substr(p + 1, n - p)
+    val promo = concat(lit("follow us f"), (id % 3).cast("string"))
+    val para1 = concat_ws("\n", a, promo, b, promo)
+    val para2 = concat_ws("\n", promo, a)
+    val lined = concat(para1, lit("\n\n"), para2,
+      when(id % 2 === 0, concat(lit("\n\n"), para2)).otherwise(lit("")))
+    TextAnalysis.gopherRepetition(
+      Tables(spark, dir).documents.select(id, lined.as("text")))
+  }
+
+  val qGopherRepetitionSql: String = {
+    def frac(num: String, den: String) =
+      s"floor(($num / CAST($den AS DOUBLE)) * 1e6 + 0.5) / 1e6"
+    def unitCte(sep: String, pfx: String) =
+      s"""${pfx}u AS (SELECT doc_id, trim(u) AS u FROM (
+         |    SELECT doc_id, unnest(string_split(text, $sep)) AS u FROM d)
+         |  WHERE length(trim(u)) > 0),
+         |${pfx}c AS (SELECT doc_id, u, CAST(count(*) AS BIGINT) AS c
+         |  FROM ${pfx}u GROUP BY 1, 2),
+         |${pfx}f AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_${pfx}s,
+         |    ${frac("CAST(sum(c - 1) AS BIGINT)", "sum(c)")} AS dup_${pfx}_frac,
+         |    ${frac("CAST(sum((c - 1) * length(u)) AS BIGINT)",
+                     "sum(c * length(u))")} AS dup_${pfx}_char_frac
+         |  FROM ${pfx}c GROUP BY 1)""".stripMargin
+    val topCols = (2 to 4).map(nn =>
+      s"COALESCE(max(CASE WHEN n = $nn THEN topfrac END), 0.0) AS top_${nn}gram_char_frac")
+    val dupCols = (5 to 10).map(nn =>
+      s"COALESCE(max(CASE WHEN n = $nn THEN dupfrac END), 0.0) AS dup_${nn}gram_char_frac")
+    s"""WITH d AS (SELECT doc_id,
+       |    substr(text, 1, p) || chr(10) || promo || chr(10) ||
+       |    substr(text, p + 1, length(text) - p) || chr(10) || promo ||
+       |    chr(10) || chr(10) || promo || chr(10) || substr(text, 1, p) ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN chr(10) || chr(10) || promo || chr(10) || substr(text, 1, p)
+       |      ELSE '' END AS text
+       |  FROM (SELECT doc_id, text,
+       |      CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p,
+       |      'follow us f' || CAST(doc_id % 3 AS VARCHAR) AS promo
+       |    FROM documents)),
+       |${unitCte("chr(10)", "line")},
+       |${unitCte("chr(10) || chr(10)", "para")},
+       |ws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nchars,
+       |    list_filter(${wordsSql("text")}, x -> length(x) > 0) AS w FROM d),
+       |gr AS (SELECT doc_id, nchars, n.n AS n,
+       |    array_to_string(w[i.i:i.i + n.n - 1], ' ') AS gram
+       |  FROM ws, unnest(generate_series(2, 10)) n(n),
+       |    unnest(generate_series(1, len(w) - n.n + 1)) i(i)),
+       |cen AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+       |    max(nchars) AS nchars
+       |  FROM gr GROUP BY 1, 2, 3),
+       |cen2 AS (SELECT doc_id, n, gram, c, nchars,
+       |    max(c) OVER (PARTITION BY doc_id, n) AS mc FROM cen),
+       |pn AS (SELECT doc_id, n,
+       |    ${frac("(max(mc) * length(min(CASE WHEN c = mc THEN gram END)))",
+                   "max(nchars)")} AS topfrac,
+       |    ${frac("CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS BIGINT)",
+                   "max(nchars)")} AS dupfrac
+       |  FROM cen2 GROUP BY 1, 2),
+       |pv AS (SELECT doc_id,
+       |    ${(topCols ++ dupCols).mkString(",\n    ")}
+       |  FROM pn GROUP BY 1)
+       |SELECT lf.doc_id, lf.n_lines, lf.dup_line_frac, lf.dup_line_char_frac,
+       |  pf.n_paras, pf.dup_para_frac, pf.dup_para_char_frac,
+       |  ${(2 to 4).map(nn => s"COALESCE(pv.top_${nn}gram_char_frac, 0.0) AS top_${nn}gram_char_frac").mkString(", ")},
+       |  ${(5 to 10).map(nn => s"COALESCE(pv.dup_${nn}gram_char_frac, 0.0) AS dup_${nn}gram_char_frac").mkString(", ")}
+       |FROM linef lf JOIN paraf pf USING (doc_id)
+       |LEFT JOIN pv USING (doc_id)""".stripMargin
+  }
+
   // ---- declarative tagger/mixer (the Dolma-style config surface) ----
 
   /** The fixture config: drop/tag rules over the quality census

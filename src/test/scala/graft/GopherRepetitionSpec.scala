@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** The Gopher repetition signal set (gopherRepetition): hand-computed
+  * fixtures for every fraction family, the documented conventions
+  * (trimmed units, count×len occupancy, (count desc, gram asc)
+  * top-1), and the short-doc zero floor. Cross-engine parity is
+  * q_gopher_repetition's dual-implementation oracle. */
+class GopherRepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String): Map[String, Any] = {
+    val df = TextAnalysis.gopherRepetition(Seq((0L, text)).toDF("doc_id", "text"))
+    val r = df.collect().head
+    df.columns.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+  }
+
+  test("duplicate line and paragraph fractions, count and char mass") {
+    // lines: x(1), promo(2x, len 5), y(1) -> 4 lines, 1 dup
+    // paras:  [x\npromo, promo\ny] -> 2 paras, 0 dups
+    val m = one("xx\npromo\n\npromo\nyyyy")
+    assert(m("n_lines") === 4L)
+    assert(m("dup_line_frac") === 0.25)
+    // chars: xx=2, promo=5x2, yyyy=4 -> total 16, dup mass 5
+    assert(m("dup_line_char_frac") === 0.3125)
+    assert(m("n_paras") === 2L)
+    assert(m("dup_para_frac") === 0.0)
+    assert(m("dup_para_char_frac") === 0.0)
+    // duplicate paragraph: 3 paras, one repeated
+    val p = one("a b\n\nc d\n\na b")
+    assert(p("n_paras") === 3L)
+    assert(p("dup_para_frac") === 0.333333)
+  }
+
+  test("trimmed and empty units drop from the census") {
+    val m = one("  spaced  \nspaced\n\n   \nlast")
+    // '  spaced  ' and 'spaced' trim to the same line; blank line drops
+    assert(m("n_lines") === 3L)
+    assert(m("dup_line_frac") === 0.333333)
+  }
+
+  test("top n-gram occupancy: count x len over text chars, gram-asc tiebreak") {
+    // "b c a b c a b" (13 chars): bigrams b-c x2, c-a x2, a-b x2
+    // tie on count -> gram asc picks "a b" (len 3): 2*3/13
+    val m = one("b c a b c a b")
+    assert(m("top_2gram_char_frac") ===
+      math.floor((6.0 / 13) * 1e6 + 0.5) / 1e6)
+    // trigrams: "b c a" x2, "c a b" x2 -> tie -> "b c a" (len 5): 10/13
+    assert(m("top_3gram_char_frac") ===
+      math.floor((10.0 / 13) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("duplicated n-gram occupancy sums count x len over count>=2 grams") {
+    // "p q r s t p q r s t" (19 chars): every 5-gram window of the
+    // repeated half? 5-grams: positions 1-6; "p q r s t" occurs 2x
+    // (len 9) -> mass 18; others once -> dup_5 = 18/19
+    val m = one("p q r s t p q r s t")
+    assert(m("dup_5gram_char_frac") ===
+      math.floor((18.0 / 19) * 1e6 + 0.5) / 1e6)
+    // no 10-gram repeats (only one 10-gram) -> 0
+    assert(m("dup_10gram_char_frac") === 0.0)
+  }
+
+  test("docs too short for an order read zero, not NULL") {
+    val m = one("only three words")
+    assert(m("top_2gram_char_frac").asInstanceOf[Double] > 0.0 ||
+      m("top_2gram_char_frac") === 0.0)
+    (5 to 10).foreach { n =>
+      assert(m(s"dup_${n}gram_char_frac") === 0.0, s"order $n")
+    }
+    assert(m("top_4gram_char_frac") === 0.0, "3 words have no 4-gram")
+  }
+}
