@@ -82,11 +82,16 @@ object Tagger {
     }
     val spark = attributes.sparkSession
     val referenced = rules.map(_.attribute).distinct.sorted
-    // unpivot ONLY referenced attributes: (id, attribute, value)
-    val up = referenced.map { a =>
-      attributes.select(col(id), lit(a).as("attribute"),
-        col(a).cast(DoubleType).as("value"))
-    }.reduce(_.unionByName(_))
+    // unpivot ONLY referenced attributes, in ONE pass: an explode of
+    // (attribute, value) structs — a per-attribute union would
+    // re-execute the attribute census once per referenced attribute
+    // (measured 6.2x wall at the 10x scale probe before the fix; the
+    // r13 fan-out lesson in unpivot form)
+    val up = attributes.select(col(id), explode(array(referenced.map { a =>
+      struct(lit(a).as("attribute"), col(a).cast(DoubleType).as("value"))
+    }: _*)).as("__av"))
+      .select(col(id), col("__av.attribute").as("attribute"),
+        col("__av.value").as("value"))
     val t = col("threshold_ppm").cast(DoubleType) / lit(1e6)
     val fired = coalesce(
       when(col("op") === "lt", col("value") < t)
