@@ -2493,8 +2493,19 @@ object TextAnalysis {
     * model-sized key-joins, the floor broadcast. */
   def knNgramApply(model: DataFrame, docs: DataFrame, order: Int,
                    id: String = "doc_id", textCol: String = "text",
-                   scripted: Boolean = false): DataFrame = {
+                   scripted: Boolean = false,
+                   broadcastModel: Boolean = true): DataFrame = {
     require(order >= 2 && order <= 8, "knNgramApply: order in [2, 8]")
+    // broadcastModel: a materialized (checkpointed) model has UNKNOWN
+    // stats, so auto-broadcast never fires and the 2·order−1 joins
+    // all become sort-merge — the tf census re-shuffles once per
+    // level (measured 9 SMJs in the order-5 final plan). The CCNet
+    // production shape trains on a held reference whose model fits
+    // executors (the same assumption the real KenLM filter makes), so
+    // the default hints broadcast; set false for a corpus-trained
+    // model too big to ship, and the joins fall back to shuffles.
+    def side(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
     var tf = docs.select(col(id), explode(
         graft.functions.WordShingles.of(col(textCol), order, distinct = false,
           scripted = scripted)).as("gram"))
@@ -2509,11 +2520,11 @@ object TextAnalysis {
     var j = tf
     for (k <- order to 1 by -1) {
       j = j.withColumn(s"__gk$k", levelGram(k))
-        .join(part(k.toLong, s"__gk$k", s"__q$k"), Seq(s"__gk$k"), "left")
+        .join(side(part(k.toLong, s"__gk$k", s"__q$k")), Seq(s"__gk$k"), "left")
     }
     for (k <- order to 2 by -1) {
       j = j.withColumn(s"__ck$k", gramPrefix(levelGram(k), k - 1))
-        .join(part(-k.toLong, s"__ck$k", s"__l$k"), Seq(s"__ck$k"), "left")
+        .join(side(part(-k.toLong, s"__ck$k", s"__l$k")), Seq(s"__ck$k"), "left")
     }
     val mf = model.where(col("ord") === 0).select(col("q").as("__qf"))
     // cascade: q = qN ∥ lN+(q(N-1) ∥ ... l2+(q1 ∥ floor))
