@@ -165,7 +165,9 @@ object Bench {
     "q_pack_segments" -> 0.19,
     // nine n-gram orders in ONE tokenize pass (isolated min-of-3 on
     // a ~1.4x-loaded window; the BLEU-census family cost)
-    "q_gopher_repetition" -> 2.44)
+    "q_gopher_repetition" -> 2.44,
+    // train (8 argmax-free local rounds) + encode in one DAG
+    "q_bpe_byte_e2e" -> 0.60)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

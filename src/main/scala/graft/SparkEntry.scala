@@ -152,6 +152,8 @@ object SparkEntry {
     // the byte-level TRAINER, gated by merge-trajectory replay
     "q_bpe_byte_train" -> (L.qBpeByteTrain _),
     "q_bpe_byte_train_dist" -> (L.qBpeByteTrainDist _),
+    // train->encode composed in ONE gate (trajectory + fixpoint replay)
+    "q_bpe_byte_e2e" -> (L.qBpeByteE2e _),
     // WordPiece trainer (likelihood-scored merges) + greedy encoder
     "q_wordpiece_train" -> (L.qWordpieceTrain _),
     "q_wordpiece_encode" -> (L.qWordpieceEncode _),
@@ -494,6 +496,7 @@ object SparkEntry {
     "q_bpe_byte_encode" -> L.qBpeByteEncodeSql,
     "q_bpe_byte_train" -> L.qBpeByteTrainSql,
     "q_bpe_byte_train_dist" -> L.qBpeByteTrainDistSql,
+    "q_bpe_byte_e2e" -> L.qBpeByteE2eSql,
     "q_wordpiece_train" -> L.qWordpieceTrainSql,
     "q_wordpiece_encode" -> L.qWordpieceEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,

@@ -4475,24 +4475,31 @@ object LlmQueries {
       .toDF("merge_idx", "sym_a", "sym_b")
   }
 
-  val qBpeByteTrainSql: String = {
+  /** The shared fixture CTEs for the byte-trainer gates: pv carries
+    * the hand-derived (chunk, pretoken-position, symbol-list) rows, d
+    * the id-arithmetic chunk sequence, w0 the pretoken frequency
+    * table the round CTEs train on. */
+  private def byteBpeTrainCtes: String = {
     def q(s: String) = s.replace("'", "''")
     val values = ByteBpePretokens.zipWithIndex.flatMap { case (pts, ci) =>
-      pts.map { syms =>
+      pts.zipWithIndex.map { case (syms, pi) =>
         val wid = q(syms.mkString)
         val lst = syms.map(x => s"'${q(x)}'").mkString(", ")
-        s"($ci, '$wid', [$lst])"
+        s"($ci, $pi, '$wid', [$lst])"
       }
     }.mkString(", ")
-    s"""WITH pv(ci, wid, s) AS (VALUES $values),
+    s"""pv(ci, pi, wid, s) AS (VALUES $values),
        |d AS (SELECT doc_id, j.j AS j, (doc_id * 7 + j.j * 3) % 8 AS ci
        |  FROM documents,
        |    unnest(generate_series(0, CAST(doc_id % 3 + 3 AS BIGINT))) j(j)),
        |w0 AS (SELECT wid, CAST(count(*) AS BIGINT) AS freq, s
        |  FROM d JOIN pv USING (ci) GROUP BY wid, s),
-       |${bpeTrainRoundsSql(ByteBpeTrainMerges)}
-       |${bpeTrainOutSql(ByteBpeTrainMerges)}""".stripMargin
+       |${bpeTrainRoundsSql(ByteBpeTrainMerges)}""".stripMargin
   }
+
+  val qBpeByteTrainSql: String =
+    s"""WITH $byteBpeTrainCtes
+       |${bpeTrainOutSql(ByteBpeTrainMerges)}""".stripMargin
 
   /** The DISTRIBUTED byte-trainer path against the SAME oracle (the
     * q_bpe_train_dist doctrine: both paths green proves trajectory
@@ -4508,6 +4515,57 @@ object LlmQueries {
   }
 
   val qBpeByteTrainDistSql: String = qBpeByteTrainSql
+
+  /** Byte-BPE TRAIN→ENCODE end to end in ONE gate (the r16
+    * extend-the-final-CTE doctrine): learn the 8 merges from the
+    * synthesized corpus, then encode the SAME corpus with them. The
+    * oracle chains the trajectory-replay rounds into the per-symbol-
+    * delimiter fixpoint encode (the q_bpe_encode machinery over the
+    * hand-derived pretoken symbols, merges drawn from the round
+    * argmax CTEs instead of a fixed VALUES table). Rank gaps after
+    * trainer exhaustion are LEFT-JOIN no-ops (the post-exhaustion
+    * round rule), so the recursion is total either way. Any
+    * trainer-or-encoder slip — or any drift BETWEEN them (a merge
+    * learned but mis-applied) — bends a token and fails the hash. */
+  def qBpeByteE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
+    val merges = TextAnalysis.byteBpeTrain(docs, ByteBpeTrainMerges)
+    TextAnalysis.byteBpeEncode(docs,
+      TextAnalysis.bpeMergesFrame(spark, merges))
+  }
+
+  val qBpeByteE2eSql: String = {
+    val union = (0 until ByteBpeTrainMerges)
+      .map(i => s"SELECT $i AS r, a, b FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $byteBpeTrainCtes,
+       |mm AS ($union),
+       |uw AS (SELECT DISTINCT wid,
+       |    '|' || array_to_string(s, '||') || '|' AS s0 FROM pv),
+       |enc(wid, s, r) AS (
+       |  SELECT wid, s0, 0 FROM uw
+       |  UNION ALL
+       |  SELECT wid,
+       |    CASE WHEN rep IS NOT NULL AND rep <> s THEN rep ELSE s END,
+       |    CASE WHEN rep IS NOT NULL AND rep <> s THEN r ELSE r + 1 END
+       |  FROM (SELECT e.wid, e.s, e.r,
+       |          replace(e.s, '|' || mm.a || '||' || mm.b || '|',
+       |                       '|' || mm.a || mm.b || '|') AS rep
+       |        FROM enc e LEFT JOIN mm ON mm.r = e.r
+       |        WHERE e.r < $ByteBpeTrainMerges)
+       |),
+       |toks AS (SELECT wid, string_split(trim(s, '|'), '||') AS t
+       |         FROM enc WHERE r = $ByteBpeTrainMerges),
+       |expl AS (SELECT d.doc_id, d.j, p.pi, tk.t,
+       |           unnest(generate_series(1, len(tk.t))) AS ti
+       |         FROM d JOIN pv p USING (ci) JOIN toks tk ON p.wid = tk.wid)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j, pi, ti) - 1
+       |    AS BIGINT) AS pos,
+       |  t[ti] AS token
+       |FROM expl""".stripMargin
+  }
 
   // ---- BPE TRAINING, oracle-gated by merge-trajectory replay ----
 
