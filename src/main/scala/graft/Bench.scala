@@ -167,7 +167,9 @@ object Bench {
     // a ~1.4x-loaded window; the BLEU-census family cost)
     "q_gopher_repetition" -> 2.44,
     // train (8 argmax-free local rounds) + encode in one DAG
-    "q_bpe_byte_e2e" -> 0.60)
+    "q_bpe_byte_e2e" -> 0.60,
+    // three censuses joined into one attribute frame + the config DAG
+    "q_tagger_full" -> 1.29)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -118,6 +118,8 @@ object SparkEntry {
     "q_quality_filter" -> (L.qQualityFilter _),
     // declarative tagger/mixer: config frame compiled to one verdict DAG
     "q_tagger_mix" -> (L.qTaggerMix _),
+    // the tagger over THREE joined censuses (the production shape)
+    "q_tagger_full" -> (L.qTaggerFull _),
     // the full Gopher repetition signal set (lines/paras/n-grams)
     "q_gopher_repetition" -> (L.qGopherRepetition _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
@@ -472,6 +474,7 @@ object SparkEntry {
     "q_readability" -> L.qReadabilitySql,
     "q_quality_filter" -> L.qQualityFilterSql,
     "q_tagger_mix" -> L.qTaggerMixSql,
+    "q_tagger_full" -> L.qTaggerFullSql,
     "q_gopher_repetition" -> L.qGopherRepetitionSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,

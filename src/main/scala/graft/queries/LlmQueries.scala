@@ -8051,16 +8051,17 @@ object LlmQueries {
       graft.operators.Tagger.rulesFrame(spark, TaggerRules))
   }
 
-  val qTaggerMixSql: String = {
-    val values = TaggerRules.map { r =>
+  /** The config-compilation replay over a CTE named `attrs`
+    * (doc_id + attribute columns) — shared by every tagger gate. */
+  private def taggerCensusSql(rules: Seq[graft.operators.Tagger.Rule]): String = {
+    val values = rules.map { r =>
       s"('${r.ruleId}', '${r.attribute}', '${r.op}', ${r.thresholdPpm}, '${r.action}')"
     }.mkString(", ")
-    val referenced = TaggerRules.map(_.attribute).distinct.sorted
+    val referenced = rules.map(_.attribute).distinct.sorted
     val unpivot = referenced.map { a =>
-      s"SELECT doc_id, '$a' AS attribute, CAST($a AS DOUBLE) AS value FROM q0"
+      s"SELECT doc_id, '$a' AS attribute, CAST($a AS DOUBLE) AS value FROM attrs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH q0 AS ($qTextQualitySql),
-       |rules(rule_id, attribute, op, threshold_ppm, action) AS (VALUES $values),
+    s"""rules(rule_id, attribute, op, threshold_ppm, action) AS (VALUES $values),
        |up AS ($unpivot),
        |j AS (SELECT doc_id, rule_id, action,
        |    COALESCE(CASE op
@@ -8081,6 +8082,49 @@ object LlmQueries {
        |    THEN 'drop' ELSE 'keep' END AS verdict
        |FROM j GROUP BY 1""".stripMargin
   }
+
+  val qTaggerMixSql: String =
+    s"""WITH attrs AS ($qTextQualitySql),
+       |${taggerCensusSql(TaggerRules)}""".stripMargin
+
+  /** The PRODUCTION tagger shape: one attribute frame joined from
+    * THREE censuses (quality + repetition + readability — mixing
+    * roundp ratios, a ppm-scaled integer and an FK-grade double),
+    * rules referencing all three. Docs without bigrams miss the
+    * repetition columns (LEFT join → NULL → their rules fire nothing,
+    * the documented NULL-neutral contract; the n_words drop rule is
+    * the companion that catches them). */
+  private val TaggerFullRules: Seq[graft.operators.Tagger.Rule] = Seq(
+    graft.operators.Tagger.Rule("r_minlen", "n_words", "lt", 50000000L, "drop"),
+    graft.operators.Tagger.Rule("r_dupword", "dup_word_frac", "gt", 700000L, "drop"),
+    graft.operators.Tagger.Rule("r_topbg", "top_bigram_frac", "gt", 180000L, "tag"),
+    graft.operators.Tagger.Rule("r_fk", "fk_grade", "gt", 12000000L, "tag"),
+    graft.operators.Tagger.Rule("r_wps", "wps_ppm", "ge", 25000000000000L, "tag"),
+    graft.operators.Tagger.Rule("r_stop", "stopword_ratio", "lt", 20000L, "tag"))
+
+  def qTaggerFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val attrs = TextAnalysis.quality(docs)
+      .join(TextAnalysis.repetition(docs)
+        .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.readability(docs)
+        .select(col("doc_id"), col("wps_ppm"), col("fk_grade")),
+        Seq("doc_id"), "left")
+    graft.operators.Tagger.tagAndMix(attrs,
+      graft.operators.Tagger.rulesFrame(spark, TaggerFullRules))
+  }
+
+  val qTaggerFullSql: String =
+    s"""WITH qa AS ($qTextQualitySql),
+       |qb AS ($qTextRepetitionSql),
+       |qc AS ($qReadabilitySql),
+       |attrs AS (SELECT qa.doc_id, qa.n_words, qa.stopword_ratio,
+       |    qb.dup_word_frac, qb.top_bigram_frac, qc.wps_ppm, qc.fk_grade
+       |  FROM qa
+       |  LEFT JOIN qb ON qa.doc_id = qb.doc_id
+       |  LEFT JOIN qc ON qa.doc_id = qc.doc_id),
+       |${taggerCensusSql(TaggerFullRules)}""".stripMargin
 
   // ---- #50 composed quality filter (C4/Gopher-style keep verdict) ----
 
