@@ -169,7 +169,10 @@ object Bench {
     // train (8 argmax-free local rounds) + encode in one DAG
     "q_bpe_byte_e2e" -> 0.60,
     // three censuses joined into one attribute frame + the config DAG
-    "q_tagger_full" -> 1.29)
+    "q_tagger_full" -> 1.29,
+    // kn5 score (re-trained per run, the stage-cache contract) +
+    // binned tertiles + label join; ~2x-loaded window, conservative
+    "q_kn5_buckets" -> 9.32)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

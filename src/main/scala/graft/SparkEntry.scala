@@ -224,6 +224,8 @@ object SparkEntry {
     "q_kn3_logprob" -> (L.qKn3Logprob _),
     // order-5 interpolated KN via the generic per-level loop
     "q_kn5_logprob" -> (L.qKn5Logprob _),
+    // CCNet buckets under the order-5 model (the composition row)
+    "q_kn5_buckets" -> (L.qKn5Buckets _),
     "q_kn_logprob_cjk" -> (L.qKnLogprobCjk _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
@@ -542,6 +544,7 @@ object SparkEntry {
     "q_kn_buckets" -> L.qKnBucketsSql,
     "q_kn3_logprob" -> L.qKn3LogprobSql,
     "q_kn5_logprob" -> L.qKn5LogprobSql,
+    "q_kn5_buckets" -> L.qKn5BucketsSql,
     "q_kn_logprob_cjk" -> L.qKnLogprobCjkSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,

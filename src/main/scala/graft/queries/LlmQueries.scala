@@ -7066,7 +7066,7 @@ object LlmQueries {
     val cascade = (2 to order).foldLeft("coalesce(m1.q, mf.q)") { (child, k) =>
       s"coalesce(m$k.q, coalesce(l$k.q, CAST(0 AS BIGINT)) + $child)"
     }
-    s"""WITH ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $t),
+    s"""ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $t),
        |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
        |${censuses.mkString(",\n")},
        |${ctxs.mkString(",\n")},
@@ -7088,13 +7088,54 @@ object LlmQueries {
        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams,
        |    CAST(sum(bo) AS BIGINT) AS n_backed_off,
        |    CAST(sum(tf * q) AS BIGINT) AS sq
-       |  FROM j GROUP BY 1)
-       |SELECT doc_id, n_ngrams, n_backed_off,
+       |  FROM j GROUP BY 1),
+       |scored AS (SELECT doc_id, n_ngrams, n_backed_off,
        |  floor((sq / 1e6 / n_ngrams) * 1e6 + 0.5) / 1e6 AS mean_logprob
-       |FROM agg""".stripMargin
+       |FROM agg)""".stripMargin
   }
 
-  val qKn5LogprobSql: String = knNgramSqlFrom(5, "documents")
+  val qKn5LogprobSql: String =
+    s"""WITH ${knNgramSqlFrom(5, "documents")}
+       |SELECT doc_id, n_ngrams, n_backed_off, mean_logprob FROM scored""".stripMargin
+
+  /** The CCNet bucket-apply composition at ORDER 5 (the r18 verdict's
+    * lmBucketsApply ask): tertile cuts from the TRAIN half's
+    * self-scores via the binned percentile estimator, labels on every
+    * scored doc — qKnBuckets one model class up. */
+  def qKn5Buckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val model = TextAnalysis.knNgramTrain(
+      docs.where(col("doc_id") % 2 === 0), 5, materialize = true)
+    releaseStageCaches("kn5_buckets") // BEFORE the persist (see stageCacheReg)
+    val scores = TextAnalysis.knNgramApply(model, docs, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStageCaches("kn5_buckets", List(scores))
+    val th = graft.operators.Percentile.binned(
+      scores.where(col("doc_id") % 2 === 0), lit(0L), col("mean_logprob"),
+      Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)))
+    scores.crossJoin(broadcast(th.select(col("t_lo"), col("t_hi"))))
+      .select(col("doc_id"), col("n_ngrams"), col("n_backed_off"),
+        col("mean_logprob"),
+        when(col("mean_logprob") >= col("t_hi"), lit("head"))
+          .when(col("mean_logprob") >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  val qKn5BucketsSql: String = {
+    val (pctCtes, pctSel) = graft.operators.Percentile.binnedSql(
+      "trsc", "0", "mean_logprob",
+      Seq("t_lo" -> (1.0 / 3), "t_hi" -> (2.0 / 3)))
+    s"""WITH ${knNgramSqlFrom(5, "documents")},
+       |trsc AS (SELECT * FROM scored WHERE doc_id % 2 = 0),
+       |$pctCtes,
+       |th AS ($pctSel)
+       |SELECT scored.doc_id, scored.n_ngrams, scored.n_backed_off,
+       |  scored.mean_logprob,
+       |  CASE WHEN scored.mean_logprob >= th.t_hi THEN 'head'
+       |       WHEN scored.mean_logprob >= th.t_lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored CROSS JOIN th""".stripMargin
+  }
 
   /** The CCNet bucket-apply half under the KN model: tertile cut
     * points estimated from the TRAIN half's self-scores only (new data
