@@ -268,6 +268,54 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the declarative tagger/mixer (operators/
+    * Tagger.tagAndMix): the rule-config frame is STATIC (the shipped
+    * mixer config); `attributes` must be a PER-DOCUMENT transform
+    * (each census row a function of its own doc — true of quality/
+    * repetition/readability/gopherRepetition), so batch boundaries
+    * are invisible. Parity pinned in StreamingSpec. */
+  def taggerMixStream(docs: DataFrame, rulesFrame: DataFrame)(
+      attributes: DataFrame => DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "taggerMixStream is streaming-only: use Tagger.tagAndMix for batch frames")
+    require(!rulesFrame.isStreaming, "the rule config frame must be static")
+    val rules = graft.operators.Tagger.rulesFromFrame(
+      rulesFrame.localCheckpoint(true))
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Tagger.tagAndMix(attributes(batch), rules),
+        batchId)
+    }
+  }
+
+  /** Streaming twin of the Gopher repetition census (operators/
+    * TextAnalysis.gopherRepetition): every fraction is a function of
+    * the document alone, so each micro-batch runs the identical batch
+    * operator. Parity pinned in StreamingSpec. */
+  def gopherRepetitionStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "gopherRepetitionStream is streaming-only: use TextAnalysis.gopherRepetition for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.gopherRepetition(batch), batchId)
+    }
+  }
+
+  /** Streaming twin of the order-N Kneser-Ney scorer — [[knScoreStream]]
+    * generalized: the long-form model frame is static (trained offline
+    * on the held reference), each batch scores through the identical
+    * batch operator. Parity pinned in StreamingSpec. */
+  def knNgramScoreStream(docs: DataFrame, model: DataFrame, order: Int)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "knNgramScoreStream is streaming-only: use TextAnalysis.knNgramApply for batch frames")
+    require(!model.isStreaming, "the KN model frame must be static")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.knNgramApply(model, batch, order),
+        batchId)
+    }
+  }
+
   /** Streaming twin of the byte-level BPE encoder (operators/
     * TextAnalysis.byteBpeEncode): the merge model frame is STATIC
     * (trained offline — the shippable-tokenizer shape); each

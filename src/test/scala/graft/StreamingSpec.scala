@@ -1436,6 +1436,83 @@ class StreamingSpec extends SparkSpec {
     assert(acc.sorted.toSeq === batch.sorted.toSeq)
   }
 
+  test("taggerMixStream: static config tags a stream with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Tagger
+    val rules = Seq(
+      Tagger.Rule("r_short", "n_words", "lt", 4000000L, "drop"),
+      Tagger.Rule("r_q", "quality", "ge", 100000L, "tag"))
+    val config = Tagger.rulesFrame(spark, rules)
+    val attrFn = (d: org.apache.spark.sql.DataFrame) =>
+      graft.operators.TextAnalysis.quality(d)
+    val docs = Seq((1L, "one two"), (2L, "a much longer document here ok"),
+      (3L, "tiny"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Streams.taggerMixStream(
+        input.toDF().toDF("doc_id", "text"), config)(attrFn) {
+      (out, _) => acc.synchronized { acc ++= out.collect().map(_.toString) }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Tagger.tagAndMix(attrFn(docs.toDF("doc_id", "text")), rules)
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+  }
+
+  test("gopherRepetitionStream: per-doc census with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "xx\npromo\n\npromo\nyy"), (2L, "a b\n\nc d\n\na b"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Streams.gopherRepetitionStream(
+        input.toDF().toDF("doc_id", "text")) {
+      (out, _) => acc.synchronized { acc ++= out.collect().map(_.toString) }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.gopherRepetition(
+        docs.toDF("doc_id", "text"))
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+  }
+
+  test("knNgramScoreStream: static order-4 model scores a stream with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0 until 60).map { i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 2} w${i % 5} w${i % 3} w${i % 4}")
+    }.toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.knNgramTrain(ref, 4)
+      .localCheckpoint(true)
+    val docs = Seq(
+      (100L, "w0 w0 w1 w2 w0"),
+      (101L, "zz qq rr w1 w2"))
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Streams.knNgramScoreStream(
+        input.toDF().toDF("doc_id", "text"), model, 4) {
+      (out, _) => acc.synchronized { acc ++= out.collect().map(_.toString) }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.knNgramApply(
+        model, docs.toDF("doc_id", "text"), 4)
+      .collect().map(_.toString)
+    assert(acc.sorted.toSeq === batch.sorted.toSeq)
+  }
+
   test("byteBpeEncodeStream: static merge model encodes a stream with batch parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
