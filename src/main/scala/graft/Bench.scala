@@ -172,7 +172,10 @@ object Bench {
     "q_tagger_full" -> 1.29,
     // kn5 score (re-trained per run, the stage-cache contract) +
     // binned tertiles + label join; ~2x-loaded window, conservative
-    "q_kn5_buckets" -> 9.32)
+    "q_kn5_buckets" -> 9.32,
+    // the scripted tokenizer widens the 5-gram census (CJK tails
+    // decompose per ideograph); ~2x-loaded window, conservative
+    "q_kn5_logprob_cjk" -> 7.17)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

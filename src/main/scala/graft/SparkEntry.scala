@@ -226,6 +226,8 @@ object SparkEntry {
     "q_kn5_logprob" -> (L.qKn5Logprob _),
     // CCNet buckets under the order-5 model (the composition row)
     "q_kn5_buckets" -> (L.qKn5Buckets _),
+    // order-5 KN under the scripted (CJK-aware) tokenizer
+    "q_kn5_logprob_cjk" -> (L.qKn5LogprobCjk _),
     "q_kn_logprob_cjk" -> (L.qKnLogprobCjk _),
     // CCNet head/middle/tail partition (per-language LM + binned tertiles)
     "q_ccnet_buckets" -> (L.qCcnetBuckets _),
@@ -545,6 +547,7 @@ object SparkEntry {
     "q_kn3_logprob" -> L.qKn3LogprobSql,
     "q_kn5_logprob" -> L.qKn5LogprobSql,
     "q_kn5_buckets" -> L.qKn5BucketsSql,
+    "q_kn5_logprob_cjk" -> L.qKn5LogprobCjkSql,
     "q_kn_logprob_cjk" -> L.qKnLogprobCjkSql,
     "q_pmi_topk" -> L.qPmiTopkSql,
     "q_freq_spectrum" -> L.qFreqSpectrumSql,

@@ -7004,8 +7004,11 @@ object LlmQueries {
     TextAnalysis.knNgramApply(model, docs, 5)
   }
 
-  /** The order-N KN train+apply replay, generated per level. */
-  private def knNgramSqlFrom(order: Int, t: String): String = {
+  /** The order-N KN train+apply replay, generated per level —
+    * parameterized by (source, tokenizer) from day one (the r17
+    * doctrine): the CJK twin shares every CTE below the word table. */
+  private def knNgramSqlFrom(order: Int, t: String,
+                             scripted: Boolean = false): String = {
     // word-window helpers over a space-joined m-word gram string
     def parts(g: String, from: Int, to: Int): String =
       (from to to).map(i => s"split_part($g, ' ', $i)").mkString(" || ' ' || ")
@@ -7066,7 +7069,9 @@ object LlmQueries {
     val cascade = (2 to order).foldLeft("coalesce(m1.q, mf.q)") { (child, k) =>
       s"coalesce(m$k.q, coalesce(l$k.q, CAST(0 AS BIGINT)) + $child)"
     }
-    s"""ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $t),
+    s"""ws AS (SELECT doc_id,
+       |    ${if (scripted) scriptedWordsSql("text") else wordsSql("text")} AS w
+       |  FROM $t),
        |trws AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
        |${censuses.mkString(",\n")},
        |${ctxs.mkString(",\n")},
@@ -7096,6 +7101,22 @@ object LlmQueries {
 
   val qKn5LogprobSql: String =
     s"""WITH ${knNgramSqlFrom(5, "documents")}
+       |SELECT doc_id, n_ngrams, n_backed_off, mean_logprob FROM scored""".stripMargin
+
+  /** Order-5 KN over the mixed-script corpus under the SCRIPTED
+    * tokenizer — the #231 composition one model class up: the mode
+    * flag threads through BOTH halves (the r17 model-pair rule), and
+    * the oracle shares every CTE below the word table verbatim. */
+  def qKn5LogprobCjk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cjkDocs(spark, dir)
+    val model = TextAnalysis.knNgramTrain(
+      docs.where(col("doc_id") % 2 === 0), 5, scripted = true,
+      materialize = true)
+    TextAnalysis.knNgramApply(model, docs, 5, scripted = true)
+  }
+
+  lazy val qKn5LogprobCjkSql: String =
+    s"""WITH ${knNgramSqlFrom(5, s"($cjkDocsSql)", scripted = true)}
        |SELECT doc_id, n_ngrams, n_backed_off, mean_logprob FROM scored""".stripMargin
 
   /** The CCNet bucket-apply composition at ORDER 5 (the r18 verdict's
