@@ -175,7 +175,9 @@ object Bench {
     "q_kn5_buckets" -> 9.32,
     // the scripted tokenizer widens the 5-gram census (CJK tails
     // decompose per ideograph); ~2x-loaded window, conservative
-    "q_kn5_logprob_cjk" -> 7.17)
+    "q_kn5_logprob_cjk" -> 7.17,
+    // plan join + one (shard, pack) aggregate rendering the batches
+    "q_pack_assemble" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

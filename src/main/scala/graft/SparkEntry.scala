@@ -139,6 +139,8 @@ object SparkEntry {
     "q_token_pack" -> (L.qTokenPack _),
     // the per-pack segment/attention-mask view of packSequences
     "q_pack_segments" -> (L.qPackSegments _),
+    // materialized training batches: ordered token streams per pack
+    "q_pack_assemble" -> (L.qPackAssemble _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     // robust winnowing fingerprints (MOSS) — guarantee-backed selection
     "q_winnow_fingerprints" -> (L.qWinnowFingerprints _),
@@ -493,6 +495,7 @@ object SparkEntry {
     "q_vocab_coverage" -> L.qVocabCoverageSql,
     "q_token_pack" -> L.qTokenPackSql,
     "q_pack_segments" -> L.qPackSegmentsSql,
+    "q_pack_assemble" -> L.qPackAssembleSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_winnow_fingerprints" -> L.qWinnowFingerprintsSql,
     "q_winnow_pairs" -> L.qWinnowPairsSql,

@@ -466,6 +466,51 @@ object TextAnalysis {
           .otherwise(0L).as("continues_next"))
   }
 
+  /** MATERIALIZE the packed training batches — the step after
+    * [[packSequences]]/[[packSegments]] plan them: every token lands
+    * in its (shard, pack) slot and each pack renders as one row with
+    * the space-joined token stream, the segment count, and the
+    * ordered per-segment lengths (the attention-mask boundary vector,
+    * comma-joined — strings, so the row is oracle-comparable). Token
+    * positions use the SAME unfiltered token count as packSequences
+    * (offsets must agree with the plan to the slot).
+    *
+    * Scale shape: the plan frame joins token rows on doc_id
+    * (broadcast-friendly: plan rows are doc-count-sized), then ONE
+    * (shard, pack) aggregate builds the pack rows (collect_list is
+    * pack-budget-bounded by construction — ≤ budget tokens per
+    * group), plus a segment-level pre-aggregate for the boundary
+    * vector. */
+  def assemblePacks(docs: DataFrame, budget: Long = 1024, shards: Int = 8,
+                    scripted: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = packSequences(docs, budget, shards, scripted)
+      .where(col("n_tokens") > 0)
+      .withColumn("__cum", col("pack_id") * budget + col("pack_offset"))
+      .select(col("doc_id"), col("shard"), col("__cum"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokensOf(col("text"), scripted)).as(Seq("__pos", "__w")))
+    val j = toks.join(base, Seq("doc_id"))
+      .withColumn("__g", col("__cum") + col("__pos"))
+      .withColumn("pack_id", expr(s"__g div $budget"))
+      .withColumn("__off", col("__g") % budget)
+    val segs = j.groupBy(col("shard"), col("pack_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__c"), min(col("__off")).as("__mo"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("__mo"), col("__c")))),
+          s => s.getField("__c"))).as("segment_lens"))
+    j.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__off"), col("__w")))),
+          s => s.getField("__w"))).as("pack_text"))
+      .join(segs, Seq("shard", "pack_id"))
+      .select(col("shard"), col("pack_id"), col("n_tokens"),
+        col("n_segments"), col("pack_text"), col("segment_lens"))
+  }
+
   /** Fixed-window token chunking of long documents — the complement of
     * [[packSequences]] (packing joins short docs; chunking splits long
     * ones): chunk `i` carries words `[i·stride, i·stride + maxTokens)`,

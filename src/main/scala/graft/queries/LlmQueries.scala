@@ -4239,6 +4239,46 @@ object LlmQueries {
        |  CAST(seg_len AS BIGINT) AS seg_len, continues_prev, continues_next
        |FROM s""".stripMargin
 
+  /** Pack assembly inside the gate: every corpus token lands in its
+    * planned (shard, pack) slot, packs render as ordered token
+    * streams + the per-segment boundary vector. The oracle replays
+    * the cum-sum plan, the per-token slot arithmetic (// both sides)
+    * and the ordered string_agg renders — a misplaced token, a bent
+    * offset or a segment-order slip changes a pack string. */
+  def qPackAssemble(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.assemblePacks(Tables(spark, dir).documents)
+
+  val qPackAssembleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ${h60Sql("'pack' || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |    ${wordsSql("text")} AS w,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, w, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM t),
+       |j AS (SELECT doc_id, shard,
+       |    (cum + i.i - 1) // 1024 AS pack_id,
+       |    (cum + i.i - 1) % 1024 AS off,
+       |    w[i.i] AS tok
+       |  FROM c, unnest(generate_series(1, len(w))) i(i)
+       |  WHERE n_tokens > 0),
+       |pk AS (SELECT shard, pack_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(tok, ' ' ORDER BY off) AS pack_text
+       |  FROM j GROUP BY 1, 2),
+       |sl AS (SELECT shard, pack_id, doc_id,
+       |    CAST(count(*) AS BIGINT) AS c, min(off) AS mo
+       |  FROM j GROUP BY 1, 2, 3),
+       |sa AS (SELECT shard, pack_id,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    string_agg(CAST(c AS VARCHAR), ',' ORDER BY mo) AS segment_lens
+       |  FROM sl GROUP BY 1, 2)
+       |SELECT pk.shard, pk.pack_id, pk.n_tokens, sa.n_segments,
+       |  pk.pack_text, sa.segment_lens
+       |FROM pk JOIN sa USING (shard, pack_id)""".stripMargin
+
   // ---- #33 positional rolling-hash fingerprint ----
 
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =

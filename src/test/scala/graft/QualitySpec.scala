@@ -182,6 +182,36 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("assemblePacks: every token in its planned slot, boundary vector agrees") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, Seq.fill(7)(s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val packs = TextAnalysis.assemblePacks(d, budget = 10, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val segs = TextAnalysis.packSegments(d, budget = 10, shards = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    // token conservation: total tokens across packs == corpus tokens
+    assert(packs.values.map(_._1).sum === 280L)
+    packs.foreach { case ((sh, p), (n, nseg, text, lens)) =>
+      val words = text.split(" ")
+      assert(words.length === n, s"$sh/$p token count vs text")
+      val lenVec = lens.split(",").map(_.toLong)
+      assert(lenVec.length === nseg && lenVec.sum === n, s"$sh/$p boundary vector")
+      // the boundary vector must equal packSegments' seg_len sequence
+      val expect = segs.filter(_._1 == ((sh, p))).sortBy(_._2._1).map(_._2._4)
+      assert(lenVec.toSeq === expect.toSeq, s"$sh/$p vs packSegments")
+      // every token's doc is identifiable (w<doc_id>): segment runs are
+      // contiguous single-doc spans
+      val docRuns = words.map(_.drop(1).toLong)
+      val runLens = docRuns.foldLeft(List.empty[(Long, Long)]) {
+        case ((d0, c) :: rest, w) if d0 == w => (d0, c + 1) :: rest
+        case (acc, w) => (w, 1L) :: acc
+      }.reverse.map(_._2)
+      assert(runLens === lenVec.toSeq, s"$sh/$p contiguous doc runs")
+    }
+  }
+
   test("trained k-means codebook drives IVF ANN: recall grows with nProbe") {
     // the end-to-end path a user runs: kmeansFit -> ivfTopKProbed.
     // Trained buckets must correlate with cosine (beat the candidate-
