@@ -177,7 +177,9 @@ object Bench {
     // decompose per ideograph); ~2x-loaded window, conservative
     "q_kn5_logprob_cjk" -> 7.17,
     // plan join + one (shard, pack) aggregate rendering the batches
-    "q_pack_assemble" -> 0.85)
+    "q_pack_assemble" -> 0.85,
+    // byte-BPE counts -> cum-sum plan (the frame-half composition)
+    "q_pack_bpe" -> 0.62)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -141,6 +141,8 @@ object SparkEntry {
     "q_pack_segments" -> (L.qPackSegments _),
     // materialized training batches: ordered token streams per pack
     "q_pack_assemble" -> (L.qPackAssemble _),
+    // packing planned from REAL (byte-BPE) token counts
+    "q_pack_bpe" -> (L.qPackBpe _),
     "q_doc_fingerprint" -> (L.qDocFingerprint _),
     // robust winnowing fingerprints (MOSS) — guarantee-backed selection
     "q_winnow_fingerprints" -> (L.qWinnowFingerprints _),
@@ -496,6 +498,7 @@ object SparkEntry {
     "q_token_pack" -> L.qTokenPackSql,
     "q_pack_segments" -> L.qPackSegmentsSql,
     "q_pack_assemble" -> L.qPackAssembleSql,
+    "q_pack_bpe" -> L.qPackBpeSql,
     "q_doc_fingerprint" -> L.qDocFingerprintSql,
     "q_winnow_fingerprints" -> L.qWinnowFingerprintsSql,
     "q_winnow_pairs" -> L.qWinnowPairsSql,

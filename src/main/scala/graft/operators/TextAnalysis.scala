@@ -410,11 +410,25 @@ object TextAnalysis {
     * a boundary starts at `pack_offset` and spills into the next pack —
     * fixed-budget chunk assignment, not bin packing. */
   def packSequences(docs: DataFrame, budget: Long = 1024, shards: Int = 8,
-                    scripted: Boolean = false): DataFrame = {
+                    scripted: Boolean = false): DataFrame =
+    packSequencesFromCounts(
+      docs.select(col("doc_id"),
+        size(tokensOf(col("text"), scripted)).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** The FRAME half of [[packSequences]] (the r14 frame-halves
+    * doctrine): plan packing from a caller-supplied (doc_id,
+    * n_tokens) count frame — the production shape, where counts come
+    * from the REAL tokenizer (byteBpeEncode / unigramEncode census),
+    * not the whitespace proxy. Same md5 sharding, same cum-sum
+    * window, so the whitespace path is byte-identical to the old
+    * inline build. */
+  def packSequencesFromCounts(counts: DataFrame, budget: Long = 1024,
+                              shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col("doc_id"),
+    val t = counts.select(col("doc_id"),
       (Portable.h60(concat_ws(":", lit("pack"), col("doc_id"))) % shards).as("shard"),
-      size(tokensOf(col("text"), scripted)).cast("long").as("n_tokens"))
+      col("n_tokens").cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))

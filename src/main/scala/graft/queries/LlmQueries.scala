@@ -4478,6 +4478,55 @@ object LlmQueries {
        |FROM expl""".stripMargin
   }
 
+  /** Fixture chunks for the byte-level gate. Every chunk starts with
+    * whitespace (space or newline), so chunk boundaries are always
+    * pretoken boundaries and a document's token sequence is exactly
+    * the concatenation of its chunks' — the property the closed-form
+    * oracle rides. The inventory exercises each byte-level behavior:
+    * the Ġ space prefix and merge chains (c0/c7), merged-symbol
+    * merges (c1), byte fallback on unmerged letters (c2/c5), the 's
+    * contraction split (c2), multi-byte UTF-8 both printable-mapped
+    * (é → Ã©, c3) and remapped (中's 0xAD byte → Ń, c4), the
+    * letter/digit pretoken split (c3), punctuation (c4), and the
+    * newline byte token Ċ under the trailing-space lookahead (c6). */
+  private val ByteBpeChunks: Seq[String] =
+    Seq(" the", " at", " cat's", " é12", " 中!", " that", "\n", " athe")
+
+  /** Fixed merge table (rank order). Exercises chained merges
+    * (Ġ+the from three steps), rank priority (r1 h+e fires before r6
+    * Ġa+t in " athe"), digit and multi-byte merges, and the
+    * contraction. */
+  private val ByteBpeMerges: Seq[(String, String)] = Seq(
+    "Ġ" -> "a", "h" -> "e", "t" -> "he", "Ġ" -> "the",
+    "1" -> "2", "Ã" -> "©", "Ġa" -> "t", "'" -> "s")
+
+  /** HAND-DERIVED expected token sequences per chunk — the closed
+    * form. Never computed by the encoder (that would be circular):
+    * each list is the paper algorithm walked by hand over
+    * [[ByteBpeMerges]], and ByteBpeSpec re-derives them against an
+    * independent reference implementation. */
+  private val ByteBpeExpected: Seq[Seq[String]] = Seq(
+    Seq("Ġthe"),
+    Seq("Ġat"),
+    Seq("Ġ", "c", "a", "t", "'s"),
+    Seq("Ġ", "Ã©", "12"),
+    Seq("Ġ", "ä", "¸", "Ń", "!"),
+    Seq("Ġ", "t", "h", "a", "t"),
+    Seq("Ċ"),
+    Seq("Ġa", "the"))
+
+  /** Chunk index for (doc, position-in-doc) — stride 3 mod 8 cycles
+    * the whole inventory; docs carry 4-6 chunks. */
+  private def byteBpeDocText(id: org.apache.spark.sql.Column) = {
+    val chunkArr = array(ByteBpeChunks.map(lit): _*)
+    val nChunks = (id % 3) + 4
+    concat((0 until 6).map { j =>
+      when(lit(j.toLong) < nChunks,
+        element_at(chunkArr, (((id * 7 + j * 3) % 8) + 1).cast("int")))
+        .otherwise(lit(""))
+    }: _*)
+  }
+
   // ---- byte-level BPE TRAINER, gated by trajectory replay ----
 
   /** Per-chunk pretokens with HAND-DERIVED byte-mapped initial symbol
@@ -4607,6 +4656,45 @@ object LlmQueries {
        |FROM expl""".stripMargin
   }
 
+  /** Packing planned from REAL tokenizer counts — the production
+    * composition (#44 plans from the whitespace proxy; training packs
+    * by what the tokenizer actually emits): byte-BPE token counts per
+    * doc feed packSequencesFromCounts (the frame half). The oracle's
+    * per-doc count is CLOSED FORM (Σ of the hand-derived per-chunk
+    * token-list lengths over the id arithmetic), then the cum-sum
+    * plan replays — a count drift anywhere in the encoder changes a
+    * pack boundary downstream. */
+  def qPackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
+    val counts = TextAnalysis.byteBpeEncode(docs,
+        TextAnalysis.bpeMergesFrame(spark, ByteBpeMerges))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    TextAnalysis.packSequencesFromCounts(counts, budget = 64, shards = 4)
+  }
+
+  val qPackBpeSql: String = {
+    val values = ByteBpeExpected.zipWithIndex
+      .map { case (toks, ci) => s"($ci, ${toks.length})" }.mkString(", ")
+    s"""WITH t(ci, ntok) AS (VALUES $values),
+       |d AS (SELECT doc_id, (doc_id * 7 + j.j * 3) % 8 AS ci
+       |  FROM documents,
+       |    unnest(generate_series(0, CAST(doc_id % 3 + 3 AS BIGINT))) j(j)),
+       |cn AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |  FROM d JOIN t USING (ci) GROUP BY 1),
+       |c AS (SELECT doc_id,
+       |    ${h60Sql("'pack' || ':' || CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+       |    n_tokens FROM cn),
+       |w AS (SELECT doc_id, shard, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM c)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(floor(cum / CAST(64 AS DOUBLE)) AS BIGINT) AS pack_id,
+       |  CAST(cum % 64 AS BIGINT) AS pack_offset
+       |FROM w""".stripMargin
+  }
+
   // ---- BPE TRAINING, oracle-gated by merge-trajectory replay ----
 
   private val BpeTrainMerges = 8
@@ -4699,54 +4787,6 @@ object LlmQueries {
 
   // ---- byte-level BPE encode (the GPT-2/Llama tokenizer) ----
 
-  /** Fixture chunks for the byte-level gate. Every chunk starts with
-    * whitespace (space or newline), so chunk boundaries are always
-    * pretoken boundaries and a document's token sequence is exactly
-    * the concatenation of its chunks' — the property the closed-form
-    * oracle rides. The inventory exercises each byte-level behavior:
-    * the Ġ space prefix and merge chains (c0/c7), merged-symbol
-    * merges (c1), byte fallback on unmerged letters (c2/c5), the 's
-    * contraction split (c2), multi-byte UTF-8 both printable-mapped
-    * (é → Ã©, c3) and remapped (中's 0xAD byte → Ń, c4), the
-    * letter/digit pretoken split (c3), punctuation (c4), and the
-    * newline byte token Ċ under the trailing-space lookahead (c6). */
-  private val ByteBpeChunks: Seq[String] =
-    Seq(" the", " at", " cat's", " é12", " 中!", " that", "\n", " athe")
-
-  /** Fixed merge table (rank order). Exercises chained merges
-    * (Ġ+the from three steps), rank priority (r1 h+e fires before r6
-    * Ġa+t in " athe"), digit and multi-byte merges, and the
-    * contraction. */
-  private val ByteBpeMerges: Seq[(String, String)] = Seq(
-    "Ġ" -> "a", "h" -> "e", "t" -> "he", "Ġ" -> "the",
-    "1" -> "2", "Ã" -> "©", "Ġa" -> "t", "'" -> "s")
-
-  /** HAND-DERIVED expected token sequences per chunk — the closed
-    * form. Never computed by the encoder (that would be circular):
-    * each list is the paper algorithm walked by hand over
-    * [[ByteBpeMerges]], and ByteBpeSpec re-derives them against an
-    * independent reference implementation. */
-  private val ByteBpeExpected: Seq[Seq[String]] = Seq(
-    Seq("Ġthe"),
-    Seq("Ġat"),
-    Seq("Ġ", "c", "a", "t", "'s"),
-    Seq("Ġ", "Ã©", "12"),
-    Seq("Ġ", "ä", "¸", "Ń", "!"),
-    Seq("Ġ", "t", "h", "a", "t"),
-    Seq("Ċ"),
-    Seq("Ġa", "the"))
-
-  /** Chunk index for (doc, position-in-doc) — stride 3 mod 8 cycles
-    * the whole inventory; docs carry 4-6 chunks. */
-  private def byteBpeDocText(id: org.apache.spark.sql.Column) = {
-    val chunkArr = array(ByteBpeChunks.map(lit): _*)
-    val nChunks = (id % 3) + 4
-    concat((0 until 6).map { j =>
-      when(lit(j.toLong) < nChunks,
-        element_at(chunkArr, (((id * 7 + j * 3) % 8) + 1).cast("int")))
-        .otherwise(lit(""))
-    }: _*)
-  }
 
   /** Byte-level (GPT-2-class) BPE inside the oracle gate — the
     * closed-form-expected-output pattern (q_url_canon/q_image_decode):
