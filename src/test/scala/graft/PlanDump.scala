@@ -54,7 +54,12 @@ object PlanDump {
       "q_kn_logprob", "q_kn_buckets", "q_kn3_logprob",
       "q_notebook_extract", "q_code_rules", "q_latex_extract",
       "q_tokenizer_fertility", "q_wordpiece_train", "q_wordpiece_encode",
-      "q_winnow_fingerprints", "q_winnow_pairs", "q_license_scan")
+      "q_winnow_fingerprints", "q_winnow_pairs", "q_license_scan",
+      // round-19 families
+      "q_bpe_byte_encode", "q_bpe_byte_train", "q_bpe_byte_e2e",
+      "q_kn5_logprob", "q_unicode_nfkc", "q_tagger_mix", "q_tagger_full",
+      "q_gopher_repetition", "q_pack_segments", "q_pack_assemble",
+      "q_pack_bpe")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
