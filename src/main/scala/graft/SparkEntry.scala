@@ -167,6 +167,8 @@ object SparkEntry {
     "q_pii_scrub" -> (L.qPiiScrub _),
     // crawl-pipeline HTML text extraction (script/style, tags, entities)
     "q_html_extract" -> (L.qHtmlExtract _),
+    // main-content extraction (region/link-density/length block rules)
+    "q_html_maincontent" -> (L.qHtmlMaincontent _),
     // CCNet-style line-level dedup (first-occurrence keep + boiler cap)
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
@@ -514,6 +516,7 @@ object SparkEntry {
     "q_wordpiece_encode" -> L.qWordpieceEncodeSql,
     "q_pii_scrub" -> L.qPiiScrubSql,
     "q_html_extract" -> L.qHtmlExtractSql,
+    "q_html_maincontent" -> L.qHtmlMaincontentSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
     "q_quality_curve" -> L.qQualityCurveSql,

@@ -147,6 +147,203 @@ object Html {
     out.toSeq
   }
 
+  // ---- main-content (boilerplate-region) extraction ----
+
+  /** Minimum non-whitespace chars for a block to count as content
+    * (trafilatura/jusText-class length rule, sized for the fixture
+    * corpus's sentence-length documents). */
+  val MainMinChars = 6
+
+  /** Link-density rule as an integer cross-multiply: a block is
+    * boilerplate when n_link_chars * [[MainLinkDen]] >
+    * n_chars * [[MainLinkNum]] (density strictly above 1/3) — no
+    * float division anywhere near a gate. */
+  val MainLinkNum = 1
+  val MainLinkDen = 3
+
+  /** Tags that BOUND a text block: any open or close of one finalizes
+    * the current block. Mirrors the block-level element set real
+    * extractors segment on. */
+  private val BlockTags: Set[String] = Set(
+    "html", "head", "body", "title", "p", "div", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "table", "thead", "tbody",
+    "tr", "td", "th", "section", "article", "main", "blockquote",
+    "pre", "br", "hr", "header", "footer", "nav", "aside", "form",
+    "figure", "figcaption")
+
+  /** Semantic boilerplate REGIONS: any block opened while inside one
+    * is dropped with verdict `region` (`head` covers title/meta). */
+  private val RegionTags: Set[String] =
+    Set("nav", "header", "footer", "aside", "head")
+
+  /** Block tuples for one document:
+    * (block_idx, region_depth, n_chars, n_link_chars, text, verdict).
+    * n_chars / n_link_chars count NON-WHITESPACE characters (whitespace-
+    * invariant, so the closed-form oracle can derive them from word
+    * lengths); verdict precedence is region → link → short → keep.
+    * Blocks with zero non-ws chars are never emitted. Script/style
+    * content is skipped wholly; an unclosed script drops to EOF; a
+    * dangling `<` fragment is literal text (extraction never invents
+    * structure — the [[walkTables]] rule). */
+  private[graft] def walkBlocks(html: String)
+      : Seq[(Int, Int, Int, Int, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, String, String)]
+    val lower = html.toLowerCase
+    val buf = new StringBuilder
+    var regionDepth = 0
+    var linkDepth = 0
+    var nChars = 0
+    var nLink = 0
+    var blockIdx = 0
+    def appendText(s: String): Unit = {
+      var k = 0
+      while (k < s.length) {
+        if (!Character.isWhitespace(s.charAt(k))) {
+          nChars += 1
+          if (linkDepth > 0) nLink += 1
+        }
+        k += 1
+      }
+      buf.append(s)
+    }
+    def finalizeBlock(): Unit = {
+      if (nChars > 0) {
+        val verdict =
+          if (regionDepth > 0) "region"
+          else if (nLink.toLong * MainLinkDen > nChars.toLong * MainLinkNum) "link"
+          else if (nChars < MainMinChars) "short"
+          else "keep"
+        out += ((blockIdx, regionDepth, nChars, nLink,
+          normalize(buf.toString), verdict))
+        blockIdx += 1
+      }
+      buf.clear(); nChars = 0; nLink = 0
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val gt = html.indexOf('>', i + 1)
+        if (gt < 0) { appendText(html.substring(i)); i = n }
+        else {
+          val inner = html.substring(i + 1, gt).trim
+          val closing = inner.startsWith("/")
+          val body = if (closing) inner.substring(1).trim else inner
+          val name = body.takeWhile(Character.isLetterOrDigit).toLowerCase
+          if (!closing && (name == "script" || name == "style")) {
+            val end = lower.indexOf("</" + name, gt + 1)
+            if (end < 0) i = n
+            else {
+              val egt = html.indexOf('>', end)
+              i = if (egt < 0) n else egt + 1
+            }
+          } else {
+            if (BlockTags(name)) {
+              finalizeBlock()
+              if (RegionTags(name)) {
+                if (closing) regionDepth = math.max(0, regionDepth - 1)
+                else regionDepth += 1
+              }
+            } else if (name == "a") {
+              if (closing) linkDepth = math.max(0, linkDepth - 1)
+              else linkDepth += 1
+              buf.append(' ')
+            } else buf.append(' ') // inline tag acts as whitespace
+            i = gt + 1
+          }
+        }
+      } else {
+        if (!Character.isWhitespace(c)) {
+          nChars += 1
+          if (linkDepth > 0) nLink += 1
+        }
+        buf.append(c)
+        i += 1
+      }
+    }
+    finalizeBlock()
+    out.toSeq
+  }
+
+  /** BLOCK-level view of [[mainContent]] — one row per non-empty text
+    * block with its metrics and verdict, for threshold tuning and
+    * rule audits. Partition-local, zero shuffle. */
+  def mainContentBlocks(docs: DataFrame, htmlCol: String = "html",
+                        id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("block_idx", LongType),
+      StructField("region_depth", LongType),
+      StructField("n_chars", LongType),
+      StructField("n_link_chars", LongType),
+      StructField("text", StringType),
+      StructField("verdict", StringType)))
+    spark.createDataFrame(
+      docs.select(col(id).cast("long"), col(htmlCol))
+        .where(col(htmlCol).isNotNull)
+        .rdd.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val docId = r.getLong(0)
+            walkBlocks(r.getString(1)).iterator.map {
+              case (bi, rd, nc, nl, t, v) =>
+                Row(docId, bi.toLong, rd.toLong, nc.toLong, nl.toLong, t, v)
+            }
+          }
+        }, schema)
+  }
+
+  /** Main-content extraction — the trafilatura/jusText-class
+    * boilerplate-REGION rule [[extractHtmlText]] (tag stripping) and
+    * line-dedup (cross-document repeats) both lack: segment the page
+    * into text blocks at block-level tag boundaries, drop blocks
+    * inside semantic boilerplate regions (nav/header/footer/aside/
+    * head), link-dense blocks (integer cross-multiply, > 1/3), and
+    * sub-[[MainMinChars]] fragments; keep the rest in document order.
+    *
+    * One row PER INPUT DOC: (doc_id, text = kept blocks joined by a
+    * single space, n_blocks, n_kept, n_dropped_region, n_dropped_link,
+    * n_dropped_short). A fully-boilerplate page yields text '' with
+    * its drop census — the downstream length filters see it, nothing
+    * silently disappears.
+    *
+    * Scale shape: ONE partition-local pass per document (the rollup is
+    * computed inside the same kernel as the block walk), zero shuffle,
+    * state bounded by page size. A nesting-sensitive region grammar
+    * has no Catalyst equivalent (regexp cannot pair nested
+    * `<div>`/`<nav>` scopes) — the same altitude argument as
+    * [[walkTables]]. */
+  def mainContent(docs: DataFrame, htmlCol: String = "html",
+                  id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("n_blocks", LongType),
+      StructField("n_kept", LongType),
+      StructField("n_dropped_region", LongType),
+      StructField("n_dropped_link", LongType),
+      StructField("n_dropped_short", LongType)))
+    spark.createDataFrame(
+      docs.select(col(id).cast("long"), col(htmlCol))
+        .where(col(htmlCol).isNotNull)
+        .rdd.mapPartitions { rows =>
+          rows.map { r =>
+            val blocks = walkBlocks(r.getString(1))
+            val kept = blocks.filter(_._6 == "keep")
+            Row(r.getLong(0),
+              kept.map(_._5).mkString(" "),
+              blocks.size.toLong,
+              kept.size.toLong,
+              blocks.count(_._6 == "region").toLong,
+              blocks.count(_._6 == "link").toLong,
+              blocks.count(_._6 == "short").toLong)
+          }
+        }, schema)
+  }
+
   /** One row per (doc, table, row, cell) + quarantine rows; docs with
     * no tables are absent. */
   def extractTables(docs: DataFrame, htmlCol: String = "html",

@@ -73,6 +73,13 @@ object Tagger {
   def tagAndMix(attributes: DataFrame, rules: Seq[Rule],
                 id: String = "doc_id"): DataFrame = {
     require(rules.nonEmpty, "tagAndMix: empty rule config")
+    // duplicate rule_ids would diverge cross-engine: collect_set dedupes
+    // fired_rules/tags on the Spark side while the oracle's string_agg
+    // keeps the multiset — reject the config up front.
+    require(rules.map(_.ruleId).distinct.size == rules.size, {
+      val dups = rules.groupBy(_.ruleId).collect { case (id, rs) if rs.size > 1 => id }
+      s"tagAndMix: duplicate rule_id(s) in config: ${dups.toSeq.sorted.mkString(", ")}"
+    })
     rules.foreach { r =>
       require(Ops(r.op), s"tagAndMix: unknown op '${r.op}' (${r.ruleId})")
       require(Actions(r.action),

@@ -431,9 +431,14 @@ object TextAnalysis {
       col("n_tokens").cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // pack_id via exact integer div (not floor(x / double)): cumulative
+    // token counts at the 100 TB design point can exceed double's 2^52
+    // integer range, where the float quotient could cross a pack
+    // boundary the integer div doesn't — and packSegments' __lastp
+    // already uses `div`, so mixed idioms would disagree exactly there.
     t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        floor(col("cum_before") / lit(budget.toDouble)).cast("long").as("pack_id"),
+        expr(s"cum_before div $budget").as("pack_id"),
         (col("cum_before") % lit(budget)).as("pack_offset"))
   }
 

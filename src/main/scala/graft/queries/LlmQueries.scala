@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
 import graft.functions.Portable
-import graft.operators.{AsOf, Dedup, Graph, Multimodal, Postings, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Graph, Html, Multimodal, Postings, Sampling, Similarity, Sketches, SuffixDedup, TextAnalysis}
 import graft.sources.{Tables, Tar, Warc}
 
 /** LLM-training-data-pipeline queries (SURVEY §2 #20, #23-34) over the
@@ -4195,7 +4195,7 @@ object LlmQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM t)
        |SELECT doc_id, shard, n_tokens,
-       |  CAST(floor(cum_before / CAST(1024 AS DOUBLE)) AS BIGINT) AS pack_id,
+       |  CAST(cum_before // 1024 AS BIGINT) AS pack_id,
        |  CAST(cum_before % 1024 AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
 
@@ -4544,7 +4544,18 @@ object LlmQueries {
     Seq(Seq("Ċ")),
     Seq(Seq("Ġ", "a", "t", "h", "e")))
 
-  private val ByteBpeTrainMerges = 8
+  private[graft] val ByteBpeTrainMerges = 8
+
+  /** The e2e/trainer fixture corpus (exposed for ByteBpeSpec's
+    * rank-recreation audit — see the assumption note on [[qBpeByteE2e]]). */
+  private[graft] def byteBpeE2eDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
+
+  /** Chunk inventory exposed for the same audit: docs are chunk
+    * concatenations and every chunk starts at a pretoken boundary, so
+    * the chunks' pretokens ARE the corpus's full word universe. */
+  private[graft] def byteBpeE2eChunks: Seq[String] = ByteBpeChunks
 
   /** The byte-level BPE TRAINER inside the gate: learn 8 merges from
     * the synthesized chunk corpus (TextAnalysis.byteBpeTrain — the
@@ -4615,7 +4626,21 @@ object LlmQueries {
     * trainer exhaustion are LEFT-JOIN no-ops (the post-exhaustion
     * round rule), so the recursion is total either way. Any
     * trainer-or-encoder slip — or any drift BETWEEN them (a merge
-    * learned but mis-applied) — bends a token and fails the hash. */
+    * learned but mis-applied) — bends a token and fails the hash.
+    *
+    * ASSUMPTION (audited, not guaranteed in general): the oracle
+    * replays the learned merges RANK-SEQUENTIALLY each to fixpoint,
+    * while byteBpeEncode runs the GPT-2 priority loop, which would
+    * also re-apply a LOWER-rank merge whose pair a later merge's
+    * output symbol recreates. The two coincide exactly when no
+    * learned merge's output forms an earlier-rank pair with any
+    * neighbor on the training corpus — a property of the corpus +
+    * trained table, not of the algorithms. ByteBpeSpec
+    * ("e2e trained merges: sequential replay...") re-derives the
+    * trained table per available scale and asserts the no-recreation
+    * property over the full chunk word universe, so a fixture or
+    * merge-count change that breaks the equivalence fails sbt test
+    * before it can fail the driver gate for a non-bug reason. */
   def qBpeByteE2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), byteBpeDocText(col("doc_id")).as("text"))
@@ -4690,7 +4715,7 @@ object LlmQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
        |  FROM c)
        |SELECT doc_id, shard, n_tokens,
-       |  CAST(floor(cum / CAST(64 AS DOUBLE)) AS BIGINT) AS pack_id,
+       |  CAST(cum // 64 AS BIGINT) AS pack_id,
        |  CAST(cum % 64 AS BIGINT) AS pack_offset
        |FROM w""".stripMargin
   }
@@ -5393,6 +5418,64 @@ object LlmQueries {
       |  CAST(12 + doc_id % 2 AS BIGINT) AS n_tags,
       |  trim(regexp_replace(raw, '\s+', ' ', 'g')) AS text
       |FROM m""".stripMargin
+
+  // ---- main-content (boilerplate-region) extraction ----
+
+  /** Main-content extraction over a closed-form page skeleton (the
+    * q_html_extract doctrine: the oracle rebuilds expected outputs
+    * from the same parts WITHOUT parsing any HTML). Each document's
+    * text rides inside `<article><p>…</p></article>` surrounded by
+    * injected boilerplate whose drop verdicts are decidable from
+    * doc_id alone: a `<head><title>` and a `<header>`/`<footer>`
+    * always (region drops), a link-only `<nav>` on doc_id%3=0, an
+    * `<aside>` promo on doc_id%5=0 (more region drops), a link-DENSE
+    * div inside the article on doc_id%2=1 (the cross-multiply rule:
+    * 3 link chars of 4 ⇒ 9 > 4), and a sub-threshold `<p>tiny</p>`
+    * on doc_id%4=2 (the length rule). The corpus block itself is kept
+    * or length-dropped by its own non-ws char count, which the oracle
+    * computes directly — so region nesting, link counting, the
+    * integer cross-multiply, the length floor, and block segmentation
+    * ALL gate: any rule slip bends a count or the kept text. */
+  def qHtmlMaincontent(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val is = i.cast("string")
+    val nav = when(i % 3 === 0,
+      lit("<nav><a href=\"#\">home</a> <a href=\"#\">about us</a></nav>"))
+      .otherwise(lit(""))
+    val linkdiv = when(i % 2 === 1,
+      lit("<div><a href=\"#\">lnk</a> x</div>")).otherwise(lit(""))
+    val shortp = when(i % 4 === 2, lit("<p>tiny</p>")).otherwise(lit(""))
+    val aside = when(i % 5 === 0,
+      lit("<aside><a href=\"#\">ad one</a> promo</aside>")).otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>doc "), is, lit("</title></head><body>"),
+      lit("<header>site head</header>"), nav,
+      lit("<article><p>"), col("text"), lit("</p>"), linkdiv, shortp,
+      lit("</article>"), aside,
+      lit("<footer>fine print</footer></body></html>"))
+    Html.mainContent(
+      Tables(spark, dir).documents.select(i, html.as("html")))
+  }
+
+  val qHtmlMaincontentSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+      |    length(regexp_replace(text, '\\s', '', 'g')) AS nw FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN nw >= ${Html.MainMinChars}
+      |    THEN trim(regexp_replace(text, '\\s+', ' ', 'g')) ELSE '' END AS text,
+      |  CAST(3 + (CASE WHEN nw > 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+      |  CAST(CASE WHEN nw >= ${Html.MainMinChars} THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+      |  CAST(3 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_region,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_dropped_link,
+      |  CAST((CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN nw > 0 AND nw < ${Html.MainMinChars} THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS n_dropped_short
+      |FROM d""".stripMargin
 
   // ---- structured HTML TABLE extraction (operators/Html) ----
 

@@ -140,6 +140,45 @@ class ByteBpeSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("e2e trained merges: sequential replay == priority loop, no earlier-rank recreation") {
+    // The q_bpe_byte_e2e oracle replays learned merges rank-sequentially
+    // each to fixpoint; the encoder runs the GPT-2 priority loop. They
+    // coincide iff no learned merge's output symbol recreates an
+    // earlier-rank pair on the training corpus. Audit that property —
+    // per scale, since the trained table depends on corpus frequencies —
+    // over the FULL word universe (chunk pretokens: docs are chunk
+    // concatenations with chunk starts on pretoken boundaries).
+    import graft.queries.LlmQueries
+    val scales = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    assume(scales.nonEmpty)
+    val words = LlmQueries.byteBpeE2eChunks
+      .flatMap(TextAnalysis.byteBpePretokenize).distinct
+    scales.foreach { dir =>
+      val docs = LlmQueries.byteBpeE2eDocs(spark, dir)
+      val merges = TextAnalysis.byteBpeTrain(docs, LlmQueries.ByteBpeTrainMerges)
+      words.foreach { pt =>
+        var syms: Vector[String] = pt.getBytes("UTF-8")
+          .map(b => TextAnalysis.byteBpeTable(b & 0xff).toString).toVector
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          // rank-sequential: merge i to fixpoint
+          var prev = Vector.empty[String]
+          while (prev != syms) { prev = syms; syms = TextAnalysis.mergeOnce(syms, a, b).toVector }
+          // no earlier-rank pair may now be adjacent (the recreation check)
+          merges.take(i + 1).foreach { case (ea, eb) =>
+            val recreated = syms.indices.dropRight(1)
+              .exists(k => syms(k) == ea && syms(k + 1) == eb)
+            assert(!recreated,
+              s"$dir: merge ${i} ($a,$b) leaves earlier-rank pair ($ea,$eb) adjacent in [$pt]")
+          }
+        }
+        // and the end state must equal the priority-loop encoder's
+        assert(syms === reference(pt, merges).toVector, s"$dir: word [$pt]")
+      }
+    }
+  }
+
   test("fertility composition: byte-level pieces census joins the word census") {
     // pieces-per-word under byte BPE — the diagnostic the fertility
     // row runs for the unigram tokenizer, composed with byteBpeEncode

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Html
+
+/** Block-level main-content extraction: region nesting, link-density
+  * cross-multiply, length floor, block segmentation, script/style
+  * skip, and the malformed-markup armor. Cross-engine parity is
+  * q_html_maincontent's closed-form oracle. */
+class HtmlMainContentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blocks(html: String) = Html.walkBlocks(html)
+
+  test("segments at block tags, keeps article prose, drops region blocks") {
+    val html = "<html><head><title>t one</title></head><body>" +
+      "<header>site head</header>" +
+      "<nav><a href=\"#\">home</a> <a href=\"#\">about</a></nav>" +
+      "<article><p>real content here</p><div>second block text</div></article>" +
+      "<aside>sidebar promo</aside>" +
+      "<footer>fine print</footer></body></html>"
+    val bs = blocks(html)
+    assert(bs.map(_._5) === Seq("t one", "site head", "home about",
+      "real content here", "second block text", "sidebar promo", "fine print"))
+    assert(bs.map(_._6) === Seq("region", "region", "region",
+      "keep", "keep", "region", "region"))
+    // block_idx is document order, gapless over EMITTED blocks
+    assert(bs.map(_._1) === (0 until 7))
+  }
+
+  test("link density: strictly above 1/3 drops; exactly 1/3 keeps") {
+    // 3 link chars of 9 total = exactly 1/3 -> keep (strict >)
+    val exact = blocks("<body><p><a href=\"#\">abc</a> defxyz</p></body>")
+    assert(exact.map(_._6) === Seq("keep"))
+    assert(exact.head._3 === 9 && exact.head._4 === 3)
+    // 4 of 9 -> drop
+    val over = blocks("<body><p><a href=\"#\">abcd</a> efxyz</p></body>")
+    assert(over.map(_._6) === Seq("link"))
+  }
+
+  test("nested anchors and unclosed </a> never double-count or go negative") {
+    val bs = blocks("<p><a><a>xy</a>z</a>w</p><p>qq</a>rrrr</p>")
+    assert(bs.map(b => (b._3, b._4)) === Seq((4, 3), (6, 0)))
+  }
+
+  test("length floor: blocks under MainMinChars non-ws chars drop as short") {
+    val bs = blocks("<p>tiny</p><p>exactly six ok</p><p>a b c</p>")
+    assert(bs.map(_._6) === Seq("short", "keep", "short"))
+    // whitespace never counts: 'a b c' is 3 chars
+    assert(bs(2)._3 === 3)
+  }
+
+  test("region nesting: aside inside article drops; depth restores after close") {
+    val bs = blocks("<article><p>before text</p>" +
+      "<aside><p>ad block text</p></aside><p>after text ok</p></article>")
+    assert(bs.map(_._6) === Seq("keep", "region", "keep"))
+    assert(bs.map(_._2) === Seq(0, 1, 0))
+  }
+
+  test("script/style content is skipped wholly, unclosed script drops to EOF") {
+    val bs = blocks("<p>kept words</p><script>var x = 'nav file';</script>" +
+      "<style>.c{}</style><p>also kept text</p>")
+    assert(bs.map(_._5) === Seq("kept words", "also kept text"))
+    val open = blocks("<p>kept words</p><script>everything after dies")
+    assert(open.map(_._5) === Seq("kept words"))
+  }
+
+  test("inline tags are whitespace; empty blocks never emit; stray close is safe") {
+    val bs = blocks("<p>a<b>b</b>cdef</p><div>   </div></footer><p>tail block</p>")
+    assert(bs.map(_._5) === Seq("a b cdef", "tail block"))
+    // the stray </footer> must not push region depth below zero
+    assert(bs.forall(_._2 === 0))
+  }
+
+  test("dangling '<' fragment is literal text") {
+    val bs = blocks("<p>text with 4 < 5 math")
+    assert(bs.map(_._5) === Seq("text with 4 < 5 math"))
+  }
+
+  test("mainContent rollup: one row per doc, fully-boilerplate page yields ''") {
+    val docs = Seq(
+      (1L, "<body><header>hh hh</header><p>main prose text</p>" +
+        "<p><a>lnk</a> x</p><p>tiny</p></body>"),
+      (2L, "<body><nav>only nav here</nav></body>")).toDF("doc_id", "html")
+    val out = Html.mainContent(docs).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val r1 = out(0)
+    assert(r1.getString(1) === "main prose text")
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getLong(5), r1.getLong(6))
+      === ((4L, 1L, 1L, 1L, 1L)))
+    val r2 = out(1)
+    assert(r2.getString(1) === "" && r2.getLong(3) === 0L && r2.getLong(4) === 1L)
+  }
+
+  test("mainContent plans with zero shuffle exchanges") {
+    val docs = Seq((1L, "<p>plain page text</p>")).toDF("doc_id", "html")
+    val plan = Html.mainContent(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("blocks view exposes metrics for threshold tuning") {
+    val docs = Seq((7L, "<nav>menu items</nav><p>content words here</p>"))
+      .toDF("doc_id", "html")
+    val bs = Html.mainContentBlocks(docs).orderBy("block_idx").collect()
+    assert(bs.map(_.getString(6)).toSeq === Seq("region", "keep"))
+    assert(bs.map(_.getLong(3)).toSeq === Seq(9L, 16L))
+  }
+}

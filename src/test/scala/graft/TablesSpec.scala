@@ -57,4 +57,53 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType === TimestampType)
     assert(ev.limit(1).count() === 1L)
   }
+
+  test("documents corpus is NFKC-clean at every shipped scale") {
+    // q_unicode_nfkc's closed-form oracle assumes the BASE text is
+    // NFKC-invariant (a strictly stronger assumption than the NFC
+    // row's): a driver-regenerated corpus containing any compatibility
+    // character (fullwidth, ligature, superscript) would fail that
+    // gate at the driver. Pin it here so testdata drift fails sbt test
+    // first (the r9 events.ts drift pattern).
+    import java.text.Normalizer
+    val scales = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    assume(scales.nonEmpty)
+    scales.foreach { dir =>
+      val dirty = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")
+        .filter { r =>
+          val t = r.getString(1)
+          t != null && !Normalizer.isNormalized(t, Normalizer.Form.NFKC)
+        }
+        .limit(5).collect()
+      assert(dirty.isEmpty,
+        s"$dir: non-NFKC base documents: ${dirty.map(_.getLong(0)).mkString(", ")}")
+    }
+  }
+
+  test("documents text is tag-free with RE2-class whitespace at every shipped scale") {
+    // q_html_extract / q_html_maincontent wrap corpus text in markup and
+    // their oracles replay it WITHOUT parsing HTML — sound only while the
+    // base text carries no angle brackets; the whitespace-collapse parity
+    // (Java \s vs RE2 \s) additionally needs no exotic unicode whitespace.
+    val scales = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    assume(scales.nonEmpty)
+    val exotic = "[\\u000B\\u00A0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u205f\\u3000]".r
+    scales.foreach { dir =>
+      val dirty = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text")
+        .filter { r =>
+          val t = r.getString(1)
+          t == null || t.contains('<') || t.contains('>') ||
+            exotic.findFirstIn(t).isDefined
+        }
+        .limit(5).collect()
+      assert(dirty.isEmpty,
+        s"$dir: tagged/exotic-ws documents: ${dirty.map(_.getLong(0)).mkString(", ")}")
+    }
+  }
 }
