@@ -123,6 +123,8 @@ object SparkEntry {
     // the full Gopher repetition signal set (lines/paras/n-grams)
     "q_gopher_repetition" -> (L.qGopherRepetition _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
+    // main-content extraction composed into the quality chain
+    "q_crawl_main" -> (L.qCrawlMain _),
     // learned linear classifier next to the rule- and LM-based signals
     "q_quality_classifier" -> (L.qQualityClassifier _),
     // the classifier TRAINER (batch perceptron, trajectory-gated)
@@ -487,6 +489,7 @@ object SparkEntry {
     "q_tagger_full" -> L.qTaggerFullSql,
     "q_gopher_repetition" -> L.qGopherRepetitionSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
+    "q_crawl_main" -> L.qCrawlMainSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
     "q_classifier_train" -> L.qClassifierTrainSql,
     "q_token_count" -> L.qTokenCountSql,

@@ -5436,7 +5436,9 @@ object LlmQueries {
     * computes directly — so region nesting, link counting, the
     * integer cross-multiply, the length floor, and block segmentation
     * ALL gate: any rule slip bends a count or the kept text. */
-  def qHtmlMaincontent(spark: SparkSession, dir: String): DataFrame = {
+  /** The boilerplate page skeleton shared by q_html_maincontent and
+    * the q_crawl_main composition (closed-form per doc_id). */
+  private def maincontentHtml: Column = {
     val i = col("doc_id")
     val is = i.cast("string")
     val nav = when(i % 3 === 0,
@@ -5447,15 +5449,17 @@ object LlmQueries {
     val shortp = when(i % 4 === 2, lit("<p>tiny</p>")).otherwise(lit(""))
     val aside = when(i % 5 === 0,
       lit("<aside><a href=\"#\">ad one</a> promo</aside>")).otherwise(lit(""))
-    val html = concat(
+    concat(
       lit("<html><head><title>doc "), is, lit("</title></head><body>"),
       lit("<header>site head</header>"), nav,
       lit("<article><p>"), col("text"), lit("</p>"), linkdiv, shortp,
       lit("</article>"), aside,
       lit("<footer>fine print</footer></body></html>"))
-    Html.mainContent(
-      Tables(spark, dir).documents.select(i, html.as("html")))
   }
+
+  def qHtmlMaincontent(spark: SparkSession, dir: String): DataFrame =
+    Html.mainContent(Tables(spark, dir).documents
+      .select(col("doc_id"), maincontentHtml.as("html")))
 
   val qHtmlMaincontentSql: String =
     s"""WITH d AS (SELECT doc_id, text,
@@ -5476,6 +5480,42 @@ object LlmQueries {
       |     + (CASE WHEN nw > 0 AND nw < ${Html.MainMinChars} THEN 1 ELSE 0 END)
       |     AS BIGINT) AS n_dropped_short
       |FROM d""".stripMargin
+
+  /** Main-content extraction COMPOSED into the crawl chain: the same
+    * boilerplate skeleton → [[Html.mainContent]] → empty-text drop →
+    * the full quality verdict over the EXTRACTED text, in one DAG.
+    * The oracle derives the main text closed-form (the collapsed
+    * corpus text, kept iff ≥ MainMinChars non-ws chars) and replays
+    * the shared quality-verdict SQL from it, plus an md5 of the text
+    * itself — so a region/link/length slip upstream bends n_words,
+    * a ratio, or the hash downstream. The block census itself is
+    * q_html_maincontent's gate; this row proves the COMPOSITION.
+    * mainContent's frame is persisted at the fan-out (the r13 lesson:
+    * qualityVerdict fans into 3 metric branches + the md5 join, each
+    * of which would re-run the partition-local walker). */
+  def qCrawlMain(spark: SparkSession, dir: String): DataFrame = {
+    releaseStageCaches("crawl_main") // BEFORE the persist (stageCacheReg)
+    val docs = Tables(spark, dir).documents
+    val mc = Html.mainContent(docs
+        .select(col("doc_id"), maincontentHtml.as("html")))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStageCaches("crawl_main", List(mc))
+    TextAnalysis.qualityVerdict(mc)
+      .join(mc.select(col("doc_id"), md5(col("text")).as("text_md5")),
+        Seq("doc_id"))
+  }
+
+  val qCrawlMainSql: String =
+    s"""WITH mc AS (SELECT doc_id, lang,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+       |  FROM documents
+       |  WHERE length(regexp_replace(text, '\\s', '', 'g')) >= ${Html.MainMinChars})
+       |SELECT v.*, md5(m2.text) AS text_md5
+       |FROM (${qualityFilterSqlFrom("mc")}) v
+       |JOIN mc m2 ON v.doc_id = m2.doc_id""".stripMargin
 
   // ---- structured HTML TABLE extraction (operators/Html) ----
 
