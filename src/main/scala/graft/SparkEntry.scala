@@ -136,6 +136,10 @@ object SparkEntry {
     "q_unigram_logprob_cjk" -> (L.qUnigramLogprobCjk _),
     "q_vocab_topk_cjk" -> (L.qVocabTopkCjk _),
     "q_lang_id_cjk" -> (L.qLangIdCjk _),
+    // TRAINED language ID (one-vs-rest hashed char-trigram perceptron)
+    "q_lang_id_trained" -> (L.qLangIdTrained _),
+    // the trained classifier composed through per-line mixture segments
+    "q_lang_segments_trained" -> (L.qLangSegmentsTrained _),
     "q_vocab_topk" -> (L.qVocabTopk _),
     "q_vocab_coverage" -> (L.qVocabCoverage _),
     "q_token_pack" -> (L.qTokenPack _),
@@ -498,6 +502,8 @@ object SparkEntry {
     "q_unigram_logprob_cjk" -> L.qUnigramLogprobCjkSql,
     "q_vocab_topk_cjk" -> L.qVocabTopkCjkSql,
     "q_lang_id_cjk" -> L.qLangIdCjkSql,
+    "q_lang_id_trained" -> L.qLangIdTrainedSql,
+    "q_lang_segments_trained" -> L.qLangSegmentsTrainedSql,
     "q_vocab_topk" -> L.qVocabTopkSql,
     "q_vocab_coverage" -> L.qVocabCoverageSql,
     "q_token_pack" -> L.qTokenPackSql,

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** fastText-langid-class character features of a text column in one
+  * pass: for every token (plain whitespace split, or the scripted
+  * CJK/Thai-aware cut), the token itself plus every character TRIGRAM
+  * of the boundary-padded form `<token>` — the feature family that
+  * sees morphology (suffixes/prefixes ride the `>`/`<` trigrams) and
+  * spaceless scripts (a CJK "word" yields one trigram per ideograph
+  * window) where whole-word stopword lists are blind.
+  *
+  * Trigrams slide over CODEPOINTS, not UTF-16 units, so an astral
+  * character is one position — matching DuckDB's character-based
+  * substr in the oracle replay. Single tight loop (the WordShingles
+  * lesson: HOF lambdas are interpreted, ~ms per doc); CodegenFallback
+  * keeps surrounding operators in whole-stage codegen. Multiset
+  * semantics: repeated features repeat (the downstream census counts
+  * tf). */
+case class LangCharFeatures(child: Expression, scripted: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lang_char_features"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val str = t.asInstanceOf[UTF8String].toString
+    val words = LangCharFeatures.tokens(str, scripted)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        out += UTF8String.fromString(w)
+        val p = "<" + w + ">"
+        val cps = p.codePoints.toArray
+        var j = 0
+        while (j + 3 <= cps.length) {
+          out += UTF8String.fromString(new String(cps, j, 3))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangCharFeatures {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private val Scripted = java.util.regex.Pattern.compile(Portable.scriptedPattern)
+
+  private def tokens(s: String, scripted: Boolean): Array[String] =
+    if (scripted) {
+      val m = Scripted.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toArray
+    } else Whitespace.split(s.trim)
+
+  /** Column API: token + padded-trigram features of a text column. */
+  def of(text: Column, scripted: Boolean = false): Column =
+    GraftShim.column(LangCharFeatures(GraftShim.expression(text), scripted))
+}

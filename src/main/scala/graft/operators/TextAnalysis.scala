@@ -3528,4 +3528,142 @@ object TextAnalysis {
     }
     w
   }
+
+  // ---- TRAINED language ID (one-vs-rest hashed char-n-gram model) ----
+
+  /** Per-key hashed char-feature census: (keys..., bucket, __tf). The
+    * fastText-langid feature family ([[graft.functions.LangCharFeatures]]:
+    * token + padded char trigrams) hashed with the portable md5-derived
+    * h31 — shared by the trainer and both apply shapes so corpus and
+    * query featurization are provably identical (the r15 tokensOf
+    * rule applied to the classifier family). */
+  private def langFeatureTf(df: DataFrame, nBuckets: Int, keys: Seq[String],
+                            textCol: String, scripted: Boolean): DataFrame =
+    df.select(keys.map(col) :+
+        explode(graft.functions.LangCharFeatures.of(col(textCol), scripted)).as("__f"): _*)
+      .select(keys.map(col) :+
+        (Portable.h31(col("__f")) % nBuckets).cast("int").as("bucket"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("__tf"))
+
+  /** One-vs-rest TRAINED language classifier — the learned upgrade of
+    * the stopword-list heuristic ([[langId]]), which is list-bound and
+    * blind to morphologically-rich or low-resource languages: a joint
+    * batch perceptron over hashed char-trigram+token features (the
+    * fastText-langid design, Joulin et al. 2016), one weight vector
+    * per language trained one-vs-rest in the SAME epoch loop. All
+    * arithmetic is integer on the [[perceptronTrain]] 1e-6 grid, so
+    * the k-epoch trajectory replays exactly as chained CTEs — the
+    * sigmoid-free trainer doctrine at multi-class.
+    *
+    * Returns the (lang, bucket, w) model frame — WRITABLE, the
+    * train/apply production shape; feed it to [[langClassifierApply]]
+    * or [[langSegmentsTrained]] with the SAME nBuckets and scripted
+    * flag (the r17 mode-threading rule).
+    *
+    * Scale shape: the feature frame builds once and localCheckpoints
+    * (each epoch reads it twice); the weight grid is langs × nBuckets
+    * rows — MODEL-sized, so its seed crossJoin is the bounded codebook
+    * shape, never a data cross product; margins shuffle on (doc, lang),
+    * updates on (lang, bucket), both map-side-partial friendly. */
+  def langClassifierTrain(docs: DataFrame, nBuckets: Int = 1024,
+                          epochs: Int = 2, lrMicro: Long = 1000L,
+                          id: String = "doc_id", textCol: String = "text",
+                          langCol: String = "lang",
+                          scripted: Boolean = false): DataFrame = {
+    require(nBuckets > 0 && epochs >= 1 && epochs <= 64 && lrMicro > 0,
+      "langClassifierTrain: bad hyperparameters")
+    val tf = langFeatureTf(
+        docs.select(col(id), col(langCol).as("__dl"), col(textCol)),
+        nBuckets, Seq(id, "__dl"), textCol, scripted)
+      .localCheckpoint(true)
+    var w = tf.select(col("__dl").as("lang")).distinct()
+      .crossJoin(tf.select(col("bucket")).distinct())
+      .select(col("lang"), col("bucket"), lit(0L).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to epochs) {
+      val mis = tf.join(w, Seq("bucket"))
+        .groupBy(col(id), col("lang"))
+        .agg(max(when(col("__dl") === col("lang"), 1L).otherwise(-1L)).as("__y"),
+          sum(col("__tf") * col("w")).as("__m"))
+        .where(col("__y") * col("__m") <= 0)
+        .select(col(id), col("lang"), col("__y"))
+      val upd = tf.join(mis, Seq(id))
+        .groupBy(col("lang"), col("bucket"))
+        .agg((lit(lrMicro) * sum(col("__y") * col("__tf"))).as("__u"))
+      w = w.join(upd, Seq("lang", "bucket"), "left")
+        .select(col("lang"), col("bucket"),
+          (col("w") + coalesce(col("__u"), lit(0L))).as("w"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** Score under a STATIC trained model and argmax per key — shared by
+    * the doc and line shapes. Integer margins; the argmax is the
+    * sort-free min-of-struct on (−margin, lang) — max margin, ties to
+    * the lexically-first language, a total order both engines replay.
+    * Features hashing to buckets absent from the model grid drop
+    * (OOV-drop, the lmBucketsApply contract); keys with NO covered
+    * features are absent from the output. */
+  private def langScoresBy(df: DataFrame, model: DataFrame, nBuckets: Int,
+                           keys: Seq[String], textCol: String,
+                           scripted: Boolean): DataFrame =
+    langFeatureTf(df, nBuckets, keys, textCol, scripted)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy((keys :+ "lang").map(col): _*)
+      .agg(sum(col("__tf") * col("w")).as("__m"), sum(col("__tf")).as("__nf"))
+      .groupBy(keys.map(col): _*)
+      // nf rides the argmax struct (never a tie-break: (−m, lang) is
+      // already unique) so n_features is the WINNING row's coverage —
+      // exact parity with the oracle's rank-1 row even if per-lang
+      // model grids ever diverge
+      .agg(min(struct((-col("__m")).as("nm"), col("lang").as("l"),
+        col("__nf").as("nf"))).as("__best"))
+      .select(keys.map(col) ++ Seq(
+        col("__best").getField("nf").as("n_features"),
+        col("__best").getField("l").as("pred_lang"),
+        (-col("__best").getField("nm")).as("margin")): _*)
+
+  /** The APPLY half of [[langClassifierTrain]]: per-document language
+    * prediction under the broadcast model — (doc_id, n_features,
+    * pred_lang, margin). One tokenize scan, one (doc, bucket) shuffle,
+    * a broadcast model join, one per-doc argmax; new data never shifts
+    * the model (the train/apply production split). */
+  def langClassifierApply(docs: DataFrame, model: DataFrame,
+                          nBuckets: Int = 1024, id: String = "doc_id",
+                          textCol: String = "text",
+                          scripted: Boolean = false): DataFrame =
+    langScoresBy(docs.select(col(id), col(textCol)), model, nBuckets,
+      Seq(id), textCol, scripted)
+
+  /** [[langSegments]] with the TRAINED classifier instead of the
+    * stopword heuristic: per-LINE prediction under the model, then the
+    * same per-doc mixture rollup (n_lines, n_tagged, dominant
+    * language by line count with lexical tie-break, n_langs,
+    * is_mixed). Lines whose features all miss the model grid are
+    * untagged (counted in n_lines, not n_tagged); a doc with no
+    * tagged line reads dom_lang 'und'. */
+  def langSegmentsTrained(docs: DataFrame, model: DataFrame,
+                          nBuckets: Int = 1024, id: String = "doc_id",
+                          textCol: String = "text",
+                          scripted: Boolean = false): DataFrame = {
+    val ln = docs.select(col(id),
+      posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+    val nLines = ln.groupBy(col(id)).agg(count(lit(1)).as("n_lines"))
+    val perLang = langScoresBy(ln, model, nBuckets, Seq(id, "__li"),
+        "__line", scripted)
+      .groupBy(col(id), col("pred_lang")).agg(count(lit(1)).as("__c"))
+    val roll = perLang.groupBy(col(id)).agg(
+      sum(col("__c")).as("n_tagged"),
+      min(struct((-col("__c")).as("nc"), col("pred_lang").as("l"))).as("__dom"),
+      count(lit(1)).as("n_langs"))
+    nLines.join(roll, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_tagged"), lit(0L)).as("n_tagged"),
+        coalesce(col("__dom").getField("l"), lit("und")).as("dom_lang"),
+        coalesce(-col("__dom").getField("nc"), lit(0L)).as("n_dom_lines"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"))
+      .withColumn("is_mixed", when(col("n_langs") >= 2, 1L).otherwise(0L))
+  }
 }

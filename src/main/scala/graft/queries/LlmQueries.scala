@@ -3808,6 +3808,195 @@ object LlmQueries {
        |FROM sc""".stripMargin
   }
 
+  // ---- TRAINED language ID (one-vs-rest hashed char-n-gram) ----
+
+  private[graft] val LcBuckets = 1024
+  private[graft] val LcEpochs = 5
+  private[graft] val LcLr = 1000L
+
+  /** Per-language marker phrases injected into the training fixture.
+    * The corpus `lang` column is a synthetic label over a shared
+    * English-ish token soup (no textual signal — the reason the
+    * heuristic q_lang_id is uninformative on it), so the trainable
+    * signal is injected closed-form: each doc's text gains 3 repeats
+    * of its language's phrase, whose char trigrams (umlauts, tildes,
+    * accents, ideographs) are exactly what a fastText-class langid
+    * learns. The soup rides along as shared-vocabulary noise — the
+    * realistic hard part. NFKC-clean, quote-free (rides into SQL
+    * literals), exposed for the accuracy-floor spec. */
+  private[graft] val LangPhrases: Seq[(String, String)] = Seq(
+    "de" -> "straße über während zwischen müssen",
+    "en" -> "the quick through enough thought",
+    "es" -> "niño años señor través después",
+    "fr" -> "être déjà façon où système",
+    "zh" -> "机器学习模型训练数据")
+
+  /** The trained-langid fixture: corpus text + 3 phrase repeats. */
+  private[graft] def langTrainedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = LangPhrases.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(""))
+    Tables(spark, dir).documents.select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "),
+        repeat(concat(phrase, lit(" ")), 3)).as("text"))
+  }
+
+  private def langPhraseCaseSql: String =
+    "CASE lang " + LangPhrases.map { case (l, p) => s"WHEN '$l' THEN '$p'" }
+      .mkString(" ") + " ELSE '' END"
+
+  /** Shared trainer CTEs: fixture docs `dd` → char-feature census
+    * `tb` → epoch chain ending in the final model `wf` (lang, bucket,
+    * w). tb is read twice per epoch plus by every apply — and each
+    * w$t twice — so both are AS MATERIALIZED (the r16/r18 re-open
+    * rule). The feature rows replay LangCharFeatures exactly: token +
+    * char trigrams of '<'||token||'>' over CHARACTER positions (DuckDB
+    * substr is codepoint-based, matching the kernel's codepoint
+    * windows). */
+  private def langTrainedCtes: String = {
+    val b = LcBuckets
+    val epochs = (0 until LcEpochs).map { t =>
+      s"""m$t AS (SELECT doc_id, lang, y FROM (
+         |    SELECT tb.doc_id, w$t.lang,
+         |      MAX(CASE WHEN tb.dlang = w$t.lang THEN 1 ELSE -1 END) AS y,
+         |      CAST(SUM(tb.tf * w$t.w) AS BIGINT) AS mg
+         |    FROM tb JOIN w$t ON tb.bucket = w$t.bucket GROUP BY 1, 2)
+         |  WHERE y * mg <= 0),
+         |u$t AS (SELECT m.lang, tb.bucket,
+         |    CAST($LcLr * SUM(m.y * tb.tf) AS BIGINT) AS u
+         |  FROM tb JOIN m$t m USING (doc_id) GROUP BY 1, 2),
+         |w${t + 1} AS MATERIALIZED (SELECT w.lang, w.bucket,
+         |    CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w
+         |  FROM w$t w LEFT JOIN u$t u ON w.lang = u.lang AND w.bucket = u.bucket)""".stripMargin
+    }.mkString(",\n")
+    s"""dd AS (SELECT doc_id, lang,
+       |    text || ' ' || repeat($langPhraseCaseSql || ' ', 3) AS text
+       |  FROM documents),
+       |wx AS (SELECT doc_id, lang AS dlang, unnest(${wordsSql("text")}) AS word FROM dd),
+       |feats AS (SELECT doc_id, dlang, f FROM (
+       |    SELECT doc_id, dlang, word AS f FROM wx WHERE length(word) > 0
+       |    UNION ALL
+       |    SELECT doc_id, dlang, substr('<' || word || '>', i.i, 3) AS f
+       |    FROM wx, unnest(generate_series(1, length(word))) i(i)
+       |    WHERE length(word) > 0)),
+       |tb AS MATERIALIZED (SELECT doc_id, dlang,
+       |    CAST(${h31Sql("f")} % $b AS INT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM feats GROUP BY 1, 2, 3),
+       |w0 AS MATERIALIZED (SELECT l.lang, bk.bucket, CAST(0 AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT dlang AS lang FROM tb) l
+       |  CROSS JOIN (SELECT DISTINCT bucket FROM tb) bk),
+       |$epochs,
+       |wf AS MATERIALIZED (SELECT lang, bucket, w FROM w$LcEpochs)""".stripMargin
+  }
+
+  /** Trained language ID end to end in ONE gate (the q_bpe_byte_e2e
+    * train→apply doctrine): learn the one-vs-rest model from the
+    * phrase-injected corpus, then predict the SAME corpus under it —
+    * argmax of integer margins with lexical tie-break. The oracle
+    * replays the 2-epoch trajectory (margins → misclassified set →
+    * per-(lang,bucket) updates) as chained CTEs and the apply as one
+    * more census + rank — any featurization, hashing, epoch, or
+    * argmax slip bends a margin and fails the hash. */
+  def qLangIdTrained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = langTrainedDocs(spark, dir)
+    val model = TextAnalysis.langClassifierTrain(
+      docs, LcBuckets, LcEpochs, LcLr)
+    TextAnalysis.langClassifierApply(docs, model, LcBuckets)
+  }
+
+  val qLangIdTrainedSql: String =
+    s"""WITH $langTrainedCtes,
+       |sc AS (SELECT tb.doc_id, w.lang,
+       |    CAST(SUM(tb.tf * w.w) AS BIGINT) AS mg,
+       |    CAST(SUM(tb.tf) AS BIGINT) AS nf
+       |  FROM tb JOIN wf w ON tb.bucket = w.bucket GROUP BY 1, 2)
+       |SELECT doc_id, nf AS n_features, lang AS pred_lang, mg AS margin
+       |FROM (SELECT doc_id, lang, mg, nf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY mg DESC, lang ASC) AS rn
+       |  FROM sc)
+       |WHERE rn = 1""".stripMargin
+
+  /** The trained classifier COMPOSED through the per-line mixture
+    * rollup ([[TextAnalysis.langSegmentsTrained]]): a multi-line
+    * fixture (the soup line + the doc's own phrase line + optional
+    * zh/fr rider lines by doc_id arithmetic) is segmented and each
+    * line predicted under the SAME model the q_lang_id_trained CTEs
+    * train — dominant language by line count, mixture flags. Gates
+    * the line keying, per-line argmax, and the rollup's tie-breaks
+    * in one row; the trainer CTEs are shared verbatim. */
+  def qLangSegmentsTrained(spark: SparkSession, dir: String): DataFrame = {
+    val base = langTrainedDocs(spark, dir)
+    val model = TextAnalysis.langClassifierTrain(
+      base, LcBuckets, LcEpochs, LcLr)
+    val phrase = LangPhrases.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(""))
+    val zh = LangPhrases.toMap.apply("zh")
+    val fr = LangPhrases.toMap.apply("fr")
+    val segDocs = Tables(spark, dir).documents.select(col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        phrase,
+        when(col("doc_id") % 3 === 0, lit(zh)),
+        when(col("doc_id") % 4 === 1, lit(fr))).as("text"))
+    TextAnalysis.langSegmentsTrained(segDocs, model, LcBuckets)
+  }
+
+  val qLangSegmentsTrainedSql: String = {
+    val zh = LangPhrases.toMap.apply("zh")
+    val fr = LangPhrases.toMap.apply("fr")
+    s"""WITH $langTrainedCtes,
+       |ls AS (SELECT doc_id, li, line FROM (
+       |    SELECT doc_id, 0 AS li, text AS line FROM documents
+       |    UNION ALL SELECT doc_id, 1, $langPhraseCaseSql FROM documents
+       |    UNION ALL SELECT doc_id, 2, '$zh' FROM documents WHERE doc_id % 3 = 0
+       |    UNION ALL SELECT doc_id, 3, '$fr' FROM documents WHERE doc_id % 4 = 1)),
+       |lwx AS (SELECT doc_id, li, unnest(${wordsSql("line")}) AS word FROM ls),
+       |lfe AS (SELECT doc_id, li, f FROM (
+       |    SELECT doc_id, li, word AS f FROM lwx WHERE length(word) > 0
+       |    UNION ALL
+       |    SELECT doc_id, li, substr('<' || word || '>', i.i, 3) AS f
+       |    FROM lwx, unnest(generate_series(1, length(word))) i(i)
+       |    WHERE length(word) > 0)),
+       |ltb AS (SELECT doc_id, li,
+       |    CAST(${h31Sql("f")} % $LcBuckets AS INT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM lfe GROUP BY 1, 2, 3),
+       |lsc AS (SELECT ltb.doc_id, ltb.li, w.lang,
+       |    CAST(SUM(ltb.tf * w.w) AS BIGINT) AS mg
+       |  FROM ltb JOIN wf w ON ltb.bucket = w.bucket GROUP BY 1, 2, 3),
+       |lpred AS (SELECT doc_id, li, lang AS pred_lang
+       |  FROM (SELECT doc_id, li, lang, mg,
+       |      row_number() OVER (PARTITION BY doc_id, li
+       |        ORDER BY mg DESC, lang ASC) AS rn
+       |    FROM lsc)
+       |  WHERE rn = 1),
+       |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+       |  FROM ls GROUP BY 1),
+       |pl AS (SELECT doc_id, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lpred GROUP BY 1, 2),
+       |rl AS (SELECT doc_id,
+       |    CAST(SUM(c) AS BIGINT) AS n_tagged,
+       |    CAST(COUNT(*) AS BIGINT) AS n_langs
+       |  FROM pl GROUP BY 1),
+       |dm AS (SELECT doc_id, pred_lang AS dom_lang, c AS n_dom_lines
+       |  FROM (SELECT doc_id, pred_lang, c,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY c DESC, pred_lang ASC) AS rn
+       |    FROM pl)
+       |  WHERE rn = 1)
+       |SELECT nl.doc_id, nl.n_lines,
+       |  COALESCE(rl.n_tagged, 0) AS n_tagged,
+       |  COALESCE(dm.dom_lang, 'und') AS dom_lang,
+       |  COALESCE(dm.n_dom_lines, 0) AS n_dom_lines,
+       |  COALESCE(rl.n_langs, 0) AS n_langs,
+       |  CAST(CASE WHEN COALESCE(rl.n_langs, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM nl
+       |LEFT JOIN rl ON nl.doc_id = rl.doc_id
+       |LEFT JOIN dm ON nl.doc_id = dm.doc_id""".stripMargin
+  }
+
   // ---- #31 text quality ----
 
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =

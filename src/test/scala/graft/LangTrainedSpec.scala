@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.queries.LlmQueries
+
+/** Trained one-vs-rest language ID: the char-feature kernel, the
+  * accuracy floor over the phrase-injected fixture (vs the stopword
+  * heuristic it upgrades), mode threading, and composition through
+  * the per-line segments rollup. Cross-engine parity is
+  * q_lang_id_trained / q_lang_segments_trained's trajectory replay. */
+class LangTrainedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def feats(s: String, scripted: Boolean = false): Seq[String] =
+    Seq((0L, s)).toDF("doc_id", "text")
+      .select(explode(graft.functions.LangCharFeatures.of(col("text"), scripted)))
+      .collect().map(_.getString(0)).toSeq
+
+  test("char features: token + padded codepoint trigrams") {
+    assert(feats("ab") === Seq("ab", "<ab", "ab>"))
+    assert(feats("a") === Seq("a", "<a>"))
+    // codepoint windows: an astral emoji is ONE position
+    assert(feats("a😀b") ===
+      Seq("a😀b", "<a😀", "a😀b", "😀b>"))
+    // multiset across tokens, order preserved
+    assert(feats("ab ab") === Seq("ab", "<ab", "ab>", "ab", "<ab", "ab>"))
+    assert(feats("  ") === Seq.empty)
+  }
+
+  test("scripted flag threads: byte-parity on ASCII, per-ideograph cut on CJK") {
+    assert(feats("the quick fox", scripted = true) === feats("the quick fox"))
+    // plain: one spaceless token; scripted: one token per ideograph
+    val cjk = "机器学"
+    assert(feats(cjk).head === cjk)
+    assert(feats(cjk, scripted = true) ===
+      cjk.map(c => Seq(s"$c", s"<$c>")).flatten)
+  }
+
+  test("accuracy floor: trained beats the stopword heuristic on the mixed fixture") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = LlmQueries.langTrainedDocs(spark, dir)
+    val model = TextAnalysis.langClassifierTrain(docs,
+      LlmQueries.LcBuckets, LlmQueries.LcEpochs, LlmQueries.LcLr)
+    val trained = TextAnalysis.langClassifierApply(docs, model, LlmQueries.LcBuckets)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val n = trained.count().toDouble
+    val trainedAcc = trained.where(col("pred_lang") === col("lang")).count() / n
+    val heurAcc = TextAnalysis.langId(docs)
+      .where(col("pred_lang") === col("actual_lang")).count() / n
+    // the soup carries English stopwords into every class, so the
+    // heuristic collapses to 'en'; the trained model reads the phrase
+    // trigrams. Floors leave slack for corpus regeneration.
+    assert(trainedAcc >= 0.9, s"trained accuracy $trainedAcc")
+    assert(trainedAcc > heurAcc + 0.2,
+      s"trained $trainedAcc must clearly beat heuristic $heurAcc")
+  }
+
+  test("composition: single-line docs roll up to exactly the doc-level prediction") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = LlmQueries.langTrainedDocs(spark, dir).limit(60)
+      .localCheckpoint(true)
+    val model = TextAnalysis.langClassifierTrain(docs,
+      LlmQueries.LcBuckets, LlmQueries.LcEpochs, LlmQueries.LcLr)
+    val doc = TextAnalysis.langClassifierApply(docs, model, LlmQueries.LcBuckets)
+      .select(col("doc_id"), col("pred_lang"))
+    val seg = TextAnalysis.langSegmentsTrained(docs, model, LlmQueries.LcBuckets)
+    val joined = seg.join(doc, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_lines") === 1L)
+      assert(r.getAs[Long]("is_mixed") === 0L)
+      assert(r.getAs[String]("dom_lang") === r.getAs[String]("pred_lang"))
+    }
+  }
+
+  test("model frame round-trips through parquet (the shippable classifier)") {
+    val docs = Seq(
+      (0L, "aa", "x y straße über zz"), (1L, "aa", "straße über während qq"),
+      (2L, "bb", "x y niño años zz"), (3L, "bb", "niño años señor qq"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.langClassifierTrain(docs, 64, 4, 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("langm").toString
+    model.write.mode("overwrite").parquet(tmp)
+    val direct = TextAnalysis.langClassifierApply(docs, model, 64)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val viaDisk = TextAnalysis.langClassifierApply(docs,
+        spark.read.parquet(tmp), 64)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(direct === viaDisk)
+    assert(direct.values.toSet === Set("aa", "bb"))
+  }
+
+  test("docs with no covered features are absent; untagged lines stay counted") {
+    val train = Seq((0L, "aa", "foo bar baz"), (1L, "bb", "qux quux corge"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.langClassifierTrain(train, 64, 2, 1000L)
+    val applyDocs = Seq((7L, "   "), (8L, "foo bar")).toDF("doc_id", "text")
+    val out = TextAnalysis.langClassifierApply(applyDocs, model, 64).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(8L))
+    // a doc whose only line is whitespace: 1 line, 0 tagged, und
+    val seg = TextAnalysis.langSegmentsTrained(
+      Seq((9L, "   ")).toDF("doc_id", "text"), model, 64).collect()
+    assert(seg.length === 1)
+    val r = seg.head
+    assert(r.getAs[Long]("n_lines") === 1L && r.getAs[Long]("n_tagged") === 0L)
+    assert(r.getAs[String]("dom_lang") === "und")
+  }
+}
