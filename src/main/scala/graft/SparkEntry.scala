@@ -90,6 +90,8 @@ object SparkEntry {
     "q_dedup_clusters_star" -> (L.qDedupClustersStar _),
     "q_dedup_keep" -> (L.qDedupKeep _),
     "q_dedup_index_merge" -> (L.qDedupIndexMerge _),
+    // the standing index through the bucketed on-disk layout
+    "q_dedup_bucketed" -> (L.qDedupBucketed _),
     "q_sample_split" -> (L.qSampleSplit _),
     "q_split_domain" -> (L.qSplitDomain _),
     "q_recency_sample" -> (L.qRecencySample _),
@@ -572,6 +574,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> L.qCcnetBucketsSql,
     "q_dedup_incremental" -> L.qDedupIncrementalSql,
     "q_dedup_index_merge" -> L.qDedupIndexMergeSql,
+    "q_dedup_bucketed" -> L.qDedupBucketedSql,
     "q_incremental_gain" -> L.qIncrementalGainSql,
     "q_dedup_semantic" -> L.qDedupSemanticSql,
     "q_dedup_containment" -> L.qDedupContainmentSql,

@@ -316,6 +316,29 @@ object LlmQueries {
 
   lazy val qDedupIndexMergeSql: String = qDedupIncrementalSql
 
+  /** The standing index THROUGH THE BUCKETED ON-DISK LAYOUT: build,
+    * write bucketed+sorted on each frame's probe key (the 100 TB
+    * standing-index shape — SURVEY §4's "pre-bucketable on disk",
+    * demonstrated rather than asserted), reload from the catalog, and
+    * judge the same delta batch. The oracle is q_dedup_incremental's
+    * replay VERBATIM: by contract the layout changes the PLAN (the
+    * index side of every probe join plans with no shuffle Exchange —
+    * BucketingSpec pins it), never the rows. Eager write inside the
+    * gate is the Funnel escape-hatch precedent: Bench honestly times
+    * write + reload + probe together. */
+  def qDedupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val prefix = "q_dedup_bucketed_idx"
+    graft.sources.Bucketing.dropDedupManifest(spark, prefix)
+    graft.sources.Bucketing.writeDedupIndexOnly(
+      Dedup.buildIndex(docs.where(col("doc_id") % 5 =!= 0)), prefix, 8)
+    Dedup.dedupAgainstIndex(
+      docs.where(col("doc_id") % 5 === 0),
+      graft.sources.Bucketing.readDedupIndexOnly(spark, prefix))
+  }
+
+  lazy val qDedupBucketedSql: String = qDedupIncrementalSql
+
   /** Minhash signature + band CTEs over a (doc_id, text) source CTE,
     * suffixed so the delta and index sides compose in one statement. */
   private def minhashCtes(src: String, sfx: String): String = {

@@ -104,4 +104,28 @@ object Bucketing {
                         prefix: String): Unit =
     ManifestNames(prefix).all.foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** The delta-dedup index ALONE as a bucketed manifest (no span
+    * index) — the shape q_dedup_bucketed gates: write the three index
+    * frames bucketed+sorted on their probe keys, reload from the
+    * catalog. By the bucketing contract the reloaded index probes
+    * IDENTICALLY to the in-memory one (same rows, co-located layout),
+    * so the gate's oracle is the in-memory replay verbatim. */
+  def writeDedupIndexOnly(index: graft.operators.Dedup.DedupIndex,
+                          prefix: String, nBuckets: Int): Unit = {
+    val n = ManifestNames(prefix)
+    writeBucketed(index.hashes, n.hashes, nBuckets, "content_hash")
+    writeBucketed(index.bands, n.bands, nBuckets, "band_val")
+    writeBucketed(index.shingles, n.shingles, nBuckets, "doc_id")
+  }
+
+  /** Reload an index-only manifest written by [[writeDedupIndexOnly]]. */
+  def readDedupIndexOnly(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String): graft.operators.Dedup.DedupIndex = {
+    val n = ManifestNames(prefix)
+    graft.operators.Dedup.DedupIndex(
+      hashes = spark.table(n.hashes),
+      bands = spark.table(n.bands),
+      shingles = spark.table(n.shingles))
+  }
 }

@@ -119,6 +119,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("index-only manifest: reloaded band probe joins without the index-side shuffle") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = Dedup.buildIndex(docs.where(col("doc_id") % 5 =!= 0))
+    Bucketing.dropDedupManifest(spark, "b_io")
+    Bucketing.writeDedupIndexOnly(idx, "b_io", 4)
+    try {
+      val ridx = Bucketing.readDedupIndexOnly(spark, "b_io")
+      // the q_dedup_bucketed contract: layout changes the plan, not the rows
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      assert(Dedup.dedupAgainstIndex(batch, ridx).collect().map(key).toSet ===
+        Dedup.dedupAgainstIndex(batch, idx).collect().map(key).toSet)
+      // probe joins against the bucketed frames plan with NO shuffle on
+      // the index side (merge hint pins SMJ — at real index scale AQE
+      // cannot broadcast, and this is the plan that must hold there)
+      val bandProbe = docs.select(md5(col("text")).as("band_val"))
+        .hint("merge").join(ridx.bands.select(col("band_val")), Seq("band_val"))
+      val n = "Exchange hashpartitioning".r
+        .findAllIn(bandProbe.queryExecution.executedPlan.toString).length
+      assert(n === 1,
+        s"only the probe side may shuffle:\n${bandProbe.queryExecution.executedPlan}")
+      val hashProbe = docs.select(md5(col("text")).as("content_hash"))
+        .hint("merge").join(ridx.hashes.select(col("content_hash")), Seq("content_hash"))
+      val m = "Exchange hashpartitioning".r
+        .findAllIn(hashProbe.queryExecution.executedPlan.toString).length
+      assert(m === 1,
+        s"only the probe side may shuffle:\n${hashProbe.queryExecution.executedPlan}")
+    } finally {
+      Bucketing.dropDedupManifest(spark, "b_io")
+    }
+  }
+
   test("dedup manifest: written-and-reloaded indexes probe identically to in-memory") {
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     import graft.operators.Dedup
