@@ -8024,8 +8024,12 @@ object LlmQueries {
           Seq(s"T${id}p${p}a",
             if (id % 3 == 0) s"x(${id})y" else s"b${id}p$p")
         }
+        // id%7==2 files carry /FlateDecode content streams: the REAL
+        // Inflater must reproduce the same closed-form text (the
+        // oracle is untouched — inflate∘deflate is the identity)
         val bytes = graft.sources.Pdf.write(pages,
-          xrefBend = if (id % 11 == 0) 1L else 0L)
+          xrefBend = if (id % 11 == 0) 1L else 0L,
+          deflate = id % 7 == 2)
         if (id % 13 == 0) bytes(0) = '#'.toByte
         (id, bytes)
       }.toDF("doc_id", "bytes")

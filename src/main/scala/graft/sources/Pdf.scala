@@ -6,14 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Minimal-PDF text extraction — the most common DOCUMENT container
   * the codec family (WARC/tar/JPEG/BMFF/WAV/PNG/WKB) was missing.
-  * Scope: classic-PDF structure with UNCOMPRESSED content streams —
-  * `N 0 obj` bodies, balanced `<< >>` dictionaries, `/Length`-sized
-  * `stream … endstream` payloads, `(string) Tj` text-show operators
-  * with the `\( \) \\` escapes, and the xref/startxref trailer.
-  * Compressed streams (/FlateDecode) are out of scope by the same
-  * contract that keeps deflate out of the hash gate (codec-specific
-  * bytes) — a real corpus routes those through a decompress stage
-  * first.
+  * Scope: classic-PDF structure — `N 0 obj` bodies, balanced `<< >>`
+  * dictionaries, `/Length`-sized `stream … endstream` payloads,
+  * `(string) Tj` text-show operators with the `\( \) \\` escapes,
+  * the xref/startxref trailer, and `/Filter /FlateDecode` content
+  * streams through the real java.util.zip Inflater (decode-
+  * deterministic, so the synthesize-decode doctrine applies: the
+  * oracle's closed-form text never changes, only the byte encoding
+  * on the wire does — any inflate slip bends the extracted text).
   *
   * Parser discipline (the Tar/BMFF doctrine):
   *   - malformed files are DATA: a file without the `%PDF-` magic
@@ -43,12 +43,31 @@ object Pdf {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
+  /** Deflate (zlib) one Latin1 text body — the write half of the
+    * /FlateDecode path. Compressed bytes ride the StringBuilder as
+    * Latin1 chars (a 1:1 byte↔char bijection, lossless). */
+  private def deflateBody(body: String): String = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(body.getBytes(Latin1)); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    new String(out.toByteArray, Latin1)
+  }
+
   /** Build a real minimal PDF: one catalog, one pages node, per page
-    * a page object + an uncompressed content stream whose ops are
-    * `(text) Tj` shows. xref offsets are REAL byte offsets;
-    * `xrefBend` shifts the startxref value (a bent-trailer fixture
-    * knob — the file stays parseable, xref_ok drops to 0). */
-  def write(pages: Seq[Seq[String]], xrefBend: Long = 0L): Array[Byte] = {
+    * a page object + a content stream whose ops are `(text) Tj`
+    * shows — plain, or zlib-compressed with a `/Filter /FlateDecode`
+    * entry when `deflate` is set (the synthesize-decode doctrine
+    * extended to compressed streams: inflate(deflate(x)) == x is a
+    * codec identity, so the closed-form oracle is UNCHANGED while the
+    * real Inflater sits in the decode path). xref offsets are REAL
+    * byte offsets; `xrefBend` shifts the startxref value (a
+    * bent-trailer fixture knob — the file stays parseable, xref_ok
+    * drops to 0). */
+  def write(pages: Seq[Seq[String]], xrefBend: Long = 0L,
+            deflate: Boolean = false): Array[Byte] = {
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     sb.append("%PDF-1.4\n")
@@ -64,9 +83,12 @@ object Pdf {
       val pid = 3 + 2 * p; val cid = 4 + 2 * p
       obj(s"$pid 0 obj << /Type /Page /Parent 2 0 R /Contents $cid 0 R" +
         " /MediaBox [0 0 612 792] >> endobj\n")
-      val body = "BT /F1 12 Tf 72 720 Td " +
+      val raw = "BT /F1 12 Tf 72 720 Td " +
         ops.map(o => s"(${esc(o)}) Tj ").mkString + "ET"
-      obj(s"$cid 0 obj << /Length ${body.length} >> stream\n$body\nendstream endobj\n")
+      val (body, filter) =
+        if (deflate) (deflateBody(raw), " /Filter /FlateDecode") else (raw, "")
+      obj(s"$cid 0 obj << /Length ${body.length}$filter >> " +
+        s"stream\n$body\nendstream endobj\n")
     }
     val xrefOff = sb.length
     val total = 2 + 2 * n + 1
@@ -125,7 +147,27 @@ object Pdf {
             if (cs < s.length && s.charAt(cs) == '\r') cs += 1
             if (cs < s.length && s.charAt(cs) == '\n') cs += 1
             val ce = math.min(cs + len, s.length)
-            val content = s.substring(cs, ce)
+            // /FlateDecode: inflate the declared bytes through the REAL
+            // java.util.zip.Inflater; bent/truncated deflate data is
+            // DATA (stream counted, no text) — never an exception
+            val content = {
+              val declared = s.substring(cs, ce)
+              if (dict.contains("/FlateDecode")) {
+                try {
+                  val inf = new java.util.zip.Inflater()
+                  inf.setInput(declared.getBytes(Latin1))
+                  val out = new java.io.ByteArrayOutputStream()
+                  val buf = new Array[Byte](4096)
+                  // inflate()==0 on finished, truncated input, or a
+                  // preset-dictionary demand — every exit is bounded
+                  var m = inf.inflate(buf)
+                  while (m > 0) { out.write(buf, 0, m); m = inf.inflate(buf) }
+                  val ok = inf.finished()
+                  inf.end()
+                  if (ok) new String(out.toByteArray, Latin1) else ""
+                } catch { case _: java.util.zip.DataFormatException => "" }
+              } else declared
+            }
             // (string) Tj scan with escape handling
             var p = content.indexOf('(')
             while (p >= 0) {

@@ -73,4 +73,31 @@ class PdfSpec extends SparkSpec {
     assert(ops === 1L && text === "hello",
       "declared length governs — endstream scanning inside data is forbidden")
   }
+
+  test("FlateDecode streams inflate to the identical extraction") {
+    val pages = Seq(Seq("hello", "wo(rl)d"), Seq("p2 \\ text"))
+    val plain = Pdf.decode(Pdf.write(pages))
+    val flate = Pdf.decode(Pdf.write(pages, deflate = true))
+    assert(flate === plain)
+    assert(plain.get._5 === "hello wo(rl)d p2 \\ text")
+    // the deflated bytes really are compressed (no plaintext Tj on the wire)
+    val wire = new String(Pdf.write(pages, deflate = true), "ISO-8859-1")
+    assert(wire.contains("/FlateDecode") && !wire.contains("hello"))
+    assert(plain.get._3 === 2L, "both streams counted")
+  }
+
+  test("bent deflate data is data: stream counted, no text, xref still validated") {
+    val clean = new String(Pdf.write(Seq(Seq("secret words")), deflate = true), "ISO-8859-1")
+    // corrupt the zlib header byte (first stream byte after 'stream\n')
+    val si = clean.indexOf("stream\n") + 7
+    val bent = clean.substring(0, si) + "#" + clean.substring(si + 1)
+    val Some((_, pgs, st, ops, text, _)) = Pdf.decode(bent.getBytes("ISO-8859-1"))
+    assert(pgs === 1L && st === 1L && ops === 0L && text === "")
+    // truncated deflate body (half the declared bytes zeroed) also stays data
+    val half = clean.toCharArray
+    var k = si + 8
+    while (k < si + 16 && k < half.length) { half(k) = 0.toChar; k += 1 }
+    val Some((_, _, st2, ops2, text2, _)) = Pdf.decode(new String(half).getBytes("ISO-8859-1"))
+    assert(st2 === 1L && ops2 === 0L && text2 === "")
+  }
 }
