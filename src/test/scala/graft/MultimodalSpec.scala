@@ -64,6 +64,42 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("audioSpectralFingerprint sees spectrum bends the energy hash is blind to") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](2 * samples.length)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val base = Array.tabulate(160)(i => (40 + 7 * i + 13 * i * i) % 2000 - 1000)
+    // ring modulation by (-1)^i: every sample's ENERGY is unchanged
+    // (v² invariant) but the spectrum shifts low↔high bins
+    val bent = base.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v else -v }
+    val media = Seq((1L, wavOf(base)), (2L, wavOf(bent)), (3L, wavOf(base)),
+      (4L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val efp = Multimodal.audioFingerprint(media, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sfp = Multimodal.audioSpectralFingerprint(media, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(efp.keySet === Set(1L, 2L, 3L) && sfp.keySet === Set(1L, 2L, 3L))
+    assert(efp(1L) === efp(2L), "energy profile is blind to the bend")
+    assert(sfp(1L) !== sfp(2L), "the spectral hash must see it")
+    assert(sfp(1L) === sfp(3L))
+    assert(sfp.values.forall(h => h >= 0L && h < (1L << 48)))
+    val pairs = Multimodal.audioSpectralPairs(media, "doc_id", "payload", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L)))
+    spark.catalog.clearCache()
+  }
+
   test("encodePng -> decodeImages: real PNG round-trip recovers dims, channels, exact pixel sums") {
     import spark.implicits._
     val specs = Seq((1L, 4, 3, 10), (2L, 1, 1, 250), (3L, 16, 11, 0))
