@@ -124,6 +124,8 @@ object SparkEntry {
     "q_tagger_full" -> (L.qTaggerFull _),
     // the full Gopher repetition signal set (lines/paras/n-grams)
     "q_gopher_repetition" -> (L.qGopherRepetition _),
+    // the same census under the scripted (CJK-aware) tokenizer
+    "q_gopher_repetition_cjk" -> (L.qGopherRepetitionCjk _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
     // main-content extraction composed into the quality chain
     "q_crawl_main" -> (L.qCrawlMain _),
@@ -374,6 +376,8 @@ object SparkEntry {
     "q_fim_transform" -> (L.qFimTransform _),
     // BLEU-family clipped n-gram pair census (gateable decomposition)
     "q_bleu_pairs" -> (L.qBleuPairs _),
+    // the same BLEU census under the scripted (CJK-aware) tokenizer
+    "q_bleu_pairs_cjk" -> (L.qBleuPairsCjk _),
     // chrF: character n-gram F-score (typo/morphology-robust eval metric)
     "q_chrf_pairs" -> (L.qChrfPairs _),
     // markdown text extraction (the GitHub-corpus extractHtmlText sibling)
@@ -496,6 +500,7 @@ object SparkEntry {
     "q_tagger_mix" -> L.qTaggerMixSql,
     "q_tagger_full" -> L.qTaggerFullSql,
     "q_gopher_repetition" -> L.qGopherRepetitionSql,
+    "q_gopher_repetition_cjk" -> L.qGopherRepetitionCjkSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_crawl_main" -> L.qCrawlMainSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,
@@ -653,6 +658,7 @@ object SparkEntry {
     "q_registrable_domain" -> L.qRegistrableDomainSql,
     "q_fim_transform" -> L.qFimTransformSql,
     "q_bleu_pairs" -> L.qBleuPairsSql,
+    "q_bleu_pairs_cjk" -> L.qBleuPairsCjkSql,
     "q_chrf_pairs" -> L.qChrfPairsSql,
     "q_markdown_extract" -> L.qMarkdownExtractSql,
     "q_latex_extract" -> L.qLatexExtractSql,

@@ -162,7 +162,8 @@ object Eval {
     * SQL DP replay. */
   def rougeLCensus(pairs: DataFrame, id: String = "pair_id",
                    candCol: String = "cand", refCol: String = "ref",
-                   maxWords: Int = 256): DataFrame = {
+                   maxWords: Int = 256,
+                   scripted: Boolean = false): DataFrame = {
     require(maxWords >= 1, "rougeLCensus: maxWords must be positive")
     val spark = pairs.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -174,8 +175,13 @@ object Eval {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("lcs",
         org.apache.spark.sql.types.LongType)))
+    // the r17 mode-threading rule: the kernel's cut must equal the
+    // frame tokenizer's (wordsScriptedLocal is the compiled twin of
+    // Portable.wordsScripted — SegmentationSpec pins the pattern)
     def toks(s: String): Array[String] =
       if (s == null) Array.empty
+      else if (scripted)
+        Portable.wordsScriptedLocal(s).filter(_.nonEmpty).take(maxWords).toArray
       else s.trim.split("\\s+").filter(_.nonEmpty).take(maxWords)
     val base = spark.createDataFrame(
       pairs.select(col(id).cast("long"), col(candCol), col(refCol))
@@ -198,9 +204,10 @@ object Eval {
     * and denominators, longs), slp_q, bp_log. Pairs whose candidate
     * is empty emit NULL metrics (nothing to score). */
   def bleuCensus(pairs: DataFrame, id: String = "pair_id",
-                 candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+                 candCol: String = "cand", refCol: String = "ref",
+                 scripted: Boolean = false): DataFrame = {
     val lens = gramCensus(pairs, id, candCol, refCol, MaxN,
-      t => graft.functions.Portable.words(t),
+      t => TextAnalysis.tokensOf(t, scripted),
       cs => concat_ws(" ", cs: _*))
     val allPos = (1 to MaxN).map(n => col(s"m$n") > 0 && col(s"dc$n") > 0)
       .reduce(_ && _)

@@ -277,7 +277,8 @@ object TextAnalysis {
     * aggregate, one per-(doc, order) rollup, one pivot; never a scan
     * per order). */
   def gopherRepetition(docs: DataFrame, id: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       scripted: Boolean = false): DataFrame = {
     val t = col(textCol)
     def unitFracs(sep: String, pfx: String): DataFrame =
       docs.select(col(id), explode(split(t, sep)).as("__u"))
@@ -297,7 +298,7 @@ object TextAnalysis {
             .as(s"dup_${pfx}_char_frac"))
     val tok = docs
       .select(col(id), length(t).cast(LongType).as("__nchars"),
-        posexplode(Portable.words(t)).as(Seq("__pos", "__w")))
+        posexplode(tokensOf(t, scripted)).as(Seq("__pos", "__w")))
       .where(length(col("__w")) > 0)
     val w = Window.partitionBy(col(id)).orderBy(col("__pos"))
     val led = (1 to 9).foldLeft(tok) { (df, k) =>

@@ -2747,7 +2747,10 @@ object LlmQueries {
       .select(i.as("pair_id"), cand.as("cand"), ref.as("ref")))
   }
 
-  val qBleuPairsSql: String = {
+  /** The BLEU census oracle parameterized by its `base` (pair_id, w)
+    * CTE — every gram/clip/denominator CTE below is shared verbatim
+    * between the plain and scripted twins (the r17 rule). */
+  private def bleuPairsSqlFrom(baseCte: String): String = {
     val mcols = (1 to 4).map(n =>
       s"coalesce(max(CASE WHEN d.n = $n THEN m.m END), 0) AS m$n,\n" +
       s"    coalesce(max(CASE WHEN d.n = $n THEN d.d END), 0) AS d$n").mkString(",\n    ")
@@ -2755,9 +2758,7 @@ object LlmQueries {
     val slp = (1 to 4).map(n =>
       s"CAST(floor(ln(m$n / CAST(d$n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
       .mkString(" + ")
-    s"""WITH base AS (SELECT doc_id AS pair_id,
-       |    list_filter(${wordsSql("text")}, x -> length(x) > 0) AS w
-       |  FROM documents),
+    s"""WITH base AS ($baseCte),
        |pr AS (SELECT pair_id, w[1:30] AS cw,
        |    CASE pair_id % 4 WHEN 0 THEN w[1:30] WHEN 1 THEN w[1:40]
        |      WHEN 2 THEN w[16:45] ELSE list_reverse(w[1:30]) END AS rw
@@ -2796,6 +2797,45 @@ object LlmQueries {
        |  END AS bp_log
        |FROM pr p LEFT JOIN wide w ON p.pair_id = w.pair_id""".stripMargin
   }
+
+  val qBleuPairsSql: String = bleuPairsSqlFrom(
+    s"""SELECT doc_id AS pair_id,
+       |    list_filter(${wordsSql("text")}, x -> length(x) > 0) AS w
+       |  FROM documents""".stripMargin)
+
+  /** 20 distinct ideographs + a per-doc digit: repeated, spaceless —
+    * the pure-script BLEU corpus (the r17 pure-fixture lesson). */
+  private val BleuZh = "机器学习模型训练数据分析系统推理网络参数权重梯度层级单元"
+
+  /** BLEU under the SCRIPTED tokenizer over spaceless zh pairs: the
+    * fixture's cand/ref join their ideograph slices with NO separator,
+    * so only the scripted cut recovers the token lists inside
+    * bleuCensus (plain mode would read one blob token — this is the
+    * flag the row exercises; digits never land adjacent, so the
+    * zero-width join re-tokenizes exactly). The oracle shares every
+    * census CTE with q_bleu_pairs; only `base` swaps to the scripted
+    * word split of the same closed-form text. */
+  def qBleuPairsCjk(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val text2 = repeat(
+      concat(lit(BleuZh), (i % 7).cast("string")), 3)
+    val ws = filter(Portable.wordsScripted(text2), w => length(w) > 0)
+    val cand = array_join(slice(ws, 1, 30), "")
+    val ref = when(i % 4 === 0, cand)
+      .when(i % 4 === 1, array_join(slice(ws, 1, 40), ""))
+      .when(i % 4 === 2, array_join(slice(ws, 16, 30), ""))
+      .otherwise(array_join(reverse(slice(ws, 1, 30)), ""))
+    graft.operators.Eval.bleuCensus(Tables(spark, dir).documents
+        .select(i.as("pair_id"), cand.as("cand"), ref.as("ref")),
+      scripted = true)
+  }
+
+  val qBleuPairsCjkSql: String = bleuPairsSqlFrom(
+    s"""SELECT doc_id AS pair_id,
+       |    list_filter(${scriptedWordsSql(
+             s"repeat('$BleuZh' || CAST(doc_id % 7 AS VARCHAR), 3)")},
+       |      x -> length(x) > 0) AS w
+       |  FROM documents""".stripMargin)
 
   // ---- contamination pipeline e2e: flag -> confirm -> verdict ----
 
@@ -8502,7 +8542,25 @@ object LlmQueries {
       Tables(spark, dir).documents.select(id, lined.as("text")))
   }
 
-  val qGopherRepetitionSql: String = {
+  /** The lined plain-fixture SELECT shared by both repetition gates
+    * (the CJK twin appends its pure-script paragraph to it). */
+  private def gopherFixtureSql(extra: String): String =
+    s"""SELECT doc_id,
+       |    substr(text, 1, p) || chr(10) || promo || chr(10) ||
+       |    substr(text, p + 1, length(text) - p) || chr(10) || promo ||
+       |    chr(10) || chr(10) || promo || chr(10) || substr(text, 1, p) ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN chr(10) || chr(10) || promo || chr(10) || substr(text, 1, p)
+       |      ELSE '' END$extra AS text
+       |  FROM (SELECT doc_id, text,
+       |      CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p,
+       |      'follow us f' || CAST(doc_id % 3 AS VARCHAR) AS promo
+       |    FROM documents)""".stripMargin
+
+  /** The full repetition-census oracle parameterized by (fixture,
+    * tokenizer) — the r17 trajectory-oracle rule: the CJK twin then
+    * shares every CTE below the word table verbatim. */
+  private def gopherRepetitionSqlFrom(fixtureSelect: String, tok: String): String = {
     def frac(num: String, den: String) =
       s"floor(($num / CAST($den AS DOUBLE)) * 1e6 + 0.5) / 1e6"
     def unitCte(sep: String, pfx: String) =
@@ -8521,21 +8579,11 @@ object LlmQueries {
       s"COALESCE(max(CASE WHEN n = $nn THEN topfrac END), 0.0) AS top_${nn}gram_char_frac")
     val dupCols = (5 to 10).map(nn =>
       s"COALESCE(max(CASE WHEN n = $nn THEN dupfrac END), 0.0) AS dup_${nn}gram_char_frac")
-    s"""WITH d AS (SELECT doc_id,
-       |    substr(text, 1, p) || chr(10) || promo || chr(10) ||
-       |    substr(text, p + 1, length(text) - p) || chr(10) || promo ||
-       |    chr(10) || chr(10) || promo || chr(10) || substr(text, 1, p) ||
-       |    CASE WHEN doc_id % 2 = 0
-       |      THEN chr(10) || chr(10) || promo || chr(10) || substr(text, 1, p)
-       |      ELSE '' END AS text
-       |  FROM (SELECT doc_id, text,
-       |      CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p,
-       |      'follow us f' || CAST(doc_id % 3 AS VARCHAR) AS promo
-       |    FROM documents)),
+    s"""WITH d AS ($fixtureSelect),
        |${unitCte("chr(10)", "line")},
        |${unitCte("chr(10) || chr(10)", "para")},
        |ws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nchars,
-       |    list_filter(${wordsSql("text")}, x -> length(x) > 0) AS w FROM d),
+       |    list_filter($tok, x -> length(x) > 0) AS w FROM d),
        |gr AS (SELECT doc_id, nchars, n.n AS n,
        |    array_to_string(w[i.i:i.i + n.n - 1], ' ') AS gram
        |  FROM ws, unnest(generate_series(2, 10)) n(n),
@@ -8560,6 +8608,50 @@ object LlmQueries {
        |  ${(5 to 10).map(nn => s"COALESCE(pv.dup_${nn}gram_char_frac, 0.0) AS dup_${nn}gram_char_frac").mkString(", ")}
        |FROM linef lf JOIN paraf pf USING (doc_id)
        |LEFT JOIN pv USING (doc_id)""".stripMargin
+  }
+
+  val qGopherRepetitionSql: String =
+    gopherRepetitionSqlFrom(gopherFixtureSql(""), wordsSql("text"))
+
+  /** The pure-script zh rider paragraph of the CJK twin: internal
+    * ideograph repetition (机器学习 twice) so the scripted n-gram
+    * censuses see real CJK grams, plus a per-doc digit tail; the
+    * whole paragraph appears TWICE (a duplicate zh line). Pure script
+    * (the r17 lesson: an English rider would out-weigh the runs and
+    * never exercise CJK counting). */
+  private val GopherZh = "机器学习机器学习模型训练"
+
+  /** The full Gopher repetition set under the SCRIPTED tokenizer over
+    * a fixture whose zh paragraph only segments there (plain mode
+    * reads each zh line as ONE token — no grams; scripted mode reads
+    * per-ideograph tokens whose 4-grams repeat both within the line
+    * and across the duplicate). Oracle = the SAME census CTEs with
+    * the scripted word split (the #145-147 parameterized-oracle
+    * pattern). */
+  def qGopherRepetitionCjk(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val n = length(col("text"))
+    val p = (lit(1) + (id % greatest(n.cast("long") - 1L, lit(1L)))).cast("int")
+    val a = col("text").substr(lit(1), p)
+    val b = col("text").substr(p + 1, n - p)
+    val promo = concat(lit("follow us f"), (id % 3).cast("string"))
+    val para1 = concat_ws("\n", a, promo, b, promo)
+    val para2 = concat_ws("\n", promo, a)
+    val zhline = concat(lit(GopherZh), (id % 4).cast("string"))
+    val lined = concat(para1, lit("\n\n"), para2,
+      when(id % 2 === 0, concat(lit("\n\n"), para2)).otherwise(lit("")),
+      lit("\n\n"), zhline, lit("\n"), zhline)
+    TextAnalysis.gopherRepetition(
+      Tables(spark, dir).documents.select(id, lined.as("text")),
+      scripted = true)
+  }
+
+  val qGopherRepetitionCjkSql: String = {
+    // single line, no stripMargin: a leading "||" would lose its first
+    // pipe to stripMargin (the r15 embedded-SQL rule)
+    val zhLine = s"'$GopherZh' || CAST(doc_id % 4 AS VARCHAR)"
+    val zhExtra = s" || chr(10) || chr(10) || $zhLine || chr(10) || $zhLine"
+    gopherRepetitionSqlFrom(gopherFixtureSql(zhExtra), scriptedWordsSql("text"))
   }
 
   // ---- declarative tagger/mixer (the Dolma-style config surface) ----

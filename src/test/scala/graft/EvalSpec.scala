@@ -103,4 +103,22 @@ class EvalSpec extends SparkSpec {
     assert(out(2L).getDouble(12) === 0.0, "cand longer than empty ref: no penalty")
     assert(out(3L).getLong(1) === 0L, "whitespace-only cand has no tokens")
   }
+
+  test("scripted mode: spaceless CJK pairs segment per ideograph in BLEU and ROUGE") {
+    import spark.implicits._
+    // plain mode reads each side as ONE token (identical blobs → m1=1);
+    // scripted mode sees 4/5 ideograph tokens and a real overlap census
+    val pairs = Seq((1L, "机器学习", "机器学习模")).toDF("pair_id", "cand", "ref")
+    val plain = Eval.bleuCensus(pairs).collect().head
+    val scripted = Eval.bleuCensus(pairs, scripted = true).collect().head
+    assert(plain.getLong(1) === 1L, "plain: one blob token")
+    assert(scripted.getLong(1) === 4L && scripted.getLong(2) === 5L)
+    assert(scripted.getLong(3) === 4L, "all 4 unigrams clip-match")
+    val r = Eval.rougeLCensus(pairs, scripted = true).collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 5L && r.getLong(3) === 4L)
+    // ASCII byte-parity: the flag is a no-op on plain text
+    val ascii = Seq((2L, "a b c", "a c")).toDF("pair_id", "cand", "ref")
+    assert(Eval.rougeLCensus(ascii, scripted = true).collect().toSeq ===
+      Eval.rougeLCensus(ascii).collect().toSeq)
+  }
 }
