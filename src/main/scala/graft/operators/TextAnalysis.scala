@@ -3547,6 +3547,38 @@ object TextAnalysis {
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("__tf"))
 
+  /** Pivot the (lang, bucket, w) model to ONE row per bucket with a
+    * weight column per language, and compute every language's margin
+    * in a SINGLE corpus pass: tf ⋈ broadcast(wide) explodes to
+    * tf-rows (not tf × langs rows — measured ~2x on the trained-lang
+    * gates), the per-key aggregate sums all margins at once, and the
+    * per-(key, lang) rows come back from one explode of a struct
+    * array. Margin values are the identical integer sums, just
+    * regrouped. `langs` comes from one MODEL-sized driver collect
+    * (the codebook rule). Requires the complete lang × bucket grid
+    * the trainer emits (a missing pair would read as weight 0 here
+    * where the long-form join dropped the bucket for that lang). */
+  private def langMarginsBy(tf: DataFrame, model: DataFrame,
+                            keys: Seq[String]): DataFrame = {
+    val langs = model.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(langs.nonEmpty, "langMarginsBy: empty model")
+    val wide = model.groupBy(col("bucket")).agg(
+      sum(when(col("lang") === langs.head, col("w")).otherwise(0L)).as(s"__w_${langs.head}"),
+      langs.tail.map(l =>
+        sum(when(col("lang") === l, col("w")).otherwise(0L)).as(s"__w_$l")): _*)
+    val aggs = Seq(sum(col("__tf")).as("__nf")) ++
+      langs.map(l => sum(col("__tf") * col(s"__w_$l")).as(s"__m_$l"))
+    tf.join(broadcast(wide), Seq("bucket"))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keys.map(col) ++ Seq(col("__nf"), explode(array(langs.map(l =>
+        struct(lit(l).as("lang"), col(s"__m_$l").as("__m"))): _*)).as("__lm")): _*)
+      .select(keys.map(col) ++ Seq(col("__nf"),
+        col("__lm").getField("lang").as("lang"),
+        col("__lm").getField("__m").as("__m")): _*)
+  }
+
   /** One-vs-rest TRAINED language classifier — the learned upgrade of
     * the stopword-list heuristic ([[langId]]), which is list-bound and
     * blind to morphologically-rich or low-resource languages: a joint
@@ -3574,19 +3606,27 @@ object TextAnalysis {
                           scripted: Boolean = false): DataFrame = {
     require(nBuckets > 0 && epochs >= 1 && epochs <= 64 && lrMicro > 0,
       "langClassifierTrain: bad hyperparameters")
+    // checkpoint the feature frame PARTITIONED ON THE DOC ID: every
+    // epoch's margin aggregate (grouping on (id, lang) — id is a
+    // prefix) and misclassified-set join (on id) then reuse the
+    // checkpointed partitioning instead of re-exchanging the
+    // corpus-sized frame twice per epoch
     val tf = langFeatureTf(
         docs.select(col(id), col(langCol).as("__dl"), col(textCol)),
         nBuckets, Seq(id, "__dl"), textCol, scripted)
+      .repartition(col(id))
       .localCheckpoint(true)
     var w = tf.select(col("__dl").as("lang")).distinct()
       .crossJoin(tf.select(col("bucket")).distinct())
       .select(col("lang"), col("bucket"), lit(0L).as("w"))
       .localCheckpoint(true)
     for (_ <- 1 to epochs) {
-      val mis = tf.join(w, Seq("bucket"))
-        .groupBy(col(id), col("lang"))
-        .agg(max(when(col("__dl") === col("lang"), 1L).otherwise(-1L)).as("__y"),
-          sum(col("__tf") * col("w")).as("__m"))
+      // one wide-pivot corpus pass computes EVERY language's margin
+      // (see langMarginsBy; w is checkpointed so the broadcast there
+      // is also the r19 unknown-stats armor). mis is docs x langs
+      // (corpus-sized at 100 TB) — its join stays shuffle-eligible.
+      val mis = langMarginsBy(tf, w, Seq(id, "__dl"))
+        .withColumn("__y", when(col("__dl") === col("lang"), 1L).otherwise(-1L))
         .where(col("__y") * col("__m") <= 0)
         .select(col(id), col("lang"), col("__y"))
       val upd = tf.join(mis, Seq(id))
@@ -3610,15 +3650,12 @@ object TextAnalysis {
   private def langScoresBy(df: DataFrame, model: DataFrame, nBuckets: Int,
                            keys: Seq[String], textCol: String,
                            scripted: Boolean): DataFrame =
-    langFeatureTf(df, nBuckets, keys, textCol, scripted)
-      .join(broadcast(model), Seq("bucket"))
-      .groupBy((keys :+ "lang").map(col): _*)
-      .agg(sum(col("__tf") * col("w")).as("__m"), sum(col("__tf")).as("__nf"))
+    langMarginsBy(langFeatureTf(df, nBuckets, keys, textCol, scripted),
+        model, keys)
       .groupBy(keys.map(col): _*)
       // nf rides the argmax struct (never a tie-break: (−m, lang) is
-      // already unique) so n_features is the WINNING row's coverage —
-      // exact parity with the oracle's rank-1 row even if per-lang
-      // model grids ever diverge
+      // already unique) — n_features is the model-covered feature
+      // count, identical across langs under the complete grid
       .agg(min(struct((-col("__m")).as("nm"), col("lang").as("l"),
         col("__nf").as("nf"))).as("__best"))
       .select(keys.map(col) ++ Seq(

@@ -14,13 +14,24 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table on `keys`. */
-  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: String*): Unit =
+  /** Write `df` as a bucketed+sorted managed table on `keys`.
+    * Drops any previous table AND its warehouse directory first: an
+    * in-memory catalog forgets tables between sessions while the
+    * directory persists, and saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS (bit a fresh-session Bench run live). */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: String*): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Sized parquet corpus sink — the 100 TB write shape. Naive
     * `df.write.partitionBy(...)` emits one file per (task × partition
