@@ -66,6 +66,16 @@ class ScaleLinearitySpec extends SparkSpec {
     assertLinear("q_audio_fingerprint")
   }
 
+  test("q_audio_spectral pairs grow linearly with the corpus") {
+    // real-corpus growth is linear (1494 -> 15387 at r20). The synthetic
+    // ScaleUp replication is NOT a valid probe for the WAV fixtures: the
+    // chirp family has only 89x251 distinct (n, seed) signal classes, so
+    // a 10x id-offset corpus saturates the class space and identical
+    // signals pair ACROSS copies — fixture-entropy saturation, not an
+    // operator quadratic (the q_dedup_containment-note class).
+    assertLinear("q_audio_spectral")
+  }
+
   test("q_dedup_incremental verdicts grow linearly with the batch") {
     assertLinear("q_dedup_incremental")
   }
