@@ -107,6 +107,8 @@ object SparkEntry {
     "q_embed_cosine_topk" -> (L.qEmbedCosineTopk _),
     "q_ann_lsh" -> (L.qAnnLsh _),
     "q_ann_ivf" -> (L.qAnnIvf _),
+    // ANN recall@k harness: IVF path vs brute-force exact
+    "q_ann_recall" -> (L.qAnnRecall _),
     "q_kmeans_assign" -> (L.qKmeansAssign _),
     "q_cluster_silhouette" -> (L.qClusterSilhouette _),
     "q_embed_quant" -> (L.qEmbedQuant _),
@@ -179,12 +181,16 @@ object SparkEntry {
     "q_html_extract" -> (L.qHtmlExtract _),
     // main-content extraction (region/link-density/length block rules)
     "q_html_maincontent" -> (L.qHtmlMaincontent _),
+    // publication-date extraction (precedence cascade + validity window)
+    "q_html_date" -> (L.qHtmlDate _),
     // CCNet-style line-level dedup (first-occurrence keep + boiler cap)
     "q_line_dedup" -> (L.qLineDedup _),
     // URL extraction + broadcast domain-blocklist filtering
     "q_url_filter" -> (L.qUrlFilter _),
     "q_quality_curve" -> (L.qQualityCurve _),
     "q_chat_validate" -> (L.qChatValidate _),
+    // conversation-level exact/relabel dedup of SFT transcripts
+    "q_chat_dedup" -> (L.qChatDedup _),
     // DPO preference-pair hygiene census (length bias, echo, identicals)
     "q_pref_pairs" -> (L.qPrefPairs _),
     // conversation-tree flattening: root-to-leaf paths + cycle quarantine
@@ -487,6 +493,7 @@ object SparkEntry {
     "q_embed_cosine_topk" -> L.qEmbedCosineTopkSql,
     "q_ann_lsh" -> L.qAnnLshSql,
     "q_ann_ivf" -> L.qAnnIvfSql,
+    "q_ann_recall" -> L.qAnnRecallSql,
     "q_kmeans_assign" -> L.qKmeansAssignSql,
     "q_cluster_silhouette" -> L.qClusterSilhouetteSql,
     "q_embed_quant" -> L.qEmbedQuantSql,
@@ -535,10 +542,12 @@ object SparkEntry {
     "q_pii_scrub" -> L.qPiiScrubSql,
     "q_html_extract" -> L.qHtmlExtractSql,
     "q_html_maincontent" -> L.qHtmlMaincontentSql,
+    "q_html_date" -> L.qHtmlDateSql,
     "q_line_dedup" -> L.qLineDedupSql,
     "q_url_filter" -> L.qUrlFilterSql,
     "q_quality_curve" -> L.qQualityCurveSql,
     "q_chat_validate" -> L.qChatValidateSql,
+    "q_chat_dedup" -> L.qChatDedupSql,
     "q_pref_pairs" -> L.qPrefPairsSql,
     "q_chat_tree" -> L.qChatTreeSql,
     "q_robots_rules" -> L.qRobotsRulesSql,

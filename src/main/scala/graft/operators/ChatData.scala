@@ -76,6 +76,58 @@ object ChatData {
       reason.as("reason"))
   }
 
+  /** Chat-transcript EXACT/RELABEL dedup — the conversation-level
+    * dedup an SFT curator runs before training (the same dialogue
+    * re-collected across sources with different whitespace or role
+    * formatting): two normalized keys per transcript —
+    * `chat_key` = md5 over the ordered (role, collapsed-content) turn
+    * sequence, `content_key` = the same with roles DROPPED — and a
+    * first-occurrence verdict per key (min doc id, the deterministic
+    * keeper rule): `drop_exact` when another transcript shares the
+    * chat_key, else `drop_relabel` when one shares the content_key
+    * (same turns, re-labeled roles — the instruction-data laundering
+    * shape), else `keep`; dup_of points at the keeper. Unparseable
+    * JSON keys on the doc id (always keep, verdict `corrupt` — the
+    * quarantine-as-rows contract).
+    *
+    * Scale shape: one from_json projection, two key windows (min over
+    * near-unique md5 partitions — map-side trivial; the r19
+    * window-over-join-back rule). Separators are control chars
+    * (U+0001/U+0002) so no real content can forge a boundary. */
+  def chatDedup(docs: DataFrame, jsonCol: String = "chat",
+                id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    def collapse(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+    val turns = from_json(col(jsonCol), schema)
+    val chatKey = when(turns.isNull,
+      md5(concat(lit("corrupt:"), col(id).cast("string"))))
+      .otherwise(md5(concat_ws("\u0002", transform(turns, t =>
+        concat(coalesce(t.getField("role"), lit("")), lit("\u0001"),
+          collapse(coalesce(t.getField("content"), lit(""))))))))
+    val contentKey = when(turns.isNull,
+      md5(concat(lit("corrupt:"), col(id).cast("string"))))
+      .otherwise(md5(concat_ws("\u0002", transform(turns, t =>
+        collapse(coalesce(t.getField("content"), lit("")))))))
+    val keyed = docs.select(col(id), turns.isNull.as("__corrupt"),
+      chatKey.as("__ck"), contentKey.as("__nk"))
+    val wc = Window.partitionBy(col("__ck"))
+    val wn = Window.partitionBy(col("__nk"))
+    keyed
+      .withColumn("__ckFirst", min(col(id)).over(wc))
+      .withColumn("__nkFirst", min(col(id)).over(wn))
+      .select(col(id),
+        when(col("__corrupt"), lit("corrupt"))
+          .when(col("__ckFirst") < col(id), lit("drop_exact"))
+          .when(col("__nkFirst") < col(id), lit("drop_relabel"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(!col("__corrupt") && col("__ckFirst") < col(id), col("__ckFirst"))
+          .when(!col("__corrupt") && col("__nkFirst") < col(id), col("__nkFirst"))
+          .as("dup_of"))
+  }
+
+
   /** SFT loss-mask rendering — the step between validation and
     * tokenization: each turn renders as `<|role|>` header + content
     * words + `<|end|>`, and the 0/1 loss mask admits ONLY assistant

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -342,6 +342,68 @@ object Html {
               blocks.count(_._6 == "short").toLong)
           }
         }, schema)
+  }
+
+  // ---- publication-date extraction ----
+
+  /** Date-bearing patterns in precedence order (trafilatura-class
+    * metadata rules). RE2-safe (no lookahead/backrefs) so the oracle
+    * could replay them — though the gate's oracle emits expected
+    * outputs closed-form instead (the q_url_canon doctrine). Each
+    * captures an ISO YYYY-MM-DD prefix. */
+  private val DateIso = "([0-9]{4}-[0-9]{2}-[0-9]{2})"
+  private[graft] val DateRules: Seq[(String, String)] = Seq(
+    "meta_published" ->
+      ("<meta[^>]*property=\"article:published_time\"[^>]*content=\"" + DateIso),
+    "meta_date" -> ("<meta[^>]*name=\"date\"[^>]*content=\"" + DateIso),
+    "jsonld" -> ("\"datePublished\"[ ]*:[ ]*\"" + DateIso),
+    "time_tag" -> ("<time[^>]*datetime=\"" + DateIso))
+
+  /** URL-path fallback: /YYYY/MM/ → first of month. */
+  private[graft] val UrlDateRule = "/([0-9]{4})/([0-9]{2})/"
+
+  /** Publication-date extraction — the recency signal a crawl
+    * curation pipeline feeds into freshness sampling
+    * (Sampling.recencyDecay) and snapshot diffing: probe the
+    * metadata rules in precedence order ([[DateRules]]: published_time
+    * meta → date meta → JSON-LD datePublished → `<time datetime>`,
+    * then the /YYYY/MM/ URL path as day-01), VALIDATE each candidate
+    * (year 1990-2035, month 01-12, day 01-31 — integer window checks)
+    * and FALL THROUGH past invalid ones, so a bogus `2024-13-01` meta
+    * never shadows a valid JSON-LD date. Output one row per doc:
+    * (doc_id, pub_date ISO string or NULL, date_source rule label or
+    * 'none').
+    *
+    * Pure codegen'd regexp+CASE projection — zero shuffle, no kernel
+    * (unlike the block walker, date probes need no nesting). */
+  def extractPubDate(docs: DataFrame, htmlCol: String = "html",
+                     urlCol: String = null,
+                     id: String = "doc_id"): DataFrame = {
+    def validated(cand: Column): Column = {
+      // nullif first: ANSI cast of a no-match '' errors even inside a
+      // guarded when() branch (subexpression evaluation doesn't
+      // short-circuit — the staged-division zero-guard rule)
+      val c = nullif(cand, lit(""))
+      val y = substring(c, 1, 4).cast("int")
+      val m = substring(c, 6, 2).cast("int")
+      val d = substring(c, 9, 2).cast("int")
+      when(y.between(1990, 2035) && m.between(1, 12) && d.between(1, 31), c)
+    }
+    val ruleCands = DateRules.map { case (label, p) =>
+      label -> validated(regexp_extract(col(htmlCol), p, 1))
+    }
+    val urlCand = Option(urlCol).map { u =>
+      val y = regexp_extract(col(u), UrlDateRule, 1)
+      val mo = regexp_extract(col(u), UrlDateRule, 2)
+      "url_path" -> validated(
+        when(y =!= "", concat(y, lit("-"), mo, lit("-01"))).otherwise(lit("")))
+    }
+    val all = ruleCands ++ urlCand.toSeq
+    val date = coalesce(all.map(_._2): _*)
+    val source = all.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (label, cand)) => acc.when(cand.isNotNull, lit(label))
+    }.otherwise(lit("none"))
+    docs.select(col(id), date.as("pub_date"), source.as("date_source"))
   }
 
   /** One row per (doc, table, row, cell) + quarantine rows; docs with

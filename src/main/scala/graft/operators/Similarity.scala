@@ -34,6 +34,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
   }
 
+  /** Recall@k of an APPROXIMATE neighbor frame against the EXACT one
+    * — the ANN quality harness every index deployment runs before
+    * trusting a bucketed path (IVF/LSH/PQ recall tuning): per query,
+    * |approx-top-k ∩ exact-top-k| / |exact-top-k|. Both inputs are
+    * (query_id, rank, cand_id, …) frames (any producer: bruteForceTopK,
+    * lshTopK, ivfTopK, pqTopK); ranks above k are ignored so callers
+    * can pass deeper lists. Queries absent from the approx frame
+    * (e.g. an empty probe bucket) read n_hit 0, never drop — a silent
+    * miss is exactly what the harness must surface.
+    *
+    * Scale shape: two rank filters (WindowGroupLimit upstream), one
+    * (query, cand) equi-join, one per-query aggregate — query-set
+    * sized throughout, never corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val ex = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val ap = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    ex.join(ap, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        Portable.roundp(col("n_hit") / col("n_exact").cast("double"), 6))
+  }
+
   /** Deterministic integer-coefficient hyperplane for LSH bucket bit k. */
   private def planeDot(emb: Column, k: Int): Column =
     VectorOps.floatDotConst(emb,

@@ -908,8 +908,11 @@ object LlmQueries {
     Similarity.ivfTopK(emb.where(col("vec_id") < 30), emb, centroids.toSeq, TopK)
   }
 
-  val qAnnIvfSql: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The IVF assign/probe CTE block (everything above the final
+    * select), factored so q_ann_recall composes the exact-scan leg
+    * against the SAME pipeline text (the r19 factor-the-CTE rule). */
+  private val annIvfCtes: String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $IvfCentroids),
        |scored AS (SELECT vec_id, cid,
        |    floor((list_dot_product(e, ce) / sqrt(list_dot_product(e, e) * list_dot_product(ce, ce))) * 1e6 + 0.5) / 1e6 AS ccos
@@ -925,9 +928,51 @@ object LlmQueries {
        |  FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.query_id),
        |r AS (SELECT query_id, bucket, cand_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-       |  FROM s)
+       |  FROM s)""".stripMargin
+
+  val qAnnIvfSql: String =
+    s"""WITH $annIvfCtes
        |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, rank, cand_id, cos
        |FROM r WHERE rank <= $TopK""".stripMargin
+
+  /** ANN recall harness inside the gate (Similarity.recallAtK): the
+    * IVF path's top-5 against the brute-force exact top-5 over the
+    * SAME query set — the index-quality number a deployment tunes
+    * nprobe/k against, and the row that keeps the bucketed path
+    * honest (an IVF recall silently hitting 0 would scream here
+    * long before a training run noticed). All-integer counts + one
+    * terminal roundp ratio. The oracle composes the factored IVF
+    * CTE block with an exact-scan leg and replays the join/census. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = emb.where(col("vec_id") < IvfCentroids)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray)
+    val queries = emb.where(col("vec_id") < 30)
+    Similarity.recallAtK(
+      Similarity.ivfTopK(queries, emb, centroids.toSeq, TopK),
+      Similarity.bruteForceTopK(queries, emb, TopK), TopK)
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH $annIvfCtes,
+       |ivfk AS (SELECT query_id, cand_id FROM r WHERE rank <= $TopK),
+       |se AS (SELECT q2.vec_id AS query_id, v.vec_id AS cand_id,
+       |    floor((list_dot_product(q2.e, v.e) / sqrt(list_dot_product(q2.e, q2.e) * list_dot_product(v.e, v.e))) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM (SELECT vec_id, e FROM v WHERE vec_id < 30) q2, v
+       |  WHERE v.vec_id <> q2.vec_id),
+       |re AS (SELECT query_id, cand_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+       |  FROM se),
+       |exk AS (SELECT query_id, cand_id FROM re WHERE rank <= $TopK)
+       |SELECT e.query_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       |  floor((coalesce(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 END), 0)
+       |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM exk e LEFT JOIN ivfk i
+       |  ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+       |GROUP BY 1""".stripMargin
 
   // ---- #28c product-quantization ANN (compressed-scan path) ----
 
@@ -1363,6 +1408,49 @@ object LlmQueries {
 
   def qChatValidate(spark: SparkSession, dir: String): DataFrame =
     graft.operators.ChatData.validateChat(chatFixture(spark, dir))
+
+  /** Conversation-level dedup (ChatData.chatDedup) over planted dup
+    * groups of 4 (doc_id DIV 4): the original, a whitespace-bent
+    * EXACT duplicate (double space must collapse into the same
+    * chat_key), a role-SWAPPED transcript (same contents in order —
+    * the relabel class), and a unique-content keeper; doc_id%20=15
+    * replaces the unique row with truncated JSON (the corrupt
+    * quarantine). The oracle emits expected verdicts closed-form
+    * (the q_url_canon doctrine — DuckDB never parses JSON or builds a
+    * key), so any normalization, key-separator, precedence or
+    * first-occurrence slip bends a verdict or a dup_of. */
+  def qChatDedup(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val g = expr("doc_id DIV 4").cast("string")
+    val v = i % 4
+    def turn(role: String, c: Column) = concat(
+      lit("{\"role\":\"" + role + "\",\"content\":\""), c, lit("\"}"))
+    val askG = concat(lit("ask "), g)
+    val ansG = concat(lit("ans "), g, lit(" done"))
+    val askWs = concat(lit("ask  "), g)
+    val chat = when(v === 3 && i % 5 === 0, lit("[{\"role\":\"user\","))
+      .when(v === 0, concat(lit("["), turn("user", askG), lit(","),
+        turn("assistant", ansG), lit("]")))
+      .when(v === 1, concat(lit("["), turn("user", askWs), lit(","),
+        turn("assistant", ansG), lit("]")))
+      .when(v === 2, concat(lit("["), turn("assistant", askG), lit(","),
+        turn("user", ansG), lit("]")))
+      .otherwise(concat(lit("["),
+        turn("user", concat(lit("ask u"), i.cast("string"))), lit(","),
+        turn("assistant", ansG), lit("]")))
+    graft.operators.ChatData.chatDedup(
+      Tables(spark, dir).documents.select(i, chat.as("chat")))
+  }
+
+  val qChatDedupSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 3 AND doc_id % 5 = 0 THEN 'corrupt'
+      |       WHEN doc_id % 4 = 1 THEN 'drop_exact'
+      |       WHEN doc_id % 4 = 2 THEN 'drop_relabel'
+      |       ELSE 'keep' END AS verdict,
+      |  CASE WHEN doc_id % 4 IN (1, 2)
+      |       THEN CAST((doc_id // 4) * 4 AS BIGINT) END AS dup_of
+      |FROM documents""".stripMargin
 
   val qChatValidateSql: String =
     s"""SELECT doc_id,
@@ -5732,6 +5820,80 @@ object LlmQueries {
       |     + (CASE WHEN nw > 0 AND nw < ${Html.MainMinChars} THEN 1 ELSE 0 END)
       |     AS BIGINT) AS n_dropped_short
       |FROM d""".stripMargin
+
+  /** Publication-date extraction over closed-form injected metadata
+    * (the q_url_canon expected-output doctrine: the oracle never runs
+    * a regex — it replays the precedence cascade as doc_id CASE
+    * arithmetic and formats the same component dates): doc_id plants
+    * a published_time meta (%3=0), an INVALID month-13 date meta
+    * (%3=1 — must fall through, never shadow), a valid date meta
+    * (%11=4), a JSON-LD datePublished script (%4=1), a `<time
+    * datetime>` (%5=2), and a /YYYY/MM/ url path (%7=3); overlaps
+    * exercise every precedence edge. Any rule-order, regex, validity-
+    * window or formatting slip bends a date or a source label. */
+  def qHtmlDate(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    def iso(y: Column, m: Column, d: Column): Column =
+      format_string("%04d-%02d-%02d", y, m, d)
+    val dPub = iso(lit(2000) + (i % 20).cast("int"), (i % 12 + 1).cast("int"),
+      (i % 28 + 1).cast("int"))
+    val dMeta = iso(lit(2015), (i % 12 + 1).cast("int"), lit(15))
+    val dJson = iso(lit(2010) + (i % 10).cast("int"), (i % 6 + 1).cast("int"),
+      (i % 20 + 2).cast("int"))
+    val dTime = iso(lit(1995) + (i % 30).cast("int"), (i % 9 + 1).cast("int"),
+      (i % 27 + 1).cast("int"))
+    val html = concat(
+      lit("<html><head><title>doc "), i.cast("string"), lit("</title>"),
+      when(i % 3 === 0, concat(
+        lit("<meta property=\"article:published_time\" content=\""),
+        dPub, lit("T12:00:00Z\"/>"))).otherwise(lit("")),
+      // valid date meta FIRST: regexp_extract takes the first match,
+      // so on docs carrying both (i≡4 mod 33) the valid one is seen;
+      // invalid-only docs (%3=1, %11≠4) still exercise fall-through
+      when(i % 11 === 4, concat(
+        lit("<meta name=\"date\" content=\""), dMeta, lit("\"/>")))
+        .otherwise(lit("")),
+      when(i % 3 === 1,
+        lit("<meta name=\"date\" content=\"2024-13-05\"/>")).otherwise(lit("")),
+      when(i % 4 === 1, concat(
+        lit("<script type=\"application/ld+json\">{\"datePublished\": \""),
+        dJson, lit("\"}</script>"))).otherwise(lit("")),
+      lit("</head><body><p>"), col("text"), lit("</p>"),
+      when(i % 5 === 2, concat(
+        lit("<time datetime=\""), dTime, lit("\">then</time>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val url = when(i % 7 === 3, concat(
+      lit("https://ex.com/"), (lit(2001) + (i % 15)).cast("string"),
+      format_string("/%02d/", (i % 12 + 1).cast("int")), lit("post")))
+      .otherwise(lit("https://ex.com/post"))
+    Html.extractPubDate(
+      Tables(spark, dir).documents.select(i, html.as("html"), url.as("url")),
+      urlCol = "url")
+  }
+
+  val qHtmlDateSql: String =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN doc_id % 3 = 0 THEN printf('%04d-%02d-%02d',
+      |      2000 + doc_id % 20, doc_id % 12 + 1, doc_id % 28 + 1)
+      |    WHEN doc_id % 11 = 4 THEN printf('2015-%02d-15', doc_id % 12 + 1)
+      |    WHEN doc_id % 4 = 1 THEN printf('%04d-%02d-%02d',
+      |      2010 + doc_id % 10, doc_id % 6 + 1, doc_id % 20 + 2)
+      |    WHEN doc_id % 5 = 2 THEN printf('%04d-%02d-%02d',
+      |      1995 + doc_id % 30, doc_id % 9 + 1, doc_id % 27 + 1)
+      |    WHEN doc_id % 7 = 3 THEN printf('%04d-%02d-01',
+      |      2001 + doc_id % 15, doc_id % 12 + 1)
+      |  END AS pub_date,
+      |  CASE
+      |    WHEN doc_id % 3 = 0 THEN 'meta_published'
+      |    WHEN doc_id % 11 = 4 THEN 'meta_date'
+      |    WHEN doc_id % 4 = 1 THEN 'jsonld'
+      |    WHEN doc_id % 5 = 2 THEN 'time_tag'
+      |    WHEN doc_id % 7 = 3 THEN 'url_path'
+      |    ELSE 'none'
+      |  END AS date_source
+      |FROM documents""".stripMargin
 
   /** Main-content extraction COMPOSED into the crawl chain: the same
     * boilerplate skeleton → [[Html.mainContent]] → empty-text drop →

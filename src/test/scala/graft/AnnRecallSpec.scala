@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN recall harness: the index-quality number that keeps every
+  * bucketed path honest. Cross-engine parity is q_ann_recall's
+  * composed IVF + exact replay. */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "rank", "cand_id")
+
+  test("identical frames read recall 1; misses and absent queries read their loss") {
+    val exact = frame((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L), (2L, 2L, 21L),
+      (3L, 1L, 30L), (3L, 2L, 31L))
+    // q1 perfect, q2 half (one wrong cand), q3 ABSENT from the approx
+    // frame (empty probe bucket) — must surface as 0, never drop
+    val approx = frame((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L), (2L, 2L, 99L))
+    val out = Similarity.recallAtK(approx, exact, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1.0)))
+    assert(out(2L) === ((1L, 0.5)))
+    assert(out(3L) === ((0L, 0.0)))
+  }
+
+  test("ranks beyond k are ignored on both sides") {
+    val exact = frame((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+    val approx = frame((1L, 1L, 12L), (1L, 2L, 10L), (1L, 3L, 11L))
+    // at k=2: exact {10,11}, approx {12,10} -> 1 hit
+    val r = Similarity.recallAtK(approx, exact, 2).collect().head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L && r.getDouble(3) === 0.5)
+  }
+
+  test("IVF nprobe=1 recall vs brute force on the real embeddings is in (0, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map(_.getAs[Seq[Float]]("embedding").toArray)
+    val queries = emb.where(col("vec_id") < 30)
+    val rec = Similarity.recallAtK(
+        Similarity.ivfTopK(queries, emb, centroids.toSeq, 5),
+        Similarity.bruteForceTopK(queries, emb, 5), 5)
+      .agg(sum("n_hit"), sum("n_exact")).collect().head
+    val recall = rec.getLong(0).toDouble / rec.getLong(1)
+    assert(recall > 0.0 && recall <= 1.0, s"aggregate recall $recall")
+  }
+}

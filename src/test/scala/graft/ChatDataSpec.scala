@@ -159,4 +159,30 @@ class ChatDataSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out(1L) !== out(2L), "each branch is its own conversation")
   }
+
+  test("chatDedup: whitespace-bent exact dups, role relabels, corrupt quarantine") {
+    def chat(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val docs = Seq(
+      (10L, chat("user" -> "hi there", "assistant" -> "hello")),
+      (11L, chat("user" -> "hi   there", "assistant" -> " hello ")), // ws-bent exact
+      (12L, chat("assistant" -> "hi there", "user" -> "hello")),     // roles swapped
+      (13L, chat("user" -> "hi there", "assistant" -> "different")), // real edit
+      // boundary forgery attempt: merged content across turns must NOT
+      // collide with the two-turn transcript (the separator contract)
+      (14L, chat("user" -> "hi therehello")),
+      (15L, "[{\"role\":\"user\","),                                  // truncated JSON
+      (16L, chat("user" -> "hi there", "assistant" -> "hello")))     // later exact
+    val out = ChatData.chatDedup(docs.toDF("doc_id", "chat"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(10L) === (("keep", None)))
+    assert(out(11L) === (("drop_exact", Some(10L))))
+    assert(out(12L) === (("drop_relabel", Some(10L))))
+    assert(out(13L) === (("keep", None)))
+    assert(out(14L) === (("keep", None)), "turn boundaries must not be forgeable")
+    assert(out(15L) === (("corrupt", None)))
+    assert(out(16L) === (("drop_exact", Some(10L))))
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Html
+
+/** Publication-date extraction: precedence, validity fall-through,
+  * URL fallback. Cross-engine parity is q_html_date's closed-form
+  * oracle. */
+class HtmlDateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(html: String, url: String = null) = {
+    val df =
+      if (url == null) Seq((1L, html)).toDF("doc_id", "html")
+      else Seq((1L, html, url)).toDF("doc_id", "html", "url")
+    val r = Html.extractPubDate(df, urlCol = if (url == null) null else "url")
+      .collect().head
+    (Option(r.getString(1)), r.getString(2))
+  }
+
+  test("precedence: published_time meta beats jsonld beats time tag") {
+    val full = "<meta property=\"article:published_time\" content=\"2021-03-04T08:00:00Z\"/>" +
+      "<script type=\"application/ld+json\">{\"datePublished\": \"2019-01-01\"}</script>" +
+      "<time datetime=\"2018-05-05\">x</time>"
+    assert(run(full) === ((Some("2021-03-04"), "meta_published")))
+    val noMeta = full.substring(full.indexOf("<script"))
+    assert(run(noMeta) === ((Some("2019-01-01"), "jsonld")))
+    assert(run("<time datetime=\"2018-05-05\">x</time>") ===
+      ((Some("2018-05-05"), "time_tag")))
+  }
+
+  test("invalid candidates fall through, never shadow a later valid rule") {
+    val bogus = "<meta property=\"article:published_time\" content=\"2024-13-05\"/>" +
+      "<time datetime=\"2022-09-09\">x</time>"
+    assert(run(bogus) === ((Some("2022-09-09"), "time_tag")))
+    // year outside the window is invalid too
+    assert(run("<meta name=\"date\" content=\"1886-01-01\"/>") === ((None, "none")))
+    assert(run("<meta name=\"date\" content=\"2024-02-00\"/>") === ((None, "none")))
+  }
+
+  test("URL path is the last fallback and needs an opted-in url column") {
+    assert(run("<p>no dates</p>", "https://ex.com/2020/07/post") ===
+      ((Some("2020-07-01"), "url_path")))
+    // metadata beats the url
+    assert(run("<time datetime=\"2017-01-02\">x</time>", "https://ex.com/2020/07/p") ===
+      ((Some("2017-01-02"), "time_tag")))
+    // without a url column the rule simply doesn't exist
+    assert(run("<p>no dates</p>") === ((None, "none")))
+  }
+
+  test("extraction is a zero-shuffle projection") {
+    val df = Seq((1L, "<p>x</p>", "https://e/2020/01/p")).toDF("doc_id", "html", "url")
+    val plan = Html.extractPubDate(df, urlCol = "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -59,7 +59,11 @@ object PlanDump {
       "q_bpe_byte_encode", "q_bpe_byte_train", "q_bpe_byte_e2e",
       "q_kn5_logprob", "q_unicode_nfkc", "q_tagger_mix", "q_tagger_full",
       "q_gopher_repetition", "q_pack_segments", "q_pack_assemble",
-      "q_pack_bpe")
+      "q_pack_bpe",
+      // round-20 families
+      "q_html_maincontent", "q_crawl_main", "q_lang_id_trained",
+      "q_lang_segments_trained", "q_dedup_bucketed", "q_audio_spectral",
+      "q_gopher_repetition_cjk", "q_bleu_pairs_cjk")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")
