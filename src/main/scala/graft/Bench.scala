@@ -179,7 +179,20 @@ object Bench {
     // plan join + one (shard, pack) aggregate rendering the batches
     "q_pack_assemble" -> 0.85,
     // byte-BPE counts -> cum-sum plan (the frame-half composition)
-    "q_pack_bpe" -> 0.62)
+    "q_pack_bpe" -> 0.62,
+    // r20 additions (min-of-3 from the 257-query full run, calib_norm
+    // 1.52 — conservative upper bounds on a ~1.5x-loaded window)
+    "q_html_maincontent" -> 0.23, "q_crawl_main" -> 1.38,
+    // 5-epoch OVR trainer re-trained per run (the kn5 stage-cache
+    // contract); margins are one wide-pivot corpus pass per epoch
+    "q_lang_id_trained" -> 10.36, "q_lang_segments_trained" -> 10.10,
+    // index build + bucketed write + reload + banded probe, timed whole
+    "q_dedup_bucketed" -> 1.92,
+    "q_audio_spectral" -> 0.98,
+    // the scripted 9-order census over the zh-widened fixture
+    "q_gopher_repetition_cjk" -> 3.38,
+    "q_bleu_pairs_cjk" -> 2.08, "q_html_date" -> 0.58,
+    "q_chat_dedup" -> 0.29, "q_ann_recall" -> 0.86)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
