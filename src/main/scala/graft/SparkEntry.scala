@@ -191,6 +191,8 @@ object SparkEntry {
     "q_chat_validate" -> (L.qChatValidate _),
     // conversation-level exact/relabel dedup of SFT transcripts
     "q_chat_dedup" -> (L.qChatDedup _),
+    // the chat-dedup ingest loop: merged standing index + delta batch
+    "q_chat_dedup_incremental" -> (L.qChatDedupIncremental _),
     // DPO preference-pair hygiene census (length bias, echo, identicals)
     "q_pref_pairs" -> (L.qPrefPairs _),
     // conversation-tree flattening: root-to-leaf paths + cycle quarantine
@@ -548,6 +550,7 @@ object SparkEntry {
     "q_quality_curve" -> L.qQualityCurveSql,
     "q_chat_validate" -> L.qChatValidateSql,
     "q_chat_dedup" -> L.qChatDedupSql,
+    "q_chat_dedup_incremental" -> L.qChatDedupIncrementalSql,
     "q_pref_pairs" -> L.qPrefPairsSql,
     "q_chat_tree" -> L.qChatTreeSql,
     "q_robots_rules" -> L.qRobotsRulesSql,

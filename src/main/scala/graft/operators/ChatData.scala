@@ -76,6 +76,29 @@ object ChatData {
       reason.as("reason"))
   }
 
+  /** (id, __corrupt, __ck, __nk) key frame shared by [[chatDedup]],
+    * [[buildChatIndex]] and [[chatDedupAgainstIndex]] — featurization
+    * provably identical across the whole-corpus, train and apply
+    * halves (the r15 tokensOf rule for this family). */
+  private[graft] def chatKeys(docs: DataFrame, jsonCol: String,
+                              id: String): DataFrame = {
+    val schema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    def collapse(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+    val turns = from_json(col(jsonCol), schema)
+    val chatKey = when(turns.isNull,
+      md5(concat(lit("corrupt:"), col(id).cast("string"))))
+      .otherwise(md5(concat_ws("\u0002", transform(turns, t =>
+        concat(coalesce(t.getField("role"), lit("")), lit("\u0001"),
+          collapse(coalesce(t.getField("content"), lit(""))))))))
+    val contentKey = when(turns.isNull,
+      md5(concat(lit("corrupt:"), col(id).cast("string"))))
+      .otherwise(md5(concat_ws("\u0002", transform(turns, t =>
+        collapse(coalesce(t.getField("content"), lit("")))))))
+    docs.select(col(id), turns.isNull.as("__corrupt"),
+      chatKey.as("__ck"), contentKey.as("__nk"))
+  }
+
   /** Chat-transcript EXACT/RELABEL dedup — the conversation-level
     * dedup an SFT curator runs before training (the same dialogue
     * re-collected across sources with different whitespace or role
@@ -97,21 +120,7 @@ object ChatData {
   def chatDedup(docs: DataFrame, jsonCol: String = "chat",
                 id: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val schema = ArrayType(StructType(Seq(
-      StructField("role", StringType), StructField("content", StringType))))
-    def collapse(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
-    val turns = from_json(col(jsonCol), schema)
-    val chatKey = when(turns.isNull,
-      md5(concat(lit("corrupt:"), col(id).cast("string"))))
-      .otherwise(md5(concat_ws("\u0002", transform(turns, t =>
-        concat(coalesce(t.getField("role"), lit("")), lit("\u0001"),
-          collapse(coalesce(t.getField("content"), lit(""))))))))
-    val contentKey = when(turns.isNull,
-      md5(concat(lit("corrupt:"), col(id).cast("string"))))
-      .otherwise(md5(concat_ws("\u0002", transform(turns, t =>
-        collapse(coalesce(t.getField("content"), lit("")))))))
-    val keyed = docs.select(col(id), turns.isNull.as("__corrupt"),
-      chatKey.as("__ck"), contentKey.as("__nk"))
+    val keyed = chatKeys(docs, jsonCol, id)
     val wc = Window.partitionBy(col("__ck"))
     val wn = Window.partitionBy(col("__nk"))
     keyed
@@ -127,6 +136,55 @@ object ChatData {
           .as("dup_of"))
   }
 
+
+  /** The TRAIN half of chat dedup — a standing, WRITABLE, MERGEABLE
+    * key index (the r16 mergeable-index doctrine): one row per
+    * (kind, key) with the keeper id, kind 'chat' (role-aware) or
+    * 'content' (role-blind). min(first_id) per key is re-aggregable,
+    * so [[mergeChatIndexes]] of any split equals the rebuild, and
+    * appending a new batch's kept keys IS the ingest loop. Corrupt
+    * transcripts never index (their keys are doc-unique armor). */
+  def buildChatIndex(corpus: DataFrame, jsonCol: String = "chat",
+                     id: String = "doc_id"): DataFrame = {
+    val keyed = chatKeys(corpus, jsonCol, id).where(!col("__corrupt"))
+    keyed.select(lit("chat").as("kind"), col("__ck").as("key"), col(id))
+      .unionByName(
+        keyed.select(lit("content").as("kind"), col("__nk").as("key"), col(id)))
+      .groupBy(col("kind"), col("key"))
+      .agg(min(col(id)).as("first_id"))
+  }
+
+  /** Merge standing chat indexes — exact vs rebuilding from the union
+    * under disjoint doc ids (min per key is associative/commutative). */
+  def mergeChatIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("kind"), col("key"))
+      .agg(min(col("first_id")).as("first_id"))
+
+  /** The APPLY half: judge a delta batch against the standing index
+    * ONLY (batch-internal duplicates are the next build's job — the
+    * Dedup.dedupAgainstIndex contract). Two key-equi joins; the
+    * batch side shuffles, the index side is the pre-bucketable
+    * standing layout (write it with Bucketing.writeBucketed on
+    * (kind, key) to skip its exchange — the q_dedup_bucketed story). */
+  def chatDedupAgainstIndex(batch: DataFrame, index: DataFrame,
+                            jsonCol: String = "chat",
+                            id: String = "doc_id"): DataFrame = {
+    val keyed = chatKeys(batch, jsonCol, id)
+    val exact = index.where(col("kind") === "chat")
+      .select(col("key").as("__ck"), col("first_id").as("__exactOf"))
+    val relabel = index.where(col("kind") === "content")
+      .select(col("key").as("__nk"), col("first_id").as("__relabelOf"))
+    keyed
+      .join(exact, Seq("__ck"), "left")
+      .join(relabel, Seq("__nk"), "left")
+      .select(col(id),
+        when(col("__corrupt"), lit("corrupt"))
+          .when(col("__exactOf").isNotNull, lit("drop_exact"))
+          .when(col("__relabelOf").isNotNull, lit("drop_relabel"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(!col("__corrupt"), coalesce(col("__exactOf"), col("__relabelOf")))
+          .as("dup_of"))
+  }
 
   /** SFT loss-mask rendering — the step between validation and
     * tokenization: each turn renders as `<|role|>` header + content

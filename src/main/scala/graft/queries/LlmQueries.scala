@@ -1419,7 +1419,9 @@ object LlmQueries {
     * (the q_url_canon doctrine — DuckDB never parses JSON or builds a
     * key), so any normalization, key-separator, precedence or
     * first-occurrence slip bends a verdict or a dup_of. */
-  def qChatDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted groups-of-4 dedup fixture shared by q_chat_dedup and
+    * q_chat_dedup_incremental. */
+  private def chatDedupFixture(spark: SparkSession, dir: String): DataFrame = {
     val i = col("doc_id")
     val g = expr("doc_id DIV 4").cast("string")
     val v = i % 4
@@ -1438,9 +1440,11 @@ object LlmQueries {
       .otherwise(concat(lit("["),
         turn("user", concat(lit("ask u"), i.cast("string"))), lit(","),
         turn("assistant", ansG), lit("]")))
-    graft.operators.ChatData.chatDedup(
-      Tables(spark, dir).documents.select(i, chat.as("chat")))
+    Tables(spark, dir).documents.select(i, chat.as("chat"))
   }
+
+  def qChatDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ChatData.chatDedup(chatDedupFixture(spark, dir))
 
   val qChatDedupSql: String =
     """SELECT doc_id,
@@ -1451,6 +1455,38 @@ object LlmQueries {
       |  CASE WHEN doc_id % 4 IN (1, 2)
       |       THEN CAST((doc_id // 4) * 4 AS BIGINT) END AS dup_of
       |FROM documents""".stripMargin
+
+  /** The chat-dedup INGEST LOOP in one gate (the q_dedup_index_merge
+    * doctrine): the standing index is built as merge(buildChatIndex(
+    * even groups' originals), buildChatIndex(odd groups' originals))
+    * over disjoint doc ids, then the delta batch (every non-original
+    * variant) is judged against it — drop_exact for the
+    * whitespace-bent duplicate, drop_relabel for the role-swap (the
+    * content key is in the index even though its chat key is not),
+    * keep/corrupt for the unique tail. The hash gate is the
+    * merge==rebuild proof AND the against-index contract in one row;
+    * the oracle stays closed-form. */
+  def qChatDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = chatDedupFixture(spark, dir)
+    val originals = fixture.where(col("doc_id") % 4 === 0)
+    graft.operators.ChatData.chatDedupAgainstIndex(
+      fixture.where(col("doc_id") % 4 =!= 0),
+      graft.operators.ChatData.mergeChatIndexes(
+        graft.operators.ChatData.buildChatIndex(
+          originals.where(expr("doc_id DIV 4") % 2 === 0)),
+        graft.operators.ChatData.buildChatIndex(
+          originals.where(expr("doc_id DIV 4") % 2 === 1))))
+  }
+
+  val qChatDedupIncrementalSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 3 AND doc_id % 5 = 0 THEN 'corrupt'
+      |       WHEN doc_id % 4 = 1 THEN 'drop_exact'
+      |       WHEN doc_id % 4 = 2 THEN 'drop_relabel'
+      |       ELSE 'keep' END AS verdict,
+      |  CASE WHEN doc_id % 4 IN (1, 2)
+      |       THEN CAST((doc_id // 4) * 4 AS BIGINT) END AS dup_of
+      |FROM documents WHERE doc_id % 4 <> 0""".stripMargin
 
   val qChatValidateSql: String =
     s"""SELECT doc_id,

@@ -1019,4 +1019,65 @@ object Streams {
           out.iterator
       }
   }
+
+  /** Streaming twin of main-content extraction (operators/Html
+    * .mainContent): the block walk and every verdict are functions of
+    * the page alone — each micro-batch runs the identical batch
+    * operator. Parity pinned in StreamingSpec. */
+  def mainContentStream(docs: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "mainContentStream is streaming-only: use Html.mainContent for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Html.mainContent(batch), batchId)
+    }
+  }
+
+  /** Streaming twin of publication-date extraction (operators/Html
+    * .extractPubDate): per-doc regexp cascade, stateless. Parity
+    * pinned in StreamingSpec. */
+  def pubDateStream(docs: DataFrame, urlCol: String = null)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "pubDateStream is streaming-only: use Html.extractPubDate for batch frames")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Html.extractPubDate(batch, urlCol = urlCol),
+        batchId)
+    }
+  }
+
+  /** Streaming twin of the TRAINED language classifier's APPLY half
+    * (operators/TextAnalysis.langClassifierApply): the model frame is
+    * STATIC (trained offline — the train/apply doctrine), prediction
+    * is per-document, micro-batch boundaries invisible; the scripted
+    * flag threads through (the r17 model-pair rule). Parity pinned in
+    * StreamingSpec. */
+  def langClassifierScoreStream(docs: DataFrame, model: DataFrame,
+                                nBuckets: Int, scripted: Boolean = false)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "langClassifierScoreStream is streaming-only: use TextAnalysis.langClassifierApply for batch frames")
+    require(!model.isStreaming, "the classifier model frame must be static")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.TextAnalysis.langClassifierApply(
+        batch, model, nBuckets, scripted = scripted), batchId)
+    }
+  }
+
+  /** Streaming twin of chat dedup in its INGEST shape (operators/
+    * ChatData.chatDedupAgainstIndex): the standing key index is
+    * static per stream (the incrementalDedupStream contract — fold
+    * kept batches in offline via mergeChatIndexes between runs);
+    * verdicts are per-transcript against the index, so micro-batch
+    * boundaries are invisible. Parity pinned in StreamingSpec. */
+  def chatDedupStream(docs: DataFrame, index: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming,
+      "chatDedupStream is streaming-only: use ChatData.chatDedupAgainstIndex for batch frames")
+    require(!index.isStreaming, "the chat key index must be static")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.ChatData.chatDedupAgainstIndex(batch, index),
+        batchId)
+    }
+  }
 }

@@ -185,4 +185,28 @@ class ChatDataSpec extends SparkSpec {
     assert(out(15L) === (("corrupt", None)))
     assert(out(16L) === (("drop_exact", Some(10L))))
   }
+
+  test("chat index: merge of disjoint halves equals rebuild, frame-exactly") {
+    def chat(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val corpus = Seq(
+      (1L, chat("user" -> "q one", "assistant" -> "a one")),
+      (2L, chat("user" -> "q two", "assistant" -> "a two")),
+      (3L, chat("user" -> "q one", "assistant" -> "a one")), // dup of 1
+      (4L, chat("assistant" -> "q two", "user" -> "a two"))) // relabel of 2
+      .toDF("doc_id", "chat")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val whole = ChatData.buildChatIndex(corpus)
+    val merged = ChatData.mergeChatIndexes(
+      ChatData.buildChatIndex(corpus.where($"doc_id" % 2 === 0)),
+      ChatData.buildChatIndex(corpus.where($"doc_id" % 2 === 1)))
+    assert(rows(merged) === rows(whole))
+    // keepers are the min doc id even when the dup crossed the halves
+    val batch = Seq((100L, chat("user" -> "q one", "assistant" -> "a one")))
+      .toDF("doc_id", "chat")
+    val v = ChatData.chatDedupAgainstIndex(batch, merged).collect().head
+    assert(v.getString(1) === "drop_exact" && v.getLong(2) === 1L)
+  }
 }

@@ -1605,4 +1605,96 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(21L) === "review")
     assert(!verdicts.contains(22L), "unflagged docs never reach stage 2")
   }
+
+  test("mainContentStream and pubDateStream match batch across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      (1L, "<body><nav>menu here</nav><p>real page content</p></body>",
+        "https://e/2021/03/p"),
+      (2L, "<body><header>hh hh</header><p>tiny</p></body>", "https://e/p"),
+      (3L, "<meta name=\"date\" content=\"2019-08-01\"/><p>dated body text</p>",
+        "https://e/2010/01/q"))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(pages.take(1): _*)
+    val mc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val pd = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val src = input.toDF().toDF("doc_id", "html", "url")
+    val q1 = Streams.mainContentStream(src) { (out, _) =>
+      mc.synchronized { mc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    val q2 = Streams.pubDateStream(src, urlCol = "url") { (out, _) =>
+      pd.synchronized { pd ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData(pages.drop(1): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val bdf = pages.toDF("doc_id", "html", "url")
+    assert(mc.sortBy(_.getLong(0)).toSeq ===
+      graft.operators.Html.mainContent(bdf).orderBy("doc_id").collect().toSeq)
+    assert(pd.sortBy(_.getLong(0)).toSeq ===
+      graft.operators.Html.extractPubDate(bdf, urlCol = "url")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("langClassifierScoreStream predicts from the static model exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, "aa", "x y straße über zz"), (1L, "aa", "straße über während q"),
+      (2L, "bb", "x y niño años zz"), (3L, "bb", "niño años señor q"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.operators.TextAnalysis.langClassifierTrain(train, 64, 4, 1000L)
+      .localCheckpoint(true)
+    val docs = Seq(10L -> "straße über report", 11L -> "años niño informe")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs.take(1): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.langClassifierScoreStream(
+        input.toDF().toDF("doc_id", "text"), model, 64) { (out, _) =>
+      acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.TextAnalysis.langClassifierApply(
+        docs.toDF("doc_id", "text"), model, 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getLong(0)).toSeq === expected)
+    assert(expected.map(_.getString(2)) === Seq("aa", "bb"))
+  }
+
+  test("chatDedupStream judges batches against the static key index like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def chat(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val corpus = Seq(
+      (10L, chat("user" -> "hi there", "assistant" -> "hello"))).toDF("doc_id", "chat")
+    val index = graft.operators.ChatData.buildChatIndex(corpus).localCheckpoint(true)
+    val batch = Seq(
+      100L -> chat("user" -> "hi   there", "assistant" -> "hello"),   // exact (ws-bent)
+      101L -> chat("assistant" -> "hi there", "user" -> "hello"),     // relabel
+      102L -> chat("user" -> "fresh stuff"),
+      103L -> "[{\"role\":")                                          // corrupt
+    val input = MemoryStream[(Long, String)]
+    input.addData(batch.take(2): _*)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streams.chatDedupStream(input.toDF().toDF("doc_id", "chat"), index) {
+      (out, _) => acc.synchronized { acc ++= out.collect() }
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(batch.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.ChatData.chatDedupAgainstIndex(
+        batch.toDF("doc_id", "chat"), index)
+      .orderBy("doc_id").collect().toSeq
+    assert(acc.sortBy(_.getLong(0)).toSeq === expected)
+    val v = expected.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v === Map(100L -> "drop_exact", 101L -> "drop_relabel",
+      102L -> "keep", 103L -> "corrupt"))
+  }
 }
