@@ -192,7 +192,11 @@ object Bench {
     // the scripted 9-order census over the zh-widened fixture
     "q_gopher_repetition_cjk" -> 3.38,
     "q_bleu_pairs_cjk" -> 2.08, "q_html_date" -> 0.58,
-    "q_chat_dedup" -> 0.29, "q_ann_recall" -> 0.86)
+    "q_chat_dedup" -> 0.29, "q_ann_recall" -> 0.86,
+    // merged standing index + against-index delta verdicts
+    "q_chat_dedup_incremental" -> 0.92,
+    // validate -> dedup -> loss mask in one DAG (2.29 on a 2.2x window)
+    "q_sft_e2e" -> 1.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

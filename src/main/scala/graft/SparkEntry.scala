@@ -193,6 +193,8 @@ object SparkEntry {
     "q_chat_dedup" -> (L.qChatDedup _),
     // the chat-dedup ingest loop: merged standing index + delta batch
     "q_chat_dedup_incremental" -> (L.qChatDedupIncremental _),
+    // the post-training leg composed: validate -> dedup -> loss mask
+    "q_sft_e2e" -> (L.qSftE2e _),
     // DPO preference-pair hygiene census (length bias, echo, identicals)
     "q_pref_pairs" -> (L.qPrefPairs _),
     // conversation-tree flattening: root-to-leaf paths + cycle quarantine
@@ -551,6 +553,7 @@ object SparkEntry {
     "q_chat_validate" -> L.qChatValidateSql,
     "q_chat_dedup" -> L.qChatDedupSql,
     "q_chat_dedup_incremental" -> L.qChatDedupIncrementalSql,
+    "q_sft_e2e" -> L.qSftE2eSql,
     "q_pref_pairs" -> L.qPrefPairsSql,
     "q_chat_tree" -> L.qChatTreeSql,
     "q_robots_rules" -> L.qRobotsRulesSql,

@@ -1648,6 +1648,76 @@ object LlmQueries {
        |FROM d""".stripMargin
   }
 
+  /** The POST-TRAINING data pipeline composed end to end (the
+    * q_crawl_e2e doctrine for the SFT leg): validate → conversation
+    * dedup over the VALID survivors → loss-mask rendering of the kept
+    * set, one DAG. Groups of 6 plant one case per stage: the original
+    * (kept end-to-end), a whitespace-bent exact duplicate (survives
+    * validation, dies in dedup), an assistant-first and an
+    * empty-content transcript (die in validation — dedup never sees
+    * them), a unique keeper, and a system-led keeper. The oracle
+    * emits the kept docs' rendered template/mask strings closed-form
+    * (the qLossMask doctrine), so a slip in ANY stage — a validation
+    * rule admitting the dup's killer, a dedup key bending, a
+    * mis-attributed loss token — changes the output set or a hash.
+    * The validated frame persists at the fan-out (dedup keys + the
+    * loss-mask join — stageCacheReg two-phase protocol). */
+  def qSftE2e(spark: SparkSession, dir: String): DataFrame = {
+    releaseStageCaches("sft_e2e") // BEFORE the persist (stageCacheReg)
+    val i = col("doc_id")
+    val gs = expr("doc_id DIV 6").cast("string")
+    val is = i.cast("string")
+    def turn(role: String, c: Column) = concat(
+      lit("{\"role\":\"" + role + "\",\"content\":\""), c, lit("\"}"))
+    val askG = concat(lit("ask "), gs)
+    val askWs = concat(lit("ask  "), gs)
+    val ansG = concat(lit("ans "), gs, lit(" ok"))
+    val v = i % 6
+    val chat = when(v === 0, concat(lit("["), turn("user", askG), lit(","),
+        turn("assistant", ansG), lit("]")))
+      .when(v === 1, concat(lit("["), turn("user", askWs), lit(","),
+        turn("assistant", ansG), lit("]")))
+      .when(v === 2, concat(lit("["), turn("assistant", ansG), lit(","),
+        turn("user", askG), lit("]")))
+      .when(v === 3, concat(lit("["),
+        turn("user", concat(lit("ask u"), is)), lit(","),
+        turn("assistant", ansG), lit("]")))
+      .when(v === 4, concat(lit("["), turn("user", askG),
+        lit(",{\"role\":\"assistant\",\"content\":\"\"}]")))
+      .otherwise(concat(lit("[{\"role\":\"system\",\"content\":\"be helpful\"},"),
+        turn("user", concat(lit("more "), gs)), lit(","),
+        turn("assistant", concat(lit("fine "), gs)), lit("]")))
+    val docs = Tables(spark, dir).documents.select(i, chat.as("chat"))
+    val vdocs = docs.join(
+        graft.operators.ChatData.validateChat(docs)
+          .where(col("valid") === 1L).select(col("doc_id")),
+        Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStageCaches("sft_e2e", List(vdocs))
+    val kept = graft.operators.ChatData.chatDedup(vdocs)
+      .where(col("verdict") === "keep").select(col("doc_id"))
+    graft.operators.ChatData.lossMask(vdocs.join(kept, Seq("doc_id")))
+  }
+
+  val qSftE2eSql: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) AS g,
+      |    CAST(doc_id AS VARCHAR) AS s FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE doc_id % 6 WHEN 5 THEN 12 ELSE 9 END AS BIGINT) AS n_tokens,
+      |  CAST(CASE doc_id % 6 WHEN 5 THEN 3 ELSE 4 END AS BIGINT) AS n_loss,
+      |  CAST(1 AS BIGINT) AS n_asst_turns,
+      |  md5(CASE doc_id % 6
+      |    WHEN 0 THEN '<|user|> ask ' || g || ' <|end|> <|assistant|> ans '
+      |      || g || ' ok <|end|>'
+      |    WHEN 3 THEN '<|user|> ask u' || s || ' <|end|> <|assistant|> ans '
+      |      || g || ' ok <|end|>'
+      |    ELSE '<|system|> be helpful <|end|> <|user|> more ' || g
+      |      || ' <|end|> <|assistant|> fine ' || g || ' <|end|>'
+      |  END) AS render_md5,
+      |  md5(CASE doc_id % 6 WHEN 5 THEN '000000000111'
+      |    ELSE '000001111' END) AS mask_md5
+      |FROM d WHERE doc_id % 6 IN (0, 3, 5)""".stripMargin
+
   // ---- quality-distribution drift (PSI) ----
 
   /** PSI drift between the corpus and a degraded twin (every 3rd doc
