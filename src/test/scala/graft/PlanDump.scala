@@ -63,7 +63,9 @@ object PlanDump {
       // round-20 families
       "q_html_maincontent", "q_crawl_main", "q_lang_id_trained",
       "q_lang_segments_trained", "q_dedup_bucketed", "q_audio_spectral",
-      "q_gopher_repetition_cjk", "q_bleu_pairs_cjk")
+      "q_gopher_repetition_cjk", "q_bleu_pairs_cjk", "q_html_date",
+      "q_chat_dedup", "q_chat_dedup_incremental", "q_ann_recall",
+      "q_sft_e2e")
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries (sf0.1, local[8])\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.PlanDump\"`.\n")

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{ChatData, Html}
+
+/** Property armor for the round-20 kernels: arbitrary (including
+  * adversarial) inputs must never throw, and structural invariants
+  * must hold on every path — the seeded-random sweep doctrine of
+  * LineDedupPropertySpec/ParityPropertySpec. */
+class Round20PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20250816L)
+
+  private val frags = Array(
+    "<div>", "</div>", "<p>", "</p>", "<nav>", "</nav>", "<aside>",
+    "</aside>", "<a href=\"#\">", "</a>", "<script>", "</script>",
+    "<br/>", "<", ">", "<table>", "</tr>",
+    "<time datetime=\"2020-01-02\">", "<header>", "</footer>",
+    " ", "\n", "\t", "  ")
+
+  private def tagSoup(): String = {
+    val n = rnd.nextInt(40)
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      if (rnd.nextInt(3) == 0) sb.append(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+      else sb.append(frags(rnd.nextInt(frags.length)))
+    }
+    sb.toString
+  }
+
+  test("walkBlocks never throws on tag soup; invariants hold on every output") {
+    (1 to 400).foreach { _ =>
+      val html = tagSoup()
+      val blocks = Html.walkBlocks(html)
+      blocks.foreach { case (idx, rd, nc, nl, text, verdict) =>
+        assert(idx >= 0 && rd >= 0, html)
+        assert(nc > 0, s"empty blocks never emit: [$html]")
+        assert(nl >= 0 && nl <= nc, "link chars are a subset of chars")
+        assert(text.nonEmpty && text == text.trim)
+        assert(!text.exists(c => c == '\n' || c == '\t'), "collapsed")
+        // the verdict must be exactly the rule cascade's value
+        val expected =
+          if (rd > 0) "region"
+          else if (nl.toLong * Html.MainLinkDen > nc.toLong * Html.MainLinkNum) "link"
+          else if (nc < Html.MainMinChars) "short"
+          else "keep"
+        assert(verdict === expected, html)
+      }
+      // block indexes are strictly increasing and gapless
+      assert(blocks.map(_._1) === blocks.indices.toSeq)
+    }
+  }
+
+  test("extractPubDate never throws and only emits validated ISO dates") {
+    val htmls = (1 to 60).map(_ => tagSoup()) ++ Seq(
+      "<meta name=\"date\" content=\"9999-99-99\"/>",
+      "<meta name=\"date\" content=\"2024-1-1\"/>", // not ISO-shaped
+      "<time datetime=\"2024-02-29\">x</time>")
+    val df = htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "html")
+    val out = Html.extractPubDate(df).collect()
+    assert(out.length === htmls.length)
+    out.foreach { r =>
+      val d = r.getString(1)
+      if (d != null) {
+        assert(d.matches("[0-9]{4}-[0-9]{2}-[0-9]{2}"), d)
+        val y = d.substring(0, 4).toInt
+        val m = d.substring(5, 7).toInt
+        val dd = d.substring(8, 10).toInt
+        assert(y >= 1990 && y <= 2035 && m >= 1 && m <= 12 && dd >= 1 && dd <= 31)
+        assert(r.getString(2) !== "none")
+      } else assert(r.getString(2) === "none")
+    }
+  }
+
+  test("chat dedup keys: whitespace-invariant, order-sensitive, random sweep") {
+    def chat(cs: Seq[String]): String =
+      cs.zipWithIndex.map { case (c, i) =>
+        s"""{"role":"${if (i % 2 == 0) "user" else "assistant"}","content":"$c"}"""
+      }.mkString("[", ",", "]")
+    (1 to 30).foreach { k =>
+      val words = (1 to 3).map(_ =>
+        rnd.alphanumeric.filter(_.isLetter).take(1 + rnd.nextInt(6)).mkString)
+      val wsBent = words.map(w => s" $w  ")
+      val reversed = words.reverse
+      val docs = Seq((1L, chat(words)), (2L, chat(wsBent)), (3L, chat(reversed)))
+        .toDF("doc_id", "chat")
+      val out = ChatData.chatDedup(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L) === "keep", words)
+      assert(out(2L) === "drop_exact", s"whitespace must never split a key: $words")
+      if (words != reversed)
+        assert(out(3L) === "keep", s"turn ORDER is part of both keys: $words")
+    }
+  }
+}
