@@ -196,7 +196,9 @@ object Bench {
     // merged standing index + against-index delta verdicts
     "q_chat_dedup_incremental" -> 0.92,
     // validate -> dedup -> loss mask in one DAG (2.29 on a 2.2x window)
-    "q_sft_e2e" -> 1.85)
+    "q_sft_e2e" -> 1.85,
+    // two line-census HOF passes, zero shuffle
+    "q_fineweb_rules" -> 0.46)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -128,6 +128,8 @@ object SparkEntry {
     "q_gopher_repetition" -> (L.qGopherRepetition _),
     // the same census under the scripted (CJK-aware) tokenizer
     "q_gopher_repetition_cjk" -> (L.qGopherRepetitionCjk _),
+    // the FineWeb-added line filters (terminal-punct floor, short-line mass)
+    "q_fineweb_rules" -> (L.qFinewebRules _),
     "q_crawl_e2e" -> (L.qCrawlE2e _),
     // main-content extraction composed into the quality chain
     "q_crawl_main" -> (L.qCrawlMain _),
@@ -512,6 +514,7 @@ object SparkEntry {
     "q_tagger_full" -> L.qTaggerFullSql,
     "q_gopher_repetition" -> L.qGopherRepetitionSql,
     "q_gopher_repetition_cjk" -> L.qGopherRepetitionCjkSql,
+    "q_fineweb_rules" -> L.qFinewebRulesSql,
     "q_crawl_e2e" -> L.qCrawlE2eSql,
     "q_crawl_main" -> L.qCrawlMainSql,
     "q_quality_classifier" -> L.qQualityClassifierSql,

@@ -1718,6 +1718,72 @@ object LlmQueries {
       |    ELSE '000001111' END) AS mask_md5
       |FROM d WHERE doc_id % 6 IN (0, 3, 5)""".stripMargin
 
+  /** The FineWeb-added line filters over a lined fixture with every
+    * verdict class: a terminated lead line always (head + '.'), a
+    * second terminator on even ids (punct fraction 1/3 vs 2/3 — both
+    * over the 12% floor), a NO-punct variant on id%7=2 (the soup
+    * carries zero punctuation — pinned by the tagger's r_nopunct row —
+    * so its lines never terminate: the punct rule drops), and a
+    * short-lines-only variant on id%5=1 (char mass 100% short: the
+    * short rule — and, punct-free, the punct rule — drop). The oracle
+    * is a full dual implementation over the same constructed lines
+    * (trim/empty-drop, terminal-char class, < 30 char mass, integer
+    * cross-multiplies). */
+  def qFinewebRules(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val n = length(col("text"))
+    val p = (lit(1) + (i % greatest(n.cast("long") - 1L, lit(1L)))).cast("int")
+    val head = col("text").substr(lit(1), p)
+    val tail = col("text").substr(p + 1, n - p)
+    val promo = concat(lit("follow f"), (i % 3).cast("string"))
+    val lined = when(i % 5 === 1, lit("aa bb\ncc dd\nee ff"))
+      .when(i % 7 === 2, concat_ws("\n", head, tail, promo))
+      .otherwise(concat_ws("\n",
+        concat(head, lit(".")),
+        when(i % 2 === 0, concat(tail, lit("!"))).otherwise(tail),
+        promo))
+    TextAnalysis.finewebLineRules(
+      Tables(spark, dir).documents.select(i, lined.as("text")))
+  }
+
+  val qFinewebRulesSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN 'aa bb' || chr(10) || 'cc dd' || chr(10) || 'ee ff'
+      |         WHEN doc_id % 7 = 2 THEN substr(text, 1, p) || chr(10) ||
+      |           substr(text, p + 1, length(text) - p) || chr(10) || promo
+      |         ELSE substr(text, 1, p) || '.' || chr(10) ||
+      |           substr(text, p + 1, length(text) - p) ||
+      |           (CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END) || chr(10) || promo
+      |    END AS text
+      |  FROM (SELECT doc_id, text,
+      |      CAST(1 + doc_id % greatest(length(text) - 1, 1) AS INT) AS p,
+      |      'follow f' || CAST(doc_id % 3 AS VARCHAR) AS promo
+      |    FROM documents)),
+      |ln AS (SELECT doc_id,
+      |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      |      x -> length(x) > 0) AS ls
+      |  FROM d),
+      |c AS (SELECT doc_id,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ls, x -> list_contains(
+      |      ['.', '!', '?', '"', chr(39)], substr(x, length(x), 1)))) AS BIGINT)
+      |      AS n_punct_lines,
+      |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS BIGINT)
+      |      AS total_line_chars,
+      |    CAST(coalesce(list_sum(list_transform(ls,
+      |      x -> CASE WHEN length(x) < 30 THEN length(x) ELSE 0 END)), 0) AS BIGINT)
+      |      AS short_line_chars
+      |  FROM ln)
+      |SELECT doc_id, n_lines, n_punct_lines, total_line_chars, short_line_chars,
+      |  CAST(CASE WHEN n_lines > 0 AND 100 * n_punct_lines >= 12 * n_lines
+      |    THEN 1 ELSE 0 END AS BIGINT) AS r_punct_lines,
+      |  CAST(CASE WHEN n_lines > 0 AND 100 * short_line_chars <= 67 * total_line_chars
+      |    THEN 1 ELSE 0 END AS BIGINT) AS r_short_lines,
+      |  CAST(CASE WHEN n_lines > 0 AND 100 * n_punct_lines >= 12 * n_lines
+      |         AND 100 * short_line_chars <= 67 * total_line_chars
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM c""".stripMargin
+
   // ---- quality-distribution drift (PSI) ----
 
   /** PSI drift between the corpus and a degraded twin (every 3rd doc

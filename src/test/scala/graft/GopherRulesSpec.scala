@@ -70,4 +70,32 @@ class GopherRulesSpec extends SparkSpec {
     Seq("r_wordlen", "r_nwords", "r_bullets", "r_ellipsis", "r_symbols",
       "r_alpha", "r_stops").foreach(c => assert(out(1L)(c) === 1L, c))
   }
+
+  test("finewebLineRules: boundary math, verdict classes, empty-doc armor") {
+    import spark.implicits._
+    val docs = Seq(
+      // 25 lines, 3 terminated = exactly 12% -> keep on the punct rule
+      (1L, ((1 to 22).map(i => s"plain line number $i goes on and on here") ++
+        Seq("done.", "sure!", "ok?")).mkString("\n")),
+      // 2 of 25 terminated = 8% -> drop
+      (2L, ((1 to 23).map(i => s"plain line number $i goes on and on here") ++
+        Seq("done.", "sure!")).mkString("\n")),
+      // short-line mass: one 40-char line + 90 chars of short lines
+      // = 69% short -> drop; terminated so the punct rule passes
+      (3L, (Seq("x" * 39 + ".") ++ (1 to 9).map(_ => "aaaaaaaaa.")).mkString("\n")),
+      // 40 + 81 short = 67% exactly -> keep (inclusive bound)
+      (4L, (Seq("x" * 39 + ".") ++ (1 to 9).map(_ => "aaaaaaaa.")).mkString("\n")),
+      (5L, "   \n  \n"), // no non-empty line: both rules fail
+      (6L, "ends with a quote\""))
+    val out = graft.operators.TextAnalysis.finewebLineRules(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) === ((1L, 1L, 1L)))
+    assert(out(2L) === ((0L, 1L, 0L)))
+    assert(out(3L) === ((1L, 0L, 0L)))
+    assert(out(4L) === ((1L, 1L, 1L)))
+    assert(out(5L) === ((0L, 0L, 0L)))
+    assert(out(6L) === ((1L, 0L, 0L)), "quote terminates; 18 chars all short")
+  }
 }
