@@ -3643,16 +3643,27 @@ object TextAnalysis {
                           epochs: Int = 2, lrMicro: Long = 1000L,
                           id: String = "doc_id", textCol: String = "text",
                           langCol: String = "lang",
-                          scripted: Boolean = false): DataFrame = {
+                          scripted: Boolean = false,
+                          sampleRatePpm: Long = 1000000L): DataFrame = {
     require(nBuckets > 0 && epochs >= 1 && epochs <= 64 && lrMicro > 0,
       "langClassifierTrain: bad hyperparameters")
+    require(sampleRatePpm >= 1 && sampleRatePpm <= 1000000L,
+      s"langClassifierTrain: sampleRatePpm out of range: $sampleRatePpm")
+    // the perceptronTrain sampled-training story at 100 TB: epochs
+    // re-scan the feature frame, so train on a deterministic
+    // md5-threshold sample (identity at 1e6 ppm — gated trajectories
+    // untouched); the APPLY half still scores the whole corpus once
+    val base =
+      if (sampleRatePpm >= 1000000L) docs
+      else docs.where(
+        Portable.h60(concat_ws(":", lit("lcs"), col(id))) % 1000000L < sampleRatePpm)
     // checkpoint the feature frame PARTITIONED ON THE DOC ID: every
     // epoch's margin aggregate (grouping on (id, lang) — id is a
     // prefix) and misclassified-set join (on id) then reuse the
     // checkpointed partitioning instead of re-exchanging the
     // corpus-sized frame twice per epoch
     val tf = langFeatureTf(
-        docs.select(col(id), col(langCol).as("__dl"), col(textCol)),
+        base.select(col(id), col(langCol).as("__dl"), col(textCol)),
         nBuckets, Seq(id, "__dl"), textCol, scripted)
       .repartition(col(id))
       .localCheckpoint(true)

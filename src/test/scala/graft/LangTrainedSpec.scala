@@ -93,6 +93,26 @@ class LangTrainedSpec extends SparkSpec {
     assert(direct.values.toSet === Set("aa", "bb"))
   }
 
+  test("sampleRatePpm: 1e6 is the identity; a sampled model still separates") {
+    val docs = (0 until 80).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (i % 2 == 0) s"straße über während w$i" else s"niño años señor w$i"
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val full = TextAnalysis.langClassifierTrain(docs, 128, 4, 1000L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ident = TextAnalysis.langClassifierTrain(docs, 128, 4, 1000L,
+        sampleRatePpm = 1000000L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(full === ident, "ppm=1e6 must be byte-identical (no sampling branch)")
+    val sampled = TextAnalysis.langClassifierTrain(docs, 128, 4, 1000L,
+      sampleRatePpm = 500000L)
+    val acc = TextAnalysis.langClassifierApply(docs, sampled, 128)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .where(col("pred_lang") === col("lang")).count() / 80.0
+    assert(acc >= 0.8, s"half-sample accuracy $acc")
+  }
+
   test("docs with no covered features are absent; untagged lines stay counted") {
     val train = Seq((0L, "aa", "foo bar baz"), (1L, "bb", "qux quux corge"))
       .toDF("doc_id", "lang", "text")
