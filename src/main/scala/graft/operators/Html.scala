@@ -95,7 +95,8 @@ object Html {
           val inner = html.substring(i + 1, gt).trim
           val closing = inner.startsWith("/")
           val body = if (closing) inner.substring(1).trim else inner
-          val name = body.takeWhile(Character.isLetterOrDigit).toLowerCase
+          val name = body.takeWhile(Character.isLetterOrDigit)
+            .toLowerCase(java.util.Locale.ROOT)
           name match {
             case "table" if !closing =>
               stack.push(new TableCtx(nextIdx, stack.size,
@@ -189,7 +190,9 @@ object Html {
       : Seq[(Int, Int, Int, Int, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Int, Int, String, String)]
-    val lower = html.toLowerCase
+    // Locale.ROOT: default-locale lowercasing bends ASCII tag names
+    // under tr-TR ('I' -> dotless ı) — the classic Turkish-I trap
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
     val buf = new StringBuilder
     var regionDepth = 0
     var linkDepth = 0
@@ -231,7 +234,8 @@ object Html {
           val inner = html.substring(i + 1, gt).trim
           val closing = inner.startsWith("/")
           val body = if (closing) inner.substring(1).trim else inner
-          val name = body.takeWhile(Character.isLetterOrDigit).toLowerCase
+          val name = body.takeWhile(Character.isLetterOrDigit)
+            .toLowerCase(java.util.Locale.ROOT)
           if (!closing && (name == "script" || name == "style")) {
             val end = lower.indexOf("</" + name, gt + 1)
             if (end < 0) i = n

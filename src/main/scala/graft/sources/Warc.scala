@@ -208,7 +208,7 @@ object Warc {
       val kv = header.split("\r\n").drop(1).flatMap { l =>
         val c = l.indexOf(':')
         if (c < 0) None
-        else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+        else Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) -> l.substring(c + 1).trim)
       }.toMap
       val bodyStart = eoh + 4
       kv.get("content-length").flatMap(_.toLongOption) match {
