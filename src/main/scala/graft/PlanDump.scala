@@ -1,0 +1,37 @@
+package graft
+
+/** Writes `.explain("formatted")` output for declared queries to files —
+  * the optimization-round evidence trail (plans/rNN/<query>_{before,after}.txt).
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> [q_a,q_b,...]
+  * With no query list, dumps every declared query. Each file is named
+  * <query>_<suffix>.txt. Plans are captured WITHOUT executing the query
+  * (explain of the analyzed plan), so AQE-final shapes are not included —
+  * the Exchange/join/scan shape is what these files pin.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: PlanDump <sfDir> <outDir> <suffix> [q_a,q_b,...]")
+    val Array(sfDir, outDir, suffix) = args.take(3)
+    val only = args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = Sessions.build("graft-plandump")
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"[plandump] $name ok (${txt.length} chars)")
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}
