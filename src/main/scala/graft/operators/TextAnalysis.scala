@@ -3644,7 +3644,35 @@ object TextAnalysis {
                           id: String = "doc_id", textCol: String = "text",
                           langCol: String = "lang",
                           scripted: Boolean = false,
-                          sampleRatePpm: Long = 1000000L): DataFrame = {
+                          sampleRatePpm: Long = 1000000L): DataFrame =
+    langClassifierTrainImpl(docs, nBuckets, epochs, lrMicro, id, textCol,
+      langCol, scripted, sampleRatePpm)._1
+
+  /** [[langClassifierTrain]] that ALSO returns the checkpointed feature
+    * census (id, langCol-as-__dl, bucket, __tf) the epochs trained on.
+    * When the apply corpus IS the train corpus (the gated
+    * train-then-predict composition), the apply half can reuse this
+    * frame — project (id, bucket, __tf); __dl is functionally
+    * determined by id, so the projection IS the apply census — and
+    * skip a second full featurize pass (scan + LangCharFeatures
+    * explode + per-feature md5) over the corpus (guide §2.4). No new
+    * materialization: the trainer checkpoints this frame for its epoch
+    * loop regardless. Only exposed at identity sampling — a sampled
+    * census would silently drop unsampled docs from the apply. */
+  def langClassifierTrainTf(docs: DataFrame, nBuckets: Int = 1024,
+                            epochs: Int = 2, lrMicro: Long = 1000L,
+                            id: String = "doc_id", textCol: String = "text",
+                            langCol: String = "lang",
+                            scripted: Boolean = false): (DataFrame, DataFrame) =
+    langClassifierTrainImpl(docs, nBuckets, epochs, lrMicro, id, textCol,
+      langCol, scripted, 1000000L)
+
+  private def langClassifierTrainImpl(docs: DataFrame, nBuckets: Int,
+                          epochs: Int, lrMicro: Long,
+                          id: String, textCol: String,
+                          langCol: String,
+                          scripted: Boolean,
+                          sampleRatePpm: Long): (DataFrame, DataFrame) = {
     require(nBuckets > 0 && epochs >= 1 && epochs <= 64 && lrMicro > 0,
       "langClassifierTrain: bad hyperparameters")
     require(sampleRatePpm >= 1 && sampleRatePpm <= 1000000L,
@@ -3688,7 +3716,7 @@ object TextAnalysis {
           (col("w") + coalesce(col("__u"), lit(0L))).as("w"))
         .localCheckpoint(true)
     }
-    w
+    (w, tf)
   }
 
   /** Score under a STATIC trained model and argmax per key — shared by
@@ -3701,8 +3729,15 @@ object TextAnalysis {
   private def langScoresBy(df: DataFrame, model: DataFrame, nBuckets: Int,
                            keys: Seq[String], textCol: String,
                            scripted: Boolean): DataFrame =
-    langMarginsBy(langFeatureTf(df, nBuckets, keys, textCol, scripted),
-        model, keys)
+    langScoresFromTf(langFeatureTf(df, nBuckets, keys, textCol, scripted),
+      model, keys)
+
+  /** [[langScoresBy]] from a pre-computed feature census
+    * (keys..., bucket, __tf) — the reuse entry for
+    * [[langClassifierApplyFromTf]]. */
+  private def langScoresFromTf(tf: DataFrame, model: DataFrame,
+                               keys: Seq[String]): DataFrame =
+    langMarginsBy(tf, model, keys)
       .groupBy(keys.map(col): _*)
       // nf rides the argmax struct (never a tie-break: (−m, lang) is
       // already unique) — n_features is the model-covered feature
@@ -3725,6 +3760,15 @@ object TextAnalysis {
                           scripted: Boolean = false): DataFrame =
     langScoresBy(docs.select(col(id), col(textCol)), model, nBuckets,
       Seq(id), textCol, scripted)
+
+  /** [[langClassifierApply]] from a pre-computed per-doc feature census
+    * (id, bucket, __tf) — pair with [[langClassifierTrainTf]] when the
+    * apply corpus is the train corpus: the corpus is featurized ONCE
+    * for train + apply instead of once per half. Same output contract
+    * (doc_id, n_features, pred_lang, margin). */
+  def langClassifierApplyFromTf(tf: DataFrame, model: DataFrame,
+                                id: String = "doc_id"): DataFrame =
+    langScoresFromTf(tf, model, Seq(id))
 
   /** [[langSegments]] with the TRAINED classifier instead of the
     * stopword heuristic: per-LINE prediction under the model, then the

@@ -4223,9 +4223,17 @@ object LlmQueries {
     * argmax slip bends a margin and fails the hash. */
   def qLangIdTrained(spark: SparkSession, dir: String): DataFrame = {
     val docs = langTrainedDocs(spark, dir)
-    val model = TextAnalysis.langClassifierTrain(
+    // train + apply read the SAME corpus here, so the apply reuses the
+    // trainer's checkpointed feature census instead of featurizing the
+    // corpus a second time (scan + LangCharFeatures explode + per-
+    // feature md5) — guide §2.4; no new materialization, the trainer
+    // checkpoints that frame for its epoch loop anyway. __dl is
+    // functionally determined by doc_id, so the projection IS the
+    // apply census; margins/argmax are the identical integer sums.
+    val (model, tf) = TextAnalysis.langClassifierTrainTf(
       docs, LcBuckets, LcEpochs, LcLr)
-    TextAnalysis.langClassifierApply(docs, model, LcBuckets)
+    TextAnalysis.langClassifierApplyFromTf(
+      tf.select(col("doc_id"), col("bucket"), col("__tf")), model)
   }
 
   val qLangIdTrainedSql: String =
