@@ -928,11 +928,55 @@ object Similarity {
     // sample ONCE (shared by all m subspace trainings) so the m
     // Lloyd's runs scan the same bounded frame
     val base = trainSample(vectors, sampleRatePpm, idCol)
-    (0 until m).map { s =>
-      val sliced = base.select(col(idCol).as("vec_id"),
-        slice(col(embCol), s * sub + 1, sub).as("embedding"))
-      kmeansFit(sliced, ks, iters).map(_.toSeq.toArray)
+    // JOINT per-subspace Lloyd's (guide §1.2 step 1 — remove duplicate
+    // passes): the m trainings are independent, but their seed pick is
+    // value-free (kmeansInit ranks by (h60("km:"+vec_id), vec_id), the
+    // same ids in every subspace), so ONE ks-row collect seeds all m
+    // sub-codebooks, and each iteration is ONE corpus pass computing
+    // every subspace's assignment (the ivfAssign argmax per slice in
+    // kernel form — kernel/literal parity is QualitySpec-pinned) plus
+    // ONE (s, bucket) fixed-point aggregate: 1 + iters corpus scans
+    // instead of m·(1 + iters). Trajectories are bit-identical to the
+    // per-slice kmeansFit loop (PqSpec pins joint == per-slice) —
+    // same seeds, same rounded-cosine argmax, same quantized sums,
+    // same rounded means, subspaces never interact.
+    val seeds = base
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+        Portable.h60(concat_ws(":", lit("km"), col("vec_id"))).as("__seed"))
+      .orderBy(col("__seed"), col("vec_id"))
+      .limit(ks)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    val cents: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => seeds.map(e => e.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val structs = (0 until m).map { s =>
+        val sl = slice(col(embCol), s * sub + 1, sub)
+        struct(lit(s).as("s"),
+          coalesce(element_at(
+            VectorOps.floatTopCosineIdx(sl, cents(s).toSeq, 1), 1),
+            lit(0)).as("bucket"),
+          sl.as("sl"))
+      }
+      val sums = base.select(explode(array(structs: _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.bucket").as("bucket"),
+          col("x.sl").as("sl"))
+        .groupBy(col("s"), col("bucket"))
+        .agg(FloatVecQuantSumAgg.of(col("sl")).as("q"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getSeq[Long](2), r.getLong(3))))
+        .toMap
+      for (s <- 0 until m; j <- cents(s).indices)
+        sums.get((s, j)) match {
+          case Some((q, n)) if n > 0 && q.nonEmpty =>
+            cents(s)(j) = q.map(v =>
+              roundp6(v.toDouble / n.toDouble / FloatVecQuantSumAgg.Scale)
+                .toFloat).toArray
+          case _ => ()
+        }
     }
+    cents.map(_.toSeq).toSeq
   }
 
   /** PQ encode: each vector compresses to one sub-centroid index per

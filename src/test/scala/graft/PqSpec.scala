@@ -131,6 +131,24 @@ class PqSpec extends SparkSpec {
     assert(trained >= 0.25, s"trained recall $trained")
   }
 
+  test("joint pqTrain is bit-identical to the per-slice kmeansFit loop") {
+    // pqTrain runs all m sub-trainings in ONE pass per iteration (one
+    // seed collect, one exploded (s, bucket) aggregate); this pins the
+    // trajectory against the reference formulation — m independent
+    // kmeansFit runs over sliced embeddings (the pre-r21 shape)
+    val m = 8
+    val ks = 8
+    val joint = Similarity.pqTrain(emb, m, ks, iters = 2)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sub = dim / m
+    val perSlice = (0 until m).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      Similarity.kmeansFit(sliced, ks, iters = 2)
+    }
+    assert(joint.map(_.map(_.toSeq)) === perSlice.map(_.map(_.toSeq)))
+  }
+
   test("sampled codebook training: deterministic, bounded input, recall above the floor") {
     val m = 16
     // half-rate md5-threshold sample: deterministic across layouts
