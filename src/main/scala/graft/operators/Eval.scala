@@ -46,6 +46,17 @@ object Eval {
                          candCol: String, refCol: String, maxN: Int,
                          toks: Column => Column,
                          gram: Seq[Column] => Column): DataFrame = {
+    // The two sides meet in ONE union + conditional aggregate instead
+    // of a full-outer join (r21, guide §2.4/§3): the join form
+    // sort-merged the two exploded gram censuses — two corpus-sized
+    // string sorts plus a third exchange — where a side-tagged union
+    // feeding one (id, n, gram) hash aggregate computes the identical
+    // per-gram (c_cand, c_ref) counts (absent side reads 0 where the
+    // join read NULL; every consumer below gates on > 0 / coalesces
+    // to 0, so the census is value-identical). Plan: SortMergeJoin
+    // FullOuter + 2 Sorts + 3 Exchanges → 2 HashAggregates + 2
+    // Exchanges, none of them sorted. Measured on q_chrf_pairs /
+    // q_bleu_pairs — see OPTIMIZATION_r21.md.
     def grams(side: String, textCol: String): DataFrame = {
       val t = pairs.select(col(id), posexplode(toks(col(textCol)))
         .as(Seq("pos", "w1")))
@@ -61,23 +72,21 @@ object Eval {
         }: _*)).as("g"))
         .select(col(id), col("g.n").as("n"), col("g.gram").as("gram"))
         .where(col("gram").isNotNull)
-        .groupBy(col(id), col("n"), col("gram"))
-        .agg(count(lit(1)).as(s"c_$side"))
+        .select(col(id), col("n"), col("gram"),
+          lit(if (side == "cand") 1L else 0L).as("__ic"),
+          lit(if (side == "ref") 1L else 0L).as("__ir"))
     }
-    val joined = grams("cand", candCol)
-      .join(grams("ref", refCol), Seq(id, "n", "gram"), "full_outer")
-    // Spark's least() SKIPS nulls: the clipped match must gate on both
-    // sides being present or unmatched grams count as matched
+    val counts = grams("cand", candCol).unionByName(grams("ref", refCol))
+      .groupBy(col(id), col("n"), col("gram"))
+      .agg(sum(col("__ic")).as("c_cand"), sum(col("__ir")).as("c_ref"))
     val aggs = (1 to maxN).flatMap { n =>
       Seq(
-        sum(when(col("n") === n && col("c_cand").isNotNull && col("c_ref").isNotNull,
+        sum(when(col("n") === n && col("c_cand") > 0 && col("c_ref") > 0,
           least(col("c_cand"), col("c_ref"))).otherwise(0L)).as(s"m$n"),
-        sum(when(col("n") === n, coalesce(col("c_cand"), lit(0L)))
-          .otherwise(0L)).as(s"dc$n"),
-        sum(when(col("n") === n, coalesce(col("c_ref"), lit(0L)))
-          .otherwise(0L)).as(s"dr$n"))
+        sum(when(col("n") === n, col("c_cand")).otherwise(0L)).as(s"dc$n"),
+        sum(when(col("n") === n, col("c_ref")).otherwise(0L)).as(s"dr$n"))
     }
-    joined.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    counts.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** chrF census (Popović 2015, β=2) — the CHARACTER-n-gram F-score
