@@ -3506,16 +3506,27 @@ object TextAnalysis {
           graft.functions.WordShingles.of(col(textCol), 2, distinct = false)))
           .as("f"))
       .where(length(col("f")) > 0)
+    // checkpoint the feature frame PARTITIONED ON THE DOC ID (the
+    // langClassifierTrain r20 lesson applied here): the margins
+    // aggregate (grouping on (id, __y) — id is a prefix) and the
+    // misclassified-set join (on id) then both reuse the checkpointed
+    // partitioning instead of re-exchanging the corpus-sized frame
+    // twice per epoch
     val tf = feats
       .select(col(id), col("__y"),
         (Portable.h31(col("f")) % nBuckets).cast("int").as("bucket"))
       .groupBy(col(id), col("__y"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .repartition(col(id))
       .localCheckpoint(true)
     var w = tf.select(col("bucket")).distinct()
       .select(col("bucket"), lit(0L).as("w"))
       .localCheckpoint(true)
     for (_ <- 1 to epochs) {
-      val mis = tf.join(w, Seq("bucket"))
+      // w is MODEL-sized (≤ nBuckets rows) but checkpointed — unknown
+      // stats, so auto-broadcast never fires and the margins join
+      // sort-merges the corpus census by bucket every epoch (the r19
+      // checkpoint-stats armor): hint broadcast explicitly
+      val mis = tf.join(broadcast(w), Seq("bucket"))
         .groupBy(col(id), col("__y"))
         .agg(sum(col("tf") * col("w")).as("__m"))
         .where(col("__y") * col("__m") <= 0)
