@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** The md5-prefix integer hash (`conv(substring(md5(x), 1, n), 16, 10)`)
+  * as ONE fused native expression: digest the bytes, read the first `n`
+  * hex nibbles as a long — no 32-char hex string, no Substring slice, no
+  * Conv string parse, no intermediate allocations. This is the
+  * [[Portable.h31]]/[[Portable.h60]] kernel, the per-feature inner loop
+  * of every hash-keyed operator (lang features, hashed classifiers,
+  * minhash salts, sampling keys), so the per-call constant matters at
+  * corpus scale (guide §1.2 step 2: per-task work, after the shapes are
+  * right).
+  *
+  * Value-identical to the composed form by construction: the first n hex
+  * chars of the digest ARE the first n nibbles of its bytes, and conv's
+  * base-16 parse of n < 16 hex chars is exactly the nibble-shift
+  * accumulation below (always non-negative, < 2^(4n); parity pinned in
+  * PortableHashSpec against the composed Catalyst form). NULL in → NULL
+  * out, matching md5's null propagation. The MD5 MessageDigest is
+  * thread-local (digest() resets it), shared by eval and codegen through
+  * one static kernel — no eval/codegen drift.
+  */
+case class Md5PrefixLong(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+
+  require(nibbles >= 1 && nibbles <= 15, "nibbles must be in [1, 15]")
+
+  // callers (Portable.h31/h60) cast the child to binary explicitly —
+  // the same Cast md5()'s implicit coercion inserted in the composed form
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5PrefixLong.prefix(input.asInstanceOf[Array[Byte]], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5PrefixLong.prefix($c, $nibbles)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
+}
+
+object Md5PrefixLong {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First `nibbles` hex nibbles of md5(bytes) as a non-negative long —
+    * the static kernel shared by interpreted eval and generated code. */
+  def prefix(bytes: Array[Byte], nibbles: Int): Long = {
+    val d = md.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}

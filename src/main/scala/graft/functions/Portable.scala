@@ -15,15 +15,21 @@ import org.apache.spark.sql.types.LongType
 object Portable {
 
   /** 60-bit integer derived from md5 (first 15 hex chars). Stable across
-    * engines: DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`. */
+    * engines: DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`. Computed by
+    * the fused [[Md5PrefixLong]] kernel — value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)` (PortableHashSpec pins the
+    * parity) without the hex-string/Substring/Conv allocations per call. */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftShim.column(
+      Md5PrefixLong(org.apache.spark.sql.GraftShim.expression(c.cast("binary")), 15))
 
   /** 31-bit variant for modular arithmetic that must not overflow a
     * signed 64-bit product: h31 < 2^31, so a*h31+b with a,b < 2^31 stays
     * below 2^62. DuckDB: `(('0x'||substr(md5(x),1,7))::BIGINT % 2147483647)`. */
   def h31(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast(LongType) % lit(2147483647L)
+    org.apache.spark.sql.GraftShim.column(
+      Md5PrefixLong(org.apache.spark.sql.GraftShim.expression(c.cast("binary")), 7)) %
+      lit(2147483647L)
 
   /** Whitespace tokenization of trimmed text.
     * DuckDB: `string_split_regex(trim(x), '\s+')`. */
