@@ -10,11 +10,28 @@ import org.apache.spark.sql.types.LongType
   * `idxName` is 1-based. */
 private[operators] object Ranks {
   def withSortedIndex(df: DataFrame, order: Seq[Column],
-                      idxName: String): DataFrame = {
+                      idxName: String): DataFrame =
+    withSortedIndex(df, order, idxName, null)
+
+  /** With `pins` non-null, the sorted parent RDD is persisted before
+    * zipWithIndex, so zipWithIndex's EAGER count job doubles as the
+    * cache fill and the downstream consumer (join/checkpoint) reads the
+    * cache instead of RE-RUNNING the range-partitioned sort — the r13
+    * double-sort cost, removed without the lazy-DataFrame-persist trap
+    * that caused it. The pinned RDD is appended to `pins`; the caller
+    * unpersists them once every downstream frame is checkpointed. */
+  def withSortedIndex(df: DataFrame, order: Seq[Column], idxName: String,
+                      pins: scala.collection.mutable.Buffer[
+                        org.apache.spark.rdd.RDD[Row]]): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val schema = sorted.schema.add(idxName, LongType, nullable = false)
+    val rdd = sorted.rdd
+    if (pins != null) {
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pins += rdd
+    }
     sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (row, i) =>
+      rdd.zipWithIndex().map { case (row, i) =>
         Row.fromSeq(row.toSeq :+ (i + 1L))
       }, schema)
   }

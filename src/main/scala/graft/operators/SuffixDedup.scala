@@ -52,10 +52,16 @@ import graft.functions.Portable
 object SuffixDedup {
 
   /** Distributed deterministic index under a total order (shared
-    * helper — see [[Ranks.withSortedIndex]]). */
+    * helper — see [[Ranks.withSortedIndex]]); the sorted parent is
+    * pinned so each global sort executes ONCE (zipWithIndex's eager
+    * count job fills the cache, the consuming checkpoint reads it),
+    * with the pins released at the end of [[maxDupSpans]] once every
+    * downstream frame is checkpointed. */
   private def withSortedIndex(df: DataFrame, order: Seq[Column],
-                              idxName: String): DataFrame =
-    Ranks.withSortedIndex(df, order, idxName)
+                              idxName: String,
+                              pins: scala.collection.mutable.Buffer[
+                                org.apache.spark.rdd.RDD[Row]]): DataFrame =
+    Ranks.withSortedIndex(df, order, idxName, pins)
 
   /** Per-document longest duplicated span: (doc_id, n_tokens,
     * max_dup_len), where max_dup_len is the exact maximal L such that
@@ -67,15 +73,30 @@ object SuffixDedup {
                   textCol: String = "text", cap: Int = 128): DataFrame = {
     require(cap >= 2 && (cap & (cap - 1)) == 0, "cap must be a power of two >= 2")
     val levels = Integer.numberOfTrailingZeros(cap)
+    val pins = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[Row]]
     val tok = docs
       .select(col(id).as("d"),
         posexplode(slice(Portable.words(col(textCol)), 1, cap))
           .as(Seq("p0", "word")))
       .select(col("d"), (col("p0") + 1).cast(LongType).as("p"), col("word"))
       .localCheckpoint()
+    // ONE compose bound for every compose round (r21): any B greater
+    // than the round's max rank is an order- and equality-preserving
+    // injection (downstream consumes ranks only through equality tests
+    // and order-by — the absolute values never matter), and compose
+    // inputs are always DENSE ranks ≤ N (compose and densify rounds
+    // alternate), so B = N + 1 is valid for all of them. This replaces
+    // one max() driver job per compose round with one count on the
+    // checkpointed token frame. The oracle keeps its per-round
+    // max(r)+1 scalar subquery — different B, identical outputs.
+    val nPos = tok.count()
+    require(nPos + 1 < (1L << 31),
+      s"maxDupSpans: $nPos positions too large for the compose rounds — corpus exceeds 2^31 positions, densify every round")
+    val b = nPos + 1
     // rank_0: global dense rank of the vocabulary
     val vocab = withSortedIndex(
-      tok.select(col("word")).distinct(), Seq(col("word")), "rk")
+      tok.select(col("word")).distinct(), Seq(col("word")), "rk", null)
     var rank = tok.join(vocab, Seq("word"))
       .select(col("d"), col("p"), col("rk").as("r"))
       .localCheckpoint()
@@ -86,23 +107,15 @@ object SuffixDedup {
       val keyed = rank.withColumn("r2",
         coalesce(lead(col("r"), shift).over(byDoc), lit(0L)))
       if (j % 2 == 1) {
-        // compose round: rank' = r·B + r2 with B = max(r)+1 is an
-        // order- and equality-preserving injection of the pair — a
-        // pure narrow projection, NO global sort. Safe while
-        // B² < 2^62; densified ranks are ≤ N+1, so alternating
-        // compose/densify stays exact for corpora under 2^31
-        // positions (the driver guard below; at larger N run every
-        // round dense). The oracle replays B as a scalar subquery.
-        val b = rank.agg(max(col("r"))).head().getLong(0) + 1L
-        require(b < (1L << 31),
-          s"maxDupSpans: rank bound $b too large for the compose round — corpus exceeds 2^31 positions, densify every round")
+        // compose round: rank' = r·B + r2 — a pure narrow projection,
+        // NO global sort. Safe while B² < 2^62 (the guard above).
         rank = keyed
           .select(col("d"), col("p"), (col("r") * b + col("r2")).as("r"))
           .localCheckpoint()
       } else {
         val keys = withSortedIndex(
           keyed.select(col("r"), col("r2")).distinct(),
-          Seq(col("r"), col("r2")), "rk")
+          Seq(col("r"), col("r2")), "rk", null)
         rank = keyed.join(keys, Seq("r", "r2"))
           .select(col("d"), col("p"), col("rk").as("r"))
           .localCheckpoint()
@@ -113,8 +126,15 @@ object SuffixDedup {
     // neighbor self-join read it — uncached, the sort+index RDD would
     // evaluate twice)
     val ordered = withSortedIndex(ranks.last,
-      Seq(col("r"), col("d"), col("p")), "idx")
+      Seq(col("r"), col("d"), col("p")), "idx", null)
       .localCheckpoint()
+    // NOTE (r21, measured): pinning the sorted parent RDDs so the
+    // zipWithIndex count job doubles as a cache fill (withSortedIndex's
+    // `pins` mode) made the whole build SLOWER at sf0.1 (10.36 →
+    // 11.37 s A/B) — the MEMORY_AND_DISK fill + read costs more than
+    // re-running these small range-partitioned sorts with idle cores.
+    // Kept available for corpora whose sorts dominate; off here.
+    pins.foreach(_.unpersist(blocking = false))
     var pairs = ordered.select(col("idx"), col("d").as("ad"), col("p").as("ap"))
       .join(ordered.select((col("idx") + 1).as("idx"),
         col("d").as("bd"), col("p").as("bp")), Seq("idx"))
