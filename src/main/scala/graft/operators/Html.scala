@@ -190,9 +190,23 @@ object Html {
       : Seq[(Int, Int, Int, Int, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Int, Int, String, String)]
-    // Locale.ROOT: default-locale lowercasing bends ASCII tag names
-    // under tr-TR ('I' -> dotless ı) — the classic Turkish-I trap
-    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    // Case-insensitive close-tag scan on the ORIGINAL string: Unicode
+    // lowercasing is not length-preserving (U+0130 'İ' lowercases to
+    // i + U+0307), so offsets found in a lowercased COPY misalign with
+    // `html` after such a character and the skip lands mid-content
+    // (ADVICE r20). regionMatches(true, ...) compares char-by-char with
+    // no length drift; tag names are matched ASCII-case-insensitively
+    // exactly as the lowercased-copy scan did on ASCII pages.
+    def indexOfCloseTag(name: String, from: Int): Int = {
+      val pat = "</" + name
+      var k = from
+      val limit = html.length - pat.length
+      while (k <= limit) {
+        if (html.regionMatches(true, k, pat, 0, pat.length)) return k
+        k += 1
+      }
+      -1
+    }
     val buf = new StringBuilder
     var regionDepth = 0
     var linkDepth = 0
@@ -237,7 +251,7 @@ object Html {
           val name = body.takeWhile(Character.isLetterOrDigit)
             .toLowerCase(java.util.Locale.ROOT)
           if (!closing && (name == "script" || name == "style")) {
-            val end = lower.indexOf("</" + name, gt + 1)
+            val end = indexOfCloseTag(name, gt + 1)
             if (end < 0) i = n
             else {
               val egt = html.indexOf('>', end)
@@ -246,6 +260,12 @@ object Html {
           } else {
             if (BlockTags(name)) {
               finalizeBlock()
+              // anchors cannot legally span block elements (browsers
+              // auto-close them); without this reset ONE unclosed <a>
+              // makes every later block in the document count as link
+              // mass and be dropped (ADVICE r20) — scope anchor density
+              // per block like real extractors do
+              linkDepth = 0
               if (RegionTags(name)) {
                 if (closing) regionDepth = math.max(0, regionDepth - 1)
                 else regionDepth += 1

@@ -471,11 +471,16 @@ object Multimodal {
     * exceeds the frame mean across bins (`e·8 > frame_total` — no
     * division). Tail samples past the last full window drop; payloads
     * under one window, non-16-bit, or corrupt drop entirely.
-    * Overflow armor: |sample| ≤ 32768, |basis| ≤ 128 ⇒ |sc| ≤ 2²⁶,
-    * power ≤ 2⁵³, frame sums ≤ windows·bins·2⁵³ only if windows were
-    * ~unbounded — at the format's 2-byte samples a frame holds
-    * n/(16·6) windows, so the `e·8` compare stays far inside a long
-    * for any real payload (and the fixture pins it).
+    * Overflow armor (corrected r21, ADVICE): |sample| <= 32768,
+    * |basis| <= 128 bound a window power by ~2^53 — but a frame folds
+    * ~nw/6 windows, so full-scale audio overflows the frame sum past
+    * ~6k windows and the e*8 compare past ~770 (about 2 s at
+    * 44.1 kHz). Each window power is therefore right-shifted by a
+    * payload-derived amount (0 whenever nw/6+1 < 2^6 — every gated
+    * fixture, so those hashes are bit-identical; growing with nw so
+    * sums and the *8 compare stay < 2^63 at any length). The shift
+    * scales every power in a frame equally, so the above-frame-mean
+    * bits it feeds are preserved up to the shifted quantization.
     * Partition-local, no shuffle. */
   def audioSpectralFingerprint(media: DataFrame, idCol: String,
                                payloadCol: String): DataFrame = {
@@ -498,6 +503,13 @@ object Multimodal {
                 if (nw == 0) None
                 else {
                   val le = !fmt.isBigEndian
+                  // see the overflow-armor note in the scaladoc:
+                  // 0 for every gated fixture (bit-identical), grows
+                  // with nw so frame sums and the ·SpecBins compare
+                  // stay inside a long at any payload length
+                  val nwPerFrame = nw.toLong / SpecFrames + 1L
+                  val shift = math.max(0,
+                    (64 - java.lang.Long.numberOfLeadingZeros(nwPerFrame)) - 6)
                   val energies = new Array[Long](SpecFrames * SpecBins)
                   val x = new Array[Long](SpecW)
                   var w = 0
@@ -520,7 +532,7 @@ object Multimodal {
                         ss += x(k) * SpecSin(m)(k)
                         k += 1
                       }
-                      energies(f * SpecBins + m) += sc * sc + ss * ss
+                      energies(f * SpecBins + m) += (sc * sc + ss * ss) >> shift
                       m += 1
                     }
                     w += 1

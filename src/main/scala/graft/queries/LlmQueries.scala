@@ -4217,7 +4217,7 @@ object LlmQueries {
     * train→apply doctrine): learn the one-vs-rest model from the
     * phrase-injected corpus, then predict the SAME corpus under it —
     * argmax of integer margins with lexical tie-break. The oracle
-    * replays the 2-epoch trajectory (margins → misclassified set →
+    * replays the LcEpochs-epoch trajectory (margins → misclassified set →
     * per-(lang,bucket) updates) as chained CTEs and the apply as one
     * more census + rank — any featurization, hashing, epoch, or
     * argmax slip bends a margin and fails the hash. */
