@@ -199,6 +199,22 @@ object Bench {
     "q_sft_e2e" -> 1.85,
     // two line-census HOF passes, zero shuffle
     "q_fineweb_rules" -> 0.46)
+    // r21 OPTIMIZATION-round re-pins (only queries whose CODE changed;
+    // best min-of-3 observed on a ~1.8x-loaded host — conservative
+    // upper bounds; see OPTIMIZATION_r21.md for the per-change A/B
+    // evidence): apply reuses the trainer census (lang_id), joint PQ
+    // trainer, union-form gram census (chrf/bleu), fused md5-prefix
+    // hash (quality_classifier, lang_segments), doc-partitioned
+    // perceptron, one compose bound (maxspan)
+    .updated("q_lang_id_trained", 4.50)
+    .updated("q_lang_segments_trained", 9.03)
+    .updated("q_ann_pq_trained", 0.83)
+    .updated("q_chrf_pairs", 2.11)
+    .updated("q_bleu_pairs", 1.60)
+    .updated("q_bleu_pairs_cjk", 1.79)
+    .updated("q_classifier_train", 2.02)
+    .updated("q_quality_classifier", 0.98)
+    .updated("q_dedup_maxspan", 9.10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
