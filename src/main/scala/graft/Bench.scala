@@ -393,6 +393,15 @@ object Bench {
       s"calib_norm=${f2(calibNorm)} " +
       s"flags>${FlagRatio}x(norm)=$flagStr stable_flags=${reruns.count(_._5)} " +
       s"unpinned=${if (unpinned.isEmpty) "none" else unpinned.mkString(",")}")
+    // VERY LAST stdout line: a COMPACT JSON record (same required keys
+    // — metric/value/unit/queries/sf — but min seconds only: no `runs`
+    // or `calibration` arrays, ~7 KB vs ~100 KB). The r20 driver
+    // comparison was lost because a bounded tail capture clipped the
+    // full JSON line's head; a small final line is parseable in any
+    // tail window. The full record (with runs/calibration) still
+    // prints above and lands in BENCH.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_norm":$calibNorm,"flags":$flagsJson,"sf":"$sfDir","compact":true}""")
     spark.stop()
   }
 }
