@@ -2193,26 +2193,37 @@ object TextAnalysis {
     * split is the production shape (train on held reference, apply to
     * the crawl); [[knLmApply]] is per-row + key-join only, so the
     * streaming twin is a trivial foreachBatch replay. */
+  /** `materialize = true` eagerly localCheckpoints the bigram TYPE
+    * census (4 consumers: contexts, continuations, discounts, the
+    * ord-2 rows), the discount scalar row, and the final model union —
+    * the knNgramTrain doctrine at order 2: without it every model
+    * branch (and every apply-side broadcast build) re-runs the corpus
+    * census (measured 40 parquet scans in the q_kn_buckets plan).
+    * Default OFF: bit-identical either way; the barrier only pays when
+    * the model is consumed more than once. */
   def knLmTrain(docs: DataFrame, textCol: String = "text",
-                scripted: Boolean = false): DataFrame = {
-    val cb = docs.select(explode(
+                scripted: Boolean = false,
+                materialize: Boolean = false): DataFrame = {
+    def maybeCache(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val cb = maybeCache(docs.select(explode(
         graft.functions.WordShingles.of(col(textCol), 2, distinct = false,
           scripted = scripted)).as("big"))
       .groupBy(col("big")).agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("big"), " ", 1))
-      .withColumn("w2", substring_index(col("big"), " ", -1))
+      .withColumn("w2", substring_index(col("big"), " ", -1)))
     val ctx = cb.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("t1"))
     val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("tc"))
     // T (total bigram types), D (absolute discount) — one bounded row
-    val g = cb.agg(
+    val g = maybeCache(cb.agg(
         count(lit(1)).cast(DoubleType).as("__t"),
         sum(when(col("c2") === 1, 1L).otherwise(0L)).as("__n1"),
         sum(when(col("c2") === 2, 1L).otherwise(0L)).as("__n2"))
       .select(col("__t"),
         when(col("__n1") === 0, lit(0.5))
           .otherwise(col("__n1").cast(DoubleType) /
-            (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType)).as("__d"))
+            (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType)).as("__d")))
     val m2 = cb.join(ctx, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(g))
       .select(lit(2L).as("ord"), col("big").as("gram"),
@@ -2228,7 +2239,7 @@ object TextAnalysis {
         floor(log(col("tc") / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
     val mf = g.select(lit(-1L).as("ord"), lit("").as("gram"),
       floor(log(lit(1.0) / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
-    m2.unionByName(m1).unionByName(m0).unionByName(mf)
+    maybeCache(m2.unionByName(m1).unionByName(m0).unionByName(mf))
   }
 
   /** Score a corpus under a trained interpolated-KN bigram model:
@@ -2243,11 +2254,17 @@ object TextAnalysis {
     * bigrams and are absent (the [[bigramLogprob]] contract).
     *
     * Scale shape: ONE bigram census over the apply corpus, three
-    * key-joins against model-sized frames (auto-broadcast when the
-    * model fits) and the floor as a broadcast 1-row cross join. */
+    * key-joins against model-sized pruned slices (hinted broadcast —
+    * a materialized model has UNKNOWN stats, so auto-broadcast never
+    * fires; the r19 lesson) and the floor as a broadcast 1-row cross
+    * join. `broadcastModel = false` drops the hint for a model too
+    * big to ship (joins fall back to shuffles). */
   def knLmApply(model: DataFrame, docs: DataFrame,
                 id: String = "doc_id", textCol: String = "text",
-                scripted: Boolean = false): DataFrame = {
+                scripted: Boolean = false,
+                broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
     val tf = docs.select(col(id), explode(
         graft.functions.WordShingles.of(col(textCol), 2, distinct = false,
           scripted = scripted)).as("big"))
@@ -2261,9 +2278,9 @@ object TextAnalysis {
     val m0 = model.where(col("ord") === 0)
       .select(col("gram").as("w2"), col("q").as("qc"))
     val mf = model.where(col("ord") === -1).select(col("q").as("q0"))
-    tf.join(m2, Seq("big"), "left")
-      .join(m1, Seq("w1"), "left")
-      .join(m0, Seq("w2"), "left")
+    tf.join(side(m2), Seq("big"), "left")
+      .join(side(m1), Seq("w1"), "left")
+      .join(side(m0), Seq("w2"), "left")
       .crossJoin(broadcast(mf))
       .withColumn("__q", coalesce(col("q2"),
         coalesce(col("ql"), lit(0L)) + coalesce(col("qc"), col("q0"))))
@@ -2318,7 +2335,8 @@ object TextAnalysis {
     * constants ride a broadcast 1-row cross join. */
   def knTrigramTrain(docs: DataFrame, textCol: String = "text",
                      scripted: Boolean = false,
-                     cacheTypeTables: Boolean = false): DataFrame = {
+                     cacheTypeTables: Boolean = false,
+                     materialize: Boolean = false): DataFrame = {
     import TrackedCaches.TrackedPersist
     // the TYPE tables are multi-referenced (t3 by 4 branches, cc by 5)
     // and per-branch column pruning differentiates their exchanges, so
@@ -2326,11 +2344,20 @@ object TextAnalysis {
     // branch re-scans the train corpus). cacheTypeTables trackedPersists
     // both (released via Dedup.releaseCaches): at 100 TB the
     // model-sized type tables on disk beat six corpus scans decisively;
-    // at bench scale idle cores hide the duplicate scans and the
+    // at bench scale idle cores hide the duplicate scans and the LAZY
     // persist's stage barriers LOSE (measured 3.1 s → 4.4 s at sf0.1)
     // — the kmeansFit cacheInput trade-off, same default: off.
+    // materialize instead EAGER-localCheckpoints the type tables, the
+    // scalar row, the staged p2' and the final model (the knNgramTrain
+    // doctrine — r19: eager checkpoints beat both lazy persist and
+    // recompute when the model union is consumed by a multi-join
+    // apply; measured 66 parquet scans in the q_kn3_logprob plan
+    // without it). Both knobs are bit-identical executions.
+    require(!(cacheTypeTables && materialize),
+      "knTrigramTrain: pick one of cacheTypeTables / materialize")
     def maybeCache(df: DataFrame): DataFrame =
-      if (cacheTypeTables) df.trackedPersist else df
+      if (materialize) df.localCheckpoint(true)
+      else if (cacheTypeTables) df.trackedPersist else df
     val t3 = maybeCache(docs.select(explode(
         graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
           scripted = scripted)).as("tri"))
@@ -2353,16 +2380,16 @@ object TextAnalysis {
       .select(when(col("__n1") === 0, lit(0.5))
         .otherwise(col("__n1").cast(DoubleType) /
           (col("__n1") + lit(2L) * col("__n2")).cast(DoubleType)).as("__d"))
-    val g = disc(t3, "c3").withColumnRenamed("__d", "__d3")
+    val g = maybeCache(disc(t3, "c3").withColumnRenamed("__d", "__d3")
       .crossJoin(disc(cc, "ct").withColumnRenamed("__d", "__d2"))
-      .crossJoin(cc.agg(count(lit(1)).cast(DoubleType).as("__t")))
+      .crossJoin(cc.agg(count(lit(1)).cast(DoubleType).as("__t"))))
     // p2' per (w2,w3) suffix type — staged: m3 re-reads it
-    val p2 = cc.join(mid, Seq("w2")).join(c1t, Seq("w3"))
+    val p2 = maybeCache(cc.join(mid, Seq("w2")).join(c1t, Seq("w3"))
       .crossJoin(broadcast(g))
       .withColumn("__p2",
         (col("ct") - col("__d2")) / col("mid") +
           ((col("__d2") * col("t2")) / col("mid")) *
-          (col("c1t") / col("__t")))
+          (col("c1t") / col("__t"))))
     val m2 = p2.select(lit(2L).as("ord"), col("w23").as("gram"),
       floor(log(col("__p2")) * 1e6 + 0.5).cast(LongType).as("q"))
     val m3 = t3.join(ctx12, Seq("w12"))
@@ -2385,8 +2412,8 @@ object TextAnalysis {
         floor(log(col("c1t") / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
     val mf = g.select(lit(-2L).as("ord"), lit("").as("gram"),
       floor(log(lit(1.0) / col("__t")) * 1e6 + 0.5).cast(LongType).as("q"))
-    m3.unionByName(m2).unionByName(l3).unionByName(l2)
-      .unionByName(m1).unionByName(mf)
+    maybeCache(m3.unionByName(m2).unionByName(l3).unionByName(l2)
+      .unionByName(m1).unionByName(mf))
   }
 
   /** Score a corpus under a trained order-3 interpolated-KN model —
@@ -2395,10 +2422,17 @@ object TextAnalysis {
     * each unseen level (0 when the context itself is unseen — weight-1
     * backoff). `n_backed_off` counts positions below ord 3. Docs with
     * < 3 words are absent. One trigram census, five model-sized
-    * key-joins, the floor broadcast. */
+    * key-joins against pruned slices (hinted broadcast — a
+    * materialized model has UNKNOWN stats, so auto-broadcast never
+    * fires; without the hint the probe plan showed 10 SortMergeJoins),
+    * the floor broadcast. `broadcastModel = false` drops the hint for
+    * a model too big to ship. */
   def knTrigramApply(model: DataFrame, docs: DataFrame,
                      id: String = "doc_id", textCol: String = "text",
-                     scripted: Boolean = false): DataFrame = {
+                     scripted: Boolean = false,
+                     broadcastModel: Boolean = true): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
     val tf = docs.select(col(id), explode(
         graft.functions.WordShingles.of(col(textCol), 3, distinct = false,
           scripted = scripted)).as("tri"))
@@ -2410,11 +2444,11 @@ object TextAnalysis {
     def part(ord: Long, key: String, as: String) = model
       .where(col("ord") === ord).select(col("gram").as(key), col("q").as(as))
     val mf = model.where(col("ord") === -2).select(col("q").as("qf"))
-    tf.join(part(3L, "tri", "q3"), Seq("tri"), "left")
-      .join(part(2L, "w23", "q2"), Seq("w23"), "left")
-      .join(part(1L, "w12", "l3"), Seq("w12"), "left")
-      .join(part(0L, "w2", "l2"), Seq("w2"), "left")
-      .join(part(-1L, "w3", "qc"), Seq("w3"), "left")
+    tf.join(side(part(3L, "tri", "q3")), Seq("tri"), "left")
+      .join(side(part(2L, "w23", "q2")), Seq("w23"), "left")
+      .join(side(part(1L, "w12", "l3")), Seq("w12"), "left")
+      .join(side(part(0L, "w2", "l2")), Seq("w2"), "left")
+      .join(side(part(-1L, "w3", "qc")), Seq("w3"), "left")
       .crossJoin(broadcast(mf))
       .withColumn("__q", coalesce(col("q3"),
         coalesce(col("l3"), lit(0L)) + coalesce(col("q2"),
@@ -2506,11 +2540,16 @@ object TextAnalysis {
       .groupBy(gramPrefix(col("gram"), k - 1).as("ctx"))
       .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("typ"))
     val ctx = (2 to order).map(k => k -> ctxOf(k)).toMap
-    // ONE broadcast scalar row: every level's D plus T (level-2 types)
-    val g = (2 to order)
+    // ONE broadcast scalar row: every level's D plus T (level-2 types).
+    // Under materialize the row checkpoints too: ~10 model branches
+    // (and, before r22, every apply-side broadcast build) each re-ran
+    // its 2(order-1)+1 aggregate subtrees otherwise — 82
+    // BroadcastExchange nodes in the order-5 apply plan, most of them
+    // rebuilding this one row (guide §2.4).
+    val g = maybeCache((2 to order)
       .map(k => knDiscount(tables(k), "cnt", s"__d$k"))
       .reduce(_.crossJoin(_))
-      .crossJoin(tables(2).agg(count(lit(1)).cast(DoubleType).as("__t")))
+      .crossJoin(tables(2).agg(count(lit(1)).cast(DoubleType).as("__t"))))
     def qlog(c: Column): Column =
       floor(log(c) * 1e6 + 0.5).cast(LongType).as("q")
     // probability frames bottom-up; each level's __p feeds the next
@@ -2545,7 +2584,12 @@ object TextAnalysis {
     }
     val floorRow = g.select(lit(0L).as("ord"), lit("").as("gram"),
       qlog(lit(1.0) / col("__t")))
-    (pRows ++ Seq(p1Row) ++ lRows ++ Seq(floorRow)).reduce(_.unionByName(_))
+    // Under materialize the MODEL union checkpoints as well: the apply
+    // half's broadcast build(s) then read one model-sized RDD instead
+    // of re-deriving the ~10-branch union per build (guide §2.4). The
+    // returned frame stays WRITABLE and bit-identical either way.
+    maybeCache(
+      (pRows ++ Seq(p1Row) ++ lRows ++ Seq(floorRow)).reduce(_.unionByName(_)))
   }
 
   /** Score a corpus under an order-N interpolated-KN model — the
@@ -2580,6 +2624,14 @@ object TextAnalysis {
       tf = tf.withColumn(s"__s$k", gramSuffix(col("gram"), k))
     def levelGram(k: Int): Column =
       if (k == order) col("gram") else col(s"__s$k")
+    // Per-slice builds, NOT one "ord|gram"-keyed union map: a single
+    // shared lookup relation was tried in r22 and measured SLOWER —
+    // the per-join broadcast builds do not get deduplicated at
+    // runtime (0 ReusedExchange; each build re-executed the WHOLE
+    // ~10-branch union where the ord filter prunes a slice build to
+    // its one live branch: 58 vs 40 parquet scans on the bigram
+    // family probe). Slices + `materialize` on the trainer is the
+    // winning pair: the filter prunes, the checkpoint bounds.
     def part(ord: Long, key: String, as: String) = model
       .where(col("ord") === ord).select(col("gram").as(key), col("q").as(as))
     var j = tf

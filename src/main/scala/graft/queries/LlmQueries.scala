@@ -7610,7 +7610,13 @@ object LlmQueries {
     * per-order quantized-log coalesce cascade. */
   def qKnLogprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0))
+    // materialize: without it each broadcast build re-derives the
+    // 4-branch model union from parquet (58 scans in the probe plan);
+    // bench deltas at this query's ~1 s scale are load noise (spread
+    // 0.9-1.65 s across r21/r22 runs), so the 100 TB shape (census
+    // scans bounded by the checkpoint) decides
+    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0),
+      materialize = true)
     TextAnalysis.knLmApply(model, docs)
   }
 
@@ -7687,7 +7693,7 @@ object LlmQueries {
   def qKnLogprobCjk(spark: SparkSession, dir: String): DataFrame = {
     val docs = cjkDocs(spark, dir)
     val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0),
-      scripted = true)
+      scripted = true, materialize = true)
     TextAnalysis.knLmApply(model, docs, scripted = true)
   }
 
@@ -7703,7 +7709,10 @@ object LlmQueries {
     * p2' column, and the 6-part quantized-log cascade. */
   def qKn3Logprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val model = TextAnalysis.knTrigramTrain(docs.where(col("doc_id") % 2 === 0))
+    // materialize: the apply's model build re-derived the whole train
+    // DAG otherwise (66 parquet scans in the r22-before plan)
+    val model = TextAnalysis.knTrigramTrain(docs.where(col("doc_id") % 2 === 0),
+      materialize = true)
     TextAnalysis.knTrigramApply(model, docs)
   }
 
@@ -7961,7 +7970,8 @@ object LlmQueries {
     * binned percentile estimator, labels on every scored doc. */
   def qKnBuckets(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0))
+    val model = TextAnalysis.knLmTrain(docs.where(col("doc_id") % 2 === 0),
+      materialize = true)
     releaseStageCaches("kn_buckets") // BEFORE the persist (see stageCacheReg)
     // fan-out point: thresholds AND the label join both read the score
     // frame — uncached, the whole train+apply chain re-executes per
