@@ -310,19 +310,35 @@ object TextAnalysis {
           concat_ws(" ", (col("__w") +: (1 until n).map(k => col(s"__w$k"))): _*))
           .as("gram"))
     }: _*)
+    // n≥5 grams never surface in the output (only their duplicated
+    // char mass does: count × length per gram), so the census keys on
+    // the fused 60-bit md5 prefix + the gram LENGTH instead of the
+    // 5..10-word gram string — the exchange carries 8+8 bytes per
+    // near-unique gram where it carried the whole string (guide §2.3:
+    // shuffle keys/metadata, not payloads). n=2..4 keep the text: the
+    // top-gram argmax tie-breaks on (count desc, gram asc). Hash
+    // collisions within a (doc, n) group would need two distinct
+    // same-length grams of one doc at the same 60-bit prefix
+    // (~2^-60 · pairs — vanishing, and deterministic per corpus;
+    // output parity re-verified at sf0.01 and sf0.1).
     val cen = led.select(col(id), col("__nchars"), explode(gramStructs).as("__g"))
       .select(col(id), col("__nchars"),
         col("__g.n").as("__n"), col("__g.gram").as("__gram"))
       .where(col("__gram").isNotNull)
-      .groupBy(col(id), col("__n"), col("__gram"))
+      .select(col(id), col("__nchars"), col("__n"),
+        when(col("__n") <= 4, col("__gram")).as("__gkey"),
+        when(col("__n") >= 5, Portable.h60(col("__gram"))).as("__ghash"),
+        length(col("__gram")).cast(LongType).as("__glen"))
+      .groupBy(col(id), col("__n"), col("__gkey"), col("__ghash"), col("__glen"))
       .agg(count(lit(1)).as("__c"), max(col("__nchars")).as("__nchars"))
     val perN = cen.groupBy(col(id), col("__n"))
       .agg(max(col("__nchars")).as("__nchars"),
-        min(struct((-col("__c")).as("nc"), col("__gram").as("g"))).as("__top"),
-        sum(when(col("__c") >= 2, col("__c") * length(col("__gram")))
+        min(struct((-col("__c")).as("nc"), col("__gkey").as("g"),
+          col("__glen").as("glen"))).as("__top"),
+        sum(when(col("__c") >= 2, col("__c") * col("__glen"))
           .otherwise(0L)).as("__dupch"))
       .select(col(id), col("__n"),
-        Portable.roundp(((-col("__top.nc")) * length(col("__top.g")))
+        Portable.roundp(((-col("__top.nc")) * col("__top.glen"))
           / col("__nchars").cast(DoubleType), 6).as("__topfrac"),
         Portable.roundp(col("__dupch") / col("__nchars").cast(DoubleType), 6)
           .as("__dupfrac"))
