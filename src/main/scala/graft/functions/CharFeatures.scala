@@ -59,7 +59,7 @@ object LangCharFeatures {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
   private val Scripted = java.util.regex.Pattern.compile(Portable.scriptedPattern)
 
-  private def tokens(s: String, scripted: Boolean): Array[String] =
+  private[functions] def tokens(s: String, scripted: Boolean): Array[String] =
     if (scripted) {
       val m = Scripted.matcher(s)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -70,4 +70,98 @@ object LangCharFeatures {
   /** Column API: token + padded-trigram features of a text column. */
   def of(text: Column, scripted: Boolean = false): Column =
     GraftShim.column(LangCharFeatures(GraftShim.expression(text), scripted))
+}
+
+/** The whole hashed-feature census of ONE text value in ONE pass:
+  * `explode(LangCharFeatures) → h31 % nBuckets → groupBy count`
+  * fused into a single expression returning the per-row histogram
+  * array<struct<bucket int, tf long>> (ascending bucket, zero rows
+  * dropped). Callers whose census keys are UNIQUE PER ROW (doc ids,
+  * (doc, line) pairs) get the identical (keys, bucket, tf) frame from
+  * one explode of this array — no (row × feature) Generate inflation,
+  * no per-feature UTF8String, no hash-aggregate exchange below the
+  * margins join (guide §2: remove the shuffle; codegen §: native
+  * expression over interpreted HOFs).
+  *
+  * Bucket parity with the composed form is exact by construction:
+  * bucket = (md5-prefix-7-nibbles(utf8(feature)) % 2147483647) %
+  * nBuckets — [[Md5PrefixLong.prefix]] on the feature's UTF-8 bytes,
+  * the same kernel `Portable.h31(cast(f as binary))` bottoms out in
+  * (parity spec-pinned in LangBucketCountsSpec). NULL text → NULL
+  * (the explode then drops the row, matching the exploded form's
+  * empty-Generate). Scratch counts live in a thread-local buffer
+  * (expression instances are shared across concurrently running
+  * tasks). */
+case class LangBucketCounts(child: Expression, nBuckets: Int,
+                            scripted: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBuckets >= 1 && nBuckets <= (1 << 22),
+    "LangBucketCounts: nBuckets in [1, 2^22]")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "lang_bucket_counts"
+
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[(Array[Long], Array[Int])](() =>
+      (new Array[Long](nBuckets), new Array[Int](nBuckets)))
+
+  private def bump(counts: Array[Long], touched: Array[Int], nTouched: Int,
+                   s: String): Int = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = ((Md5PrefixLong.prefix(bytes, 7) % 2147483647L) % nBuckets).toInt
+    val was = counts(b)
+    counts(b) = was + 1L
+    if (was == 0L) { touched(nTouched) = b; nTouched + 1 } else nTouched
+  }
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val str = t.asInstanceOf[UTF8String].toString
+    val words = LangCharFeatures.tokens(str, scripted)
+    val (counts, touched) = scratch.get()
+    var nTouched = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        nTouched = bump(counts, touched, nTouched, w)
+        val p = "<" + w + ">"
+        val cps = p.codePoints.toArray
+        var j = 0
+        while (j + 3 <= cps.length) {
+          nTouched = bump(counts, touched, nTouched, new String(cps, j, 3))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // ascending bucket order: deterministic output, and a tiny sort
+    // over the touched set only
+    java.util.Arrays.sort(touched, 0, nTouched)
+    val out = new Array[Any](nTouched)
+    var k = 0
+    while (k < nTouched) {
+      val b = touched(k)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(b, counts(b))
+      counts(b) = 0L // reset for the next row
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangBucketCounts {
+  /** Column API: the per-row hashed-feature histogram. */
+  def of(text: Column, nBuckets: Int, scripted: Boolean = false): Column =
+    GraftShim.column(
+      LangBucketCounts(GraftShim.expression(text), nBuckets, scripted))
 }

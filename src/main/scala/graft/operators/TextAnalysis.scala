@@ -3657,14 +3657,19 @@ object TextAnalysis {
     * h31 — shared by the trainer and both apply shapes so corpus and
     * query featurization are provably identical (the r15 tokensOf
     * rule applied to the classifier family). */
+  /** Requires every `keys` tuple to be UNIQUE per input row (doc ids,
+    * (doc, line) pairs — true for all callers): the per-row fused
+    * histogram ([[graft.functions.LangBucketCounts]]) then IS the
+    * census, so the (row × feature) explode, the per-feature hash
+    * column and the census hash-aggregate exchange all disappear
+    * (guide §2.4; bucket parity with the exploded form spec-pinned). */
   private def langFeatureTf(df: DataFrame, nBuckets: Int, keys: Seq[String],
                             textCol: String, scripted: Boolean): DataFrame =
     df.select(keys.map(col) :+
-        explode(graft.functions.LangCharFeatures.of(col(textCol), scripted)).as("__f"): _*)
-      .select(keys.map(col) :+
-        (Portable.h31(col("__f")) % nBuckets).cast("int").as("bucket"): _*)
-      .groupBy((keys :+ "bucket").map(col): _*)
-      .agg(count(lit(1)).as("__tf"))
+        explode(graft.functions.LangBucketCounts.of(
+          col(textCol), nBuckets, scripted)).as("__bc"): _*)
+      .select(keys.map(col) ++ Seq(
+        col("__bc.bucket").as("bucket"), col("__bc.tf").as("__tf")): _*)
 
   /** Pivot the (lang, bucket, w) model to ONE row per bucket with a
     * weight column per language, and compute every language's margin

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{LangBucketCounts, LangCharFeatures, Portable}
+
+/** Parity pin for the fused per-row hashed-feature histogram: the
+  * (bucket, tf) multiset must equal the composed
+  * explode(LangCharFeatures) → h31 % nBuckets → groupBy count census
+  * exactly, for both tokenizer modes, at several bucket widths, on
+  * ascii / combining-mark / CJK / empty / NULL / whitespace-only
+  * inputs — the spec that makes the langFeatureTf census swap safe. */
+class LangBucketCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    1L -> "the quick brown fox",
+    2L -> "café mañana naïve",       // precomposed + combining marks
+    3L -> "中文分词测试 english mixed",  // CJK run + latin
+    4L -> "",
+    5L -> "   ",
+    6L -> "a",                                          // token shorter than a trigram window
+    7L -> "😀😁😂 astral",  // surrogate pairs
+    8L -> ("repeat me " * 40).trim,                     // heavy duplicate features
+    9L -> null.asInstanceOf[String])
+
+  private def composed(nBuckets: Int, scripted: Boolean) =
+    texts.toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(LangCharFeatures.of($"text", scripted)).as("__f"))
+      .select($"doc_id",
+        (Portable.h31($"__f") % nBuckets).cast("int").as("bucket"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  private def fused(nBuckets: Int, scripted: Boolean) =
+    texts.toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(LangBucketCounts.of($"text", nBuckets, scripted)).as("__bc"))
+      .select($"doc_id", $"__bc.bucket".as("bucket"), $"__bc.tf".as("tf"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  for (scripted <- Seq(false, true); nBuckets <- Seq(7, 1024)) {
+    test(s"fused histogram == exploded census (scripted=$scripted, nBuckets=$nBuckets)") {
+      val a = composed(nBuckets, scripted)
+      val b = fused(nBuckets, scripted)
+      assert(b === a)
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("buckets emit in ascending order with no zero counts") {
+    val rows = texts.toDF("doc_id", "text")
+      .select($"doc_id",
+        LangBucketCounts.of($"text", 64).as("h"))
+      .where($"h".isNotNull)
+      .collect()
+    rows.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](1)
+      val buckets = arr.map(_.getInt(0))
+      assert(buckets === buckets.sorted, s"doc ${r.getLong(0)} not sorted")
+      assert(buckets.distinct.size === buckets.size)
+      assert(arr.forall(_.getLong(1) > 0L))
+    }
+  }
+
+  test("NULL text yields NULL (the exploded form drops the row)") {
+    val out = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(LangBucketCounts.of($"text", 16).as("h")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("deterministic across partition layouts and repeated rows") {
+    val df = (0 until 300).map(i => (i.toLong, s"w${i % 7} café ${"x" * (i % 5)}"))
+      .toDF("doc_id", "text")
+    def census(d: org.apache.spark.sql.DataFrame) = d
+      .select($"doc_id", explode(LangBucketCounts.of($"text", 128)).as("b"))
+      .select($"doc_id", $"b.bucket", $"b.tf")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(census(df) === census(df.repartition(11)))
+  }
+}
