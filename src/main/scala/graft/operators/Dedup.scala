@@ -55,9 +55,15 @@ object Dedup {
     * shingles with df > dfCap (boilerplate at corpus scale) are dropped
     * from the join AND the per-doc counts — jaccard = |A∩B|/|A∪B| over
     * the capped distinct-shingle universe. Shuffles: the df aggregate,
-    * its semi-join back, the self-join, the per-pair aggregate, and two
-    * broadcast-ineligible count joins — the df-cap costs two extra
-    * shuffles at test scale and removes the d² blowup at 100 TB.
+    * its semi-join back, the doc-keyed size window, the self-join and
+    * the per-pair aggregate. The per-doc kept-shingle count rides each
+    * row from a count window over the doc partition (no orderBy — no
+    * sort) and flows THROUGH the self-join as max() payload: the old
+    * per-doc aggregate + two join-backs re-shuffled the ENTIRE
+    * candidate-pair set (≤ C(dfCap,2) rows per shingle — several times
+    * the kept frame) twice more (the r21 span-census lesson: a per-key
+    * aggregate consumed by the same rows is a window, never an
+    * aggregate + join-back).
     * NOTE on persist lifecycle: see [[minhashLshPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, bucket: String, threshold: Double,
                         dfCap: Int = graft.Config.ShingleDfCap,
@@ -70,18 +76,21 @@ object Dedup {
     val rare = ex.groupBy(col("bucket"), col("shingle"))
       .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
       .select("bucket", "shingle")
-    // persisted: the per-doc counts and BOTH self-join sides scan it
+    // persisted: BOTH self-join sides scan it (already carrying n)
     val kept = ex.join(rare, Seq("bucket", "shingle"))
+      .withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
       .trackedPersist
-    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
-    val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
+    val a = kept.select(col("doc_id").as("id_a"), col("bucket"),
+      col("shingle"), col("n").as("n_a"))
+    val b = kept.select(col("doc_id").as("id_b"), col("bucket"),
+      col("shingle"), col("n").as("n_b"))
     a.join(b, Seq("bucket", "shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .withColumn("jaccard", Portable.roundp(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -107,19 +116,29 @@ object Dedup {
     val rare = ex.groupBy(col("bucket"), col("shingle"))
       .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
       .select("bucket", "shingle")
+    // per-doc kept-shingle size as a doc-partition count window (no
+    // orderBy — no sort) riding the self-join as max() payload; BOTH
+    // directions' sizes come out of the ONE unordered aggregate, so
+    // the directional expansion stays join-free (the r21 span-census
+    // rule, matching ngramJaccardPairs)
     val kept = ex.join(rare, Seq("bucket", "shingle"))
+      .withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
       .trackedPersist
-    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = kept.select(col("doc_id").as("id_a"), col("bucket"), col("shingle"))
-    val b = kept.select(col("doc_id").as("id_b"), col("bucket"), col("shingle"))
+    val a = kept.select(col("doc_id").as("id_a"), col("bucket"),
+      col("shingle"), col("n").as("n_a"))
+    val b = kept.select(col("doc_id").as("id_b"), col("bucket"),
+      col("shingle"), col("n").as("n_b"))
     val common = a.join(b, Seq("bucket", "shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
     val directed = common.unionByName(
-      common.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("n_common")))
+      common.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("n_common"), col("n_b").as("n_a"), col("n_a").as("n_b")))
     directed
-      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .withColumn("containment", Portable.roundp(col("n_common") / col("n_a"), 6))
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
