@@ -558,11 +558,15 @@ object Dedup {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // materialize the (possibly expensive) pair pipeline ONCE — every
-    // iteration joins against these edges
+    // iteration joins against these edges. Pre-partitioned on dst (the
+    // per-round join key): checkpoint preserves outputPartitioning, so
+    // every round's neighbor join re-shuffles only the labels side,
+    // never the edge set (guide §2.4 — establish the partitioning once)
     val edges = materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     var labels = materialize(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")))
@@ -612,26 +616,30 @@ object Dedup {
     def bidir(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("b").as("a"), col("a").as("b"))
         .select(col("a"), col("b")))
+    // per-node neighborhood minima ride a src-partition window (no
+    // orderBy — no sort) instead of an aggregate + join-back: the
+    // join-back re-shuffled the whole (still-uncontracted) edge set a
+    // second time every round (the r21 span-census rule)
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     // large-star: every node u connects its strictly-larger neighbors
     // to m(u) = min(Γ(u) ∪ {u})
-    def largeStar(e: DataFrame): DataFrame = {
-      val d = bidir(e).select(col("a").as("src"), col("b").as("dst"))
-      val mins = d.groupBy("src").agg(min(least(col("dst"), col("src"))).as("m"))
-      d.join(mins, "src")
+    def largeStar(e: DataFrame): DataFrame =
+      bidir(e).select(col("a").as("src"), col("b").as("dst"))
+        .withColumn("m", min(least(col("dst"), col("src"))).over(wSrc))
         .where(col("dst") > col("src"))
         .select(col("dst").as("a"), col("m").as("b"))
         .where(col("a") =!= col("b"))
         .distinct()
-    }
     // small-star: orient edges large→small; every node connects its
     // smaller neighbors (and itself) to the smallest of them
     def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(greatest(col("a"), col("b")).as("src"),
           least(col("a"), col("b")).as("dst")).distinct()
-      val mins = or.groupBy("src").agg(min(col("dst")).as("m"))
-      or.join(mins, "src")
-        .select(col("dst").as("a"), col("m").as("b"))
-        .unionByName(mins.select(col("src").as("a"), col("m").as("b")))
+        .withColumn("m", min(col("dst")).over(wSrc))
+      or.select(col("dst").as("a"), col("m").as("b"))
+        // m is constant per src, so distinct (src, m) == the old
+        // one-row-per-src mins frame
+        .unionByName(or.select(col("src").as("a"), col("m").as("b")).distinct())
         .where(col("a") =!= col("b"))
         .distinct()
     }

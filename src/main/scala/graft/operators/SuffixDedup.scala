@@ -52,16 +52,12 @@ import graft.functions.Portable
 object SuffixDedup {
 
   /** Distributed deterministic index under a total order (shared
-    * helper — see [[Ranks.withSortedIndex]]); the sorted parent is
-    * pinned so each global sort executes ONCE (zipWithIndex's eager
-    * count job fills the cache, the consuming checkpoint reads it),
-    * with the pins released at the end of [[maxDupSpans]] once every
-    * downstream frame is checkpointed. */
+    * helper — see [[Ranks.withSortedIndex]]). The sort-pinning `pins`
+    * mode stays available on the Ranks overload but is NOT used here
+    * (measured slower at sf0.1 — see the NOTE in [[maxDupSpans]]). */
   private def withSortedIndex(df: DataFrame, order: Seq[Column],
-                              idxName: String,
-                              pins: scala.collection.mutable.Buffer[
-                                org.apache.spark.rdd.RDD[Row]]): DataFrame =
-    Ranks.withSortedIndex(df, order, idxName, pins)
+                              idxName: String): DataFrame =
+    Ranks.withSortedIndex(df, order, idxName)
 
   /** Per-document longest duplicated span: (doc_id, n_tokens,
     * max_dup_len), where max_dup_len is the exact maximal L such that
@@ -73,8 +69,6 @@ object SuffixDedup {
                   textCol: String = "text", cap: Int = 128): DataFrame = {
     require(cap >= 2 && (cap & (cap - 1)) == 0, "cap must be a power of two >= 2")
     val levels = Integer.numberOfTrailingZeros(cap)
-    val pins = scala.collection.mutable.ArrayBuffer.empty[
-      org.apache.spark.rdd.RDD[Row]]
     val tok = docs
       .select(col(id).as("d"),
         posexplode(slice(Portable.words(col(textCol)), 1, cap))
@@ -92,11 +86,14 @@ object SuffixDedup {
     // max(r)+1 scalar subquery — different B, identical outputs.
     val nPos = tok.count()
     require(nPos + 1 < (1L << 31),
-      s"maxDupSpans: $nPos positions too large for the compose rounds — corpus exceeds 2^31 positions, densify every round")
+      s"maxDupSpans: $nPos positions exceed 2^31 — the shared compose bound B = nPos+1 would overflow. " +
+        "NOTE this guard is by TOTAL position count where the pre-r21 per-round guard used the actual " +
+        "max(rank)+1 (often far smaller after densify); a corpus tripping it can fall back to a per-round " +
+        "max() bound (one extra driver job per compose round) rather than failing.")
     val b = nPos + 1
     // rank_0: global dense rank of the vocabulary
     val vocab = withSortedIndex(
-      tok.select(col("word")).distinct(), Seq(col("word")), "rk", null)
+      tok.select(col("word")).distinct(), Seq(col("word")), "rk")
     var rank = tok.join(vocab, Seq("word"))
       .select(col("d"), col("p"), col("rk").as("r"))
       .localCheckpoint()
@@ -115,7 +112,7 @@ object SuffixDedup {
       } else {
         val keys = withSortedIndex(
           keyed.select(col("r"), col("r2")).distinct(),
-          Seq(col("r"), col("r2")), "rk", null)
+          Seq(col("r"), col("r2")), "rk")
         rank = keyed.join(keys, Seq("r", "r2"))
           .select(col("d"), col("p"), col("rk").as("r"))
           .localCheckpoint()
@@ -126,7 +123,7 @@ object SuffixDedup {
     // neighbor self-join read it — uncached, the sort+index RDD would
     // evaluate twice)
     val ordered = withSortedIndex(ranks.last,
-      Seq(col("r"), col("d"), col("p")), "idx", null)
+      Seq(col("r"), col("d"), col("p")), "idx")
       .localCheckpoint()
     // NOTE (r21, measured): pinning the sorted parent RDDs so the
     // zipWithIndex count job doubles as a cache fill (withSortedIndex's
@@ -134,7 +131,6 @@ object SuffixDedup {
     // 11.37 s A/B) — the MEMORY_AND_DISK fill + read costs more than
     // re-running these small range-partitioned sorts with idle cores.
     // Kept available for corpora whose sorts dominate; off here.
-    pins.foreach(_.unpersist(blocking = false))
     var pairs = ordered.select(col("idx"), col("d").as("ad"), col("p").as("ap"))
       .join(ordered.select((col("idx") + 1).as("idx"),
         col("d").as("bd"), col("p").as("bp")), Seq("idx"))

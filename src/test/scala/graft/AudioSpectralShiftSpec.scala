@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Per-scale audit for the audioSpectralFingerprint overflow armor
+  * (the ADVICE r21 ask, per the byte-BPE audit doctrine): the DuckDB
+  * oracle does NOT replay the payload-derived right-shift of window
+  * powers, so q_audio_spectral's hash parity relies on shift == 0 —
+  * i.e. nw/SpecFrames + 1 < 2^6 — for EVERY gated payload. The gated
+  * fixture's sample count is structural (n = (doc_id div 7) % 89 +
+  * 100 ∈ [100, 188] for ANY doc_id, so any testdata regeneration is
+  * covered as long as the fixture formula stands), and this spec
+  * fails loudly the day either the formula or the constants move. */
+class AudioSpectralShiftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shiftOf(nSamples: Int): Int = {
+    val nw = nSamples / Multimodal.SpecW
+    val nwPerFrame = nw.toLong / Multimodal.SpecFrames + 1L
+    math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(nwPerFrame)) - 6)
+  }
+
+  test("every reachable fixture sample count keeps shift == 0") {
+    // the q_audio_spectral fixture: n = (doc_id div 7) % 89 + 100 —
+    // the full reachable range, independent of corpus size
+    (100 to 188).foreach { n =>
+      assert(shiftOf(n) === 0, s"n_samples=$n would engage the shift")
+    }
+    // the bound itself: shift stays 0 while nw/SpecFrames + 1 <= 63,
+    // i.e. nw <= 62*SpecFrames + (SpecFrames-1)
+    val maxZeroShiftWindows = 62 * Multimodal.SpecFrames + (Multimodal.SpecFrames - 1)
+    assert(shiftOf(maxZeroShiftWindows * Multimodal.SpecW) === 0)
+    assert(shiftOf((maxZeroShiftWindows + 1) * Multimodal.SpecW) > 0)
+  }
+
+  test("real encodeWav payloads through the javax.sound path stay shift-free") {
+    val g = expr("doc_id DIV 7")
+    val specs = (0L until 700L).toDF("doc_id").select(
+      col("doc_id"),
+      (g % 89 + 100).as("n_samples"),
+      (g % 251).as("seed"))
+    val sizes = Multimodal.encodeWav(specs).select("payload").collect().map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+      try ais.readAllBytes().length / 2 finally ais.close()
+    }
+    assert(sizes.nonEmpty)
+    sizes.foreach { n =>
+      assert(n >= 100 && n <= 188, s"decoded $n samples outside the audited range")
+      assert(shiftOf(n) === 0)
+    }
+  }
+}
