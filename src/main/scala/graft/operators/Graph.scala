@@ -131,16 +131,26 @@ object Graph {
       .union(e.select(col("dst").as("host"))).distinct()
       .localCheckpoint(true)
     val nn = broadcast(nodes.agg(count(lit(1)).cast("long").as("__n")))
-    // the zero-guard rule: every staged div carries its s=0 branch
+    // Iteration stays SPARSE (only hosts with in/out mass carry rows):
+    // a zero-mass host contributes nothing to the next round's inner
+    // join either way, so re-densifying against `nodes` every half-
+    // round was pure overhead — and the old shape executed `raw`
+    // TWICE per half-round (once for the normalization-sum broadcast
+    // build, once inside the output checkpoint — the r17 aggregate-
+    // fan-out lesson). raw now checkpoints FIRST; the sum and the
+    // normalized projection both read the checkpoint, and the
+    // projection stays lazy (each intermediate vector has exactly one
+    // consumer). Zeros are re-filled once, at the final projection.
+    // The zero-guard rule: every staged div carries its s=0 branch.
     def normalized(raw: DataFrame, out: String): DataFrame = {
-      val s = broadcast(raw.agg(
+      val rawCk = raw.localCheckpoint(true)
+      val s = broadcast(rawCk.agg(
         coalesce(sum(col("__raw")), lit(0L)).as("__s")))
-      nodes.join(raw, Seq("host"), "left").crossJoin(s)
+      rawCk.crossJoin(s)
         .select(col("host"),
           when(col("__s") === 0L, lit(0L))
-            .otherwise(expr(s"(coalesce(__raw, 0L) * ${HitsScale}L) div __s"))
+            .otherwise(expr(s"(__raw * ${HitsScale}L) div __s"))
             .as(out))
-        .localCheckpoint(true)
     }
     var h = nodes.crossJoin(nn)
       .select(col("host"), expr(s"${HitsScale}L div __n").as("h"))
@@ -154,8 +164,10 @@ object Graph {
         e.join(a.select(col("host").as("dst"), col("a")), Seq("dst"))
           .groupBy(col("src").as("host")).agg(sum(col("a")).as("__raw")), "h")
     }
-    h.join(a, Seq("host"))
-      .select(col("host"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+    nodes.join(h, Seq("host"), "left").join(a, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("h"), lit(0L)).as("hub_fp"),
+        coalesce(col("a"), lit(0L)).as("auth_fp"))
   }
 
   /** The APPLY half of the train/apply split: score documents by
