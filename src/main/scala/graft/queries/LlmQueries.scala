@@ -9185,7 +9185,6 @@ object LlmQueries {
     * empty text would hit the punct-ratio zero denominator — the
     * pipeline-correct place to drop empties anyway). */
   def qCrawlE2e(spark: SparkSession, dir: String): DataFrame = {
-    releaseStageCaches("crawl_e2e") // BEFORE the persists (see stageCacheReg)
     val docs = Tables(spark, dir).documents
     val id = col("doc_id")
     // A: html synthesis (the qHtmlExtract fixture) + extraction
@@ -9211,16 +9210,20 @@ object LlmQueries {
     val withDecomposed = concat(col("text"),
       when(id % 3 === 0, lit(" café")).otherwise(lit("")),
       when(id % 4 === 1, lit(" mañana")).otherwise(lit("")))
-    // persisted: dedupLines traverses its input more than once (line
-    // window + doc regroup + the all-docs join back), and each
-    // traversal would re-run the scan→extract→NFC kernel chain
+    // EAGER-checkpointed (r22, was a lazy persist): dedupLines
+    // traverses its input more than once (line window + doc regroup +
+    // the all-docs join back), and each traversal would re-run the
+    // scan→extract→NFC kernel chain. The lazy persist filled on first
+    // consumption UNDER the consumer's stage (first-run flagged 8.97 s
+    // vs 1.38 s rerun under contention — the r19 eager-vs-lazy
+    // lesson); the checkpoint also frees the stage-cache registry
+    // lifecycle for this query (blocks free on GC).
     val eb = TextAnalysis.normalizeNfc(ea.select(id, withDecomposed.as("text")))
       .select(col("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded driver-side scalar doubling as the cache fill: extract/
-    // NFC are row-preserving, so the corpus-relative boilerplate cap
-    // (the qLineDedup convention) reads off the persisted stage frame
-    // — no standalone corpus-scan job exists just for this number
+      .localCheckpoint(true)
+    // bounded driver-side scalar: extract/NFC are row-preserving, so
+    // the corpus-relative boilerplate cap (the qLineDedup convention)
+    // is a trivial count on the checkpointed stage frame
     val cap = eb.count() / 4
     // C: line dedup over the qLineDedup five-line layout
     val n1 = length(col("text"))
@@ -9231,20 +9234,16 @@ object LlmQueries {
       concat(lit("subscribe to our newsletter s"), (id % 3).cast("string")),
       col("text").substr(p1 + 1, n1 - p1),
       concat(lit("copyright c"), (id % 5).cast("string")))
-    // persisted: the fan-out point — qualityVerdict's three metric
-    // branches plus the keep join all re-derive this frame, and
-    // without the cache each would re-run the whole extract→NFC→
-    // line-dedup chain (measured: 16 scans / 10 NFC passes → 1).
-    // Post-dedup compact text; lifecycle owned by the caller, the
-    // semanticDedup convention.
+    // EAGER-checkpointed (r22, was a lazy persist): the fan-out point
+    // — qualityVerdict's three metric branches plus the keep join all
+    // re-derive this frame, and without the materialization each
+    // would re-run the whole extract→NFC→line-dedup chain (measured:
+    // 16 scans / 10 NFC passes → 1). Post-dedup compact text.
     val ec = Dedup.dedupLines(eb.select(id, lined.as("text")), cap)
       .where(col("n_kept") > 0)
       .select(col("doc_id"), col("text"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // lifecycle: see stageCacheReg — released at entry, registered
-    // here; this invocation's frames ride with the returned plan
-    registerStageCaches("crawl_e2e", List(eb, ec))
+      .localCheckpoint(true)
     // D: quality verdict (needs lang for the langId gate)
     val ed = ec.join(
       TextAnalysis.qualityVerdict(ec).where(col("keep") === 1L).select("doc_id"),

@@ -3,30 +3,35 @@ package graft
 /** q_crawl_e2e structural pins: the composed extract→NFC→line-dedup→
   * quality→sample chain must run as ONE DAG whose fan-out points
   * (dedupLines' multi-traversal input, qualityVerdict's three metric
-  * branches) read the persisted stage frames instead of re-running
-  * the scan→extract→NFC kernel chain per consumer. Correctness of the
-  * chain's values is the oracle row's job; this spec pins the plan
-  * shape and determinism. */
+  * branches) read the EAGER-CHECKPOINTED stage frames (r22; formerly
+  * lazy persists) instead of re-running the scan→extract→NFC kernel
+  * chain per consumer. Correctness of the chain's values is the
+  * oracle row's job; this spec pins the plan shape and determinism. */
 class CrawlE2eSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def avail = new java.io.File(s"$dir/documents.parquet").exists()
 
-  test("composed chain: non-empty, deterministic, fan-out reads the cache") {
+  test("composed chain: non-empty, deterministic, fan-out reads the checkpoints") {
     assume(avail)
-    val (df, p) = buildWithCacheScans(minScans = 4)(
-      SparkEntry.queries("q_crawl_e2e")(spark, dir))
+    val df = SparkEntry.queries("q_crawl_e2e")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
     val rows = df.collect()
     assert(rows.nonEmpty)
-    // the quality fan-out and the final joins must hit the persisted
-    // stage frames (pre-persist measurement: 16 file scans and 10 NFC
-    // kernel passes in one plan; with the two stage persists the
-    // kernels run once and every other consumer is a cache scan)
-    val cacheScans = "InMemoryTableScan".r.findAllIn(p).length
-    assert(cacheScans >= 4, s"expected >=4 InMemoryTableScan, got $cacheScans")
-    // deterministic across reruns (fresh plan, same cache or not)
+    // the quality fan-out and the final joins must hit the
+    // checkpointed stage frames (pre-materialization measurement: 16
+    // file scans and 10 NFC kernel passes in one plan; with the two
+    // eager stage checkpoints the kernels run once inside the
+    // checkpoint jobs and every consumer reads an ExistingRDD scan —
+    // the declared plan may read NOTHING else from parquet except the
+    // lang join's doc scan)
+    val ckScans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(ckScans >= 4, s"expected >=4 ExistingRDD scans, got $ckScans\n$p")
+    val nfcInPlan = "(?i)normalize".r.findAllIn(p).length
+    assert(nfcInPlan === 0,
+      s"extract/NFC kernels must live behind the checkpoints, found $nfcInPlan in the declared plan")
+    // deterministic across reruns (fresh checkpoints each invocation)
     val again = SparkEntry.queries("q_crawl_e2e")(spark, dir).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
-    spark.catalog.clearCache()
   }
 }
