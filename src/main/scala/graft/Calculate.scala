@@ -635,12 +635,25 @@ class Calculate(registry: VariableRegistry, sourceOverride: String = "") {
       results: DataFrame,
       mapping: Seq[graft.meta.CommunityProfiles.Entry] =
         graft.meta.CommunityProfiles.entries): DataFrame = {
+    // Two-phase (r22): the wide export used to run its ~105
+    // conditional aggregates over every RAW row (105 string compares
+    // per row). Phase 1 collapses to one row per (geoid, variable,
+    // geotype) with plain maxes — map-side partials, 5 max updates per
+    // row; phase 2 runs the 105-column conditional pivot over the
+    // mapping-bounded frame (≤ geoids × entries rows). max is
+    // associative and the conditions partition rows, so the wide max
+    // over per-(v, gt) maxes is value-identical to the one-phase form.
+    val stats = mapping.flatMap(_.columnMapping.map(_._1)).distinct
+    val narrow = results.groupBy(
+        col("census_geoid"), col("pff_variable"), col("geotype"))
+      .agg(max(col(stats.head)).as(stats.head),
+        stats.tail.map(s => max(col(s)).as(s)): _*)
     val aggs = mapping.flatMap { m =>
       m.columnMapping.map { case (stat, outName) =>
         max(when(col("pff_variable") === m.pffVariable &&
           col("geotype") === m.geotype, col(stat))).as(outName)
       }
     }
-    results.groupBy(col("census_geoid")).agg(aggs.head, aggs.tail: _*)
+    narrow.groupBy(col("census_geoid")).agg(aggs.head, aggs.tail: _*)
   }
 }
